@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Dev-only harness mimicking the driver's correctness gate.
+
+Runs graft.Verify output (parquet per query + oracle_sql.json) against
+DuckDB over the same testdata parquet, compares sorted rows/columns.
+Uses driver-side-only python deps (duckdb/pyarrow) — this script is NOT
+part of the library; it exists so verify failures are caught before the
+driver runs.
+
+Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir>
+"""
+import sys, os, json, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.10g}"
+    try:
+        import decimal
+        if isinstance(v, decimal.Decimal):
+            return f"{v}"
+    except Exception:
+        pass
+    return repr(v)
+
+
+def rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [cols[i] for i in order], out
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        pq_dir = os.path.join(out_dir, name)
+        if not os.path.isdir(pq_dir):
+            print(f"FAIL {name}: no spark output dir")
+            n_fail += 1
+            continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{pq_dir}/*.parquet')")
+            g_cols = [d[0] for d in got.description]
+            g_rows = got.fetchall()
+        except Exception as e:
+            # empty result → spark writes no part files with rows; treat as empty
+            g_cols, g_rows = [], []
+        try:
+            exp = con.execute(sql)
+            e_cols = [d[0] for d in exp.description]
+            e_rows = exp.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            n_fail += 1
+            continue
+        if not e_rows and not g_rows:
+            print(f"pass {name} (both empty)")
+            n_pass += 1
+            continue
+        gc, gr = rowset(g_cols, g_rows)
+        ec, er = rowset(e_cols, e_rows)
+        if gc != ec:
+            print(f"FAIL {name}: cols spark={gc} oracle={ec}")
+            n_fail += 1
+        elif gr != er:
+            n_fail += 1
+            diff = [(a, b) for a, b in zip(gr, er) if a != b][:3]
+            print(f"FAIL {name}: {len(gr)} vs {len(er)} rows; first diffs: {diff}")
+        else:
+            print(f"pass {name} ({len(gr)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
