@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+import scala.reflect.ClassTag
+
+import graft.params.SqlStatement
+import graft.mapper.ResultMapper
+import graft.catalog.SnapshotCatalog
+import graft.unload.{StorageOps, Unloader, UnloadResponse}
+
+/** The engine facade — the Spark-native equivalent of the reference's
+  * AthenaClient + TrinoIcebergStack client surface (reference
+  * src/AthenaTrinoClient/AthenaClient.cs, IAthenaClient.cs):
+  *
+  *   - `query`        — parameterized SQL → DataFrame (lazily planned)
+  *   - `queryAs[T]`   — typed query with snake_case→camelCase mapping (C2)
+  *   - `queryScalar`  — first row/first column as Option[T] (C3)
+  *   - `executeNonQuery` / `executeBatch` — DDL/DML (C5,
+  *     TrinoIcebergStack.cs:206-257)
+  *   - `unload`       — query → flat Parquet export (C4)
+  *   - snapshot catalog with INSERT commits + `FOR TIMESTAMP AS OF` (T1)
+  *
+  * Where the reference shipped SQL text over HTTP to a Trino coordinator
+  * (AthenaClient.cs:213-225), here the statement goes straight into
+  * Catalyst: parse → analyze → optimize → whole-stage codegen → executor
+  * tasks, with pushdown/pruning for free (SURVEY.md §4).
+  */
+class GraftEngine(val spark: SparkSession, val warehouse: String) {
+
+  val catalog = new SnapshotCatalog(spark, warehouse)
+  val storage = new StorageOps(spark.sparkContext.hadoopConfiguration)
+  private val unloader = new Unloader(spark)
+
+  // ---- query surface ----
+
+  def query(stmt: SqlStatement): DataFrame =
+    spark.sql(rewriteTimeTravel(stmt.text))
+
+  /** Typed query (reference QueryAsync<T>, AthenaClient.cs:55-70). */
+  def queryAs[T: Encoder](stmt: SqlStatement): Seq[T] =
+    ResultMapper.datasetOf[T](query(stmt)).collect().toIndexedSeq
+
+  /** Scalar query (reference QueryScalarAsync<T>, AthenaClient.cs:72-104). */
+  def queryScalar[T: ClassTag](stmt: SqlStatement): Option[T] =
+    ResultMapper.scalar[T](query(stmt))
+
+  /** DDL/DML without a result set; -1 when the row count is unknown
+    * (reference TrinoIcebergStack.cs:206-231 ExecuteNonQuery contract).
+    */
+  def executeNonQuery(stmt: SqlStatement): Long = {
+    val rows = query(stmt).collect()
+    if (rows.length == 1 && rows(0).length == 1) rows(0).get(0) match {
+      case n: Number => n.longValue()
+      case _         => -1L
+    } else -1L
+  }
+
+  /** Parallel statement batch (reference TrinoIcebergStack.cs:233-257). */
+  def executeBatch(stmts: Seq[SqlStatement]): Unit = {
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(Future.sequence(stmts.map(s => Future(executeNonQuery(s)))), Duration.Inf)
+  }
+
+  /** UNLOAD (reference UnloadAsync, AthenaClient.cs:116-208). */
+  def unload(stmt: SqlStatement, targetDir: String): UnloadResponse =
+    unloader.unload(query(stmt), targetDir)
+
+  // ---- catalog-table SQL integration ----
+
+  /** Expose a catalog table (latest snapshot, resolved lazily at query time)
+    * to the SQL surface as `<schema>_<table>`.
+    */
+  def registerTable(schema: String, table: String): Unit =
+    catalog.readLatest(schema, table).createOrReplaceTempView(s"${schema}_$table")
+
+  /** Register a plain DataFrame under a view name. */
+  def registerView(name: String, df: DataFrame): Unit =
+    df.createOrReplaceTempView(name)
+
+  // ---- time travel in SQL (T1) ----
+
+  private val timeTravelRe =
+    """(?is)\b([A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)?)\s+FOR\s+TIMESTAMP\s+AS\s+OF\s+TIMESTAMP\s+'([^']+)'""".r
+
+  /** Rewrite `FROM <schema>.<table> FOR TIMESTAMP AS OF TIMESTAMP '<ts>'`
+    * (the reference's only time-travel form, AthenaClientTests.cs:374) into a
+    * view over the resolved snapshot. The rest of the statement (WHERE /
+    * ORDER BY composition) flows through Catalyst untouched.
+    */
+  private[graft] def rewriteTimeTravel(sql: String): String =
+    timeTravelRe.replaceAllIn(sql, m => {
+      val parts = m.group(1).split("\\.")
+      val (sch, tbl) =
+        if (parts.length == 2) (parts(0), parts(1)) else ("default", parts(0))
+      val ts = java.time.LocalDateTime.parse(m.group(2).trim.replace(" ", "T"))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      val view = s"_tt_${sch}_${tbl}_$ts"
+      catalog.readAsOf(sch, tbl, ts).createOrReplaceTempView(view)
+      java.util.regex.Matcher.quoteReplacement(view)
+    })
+}

@@ -1,0 +1,185 @@
+package graft.catalog
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+import com.fasterxml.jackson.databind.ObjectMapper
+import scala.jdk.CollectionConverters._
+
+/** One committed snapshot: the data directories visible as of this commit.
+  * Append-only semantics — `dirs` is cumulative (like an Iceberg fast-append
+  * manifest list).
+  */
+final case class Snapshot(snapshotId: Long, committedAtMillis: Long, dirs: Seq[String])
+
+/** Namespaced, snapshot-versioned Parquet tables — the lakehouse layer the
+  * reference gets from Trino+Iceberg+Nessie (reference
+  * tests/IntegrationTests/TrinoConfigurationProvider.cs:40-67), rebuilt over
+  * plain Parquet because no Iceberg runtime jar exists offline
+  * (SURVEY.md §0, §7.3).
+  *
+  * Layout (schema = namespace with a physical location, reference
+  * Scripts/create/01-schema.sql:2):
+  *
+  *   <warehouse>/<schema>/<table>/
+  *     _table_schema.json        — declared StructType (DDL, S3)
+  *     commits.json              — [{snapshotId, committedAtMillis, dirs[]}]
+  *     snap-<n>/part-*.parquet   — data files of commit n
+  *
+  * Every INSERT appends a snapshot (reference AthenaClientTests.cs:351-364:
+  * each INSERT commit is time-travel-visible); `readAsOf` resolves the max
+  * snapshot with committedAt <= ts (AthenaClientTests.cs:374-391 semantics).
+  *
+  * Scale notes: data stays distributed (df.write.parquet); only the commit
+  * log (KB-sized JSON) touches the driver. Snapshot resolution is O(log n)
+  * metadata work, independent of data volume, so the same design holds at
+  * 100 TB with the commit log in object storage.
+  */
+class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
+  private val mapper = new ObjectMapper
+  private def fs(p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def tableDir(schema: String, table: String) = new Path(s"$warehouse/$schema/$table")
+
+  // ---- DDL (S2, S3, S6) ----
+
+  /** CREATE SCHEMA … WITH (location) — a directory namespace. */
+  def createSchema(schema: String): Unit = {
+    val p = new Path(s"$warehouse/$schema")
+    fs(p).mkdirs(p)
+  }
+
+  def schemaExists(schema: String): Boolean = {
+    val p = new Path(s"$warehouse/$schema")
+    fs(p).exists(p)
+  }
+
+  /** CREATE TABLE [IF NOT EXISTS] with a declared schema (S3). */
+  def createTable(schema: String, table: String, columns: StructType,
+                  ifNotExists: Boolean = false): Unit = {
+    val dir = tableDir(schema, table)
+    val f = fs(dir)
+    if (f.exists(dir)) {
+      if (ifNotExists) return
+      throw new IllegalStateException(s"Table $schema.$table already exists")
+    }
+    f.mkdirs(dir)
+    writeString(new Path(dir, "_table_schema.json"), columns.json)
+    writeString(new Path(dir, "commits.json"), "[]")
+  }
+
+  def tableExists(schema: String, table: String): Boolean = {
+    val dir = tableDir(schema, table)
+    fs(dir).exists(new Path(dir, "commits.json"))
+  }
+
+  /** DROP TABLE (S6). */
+  def dropTable(schema: String, table: String): Unit = {
+    val dir = tableDir(schema, table)
+    fs(dir).delete(dir, true)
+  }
+
+  /** CTAS (S4): create + single snapshot from a query result; returns the
+    * row count, like the reference's CTAS row-count contract
+    * (AthenaClient.cs:152-160).
+    */
+  def createTableAs(schema: String, table: String, df: DataFrame): Long = {
+    createTable(schema, table, df.schema)
+    insert(schema, table, df)
+    readLatest(schema, table).count()
+  }
+
+  // ---- DML (S5) ----
+
+  /** INSERT INTO: write a new snap dir, append a commit. Commit timestamps
+    * are strictly monotonic so `FOR TIMESTAMP AS OF` between two commits is
+    * well-defined even for sub-millisecond commit spacing (SURVEY.md §7.3).
+    */
+  def insert(schema: String, table: String, df: DataFrame): Snapshot = synchronized {
+    val dir = tableDir(schema, table)
+    require(tableExists(schema, table), s"Table $schema.$table does not exist")
+    val commits = readCommits(schema, table)
+    val id = commits.lastOption.map(_.snapshotId).getOrElse(0L) + 1
+    val at = math.max(System.currentTimeMillis(),
+      commits.lastOption.map(_.committedAtMillis + 1).getOrElse(0L))
+    val snapDir = f"snap-$id%05d"
+    df.write.mode("errorifexists").parquet(new Path(dir, snapDir).toString)
+    val snap = Snapshot(id, at, commits.lastOption.map(_.dirs).getOrElse(Nil) :+ snapDir)
+    writeCommits(dir, commits :+ snap)
+    snap
+  }
+
+  // ---- Reads (S1, T1) ----
+
+  def readLatest(schema: String, table: String): DataFrame =
+    readSnapshot(schema, table, readCommits(schema, table).lastOption)
+
+  /** FOR TIMESTAMP AS OF: max snapshot with committedAt <= tsMillis;
+    * earlier than the first commit → empty table at declared schema.
+    */
+  def readAsOf(schema: String, table: String, tsMillis: Long): DataFrame = {
+    val snap = readCommits(schema, table)
+      .takeWhile(_.committedAtMillis <= tsMillis).lastOption
+    readSnapshot(schema, table, snap)
+  }
+
+  private def readSnapshot(schema: String, table: String, snap: Option[Snapshot]): DataFrame = {
+    val dir = tableDir(schema, table)
+    val declared = declaredSchema(schema, table)
+    snap match {
+      case Some(s) if s.dirs.nonEmpty =>
+        val paths = s.dirs.map(d => new Path(dir, d).toString)
+        declared.map(spark.read.schema(_)).getOrElse(spark.read).parquet(paths: _*)
+      case _ =>
+        val sch = declared.getOrElse(
+          throw new IllegalStateException(s"Table $schema.$table has no schema and no data"))
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+    }
+  }
+
+  def declaredSchema(schema: String, table: String): Option[StructType] = {
+    val p = new Path(tableDir(schema, table), "_table_schema.json")
+    if (fs(p).exists(p))
+      Some(org.apache.spark.sql.types.DataType.fromJson(readString(p)).asInstanceOf[StructType])
+    else None
+  }
+
+  def snapshots(schema: String, table: String): Seq[Snapshot] = readCommits(schema, table)
+
+  // ---- commit log I/O (driver-side metadata only) ----
+
+  private def readCommits(schema: String, table: String): Seq[Snapshot] = {
+    val p = new Path(tableDir(schema, table), "commits.json")
+    if (!fs(p).exists(p)) return Nil
+    val root = mapper.readTree(readString(p))
+    root.elements.asScala.map { n =>
+      Snapshot(
+        n.get("snapshotId").asLong,
+        n.get("committedAtMillis").asLong,
+        n.get("dirs").elements.asScala.map(_.asText).toSeq)
+    }.toSeq
+  }
+
+  private def writeCommits(dir: Path, commits: Seq[Snapshot]): Unit = {
+    val arr = mapper.createArrayNode()
+    commits.foreach { s =>
+      val o = arr.addObject()
+      o.put("snapshotId", s.snapshotId)
+      o.put("committedAtMillis", s.committedAtMillis)
+      val d = o.putArray("dirs")
+      s.dirs.foreach(d.add)
+    }
+    writeString(new Path(dir, "commits.json"), mapper.writeValueAsString(arr))
+  }
+
+  private def writeString(p: Path, s: String): Unit = {
+    val out = fs(p).create(p, true)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readString(p: Path): String = {
+    val in = fs(p).open(p)
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+  }
+}

@@ -1,0 +1,93 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+import graft.GraftEngine
+import graft.params.Sql._
+
+/** Runnable end-to-end tour of the engine's client surface — the analogue of
+  * the reference's examples/TrinoClientExample/Program.cs walkthrough
+  * (schema → table → insert → query → scalar → time travel → unload).
+  *
+  * Run: sbt "runMain graft.examples.Example [workDir]"
+  */
+object Example {
+  case class Employee(employeeId: Int, firstName: String, lastName: String)
+
+  def main(args: Array[String]): Unit = {
+    val work = args.headOption.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-example").toString)
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-example")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val engine = new GraftEngine(spark, s"$work/warehouse")
+
+    // CREATE SCHEMA (Program.cs:32-35)
+    engine.catalog.createSchema("example")
+    println(s"[1] created schema 'example' under $work/warehouse")
+
+    // CREATE TABLE (Program.cs:42-45)
+    engine.catalog.createTable("example", "employee_data", StructType(Seq(
+      StructField("employee_id", IntegerType),
+      StructField("first_name", StringType),
+      StructField("last_name", StringType))))
+    println("[2] created table example.employee_data")
+
+    // INSERT → snapshot 1 (Program.cs:51-55)
+    val s1 = engine.catalog.insert("example", "employee_data",
+      Seq((1, "John", "Doe"), (2, "Jane", "Smith"))
+        .toDF("employee_id", "first_name", "last_name"))
+    println(s"[3] insert #1 committed snapshot ${s1.snapshotId} at ${s1.committedAtMillis}")
+
+    // second INSERT → snapshot 2
+    val s2 = engine.catalog.insert("example", "employee_data",
+      Seq((3, "Ada", "Lovelace")).toDF("employee_id", "first_name", "last_name"))
+    println(s"[4] insert #2 committed snapshot ${s2.snapshotId}")
+
+    // typed query with snake_case→camelCase mapping (Program.cs:58-62)
+    engine.registerTable("example", "employee_data")
+    val emps = engine.queryAs[Employee](
+      sql"SELECT employee_id, first_name, last_name FROM example_employee_data ORDER BY employee_id")
+    println(s"[5] queryAs[Employee] → ${emps.mkString("; ")}")
+
+    // parameterized scalar (Program.cs:77-80)
+    val minId = 2
+    val n = engine.queryScalar[Long](
+      sql"SELECT COUNT(*) FROM example_employee_data WHERE employee_id >= $minId")
+    println(s"[6] queryScalar count(employee_id >= $minId) = $n")
+
+    // time travel at the instant of commit 1 (AthenaClientTests.cs:374)
+    val asOf = java.time.Instant.ofEpochMilli(s1.committedAtMillis)
+    val old = engine.query(
+      sql"SELECT employee_id, first_name FROM example.employee_data FOR TIMESTAMP AS OF TIMESTAMP $asOf ORDER BY employee_id")
+      .collect().map(r => s"${r.getInt(0)}:${r.getString(1)}").mkString(",")
+    println(s"[7] time travel to commit 1 → [$old]")
+
+    // unload to flat parquet (Program.cs / AthenaClient.cs:116-208)
+    val resp = engine.unload(
+      sql"SELECT employee_id, first_name, last_name FROM example_employee_data",
+      s"$work/exports/employees")
+    println(s"[8] unload → ${resp.rowCount} rows at ${resp.path}")
+    val exported = new java.io.File(s"$work/exports/employees").listFiles()
+      .map(f => s"${f.getName} (${f.length}B)").sorted.mkString(", ")
+    println(s"[9] export dir contents: $exported")
+
+    // storage ops round-trip (S3ClientTests.cs:65-106)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$work/note.txt"),
+      "hello graft".getBytes)
+    engine.storage.upload(s"$work/note.txt", s"$work/warehouse/notes/note.txt")
+    val listed = engine.storage.list(s"$work/warehouse/notes")
+      .map(i => s"${i.key.split('/').last}=${i.size}B").mkString(",")
+    println(s"[10] storage upload+list → $listed")
+
+    spark.stop()
+    println("[done]")
+  }
+}

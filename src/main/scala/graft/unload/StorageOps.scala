@@ -1,0 +1,85 @@
+package graft.unload
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
+
+/** File/object metadata, mirroring the reference's S3ObjectInfo
+  * (reference src/S3Client/Models/S3ObjectInfo.cs:10 — Key, Size,
+  * LastModified, ETag).
+  */
+final case class ObjectInfo(key: String, size: Long, lastModifiedMillis: Long)
+
+final class StorageException(msg: String, cause: Throwable = null)
+  extends RuntimeException(msg, cause)
+
+/** Storage operations (S9-S12) over the Hadoop FileSystem API — the
+  * Spark-native equivalent of the reference's MinIO S3 client
+  * (reference src/S3Client/MinioS3Client.cs:56-181). Works uniformly over
+  * local paths and any Hadoop-supported object store (s3a://, etc.), so the
+  * same code path serves local tests and a production bucket.
+  */
+class StorageOps(conf: Configuration) {
+
+  private def fs(p: Path): FileSystem = p.getFileSystem(conf)
+
+  /** Upload (S9): local file → target; parent dirs auto-created
+    * (MinioS3Client.cs:56-72).
+    */
+  def upload(localFile: String, target: String): Unit = {
+    val src = new Path(localFile)
+    val dst = new Path(target)
+    if (!fs(src).exists(src))
+      throw new StorageException(s"Local file not found: $localFile")
+    fs(dst).copyFromLocalFile(false, true, src, dst)
+  }
+
+  /** Download (S9): source → local file; local parent dirs auto-created
+    * (MinioS3Client.cs:74-94).
+    */
+  def download(source: String, localFile: String): Unit = {
+    val src = new Path(source)
+    val dst = new Path(localFile)
+    if (!fs(src).exists(src))
+      throw new StorageException(s"Object not found: $source")
+    Option(dst.getParent).foreach(p => fs(dst).mkdirs(p))
+    fs(src).copyToLocalFile(false, src, dst, true)
+  }
+
+  /** Paginated-equivalent prefix listing (S10): recursive, returns flat
+    * object infos like the reference's continuation-token loop
+    * (MinioS3Client.cs:97-130). Hadoop's RemoteIterator streams entries, so
+    * listing a million-object prefix does not materialize on the heap.
+    */
+  def list(prefix: String): Seq[ObjectInfo] = {
+    val p = new Path(prefix)
+    val f = fs(p)
+    if (!f.exists(p)) return Nil
+    val it = f.listFiles(p, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[ObjectInfo]
+    while (it.hasNext) {
+      val st = it.next()
+      buf += ObjectInfo(st.getPath.toString, st.getLen, st.getModificationTime)
+    }
+    buf.toSeq
+  }
+
+  /** Server-side-style copy (S11, MinioS3Client.cs:133-151). */
+  def copy(source: String, target: String): Unit = {
+    val src = new Path(source)
+    val dst = new Path(target)
+    if (!fs(src).exists(src))
+      throw new StorageException(s"Object not found: $source")
+    if (!FileUtil.copy(fs(src), src, fs(dst), dst, false, true, conf))
+      throw new StorageException(s"Copy failed: $source -> $target")
+  }
+
+  /** Delete single (S12). */
+  def delete(path: String): Unit = {
+    val p = new Path(path)
+    fs(p).delete(p, false)
+  }
+
+  /** Batch delete (S12): no-ops on empty input (MinioS3Client.cs:166-170). */
+  def deleteAll(paths: Seq[String]): Unit =
+    paths.foreach(delete)
+}

@@ -1,0 +1,100 @@
+package graft.catalog
+
+import graft.SparkSpec
+import org.apache.spark.sql.types._
+
+/** Snapshot / time-travel contract, ported from the reference's time-travel
+  * integration test (reference tests/IntegrationTests/AthenaClientTests
+  * .cs:348-391): two INSERT commits with a captured instant between them; a
+  * `FOR TIMESTAMP AS OF` read at that instant sees only commit 1, composed
+  * with WHERE and ORDER BY.
+  */
+class SnapshotCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshCatalog(): SnapshotCatalog = {
+    val c = new SnapshotCatalog(spark, tmpDir("graft-wh"))
+    c.createSchema("common_test_data")
+    c
+  }
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("event_type", StringType),
+    StructField("event_time", TimestampType)))
+
+  test("create/exists/drop table lifecycle (S2, S3, S6)") {
+    val c = freshCatalog()
+    c.createTable("common_test_data", "t1", eventsSchema)
+    assert(c.tableExists("common_test_data", "t1"))
+    intercept[IllegalStateException] {
+      c.createTable("common_test_data", "t1", eventsSchema)
+    }
+    c.createTable("common_test_data", "t1", eventsSchema, ifNotExists = true) // no-op
+    c.dropTable("common_test_data", "t1")
+    assert(!c.tableExists("common_test_data", "t1"))
+  }
+
+  test("empty table reads as zero rows with declared schema") {
+    val c = freshCatalog()
+    c.createTable("common_test_data", "empty_t", eventsSchema)
+    val df = c.readLatest("common_test_data", "empty_t")
+    assert(df.count() == 0)
+    assert(df.schema == eventsSchema)
+  }
+
+  test("each INSERT is a snapshot; latest read sees the union (S5)") {
+    val c = freshCatalog()
+    c.createTable("common_test_data", "events_tt", eventsSchema)
+    val t = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    c.insert("common_test_data", "events_tt",
+      Seq((1L, "login", t), (2L, "click", t)).toDF("event_id", "event_type", "event_time"))
+    c.insert("common_test_data", "events_tt",
+      Seq((3L, "purchase", t), (4L, "logout", t)).toDF("event_id", "event_type", "event_time"))
+    assert(c.snapshots("common_test_data", "events_tt").map(_.snapshotId) == Seq(1L, 2L))
+    assert(c.readLatest("common_test_data", "events_tt").count() == 4)
+  }
+
+  test("FOR TIMESTAMP AS OF between commits sees only commit 1 (AthenaClientTests.cs:374-391)") {
+    val c = freshCatalog()
+    c.createTable("common_test_data", "events_time_travel", eventsSchema)
+    val t = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val s1 = c.insert("common_test_data", "events_time_travel",
+      Seq((1L, "login", t), (2L, "click", t)).toDF("event_id", "event_type", "event_time"))
+    val between = s1.committedAtMillis // instant of commit 1, before commit 2
+    val s2 = c.insert("common_test_data", "events_time_travel",
+      Seq((3L, "purchase", t), (4L, "logout", t)).toDF("event_id", "event_type", "event_time"))
+    assert(s2.committedAtMillis > between)
+
+    // composes with WHERE + ORDER BY like the reference query
+    val got = c.readAsOf("common_test_data", "events_time_travel", between)
+      .filter($"event_id" > 0).orderBy($"event_id")
+      .select("event_id", "event_type").as[(Long, String)].collect()
+    assert(got.toSeq == Seq((1L, "login"), (2L, "click")))
+
+    // at/after commit 2 → all four
+    assert(c.readAsOf("common_test_data", "events_time_travel",
+      s2.committedAtMillis).count() == 4)
+    // before the first commit → empty with declared schema
+    val before = c.readAsOf("common_test_data", "events_time_travel", 0L)
+    assert(before.count() == 0)
+    assert(before.schema == eventsSchema)
+  }
+
+  test("commit timestamps are strictly monotonic even for rapid commits") {
+    val c = freshCatalog()
+    c.createTable("common_test_data", "rapid", StructType(Seq(StructField("x", IntegerType))))
+    val snaps = (1 to 5).map(i =>
+      c.insert("common_test_data", "rapid", Seq(i).toDF("x")))
+    val times = snaps.map(_.committedAtMillis)
+    assert(times == times.sorted && times.distinct.size == times.size)
+  }
+
+  test("CTAS returns row count (S4, AthenaClient.cs:152-160)") {
+    val c = freshCatalog()
+    val n = c.createTableAs("common_test_data", "ctas_t",
+      Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
+    assert(n == 3)
+    assert(c.readLatest("common_test_data", "ctas_t").count() == 3)
+  }
+}
