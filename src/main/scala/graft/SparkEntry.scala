@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.Relational
+import graft.operators.{Expressions, Joins, Relational, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -38,6 +38,33 @@ object SparkEntry {
     // O1: sort/limit/distinct
     "orderby_desc_limit" -> (Relational.orderbyDescLimit _),
     "distinct_pairs"     -> (Relational.distinctPairs _),
+    // joins (§2.3) + TPC-H-style composites
+    "join_inner_agg"   -> (Joins.joinInnerAgg _),
+    "join_left_count"  -> (Joins.joinLeftCount _),
+    "join_semi"        -> (Joins.joinSemi _),
+    "join_anti"        -> (Joins.joinAnti _),
+    "q1_pricing"       -> (Joins.q1Pricing _),
+    "q3_shipping"      -> (Joins.q3Shipping _),
+    "q5_local_supplier" -> (Joins.q5LocalSupplier _),
+    "in_subquery"      -> (Joins.inSubquery _),
+    "scalar_subquery"  -> (Joins.scalarSubquery _),
+    // windows (§2.6)
+    "window_topk_per_key" -> (Windows.windowTopkPerKey _),
+    "window_running_sum"  -> (Windows.windowRunningSum _),
+    "window_ranks"        -> (Windows.windowRanks _),
+    "window_lag_lead"     -> (Windows.windowLagLead _),
+    "window_tumbling_epoch" -> (Windows.windowTumblingEpoch _),
+    // expressions / set ops / grouping analytics
+    "expr_case_cast"    -> (Expressions.exprCaseCast _),
+    "expr_string_funcs" -> (Expressions.exprStringFuncs _),
+    "expr_date_funcs"   -> (Expressions.exprDateFuncs _),
+    "expr_arith_mod"    -> (Expressions.exprArithMod _),
+    "expr_having"       -> (Expressions.exprHaving _),
+    "set_union"         -> (Expressions.setUnion _),
+    "set_intersect"     -> (Expressions.setIntersect _),
+    "set_except"        -> (Expressions.setExcept _),
+    "rollup_agg"        -> (Expressions.rollupAgg _),
+    "cube_agg"          -> (Expressions.cubeAgg _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -73,5 +100,105 @@ object SparkEntry {
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
     "distinct_pairs" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY l_returnflag, l_linestatus",
+    "join_inner_agg" ->
+      ("SELECT n_name, count(*) AS n_cust, CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS total_bal " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name"),
+    "join_left_count" ->
+      ("SELECT c_custkey, COUNT(o_orderkey) AS n_orders FROM customer " +
+        "LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey ORDER BY c_custkey"),
+    "join_semi" ->
+      ("SELECT c_custkey, c_name FROM customer WHERE EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey"),
+    "join_anti" ->
+      ("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey"),
+    "q1_pricing" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS sum_qty, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS sum_base, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(14,4))) AS DECIMAL(28,6)) AS sum_disc_price, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) / count(*) AS avg_qty, " +
+        "count(*) AS n " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "q3_shipping" ->
+      ("SELECT o_orderkey, o_orderdate, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(14,4))) AS DECIMAL(28,6)) AS revenue " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' " +
+        "GROUP BY o_orderkey, o_orderdate ORDER BY revenue DESC, o_orderkey LIMIT 10"),
+    "q5_local_supplier" ->
+      ("SELECT n_name, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(14,4))) AS DECIMAL(28,6)) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY revenue DESC, n_name"),
+    "in_subquery" ->
+      ("SELECT count(*) AS n_items, CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS qty " +
+        "FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 50)"),
+    "scalar_subquery" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_totalprice > (SELECT MAX(o_totalprice) FROM orders) * 0.9 ORDER BY o_orderkey"),
+    "window_topk_per_key" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (" +
+        "SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
+        "FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn"),
+    "window_running_sum" ->
+      ("SELECT user_id, event_id, CAST(SUM(CAST(value AS DECIMAL(14,4))) OVER " +
+        "(PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS DECIMAL(18,4)) AS running_value FROM events ORDER BY user_id, event_id"),
+    "window_ranks" ->
+      ("SELECT p_brand, p_partkey, p_size, " +
+        "RANK() OVER (PARTITION BY p_brand ORDER BY p_size, p_partkey) AS rnk, " +
+        "DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_size, p_partkey) AS drnk " +
+        "FROM part ORDER BY p_brand, rnk, p_partkey"),
+    "window_lag_lead" ->
+      ("SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(LAG(ts, 1) OVER " +
+        "(PARTITION BY user_id ORDER BY event_id))) AS BIGINT) AS gap_sec " +
+        "FROM events ORDER BY user_id, event_id"),
+    "window_tumbling_epoch" ->
+      ("SELECT CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS bucket, event_type, count(*) AS n, " +
+        "CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DECIMAL(18,4)) AS total_value " +
+        "FROM events GROUP BY bucket, event_type ORDER BY bucket, event_type"),
+    "expr_case_cast" ->
+      ("SELECT CASE WHEN o_totalprice < 50000 THEN 'small' WHEN o_totalprice < 200000 THEN 'medium' ELSE 'large' END AS bucket, " +
+        "count(*) AS n, " +
+        "CAST(MIN(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS min_price, " +
+        "CAST(MAX(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS max_price " +
+        "FROM orders GROUP BY bucket ORDER BY bucket"),
+    "expr_string_funcs" ->
+      ("SELECT p_partkey, UPPER(p_brand) AS brand_uc, CAST(LENGTH(p_name) AS INT) AS name_len, " +
+        "SUBSTR(p_name, 1, 5) AS name_pfx, p_brand || '#' || p_type AS brand_type " +
+        "FROM part WHERE p_name LIKE '%gre%' ORDER BY p_partkey"),
+    "expr_date_funcs" ->
+      ("SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(quarter(o_orderdate) AS INT) AS qtr, " +
+        "CAST(month(o_orderdate) AS INT) AS mo, count(*) AS n " +
+        "FROM orders GROUP BY yr, qtr, mo ORDER BY yr, qtr, mo"),
+    "expr_arith_mod" ->
+      ("SELECT CAST(l_orderkey % 7 AS INT) AS bucket, count(*) AS n FROM lineitem " +
+        "GROUP BY bucket ORDER BY bucket"),
+    "expr_having" ->
+      ("SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY o_orderpriority " +
+        "HAVING count(*) > 100 ORDER BY o_orderpriority"),
+    "set_union" ->
+      ("SELECT DISTINCT nationkey FROM (SELECT c_nationkey AS nationkey FROM customer " +
+        "UNION SELECT s_nationkey AS nationkey FROM supplier) t ORDER BY nationkey"),
+    "set_intersect" ->
+      ("SELECT c_nationkey AS nationkey FROM customer INTERSECT " +
+        "SELECT s_nationkey AS nationkey FROM supplier ORDER BY nationkey"),
+    "set_except" ->
+      ("SELECT c_nationkey AS nationkey FROM customer EXCEPT " +
+        "SELECT s_nationkey AS nationkey FROM supplier ORDER BY nationkey"),
+    "rollup_agg" ->
+      ("SELECT COALESCE(l_returnflag, '(all)') AS rf, COALESCE(l_linestatus, '(all)') AS ls, " +
+        "count(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS qty " +
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls"),
+    "cube_agg" ->
+      ("SELECT COALESCE(o_orderstatus, '(all)') AS status, COALESCE(o_orderpriority, '(all)') AS priority, " +
+        "count(*) AS n FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY status, priority"),
   )
 }

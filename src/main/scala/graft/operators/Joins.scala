@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Join family. The reference exercises no JOINs of its own (SURVEY.md §2.3)
+  * but inherits them from Trino; here they come from Catalyst, with explicit
+  * scale hygiene:
+  *
+  *   - dimension tables (region/nation/supplier/part at TPC-H ratios) are
+  *     `broadcast()`-hinted — at 100 TB the fact tables shuffle but the dims
+  *     never do;
+  *   - fact⋈fact joins (orders⋈lineitem) shuffle on the join key and lean on
+  *     AQE for skew handling;
+  *   - semi/anti semantics use left_semi/left_anti (no row multiplication,
+  *     no post-join dedup).
+  */
+object Joins {
+
+  /** Inner join + aggregate: customers per nation (broadcast dim). */
+  def joinInnerAgg(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_cust"),
+        sum(col("c_acctbal").cast("decimal(14,2)")).cast("decimal(18,2)").as("total_bal"))
+      .orderBy(col("n_name"))
+
+  /** Left outer join preserving customers with no orders (count = 0). */
+  def joinLeftCount(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("c_custkey"))
+
+  /** Left-semi: customers having at least one order (EXISTS). */
+  def joinSemi(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Left-anti: customers with no orders (NOT EXISTS). */
+  def joinAnti(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** TPC-H Q3-style: revenue of BUILDING-segment orders, top 10.
+    * Shape: broadcast-able filter side, shuffled fact⋈fact join, partial agg
+    * before the final top-k (TakeOrderedAndProject — no global sort).
+    */
+  def q3Shipping(s: SparkSession, d: String): DataFrame = {
+    val cutoff = java.sql.Timestamp.valueOf("1998-01-01 00:00:00")
+    val cust = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast("decimal(14,2)") *
+          (lit(1.0) - col("l_discount")).cast("decimal(14,4)")).as("disc_price"))
+    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(li, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sum(col("disc_price")).cast("decimal(28,6)").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: revenue per ASIA nation via a 5-way join; dims
+    * broadcast, facts shuffle once each.
+    */
+  def q5LocalSupplier(s: SparkSession, d: String): DataFrame = {
+    val asiaNations = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice").cast("decimal(14,2)") *
+          (lit(1.0) - col("l_discount")).cast("decimal(14,4)")).as("disc_price"))
+    val supp = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("disc_price")).cast("decimal(28,6)").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q1-style pricing summary: the canonical wide-aggregate scan. */
+  def q1Pricing(s: SparkSession, d: String): DataFrame = {
+    val cutoff = java.sql.Timestamp.valueOf("1998-09-01 00:00:00")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= cutoff)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(14,2)")).cast("decimal(18,2)").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(14,2)")).cast("decimal(18,2)").as("sum_base"),
+        sum(col("l_extendedprice").cast("decimal(14,2)") *
+          (lit(1.0) - col("l_discount")).cast("decimal(14,4)"))
+          .cast("decimal(28,6)").as("sum_disc_price"),
+        // exact-sum / count division in double: reduction-order independent
+        (sum(col("l_quantity").cast("decimal(14,2)")).cast("double") /
+          count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** In-subquery: lineitems whose part has the max size bucket. */
+  def inSubquery(s: SparkSession, d: String): DataFrame = {
+    val bigParts = Tables.part(s, d)
+      .filter(col("p_size") >= 50)
+      .select(col("p_partkey"))
+    Tables.lineitem(s, d)
+      .join(broadcast(bigParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy()
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(14,2)")).cast("decimal(18,2)").as("qty"))
+  }
+
+  /** Scalar subquery with exact arithmetic: orders above 90% of the max. */
+  def scalarSubquery(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+    val threshold = ord.agg(max(col("o_totalprice")).as("mx"))
+    ord.crossJoin(broadcast(threshold))
+      .filter(col("o_totalprice") > col("mx") * 0.9)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+}
