@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Expressions, Joins, Relational, Windows}
+import graft.operators.{Dedup, Expressions, Joins, Multimodal, Relational, Similarity, TextAnalysis, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -65,6 +65,26 @@ object SparkEntry {
     "set_except"        -> (Expressions.setExcept _),
     "rollup_agg"        -> (Expressions.rollupAgg _),
     "cube_agg"          -> (Expressions.cubeAgg _),
+    // text analysis (training-data pipeline, SURVEY.md §7.5)
+    "text_stats"    -> (TextAnalysis.textStats _),
+    "token_count"   -> (TextAnalysis.tokenCount _),
+    "quality_score" -> (TextAnalysis.qualityScore _),
+    "lang_id"       -> (TextAnalysis.langId _),
+    "fingerprint"   -> (TextAnalysis.fingerprint _),
+    // deduplication
+    "dedup_exact"        -> (Dedup.dedupExact _),
+    "dedup_fingerprint"  -> (Dedup.dedupByFingerprint _),
+    "near_dup_jaccard"   -> (Dedup.nearDupJaccard _),
+    "minhash_lsh_pairs"  -> (Dedup.minhashLshPairs _),
+    "simhash"            -> (Dedup.simhash _),
+    // similarity search
+    "embedding_norms"    -> (Similarity.embeddingNorms _),
+    "ann_brute_force"    -> (Similarity.annBruteForce _),
+    "ann_lsh"            -> (Similarity.annLsh _),
+    "embedding_near_dup" -> (Similarity.embeddingNearDup _),
+    // multimodal plumbing
+    "media_meta"   -> (Multimodal.mediaMeta _),
+    "frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -200,5 +220,75 @@ object SparkEntry {
     "cube_agg" ->
       ("SELECT COALESCE(o_orderstatus, '(all)') AS status, COALESCE(o_orderpriority, '(all)') AS priority, " +
         "count(*) AS n FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY status, priority"),
+    // ---- training-data pipeline ops (rows-only where no ANSI equivalent:
+    //      fingerprint, minhash_lsh_pairs, simhash, ann_lsh) ----
+    "text_stats" ->
+      ("SELECT doc_id, CAST(length(text) AS INT) AS n_chars, " +
+        s"CAST(${operators.TextAnalysis.Formulas.nTokensDuck} AS INT) AS n_tokens, " +
+        "CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS INT) AS n_punct " +
+        "FROM documents ORDER BY doc_id"),
+    "token_count" ->
+      (s"SELECT doc_id, CAST(len(regexp_extract_all(text, '${operators.TextAnalysis.Formulas.bpePatternDuck}')) AS INT) AS n_bpe_tokens, " +
+        s"CAST(${operators.TextAnalysis.Formulas.nTokensDuck} AS INT) AS n_ws_tokens " +
+        "FROM documents ORDER BY doc_id"),
+    "quality_score" ->
+      ("SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, n_uniq / n_tokens AS uniq_ratio, " +
+        "CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio, " +
+        "CAST(length(text) AS DOUBLE) / n_tokens AS mean_token_span, " +
+        "(n_tokens >= 5 AND n_uniq / n_tokens > 0.1 AND " +
+        "CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) < 0.3) AS keep " +
+        "FROM (SELECT doc_id, text, " +
+        s"CAST(${operators.TextAnalysis.Formulas.nTokensDuck} AS DOUBLE) AS n_tokens, " +
+        "CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS DOUBLE) AS n_uniq " +
+        "FROM documents) t ORDER BY doc_id"),
+    "lang_id" -> {
+      val scores = operators.TextAnalysis.Formulas.langStopwords.map { case (l, words) =>
+        s"CAST(len(regexp_extract_all(lower(text), '(^|\\s)$words(\\s|$$)')) AS INT) AS s_$l"
+      }.mkString(", ")
+      s"SELECT doc_id, lang_label, ${operators.TextAnalysis.Formulas.langArgmax} AS lang_guess, " +
+        "s_en, s_de, s_es, s_fr, s_zh FROM (SELECT doc_id, lang AS lang_label, " +
+        s"$scores FROM documents) t ORDER BY doc_id"
+    },
+    "dedup_exact" ->
+      "SELECT MIN(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text ORDER BY doc_id",
+    "dedup_fingerprint" ->
+      // fingerprint grouping is collision-free at this scale, so the kept
+      // set equals exact text dedup
+      "SELECT MIN(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text ORDER BY doc_id",
+    "near_dup_jaccard" ->
+      ("WITH words AS (SELECT DISTINCT doc_id, source, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w FROM documents), " +
+        "cnt AS (SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i FROM words a " +
+        "JOIN words b ON a.w = b.w AND a.source = b.source AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT da, db, jaccard FROM (SELECT da, db, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard " +
+        "FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id) t " +
+        "WHERE jaccard >= 0.8 ORDER BY da, db"),
+    "embedding_norms" ->
+      ("SELECT vec_id, label, sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS l2_norm " +
+        "FROM embeddings ORDER BY vec_id"),
+    "ann_brute_force" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10) " +
+        "SELECT q_id, vec_id, score, rn FROM (" +
+        "SELECT q_id, e.vec_id, list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS score, " +
+        "ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, e.vec_id) AS rn " +
+        "FROM q, e WHERE e.vec_id <> q_id) t WHERE rn <= 10 ORDER BY q_id, rn"),
+    "embedding_near_dup" ->
+      ("WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) " +
+        "SELECT a.vec_id AS va, b.vec_id AS vb, " +
+        "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine " +
+        "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id " +
+        "WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4 " +
+        "ORDER BY va, vb"),
+    "media_meta" ->
+      ("SELECT doc_id AS media_id, CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' " +
+        "WHEN 2 THEN 'video' ELSE 'text' END AS modality, " +
+        "CAST(octet_length(encode(text)) AS INT) AS byte_len, sha256(text) AS content_hash " +
+        "FROM documents ORDER BY media_id"),
+    "frame_sample" ->
+      ("SELECT doc_id AS media_id, CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' " +
+        "WHEN 2 THEN 'video' ELSE 'text' END AS modality, " +
+        "CAST((greatest(octet_length(encode(text)) - 1, 0) // 1024) // 2 + 1 AS INT) AS n_sampled " +
+        "FROM documents ORDER BY media_id"),
   )
 }

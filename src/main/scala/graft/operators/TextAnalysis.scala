@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for training-data pipelines (north-star surface,
+  * SURVEY.md §7.5): statistics, BPE-ish token counting, quality scoring,
+  * language ID, content fingerprinting.
+  *
+  * All per-document work is pure expression-level computation (whole-stage
+  * codegen, no UDFs, no shuffles) — a 100 TB corpus maps straight through.
+  *
+  * Heuristic formulas (quality, lang-ID) are defined once as ANSI SQL
+  * fragments (`object Formulas`) and evaluated identically by Spark
+  * (`expr(...)`) and the DuckDB oracle, so the differential gate covers the
+  * heuristics themselves, not just the plumbing.
+  */
+object TextAnalysis {
+
+  /** SQL fragments shared verbatim between Spark `expr` and the oracle. */
+  object Formulas {
+    /** whitespace token count (empty/blank-safe) */
+    val nTokens =
+      "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE size(split(trim(text), '\\\\s+')) END"
+    /** DuckDB spelling of the same (size/split → len/regexp_split_to_array) */
+    val nTokensDuck =
+      "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+
+    /** BPE-ish lexer: letter runs, digit runs, single other non-space.
+      * Spark spelling is for a single-quoted SQL literal (Spark unescapes
+      * `\\s` → `\s` at parse time); DuckDB takes the raw regex.
+      */
+    val bpePattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]"
+    val bpePatternDuck = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+    /** per-language stopword alternations for the n-gram lang-ID heuristic */
+    val langStopwords: Seq[(String, String)] = Seq(
+      "en" -> "(the|and|of|a|to|in|is)",
+      "de" -> "(der|die|das|und|ist|ein)",
+      "es" -> "(el|la|los|de|que|es|un)",
+      "fr" -> "(le|la|les|des|et|est|un)",
+      "zh" -> "(的|是|了|在|和)")
+
+    /** argmax CASE chain over the five scores; ties resolve to the
+      * alphabetically-greatest language (struct-max semantics). Identical
+      * text evaluated on both engines.
+      */
+    val langArgmax: String = {
+      val langs = langStopwords.map(_._1).sorted.reverse // zh, fr, es, en, de
+      val clauses = langs.init.map { l =>
+        val others = langs.filter(_ != l)
+        val gtEarlier = langs.takeWhile(_ != l).map(o => s"s_$l > s_$o")
+        val geLater = langs.dropWhile(_ != l).tail.map(o => s"s_$l >= s_$o")
+        s"WHEN ${(gtEarlier ++ geLater).mkString(" AND ")} THEN '$l'"
+      }
+      s"CASE ${clauses.mkString(" ")} ELSE '${langs.last}' END"
+    }
+  }
+
+  /** Basic per-document statistics. */
+  def textStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("int").as("n_chars"),
+        expr(Formulas.nTokens).cast("int").as("n_tokens"),
+        length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).cast("int").as("n_punct"))
+      .orderBy(col("doc_id"))
+
+  /** Token counting with a BPE-ish regex lexer. */
+  def tokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(expr(s"regexp_extract_all(text, '${Formulas.bpePattern}', 0)"))
+          .cast("int").as("n_bpe_tokens"),
+        expr(Formulas.nTokens).cast("int").as("n_ws_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring: token-length / punctuation / uniqueness signals with a
+    * composite keep/drop flag — the usual pre-training corpus filter shape.
+    */
+  def qualityScore(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("n_tokens", expr(Formulas.nTokens).cast("double"))
+      .withColumn("n_uniq",
+        size(array_distinct(split(lower(trim(col("text"))), "\\s+"))).cast("double"))
+      .select(
+        col("doc_id"),
+        col("n_tokens").cast("int").as("n_tokens"),
+        (col("n_uniq") / col("n_tokens")).as("uniq_ratio"),
+        (length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).cast("double") /
+          length(col("text")).cast("double")).as("punct_ratio"),
+        (length(col("text")).cast("double") / col("n_tokens")).as("mean_token_span"))
+      .withColumn("keep",
+        col("n_tokens") >= 5 && col("uniq_ratio") > 0.1 && col("punct_ratio") < 0.3)
+      .orderBy(col("doc_id"))
+
+  /** Language ID via stopword-hit scoring — same formula text as the oracle
+    * (Formulas.langArgmax).
+    */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val scored = Formulas.langStopwords.foldLeft(
+      Tables.documents(s, d).withColumn("lc", lower(col("text")))) {
+      case (df, (l, words)) =>
+        df.withColumn(s"s_$l",
+          size(expr(s"regexp_extract_all(lc, '(^|\\\\s)$words(\\\\s|$$)', 0)")).cast("int"))
+    }
+    scored
+      .withColumn("lang_guess", expr(Formulas.langArgmax))
+      .select(Seq(col("doc_id"), col("lang").as("lang_label"), col("lang_guess")) ++
+        Formulas.langStopwords.map { case (l, _) => col(s"s_$l") }: _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Rolling polynomial fingerprint (Karp-Rabin) over the document bytes —
+    * order-sensitive, unlike a bag-of-words hash. Pure fold expression:
+    * distributes with the scan, no state.
+    */
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        expr("aggregate(split(text, ''), 0L, (acc, c) -> pmod(acc * 131 + ascii(c), 1000000007L))")
+          .as("fp"),
+        xxhash64(col("text")).as("xxfp"))
+      .orderBy(col("doc_id"))
+}

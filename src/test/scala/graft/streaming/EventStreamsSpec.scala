@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming specs: drive the windowed aggregation as a real file-source
+  * stream (memory sink, processAllAvailable), and check it agrees with the
+  * equivalent batch computation over the same data.
+  */
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val eventsBatch = graft.Tables.events(spark, sf001)
+
+  private def streamDir: String = {
+    // re-write events as typed parquet so the file stream sees a clean schema
+    val dir = tmpDir("events-stream")
+    eventsBatch.select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+      .coalesce(2)
+      .write.mode("overwrite").parquet(s"$dir/in")
+    s"$dir/in"
+  }
+
+  test("windowed agg over a file stream matches the batch computation") {
+    val q = EventStreams.windowedAgg(
+        EventStreams.readEventStream(spark, streamDir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("win_out")
+      .select($"w_start", $"event_type", $"n", $"total_value")
+      .as[(java.sql.Timestamp, String, Long, BigDecimal)].collect().toSet
+
+    val batch = eventsBatch
+      .groupBy(window($"ts", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(14,4)")).cast("decimal(18,4)").as("total_value"))
+      .select($"window.start".as("w_start"), $"event_type", $"n", $"total_value")
+      .as[(java.sql.Timestamp, String, Long, BigDecimal)].collect().toSet
+
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("session_window merges events within the gap") {
+    val q = EventStreams.sessionWindowAgg(
+        EventStreams.readEventStream(spark, streamDir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sess_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("sess_out")
+    assert(got.count() > 0)
+    // session invariant: end >= start, events counted
+    val bad = got.filter($"s_end" < $"s_start" || $"n_events" <= 0).count()
+    assert(bad == 0)
+  }
+
+  test("sessionize (flatMapGroupsWithState) splits on 30-minute gaps") {
+    val events = Seq(
+      Event(1, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click", 1.0),
+      Event(2, java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), 1L, "view", 2.0),
+      // 40-minute gap → new session
+      Event(3, java.sql.Timestamp.valueOf("2024-01-01 10:50:00"), 1L, "click", 3.0),
+      Event(4, java.sql.Timestamp.valueOf("2024-01-01 09:00:00"), 2L, "view", 5.0))
+      .toDS()
+    val got = EventStreams.sessionize(spark, events).collect()
+      .sortBy(s => (s.user_id, s.start_ms))
+    assert(got.length == 3)
+    assert(got(0).user_id == 1L && got(0).n_events == 2 && got(0).total_value == 3.0)
+    assert(got(1).user_id == 1L && got(1).n_events == 1 && got(1).total_value == 3.0)
+    assert(got(2).user_id == 2L && got(2).n_events == 1)
+  }
+
+  test("sessionize over the sf corpus: totals conserve events") {
+    val typed = eventsBatch
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value").as[Event]
+    val sessions = EventStreams.sessionize(spark, typed).collect()
+    assert(sessions.map(_.n_events).sum == eventsBatch.count())
+    assert(sessions.forall(s => s.end_ms >= s.start_ms))
+  }
+}
