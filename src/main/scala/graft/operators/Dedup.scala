@@ -47,32 +47,40 @@ object Dedup {
     * nothing.
     */
   def nearDupJaccard(s: SparkSession, d: String): DataFrame = {
-    val words = wordSet(Tables.documents(s, d))
-    val cnt = words.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = words.as("a")
+    // each exploded word row carries its document's distinct-word count, so
+    // the jaccard denominator falls out of the pair group-by — no separate
+    // count joins, one shuffle for the inverted index + one for the pairs
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        array_distinct(split(lower(trim(col("text"))), "\\s+")).as("ws"))
+      .select(col("doc_id"), col("source"), size(col("ws")).as("n"),
+        explode(col("ws")).as("w"))
+    words.as("a")
       .join(words.as("b"),
         col("a.w") === col("b.w") && col("a.source") === col("b.source") &&
           col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("i"))
-    inter
-      .join(cnt.as("ca"), col("da") === col("ca.doc_id"))
-      .join(cnt.as("cb"), col("db") === col("cb.doc_id"))
       .select(col("da"), col("db"),
-        (col("i").cast("double") / (col("ca.n") + col("cb.n") - col("i"))).as("jaccard"))
+        (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jaccard"))
       .filter(col("jaccard") >= 0.8)
       .orderBy(col("da"), col("db"))
   }
 
   // ---- MinHash + LSH ----
 
-  /** 3-gram shingles hashed to 64 bits, as an array column. */
-  private[operators] def shingleHashes(textCol: String = "text"): Column =
-    expr(
-      s"""transform(
-         |  sequence(0, greatest(size(split(lower(trim($textCol)), '\\\\s+')) - 3, 0)),
-         |  i -> xxhash64(concat_ws(' ', slice(split(lower(trim($textCol)), '\\\\s+'), i + 1, 3)))
-         |)""".stripMargin)
+  /** 3-gram shingles hashed to 64 bits, as an array column. Tokenization is
+    * projected into its own column first (`toksCol`) so the split runs once
+    * per row — referencing `split(...)` inside the lambda would recompute it
+    * per shingle (O(T²) per document).
+    */
+  private[operators] def withShingleHashes(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+      .withColumn("sh",
+        expr("transform(sequence(0, greatest(size(toks) - 3, 0)), " +
+          "i -> xxhash64(concat_ws(' ', slice(toks, i + 1, 3))))"))
+      .drop("toks")
 
   /** Universal-hash parameters for the K minhash permutations over the
     * 31-bit prime field 2^31-1: the shingle hash is first reduced mod P, so
@@ -87,8 +95,8 @@ object Dedup {
     * shuffles.
     */
   def minhashSignatures(s: SparkSession, d: String): DataFrame = {
-    val withShingles = Tables.documents(s, d)
-      .select(col("doc_id"), shingleHashes().as("sh"))
+    val withShingles = withShingleHashes(
+      Tables.documents(s, d).select(col("doc_id"), col("text"))).drop("text")
     val sigCols = hashParams.zipWithIndex.map { case ((a, b), k) =>
       expr(s"array_min(transform(sh, h -> pmod(pmod(h, ${P}L) * ${a}L + ${b}L, ${P}L)))").as(s"m$k")
     }
@@ -115,8 +123,9 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
-    val shingles = Tables.documents(s, d)
-      .select(col("doc_id"), array_distinct(shingleHashes()).as("shs"))
+    val shingles = withShingleHashes(
+      Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), array_distinct(col("sh")).as("shs"))
     candidates
       .join(shingles.as("sa"), col("da") === col("sa.doc_id"))
       .join(shingles.as("sb"), col("db") === col("sb.doc_id"))

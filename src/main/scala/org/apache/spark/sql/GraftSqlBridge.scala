@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into the `private[sql]` Column↔Expression converters of Spark 4's
+  * classic API (org.apache.spark.sql.classic.ExpressionUtils) so the graft
+  * library can expose custom Catalyst expressions as Columns. This is the
+  * standard extension-point pattern for libraries adding native expressions.
+  */
+object GraftSqlBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
