@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Expressions, Joins, Multimodal, Relational, Similarity, TextAnalysis, Windows}
+import graft.operators.{AsOf, CatalogDemos, Dedup, Expressions, Joins, Multimodal, Relational, Similarity, TextAnalysis, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -85,6 +85,16 @@ object SparkEntry {
     // multimodal plumbing
     "media_meta"   -> (Multimodal.mediaMeta _),
     "frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
+    // as-of join, semi-structured, pivot, set/grouping extensions
+    "asof_purchase_click" -> (AsOf.asofPurchaseClick _),
+    "json_extract"    -> (Expressions.jsonExtract _),
+    "pivot_status"    -> (Expressions.pivotStatus _),
+    "set_union_all"   -> (Expressions.setUnionAll _),
+    "join_full_outer" -> (Expressions.joinFullOuter _),
+    "grouping_sets"   -> (Expressions.groupingSets _),
+    // catalog-layer demos (rows-only: T1 time travel, S7 unload)
+    "time_travel_demo" -> (CatalogDemos.timeTravelDemo _),
+    "unload_demo"      -> (CatalogDemos.unloadDemo _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -290,5 +300,35 @@ object SparkEntry {
         "WHEN 2 THEN 'video' ELSE 'text' END AS modality, " +
         "CAST((greatest(octet_length(encode(text)) - 1, 0) // 1024) // 2 + 1 AS INT) AS n_sampled " +
         "FROM documents ORDER BY media_id"),
+    "asof_purchase_click" ->
+      ("SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
+        "ON p.user_id = c.user_id AND p.ts >= c.ts ORDER BY purchase_id"),
+    "json_extract" ->
+      ("SELECT CAST(CAST(props->>'k' AS INT) % 10 AS INT) AS k_bucket, count(*) AS n " +
+        "FROM events GROUP BY k_bucket ORDER BY k_bucket"),
+    "pivot_status" ->
+      ("SELECT o_orderpriority, " +
+        "count(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt, " +
+        "count(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt, " +
+        "count(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "set_union_all" ->
+      ("SELECT c_custkey, count(*) AS n FROM (" +
+        "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' " +
+        "UNION ALL SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0) t " +
+        "GROUP BY c_custkey ORDER BY c_custkey"),
+    "join_full_outer" ->
+      ("SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey, " +
+        "COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp FROM " +
+        "(SELECT c_nationkey AS nationkey, count(*) AS n_cust FROM customer GROUP BY 1) c " +
+        "FULL OUTER JOIN " +
+        "(SELECT s_nationkey AS nationkey, count(*) AS n_supp FROM supplier GROUP BY 1) s " +
+        "USING (nationkey) ORDER BY nationkey"),
+    "grouping_sets" ->
+      ("SELECT COALESCE(l_returnflag, '(all)') AS rf, COALESCE(l_linestatus, '(all)') AS ls, " +
+        "count(*) AS n FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) " +
+        "ORDER BY rf, ls"),
   )
 }

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.GraftEngine
+import graft.params.Sql._
+
+/** Self-contained registry entries for the catalog-layer operators that
+  * have no ANSI-SQL oracle (driver records a rows-only check): snapshot
+  * time travel (T1) and unload (S7/C4). Each run builds fresh state in a
+  * temp dir, exercises the real engine code path, and returns a
+  * deterministic result set.
+  */
+object CatalogDemos {
+
+  /** T1: two INSERT commits on a snapshot table; read back AS OF commit 1
+    * composed with WHERE + ORDER BY (the reference's exact scenario,
+    * AthenaClientTests.cs:348-391). Returns the commit-1-visible rows.
+    */
+  def timeTravelDemo(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft-tt-demo").toString
+    val engine = new GraftEngine(s, work)
+    engine.catalog.createSchema("demo")
+    val region = graft.Tables.region(s, d)
+    engine.catalog.createTable("demo", "region_tt", region.schema)
+    val s1 = engine.catalog.insert("demo", "region_tt",
+      region.filter(col("r_regionkey") <= 2))
+    engine.catalog.insert("demo", "region_tt",
+      region.filter(col("r_regionkey") > 2))
+    val asOf = java.time.Instant.ofEpochMilli(s1.committedAtMillis)
+    engine.query(
+      sql"SELECT r_regionkey, r_name FROM demo.region_tt FOR TIMESTAMP AS OF TIMESTAMP $asOf WHERE r_regionkey >= 0 ORDER BY r_regionkey")
+  }
+
+  /** S7/C4: unload a query to flat parquet; returns the response contract
+    * plus layout assertions (no subdirectories, only *.parquet at the
+    * root) as a one-row result.
+    */
+  def unloadDemo(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-unload-demo").toString
+    val engine = new GraftEngine(s, work)
+    graft.Tables.nation(s, d).createOrReplaceTempView("_unload_nation")
+    val resp = engine.unload(
+      sql"SELECT n_nationkey, n_name FROM _unload_nation ORDER BY n_nationkey",
+      s"$work/export")
+    val files = new java.io.File(s"$work/export").listFiles().toSeq
+    Seq((
+      resp.rowCount,
+      files.count(f => f.isFile && f.getName.endsWith(".parquet") && f.length > 0) > 0,
+      files.count(_.isDirectory),
+      s.read.parquet(s"$work/export").count()))
+      .toDF("row_count", "flat_parquet_only", "n_subdirs", "reread_count")
+  }
+}

@@ -99,6 +99,71 @@ object Expressions {
         col("n"), col("qty"))
       .orderBy(col("rf"), col("ls"))
 
+  /** GROUPING SETS via the SQL surface (DataFrame API has no direct
+    * equivalent — rollup/cube are its only grouping-analytics entry points).
+    */
+  def groupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("_gs_lineitem")
+    s.sql(
+      """SELECT COALESCE(l_returnflag, '(all)') AS rf,
+        |       COALESCE(l_linestatus, '(all)') AS ls,
+        |       count(*) AS n
+        |FROM _gs_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin)
+  }
+
+  /** UNION ALL (bag semantics, unlike setUnion's distinct). */
+  def setUnionAll(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+      .unionAll(Tables.customer(s, d)
+        .filter(col("c_acctbal") > 5000.0)
+        .select(col("c_custkey")))
+      .groupBy(col("c_custkey")).agg(count(lit(1)).as("n"))
+      .orderBy(col("c_custkey"))
+
+  /** FULL OUTER join: customer vs supplier presence per nation. */
+  def joinFullOuter(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .groupBy(col("c_nationkey").cast("int").as("nationkey"))
+      .agg(count(lit(1)).as("n_cust"))
+    val supp = Tables.supplier(s, d)
+      .groupBy(col("s_nationkey").cast("int").as("nationkey"))
+      .agg(count(lit(1)).as("n_supp"))
+    cust.join(supp, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** PIVOT: order counts per priority × status (explicit value list so the
+    * output schema is static, as required at scale — dynamic pivot implies
+    * an extra distinct-collect pass on the driver).
+    */
+  def pivotStatus(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("f_cnt"),
+        coalesce(col("O"), lit(0L)).as("o_cnt"),
+        coalesce(col("P"), lit(0L)).as("p_cnt"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Semi-structured access: extract a typed field from the JSON props
+    * column (events.props = {"k": <int>}).
+    */
+  def jsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("k_bucket"))
+
   /** CUBE over two dimensions, same normalization. */
   def cubeAgg(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
