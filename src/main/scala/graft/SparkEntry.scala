@@ -95,6 +95,9 @@ object SparkEntry {
     // catalog-layer demos (rows-only: T1 time travel, S7 unload)
     "time_travel_demo" -> (CatalogDemos.timeTravelDemo _),
     "unload_demo"      -> (CatalogDemos.unloadDemo _),
+    // sampling + approximate aggregates
+    "sample_per_group" -> (Expressions.samplePerGroup _),
+    "approx_distinct"  -> (Expressions.approxDistinct _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -330,5 +333,9 @@ object SparkEntry {
       ("SELECT COALESCE(l_returnflag, '(all)') AS rf, COALESCE(l_linestatus, '(all)') AS ls, " +
         "count(*) AS n FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) " +
         "ORDER BY rf, ls"),
+    "sample_per_group" ->
+      ("SELECT source, doc_id, rn FROM (SELECT source, doc_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY source ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn " +
+        "FROM documents) t WHERE rn <= 3 ORDER BY source, rn"),
   )
 }

@@ -164,6 +164,33 @@ object Expressions {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("k_bucket"))
 
+  /** Deterministic per-group sampling: top-k per group by a multiplicative
+    * pseudo-random hash computed in plain integer arithmetic, so both
+    * engines order identically — the distributed replacement for
+    * "ORDER BY random() LIMIT k per group" in training-data subsampling.
+    */
+  def samplePerGroup(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("rnd"), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("rnd", expr("pmod(doc_id * 2654435761L, 4294967296L)"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("source"), col("doc_id"), col("rn"))
+      .orderBy(col("source"), col("rn"))
+  }
+
+  /** Approximate distinct-count (HLL++) next to the exact count — the
+    * approx value has no cross-engine oracle, so this is a rows-only entry;
+    * ApproxSpec asserts the relative error bound instead.
+    */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .agg(
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+
   /** CUBE over two dimensions, same normalization. */
   def cubeAgg(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
