@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.DotProduct
+
+/** SparkSessionExtensions entry point: makes the engine's native functions
+  * available in ANY session — including spark-submit / Connect deployments
+  * where no driver code calls a register method — via
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * (or `.withExtensions(new GraftExtensions)` programmatically). This is the
+  * cluster-grade registration path; `VectorFunctions.register` remains for
+  * ad-hoc sessions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (FunctionIdentifier("dot_product"),
+        new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+        (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+        .asInstanceOf[(FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder)])
+  }
+}

@@ -45,7 +45,10 @@ object SparkEntry {
     "join_anti"        -> (Joins.joinAnti _),
     "q1_pricing"       -> (Joins.q1Pricing _),
     "q3_shipping"      -> (Joins.q3Shipping _),
+    "q4_order_priority" -> (Joins.q4OrderPriority _),
     "q5_local_supplier" -> (Joins.q5LocalSupplier _),
+    "q6_forecast"      -> (Joins.q6Forecast _),
+    "q7_volume"        -> (Joins.q7Volume _),
     "in_subquery"      -> (Joins.inSubquery _),
     "scalar_subquery"  -> (Joins.scalarSubquery _),
     // windows (§2.6)
@@ -160,6 +163,27 @@ object SparkEntry {
         "FROM orders JOIN customer ON o_custkey = c_custkey JOIN lineitem ON l_orderkey = o_orderkey " +
         "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' " +
         "GROUP BY o_orderkey, o_orderdate ORDER BY revenue DESC, o_orderkey LIMIT 10"),
+    "q4_order_priority" ->
+      ("SELECT o_orderpriority, count(*) AS order_count FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' " +
+        "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate) " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q6_forecast" ->
+      ("SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_discount AS DECIMAL(14,4))) AS DECIMAL(28,6)) AS revenue " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
+        "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"),
+    "q7_volume" ->
+      ("SELECT supp_nation, cust_nation, yr, CAST(SUM(volume) AS DECIMAL(28,6)) AS volume FROM (" +
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
+        "CAST(year(l_shipdate) AS INT) AS yr, " +
+        "CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(14,4)) AS volume " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey " +
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey " +
+        "WHERE n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') t " +
+        "GROUP BY supp_nation, cust_nation, yr ORDER BY yr"),
     "q5_local_supplier" ->
       ("SELECT n_name, " +
         "CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(14,4))) AS DECIMAL(28,6)) AS revenue " +

@@ -23,6 +23,7 @@ object Example {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -86,6 +87,11 @@ object Example {
     val listed = engine.storage.list(s"$work/warehouse/notes")
       .map(i => s"${i.key.split('/').last}=${i.size}B").mkString(",")
     println(s"[10] storage upload+list → $listed")
+
+    // native function via spark.sql.extensions injection
+    val d = spark.sql("SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .collect().head.getDouble(0)
+    println(s"[11] dot_product via extensions = $d")
 
     spark.stop()
     println("[done]")

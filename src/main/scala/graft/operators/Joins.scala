@@ -132,6 +132,62 @@ object Joins {
         sum(col("l_quantity").cast("decimal(14,2)")).cast("decimal(18,2)").as("qty"))
   }
 
+  /** TPC-H Q6-style forecast-revenue: tight filter + global exact sum — the
+    * canonical predicate-pushdown showcase (filters reach the parquet
+    * reader; only 3 columns read).
+    */
+  def q6Forecast(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= java.sql.Timestamp.valueOf("1996-01-01 00:00:00") &&
+        col("l_shipdate") < java.sql.Timestamp.valueOf("1997-01-01 00:00:00") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum(col("l_extendedprice").cast("decimal(14,2)") *
+        col("l_discount").cast("decimal(14,4)")).cast("decimal(28,6)").as("revenue"))
+
+  /** TPC-H Q4-style: order counts by priority where a lineitem shipped
+    * after the order date (EXISTS via left-semi; no row multiplication).
+    */
+  def q4OrderPriority(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= java.sql.Timestamp.valueOf("1996-01-01 00:00:00") &&
+        col("o_orderdate") < java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
+    val late = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(late,
+        col("o_orderkey") === col("l_orderkey") && col("l_shipdate") > col("o_orderdate"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q7-style: shipping volume between two nations by year. Dims
+    * broadcast; one shuffle per fact join; year extraction after the join
+    * keeps the scan pruned.
+    */
+  def q7Volume(s: SparkSession, d: String): DataFrame = {
+    val n1 = Tables.nation(s, d).select(col("n_nationkey").as("supp_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, d).select(col("n_nationkey").as("cust_nk"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+        (col("l_extendedprice").cast("decimal(14,2)") *
+          (lit(1.0) - col("l_discount")).cast("decimal(14,4)")).as("volume"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("supp_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("cust_nk"))
+      .filter(col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2")
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("int").as("yr"))
+      .agg(sum(col("volume")).cast("decimal(28,6)").as("volume"))
+      .orderBy(col("yr"))
+  }
+
   /** Scalar subquery with exact arithmetic: orders above 90% of the max. */
   def scalarSubquery(s: SparkSession, d: String): DataFrame = {
     val ord = Tables.orders(s, d)
