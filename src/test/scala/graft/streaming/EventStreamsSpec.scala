@@ -74,6 +74,27 @@ class EventStreamsSpec extends SparkSpec {
     assert(got(2).user_id == 2L && got(2).n_events == 1)
   }
 
+  test("streaming dedup: duplicated input files collapse to distinct event_ids") {
+    val dir = tmpDir("events-dup")
+    val typed = eventsBatch
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+    // two identical files → every event arrives twice across micro-batches
+    typed.coalesce(1).write.mode("overwrite").parquet(s"$dir/in")
+    val f = new java.io.File(s"$dir/in").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(f.toPath,
+      new java.io.File(s"$dir/in/dup-${f.getName}").toPath)
+
+    val q = EventStreams.readEventStream(spark, s"$dir/in")
+      .dropDuplicates("event_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("dedup_out").count()
+    assert(got == eventsBatch.count())
+  }
+
   test("sessionize over the sf corpus: totals conserve events") {
     val typed = eventsBatch
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value").as[Event]
