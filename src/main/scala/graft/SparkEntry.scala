@@ -51,6 +51,8 @@ object SparkEntry {
     "q7_volume"        -> (Joins.q7Volume _),
     "in_subquery"      -> (Joins.inSubquery _),
     "scalar_subquery"  -> (Joins.scalarSubquery _),
+    "correlated_min"   -> (Joins.correlatedMin _),
+    "ship_lag_days"    -> (Joins.shipLagDays _),
     // windows (§2.6)
     "window_topk_per_key" -> (Windows.windowTopkPerKey _),
     "window_running_sum"  -> (Windows.windowRunningSum _),
@@ -199,6 +201,15 @@ object SparkEntry {
     "scalar_subquery" ->
       ("SELECT o_orderkey, o_totalprice FROM orders " +
         "WHERE o_totalprice > (SELECT MAX(o_totalprice) FROM orders) * 0.9 ORDER BY o_orderkey"),
+    "correlated_min" ->
+      ("SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders o " +
+        "WHERE o_totalprice = (SELECT MIN(o_totalprice) FROM orders o2 " +
+        "WHERE o2.o_orderpriority = o.o_orderpriority) ORDER BY o_orderkey"),
+    "ship_lag_days" ->
+      ("SELECT CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) // 30 AS INT) AS lag_month, " +
+        "count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) >= 0 " +
+        "GROUP BY lag_month ORDER BY lag_month"),
     "window_topk_per_key" ->
       ("SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (" +
         "SELECT o_custkey, o_orderkey, o_totalprice, " +

@@ -188,6 +188,34 @@ object Joins {
       .orderBy(col("yr"))
   }
 
+  /** Correlated scalar subquery, decorrelated the Spark-idiomatic way:
+    * "orders at the minimum price of their priority" = groupBy-min +
+    * equi-join back (Catalyst performs the same decorrelation for the SQL
+    * form; expressing it directly keeps the plan explicit).
+    */
+  def correlatedMin(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+    val mins = ord.groupBy(col("o_orderpriority").as("p"))
+      .agg(min(col("o_totalprice")).as("min_price"))
+    ord.join(broadcast(mins),
+        col("o_orderpriority") === col("p") && col("o_totalprice") === col("min_price"))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Date arithmetic: ship-lag distribution (datediff in whole days,
+    * bucketed). Exact integer day diffs on both engines.
+    */
+  def shipLagDays(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(datediff(col("l_shipdate"), col("o_orderdate")).as("lag_days"))
+      // non-negative guard so `div` (trunc) and `//` (floor) agree
+      .filter(col("lag_days") >= 0)
+      .groupBy(expr("lag_days div 30").cast("int").as("lag_month"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lag_month"))
+
   /** Scalar subquery with exact arithmetic: orders above 90% of the max. */
   def scalarSubquery(s: SparkSession, d: String): DataFrame = {
     val ord = Tables.orders(s, d)
