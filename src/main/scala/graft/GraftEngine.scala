@@ -46,15 +46,43 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
   def queryScalar[T: ClassTag](stmt: SqlStatement): Option[T] =
     ResultMapper.scalar[T](query(stmt))
 
-  /** DDL/DML without a result set; -1 when the row count is unknown
-    * (reference TrinoIcebergStack.cs:206-231 ExecuteNonQuery contract).
+  /** DDL/DML without a result set; INSERT INTO catalog tables commits a
+    * snapshot and returns rows affected (reference S5 semantics:
+    * Scripts/insert/01-test-data.sql via ExecuteNonQuery,
+    * TrinoIcebergStack.cs:206-231); -1 when the row count is unknown.
     */
-  def executeNonQuery(stmt: SqlStatement): Long = {
-    val rows = query(stmt).collect()
-    if (rows.length == 1 && rows(0).length == 1) rows(0).get(0) match {
-      case n: Number => n.longValue()
-      case _         => -1L
-    } else -1L
+  def executeNonQuery(stmt: SqlStatement): Long =
+    tryInsert(stmt.text).getOrElse {
+      val rows = query(stmt).collect()
+      if (rows.length == 1 && rows(0).length == 1) rows(0).get(0) match {
+        case n: Number => n.longValue()
+        case _         => -1L
+      } else -1L
+    }
+
+  private val insertRe =
+    """(?is)^\s*INSERT\s+INTO\s+([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s+VALUES\s+(.+)$""".r
+
+  /** `INSERT INTO <schema>.<table> VALUES (…),(…)` → snapshot commit.
+    * Literal rows are parsed by Catalyst (`SELECT * FROM VALUES …`), cast
+    * positionally to the declared table schema, and appended as one commit
+    * — each INSERT is one time-travel-visible snapshot, exactly the
+    * reference's commit model (AthenaClientTests.cs:351-364).
+    */
+  private def tryInsert(sqlText: String): Option[Long] = sqlText match {
+    case insertRe(schemaName, tableName, values) if catalog.tableExists(schemaName, tableName) =>
+      val declared = catalog.declaredSchema(schemaName, tableName).getOrElse(
+        throw new IllegalStateException(s"Table $schemaName.$tableName has no declared schema"))
+      val raw = spark.sql(s"SELECT * FROM VALUES $values")
+      require(raw.schema.length == declared.length,
+        s"INSERT arity ${raw.schema.length} != table arity ${declared.length}")
+      val cast = raw.select(declared.fields.zipWithIndex.map { case (f, i) =>
+        org.apache.spark.sql.functions.col(raw.columns(i)).cast(f.dataType).as(f.name)
+      }.toIndexedSeq: _*)
+      val n = cast.count()
+      catalog.insert(schemaName, tableName, cast)
+      Some(n)
+    case _ => None
   }
 
   /** Parallel statement batch (reference TrinoIcebergStack.cs:233-257). */

@@ -147,6 +147,49 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
 
   def snapshots(schema: String, table: String): Seq[Snapshot] = readCommits(schema, table)
 
+  // ---- maintenance (reference config surface: expire-snapshots /
+  //      remove-orphan-files, TrinoConfigurationProvider.cs:62-63) ----
+
+  /** Expire snapshots committed before `olderThanMillis`, keeping at least
+    * the latest. Data dirs still referenced by a surviving snapshot are
+    * kept (commits are cumulative appends, so a surviving snapshot's `dirs`
+    * covers everything it can see); dirs referenced only by expired
+    * snapshots are deleted. Time travel earlier than the oldest surviving
+    * snapshot then reads as an empty table — the same contract as Iceberg's
+    * expire_snapshots.
+    */
+  def expireSnapshots(schema: String, table: String, olderThanMillis: Long): Seq[Long] = synchronized {
+    val dir = tableDir(schema, table)
+    val commits = readCommits(schema, table)
+    if (commits.isEmpty) return Nil
+    val (expired, kept0) = commits.partition(_.committedAtMillis < olderThanMillis)
+    val kept = if (kept0.isEmpty) Seq(commits.last) else kept0
+    val reallyExpired = commits.filterNot(c => kept.exists(_.snapshotId == c.snapshotId))
+    if (reallyExpired.isEmpty) return Nil
+    val referenced = kept.flatMap(_.dirs).toSet
+    val orphanDirs = reallyExpired.flatMap(_.dirs).toSet -- referenced
+    val f = fs(dir)
+    orphanDirs.foreach(dn => f.delete(new Path(dir, dn), true))
+    writeCommits(dir, kept)
+    reallyExpired.map(_.snapshotId)
+  }
+
+  /** Delete files under the table dir that no commit references and that
+    * are not catalog metadata — the remove_orphan_files maintenance op
+    * (failed-write debris at scale).
+    */
+  def removeOrphanFiles(schema: String, table: String): Seq[String] = synchronized {
+    val dir = tableDir(schema, table)
+    val f = fs(dir)
+    val referenced = readCommits(schema, table).flatMap(_.dirs).toSet
+    val keep = referenced ++ Set("commits.json", "_table_schema.json")
+    val orphans = f.listStatus(dir)
+      .map(_.getPath)
+      .filterNot(p => keep.contains(p.getName))
+    orphans.foreach(p => f.delete(p, true))
+    orphans.map(_.getName).toSeq
+  }
+
   // ---- commit log I/O (driver-side metadata only) ----
 
   private def readCommits(schema: String, table: String): Seq[Snapshot] = {

@@ -88,6 +88,20 @@ object Example {
       .map(i => s"${i.key.split('/').last}=${i.size}B").mkString(",")
     println(s"[10] storage upload+list → $listed")
 
+    // SQL INSERT → snapshot commit with rows-affected (S5/C5)
+    val affected = engine.executeNonQuery(
+      sql"INSERT INTO example.employee_data VALUES (4, 'Grace', 'Hopper')")
+    println(s"[12] SQL INSERT affected $affected row(s); snapshots now = " +
+      engine.catalog.snapshots("example", "employee_data").size)
+
+    // snapshot maintenance: expire history, remove orphans
+    val latest = engine.catalog.snapshots("example", "employee_data").last
+    val expired = engine.catalog.expireSnapshots("example", "employee_data",
+      latest.committedAtMillis)
+    val orphans = engine.catalog.removeOrphanFiles("example", "employee_data")
+    println(s"[13] expired snapshots ${expired.mkString(",")}; orphans removed: ${orphans.size}; " +
+      "latest count = " + engine.catalog.readLatest("example", "employee_data").count())
+
     // native function via spark.sql.extensions injection
     val d = spark.sql("SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
       .collect().head.getDouble(0)

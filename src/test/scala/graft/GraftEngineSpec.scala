@@ -105,6 +105,21 @@ class GraftEngineSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, "login"), (2L, "click")))
   }
 
+  test("SQL INSERT INTO VALUES commits a snapshot and returns rows affected (S5/C5)") {
+    engine.catalog.createSchema("ins")
+    engine.catalog.createTable("ins", "people", StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType))))
+    val n = engine.executeNonQuery(sql"INSERT INTO ins.people VALUES (1, 'Alice'), (2, ${"Bo'b"})")
+    assert(n == 2)
+    val n2 = engine.executeNonQuery(sql"INSERT INTO ins.people VALUES (3, 'Carol')")
+    assert(n2 == 1)
+    // two INSERTs = two snapshots (commit model)
+    assert(engine.catalog.snapshots("ins", "people").size == 2)
+    val rows = engine.catalog.readLatest("ins", "people")
+      .orderBy($"id").as[(Int, String)].collect().toSeq
+    assert(rows == Seq((1, "Alice"), (2, "Bo'b"), (3, "Carol")))
+  }
+
   test("unload through the engine (C4)") {
     val target = tmpDir("engine-unload") + "/exp"
     val resp = engine.unload(sql"SELECT id, username FROM shared_data", target)

@@ -90,6 +90,36 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(times == times.sorted && times.distinct.size == times.size)
   }
 
+  test("expireSnapshots trims history but keeps latest data (expire-snapshots config surface)") {
+    val c = freshCatalog()
+    c.createTable("common_test_data", "exp_t", StructType(Seq(StructField("x", IntegerType))))
+    val s1 = c.insert("common_test_data", "exp_t", Seq(1).toDF("x"))
+    val s2 = c.insert("common_test_data", "exp_t", Seq(2).toDF("x"))
+    val expired = c.expireSnapshots("common_test_data", "exp_t", s2.committedAtMillis)
+    assert(expired == Seq(s1.snapshotId))
+    // latest read intact
+    assert(c.readLatest("common_test_data", "exp_t").count() == 2)
+    // history before the surviving snapshot is gone → empty table
+    assert(c.readAsOf("common_test_data", "exp_t", s1.committedAtMillis).count() == 0)
+    // expiring everything keeps at least the latest
+    assert(c.expireSnapshots("common_test_data", "exp_t", Long.MaxValue) == Nil)
+    assert(c.readLatest("common_test_data", "exp_t").count() == 2)
+  }
+
+  test("removeOrphanFiles deletes unreferenced debris only (remove-orphan-files surface)") {
+    val c = freshCatalog()
+    c.createTable("common_test_data", "orph_t", StructType(Seq(StructField("x", IntegerType))))
+    c.insert("common_test_data", "orph_t", Seq(1, 2).toDF("x"))
+    // plant failed-write debris
+    val tdir = java.nio.file.Paths.get(c.warehouse, "common_test_data", "orph_t")
+    java.nio.file.Files.createDirectory(tdir.resolve("snap-99999-aborted"))
+    java.nio.file.Files.write(tdir.resolve("stray.tmp"), "x".getBytes)
+    val removed = c.removeOrphanFiles("common_test_data", "orph_t")
+    assert(removed.toSet == Set("snap-99999-aborted", "stray.tmp"))
+    assert(c.readLatest("common_test_data", "orph_t").count() == 2)
+    assert(c.removeOrphanFiles("common_test_data", "orph_t") == Nil)
+  }
+
   test("CTAS returns row count (S4, AthenaClient.cs:152-160)") {
     val c = freshCatalog()
     val n = c.createTableAs("common_test_data", "ctas_t",
