@@ -150,6 +150,28 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
   // ---- maintenance (reference config surface: expire-snapshots /
   //      remove-orphan-files, TrinoConfigurationProvider.cs:62-63) ----
 
+  /** Compact the table: rewrite the current state into `numFiles` files as
+    * a NEW snapshot whose `dirs` references only the compacted directory
+    * (a rewrite commit, not an append). Reads keep working against older
+    * snapshots until `expireSnapshots` runs, at which point the
+    * pre-compaction dirs become unreferenced and are physically reclaimed
+    * — the small-files lifecycle at scale: stream in, compact, expire.
+    */
+  def compact(schema: String, table: String, numFiles: Int = 1): Snapshot = synchronized {
+    val dir = tableDir(schema, table)
+    val commits = readCommits(schema, table)
+    require(commits.nonEmpty, s"Nothing to compact in $schema.$table")
+    val id = commits.last.snapshotId + 1
+    val at = math.max(System.currentTimeMillis(), commits.last.committedAtMillis + 1)
+    val snapDir = f"snap-$id%05d-compacted"
+    readLatest(schema, table)
+      .coalesce(numFiles)
+      .write.mode("errorifexists").parquet(new Path(dir, snapDir).toString)
+    val snap = Snapshot(id, at, Seq(snapDir)) // rewrite: references only itself
+    writeCommits(dir, commits :+ snap)
+    snap
+  }
+
   /** Expire snapshots committed before `olderThanMillis`, keeping at least
     * the latest. Data dirs still referenced by a surviving snapshot are
     * kept (commits are cumulative appends, so a surviving snapshot's `dirs`

@@ -62,6 +62,30 @@ object EventStreams {
       .select(col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"), col("user_id"), col("n_events"))
 
+  /** Stream into a snapshot-catalog table: every micro-batch commits one
+    * time-travel-visible snapshot via foreachBatch — streaming ingestion
+    * with full lakehouse semantics (then `compact` + `expireSnapshots`
+    * handle the small-files lifecycle).
+    *
+    * Exactly-once across restarts requires the caller to set a
+    * `checkpointLocation` on the source/query; without one, a restarted
+    * AvailableNow run re-reads the input and appends duplicate snapshots
+    * (verified behavior).
+    */
+  def streamIntoCatalog(events: DataFrame,
+                        catalog: graft.catalog.SnapshotCatalog,
+                        schema: String, table: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          catalog.insert(schema, table, batch)
+        }
+        () // Unit for the Scala overload
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Custom stateful sessionization with flatMapGroupsWithState: emits a
     * SessionSummary when a user's session times out (30 min processing-time
     * timeout in the streaming case; end-of-stream flush in tests).

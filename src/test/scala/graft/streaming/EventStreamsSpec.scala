@@ -95,6 +95,47 @@ class EventStreamsSpec extends SparkSpec {
     assert(got == eventsBatch.count())
   }
 
+  test("streaming ingestion commits snapshots; compact + expire reclaims small files") {
+    val dir = tmpDir("stream-catalog")
+    // two input files → up to maxFilesPerTrigger-bounded micro-batches
+    val typed = eventsBatch
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+    typed.filter($"event_id" % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/in")
+    typed.filter($"event_id" % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(s"$dir/in")
+
+    val catalog = new graft.catalog.SnapshotCatalog(spark, s"$dir/wh")
+    catalog.createSchema("stream")
+    catalog.createTable("stream", "events_ingest", typed.schema)
+
+    val src = spark.readStream.schema(typed.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    val q = EventStreams.streamIntoCatalog(src, catalog, "stream", "events_ingest")
+    q.awaitTermination(120000)
+
+    val snaps = catalog.snapshots("stream", "events_ingest")
+    assert(snaps.size == 2, s"expected 2 micro-batch commits, got ${snaps.size}")
+    val total = eventsBatch.count()
+    assert(catalog.readLatest("stream", "events_ingest").count() == total)
+    // mid-ingestion time travel sees only the first micro-batch
+    val atFirst = catalog.readAsOf("stream", "events_ingest",
+      snaps.head.committedAtMillis).count()
+    assert(atFirst > 0 && atFirst < total, s"atFirst=$atFirst total=$total")
+
+    // compact → one snapshot referencing a single dir; data intact
+    val compacted = catalog.compact("stream", "events_ingest")
+    assert(compacted.dirs.size == 1)
+    assert(catalog.readLatest("stream", "events_ingest").count() == total)
+
+    // expire pre-compaction history → old snap dirs physically reclaimed
+    catalog.expireSnapshots("stream", "events_ingest", compacted.committedAtMillis)
+    val left = new java.io.File(s"$dir/wh/stream/events_ingest").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(left == Set(compacted.dirs.head), s"leftover dirs: $left")
+    assert(catalog.readLatest("stream", "events_ingest").count() == total)
+  }
+
   test("sessionize over the sf corpus: totals conserve events") {
     val typed = eventsBatch
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value").as[Event]
