@@ -59,6 +59,9 @@ object SparkEntry {
     "window_ranks"        -> (Windows.windowRanks _),
     "window_lag_lead"     -> (Windows.windowLagLead _),
     "window_tumbling_epoch" -> (Windows.windowTumblingEpoch _),
+    "window_moving_sum"     -> (Windows.windowMovingSum _),
+    "window_first_last_ntile" -> (Windows.windowFirstLastNtile _),
+    "embedding_elements"    -> (Similarity.embeddingElements _),
     // expressions / set ops / grouping analytics
     "expr_case_cast"    -> (Expressions.exprCaseCast _),
     "expr_string_funcs" -> (Expressions.exprStringFuncs _),
@@ -232,6 +235,22 @@ object SparkEntry {
       ("SELECT CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS bucket, event_type, count(*) AS n, " +
         "CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DECIMAL(18,4)) AS total_value " +
         "FROM events GROUP BY bucket, event_type ORDER BY bucket, event_type"),
+    "window_moving_sum" ->
+      ("SELECT user_id, event_id, CAST(SUM(CAST(value AS DECIMAL(14,4))) OVER " +
+        "(PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) " +
+        "AS DECIMAL(18,4)) AS moving_value FROM events ORDER BY user_id, event_id"),
+    "window_first_last_ntile" ->
+      ("SELECT user_id, event_id, event_type, " +
+        "FIRST_VALUE(event_type) OVER w AS first_type, " +
+        "LAST_VALUE(event_type) OVER (PARTITION BY user_id ORDER BY event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type, " +
+        "NTILE(4) OVER w AS quartile " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id) " +
+        "ORDER BY user_id, event_id"),
+    "embedding_elements" ->
+      ("SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS first_dim, " +
+        "CAST(embedding[64] AS DOUBLE) AS last_dim, CAST(len(embedding) AS INT) AS dim, " +
+        "CAST(embedding[1:4] AS DOUBLE[]) AS head4 FROM embeddings ORDER BY vec_id"),
     "expr_case_cast" ->
       ("SELECT CASE WHEN o_totalprice < 50000 THEN 'small' WHEN o_totalprice < 200000 THEN 'medium' ELSE 'large' END AS bucket, " +
         "count(*) AS n, " +

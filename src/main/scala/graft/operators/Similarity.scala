@@ -31,6 +31,20 @@ object Similarity {
   private def cosine(qv: Column, v: Column, qn: Column, vn: Column): Column =
     dot(qv, v) / (qn * vn)
 
+  /** Array element access + slicing on the embedding column (nested-type
+    * projection surface). NOTE: Spark subscripts arrays 0-based, DuckDB
+    * 1-based — the oracle adjusts.
+    */
+  def embeddingElements(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(
+        col("vec_id"),
+        col("embedding").getItem(0).cast("double").as("first_dim"),
+        col("embedding").getItem(63).cast("double").as("last_dim"),
+        size(col("embedding")).cast("int").as("dim"),
+        expr("transform(slice(embedding, 1, 4), x -> cast(x as double))").as("head4"))
+      .orderBy(col("vec_id"))
+
   /** L2 norms — the normalization building block. */
   def embeddingNorms(s: SparkSession, d: String): DataFrame =
     emb(s, d)

@@ -64,6 +64,30 @@ object Windows {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Moving (3-row) sum per user — a bounded sliding frame. */
+  def windowMovingSum(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(-2, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("value").cast("decimal(14,4)").as("v"))
+      .withColumn("moving_value", sum(col("v")).over(w).cast("decimal(18,4)"))
+      .select(col("user_id"), col("event_id"), col("moving_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** first_value / last_value over the full partition + ntile quartiles. */
+  def windowFirstLastNtile(s: SparkSession, d: String): DataFrame = {
+    val full = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .withColumn("first_type", first(col("event_type")).over(full))
+      .withColumn("last_type", last(col("event_type")).over(full))
+      .withColumn("quartile", ntile(4).over(ord).cast("long"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** Tumbling 5-minute windows over events as epoch buckets — the batch
     * twin of the Structured Streaming windowed aggregation
     * (graft.streaming), expressed so an ANSI oracle can replicate it.
