@@ -89,6 +89,7 @@ object SparkEntry {
     "embedding_norms"    -> (Similarity.embeddingNorms _),
     "ann_brute_force"    -> (Similarity.annBruteForce _),
     "ann_lsh"            -> (Similarity.annLsh _),
+    "ann_ivf"            -> ((s, d) => Similarity.annIvf(s, d)),
     "embedding_near_dup" -> (Similarity.embeddingNearDup _),
     // multimodal plumbing
     "media_meta"   -> (Multimodal.mediaMeta _),

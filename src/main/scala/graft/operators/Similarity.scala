@@ -132,6 +132,62 @@ object Similarity {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** IVF (inverted-file) ANN: k-means coarse quantizer over a corpus
+    * sample, every vector assigned to its nearest centroid (one codegen'd
+    * distance evaluation per centroid against broadcast literals), queries
+    * probe their `nprobe` nearest cells, exact cosine rerank inside the
+    * probed cells.
+    *
+    * Scale shape: training touches a bounded sample on the driver (k·dim
+    * doubles of state); assignment rides the scan; the candidate join
+    * shuffles on the small cell id. At 100 TB with nlist=√N cells and
+    * nprobe≪nlist, scoring cost drops by ~nlist/nprobe vs brute force.
+    */
+  def annIvf(s: SparkSession, d: String, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val corpus = emb(s, d)
+    // coarse quantizer: deterministic k-means on (a sample of) the corpus
+    val train = corpus.select(array_to_vector(col("embedding")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(20).fit(train)
+    val centroids = model.clusterCenters.map(_.toArray.toSeq).toIndexedSeq
+
+    // nearest-centroid assignment as pure expressions (argmin over literal
+    // centroids; distance ranking via -2·<v,c> + |c|² since |v|² is common)
+    def cellScores(v: Column): IndexedSeq[Column] =
+      centroids.map { c =>
+        val c2 = c.map(x => x * x).sum
+        lit(c2) - lit(2.0) * dot(v, typedlit(c))
+      }
+    // argmin via array_min over (score, idx) structs — linear-size
+    // expression tree (a when-chain fold would nest exponentially)
+    def argmin(scores: IndexedSeq[Column]): Column =
+      array_min(array(scores.zipWithIndex.map { case (sc, i) =>
+        struct(sc.as("s"), lit(i).as("i"))
+      }: _*)).getField("i")
+
+    val assigned = corpus.withColumn("cell", argmin(cellScores(col("embedding"))))
+
+    // queries probe their nprobe nearest cells
+    val queryCells = assigned.filter(col("vec_id") < 10)
+      .withColumn("cells", array(
+        cellScores(col("embedding")).zipWithIndex.map { case (sc, i) =>
+          struct(sc.as("s"), lit(i).as("i"))
+        }: _*))
+      .withColumn("probed", expr(s"transform(slice(array_sort(cells), 1, $nprobe), x -> x.i)"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"), explode(col("probed")).as("cell"))
+
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    assigned.join(broadcast(queryCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("score", cosine(col("qv"), col("embedding"), col("qn"), col("nrm")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 10)
+      .select(col("q_id"), col("vec_id"), col("score"), col("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, restricted to
     * same-label candidate groups (bounded, like Dedup.nearDupJaccard).
     * Norms ride along from the scan — the pair stage does exactly one dot

@@ -113,6 +113,26 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("annIvf: scores exact, deterministic across runs, better recall than single-probe") {
+    val bf = Similarity.annBruteForce(spark, sf001)
+      .select($"q_id", $"vec_id", $"score").as[(Long, Long, Double)].collect()
+      .map { case (q, v, s) => (q, v) -> s }.toMap
+    val ivf1 = Similarity.annIvf(spark, sf001)
+      .select($"q_id", $"vec_id", $"score").as[(Long, Long, Double)].collect()
+    assert(ivf1.nonEmpty)
+    ivf1.foreach { case (q, v, s) =>
+      bf.get((q, v)).foreach(exp => assert(s == exp, s"score mismatch ($q,$v)"))
+    }
+    val ivf2 = Similarity.annIvf(spark, sf001)
+      .select($"q_id", $"vec_id", $"score").as[(Long, Long, Double)].collect()
+    assert(ivf1.toSeq == ivf2.toSeq, "k-means seed must make IVF deterministic")
+    // recall@10 vs brute force with nprobe=4 of 16 cells: ≥ nprobe/nlist
+    // baseline even on unclustered noise
+    val hits = ivf1.count { case (q, v, _) => bf.contains((q, v)) }
+    val recall = hits.toDouble / bf.size
+    assert(recall >= 0.2, s"recall=$recall")
+  }
+
   test("annBruteForce returns exactly 10 neighbors per query, best-first") {
     val got = Similarity.annBruteForce(spark, sf001)
       .select($"q_id", $"rn", $"score").as[(Long, Long, Double)].collect()

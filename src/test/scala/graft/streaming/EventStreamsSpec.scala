@@ -95,6 +95,43 @@ class EventStreamsSpec extends SparkSpec {
     assert(got == eventsBatch.count())
   }
 
+  test("watermark drops events later than 10 minutes behind the max seen ts") {
+    import org.apache.spark.sql.types._
+    // watermark filtering takes effect ONE batch after the advancing data
+    // (verified empirically: a late row in the very next micro-batch still
+    // aggregates), so the late file arrives two batches after the
+    // watermark-advancing event. FileStreamSource orders files by mtime —
+    // pinned explicitly for deterministic batching.
+    val dir = tmpDir("late-events")
+    def writeFile(rows: Seq[(Long, String)], mtimeAgo: Long, mode: String): Unit = {
+      rows.map { case (id, ts) =>
+        (id, java.sql.Timestamp.valueOf(ts), 1L, "click", 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode(mode).parquet(s"$dir/in")
+      new java.io.File(s"$dir/in").listFiles()
+        .filter(_.lastModified > System.currentTimeMillis() - 5000)
+        .foreach(_.setLastModified(System.currentTimeMillis() - mtimeAgo))
+    }
+    writeFile(Seq((1L, "2024-01-01 11:00:00"), (2L, "2024-01-01 12:00:00")), 90000, "overwrite")
+    writeFile(Seq((3L, "2024-01-01 12:01:00")), 60000, "append") // commits watermark 11:50
+    writeFile(Seq((4L, "2024-01-01 10:00:00")), 1000, "append")  // hopelessly late
+
+    val src = spark.readStream.schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    val q = EventStreams.windowedAgg(src)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val finalized = spark.table("late_out")
+      .select($"w_start", $"n").as[(java.sql.Timestamp, Long)].collect().toMap
+    // the dropped late event's window must never materialize
+    assert(!finalized.contains(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      s"late event must be dropped, got $finalized")
+    // and the finalized on-time window holds exactly its one event
+    assert(finalized.getOrElse(java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 0L) == 1L)
+  }
+
   test("streaming ingestion commits snapshots; compact + expire reclaims small files") {
     val dir = tmpDir("stream-catalog")
     // two input files → up to maxFilesPerTrigger-bounded micro-batches
