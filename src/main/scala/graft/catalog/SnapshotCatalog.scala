@@ -147,6 +147,52 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
 
   def snapshots(schema: String, table: String): Seq[Snapshot] = readCommits(schema, table)
 
+  // ---- rewrite DML: upsert / delete (Iceberg MERGE INTO / DELETE FROM
+  //      equivalents — copy-on-write rewrite commits) ----
+
+  /** MERGE (upsert): rows in `updates` replace current rows with the same
+    * `key`; unmatched update rows are inserted. Copy-on-write: the new
+    * snapshot references only the rewritten data, so history stays
+    * time-travel-consistent and `expireSnapshots` reclaims the old files.
+    * One anti-join + union + write — all distributed.
+    */
+  def merge(schema: String, table: String, updates: DataFrame, key: String): Snapshot = {
+    // like Iceberg's MERGE INTO, a source key may match at most once —
+    // duplicate update keys would silently corrupt the table's key
+    // uniqueness, so they are rejected upfront
+    val dups = updates.groupBy(key)
+      .count().filter(org.apache.spark.sql.functions.col("count") > 1)
+      .limit(1).collect()
+    require(dups.isEmpty,
+      s"MERGE updates contain duplicate key '${key}'=${dups.headOption.map(_.get(0)).orNull}")
+    rewrite(schema, table) { current =>
+      current.join(updates.select(key), Seq(key), "left_anti").unionByName(updates)
+    }
+  }
+
+  /** DELETE FROM … WHERE cond (rows matching `cond` removed). */
+  def delete(schema: String, table: String, cond: org.apache.spark.sql.Column): Snapshot =
+    rewrite(schema, table)(_.filter(!cond))
+
+  /** Commit a full-table rewrite: new snapshot referencing only its own
+    * files (same commit shape as `compact`).
+    */
+  private def rewrite(schema: String, table: String)
+                     (f: DataFrame => DataFrame): Snapshot = synchronized {
+    val dir = tableDir(schema, table)
+    require(tableExists(schema, table), s"Table $schema.$table does not exist")
+    val commits = readCommits(schema, table)
+    val id = commits.lastOption.map(_.snapshotId).getOrElse(0L) + 1
+    val at = math.max(System.currentTimeMillis(),
+      commits.lastOption.map(_.committedAtMillis + 1).getOrElse(0L))
+    val snapDir = f"snap-$id%05d-rewrite"
+    f(readLatest(schema, table))
+      .write.mode("errorifexists").parquet(new Path(dir, snapDir).toString)
+    val snap = Snapshot(id, at, Seq(snapDir))
+    writeCommits(dir, commits :+ snap)
+    snap
+  }
+
   // ---- maintenance (reference config surface: expire-snapshots /
   //      remove-orphan-files, TrinoConfigurationProvider.cs:62-63) ----
 

@@ -90,6 +90,51 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(times == times.sorted && times.distinct.size == times.size)
   }
 
+  test("merge upserts by key with copy-on-write history (MERGE INTO equivalent)") {
+    val c = freshCatalog()
+    c.createTable("common_test_data", "merge_t", StructType(Seq(
+      StructField("id", IntegerType), StructField("v", StringType))))
+    val s1 = c.insert("common_test_data", "merge_t",
+      Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
+    c.merge("common_test_data", "merge_t",
+      Seq((2, "B2"), (4, "d")).toDF("id", "v"), key = "id")
+    val now = c.readLatest("common_test_data", "merge_t")
+      .orderBy($"id").as[(Int, String)].collect().toSeq
+    assert(now == Seq((1, "a"), (2, "B2"), (3, "c"), (4, "d")))
+    // pre-merge history intact via time travel
+    val before = c.readAsOf("common_test_data", "merge_t", s1.committedAtMillis)
+      .orderBy($"id").as[(Int, String)].collect().toSeq
+    assert(before == Seq((1, "a"), (2, "b"), (3, "c")))
+  }
+
+  test("delete removes matching rows as a rewrite commit (DELETE FROM equivalent)") {
+    val c = freshCatalog()
+    c.createTable("common_test_data", "del_t", StructType(Seq(
+      StructField("id", IntegerType), StructField("v", StringType))))
+    c.insert("common_test_data", "del_t",
+      Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
+    val snap = c.delete("common_test_data", "del_t",
+      org.apache.spark.sql.functions.col("id") === 2)
+    assert(snap.dirs.forall(_.endsWith("-rewrite")))
+    assert(c.readLatest("common_test_data", "del_t")
+      .orderBy($"id").as[(Int, String)].collect().toSeq == Seq((1, "a"), (3, "c")))
+    // rewrite + expiry reclaims the pre-delete files
+    c.expireSnapshots("common_test_data", "del_t", snap.committedAtMillis)
+    assert(c.readLatest("common_test_data", "del_t").count() == 2)
+  }
+
+  test("merge rejects duplicate update keys (Iceberg multiple-match contract)") {
+    val c = freshCatalog()
+    c.createTable("common_test_data", "mdup_t", StructType(Seq(
+      StructField("id", IntegerType), StructField("v", StringType))))
+    c.insert("common_test_data", "mdup_t", Seq((1, "a")).toDF("id", "v"))
+    val e = intercept[IllegalArgumentException] {
+      c.merge("common_test_data", "mdup_t",
+        Seq((4, "d1"), (4, "d2")).toDF("id", "v"), key = "id")
+    }
+    assert(e.getMessage.contains("duplicate key"))
+  }
+
   test("expireSnapshots trims history but keeps latest data (expire-snapshots config surface)") {
     val c = freshCatalog()
     c.createTable("common_test_data", "exp_t", StructType(Seq(StructField("x", IntegerType))))
