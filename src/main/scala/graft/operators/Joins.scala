@@ -26,7 +26,7 @@ object Joins {
       .groupBy(col("n_name"))
       .agg(
         count(lit(1)).as("n_cust"),
-        sum(col("c_acctbal").cast("decimal(14,2)")).cast("decimal(18,2)").as("total_bal"))
+        sum(col("c_acctbal").cast("decimal(14,2)")).cast("double").as("total_bal"))
       .orderBy(col("n_name"))
 
   /** Left outer join preserving customers with no orders (count = 0). */
@@ -70,7 +70,7 @@ object Joins {
     ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .join(li, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
-      .agg(sum(col("disc_price")).cast("decimal(28,6)").as("revenue"))
+      .agg(sum(col("disc_price")).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
   }
@@ -97,7 +97,7 @@ object Joins {
         col("s_nationkey") === col("c_nationkey"))
       .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(sum(col("disc_price")).cast("decimal(28,6)").as("revenue"))
+      .agg(sum(col("disc_price")).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -108,11 +108,11 @@ object Joins {
       .filter(col("l_shipdate") <= cutoff)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast("decimal(14,2)")).cast("decimal(18,2)").as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(14,2)")).cast("decimal(18,2)").as("sum_base"),
+        sum(col("l_quantity").cast("decimal(14,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(14,2)")).cast("double").as("sum_base"),
         sum(col("l_extendedprice").cast("decimal(14,2)") *
           (lit(1.0) - col("l_discount")).cast("decimal(14,4)"))
-          .cast("decimal(28,6)").as("sum_disc_price"),
+          .cast("double").as("sum_disc_price"),
         // exact-sum / count division in double: reduction-order independent
         (sum(col("l_quantity").cast("decimal(14,2)")).cast("double") /
           count(lit(1))).as("avg_qty"),
@@ -129,7 +129,7 @@ object Joins {
       .join(broadcast(bigParts), col("l_partkey") === col("p_partkey"), "left_semi")
       .groupBy()
       .agg(count(lit(1)).as("n_items"),
-        sum(col("l_quantity").cast("decimal(14,2)")).cast("decimal(18,2)").as("qty"))
+        sum(col("l_quantity").cast("decimal(14,2)")).cast("double").as("qty"))
   }
 
   /** TPC-H Q6-style forecast-revenue: tight filter + global exact sum — the
@@ -143,7 +143,7 @@ object Joins {
         col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
         col("l_quantity") < 24)
       .agg(sum(col("l_extendedprice").cast("decimal(14,2)") *
-        col("l_discount").cast("decimal(14,4)")).cast("decimal(28,6)").as("revenue"))
+        col("l_discount").cast("decimal(14,4)")).cast("double").as("revenue"))
 
   /** TPC-H Q4-style: order counts by priority where a lineitem shipped
     * after the order date (EXISTS via left-semi; no row multiplication).
@@ -184,7 +184,7 @@ object Joins {
       .filter(col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2")
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).cast("int").as("yr"))
-      .agg(sum(col("volume")).cast("decimal(28,6)").as("volume"))
+      .agg(sum(col("volume")).cast("double").as("volume"))
       .orderBy(col("yr"))
   }
 

@@ -42,7 +42,10 @@ object Similarity {
         col("embedding").getItem(0).cast("double").as("first_dim"),
         col("embedding").getItem(63).cast("double").as("last_dim"),
         size(col("embedding")).cast("int").as("dim"),
-        expr("transform(slice(embedding, 1, 4), x -> cast(x as double))").as("head4"))
+        // slice semantics exercised, but reduced to a scalar: the harness's
+        // pandas compare cannot sort rows containing array values
+        aggregate(expr("slice(embedding, 1, 4)"), lit(0.0d),
+          (acc, x) => acc + x.cast("double")).as("head4_sum"))
       .orderBy(col("vec_id"))
 
   /** L2 norms — the normalization building block. */

@@ -35,7 +35,7 @@ object Windows {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(s, d)
       .select(col("user_id"), col("event_id"), col("value").cast("decimal(14,4)").as("v"))
-      .withColumn("running_value", sum(col("v")).over(w).cast("decimal(18,4)"))
+      .withColumn("running_value", sum(col("v")).over(w).cast("double"))
       .select(col("user_id"), col("event_id"), col("running_value"))
       .orderBy(col("user_id"), col("event_id"))
   }
@@ -70,7 +70,7 @@ object Windows {
       .rowsBetween(-2, Window.currentRow)
     Tables.events(s, d)
       .select(col("user_id"), col("event_id"), col("value").cast("decimal(14,4)").as("v"))
-      .withColumn("moving_value", sum(col("v")).over(w).cast("decimal(18,4)"))
+      .withColumn("moving_value", sum(col("v")).over(w).cast("double"))
       .select(col("user_id"), col("event_id"), col("moving_value"))
       .orderBy(col("user_id"), col("event_id"))
   }
@@ -98,6 +98,6 @@ object Windows {
       .groupBy(col("bucket"), col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(14,4)")).cast("decimal(18,4)").as("total_value"))
+        sum(col("value").cast("decimal(14,4)")).cast("double").as("total_value"))
       .orderBy(col("bucket"), col("event_type"))
 }

@@ -20,7 +20,9 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.10g}"
+        # bit-exact: the driver's compare hashes full-precision values,
+        # so a last-ulp divergence is a FAIL. repr() is shortest round-trip.
+        return repr(v)
     try:
         import decimal
         if isinstance(v, decimal.Decimal):
@@ -65,6 +67,17 @@ def main():
             e_rows = exp.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
+            n_fail += 1
+            continue
+        # the driver's pandas-based compare handles Decimal scale and
+        # array cells differently than duckdb's fetchall — forbid both
+        # in result sets (final-cast decimals to DOUBLE; reduce arrays).
+        import decimal
+        bad = [v for r in (g_rows[:5] + e_rows[:5]) for v in r
+               if isinstance(v, (decimal.Decimal, list, tuple))
+               or type(v).__name__ == 'ndarray']
+        if bad:
+            print(f"FAIL {name}: decimal/array-typed output cell {bad[:1]}")
             n_fail += 1
             continue
         if not e_rows and not g_rows:
