@@ -58,7 +58,12 @@ object Dedup {
     words.as("a")
       .join(words.as("b"),
         col("a.w") === col("b.w") && col("a.source") === col("b.source") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") &&
+          // length-ratio prefilter, semantics-preserving for J >= 0.8:
+          // i <= min(na,nb) and J = i/(na+nb-i) >= 0.8 force
+          // 5*min(na,nb) >= 4*max(na,nb) — cuts posting pairs before the
+          // group-by without changing the qualifying set
+          col("a.n") * 5 >= col("b.n") * 4 && col("b.n") * 5 >= col("a.n") * 4)
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("i"))
