@@ -292,8 +292,12 @@ object SparkEntry {
     "cube_agg" ->
       ("SELECT COALESCE(o_orderstatus, '(all)') AS status, COALESCE(o_orderpriority, '(all)') AS priority, " +
         "count(*) AS n FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY status, priority"),
-    // ---- training-data pipeline ops (rows-only where no ANSI equivalent:
-    //      fingerprint, minhash_lsh_pairs, simhash, ann_lsh) ----
+    // ---- training-data pipeline ops (rows-only only where truly
+    //      non-replicable: ann_lsh/ann_ivf; the hash-based ops use the
+    //      portable md5-60 hash and are fully oracle-checked) ----
+    "fingerprint" -> operators.TextAnalysis.fingerprintSql,
+    "simhash" -> operators.Dedup.Oracle.simhashSql,
+    "minhash_lsh_pairs" -> operators.Dedup.Oracle.minhashLshPairsSql,
     "text_stats" ->
       ("SELECT doc_id, CAST(length(text) AS INT) AS n_chars, " +
         s"CAST(${operators.TextAnalysis.Formulas.nTokensDuck} AS INT) AS n_tokens, " +

@@ -75,40 +75,63 @@ object Dedup {
 
   // ---- MinHash + LSH ----
 
-  /** 3-gram shingles hashed to 64 bits, as an array column. Tokenization is
-    * projected into its own column first (`toksCol`) so the split runs once
-    * per row — referencing `split(...)` inside the lambda would recompute it
-    * per shingle (O(T²) per document).
+  /** Engine-portable 60-bit content hash: the first 15 hex digits of md5,
+    * read as an integer. Identical in Spark
+    * (`conv(substring(md5(x),1,15),16,10)`) and DuckDB
+    * (`('0x' || substr(md5(x),1,15))::BIGINT`) — the property that lets
+    * every hash-based dedup operator have a full differential oracle
+    * instead of a rows-only check. md5 is codegen'd in Spark, so the
+    * swap from xxhash64 costs little and buys cross-engine verifiability.
+    */
+  private[operators] object Portable {
+    def spark60(x: String): String =
+      s"cast(conv(substring(md5($x), 1, 15), 16, 10) as bigint)"
+    def duck60(x: String): String =
+      s"CAST(('0x' || substr(md5($x), 1, 15)) AS BIGINT)"
+  }
+
+  /** 3-gram shingles hashed portably and reduced mod P, as an array column.
+    * Tokenization is projected into its own column first (`toks`) so the
+    * split runs once per row — referencing `split(...)` inside the lambda
+    * would recompute it per shingle (O(T²) per document).
     */
   private[operators] def withShingleHashes(df: DataFrame): DataFrame =
     df.withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
       .withColumn("sh",
         expr("transform(sequence(0, greatest(size(toks) - 3, 0)), " +
-          "i -> xxhash64(concat_ws(' ', slice(toks, i + 1, 3))))"))
+          s"i -> ${Portable.spark60("concat_ws(' ', slice(toks, i + 1, 3))")} % ${P}L)"))
       .drop("toks")
 
   /** Universal-hash parameters for the K minhash permutations over the
-    * 31-bit prime field 2^31-1: the shingle hash is first reduced mod P, so
-    * `reduced * a + b < 2^62` never overflows Long under ANSI arithmetic.
+    * 31-bit prime field 2^31-1: shingle hashes are stored reduced mod P, so
+    * `reduced * a + b < 2^42` never overflows Long under ANSI arithmetic.
     */
-  private val P = 2147483647L // 2^31 - 1
-  private val hashParams: Seq[(Long, Long)] =
+  private[operators] val P = 2147483647L // 2^31 - 1
+  private[operators] val hashParams: Seq[(Long, Long)] =
     (0 until 16).map(k => (2L * k + 1001L, 7919L * (k + 1)))
 
-  /** Per-document MinHash signature (K=16) + LSH band keys (4 bands × 4
-    * rows). Pure expression work — the signature computation never
-    * shuffles.
+  /** LSH band layout: 8 bands × 2 rows over the K=16 signature. At a
+    * target jaccard j the collision probability is 1-(1-j²)^8 (≈0.90 at
+    * j=0.5, ≈1 at j≥0.8) — r=2 keeps accidental collisions of unrelated
+    * docs (j≈0) negligible, so candidate volume stays bounded at scale.
+    */
+  private[operators] val Bands = 8
+  private[operators] val RowsPerBand = hashParams.size / Bands
+
+  /** Per-document MinHash signature (K=16) + LSH band keys (band key =
+    * joined signature slice — engine-portable, unlike a 64-bit band hash).
+    * Pure expression work — the signature computation never shuffles.
     */
   def minhashSignatures(s: SparkSession, d: String): DataFrame = {
     val withShingles = withShingleHashes(
       Tables.documents(s, d).select(col("doc_id"), col("text"))).drop("text")
     val sigCols = hashParams.zipWithIndex.map { case ((a, b), k) =>
-      expr(s"array_min(transform(sh, h -> pmod(pmod(h, ${P}L) * ${a}L + ${b}L, ${P}L)))").as(s"m$k")
+      expr(s"array_min(transform(sh, h -> (h * ${a}L + ${b}L) % ${P}L))").as(s"m$k")
     }
     val sig = withShingles.select(col("doc_id") +: sigCols: _*)
-    (0 until 4).foldLeft(sig) { (df, band) =>
-      val cols = (0 until 4).map(r => s"m${band * 4 + r}").mkString(", ")
-      df.withColumn(s"band$band", expr(s"xxhash64($cols)"))
+    (0 until Bands).foldLeft(sig) { (df, band) =>
+      val cols = (0 until RowsPerBand).map(r => col(s"m${band * RowsPerBand + r}"))
+      df.withColumn(s"band$band", concat_ws("_", cols: _*))
     }
   }
 
@@ -120,7 +143,7 @@ object Dedup {
   def minhashLshPairs(s: SparkSession, d: String): DataFrame = {
     val sigs = minhashSignatures(s, d)
     val bands = sigs.select(col("doc_id"),
-      posexplode(array((0 until 4).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band_hash")))
+      posexplode(array((0 until Bands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band_hash")))
     val candidates = bands.as("x")
       .join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
@@ -141,21 +164,77 @@ object Dedup {
       .orderBy(col("da"), col("db"))
   }
 
-  /** 64-bit SimHash over word hashes: bit i of the signature is the sign of
-    * the per-bit vote sum. Near-dups differ in few bits (Hamming distance).
+  /** Number of SimHash bits — 48 of the portable hash's 60, so the
+    * signature and every intermediate vote stay comfortably in Long/BIGINT
+    * on both engines.
+    */
+  private[operators] val SimhashBits = 48
+
+  /** 48-bit SimHash over portable word hashes: bit i of the signature is
+    * the sign of the per-bit vote sum (duplicate words vote repeatedly —
+    * SimHash is weighted by term frequency). Near-dups differ in few bits
+    * (Hamming distance).
     */
   def simhash(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
-        expr("transform(split(lower(trim(text)), '\\\\s+'), w -> xxhash64(w))").as("hs"))
+        expr(s"transform(split(lower(trim(text)), '\\\\s+'), w -> ${Portable.spark60("w")})").as("hs"))
       .select(col("doc_id"),
         expr(
-          """aggregate(
-            |  sequence(0, 63),
+          s"""aggregate(
+            |  sequence(0, ${SimhashBits - 1}),
             |  0L,
             |  (acc, b) -> acc + if(
             |    aggregate(hs, 0L, (v, h) -> v + if((shiftright(h, b) & 1) = 1, 1L, -1L)) >= 0,
             |    shiftleft(1L, b), 0L)
             |)""".stripMargin).as("simhash"))
       .orderBy(col("doc_id"))
+
+  /** DuckDB oracle SQL for the hash-based dedup operators — generated from
+    * the same constants (P, hashParams, SimhashBits, band layout) the Spark
+    * plans use, so the differential gate checks the full algorithm, not
+    * just plumbing.
+    */
+  object Oracle {
+    private val shv = s"${Portable.duck60("array_to_string(toks[i:i+2], ' ')")} % ${P}"
+
+    /** minhash_lsh_pairs: shingle → K minhashes → 4-row band keys →
+      * band-bucket candidate pairs → exact shingle-set Jaccard ≥ 0.3.
+      */
+    val minhashLshPairsSql: String = {
+      val prm = hashParams.zipWithIndex
+        .map { case ((a, b), k) => s"($k, $a, $b)" }.mkString(", ")
+      s"""WITH tk AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents),
+         |ix AS (SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i FROM tk),
+         |shd AS (SELECT DISTINCT doc_id, $shv AS shv FROM ix),
+         |prm AS (SELECT * FROM (VALUES $prm) p(k, a, b)),
+         |sig AS (SELECT doc_id, k // ${RowsPerBand} AS band_idx, k, MIN((shv * a + b) % ${P}) AS m
+         |        FROM shd CROSS JOIN prm GROUP BY doc_id, k),
+         |bnd AS (SELECT doc_id, band_idx, string_agg(CAST(m AS VARCHAR), '_' ORDER BY k) AS band_key
+         |        FROM sig GROUP BY doc_id, band_idx),
+         |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db FROM bnd x JOIN bnd y
+         |         ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+         |inter AS (SELECT c.da, c.db, count(*) AS i FROM cand c
+         |          JOIN shd sa ON sa.doc_id = c.da JOIN shd sb ON sb.doc_id = c.db AND sa.shv = sb.shv
+         |          GROUP BY c.da, c.db)
+         |SELECT da, db, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+         |FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+         |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.3 ORDER BY da, db""".stripMargin
+    }
+
+    /** simhash: per-bit votes over portable word hashes, then bit assembly. */
+    val simhashSql: String = {
+      val votes = (0 until SimhashBits)
+        .map(b => s"SUM(CASE WHEN ((wh >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS v$b")
+        .mkString(", ")
+      val bits = (0 until SimhashBits)
+        .map(b => s"CASE WHEN v$b >= 0 THEN ${1L << b} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS wd FROM documents),
+         |h AS (SELECT doc_id, ${Portable.duck60("wd")} AS wh FROM w),
+         |v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id)
+         |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM v ORDER BY doc_id""".stripMargin
+    }
+  }
 }

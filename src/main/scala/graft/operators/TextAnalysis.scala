@@ -114,9 +114,11 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  /** Rolling polynomial fingerprint (Karp-Rabin) over the document bytes —
-    * order-sensitive, unlike a bag-of-words hash. Pure fold expression:
-    * distributes with the scan, no state.
+  /** Rolling polynomial fingerprint (Karp-Rabin) over the document
+    * characters — order-sensitive, unlike a bag-of-words hash — plus a
+    * portable 60-bit md5 content hash. Pure fold expression: distributes
+    * with the scan, no state. Both columns replicate exactly in DuckDB
+    * (`fingerprintSql`), so the whole computation is oracle-checked.
     */
   def fingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -124,6 +126,17 @@ object TextAnalysis {
         col("doc_id"),
         expr("aggregate(split(text, ''), 0L, (acc, c) -> pmod(acc * 131 + ascii(c), 1000000007L))")
           .as("fp"),
-        xxhash64(col("text")).as("xxfp"))
+        expr("cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint)").as("fp60"))
       .orderBy(col("doc_id"))
+
+  /** DuckDB twin of `fingerprint`: list_reduce fold over per-character code
+    * points (prepended 0 accumulator = Spark's aggregate initial value).
+    */
+  val fingerprintSql: String =
+    "SELECT doc_id, " +
+      "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      "(a, b) -> (a * 131 + b) % 1000000007) AS fp, " +
+      "CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS fp60 " +
+      "FROM documents ORDER BY doc_id"
 }
