@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOf, CatalogDemos, Dedup, Expressions, Joins, Multimodal, Relational, Similarity, TextAnalysis, Windows}
+import graft.operators.{Analytics, AsOf, CatalogDemos, Dedup, Expressions, Joins, Multimodal, Relational, Similarity, TextAnalysis, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -107,6 +107,26 @@ object SparkEntry {
     // sampling + approximate aggregates
     "sample_per_group" -> (Expressions.samplePerGroup _),
     "approx_distinct"  -> (Expressions.approxDistinct _),
+    // analytics extensions (round 2): exact stats, ranks, arg-extremes,
+    // ordered stringagg, unnest, temporal, regex, sessions, range join,
+    // multiset ops, structs, histograms, filtered aggs, CTE chains
+    "stats_moments"      -> (Analytics.statsMoments _),
+    "corr_qty_price"     -> (Analytics.corrQtyPrice _),
+    "median_rank"        -> (Analytics.medianRank _),
+    "minmax_by"          -> (Analytics.minmaxBy _),
+    "listagg_regions"    -> (Analytics.listaggRegions _),
+    "word_topk"          -> (Analytics.wordTopk _),
+    "date_trunc_month"   -> (Analytics.dateTruncMonth _),
+    "interval_dow"       -> (Analytics.intervalDow _),
+    "regexp_ops"         -> (Analytics.regexpOps _),
+    "sessionize_batch"   -> (Analytics.sessionizeBatch _),
+    "range_join_buckets" -> (Analytics.rangeJoinBuckets _),
+    "set_intersect_all"  -> (Analytics.setIntersectAll _),
+    "set_except_all"     -> (Analytics.setExceptAll _),
+    "struct_access"      -> (Analytics.structAccess _),
+    "histogram_price"    -> (Analytics.histogramPrice _),
+    "cond_agg_filter"    -> (Analytics.condAggFilter _),
+    "cte_chain"          -> (Analytics.cteChain _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -400,5 +420,23 @@ object SparkEntry {
       ("SELECT source, doc_id, rn FROM (SELECT source, doc_id, " +
         "ROW_NUMBER() OVER (PARTITION BY source ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn " +
         "FROM documents) t WHERE rn <= 3 ORDER BY source, rn"),
+    // ---- analytics extensions (round 2) ----
+    "stats_moments"      -> Analytics.Sql.statsMoments,
+    "corr_qty_price"     -> Analytics.Sql.corrQtyPrice,
+    "median_rank"        -> Analytics.Sql.medianRank,
+    "minmax_by"          -> Analytics.Sql.minmaxBy,
+    "listagg_regions"    -> Analytics.Sql.listaggRegions,
+    "word_topk"          -> Analytics.Sql.wordTopk,
+    "date_trunc_month"   -> Analytics.Sql.dateTruncMonth,
+    "interval_dow"       -> Analytics.Sql.intervalDow,
+    "regexp_ops"         -> Analytics.Sql.regexpOps,
+    "sessionize_batch"   -> Analytics.Sql.sessionizeBatch,
+    "range_join_buckets" -> Analytics.Sql.rangeJoinBuckets,
+    "set_intersect_all"  -> Analytics.Sql.setIntersectAll,
+    "set_except_all"     -> Analytics.Sql.setExceptAll,
+    "struct_access"      -> Analytics.Sql.structAccess,
+    "histogram_price"    -> Analytics.Sql.histogramPrice,
+    "cond_agg_filter"    -> Analytics.Sql.condAggFilter,
+    "cte_chain"          -> Analytics.Sql.cteChain,
   )
 }
