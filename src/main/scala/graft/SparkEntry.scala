@@ -318,6 +318,7 @@ object SparkEntry {
     "fingerprint" -> operators.TextAnalysis.fingerprintSql,
     "simhash" -> operators.Dedup.Oracle.simhashSql,
     "minhash_lsh_pairs" -> operators.Dedup.Oracle.minhashLshPairsSql,
+    "ann_lsh" -> operators.Similarity.annLshOracleSql,
     "text_stats" ->
       ("SELECT doc_id, CAST(length(text) AS INT) AS n_chars, " +
         s"CAST(${operators.TextAnalysis.Formulas.nTokensDuck} AS INT) AS n_tokens, " +

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -42,34 +43,53 @@ object Dedup {
       explode(array_distinct(split(lower(trim(col("text"))), "\\s+"))).as("w"))
 
   /** Word-set (1-gram) Jaccard near-dup pairs within a bounded candidate
-    * group (same `source`). The inverted-index join (token → doc list)
-    * computes intersections without materializing document pairs that share
-    * nothing.
+    * group (same `source`), via prefix filtering (Bayardo et al., "Scaling
+    * Up All Pairs Similarity Search", WWW'07): under a global token order
+    * (ascending document frequency), any pair with J ≥ t must share at
+    * least one token among each side's first ⌊(1-t)·n⌋+1 tokens. Only the
+    * prefix tokens — the rarest ones — are indexed, so the candidate join
+    * touches a fraction of the postings and hot stopwords never explode
+    * into quadratic pair lists. Candidates are then verified exactly on
+    * the full word sets. Result set provably identical to the naive
+    * inverted-index join; only the candidate generation changes.
+    *
+    * Scale shape: one df aggregation (word → count), one prefix-posting
+    * self-join on rare tokens, one verification pass over surviving
+    * candidates — every shuffle is on small keys, and the quadratic term
+    * is bounded by the rarest-token bucket sizes.
     */
   def nearDupJaccard(s: SparkSession, d: String): DataFrame = {
-    // each exploded word row carries its document's distinct-word count, so
-    // the jaccard denominator falls out of the pair group-by — no separate
-    // count joins, one shuffle for the inverted index + one for the pairs
-    val words = Tables.documents(s, d)
+    val t = 0.8
+    val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         array_distinct(split(lower(trim(col("text"))), "\\s+")).as("ws"))
-      .select(col("doc_id"), col("source"), size(col("ws")).as("n"),
-        explode(col("ws")).as("w"))
-    words.as("a")
-      .join(words.as("b"),
+    val words = docs.select(col("doc_id"), col("source"), explode(col("ws")).as("w"))
+    // global document frequency per (source, word) = the prefix order
+    val df = words.groupBy(col("source"), col("w")).agg(count(lit(1)).as("df"))
+    // order each doc's words by (df, w); keep the ⌊(1-t)n⌋+1 rarest
+    val prefixW = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("w"))
+    val prefixes = words.join(df, Seq("source", "w"))
+      .withColumn("rk", row_number().over(prefixW))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .filter(col("rk") <= floor((lit(1.0) - t) * col("n")) + 1)
+      .select(col("doc_id"), col("source"), col("n"), col("w"))
+    val candidates = prefixes.as("a")
+      .join(prefixes.as("b"),
         col("a.w") === col("b.w") && col("a.source") === col("b.source") &&
           col("a.doc_id") < col("b.doc_id") &&
-          // length-ratio prefilter, semantics-preserving for J >= 0.8:
-          // i <= min(na,nb) and J = i/(na+nb-i) >= 0.8 force
-          // 5*min(na,nb) >= 4*max(na,nb) — cuts posting pairs before the
-          // group-by without changing the qualifying set
+          // length-ratio filter: J >= t forces min(na,nb) >= t·max(na,nb)
           col("a.n") * 5 >= col("b.n") * 4 && col("b.n") * 5 >= col("a.n") * 4)
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-        col("a.n").as("na"), col("b.n").as("nb"))
-      .agg(count(lit(1)).as("i"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    // exact verification on the full word sets
+    val sets = docs.select(col("doc_id"), col("ws"))
+    candidates
+      .join(sets.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("db") === col("sb.doc_id"))
       .select(col("da"), col("db"),
-        (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jaccard"))
-      .filter(col("jaccard") >= 0.8)
+        (size(array_intersect(col("sa.ws"), col("sb.ws"))).cast("double") /
+          size(array_union(col("sa.ws"), col("sb.ws")))).as("jaccard"))
+      .filter(col("jaccard") >= t)
       .orderBy(col("da"), col("db"))
   }
 

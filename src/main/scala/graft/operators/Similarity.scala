@@ -225,6 +225,38 @@ object Similarity {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** DuckDB oracle for annLsh: the ±1 hyperplanes are OUR constants, so the
+    * builder inlines them as list literals and DuckDB replays the whole
+    * pipeline — sign bits via `list_dot_product` (a strict left-to-right
+    * double fold, bit-exact vs graft's codegen'd `dot_product`), bucket
+    * join, exact cosine rerank, per-query top-10.
+    */
+  def annLshOracleSql: String = {
+    val ps = planes(4, 8, 64)
+    val planeRows = (for {
+      (tp, t) <- ps.zipWithIndex
+      (p, b) <- tp.zipWithIndex
+    } yield s"($t, $b, [${p.map(x => if (x > 0) "1.0" else "-1.0").mkString(",")}])")
+      .mkString(", ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |pl AS (SELECT * FROM (VALUES $planeRows) p(tbl, b, pv)),
+       |sg AS (SELECT vec_id, tbl,
+       |         CAST(SUM(CASE WHEN list_dot_product(v, pv) >= 0.0
+       |                       THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sig
+       |       FROM n CROSS JOIN pl GROUP BY vec_id, tbl),
+       |q AS (SELECT vec_id AS q_id, tbl AS qtbl, sig AS qsig FROM sg WHERE vec_id < 10),
+       |cand AS (SELECT DISTINCT q.q_id, s.vec_id FROM sg s
+       |         JOIN q ON s.tbl = q.qtbl AND s.sig = q.qsig AND s.vec_id <> q.q_id),
+       |scored AS (SELECT c.q_id, c.vec_id,
+       |             list_dot_product(qn.v, cn.v) / (qn.nrm * cn.nrm) AS score
+       |           FROM cand c JOIN n qn ON qn.vec_id = c.q_id JOIN n cn ON cn.vec_id = c.vec_id)
+       |SELECT q_id, vec_id, score, rn FROM (
+       |  SELECT q_id, vec_id, score,
+       |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+       |  FROM scored) t WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, restricted to
     * same-label candidate groups (bounded, like Dedup.nearDupJaccard).
     * Norms ride along from the scan — the pair stage does exactly one dot
