@@ -116,6 +116,7 @@ object SparkEntry {
     "minmax_by"          -> (Analytics.minmaxBy _),
     "listagg_regions"    -> (Analytics.listaggRegions _),
     "word_topk"          -> (Analytics.wordTopk _),
+    "ngram_topk"         -> (Analytics.ngramTopk _),
     "date_trunc_month"   -> (Analytics.dateTruncMonth _),
     "interval_dow"       -> (Analytics.intervalDow _),
     "regexp_ops"         -> (Analytics.regexpOps _),
@@ -428,6 +429,7 @@ object SparkEntry {
     "minmax_by"          -> Analytics.Sql.minmaxBy,
     "listagg_regions"    -> Analytics.Sql.listaggRegions,
     "word_topk"          -> Analytics.Sql.wordTopk,
+    "ngram_topk"         -> Analytics.Sql.ngramTopk,
     "date_trunc_month"   -> Analytics.Sql.dateTruncMonth,
     "interval_dow"       -> Analytics.Sql.intervalDow,
     "regexp_ops"         -> Analytics.Sql.regexpOps,

@@ -107,6 +107,22 @@ object Analytics {
       .orderBy(col("cnt").desc, col("w"))
       .limit(20)
 
+  /** Bigram (2-gram) frequency top-20 — the n-gram extraction building
+    * block (shingle generation without hashing). Same TakeOrdered shape as
+    * wordTopk; the n-gram expansion rides the scan.
+    */
+  def ngramTopk(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', toks[i], toks[i + 1]))"))
+        .as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram"))
+      .limit(20)
+
   /** Temporal bucketing: monthly event rollup via date_trunc. */
   def dateTruncMonth(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -278,6 +294,13 @@ object Analytics {
     val wordTopk: String =
       ("SELECT w, count(*) AS cnt FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w " +
         "FROM documents) t GROUP BY w ORDER BY cnt DESC, w LIMIT 20")
+
+    val ngramTopk: String =
+      ("SELECT ngram, count(*) AS cnt FROM (" +
+        "SELECT array_to_string(toks[i:i+1], ' ') AS ngram FROM (" +
+        "SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM (" +
+        "SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents) a " +
+        "WHERE len(toks) >= 2) b) c GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20")
 
     val dateTruncMonth: String =
       ("SELECT CAST(date_trunc('month', ts) AS DATE) AS month, count(*) AS n, " +

@@ -63,14 +63,14 @@ object Dedup {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         array_distinct(split(lower(trim(col("text"))), "\\s+")).as("ws"))
-    val words = docs.select(col("doc_id"), col("source"), explode(col("ws")).as("w"))
+    val words = docs.select(col("doc_id"), col("source"), size(col("ws")).as("n"),
+      explode(col("ws")).as("w"))
     // global document frequency per (source, word) = the prefix order
     val df = words.groupBy(col("source"), col("w")).agg(count(lit(1)).as("df"))
     // order each doc's words by (df, w); keep the ⌊(1-t)n⌋+1 rarest
     val prefixW = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("w"))
     val prefixes = words.join(df, Seq("source", "w"))
       .withColumn("rk", row_number().over(prefixW))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .filter(col("rk") <= floor((lit(1.0) - t) * col("n")) + 1)
       .select(col("doc_id"), col("source"), col("n"), col("w"))
     val candidates = prefixes.as("a")
