@@ -86,6 +86,30 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Stream-stream inner join: purchases matched to the clicks that
+    * preceded them by at most 30 minutes, per user — the streaming as-of
+    * candidate join. Both sides are watermarked so the state store evicts
+    * rows once they can no longer match (clicks after 40 min = watermark +
+    * join bound; purchases after 10 min): bounded state, the requirement
+    * for an unbounded run.
+    */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "40 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("click_id"), col("p_ts"), col("c_ts"))
+  }
+
   /** Custom stateful sessionization with flatMapGroupsWithState: emits a
     * SessionSummary when a user's session times out (30 min processing-time
     * timeout in the streaming case; end-of-stream flush in tests).

@@ -95,6 +95,33 @@ class EventStreamsSpec extends SparkSpec {
     assert(got == eventsBatch.count())
   }
 
+  test("stream-stream click->purchase join matches the batch join") {
+    val q = EventStreams.clickPurchaseJoin(
+        EventStreams.readEventStream(spark, streamDir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("ssj_out")
+      .select($"purchase_id", $"user_id", $"click_id")
+      .as[(Long, Long, Long)].collect().toSet
+
+    val clicks = eventsBatch.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"event_id".as("click_id"), $"ts".as("c_ts"))
+    val purchases = eventsBatch.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"event_id".as("purchase_id"), $"ts".as("p_ts"))
+    val batch = purchases.join(clicks,
+        $"p_user" === $"c_user" && $"c_ts" <= $"p_ts" &&
+          $"c_ts" >= $"p_ts" - expr("INTERVAL 30 MINUTES"))
+      .select($"purchase_id", $"p_user", $"click_id")
+      .as[(Long, Long, Long)].collect().toSet
+
+    // a single AvailableNow pass over in-order files loses nothing to the
+    // watermark, so stream == batch exactly
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("watermark drops events later than 10 minutes behind the max seen ts") {
     import org.apache.spark.sql.types._
     // watermark filtering takes effect ONE batch after the advancing data
