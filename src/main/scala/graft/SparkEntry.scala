@@ -320,6 +320,7 @@ object SparkEntry {
     "simhash" -> operators.Dedup.Oracle.simhashSql,
     "minhash_lsh_pairs" -> operators.Dedup.Oracle.minhashLshPairsSql,
     "ann_lsh" -> operators.Similarity.annLshOracleSql,
+    "ann_ivf" -> operators.Similarity.annIvfOracleSql(),
     "text_stats" ->
       ("SELECT doc_id, CAST(length(text) AS INT) AS n_chars, " +
         s"CAST(${operators.TextAnalysis.Formulas.nTokensDuck} AS INT) AS n_tokens, " +

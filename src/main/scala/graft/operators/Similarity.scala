@@ -180,7 +180,10 @@ object Similarity {
         .withColumn("cell", argminOf(seedScores(col("embedding"))))
         .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
         .groupBy(col("cell"), col("dim"))
-        .agg(avg(col("x").cast("decimal(20,10)")).cast("double").as("m"))
+        // exact decimal sum, then one double division — the spelling DuckDB
+        // reproduces bit-exactly (decimal avg would divide in decimal with
+        // engine-specific scale/rounding)
+        .agg((sum(col("x").cast("decimal(20,10)")).cast("double") / count(lit(1))).as("m"))
         .collect()
         .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2))
         .toMap
@@ -256,6 +259,56 @@ object Similarity {
        |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
        |  FROM scored) t WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin
   }
+
+  /** DuckDB oracle for annIvf — the quantizer is deterministic arithmetic
+    * (hash-stride seeds + one decimal-exact Lloyd step), so the ENTIRE
+    * pipeline replays in SQL: seed selection, argmin assignment (distance
+    * rank c·c − 2·v·c with (score, cell) tie-break, matching the Spark
+    * side's struct-min), per-cell decimal means with seed fallback for
+    * empty cells, re-assignment, nprobe=4 query probing, exact cosine
+    * rerank top-10. Every distance/score is a `list_dot_product`
+    * sequential fold = graft's codegen'd dot_product, bit-exact.
+    */
+  def annIvfOracleSql(nlist: Int = 16, nprobe: Int = 4): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |sd AS (SELECT cell, v FROM (
+       |        SELECT ROW_NUMBER() OVER (ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) - 1 AS cell, v
+       |        FROM e) t WHERE cell < $nlist),
+       |a0 AS (SELECT vec_id, cell FROM (
+       |        SELECT e.vec_id, s.cell,
+       |               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |                 ORDER BY list_dot_product(s.v, s.v) - 2.0 * list_dot_product(e.v, s.v), s.cell) AS rn
+       |        FROM e CROSS JOIN sd s) t WHERE rn = 1),
+       |xs AS (SELECT a0.cell, d.i - 1 AS dim, ee.v[d.i] AS x
+       |       FROM a0 JOIN e ee ON ee.vec_id = a0.vec_id
+       |       CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) d),
+       |mn AS (SELECT cell, dim, CAST(SUM(CAST(x AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS m
+       |       FROM xs GROUP BY cell, dim),
+       |grid AS (SELECT s.cell, d.i - 1 AS dim, s.v[d.i] AS seed_x
+       |         FROM sd s CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) d),
+       |ct AS (SELECT g.cell, list(COALESCE(mn.m, g.seed_x) ORDER BY g.dim) AS c
+       |       FROM grid g LEFT JOIN mn ON mn.cell = g.cell AND mn.dim = g.dim
+       |       GROUP BY g.cell),
+       |asg AS (SELECT vec_id, cell FROM (
+       |         SELECT n.vec_id, ct.cell,
+       |                ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |                  ORDER BY list_dot_product(ct.c, ct.c) - 2.0 * list_dot_product(n.v, ct.c), ct.cell) AS rn
+       |         FROM n CROSS JOIN ct) t WHERE rn = 1),
+       |qc AS (SELECT q_id, cell FROM (
+       |        SELECT n.vec_id AS q_id, ct.cell,
+       |               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |                 ORDER BY list_dot_product(ct.c, ct.c) - 2.0 * list_dot_product(n.v, ct.c), ct.cell) AS rn
+       |        FROM n CROSS JOIN ct WHERE n.vec_id < 10) t WHERE rn <= $nprobe),
+       |cand AS (SELECT qc.q_id, asg.vec_id FROM asg JOIN qc ON asg.cell = qc.cell
+       |         WHERE asg.vec_id <> qc.q_id),
+       |scored AS (SELECT c.q_id, c.vec_id,
+       |             list_dot_product(qn.v, cn.v) / (qn.nrm * cn.nrm) AS score
+       |           FROM cand c JOIN n qn ON qn.vec_id = c.q_id JOIN n cn ON cn.vec_id = c.vec_id)
+       |SELECT q_id, vec_id, score, rn FROM (
+       |  SELECT q_id, vec_id, score,
+       |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+       |  FROM scored) t WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin
 
   /** Embedding-cosine near-duplicate pairs above a threshold, restricted to
     * same-label candidate groups (bounded, like Dedup.nearDupJaccard).
