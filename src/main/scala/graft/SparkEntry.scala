@@ -128,6 +128,9 @@ object SparkEntry {
     "histogram_price"    -> (Analytics.histogramPrice _),
     "cond_agg_filter"    -> (Analytics.condAggFilter _),
     "cte_chain"          -> (Analytics.cteChain _),
+    "window_range_frame" -> (Analytics.windowRangeFrame _),
+    "not_in_null"        -> (Analytics.notInNull _),
+    "unpivot_status"     -> (Analytics.unpivotStatus _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -442,5 +445,8 @@ object SparkEntry {
     "histogram_price"    -> Analytics.Sql.histogramPrice,
     "cond_agg_filter"    -> Analytics.Sql.condAggFilter,
     "cte_chain"          -> Analytics.Sql.cteChain,
+    "window_range_frame" -> Analytics.Sql.windowRangeFrame,
+    "not_in_null"        -> Analytics.Sql.notInNull,
+    "unpivot_status"     -> Analytics.Sql.unpivotStatus,
   )
 }

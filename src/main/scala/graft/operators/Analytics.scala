@@ -233,6 +233,46 @@ object Analytics {
         (col("n_f").cast("double") / col("n")).as("share_f"), col("open_total"))
       .orderBy(col("priority"))
 
+  /** RANGE window frame (value-based, unlike the ROWS frames in
+    * graft.operators.Windows): per user, exact sum of event values within
+    * the trailing 300-second window of each event's epoch second.
+    */
+  def windowRangeFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("epoch_s"))
+      .rangeBetween(-300L, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("epoch_s"),
+        col("value").cast("decimal(14,4)").as("v"))
+      .withColumn("trailing_5m", sum(col("v")).over(w).cast("double"))
+      .select(col("user_id"), col("event_id"), col("trailing_5m"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** ANSI NOT IN three-valued-logic semantics: a NULL in the subquery list
+    * makes NOT IN never-true, so the count is 0 — the classic SQL trap,
+    * asserted identical on both engines.
+    */
+  def notInNull(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    s.sql(notInNullSql)
+  }
+
+  private[operators] val notInNullSql: String =
+    """SELECT count(*) AS n FROM orders WHERE o_custkey NOT IN
+      |(SELECT CASE WHEN c_custkey = 1 THEN NULL ELSE c_custkey END FROM customer)""".stripMargin
+
+  /** UNPIVOT: the pivoted status counts stacked back to rows (Spark
+    * `stack`; the oracle uses the equivalent UNION ALL — both produce the
+    * long form).
+    */
+  def unpivotStatus(s: SparkSession, d: String): DataFrame =
+    Expressions.pivotStatus(s, d)
+      .select(col("o_orderpriority"),
+        expr("stack(3, 'F', f_cnt, 'O', o_cnt, 'P', p_cnt) AS (status, cnt)"))
+      .orderBy(col("o_orderpriority"), col("status"))
+
   /** The shared CTE-chain text — both engines execute it verbatim. */
   private[operators] val cteChainSql: String =
     """WITH busy AS (
@@ -356,5 +396,25 @@ object Analytics {
         "FROM orders GROUP BY 1 ORDER BY priority")
 
     val cteChain: String = cteChainSql
+
+    val windowRangeFrame: String =
+      ("SELECT user_id, event_id, CAST(SUM(CAST(value AS DECIMAL(14,4))) OVER " +
+        "(PARTITION BY user_id ORDER BY epoch_s RANGE BETWEEN 300 PRECEDING AND CURRENT ROW) " +
+        "AS DOUBLE) AS trailing_5m FROM " +
+        "(SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s, value FROM events) t " +
+        "ORDER BY user_id, event_id")
+
+    val notInNull: String = notInNullSql
+
+    val unpivotStatus: String =
+      ("WITH p AS (SELECT o_orderpriority, " +
+        "count(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt, " +
+        "count(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt, " +
+        "count(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt FROM orders GROUP BY o_orderpriority) " +
+        "SELECT o_orderpriority, status, cnt FROM (" +
+        "SELECT o_orderpriority, 'F' AS status, f_cnt AS cnt FROM p " +
+        "UNION ALL SELECT o_orderpriority, 'O', o_cnt FROM p " +
+        "UNION ALL SELECT o_orderpriority, 'P', p_cnt FROM p) u " +
+        "ORDER BY o_orderpriority, status")
   }
 }

@@ -142,13 +142,15 @@ object Dedup {
     * joined signature slice — engine-portable, unlike a 64-bit band hash).
     * Pure expression work — the signature computation never shuffles.
     */
-  def minhashSignatures(s: SparkSession, d: String): DataFrame = {
-    val withShingles = withShingleHashes(
-      Tables.documents(s, d).select(col("doc_id"), col("text"))).drop("text")
+  def minhashSignatures(s: SparkSession, d: String): DataFrame =
+    sigsFrom(withShingleHashes(
+      Tables.documents(s, d).select(col("doc_id"), col("text"))).drop("text"))
+
+  private def sigsFrom(shingled: DataFrame): DataFrame = {
     val sigCols = hashParams.zipWithIndex.map { case ((a, b), k) =>
       expr(s"array_min(transform(sh, h -> (h * ${a}L + ${b}L) % ${P}L))").as(s"m$k")
     }
-    val sig = withShingles.select(col("doc_id") +: sigCols: _*)
+    val sig = shingled.select(col("doc_id") +: sigCols: _*)
     (0 until Bands).foldLeft(sig) { (df, band) =>
       val cols = (0 until RowsPerBand).map(r => col(s"m${band * RowsPerBand + r}"))
       df.withColumn(s"band$band", concat_ws("_", cols: _*))
@@ -159,9 +161,17 @@ object Dedup {
     * docs agreeing on a full band collide), then exact shingle-set Jaccard
     * verifies. The candidate join is on (band index, band hash) — tiny keys,
     * no quadratic blowup; this is the 100 TB path.
+    *
+    * The shingle-hash projection feeds both the signature branch and the
+    * verification branch; per-branch column pruning specializes the two
+    * subtrees, so the hashing is evaluated once per branch — acceptable
+    * (it rides each branch's scan; forcing single evaluation would need a
+    * persist, which is a caller-level policy, not an operator's).
     */
   def minhashLshPairs(s: SparkSession, d: String): DataFrame = {
-    val sigs = minhashSignatures(s, d)
+    val shingled = withShingleHashes(
+      Tables.documents(s, d).select(col("doc_id"), col("text"))).drop("text")
+    val sigs = sigsFrom(shingled)
     val bands = sigs.select(col("doc_id"),
       posexplode(array((0 until Bands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band_hash")))
     val candidates = bands.as("x")
@@ -171,8 +181,7 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
-    val shingles = withShingleHashes(
-      Tables.documents(s, d).select(col("doc_id"), col("text")))
+    val shingles = shingled
       .select(col("doc_id"), array_distinct(col("sh")).as("shs"))
     candidates
       .join(shingles.as("sa"), col("da") === col("sa.doc_id"))
