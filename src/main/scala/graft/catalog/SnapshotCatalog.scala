@@ -74,6 +74,25 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     fs(dir).exists(new Path(dir, "commits.json"))
   }
 
+  /** ALTER TABLE ADD COLUMN (schema evolution, Iceberg-style additive
+    * path): the declared schema gains a trailing nullable column; existing
+    * snapshot files are untouched and read back NULL for it (schema-on-read
+    * — `readSnapshot` always applies the declared schema, so pre-evolution
+    * snapshots, including time-travel reads, present the current schema
+    * with NULL-filled new columns). Only additive evolution is offered:
+    * drops/renames would silently orphan data in old files.
+    */
+  def addColumn(schema: String, table: String, name: String,
+                dataType: org.apache.spark.sql.types.DataType): Unit = synchronized {
+    require(tableExists(schema, table), s"Table $schema.$table does not exist")
+    val current = declaredSchema(schema, table).getOrElse(
+      throw new IllegalStateException(s"Table $schema.$table has no declared schema"))
+    require(!current.fieldNames.map(_.toLowerCase).contains(name.toLowerCase),
+      s"Column $name already exists in $schema.$table")
+    writeString(new Path(tableDir(schema, table), "_table_schema.json"),
+      current.add(name, dataType, nullable = true).json)
+  }
+
   /** DROP TABLE (S6). */
   def dropTable(schema: String, table: String): Unit = {
     val dir = tableDir(schema, table)

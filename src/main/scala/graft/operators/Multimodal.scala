@@ -92,6 +92,30 @@ object Multimodal {
     }
   }
 
+  /** Resized media record: payload transformed to a bounded-size rendition
+    * plus the original length, the thumbnail-pipeline output shape.
+    */
+  final case class ResizedMedia(media_id: Long, modality: String,
+                                orig_len: Int, payload: Array[Byte])
+
+  /** Payload resize through the stub boundary — a real impl decodes,
+    * scales and re-encodes; the fake stride-samples the payload down to
+    * ≤ targetBytes, preserving determinism and the binary-in/binary-out
+    * partition-local shape (no shuffle; rendition rides the scan).
+    */
+  def resizePayloads(s: SparkSession, d: String, targetBytes: Int = 256): Dataset[ResizedMedia] = {
+    import s.implicits._
+    mediaTable(s, d).as[MediaRecord].mapPartitions { it =>
+      it.map { r =>
+        val n = r.payload.length
+        val out =
+          if (n <= targetBytes) r.payload
+          else Array.tabulate(targetBytes)(i => r.payload((i.toLong * n / targetBytes).toInt))
+        ResizedMedia(r.media_id, r.modality, n, out)
+      }
+    }
+  }
+
   /** Frame sampling: every k-th "frame" (1 KiB chunk) of the payload —
     * byte-slicing plumbing identical to real video frame extraction.
     */

@@ -172,4 +172,32 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(n == 3)
     assert(c.readLatest("common_test_data", "ctas_t").count() == 3)
   }
+
+  test("addColumn evolves the schema; old snapshots read NULL for new columns") {
+    val c = freshCatalog()
+    c.createTable("common_test_data", "evolve_t", StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType))))
+    c.insert("common_test_data", "evolve_t", Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    val preEvolution = c.snapshots("common_test_data", "evolve_t").last.committedAtMillis
+
+    c.addColumn("common_test_data", "evolve_t", "score", DoubleType)
+    intercept[IllegalArgumentException] {
+      c.addColumn("common_test_data", "evolve_t", "NAME", StringType) // case-insensitive dup
+    }
+    c.insert("common_test_data", "evolve_t",
+      Seq((3L, "c", 0.5)).toDF("id", "name", "score"))
+
+    val latest = c.readLatest("common_test_data", "evolve_t")
+    assert(latest.schema.fieldNames.toSeq == Seq("id", "name", "score"))
+    val rows = latest.select($"id", $"score").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(rows == Map(1L -> None, 2L -> None, 3L -> Some(0.5)))
+
+    // time travel to before the evolution: schema-on-read presents the
+    // current declared schema, NULL-filled for pre-evolution files
+    val asOf = c.readAsOf("common_test_data", "evolve_t", preEvolution)
+    assert(asOf.count() == 2)
+    assert(asOf.schema.fieldNames.contains("score"))
+    assert(asOf.filter($"score".isNotNull).count() == 0)
+  }
 }

@@ -155,6 +155,16 @@ class PipelineOpsSpec extends SparkSpec {
     assert(feats.map(_.feature.toSeq).toSeq == again.map(_.feature.toSeq).toSeq)
   }
 
+  test("multimodal: resizePayloads bounds renditions and preserves short payloads") {
+    val resized = Multimodal.resizePayloads(spark, sf001, targetBytes = 64).collect()
+    assert(resized.length == 500)
+    assert(resized.forall(r => r.payload.length <= 64))
+    assert(resized.forall(r => r.payload.length == math.min(64, r.orig_len)))
+    // deterministic: same input → same rendition bytes
+    val again = Multimodal.resizePayloads(spark, sf001, targetBytes = 64).collect()
+    assert(resized.map(_.payload.toSeq).toSeq == again.map(_.payload.toSeq).toSeq)
+  }
+
   test("multimodal: payload round-trips through parquet binary column") {
     val dir = tmpDir("media")
     Multimodal.mediaTable(spark, sf001).write.mode("overwrite").parquet(s"$dir/media.parquet")
