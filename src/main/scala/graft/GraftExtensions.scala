@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, IntersectCount}
 
 /** SparkSessionExtensions entry point: makes the engine's native functions
   * available in ANY session — including spark-submit / Connect deployments
@@ -22,6 +22,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("dot_product"),
         new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
         (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+        .asInstanceOf[(FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder)])
+    ext.injectFunction(
+      (FunctionIdentifier("intersect_count"),
+        new ExpressionInfo(classOf[IntersectCount].getName, "intersect_count"),
+        (children: Seq[Expression]) => IntersectCount(children(0), children(1)))
         .asInstanceOf[(FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder)])
   }
 }

@@ -358,10 +358,13 @@ object SparkEntry {
       // set equals exact text dedup
       "SELECT MIN(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text ORDER BY doc_id",
     "near_dup_jaccard" ->
-      ("WITH words AS (SELECT DISTINCT doc_id, source, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w FROM documents), " +
+      // same portable word-hashing as the Spark side (collisions, if any,
+      // affect both engines identically)
+      ("WITH words AS (SELECT DISTINCT doc_id, source, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h " +
+        "FROM (SELECT doc_id, source, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w FROM documents) raw), " +
         "cnt AS (SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id), " +
         "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i FROM words a " +
-        "JOIN words b ON a.w = b.w AND a.source = b.source AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "JOIN words b ON a.h = b.h AND a.source = b.source AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
         "SELECT da, db, jaccard FROM (SELECT da, db, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard " +
         "FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id) t " +
         "WHERE jaccard >= 0.8 ORDER BY da, db"),

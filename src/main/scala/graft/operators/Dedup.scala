@@ -60,35 +60,45 @@ object Dedup {
     */
   def nearDupJaccard(s: SparkSession, d: String): DataFrame = {
     val t = 0.8
+    // word sets as SORTED DISTINCT portable 60-bit hashes: an 8-byte long
+    // per token shuffles ~3× lighter than the string, compares without
+    // unsafe string walks, feeds the merge-walk verifier, and replays in
+    // the DuckDB oracle (hash collisions, ~n²/2^60, hit both engines
+    // identically)
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
-        array_distinct(split(lower(trim(col("text"))), "\\s+")).as("ws"))
-    val words = docs.select(col("doc_id"), col("source"), size(col("ws")).as("n"),
-      explode(col("ws")).as("w"))
-    // global document frequency per (source, word) = the prefix order
-    val df = words.groupBy(col("source"), col("w")).agg(count(lit(1)).as("df"))
-    // order each doc's words by (df, w); keep the ⌊(1-t)n⌋+1 rarest
-    val prefixW = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("w"))
-    val prefixes = words.join(df, Seq("source", "w"))
+        sort_array(array_distinct(expr(
+          s"transform(split(lower(trim(text)), '\\\\s+'), w -> ${Portable.spark60("w")})")))
+          .as("hs"))
+    val words = docs.select(col("doc_id"), col("source"), size(col("hs")).as("n"),
+      explode(col("hs")).as("h"))
+    // global document frequency per (source, token) = the prefix order
+    val df = words.groupBy(col("source"), col("h")).agg(count(lit(1)).as("df"))
+    // order each doc's tokens by (df, h); keep the ⌊(1-t)n⌋+1 rarest
+    val prefixW = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    val prefixes = words.join(df, Seq("source", "h"))
       .withColumn("rk", row_number().over(prefixW))
       .filter(col("rk") <= floor((lit(1.0) - t) * col("n")) + 1)
-      .select(col("doc_id"), col("source"), col("n"), col("w"))
+      .select(col("doc_id"), col("source"), col("n"), col("h"))
     val candidates = prefixes.as("a")
       .join(prefixes.as("b"),
-        col("a.w") === col("b.w") && col("a.source") === col("b.source") &&
+        col("a.h") === col("b.h") && col("a.source") === col("b.source") &&
           col("a.doc_id") < col("b.doc_id") &&
           // length-ratio filter: J >= t forces min(na,nb) >= t·max(na,nb)
           col("a.n") * 5 >= col("b.n") * 4 && col("b.n") * 5 >= col("a.n") * 4)
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    // exact verification on the full word sets
-    val sets = docs.select(col("doc_id"), col("ws"))
+    // exact verification: one codegen'd merge walk per candidate pair
+    // (|A∪B| = na + nb − i, so no array materialization at all)
+    val sets = docs.select(col("doc_id"), col("hs"))
     candidates
       .join(sets.as("sa"), col("da") === col("sa.doc_id"))
       .join(sets.as("sb"), col("db") === col("sb.doc_id"))
+      .withColumn("i",
+        graft.functions.IntersectCount.intersectCount(col("sa.hs"), col("sb.hs")))
       .select(col("da"), col("db"),
-        (size(array_intersect(col("sa.ws"), col("sb.ws"))).cast("double") /
-          size(array_union(col("sa.ws"), col("sb.ws")))).as("jaccard"))
+        (col("i").cast("double") /
+          (size(col("sa.hs")) + size(col("sb.hs")) - col("i"))).as("jaccard"))
       .filter(col("jaccard") >= t)
       .orderBy(col("da"), col("db"))
   }
