@@ -85,6 +85,7 @@ object SparkEntry {
     "near_dup_jaccard"   -> (Dedup.nearDupJaccard _),
     "minhash_lsh_pairs"  -> (Dedup.minhashLshPairs _),
     "simhash"            -> (Dedup.simhash _),
+    "dedup_clusters"     -> (Dedup.dedupClusters _),
     // similarity search
     "embedding_norms"    -> (Similarity.embeddingNorms _),
     "ann_brute_force"    -> (Similarity.annBruteForce _),
@@ -357,17 +358,8 @@ object SparkEntry {
       // fingerprint grouping is collision-free at this scale, so the kept
       // set equals exact text dedup
       "SELECT MIN(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text ORDER BY doc_id",
-    "near_dup_jaccard" ->
-      // same portable word-hashing as the Spark side (collisions, if any,
-      // affect both engines identically)
-      ("WITH words AS (SELECT DISTINCT doc_id, source, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h " +
-        "FROM (SELECT doc_id, source, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w FROM documents) raw), " +
-        "cnt AS (SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id), " +
-        "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i FROM words a " +
-        "JOIN words b ON a.h = b.h AND a.source = b.source AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
-        "SELECT da, db, jaccard FROM (SELECT da, db, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard " +
-        "FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id) t " +
-        "WHERE jaccard >= 0.8 ORDER BY da, db"),
+    "near_dup_jaccard" -> operators.Dedup.Oracle.nearDupJaccardSql,
+    "dedup_clusters"   -> operators.Dedup.Oracle.dedupClustersSql,
     "embedding_norms" ->
       ("SELECT vec_id, label, sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS l2_norm " +
         "FROM embeddings ORDER BY vec_id"),

@@ -103,6 +103,50 @@ object Dedup {
       .orderBy(col("da"), col("db"))
   }
 
+  /** Near-duplicate clusters: connected components over the J ≥ 0.8 pair
+    * graph, via distributed min-label propagation — each iteration is one
+    * join + one aggregation, labels converge in O(graph diameter)
+    * iterations (near-dup graphs are dense and shallow, typically 2-4).
+    * Every document gets a cluster id = the smallest doc_id in its
+    * component (singletons label themselves), which doubles as the kept
+    * canonical document — the "one survivor per duplicate cluster" policy
+    * of training-data dedup.
+    *
+    * Scale shape: the edge list is the (bounded) near-dup pair set; each
+    * iteration shuffles only (doc_id, label) longs. The oracle replays the
+    * same components with a recursive transitive-closure CTE.
+    */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val pairs = nearDupJaccard(s, d).select(col("da"), col("db"))
+    // undirected edge list, both directions
+    val edges = pairs.union(pairs.select(col("db").as("da"), col("da").as("db")))
+      .toDF("src", "dst").persist()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("lbl")).persist()
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < 50) {
+      val viaNeighbors = edges
+        .join(labels, edges("dst") === labels("doc_id"))
+        .select(col("src").as("doc_id"), col("lbl"))
+      val next = labels.select(col("doc_id"), col("lbl"))
+        .union(viaNeighbors)
+        .groupBy(col("doc_id")).agg(min(col("lbl")).as("lbl"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("doc_id"))
+        .filter(col("lbl") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iters += 1
+    }
+    edges.unpersist()
+    val sizes = Window.partitionBy(col("cluster"))
+    labels.select(col("doc_id"), col("lbl").as("cluster"))
+      .withColumn("csize", count(lit(1)).over(sizes))
+      .withColumn("is_kept", col("doc_id") === col("cluster"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- MinHash + LSH ----
 
   /** Engine-portable 60-bit content hash: the first 15 hex digits of md5,
@@ -236,6 +280,41 @@ object Dedup {
     */
   object Oracle {
     private val shv = s"${Portable.duck60("array_to_string(toks[i:i+2], ' ')")} % ${P}"
+
+    /** Shared CTE list: hashed word sets → shared-token counts → J ≥ 0.8
+      * pairs (the exact twin of nearDupJaccard's verification).
+      */
+    private val nearDupPairsCtes: String =
+      s"""words AS (SELECT DISTINCT doc_id, source, ${Portable.duck60("w")} AS h
+         |  FROM (SELECT doc_id, source, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w FROM documents) raw),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i FROM words a
+         |  JOIN words b ON a.h = b.h AND a.source = b.source AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pairs AS (SELECT da, db FROM (SELECT da, db, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+         |  FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id) t
+         |  WHERE jaccard >= 0.8)""".stripMargin
+
+    /** near_dup_jaccard: the pair list itself, with scores. */
+    val nearDupJaccardSql: String =
+      s"""WITH ${nearDupPairsCtes.replace(
+            "pairs AS (SELECT da, db FROM",
+            "pairs AS (SELECT da, db, jaccard FROM")}
+         |SELECT da, db, jaccard FROM pairs ORDER BY da, db""".stripMargin
+
+    /** dedup_clusters: connected components of the pair graph via a
+      * recursive transitive-closure CTE, min label per component.
+      */
+    val dedupClustersSql: String =
+      s"""WITH RECURSIVE ${nearDupPairsCtes},
+         |edges AS (SELECT da AS src, db AS dst FROM pairs UNION ALL SELECT db, da FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lbl AS (SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY src)
+         |SELECT doc_id, cluster, COUNT(*) OVER (PARTITION BY cluster) AS csize,
+         |       doc_id = cluster AS is_kept
+         |FROM lbl ORDER BY doc_id""".stripMargin
 
     /** minhash_lsh_pairs: shingle → K minhashes → 4-row band keys →
       * band-bucket candidate pairs → exact shingle-set Jaccard ≥ 0.3.

@@ -56,6 +56,20 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("dedupClusters groups exact+near dups into one component, keeps min doc") {
+    withPlanted { dir =>
+      val got = Dedup.dedupClusters(spark, dir)
+        .select($"doc_id", $"cluster", $"csize", $"is_kept")
+        .as[(Long, Long, Long, Boolean)].collect().toSet
+      assert(got == Set(
+        (1L, 1L, 3L, true),   // {1,2,3}: exact dup 2 + near-dup 3 chain to 1
+        (2L, 1L, 3L, false),
+        (3L, 1L, 3L, false),
+        (4L, 4L, 1L, true),   // singletons label themselves
+        (5L, 5L, 1L, true)))
+    }
+  }
+
   test("simhash: identical texts get identical hashes; near-dups are close in Hamming distance") {
     withPlanted { dir =>
       val sh = Dedup.simhash(spark, dir).as[(Long, Long)].collect().toMap
