@@ -79,6 +79,7 @@ object SparkEntry {
     "quality_score" -> (TextAnalysis.qualityScore _),
     "lang_id"       -> (TextAnalysis.langId _),
     "fingerprint"   -> (TextAnalysis.fingerprint _),
+    "tfidf_top_terms" -> (TextAnalysis.tfidfTopTerms _),
     // deduplication
     "dedup_exact"        -> (Dedup.dedupExact _),
     "dedup_fingerprint"  -> (Dedup.dedupByFingerprint _),
@@ -321,6 +322,7 @@ object SparkEntry {
     //      non-replicable: ann_lsh/ann_ivf; the hash-based ops use the
     //      portable md5-60 hash and are fully oracle-checked) ----
     "fingerprint" -> operators.TextAnalysis.fingerprintSql,
+    "tfidf_top_terms" -> operators.TextAnalysis.tfidfTopTermsSql,
     "simhash" -> operators.Dedup.Oracle.simhashSql,
     "minhash_lsh_pairs" -> operators.Dedup.Oracle.minhashLshPairsSql,
     "ann_lsh" -> operators.Similarity.annLshOracleSql,

@@ -129,6 +129,43 @@ object TextAnalysis {
         expr("cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint)").as("fp60"))
       .orderBy(col("doc_id"))
 
+  /** Top-3 TF-IDF terms per document. The idf is the rational N/df (no
+    * logarithm: libm `log` is not guaranteed correctly-rounded and can
+    * differ in the last ulp across engines; the ranking is the same).
+    * Shape: one tf aggregation, one df aggregation, broadcast scalar N,
+    * per-document top-k window — every shuffle on small keys.
+    */
+  def tfidfTopTerms(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+    val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, Seq("w"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("w").as("term"), col("tf"),
+        ((col("tf") * col("n_docs")).cast("double") / col("df")).as("score"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  /** DuckDB twin of `tfidfTopTerms`. */
+  val tfidfTopTermsSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w FROM documents),
+      |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+      |nd AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (SELECT doc_id, w AS term, tf, CAST(tf * n_docs AS DOUBLE) / df AS score
+      |           FROM tf JOIN dfq USING (w) CROSS JOIN nd)
+      |SELECT doc_id, term, tf, score, rk FROM (
+      |  SELECT doc_id, term, tf, score,
+      |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+      |  FROM scored) t WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
   /** DuckDB twin of `fingerprint`: list_reduce fold over per-character code
     * points (prepended 0 accumulator = Spark's aggregate initial value).
     */
