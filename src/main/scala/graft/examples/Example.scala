@@ -106,6 +106,27 @@ object Example {
     val d = spark.sql("SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
       .collect().head.getDouble(0)
     println(s"[11] dot_product via extensions = $d")
+    val ic = spark.sql(
+      "SELECT intersect_count(array(1L, 3L, 5L, 9L), array(3L, 4L, 5L)) AS i")
+      .collect().head.getLong(0)
+    println(s"[14] intersect_count via extensions = $ic")
+
+    // schema evolution: add a column, old rows read back NULL
+    engine.catalog.addColumn("example", "employee_data", "title", StringType)
+    engine.catalog.insert("example", "employee_data",
+      Seq((5, "Barbara", "Liskov", "Prof."))
+        .toDF("employee_id", "first_name", "last_name", "title"))
+    val withTitle = engine.catalog.readLatest("example", "employee_data")
+    println(s"[15] after addColumn: schema=${withTitle.schema.fieldNames.mkString(",")}, " +
+      s"null titles = ${withTitle.filter(withTitle("title").isNull).count()}")
+
+    // skew-safe join: one hot key spread over salted reducers
+    val hot = spark.range(1000).select(
+      org.apache.spark.sql.functions.lit(1L).as("k"),
+      org.apache.spark.sql.functions.col("id").as("v"))
+    val dim = Seq((1L, "hot-dim")).toDF("k", "name")
+    val joined = graft.operators.Skew.saltedJoin(hot, dim, "k", salts = 4).count()
+    println(s"[16] saltedJoin matched $joined rows across 4 salt partitions")
 
     spark.stop()
     println("[done]")
