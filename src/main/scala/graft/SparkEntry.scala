@@ -93,6 +93,7 @@ object SparkEntry {
     "ann_lsh"            -> (Similarity.annLsh _),
     "ann_ivf"            -> ((s, d) => Similarity.annIvf(s, d)),
     "embedding_near_dup" -> (Similarity.embeddingNearDup _),
+    "embedding_quantize" -> (Similarity.embeddingQuantize _),
     // multimodal plumbing
     "media_meta"   -> (Multimodal.mediaMeta _),
     "frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
@@ -133,6 +134,7 @@ object SparkEntry {
     "window_range_frame" -> (Analytics.windowRangeFrame _),
     "not_in_null"        -> (Analytics.notInNull _),
     "unpivot_status"     -> (Analytics.unpivotStatus _),
+    "stratified_sample"  -> (Analytics.stratifiedSample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -327,6 +329,7 @@ object SparkEntry {
     "minhash_lsh_pairs" -> operators.Dedup.Oracle.minhashLshPairsSql,
     "ann_lsh" -> operators.Similarity.annLshOracleSql,
     "ann_ivf" -> operators.Similarity.annIvfOracleSql(),
+    "embedding_quantize" -> operators.Similarity.embeddingQuantizeSql,
     "text_stats" ->
       ("SELECT doc_id, CAST(length(text) AS INT) AS n_chars, " +
         s"CAST(${operators.TextAnalysis.Formulas.nTokensDuck} AS INT) AS n_tokens, " +
@@ -445,5 +448,6 @@ object SparkEntry {
     "window_range_frame" -> Analytics.Sql.windowRangeFrame,
     "not_in_null"        -> Analytics.Sql.notInNull,
     "unpivot_status"     -> Analytics.Sql.unpivotStatus,
+    "stratified_sample"  -> Analytics.Sql.stratifiedSample,
   )
 }

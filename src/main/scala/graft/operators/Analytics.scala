@@ -273,6 +273,22 @@ object Analytics {
         expr("stack(3, 'F', f_cnt, 'O', o_cnt, 'P', p_cnt) AS (status, cnt)"))
       .orderBy(col("o_orderpriority"), col("status"))
 
+  /** Deterministic fraction-based stratified sampling: keep ~10% per
+    * stratum by an engine-portable integer hash of the key (the
+    * reproducible replacement for `TABLESAMPLE` in training-data
+    * subsampling — rerunning the pipeline selects the same rows).
+    */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("keep",
+        expr("pmod(pmod(doc_id * 2654435761L, 4294967296L), 100L)") < 10)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        expr("count_if(keep)").as("n_sampled"),
+        (expr("count_if(keep)").cast("double") / count(lit(1))).as("ratio"))
+      .orderBy(col("source"))
+
   /** The shared CTE-chain text — both engines execute it verbatim. */
   private[operators] val cteChainSql: String =
     """WITH busy AS (
@@ -405,6 +421,12 @@ object Analytics {
         "ORDER BY user_id, event_id")
 
     val notInNull: String = notInNullSql
+
+    val stratifiedSample: String =
+      ("SELECT source, count(*) AS n_total, " +
+        "count(*) FILTER (WHERE (doc_id * 2654435761) % 4294967296 % 100 < 10) AS n_sampled, " +
+        "CAST(count(*) FILTER (WHERE (doc_id * 2654435761) % 4294967296 % 100 < 10) AS DOUBLE) / count(*) AS ratio " +
+        "FROM documents GROUP BY source ORDER BY source")
 
     val unpivotStatus: String =
       ("WITH p AS (SELECT o_orderpriority, " +
