@@ -424,7 +424,7 @@ object SparkEntry {
         "ORDER BY rf, ls"),
     "sample_per_group" ->
       ("SELECT source, doc_id, rn FROM (SELECT source, doc_id, " +
-        "ROW_NUMBER() OVER (PARTITION BY source ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn " +
+        "ROW_NUMBER() OVER (PARTITION BY source ORDER BY (doc_id % 1000000007) * 2654435761 % 4294967296, doc_id) AS rn " +
         "FROM documents) t WHERE rn <= 3 ORDER BY source, rn"),
     // ---- analytics extensions (round 2) ----
     "stats_moments"      -> Analytics.Sql.statsMoments,

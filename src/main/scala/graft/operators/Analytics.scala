@@ -281,7 +281,7 @@ object Analytics {
   def stratifiedSample(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("keep",
-        expr("pmod(pmod(doc_id * 2654435761L, 4294967296L), 100L)") < 10)
+        expr("pmod(pmod(pmod(doc_id, 1000000007L) * 2654435761L, 4294967296L), 100L)") < 10)
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_total"),
@@ -424,8 +424,8 @@ object Analytics {
 
     val stratifiedSample: String =
       ("SELECT source, count(*) AS n_total, " +
-        "count(*) FILTER (WHERE (doc_id * 2654435761) % 4294967296 % 100 < 10) AS n_sampled, " +
-        "CAST(count(*) FILTER (WHERE (doc_id * 2654435761) % 4294967296 % 100 < 10) AS DOUBLE) / count(*) AS ratio " +
+        "count(*) FILTER (WHERE (doc_id % 1000000007) * 2654435761 % 4294967296 % 100 < 10) AS n_sampled, " +
+        "CAST(count(*) FILTER (WHERE (doc_id % 1000000007) * 2654435761 % 4294967296 % 100 < 10) AS DOUBLE) / count(*) AS ratio " +
         "FROM documents GROUP BY source ORDER BY source")
 
     val unpivotStatus: String =

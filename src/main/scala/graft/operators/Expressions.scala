@@ -173,7 +173,7 @@ object Expressions {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("rnd"), col("doc_id"))
     Tables.documents(s, d)
-      .withColumn("rnd", expr("pmod(doc_id * 2654435761L, 4294967296L)"))
+      .withColumn("rnd", expr("pmod(pmod(doc_id, 1000000007L) * 2654435761L, 4294967296L)"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .select(col("source"), col("doc_id"), col("rn"))

@@ -158,7 +158,7 @@ object Similarity {
     val corpus = emb(s, d)
     // pass 1: deterministic pseudo-random seed vectors (Knuth stride)
     val seeds = corpus
-      .withColumn("rnd", expr("pmod(vec_id * 2654435761L, 4294967296L)"))
+      .withColumn("rnd", expr("pmod(pmod(vec_id, 1000000007L) * 2654435761L, 4294967296L)"))
       .orderBy(col("rnd"), col("vec_id"))
       .limit(nlist)
       .select(col("embedding"))
@@ -313,7 +313,7 @@ object Similarity {
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
        |sd AS (SELECT cell, v FROM (
-       |        SELECT ROW_NUMBER() OVER (ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) - 1 AS cell, v
+       |        SELECT ROW_NUMBER() OVER (ORDER BY (vec_id % 1000000007) * 2654435761 % 4294967296, vec_id) - 1 AS cell, v
        |        FROM e) t WHERE cell < $nlist),
        |a0 AS (SELECT vec_id, cell FROM (
        |        SELECT e.vec_id, s.cell,
