@@ -135,7 +135,10 @@ object Dedup {
     // (min-propagation), so the sum strictly decreases until fixpoint —
     // one aggregation over checkpointed data per iteration, no join
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+      // coalesce: sum over an EMPTY labels set (no near-dup pairs at all)
+      // is NULL — without it the convergence compare NPEs on clean corpora
+      df.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).head.getDecimal(0)
     var prevSum = labelSum(labels)
     var changed = true
     var iters = 0
@@ -164,6 +167,10 @@ object Dedup {
       labels = next
       iters += 1
     }
+    // with pointer jumping 50 rounds covers diameter 2^50 — hitting the
+    // cap means something is broken; fail loudly rather than return
+    // partially-merged clusters
+    require(!changed, s"dedupClusters failed to converge in $iters iterations")
     val connected = labels.select(col("doc_id"), col("lbl").as("cluster"))
     val singletons = docs.join(edges.select(col("src").as("doc_id")).distinct(),
         Seq("doc_id"), "left_anti")

@@ -70,6 +70,20 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("dedupClusters on a corpus with no near-dups: every doc is its own singleton") {
+    val dir = tmpDir("clean-docs")
+    Seq(
+      (1L, "completely unrelated first document about parquet readers", "en", "s1", 0L),
+      (2L, "watermark streaming checkpoint recovery semantics explained", "en", "s1", 0L),
+      (3L, "catalyst optimizer rule injection through session extensions", "en", "s1", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.dedupClusters(spark, dir)
+      .select($"doc_id", $"cluster", $"csize", $"is_kept")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(got == Set((1L, 1L, 1L, true), (2L, 2L, 1L, true), (3L, 3L, 1L, true)))
+  }
+
   test("simhash: identical texts get identical hashes; near-dups are close in Hamming distance") {
     withPlanted { dir =>
       val sh = Dedup.simhash(spark, dir).as[(Long, Long)].collect().toMap
