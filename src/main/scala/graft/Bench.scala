@@ -44,11 +44,16 @@ object Bench {
     def fmt(v: Double): String = f"$v%.3f"
     val bySlowest = results.sortBy(-_._2)
     val budget = 2000
+    // strict slowest-first prefix: stop at the first entry that overflows
+    // (admitting later shorter names would misrepresent the map as "the
+    // slowest queries")
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
+    var full = false
     bySlowest.foreach { case (k, v) =>
       val e = "\"" + k + "\":" + fmt(v)
-      if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
+      if (!full && used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
+      else full = true
     }
     val qs = entries.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")

@@ -59,7 +59,13 @@ object Dedup {
     * is bounded by the rarest-token bucket sizes.
     */
   def nearDupJaccard(s: SparkSession, d: String): DataFrame = {
-    val t = 0.8
+    // Jaccard threshold t = Tp/Tq — kept rational so the prefix length
+    // and the length-ratio filter derive from the SAME integers (a
+    // float-derived prefix bound floor((1-0.8)*n)+1 is one token short
+    // whenever 5 | n, because 1.0-0.8 = 0.19999…96 in binary)
+    val Tp = 4L
+    val Tq = 5L
+    val t = Tp.toDouble / Tq
     // word sets as SORTED DISTINCT portable 60-bit hashes: an 8-byte long
     // per token shuffles ~3× lighter than the string, compares without
     // unsafe string walks, feeds the merge-walk verifier, and replays in
@@ -74,18 +80,20 @@ object Dedup {
       explode(col("hs")).as("h"))
     // global document frequency per (source, token) = the prefix order
     val df = words.groupBy(col("source"), col("h")).agg(count(lit(1)).as("df"))
-    // order each doc's tokens by (df, h); keep the ⌊(1-t)n⌋+1 rarest
+    // order each doc's tokens by (df, h); keep the n − ⌈t·n⌉ + 1 rarest,
+    // computed in INTEGER arithmetic: ⌈Tp·n/Tq⌉ = (Tp·n + Tq − 1) div Tq
     val prefixW = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
     val prefixes = words.join(df, Seq("source", "h"))
       .withColumn("rk", row_number().over(prefixW))
-      .filter(col("rk") <= floor((lit(1.0) - t) * col("n")) + 1)
+      .filter(col("rk") <=
+        col("n") - expr(s"(n * $Tp + ${Tq - 1}) div $Tq") + 1)
       .select(col("doc_id"), col("source"), col("n"), col("h"))
     val candidates = prefixes.as("a")
       .join(prefixes.as("b"),
         col("a.h") === col("b.h") && col("a.source") === col("b.source") &&
           col("a.doc_id") < col("b.doc_id") &&
           // length-ratio filter: J >= t forces min(na,nb) >= t·max(na,nb)
-          col("a.n") * 5 >= col("b.n") * 4 && col("b.n") * 5 >= col("a.n") * 4)
+          col("a.n") * Tq >= col("b.n") * Tp && col("b.n") * Tq >= col("a.n") * Tp)
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
     // exact verification: one codegen'd merge walk per candidate pair
@@ -118,7 +126,11 @@ object Dedup {
     */
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"))
-    val pairs = nearDupJaccard(s, d).select(col("da"), col("db"))
+    // checkpoint the pair list BEFORE building both edge directions:
+    // otherwise each union branch independently re-runs the whole
+    // near-dup pipeline (shared subtrees are specialized per branch, so
+    // nothing is reused — measured as ~40% of this operator's runtime)
+    val pairs = nearDupJaccard(s, d).select(col("da"), col("db")).localCheckpoint()
     // undirected edge list, both directions; the loop only touches docs
     // with at least one edge — singletons are appended at the end.
     // localCheckpoint (not persist): each iteration references the prior
@@ -270,14 +282,18 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
+    // sorted distinct shingle sets feed the allocation-free merge-walk
+    // verifier (|A∪B| = na + nb − i), same as nearDupJaccard
     val shingles = shingled
-      .select(col("doc_id"), array_distinct(col("sh")).as("shs"))
+      .select(col("doc_id"), sort_array(array_distinct(col("sh"))).as("shs"))
     candidates
       .join(shingles.as("sa"), col("da") === col("sa.doc_id"))
       .join(shingles.as("sb"), col("db") === col("sb.doc_id"))
+      .withColumn("i",
+        graft.functions.IntersectCount.intersectCount(col("sa.shs"), col("sb.shs")))
       .select(col("da"), col("db"),
-        (size(array_intersect(col("sa.shs"), col("sb.shs"))).cast("double") /
-          size(array_union(col("sa.shs"), col("sb.shs")))).as("jaccard"))
+        (col("i").cast("double") /
+          (size(col("sa.shs")) + size(col("sb.shs")) - col("i"))).as("jaccard"))
       .filter(col("jaccard") >= 0.3)
       .orderBy(col("da"), col("db"))
   }
@@ -351,8 +367,9 @@ object Dedup {
          |       doc_id = cluster AS is_kept
          |FROM lbl ORDER BY doc_id""".stripMargin
 
-    /** minhash_lsh_pairs: shingle → K minhashes → 4-row band keys →
-      * band-bucket candidate pairs → exact shingle-set Jaccard ≥ 0.3.
+    /** minhash_lsh_pairs: shingle → K minhashes → Bands×RowsPerBand (8×2)
+      * band keys → band-bucket candidate pairs → exact shingle-set
+      * Jaccard ≥ 0.3.
       */
     val minhashLshPairsSql: String = {
       val prm = hashParams.zipWithIndex

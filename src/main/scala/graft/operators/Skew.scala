@@ -30,6 +30,8 @@ object Skew {
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
+    require(!left.columns.contains("_salt") && !right.columns.contains("_salt"),
+      "saltedJoin reserves the _salt column name; rename it on the inputs first")
     val salted = left.withColumn("_salt",
       pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salts.toLong)))
     val replicated = right.withColumn("_salt",
