@@ -22,9 +22,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: exercise scan/agg/join/window/HOF codegen paths once, small
+    // warmup: exercise scan/agg/join/window/HOF/codegen/iterative paths
+    // once, small — covers every JIT-sensitive shape in the timed sweep
     val warmupDir = "/root/testdata/sf0.001"
-    Seq("q3_shipping", "window_topk_per_key", "minhash_lsh_pairs", "ann_brute_force")
+    Seq("q3_shipping", "window_topk_per_key", "minhash_lsh_pairs",
+      "ann_brute_force", "ann_ivf", "dedup_clusters", "tfidf_top_terms")
       .foreach { q =>
         try SparkEntry.queries(q)(spark, warmupDir).count()
         catch { case _: Throwable => () }
