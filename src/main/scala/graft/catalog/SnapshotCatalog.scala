@@ -189,9 +189,15 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     }
   }
 
-  /** DELETE FROM … WHERE cond (rows matching `cond` removed). */
+  /** DELETE FROM … WHERE cond (rows matching `cond` removed). SQL
+    * three-valued logic: only rows where cond is TRUE are deleted — a
+    * NULL-valued predicate keeps the row (plain `filter(!cond)` would
+    * drop it, since !NULL is NULL and filter discards NULLs).
+    */
   def delete(schema: String, table: String, cond: org.apache.spark.sql.Column): Snapshot =
-    rewrite(schema, table)(_.filter(!cond))
+    rewrite(schema, table)(_.filter(
+      !org.apache.spark.sql.functions.coalesce(
+        cond, org.apache.spark.sql.functions.lit(false))))
 
   /** Commit a full-table rewrite: new snapshot referencing only its own
     * files (same commit shape as `compact`).

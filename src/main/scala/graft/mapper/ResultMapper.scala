@@ -13,10 +13,10 @@ import scala.reflect.ClassTag
   *     (QueryResultMapper.cs:37-38)
   *   - fields with no matching column become null/None (reference leaves the
   *     property at its default)
-  *   - values are coerced to the field type; a failed coercion raises an
-  *     error naming both column and field (QueryResultMapper.cs:53-65) —
-  *     Spark ANSI cast supplies the runtime error, we supply the naming via
-  *     an upfront compatibility check
+  *   - values are coerced to the field type; an impossible column→field
+  *     cast fails fast at mapping time with an error naming both sides
+  *     (QueryResultMapper.cs:53-65); runtime value errors surface through
+  *     Spark's ANSI cast
   *
   * Implemented as a plan rewrite (select + cast + alias), not per-row
   * reflection, so mapping is distributed and codegen-friendly — the 100 TB
@@ -43,9 +43,18 @@ object ResultMapper {
     val enc = implicitly[Encoder[T]]
     val byKey: Map[String, String] =
       df.columns.groupBy(normKey).map { case (k, vs) => k -> vs.head }
+    val srcTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val cols: Array[Column] = enc.schema.fields.map { f =>
       byKey.get(normKey(f.name)) match {
-        case Some(src) => col(src).cast(f.dataType).as(f.name)
+        case Some(src) =>
+          // fail fast with NAMES when the cast cannot exist at all —
+          // Spark's own analysis error would not say which field
+          if (!org.apache.spark.sql.catalyst.expressions.Cast
+                .canCast(srcTypes(src), f.dataType))
+            throw new IllegalArgumentException(
+              s"Cannot map result column '$src' (${srcTypes(src).simpleString}) " +
+                s"to field '${f.name}' (${f.dataType.simpleString})")
+          col(src).cast(f.dataType).as(f.name)
         case None      => lit(null).cast(f.dataType).as(f.name)
       }
     }
@@ -73,26 +82,38 @@ object ResultMapper {
       else if (c == classOf[Int] || c == classOf[java.lang.Integer]) v match {
         case n: Number => n.intValue()
         case s: String => s.toInt
+        case other     => incoercible(other, "Int")
       }
       else if (c == classOf[Long] || c == classOf[java.lang.Long]) v match {
         case n: Number => n.longValue()
         case s: String => s.toLong
+        case other     => incoercible(other, "Long")
       }
       else if (c == classOf[Double] || c == classOf[java.lang.Double]) v match {
         case n: Number => n.doubleValue()
         case s: String => s.toDouble
+        case other     => incoercible(other, "Double")
       }
       else if (c == classOf[Boolean] || c == classOf[java.lang.Boolean]) v match {
         case b: Boolean => b
         case s: String  => s.toBoolean
+        case other      => incoercible(other, "Boolean")
       }
       else if (c == classOf[String]) v.toString
       else if (c == classOf[BigDecimal]) v match {
         case d: java.math.BigDecimal => BigDecimal(d)
         case n: Number => BigDecimal(n.toString)
         case s: String => BigDecimal(s)
+        case other     => incoercible(other, "BigDecimal")
       }
       else v
     out.asInstanceOf[T]
   }
+
+  /** Descriptive coercion failure (QueryResultMapper.cs:53-65 contract) —
+    * a bare scala.MatchError would name neither value nor target type.
+    */
+  private def incoercible(v: Any, target: String): Nothing =
+    throw new IllegalArgumentException(
+      s"Cannot coerce scalar value '$v' (${v.getClass.getSimpleName}) to $target")
 }

@@ -35,6 +35,10 @@ object SqlFormat {
   /** True when the tail of the already-rendered SQL ends with the keyword
     * TIMESTAMP — the reference's 10-char lookback hack that lets users write
     * `... FOR TIMESTAMP AS OF TIMESTAMP {ts}` without double keywords.
+    * Faithful port INCLUDING the reference's quirks
+    * (SqlParameterFormatter.cs:29-35: window-then-TrimEnd, so two trailing
+    * spaces defeat the match, and an identifier ending in "timestamp"
+    * false-positives) — behavioral parity wins over cleverness here.
     */
   def precededByTimestampKeyword(prefix: String): Boolean = {
     val tail = prefix.takeRight(10).trim.toUpperCase
@@ -45,7 +49,13 @@ object SqlFormat {
     case null       => "NULL"
     case None       => "NULL"
     case Some(x)    => literal(x, precedingSql)
-    case s: String  => "'" + s.replace("'", "''") + "'"
+    // the reference escapes only '' (Trino parses ANSI string literals);
+    // Spark's default parser ALSO treats backslash as an escape inside
+    // single quotes, so backslashes must be doubled here or a literal
+    // backslash corrupts the value and a trailing one escapes the closing
+    // quote (injection). Doubling preserves the reference's actual
+    // contract — values round-trip — on Spark's dialect.
+    case s: String  => "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
     case b: Boolean => if (b) "true" else "false"
     case d: Double  => d.toString
     case f: Float   => f.toString

@@ -110,9 +110,14 @@ object EventStreams {
         col("click_id"), col("p_ts"), col("c_ts"))
   }
 
-  /** Custom stateful sessionization with flatMapGroupsWithState: emits a
-    * SessionSummary when a user's session times out (30 min processing-time
-    * timeout in the streaming case; end-of-stream flush in tests).
+  /** Custom stateful sessionization with flatMapGroupsWithState, BATCH
+    * mode: Spark invokes the function once per key with the full group, so
+    * sessions are split on 30-minute gaps and flushed at end of input. A
+    * streaming deployment of the same logic needs
+    * `GroupStateTimeout.EventTimeTimeout` + `state.update` between
+    * micro-batches (native `session_window` — `sessionWindowAgg` above —
+    * is the production streaming path; this demonstrates the custom-state
+    * API shape).
     */
   def sessionize(spark: SparkSession, events: Dataset[Event]): Dataset[SessionSummary] = {
     import spark.implicits._

@@ -47,20 +47,28 @@ class StorageOps(conf: Configuration) {
 
   /** Paginated-equivalent prefix listing (S10): recursive, returns flat
     * object infos like the reference's continuation-token loop
-    * (MinioS3Client.cs:97-130). Hadoop's RemoteIterator streams entries, so
-    * listing a million-object prefix does not materialize on the heap.
+    * (MinioS3Client.cs:97-130). This convenience form MATERIALIZES the
+    * listing (one ObjectInfo per entry on the driver heap) — use
+    * [[listIterator]] for huge prefixes.
     */
-  def list(prefix: String): Seq[ObjectInfo] = {
+  def list(prefix: String): Seq[ObjectInfo] = listIterator(prefix).toSeq
+
+  /** Streaming variant of [[list]]: wraps Hadoop's RemoteIterator, so a
+    * million-object prefix is consumed entry-by-entry without driver-side
+    * materialization.
+    */
+  def listIterator(prefix: String): Iterator[ObjectInfo] = {
     val p = new Path(prefix)
     val f = fs(p)
-    if (!f.exists(p)) return Nil
+    if (!f.exists(p)) return Iterator.empty
     val it = f.listFiles(p, true)
-    val buf = scala.collection.mutable.ArrayBuffer.empty[ObjectInfo]
-    while (it.hasNext) {
-      val st = it.next()
-      buf += ObjectInfo(st.getPath.toString, st.getLen, st.getModificationTime)
+    new Iterator[ObjectInfo] {
+      def hasNext: Boolean = it.hasNext
+      def next(): ObjectInfo = {
+        val st = it.next()
+        ObjectInfo(st.getPath.toString, st.getLen, st.getModificationTime)
+      }
     }
-    buf.toSeq
   }
 
   /** Server-side-style copy (S11, MinioS3Client.cs:133-151). */

@@ -126,4 +126,12 @@ class GraftEngineSpec extends SparkSpec {
     assert(resp.rowCount == 3)
     assert(spark.read.parquet(target).count() == 3)
   }
+
+  test("string parameters round-trip through Spark's parser (backslashes, quotes)") {
+    import graft.params.Sql._
+    for (v <- Seq("plain", "it's", "a\\nb", "x\\", "\\' OR 1=1 --", "tab\there", "uni \u00e9\u4e2d")) {
+      val got = engine.queryScalar[String](sql"SELECT $v AS v")
+      assert(got.contains(v), s"round-trip failed for <$v>: got $got")
+    }
+  }
 }

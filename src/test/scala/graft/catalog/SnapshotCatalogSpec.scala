@@ -200,4 +200,23 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(asOf.schema.fieldNames.contains("score"))
     assert(asOf.filter($"score".isNotNull).count() == 0)
   }
+
+  test("delete honors SQL three-valued logic: NULL predicates keep the row") {
+    val c = freshCatalog()
+    c.createTable("common_test_data", "del3vl", StructType(Seq(
+      StructField("id", LongType), StructField("x", IntegerType))))
+    c.insert("common_test_data", "del3vl",
+      spark.createDataFrame(
+        java.util.List.of(
+          org.apache.spark.sql.Row(1L, Integer.valueOf(10)),
+          org.apache.spark.sql.Row(2L, null),
+          org.apache.spark.sql.Row(3L, Integer.valueOf(3))),
+        StructType(Seq(StructField("id", LongType), StructField("x", IntegerType)))))
+    import org.apache.spark.sql.functions.col
+    c.delete("common_test_data", "del3vl", col("x") > 5)
+    // id=1 (x=10) deleted; id=2 (x NULL -> predicate UNKNOWN) kept; id=3 kept
+    val left = c.readLatest("common_test_data", "del3vl")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(left == Seq(2L, 3L))
+  }
 }

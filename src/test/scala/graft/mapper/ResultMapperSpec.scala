@@ -10,6 +10,8 @@ case class Employee(employeeId: Int, firstName: String, lastName: String)
 case class Person(id: Int, name: Option[String], age: Option[Int], active: Option[Boolean])
 case class JustId(id: Long)
 
+case class BadPayloadRow(id: Long, payload: java.sql.Timestamp)
+
 class ResultMapperSpec extends SparkSpec {
   import spark.implicits._
 
@@ -83,5 +85,21 @@ class ResultMapperSpec extends SparkSpec {
   test("scalar takes first row, first column only") {
     val df = Seq((10, "a"), (20, "b")).toDF("v", "s").orderBy($"v")
     assert(ResultMapper.scalar[Int](df) == Some(10))
+  }
+
+  test("coercion failures name the value and target type, not a bare MatchError") {
+    val e = intercept[IllegalArgumentException] {
+      ResultMapper.scalar[Int](spark.sql("SELECT true AS v"))
+    }
+    assert(e.getMessage.contains("true") && e.getMessage.contains("Int"))
+  }
+
+  test("impossible column->field casts fail fast naming both sides") {
+    import spark.implicits._
+    val df = Seq((1L, Array(1.0, 2.0))).toDF("id", "payload")
+    val e = intercept[IllegalArgumentException] {
+      ResultMapper.datasetOf[BadPayloadRow](df)
+    }
+    assert(e.getMessage.contains("payload") && e.getMessage.contains("timestamp"))
   }
 }

@@ -64,12 +64,21 @@ class SqlFormatSpec extends AnyFunSuite {
   test("escaping round-trip property: any string survives quoting") {
     val rnd = new scala.util.Random(42)
     (1 to 500).foreach { _ =>
-      val s = rnd.alphanumeric.take(rnd.nextInt(20)).mkString + "'\"'' — " +
+      val s = rnd.alphanumeric.take(rnd.nextInt(20)).mkString + "'\"'' \\ \\' — " +
         rnd.nextString(rnd.nextInt(10))
       val lit = SqlFormat.literal(s)
       assert(lit.head == '\'' && lit.last == '\'')
-      // unescape must restore the original
-      assert(lit.substring(1, lit.length - 1).replace("''", "'") == s)
+      // unescape (inverse order of escaping) must restore the original
+      assert(lit.substring(1, lit.length - 1)
+        .replace("''", "'").replace("\\\\", "\\") == s)
     }
+  }
+
+  test("backslash escaping: trailing backslash cannot escape the closing quote") {
+    // Spark's parser treats \' as an escaped quote — without doubling,
+    // s = "x\\" would render 'x\' and swallow the rest of the statement
+    assert(SqlFormat.literal("x\\") == "'x\\\\'")
+    assert(SqlFormat.literal("a\\nb") == "'a\\\\nb'")
+    assert(SqlFormat.literal("\\' OR 1=1 --") == "'\\\\'' OR 1=1 --'")
   }
 }
