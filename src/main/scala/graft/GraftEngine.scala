@@ -36,7 +36,15 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
   // ---- query surface ----
 
   def query(stmt: SqlStatement): DataFrame =
-    spark.sql(rewriteTimeTravel(stmt.text))
+    try spark.sql(rewriteTimeTravel(stmt.text))
+    catch {
+      // parse + analysis failures (ParseException extends AnalysisException)
+      // → typed contract naming the statement, the parity point with the
+      // reference's TrinoAggregateException
+      // (TrinoClientIntegrationTests.cs:126-132)
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new GraftQueryException(stmt.text, "SQL failed to parse/analyze", e)
+    }
 
   /** Typed query (reference QueryAsync<T>, AthenaClient.cs:55-70). */
   def queryAs[T: Encoder](stmt: SqlStatement): Seq[T] =
@@ -46,13 +54,17 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
   def queryScalar[T: ClassTag](stmt: SqlStatement): Option[T] =
     ResultMapper.scalar[T](query(stmt))
 
-  /** DDL/DML without a result set; INSERT INTO catalog tables commits a
-    * snapshot and returns rows affected (reference S5 semantics:
-    * Scripts/insert/01-test-data.sql via ExecuteNonQuery,
-    * TrinoIcebergStack.cs:206-231); -1 when the row count is unknown.
+  /** DDL/DML without a result set. SQL-text DDL — CREATE SCHEMA [WITH
+    * (location)], CREATE TABLE [IF NOT EXISTS] (+Iceberg-style
+    * `partitioning = ARRAY[…]`), CTAS, DROP TABLE — routes into the
+    * snapshot catalog, so the reference's seed scripts run verbatim
+    * (Scripts/create/01-schema.sql, 02-tables.sql via ExecuteNonQuery,
+    * TrinoIcebergStack.cs:152-197). INSERT INTO catalog tables commits a
+    * snapshot and returns rows affected (S5: Scripts/insert/
+    * 01-test-data.sql); -1 when the row count is unknown.
     */
   def executeNonQuery(stmt: SqlStatement): Long =
-    tryInsert(stmt.text).getOrElse {
+    tryDdl(stmt.text).orElse(tryInsert(stmt.text)).getOrElse {
       val rows = query(stmt).collect()
       if (rows.length == 1 && rows(0).length == 1) rows(0).get(0) match {
         case n: Number => n.longValue()
@@ -60,20 +72,48 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
       } else -1L
     }
 
-  private val insertRe =
-    """(?is)^\s*INSERT\s+INTO\s+([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s+VALUES\s+(.+)$""".r
+  private def tryDdl(sqlText: String): Option[Long] =
+    graft.catalog.DdlParser.parse(sqlText).map {
+      case graft.catalog.CreateSchemaStmt(schema, ifNotExists, location) =>
+        if (catalog.schemaExists(schema) && !ifNotExists)
+          throw new GraftQueryException(sqlText, s"Schema $schema already exists")
+        catalog.createSchema(schema, location)
+        0L
+      case graft.catalog.CreateTableStmt(schema, table, columns, ifNotExists, partitionedBy) =>
+        if (!catalog.schemaExists(schema)) catalog.createSchema(schema)
+        try catalog.createTable(schema, table, columns, ifNotExists, partitionedBy)
+        catch { case e: IllegalStateException =>
+          throw new GraftQueryException(sqlText, e.getMessage, e) }
+        0L
+      case graft.catalog.CreateTableAsStmt(schema, table, select, ifNotExists) =>
+        if (ifNotExists && catalog.tableExists(schema, table)) 0L
+        else {
+          if (!catalog.schemaExists(schema)) catalog.createSchema(schema)
+          catalog.createTableAs(schema, table, query(SqlStatement(select)))
+        }
+      case graft.catalog.DropTableStmt(schema, table, ifExists) =>
+        if (!catalog.tableExists(schema, table)) {
+          if (ifExists) 0L
+          else throw new GraftQueryException(sqlText, s"Table $schema.$table does not exist")
+        } else { catalog.dropTable(schema, table); 0L }
+    }
 
-  /** `INSERT INTO <schema>.<table> VALUES (…),(…)` → snapshot commit.
-    * Literal rows are parsed by Catalyst (`SELECT * FROM VALUES …`), cast
-    * positionally to the declared table schema, and appended as one commit
-    * — each INSERT is one time-travel-visible snapshot, exactly the
-    * reference's commit model (AthenaClientTests.cs:351-364).
+  private val insertRe =
+    """(?is)^\s*INSERT\s+INTO\s+(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s+VALUES\s+(.+)$""".r
+
+  /** `INSERT INTO [catalog.]<schema>.<table> VALUES (…),(…)` → snapshot
+    * commit (a leading catalog qualifier, the reference's `iceberg.`, is
+    * accepted and dropped). Literal rows are parsed by Catalyst
+    * (`SELECT * FROM VALUES …`), cast positionally to the declared table
+    * schema, and appended as one commit — each INSERT is one
+    * time-travel-visible snapshot, exactly the reference's commit model
+    * (AthenaClientTests.cs:351-364).
     */
   private def tryInsert(sqlText: String): Option[Long] = sqlText match {
     case insertRe(schemaName, tableName, values) if catalog.tableExists(schemaName, tableName) =>
       val declared = catalog.declaredSchema(schemaName, tableName).getOrElse(
         throw new IllegalStateException(s"Table $schemaName.$tableName has no declared schema"))
-      val raw = spark.sql(s"SELECT * FROM VALUES $values")
+      val raw = spark.sql(s"SELECT * FROM VALUES ${values.stripSuffix(";")}")
       require(raw.schema.length == declared.length,
         s"INSERT arity ${raw.schema.length} != table arity ${declared.length}")
       val cast = raw.select(declared.fields.zipWithIndex.map { case (f, i) =>
@@ -83,6 +123,28 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
       catalog.insert(schemaName, tableName, cast)
       Some(n)
     case _ => None
+  }
+
+  /** Run a multi-statement SQL script exactly the way the reference's
+    * stack runner feeds its seed scripts (TrinoIcebergStack.cs:152-197):
+    * drop full-line `--` comments, split on statement-terminating `;`
+    * (quote-aware — a `;` inside a string literal does not split), execute
+    * each non-empty statement in order. Returns per-statement row counts.
+    */
+  def executeScript(script: String): Seq[Long] = {
+    val noComments = script.linesIterator
+      .filterNot(_.trim.startsWith("--")).mkString("\n")
+    val stmts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    noComments.foreach {
+      case '\'' => inQuote = !inQuote; cur += '\''
+      case ';' if !inQuote => stmts += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    stmts += cur.toString
+    stmts.map(_.trim).filter(_.nonEmpty).toSeq
+      .map(s => executeNonQuery(SqlStatement(s)))
   }
 
   /** Parallel statement batch (reference TrinoIcebergStack.cs:233-257). */

@@ -93,6 +93,7 @@ object SparkEntry {
     "ann_lsh"            -> (Similarity.annLsh _),
     "ann_ivf"            -> ((s, d) => Similarity.annIvf(s, d)),
     "embedding_near_dup" -> (Similarity.embeddingNearDup _),
+    "embedding_near_dup_exact" -> (Similarity.embeddingNearDupExact _),
     "embedding_quantize" -> (Similarity.embeddingQuantize _),
     // multimodal plumbing
     "media_meta"   -> (Multimodal.mediaMeta _),
@@ -375,7 +376,8 @@ object SparkEntry {
         "SELECT q_id, e.vec_id, list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS score, " +
         "ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, e.vec_id) AS rn " +
         "FROM q, e WHERE e.vec_id <> q_id) t WHERE rn <= 10 ORDER BY q_id, rn"),
-    "embedding_near_dup" ->
+    "embedding_near_dup" -> operators.Similarity.embeddingNearDupOracleSql,
+    "embedding_near_dup_exact" ->
       ("WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) " +
         "SELECT a.vec_id AS va, b.vec_id AS vb, " +
         "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine " +
@@ -426,6 +428,9 @@ object SparkEntry {
       ("SELECT source, doc_id, rn FROM (SELECT source, doc_id, " +
         "ROW_NUMBER() OVER (PARTITION BY source ORDER BY (doc_id % 1000000007) * 2654435761 % 4294967296, doc_id) AS rn " +
         "FROM documents) t WHERE rn <= 3 ORDER BY source, rn"),
+    // time travel: real differential oracle — DuckDB reads the resolved
+    // snapshot dir of the deterministic demo layout (round-3)
+    "time_travel_demo" -> operators.CatalogDemos.timeTravelDemoSql,
     // ---- analytics extensions (round 2) ----
     "stats_moments"      -> Analytics.Sql.statsMoments,
     "corr_qty_price"     -> Analytics.Sql.corrQtyPrice,

@@ -1,0 +1,112 @@
+package graft.catalog
+
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
+
+/** Parsed DDL statements in the Trino dialect the reference's seed scripts
+  * use (reference tests/IntegrationTests/Scripts/create/01-schema.sql,
+  * 02-tables.sql): `CREATE SCHEMA [IF NOT EXISTS] [cat.]schema
+  * [WITH (location = '…')]`, `CREATE TABLE [IF NOT EXISTS]
+  * [cat.]schema.table (col type, …)`, CTAS, and `DROP TABLE [IF EXISTS]`.
+  * A leading catalog qualifier (the reference's `iceberg.`) names the
+  * connector in Trino; here there is exactly one catalog, so it is
+  * accepted and dropped.
+  */
+sealed trait DdlStatement
+final case class CreateSchemaStmt(schema: String, ifNotExists: Boolean,
+                                  location: Option[String]) extends DdlStatement
+final case class CreateTableStmt(schema: String, table: String,
+                                 columns: StructType, ifNotExists: Boolean,
+                                 partitionedBy: Seq[String]) extends DdlStatement
+final case class CreateTableAsStmt(schema: String, table: String,
+                                   select: String, ifNotExists: Boolean) extends DdlStatement
+final case class DropTableStmt(schema: String, table: String,
+                               ifExists: Boolean) extends DdlStatement
+
+object DdlParser {
+
+  private val createSchemaRe =
+    """(?is)^\s*CREATE\s+SCHEMA\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*(?:WITH\s*\(\s*location\s*=\s*'([^']*)'\s*\))?\s*;?\s*$""".r
+  private val createTableRe =
+    """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.*)\)\s*(?:WITH\s*\(\s*partitioning\s*=\s*ARRAY\[([^\]]*)\]\s*\))?\s*;?\s*$""".r
+  private val ctasRe =
+    """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+(.+?)\s*;?\s*$""".r
+  private val dropTableRe =
+    """(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$""".r
+
+  /** Parse one statement; None when the text is not DDL this layer owns
+    * (the caller then falls through to Catalyst).
+    */
+  def parse(sqlText: String): Option[DdlStatement] = sqlText match {
+    case createSchemaRe(ine, name, loc) =>
+      Some(CreateSchemaStmt(schemaOf(name), ine != null, Option(loc)))
+    case createTableRe(ine, name, cols, parts) =>
+      val (sch, tbl) = tableOf(name)
+      Some(CreateTableStmt(sch, tbl, parseColumns(cols), ine != null,
+        Option(parts).toSeq.flatMap(_.split(",")).map(_.trim.stripPrefix("'").stripSuffix("'"))
+          .filter(_.nonEmpty)))
+    case ctasRe(ine, name, select) =>
+      val (sch, tbl) = tableOf(name)
+      Some(CreateTableAsStmt(sch, tbl, select, ine != null))
+    case dropTableRe(ie, name) =>
+      val (sch, tbl) = tableOf(name)
+      Some(DropTableStmt(sch, tbl, ie != null))
+    case _ => None
+  }
+
+  /** `[catalog.]schema` → schema. */
+  private def schemaOf(name: String): String = name.split('.').last
+
+  /** `[catalog.]schema.table` → (schema, table); a bare name lands in
+    * `default`.
+    */
+  private def tableOf(name: String): (String, String) = {
+    val parts = name.split('.')
+    if (parts.length >= 2) (parts(parts.length - 2), parts.last)
+    else ("default", parts.head)
+  }
+
+  /** Split a column-definition list on top-level commas (nesting-aware, so
+    * `decimal(10,2)` survives).
+    */
+  private[catalog] def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    out += cur.toString
+    out.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  private def parseColumns(colList: String): StructType =
+    StructType(splitTopLevel(colList).map { colDef =>
+      val trimmed = colDef.trim
+      val sp = trimmed.indexWhere(_.isWhitespace)
+      require(sp > 0, s"Malformed column definition: '$trimmed'")
+      StructField(trimmed.substring(0, sp), sparkType(trimmed.substring(sp).trim),
+        nullable = true)
+    })
+
+  /** Trino column type → Spark DataType. Parameterized string/time types
+    * lose their precision (Spark strings are unbounded; timestamps are
+    * micros) — same lossy-but-faithful mapping Trino's own Iceberg
+    * connector applies.
+    */
+  private[catalog] def sparkType(trinoType: String): DataType = {
+    val t = trinoType.trim.toLowerCase
+    t match {
+      case "varchar" | "string" | "char" => org.apache.spark.sql.types.StringType
+      case _ if t.startsWith("varchar(") || t.startsWith("char(") =>
+        org.apache.spark.sql.types.StringType
+      case "int" | "integer" => org.apache.spark.sql.types.IntegerType
+      case "real" => org.apache.spark.sql.types.FloatType
+      case "varbinary" => org.apache.spark.sql.types.BinaryType
+      case _ if t.startsWith("timestamp") => org.apache.spark.sql.types.TimestampType
+      case _ => DataType.fromDDL(t) // bigint/smallint/tinyint/boolean/double/date/decimal(p,s)/…
+    }
+  }
+}

@@ -40,14 +40,26 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
   private def fs(p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def tableDir(schema: String, table: String) = new Path(s"$warehouse/$schema/$table")
+  private def tableDir(schema: String, table: String) =
+    new Path(schemaLocation(schema), table)
 
   // ---- DDL (S2, S3, S6) ----
 
-  /** CREATE SCHEMA … WITH (location) — a directory namespace. */
-  def createSchema(schema: String): Unit = {
+  /** CREATE SCHEMA [WITH (location = '…')] — a directory namespace. A
+    * custom location (reference Scripts/create/01-schema.sql:2:
+    * `WITH (location = 's3://warehouse/…')`) is recorded in a
+    * `_schema_location` marker under the warehouse entry, so every later
+    * tableDir resolution — any process, any session — lands on it.
+    */
+  def createSchema(schema: String, location: Option[String] = None): Unit = {
     val p = new Path(s"$warehouse/$schema")
     fs(p).mkdirs(p)
+    location.foreach { loc =>
+      val lp = new Path(loc)
+      fs(lp).mkdirs(lp)
+      writeString(new Path(p, "_schema_location"), loc)
+      locationCache.put(schema, lp)
+    }
   }
 
   def schemaExists(schema: String): Boolean = {
@@ -55,18 +67,51 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     fs(p).exists(p)
   }
 
-  /** CREATE TABLE [IF NOT EXISTS] with a declared schema (S3). */
+  /** Physical root of a schema: its custom location if one was declared,
+    * else `<warehouse>/<schema>`. Cached — one marker read per schema.
+    */
+  def schemaLocation(schema: String): Path =
+    locationCache.computeIfAbsent(schema, _ => {
+      val marker = new Path(s"$warehouse/$schema/_schema_location")
+      if (fs(marker).exists(marker)) new Path(readString(marker))
+      else new Path(s"$warehouse/$schema")
+    })
+
+  private val locationCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Path]()
+
+  /** CREATE TABLE [IF NOT EXISTS] with a declared schema (S3), optionally
+    * partitioned Iceberg-style (`WITH (partitioning = ARRAY['col'])`):
+    * every snapshot's data lands in hive-layout `col=value` subdirectories
+    * and reads prune to matching directories before any file is opened —
+    * at 100 TB the difference between scanning a day and scanning a year.
+    */
   def createTable(schema: String, table: String, columns: StructType,
-                  ifNotExists: Boolean = false): Unit = {
+                  ifNotExists: Boolean = false,
+                  partitionedBy: Seq[String] = Nil): Unit = {
     val dir = tableDir(schema, table)
     val f = fs(dir)
+    val missing = partitionedBy.filterNot(p =>
+      columns.fieldNames.exists(_.equalsIgnoreCase(p)))
+    require(missing.isEmpty,
+      s"Partition column(s) ${missing.mkString(", ")} not in declared schema")
     if (f.exists(dir)) {
       if (ifNotExists) return
       throw new IllegalStateException(s"Table $schema.$table already exists")
     }
     f.mkdirs(dir)
     writeString(new Path(dir, "_table_schema.json"), columns.json)
+    if (partitionedBy.nonEmpty)
+      writeString(new Path(dir, "_partition_spec.json"),
+        partitionedBy.mkString("\n"))
     writeString(new Path(dir, "commits.json"), "[]")
+  }
+
+  /** Declared partition columns (empty for unpartitioned tables). */
+  def partitionSpec(schema: String, table: String): Seq[String] = {
+    val p = new Path(tableDir(schema, table), "_partition_spec.json")
+    if (fs(p).exists(p)) readString(p).split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    else Nil
   }
 
   def tableExists(schema: String, table: String): Boolean = {
@@ -123,10 +168,19 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val at = math.max(System.currentTimeMillis(),
       commits.lastOption.map(_.committedAtMillis + 1).getOrElse(0L))
     val snapDir = f"snap-$id%05d"
-    df.write.mode("errorifexists").parquet(new Path(dir, snapDir).toString)
+    partitionedWriter(schema, table, df)
+      .mode("errorifexists").parquet(new Path(dir, snapDir).toString)
     val snap = Snapshot(id, at, commits.lastOption.map(_.dirs).getOrElse(Nil) :+ snapDir)
     writeCommits(dir, commits :+ snap)
     snap
+  }
+
+  /** Data writer honoring the table's partition spec: partitioned tables
+    * get hive-layout `col=value` subdirectories inside every snap dir.
+    */
+  private def partitionedWriter(schema: String, table: String, df: DataFrame) = {
+    val spec = partitionSpec(schema, table)
+    if (spec.isEmpty) df.write else df.write.partitionBy(spec: _*)
   }
 
   // ---- Reads (S1, T1) ----
@@ -149,7 +203,15 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     snap match {
       case Some(s) if s.dirs.nonEmpty =>
         val paths = s.dirs.map(d => new Path(dir, d).toString)
-        declared.map(spark.read.schema(_)).getOrElse(spark.read).parquet(paths: _*)
+        def reader = declared.map(spark.read.schema(_)).getOrElse(spark.read)
+        if (partitionSpec(schema, table).isEmpty) reader.parquet(paths: _*)
+        else
+          // partitioned: each snap dir is its own discovery root (hive
+          // `col=value` layout below it), so a filter on a partition column
+          // becomes a PartitionFilter — directories that don't match are
+          // pruned before a single file is opened. Snap dirs are unioned by
+          // name; pruning applies per branch.
+          paths.map(p => reader.parquet(p)).reduce(_.unionByName(_))
       case _ =>
         val sch = declared.getOrElse(
           throw new IllegalStateException(s"Table $schema.$table has no schema and no data"))
@@ -211,8 +273,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val at = math.max(System.currentTimeMillis(),
       commits.lastOption.map(_.committedAtMillis + 1).getOrElse(0L))
     val snapDir = f"snap-$id%05d-rewrite"
-    f(readLatest(schema, table))
-      .write.mode("errorifexists").parquet(new Path(dir, snapDir).toString)
+    partitionedWriter(schema, table, f(readLatest(schema, table)))
+      .mode("errorifexists").parquet(new Path(dir, snapDir).toString)
     val snap = Snapshot(id, at, Seq(snapDir))
     writeCommits(dir, commits :+ snap)
     snap
@@ -235,9 +297,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val id = commits.last.snapshotId + 1
     val at = math.max(System.currentTimeMillis(), commits.last.committedAtMillis + 1)
     val snapDir = f"snap-$id%05d-compacted"
-    readLatest(schema, table)
-      .coalesce(numFiles)
-      .write.mode("errorifexists").parquet(new Path(dir, snapDir).toString)
+    partitionedWriter(schema, table, readLatest(schema, table).coalesce(numFiles))
+      .mode("errorifexists").parquet(new Path(dir, snapDir).toString)
     val snap = Snapshot(id, at, Seq(snapDir)) // rewrite: references only itself
     writeCommits(dir, commits :+ snap)
     snap
@@ -275,7 +336,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val dir = tableDir(schema, table)
     val f = fs(dir)
     val referenced = readCommits(schema, table).flatMap(_.dirs).toSet
-    val keep = referenced ++ Set("commits.json", "_table_schema.json")
+    val keep = referenced ++ Set("commits.json", "_table_schema.json", "_partition_spec.json")
     val orphans = f.listStatus(dir)
       .map(_.getPath)
       .filterNot(p => keep.contains(p.getName))
@@ -309,9 +370,20 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     writeString(new Path(dir, "commits.json"), mapper.writeValueAsString(arr))
   }
 
+  /** Write-temp-then-rename: a reader (including one in another process)
+    * never observes a partially-written metadata file — the visibility
+    * switch is the rename, atomic on HDFS-like filesystems. Closes the
+    * cross-process torn-read window on _table_schema.json / commits.json
+    * flagged in round 2.
+    */
   private def writeString(p: Path, s: String): Unit = {
-    val out = fs(p).create(p, true)
+    val f = fs(p)
+    val tmp = new Path(p.getParent, "." + p.getName + ".tmp")
+    val out = f.create(tmp, true)
     try out.write(s.getBytes("UTF-8")) finally out.close()
+    if (f.exists(p)) f.delete(p, false)
+    if (!f.rename(tmp, p))
+      throw new IllegalStateException(s"Atomic rename failed: $tmp -> $p")
   }
 
   private def readString(p: Path): String = {

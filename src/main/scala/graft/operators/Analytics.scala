@@ -30,8 +30,14 @@ object Analytics {
         sum(dec2("l_quantity")).cast("double").as("sx"),
         sum(dec2("l_quantity") * dec2("l_quantity")).cast("double").as("sxx"))
       .withColumn("mean_qty", col("sx") / col("n"))
+      // n=1 group → NULL (no sample variance), not a division by zero;
+      // greatest(·,0) clamps the tiny rounding-negative a zero-variance
+      // group can produce. Oracle SQL mirrors both guards verbatim.
       .withColumn("var_qty",
-        (col("n") * col("sxx") - col("sx") * col("sx")) / (col("n") * (col("n") - 1)))
+        when(col("n") > 1, greatest(
+          (col("n") * col("sxx") - col("sx") * col("sx")) / (col("n") * (col("n") - 1)),
+          lit(0.0)))
+          .otherwise(lit(null).cast("double")))
       .withColumn("sd_qty", sqrt(col("var_qty")))
       .select(col("l_returnflag").as("rf"), col("n"),
         col("mean_qty"), col("var_qty"), col("sd_qty"))
@@ -48,10 +54,12 @@ object Analytics {
         sum(dec2("l_quantity") * dec2("l_quantity")).cast("double").as("sxx"),
         sum(dec2("l_extendedprice") * dec2("l_extendedprice")).cast("double").as("syy"),
         sum(dec2("l_quantity") * dec2("l_extendedprice")).cast("double").as("sxy"))
+      // radicands clamped at 0: a constant column's power-sum identity can
+      // round to a tiny negative, where Spark returns NaN but DuckDB errors
       .withColumn("corr_qp",
         (col("n") * col("sxy") - col("sx") * col("sy")) /
-          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-            sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+          (sqrt(greatest(col("n") * col("sxx") - col("sx") * col("sx"), lit(0.0))) *
+            sqrt(greatest(col("n") * col("syy") - col("sy") * col("sy"), lit(0.0)))))
       .select(col("l_returnflag").as("rf"), col("n"), col("corr_qp"))
       .orderBy(col("rf"))
 
@@ -313,7 +321,7 @@ object Analytics {
     val statsMoments: String =
       """SELECT rf, n, mean_qty, var_qty, sqrt(var_qty) AS sd_qty FROM (
         |  SELECT rf, n, sx / n AS mean_qty,
-        |         (n * sxx - sx * sx) / (n * (n - 1)) AS var_qty
+        |         CASE WHEN n > 1 THEN greatest((n * sxx - sx * sx) / (n * (n - 1)), 0.0) ELSE NULL END AS var_qty
         |  FROM (SELECT l_returnflag AS rf, count(*) AS n,
         |          CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sx,
         |          CAST(SUM(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sxx
@@ -321,7 +329,7 @@ object Analytics {
 
     val corrQtyPrice: String =
       """SELECT rf, n,
-        |  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qp
+        |  (n * sxy - sx * sy) / (sqrt(greatest(n * sxx - sx * sx, 0.0)) * sqrt(greatest(n * syy - sy * sy, 0.0))) AS corr_qp
         |FROM (SELECT l_returnflag AS rf, count(*) AS n,
         |        CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sx,
         |        CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sy,

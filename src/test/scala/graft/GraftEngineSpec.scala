@@ -10,6 +10,7 @@ import org.apache.spark.sql.types._
   * TrinoAdoNetIntegrationTests.cs).
   */
 case class User(id: Int, username: String, email: Option[String], phone: Option[String])
+case class Employee(employeeId: Int, firstName: String, lastName: String, hireDate: java.sql.Date)
 
 class GraftEngineSpec extends SparkSpec {
   import spark.implicits._
@@ -125,6 +126,131 @@ class GraftEngineSpec extends SparkSpec {
     val resp = engine.unload(sql"SELECT id, username FROM shared_data", target)
     assert(resp.rowCount == 3)
     assert(spark.read.parquet(target).count() == 3)
+  }
+
+  test("reference seed scripts run verbatim through SQL-text DDL routing (TrinoIcebergStack.cs:152-197)") {
+    val e2 = new GraftEngine(spark, tmpDir("seed-wh"))
+    val loc = tmpDir("seed-loc") + "/common_test_data"
+    // 01-schema.sql — verbatim except the s3:// location, ported to a local
+    // path (the only environment-specific token in the scripts)
+    e2.executeScript(
+      s"""-- Create the test schema (with S3 location for Iceberg tables)
+         |CREATE SCHEMA IF NOT EXISTS iceberg.common_test_data WITH (location = '$loc');""".stripMargin)
+    // 02-tables.sql — verbatim (subset: the four seeded tables)
+    val tablesSql =
+      """-- shared_data: multi-purpose table combining several test patterns
+        |CREATE TABLE IF NOT EXISTS iceberg.common_test_data.shared_data (
+        |    id int,
+        |    value varchar,
+        |    name varchar,
+        |    age int,
+        |    active boolean,
+        |    username varchar,
+        |    email varchar,
+        |    phone varchar,
+        |    content varchar,
+        |    value_int bigint,
+        |    value_double double,
+        |    value_decimal decimal(10,2)
+        |);
+        |
+        |-- category_data: for aggregation tests
+        |CREATE TABLE IF NOT EXISTS iceberg.common_test_data.category_data (
+        |    amount bigint,
+        |    category varchar
+        |);
+        |
+        |-- employee_data: for snake_case column mapping + date type tests
+        |CREATE TABLE IF NOT EXISTS iceberg.common_test_data.employee_data (
+        |    employee_id int,
+        |    first_name varchar,
+        |    last_name varchar,
+        |    hire_date date
+        |);
+        |
+        |-- scalar_test: for QueryScalar tests with various data types
+        |CREATE TABLE IF NOT EXISTS iceberg.common_test_data.scalar_test (
+        |    id int,
+        |    int_value int,
+        |    string_value varchar,
+        |    bool_value boolean,
+        |    guid_value varchar,
+        |    datetime_value timestamp,
+        |    decimal_value decimal(10,2),
+        |    category varchar
+        |);""".stripMargin
+    e2.executeScript(tablesSql)
+    // IF NOT EXISTS: replaying the create script is a no-op, not an error
+    e2.executeScript(tablesSql)
+    // 01-test-data.sql — verbatim (escaped quotes, NULLs, DATE/TIMESTAMP
+    // literals, numeric extremes)
+    val counts = e2.executeScript(
+      """-- Populate shared_data with test records
+        |INSERT INTO iceberg.common_test_data.shared_data VALUES
+        |    (1, 'test', 'Alice', 30, true, 'alice', 'alice@example.com', '555-0001', 'Hello World', NULL, NULL, NULL),
+        |    (2, 'data', 'Bob', 25, false, 'bob', NULL, '555-0002', 'It''s a test', NULL, NULL, NULL),
+        |    (3, NULL, 'Charlie', 35, true, 'charlie', 'charlie@example.com', NULL, 'Quote: "test"', NULL, NULL, NULL),
+        |    (100, 'test', NULL, NULL, NULL, NULL, NULL, NULL, NULL, 9223372036854775807, 3.14159, 99.99),
+        |    (200, 'data', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL);
+        |
+        |-- Populate category_data for aggregation tests
+        |INSERT INTO iceberg.common_test_data.category_data VALUES (100, 'A'), (200, 'B'), (150, 'A'), (300, 'B');
+        |
+        |-- Populate employee_data for snake_case mapping tests
+        |INSERT INTO iceberg.common_test_data.employee_data VALUES
+        |    (1, 'John', 'Doe', DATE '2020-01-15'),
+        |    (2, 'Jane', 'Smith', DATE '2019-03-22');
+        |
+        |-- Populate scalar_test for QueryScalar tests
+        |INSERT INTO iceberg.common_test_data.scalar_test VALUES
+        |    (1, 10, 'apple', true, 'a1b2c3d4-e5f6-7890-abcd-ef1234567890', TIMESTAMP '2024-01-15 10:30:00', 100.50, 'A'),
+        |    (2, 20, 'banana', false, 'b2c3d4e5-f6a7-8901-bcde-f12345678901', TIMESTAMP '2024-02-20 14:45:00', 200.25, 'A'),
+        |    (3, 30, 'cherry', true, 'c3d4e5f6-a7b8-9012-cdef-123456789012', TIMESTAMP '2024-03-25 09:15:00', 50.25, 'B')""".stripMargin)
+    assert(counts == Seq(5L, 4L, 2L, 3L))
+    // tables landed at the schema's custom location, not the warehouse root
+    assert(new java.io.File(s"$loc/shared_data/commits.json").exists())
+    // golden aggregation (TrinoClientIntegrationTests.cs:87-95)
+    e2.registerTable("common_test_data", "category_data")
+    assert(e2.query(sql"SELECT category, SUM(amount) AS total FROM common_test_data_category_data GROUP BY category ORDER BY category")
+      .as[(String, Long)].collect().toSeq == Seq(("A", 250L), ("B", 500L)))
+    // snake_case→camelCase typed mapping over a DDL-created table
+    e2.registerTable("common_test_data", "employee_data")
+    val emps = e2.queryAs[Employee](
+      sql"SELECT employee_id, first_name, last_name, hire_date FROM common_test_data_employee_data ORDER BY employee_id")
+    assert(emps.map(e => (e.employeeId, e.firstName, e.lastName, e.hireDate.toString)) ==
+      Seq((1, "John", "Doe", "2020-01-15"), (2, "Jane", "Smith", "2019-03-22")))
+    // numeric extremes + escaped quote survived the INSERT routing
+    e2.registerTable("common_test_data", "shared_data")
+    assert(e2.queryScalar[Long](
+      sql"SELECT value_int FROM common_test_data_shared_data WHERE id = 100") == Some(Long.MaxValue))
+    assert(e2.queryScalar[String](
+      sql"SELECT content FROM common_test_data_shared_data WHERE id = 2") == Some("It's a test"))
+    // CTAS through SQL text returns the row count (S4 contract)
+    assert(e2.executeNonQuery(graft.params.SqlStatement(
+      "CREATE TABLE common_test_data.category_copy AS SELECT * FROM common_test_data_category_data")) == 4L)
+    assert(e2.catalog.tableExists("common_test_data", "category_copy"))
+    // DROP TABLE routes to the snapshot catalog
+    e2.executeNonQuery(sql"DROP TABLE iceberg.common_test_data.scalar_test")
+    assert(!e2.catalog.tableExists("common_test_data", "scalar_test"))
+    // and a second DROP without IF EXISTS is a typed failure
+    intercept[GraftQueryException](
+      e2.executeNonQuery(sql"DROP TABLE iceberg.common_test_data.scalar_test"))
+    assert(e2.executeNonQuery(sql"DROP TABLE IF EXISTS iceberg.common_test_data.scalar_test") == 0L)
+  }
+
+  test("invalid SQL surfaces as GraftQueryException naming the statement (TrinoClientIntegrationTests.cs:126-132)") {
+    val bad = intercept[GraftQueryException](
+      engine.query(sql"SELECT * FROM nonexistent_table_xyz"))
+    assert(bad.statement.contains("nonexistent_table_xyz"))
+    assert(bad.getMessage.contains("nonexistent_table_xyz"))
+    val unparsable = intercept[GraftQueryException](
+      engine.query(graft.params.SqlStatement("SELEKT 1 FROM")))
+    assert(unparsable.statement == "SELEKT 1 FROM")
+    // CREATE TABLE on an existing table (no IF NOT EXISTS) is typed too
+    engine.catalog.createSchema("dupdd")
+    engine.executeNonQuery(graft.params.SqlStatement("CREATE TABLE dupdd.t (id int)"))
+    intercept[GraftQueryException](
+      engine.executeNonQuery(graft.params.SqlStatement("CREATE TABLE dupdd.t (id int)")))
   }
 
   test("string parameters round-trip through Spark's parser (backslashes, quotes)") {

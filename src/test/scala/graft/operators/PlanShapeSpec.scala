@@ -4,10 +4,16 @@ import graft.SparkSpec
 
 /** Physical-plan regression guards for the scale-critical properties:
   * filter pushdown to the parquet scan, column pruning, broadcast of
-  * dimension sides, partial aggregation before the exchange, and top-k
-  * via TakeOrdered (never a global sort). These are the properties the
-  * 100 TB posture depends on — a silent regression (a lost pushdown, a
-  * sort sneaking back in) matters more than a few percent of runtime.
+  * dimension sides, partial aggregation before the exchange, top-k via
+  * TakeOrdered (never a global sort), and bucketed (not label-wide)
+  * near-dup candidate joins. These are the properties the 100 TB posture
+  * depends on — a silent regression (a lost pushdown, a sort sneaking
+  * back in) matters more than a few percent of runtime.
+  *
+  * Assertions are structural (a column appears within the ReadSchema
+  * line, a join carries a signature key) rather than exact
+  * formatted-explain substrings, so a Spark upgrade that reorders pruned
+  * columns or renames an agg label fails only on real regressions.
   */
 class PlanShapeSpec extends SparkSpec {
 
@@ -19,14 +25,23 @@ class PlanShapeSpec extends SparkSpec {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
   }
 
+  /** The ReadSchema line(s) for scans of a table containing `marker`. */
+  private def readSchemas(plan: String, marker: String): Seq[String] =
+    plan.linesIterator.filter(_.contains("ReadSchema:")).filter(_.contains(marker)).toSeq
+
   test("q6: all predicates pushed to the scan, only needed columns read") {
     val plan = executed(Joins.q6Forecast(spark, sf001))
     assert(plan.contains("PushedFilters:"), plan.take(400))
     assert(plan.contains("GreaterThanOrEqual(l_shipdate"), "shipdate range not pushed")
     assert(plan.contains("LessThan(l_quantity"), "quantity filter not pushed")
-    // projection pruning: the 8-column lineitem scan reads only 4 columns
-    assert(plan.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
-      "l_discount:double,l_shipdate"), "scan not pruned to 4 columns")
+    // projection pruning, column-order agnostic: the lineitem scan reads
+    // exactly the 4 referenced columns and none of the other 4
+    val schemas = readSchemas(plan, "l_quantity")
+    assert(schemas.nonEmpty, "lineitem ReadSchema line not found")
+    for (c <- Seq("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"))
+      assert(schemas.forall(_.contains(c)), s"needed column $c pruned away")
+    for (c <- Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"))
+      assert(schemas.forall(!_.contains(c)), s"unneeded column $c not pruned")
   }
 
   test("q5: dimension sides broadcast, no global sort before aggregation") {
@@ -37,16 +52,41 @@ class PlanShapeSpec extends SparkSpec {
 
   test("word_topk: partial aggregation before the exchange, top-k via TakeOrdered") {
     val plan = executed(Analytics.wordTopk(spark, sf001))
-    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
-      "map-side combine missing")
+    assert(plan.contains("HashAggregate"), "map-side combine missing")
     assert(plan.contains("TakeOrderedAndProject"), "top-k must not global-sort")
   }
 
   test("window_topk_per_key: single shuffle on the partition key") {
     val plan = executed(Windows.windowTopkPerKey(spark, sf001))
     assert(plan.contains("Window"), "window operator expected")
-    // the window itself needs exactly one hashpartitioning exchange on
-    // o_custkey; the trailing presentation sort is on the tiny result
-    assert(plan.contains("hashpartitioning(o_custkey"), "keyed shuffle expected")
+    // the window needs a hash exchange keyed (at least) on o_custkey; the
+    // trailing presentation sort is on the tiny result
+    assert(plan.contains("hashpartitioning") && plan.contains("o_custkey"),
+      "keyed shuffle expected")
+  }
+
+  test("embedding_near_dup: candidates join on LSH signature buckets, never label-wide") {
+    val q = Similarity.embeddingNearDup(spark, sf001)
+    // every equi-join in the plan must key on a discriminating column —
+    // the LSH signature (candidate stage) or vec_id (vector fetch); a
+    // label-only join would be the quadratic within-label blowup the
+    // bucketed design exists to avoid (round-2 verdict #3)
+    val joins = q.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty, "expected joins in the near-dup plan")
+    joins.foreach { j =>
+      val condCols = j.condition.toSeq
+        .flatMap(_.references.toSeq).map(_.name).toSet
+      assert(condCols.contains("sig") || condCols.exists(_.startsWith("vec_id")) ||
+        condCols.exists(_.startsWith("va")) || condCols.exists(_.startsWith("vb")),
+        s"join keyed only on ${condCols.mkString(",")} — label-wide self-join")
+    }
+    // and the rerank output matches the exact baseline on every candidate
+    // it surfaces (subset property: LSH ∩ threshold ⊆ exact threshold)
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.embeddingNearDupExact(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exact), s"bucketed pairs not a subset: ${got -- exact}")
   }
 }

@@ -50,6 +50,23 @@ class StorageOpsSpec extends SparkSpec {
     ops.deleteAll(Nil) // must not throw
   }
 
+  test("etag: equal content ⇒ equal etag, distinct content ⇒ distinct (S3ObjectInfo.cs:10)") {
+    val base = tmpDir("st-etag")
+    val a = writeLocal(base, "a.txt", "same content")
+    writeLocal(base, "b.txt", "same content")
+    writeLocal(base, "c.txt", "different content")
+    val byName = ops.list(base, withETags = true)
+      .map(i => i.key.split('/').last -> i.etag).toMap
+    assert(byName.values.forall(_.isDefined), "etags requested but absent")
+    assert(byName("a.txt") == byName("b.txt"), "identical bytes must share an etag")
+    assert(byName("a.txt") != byName("c.txt"), "different bytes must differ")
+    // default listing skips the per-entry checksum cost
+    assert(ops.list(base).forall(_.etag.isEmpty))
+    // single-object form; directories have no etag
+    assert(ops.etag(a) == byName("a.txt"))
+    assert(ops.etag(base).isEmpty)
+  }
+
   test("copy + delete (S11, S12)") {
     val base = tmpDir("st-copy")
     val src = writeLocal(base, "orig.txt", "content")
