@@ -73,8 +73,8 @@ object Dedup {
     // identically)
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
-        sort_array(array_distinct(expr(
-          s"transform(split(lower(trim(text)), '\\\\s+'), w -> ${Portable.spark60("w")})")))
+        sort_array(array_distinct(graft.functions.PortableHashFunctions.hashWords60(
+          split(lower(trim(col("text"))), "\\s+"))))
           .as("hs"))
     val words = docs.select(col("doc_id"), col("source"), size(col("hs")).as("n"),
       explode(col("hs")).as("h"))
@@ -211,17 +211,14 @@ object Dedup {
       s"CAST(('0x' || substr(md5($x), 1, 15)) AS BIGINT)"
   }
 
-  /** 3-gram shingles hashed portably and reduced mod P, as an array column.
-    * Tokenization is projected into its own column first (`toks`) so the
-    * split runs once per row — referencing `split(...)` inside the lambda
-    * would recompute it per shingle (O(T²) per document).
+  /** 3-gram shingles hashed portably and reduced mod P, as an array column
+    * — one codegen'd kernel pass per row (ShingleHash60); the HOF spelling
+    * `transform(sequence(…), i -> md560(concat_ws(' ', slice(toks,i+1,3))))`
+    * computes identical values but interpreted, per shingle.
     */
   private[operators] def withShingleHashes(df: DataFrame): DataFrame =
-    df.withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
-      .withColumn("sh",
-        expr("transform(sequence(0, greatest(size(toks) - 3, 0)), " +
-          s"i -> ${Portable.spark60("concat_ws(' ', slice(toks, i + 1, 3))")} % ${P}L)"))
-      .drop("toks")
+    df.withColumn("sh", graft.functions.PortableHashFunctions.shingleHash60(
+      split(lower(trim(col("text"))), "\\s+"), 3, P))
 
   /** Universal-hash parameters for the K minhash permutations over the
     * 31-bit prime field 2^31-1: shingle hashes are stored reduced mod P, so
@@ -248,10 +245,14 @@ object Dedup {
       Tables.documents(s, d).select(col("doc_id"), col("text"))).drop("text"))
 
   private def sigsFrom(shingled: DataFrame): DataFrame = {
-    val sigCols = hashParams.zipWithIndex.map { case ((a, b), k) =>
-      expr(s"array_min(transform(sh, h -> (h * ${a}L + ${b}L) % ${P}L))").as(s"m$k")
-    }
-    val sig = shingled.select(col("doc_id") +: sigCols: _*)
+    // all K=16 permutation minima in one kernel pass over the shingle
+    // array (MinHashSig) instead of 16 interpreted array_min(transform(…))
+    val withSig = shingled.withColumn("_sig",
+      graft.functions.PortableHashFunctions.minhashSig(
+        col("sh"), hashParams.map(_._1), hashParams.map(_._2), P))
+    val sigCols = hashParams.indices.map(k =>
+      element_at(col("_sig"), k + 1).as(s"m$k"))
+    val sig = withSig.select(col("doc_id") +: sigCols: _*)
     (0 until Bands).foldLeft(sig) { (df, band) =>
       val cols = (0 until RowsPerBand).map(r => col(s"m${band * RowsPerBand + r}"))
       df.withColumn(s"band$band", concat_ws("_", cols: _*))
@@ -312,16 +313,15 @@ object Dedup {
   def simhash(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
-        expr(s"transform(split(lower(trim(text)), '\\\\s+'), w -> ${Portable.spark60("w")})").as("hs"))
+        graft.functions.PortableHashFunctions.hashWords60(
+          split(lower(trim(col("text"))), "\\s+")).as("hs"))
       .select(col("doc_id"),
-        expr(
-          s"""aggregate(
-            |  sequence(0, ${SimhashBits - 1}),
-            |  0L,
-            |  (acc, b) -> acc + if(
-            |    aggregate(hs, 0L, (v, h) -> v + if((shiftright(h, b) & 1) = 1, 1L, -1L)) >= 0,
-            |    shiftleft(1L, b), 0L)
-            |)""".stripMargin).as("simhash"))
+        // one kernel pass (SimHashSig) instead of the doubly-nested
+        // aggregate() fold — identical vote semantics, but 48×|words|
+        // interpreted lambda steps become a tight generated-code loop
+        // (29 s → sub-second at sf0.1 under the honest noop-sink bench)
+        graft.functions.PortableHashFunctions.simhashSig(col("hs"), SimhashBits)
+          .as("simhash"))
       .orderBy(col("doc_id"))
 
   /** DuckDB oracle SQL for the hash-based dedup operators — generated from
