@@ -80,6 +80,8 @@ object SparkEntry {
     "lang_id"       -> (TextAnalysis.langId _),
     "fingerprint"   -> (TextAnalysis.fingerprint _),
     "tfidf_top_terms" -> (TextAnalysis.tfidfTopTerms _),
+    "repetition_stats" -> (TextAnalysis.repetitionStats _),
+    "decontaminate"    -> (TextAnalysis.decontaminate _),
     // deduplication
     "dedup_exact"        -> (Dedup.dedupExact _),
     "dedup_fingerprint"  -> (Dedup.dedupByFingerprint _),
@@ -326,6 +328,8 @@ object SparkEntry {
     //      portable md5-60 hash and are fully oracle-checked) ----
     "fingerprint" -> operators.TextAnalysis.fingerprintSql,
     "tfidf_top_terms" -> operators.TextAnalysis.tfidfTopTermsSql,
+    "repetition_stats" -> operators.TextAnalysis.repetitionStatsSql,
+    "decontaminate"    -> operators.TextAnalysis.decontaminateSql,
     "simhash" -> operators.Dedup.Oracle.simhashSql,
     "minhash_lsh_pairs" -> operators.Dedup.Oracle.minhashLshPairsSql,
     "ann_lsh" -> operators.Similarity.annLshOracleSql,

@@ -176,4 +176,95 @@ object TextAnalysis {
       "(a, b) -> (a * 131 + b) % 1000000007) AS fp, " +
       "CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS fp60 " +
       "FROM documents ORDER BY doc_id"
+
+  /** Intra-document repetition filter (the duplicate-n-gram family of
+    * quality signals from Rae et al., "Scaling Language Models: … Gopher",
+    * arXiv:2112.11446 §A1.1): fraction of duplicated words and duplicated
+    * word-2-grams inside each document; heavily self-repeating documents
+    * are boilerplate/spam and get `keep = false`. Pure per-row expression
+    * work over the shared ShingleHash60 kernel — rides the scan, no
+    * shuffle, 100 TB maps straight through.
+    */
+  def repetitionStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+      .withColumn("g2",
+        graft.functions.PortableHashFunctions.shingleHash60(col("toks"), 2, Dedup.P))
+      .select(col("doc_id"),
+        size(col("toks")).cast("int").as("n_words"),
+        (lit(1.0) - size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+          .as("dup_word_frac"),
+        (lit(1.0) - size(array_distinct(col("g2"))).cast("double") / size(col("g2")))
+          .as("dup_2gram_frac"))
+      .withColumn("keep",
+        col("dup_word_frac") < 0.7 && col("dup_2gram_frac") < 0.4)
+      .orderBy(col("doc_id"))
+
+  /** DuckDB twin of [[repetitionStats]] — same 2-gram hash spelling, same
+    * double arithmetic, same thresholds.
+    */
+  val repetitionStatsSql: String =
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents),
+       |g AS (SELECT doc_id, toks,
+       |        list_transform(generate_series(1, greatest(len(toks) - 1, 1)),
+       |          i -> CAST(('0x' || substr(md5(array_to_string(toks[i:i+1], ' ')), 1, 15)) AS BIGINT) % ${Dedup.P}) AS g2
+       |      FROM t)
+       |SELECT doc_id, CAST(len(toks) AS INT) AS n_words,
+       |       1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dup_word_frac,
+       |       1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) AS dup_2gram_frac,
+       |       (1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) < 0.7
+       |         AND (1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)) < 0.4 AS keep
+       |FROM g ORDER BY doc_id""".stripMargin
+
+  /** Benchmark decontamination (the n-gram-overlap scrub every serious
+    * training pipeline runs before training — cf. Brown et al., "Language
+    * Models are Few-Shot Learners", arXiv:2005.14165 §C): documents
+    * sharing any word-5-gram with a held-out benchmark set are flagged.
+    * Here the "benchmark" is the deterministic doc_id % 97 == 0 slice
+    * standing in for an eval suite.
+    *
+    * Scale shape: the benchmark n-gram index is small (eval suites are
+    * MBs, not TBs) and broadcasts; the corpus side is one scan + explode,
+    * an inner join against the broadcast index, and a doc_id aggregation
+    * of the few hits — no corpus-side shuffle beyond the hit set. At
+    * 100 TB the same plan holds with the index distributed as a bloom
+    * filter first if the eval suite ever outgrows broadcast range.
+    */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val ngrams = Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.PortableHashFunctions.shingleHash60(
+          split(lower(trim(col("text"))), "\\s+"), 5, Dedup.P).as("ng"))
+    val bench = ngrams.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(explode(col("ng")).as("h")).distinct()
+    val train = ngrams.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+    val hits = train.select(col("doc_id"), explode(col("ng")).as("h"))
+      .join(broadcast(bench), Seq("h"))
+      .groupBy(col("doc_id")).agg(countDistinct(col("h")).as("n_hits"))
+    train.select(col("doc_id"), size(col("ng")).cast("int").as("n_ngrams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_ngrams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[decontaminate]] — same 5-gram spelling, same
+    * benchmark slice, same left-join/COALESCE shape.
+    */
+  val decontaminateSql: String =
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents),
+       |ngr AS (SELECT doc_id,
+       |          list_transform(generate_series(1, greatest(len(toks) - 4, 1)),
+       |            i -> CAST(('0x' || substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 15)) AS BIGINT) % ${Dedup.P}) AS ng
+       |        FROM t),
+       |bench AS (SELECT DISTINCT unnest(ng) AS h FROM ngr WHERE doc_id % 97 = 0),
+       |train AS (SELECT doc_id, ng FROM ngr WHERE doc_id % 97 <> 0),
+       |hits AS (SELECT u.doc_id, count(DISTINCT u.h) AS n_hits
+       |         FROM (SELECT doc_id, unnest(ng) AS h FROM train) u
+       |         JOIN bench b ON u.h = b.h GROUP BY u.doc_id)
+       |SELECT tr.doc_id, CAST(len(tr.ng) AS INT) AS n_ngrams,
+       |       COALESCE(h.n_hits, 0) AS n_hits,
+       |       COALESCE(h.n_hits, 0) > 0 AS contaminated
+       |FROM train tr LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin
 }
