@@ -184,12 +184,21 @@ object Expressions {
     * approx value has no cross-engine oracle, so this is a rows-only entry;
     * ApproxSpec asserts the relative error bound instead.
     */
-  def approxDistinct(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .agg(
-        countDistinct(col("l_orderkey")).as("exact_orders"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+  def approxDistinct(s: SparkSession, d: String): DataFrame = {
+    // exact and approximate distincts deliberately run as SEPARATE
+    // aggregations joined at the end: a single agg mixing
+    // count(DISTINCT k) with approx_count_distinct makes Spark group by k
+    // first and carry BOTH HLL sketches per distinct key (~800 shuffled
+    // longs per group at rsd 0.02 — measured 4-9 s at sf0.1); split, the
+    // HLLs merge one sketch per partition and the exact path shuffles
+    // bare keys (~0.7 s)
+    val li = Tables.lineitem(s, d)
+    val exact = li.select(countDistinct(col("l_orderkey")).as("exact_orders"))
+    val approx = li.agg(
+      approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+    exact.crossJoin(approx)
+  }
 
   /** CUBE over two dimensions, same normalization. */
   def cubeAgg(s: SparkSession, d: String): DataFrame =
