@@ -36,7 +36,7 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
   // ---- query surface ----
 
   def query(stmt: SqlStatement): DataFrame =
-    try spark.sql(rewriteTimeTravel(stmt.text))
+    try spark.sql(rewriteCatalogRefs(rewriteTimeTravel(stmt.text)))
     catch {
       // parse + analysis failures (ParseException extends AnalysisException)
       // → typed contract naming the statement, the parity point with the
@@ -100,6 +100,8 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
 
   private val insertRe =
     """(?is)^\s*INSERT\s+INTO\s+(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s+VALUES\s+(.+)$""".r
+  private val insertSelectRe =
+    """(?is)^\s*INSERT\s+INTO\s+(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s+((?:SELECT|WITH)\s+.+)$""".r
 
   /** `INSERT INTO [catalog.]<schema>.<table> VALUES (…),(…)` → snapshot
     * commit (a leading catalog qualifier, the reference's `iceberg.`, is
@@ -111,18 +113,30 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
     */
   private def tryInsert(sqlText: String): Option[Long] = sqlText match {
     case insertRe(schemaName, tableName, values) if catalog.tableExists(schemaName, tableName) =>
-      val declared = catalog.declaredSchema(schemaName, tableName).getOrElse(
-        throw new IllegalStateException(s"Table $schemaName.$tableName has no declared schema"))
-      val raw = spark.sql(s"SELECT * FROM VALUES ${values.stripSuffix(";")}")
-      require(raw.schema.length == declared.length,
-        s"INSERT arity ${raw.schema.length} != table arity ${declared.length}")
-      val cast = raw.select(declared.fields.zipWithIndex.map { case (f, i) =>
-        org.apache.spark.sql.functions.col(raw.columns(i)).cast(f.dataType).as(f.name)
-      }.toIndexedSeq: _*)
-      val n = cast.count()
-      catalog.insert(schemaName, tableName, cast)
-      Some(n)
+      Some(commitInsert(schemaName, tableName,
+        spark.sql(s"SELECT * FROM VALUES ${values.stripSuffix(";")}")))
+    case insertSelectRe(schemaName, tableName, select) if catalog.tableExists(schemaName, tableName) =>
+      // INSERT INTO … SELECT: the source query goes through the full query
+      // surface (catalog refs + time travel resolve inside it too)
+      Some(commitInsert(schemaName, tableName, query(SqlStatement(select.stripSuffix(";")))))
     case _ => None
+  }
+
+  /** Cast a source frame positionally to the table's declared schema and
+    * commit it as one snapshot; returns rows affected.
+    */
+  private def commitInsert(schemaName: String, tableName: String,
+                           raw: DataFrame): Long = {
+    val declared = catalog.declaredSchema(schemaName, tableName).getOrElse(
+      throw new IllegalStateException(s"Table $schemaName.$tableName has no declared schema"))
+    require(raw.schema.length == declared.length,
+      s"INSERT arity ${raw.schema.length} != table arity ${declared.length}")
+    val cast = raw.select(declared.fields.zipWithIndex.map { case (f, i) =>
+      org.apache.spark.sql.functions.col(raw.columns(i)).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+    val n = cast.count()
+    catalog.insert(schemaName, tableName, cast)
+    n
   }
 
   /** Run a multi-statement SQL script exactly the way the reference's
@@ -169,21 +183,50 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
   def registerView(name: String, df: DataFrame): Unit =
     df.createOrReplaceTempView(name)
 
+  // ---- catalog-qualified names in SQL ----
+
+  private val catalogRefRe =
+    """(?i)\b(?:FROM|JOIN)\s+((?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\.([A-Za-z_]\w*))""".r
+
+  /** Resolve `FROM/JOIN [catalog.]schema.table` references against the
+    * snapshot catalog, so the reference's query SQL runs verbatim
+    * (`SELECT … FROM iceberg.common_test_data.shared_data`,
+    * TrinoClientIntegrationTests.cs:40-120) with no registerTable step.
+    * Each match that names an existing catalog table is swapped for a temp
+    * view over its latest snapshot, resolved lazily at query time; names
+    * that don't resolve (Spark temp views, `database.table` in Spark's own
+    * catalog) pass through untouched. Runs AFTER rewriteTimeTravel, which
+    * consumes the `FOR TIMESTAMP AS OF` form first.
+    */
+  private[graft] def rewriteCatalogRefs(sql: String): String =
+    catalogRefRe.replaceAllIn(sql, m => {
+      val (sch, tbl) = (m.group(2), m.group(3))
+      val keyword = m.matched.substring(0, m.matched.length - m.group(1).length)
+      if (catalog.tableExists(sch, tbl)) {
+        val view = s"_cat_${sch}_$tbl"
+        catalog.readLatest(sch, tbl).createOrReplaceTempView(view)
+        java.util.regex.Matcher.quoteReplacement(keyword + view)
+      } else java.util.regex.Matcher.quoteReplacement(m.matched)
+    })
+
   // ---- time travel in SQL (T1) ----
 
   private val timeTravelRe =
-    """(?is)\b([A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)?)\s+FOR\s+TIMESTAMP\s+AS\s+OF\s+TIMESTAMP\s+'([^']+)'""".r
+    """(?is)\b((?:[A-Za-z_]\w*\.){0,2}[A-Za-z_]\w*)\s+FOR\s+TIMESTAMP\s+AS\s+OF\s+TIMESTAMP\s+'([^']+)'""".r
 
-  /** Rewrite `FROM <schema>.<table> FOR TIMESTAMP AS OF TIMESTAMP '<ts>'`
-    * (the reference's only time-travel form, AthenaClientTests.cs:374) into a
-    * view over the resolved snapshot. The rest of the statement (WHERE /
-    * ORDER BY composition) flows through Catalyst untouched.
+  /** Rewrite `FROM [catalog.]<schema>.<table> FOR TIMESTAMP AS OF
+    * TIMESTAMP '<ts>'` (the reference's only time-travel form,
+    * AthenaClientTests.cs:374; a catalog qualifier is accepted and
+    * dropped) into a view over the resolved snapshot. The rest of the
+    * statement (WHERE / ORDER BY composition) flows through Catalyst
+    * untouched.
     */
   private[graft] def rewriteTimeTravel(sql: String): String =
     timeTravelRe.replaceAllIn(sql, m => {
       val parts = m.group(1).split("\\.")
       val (sch, tbl) =
-        if (parts.length == 2) (parts(0), parts(1)) else ("default", parts(0))
+        if (parts.length >= 2) (parts(parts.length - 2), parts.last)
+        else ("default", parts(0))
       val ts = java.time.LocalDateTime.parse(m.group(2).trim.replace(" ", "T"))
         .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
       val view = s"_tt_${sch}_${tbl}_$ts"

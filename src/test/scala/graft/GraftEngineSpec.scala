@@ -209,26 +209,38 @@ class GraftEngineSpec extends SparkSpec {
     assert(counts == Seq(5L, 4L, 2L, 3L))
     // tables landed at the schema's custom location, not the warehouse root
     assert(new java.io.File(s"$loc/shared_data/commits.json").exists())
-    // golden aggregation (TrinoClientIntegrationTests.cs:87-95)
-    e2.registerTable("common_test_data", "category_data")
-    assert(e2.query(sql"SELECT category, SUM(amount) AS total FROM common_test_data_category_data GROUP BY category ORDER BY category")
+    // golden aggregation over the VERBATIM catalog-qualified name — no
+    // registerTable step (TrinoClientIntegrationTests.cs:87-95)
+    assert(e2.query(sql"SELECT category, SUM(amount) AS total FROM iceberg.common_test_data.category_data GROUP BY category ORDER BY category")
       .as[(String, Long)].collect().toSeq == Seq(("A", 250L), ("B", 500L)))
     // snake_case→camelCase typed mapping over a DDL-created table
-    e2.registerTable("common_test_data", "employee_data")
     val emps = e2.queryAs[Employee](
-      sql"SELECT employee_id, first_name, last_name, hire_date FROM common_test_data_employee_data ORDER BY employee_id")
+      sql"SELECT employee_id, first_name, last_name, hire_date FROM iceberg.common_test_data.employee_data ORDER BY employee_id")
     assert(emps.map(e => (e.employeeId, e.firstName, e.lastName, e.hireDate.toString)) ==
       Seq((1, "John", "Doe", "2020-01-15"), (2, "Jane", "Smith", "2019-03-22")))
-    // numeric extremes + escaped quote survived the INSERT routing
-    e2.registerTable("common_test_data", "shared_data")
+    // numeric extremes + escaped quote survived the INSERT routing; the
+    // two-part spelling resolves too
     assert(e2.queryScalar[Long](
-      sql"SELECT value_int FROM common_test_data_shared_data WHERE id = 100") == Some(Long.MaxValue))
+      sql"SELECT value_int FROM iceberg.common_test_data.shared_data WHERE id = 100") == Some(Long.MaxValue))
     assert(e2.queryScalar[String](
-      sql"SELECT content FROM common_test_data_shared_data WHERE id = 2") == Some("It's a test"))
+      sql"SELECT content FROM common_test_data.shared_data WHERE id = 2") == Some("It's a test"))
     // CTAS through SQL text returns the row count (S4 contract)
     assert(e2.executeNonQuery(graft.params.SqlStatement(
-      "CREATE TABLE common_test_data.category_copy AS SELECT * FROM common_test_data_category_data")) == 4L)
+      "CREATE TABLE common_test_data.category_copy AS SELECT * FROM iceberg.common_test_data.category_data")) == 4L)
     assert(e2.catalog.tableExists("common_test_data", "category_copy"))
+    // INSERT INTO … SELECT commits a snapshot and counts rows
+    assert(e2.executeNonQuery(graft.params.SqlStatement(
+      "INSERT INTO common_test_data.category_copy " +
+        "SELECT amount * 10, category FROM iceberg.common_test_data.category_data WHERE category = 'A'")) == 2L)
+    assert(e2.queryScalar[Long](
+      sql"SELECT COUNT(*) FROM iceberg.common_test_data.category_copy") == Some(6L))
+    assert(e2.catalog.snapshots("common_test_data", "category_copy").size == 2)
+    // time travel composes with the 3-part spelling: as of commit 1 the
+    // copy has only the CTAS rows
+    val asOfC1 = java.time.Instant.ofEpochMilli(
+      e2.catalog.snapshots("common_test_data", "category_copy").head.committedAtMillis)
+    assert(e2.queryScalar[Long](
+      sql"SELECT COUNT(*) FROM iceberg.common_test_data.category_copy FOR TIMESTAMP AS OF TIMESTAMP $asOfC1") == Some(4L))
     // DROP TABLE routes to the snapshot catalog
     e2.executeNonQuery(sql"DROP TABLE iceberg.common_test_data.scalar_test")
     assert(!e2.catalog.tableExists("common_test_data", "scalar_test"))
