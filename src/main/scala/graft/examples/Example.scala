@@ -30,16 +30,18 @@ object Example {
 
     val engine = new GraftEngine(spark, s"$work/warehouse")
 
-    // CREATE SCHEMA (Program.cs:32-35)
-    engine.catalog.createSchema("example")
-    println(s"[1] created schema 'example' under $work/warehouse")
-
-    // CREATE TABLE (Program.cs:42-45)
-    engine.catalog.createTable("example", "employee_data", StructType(Seq(
-      StructField("employee_id", IntegerType),
-      StructField("first_name", StringType),
-      StructField("last_name", StringType))))
-    println("[2] created table example.employee_data")
+    // CREATE SCHEMA + TABLE as SQL text, exactly like the reference's seed
+    // scripts (Program.cs:32-45, Scripts/create/01-schema.sql) — the DDL
+    // routes into the snapshot catalog, catalog qualifier and all
+    engine.executeScript(
+      """-- seed DDL (reference Scripts/create shape)
+        |CREATE SCHEMA IF NOT EXISTS iceberg.example;
+        |CREATE TABLE IF NOT EXISTS iceberg.example.employee_data (
+        |    employee_id int,
+        |    first_name varchar,
+        |    last_name varchar
+        |);""".stripMargin)
+    println(s"[1] created schema 'example' + table employee_data from SQL script under $work/warehouse")
 
     // INSERT → snapshot 1 (Program.cs:51-55)
     val s1 = engine.catalog.insert("example", "employee_data",
@@ -52,16 +54,16 @@ object Example {
       Seq((3, "Ada", "Lovelace")).toDF("employee_id", "first_name", "last_name"))
     println(s"[4] insert #2 committed snapshot ${s2.snapshotId}")
 
-    // typed query with snake_case→camelCase mapping (Program.cs:58-62)
-    engine.registerTable("example", "employee_data")
+    // typed query with snake_case→camelCase mapping over the VERBATIM
+    // catalog-qualified name — no registration step (Program.cs:58-62)
     val emps = engine.queryAs[Employee](
-      sql"SELECT employee_id, first_name, last_name FROM example_employee_data ORDER BY employee_id")
+      sql"SELECT employee_id, first_name, last_name FROM iceberg.example.employee_data ORDER BY employee_id")
     println(s"[5] queryAs[Employee] → ${emps.mkString("; ")}")
 
     // parameterized scalar (Program.cs:77-80)
     val minId = 2
     val n = engine.queryScalar[Long](
-      sql"SELECT COUNT(*) FROM example_employee_data WHERE employee_id >= $minId")
+      sql"SELECT COUNT(*) FROM example.employee_data WHERE employee_id >= $minId")
     println(s"[6] queryScalar count(employee_id >= $minId) = $n")
 
     // time travel at the instant of commit 1 (AthenaClientTests.cs:374)
@@ -73,7 +75,7 @@ object Example {
 
     // unload to flat parquet (Program.cs / AthenaClient.cs:116-208)
     val resp = engine.unload(
-      sql"SELECT employee_id, first_name, last_name FROM example_employee_data",
+      sql"SELECT employee_id, first_name, last_name FROM example.employee_data",
       s"$work/exports/employees")
     println(s"[8] unload → ${resp.rowCount} rows at ${resp.path}")
     val exported = new java.io.File(s"$work/exports/employees").listFiles()

@@ -26,6 +26,30 @@ class GraftExtensionsSpec extends AnyFunSuite {
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
 
+  test("portable-hash kernels reachable from plain SQL (via temp registration)") {
+    val spark = SparkSpec.spark
+    import graft.functions._
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("hash_words60",
+      es => HashWords60(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("shingle_hash60",
+      es => ShingleHash60(es(0), es(1).eval().asInstanceOf[Number].intValue,
+        es(2).eval().asInstanceOf[Number].longValue), "built-in")
+    reg.createOrReplaceTempFunction("simhash_sig",
+      es => SimHashSig(es(0), es(1).eval().asInstanceOf[Number].intValue), "built-in")
+    val row = spark.sql(
+      "SELECT hash_words60(array('a','b')) AS hw, " +
+        "shingle_hash60(array('a','b','c'), 2, 97L) AS sh, " +
+        "simhash_sig(hash_words60(array('a','b')), 8) AS sim").collect().head
+    assert(row.getSeq[Long](0).size == 2)
+    assert(row.getSeq[Long](1).forall(h => h >= 0 && h < 97))
+    assert(row.getLong(2) >= 0 && row.getLong(2) < 256)
+    // SQL spelling equals the md5-60 definition
+    val expect = spark.sql(
+      "SELECT cast(conv(substring(md5('a'), 1, 15), 16, 10) as bigint)").collect().head.getLong(0)
+    assert(row.getSeq[Long](0).head == expect)
+  }
+
   test("invalid SQL raises a descriptive analysis error (TrinoClientIntegrationTests.cs:126-132)") {
     val spark = SparkSpec.spark
     val e = intercept[Exception] {
