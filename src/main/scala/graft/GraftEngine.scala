@@ -73,7 +73,10 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
     }
 
   private def tryDdl(sqlText: String): Option[Long] =
-    graft.catalog.DdlParser.parse(sqlText).map {
+    (try graft.catalog.DdlParser.parse(sqlText)
+     catch { case e: IllegalArgumentException =>
+       throw new GraftQueryException(sqlText, s"Malformed DDL: ${e.getMessage}", e) })
+    .map {
       case graft.catalog.CreateSchemaStmt(schema, ifNotExists, location) =>
         if (catalog.schemaExists(schema) && !ifNotExists)
           throw new GraftQueryException(sqlText, s"Schema $schema already exists")

@@ -49,6 +49,9 @@ object SparkEntry {
     "q5_local_supplier" -> (Joins.q5LocalSupplier _),
     "q6_forecast"      -> (Joins.q6Forecast _),
     "q7_volume"        -> (Joins.q7Volume _),
+    "q18_large_orders"   -> (Joins.q18LargeOrders _),
+    "q21_waiting_supplier" -> (Joins.q21WaitingSupplier _),
+    "salted_join_demo"   -> (Joins.saltedJoinDemo _),
     "in_subquery"      -> (Joins.inSubquery _),
     "scalar_subquery"  -> (Joins.scalarSubquery _),
     "correlated_min"   -> (Joins.correlatedMin _),
@@ -109,6 +112,7 @@ object SparkEntry {
     "grouping_sets"   -> (Expressions.groupingSets _),
     // catalog-layer demos (rows-only: T1 time travel, S7 unload)
     "time_travel_demo" -> (CatalogDemos.timeTravelDemo _),
+    "partition_prune_demo" -> (CatalogDemos.partitionPruneDemo _),
     "unload_demo"      -> (CatalogDemos.unloadDemo _),
     // sampling + approximate aggregates
     "sample_per_group" -> (Expressions.samplePerGroup _),
@@ -230,6 +234,25 @@ object SparkEntry {
         "JOIN nation ON s_nationkey = n_nationkey " +
         "JOIN region ON n_regionkey = r_regionkey " +
         "WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY revenue DESC, n_name"),
+    "q18_large_orders" ->
+      ("SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, CAST(sum_qty AS DOUBLE) AS sum_qty " +
+        "FROM orders JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(14,2))) AS sum_qty " +
+        "FROM lineitem GROUP BY l_orderkey) t ON o_orderkey = t.l_orderkey AND sum_qty > 150 " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"),
+    "q21_waiting_supplier" ->
+      ("WITH ps AS (SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS supp_max FROM lineitem GROUP BY 1, 2), " +
+        "m1 AS (SELECT *, MAX(supp_max) OVER (PARTITION BY l_orderkey) AS order_max, " +
+        "COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp FROM ps), " +
+        "m2 AS (SELECT *, SUM(CASE WHEN supp_max = order_max THEN 1 ELSE 0 END) " +
+        "OVER (PARTITION BY l_orderkey) AS n_at_max FROM m1) " +
+        "SELECT s_name, count(*) AS numwait FROM m2 JOIN supplier ON l_suppkey = s_suppkey " +
+        "WHERE n_supp >= 2 AND n_at_max = 1 AND supp_max = order_max " +
+        "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"),
+    "salted_join_demo" ->
+      ("SELECT c_mktsegment AS seg, count(*) AS n FROM orders " +
+        "JOIN customer ON o_custkey = c_custkey GROUP BY seg ORDER BY seg"),
+    "partition_prune_demo" -> operators.CatalogDemos.partitionPruneDemoSql,
     "in_subquery" ->
       ("SELECT count(*) AS n_items, CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS qty " +
         "FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 50)"),

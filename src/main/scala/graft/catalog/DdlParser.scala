@@ -26,8 +26,12 @@ object DdlParser {
 
   private val createSchemaRe =
     """(?is)^\s*CREATE\s+SCHEMA\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*(?:WITH\s*\(\s*location\s*=\s*'([^']*)'\s*\))?\s*;?\s*$""".r
+  // non-greedy column body: greedy (.*) would swallow a trailing
+  // `WITH (partitioning = …)` clause up to ITS closing paren; the $ anchor
+  // still forces the body to extend over nested parens like decimal(10,2)
+  // when no WITH clause follows
   private val createTableRe =
-    """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.*)\)\s*(?:WITH\s*\(\s*partitioning\s*=\s*ARRAY\[([^\]]*)\]\s*\))?\s*;?\s*$""".r
+    """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.*?)\)\s*(?:WITH\s*\(\s*partitioning\s*=\s*ARRAY\[([^\]]*)\]\s*\))?\s*;?\s*$""".r
   private val ctasRe =
     """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+(.+?)\s*;?\s*$""".r
   private val dropTableRe =

@@ -52,6 +52,46 @@ object CatalogDemos {
     s"SELECT r_regionkey, r_name FROM read_parquet('$ttDemoWarehouse/demo/region_tt/snap-00001/*.parquet') " +
       "WHERE r_regionkey >= 0 ORDER BY r_regionkey"
 
+  /** Fixed warehouse for the partition-pruning demo (wiped per run, like
+    * [[ttDemoWarehouse]]) so the oracle can address the hive-layout
+    * partition directory directly.
+    */
+  private[graft] val pruneDemoWarehouse = "/tmp/graft-prune-demo-warehouse"
+
+  /** Partitioned catalog table end-to-end: create WITH
+    * (partitioning = ARRAY['o_orderstatus']) via SQL-text DDL, INSERT a
+    * snapshot, aggregate one partition back out. The DuckDB oracle reads
+    * ONLY the `o_orderstatus=F` partition directory — if the engine didn't
+    * lay data out hive-style (or leaked other partitions into it), the
+    * hash differs. The pruning of the Spark-side read is separately
+    * asserted in SnapshotCatalogSpec (PartitionFilters + deleted-dir
+    * proof).
+    */
+  def partitionPruneDemo(s: SparkSession, d: String): DataFrame = {
+    val wh = new org.apache.hadoop.fs.Path(pruneDemoWarehouse)
+    val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) fs.delete(wh, true)
+    val engine = new GraftEngine(s, pruneDemoWarehouse)
+    engine.executeNonQuery(graft.params.SqlStatement(
+      """CREATE TABLE demo.orders_part (
+        |  o_orderkey bigint, o_totalprice double, o_orderstatus varchar
+        |) WITH (partitioning = ARRAY['o_orderstatus'])""".stripMargin))
+    engine.catalog.insert("demo", "orders_part",
+      graft.Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus")))
+    engine.catalog.readLatest("demo", "orders_part")
+      .filter(col("o_orderstatus") === "F")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(14,2)")).cast("double").as("total"))
+  }
+
+  /** DuckDB oracle for [[partitionPruneDemo]] — aimed at the single
+    * partition directory the filtered read should touch.
+    */
+  val partitionPruneDemoSql: String =
+    s"SELECT count(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total " +
+      s"FROM read_parquet('$pruneDemoWarehouse/demo/orders_part/snap-00001/o_orderstatus=F/*.parquet')"
+
   /** S7/C4: unload a query to flat parquet; returns the response contract
     * plus layout assertions (no subdirectories, only *.parquet at the
     * root) as a one-row result.

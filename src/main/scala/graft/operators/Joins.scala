@@ -225,4 +225,70 @@ object Joins {
       .select(col("o_orderkey"), col("o_totalprice"))
       .orderBy(col("o_orderkey"))
   }
+
+  /** TPC-H Q18 (large-volume customer): orders whose total quantity
+    * exceeds the threshold, joined back to orders + customer, top 100 by
+    * price. The HAVING subquery is one map-side-combined aggregation on
+    * l_orderkey; both joins then shuffle on orderkey/custkey once — the
+    * canonical "aggregate, then enrich" shape that scales linearly.
+    */
+  def q18LargeOrders(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(14,2)")).as("sum_qty"))
+      .filter(col("sum_qty") > 150)
+    Tables.orders(s, d).join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"),
+        col("sum_qty").cast("double").as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting), adapted to the
+    * available columns (no commit/receipt dates in the synthetic
+    * lineitem): per multi-supplier order, the UNIQUE latest-shipping
+    * supplier is the one everyone waited on; count such orders per
+    * supplier. The exists/not-exists double correlation of the original
+    * becomes one (orderkey, suppkey) aggregation plus per-order window
+    * marks — no self-joins of lineitem at all, which is the plan you want
+    * when lineitem is the 100 TB fact.
+    */
+  def q21WaitingSupplier(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perSupp = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("l_shipdate")).as("supp_max"))
+    val w = Window.partitionBy(col("l_orderkey"))
+    val culprits = perSupp
+      .withColumn("order_max", max(col("supp_max")).over(w))
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_at_max",
+        sum(when(col("supp_max") === col("order_max"), 1).otherwise(0)).over(w))
+      .filter(col("n_supp") >= 2 && col("n_at_max") === 1 &&
+        col("supp_max") === col("order_max"))
+    culprits.join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  /** Skew-safe join demo over [[Skew.saltedJoin]]: per-segment order
+    * counts through the salted (key, salt) join — semantically identical
+    * to the plain equi-join the oracle spells, which is exactly the
+    * property the salting contract promises.
+    */
+  def saltedJoinDemo(s: SparkSession, d: String): DataFrame = {
+    val left = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey").as("custkey"))
+    val right = Tables.customer(s, d)
+      .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+    Skew.saltedJoin(left, right, "custkey", 8)
+      .groupBy(col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("seg"))
+  }
 }

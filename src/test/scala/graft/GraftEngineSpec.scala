@@ -250,6 +250,25 @@ class GraftEngineSpec extends SparkSpec {
     assert(e2.executeNonQuery(sql"DROP TABLE IF EXISTS iceberg.common_test_data.scalar_test") == 0L)
   }
 
+  test("DDL: decimal columns and Iceberg partitioning clause coexist in one statement") {
+    val e2 = new GraftEngine(spark, tmpDir("ddl-edge-wh"))
+    e2.executeNonQuery(graft.params.SqlStatement(
+      "CREATE TABLE edge.t (id bigint, amount decimal(10,2), category varchar) " +
+        "WITH (partitioning = ARRAY['category'])"))
+    assert(e2.catalog.partitionSpec("edge", "t") == Seq("category"))
+    val declared = e2.catalog.declaredSchema("edge", "t").get
+    assert(declared.fields.map(_.dataType.simpleString).toSeq ==
+      Seq("bigint", "decimal(10,2)", "string"))
+    assert(e2.executeNonQuery(graft.params.SqlStatement(
+      "INSERT INTO edge.t VALUES (1, 9.99, 'a'), (2, 1.25, 'b')")) == 2L)
+    // partition landed hive-style and reads back through the catalog ref
+    assert(e2.queryScalar[java.math.BigDecimal](
+      sql"SELECT amount FROM edge.t WHERE category = 'a'").map(_.toString) == Some("9.99"))
+    // malformed column list is a typed failure
+    intercept[GraftQueryException](e2.executeNonQuery(
+      graft.params.SqlStatement("CREATE TABLE edge.bad (justonetoken)")))
+  }
+
   test("invalid SQL surfaces as GraftQueryException naming the statement (TrinoClientIntegrationTests.cs:126-132)") {
     val bad = intercept[GraftQueryException](
       engine.query(sql"SELECT * FROM nonexistent_table_xyz"))
