@@ -51,6 +51,24 @@ object EventStreams {
         sum(col("value").cast("decimal(14,4)")).cast("decimal(18,4)").as("total_value"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("total_value"))
 
+  /** Streaming exact dedup — the continuous-ingest counterpart of
+    * graft.operators.Dedup.dedupByFingerprint: an 8-byte xxhash64
+    * fingerprint of the content keys `dropDuplicatesWithinWatermark`, so
+    * a re-delivered or re-crawled record inside the watermark horizon is
+    * emitted once. State holds one key per distinct fingerprint seen
+    * within the watermark and is expired past it — bounded at any ingest
+    * rate, unlike an unwatermarked dropDuplicates whose state grows with
+    * the corpus forever.
+    */
+  def streamingDedup(events: DataFrame): DataFrame =
+    events
+      .withColumn("fp",
+        xxhash64(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("fp")
+      .drop("fp")
+
   /** Session windows via native session_window: events within 30 minutes of
     * each other merge into one session.
     */

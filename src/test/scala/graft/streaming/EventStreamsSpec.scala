@@ -58,6 +58,27 @@ class EventStreamsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("streamingDedup drops re-delivered records within the watermark") {
+    // the same micro-batch content delivered TWICE (two identical files):
+    // exactly the re-crawl/redelivery shape the operator exists for
+    val dir = tmpDir("events-dedup-stream")
+    val slice = eventsBatch
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+      .limit(200).coalesce(1)
+    slice.write.mode("overwrite").parquet(s"$dir/in")
+    slice.write.mode("append").parquet(s"$dir/in")
+    assert(spark.read.parquet(s"$dir/in").count() == 400L)
+    val q = EventStreams.streamingDedup(
+        EventStreams.readEventStream(spark, s"$dir/in"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val out = spark.table("dedup_out")
+    assert(out.count() == 200L, "each duplicated record must be emitted exactly once")
+    assert(out.select($"event_id").distinct().count() == 200L)
+  }
+
   test("sessionize (flatMapGroupsWithState) splits on 30-minute gaps") {
     val events = Seq(
       Event(1, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click", 1.0),
