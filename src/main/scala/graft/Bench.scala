@@ -50,15 +50,17 @@ object Bench {
       try { drain(fn(spark, sfDir)) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // The harness captures only the tail of the build log: an unbounded
-    // full-precision 74-entry map (~3.5 KB) gets truncated mid-line and the
-    // round's numbers are lost (round-1 BENCH had "parsed": null). Keep the
-    // line under ~2 KB: 3-decimal values, slowest queries first, stop at
-    // the char budget.
+    // The harness captures only the LAST ~2000 chars of the build log: a
+    // longer line loses its FRONT (r1 and r2 both ended "parsed": null —
+    // r2's line was 2102 chars, and the trailing "[success] Total time"
+    // line also lives inside the same tail window). Budget the map so the
+    // whole line plus sbt's "[info] " prefix and success footer fit with
+    // margin: 3-decimal values, slowest queries first, stop at the budget.
+    // The full-precision map goes to target/bench_full.json for local use.
     val total = results.map(_._2).sum
     def fmt(v: Double): String = f"$v%.3f"
     val bySlowest = results.sortBy(-_._2)
-    val budget = 2000
+    val budget = 1300
     // strict slowest-first prefix: stop at the first entry that overflows
     // (admitting later shorter names would misrepresent the map as "the
     // slowest queries")
@@ -72,6 +74,10 @@ object Bench {
     }
     val qs = entries.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    val fullQs = bySlowest.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench_full.json"),
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -100,6 +100,8 @@ object SparkEntry {
     "embedding_near_dup" -> (Similarity.embeddingNearDup _),
     "embedding_near_dup_exact" -> (Similarity.embeddingNearDupExact _),
     "embedding_quantize" -> (Similarity.embeddingQuantize _),
+    "label_centroids"    -> (Similarity.labelCentroids _),
+    "token_budget_mix"   -> ((s, d) => TextAnalysis.tokenBudgetMix(s, d)),
     // multimodal plumbing
     "media_meta"   -> (Multimodal.mediaMeta _),
     "frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
@@ -353,6 +355,8 @@ object SparkEntry {
     "tfidf_top_terms" -> operators.TextAnalysis.tfidfTopTermsSql,
     "repetition_stats" -> operators.TextAnalysis.repetitionStatsSql,
     "decontaminate"    -> operators.TextAnalysis.decontaminateSql,
+    "label_centroids"  -> operators.Similarity.labelCentroidsSql,
+    "token_budget_mix" -> operators.TextAnalysis.tokenBudgetMixSql(),
     "simhash" -> operators.Dedup.Oracle.simhashSql,
     "minhash_lsh_pairs" -> operators.Dedup.Oracle.minhashLshPairsSql,
     "ann_lsh" -> operators.Similarity.annLshOracleSql,

@@ -434,6 +434,45 @@ object Similarity {
        |WHERE cosine >= $NearDupThreshold ORDER BY va, vb""".stripMargin
   }
 
+  /** Per-label embedding centroids (class prototypes — the building block
+    * of centroid classifiers, dataset cartography, and drift monitoring):
+    * exact decimal per-dimension means, the same reduction-order-
+    * independent spelling the IVF quantizer's Lloyd step uses. One
+    * shuffle on tiny (label, dim) keys; emitted one row per (label, dim)
+    * because the harness compare can't sort array columns — a real
+    * consumer would array_agg the 64 rows back into a vector.
+    */
+  def labelCentroids(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      // widen float→double BEFORE the decimal cast: Spark's float→decimal
+      // goes through the float's 7-digit shortest string while DuckDB
+      // rounds the exactly-widened double, so casting the float directly
+      // diverges in the 10th decimal; double→decimal agrees on both
+      .select(col("label"),
+        posexplode(expr("transform(embedding, x -> cast(x as double))"))
+          .as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(
+        (sum(col("x").cast("decimal(20,10)")).cast("double") / count(lit(1))).as("centroid"),
+        count(lit(1)).as("n"))
+      .orderBy(col("label"), col("dim"))
+
+  /** DuckDB twin of [[labelCentroids]] (the xs/mn spelling of
+    * [[annIvfOracleSql]], keyed by label instead of cell). The
+    * double→decimal cast goes through VARCHAR: DuckDB's direct cast
+    * rounds the BINARY value half-even, while Spark rounds the shortest
+    * decimal repr half-up — they disagree on exact-dyadic ties like
+    * -0.27392578125 (digit 11 = 5 exactly). VARCHAR is DuckDB's shortest
+    * repr and its string→decimal parse rounds half-up, matching Spark.
+    */
+  val labelCentroidsSql: String =
+    """SELECT label, d.i - 1 AS dim,
+      |       CAST(SUM(CAST(CAST(v[d.i] AS VARCHAR) AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS centroid,
+      |       COUNT(*) AS n
+      |FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) e
+      |CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) d
+      |GROUP BY label, dim ORDER BY label, dim""".stripMargin
+
   /** Exact embedding near-dup baseline: ALL same-label pairs thresholded —
     * the correctness reference [[embeddingNearDup]]'s candidates are
     * measured against (the role annBruteForce plays for ANN). Quadratic

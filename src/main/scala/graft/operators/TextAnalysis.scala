@@ -249,6 +249,43 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Data-mixture construction under a token budget: per source, rank
+    * documents by a deterministic pseudo-random key (the same Knuth
+    * multiplicative stride sampling uses) and keep documents while the
+    * running token total stays under the per-source budget — how a
+    * training run draws "N tokens of web, M tokens of code" from a far
+    * larger corpus. One window per source (single hash shuffle on the
+    * mixture key); the cumulative sum is streaming-friendly window state,
+    * no per-source collect anywhere.
+    */
+  def tokenBudgetMix(s: SparkSession, d: String, budget: Long = 2000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("rnd"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        expr(Formulas.nTokens).cast("long").as("n_tokens"),
+        expr("pmod(pmod(doc_id, 1000000007L) * 2654435761L, 4294967296L)").as("rnd"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("source"), col("cum_tokens"))
+  }
+
+  /** DuckDB twin of [[tokenBudgetMix]]. */
+  def tokenBudgetMixSql(budget: Long = 2000): String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |             CAST(${Formulas.nTokensDuck} AS BIGINT) AS n_tokens,
+       |             (doc_id % 1000000007) * 2654435761 % 4294967296 AS rnd
+       |           FROM documents),
+       |c AS (SELECT source, doc_id, n_tokens,
+       |        SUM(n_tokens) OVER (PARTITION BY source ORDER BY rnd, doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+       |      FROM t)
+       |SELECT source, doc_id, n_tokens, cum_tokens FROM c
+       |WHERE cum_tokens <= $budget ORDER BY source, cum_tokens""".stripMargin
+
   /** DuckDB twin of [[decontaminate]] — same 5-gram spelling, same
     * benchmark slice, same left-join/COALESCE shape.
     */

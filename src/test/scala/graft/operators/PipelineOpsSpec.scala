@@ -204,4 +204,44 @@ class PipelineOpsSpec extends SparkSpec {
       .filter($"doc_id" === 0L).select($"text").as[String].collect().head
     assert(new String(one, "UTF-8") == orig)
   }
+
+  test("labelCentroids: 64 dims per label, n = label cardinality, mean matches naive") {
+    val rows = Similarity.labelCentroids(spark, sf001)
+      .select($"label", $"dim", $"centroid", $"n")
+      .as[(Long, Int, Double, Long)].collect()
+    val labels = graft.Tables.embeddings(spark, sf001)
+      .groupBy($"label").count().as[(Long, Long)].collect().toMap
+    assert(rows.map(_._1).distinct.sorted.toSeq == labels.keys.toSeq.sorted)
+    rows.groupBy(_._1).foreach { case (lbl, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (0 until 64))
+      assert(rs.forall(_._4 == labels(lbl)))
+    }
+    // decimal-exact mean agrees with a naive double mean to float precision
+    val naive = graft.Tables.embeddings(spark, sf001)
+      .select($"label", posexplode_outer($"embedding").as(Seq("dim", "x")))
+      .groupBy($"label", $"dim").agg(avg($"x".cast("double")).as("m"))
+      .as[(Long, Int, Double)].collect()
+      .map { case (l, d, m) => (l, d) -> m }.toMap
+    rows.foreach { case (l, d, c, _) =>
+      assert(math.abs(c - naive((l, d))) < 1e-6, s"centroid off at ($l,$d)")
+    }
+  }
+
+  test("tokenBudgetMix: per-source cumulative token totals stay under budget, monotone") {
+    val rows = TextAnalysis.tokenBudgetMix(spark, sf001, budget = 2000)
+      .select($"source", $"doc_id", $"n_tokens", $"cum_tokens")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._4 <= 2000))
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val cums = rs.map(_._4).sorted
+      // cumulative = running sum of its own n_tokens (prefix property)
+      assert(cums.last == rs.map(_._3).sum)
+    }
+    // deterministic: the pseudo-random mixture key is content-derived
+    val again = TextAnalysis.tokenBudgetMix(spark, sf001, budget = 2000)
+      .select($"source", $"doc_id", $"n_tokens", $"cum_tokens")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.sortBy(r => (r._1, r._2)).toSeq == again.sortBy(r => (r._1, r._2)).toSeq)
+  }
 }
