@@ -102,6 +102,8 @@ object SparkEntry {
     "embedding_quantize" -> (Similarity.embeddingQuantize _),
     "label_centroids"    -> (Similarity.labelCentroids _),
     "token_budget_mix"   -> ((s, d) => TextAnalysis.tokenBudgetMix(s, d)),
+    "pii_redact"         -> ((s, d) => TextAnalysis.piiRedact(s, d)),
+    "sequence_pack"      -> ((s, d) => TextAnalysis.sequencePack(s, d)),
     // multimodal plumbing
     "media_meta"   -> (Multimodal.mediaMeta _),
     "frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
@@ -357,6 +359,8 @@ object SparkEntry {
     "decontaminate"    -> operators.TextAnalysis.decontaminateSql,
     "label_centroids"  -> operators.Similarity.labelCentroidsSql,
     "token_budget_mix" -> operators.TextAnalysis.tokenBudgetMixSql(),
+    "pii_redact"       -> operators.TextAnalysis.piiRedactSql(),
+    "sequence_pack"    -> operators.TextAnalysis.sequencePackSql(),
     "simhash" -> operators.Dedup.Oracle.simhashSql,
     "minhash_lsh_pairs" -> operators.Dedup.Oracle.minhashLshPairsSql,
     "ann_lsh" -> operators.Similarity.annLshOracleSql,

@@ -34,6 +34,18 @@ object TextAnalysis {
     val bpePattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]"
     val bpePatternDuck = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
 
+    /** PII patterns — restricted to the syntax subset where Java regex
+      * (Spark) and RE2 (DuckDB) agree: char classes, bounded repetition,
+      * `\b` word boundaries, no lookaround. Raw single-backslash spellings:
+      * the Spark side passes them through the column API (no SQL-literal
+      * unescaping) and DuckDB SQL literals keep backslashes verbatim.
+      */
+    val emailRe = """[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"""
+    val ipv4Re = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+    val phoneRe = """\+?\d[\d\- ]{7,}\d"""
+    def blockRe(terms: Seq[String]): String =
+      terms.sorted.mkString("""\b(""", "|", """)\b""")
+
     /** per-language stopword alternations for the n-gram lang-ID heuristic */
     val langStopwords: Seq[(String, String)] = Seq(
       "en" -> "(the|and|of|a|to|in|is)",
@@ -285,6 +297,111 @@ object TextAnalysis {
        |      FROM t)
        |SELECT source, doc_id, n_tokens, cum_tokens FROM c
        |WHERE cum_tokens <= $budget ORDER BY source, cum_tokens""".stripMargin
+
+  /** PII + blocklist scrubbing: redact emails, IPv4 addresses, and phone
+    * numbers, then a configurable blocklist of canary/contamination terms
+    * (the reference-benchmark-marker scrub every training pipeline runs).
+    * Counts are taken on the progressively-redacted text, in the same
+    * fixed order as the rewrites, so an email's digits are never double-
+    * counted as a phone. Pure per-row regex expressions (Java regex and
+    * DuckDB's RE2 agree on this common-subset syntax) — rides the scan,
+    * no shuffle, 100 TB maps straight through.
+    *
+    * The synthetic corpus contains no real PII (those counts differential-
+    * check the zero path); the blocklist terms DO occur, so the oracle
+    * exercises live rewrites too. Planted-fixture behavior (real emails/
+    * phones/IPs redacted byte-exactly) is covered in PipelineOpsSpec.
+    */
+  def piiRedact(s: SparkSession, d: String,
+                blocklist: Seq[String] = Seq("spark", "stream")): DataFrame = {
+    val steps = Seq(
+      ("n_emails", Formulas.emailRe, "[EMAIL]"),
+      ("n_ips", Formulas.ipv4Re, "[IP]"),
+      ("n_phones", Formulas.phoneRe, "[PHONE]"),
+      ("n_terms", Formulas.blockRe(blocklist), "[TERM]"))
+    val redacted = steps.foldLeft(
+      Tables.documents(s, d).select(col("doc_id"), col("text").as("clean"))) {
+      case (df, (cnt, pat, repl)) =>
+        df.withColumn(cnt,
+            size(regexp_extract_all(col("clean"), lit(pat), lit(0))).cast("int"))
+          .withColumn("clean", regexp_replace(col("clean"), lit(pat), lit(repl)))
+    }
+    redacted
+      .select(col("doc_id") +: steps.map(st => col(st._1)) :+
+        col("clean").as("clean_text"): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[piiRedact]] — identical pattern text (backslashes
+    * pass through standard SQL literals untouched on DuckDB; the Spark
+    * side avoids SQL-literal escaping entirely by passing patterns through
+    * the column API), identical redaction order, 'g' flag for Spark's
+    * replace-all default.
+    */
+  def piiRedactSql(blocklist: Seq[String] = Seq("spark", "stream")): String = {
+    val steps = Seq(
+      ("n_emails", Formulas.emailRe, "[EMAIL]"),
+      ("n_ips", Formulas.ipv4Re, "[IP]"),
+      ("n_phones", Formulas.phoneRe, "[PHONE]"),
+      ("n_terms", Formulas.blockRe(blocklist), "[TERM]"))
+    val (ctes, _) = steps.zipWithIndex.foldLeft((Seq.empty[String], "text")) {
+      case ((acc, prev), ((cnt, pat, repl), i)) =>
+        val cte =
+          s"""s$i AS (SELECT doc_id, ${if (i == 0) "" else s"${steps.take(i).map(_._1).mkString(", ")}, "}
+             |  CAST(len(regexp_extract_all($prev, '$pat')) AS INT) AS $cnt,
+             |  regexp_replace($prev, '$pat', '$repl', 'g') AS c$i
+             |FROM ${if (i == 0) "documents" else s"s${i - 1}"})""".stripMargin
+        (acc :+ cte, s"c$i")
+    }
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT doc_id, ${steps.map(_._1).mkString(", ")}, c${steps.size - 1} AS clean_text
+       |FROM s${steps.size - 1} ORDER BY doc_id""".stripMargin
+  }
+
+  /** Sequence packing (concat-and-chunk): order each source's documents by
+    * the deterministic mixture key, run a cumulative token total, and
+    * assign every document to training sequence `floor(start / seqLen)` —
+    * the standard way a pre-training run packs variable-length documents
+    * into fixed-length context windows. Emitted per-sequence (docs, token
+    * total, fill ratio). One hash shuffle on `source` for the window, then
+    * a map-side-combined aggregation on (source, seq_id) — the cumulative
+    * sum never leaves the executor that owns the source partition.
+    */
+  def sequencePack(s: SparkSession, d: String, seqLen: Long = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("rnd"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        expr(Formulas.nTokens).cast("long").as("n_tokens"),
+        expr("pmod(pmod(doc_id, 1000000007L) * 2654435761L, 4294967296L)").as("rnd"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      // a document starts at (cum - n); `div` truncates like DuckDB's `//`
+      // for these non-negative operands
+      .withColumn("seq_id", expr(s"(cum_tokens - n_tokens) div $seqLen"))
+      .groupBy(col("source"), col("seq_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("seq_tokens"),
+        (sum(col("n_tokens")).cast("double") / lit(seqLen.toDouble)).as("fill_ratio"))
+      .orderBy(col("source"), col("seq_id"))
+  }
+
+  /** DuckDB twin of [[sequencePack]]. */
+  def sequencePackSql(seqLen: Long = 512): String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |             CAST(${Formulas.nTokensDuck} AS BIGINT) AS n_tokens,
+       |             (doc_id % 1000000007) * 2654435761 % 4294967296 AS rnd
+       |           FROM documents),
+       |c AS (SELECT source, doc_id, n_tokens,
+       |        SUM(n_tokens) OVER (PARTITION BY source ORDER BY rnd, doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+       |      FROM t)
+       |SELECT source, (cum_tokens - n_tokens) // $seqLen AS seq_id,
+       |       COUNT(*) AS n_docs, SUM(n_tokens) AS seq_tokens,
+       |       CAST(SUM(n_tokens) AS DOUBLE) / $seqLen AS fill_ratio
+       |FROM c GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin
 
   /** DuckDB twin of [[decontaminate]] — same 5-gram spelling, same
     * benchmark slice, same left-join/COALESCE shape.

@@ -227,6 +227,50 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("piiRedact: emails, IPs, phones, and blocklist terms are redacted byte-exactly") {
+    val dir = tmpDir("pii-docs")
+    Seq(
+      (1L, "contact me at alice.smith+spam@example.co.uk or bob@test.org today", "en", "s1", 0L),
+      (2L, "server at 192.168.1.250 and 10.0.0.1 responded", "en", "s1", 0L),
+      (3L, "call +1 555-867-5309 or 020 7946 0958 now", "en", "s1", 0L),
+      (4L, "the spark stream restarted; sparkly streams untouched", "en", "s1", 0L),
+      (5L, "nothing sensitive here at all", "en", "s1", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.piiRedact(spark, dir)
+      .select($"doc_id", $"n_emails", $"n_ips", $"n_phones", $"n_terms", $"clean_text")
+      .as[(Long, Int, Int, Int, Int, String)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 2, 0, 0, 0,
+      "contact me at [EMAIL] or [EMAIL] today")))
+    assert(got(1) == ((2L, 0, 2, 0, 0, "server at [IP] and [IP] responded")))
+    assert(got(2)._4 == 2, s"phones: ${got(2)}")
+    assert(got(2)._6 == "call [PHONE] or [PHONE] now")
+    // word-boundary blocklist: "spark"/"stream" hit, "sparkly"/"streams" don't
+    assert(got(3) == ((4L, 0, 0, 0, 2,
+      "the [TERM] [TERM] restarted; sparkly streams untouched")))
+    assert(got(4) == ((5L, 0, 0, 0, 0, "nothing sensitive here at all")))
+  }
+
+  test("sequencePack: every token lands in exactly one sequence, fill ratios bounded") {
+    val seqLen = 512L
+    val packed = TextAnalysis.sequencePack(spark, sf001, seqLen)
+      .select($"source", $"seq_id", $"n_docs", $"seq_tokens", $"fill_ratio")
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(packed.nonEmpty)
+    // token conservation: packed totals equal the corpus token total
+    val corpusTokens = TextAnalysis.textStats(spark, sf001)
+      .agg(sum($"n_tokens")).as[Long].collect().head
+    assert(packed.map(_._4).sum == corpusTokens)
+    // seq ids are dense from 0 per source; all but the last sequence of a
+    // source must be filled past its start boundary
+    packed.groupBy(_._1).foreach { case (_, rs) =>
+      val ids = rs.map(_._2).sorted
+      assert(ids.toSeq == (0L until ids.length))
+    }
+    assert(packed.forall(r => r._5 == r._4.toDouble / seqLen))
+  }
+
   test("tokenBudgetMix: per-source cumulative token totals stay under budget, monotone") {
     val rows = TextAnalysis.tokenBudgetMix(spark, sf001, budget = 2000)
       .select($"source", $"doc_id", $"n_tokens", $"cum_tokens")
