@@ -104,6 +104,8 @@ object SparkEntry {
     "token_budget_mix"   -> ((s, d) => TextAnalysis.tokenBudgetMix(s, d)),
     "pii_redact"         -> ((s, d) => TextAnalysis.piiRedact(s, d)),
     "sequence_pack"      -> ((s, d) => TextAnalysis.sequencePack(s, d)),
+    "vocab_coverage"     -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
+    "bucketed_join_demo" -> (Joins.bucketedJoinDemo _),
     // multimodal plumbing
     "media_meta"   -> (Multimodal.mediaMeta _),
     "frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
@@ -361,6 +363,8 @@ object SparkEntry {
     "token_budget_mix" -> operators.TextAnalysis.tokenBudgetMixSql(),
     "pii_redact"       -> operators.TextAnalysis.piiRedactSql(),
     "sequence_pack"    -> operators.TextAnalysis.sequencePackSql(),
+    "vocab_coverage"   -> operators.TextAnalysis.vocabCoverageSql(),
+    "bucketed_join_demo" -> operators.Joins.bucketedJoinDemoSql,
     "simhash" -> operators.Dedup.Oracle.simhashSql,
     "minhash_lsh_pairs" -> operators.Dedup.Oracle.minhashLshPairsSql,
     "ann_lsh" -> operators.Similarity.annLshOracleSql,

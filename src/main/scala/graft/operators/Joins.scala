@@ -291,4 +291,58 @@ object Joins {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("seg"))
   }
+
+  /** Root of the bucketed-table demo warehouse (wiped per run). */
+  private[graft] val bucketedDemoPath = "/tmp/graft-bucketed-demo"
+
+  /** Builds the two bucketed tables the demo joins: orders and lineitem
+    * both bucketed (and sorted) 8 ways on the order key, so a sort-merge
+    * join between them needs NO Exchange on either side — the co-located
+    * fact-to-fact join layout that at 100 TB replaces the two largest
+    * shuffles of the plan with bucket-local merges. Session-catalog
+    * external tables; files land under [[bucketedDemoPath]].
+    */
+  private[graft] def bucketedTables(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val p = new org.apache.hadoop.fs.Path(bucketedDemoPath)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    s.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+    s.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
+    if (fs.exists(p)) fs.delete(p, true)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$bucketedDemoPath/orders")
+      .saveAsTable("graft_bkt_orders")
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$bucketedDemoPath/lineitem")
+      .saveAsTable("graft_bkt_lineitem")
+    (s.table("graft_bkt_orders"), s.table("graft_bkt_lineitem"))
+  }
+
+  /** Bucketed co-located join end-to-end: revenue-by-status through a
+    * sort-merge join of the two bucketed tables (`merge` hint pins SMJ so
+    * the demo exercises the bucket layout rather than a broadcast that the
+    * small local SF would otherwise pick). The only Exchange left in the
+    * whole plan is the final tiny aggregation — PlanShapeSpec asserts
+    * exactly that. Results are oracle-checked against the plain join.
+    */
+  def bucketedJoinDemo(s: SparkSession, d: String): DataFrame = {
+    val (o, l) = bucketedTables(s, d)
+    o.hint("merge").join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(14,2)")).cast("double").as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** DuckDB oracle for [[bucketedJoinDemo]] — the equivalent plain join;
+    * bucketing must never change answers, only the plan.
+    */
+  val bucketedJoinDemoSql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n_items,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 }

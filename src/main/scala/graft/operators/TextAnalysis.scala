@@ -403,6 +403,46 @@ object TextAnalysis {
        |       CAST(SUM(n_tokens) AS DOUBLE) / $seqLen AS fill_ratio
        |FROM c GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin
 
+  /** Vocabulary coverage: build the top-V corpus vocabulary by frequency
+    * (count desc, word asc — deterministic ties) and report each
+    * document's out-of-vocabulary token count/ratio — the signal used to
+    * size tokenizer vocabularies and to spot domain-shifted documents.
+    * Shape: one token-count shuffle, a tiny top-V that BROADCASTS back
+    * onto the token stream (the corpus is never re-shuffled), then a
+    * per-document aggregation — each phase's shuffle key is either a word
+    * or a doc id, never the corpus payload; holds at 100 TB.
+    */
+  def vocabCoverage(s: SparkSession, d: String, vocabSize: Int = 32): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(vocabSize)
+      .select(col("w"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ratio",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[vocabCoverage]]. */
+  def vocabCoverageSql(vocabSize: Int = 32): String =
+    s"""WITH toks AS (SELECT doc_id,
+       |                unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+       |              FROM documents),
+       |vocab AS (SELECT w FROM (SELECT w, COUNT(*) AS c FROM toks GROUP BY w
+       |                         ORDER BY c DESC, w LIMIT $vocabSize) t)
+       |SELECT t.doc_id, COUNT(*) AS n_tokens,
+       |       CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |       CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / CAST(COUNT(*) AS DOUBLE) AS oov_ratio
+       |FROM toks t LEFT JOIN vocab v ON t.w = v.w
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
   /** DuckDB twin of [[decontaminate]] — same 5-gram spelling, same
     * benchmark slice, same left-join/COALESCE shape.
     */

@@ -271,6 +271,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(packed.forall(r => r._5 == r._4.toDouble / seqLen))
   }
 
+  test("vocabCoverage: full-vocab coverage has zero OOV; tiny vocab leaves OOV tokens") {
+    val all = TextAnalysis.vocabCoverage(spark, sf001, vocabSize = 1000000)
+      .select($"doc_id", $"n_tokens", $"n_oov", $"oov_ratio")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(all.nonEmpty)
+    assert(all.forall(_._3 == 0L), "vocab covering every word must have no OOV")
+    val tiny = TextAnalysis.vocabCoverage(spark, sf001, vocabSize = 2)
+      .select($"doc_id", $"n_tokens", $"n_oov", $"oov_ratio")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(tiny.exists(_._3 > 0L), "a 2-word vocab must leave OOV tokens")
+    tiny.foreach { case (id, n, oov, r) =>
+      assert(oov <= n && r >= 0.0 && r <= 1.0, s"bounds violated for doc $id")
+      assert(r == oov.toDouble / n, s"ratio inconsistent for doc $id")
+    }
+    // token totals agree with textStats' whitespace count
+    val stats = TextAnalysis.textStats(spark, sf001)
+      .select($"doc_id", $"n_tokens").as[(Long, Int)].collect().toMap
+    tiny.foreach { case (id, n, _, _) => assert(n == stats(id).toLong) }
+  }
+
   test("tokenBudgetMix: per-source cumulative token totals stay under budget, monotone") {
     val rows = TextAnalysis.tokenBudgetMix(spark, sf001, budget = 2000)
       .select($"source", $"doc_id", $"n_tokens", $"cum_tokens")

@@ -89,4 +89,36 @@ class PlanShapeSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.subsetOf(exact), s"bucketed pairs not a subset: ${got -- exact}")
   }
+
+  /** Exchange TREE nodes in the AQE final plan (formatted explain repeats
+    * every node in the Initial Plan and detail sections — slice them off
+    * and count only real shuffle nodes, not Reused/QueryStage wrappers).
+    */
+  private def finalPlanExchanges(plan: String): Int = {
+    val section = plan.indexOf("== Initial Plan ==") match {
+      case -1 => plan.indexOf("\n(1) ") match { // detail list start
+        case -1 => plan
+        case d  => plan.substring(0, d)
+      }
+      case i => plan.substring(0, i)
+    }
+    section.linesIterator.count(l0 =>
+      l0.contains("Exchange (") && !l0.contains("ReusedExchange"))
+  }
+
+  test("bucketed join: sort-merge join with NO exchange on either input") {
+    val (o, l) = Joins.bucketedTables(spark, sf001)
+    val joined = o.hint("merge")
+      .join(l, org.apache.spark.sql.functions.col("o_orderkey") ===
+        org.apache.spark.sql.functions.col("l_orderkey"))
+    val plan = executed(joined)
+    assert(plan.contains("SortMergeJoin"), "merge hint should pin SMJ")
+    // the whole point of bucketing: zero shuffles anywhere in the join
+    assert(finalPlanExchanges(plan) == 0, s"bucketed join should not shuffle:\n$plan")
+    // the full demo adds exactly two tiny post-join exchanges (3-row agg +
+    // presentation sort) — and still none below the join
+    val demo = executed(Joins.bucketedJoinDemo(spark, sf001))
+    val demoEx = finalPlanExchanges(demo)
+    assert(demoEx == 2, s"expected only agg+sort exchanges, got $demoEx:\n$demo")
+  }
 }
