@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, HashWords60, IntersectCount, ShingleHash60, SimHashSig}
+import graft.functions.{CharRollHash, DotProduct, HashWords60, IntersectCount, ShingleHash60, SimHashSig}
 
 /** SparkSessionExtensions entry point: makes the engine's native functions
   * available in ANY session — including spark-submit / Connect deployments
@@ -46,6 +46,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("simhash_sig"),
         new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
         (children: Seq[Expression]) => SimHashSig(children(0), constInt(children(1))))
+        .asInstanceOf[(FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder)])
+    ext.injectFunction(
+      (FunctionIdentifier("char_roll_hash"),
+        new ExpressionInfo(classOf[CharRollHash].getName, "char_roll_hash"),
+        (children: Seq[Expression]) =>
+          CharRollHash(children(0), constLong(children(1)), constLong(children(2))))
         .asInstanceOf[(FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder)])
   }
 }

@@ -100,6 +100,24 @@ object PortableHash {
     sig
   }
 
+  /** Karp-Rabin rolling hash over the code points of a string — the
+    * kernel twin of `aggregate(split(text, ''), 0L, (acc, c) ->
+    * pmod(acc * mult + ascii(c), mod))`: Spark's empty-regex split
+    * advances per code point and `ascii` is the first code point, and
+    * both operands stay non-negative so `pmod` degenerates to `%`.
+    */
+  def charRoll(s: UTF8String, mult: Long, mod: Long): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = (acc * mult + cp) % mod
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
   /** All K minhash values in ONE pass over the shingle array: minimum of
     * the affine permutation (h·a_k + b_k) mod `mod` per k. Inputs are
     * already reduced mod P, so h·a + b stays far below 2^63. Empty input
@@ -170,6 +188,17 @@ case class SimHashSig(child: Expression, bits: Int) extends HashKernelExpr {
     copy(child = newChild)
 }
 
+/** Karp-Rabin rolling hash of a string's code points. */
+case class CharRollHash(child: Expression, mult: Long, mod: Long) extends HashKernelExpr {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    PortableHash.charRoll(input.asInstanceOf[UTF8String], mult, mod)
+  override def kernelCall(c: String): String =
+    s"graft.functions.PortableHash.charRoll($c, ${mult}L, ${mod}L)"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** K minhash minima of an array<bigint> of shingle hashes, one pass. */
 case class MinHashSig(child: Expression, as: Seq[Long], bs: Seq[Long], mod: Long)
     extends HashKernelExpr {
@@ -197,6 +226,8 @@ object PortableHashFunctions {
   import org.apache.spark.sql.GraftSqlBridge.{column, expression}
 
   def hashWords60(arr: Column): Column = column(HashWords60(expression(arr)))
+  def charRollHash(s: Column, mult: Long, mod: Long): Column =
+    column(CharRollHash(expression(s), mult, mod))
   def shingleHash60(toks: Column, n: Int, mod: Long): Column =
     column(ShingleHash60(expression(toks), n, mod))
   def simhashSig(hashes: Column, bits: Int): Column =

@@ -303,21 +303,40 @@ object Joins {
     * external tables; files land under [[bucketedDemoPath]].
     */
   private[graft] def bucketedTables(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val p = new org.apache.hadoop.fs.Path(bucketedDemoPath)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // layout keyed by SF so sf0.01 and sf0.1 runs never read each other's
+    // buckets; a marker written only after BOTH writes succeed makes the
+    // across-session reuse crash-safe
+    val root = s"$bucketedDemoPath/${new java.io.File(d).getName}"
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$root/_graft_built")
     s.sql("DROP TABLE IF EXISTS graft_bkt_orders")
     s.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
-    if (fs.exists(p)) fs.delete(p, true)
-    Tables.orders(s, d)
-      .select(col("o_orderkey"), col("o_orderstatus"))
-      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .option("path", s"$bucketedDemoPath/orders")
-      .saveAsTable("graft_bkt_orders")
-    Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_extendedprice"))
-      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .option("path", s"$bucketedDemoPath/lineitem")
-      .saveAsTable("graft_bkt_lineitem")
+    if (!fs.exists(marker)) {
+      if (fs.exists(rootPath)) fs.delete(rootPath, true)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$root/orders")
+        .saveAsTable("graft_bkt_orders")
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"))
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$root/lineitem")
+        .saveAsTable("graft_bkt_lineitem")
+      fs.create(marker).close()
+    } else {
+      // the data files carry the bucket layout in their names; a build in
+      // a LATER session only has to re-declare the external tables —
+      // bucketing metadata is declarative over immutable files, the same
+      // reason a 100 TB table is bucketed once and joined forever
+      s.sql(s"""CREATE TABLE graft_bkt_orders (o_orderkey BIGINT, o_orderstatus STRING)
+               |USING parquet CLUSTERED BY (o_orderkey) SORTED BY (o_orderkey) INTO 8 BUCKETS
+               |LOCATION '$root/orders'""".stripMargin)
+      s.sql(s"""CREATE TABLE graft_bkt_lineitem (l_orderkey BIGINT, l_extendedprice DOUBLE)
+               |USING parquet CLUSTERED BY (l_orderkey) SORTED BY (l_orderkey) INTO 8 BUCKETS
+               |LOCATION '$root/lineitem'""".stripMargin)
+    }
     (s.table("graft_bkt_orders"), s.table("graft_bkt_lineitem"))
   }
 

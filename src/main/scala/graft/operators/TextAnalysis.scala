@@ -136,8 +136,12 @@ object TextAnalysis {
     Tables.documents(s, d)
       .select(
         col("doc_id"),
-        expr("aggregate(split(text, ''), 0L, (acc, c) -> pmod(acc * 131 + ascii(c), 1000000007L))")
-          .as("fp"),
+        // CharRollHash kernel == the HOF spelling `aggregate(split(text,
+        // ''), 0L, (acc, c) -> pmod(acc*131 + ascii(c), 1000000007L))`,
+        // which Spark evaluates interpreted per character (PortableHashSpec
+        // asserts equality); the kernel runs inside whole-stage codegen
+        graft.functions.PortableHashFunctions
+          .charRollHash(col("text"), 131L, 1000000007L).as("fp"),
         expr("cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint)").as("fp60"))
       .orderBy(col("doc_id"))
 

@@ -75,6 +75,15 @@ class PortableHashSpec extends SparkSpec {
     }
   }
 
+  test("CharRollHash == aggregate(split(text,'')) Karp-Rabin fold spelling") {
+    val rows = docs
+      .withColumn("kernel", charRollHash(col("text"), 131L, 1000000007L))
+      .withColumn("hof", expr(
+        "aggregate(split(text, ''), 0L, (acc, c) -> pmod(acc * 131 + ascii(c), 1000000007L))"))
+      .select("id", "kernel", "hof").collect()
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2), s"id=${r.getLong(0)}"))
+  }
+
   test("kernels run inside whole-stage codegen (no interpreted fallback)") {
     val q = docs.withColumn("s", simhashSig(hashWords60(col("toks")), 48))
       .groupBy().agg(sum(col("s")))
