@@ -88,6 +88,7 @@ object SparkEntry {
     // deduplication
     "dedup_exact"        -> (Dedup.dedupExact _),
     "dedup_fingerprint"  -> (Dedup.dedupByFingerprint _),
+    "incremental_dedup"  -> (Dedup.incrementalDedup _),
     "near_dup_jaccard"   -> (Dedup.nearDupJaccard _),
     "minhash_lsh_pairs"  -> (Dedup.minhashLshPairs _),
     "simhash"            -> (Dedup.simhash _),
@@ -405,6 +406,7 @@ object SparkEntry {
       "SELECT MIN(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text ORDER BY doc_id",
     "near_dup_jaccard" -> operators.Dedup.Oracle.nearDupJaccardSql,
     "dedup_clusters"   -> operators.Dedup.Oracle.dedupClustersSql,
+    "incremental_dedup" -> operators.Dedup.incrementalDedupSql,
     "embedding_norms" ->
       ("SELECT vec_id, label, sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS l2_norm " +
         "FROM embeddings ORDER BY vec_id"),

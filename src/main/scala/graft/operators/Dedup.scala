@@ -38,6 +38,44 @@ object Dedup {
       .select(col("doc_id"), col("n_copies"))
       .orderBy(col("doc_id"))
 
+  /** Incremental (batch-vs-history) dedup — the ingestion-time shape: a
+    * new batch of documents (here the deterministic `doc_id % 10 = 7`
+    * slice) is admitted only if its content hash is unseen in the corpus
+    * history AND not already claimed by an earlier batch member. Both
+    * checks shuffle the 8-byte portable hash, never the text — at 100 TB
+    * the history side is a hash-only projection of the corpus, and the
+    * left join co-partitions with the batch's dedup window on the same
+    * key, so the batch is shuffled once.
+    */
+  def incrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), expr(Portable.spark60("text")).as("fp"))
+    val hist = docs.filter(col("doc_id") % 10 =!= 7)
+      .select(col("fp")).distinct().withColumn("in_hist", lit(1))
+    val batch = docs.filter(col("doc_id") % 10 === 7)
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    batch.join(hist, Seq("fp"), "left")
+      .withColumn("rn", row_number().over(w))
+      .select(
+        col("doc_id"), col("fp"),
+        col("in_hist").isNotNull.as("dup_of_history"),
+        (col("rn") > 1).as("dup_within_batch"),
+        (col("in_hist").isNull && col("rn") === 1).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[incrementalDedup]]. */
+  val incrementalDedupSql: String =
+    s"""WITH f AS (SELECT doc_id, ${Portable.duck60("text")} AS fp FROM documents),
+       |hist AS (SELECT DISTINCT fp FROM f WHERE doc_id % 10 <> 7),
+       |r AS (SELECT b.doc_id, b.fp, (h.fp IS NOT NULL) AS dup_of_history,
+       |             ROW_NUMBER() OVER (PARTITION BY b.fp ORDER BY b.doc_id) AS rn
+       |      FROM (SELECT doc_id, fp FROM f WHERE doc_id % 10 = 7) b
+       |      LEFT JOIN hist h ON b.fp = h.fp)
+       |SELECT doc_id, fp, dup_of_history, rn > 1 AS dup_within_batch,
+       |       (NOT dup_of_history AND rn = 1) AS kept
+       |FROM r ORDER BY doc_id""".stripMargin
+
   private def wordSet(df: DataFrame): DataFrame =
     df.select(col("doc_id"), col("source"),
       explode(array_distinct(split(lower(trim(col("text"))), "\\s+"))).as("w"))

@@ -104,6 +104,21 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Stream-static enrichment: the event stream joined to a static
+    * dimension (user_id → customer attributes). Spark re-plans the static
+    * side per micro-batch, so at scale the dimension is broadcast (pinned
+    * here with an explicit hint) and the stream never shuffles — the
+    * standard "decorate events with reference data" ingest stage. No
+    * watermark is needed: a stream-static inner join is stateless.
+    */
+  def enrichWithDimension(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(
+      broadcast(dim),
+      events("user_id") === dim("c_custkey"), "inner")
+      .select(events("event_id"), events("ts"), events("user_id"),
+        events("event_type"), events("value"),
+        dim("c_mktsegment").as("segment"))
+
   /** Stream-stream inner join: purchases matched to the clicks that
     * preceded them by at most 30 minutes, per user — the streaming as-of
     * candidate join. Both sides are watermarked so the state store evicts

@@ -227,6 +227,28 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("incrementalDedup: history dups dropped, batch-internal dups keep first, fresh kept") {
+    val dir = tmpDir("incr-docs")
+    Seq(
+      (1L, "alpha content", "en", "s1", 0L),   // history
+      (2L, "other history", "en", "s1", 0L),   // history
+      (7L, "alpha content", "en", "s1", 0L),   // batch: dup of history
+      (17L, "beta content", "en", "s1", 0L),   // batch: first of a batch pair
+      (27L, "beta content", "en", "s1", 0L),   // batch: second of the pair
+      (37L, "fresh content", "en", "s1", 0L))  // batch: brand new
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.incrementalDedup(spark, dir)
+      .select($"doc_id", $"dup_of_history", $"dup_within_batch", $"kept")
+      .as[(Long, Boolean, Boolean, Boolean)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (7L, true, false, false),
+      (17L, false, false, true),
+      (27L, false, true, false),
+      (37L, false, false, true)))
+  }
+
   test("piiRedact: emails, IPs, phones, and blocklist terms are redacted byte-exactly") {
     val dir = tmpDir("pii-docs")
     Seq(

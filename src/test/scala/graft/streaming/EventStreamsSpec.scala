@@ -228,4 +228,21 @@ class EventStreamsSpec extends SparkSpec {
     assert(sessions.map(_.n_events).sum == eventsBatch.count())
     assert(sessions.forall(s => s.end_ms >= s.start_ms))
   }
+
+  test("stream-static enrichment matches the batch join, stateless") {
+    val dim = graft.Tables.customer(spark, sf001)
+      .select($"c_custkey", $"c_mktsegment")
+    val q = EventStreams.enrichWithDimension(
+        EventStreams.readEventStream(spark, streamDir), dim)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("enrich_out")
+      .select($"event_id", $"segment").as[(Long, String)].collect().toSet
+    val batch = eventsBatch.join(dim, eventsBatch("user_id") === dim("c_custkey"))
+      .select($"event_id", $"c_mktsegment").as[(Long, String)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
