@@ -97,6 +97,7 @@ object SparkEntry {
     "embedding_norms"    -> (Similarity.embeddingNorms _),
     "ann_brute_force"    -> (Similarity.annBruteForce _),
     "ann_lsh"            -> (Similarity.annLsh _),
+    "ann_knn_all"        -> ((s, d) => Similarity.annKnnAll(s, d)),
     "ann_ivf"            -> ((s, d) => Similarity.annIvf(s, d)),
     "embedding_near_dup" -> (Similarity.embeddingNearDup _),
     "embedding_near_dup_exact" -> (Similarity.embeddingNearDupExact _),
@@ -369,6 +370,7 @@ object SparkEntry {
     "simhash" -> operators.Dedup.Oracle.simhashSql,
     "minhash_lsh_pairs" -> operators.Dedup.Oracle.minhashLshPairsSql,
     "ann_lsh" -> operators.Similarity.annLshOracleSql,
+    "ann_knn_all" -> operators.Similarity.annKnnAllOracleSql(),
     "ann_ivf" -> operators.Similarity.annIvfOracleSql(),
     "embedding_quantize" -> operators.Similarity.embeddingQuantizeSql,
     "text_stats" ->

@@ -135,6 +135,75 @@ object Similarity {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** Full KNN self-join — top-`k` neighbors for EVERY vector (the batch
+    * backbone of embedding clustering, graph building, and neighborhood-
+    * based quality scoring), not just a query set: candidates are the
+    * pairs sharing any of the 4×8-bit sign-LSH buckets (same tables as
+    * [[annLsh]]), reranked by exact cosine. The all-pairs term never
+    * appears: the self-join shuffles on (table, signature) keys with
+    * ~N/256 rows per bucket per table, so candidate volume is ~N·tables·
+    * bucketload, linear-ish in N — the only KNN-join shape that survives
+    * 100 TB. Recall follows the sign-LSH collision curve (see [[annLsh]]'s
+    * caveat on this synthetic corpus).
+    */
+  def annKnnAll(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val ps = planes(4, 8, 64)
+    val e = emb(s, d)
+    val signed = e.withColumn("sigs",
+      array(ps.map(tp => signature(col("embedding"), tp)): _*))
+    val buckets = signed.select(col("vec_id"),
+      posexplode(col("sigs")).as(Seq("tbl", "sig")))
+    val nbrs = buckets.select(
+      col("vec_id").as("nb_id"), col("tbl").as("t2"), col("sig").as("s2"))
+    // candidate ids only (narrow keys) through the bucket join + distinct;
+    // vectors are fetched back afterwards, once per side
+    val cand = buckets.join(nbrs,
+        col("tbl") === col("t2") && col("sig") === col("s2") &&
+          col("vec_id") =!= col("nb_id"))
+      .select(col("vec_id"), col("nb_id")).distinct()
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("nb_id"))
+    cand
+      .join(e.select(col("vec_id").as("nb_id"), col("embedding").as("nv"),
+        col("nrm").as("nn")), Seq("nb_id"))
+      .join(e.select(col("vec_id"), col("embedding").as("v"),
+        col("nrm").as("vn")), Seq("vec_id"))
+      .withColumn("score", cosine(col("v"), col("nv"), col("vn"), col("nn")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("vec_id"), col("nb_id"), col("score"), col("rn"))
+      .orderBy(col("vec_id"), col("rn"))
+  }
+
+  /** DuckDB oracle for [[annKnnAll]] — [[annLshOracleSql]] without the
+    * query-set filter: the signature build replays plane-by-plane, the
+    * bucket self-join yields the same candidate pairs, and the rerank is
+    * the same sequential-fold cosine.
+    */
+  def annKnnAllOracleSql(k: Int = 3): String = {
+    val ps = planes(4, 8, 64)
+    val planeRows = (for {
+      (tp, t) <- ps.zipWithIndex
+      (p, b) <- tp.zipWithIndex
+    } yield s"($t, $b, [${p.map(x => if (x > 0) "1.0" else "-1.0").mkString(",")}])")
+      .mkString(", ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |pl AS (SELECT * FROM (VALUES $planeRows) p(tbl, b, pv)),
+       |sg AS (SELECT vec_id, tbl,
+       |         CAST(SUM(CASE WHEN list_dot_product(v, pv) >= 0.0
+       |                       THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sig
+       |       FROM n CROSS JOIN pl GROUP BY vec_id, tbl),
+       |cand AS (SELECT DISTINCT s.vec_id, s2.vec_id AS nb_id FROM sg s
+       |         JOIN sg s2 ON s.tbl = s2.tbl AND s.sig = s2.sig AND s.vec_id <> s2.vec_id),
+       |scored AS (SELECT c.vec_id, c.nb_id,
+       |             list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS score
+       |           FROM cand c JOIN n a ON a.vec_id = c.vec_id JOIN n b ON b.vec_id = c.nb_id)
+       |SELECT vec_id, nb_id, score, rn FROM (
+       |  SELECT vec_id, nb_id, score,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, nb_id) AS rn
+       |  FROM scored) t WHERE rn <= $k ORDER BY vec_id, rn""".stripMargin
+  }
+
   /** Fit the IVF coarse quantizer: `nlist` seed vectors chosen by a
     * multiplicative-hash stride over vec_id, then one Lloyd refinement
     * (assign + exact decimal per-cell mean). This is the fit-once-offline

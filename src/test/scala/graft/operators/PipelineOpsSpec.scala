@@ -161,6 +161,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(recall >= 0.2, s"recall=$recall")
   }
 
+  test("annKnnAll: at most k best-first neighbors per vector, scores are exact cosines") {
+    val got = Similarity.annKnnAll(spark, sf001, k = 3)
+      .select($"vec_id", $"nb_id", $"score", $"rn")
+      .as[(Long, Long, Double, Long)].collect()
+    assert(got.nonEmpty)
+    got.groupBy(_._1).values.foreach { rows =>
+      assert(rows.length <= 3)
+      val byRank = rows.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1L to byRank.length))
+      val scores = byRank.map(_._3)
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    // scores are the exact cosine the brute-force path computes for the
+    // same pair (bit-deterministic sequential fold)
+    val bf = Similarity.annBruteForce(spark, sf001)
+      .select($"q_id", $"vec_id", $"score").as[(Long, Long, Double)].collect()
+      .map { case (q, v, s) => (q, v) -> s }.toMap
+    got.foreach { case (a, b, s, _) =>
+      bf.get((a, b)).foreach(exp => assert(s == exp, s"score mismatch ($a,$b)"))
+    }
+  }
+
   test("annBruteForce returns exactly 10 neighbors per query, best-first") {
     val got = Similarity.annBruteForce(spark, sf001)
       .select($"q_id", $"rn", $"score").as[(Long, Long, Double)].collect()
