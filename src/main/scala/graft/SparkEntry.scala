@@ -107,6 +107,8 @@ object SparkEntry {
     "pii_redact"         -> ((s, d) => TextAnalysis.piiRedact(s, d)),
     "sequence_pack"      -> ((s, d) => TextAnalysis.sequencePack(s, d)),
     "vocab_coverage"     -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
+    "chunk_docs"         -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
+    "normalize_text"     -> (TextAnalysis.normalizeText _),
     "bucketed_join_demo" -> (Joins.bucketedJoinDemo _),
     // multimodal plumbing
     "media_meta"   -> (Multimodal.mediaMeta _),
@@ -366,6 +368,8 @@ object SparkEntry {
     "pii_redact"       -> operators.TextAnalysis.piiRedactSql(),
     "sequence_pack"    -> operators.TextAnalysis.sequencePackSql(),
     "vocab_coverage"   -> operators.TextAnalysis.vocabCoverageSql(),
+    "chunk_docs"       -> operators.TextAnalysis.chunkDocsSql(),
+    "normalize_text"   -> operators.TextAnalysis.normalizeTextSql,
     "bucketed_join_demo" -> operators.Joins.bucketedJoinDemoSql,
     "simhash" -> operators.Dedup.Oracle.simhashSql,
     "minhash_lsh_pairs" -> operators.Dedup.Oracle.minhashLshPairsSql,

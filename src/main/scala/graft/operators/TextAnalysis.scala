@@ -407,6 +407,66 @@ object TextAnalysis {
        |       CAST(SUM(n_tokens) AS DOUBLE) / $seqLen AS fill_ratio
        |FROM c GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin
 
+  /** Overlapping-window document chunking — the context-window
+    * preprocessing every RAG index and long-document training pipeline
+    * runs: each document explodes into windows of `chunkLen` whitespace
+    * tokens starting every `stride` tokens (overlap = chunkLen − stride),
+    * the final window clamping at the document end. Pure per-row explode:
+    * rides the scan, output partitions inherit the input's, no shuffle
+    * until the caller aggregates.
+    */
+  def chunkDocs(s: SparkSession, d: String,
+                chunkLen: Int = 32, stride: Int = 24): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(0, greatest(size(toks) - 1, 0), $stride)")).as("start"))
+      .select(
+        col("doc_id"),
+        expr(s"start div $stride").as("chunk_id"),
+        size(expr(s"slice(toks, start + 1, $chunkLen)")).cast("int").as("n_chunk_tokens"),
+        concat_ws(" ", expr(s"slice(toks, start + 1, $chunkLen)")).as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** DuckDB twin of [[chunkDocs]] — 1-based inclusive list slices equal
+    * Spark's (start, length) slices element-for-element.
+    */
+  def chunkDocsSql(chunkLen: Int = 32, stride: Int = 24): String =
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |           FROM documents),
+       |x AS (SELECT doc_id, toks,
+       |        unnest(generate_series(0, greatest(len(toks) - 1, 0), $stride)) AS start
+       |      FROM t)
+       |SELECT doc_id, CAST(start // $stride AS BIGINT) AS chunk_id,
+       |       CAST(len(toks[start + 1 : start + $chunkLen]) AS INT) AS n_chunk_tokens,
+       |       array_to_string(toks[start + 1 : start + $chunkLen], ' ') AS chunk_text
+       |FROM x ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Text normalization — the first stage of every cleaning pipeline:
+    * lowercase, control characters to spaces, whitespace runs collapsed,
+    * ends trimmed. Pure per-row regex/codegen expressions (Java-regex/RE2
+    * common subset, like [[piiRedact]]).
+    */
+  def normalizeText(s: SparkSession, d: String): DataFrame = {
+    val ctl = "[\\x00-\\x1f\\x7f]"
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), lit(ctl), lit(" ")),
+      lit("""\s+"""), lit(" ")))
+    Tables.documents(s, d)
+      .select(col("doc_id"), norm.as("norm_text"),
+        (norm =!= col("text")).as("changed"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[normalizeText]]. */
+  val normalizeTextSql: String =
+    """SELECT doc_id,
+      |       trim(regexp_replace(regexp_replace(lower(text), '[\x00-\x1f\x7f]', ' ', 'g'),
+      |                           '\s+', ' ', 'g')) AS norm_text,
+      |       trim(regexp_replace(regexp_replace(lower(text), '[\x00-\x1f\x7f]', ' ', 'g'),
+      |                           '\s+', ' ', 'g')) <> text AS changed
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Vocabulary coverage: build the top-V corpus vocabulary by frequency
     * (count desc, word asc — deterministic ties) and report each
     * document's out-of-vocabulary token count/ratio — the signal used to

@@ -335,6 +335,43 @@ class PipelineOpsSpec extends SparkSpec {
     tiny.foreach { case (id, n, _, _) => assert(n == stats(id).toLong) }
   }
 
+  test("chunkDocs: windows cover every token, overlap by chunkLen - stride, clamp at end") {
+    val dir = tmpDir("chunk-docs")
+    val words = (1 to 50).map(i => s"w$i").mkString(" ") // 50 tokens
+    Seq((1L, words, "en", "s1", 0L), (2L, "short doc", "en", "s1", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.chunkDocs(spark, dir, chunkLen = 32, stride = 24)
+      .select($"doc_id", $"chunk_id", $"n_chunk_tokens", $"chunk_text")
+      .as[(Long, Long, Int, String)].collect().sortBy(r => (r._1, r._2))
+    // doc 1: starts 0, 24, 48 → lengths 32, 26, 2
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1.map(r => (r._2, r._3)).toSeq == Seq((0L, 32), (1L, 26), (2L, 2)))
+    // overlap: chunk 1 starts at token 25 (w25) while chunk 0 ends at w32
+    assert(d1(1)._4.startsWith("w25 ") && d1(0)._4.endsWith(" w32"))
+    assert(d1(2)._4 == "w49 w50")
+    // doc 2 fits in one window
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 2, "short doc")))
+  }
+
+  test("normalizeText: control chars, case, and whitespace runs normalize; clean text unchanged") {
+    val dir = tmpDir("norm-docs")
+    Seq(
+      (1L, "Already   Clean?\tNo: TABS and RUNS", "en", "s1", 0L),
+      (2L, "plain text stays", "en", "s1", 0L),
+      (3L, "  pad  ", "en", "s1", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.normalizeText(spark, dir)
+      .select($"doc_id", $"norm_text", $"changed")
+      .as[(Long, String, Boolean)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, "already clean? no: tabs and runs", true)))
+    assert(got(1) == ((2L, "plain text stays", false)))
+    assert(got(2) == ((3L, "pad", true)))
+  }
+
   test("tokenBudgetMix: per-source cumulative token totals stay under budget, monotone") {
     val rows = TextAnalysis.tokenBudgetMix(spark, sf001, budget = 2000)
       .select($"source", $"doc_id", $"n_tokens", $"cum_tokens")
