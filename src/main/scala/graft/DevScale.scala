@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only scale-curve probe: times the heavy text-pipeline operators on
+  * the base corpus and on a `copies`× corpus (each copy's text perturbed
+  * with a copy token so copies are near- but not exact duplicates), and
+  * prints the runtime ratio. A bucketed/prefix-filtered design should grow
+  * near-linearly in corpus size; a quadratic one shows up immediately.
+  * Usage: runMain graft.DevScale [baseSfDir] [copies]
+  */
+object DevScale {
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = args.lift(1).map(_.toInt).getOrElse(4)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val scaledDir = s"/tmp/graft-scale-${copies}x-${new java.io.File(base).getName}"
+    val marker = new org.apache.hadoop.fs.Path(s"$scaledDir/_built")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      val docs = spark.read.parquet(s"$base/documents.parquet")
+      (0 until copies).map(i => docs
+          .withColumn("doc_id", col("doc_id") * copies + i)
+          .withColumn("text", concat(col("text"), lit(s" copytoken$i"))))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$scaledDir/documents.parquet")
+      fs.create(marker).close()
+    }
+
+    // by-name argument: iterative operators (dedup_clusters) run jobs
+    // during DataFrame CONSTRUCTION, which must land inside the clock —
+    // same accounting as Bench.scala
+    def drain(mk: => org.apache.spark.sql.DataFrame): Long = {
+      val t0 = System.nanoTime()
+      mk.write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1000000
+    }
+    val ops: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+      "fingerprint"       -> (operators.TextAnalysis.fingerprint _),
+      "pii_redact"        -> ((s, d) => operators.TextAnalysis.piiRedact(s, d)),
+      "vocab_coverage"    -> ((s, d) => operators.TextAnalysis.vocabCoverage(s, d)),
+      "tfidf_top_terms"   -> (operators.TextAnalysis.tfidfTopTerms _),
+      "minhash_lsh_pairs" -> (operators.Dedup.minhashLshPairs _),
+      "near_dup_jaccard"  -> (operators.Dedup.nearDupJaccard _),
+      "dedup_clusters"    -> (operators.Dedup.dedupClusters _))
+    // warmup on the small dir so JIT/codegen costs don't land on the 1× run
+    ops.foreach { case (_, fn) =>
+      try drain(fn(spark, "/root/testdata/sf0.01")) catch { case _: Throwable => () }
+    }
+    println(f"${"op"}%-18s ${"t1x_ms"}%8s ${s"t${copies}x_ms"}%8s ratio")
+    ops.foreach { case (name, fn) =>
+      val t1 = drain(fn(spark, base))
+      val tN = drain(fn(spark, scaledDir))
+      println(f"$name%-18s $t1%8d $tN%8d ${tN.toDouble / t1}%.2f")
+    }
+    spark.stop()
+  }
+}

@@ -84,6 +84,31 @@ class PortableHashSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(1) == r.getLong(2), s"id=${r.getLong(0)}"))
   }
 
+  test("CharRollHash randomized equivalence: 300 mixed-alphabet strings") {
+    // curated alphabet: ASCII, punctuation, 2- and 3-byte UTF-8, and an
+    // astral (surrogate-pair) code point — no unpaired surrogates, which
+    // are not valid UTF-8 and never reach the expression from parquet
+    val alphabet = ("abcXYZ019 .,!?'\"\\\t" + "éßñ中文日𝕊").toCharArray
+    val rnd = new scala.util.Random(7)
+    def randString(): String = {
+      val sb = new StringBuilder
+      (0 until rnd.nextInt(40)).foreach { _ =>
+        val c = alphabet(rnd.nextInt(alphabet.length))
+        // keep surrogate halves paired: 𝕊 occupies two chars in the array
+        if (!Character.isSurrogate(c)) sb.append(c) else sb.append("𝕊")
+      }
+      sb.toString
+    }
+    val samples = (0 until 300).map(i => (i.toLong, randString()))
+    val rows = samples.toDF("id", "text")
+      .withColumn("kernel", charRollHash(col("text"), 131L, 1000000007L))
+      .withColumn("hof", expr(
+        "aggregate(split(text, ''), 0L, (acc, c) -> pmod(acc * 131 + ascii(c), 1000000007L))"))
+      .select("id", "kernel", "hof").collect()
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"id=${r.getLong(0)} text=${samples(r.getLong(0).toInt)._2}"))
+  }
+
   test("kernels run inside whole-stage codegen (no interpreted fallback)") {
     val q = docs.withColumn("s", simhashSig(hashWords60(col("toks")), 48))
       .groupBy().agg(sum(col("s")))
