@@ -109,6 +109,8 @@ object SparkEntry {
     "vocab_coverage"     -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
     "chunk_docs"         -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "normalize_text"     -> (TextAnalysis.normalizeText _),
+    "length_band_filter" -> (TextAnalysis.lengthBandFilter _),
+    "embedding_outliers" -> (Similarity.embeddingOutliers _),
     "bucketed_join_demo" -> (Joins.bucketedJoinDemo _),
     // multimodal plumbing
     "media_meta"   -> (Multimodal.mediaMeta _),
@@ -370,6 +372,8 @@ object SparkEntry {
     "vocab_coverage"   -> operators.TextAnalysis.vocabCoverageSql(),
     "chunk_docs"       -> operators.TextAnalysis.chunkDocsSql(),
     "normalize_text"   -> operators.TextAnalysis.normalizeTextSql,
+    "length_band_filter" -> operators.TextAnalysis.lengthBandFilterSql,
+    "embedding_outliers" -> operators.Similarity.embeddingOutliersSql,
     "bucketed_join_demo" -> operators.Joins.bucketedJoinDemoSql,
     "simhash" -> operators.Dedup.Oracle.simhashSql,
     "minhash_lsh_pairs" -> operators.Dedup.Oracle.minhashLshPairsSql,

@@ -542,6 +542,52 @@ object Similarity {
       |CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) d
       |GROUP BY label, dim ORDER BY label, dim""".stripMargin
 
+  /** Distance-to-centroid outlier scoring (dataset cartography): each
+    * vector's cosine against its label's exact-decimal centroid (the
+    * [[labelCentroids]] computation re-assembled into a 64-double array).
+    * Centroids are 10 tiny rows — they broadcast; the corpus is scored in
+    * one codegen'd pass and never shuffles. `is_far` uses a fixed
+    * threshold (0.0 — orthogonal-or-opposed to the class prototype) so
+    * the flag is deterministic on both engines.
+    */
+  def embeddingOutliers(s: SparkSession, d: String): DataFrame = {
+    val cents = Tables.embeddings(s, d)
+      .select(col("label"),
+        posexplode(expr("transform(embedding, x -> cast(x as double))"))
+          .as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg((sum(col("x").cast("decimal(20,10)")).cast("double") / count(lit(1))).as("m"))
+      .groupBy(col("label"))
+      // dim-ordered struct sort, then project the means — 64 elements per
+      // label, so the interpreted HOF here touches 10 rows, not the corpus
+      .agg(expr("transform(array_sort(collect_list(struct(dim, m))), s -> s.m)").as("c"))
+    val e = emb(s, d)
+    e.join(broadcast(cents), Seq("label"))
+      .withColumn("cos_centroid",
+        dot(col("embedding"), col("c")) / (col("nrm") * sqrt(dot(col("c"), col("c")))))
+      .select(col("vec_id"), col("label"), col("cos_centroid"),
+        (col("cos_centroid") < 0.0).as("is_far"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB twin of [[embeddingOutliers]] — the [[labelCentroidsSql]]
+    * spelling (VARCHAR-routed decimal cast, see there) re-listed into a
+    * vector, scored with the same sequential-fold cosine.
+    */
+  val embeddingOutliersSql: String =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |xs AS (SELECT label, d.i - 1 AS dim, v[d.i] AS x FROM e
+      |       CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) d),
+      |mn AS (SELECT label, dim,
+      |         CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS m
+      |       FROM xs GROUP BY label, dim),
+      |ct AS (SELECT label, list(m ORDER BY dim) AS c FROM mn GROUP BY label)
+      |SELECT vec_id, n.label,
+      |       list_dot_product(n.v, ct.c) / (n.nrm * sqrt(list_dot_product(ct.c, ct.c))) AS cos_centroid,
+      |       list_dot_product(n.v, ct.c) / (n.nrm * sqrt(list_dot_product(ct.c, ct.c))) < 0.0 AS is_far
+      |FROM n JOIN ct ON n.label = ct.label ORDER BY vec_id""".stripMargin
+
   /** Exact embedding near-dup baseline: ALL same-label pairs thresholded —
     * the correctness reference [[embeddingNearDup]]'s candidates are
     * measured against (the role annBruteForce plays for ANN). Quadratic

@@ -467,6 +467,44 @@ object TextAnalysis {
       |                           '\s+', ' ', 'g')) <> text AS changed
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Token-length band filter: keep each source's documents whose token
+    * count falls inside the exact p10–p90 rank band — the tails-trimming
+    * quality filter (too-short fragments, too-long concatenation
+    * artifacts), spelled with integer ranks so both engines agree exactly
+    * (percentile interpolation differs across engines; rank selection
+    * does not — same rule as the exact median). One shuffle on `source`
+    * for the two windows, then a pure filter.
+    */
+  def lengthBandFilter(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("n_tokens"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        expr(Formulas.nTokens).cast("long").as("n_tokens"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy(col("source"))).cast("long"))
+      .filter(col("rk") > expr("cnt div 10") &&
+        col("rk") <= col("cnt") - expr("cnt div 10"))
+      .select(col("source"), col("doc_id"), col("n_tokens"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  /** DuckDB twin of [[lengthBandFilter]] — `div`/`//` agree on the
+    * non-negative counts here.
+    */
+  val lengthBandFilterSql: String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |             CAST(${Formulas.nTokensDuck} AS BIGINT) AS n_tokens
+       |           FROM documents),
+       |r AS (SELECT doc_id, source, n_tokens,
+       |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS rk,
+       |        COUNT(*) OVER (PARTITION BY source) AS cnt
+       |      FROM t)
+       |SELECT source, doc_id, n_tokens FROM r
+       |WHERE rk > cnt // 10 AND rk <= cnt - cnt // 10
+       |ORDER BY source, doc_id""".stripMargin
+
   /** Vocabulary coverage: build the top-V corpus vocabulary by frequency
     * (count desc, word asc — deterministic ties) and report each
     * document's out-of-vocabulary token count/ratio — the signal used to

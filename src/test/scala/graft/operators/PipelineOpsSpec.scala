@@ -372,6 +372,45 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(2) == ((3L, "pad", true)))
   }
 
+  test("lengthBandFilter: trims exactly the rank tails per source, keeps the middle") {
+    val all = TextAnalysis.textStats(spark, sf001)
+      .select($"doc_id", $"n_tokens").as[(Long, Int)].collect().toMap
+    val sources = graft.Tables.documents(spark, sf001)
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    val kept = TextAnalysis.lengthBandFilter(spark, sf001)
+      .select($"source", $"doc_id", $"n_tokens").as[(String, Long, Long)].collect()
+    kept.groupBy(_._1).foreach { case (src, rs) =>
+      val cnt = sources(src)
+      assert(rs.length == cnt - 2 * (cnt / 10), s"band size wrong for $src")
+    }
+    // every kept doc's token count matches the corpus-wide stat
+    kept.foreach { case (_, id, n) => assert(n == all(id).toLong) }
+    // dropped docs sit at the extremes: no dropped doc is strictly inside
+    // the kept (min, max) token range unless tied with the boundary
+    val keptBySrc = kept.groupBy(_._1)
+    graft.Tables.documents(spark, sf001)
+      .select($"source", $"doc_id").as[(String, Long)].collect()
+      .filterNot { case (s0, id) => keptBySrc(s0).exists(_._2 == id) }
+      .foreach { case (s0, id) =>
+        val (lo, hi) = (keptBySrc(s0).map(_._3).min, keptBySrc(s0).map(_._3).max)
+        val n = all(id).toLong
+        assert(n <= lo || n >= hi, s"dropped doc $id ($n tokens) inside ($lo,$hi)")
+      }
+  }
+
+  test("embeddingOutliers: one score per vector, cosine bounded, flag consistent") {
+    val got = Similarity.embeddingOutliers(spark, sf001)
+      .select($"vec_id", $"label", $"cos_centroid", $"is_far")
+      .as[(Long, Long, Double, Boolean)].collect()
+    val nVecs = graft.Tables.embeddings(spark, sf001).count()
+    assert(got.length == nVecs)
+    assert(got.map(_._1).distinct.length == got.length)
+    got.foreach { case (id, _, c, far) =>
+      assert(c >= -1.0000001 && c <= 1.0000001, s"cosine out of range for $id")
+      assert(far == (c < 0.0))
+    }
+  }
+
   test("tokenBudgetMix: per-source cumulative token totals stay under budget, monotone") {
     val rows = TextAnalysis.tokenBudgetMix(spark, sf001, budget = 2000)
       .select($"source", $"doc_id", $"n_tokens", $"cum_tokens")
