@@ -70,15 +70,21 @@ object TextAnalysis {
     }
   }
 
-  /** Basic per-document statistics. */
+  /** Basic per-document statistics — the DataFrame core is side-input
+    * agnostic (pure per-row expressions), so it runs unmodified on a
+    * STREAMING documents source too (StreamingPipelineSpec proves
+    * batch/stream agreement); the `(session, dir)` wrapper adds the
+    * presentation sort a stream cannot have.
+    */
+  def textStatsOf(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("int").as("n_chars"),
+      expr(Formulas.nTokens).cast("int").as("n_tokens"),
+      length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).cast("int").as("n_punct"))
+
   def textStats(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(
-        col("doc_id"),
-        length(col("text")).cast("int").as("n_chars"),
-        expr(Formulas.nTokens).cast("int").as("n_tokens"),
-        length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).cast("int").as("n_punct"))
-      .orderBy(col("doc_id"))
+    textStatsOf(Tables.documents(s, d)).orderBy(col("doc_id"))
 
   /** Token counting with a BPE-ish regex lexer. */
   def tokenCount(s: SparkSession, d: String): DataFrame =
@@ -415,9 +421,8 @@ object TextAnalysis {
     * rides the scan, output partitions inherit the input's, no shuffle
     * until the caller aggregates.
     */
-  def chunkDocs(s: SparkSession, d: String,
-                chunkLen: Int = 32, stride: Int = 24): DataFrame =
-    Tables.documents(s, d)
+  def chunkDocsOf(docs: DataFrame, chunkLen: Int = 32, stride: Int = 24): DataFrame =
+    docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
       .select(col("doc_id"), col("toks"),
         explode(expr(s"sequence(0, greatest(size(toks) - 1, 0), $stride)")).as("start"))
@@ -426,6 +431,10 @@ object TextAnalysis {
         expr(s"start div $stride").as("chunk_id"),
         size(expr(s"slice(toks, start + 1, $chunkLen)")).cast("int").as("n_chunk_tokens"),
         concat_ws(" ", expr(s"slice(toks, start + 1, $chunkLen)")).as("chunk_text"))
+
+  def chunkDocs(s: SparkSession, d: String,
+                chunkLen: Int = 32, stride: Int = 24): DataFrame =
+    chunkDocsOf(Tables.documents(s, d), chunkLen, stride)
       .orderBy(col("doc_id"), col("chunk_id"))
 
   /** DuckDB twin of [[chunkDocs]] — 1-based inclusive list slices equal
@@ -447,16 +456,17 @@ object TextAnalysis {
     * ends trimmed. Pure per-row regex/codegen expressions (Java-regex/RE2
     * common subset, like [[piiRedact]]).
     */
-  def normalizeText(s: SparkSession, d: String): DataFrame = {
+  def normalizeTextOf(docs: DataFrame): DataFrame = {
     val ctl = "[\\x00-\\x1f\\x7f]"
     val norm = trim(regexp_replace(
       regexp_replace(lower(col("text")), lit(ctl), lit(" ")),
       lit("""\s+"""), lit(" ")))
-    Tables.documents(s, d)
-      .select(col("doc_id"), norm.as("norm_text"),
-        (norm =!= col("text")).as("changed"))
-      .orderBy(col("doc_id"))
+    docs.select(col("doc_id"), norm.as("norm_text"),
+      (norm =!= col("text")).as("changed"))
   }
+
+  def normalizeText(s: SparkSession, d: String): DataFrame =
+    normalizeTextOf(Tables.documents(s, d)).orderBy(col("doc_id"))
 
   /** DuckDB twin of [[normalizeText]]. */
   val normalizeTextSql: String =
