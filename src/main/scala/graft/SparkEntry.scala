@@ -110,6 +110,7 @@ object SparkEntry {
     "chunk_docs"         -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "normalize_text"     -> (TextAnalysis.normalizeText _),
     "length_band_filter" -> (TextAnalysis.lengthBandFilter _),
+    "source_data_card"   -> (TextAnalysis.sourceDataCard _),
     "embedding_outliers" -> (Similarity.embeddingOutliers _),
     "bucketed_join_demo" -> (Joins.bucketedJoinDemo _),
     // multimodal plumbing
@@ -373,6 +374,7 @@ object SparkEntry {
     "chunk_docs"       -> operators.TextAnalysis.chunkDocsSql(),
     "normalize_text"   -> operators.TextAnalysis.normalizeTextSql,
     "length_band_filter" -> operators.TextAnalysis.lengthBandFilterSql,
+    "source_data_card" -> operators.TextAnalysis.sourceDataCardSql,
     "embedding_outliers" -> operators.Similarity.embeddingOutliersSql,
     "bucketed_join_demo" -> operators.Joins.bucketedJoinDemoSql,
     "simhash" -> operators.Dedup.Oracle.simhashSql,

@@ -515,6 +515,37 @@ object TextAnalysis {
        |WHERE rk > cnt // 10 AND rk <= cnt - cnt // 10
        |ORDER BY source, doc_id""".stripMargin
 
+  /** Per-source data card — the dataset datasheet a training run reads
+    * before mixing sources: document and token counts, exact-duplicate
+    * rate, language spread, and mean document length (decimal-exact mean,
+    * then one double division). One map-side-combined aggregation over
+    * the corpus; `n_distinct_texts` shuffles text hashes only via the
+    * partial-aggregate path.
+    */
+  def sourceDataCard(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), col("lang"), col("text"),
+        expr(Formulas.nTokens).cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        (count(lit(1)) - countDistinct(col("text"))).as("n_dup_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        (sum(col("n_tokens")).cast("double") / count(lit(1))).as("mean_tokens"))
+      .orderBy(col("source"))
+
+  /** DuckDB twin of [[sourceDataCard]]. */
+  val sourceDataCardSql: String =
+    s"""WITH t AS (SELECT source, lang, text,
+       |             CAST(${Formulas.nTokensDuck} AS BIGINT) AS n_tokens
+       |           FROM documents)
+       |SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens,
+       |       COUNT(*) - COUNT(DISTINCT text) AS n_dup_docs,
+       |       COUNT(DISTINCT lang) AS n_langs,
+       |       CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS mean_tokens
+       |FROM t GROUP BY source ORDER BY source""".stripMargin
+
   /** Vocabulary coverage: build the top-V corpus vocabulary by frequency
     * (count desc, word asc — deterministic ties) and report each
     * document's out-of-vocabulary token count/ratio — the signal used to
