@@ -51,6 +51,9 @@ object SparkEntry {
     "q7_volume"        -> (Joins.q7Volume _),
     "q18_large_orders"   -> (Joins.q18LargeOrders _),
     "q21_waiting_supplier" -> (Joins.q21WaitingSupplier _),
+    "q10_returned_items" -> (Joins.q10ReturnedItems _),
+    "q14_promo_share"    -> (Joins.q14PromoShare _),
+    "q19_banded_revenue" -> (Joins.q19BandedRevenue _),
     "salted_join_demo"   -> (Joins.saltedJoinDemo _),
     "in_subquery"      -> (Joins.inSubquery _),
     "scalar_subquery"  -> (Joins.scalarSubquery _),
@@ -217,6 +220,26 @@ object SparkEntry {
         "FROM orders JOIN customer ON o_custkey = c_custkey JOIN lineitem ON l_orderkey = o_orderkey " +
         "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' " +
         "GROUP BY o_orderkey, o_orderdate ORDER BY revenue DESC, o_orderkey LIMIT 10"),
+    "q10_returned_items" ->
+      ("SELECT c_custkey, c_name, n_name, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(14,4))) AS DOUBLE) AS revenue, " +
+        "COUNT(*) AS n_items " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE l_returnflag = 'R' GROUP BY c_custkey, c_name, n_name " +
+        "ORDER BY revenue DESC, c_custkey LIMIT 20"),
+    "q14_promo_share" ->
+      ("SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN dp ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) " +
+        "/ CAST(SUM(dp) AS DOUBLE) AS promo_share " +
+        "FROM (SELECT p_type, CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(14,4)) AS dp " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00') t"),
+    "q19_banded_revenue" ->
+      ("SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(14,4))) AS DOUBLE) AS revenue, " +
+        "COUNT(*) AS n_items FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15) " +
+        "OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 25) " +
+        "OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 35)"),
     "q4_order_priority" ->
       ("SELECT o_orderpriority, count(*) AS order_count FROM orders " +
         "WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' " +

@@ -276,6 +276,76 @@ object Joins {
       .limit(20)
   }
 
+  /** TPC-H Q10-style returned-items report: revenue lost to returns per
+    * customer (top 20). Facts join and shuffle on the order key once;
+    * customer and nation broadcast; top-k via limit (TakeOrdered).
+    */
+  def q10ReturnedItems(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast("decimal(14,2)") *
+          (lit(1.0) - col("l_discount")).cast("decimal(14,4)")).as("disc_price"))
+    Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(li, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(col("disc_price")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q14-style promo revenue share over one shipping year: both the
+    * conditional and total revenue come from ONE decimal aggregation pass
+    * (no second scan), then a single double division — the two-sums-one-
+    * divide spelling both engines reproduce exactly.
+    */
+  def q14PromoShare(s: SparkSession, d: String): DataFrame = {
+    val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_type"),
+        (col("l_extendedprice").cast("decimal(14,2)") *
+          (lit(1.0) - col("l_discount")).cast("decimal(14,4)")).as("disc_price"))
+      .agg(
+        (lit(100.0) *
+          sum(when(col("p_type") === "PROMO", col("disc_price"))
+            .otherwise(lit(0).cast("decimal(18,6)"))).cast("double") /
+          sum(col("disc_price")).cast("double")).as("promo_share"))
+  }
+
+  /** TPC-H Q19-style disjunctive predicate revenue: three brand/size/
+    * quantity bands OR-ed together — the shape that exercises complex
+    * predicate pushdown and guards against a planner multiplying the
+    * disjunction into a cross join. Part is broadcast; one scan each.
+    */
+  def q19BandedRevenue(s: SparkSession, d: String): DataFrame = {
+    val bands = (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(1, 15)) ||
+      (col("p_brand") === "Brand#13" && col("p_size").between(1, 20) &&
+        col("l_quantity").between(10, 25)) ||
+      (col("p_brand") === "Brand#20" && col("p_size").between(1, 30) &&
+        col("l_quantity").between(20, 35))
+    Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity"),
+        (col("l_extendedprice").cast("decimal(14,2)") *
+          (lit(1.0) - col("l_discount")).cast("decimal(14,4)")).as("disc_price"))
+      .join(broadcast(Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .filter(bands)
+      .agg(sum(col("disc_price")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** Skew-safe join demo over [[Skew.saltedJoin]]: per-segment order
     * counts through the salted (key, salt) join — semantically identical
     * to the plain equi-join the oracle spells, which is exactly the
