@@ -74,10 +74,18 @@ object Bench {
     }
     val qs = entries.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
-    val fullQs = bySlowest.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench_full.json"),
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"sf":"$sfDir"}""")
+    // best-effort side artifact: never let a missing target/ (assembly
+    // jar, different cwd) turn a completed sweep into a failed run
+    try {
+      val fullQs = bySlowest.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val p = java.nio.file.Paths.get("target/bench_full.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p,
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"sf":"$sfDir"}""")
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] full-map dump skipped: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

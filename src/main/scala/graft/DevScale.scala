@@ -53,9 +53,11 @@ object DevScale {
       "minhash_lsh_pairs" -> (operators.Dedup.minhashLshPairs _),
       "near_dup_jaccard"  -> (operators.Dedup.nearDupJaccard _),
       "dedup_clusters"    -> (operators.Dedup.dedupClusters _))
-    // warmup on the small dir so JIT/codegen costs don't land on the 1× run
+    // warmup on the base dir itself so JIT/codegen/first-shuffle costs
+    // never land on the 1× timing (a hardcoded small dir would silently
+    // no-op on other layouts and skew the very ratio being measured)
     ops.foreach { case (_, fn) =>
-      try drain(fn(spark, "/root/testdata/sf0.01")) catch { case _: Throwable => () }
+      try drain(fn(spark, base)) catch { case _: Throwable => () }
     }
     println(f"${"op"}%-18s ${"t1x_ms"}%8s ${s"t${copies}x_ms"}%8s ratio")
     ops.foreach { case (name, fn) =>

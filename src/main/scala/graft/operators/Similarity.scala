@@ -511,36 +511,48 @@ object Similarity {
     * because the harness compare can't sort array columns — a real
     * consumer would array_agg the 64 rows back into a vector.
     */
-  def labelCentroids(s: SparkSession, d: String): DataFrame =
+  /** The ONE spelling of the per-(label, dim) decimal-exact mean, shared
+    * by [[labelCentroids]] and [[embeddingOutliers]]: widen float→double
+    * BEFORE the decimal cast (Spark's float→decimal goes through the
+    * float's 7-digit shortest string while DuckDB rounds the exactly-
+    * widened double; double→decimal agrees on both), exact decimal sum,
+    * one double division. Columns: (label, dim, m, n).
+    */
+  private def labelDimMeans(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
-      // widen float→double BEFORE the decimal cast: Spark's float→decimal
-      // goes through the float's 7-digit shortest string while DuckDB
-      // rounds the exactly-widened double, so casting the float directly
-      // diverges in the 10th decimal; double→decimal agrees on both
       .select(col("label"),
         posexplode(expr("transform(embedding, x -> cast(x as double))"))
           .as(Seq("dim", "x")))
       .groupBy(col("label"), col("dim"))
       .agg(
-        (sum(col("x").cast("decimal(20,10)")).cast("double") / count(lit(1))).as("centroid"),
+        (sum(col("x").cast("decimal(20,10)")).cast("double") / count(lit(1))).as("m"),
         count(lit(1)).as("n"))
-      .orderBy(col("label"), col("dim"))
 
-  /** DuckDB twin of [[labelCentroids]] (the xs/mn spelling of
-    * [[annIvfOracleSql]], keyed by label instead of cell). The
+  /** DuckDB twin of [[labelDimMeans]] as CTEs `e`/`mn` (`e` also carries
+    * vec_id/v/nrm for consumers that score against the centroid). The
     * double→decimal cast goes through VARCHAR: DuckDB's direct cast
     * rounds the BINARY value half-even, while Spark rounds the shortest
     * decimal repr half-up — they disagree on exact-dyadic ties like
     * -0.27392578125 (digit 11 = 5 exactly). VARCHAR is DuckDB's shortest
     * repr and its string→decimal parse rounds half-up, matching Spark.
     */
+  private val labelDimMeanCtes: String =
+    """e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |mn AS (SELECT label, d.i - 1 AS dim,
+      |         CAST(SUM(CAST(CAST(v[d.i] AS VARCHAR) AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS m,
+      |         COUNT(*) AS n
+      |       FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) d
+      |       GROUP BY label, dim)""".stripMargin
+
+  def labelCentroids(s: SparkSession, d: String): DataFrame =
+    labelDimMeans(s, d)
+      .select(col("label"), col("dim"), col("m").as("centroid"), col("n"))
+      .orderBy(col("label"), col("dim"))
+
+  /** DuckDB twin of [[labelCentroids]]. */
   val labelCentroidsSql: String =
-    """SELECT label, d.i - 1 AS dim,
-      |       CAST(SUM(CAST(CAST(v[d.i] AS VARCHAR) AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS centroid,
-      |       COUNT(*) AS n
-      |FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) e
-      |CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) d
-      |GROUP BY label, dim ORDER BY label, dim""".stripMargin
+    s"""WITH $labelDimMeanCtes
+       |SELECT label, dim, m AS centroid, n FROM mn ORDER BY label, dim""".stripMargin
 
   /** Distance-to-centroid outlier scoring (dataset cartography): each
     * vector's cosine against its label's exact-decimal centroid (the
@@ -551,12 +563,7 @@ object Similarity {
     * the flag is deterministic on both engines.
     */
   def embeddingOutliers(s: SparkSession, d: String): DataFrame = {
-    val cents = Tables.embeddings(s, d)
-      .select(col("label"),
-        posexplode(expr("transform(embedding, x -> cast(x as double))"))
-          .as(Seq("dim", "x")))
-      .groupBy(col("label"), col("dim"))
-      .agg((sum(col("x").cast("decimal(20,10)")).cast("double") / count(lit(1))).as("m"))
+    val cents = labelDimMeans(s, d)
       .groupBy(col("label"))
       // dim-ordered struct sort, then project the means — 64 elements per
       // label, so the interpreted HOF here touches 10 rows, not the corpus
@@ -575,13 +582,8 @@ object Similarity {
     * vector, scored with the same sequential-fold cosine.
     */
   val embeddingOutliersSql: String =
-    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""WITH $labelDimMeanCtes,
       |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-      |xs AS (SELECT label, d.i - 1 AS dim, v[d.i] AS x FROM e
-      |       CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) d),
-      |mn AS (SELECT label, dim,
-      |         CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS m
-      |       FROM xs GROUP BY label, dim),
       |ct AS (SELECT label, list(m ORDER BY dim) AS c FROM mn GROUP BY label)
       |SELECT vec_id, n.label,
       |       list_dot_product(n.v, ct.c) / (n.nrm * sqrt(list_dot_product(ct.c, ct.c))) AS cos_centroid,

@@ -42,9 +42,30 @@ object TextAnalysis {
       */
     val emailRe = """[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"""
     val ipv4Re = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
-    val phoneRe = """\+?\d[\d\- ]{7,}\d"""
-    def blockRe(terms: Seq[String]): String =
-      terms.sorted.mkString("""\b(""", "|", """)\b""")
+    /** 7-14 digits with at most one `-`/space between neighbors.
+      * Deliberately conservative for a PII scrub (a space-separated digit
+      * run can still match — over-redaction beats leaking); the bounded
+      * separator stops one match from swallowing text across `--`/`  `
+      * gaps, and the repetition cap stops unbounded collapse.
+      */
+    val phoneRe = """\+?\d([\- ]?\d){6,13}"""
+
+    /** Word-boundary alternation over literal terms. Each non-alphanumeric
+      * char is backslash-escaped — valid and literal in BOTH Java regex
+      * and RE2 (neither \Q..\E nor lookarounds are needed). Empty terms
+      * are dropped; an empty LIST yields None (callers skip the step)
+      * because `\b()\b` would match at every boundary. NOTE: `\b` needs a
+      * word char on its inside, so a term that starts or ends with
+      * punctuation ("c++") is safely literal but cannot match at that
+      * edge — by regex semantics, not an escaping defect.
+      */
+    def blockRe(terms: Seq[String]): Option[String] = {
+      val clean = terms.filter(_.nonEmpty).sorted
+      if (clean.isEmpty) None
+      else Some(clean.map(_.flatMap { c =>
+        if (c.isLetterOrDigit || c == '_') c.toString else "\\" + c
+      }).mkString("""\b(""", "|", """)\b"""))
+    }
 
     /** per-language stopword alternations for the n-gram lang-ID heuristic */
     val langStopwords: Seq[(String, String)] = Seq(
@@ -280,7 +301,13 @@ object TextAnalysis {
     * mixture key); the cumulative sum is streaming-friendly window state,
     * no per-source collect anywhere.
     */
-  def tokenBudgetMix(s: SparkSession, d: String, budget: Long = 2000): DataFrame = {
+  /** Shared prelude of [[tokenBudgetMix]] and [[sequencePack]]: each
+    * document with its token count, deterministic mixture key (Knuth
+    * multiplicative stride), and per-source cumulative token total —
+    * defined ONCE so the two operators (and their oracles, via
+    * [[cumTokensCtes]]) can never drift apart on the mixture order.
+    */
+  private def cumTokensBySource(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("source"))
       .orderBy(col("rnd"), col("doc_id"))
@@ -290,21 +317,28 @@ object TextAnalysis {
         expr(Formulas.nTokens).cast("long").as("n_tokens"),
         expr("pmod(pmod(doc_id, 1000000007L) * 2654435761L, 4294967296L)").as("rnd"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-      .filter(col("cum_tokens") <= budget)
-      .select(col("source"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
-      .orderBy(col("source"), col("cum_tokens"))
   }
 
-  /** DuckDB twin of [[tokenBudgetMix]]. */
-  def tokenBudgetMixSql(budget: Long = 2000): String =
-    s"""WITH t AS (SELECT doc_id, source,
-       |             CAST(${Formulas.nTokensDuck} AS BIGINT) AS n_tokens,
-       |             (doc_id % 1000000007) * 2654435761 % 4294967296 AS rnd
-       |           FROM documents),
+  /** DuckDB twin of [[cumTokensBySource]] as the `t`/`c` CTE pair. */
+  private val cumTokensCtes: String =
+    s"""t AS (SELECT doc_id, source,
+       |        CAST(${Formulas.nTokensDuck} AS BIGINT) AS n_tokens,
+       |        (doc_id % 1000000007) * 2654435761 % 4294967296 AS rnd
+       |      FROM documents),
        |c AS (SELECT source, doc_id, n_tokens,
        |        SUM(n_tokens) OVER (PARTITION BY source ORDER BY rnd, doc_id
        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
-       |      FROM t)
+       |      FROM t)""".stripMargin
+
+  def tokenBudgetMix(s: SparkSession, d: String, budget: Long = 2000): DataFrame =
+    cumTokensBySource(s, d)
+      .filter(col("cum_tokens") <= budget)
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("source"), col("cum_tokens"))
+
+  /** DuckDB twin of [[tokenBudgetMix]]. */
+  def tokenBudgetMixSql(budget: Long = 2000): String =
+    s"""WITH $cumTokensCtes
        |SELECT source, doc_id, n_tokens, cum_tokens FROM c
        |WHERE cum_tokens <= $budget ORDER BY source, cum_tokens""".stripMargin
 
@@ -322,19 +356,28 @@ object TextAnalysis {
     * exercises live rewrites too. Planted-fixture behavior (real emails/
     * phones/IPs redacted byte-exactly) is covered in PipelineOpsSpec.
     */
+  /** The ONE definition of the redaction pipeline: (count column, pattern
+    * if applicable, replacement) in rewrite order — both the Spark plan
+    * and the DuckDB oracle are generated from this list, so the two can
+    * never disagree on order or patterns. A `None` pattern (empty
+    * blocklist) contributes a constant-zero count and no rewrite.
+    */
+  private def piiSteps(blocklist: Seq[String]): Seq[(String, Option[String], String)] = Seq(
+    ("n_emails", Some(Formulas.emailRe), "[EMAIL]"),
+    ("n_ips", Some(Formulas.ipv4Re), "[IP]"),
+    ("n_phones", Some(Formulas.phoneRe), "[PHONE]"),
+    ("n_terms", Formulas.blockRe(blocklist), "[TERM]"))
+
   def piiRedact(s: SparkSession, d: String,
                 blocklist: Seq[String] = Seq("spark", "stream")): DataFrame = {
-    val steps = Seq(
-      ("n_emails", Formulas.emailRe, "[EMAIL]"),
-      ("n_ips", Formulas.ipv4Re, "[IP]"),
-      ("n_phones", Formulas.phoneRe, "[PHONE]"),
-      ("n_terms", Formulas.blockRe(blocklist), "[TERM]"))
+    val steps = piiSteps(blocklist)
     val redacted = steps.foldLeft(
       Tables.documents(s, d).select(col("doc_id"), col("text").as("clean"))) {
-      case (df, (cnt, pat, repl)) =>
+      case (df, (cnt, Some(pat), repl)) =>
         df.withColumn(cnt,
             size(regexp_extract_all(col("clean"), lit(pat), lit(0))).cast("int"))
           .withColumn("clean", regexp_replace(col("clean"), lit(pat), lit(repl)))
+      case (df, (cnt, None, _)) => df.withColumn(cnt, lit(0))
     }
     redacted
       .select(col("doc_id") +: steps.map(st => col(st._1)) :+
@@ -349,17 +392,24 @@ object TextAnalysis {
     * replace-all default.
     */
   def piiRedactSql(blocklist: Seq[String] = Seq("spark", "stream")): String = {
-    val steps = Seq(
-      ("n_emails", Formulas.emailRe, "[EMAIL]"),
-      ("n_ips", Formulas.ipv4Re, "[IP]"),
-      ("n_phones", Formulas.phoneRe, "[PHONE]"),
-      ("n_terms", Formulas.blockRe(blocklist), "[TERM]"))
+    val steps = piiSteps(blocklist)
+    // SQL single-quoted literal: only ' needs doubling (backslashes pass
+    // through standard SQL strings verbatim on DuckDB)
+    def q(pat: String): String = pat.replace("'", "''")
     val (ctes, _) = steps.zipWithIndex.foldLeft((Seq.empty[String], "text")) {
-      case ((acc, prev), ((cnt, pat, repl), i)) =>
+      case ((acc, prev), ((cnt, patOpt, repl), i)) =>
+        val carried = if (i == 0) "" else s"${steps.take(i).map(_._1).mkString(", ")}, "
+        val body = patOpt match {
+          case Some(pat) =>
+            s"""  CAST(len(regexp_extract_all($prev, '${q(pat)}')) AS INT) AS $cnt,
+               |  regexp_replace($prev, '${q(pat)}', '$repl', 'g') AS c$i""".stripMargin
+          case None =>
+            s"""  CAST(0 AS INT) AS $cnt,
+               |  $prev AS c$i""".stripMargin
+        }
         val cte =
-          s"""s$i AS (SELECT doc_id, ${if (i == 0) "" else s"${steps.take(i).map(_._1).mkString(", ")}, "}
-             |  CAST(len(regexp_extract_all($prev, '$pat')) AS INT) AS $cnt,
-             |  regexp_replace($prev, '$pat', '$repl', 'g') AS c$i
+          s"""s$i AS (SELECT doc_id, $carried
+             |$body
              |FROM ${if (i == 0) "documents" else s"s${i - 1}"})""".stripMargin
         (acc :+ cte, s"c$i")
     }
@@ -377,16 +427,8 @@ object TextAnalysis {
     * a map-side-combined aggregation on (source, seq_id) — the cumulative
     * sum never leaves the executor that owns the source partition.
     */
-  def sequencePack(s: SparkSession, d: String, seqLen: Long = 512): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("rnd"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("source"),
-        expr(Formulas.nTokens).cast("long").as("n_tokens"),
-        expr("pmod(pmod(doc_id, 1000000007L) * 2654435761L, 4294967296L)").as("rnd"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+  def sequencePack(s: SparkSession, d: String, seqLen: Long = 512): DataFrame =
+    cumTokensBySource(s, d)
       // a document starts at (cum - n); `div` truncates like DuckDB's `//`
       // for these non-negative operands
       .withColumn("seq_id", expr(s"(cum_tokens - n_tokens) div $seqLen"))
@@ -396,18 +438,10 @@ object TextAnalysis {
         sum(col("n_tokens")).as("seq_tokens"),
         (sum(col("n_tokens")).cast("double") / lit(seqLen.toDouble)).as("fill_ratio"))
       .orderBy(col("source"), col("seq_id"))
-  }
 
   /** DuckDB twin of [[sequencePack]]. */
   def sequencePackSql(seqLen: Long = 512): String =
-    s"""WITH t AS (SELECT doc_id, source,
-       |             CAST(${Formulas.nTokensDuck} AS BIGINT) AS n_tokens,
-       |             (doc_id % 1000000007) * 2654435761 % 4294967296 AS rnd
-       |           FROM documents),
-       |c AS (SELECT source, doc_id, n_tokens,
-       |        SUM(n_tokens) OVER (PARTITION BY source ORDER BY rnd, doc_id
-       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
-       |      FROM t)
+    s"""WITH $cumTokensCtes
        |SELECT source, (cum_tokens - n_tokens) // $seqLen AS seq_id,
        |       COUNT(*) AS n_docs, SUM(n_tokens) AS seq_tokens,
        |       CAST(SUM(n_tokens) AS DOUBLE) / $seqLen AS fill_ratio

@@ -296,6 +296,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(4) == ((5L, 0, 0, 0, 0, "nothing sensitive here at all")))
   }
 
+  test("piiRedact blocklist hardening: regex metachars are literal, empty list is a no-op") {
+    val dir = tmpDir("pii-hard")
+    Seq((1L, "we use c++ and spark here", "en", "s1", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // the contract for metachar terms: "c++" is escaped to a literal (no
+    // possessive-quantifier parse error on either engine) — the query
+    // runs and the plain term still matches. (A term ENDING in
+    // punctuation can't match \b..\b by regex semantics; see blockRe.)
+    val withMeta = TextAnalysis.piiRedact(spark, dir, blocklist = Seq("spark", "c++"))
+      .select($"n_terms", $"clean_text").as[(Int, String)].collect().head
+    assert(withMeta._1 >= 1 && withMeta._2.contains("[TERM]"))
+    // empty blocklist: zero term count, text untouched, SQL still valid
+    val none = TextAnalysis.piiRedact(spark, dir, blocklist = Seq.empty)
+      .select($"n_terms", $"clean_text").as[(Int, String)].collect().head
+    assert(none == ((0, "we use c++ and spark here")))
+    assert(TextAnalysis.piiRedactSql(Seq.empty).contains("CAST(0 AS INT) AS n_terms"))
+    // a single-quoted term must not break the generated oracle literal:
+    // ' is regex-escaped to \' then SQL-doubled to \''
+    assert(TextAnalysis.piiRedactSql(Seq("it's")).contains("""it\''s"""))
+  }
+
   test("sequencePack: every token lands in exactly one sequence, fill ratios bounded") {
     val seqLen = 512L
     val packed = TextAnalysis.sequencePack(spark, sf001, seqLen)
