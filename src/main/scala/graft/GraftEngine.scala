@@ -78,9 +78,13 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
        throw new GraftQueryException(sqlText, s"Malformed DDL: ${e.getMessage}", e) })
     .map {
       case graft.catalog.CreateSchemaStmt(schema, ifNotExists, location) =>
-        if (catalog.schemaExists(schema) && !ifNotExists)
-          throw new GraftQueryException(sqlText, s"Schema $schema already exists")
-        catalog.createSchema(schema, location)
+        if (catalog.schemaExists(schema)) {
+          if (!ifNotExists)
+            throw new GraftQueryException(sqlText, s"Schema $schema already exists")
+          // IF NOT EXISTS on an existing schema is a NO-OP — re-running
+          // createSchema here would overwrite the location marker and
+          // orphan every table already under the old location
+        } else catalog.createSchema(schema, location)
         0L
       case graft.catalog.CreateTableStmt(schema, table, columns, ifNotExists, partitionedBy) =>
         if (!catalog.schemaExists(schema)) catalog.createSchema(schema)
@@ -144,20 +148,28 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
 
   /** Run a multi-statement SQL script exactly the way the reference's
     * stack runner feeds its seed scripts (TrinoIcebergStack.cs:152-197):
-    * drop full-line `--` comments, split on statement-terminating `;`
-    * (quote-aware — a `;` inside a string literal does not split), execute
-    * each non-empty statement in order. Returns per-statement row counts.
+    * drop `--` comments to end-of-line (full-line AND trailing, but never
+    * inside a string literal — a comment containing an apostrophe must
+    * not poison the quote state either), split on statement-terminating
+    * `;` (quote-aware — a `;` inside a string literal does not split),
+    * execute each non-empty statement in order. Returns per-statement row
+    * counts.
     */
   def executeScript(script: String): Seq[Long] = {
-    val noComments = script.linesIterator
-      .filterNot(_.trim.startsWith("--")).mkString("\n")
     val stmts = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var inQuote = false
-    noComments.foreach {
-      case '\'' => inQuote = !inQuote; cur += '\''
-      case ';' if !inQuote => stmts += cur.toString; cur.clear()
-      case c => cur += c
+    var i = 0
+    while (i < script.length) {
+      val c = script.charAt(i)
+      if (!inQuote && c == '-' && i + 1 < script.length && script.charAt(i + 1) == '-') {
+        while (i < script.length && script.charAt(i) != '\n') i += 1
+      } else {
+        if (c == '\'') inQuote = !inQuote
+        if (c == ';' && !inQuote) { stmts += cur.toString; cur.clear() }
+        else cur += c
+        i += 1
+      }
     }
     stmts += cur.toString
     stmts.map(_.trim).filter(_.nonEmpty).toSeq
@@ -206,11 +218,23 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
       val (sch, tbl) = (m.group(2), m.group(3))
       val keyword = m.matched.substring(0, m.matched.length - m.group(1).length)
       if (catalog.tableExists(sch, tbl)) {
-        val view = s"_cat_${sch}_$tbl"
+        val view = s"_cat_${sch}_${tbl}_${nameTag(sch, tbl)}"
         catalog.readLatest(sch, tbl).createOrReplaceTempView(view)
         java.util.regex.Matcher.quoteReplacement(keyword + view)
       } else java.util.regex.Matcher.quoteReplacement(m.matched)
     })
+
+  /** Collision-proof suffix for generated view names: `_` joining alone is
+    * ambiguous — (a, b_c) and (a_b, c) both flatten to a_b_c, so two
+    * distinct catalog tables would silently share one temp view (and
+    * return each other's rows). The hash is over the NUL-separated pair,
+    * which no identifier can contain.
+    */
+  private def nameTag(sch: String, tbl: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s"$sch\u0000$tbl".getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+  }
 
   // ---- time travel in SQL (T1) ----
 
@@ -232,7 +256,7 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
         else ("default", parts(0))
       val ts = java.time.LocalDateTime.parse(m.group(2).trim.replace(" ", "T"))
         .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-      val view = s"_tt_${sch}_${tbl}_$ts"
+      val view = s"_tt_${sch}_${tbl}_${nameTag(sch, tbl)}_$ts"
       catalog.readAsOf(sch, tbl, ts).createOrReplaceTempView(view)
       java.util.regex.Matcher.quoteReplacement(view)
     })

@@ -27,11 +27,14 @@ object DdlParser {
   private val createSchemaRe =
     """(?is)^\s*CREATE\s+SCHEMA\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*(?:WITH\s*\(\s*location\s*=\s*'([^']*)'\s*\))?\s*;?\s*$""".r
   // non-greedy column body: greedy (.*) would swallow a trailing
-  // `WITH (partitioning = …)` clause up to ITS closing paren; the $ anchor
-  // still forces the body to extend over nested parens like decimal(10,2)
-  // when no WITH clause follows
+  // `WITH (…)` clause up to ITS closing paren; the $ anchor still forces
+  // the body to extend over nested parens like decimal(10,2) when no WITH
+  // clause follows. The WITH body is captured generically — a
+  // partitioning-only pattern would backtrack the column body into
+  // swallowing any OTHER property (`WITH (format = 'PARQUET')`) and parse
+  // garbage column types.
   private val createTableRe =
-    """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.*?)\)\s*(?:WITH\s*\(\s*partitioning\s*=\s*ARRAY\[([^\]]*)\]\s*\))?\s*;?\s*$""".r
+    """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.*?)\)\s*(?:WITH\s*\((.*)\))?\s*;?\s*$""".r
   private val ctasRe =
     """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+(.+?)\s*;?\s*$""".r
   private val dropTableRe =
@@ -43,11 +46,10 @@ object DdlParser {
   def parse(sqlText: String): Option[DdlStatement] = sqlText match {
     case createSchemaRe(ine, name, loc) =>
       Some(CreateSchemaStmt(schemaOf(name), ine != null, Option(loc)))
-    case createTableRe(ine, name, cols, parts) =>
+    case createTableRe(ine, name, cols, props) =>
       val (sch, tbl) = tableOf(name)
       Some(CreateTableStmt(sch, tbl, parseColumns(cols), ine != null,
-        Option(parts).toSeq.flatMap(_.split(",")).map(_.trim.stripPrefix("'").stripSuffix("'"))
-          .filter(_.nonEmpty)))
+        partitioningOf(props)))
     case ctasRe(ine, name, select) =>
       val (sch, tbl) = tableOf(name)
       Some(CreateTableAsStmt(sch, tbl, select, ine != null))
@@ -55,6 +57,41 @@ object DdlParser {
       val (sch, tbl) = tableOf(name)
       Some(DropTableStmt(sch, tbl, ie != null))
     case _ => None
+  }
+
+  /** Parse the CREATE TABLE `WITH (…)` property list: `partitioning =
+    * ARRAY['a', …]` yields the partition columns; `format = 'PARQUET'` is
+    * accepted as a no-op (Parquet is this engine's only format, matching
+    * the reference's `iceberg.file-format=PARQUET`); anything else —
+    * including a non-Parquet format — is rejected loudly rather than
+    * silently dropped. Properties split on TOP-LEVEL commas only (the
+    * partitioning ARRAY carries commas of its own).
+    */
+  private def partitioningOf(props: String): Seq[String] = {
+    if (props == null || props.trim.isEmpty) return Seq.empty
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inQuote = false
+    props.foreach {
+      case '\'' => inQuote = !inQuote; cur += '\''
+      case c @ ('[' | '(') if !inQuote => depth += 1; cur += c
+      case c @ (']' | ')') if !inQuote => depth -= 1; cur += c
+      case ',' if !inQuote && depth == 0 => parts += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    parts += cur.toString
+    val partitioningRe = """(?is)^\s*partitioning\s*=\s*ARRAY\[([^\]]*)\]\s*$""".r
+    val formatRe = """(?is)^\s*format\s*=\s*'([^']*)'\s*$""".r
+    parts.map(_.trim).filter(_.nonEmpty).flatMap {
+      case partitioningRe(cols) =>
+        cols.split(",").map(_.trim.stripPrefix("'").stripSuffix("'")).filter(_.nonEmpty).toSeq
+      case formatRe(fmt) =>
+        require(fmt.equalsIgnoreCase("PARQUET"), s"unsupported format '$fmt' (only PARQUET)")
+        Seq.empty
+      case other =>
+        throw new IllegalArgumentException(s"unsupported table property: $other")
+    }.toSeq
   }
 
   /** `[catalog.]schema` → schema. */

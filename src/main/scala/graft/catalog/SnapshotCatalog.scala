@@ -381,9 +381,14 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val tmp = new Path(p.getParent, "." + p.getName + ".tmp")
     val out = f.create(tmp, true)
     try out.write(s.getBytes("UTF-8")) finally out.close()
-    if (f.exists(p)) f.delete(p, false)
-    if (!f.rename(tmp, p))
-      throw new IllegalStateException(s"Atomic rename failed: $tmp -> $p")
+    // rename WITH OVERWRITE via FileContext: FileSystem.rename cannot
+    // replace an existing target, and a delete-then-rename leaves a
+    // window where the metadata file does not exist at all — a crash
+    // inside it (or a concurrent reader's exists() probe) would lose the
+    // table's commit log permanently
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      p.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private def readString(p: Path): String = {

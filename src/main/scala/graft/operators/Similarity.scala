@@ -214,7 +214,7 @@ object Similarity {
     * one and repeated queries (or a bench sweep) pay only the query path.
     */
   def fitQuantizer(s: SparkSession, d: String, nlist: Int = 16): IndexedSeq[Seq[Double]] =
-    quantizerCache.computeIfAbsent((d, nlist), _ => {
+    quantizerCache.computeIfAbsent((d, nlist, dirSignature(s, d)), _ => {
       val corpus = emb(s, d)
       // pass 1: deterministic pseudo-random seed vectors (Knuth stride)
       val seeds = corpus
@@ -252,7 +252,26 @@ object Similarity {
     })
 
   private val quantizerCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), IndexedSeq[Seq[Double]]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Long), IndexedSeq[Seq[Double]]]()
+
+  /** Content signature of the embeddings table (file count + sizes +
+    * mtimes folded into one long): part of the quantizer cache key, so
+    * REGENERATED data at the same path refits instead of silently reusing
+    * centroids from the old dataset — without it a warm JVM could answer
+    * differently than a fresh one. One FS listing per call, no data read.
+    */
+  private def dirSignature(s: SparkSession, d: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) return 0L
+    val statuses =
+      if (f.getFileStatus(p).isDirectory) f.listStatus(p).toSeq
+      else Seq(f.getFileStatus(p))
+    statuses.foldLeft(17L) { (acc, st) =>
+      ((acc * 31 + st.getPath.getName.hashCode) * 31 +
+        st.getLen) * 31 + st.getModificationTime
+    }
+  }
 
   def annIvf(s: SparkSession, d: String, nlist: Int = 16, nprobe: Int = 4): DataFrame =
     annIvfQuery(s, d, fitQuantizer(s, d, nlist), nprobe)

@@ -517,7 +517,11 @@ object TextAnalysis {
     * artifacts), spelled with integer ranks so both engines agree exactly
     * (percentile interpolation differs across engines; rank selection
     * does not — same rule as the exact median). One shuffle on `source`
-    * for the two windows, then a pure filter.
+    * for the two windows, then a pure filter. Scale note: an exact
+    * per-source rank is inherently a per-source sort — on a corpus where
+    * one source dominates, the production path is approx_percentile
+    * thresholds (ApproxSpec shows the bounds) with this exact spelling as
+    * the verification oracle.
     */
   def lengthBandFilter(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -553,29 +557,33 @@ object TextAnalysis {
     * before mixing sources: document and token counts, exact-duplicate
     * rate, language spread, and mean document length (decimal-exact mean,
     * then one double division). One map-side-combined aggregation over
-    * the corpus; `n_distinct_texts` shuffles text hashes only via the
-    * partial-aggregate path.
+    * the corpus; the duplicate count DISTINCTs the portable 60-bit
+    * content hash (same as [[Dedup.dedupByFingerprint]]'s rationale), so
+    * only 8-byte keys reach the distinct shuffle — a `DISTINCT text`
+    * would move every document body.
     */
   def sourceDataCard(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("source"), col("lang"), col("text"),
+      .select(col("source"), col("lang"),
+        expr(Dedup.Portable.spark60("text")).as("fp"),
         expr(Formulas.nTokens).cast("long").as("n_tokens"))
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
-        (count(lit(1)) - countDistinct(col("text"))).as("n_dup_docs"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("n_dup_docs"),
         countDistinct(col("lang")).as("n_langs"),
         (sum(col("n_tokens")).cast("double") / count(lit(1))).as("mean_tokens"))
       .orderBy(col("source"))
 
   /** DuckDB twin of [[sourceDataCard]]. */
   val sourceDataCardSql: String =
-    s"""WITH t AS (SELECT source, lang, text,
+    s"""WITH t AS (SELECT source, lang,
+       |             ${Dedup.Portable.duck60("text")} AS fp,
        |             CAST(${Formulas.nTokensDuck} AS BIGINT) AS n_tokens
        |           FROM documents)
        |SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens,
-       |       COUNT(*) - COUNT(DISTINCT text) AS n_dup_docs,
+       |       COUNT(*) - COUNT(DISTINCT fp) AS n_dup_docs,
        |       COUNT(DISTINCT lang) AS n_langs,
        |       CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS mean_tokens
        |FROM t GROUP BY source ORDER BY source""".stripMargin

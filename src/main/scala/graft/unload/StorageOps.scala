@@ -72,8 +72,11 @@ class StorageOps(conf: Configuration) {
       def hasNext: Boolean = it.hasNext
       def next(): ObjectInfo = {
         val st = it.next()
+        // reuse the FileStatus the listing already holds — etag(path)
+        // would redo exists+getFileStatus, two avoidable metadata RPCs
+        // per listed object
         ObjectInfo(st.getPath.toString, st.getLen, st.getModificationTime,
-          if (withETags) etag(st.getPath.toString) else None)
+          if (withETags) etagOf(st.getPath, st.isDirectory) else None)
       }
     }
   }
@@ -87,7 +90,16 @@ class StorageOps(conf: Configuration) {
   def etag(path: String): Option[String] = {
     val p = new Path(path)
     val f = fs(p)
-    if (!f.exists(p) || f.getFileStatus(p).isDirectory) return None
+    if (!f.exists(p)) return None
+    etagOf(p, f.getFileStatus(p).isDirectory)
+  }
+
+  /** [[etag]] core for callers that already know the status (the listing
+    * iterator) — skips the existence/status round-trips.
+    */
+  private def etagOf(p: Path, isDirectory: Boolean): Option[String] = {
+    val f = fs(p)
+    if (isDirectory) return None
     Option(f.getFileChecksum(p)) match {
       case Some(ck) =>
         Some(ck.getBytes.map(b => f"$b%02x").mkString)

@@ -291,4 +291,63 @@ class GraftEngineSpec extends SparkSpec {
       assert(got.contains(v), s"round-trip failed for <$v>: got $got")
     }
   }
+
+  test("CREATE SCHEMA IF NOT EXISTS on an existing schema never relocates it") {
+    val e2 = new GraftEngine(spark, tmpDir("relocate-wh"))
+    e2.executeScript(
+      """CREATE SCHEMA reloc;
+        |CREATE TABLE reloc.t (id int);
+        |INSERT INTO reloc.t VALUES (1), (2);""".stripMargin)
+    // a second seed run pointing at a DIFFERENT location must be a no-op
+    val elsewhere = tmpDir("relocate-elsewhere")
+    e2.executeNonQuery(graft.params.SqlStatement(
+      s"CREATE SCHEMA IF NOT EXISTS reloc WITH (location = '$elsewhere')"))
+    assert(e2.catalog.tableExists("reloc", "t"), "table orphaned by relocation")
+    assert(e2.catalog.readLatest("reloc", "t").count() == 2L)
+  }
+
+  test("executeScript strips trailing inline comments, even apostrophed ones") {
+    val e2 = new GraftEngine(spark, tmpDir("inline-comment-wh"))
+    val counts = e2.executeScript(
+      """CREATE SCHEMA ic; -- the schema's home
+        |CREATE TABLE ic.t (id int); -- don't split here
+        |INSERT INTO ic.t VALUES (1), (2); -- two rows
+        |SELECT count(*) FROM ic.t;""".stripMargin)
+    assert(counts == Seq(0L, 0L, 2L, 2L), s"got $counts")
+    // a -- inside a string literal is NOT a comment
+    assert(e2.queryScalar[String](graft.params.SqlStatement(
+      "SELECT 'a -- b' AS v")).contains("a -- b"))
+  }
+
+  test("catalog tables with underscore-ambiguous names resolve to distinct views") {
+    val e2 = new GraftEngine(spark, tmpDir("ambig-wh"))
+    e2.executeScript(
+      """CREATE SCHEMA a; CREATE SCHEMA a_b;
+        |CREATE TABLE a.b_c (v int); CREATE TABLE a_b.c (v int);
+        |INSERT INTO a.b_c VALUES (1); INSERT INTO a_b.c VALUES (2);""".stripMargin)
+    val got = e2.query(graft.params.SqlStatement(
+      "SELECT x.v AS xv, y.v AS yv FROM a.b_c x CROSS JOIN a_b.c y")).collect()
+    assert(got.length == 1 && got(0).getInt(0) == 1 && got(0).getInt(1) == 2,
+      s"ambiguous view names collided: ${got.mkString}")
+  }
+
+  test("CREATE TABLE WITH (format = 'PARQUET') is accepted; other properties rejected loudly") {
+    val e2 = new GraftEngine(spark, tmpDir("withprops-wh"))
+    e2.executeScript(
+      """CREATE SCHEMA wp;
+        |CREATE TABLE wp.t (id int, status varchar)
+        |WITH (format = 'PARQUET', partitioning = ARRAY['status']);
+        |INSERT INTO wp.t VALUES (1, 'A'), (2, 'B');""".stripMargin)
+    assert(e2.catalog.readLatest("wp", "t").count() == 2L)
+    val err = intercept[GraftQueryException] {
+      e2.executeNonQuery(graft.params.SqlStatement(
+        "CREATE TABLE wp.u (id int) WITH (format = 'ORC')"))
+    }
+    assert(err.getMessage.contains("unsupported format"))
+    val err2 = intercept[GraftQueryException] {
+      e2.executeNonQuery(graft.params.SqlStatement(
+        "CREATE TABLE wp.v (id int) WITH (sorted_by = ARRAY['id'])"))
+    }
+    assert(err2.getMessage.contains("unsupported table property"))
+  }
 }

@@ -183,6 +183,23 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("fitQuantizer refits when the data at the same path is regenerated") {
+    val dir = tmpDir("quant-cache")
+    def writeEmb(shift: Float): Unit =
+      (0L until 40L).map { i =>
+        (i, i % 4, Array.tabulate(64)(j => shift + (i * 64 + j) % 7 * 0.1f))
+      }.toDF("vec_id", "label", "embedding")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    writeEmb(0.0f)
+    val first = Similarity.fitQuantizer(spark, dir, nlist = 4)
+    writeEmb(5.0f) // same path, different content
+    val second = Similarity.fitQuantizer(spark, dir, nlist = 4)
+    assert(first != second,
+      "quantizer cache returned stale centroids for regenerated data")
+    // unchanged data stays memoized (bit-identical, no refit divergence)
+    assert(Similarity.fitQuantizer(spark, dir, nlist = 4) == second)
+  }
+
   test("annBruteForce returns exactly 10 neighbors per query, best-first") {
     val got = Similarity.annBruteForce(spark, sf001)
       .select($"q_id", $"rn", $"score").as[(Long, Long, Double)].collect()
