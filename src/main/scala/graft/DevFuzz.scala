@@ -26,6 +26,7 @@ object DevFuzz {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
 
     val rnd = new scala.util.Random(seed)
     val intCols = IndexedSeq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
@@ -42,7 +43,7 @@ object DevFuzz {
       case 1 => s"(${atom()} AND ${atom()})"
       case 2 => s"(${atom()} OR ${atom()})"
     }
-    def genQuery(): String = rnd.nextInt(3) match {
+    def genQuery(): String = rnd.nextInt(5) match {
       case 0 => // filtered projection + limit. ORDER BY lists EVERY
         // projected column: the synthetic lineitem does NOT honor the
         // TPC-H (l_orderkey, l_linenumber) primary key (duplicates up to
@@ -61,6 +62,15 @@ object DevFuzz {
         val i1 = pick(intCols)
         s"SELECT COUNT(*) AS c, CAST(SUM($i1) AS BIGINT) AS s, " +
           s"MIN(${pick(strCols)}) AS mn FROM lineitem WHERE ${pred()}"
+      case 3 => // equi-join to orders, grouped counts
+        val g = pick(IndexedSeq("o_orderstatus", "o_orderpriority", "l_returnflag"))
+        s"SELECT $g, COUNT(*) AS c, CAST(SUM(l_suppkey) AS BIGINT) AS s " +
+          s"FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+          s"WHERE ${pred()} GROUP BY $g ORDER BY $g"
+      case 4 => // HAVING over a grouped count
+        val g = pick(intCols.take(3))
+        s"SELECT $g, COUNT(*) AS c FROM lineitem WHERE ${pred()} " +
+          s"GROUP BY $g HAVING COUNT(*) >= ${rnd.nextInt(3) + 2} ORDER BY $g"
     }
 
     val engine = new GraftEngine(spark, outDir + "/wh")
