@@ -362,6 +362,67 @@ object Dedup {
           .as("simhash"))
       .orderBy(col("doc_id"))
 
+  /** Span granularity of [[spanDedup]] — 8 whitespace tokens, the
+    * line/paragraph analogue for this corpus's single-line documents.
+    */
+  private[operators] val SpanLen = 8
+
+  /** Exact-substring dedup at fixed span granularity — the cross-corpus
+    * line/paragraph dedup stage (C4 drops duplicate lines corpus-wide;
+    * MassiveText/RefinedWeb dedup exact substrings): each document is cut
+    * into non-overlapping [[SpanLen]]-token spans, a span survives only in
+    * its first occurrence corpus-wide (ordered by doc, then position), and
+    * each document reports how much of it survived.
+    *
+    * Scale shape: spans ride the scan (per-row explode, no shuffle), the
+    * first-occurrence window shuffles the 8-byte portable span hash — never
+    * the span text — and the per-doc rollup is a second small shuffle. The
+    * span-hash groups are multiplicity-bounded (a span's copies), so no
+    * reducer hot-spots; this is the suffix-array-free approximation of
+    * exact-substring dedup that survives 100 TB.
+    */
+  def spanDedup(s: SparkSession, d: String, spanLen: Int = SpanLen): DataFrame = {
+    val spans = Tables.documents(s, d)
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(0, greatest(size(toks) - 1, 0), $spanLen)")).as("start"))
+      .select(col("doc_id"), expr(s"start div $spanLen").as("span_no"),
+        expr(Portable.spark60(s"concat_ws(' ', slice(toks, start + 1, $spanLen))"))
+          .as("span_h"))
+    val firstSeen = Window.partitionBy(col("span_h"))
+      .orderBy(col("doc_id"), col("span_no"))
+    spans
+      .withColumn("rn", row_number().over(firstSeen))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("kept_ratio",
+        col("n_kept").cast("double") / col("n_spans").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[spanDedup]] — 1-based inclusive list slices equal
+    * Spark's (start, length) slices element-for-element (same equivalence
+    * chunk_docs relies on).
+    */
+  def spanDedupSql(spanLen: Int = SpanLen): String = {
+    val h = Portable.duck60(
+      s"array_to_string(toks[start + 1 : start + $spanLen], ' ')")
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |           FROM documents),
+       |x AS (SELECT doc_id, toks,
+       |        unnest(generate_series(0, greatest(len(toks) - 1, 0), $spanLen)) AS start
+       |      FROM t),
+       |sp AS (SELECT doc_id, start // $spanLen AS span_no, $h AS span_h FROM x),
+       |r AS (SELECT doc_id,
+       |             ROW_NUMBER() OVER (PARTITION BY span_h ORDER BY doc_id, span_no) AS rn
+       |      FROM sp)
+       |SELECT doc_id, COUNT(*) AS n_spans,
+       |       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS kept_ratio
+       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB oracle SQL for the hash-based dedup operators — generated from
     * the same constants (P, hashParams, SimhashBits, band layout) the Spark
     * plans use, so the differential gate checks the full algorithm, not
