@@ -45,10 +45,27 @@ object Bench {
     try operators.Similarity.fitQuantizer(spark, sfDir)
     catch { case _: Throwable => () }
 
+    // Per-query best-of-N (round-3 verdict #3): a single alphabetical
+    // sweep is exposed to host-contention spikes (the r3 driver sweep ran
+    // 1.7× the local median, inflating a consecutive run of queries).
+    // Repeat a query and keep the min; skip repeats when the first run is
+    // under 0.5 s (already noise-floor — keeps the sweep ~<2× one pass)
+    // and take a third run only when the first two disagree enough that
+    // one was plausibly a spike.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { drain(fn(spark, sfDir)) } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { drain(fn(spark, sfDir)) } catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t1 = once()
+      var best = t1
+      if (t1 >= 0.5) {
+        val t2 = once()
+        best = math.min(best, t2)
+        if (math.abs(t1 - t2) / best > 0.15) best = math.min(best, once())
+      }
+      name -> best
     }
     // The harness captures only the LAST ~2000 chars of the build log: a
     // longer line loses its FRONT (r1 and r2 both ended "parsed": null —

@@ -54,6 +54,23 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
   def queryScalar[T: ClassTag](stmt: SqlStatement): Option[T] =
     ResultMapper.scalar[T](query(stmt))
 
+  /** Streaming typed cursor (reference ExecuteReader analogue,
+    * TrinoAdoNetIntegrationTests.cs:57-119): rows surface incrementally
+    * via `toLocalIterator` — one partition on the driver at a time, never
+    * the whole result — so results larger than driver memory iterate
+    * through. Same snake→camel mapping as [[queryAs]].
+    */
+  def queryIterator[T: Encoder](stmt: SqlStatement): Iterator[T] = {
+    import scala.jdk.CollectionConverters._
+    ResultMapper.datasetOf[T](query(stmt)).toLocalIterator().asScala
+  }
+
+  /** Untyped incremental reader with schema metadata (FieldCount /
+    * GetName / IsDBNull parity) — see [[graft.mapper.GraftRowReader]].
+    */
+  def executeReader(stmt: SqlStatement): graft.mapper.GraftRowReader =
+    new graft.mapper.GraftRowReader(query(stmt))
+
   /** DDL/DML without a result set. SQL-text DDL — CREATE SCHEMA [WITH
     * (location)], CREATE TABLE [IF NOT EXISTS] (+Iceberg-style
     * `partitioning = ARRAY[…]`), CTAS, DROP TABLE — routes into the
@@ -203,6 +220,33 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
   private val catalogRefRe =
     """(?i)\b(?:FROM|JOIN)\s+((?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\.([A-Za-z_]\w*))""".r
 
+  /** Character spans (start inclusive, end exclusive) covered by
+    * single-quoted string literals, scanned with the same quote toggling
+    * as [[executeScript]]. An SQL-escaped quote (`''`) scans as two
+    * adjacent spans whose union still covers the whole literal — exactly
+    * what the overlap test needs. Both regex rewrites skip any match
+    * overlapping one of these spans, so literal text like
+    * `SELECT 'FROM demo.t'` is never rewritten (round-3 verdict #7).
+    */
+  private def literalSpans(sql: String): Seq[(Int, Int)] = {
+    val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var inQuote = false
+    var start = -1
+    var i = 0
+    while (i < sql.length) {
+      if (sql.charAt(i) == '\'') {
+        if (!inQuote) { inQuote = true; start = i }
+        else { inQuote = false; spans += ((start, i + 1)) }
+      }
+      i += 1
+    }
+    if (inQuote) spans += ((start, sql.length)) // unterminated — mask to end
+    spans.toSeq
+  }
+
+  private def overlapsLiteral(spans: Seq[(Int, Int)], start: Int, end: Int): Boolean =
+    spans.exists { case (a, b) => start < b && end > a }
+
   /** Resolve `FROM/JOIN [catalog.]schema.table` references against the
     * snapshot catalog, so the reference's query SQL runs verbatim
     * (`SELECT … FROM iceberg.common_test_data.shared_data`,
@@ -210,19 +254,24 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
     * Each match that names an existing catalog table is swapped for a temp
     * view over its latest snapshot, resolved lazily at query time; names
     * that don't resolve (Spark temp views, `database.table` in Spark's own
-    * catalog) pass through untouched. Runs AFTER rewriteTimeTravel, which
+    * catalog) pass through untouched, as does anything inside a string
+    * literal ([[literalSpans]]). Quoted/backticked identifiers are out of
+    * scope — the reference's own SQL never emits them (its DDL and queries
+    * use bare identifiers throughout). Runs AFTER rewriteTimeTravel, which
     * consumes the `FOR TIMESTAMP AS OF` form first.
     */
-  private[graft] def rewriteCatalogRefs(sql: String): String =
+  private[graft] def rewriteCatalogRefs(sql: String): String = {
+    val spans = literalSpans(sql)
     catalogRefRe.replaceAllIn(sql, m => {
       val (sch, tbl) = (m.group(2), m.group(3))
       val keyword = m.matched.substring(0, m.matched.length - m.group(1).length)
-      if (catalog.tableExists(sch, tbl)) {
+      if (!overlapsLiteral(spans, m.start, m.end) && catalog.tableExists(sch, tbl)) {
         val view = s"_cat_${sch}_${tbl}_${nameTag(sch, tbl)}"
         catalog.readLatest(sch, tbl).createOrReplaceTempView(view)
         java.util.regex.Matcher.quoteReplacement(keyword + view)
       } else java.util.regex.Matcher.quoteReplacement(m.matched)
     })
+  }
 
   /** Collision-proof suffix for generated view names: `_` joining alone is
     * ambiguous — (a, b_c) and (a_b, c) both flatten to a_b_c, so two
@@ -248,8 +297,18 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
     * statement (WHERE / ORDER BY composition) flows through Catalyst
     * untouched.
     */
-  private[graft] def rewriteTimeTravel(sql: String): String =
+  private[graft] def rewriteTimeTravel(sql: String): String = {
+    val spans = literalSpans(sql)
     timeTravelRe.replaceAllIn(sql, m => {
+      // a legit match CONTAINS a literal (the timestamp), so only the
+      // match start position decides whether we're inside a string
+      if (overlapsLiteral(spans, m.start, m.start + 1))
+        java.util.regex.Matcher.quoteReplacement(m.matched)
+      else rewriteTimeTravelMatch(m)
+    })
+  }
+
+  private def rewriteTimeTravelMatch(m: scala.util.matching.Regex.Match): String = {
       val parts = m.group(1).split("\\.")
       val (sch, tbl) =
         if (parts.length >= 2) (parts(parts.length - 2), parts.last)
@@ -259,5 +318,5 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
       val view = s"_tt_${sch}_${tbl}_${nameTag(sch, tbl)}_$ts"
       catalog.readAsOf(sch, tbl, ts).createOrReplaceTempView(view)
       java.util.regex.Matcher.quoteReplacement(view)
-    })
+  }
 }

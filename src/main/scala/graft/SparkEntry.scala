@@ -507,6 +507,10 @@ object SparkEntry {
     // time travel: real differential oracle — DuckDB reads the resolved
     // snapshot dir of the deterministic demo layout (round-3)
     "time_travel_demo" -> operators.CatalogDemos.timeTravelDemoSql,
+    // unload contract + HLL-tolerance: deterministic outputs, literal-
+    // boolean oracles (round-4; verdict Next-round #4/#5)
+    "unload_demo"     -> operators.CatalogDemos.unloadDemoSql,
+    "approx_distinct" -> operators.Expressions.approxDistinctSql,
     // ---- analytics extensions (round 2) ----
     "stats_moments"      -> Analytics.Sql.statsMoments,
     "corr_qty_price"     -> Analytics.Sql.corrQtyPrice,

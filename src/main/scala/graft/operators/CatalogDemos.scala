@@ -112,4 +112,16 @@ object CatalogDemos {
       s.read.parquet(s"$work/export").count()))
       .toDF("row_count", "flat_parquet_only", "n_subdirs", "reread_count")
   }
+
+  /** DuckDB oracle for [[unloadDemo]]: the response contract is fully
+    * deterministic (reference contract AthenaClientTests.cs:144-170) —
+    * row_count and reread_count both equal the nation row count, the
+    * export dir holds flat parquet only, zero subdirectories. The layout
+    * booleans are literals the Spark side must have OBSERVED true on the
+    * real exported directory for the hash to match.
+    */
+  val unloadDemoSql: String =
+    """SELECT COUNT(*) AS row_count, TRUE AS flat_parquet_only,
+      |       CAST(0 AS INT) AS n_subdirs, COUNT(*) AS reread_count
+      |FROM nation""".stripMargin
 }

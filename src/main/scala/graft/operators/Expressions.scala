@@ -180,9 +180,13 @@ object Expressions {
       .orderBy(col("source"), col("rn"))
   }
 
-  /** Approximate distinct-count (HLL++) next to the exact count — the
-    * approx value has no cross-engine oracle, so this is a rows-only entry;
-    * ApproxSpec asserts the relative error bound instead.
+  /** Approximate distinct-count (HLL++) next to the exact count. HLL
+    * estimates differ across engines, so the raw estimate is not
+    * oracle-able — instead the registry output reduces each estimate to
+    * `within_tol = |approx − exact| ≤ 3·rsd·exact` (3 sigma at rsd 0.02;
+    * holds with overwhelming probability), which IS deterministic on the
+    * Spark side and differential-checkable against a literal-TRUE oracle.
+    * ApproxSpec still asserts the numeric error bound on the raw values.
     */
   def approxDistinct(s: SparkSession, d: String): DataFrame = {
     // exact and approximate distincts deliberately run as SEPARATE
@@ -193,12 +197,29 @@ object Expressions {
     // HLLs merge one sketch per partition and the exact path shuffles
     // bare keys (~0.7 s)
     val li = Tables.lineitem(s, d)
-    val exact = li.select(countDistinct(col("l_orderkey")).as("exact_orders"))
+    val exact = li.agg(
+      countDistinct(col("l_orderkey")).as("exact_orders"),
+      countDistinct(col("l_partkey")).as("exact_parts"))
     val approx = li.agg(
       approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
       approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
-    exact.crossJoin(approx)
+    exact.crossJoin(approx).select(
+      col("exact_orders"), col("exact_parts"),
+      (abs(col("approx_orders") - col("exact_orders"))
+        <= lit(3 * 0.02) * col("exact_orders")).as("orders_within_tol"),
+      (abs(col("approx_parts") - col("exact_parts"))
+        <= lit(3 * 0.02) * col("exact_parts")).as("parts_within_tol"))
   }
+
+  /** DuckDB oracle for [[approxDistinct]]: the exact counts differentially
+    * check; the tolerance booleans are literal TRUE — the Spark side must
+    * have COMPUTED true for the hash to match.
+    */
+  val approxDistinctSql: String =
+    """SELECT COUNT(DISTINCT l_orderkey) AS exact_orders,
+      |       COUNT(DISTINCT l_partkey) AS exact_parts,
+      |       TRUE AS orders_within_tol, TRUE AS parts_within_tol
+      |FROM lineitem""".stripMargin
 
   /** CUBE over two dimensions, same normalization. */
   def cubeAgg(s: SparkSession, d: String): DataFrame =

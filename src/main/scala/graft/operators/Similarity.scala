@@ -565,7 +565,11 @@ object Similarity {
 
   def labelCentroids(s: SparkSession, d: String): DataFrame =
     labelDimMeans(s, d)
-      .select(col("label"), col("dim"), col("m").as("centroid"), col("n"))
+      // posexplode's position is int32; the oracle's generate_series is
+      // int64 — align the column dtype so the differential check is
+      // byte-identical (round-4 selfcheck dtype guard)
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        col("m").as("centroid"), col("n"))
       .orderBy(col("label"), col("dim"))
 
   /** DuckDB twin of [[labelCentroids]]. */

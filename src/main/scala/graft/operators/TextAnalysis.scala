@@ -326,8 +326,8 @@ object TextAnalysis {
        |        (doc_id % 1000000007) * 2654435761 % 4294967296 AS rnd
        |      FROM documents),
        |c AS (SELECT source, doc_id, n_tokens,
-       |        SUM(n_tokens) OVER (PARTITION BY source ORDER BY rnd, doc_id
-       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+       |        CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY rnd, doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
        |      FROM t)""".stripMargin
 
   def tokenBudgetMix(s: SparkSession, d: String, budget: Long = 2000): DataFrame =
@@ -442,8 +442,8 @@ object TextAnalysis {
   /** DuckDB twin of [[sequencePack]]. */
   def sequencePackSql(seqLen: Long = 512): String =
     s"""WITH $cumTokensCtes
-       |SELECT source, (cum_tokens - n_tokens) // $seqLen AS seq_id,
-       |       COUNT(*) AS n_docs, SUM(n_tokens) AS seq_tokens,
+       |SELECT source, CAST((cum_tokens - n_tokens) // $seqLen AS BIGINT) AS seq_id,
+       |       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
        |       CAST(SUM(n_tokens) AS DOUBLE) / $seqLen AS fill_ratio
        |FROM c GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin
 
@@ -582,8 +582,8 @@ object TextAnalysis {
        |             ${Dedup.Portable.duck60("text")} AS fp,
        |             CAST(${Formulas.nTokensDuck} AS BIGINT) AS n_tokens
        |           FROM documents)
-       |SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens,
-       |       COUNT(*) - COUNT(DISTINCT fp) AS n_dup_docs,
+       |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |       CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_dup_docs,
        |       COUNT(DISTINCT lang) AS n_langs,
        |       CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS mean_tokens
        |FROM t GROUP BY source ORDER BY source""".stripMargin

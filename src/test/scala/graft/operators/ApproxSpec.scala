@@ -11,11 +11,18 @@ class ApproxSpec extends SparkSpec {
 
   test("approx_count_distinct (rsd=0.02) is within 6% of exact (3σ)") {
     val row = Expressions.approxDistinct(spark, sf001)
-      .as[(Long, Long, Long)].collect().head
-    val (exact, approxOrders, approxParts) = row
-    assert(math.abs(approxOrders - exact).toDouble / exact < 0.06,
-      s"orders: approx=$approxOrders exact=$exact")
-    assert(approxParts > 0)
+      .as[(Long, Long, Boolean, Boolean)].collect().head
+    val (exactOrders, exactParts, ordersOk, partsOk) = row
+    assert(exactOrders > 0 && exactParts > 0)
+    assert(ordersOk, "orders estimate outside 3σ tolerance")
+    assert(partsOk, "parts estimate outside 3σ tolerance")
+    // the raw estimates still obey the bound (belt and braces on the
+    // reduced boolean)
+    val li = graft.Tables.lineitem(spark, sf001)
+    val approxOrders = li.selectExpr(
+      "approx_count_distinct(l_orderkey, 0.02) AS a").as[Long].collect().head
+    assert(math.abs(approxOrders - exactOrders).toDouble / exactOrders < 0.06,
+      s"orders: approx=$approxOrders exact=$exactOrders")
   }
 
   test("approx_percentile brackets the exact percentile") {

@@ -247,12 +247,12 @@ class PipelineOpsSpec extends SparkSpec {
   test("labelCentroids: 64 dims per label, n = label cardinality, mean matches naive") {
     val rows = Similarity.labelCentroids(spark, sf001)
       .select($"label", $"dim", $"centroid", $"n")
-      .as[(Long, Int, Double, Long)].collect()
+      .as[(Long, Long, Double, Long)].collect()
     val labels = graft.Tables.embeddings(spark, sf001)
       .groupBy($"label").count().as[(Long, Long)].collect().toMap
     assert(rows.map(_._1).distinct.sorted.toSeq == labels.keys.toSeq.sorted)
     rows.groupBy(_._1).foreach { case (lbl, rs) =>
-      assert(rs.map(_._2).sorted.toSeq == (0 until 64))
+      assert(rs.map(_._2).sorted.toSeq == (0L until 64L))
       assert(rs.forall(_._4 == labels(lbl)))
     }
     // decimal-exact mean agrees with a naive double mean to float precision
@@ -260,7 +260,7 @@ class PipelineOpsSpec extends SparkSpec {
       .select($"label", posexplode_outer($"embedding").as(Seq("dim", "x")))
       .groupBy($"label", $"dim").agg(avg($"x".cast("double")).as("m"))
       .as[(Long, Int, Double)].collect()
-      .map { case (l, d, m) => (l, d) -> m }.toMap
+      .map { case (l, d, m) => (l, d.toLong) -> m }.toMap
     rows.foreach { case (l, d, c, _) =>
       assert(math.abs(c - naive((l, d))) < 1e-6, s"centroid off at ($l,$d)")
     }

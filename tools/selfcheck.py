@@ -54,21 +54,48 @@ def main():
             n_fail += 1
             continue
         try:
-            got = con.execute(
+            g_rel = con.sql(
                 f"SELECT * FROM read_parquet('{pq_dir}/*.parquet')")
-            g_cols = [d[0] for d in got.description]
-            g_rows = got.fetchall()
+            g_cols = list(g_rel.columns)
+            g_dtypes = {c: str(t) for c, t in
+                        zip(g_rel.columns, g_rel.df().dtypes)}
+            g_rows = con.sql(
+                f"SELECT * FROM read_parquet('{pq_dir}/*.parquet')").fetchall()
         except Exception as e:
             # empty result → spark writes no part files with rows; treat as empty
-            g_cols, g_rows = [], []
+            g_cols, g_rows, g_dtypes = [], [], {}
         try:
-            exp = con.execute(sql)
-            e_cols = [d[0] for d in exp.description]
-            e_rows = exp.fetchall()
+            e_rel = con.sql(sql)
+            e_cols = list(e_rel.columns)
+            e_types = {c: str(t).upper() for c, t in
+                       zip(e_rel.columns, e_rel.types)}
+            e_dtypes = {c: str(t) for c, t in
+                        zip(e_rel.columns, e_rel.df().dtypes)}
+            e_rows = con.sql(sql).fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
             n_fail += 1
             continue
+        # dtype guards — the round-3 lesson: fetchall() hides the int128
+        # class of driver divergence (DuckDB returns HUGEINT for SUM(BIGINT)
+        # and `//` over it; the driver's pandas compare converts HUGEINT to
+        # float64 while Spark's parquet stays int64 → silent driver-only
+        # hash fail). (1) no oracle column may be HUGEINT; (2) the pandas
+        # dtype of every oracle column must equal the Spark side's.
+        huge = sorted(c for c, t in e_types.items() if "HUGEINT" in t)
+        if huge:
+            print(f"FAIL {name}: oracle HUGEINT column(s) {huge} — "
+                  f"CAST the SUM/`//` to BIGINT")
+            n_fail += 1
+            continue
+        if g_dtypes:
+            mism = sorted((c, g_dtypes[c], e_dtypes[c]) for c in e_dtypes
+                          if c in g_dtypes and g_dtypes[c] != e_dtypes[c])
+            if mism:
+                print(f"FAIL {name}: pandas dtype mismatch spark vs oracle: "
+                      f"{mism}")
+                n_fail += 1
+                continue
         # the driver's pandas-based compare handles Decimal scale and
         # array cells differently than duckdb's fetchall — forbid both
         # in result sets (final-cast decimals to DOUBLE; reduce arrays).
