@@ -34,6 +34,17 @@ object DevScale {
           .withColumn("text", concat(col("text"), lit(s" copytoken$i"))))
         .reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$scaledDir/documents.parquet")
+      // embeddings for the ANN curve: copies are slightly perturbed (a
+      // copy-dependent epsilon on every element) so they are near- but not
+      // exact duplicates — exact copies would all collapse into identical
+      // LSH buckets and measure a degenerate worst case instead of growth
+      val embs = spark.read.parquet(s"$base/embeddings.parquet")
+      (0 until copies).map(i => embs
+          .withColumn("vec_id", col("vec_id") * copies + i)
+          .withColumn("embedding",
+            expr(s"transform(embedding, x -> x + ${i}e-3f)")))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$scaledDir/embeddings.parquet")
       fs.create(marker).close()
     }
 
@@ -52,7 +63,12 @@ object DevScale {
       "tfidf_top_terms"   -> (operators.TextAnalysis.tfidfTopTerms _),
       "minhash_lsh_pairs" -> (operators.Dedup.minhashLshPairs _),
       "near_dup_jaccard"  -> (operators.Dedup.nearDupJaccard _),
-      "dedup_clusters"    -> (operators.Dedup.dedupClusters _))
+      "dedup_clusters"    -> (operators.Dedup.dedupClusters _),
+      // round-4 (r3 verdict #8): the three scale claims previously argued
+      // but not measured
+      "decontaminate"     -> (operators.TextAnalysis.decontaminate _),
+      "incremental_dedup" -> (operators.Dedup.incrementalDedup _),
+      "ann_knn_all"       -> ((s, d) => operators.Similarity.annKnnAll(s, d)))
     // warmup on the base dir itself so JIT/codegen/first-shuffle costs
     // never land on the 1× timing (a hardcoded small dir would silently
     // no-op on other layouts and skew the very ratio being measured)

@@ -32,17 +32,23 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
   val catalog = new SnapshotCatalog(spark, warehouse)
   val storage = new StorageOps(spark.sparkContext.hadoopConfiguration)
   private val unloader = new Unloader(spark)
+  // structured-logging surface ("What's missing" r3 #2): level-guarded,
+  // so the disabled default costs one boolean per statement
+  private val log = graft.logging.Log(classOf[GraftEngine])
 
   // ---- query surface ----
 
   def query(stmt: SqlStatement): DataFrame =
-    try spark.sql(rewriteCatalogRefs(rewriteTimeTravel(stmt.text)))
-    catch {
+    try {
+      graft.logging.Log.debug(log, "Executing statement: {0}", stmt.text)
+      spark.sql(rewriteCatalogRefs(rewriteTimeTravel(stmt.text)))
+    } catch {
       // parse + analysis failures (ParseException extends AnalysisException)
       // → typed contract naming the statement, the parity point with the
       // reference's TrinoAggregateException
       // (TrinoClientIntegrationTests.cs:126-132)
       case e: org.apache.spark.sql.AnalysisException =>
+        graft.logging.Log.error(log, e, "Statement failed to parse/analyze: {0}", stmt.text)
         throw new GraftQueryException(stmt.text, "SQL failed to parse/analyze", e)
     }
 
@@ -200,8 +206,11 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
   }
 
   /** UNLOAD (reference UnloadAsync, AthenaClient.cs:116-208). */
-  def unload(stmt: SqlStatement, targetDir: String): UnloadResponse =
-    unloader.unload(query(stmt), targetDir)
+  def unload(stmt: SqlStatement, targetDir: String): UnloadResponse = {
+    val resp = unloader.unload(query(stmt), targetDir)
+    graft.logging.Log.info(log, "Unloaded {0} rows to {1}", resp.rowCount, resp.path)
+    resp
+  }
 
   // ---- catalog-table SQL integration ----
 

@@ -96,6 +96,7 @@ object SparkEntry {
     "minhash_lsh_pairs"  -> (Dedup.minhashLshPairs _),
     "simhash"            -> (Dedup.simhash _),
     "dedup_clusters"     -> (Dedup.dedupClusters _),
+    "span_dedup"         -> ((s, d) => Dedup.spanDedup(s, d)),
     // similarity search
     "embedding_norms"    -> (Similarity.embeddingNorms _),
     "ann_brute_force"    -> (Similarity.annBruteForce _),
@@ -442,6 +443,7 @@ object SparkEntry {
     "near_dup_jaccard" -> operators.Dedup.Oracle.nearDupJaccardSql,
     "dedup_clusters"   -> operators.Dedup.Oracle.dedupClustersSql,
     "incremental_dedup" -> operators.Dedup.incrementalDedupSql,
+    "span_dedup"       -> operators.Dedup.spanDedupSql(),
     "embedding_norms" ->
       ("SELECT vec_id, label, sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS l2_norm " +
         "FROM embeddings ORDER BY vec_id"),

@@ -17,6 +17,13 @@ object Tables {
   /** Plain scan (S1). Column pruning + predicate pushdown reach the parquet
     * reader via Catalyst — callers should select/filter on the result and
     * let the optimizer prune the scan.
+    *
+    * Deliberately NOT memoized: a path-keyed DataFrame cache pins the
+    * file listing, so data regenerated at the same path (the
+    * fitQuantizer-refit scenario PipelineOpsSpec exercises) would read
+    * stale/deleted files. With one parquet file per table the
+    * re-resolution cost is milliseconds — caching buys nothing and
+    * introduces a staleness class.
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")

@@ -288,6 +288,22 @@ class PipelineOpsSpec extends SparkSpec {
       (37L, false, false, true)))
   }
 
+  test("spanDedup: first occurrence of a span survives corpus-wide, later copies drop") {
+    val dir = tmpDir("span-docs")
+    val span0 = "t1 t2 t3 t4 t5 t6 t7 t8"        // one full 8-token span
+    Seq(
+      (1L, s"$span0 u1 u2 u3 u4 u5 u6 u7 u8", "en", "s1", 0L), // 2 fresh spans
+      (2L, s"$span0 v1 v2", "en", "s1", 0L),  // span 0 dups doc 1; tail fresh
+      (3L, "w1 w2 w3", "en", "s1", 0L))       // single fresh short span
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.spanDedup(spark, dir)
+      .select($"doc_id", $"n_spans", $"n_kept")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 2L, 2L), (2L, 2L, 1L), (3L, 1L, 1L)))
+  }
+
   test("piiRedact: emails, IPs, phones, and blocklist terms are redacted byte-exactly") {
     val dir = tmpDir("pii-docs")
     Seq(
