@@ -337,6 +337,48 @@ object Dedup {
       .orderBy(col("da"), col("db"))
   }
 
+  /** Incremental NEAR-dup — the growth operation on a living corpus: an
+    * incoming batch (the deterministic `doc_id % 10 = 7` slice, the same
+    * split as [[incrementalDedup]]) is LSH-screened against the history
+    * side for near-duplicates, without ever forming a batch×history
+    * product. The batch's band keys join history's band keys on tiny
+    * (band index, band key) buckets; only colliding candidates fetch
+    * their shingle sets for exact Jaccard verification (codegen'd
+    * merge-walk). At 100 TB the history side is a precomputed band index
+    * (8 short strings + one sorted hash array per doc — no text), the
+    * batch shuffles once by band key, and candidate volume is bounded by
+    * the band-collision probability curve, exactly like
+    * [[minhashLshPairs]] — this is the dedup-new-crawl-against-corpus
+    * shape every production ingestion pipeline runs.
+    */
+  def incrementalNearDup(s: SparkSession, d: String,
+                         threshold: Double = 0.3): DataFrame = {
+    val shingled = withShingleHashes(
+      Tables.documents(s, d).select(col("doc_id"), col("text"))).drop("text")
+    val sigs = sigsFrom(shingled)
+    val bands = sigs.select(col("doc_id"),
+      posexplode(array((0 until Bands).map(b => col(s"band$b")): _*))
+        .as(Seq("band_idx", "band_hash")))
+    val candidates = bands.filter(col("doc_id") % 10 === 7).as("x")
+      .join(bands.filter(col("doc_id") % 10 =!= 7).as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_hash") === col("y.band_hash"))
+      .select(col("x.doc_id").as("batch_id"), col("y.doc_id").as("hist_id"))
+      .distinct()
+    val shingles = shingled
+      .select(col("doc_id"), sort_array(array_distinct(col("sh"))).as("shs"))
+    candidates
+      .join(shingles.as("sa"), col("batch_id") === col("sa.doc_id"))
+      .join(shingles.as("sb"), col("hist_id") === col("sb.doc_id"))
+      .withColumn("i",
+        graft.functions.IntersectCount.intersectCount(col("sa.shs"), col("sb.shs")))
+      .select(col("batch_id"), col("hist_id"),
+        (col("i").cast("double") /
+          (size(col("sa.shs")) + size(col("sb.shs")) - col("i"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("batch_id"), col("hist_id"))
+  }
+
   /** Number of SimHash bits — 48 of the portable hash's 60, so the
     * signature and every intermediate vote stay comfortably in Long/BIGINT
     * on both engines.
