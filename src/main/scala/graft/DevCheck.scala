@@ -19,6 +19,7 @@ object DevCheck {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => names(kv._1)).foreach { case (name, fn) =>
       fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      CacheHygiene.sweep(spark)
     }
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""

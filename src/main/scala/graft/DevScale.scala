@@ -54,7 +54,9 @@ object DevScale {
     def drain(mk: => org.apache.spark.sql.DataFrame): Long = {
       val t0 = System.nanoTime()
       mk.write.mode("overwrite").format("noop").save()
-      (System.nanoTime() - t0) / 1000000
+      val t = (System.nanoTime() - t0) / 1000000
+      CacheHygiene.sweep(spark)
+      t
     }
     val ops: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
       "fingerprint"       -> (operators.TextAnalysis.fingerprint _),

@@ -96,7 +96,14 @@ object Dedup {
     * candidates — every shuffle is on small keys, and the quadratic term
     * is bounded by the rarest-token bucket sizes.
     */
-  def nearDupJaccard(s: SparkSession, d: String): DataFrame = {
+  def nearDupJaccard(s: SparkSession, d: String): DataFrame =
+    nearDupJaccardPairs(s, d).orderBy(col("da"), col("db"))
+
+  /** [[nearDupJaccard]] without the final presentation sort — the form
+    * consumers like [[dedupClusters]] build on (a global sort feeding a
+    * checkpoint is pure waste).
+    */
+  private[graft] def nearDupJaccardPairs(s: SparkSession, d: String): DataFrame = {
     // Jaccard threshold t = Tp/Tq — kept rational so the prefix length
     // and the length-ratio filter derive from the SAME integers (a
     // float-derived prefix bound floor((1-0.8)*n)+1 is one token short
@@ -109,11 +116,19 @@ object Dedup {
     // unsafe string walks, feeds the merge-walk verifier, and replays in
     // the DuckDB oracle (hash collisions, ~n²/2^60, hit both engines
     // identically)
+    // persist the tokenized+hashed projection: it feeds candidate
+    // generation once and exact verification twice — without the persist
+    // the full tokenize+md5 pass over the corpus runs three times (the
+    // single hottest subtree in this operator). The harness mains
+    // unpersist between queries; a real pipeline would unpersist after
+    // consuming the result. At 100 TB use MEMORY_AND_DISK (it spills,
+    // never OOMs) or recompute — both beat 3× the hash pass.
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         sort_array(array_distinct(graft.functions.PortableHashFunctions.hashWords60(
           split(lower(trim(col("text"))), "\\s+"))))
           .as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val words = docs.select(col("doc_id"), col("source"), size(col("hs")).as("n"),
       explode(col("hs")).as("h"))
     // global document frequency per (source, token) = the prefix order
@@ -121,11 +136,17 @@ object Dedup {
     // order each doc's tokens by (df, h); keep the n − ⌈t·n⌉ + 1 rarest,
     // computed in INTEGER arithmetic: ⌈Tp·n/Tq⌉ = (Tp·n + Tq − 1) div Tq
     val prefixW = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    // persist: both sides of the candidate self-join consume this —
+    // without it the explode + df-join + window pipeline (the widest
+    // shuffles in the operator) runs once PER SIDE (exchange reuse can't
+    // collapse them: the reusable exchange is below the window, so the
+    // window+filter still re-executes)
     val prefixes = words.join(df, Seq("source", "h"))
       .withColumn("rk", row_number().over(prefixW))
       .filter(col("rk") <=
         col("n") - expr(s"(n * $Tp + ${Tq - 1}) div $Tq") + 1)
       .select(col("doc_id"), col("source"), col("n"), col("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = prefixes.as("a")
       .join(prefixes.as("b"),
         col("a.h") === col("b.h") && col("a.source") === col("b.source") &&
@@ -168,7 +189,7 @@ object Dedup {
     // otherwise each union branch independently re-runs the whole
     // near-dup pipeline (shared subtrees are specialized per branch, so
     // nothing is reused — measured as ~40% of this operator's runtime)
-    val pairs = nearDupJaccard(s, d).select(col("da"), col("db")).localCheckpoint()
+    val pairs = nearDupJaccardPairs(s, d).select(col("da"), col("db")).localCheckpoint()
     // undirected edge list, both directions; the loop only touches docs
     // with at least one edge — singletons are appended at the end.
     // localCheckpoint (not persist): each iteration references the prior

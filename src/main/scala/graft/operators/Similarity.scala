@@ -112,8 +112,11 @@ object Similarity {
     val ps = planes(4, 8, 64)
     val signed = emb(s, d).withColumn("sigs",
       array(ps.map(tp => signature(col("embedding"), tp)): _*))
+    // persist: the signature table feeds both the (broadcast) query side
+    // and the corpus side of the bucket join — one signature build, not two
     val buckets = signed.select(col("vec_id"),
       posexplode(col("sigs")).as(Seq("tbl", "sig")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val queries = buckets.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("tbl").as("qtbl"), col("sig").as("qsig"))
     // dedup candidate (q_id, vec_id) pairs on the narrow keys, then fetch
@@ -148,11 +151,18 @@ object Similarity {
     */
   def annKnnAll(s: SparkSession, d: String, k: Int = 3): DataFrame = {
     val ps = planes(4, 8, 64)
+    // persist: the norm pass feeds the signature build AND both vector
+    // fetch-backs; the signature table (32 dot products per row to build)
+    // is both sides of the bucket self-join. Without the persists each
+    // runs twice-or-thrice. Narrow columns; the harness unpersists
+    // between queries.
     val e = emb(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val signed = e.withColumn("sigs",
       array(ps.map(tp => signature(col("embedding"), tp)): _*))
     val buckets = signed.select(col("vec_id"),
       posexplode(col("sigs")).as(Seq("tbl", "sig")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nbrs = buckets.select(
       col("vec_id").as("nb_id"), col("tbl").as("t2"), col("sig").as("s2"))
     // candidate ids only (narrow keys) through the bucket join + distinct;
@@ -476,10 +486,14 @@ object Similarity {
     */
   def embeddingNearDup(s: SparkSession, d: String): DataFrame = {
     val ps = planes(NearDupTables, NearDupBits, 64)
+    // persist: e feeds the signature build + two fetch-backs, buckets is
+    // both self-join sides (see annKnnAll note)
     val e = emb(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = e
       .withColumn("sigs", array(ps.map(tp => signature(col("embedding"), tp)): _*))
       .select(col("vec_id"), col("label"), posexplode(col("sigs")).as(Seq("tbl", "sig")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.label") === col("b.label") && col("a.tbl") === col("b.tbl") &&
           col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
