@@ -126,7 +126,80 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
           if (ifExists) 0L
           else throw new GraftQueryException(sqlText, s"Table $schema.$table does not exist")
         } else { catalog.dropTable(schema, table); 0L }
+      case graft.catalog.DeleteStmt(schema, table, where) =>
+        requireCatalogTable(sqlText, schema, table)
+        val cond = where.map(parseCond(sqlText, _))
+          .getOrElse(org.apache.spark.sql.functions.lit(true))
+        // affected-rows contract (Trino returns the deleted count): count
+        // the TRUE-predicate rows against the same snapshot the rewrite
+        // reads — the catalog is synchronized, so no commit can interleave
+        val n = catalog.readLatest(schema, table)
+          .filter(org.apache.spark.sql.functions.coalesce(
+            cond, org.apache.spark.sql.functions.lit(false))).count()
+        catalog.delete(schema, table, cond)
+        n
+      case graft.catalog.UpdateStmt(schema, table, sets, where) =>
+        requireCatalogTable(sqlText, schema, table)
+        val cond = where.map(parseCond(sqlText, _))
+          .getOrElse(org.apache.spark.sql.functions.lit(true))
+        val setCols = sets.map { case (c, e) => (c, parseCond(sqlText, e)) }
+        val n = catalog.readLatest(schema, table)
+          .filter(org.apache.spark.sql.functions.coalesce(
+            cond, org.apache.spark.sql.functions.lit(false))).count()
+        try catalog.update(schema, table, setCols, cond)
+        catch { case e: IllegalArgumentException =>
+          throw new GraftQueryException(sqlText, e.getMessage, e) }
+        n
+      case graft.catalog.AlterExecuteStmt(schema, table, proc, args) =>
+        requireCatalogTable(sqlText, schema, table)
+        proc match {
+          case "optimize" =>
+            catalog.compact(schema, table,
+              args.get("file_count").map(_.toInt).getOrElse(1))
+            0L
+          case "expire_snapshots" =>
+            // retention_threshold => '<n>d'/'<n>h'/'<n>m'/'<n>s' (Trino
+            // spelling); everything older than now - threshold expires
+            val retainMs = args.get("retention_threshold")
+              .map(parseDuration(sqlText, _)).getOrElse(0L)
+            catalog.expireSnapshots(schema, table,
+              System.currentTimeMillis() - retainMs).length.toLong
+          case "remove_orphan_files" =>
+            catalog.removeOrphanFiles(schema, table).length.toLong
+          case other =>
+            throw new GraftQueryException(sqlText,
+              s"Unsupported ALTER TABLE EXECUTE procedure: $other " +
+                "(supported: optimize, expire_snapshots, remove_orphan_files)")
+        }
     }
+
+  private def requireCatalogTable(sqlText: String, schema: String, table: String): Unit =
+    if (!catalog.tableExists(schema, table))
+      throw new GraftQueryException(sqlText, s"Table $schema.$table does not exist")
+
+  /** Parse a DML scalar/predicate expression via Catalyst, converting the
+    * parse error into the engine's typed failure contract.
+    */
+  private def parseCond(sqlText: String, e: String): org.apache.spark.sql.Column =
+    try {
+      // Spark 4's Column defers expression parsing until the Column is
+      // attached to a plan — parse eagerly so a malformed expression
+      // surfaces HERE as the engine's typed error, not later inside the
+      // catalog rewrite
+      spark.sessionState.sqlParser.parseExpression(e)
+      org.apache.spark.sql.functions.expr(e)
+    } catch { case ex: Exception =>
+      throw new GraftQueryException(sqlText, s"Malformed DML expression '$e': ${ex.getMessage}", ex)
+    }
+
+  /** `'7d'`-style retention durations (Trino's `retention_threshold`). */
+  private def parseDuration(sqlText: String, s: String): Long = {
+    val m = """(?i)^\s*(\d+)\s*(d|h|m|s)\s*$""".r.findFirstMatchIn(s).getOrElse(
+      throw new GraftQueryException(sqlText, s"Malformed retention duration: '$s'"))
+    m.group(1).toLong * (m.group(2).toLowerCase match {
+      case "d" => 86400000L; case "h" => 3600000L; case "m" => 60000L; case _ => 1000L
+    })
+  }
 
   private val insertRe =
     """(?is)^\s*INSERT\s+INTO\s+(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s+VALUES\s+(.+)$""".r

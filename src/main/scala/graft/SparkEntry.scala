@@ -131,6 +131,7 @@ object SparkEntry {
     "time_travel_demo" -> (CatalogDemos.timeTravelDemo _),
     "partition_prune_demo" -> (CatalogDemos.partitionPruneDemo _),
     "unload_demo"      -> (CatalogDemos.unloadDemo _),
+    "dml_demo"         -> (CatalogDemos.dmlDemo _),
     // sampling + approximate aggregates
     "sample_per_group" -> (Expressions.samplePerGroup _),
     "approx_distinct"  -> (Expressions.approxDistinct _),
@@ -512,6 +513,7 @@ object SparkEntry {
     // unload contract + HLL-tolerance: deterministic outputs, literal-
     // boolean oracles (round-4; verdict Next-round #4/#5)
     "unload_demo"     -> operators.CatalogDemos.unloadDemoSql,
+    "dml_demo"        -> operators.CatalogDemos.dmlDemoSql,
     "approx_distinct" -> operators.Expressions.approxDistinctSql,
     // ---- analytics extensions (round 2) ----
     "stats_moments"      -> Analytics.Sql.statsMoments,

@@ -21,6 +21,14 @@ final case class CreateTableAsStmt(schema: String, table: String,
                                    select: String, ifNotExists: Boolean) extends DdlStatement
 final case class DropTableStmt(schema: String, table: String,
                                ifExists: Boolean) extends DdlStatement
+final case class DeleteStmt(schema: String, table: String,
+                            where: Option[String]) extends DdlStatement
+final case class UpdateStmt(schema: String, table: String,
+                            sets: Seq[(String, String)],
+                            where: Option[String]) extends DdlStatement
+final case class AlterExecuteStmt(schema: String, table: String,
+                                  procedure: String,
+                                  args: Map[String, String]) extends DdlStatement
 
 object DdlParser {
 
@@ -39,6 +47,14 @@ object DdlParser {
     """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+(.+?)\s*;?\s*$""".r
   private val dropTableRe =
     """(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$""".r
+  private val deleteRe =
+    """(?is)^\s*DELETE\s+FROM\s+([\w.]+)\s*(.*?)\s*;?\s*$""".r
+  private val updateRe =
+    """(?is)^\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)\s*;?\s*$""".r
+  // Trino Iceberg maintenance syntax: ALTER TABLE t EXECUTE optimize /
+  // expire_snapshots(retention_threshold => '7d') / remove_orphan_files(…)
+  private val alterExecRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+EXECUTE\s+(\w+)\s*(?:\(\s*(.*?)\s*\))?\s*;?\s*$""".r
 
   /** Parse one statement; None when the text is not DDL this layer owns
     * (the caller then falls through to Catalyst).
@@ -56,7 +72,104 @@ object DdlParser {
     case dropTableRe(ie, name) =>
       val (sch, tbl) = tableOf(name)
       Some(DropTableStmt(sch, tbl, ie != null))
+    case deleteRe(name, rest) =>
+      val (sch, tbl) = tableOf(name)
+      val where = rest.trim match {
+        case "" => None
+        case w if w.toUpperCase.startsWith("WHERE") =>
+          Some(w.substring(5).trim).filter(_.nonEmpty)
+        case other =>
+          throw new IllegalArgumentException(
+            s"DELETE supports only an optional WHERE clause, got: '$other'")
+      }
+      Some(DeleteStmt(sch, tbl, where))
+    case updateRe(name, setsAndWhere) =>
+      val (sch, tbl) = tableOf(name)
+      val (setPart, where) = splitWhere(setsAndWhere)
+      val sets = splitQuotedTopLevel(setPart).map { a =>
+        val eq = topLevelIndexOf(a, '=')
+        require(eq > 0, s"Malformed SET assignment: '$a'")
+        val colName = a.substring(0, eq).trim
+        require(colName.matches("""[A-Za-z_]\w*"""),
+          s"Malformed SET target column: '$colName'")
+        (colName, a.substring(eq + 1).trim)
+      }
+      require(sets.nonEmpty, "UPDATE requires at least one SET assignment")
+      Some(UpdateStmt(sch, tbl, sets, where))
+    case alterExecRe(name, proc, args) =>
+      val (sch, tbl) = tableOf(name)
+      val argRe = """(?is)^\s*(\w+)\s*=>\s*(.+?)\s*$""".r
+      val argMap = Option(args).filter(_.trim.nonEmpty)
+        .map(splitQuotedTopLevel(_).map {
+          case argRe(k, v) => k.toLowerCase -> v.stripPrefix("'").stripSuffix("'")
+          case other =>
+            throw new IllegalArgumentException(
+              s"Malformed EXECUTE argument (expect name => value): '$other'")
+        }.toMap).getOrElse(Map.empty)
+      Some(AlterExecuteStmt(sch, tbl, proc.toLowerCase, argMap))
     case _ => None
+  }
+
+  /** Split `<assignments> [WHERE <cond>]` at the first top-level,
+    * unquoted WHERE keyword. A WHERE inside a string literal or inside
+    * parens (a subquery in an assignment) does not split.
+    */
+  private def splitWhere(s: String): (String, Option[String]) = {
+    var depth = 0; var inQuote = false; var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => inQuote = !inQuote
+        case '(' if !inQuote => depth += 1
+        case ')' if !inQuote => depth -= 1
+        case c if !inQuote && depth == 0 && (c == 'w' || c == 'W') &&
+          i + 5 <= s.length && s.substring(i, i + 5).equalsIgnoreCase("where") &&
+          (i == 0 || !s.charAt(i - 1).isLetterOrDigit && s.charAt(i - 1) != '_') &&
+          (i + 5 == s.length || !s.charAt(i + 5).isLetterOrDigit && s.charAt(i + 5) != '_') =>
+          return (s.substring(0, i).trim,
+            Some(s.substring(i + 5).trim).filter(_.nonEmpty))
+        case _ =>
+      }
+      i += 1
+    }
+    (s.trim, None)
+  }
+
+  /** [[splitTopLevel]] that also respects single-quoted literals (a comma
+    * inside `'a,b'` does not split).
+    */
+  private def splitQuotedTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0; var inQuote = false
+    s.foreach {
+      case '\'' => inQuote = !inQuote; cur += '\''
+      case c @ '(' if !inQuote => depth += 1; cur += c
+      case c @ ')' if !inQuote => depth -= 1; cur += c
+      case ',' if !inQuote && depth == 0 => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    out += cur.toString
+    out.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** Index of the first top-level (unquoted, unparenthesized) occurrence
+    * of `ch`, or -1. Skips `=` inside `>=`/`<=`/`!=`/`<>` comparisons by
+    * construction only for the assignment split use (the first `=` in a
+    * well-formed assignment is the assignment operator).
+    */
+  private def topLevelIndexOf(s: String, ch: Char): Int = {
+    var depth = 0; var inQuote = false; var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => inQuote = !inQuote
+        case '(' if !inQuote => depth += 1
+        case ')' if !inQuote => depth -= 1
+        case c if c == ch && !inQuote && depth == 0 => return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
   }
 
   /** Parse the CREATE TABLE `WITH (…)` property list: `partitioning =

@@ -261,6 +261,34 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       !org.apache.spark.sql.functions.coalesce(
         cond, org.apache.spark.sql.functions.lit(false))))
 
+  /** UPDATE … SET … WHERE cond: rows where cond is TRUE get the assigned
+    * values (computed from the PRE-update row — simultaneous-assignment
+    * SQL semantics, so `SET a = b, b = a` swaps); all other rows —
+    * including NULL-valued predicates, per 3VL — pass through unchanged.
+    * Assigned expressions are cast to the column's existing type so the
+    * table schema is stable under any UPDATE. Copy-on-write commit like
+    * [[delete]].
+    */
+  def update(schema: String, table: String,
+             sets: Seq[(String, org.apache.spark.sql.Column)],
+             cond: org.apache.spark.sql.Column): Snapshot = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    rewrite(schema, table) { current =>
+      sets.foreach { case (c, _) =>
+        require(current.columns.exists(_.equalsIgnoreCase(c)),
+          s"UPDATE target column '$c' does not exist in $schema.$table")
+      }
+      val hit = coalesce(cond, lit(false))
+      current.select(current.schema.fields.map { f =>
+        sets.find(_._1.equalsIgnoreCase(f.name)) match {
+          case Some((_, e)) =>
+            when(hit, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }.toIndexedSeq: _*)
+    }
+  }
+
   /** Commit a full-table rewrite: new snapshot referencing only its own
     * files (same commit shape as `compact`).
     */

@@ -124,4 +124,59 @@ object CatalogDemos {
     """SELECT COUNT(*) AS row_count, TRUE AS flat_parquet_only,
       |       CAST(0 AS INT) AS n_subdirs, COUNT(*) AS reread_count
       |FROM nation""".stripMargin
+
+  /** SQL DML end-to-end (Trino Iceberg UPDATE / DELETE as copy-on-write
+    * snapshot commits): load nation into a catalog table, run one UPDATE
+    * and one DELETE through the SQL-text surface, read the final state
+    * back — composed with a time-travel read proving the pre-DML snapshot
+    * is untouched. The affected-row counts returned by executeNonQuery are
+    * folded into the result so the oracle checks them too.
+    */
+  def dmlDemo(s: SparkSession, d: String): DataFrame = {
+    val wh = new org.apache.hadoop.fs.Path(dmlDemoWarehouse)
+    val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) fs.delete(wh, true)
+    val engine = new GraftEngine(s, dmlDemoWarehouse)
+    engine.catalog.createSchema("demo")
+    val nation = graft.Tables.nation(s, d)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    engine.catalog.createTable("demo", "nation_dml", nation.schema)
+    engine.catalog.insert("demo", "nation_dml", nation)
+    val updated = engine.executeNonQuery(graft.params.SqlStatement(
+      "UPDATE demo.nation_dml SET n_name = concat(n_name, '_EU') WHERE n_regionkey = 3"))
+    val deleted = engine.executeNonQuery(graft.params.SqlStatement(
+      "DELETE FROM demo.nation_dml WHERE n_regionkey = 1 OR n_nationkey >= 20"))
+    // the pre-DML snapshot must still read complete (time-travel
+    // consistency of copy-on-write rewrites)
+    val preDmlRows = engine.catalog.readAsOf("demo", "nation_dml",
+      engine.catalog.snapshots("demo", "nation_dml").head.committedAtMillis).count()
+    engine.query(graft.params.SqlStatement(
+      "SELECT n_nationkey, n_name, n_regionkey FROM demo.nation_dml"))
+      .withColumn("n_updated", lit(updated))
+      .withColumn("n_deleted", lit(deleted))
+      .withColumn("pre_dml_rows", lit(preDmlRows))
+      .orderBy(col("n_nationkey"))
+  }
+
+  private[graft] val dmlDemoWarehouse = "/tmp/graft-dml-demo-warehouse"
+
+  /** DuckDB oracle for [[dmlDemo]]: replays the UPDATE as a CASE
+    * projection and the DELETE as the negated predicate over the nation
+    * parquet, with the affected counts and pre-DML row count recomputed
+    * relationally — every value the engine reports must match what the
+    * DML semantics imply.
+    */
+  val dmlDemoSql: String =
+    """WITH upd AS (
+      |  SELECT n_nationkey,
+      |         CASE WHEN n_regionkey = 3 THEN n_name || '_EU' ELSE n_name END AS n_name,
+      |         n_regionkey
+      |  FROM nation),
+      |fin AS (SELECT * FROM upd WHERE NOT (n_regionkey = 1 OR n_nationkey >= 20))
+      |SELECT f.n_nationkey, f.n_name, f.n_regionkey,
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM nation WHERE n_regionkey = 3) AS n_updated,
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM nation
+      |        WHERE n_regionkey = 1 OR n_nationkey >= 20) AS n_deleted,
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM nation) AS pre_dml_rows
+      |FROM fin f ORDER BY f.n_nationkey""".stripMargin
 }
