@@ -41,7 +41,7 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
   def query(stmt: SqlStatement): DataFrame =
     try {
       graft.logging.Log.debug(log, "Executing statement: {0}", stmt.text)
-      spark.sql(rewriteCatalogRefs(rewriteTimeTravel(stmt.text)))
+      spark.sql(rewriteCatalogRefs(rewriteTimeTravel(rewriteMetadataRefs(stmt.text))))
     } catch {
       // parse + analysis failures (ParseException extends AnalysisException)
       // → typed contract naming the statement, the parity point with the
@@ -150,6 +150,47 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
         catch { case e: IllegalArgumentException =>
           throw new GraftQueryException(sqlText, e.getMessage, e) }
         n
+      case m: graft.catalog.MergeStmt =>
+        requireCatalogTable(sqlText, m.schema, m.table)
+        // source: subquery text straight through the query surface; a table
+        // name via SELECT * so catalog refs and temp views both resolve
+        val src =
+          if (m.sourceIsQuery) query(SqlStatement(m.source))
+          else query(SqlStatement(s"SELECT * FROM ${m.source}"))
+        val tAlias = m.targetAlias.getOrElse(m.table)
+        val sAlias = m.sourceAlias.getOrElse(
+          if (m.sourceIsQuery) "source" else m.source.split('.').last)
+        val (matched, notMatched) = m.clauses.partition(_.matched)
+        val mActions: Seq[graft.catalog.MergeAction] = matched.map { c =>
+          val cond = c.cond.map(parseCond(sqlText, _))
+          c.action match {
+            case graft.catalog.MergeDeleteSpec => graft.catalog.MergeDeleteAction(cond)
+            case graft.catalog.MergeUpdateSpec(sets) =>
+              graft.catalog.MergeUpdateAction(cond,
+                sets.map { case (col, e) => (col, parseCond(sqlText, e)) })
+            case _: graft.catalog.MergeInsertSpec =>
+              throw new GraftQueryException(sqlText, "WHEN MATCHED cannot INSERT")
+          }
+        }
+        val nmActions = notMatched.map { c =>
+          val cond = c.cond.map(parseCond(sqlText, _))
+          c.action match {
+            case graft.catalog.MergeInsertSpec(cols, values) =>
+              graft.catalog.MergeInsertAction(cond, cols,
+                values.map(parseCond(sqlText, _)))
+            case _ =>
+              throw new GraftQueryException(sqlText,
+                "WHEN NOT MATCHED supports only INSERT")
+          }
+        }
+        try catalog.mergeInto(m.schema, m.table, src, tAlias, sAlias,
+          parseCond(sqlText, m.on), mActions, nmActions)._2
+        catch {
+          case e: IllegalArgumentException =>
+            throw new GraftQueryException(sqlText, e.getMessage, e)
+          case e: IllegalStateException =>
+            throw new GraftQueryException(sqlText, e.getMessage, e)
+        }
       case graft.catalog.AlterExecuteStmt(schema, table, proc, args) =>
         requireCatalogTable(sqlText, schema, table)
         proc match {
@@ -166,10 +207,18 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
               System.currentTimeMillis() - retainMs).length.toLong
           case "remove_orphan_files" =>
             catalog.removeOrphanFiles(schema, table).length.toLong
+          case "rollback_to_snapshot" =>
+            val id = args.getOrElse("snapshot_id",
+              throw new GraftQueryException(sqlText,
+                "rollback_to_snapshot requires snapshot_id => <id>")).toLong
+            try { catalog.rollbackToSnapshot(schema, table, id); 0L }
+            catch { case e: IllegalArgumentException =>
+              throw new GraftQueryException(sqlText, e.getMessage, e) }
           case other =>
             throw new GraftQueryException(sqlText,
               s"Unsupported ALTER TABLE EXECUTE procedure: $other " +
-                "(supported: optimize, expire_snapshots, remove_orphan_files)")
+                "(supported: optimize, expire_snapshots, remove_orphan_files, " +
+                "rollback_to_snapshot)")
         }
     }
 
@@ -296,6 +345,30 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
   /** Register a plain DataFrame under a view name. */
   def registerView(name: String, df: DataFrame): Unit =
     df.createOrReplaceTempView(name)
+
+  // ---- metadata tables in SQL (Trino Iceberg `"t$snapshots"` family) ----
+
+  /** `FROM [cat.]sch."t$kind"` (Trino quoting) or the unquoted spelling —
+    * both resolve to the catalog's metadata tables. Must run BEFORE
+    * [[rewriteCatalogRefs]]: the unquoted form's `sch.t` prefix would
+    * otherwise be swallowed by the data-table rewrite.
+    */
+  private val metadataRefRe =
+    """(?i)\b(FROM|JOIN)\s+(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\.("?)([A-Za-z_]\w*)\$(\w+)\3""".r
+
+  private[graft] def rewriteMetadataRefs(sql: String): String = {
+    val spans = literalSpans(sql)
+    metadataRefRe.replaceAllIn(sql, m => {
+      val (kw, sch, tbl, kind) = (m.group(1), m.group(2), m.group(4), m.group(5))
+      if (!overlapsLiteral(spans, m.start, m.end) && catalog.tableExists(sch, tbl)) {
+        val view = s"_meta_${sch}_${tbl}_${kind.toLowerCase}_${nameTag(sch, tbl)}"
+        try catalog.metadataTable(sch, tbl, kind).createOrReplaceTempView(view)
+        catch { case e: IllegalArgumentException =>
+          throw new GraftQueryException(sql, e.getMessage, e) }
+        java.util.regex.Matcher.quoteReplacement(s"$kw $view")
+      } else java.util.regex.Matcher.quoteReplacement(m.matched)
+    })
+  }
 
   // ---- catalog-qualified names in SQL ----
 

@@ -132,6 +132,8 @@ object SparkEntry {
     "partition_prune_demo" -> (CatalogDemos.partitionPruneDemo _),
     "unload_demo"      -> (CatalogDemos.unloadDemo _),
     "dml_demo"         -> (CatalogDemos.dmlDemo _),
+    "merge_demo"       -> (CatalogDemos.mergeDemo _),
+    "meta_tables_demo" -> (CatalogDemos.metaTablesDemo _),
     // sampling + approximate aggregates
     "sample_per_group" -> (Expressions.samplePerGroup _),
     "approx_distinct"  -> (Expressions.approxDistinct _),
@@ -514,6 +516,8 @@ object SparkEntry {
     // boolean oracles (round-4; verdict Next-round #4/#5)
     "unload_demo"     -> operators.CatalogDemos.unloadDemoSql,
     "dml_demo"        -> operators.CatalogDemos.dmlDemoSql,
+    "merge_demo"      -> operators.CatalogDemos.mergeDemoSql,
+    "meta_tables_demo" -> operators.CatalogDemos.metaTablesDemoSql,
     "approx_distinct" -> operators.Expressions.approxDistinctSql,
     // ---- analytics extensions (round 2) ----
     "stats_moments"      -> Analytics.Sql.statsMoments,

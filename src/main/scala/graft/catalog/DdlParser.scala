@@ -30,6 +30,30 @@ final case class AlterExecuteStmt(schema: String, table: String,
                                   procedure: String,
                                   args: Map[String, String]) extends DdlStatement
 
+/** One `WHEN [NOT] MATCHED [AND cond] THEN action` clause of a MERGE.
+  * Clause order is semantic: the FIRST clause whose condition holds for a
+  * row applies (Trino/ANSI first-match-wins).
+  */
+final case class MergeWhen(matched: Boolean, cond: Option[String],
+                           action: MergeActionSpec)
+sealed trait MergeActionSpec
+case object MergeDeleteSpec extends MergeActionSpec
+final case class MergeUpdateSpec(sets: Seq[(String, String)]) extends MergeActionSpec
+final case class MergeInsertSpec(columns: Option[Seq[String]],
+                                 values: Seq[String]) extends MergeActionSpec
+
+/** `MERGE INTO [cat.]sch.t [AS a] USING (query)|table [AS b] ON cond
+  * WHEN …` (Trino Iceberg MERGE,
+  * https://trino.io/docs/current/sql/merge.html surface). `source` is
+  * either raw subquery text (`sourceIsQuery`) or a table name.
+  */
+final case class MergeStmt(schema: String, table: String,
+                           targetAlias: Option[String],
+                           source: String, sourceIsQuery: Boolean,
+                           sourceAlias: Option[String],
+                           on: String,
+                           clauses: Seq[MergeWhen]) extends DdlStatement
+
 object DdlParser {
 
   private val createSchemaRe =
@@ -59,7 +83,11 @@ object DdlParser {
   /** Parse one statement; None when the text is not DDL this layer owns
     * (the caller then falls through to Catalyst).
     */
-  def parse(sqlText: String): Option[DdlStatement] = sqlText match {
+  def parse(sqlText: String): Option[DdlStatement] =
+    if ("""(?is)^\s*MERGE\s+INTO\s.*""".r.matches(sqlText)) Some(parseMerge(sqlText))
+    else parseNonMerge(sqlText)
+
+  private def parseNonMerge(sqlText: String): Option[DdlStatement] = sqlText match {
     case createSchemaRe(ine, name, loc) =>
       Some(CreateSchemaStmt(schemaOf(name), ine != null, Option(loc)))
     case createTableRe(ine, name, cols, props) =>
@@ -108,6 +136,177 @@ object DdlParser {
         }.toMap).getOrElse(Map.empty)
       Some(AlterExecuteStmt(sch, tbl, proc.toLowerCase, argMap))
     case _ => None
+  }
+
+  // ---- MERGE INTO (Trino Iceberg's third DML verb) ----
+
+  /** Index of the first top-level (unquoted, unparenthesized, word-bounded)
+    * occurrence of keyword `kw` at or after `from`, or -1. Keyword search
+    * is case-insensitive.
+    */
+  private def topLevelKeywordIndex(s: String, kw: String, from: Int = 0): Int = {
+    var depth = 0; var inQuote = false; var i = 0
+    val n = kw.length
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => inQuote = !inQuote
+        case '(' if !inQuote => depth += 1
+        case ')' if !inQuote => depth -= 1
+        case _ if !inQuote && depth == 0 && i >= from &&
+          i + n <= s.length && s.regionMatches(true, i, kw, 0, n) &&
+          (i == 0 || { val p = s.charAt(i - 1); !p.isLetterOrDigit && p != '_' }) &&
+          (i + n == s.length || { val q = s.charAt(i + n); !q.isLetterOrDigit && q != '_' }) =>
+          return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Parse a `MERGE INTO …` statement. Structure is scanned top-level
+    * (quote- and paren-aware), so ON conditions, subquery sources, and
+    * clause predicates may contain parens, commas, and quoted strings
+    * freely; a bare (unparenthesized) CASE expression inside a clause's
+    * AND-condition is the one unsupported spelling — parenthesize it.
+    */
+  private def parseMerge(sqlText: String): MergeStmt = {
+    val text = sqlText.trim.stripSuffix(";")
+    val headRe = """(?is)^\s*MERGE\s+INTO\s+([\w.]+)\s+(.*)$""".r
+    val (name, afterTarget) = text match {
+      case headRe(n, rest) => (n, rest.trim)
+      case _ => throw new IllegalArgumentException(s"Malformed MERGE INTO: $text")
+    }
+    val (sch, tbl) = tableOf(name)
+    // optional target alias before USING
+    val usingIdx = topLevelKeywordIndex(afterTarget, "USING")
+    require(usingIdx >= 0, "MERGE requires a USING clause")
+    val targetAlias = {
+      val a = afterTarget.substring(0, usingIdx).trim
+      val stripped = if (a.toUpperCase.startsWith("AS ")) a.substring(3).trim else a
+      if (stripped.isEmpty) None
+      else if (stripped.matches("""[A-Za-z_]\w*""")) Some(stripped)
+      else throw new IllegalArgumentException(s"Malformed MERGE target alias: '$a'")
+    }
+    val afterUsing = afterTarget.substring(usingIdx + 5).trim
+    // source: (subquery) or table name, then optional alias, then ON
+    val onIdx = topLevelKeywordIndex(afterUsing, "ON")
+    require(onIdx > 0, "MERGE requires an ON condition")
+    val sourcePart = afterUsing.substring(0, onIdx).trim
+    val (source, sourceIsQuery, sourceAlias) =
+      if (sourcePart.startsWith("(")) {
+        val close = matchingParen(sourcePart, 0)
+        val query = sourcePart.substring(1, close).trim
+        val aliasPart = sourcePart.substring(close + 1).trim
+        (query, true, aliasOf(aliasPart))
+      } else {
+        val sp = sourcePart.indexWhere(_.isWhitespace)
+        if (sp < 0) (sourcePart, false, None)
+        else (sourcePart.substring(0, sp),
+          false, aliasOf(sourcePart.substring(sp).trim))
+      }
+    val afterOn = afterUsing.substring(onIdx + 2).trim
+    val firstWhen = topLevelKeywordIndex(afterOn, "WHEN")
+    require(firstWhen > 0, "MERGE requires at least one WHEN clause")
+    val on = afterOn.substring(0, firstWhen).trim
+    // split the clause tail on top-level WHEN keywords
+    val clauseTexts = {
+      val tail = afterOn.substring(firstWhen)
+      val starts = Iterator.iterate(0)(i =>
+        topLevelKeywordIndex(tail, "WHEN", i + 1))
+        .takeWhile(_ >= 0).toSeq
+      starts.zipAll(starts.drop(1), 0, tail.length).map {
+        case (a, b) => tail.substring(a, b).trim
+      }
+    }
+    val clauses = clauseTexts.map(parseMergeWhen)
+    MergeStmt(sch, tbl, targetAlias, source, sourceIsQuery, sourceAlias, on, clauses)
+  }
+
+  /** `alias-part` → Some(alias) (with optional AS), None when empty. */
+  private def aliasOf(s: String): Option[String] = {
+    val stripped = if (s.toUpperCase.startsWith("AS ")) s.substring(3).trim else s.trim
+    if (stripped.isEmpty) None
+    else {
+      require(stripped.matches("""[A-Za-z_]\w*"""),
+        s"Malformed MERGE source alias: '$s'")
+      Some(stripped)
+    }
+  }
+
+  /** Index of the paren matching the opener at `open` (quote-aware). */
+  private def matchingParen(s: String, open: Int): Int = {
+    var depth = 0; var inQuote = false; var i = open
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => inQuote = !inQuote
+        case '(' if !inQuote => depth += 1
+        case ')' if !inQuote =>
+          depth -= 1
+          if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"Unbalanced parens in MERGE source: $s")
+  }
+
+  /** One `WHEN [NOT] MATCHED [AND cond] THEN action` clause. */
+  private def parseMergeWhen(clause: String): MergeWhen = {
+    val whenRe = """(?is)^\s*WHEN\s+(NOT\s+)?MATCHED\s*(.*)$""".r
+    val (matched, rest) = clause match {
+      case whenRe(not, r) => (not == null, r.trim)
+      case _ => throw new IllegalArgumentException(s"Malformed MERGE WHEN clause: '$clause'")
+    }
+    val thenIdx = topLevelKeywordIndex(rest, "THEN")
+    require(thenIdx >= 0, s"MERGE WHEN clause missing THEN: '$clause'")
+    val condPart = rest.substring(0, thenIdx).trim
+    val cond =
+      if (condPart.isEmpty) None
+      else if (condPart.matches("(?is)^AND\\s.*"))
+        Some(condPart.substring(3).trim).filter(_.nonEmpty)
+      else throw new IllegalArgumentException(
+        s"Expected AND <condition> before THEN, got: '$condPart'")
+    val actionText = rest.substring(thenIdx + 4).trim
+    val action = parseMergeAction(matched, actionText, clause)
+    MergeWhen(matched, cond, action)
+  }
+
+  private def parseMergeAction(matched: Boolean, actionText: String,
+                               clause: String): MergeActionSpec = {
+    val upper = actionText.toUpperCase
+    if (matched && upper == "DELETE") MergeDeleteSpec
+    else if (matched && upper.startsWith("UPDATE")) {
+      val setIdx = topLevelKeywordIndex(actionText, "SET")
+      require(setIdx > 0, s"MERGE UPDATE requires SET: '$clause'")
+      val sets = splitQuotedTopLevel(actionText.substring(setIdx + 3)).map { a =>
+        val eq = topLevelIndexOf(a, '=')
+        require(eq > 0, s"Malformed MERGE SET assignment: '$a'")
+        val colName = a.substring(0, eq).trim
+        require(colName.matches("""[A-Za-z_]\w*"""),
+          s"Malformed MERGE SET target column: '$colName'")
+        (colName, a.substring(eq + 1).trim)
+      }
+      require(sets.nonEmpty, s"MERGE UPDATE requires at least one assignment: '$clause'")
+      MergeUpdateSpec(sets)
+    } else if (!matched && upper.startsWith("INSERT")) {
+      val insRe = """(?is)^INSERT\s*(?:\(([^)]*)\)\s*)?VALUES\s*\((.*)\)\s*$""".r
+      actionText match {
+        case insRe(cols, vals) =>
+          val columns = Option(cols).map(
+            _.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+          columns.foreach(cs => require(cs.forall(_.matches("""[A-Za-z_]\w*""")),
+            s"Malformed MERGE INSERT column list: '$cols'"))
+          val values = splitQuotedTopLevel(vals)
+          require(values.nonEmpty, s"MERGE INSERT requires values: '$clause'")
+          MergeInsertSpec(columns, values)
+        case _ =>
+          throw new IllegalArgumentException(
+            s"Malformed MERGE INSERT action (expect INSERT [(cols)] VALUES (…)): '$actionText'")
+      }
+    } else throw new IllegalArgumentException(
+      if (matched) s"WHEN MATCHED supports UPDATE SET / DELETE, got: '$actionText'"
+      else s"WHEN NOT MATCHED supports only INSERT, got: '$actionText'")
   }
 
   /** Split `<assignments> [WHERE <cond>]` at the first top-level,

@@ -8,9 +8,25 @@ import scala.jdk.CollectionConverters._
 
 /** One committed snapshot: the data directories visible as of this commit.
   * Append-only semantics — `dirs` is cumulative (like an Iceberg fast-append
-  * manifest list).
+  * manifest list). `schemaJson` is the declared schema AT COMMIT TIME —
+  * Iceberg pins a schema id per snapshot, so time travel presents the
+  * schema as of the snapshot, not today's (None on pre-versioning commit
+  * logs → falls back to the current declared schema).
   */
-final case class Snapshot(snapshotId: Long, committedAtMillis: Long, dirs: Seq[String])
+final case class Snapshot(snapshotId: Long, committedAtMillis: Long, dirs: Seq[String],
+                          schemaJson: Option[String] = None)
+
+/** Resolved MERGE clause actions ([[SnapshotCatalog.mergeInto]]): the
+  * engine parses the SQL-text conditions/expressions into Columns, the
+  * catalog executes them. Clause order = first-match-wins priority.
+  */
+sealed trait MergeAction
+final case class MergeUpdateAction(cond: Option[org.apache.spark.sql.Column],
+                                   sets: Seq[(String, org.apache.spark.sql.Column)]) extends MergeAction
+final case class MergeDeleteAction(cond: Option[org.apache.spark.sql.Column]) extends MergeAction
+final case class MergeInsertAction(cond: Option[org.apache.spark.sql.Column],
+                                   columns: Option[Seq[String]],
+                                   values: Seq[org.apache.spark.sql.Column]) extends MergeAction
 
 /** Namespaced, snapshot-versioned Parquet tables — the lakehouse layer the
   * reference gets from Trino+Iceberg+Nessie (reference
@@ -121,11 +137,12 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
 
   /** ALTER TABLE ADD COLUMN (schema evolution, Iceberg-style additive
     * path): the declared schema gains a trailing nullable column; existing
-    * snapshot files are untouched and read back NULL for it (schema-on-read
-    * — `readSnapshot` always applies the declared schema, so pre-evolution
-    * snapshots, including time-travel reads, present the current schema
-    * with NULL-filled new columns). Only additive evolution is offered:
-    * drops/renames would silently orphan data in old files.
+    * snapshot files are untouched and read back NULL for it on
+    * current-table reads (schema-on-read). Time travel is snapshot-schema
+    * faithful: each commit pins the schema declared at commit time, so
+    * `readAsOf` to a pre-evolution snapshot does NOT show the new column
+    * (Iceberg semantics). Only additive evolution is offered: drops/renames
+    * would silently orphan data in old files.
     */
   def addColumn(schema: String, table: String, name: String,
                 dataType: org.apache.spark.sql.types.DataType): Unit = synchronized {
@@ -170,7 +187,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val snapDir = f"snap-$id%05d"
     partitionedWriter(schema, table, df)
       .mode("errorifexists").parquet(new Path(dir, snapDir).toString)
-    val snap = Snapshot(id, at, commits.lastOption.map(_.dirs).getOrElse(Nil) :+ snapDir)
+    val snap = Snapshot(id, at, commits.lastOption.map(_.dirs).getOrElse(Nil) :+ snapDir,
+      declaredSchema(schema, table).map(_.json))
     writeCommits(dir, commits :+ snap)
     snap
   }
@@ -190,16 +208,28 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
 
   /** FOR TIMESTAMP AS OF: max snapshot with committedAt <= tsMillis;
     * earlier than the first commit → empty table at declared schema.
+    *
+    * Schema follows Iceberg's snapshot-schema time travel: the read
+    * presents the schema pinned in the resolved commit (a column added
+    * AFTER that snapshot does not appear), while current-table reads
+    * always present today's declared schema. Pre-versioning commit logs
+    * carry no pinned schema and fall back to the declared one.
     */
   def readAsOf(schema: String, table: String, tsMillis: Long): DataFrame = {
     val snap = readCommits(schema, table)
       .takeWhile(_.committedAtMillis <= tsMillis).lastOption
-    readSnapshot(schema, table, snap)
+    readSnapshot(schema, table, snap, useSnapshotSchema = true)
   }
 
-  private def readSnapshot(schema: String, table: String, snap: Option[Snapshot]): DataFrame = {
+  private def readSnapshot(schema: String, table: String, snap: Option[Snapshot],
+                           useSnapshotSchema: Boolean = false): DataFrame = {
     val dir = tableDir(schema, table)
-    val declared = declaredSchema(schema, table)
+    val pinned =
+      if (useSnapshotSchema)
+        snap.flatMap(_.schemaJson).map(j =>
+          org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType])
+      else None
+    val declared = pinned.orElse(declaredSchema(schema, table))
     snap match {
       case Some(s) if s.dirs.nonEmpty =>
         val paths = s.dirs.map(d => new Path(dir, d).toString)
@@ -249,6 +279,123 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     rewrite(schema, table) { current =>
       current.join(updates.select(key), Seq(key), "left_anti").unionByName(updates)
     }
+  }
+
+  /** General ANSI/Trino MERGE INTO: full WHEN-clause semantics over an
+    * arbitrary ON condition (the simple key-upsert [[merge]] stays as the
+    * client-API shortcut). First-match-wins across clauses; a target row
+    * matching MORE than one source row is an error (Trino's cardinality
+    * rule); matched rows with no applicable clause pass through; unmatched
+    * source rows with no applicable clause are ignored.
+    *
+    * Execution is one full-outer join on the ON condition (equi-conditions
+    * get a shuffled hash/sort-merge join — the scale path; non-equi falls
+    * back to BNLJ exactly as engines must) plus per-row CASE projections —
+    * no driver-side row handling. The target is stamped with a row id and
+    * persisted (MEMORY_AND_DISK) before the join: the id freezes the
+    * match-cardinality bookkeeping against recomputation, the same
+    * row-tracking trick Delta's MERGE uses; it is released before return.
+    *
+    * Returns (new snapshot, affected rows = updated + deleted + inserted).
+    */
+  def mergeInto(schema: String, table: String,
+                source: DataFrame, targetAlias: String, sourceAlias: String,
+                on: org.apache.spark.sql.Column,
+                whenMatched: Seq[MergeAction],
+                whenNotMatched: Seq[MergeInsertAction]): (Snapshot, Long) = synchronized {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, monotonically_increasing_id, when}
+    require(tableExists(schema, table), s"Table $schema.$table does not exist")
+    whenMatched.foreach {
+      case _: MergeInsertAction =>
+        throw new IllegalArgumentException("WHEN MATCHED cannot INSERT")
+      case _ =>
+    }
+    val t0 = readLatest(schema, table)
+    val fields = t0.schema.fields.toIndexedSeq
+    val reserved = Seq("__graft_t_id", "__graft_t_mark", "__graft_s_mark", "__graft_aidx")
+    (fields.map(_.name) ++ source.columns).foreach(c =>
+      require(!reserved.exists(_.equalsIgnoreCase(c)),
+        s"MERGE reserves the column name $c; rename it first"))
+
+    val tgt = t0
+      .withColumn("__graft_t_id", monotonically_increasing_id())
+      .withColumn("__graft_t_mark", lit(1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      tgt.count() // materialize: freeze the row ids for the whole merge
+      val src = source.withColumn("__graft_s_mark", lit(1))
+      val joined = tgt.alias(targetAlias).join(src.alias(sourceAlias), on, "full_outer")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val isMatch = col("__graft_t_mark").isNotNull && col("__graft_s_mark").isNotNull
+
+        val multi = joined.filter(isMatch)
+          .groupBy(col("__graft_t_id")).count()
+          .filter(col("count") > 1).limit(1).count() > 0
+        if (multi) throw new IllegalStateException(
+          "MERGE: one target row matched more than one source row " +
+            "(the ON condition must identify at most one source row per target row)")
+
+        // first-match-wins clause index, -1 = no clause applies
+        def firstIdx(conds: Seq[Option[org.apache.spark.sql.Column]]): org.apache.spark.sql.Column =
+          conds.zipWithIndex.reverse.foldLeft(lit(-1)) { case (acc, (c, i)) =>
+            when(coalesce(c.getOrElse(lit(true)), lit(false)), lit(i)).otherwise(acc)
+          }
+
+        val matchedRows = joined.filter(isMatch)
+          .withColumn("__graft_aidx", firstIdx(whenMatched.map {
+            case MergeUpdateAction(c, _) => c
+            case MergeDeleteAction(c)    => c
+            case _: MergeInsertAction    => None // unreachable, validated above
+          }))
+        val deleteIdxs = whenMatched.zipWithIndex.collect {
+          case (_: MergeDeleteAction, i) => i
+        }
+        val keptMatched =
+          if (deleteIdxs.isEmpty) matchedRows
+          else matchedRows.filter(!col("__graft_aidx").isin(deleteIdxs: _*))
+        val matchedOut = keptMatched.select(fields.map { f =>
+          val base = col(s"$targetAlias.${f.name}")
+          whenMatched.zipWithIndex.foldLeft(base) {
+            case (acc, (MergeUpdateAction(_, sets), i)) =>
+              sets.find(_._1.equalsIgnoreCase(f.name)) match {
+                case Some((_, e)) =>
+                  when(col("__graft_aidx") === i, e.cast(f.dataType)).otherwise(acc)
+                case None => acc
+              }
+            case (acc, _) => acc
+          }.as(f.name)
+        }: _*)
+
+        val targetOnly = joined.filter(col("__graft_s_mark").isNull &&
+            col("__graft_t_mark").isNotNull)
+          .select(fields.map(f => col(s"$targetAlias.${f.name}").as(f.name)): _*)
+
+        val srcOnly = joined.filter(col("__graft_t_mark").isNull)
+          .withColumn("__graft_aidx", firstIdx(whenNotMatched.map(_.cond)))
+          .filter(col("__graft_aidx") =!= -1)
+        val insertOut = whenNotMatched.zipWithIndex.map {
+          case (MergeInsertAction(_, colsOpt, values), i) =>
+            val names = colsOpt.getOrElse(fields.map(_.name))
+            require(names.length == values.length,
+              s"MERGE INSERT: ${names.length} columns but ${values.length} values")
+            names.foreach(n => require(fields.exists(_.name.equalsIgnoreCase(n)),
+              s"MERGE INSERT column '$n' does not exist in $schema.$table"))
+            val assign = names.map(_.toLowerCase).zip(values).toMap
+            srcOnly.filter(col("__graft_aidx") === i).select(fields.map { f =>
+              assign.get(f.name.toLowerCase)
+                .map(_.cast(f.dataType))
+                .getOrElse(lit(null).cast(f.dataType)).as(f.name)
+            }: _*)
+        }.reduceOption(_.unionByName(_))
+
+        val affected =
+          matchedRows.filter(col("__graft_aidx") =!= -1).count() + srcOnly.count()
+        val merged = insertOut.foldLeft(matchedOut.unionByName(targetOnly))(_.unionByName(_))
+        val snap = rewrite(schema, table)(_ => merged)
+        (snap, affected)
+      } finally joined.unpersist()
+    } finally tgt.unpersist()
   }
 
   /** DELETE FROM … WHERE cond (rows matching `cond` removed). SQL
@@ -303,8 +450,116 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val snapDir = f"snap-$id%05d-rewrite"
     partitionedWriter(schema, table, f(readLatest(schema, table)))
       .mode("errorifexists").parquet(new Path(dir, snapDir).toString)
-    val snap = Snapshot(id, at, Seq(snapDir))
+    val snap = Snapshot(id, at, Seq(snapDir), declaredSchema(schema, table).map(_.json))
     writeCommits(dir, commits :+ snap)
+    snap
+  }
+
+  // ---- metadata tables (Trino Iceberg's `"t$snapshots"` family:
+  //      https://trino.io/docs/current/connector/iceberg.html#metadata-tables) ----
+
+  /** `"t$snapshots"`: one row per commit, Trino column shapes
+    * (committed_at / snapshot_id / parent_id / operation). `operation`
+    * derives from the commit kind: append commits (INSERT) vs overwrite
+    * commits (UPDATE/DELETE/MERGE rewrites) vs replace (OPTIMIZE
+    * compaction) — the same operation vocabulary Iceberg stamps in its
+    * snapshot summary.
+    */
+  def snapshotsMeta(schema: String, table: String): DataFrame = {
+    require(tableExists(schema, table), s"Table $schema.$table does not exist")
+    val commits = readCommits(schema, table)
+    val rows = commits.zip(None +: commits.map(c => Some(c.snapshotId))).map {
+      case (c, parent) =>
+        val op =
+          if (c.dirs.lastOption.exists(_.endsWith("-compacted"))) "replace"
+          else if (c.dirs.lastOption.exists(_.endsWith("-rewrite"))) "overwrite"
+          else "append"
+        (new java.sql.Timestamp(c.committedAtMillis), c.snapshotId,
+          parent.map(java.lang.Long.valueOf).orNull, op)
+    }
+    import spark.implicits._
+    rows.toDF("committed_at", "snapshot_id", "parent_id", "operation")
+  }
+
+  /** `"t$history"`: when each snapshot became current. Every commit in
+    * this catalog is linear (no branches), so every snapshot is a current
+    * ancestor.
+    */
+  def historyMeta(schema: String, table: String): DataFrame = {
+    import spark.implicits._
+    require(tableExists(schema, table), s"Table $schema.$table does not exist")
+    val commits = readCommits(schema, table)
+    commits.zip(None +: commits.map(c => Some(c.snapshotId))).map { case (c, parent) =>
+      (new java.sql.Timestamp(c.committedAtMillis), c.snapshotId,
+        parent.map(java.lang.Long.valueOf).orNull, true)
+    }.toDF("made_current_at", "snapshot_id", "parent_id", "is_current_ancestor")
+  }
+
+  /** `"t$files"`: data files of the CURRENT snapshot with sizes and
+    * per-file record counts (Trino's content/file_path/file_format/
+    * record_count/file_size_in_bytes columns). Record counts come from
+    * parquet footers — metadata reads, no data scan; footer reads happen
+    * driver-side because the file list of one table's current snapshot is
+    * metadata-scale, not data-scale.
+    */
+  def filesMeta(schema: String, table: String): DataFrame = {
+    import spark.implicits._
+    require(tableExists(schema, table), s"Table $schema.$table does not exist")
+    val dir = tableDir(schema, table)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = readCommits(schema, table).lastOption.toSeq
+      .flatMap(_.dirs)
+      .flatMap { d =>
+        val p = new Path(dir, d)
+        val f = fs(p)
+        // partitioned tables nest col=value dirs below the snap dir
+        val it = f.listFiles(p, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.LocatedFileStatus]
+        while (it.hasNext) { val s = it.next(); if (s.isFile) buf += s }
+        buf.toSeq
+      }
+      .filter(s => s.getPath.getName.endsWith(".parquet") && s.getLen > 0)
+    val rows = files.map { s =>
+      // NO_FILTER: row-group metadata carries the record counts (SKIP_ROW_GROUPS
+      // would read a leaner footer but zero out exactly the numbers we need)
+      val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+        conf, s.getPath, org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+      val recordCount = footer.getBlocks.asScala.map(_.getRowCount).sum
+      (0, s.getPath.toString, "PARQUET", recordCount, s.getLen)
+    }
+    rows.toDF("content", "file_path", "file_format", "record_count", "file_size_in_bytes")
+  }
+
+  /** Metadata-table dispatch for the SQL surface (`sch."t$<kind>"`). */
+  def metadataTable(schema: String, table: String, kind: String): DataFrame =
+    kind.toLowerCase match {
+      case "snapshots" => snapshotsMeta(schema, table)
+      case "history"   => historyMeta(schema, table)
+      case "files"     => filesMeta(schema, table)
+      case other => throw new IllegalArgumentException(
+        s"Unknown metadata table $$$other (supported: snapshots, history, files)")
+    }
+
+  /** Roll the table back to `snapshotId` (Trino
+    * `rollback_to_snapshot`): appends a NEW commit that re-exposes the
+    * target snapshot's file set and schema — history is preserved (the
+    * rolled-back-over commits stay time-travel-visible), exactly
+    * Iceberg's rollback model of moving the current pointer via a new
+    * history entry rather than erasing commits.
+    */
+  def rollbackToSnapshot(schema: String, table: String, snapshotId: Long): Snapshot = synchronized {
+    val commits = readCommits(schema, table)
+    val target = commits.find(_.snapshotId == snapshotId).getOrElse(
+      throw new IllegalArgumentException(
+        s"Snapshot $snapshotId does not exist in $schema.$table"))
+    val id = commits.last.snapshotId + 1
+    val at = math.max(System.currentTimeMillis(), commits.last.committedAtMillis + 1)
+    val snap = Snapshot(id, at, target.dirs, target.schemaJson)
+    // the rollback also restores the declared schema of the target era so
+    // current reads match what the rolled-back-to snapshot exposed
+    target.schemaJson.foreach(j =>
+      writeString(new Path(tableDir(schema, table), "_table_schema.json"), j))
+    writeCommits(tableDir(schema, table), commits :+ snap)
     snap
   }
 
@@ -327,7 +582,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val snapDir = f"snap-$id%05d-compacted"
     partitionedWriter(schema, table, readLatest(schema, table).coalesce(numFiles))
       .mode("errorifexists").parquet(new Path(dir, snapDir).toString)
-    val snap = Snapshot(id, at, Seq(snapDir)) // rewrite: references only itself
+    // rewrite: references only itself
+    val snap = Snapshot(id, at, Seq(snapDir), declaredSchema(schema, table).map(_.json))
     writeCommits(dir, commits :+ snap)
     snap
   }
@@ -382,7 +638,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       Snapshot(
         n.get("snapshotId").asLong,
         n.get("committedAtMillis").asLong,
-        n.get("dirs").elements.asScala.map(_.asText).toSeq)
+        n.get("dirs").elements.asScala.map(_.asText).toSeq,
+        Option(n.get("schemaJson")).filterNot(_.isNull).map(_.asText))
     }.toSeq
   }
 
@@ -394,6 +651,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       o.put("committedAtMillis", s.committedAtMillis)
       val d = o.putArray("dirs")
       s.dirs.foreach(d.add)
+      s.schemaJson.foreach(o.put("schemaJson", _))
     }
     writeString(new Path(dir, "commits.json"), mapper.writeValueAsString(arr))
   }

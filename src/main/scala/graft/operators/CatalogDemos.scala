@@ -160,6 +160,125 @@ object CatalogDemos {
 
   private[graft] val dmlDemoWarehouse = "/tmp/graft-dml-demo-warehouse"
 
+  /** SQL MERGE INTO end-to-end (Trino Iceberg's third DML verb): nation
+    * rows merged with a doubled-key projection of themselves so one
+    * statement exercises all three clause kinds — a conditional DELETE, an
+    * UPDATE reading both sides, and a filtered INSERT — plus the
+    * pass-through of matched rows whose clauses don't apply and the
+    * first-match-wins ordering. The affected count and the pre-merge
+    * snapshot row count ride along for the oracle.
+    */
+  def mergeDemo(s: SparkSession, d: String): DataFrame = {
+    val wh = new org.apache.hadoop.fs.Path(mergeDemoWarehouse)
+    val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) fs.delete(wh, true)
+    val engine = new GraftEngine(s, mergeDemoWarehouse)
+    engine.catalog.createSchema("demo")
+    val nation = graft.Tables.nation(s, d)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    engine.catalog.createTable("demo", "nation_m", nation.schema)
+    engine.catalog.insert("demo", "nation_m", nation)
+    val affected = engine.executeNonQuery(graft.params.SqlStatement(
+      """MERGE INTO demo.nation_m t
+        |USING (SELECT n_nationkey * 2 AS id, n_name AS nm, n_regionkey AS rk
+        |       FROM demo.nation_m) s
+        |ON t.n_nationkey = s.id
+        |WHEN MATCHED AND t.n_regionkey = 2 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET n_name = concat(t.n_name, '+', s.nm)
+        |WHEN NOT MATCHED AND s.id < 40 THEN INSERT VALUES (s.id, s.nm, s.rk)""".stripMargin))
+    val preMergeRows = engine.catalog.readAsOf("demo", "nation_m",
+      engine.catalog.snapshots("demo", "nation_m").head.committedAtMillis).count()
+    engine.query(graft.params.SqlStatement(
+      "SELECT n_nationkey, n_name, n_regionkey FROM demo.nation_m"))
+      .withColumn("n_affected", lit(affected))
+      .withColumn("pre_merge_rows", lit(preMergeRows))
+      .orderBy(col("n_nationkey"))
+  }
+
+  private[graft] val mergeDemoWarehouse = "/tmp/graft-merge-demo-warehouse"
+
+  /** Metadata tables + rollback end-to-end: a commit history (two appends,
+    * an overwrite DELETE, a compaction, a rollback) inspected through
+    * `"t$snapshots"` and `"t$files"`, joined in one plain-SQL result. The
+    * row counts tie the metadata to the nation data so the oracle can
+    * recompute every value relationally; commit timestamps are inspected
+    * only as ordering (metadata wall-clock values are nondeterministic).
+    */
+  def metaTablesDemo(s: SparkSession, d: String): DataFrame = {
+    val wh = new org.apache.hadoop.fs.Path(metaDemoWarehouse)
+    val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) fs.delete(wh, true)
+    val engine = new GraftEngine(s, metaDemoWarehouse)
+    engine.catalog.createSchema("demo")
+    val nation = graft.Tables.nation(s, d)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    engine.catalog.createTable("demo", "meta_t", nation.schema)
+    // coalesce(1): pin one data file per append so the $files rollup the
+    // oracle asserts is deterministic regardless of scan parallelism
+    engine.catalog.insert("demo", "meta_t",
+      nation.filter(col("n_nationkey") < 10).coalesce(1))
+    engine.catalog.insert("demo", "meta_t",
+      nation.filter(col("n_nationkey") >= 10).coalesce(1))
+    engine.executeNonQuery(graft.params.SqlStatement(
+      "DELETE FROM demo.meta_t WHERE n_regionkey = 2"))
+    engine.executeNonQuery(graft.params.SqlStatement(
+      "ALTER TABLE demo.meta_t EXECUTE optimize(file_count => 1)"))
+    engine.executeNonQuery(graft.params.SqlStatement(
+      "ALTER TABLE demo.meta_t EXECUTE rollback_to_snapshot(snapshot_id => 2)"))
+    // one row per commit: its operation, whether timestamps are ordered,
+    // and the CURRENT files-table rollup (same for every row by design)
+    engine.query(graft.params.SqlStatement(
+      """SELECT s.snapshot_id, s.operation,
+        |       f.n_files, f.n_records,
+        |       (SELECT count(*) FROM demo.meta_t) AS current_rows
+        |FROM demo."meta_t$snapshots" s
+        |CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_files,
+        |                   CAST(sum(record_count) AS BIGINT) AS n_records
+        |            FROM demo."meta_t$files") f
+        |ORDER BY s.snapshot_id""".stripMargin))
+  }
+
+  private[graft] val metaDemoWarehouse = "/tmp/graft-meta-demo-warehouse"
+
+  /** DuckDB oracle for [[metaTablesDemo]]: the commit kinds are the
+    * scripted history (append, append, overwrite, replace, append-rollback);
+    * the files rollup after rollback-to-snapshot-2 is the full nation row
+    * count spread over the two appended files; current rows = nation rows.
+    */
+  val metaTablesDemoSql: String =
+    """WITH ops(snapshot_id, operation) AS (VALUES
+      |  (CAST(1 AS BIGINT), 'append'), (CAST(2 AS BIGINT), 'append'),
+      |  (CAST(3 AS BIGINT), 'overwrite'), (CAST(4 AS BIGINT), 'replace'),
+      |  (CAST(5 AS BIGINT), 'append'))
+      |SELECT o.snapshot_id, o.operation,
+      |       CAST(2 AS BIGINT) AS n_files,
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM nation) AS n_records,
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM nation) AS current_rows
+      |FROM ops o ORDER BY o.snapshot_id""".stripMargin
+
+  /** DuckDB oracle for [[mergeDemo]]: replays the MERGE relationally —
+    * matched rows split by the DELETE/UPDATE conditions (first-match-wins
+    * order inlined), unmatched target rows pass through, unmatched source
+    * rows insert under the clause filter — over the same nation parquet.
+    */
+  val mergeDemoSql: String =
+    """WITH t AS (SELECT n_nationkey, n_name, n_regionkey FROM nation),
+      |s AS (SELECT n_nationkey * 2 AS id, n_name AS nm, n_regionkey AS rk FROM nation),
+      |m AS (SELECT t.n_nationkey, t.n_name, t.n_regionkey, s.nm
+      |      FROM t JOIN s ON t.n_nationkey = s.id),
+      |matched_out AS (SELECT n_nationkey, n_name || '+' || nm AS n_name, n_regionkey
+      |                FROM m WHERE NOT (n_regionkey = 2)),
+      |target_only AS (SELECT t.* FROM t ANTI JOIN s ON t.n_nationkey = s.id),
+      |ins AS (SELECT s.id AS n_nationkey, s.nm AS n_name, s.rk AS n_regionkey
+      |        FROM s ANTI JOIN t ON t.n_nationkey = s.id WHERE s.id < 40),
+      |fin AS (SELECT * FROM matched_out UNION ALL SELECT * FROM target_only
+      |        UNION ALL SELECT * FROM ins),
+      |counts AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM m)
+      |                + (SELECT CAST(COUNT(*) AS BIGINT) FROM ins) AS n_affected,
+      |                  (SELECT CAST(COUNT(*) AS BIGINT) FROM t) AS pre_merge_rows)
+      |SELECT f.n_nationkey, f.n_name, f.n_regionkey, c.n_affected, c.pre_merge_rows
+      |FROM fin f CROSS JOIN counts c ORDER BY f.n_nationkey""".stripMargin
+
   /** DuckDB oracle for [[dmlDemo]]: replays the UPDATE as a CASE
     * projection and the DELETE as the negated predicate over the nation
     * parquet, with the affected counts and pre-DML row count recomputed

@@ -193,12 +193,19 @@ class SnapshotCatalogSpec extends SparkSpec {
       .collect().toMap
     assert(rows == Map(1L -> None, 2L -> None, 3L -> Some(0.5)))
 
-    // time travel to before the evolution: schema-on-read presents the
-    // current declared schema, NULL-filled for pre-evolution files
+    // time travel to before the evolution presents the schema AS OF that
+    // snapshot (Iceberg snapshot-schema semantics): no `score` column at
+    // all, rather than a NULL-filled one
     val asOf = c.readAsOf("common_test_data", "evolve_t", preEvolution)
     assert(asOf.count() == 2)
-    assert(asOf.schema.fieldNames.contains("score"))
-    assert(asOf.filter($"score".isNotNull).count() == 0)
+    assert(asOf.schema.fieldNames.toSeq == Seq("id", "name"))
+
+    // ...while a time-travel read AFTER the evolution (and after the new
+    // insert) sees the evolved schema, NULL-filled for old files
+    val post = c.snapshots("common_test_data", "evolve_t").last.committedAtMillis
+    val asOfPost = c.readAsOf("common_test_data", "evolve_t", post)
+    assert(asOfPost.schema.fieldNames.toSeq == Seq("id", "name", "score"))
+    assert(asOfPost.filter($"score".isNotNull).count() == 1)
   }
 
   test("delete honors SQL three-valued logic: NULL predicates keep the row") {
