@@ -41,7 +41,8 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
   def query(stmt: SqlStatement): DataFrame =
     try {
       graft.logging.Log.debug(log, "Executing statement: {0}", stmt.text)
-      spark.sql(rewriteCatalogRefs(rewriteTimeTravel(rewriteMetadataRefs(stmt.text))))
+      introspectionQuery(stmt.text).getOrElse(
+        spark.sql(rewriteCatalogRefs(rewriteTimeTravel(rewriteMetadataRefs(stmt.text)))))
     } catch {
       // parse + analysis failures (ParseException extends AnalysisException)
       // → typed contract naming the statement, the parity point with the
@@ -126,6 +127,21 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
           if (ifExists) 0L
           else throw new GraftQueryException(sqlText, s"Table $schema.$table does not exist")
         } else { catalog.dropTable(schema, table); 0L }
+      case graft.catalog.CreateViewStmt(schema, view, select, orReplace) =>
+        if (!catalog.schemaExists(schema)) catalog.createSchema(schema)
+        // Trino validates a view's defining query at CREATE time — analyze
+        // it (lazily planned, nothing executes) before persisting the text
+        query(SqlStatement(select))
+        try { catalog.createView(schema, view, select, orReplace); 0L }
+        catch {
+          case e: IllegalStateException => throw new GraftQueryException(sqlText, e.getMessage, e)
+          case e: IllegalArgumentException => throw new GraftQueryException(sqlText, e.getMessage, e)
+        }
+      case graft.catalog.DropViewStmt(schema, view, ifExists) =>
+        if (!catalog.viewExists(schema, view)) {
+          if (ifExists) 0L
+          else throw new GraftQueryException(sqlText, s"View $schema.$view does not exist")
+        } else { catalog.dropView(schema, view); 0L }
       case graft.catalog.DeleteStmt(schema, table, where) =>
         requireCatalogTable(sqlText, schema, table)
         val cond = where.map(parseCond(sqlText, _))
@@ -346,6 +362,39 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
   def registerView(name: String, df: DataFrame): Unit =
     df.createOrReplaceTempView(name)
 
+  // ---- catalog introspection SQL (Trino SHOW / DESCRIBE client surface) ----
+
+  private val showSchemasRe = """(?is)^\s*SHOW\s+SCHEMAS\s*;?\s*$""".r
+  private val showTablesRe =
+    """(?is)^\s*SHOW\s+TABLES\s+(?:FROM|IN)\s+(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\s*;?\s*$""".r
+  private val describeRe =
+    """(?is)^\s*(?:DESCRIBE|DESC)\s+(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*;?\s*$""".r
+
+  /** SHOW SCHEMAS / SHOW TABLES / DESCRIBE against the snapshot catalog
+    * (Trino's introspection statements). SHOW TABLES lists views too —
+    * Trino behavior. Returns None for any other statement (the normal
+    * query path takes over).
+    */
+  private def introspectionQuery(sql: String): Option[DataFrame] = {
+    import spark.implicits._
+    sql match {
+      case showSchemasRe() =>
+        Some(catalog.listSchemas().toDF("schema_name"))
+      case showTablesRe(sch) =>
+        Some((catalog.listTables(sch) ++ catalog.listViews(sch)).sorted.toDF("table_name"))
+      case describeRe(sch, tbl) =>
+        val fields =
+          if (catalog.tableExists(sch, tbl))
+            catalog.declaredSchema(sch, tbl).map(_.fields.toSeq).getOrElse(Seq.empty)
+          else if (catalog.viewExists(sch, tbl))
+            query(SqlStatement(catalog.viewSql(sch, tbl).get)).schema.fields.toSeq
+          else throw new GraftQueryException(sql, s"Table or view $sch.$tbl does not exist")
+        Some(fields.map(f => (f.name, f.dataType.sql.toLowerCase, f.nullable))
+          .toDF("column_name", "data_type", "nullable"))
+      case _ => None
+    }
+  }
+
   // ---- metadata tables in SQL (Trino Iceberg `"t$snapshots"` family) ----
 
   /** `FROM [cat.]sch."t$kind"` (Trino quoting) or the unquoted spelling —
@@ -415,14 +464,32 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
     * use bare identifiers throughout). Runs AFTER rewriteTimeTravel, which
     * consumes the `FOR TIMESTAMP AS OF` form first.
     */
+  /** Per-thread view-expansion depth: a catalog view's defining SQL goes
+    * back through [[query]], which rewrites again — views-on-views nest
+    * one level per hop, and a definition cycle would otherwise recurse
+    * forever. 16 levels is far beyond any sane view stack.
+    */
+  private val viewDepth = ThreadLocal.withInitial[Integer](() => 0)
+
   private[graft] def rewriteCatalogRefs(sql: String): String = {
     val spans = literalSpans(sql)
     catalogRefRe.replaceAllIn(sql, m => {
       val (sch, tbl) = (m.group(2), m.group(3))
       val keyword = m.matched.substring(0, m.matched.length - m.group(1).length)
-      if (!overlapsLiteral(spans, m.start, m.end) && catalog.tableExists(sch, tbl)) {
+      if (overlapsLiteral(spans, m.start, m.end))
+        java.util.regex.Matcher.quoteReplacement(m.matched)
+      else if (catalog.tableExists(sch, tbl)) {
         val view = s"_cat_${sch}_${tbl}_${nameTag(sch, tbl)}"
         catalog.readLatest(sch, tbl).createOrReplaceTempView(view)
+        java.util.regex.Matcher.quoteReplacement(keyword + view)
+      } else if (catalog.viewExists(sch, tbl)) {
+        if (viewDepth.get() >= 16)
+          throw new GraftQueryException(sql,
+            s"View expansion exceeded depth 16 at $sch.$tbl — definition cycle?")
+        val view = s"_catv_${sch}_${tbl}_${nameTag(sch, tbl)}"
+        viewDepth.set(viewDepth.get() + 1)
+        try query(SqlStatement(catalog.viewSql(sch, tbl).get)).createOrReplaceTempView(view)
+        finally viewDepth.set(viewDepth.get() - 1)
         java.util.regex.Matcher.quoteReplacement(keyword + view)
       } else java.util.regex.Matcher.quoteReplacement(m.matched)
     })

@@ -134,6 +134,7 @@ object SparkEntry {
     "dml_demo"         -> (CatalogDemos.dmlDemo _),
     "merge_demo"       -> (CatalogDemos.mergeDemo _),
     "meta_tables_demo" -> (CatalogDemos.metaTablesDemo _),
+    "views_demo"       -> (CatalogDemos.viewsDemo _),
     // sampling + approximate aggregates
     "sample_per_group" -> (Expressions.samplePerGroup _),
     "approx_distinct"  -> (Expressions.approxDistinct _),
@@ -518,6 +519,7 @@ object SparkEntry {
     "dml_demo"        -> operators.CatalogDemos.dmlDemoSql,
     "merge_demo"      -> operators.CatalogDemos.mergeDemoSql,
     "meta_tables_demo" -> operators.CatalogDemos.metaTablesDemoSql,
+    "views_demo"      -> operators.CatalogDemos.viewsDemoSql,
     "approx_distinct" -> operators.Expressions.approxDistinctSql,
     // ---- analytics extensions (round 2) ----
     "stats_moments"      -> Analytics.Sql.statsMoments,

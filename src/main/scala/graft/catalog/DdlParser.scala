@@ -2,11 +2,14 @@ package graft.catalog
 
 import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
-/** Parsed DDL statements in the Trino dialect the reference's seed scripts
-  * use (reference tests/IntegrationTests/Scripts/create/01-schema.sql,
-  * 02-tables.sql): `CREATE SCHEMA [IF NOT EXISTS] [cat.]schema
-  * [WITH (location = '…')]`, `CREATE TABLE [IF NOT EXISTS]
-  * [cat.]schema.table (col type, …)`, CTAS, and `DROP TABLE [IF EXISTS]`.
+/** Parsed DDL/DML statements in the Trino dialect the reference's seed
+  * scripts use (reference tests/IntegrationTests/Scripts/create/
+  * 01-schema.sql, 02-tables.sql): `CREATE SCHEMA [IF NOT EXISTS]
+  * [cat.]schema [WITH (location = '…')]`, `CREATE TABLE [IF NOT EXISTS]
+  * [cat.]schema.table (col type, …)`, CTAS, `DROP TABLE [IF EXISTS]`,
+  * `CREATE [OR REPLACE] VIEW … AS …` / `DROP VIEW [IF EXISTS]`,
+  * `DELETE`/`UPDATE`/`MERGE INTO`, `ALTER TABLE … EXECUTE <procedure>`,
+  * and `CALL [cat.]system.rollback_to_snapshot(…)`.
   * A leading catalog qualifier (the reference's `iceberg.`) names the
   * connector in Trino; here there is exactly one catalog, so it is
   * accepted and dropped.
@@ -29,6 +32,11 @@ final case class UpdateStmt(schema: String, table: String,
 final case class AlterExecuteStmt(schema: String, table: String,
                                   procedure: String,
                                   args: Map[String, String]) extends DdlStatement
+
+final case class CreateViewStmt(schema: String, view: String,
+                                select: String, orReplace: Boolean) extends DdlStatement
+final case class DropViewStmt(schema: String, view: String,
+                              ifExists: Boolean) extends DdlStatement
 
 /** One `WHEN [NOT] MATCHED [AND cond] THEN action` clause of a MERGE.
   * Clause order is semantic: the FIRST clause whose condition holds for a
@@ -71,6 +79,15 @@ object DdlParser {
     """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+(.+?)\s*;?\s*$""".r
   private val dropTableRe =
     """(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$""".r
+  private val createViewRe =
+    """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([\w.]+)\s+AS\s+(.+?)\s*;?\s*$""".r
+  private val dropViewRe =
+    """(?is)^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$""".r
+  // Trino procedure-call spelling: CALL [cat.]system.rollback_to_snapshot(
+  //   'sch', 't', id) or named (schema_name => 'sch', table_name => 't',
+  //   snapshot_id => id); normalized onto the ALTER…EXECUTE statement
+  private val callRollbackRe =
+    """(?is)^\s*CALL\s+(?:[\w.]*\bsystem\.)?rollback_to_snapshot\s*\(\s*(.*?)\s*\)\s*;?\s*$""".r
   private val deleteRe =
     """(?is)^\s*DELETE\s+FROM\s+([\w.]+)\s*(.*?)\s*;?\s*$""".r
   private val updateRe =
@@ -100,6 +117,34 @@ object DdlParser {
     case dropTableRe(ie, name) =>
       val (sch, tbl) = tableOf(name)
       Some(DropTableStmt(sch, tbl, ie != null))
+    case createViewRe(orReplace, name, select) =>
+      val (sch, v) = tableOf(name)
+      Some(CreateViewStmt(sch, v, select.trim, orReplace != null))
+    case dropViewRe(ie, name) =>
+      val (sch, v) = tableOf(name)
+      Some(DropViewStmt(sch, v, ie != null))
+    case callRollbackRe(argText) =>
+      val parts = splitQuotedTopLevel(argText)
+      val named = parts.forall(_.contains("=>"))
+      val kv: Map[String, String] =
+        if (named) parts.map { p =>
+          val Array(k, v) = p.split("=>", 2)
+          k.trim.toLowerCase -> v.trim.stripPrefix("'").stripSuffix("'")
+        }.toMap
+        else {
+          require(parts.length == 3,
+            s"CALL rollback_to_snapshot expects (schema, table, snapshot_id), got: $argText")
+          Map("schema_name" -> parts(0).stripPrefix("'").stripSuffix("'"),
+            "table_name" -> parts(1).stripPrefix("'").stripSuffix("'"),
+            "snapshot_id" -> parts(2))
+        }
+      val sch = kv.get("schema_name").orElse(kv.get("schema")).getOrElse(
+        throw new IllegalArgumentException("CALL rollback_to_snapshot: missing schema"))
+      val tbl = kv.get("table_name").orElse(kv.get("table")).getOrElse(
+        throw new IllegalArgumentException("CALL rollback_to_snapshot: missing table"))
+      val id = kv.getOrElse("snapshot_id",
+        throw new IllegalArgumentException("CALL rollback_to_snapshot: missing snapshot_id"))
+      Some(AlterExecuteStmt(sch, tbl, "rollback_to_snapshot", Map("snapshot_id" -> id)))
     case deleteRe(name, rest) =>
       val (sch, tbl) = tableOf(name)
       val where = rest.trim match {

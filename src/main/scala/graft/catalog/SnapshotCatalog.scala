@@ -455,6 +455,78 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     snap
   }
 
+  // ---- catalog introspection (Trino SHOW SCHEMAS / SHOW TABLES /
+  //      DESCRIBE client surface) ----
+
+  /** Schemas under the warehouse (names only — a schema is a directory,
+    * with or without a custom-location marker).
+    */
+  def listSchemas(): Seq[String] = {
+    val root = new Path(warehouse)
+    val f = fs(root)
+    if (!f.exists(root)) return Nil
+    f.listStatus(root).filter(_.isDirectory).map(_.getPath.getName).sorted.toSeq
+  }
+
+  /** Tables of a schema: directories holding a commits.json. Views are
+    * NOT listed here — [[listViews]] owns those (same split as Trino's
+    * SHOW TABLES vs information_schema.views).
+    */
+  def listTables(schema: String): Seq[String] = {
+    val dir = schemaLocation(schema)
+    val f = fs(dir)
+    if (!f.exists(dir)) return Nil
+    f.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(t => tableExists(schema, t)).sorted.toSeq
+  }
+
+  // ---- views (logical, SQL-text persisted — Trino CREATE VIEW) ----
+
+  private def viewPath(schema: String, view: String) =
+    new Path(schemaLocation(schema), s"_view_$view.sql")
+
+  /** CREATE [OR REPLACE] VIEW: persist the defining SQL text; expansion
+    * happens at query time against the then-current table state (Trino's
+    * run-time-expanded view semantics, not a materialization).
+    */
+  def createView(schema: String, view: String, selectSql: String,
+                 orReplace: Boolean = false): Unit = synchronized {
+    require(!tableExists(schema, view),
+      s"Cannot create view $schema.$view: a table with that name exists")
+    val p = viewPath(schema, view)
+    if (fs(p).exists(p) && !orReplace)
+      throw new IllegalStateException(s"View $schema.$view already exists")
+    writeString(p, selectSql)
+  }
+
+  def viewExists(schema: String, view: String): Boolean = {
+    val p = viewPath(schema, view)
+    fs(p).exists(p)
+  }
+
+  /** The defining SQL of a view, or None. */
+  def viewSql(schema: String, view: String): Option[String] = {
+    val p = viewPath(schema, view)
+    if (fs(p).exists(p)) Some(readString(p)) else None
+  }
+
+  def dropView(schema: String, view: String): Unit = synchronized {
+    val p = viewPath(schema, view)
+    if (!fs(p).exists(p))
+      throw new IllegalStateException(s"View $schema.$view does not exist")
+    fs(p).delete(p, false)
+  }
+
+  def listViews(schema: String): Seq[String] = {
+    val dir = schemaLocation(schema)
+    val f = fs(dir)
+    if (!f.exists(dir)) return Nil
+    f.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("_view_") && n.endsWith(".sql") =>
+        n.stripPrefix("_view_").stripSuffix(".sql") }
+      .sorted.toSeq
+  }
+
   // ---- metadata tables (Trino Iceberg's `"t$snapshots"` family:
   //      https://trino.io/docs/current/connector/iceberg.html#metadata-tables) ----
 

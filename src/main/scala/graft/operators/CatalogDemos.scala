@@ -240,6 +240,51 @@ object CatalogDemos {
 
   private[graft] val metaDemoWarehouse = "/tmp/graft-meta-demo-warehouse"
 
+  /** Views + introspection end-to-end: a persisted CREATE VIEW over a
+    * nation-backed table, queried through a second stacked view and
+    * joined back to the base — with SHOW TABLES / DESCRIBE results folded
+    * in as columns so the oracle checks the introspection surface too.
+    */
+  def viewsDemo(s: SparkSession, d: String): DataFrame = {
+    val wh = new org.apache.hadoop.fs.Path(viewsDemoWarehouse)
+    val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) fs.delete(wh, true)
+    val engine = new GraftEngine(s, viewsDemoWarehouse)
+    engine.catalog.createSchema("demo")
+    val nation = graft.Tables.nation(s, d)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    engine.catalog.createTable("demo", "nation_v", nation.schema)
+    engine.catalog.insert("demo", "nation_v", nation)
+    engine.executeNonQuery(graft.params.SqlStatement(
+      "CREATE VIEW demo.low_key AS SELECT n_nationkey, n_name, n_regionkey FROM demo.nation_v WHERE n_nationkey < 12"))
+    engine.executeNonQuery(graft.params.SqlStatement(
+      "CREATE VIEW demo.low_key_r1 AS SELECT n_nationkey, n_name FROM demo.low_key WHERE n_regionkey = 1"))
+    val nTables = engine.query(graft.params.SqlStatement(
+      "SHOW TABLES FROM demo")).count()
+    val nCols = engine.query(graft.params.SqlStatement(
+      "DESCRIBE demo.low_key_r1")).count()
+    engine.query(graft.params.SqlStatement(
+      """SELECT v.n_nationkey, v.n_name, b.n_regionkey
+        |FROM demo.low_key_r1 v JOIN demo.nation_v b ON v.n_nationkey = b.n_nationkey""".stripMargin))
+      .withColumn("n_tables", lit(nTables))
+      .withColumn("n_cols", lit(nCols))
+      .orderBy(col("n_nationkey"))
+  }
+
+  private[graft] val viewsDemoWarehouse = "/tmp/graft-views-demo-warehouse"
+
+  /** DuckDB oracle for [[viewsDemo]]: the stacked-view expansion replayed
+    * as nested subqueries over nation; SHOW TABLES counts the table plus
+    * two views (3), DESCRIBE the view's two columns.
+    */
+  val viewsDemoSql: String =
+    """WITH low_key AS (SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey < 12),
+      |low_key_r1 AS (SELECT n_nationkey, n_name FROM low_key WHERE n_regionkey = 1)
+      |SELECT v.n_nationkey, v.n_name, b.n_regionkey,
+      |       CAST(3 AS BIGINT) AS n_tables, CAST(2 AS BIGINT) AS n_cols
+      |FROM low_key_r1 v JOIN nation b ON v.n_nationkey = b.n_nationkey
+      |ORDER BY v.n_nationkey""".stripMargin
+
   /** DuckDB oracle for [[metaTablesDemo]]: the commit kinds are the
     * scripted history (append, append, overwrite, replace, append-rollback);
     * the files rollup after rollback-to-snapshot-2 is the full nation row
