@@ -130,6 +130,28 @@ object Example {
     val joined = graft.operators.Skew.saltedJoin(hot, dim, "k", salts = 4).count()
     println(s"[16] saltedJoin matched $joined rows across 4 salt partitions")
 
+    // MERGE INTO: the full Trino clause grammar on the snapshot catalog
+    val merged = engine.executeNonQuery(graft.params.SqlStatement(
+      """MERGE INTO example.employee_data t
+        |USING (SELECT 2 AS id, 'Janet' AS fn UNION ALL SELECT 9, 'Grace') s
+        |ON t.employee_id = s.id
+        |WHEN MATCHED THEN UPDATE SET first_name = s.fn
+        |WHEN NOT MATCHED THEN INSERT (employee_id, first_name) VALUES (s.id, s.fn)""".stripMargin))
+    println(s"[17] MERGE INTO touched $merged rows (1 update + 1 insert) via the SQL surface")
+
+    // views + introspection: persisted CREATE VIEW, SHOW/DESCRIBE
+    engine.executeNonQuery(graft.params.SqlStatement(
+      "CREATE VIEW example.first_names AS SELECT employee_id, first_name FROM example.employee_data"))
+    val nTables = engine.query(graft.params.SqlStatement(
+      "SHOW TABLES FROM example")).count()
+    println(s"[18] SHOW TABLES sees $nTables relations (view included)")
+
+    // metadata tables: commit history as a queryable table
+    val nSnaps = engine.query(graft.params.SqlStatement(
+      """SELECT count(*) AS n FROM example."employee_data$snapshots""""))
+      .collect()(0).getLong(0)
+    println(s"[19] employee_data$$snapshots lists $nSnaps commits")
+
     spark.stop()
     println("[done]")
   }

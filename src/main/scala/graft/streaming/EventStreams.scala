@@ -104,6 +104,38 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** CDC-style streaming UPSERT: each micro-batch MERGEs into the catalog
+    * table on `key` instead of blind-appending — the streaming ingest mode
+    * for mutable entities (latest state per key), vs [[streamIntoCatalog]]
+    * for immutable facts. A batch may carry several versions of one key
+    * (the stream is ordered within a batch), so the batch is first
+    * collapsed to its last row per key via max_by over a monotonic
+    * sequence column — without this the catalog's at-most-one-match MERGE
+    * rule would (correctly) reject the batch.
+    *
+    * Scale shape: per micro-batch one key-collapse shuffle plus the MERGE
+    * full-outer join; state lives entirely in the table, not the state
+    * store, so an unbounded run carries no streaming state at all.
+    */
+  def streamUpsertIntoCatalog(events: DataFrame,
+                              catalog: graft.catalog.SnapshotCatalog,
+                              schema: String, table: String,
+                              key: String, seqCol: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val latest = batch
+            .groupBy(col(key))
+            .agg(max_by(struct(batch.columns.map(col).toIndexedSeq: _*), col(seqCol)).as("r"))
+            .select(col("r.*"))
+          catalog.merge(schema, table, latest, key)
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Stream-static enrichment: the event stream joined to a static
     * dimension (user_id → customer attributes). Spark re-plans the static
     * side per micro-batch, so at scale the dimension is broadcast (pinned

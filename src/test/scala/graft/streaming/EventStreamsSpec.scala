@@ -221,6 +221,43 @@ class EventStreamsSpec extends SparkSpec {
     assert(catalog.readLatest("stream", "events_ingest").count() == total)
   }
 
+  test("streaming upsert: per-batch MERGE keeps the latest state per key") {
+    val dir = tmpDir("stream-upsert")
+    // user-state stream: (user_id, seq, value). Two files → two micro-
+    // batches; users 1-3 appear in both (batch 2 must UPDATE them), user 4
+    // only in batch 2 (INSERT); user 2 appears TWICE in batch 2 (the
+    // in-batch collapse must keep seq 12, not fail the MERGE cardinality
+    // rule or keep a stale row).
+    val b1 = Seq((1L, 1L, 10.0), (2L, 2L, 20.0), (3L, 3L, 30.0))
+      .toDF("user_id", "seq", "value")
+    val b2 = Seq((1L, 10L, 11.0), (2L, 11L, 21.0), (2L, 12L, 22.0), (4L, 13L, 40.0))
+      .toDF("user_id", "seq", "value")
+    b1.coalesce(1).write.mode("overwrite").parquet(s"$dir/in")
+    b2.coalesce(1).write.mode("append").parquet(s"$dir/in")
+
+    val catalog = new graft.catalog.SnapshotCatalog(spark, s"$dir/wh")
+    catalog.createSchema("stream")
+    catalog.createTable("stream", "user_state", b1.schema)
+
+    val src = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    val q = EventStreams.streamUpsertIntoCatalog(
+      src, catalog, "stream", "user_state", key = "user_id", seqCol = "seq")
+    q.awaitTermination(120000)
+
+    val state = catalog.readLatest("stream", "user_state")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    // file source lists files in nondeterministic order: whichever batch
+    // came second wins — but user 2's in-batch collapse must ALWAYS have
+    // kept the higher seq of its batch, and all 4 keys must exist once
+    assert(state.keySet == Set(1L, 2L, 3L, 4L))
+    assert(Set(2L, 12L).contains(state(2L)._1)) // never the stale seq 11
+    assert(state(4L) == ((13L, 40.0)))
+    assert(catalog.readLatest("stream", "user_state").count() == 4)
+    // snapshot per micro-batch: 2 MERGE commits
+    assert(catalog.snapshots("stream", "user_state").size == 2)
+  }
+
   test("sessionize over the sf corpus: totals conserve events") {
     val typed = eventsBatch
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value").as[Event]
