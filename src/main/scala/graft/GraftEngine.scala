@@ -512,21 +512,42 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
   private val timeTravelRe =
     """(?is)\b((?:[A-Za-z_]\w*\.){0,2}[A-Za-z_]\w*)\s+FOR\s+TIMESTAMP\s+AS\s+OF\s+TIMESTAMP\s+'([^']+)'""".r
 
+  private val versionTravelRe =
+    """(?is)\b((?:[A-Za-z_]\w*\.){0,2}[A-Za-z_]\w*)\s+FOR\s+VERSION\s+AS\s+OF\s+(\d+)""".r
+
   /** Rewrite `FROM [catalog.]<schema>.<table> FOR TIMESTAMP AS OF
     * TIMESTAMP '<ts>'` (the reference's only time-travel form,
     * AthenaClientTests.cs:374; a catalog qualifier is accepted and
-    * dropped) into a view over the resolved snapshot. The rest of the
-    * statement (WHERE / ORDER BY composition) flows through Catalyst
+    * dropped) and Trino's second Iceberg form `FOR VERSION AS OF
+    * <snapshot_id>` into views over the resolved snapshot. The rest of
+    * the statement (WHERE / ORDER BY composition) flows through Catalyst
     * untouched.
     */
   private[graft] def rewriteTimeTravel(sql: String): String = {
     val spans = literalSpans(sql)
-    timeTravelRe.replaceAllIn(sql, m => {
+    val tsDone = timeTravelRe.replaceAllIn(sql, m => {
       // a legit match CONTAINS a literal (the timestamp), so only the
       // match start position decides whether we're inside a string
       if (overlapsLiteral(spans, m.start, m.start + 1))
         java.util.regex.Matcher.quoteReplacement(m.matched)
       else rewriteTimeTravelMatch(m)
+    })
+    val spans2 = literalSpans(tsDone)
+    versionTravelRe.replaceAllIn(tsDone, m => {
+      if (overlapsLiteral(spans2, m.start, m.end))
+        java.util.regex.Matcher.quoteReplacement(m.matched)
+      else {
+        val parts = m.group(1).split("\\.")
+        val (sch, tbl) =
+          if (parts.length >= 2) (parts(parts.length - 2), parts.last)
+          else ("default", parts(0))
+        val id = m.group(2).toLong
+        val view = s"_tv_${sch}_${tbl}_${nameTag(sch, tbl)}_$id"
+        try catalog.readVersion(sch, tbl, id).createOrReplaceTempView(view)
+        catch { case e: IllegalArgumentException =>
+          throw new GraftQueryException(sql, e.getMessage, e) }
+        java.util.regex.Matcher.quoteReplacement(view)
+      }
     })
   }
 

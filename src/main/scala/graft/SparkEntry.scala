@@ -135,6 +135,7 @@ object SparkEntry {
     "merge_demo"       -> (CatalogDemos.mergeDemo _),
     "meta_tables_demo" -> (CatalogDemos.metaTablesDemo _),
     "views_demo"       -> (CatalogDemos.viewsDemo _),
+    "corpus_pipeline"  -> (TextAnalysis.corpusPipeline _),
     // sampling + approximate aggregates
     "sample_per_group" -> (Expressions.samplePerGroup _),
     "approx_distinct"  -> (Expressions.approxDistinct _),
@@ -520,6 +521,7 @@ object SparkEntry {
     "merge_demo"      -> operators.CatalogDemos.mergeDemoSql,
     "meta_tables_demo" -> operators.CatalogDemos.metaTablesDemoSql,
     "views_demo"      -> operators.CatalogDemos.viewsDemoSql,
+    "corpus_pipeline" -> TextAnalysis.corpusPipelineSql,
     "approx_distinct" -> operators.Expressions.approxDistinctSql,
     // ---- analytics extensions (round 2) ----
     "stats_moments"      -> Analytics.Sql.statsMoments,

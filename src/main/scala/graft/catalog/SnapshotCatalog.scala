@@ -221,6 +221,18 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     readSnapshot(schema, table, snap, useSnapshotSchema = true)
   }
 
+  /** FOR VERSION AS OF: read an exact snapshot by id (Trino's second
+    * Iceberg time-travel form). Same snapshot-schema semantics as
+    * [[readAsOf]]; a missing id is an error, not an empty table — the
+    * user named a specific version.
+    */
+  def readVersion(schema: String, table: String, snapshotId: Long): DataFrame = {
+    val snap = readCommits(schema, table).find(_.snapshotId == snapshotId).getOrElse(
+      throw new IllegalArgumentException(
+        s"Snapshot $snapshotId does not exist in $schema.$table"))
+    readSnapshot(schema, table, Some(snap), useSnapshotSchema = true)
+  }
+
   private def readSnapshot(schema: String, table: String, snap: Option[Snapshot],
                            useSnapshotSchema: Boolean = false): DataFrame = {
     val dir = tableDir(schema, table)
@@ -576,40 +588,74 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     */
   def filesMeta(schema: String, table: String): DataFrame = {
     import spark.implicits._
+    currentFiles(schema, table).map { case (path, _, recordCount, size) =>
+      (0, path, "PARQUET", recordCount, size)
+    }.toDF("content", "file_path", "file_format", "record_count", "file_size_in_bytes")
+  }
+
+  /** `"t$partitions"`: per-partition rollup of the current snapshot —
+    * partition (the hive `col=value` path, '' for unpartitioned tables),
+    * file count, record count, total bytes. Same footer-metadata source
+    * as [[filesMeta]], no data scan.
+    */
+  def partitionsMeta(schema: String, table: String): DataFrame = {
+    import spark.implicits._
+    currentFiles(schema, table)
+      .groupBy(_._2)
+      .map { case (part, fs) =>
+        (part, fs.size.toLong, fs.map(_._3).sum, fs.map(_._4).sum)
+      }
+      .toSeq.sortBy(_._1)
+      .toDF("partition", "file_count", "record_count", "total_size_in_bytes")
+  }
+
+  /** Data files of the current snapshot: (absolute path, hive partition
+    * subpath relative to the snap dir — '' when unpartitioned, parquet
+    * footer record count, byte size). Footer reads are driver-side
+    * metadata work, proportional to file count, not data volume.
+    */
+  private def currentFiles(schema: String, table: String): Seq[(String, String, Long, Long)] = {
     require(tableExists(schema, table), s"Table $schema.$table does not exist")
     val dir = tableDir(schema, table)
     val conf = spark.sparkContext.hadoopConfiguration
-    val files = readCommits(schema, table).lastOption.toSeq
+    readCommits(schema, table).lastOption.toSeq
       .flatMap(_.dirs)
       .flatMap { d =>
-        val p = new Path(dir, d)
-        val f = fs(p)
+        val snapRoot = new Path(dir, d)
+        val f = fs(snapRoot)
         // partitioned tables nest col=value dirs below the snap dir
-        val it = f.listFiles(p, true)
-        val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.LocatedFileStatus]
-        while (it.hasNext) { val s = it.next(); if (s.isFile) buf += s }
+        val it = f.listFiles(snapRoot, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Long)]
+        while (it.hasNext) {
+          val s = it.next()
+          if (s.isFile && s.getPath.getName.endsWith(".parquet") && s.getLen > 0) {
+            // compare scheme-less URI paths: the listed status carries a
+            // `file:`/`hdfs:` scheme the constructed root may not
+            val rel = s.getPath.getParent.toUri.getPath
+              .stripPrefix(snapRoot.toUri.getPath).stripPrefix("/")
+            // NO_FILTER: row-group metadata carries the record counts
+            // (SKIP_ROW_GROUPS reads a leaner footer but zeroes out
+            // exactly the numbers we need)
+            val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+              conf, s.getPath,
+              org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+            buf += ((s.getPath.toString, rel,
+              footer.getBlocks.asScala.map(_.getRowCount).sum, s.getLen))
+          }
+        }
         buf.toSeq
       }
-      .filter(s => s.getPath.getName.endsWith(".parquet") && s.getLen > 0)
-    val rows = files.map { s =>
-      // NO_FILTER: row-group metadata carries the record counts (SKIP_ROW_GROUPS
-      // would read a leaner footer but zero out exactly the numbers we need)
-      val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
-        conf, s.getPath, org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
-      val recordCount = footer.getBlocks.asScala.map(_.getRowCount).sum
-      (0, s.getPath.toString, "PARQUET", recordCount, s.getLen)
-    }
-    rows.toDF("content", "file_path", "file_format", "record_count", "file_size_in_bytes")
   }
 
   /** Metadata-table dispatch for the SQL surface (`sch."t$<kind>"`). */
   def metadataTable(schema: String, table: String, kind: String): DataFrame =
     kind.toLowerCase match {
-      case "snapshots" => snapshotsMeta(schema, table)
-      case "history"   => historyMeta(schema, table)
-      case "files"     => filesMeta(schema, table)
+      case "snapshots"  => snapshotsMeta(schema, table)
+      case "history"    => historyMeta(schema, table)
+      case "files"      => filesMeta(schema, table)
+      case "partitions" => partitionsMeta(schema, table)
       case other => throw new IllegalArgumentException(
-        s"Unknown metadata table $$$other (supported: snapshots, history, files)")
+        s"Unknown metadata table $$$other (supported: snapshots, history, files, partitions)")
     }
 
   /** Roll the table back to `snapshotId` (Trino

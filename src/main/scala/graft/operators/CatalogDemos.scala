@@ -229,12 +229,15 @@ object CatalogDemos {
     // and the CURRENT files-table rollup (same for every row by design)
     engine.query(graft.params.SqlStatement(
       """SELECT s.snapshot_id, s.operation,
-        |       f.n_files, f.n_records,
-        |       (SELECT count(*) FROM demo.meta_t) AS current_rows
+        |       f.n_files, f.n_records, p.n_parts,
+        |       (SELECT count(*) FROM demo.meta_t) AS current_rows,
+        |       (SELECT count(*) FROM demo.meta_t FOR VERSION AS OF 2) AS v2_rows
         |FROM demo."meta_t$snapshots" s
         |CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_files,
         |                   CAST(sum(record_count) AS BIGINT) AS n_records
         |            FROM demo."meta_t$files") f
+        |CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_parts
+        |            FROM demo."meta_t$partitions") p
         |ORDER BY s.snapshot_id""".stripMargin))
   }
 
@@ -288,7 +291,8 @@ object CatalogDemos {
   /** DuckDB oracle for [[metaTablesDemo]]: the commit kinds are the
     * scripted history (append, append, overwrite, replace, append-rollback);
     * the files rollup after rollback-to-snapshot-2 is the full nation row
-    * count spread over the two appended files; current rows = nation rows.
+    * count spread over the two appended files (one unpartitioned rollup
+    * row); current rows AND the VERSION-AS-OF-2 read both equal nation.
     */
   val metaTablesDemoSql: String =
     """WITH ops(snapshot_id, operation) AS (VALUES
@@ -298,7 +302,9 @@ object CatalogDemos {
       |SELECT o.snapshot_id, o.operation,
       |       CAST(2 AS BIGINT) AS n_files,
       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM nation) AS n_records,
-      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM nation) AS current_rows
+      |       CAST(1 AS BIGINT) AS n_parts,
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM nation) AS current_rows,
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM nation) AS v2_rows
       |FROM ops o ORDER BY o.snapshot_id""".stripMargin
 
   /** DuckDB oracle for [[mergeDemo]]: replays the MERGE relationally —

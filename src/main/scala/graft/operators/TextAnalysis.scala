@@ -646,4 +646,88 @@ object TextAnalysis {
        |       COALESCE(h.n_hits, 0) AS n_hits,
        |       COALESCE(h.n_hits, 0) > 0 AS contaminated
        |FROM train tr LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** The COMPOSED preprocessing pipeline — normalize → quality-filter →
+    * exact-dedup (portable hash of the NORMALIZED text, keep-min per
+    * source) → token accounting → 512-token packing estimate, per source,
+    * in one query. Each stage is the same logic as its standalone
+    * operator; the point is that the whole corpus pipeline is one
+    * declarative plan: Catalyst fuses the per-row stages into the scan
+    * (normalize/score/hash are one codegen stage), and only two shuffles
+    * remain — the (source, hash) dedup groupBy and the per-source rollup.
+    * At 100 TB that plan shape is the whole story: no intermediate
+    * materialization between stages, no driver round-trips.
+    */
+  def corpusPipeline(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+    val norm = docs.withColumn("norm_text",
+      trim(regexp_replace(
+        regexp_replace(lower(col("text")), lit("[\\x00-\\x1f\\x7f]"), lit(" ")),
+        lit("""\s+"""), lit(" "))))
+    val scored = norm
+      .withColumn("n_tokens",
+        when(length(col("norm_text")) === 0, lit(0))
+          .otherwise(size(split(col("norm_text"), "\\s+"))).cast("double"))
+      .withColumn("n_uniq",
+        size(array_distinct(split(col("norm_text"), "\\s+"))).cast("double"))
+      .withColumn("punct_ratio",
+        length(regexp_replace(col("norm_text"), "[a-zA-Z0-9\\s]", "")).cast("double") /
+          length(col("norm_text")).cast("double"))
+    val kept = scored.filter(
+      col("n_tokens") >= 5 &&
+        (col("n_uniq") / col("n_tokens")) > 0.1 &&
+        col("punct_ratio") < 0.3)
+    val groups = kept
+      .withColumn("h", expr(Dedup.Portable.spark60("norm_text")))
+      .groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).as("grp"),
+        // all rows in a hash group share norm_text, hence token count;
+        // min is just the deterministic pick
+        min(col("n_tokens")).cast("long").as("tok"))
+    val perSrc = groups.groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_kept"),
+        (sum(col("grp")) - count(lit(1))).cast("long").as("dups_removed"),
+        sum(col("tok")).cast("long").as("total_tokens"))
+    docs.groupBy(col("source")).agg(count(lit(1)).as("docs_in"))
+      .join(perSrc, Seq("source"), "left")
+      .select(col("source"), col("docs_in"),
+        coalesce(col("docs_kept"), lit(0L)).as("docs_kept"),
+        coalesce(col("dups_removed"), lit(0L)).as("dups_removed"),
+        coalesce(col("total_tokens"), lit(0L)).as("total_tokens"))
+      .withColumn("n_seqs", expr("(total_tokens + 511) div 512"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB twin of [[corpusPipeline]] — the same five stages as CTEs.
+    * Ratio comparisons are double-vs-double on BOTH engines (DuckDB's
+    * `* 1.0` would be DECIMAL arithmetic with different rounding at the
+    * keep/drop thresholds).
+    */
+  val corpusPipelineSql: String =
+    s"""WITH norm AS (SELECT doc_id, source,
+       |  trim(regexp_replace(regexp_replace(lower(text), '[\\x00-\\x1f\\x7f]', ' ', 'g'),
+       |                      '\\s+', ' ', 'g')) AS norm_text FROM documents),
+       |scored AS (SELECT doc_id, source, norm_text,
+       |  CASE WHEN length(norm_text) = 0 THEN 0
+       |       ELSE len(regexp_split_to_array(norm_text, '\\s+')) END AS n_tokens,
+       |  len(list_distinct(regexp_split_to_array(norm_text, '\\s+'))) AS n_uniq,
+       |  CAST(length(regexp_replace(norm_text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+       |    / length(norm_text) AS punct_ratio
+       |  FROM norm),
+       |kept AS (SELECT * FROM scored
+       |  WHERE n_tokens >= 5 AND CAST(n_uniq AS DOUBLE) / n_tokens > 0.1
+       |    AND punct_ratio < 0.3),
+       |groups AS (SELECT source, ${Dedup.Portable.duck60("norm_text")} AS h,
+       |  COUNT(*) AS grp, MIN(n_tokens) AS tok FROM kept GROUP BY 1, 2),
+       |per_src AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS docs_kept,
+       |  CAST(SUM(grp) - COUNT(*) AS BIGINT) AS dups_removed,
+       |  CAST(SUM(tok) AS BIGINT) AS total_tokens FROM groups GROUP BY 1),
+       |input AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS docs_in
+       |  FROM documents GROUP BY 1)
+       |SELECT i.source, i.docs_in,
+       |       COALESCE(p.docs_kept, 0) AS docs_kept,
+       |       COALESCE(p.dups_removed, 0) AS dups_removed,
+       |       COALESCE(p.total_tokens, 0) AS total_tokens,
+       |       CAST((COALESCE(p.total_tokens, 0) + 511) // 512 AS BIGINT) AS n_seqs
+       |FROM input i LEFT JOIN per_src p USING (source) ORDER BY i.source""".stripMargin
 }

@@ -106,6 +106,51 @@ class SqlMetadataSpec extends SparkSpec {
     }
   }
 
+  test("t$partitions rolls up files per hive partition; '' for unpartitioned") {
+    val e = freshEngine("meta-parts")
+    // unpartitioned: one rollup row with the empty partition path
+    val flat = e.query(SqlStatement(
+      """SELECT partition, file_count, record_count FROM demo."m$partitions""""))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(flat.length == 1 && flat.head._1 == "" && flat.head._3 == 3L)
+
+    // partitioned: one row per col=value dir, counts per partition
+    e.executeNonQuery(SqlStatement(
+      "CREATE TABLE demo.pt (id bigint, dept varchar) WITH (partitioning = ARRAY['dept'])"))
+    e.executeNonQuery(SqlStatement(
+      "INSERT INTO demo.pt VALUES (1, 'a'), (2, 'a'), (3, 'b')"))
+    val parts = e.query(SqlStatement(
+      """SELECT partition, record_count FROM demo."pt$partitions" ORDER BY partition"""))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(parts.toSeq == Seq(("dept=a", 2L), ("dept=b", 1L)))
+  }
+
+  test("FOR VERSION AS OF reads an exact snapshot id and composes with WHERE") {
+    val e = freshEngine("meta-version")
+    e.executeNonQuery(SqlStatement("DELETE FROM demo.m WHERE id >= 2"))
+    // snapshot 1 = first insert (2 rows), 2 = second insert (3), 3 = delete (1)
+    assert(e.query(SqlStatement(
+      "SELECT count(*) AS n FROM demo.m FOR VERSION AS OF 1")).as[Long].head() == 2L)
+    assert(e.query(SqlStatement(
+      "SELECT id FROM demo.m FOR VERSION AS OF 2 WHERE id >= 2 ORDER BY id"))
+      .as[Long].collect().toSeq == Seq(2L, 3L))
+    assert(e.query(SqlStatement(
+      "SELECT count(*) AS n FROM demo.m FOR VERSION AS OF 3")).as[Long].head() == 1L)
+    intercept[GraftQueryException] {
+      e.query(SqlStatement("SELECT * FROM demo.m FOR VERSION AS OF 99"))
+    }
+  }
+
+  test("FOR VERSION AS OF presents the schema pinned in that snapshot") {
+    val e = freshEngine("meta-version-schema")
+    e.catalog.addColumn("demo", "m", "extra", org.apache.spark.sql.types.DoubleType)
+    e.executeNonQuery(SqlStatement("INSERT INTO demo.m VALUES (7, 'g', 0.5)"))
+    assert(e.query(SqlStatement("SELECT * FROM demo.m FOR VERSION AS OF 2"))
+      .schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(e.query(SqlStatement("SELECT * FROM demo.m FOR VERSION AS OF 3"))
+      .schema.fieldNames.toSeq == Seq("id", "v", "extra"))
+  }
+
   test("rollback across schema evolution restores the pre-evolution declared schema") {
     val e = freshEngine("meta-rollback-schema")
     e.catalog.addColumn("demo", "m", "extra", org.apache.spark.sql.types.DoubleType)
