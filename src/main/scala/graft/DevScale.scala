@@ -70,7 +70,11 @@ object DevScale {
       // but not measured
       "decontaminate"     -> (operators.TextAnalysis.decontaminate _),
       "incremental_dedup" -> (operators.Dedup.incrementalDedup _),
-      "ann_knn_all"       -> ((s, d) => operators.Similarity.annKnnAll(s, d)))
+      "ann_knn_all"       -> ((s, d) => operators.Similarity.annKnnAll(s, d)),
+      // round-5: the composed normalize→filter→dedup→pack plan — the
+      // end-to-end pipeline must scale like its worst stage (the
+      // (source,hash) groupBy), i.e. ~linearly
+      "corpus_pipeline"   -> (operators.TextAnalysis.corpusPipeline _))
     // warmup on the base dir itself so JIT/codegen/first-shuffle costs
     // never land on the 1× timing (a hardcoded small dir would silently
     // no-op on other layouts and skew the very ratio being measured)
@@ -78,9 +82,15 @@ object DevScale {
       try drain(fn(spark, base)) catch { case _: Throwable => () }
     }
     println(f"${"op"}%-18s ${"t1x_ms"}%8s ${s"t${copies}x_ms"}%8s ratio")
+    // best-of-2 per point: a single interleaved pass accumulates JVM/
+    // shuffle-dir state across 11 heavy ops × 2 corpus sizes, and late
+    // measurements inflate 2-8× vs the same op isolated (measured:
+    // dedup_clusters 23 s in-sweep vs 3.7 s isolated at 1×). The min of
+    // two runs recovers the honest per-op number, same rationale as
+    // Bench's best-of-N (r3 verdict #3 — fix the measurement, not the op)
     ops.foreach { case (name, fn) =>
-      val t1 = drain(fn(spark, base))
-      val tN = drain(fn(spark, scaledDir))
+      val t1 = math.min(drain(fn(spark, base)), drain(fn(spark, base)))
+      val tN = math.min(drain(fn(spark, scaledDir)), drain(fn(spark, scaledDir)))
       println(f"$name%-18s $t1%8d $tN%8d ${tN.toDouble / t1}%.2f")
     }
     spark.stop()
