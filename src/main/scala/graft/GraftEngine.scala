@@ -368,7 +368,9 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
   private val showTablesRe =
     """(?is)^\s*SHOW\s+TABLES\s+(?:FROM|IN)\s+(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\s*;?\s*$""".r
   private val describeRe =
-    """(?is)^\s*(?:DESCRIBE|DESC)\s+(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*;?\s*$""".r
+    """(?is)^\s*(?:DESCRIBE|DESC|SHOW\s+COLUMNS\s+(?:FROM|IN))\s+(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*;?\s*$""".r
+  private val showCreateRe =
+    """(?is)^\s*SHOW\s+CREATE\s+(TABLE|VIEW)\s+(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*;?\s*$""".r
 
   /** SHOW SCHEMAS / SHOW TABLES / DESCRIBE against the snapshot catalog
     * (Trino's introspection statements). SHOW TABLES lists views too —
@@ -391,7 +393,45 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
           else throw new GraftQueryException(sql, s"Table or view $sch.$tbl does not exist")
         Some(fields.map(f => (f.name, f.dataType.sql.toLowerCase, f.nullable))
           .toDF("column_name", "data_type", "nullable"))
+      case showCreateRe(kind, sch, tbl) if kind.equalsIgnoreCase("TABLE") =>
+        val columns = catalog.declaredSchema(sch, tbl).getOrElse(
+          throw new GraftQueryException(sql, s"Table $sch.$tbl does not exist"))
+        val cols = columns.fields.map(f => s"   ${f.name} ${trinoType(f.dataType)}")
+          .mkString(",\n")
+        val parts = catalog.partitionSpec(sch, tbl)
+        val props = Seq("   format = 'PARQUET'") ++
+          (if (parts.nonEmpty)
+            Seq(s"   partitioning = ARRAY[${parts.map(p => s"'$p'").mkString(", ")}]")
+          else Nil)
+        val ddl = s"CREATE TABLE $sch.$tbl (\n$cols\n)\nWITH (\n${props.mkString(",\n")}\n)"
+        Some(Seq(ddl).toDF("create_table"))
+      case showCreateRe(_, sch, v) => // VIEW
+        val text = catalog.viewSql(sch, v).getOrElse(
+          throw new GraftQueryException(sql, s"View $sch.$v does not exist"))
+        Some(Seq(s"CREATE VIEW $sch.$v AS $text").toDF("create_view"))
       case _ => None
+    }
+  }
+
+  /** Spark type → Trino type spelling (the inverse of DdlParser.sparkType;
+    * lossy pairs round-trip to the canonical Trino name).
+    */
+  private def trinoType(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => "varchar"
+      case LongType => "bigint"
+      case IntegerType => "integer"
+      case ShortType => "smallint"
+      case ByteType => "tinyint"
+      case DoubleType => "double"
+      case FloatType => "real"
+      case BooleanType => "boolean"
+      case BinaryType => "varbinary"
+      case DateType => "date"
+      case TimestampType => "timestamp(6)"
+      case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+      case other => other.sql.toLowerCase
     }
   }
 

@@ -120,6 +120,42 @@ class SqlViewsSpec extends SparkSpec {
     assert(e.query(SqlStatement("SELECT count(*) AS n FROM demo.base")).as[Long].head() == 3L)
   }
 
+  test("SHOW CREATE TABLE reconstructs the DDL; SHOW COLUMNS aliases DESCRIBE") {
+    val e = freshEngine("views-showcreate")
+    e.executeNonQuery(SqlStatement(
+      "CREATE TABLE demo.pt (id bigint, d varchar, x decimal(10,2)) WITH (partitioning = ARRAY['d'])"))
+    val ddl = e.query(SqlStatement("SHOW CREATE TABLE demo.pt")).as[String].head()
+    assert(ddl ==
+      """CREATE TABLE demo.pt (
+        |   id bigint,
+        |   d varchar,
+        |   x decimal(10, 2)
+        |)
+        |WITH (
+        |   format = 'PARQUET',
+        |   partitioning = ARRAY['d']
+        |)""".stripMargin)
+    // the reconstructed DDL round-trips through the parser
+    e.executeNonQuery(SqlStatement("DROP TABLE demo.pt"))
+    e.executeNonQuery(SqlStatement(ddl))
+    assert(e.catalog.partitionSpec("demo", "pt") == Seq("d"))
+
+    val cols = e.query(SqlStatement("SHOW COLUMNS FROM demo.base"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(cols == Seq(("id", "bigint"), ("v", "string")))
+  }
+
+  test("SHOW CREATE VIEW returns the persisted definition") {
+    val e = freshEngine("views-showcreateview")
+    e.executeNonQuery(SqlStatement(
+      "CREATE VIEW demo.w AS SELECT id FROM demo.base WHERE id > 1"))
+    val v = e.query(SqlStatement("SHOW CREATE VIEW demo.w")).as[String].head()
+    assert(v == "CREATE VIEW demo.w AS SELECT id FROM demo.base WHERE id > 1")
+    intercept[GraftQueryException] {
+      e.query(SqlStatement("SHOW CREATE VIEW demo.nope"))
+    }
+  }
+
   test("CREATE VIEW name colliding with a table is rejected") {
     val e = freshEngine("views-collide")
     intercept[GraftQueryException] {

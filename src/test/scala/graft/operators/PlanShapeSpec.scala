@@ -121,4 +121,23 @@ class PlanShapeSpec extends SparkSpec {
     val demoEx = finalPlanExchanges(demo)
     assert(demoEx == 2, s"expected only agg+sort exchanges, got $demoEx:\n$demo")
   }
+
+  test("corpus_pipeline: per-row stages fuse into the scan; few, keyed shuffles") {
+    val plan = executed(TextAnalysis.corpusPipeline(spark, sf001))
+    // the composed normalize→filter→hash pipeline must be ONE codegen'd
+    // per-row stage over the scan — if an exchange sneaks between the
+    // per-row stages, the fusion claim (SURVEY round-5 addendum) is gone.
+    // Budget: the (source,h) dedup agg, the per-source rollups on each
+    // join branch, the join itself, and the presentation sort — all on
+    // grouped/metadata-scale data, never a second pass over the text
+    assert(plan.contains("HashAggregate"), "dedup groupBy should be hash-based")
+    val exchanges = finalPlanExchanges(plan)
+    assert(exchanges <= 5, s"pipeline grew to $exchanges exchanges:\n$plan")
+    // exactly ONE scan of the documents table feeds the whole pipeline
+    // branch that reads text (the docs_in branch re-scans only doc_id,
+    // source — column pruning must keep `text` out of it)
+    val textSchemas = readSchemas(plan, "text")
+    assert(textSchemas.size == 1,
+      s"text column read by ${textSchemas.size} scans — stages not fused")
+  }
 }
