@@ -65,21 +65,86 @@ object DevFuzzDml {
     sealed trait Op
     final case class Upd(sets: Seq[(String, String)], where: String) extends Op
     final case class Del(where: String) extends Op
+
+    // ---- MERGE: source derived from the CURRENT state via an injective
+    //      affine id map (unique ids → the cardinality rule can't fire),
+    //      random matched clauses (first-match-wins) + a guarded insert
+    sealed trait MAction
+    final case class MUpdate(sets: Seq[(String, String)]) extends MAction // exprs over t./s.
+    case object MDelete extends MAction
+    final case class MClause(cond: Option[String], action: MAction)
+    final case class Mrg(mul: Int, off: Int, matched: Seq[MClause],
+                         insertCond: Option[String]) extends Op
+
+    def mergePred(): String = rnd.nextInt(4) match {
+      case 0 => s"t.n_regionkey = ${rnd.nextInt(5)}"
+      case 1 => s"s.rk = ${rnd.nextInt(5)}"
+      case 2 => s"t.n_nationkey % ${rnd.nextInt(4) + 2} = ${rnd.nextInt(2)}"
+      case 3 => s"s.nm LIKE '${('A' + rnd.nextInt(26)).toChar}%'"
+    }
+    def insPred(): String = rnd.nextInt(3) match {
+      case 0 => s"s.id % ${rnd.nextInt(4) + 2} = ${rnd.nextInt(2)}"
+      case 1 => s"s.rk = ${rnd.nextInt(5)}"
+      case 2 => s"s.id >= ${rnd.nextInt(60)}"
+    }
+    def mUpdateSets(): Seq[(String, String)] = rnd.nextInt(3) match {
+      case 0 => Seq("n_name" -> s"concat(t.n_name, '+', s.nm)")
+      case 1 => Seq("n_regionkey" -> "s.rk + 1")
+      case 2 => Seq("n_name" -> "upper(s.nm)", "n_regionkey" -> "t.n_regionkey + s.rk")
+    }
+    def genMerge(): Mrg = {
+      val first = MClause(Some(mergePred()),
+        if (rnd.nextBoolean()) MDelete else MUpdate(mUpdateSets()))
+      // an unconditional second clause catches what the first one skips
+      val second = if (rnd.nextBoolean()) Seq(MClause(None, MUpdate(mUpdateSets()))) else Nil
+      Mrg(rnd.nextInt(2) + 2, rnd.nextInt(2),
+        first +: second,
+        if (rnd.nextBoolean()) Some(insPred()) else None)
+    }
+
     def genOps(): Seq[Op] = (0 until rnd.nextInt(4) + 3).map { _ =>
-      if (rnd.nextInt(3) == 0) Del(pred())
-      else {
-        val sets = rnd.nextInt(3) match {
-          case 0 => Seq("n_name" -> nameExpr())
-          case 1 => Seq("n_regionkey" -> rkExpr())
-          case 2 => Seq("n_name" -> nameExpr(), "n_regionkey" -> rkExpr())
-        }
-        Upd(sets, pred())
+      rnd.nextInt(4) match {
+        case 0 => Del(pred())
+        case 1 => genMerge()
+        case _ =>
+          val sets = rnd.nextInt(3) match {
+            case 0 => Seq("n_name" -> nameExpr())
+            case 1 => Seq("n_regionkey" -> rkExpr())
+            case 2 => Seq("n_name" -> nameExpr(), "n_regionkey" -> rkExpr())
+          }
+          Upd(sets, pred())
       }
     }
 
     val cols = Seq("n_nationkey", "n_name", "n_regionkey")
-    /** DuckDB replay: state k+1 as a projection/filter over state k. */
-    def replayCte(op: Op, prev: String): String = op match {
+
+    /** The SQL-DML statement the ENGINE executes for one op. */
+    def stmtOf(op: Op): String = op match {
+      case Upd(sets, where) =>
+        s"UPDATE fz.t SET ${sets.map { case (c, e) => s"$c = $e" }.mkString(", ")} WHERE $where"
+      case Del(where) => s"DELETE FROM fz.t WHERE $where"
+      case Mrg(mul, off, matched, insertCond) =>
+        val srcSql = s"SELECT n_nationkey * $mul + $off AS id, " +
+          "concat(n_name, '_s') AS nm, n_regionkey AS rk FROM fz.t"
+        val mTxt = matched.map { c =>
+          val and = c.cond.map(p => s"AND $p ").getOrElse("")
+          c.action match {
+            case MDelete => s"WHEN MATCHED ${and}THEN DELETE"
+            case MUpdate(sets) =>
+              s"WHEN MATCHED ${and}THEN UPDATE SET " +
+                sets.map { case (col, e) => s"$col = $e" }.mkString(", ")
+          }
+        }.mkString("\n")
+        val ins = s"WHEN NOT MATCHED ${insertCond.map(p => s"AND $p ").getOrElse("")}" +
+          "THEN INSERT VALUES (s.id, s.nm, s.rk)"
+        s"MERGE INTO fz.t t USING ($srcSql) s ON t.n_nationkey = s.id\n$mTxt\n$ins"
+    }
+
+    /** DuckDB replay: state k+1 as a projection/filter/join over state k
+      * (UPDATE → CASE projection, DELETE → 3VL filter, MERGE → join +
+      * two anti-joins with a first-match-wins action index).
+      */
+    def replayCtes(op: Op, prev: String, k: Int): Seq[String] = op match {
       case Upd(sets, where) =>
         val proj = cols.map { c =>
           sets.find(_._1 == c) match {
@@ -87,9 +152,48 @@ object DevFuzzDml {
             case None => c
           }
         }.mkString(", ")
-        s"SELECT $proj FROM $prev"
+        Seq(s"s${k + 1} AS (SELECT $proj FROM $prev)")
       case Del(where) =>
-        s"SELECT * FROM $prev WHERE NOT coalesce($where, FALSE)"
+        Seq(s"s${k + 1} AS (SELECT * FROM $prev WHERE NOT coalesce($where, FALSE))")
+      case Mrg(mul, off, matched, insertCond) =>
+        val src = s"src$k"
+        val m = s"m$k"
+        // first-match-wins action index, evaluated with the same t/s
+        // aliases the MERGE text uses; -1 = no clause applies
+        val aidx = "CASE " + matched.zipWithIndex.map { case (c, i) =>
+          s"WHEN ${c.cond.map(p => s"coalesce($p, FALSE)").getOrElse("TRUE")} THEN $i"
+        }.mkString(" ") + " ELSE -1 END"
+        // pre-compute every update clause's new values while both sides
+        // are in scope (simultaneous-assignment semantics: all exprs read
+        // the PRE-merge row)
+        val newVals = matched.zipWithIndex.flatMap {
+          case (MClause(_, MUpdate(sets)), i) =>
+            sets.map { case (c, e) => s"$e AS v_${i}_$c" }
+          case _ => Nil
+        }
+        val deleteIdxs = matched.zipWithIndex.collect {
+          case (MClause(_, MDelete), i) => i
+        }
+        val keepFilter =
+          if (deleteIdxs.isEmpty) "" else s" WHERE aidx NOT IN (${deleteIdxs.mkString(", ")})"
+        val outCols = cols.map { c =>
+          val cases = matched.zipWithIndex.collect {
+            case (MClause(_, MUpdate(sets)), i) if sets.exists(_._1 == c) =>
+              s"WHEN aidx = $i THEN v_${i}_$c"
+          }
+          if (cases.isEmpty) c
+          else s"CASE ${cases.mkString(" ")} ELSE $c END AS $c"
+        }.mkString(", ")
+        Seq(
+          s"$src AS (SELECT n_nationkey * $mul + $off AS id, " +
+            s"concat(n_name, '_s') AS nm, n_regionkey AS rk FROM $prev)",
+          s"$m AS (SELECT t.n_nationkey, t.n_name, t.n_regionkey, " +
+            (newVals :+ s"$aidx AS aidx").mkString(", ") +
+            s" FROM $prev t JOIN $src s ON t.n_nationkey = s.id)",
+          s"s${k + 1} AS (SELECT $outCols FROM $m$keepFilter" +
+            s" UNION ALL SELECT t.* FROM $prev t ANTI JOIN $src s ON t.n_nationkey = s.id" +
+            s" UNION ALL SELECT s.id, s.nm, s.rk FROM $src s ANTI JOIN $prev t ON t.n_nationkey = s.id" +
+            insertCond.map(p => s" WHERE coalesce($p, FALSE)").getOrElse("") + ")")
     }
 
     val results = (0 until n).map { i =>
@@ -104,22 +208,22 @@ object DevFuzzDml {
       engine.catalog.createTable("fz", "t", nation.schema)
       engine.catalog.insert("fz", "t", nation)
       val ops = genOps()
-      ops.foreach {
-        case Upd(sets, where) => engine.executeNonQuery(params.SqlStatement(
-          s"UPDATE fz.t SET ${sets.map { case (c, e) => s"$c = $e" }.mkString(", ")} WHERE $where"))
-        case Del(where) => engine.executeNonQuery(params.SqlStatement(
-          s"DELETE FROM fz.t WHERE $where"))
-      }
+      ops.foreach(op => engine.executeNonQuery(params.SqlStatement(stmtOf(op))))
+      // MERGE makes n_nationkey non-unique across inserts of mapped ids
+      // colliding with later states only by construction of the affine
+      // map — sort on ALL columns so row order is deterministic even if
+      // two rows share a key
       engine.query(params.SqlStatement(
-        "SELECT n_nationkey, n_name, n_regionkey FROM fz.t ORDER BY n_nationkey"))
+        "SELECT n_nationkey, n_name, n_regionkey FROM fz.t " +
+          "ORDER BY n_nationkey, n_name, n_regionkey"))
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-      val ctes = ops.zipWithIndex.map { case (op, k) =>
-        s"s${k + 1} AS (${replayCte(op, s"s$k")})"
+      val ctes = ops.zipWithIndex.flatMap { case (op, k) =>
+        replayCtes(op, s"s$k", k)
       }
       val oracleSql =
         (s"WITH s0 AS (SELECT n_nationkey, n_name, n_regionkey FROM nation)" +:
           ctes).mkString(", ") +
-          s" SELECT * FROM s${ops.length} ORDER BY n_nationkey"
+          s" SELECT * FROM s${ops.length} ORDER BY n_nationkey, n_name, n_regionkey"
       name -> oracleSql
     }
     def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
