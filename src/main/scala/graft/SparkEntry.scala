@@ -97,6 +97,7 @@ object SparkEntry {
     "simhash"            -> (Dedup.simhash _),
     "dedup_clusters"     -> (Dedup.dedupClusters _),
     "span_dedup"         -> ((s, d) => Dedup.spanDedup(s, d)),
+    "source_overlap"     -> (Dedup.sourceOverlap _),
     // similarity search
     "embedding_norms"    -> (Similarity.embeddingNorms _),
     "ann_brute_force"    -> (Similarity.annBruteForce _),
@@ -449,6 +450,7 @@ object SparkEntry {
     "dedup_clusters"   -> operators.Dedup.Oracle.dedupClustersSql,
     "incremental_dedup" -> operators.Dedup.incrementalDedupSql,
     "span_dedup"       -> operators.Dedup.spanDedupSql(),
+    "source_overlap"   -> operators.Dedup.sourceOverlapSql,
     "embedding_norms" ->
       ("SELECT vec_id, label, sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS l2_norm " +
         "FROM embeddings ORDER BY vec_id"),

@@ -572,4 +572,43 @@ object Dedup {
          |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM v ORDER BY doc_id""".stripMargin
     }
   }
+
+  /** Cross-source contamination matrix: for every source pair, how many
+    * distinct 5-gram fingerprints they share — the "did source B scrape
+    * source A" audit every multi-source corpus needs before mixing (the
+    * pairwise generalization of [[graft.operators.TextAnalysis.decontaminate]]'s
+    * corpus-vs-benchmark check, same shingle spelling). One distinct pass
+    * to (source, shingle-hash), then a self-join keyed ON THE HASH
+    * (candidates only where content actually collides — never a
+    * source×source product) and a pair rollup. At 100 TB the shuffle
+    * carries 8-byte hashes, the join fan-out per hash is bounded by its
+    * source multiplicity (≤ #sources), and the result is #sources²-sized
+    * — metadata, not data.
+    */
+  def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val fp = Tables.documents(s, d)
+      .select(col("source"), explode(
+        graft.functions.PortableHashFunctions.shingleHash60(
+          split(lower(trim(col("text"))), "\\s+"), 5, P)).as("h"))
+      .distinct()
+    fp.as("a").join(fp.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("shared_shingles"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** DuckDB twin of [[sourceOverlap]] — same 5-gram spelling as
+    * decontaminate's oracle.
+    */
+  val sourceOverlapSql: String =
+    s"""WITH t AS (SELECT source, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents),
+       |ngr AS (SELECT source,
+       |          unnest(list_transform(generate_series(1, greatest(len(toks) - 4, 1)),
+       |            i -> ${Portable.duck60("array_to_string(toks[i:i+4], ' ')")} % $P)) AS h
+       |        FROM t),
+       |fp AS (SELECT DISTINCT source, h FROM ngr)
+       |SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared_shingles
+       |FROM fp a JOIN fp b ON a.h = b.h AND a.source < b.source
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }
