@@ -127,6 +127,23 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
           if (ifExists) 0L
           else throw new GraftQueryException(sqlText, s"Table $schema.$table does not exist")
         } else { catalog.dropTable(schema, table); 0L }
+      case graft.catalog.DropSchemaStmt(schema, ifExists, cascade) =>
+        if (!catalog.schemaExists(schema)) {
+          if (ifExists) 0L
+          else throw new GraftQueryException(sqlText, s"Schema $schema does not exist")
+        } else {
+          try { catalog.dropSchema(schema, cascade); 0L }
+          catch { case e: IllegalArgumentException =>
+            throw new GraftQueryException(sqlText, e.getMessage, e) }
+        }
+      case graft.catalog.TruncateStmt(schema, table) =>
+        requireCatalogTable(sqlText, schema, table)
+        // TRUNCATE = unconditional copy-on-write delete; like DELETE it
+        // reports the removed-row count, and the pre-truncate snapshot
+        // stays time-travel-visible
+        val n = catalog.readLatest(schema, table).count()
+        catalog.delete(schema, table, org.apache.spark.sql.functions.lit(true))
+        n
       case graft.catalog.CreateViewStmt(schema, view, select, orReplace) =>
         if (!catalog.schemaExists(schema)) catalog.createSchema(schema)
         // Trino validates a view's defining query at CREATE time — analyze

@@ -33,6 +33,9 @@ final case class AlterExecuteStmt(schema: String, table: String,
                                   procedure: String,
                                   args: Map[String, String]) extends DdlStatement
 
+final case class DropSchemaStmt(schema: String, ifExists: Boolean,
+                                cascade: Boolean) extends DdlStatement
+final case class TruncateStmt(schema: String, table: String) extends DdlStatement
 final case class CreateViewStmt(schema: String, view: String,
                                 select: String, orReplace: Boolean) extends DdlStatement
 final case class DropViewStmt(schema: String, view: String,
@@ -79,6 +82,10 @@ object DdlParser {
     """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+(.+?)\s*;?\s*$""".r
   private val dropTableRe =
     """(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$""".r
+  private val dropSchemaRe =
+    """(?is)^\s*DROP\s+SCHEMA\s+(IF\s+EXISTS\s+)?([\w.]+?)\s*(CASCADE|RESTRICT)?\s*;?\s*$""".r
+  private val truncateRe =
+    """(?is)^\s*TRUNCATE\s+TABLE\s+([\w.]+)\s*;?\s*$""".r
   private val createViewRe =
     """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([\w.]+)\s+AS\s+(.+?)\s*;?\s*$""".r
   private val dropViewRe =
@@ -117,6 +124,12 @@ object DdlParser {
     case dropTableRe(ie, name) =>
       val (sch, tbl) = tableOf(name)
       Some(DropTableStmt(sch, tbl, ie != null))
+    case dropSchemaRe(ie, name, mode) =>
+      Some(DropSchemaStmt(schemaOf(name), ie != null,
+        mode != null && mode.equalsIgnoreCase("CASCADE")))
+    case truncateRe(name) =>
+      val (sch, tbl) = tableOf(name)
+      Some(TruncateStmt(sch, tbl))
     case createViewRe(orReplace, name, select) =>
       val (sch, v) = tableOf(name)
       Some(CreateViewStmt(sch, v, select.trim, orReplace != null))

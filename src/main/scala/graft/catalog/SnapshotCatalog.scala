@@ -480,6 +480,23 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     f.listStatus(root).filter(_.isDirectory).map(_.getPath.getName).sorted.toSeq
   }
 
+  /** DROP SCHEMA: RESTRICT (default) refuses a non-empty schema — the
+    * ANSI/Trino contract that keeps a typo from deleting a warehouse —
+    * while CASCADE removes the schema with every table and view under it.
+    * Both the physical location and the warehouse marker dir go away.
+    */
+  def dropSchema(schema: String, cascade: Boolean = false): Unit = synchronized {
+    require(schemaExists(schema), s"Schema $schema does not exist")
+    if (!cascade)
+      require(listTables(schema).isEmpty && listViews(schema).isEmpty,
+        s"Schema $schema is not empty (use CASCADE to drop its tables and views)")
+    val loc = schemaLocation(schema)
+    fs(loc).delete(loc, true)
+    val marker = new Path(s"$warehouse/$schema")
+    fs(marker).delete(marker, true)
+    locationCache.remove(schema)
+  }
+
   /** Tables of a schema: directories holding a commits.json. Views are
     * NOT listed here — [[listViews]] owns those (same split as Trino's
     * SHOW TABLES vs information_schema.views).

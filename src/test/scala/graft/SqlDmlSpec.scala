@@ -20,6 +20,36 @@ class SqlDmlSpec extends SparkSpec {
     e
   }
 
+  test("TRUNCATE TABLE empties the table, reports the count, keeps history") {
+    val e = freshEngine("dml-truncate")
+    val n = e.executeNonQuery(SqlStatement("TRUNCATE TABLE demo.t"))
+    assert(n == 4L)
+    assert(e.query(SqlStatement("SELECT count(*) AS n FROM demo.t")).as[Long].head() == 0L)
+    // pre-truncate snapshot still time-travel-visible
+    val snaps = e.catalog.snapshots("demo", "t")
+    assert(e.catalog.readAsOf("demo", "t", snaps.head.committedAtMillis).count() == 4L)
+  }
+
+  test("DROP SCHEMA: RESTRICT refuses a non-empty schema, CASCADE drops everything") {
+    val e = freshEngine("dml-dropschema")
+    e.executeNonQuery(SqlStatement("CREATE VIEW demo.v AS SELECT id FROM demo.t"))
+    intercept[GraftQueryException] { // RESTRICT default: table + view exist
+      e.executeNonQuery(SqlStatement("DROP SCHEMA demo"))
+    }
+    assert(e.catalog.schemaExists("demo"))
+    e.executeNonQuery(SqlStatement("DROP SCHEMA demo CASCADE"))
+    assert(!e.catalog.schemaExists("demo"))
+    assert(!e.catalog.tableExists("demo", "t"))
+    intercept[GraftQueryException] { // now gone
+      e.executeNonQuery(SqlStatement("DROP SCHEMA demo"))
+    }
+    assert(e.executeNonQuery(SqlStatement("DROP SCHEMA IF EXISTS demo")) == 0L)
+    // an empty schema drops without CASCADE
+    e.executeNonQuery(SqlStatement("CREATE SCHEMA empty_s"))
+    assert(e.executeNonQuery(SqlStatement("DROP SCHEMA empty_s RESTRICT")) == 0L)
+    assert(!e.catalog.schemaExists("empty_s"))
+  }
+
   test("DELETE FROM with WHERE returns the deleted count and commits a snapshot") {
     val e = freshEngine("dml-del")
     val n = e.executeNonQuery(SqlStatement("DELETE FROM demo.t WHERE qty >= 30"))
