@@ -41,8 +41,12 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
   def query(stmt: SqlStatement): DataFrame =
     try {
       graft.logging.Log.debug(log, "Executing statement: {0}", stmt.text)
-      introspectionQuery(stmt.text).getOrElse(
-        spark.sql(rewriteCatalogRefs(rewriteTimeTravel(rewriteMetadataRefs(stmt.text)))))
+      expandExecute(stmt.text) match {
+        case Some(expanded) => query(SqlStatement(expanded))
+        case None =>
+          introspectionQuery(stmt.text).getOrElse(
+            spark.sql(rewriteCatalogRefs(rewriteTimeTravel(rewriteMetadataRefs(stmt.text)))))
+      }
     } catch {
       // parse + analysis failures (ParseException extends AnalysisException)
       // → typed contract naming the statement, the parity point with the
@@ -88,13 +92,78 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
     * 01-test-data.sql); -1 when the row count is unknown.
     */
   def executeNonQuery(stmt: SqlStatement): Long =
-    tryDdl(stmt.text).orElse(tryInsert(stmt.text)).getOrElse {
-      val rows = query(stmt).collect()
-      if (rows.length == 1 && rows(0).length == 1) rows(0).get(0) match {
-        case n: Number => n.longValue()
-        case _         => -1L
-      } else -1L
-    }
+    trySession(stmt.text).getOrElse(
+      tryDdl(stmt.text).orElse(tryInsert(stmt.text)).getOrElse {
+        val rows = query(stmt).collect()
+        if (rows.length == 1 && rows(0).length == 1) rows(0).get(0) match {
+          case n: Number => n.longValue()
+          case _         => -1L
+        } else -1L
+      })
+
+  // ---- session statements: PREPARE / EXECUTE / DEALLOCATE (Trino's
+  //      server-side prepared statements; the client-side twin is the
+  //      params.Sql literal formatter) ----
+
+  private val preparedStatements =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val prepareRe =
+    """(?is)^\s*PREPARE\s+([A-Za-z_]\w*)\s+FROM\s+(.+?)\s*;?\s*$""".r
+  private val deallocateRe =
+    """(?is)^\s*DEALLOCATE\s+PREPARE\s+([A-Za-z_]\w*)\s*;?\s*$""".r
+  private val executeStmtRe =
+    """(?is)^\s*EXECUTE\s+([A-Za-z_]\w*)\s*(?:USING\s+(.+?))?\s*;?\s*$""".r
+
+  /** PREPARE name FROM <stmt> / DEALLOCATE PREPARE name; an EXECUTE that
+    * reaches the non-query surface expands and recurses (prepared DML —
+    * Trino allows preparing any statement).
+    */
+  private def trySession(sqlText: String): Option[Long] = sqlText match {
+    case prepareRe(name, body) =>
+      preparedStatements.put(name, body); Some(0L)
+    case deallocateRe(name) =>
+      if (preparedStatements.remove(name) == null)
+        throw new GraftQueryException(sqlText, s"Prepared statement $name does not exist")
+      Some(0L)
+    case executeStmtRe(_, _) =>
+      expandExecute(sqlText).map(t => executeNonQuery(SqlStatement(t)))
+    case _ => None
+  }
+
+  /** Expand `EXECUTE name [USING e1, e2, …]` against the prepared-
+    * statement store: each top-level `?` placeholder (never inside a
+    * string literal) substitutes the corresponding USING expression,
+    * parenthesized, positionally — Trino's EXECUTE…USING semantics.
+    * Returns None when the text is not an EXECUTE statement.
+    */
+  private def expandExecute(sqlText: String): Option[String] = sqlText match {
+    case executeStmtRe(name, using) =>
+      val body = Option(preparedStatements.get(name)).getOrElse(
+        throw new GraftQueryException(sqlText, s"Prepared statement $name does not exist"))
+      val args = Option(using).map(graft.catalog.DdlParser.splitArgs)
+        .getOrElse(Seq.empty)
+      val out = new StringBuilder
+      var inQuote = false
+      var i = 0
+      var argIdx = 0
+      while (i < body.length) {
+        val c = body.charAt(i)
+        if (c == '\'') { inQuote = !inQuote; out += c }
+        else if (c == '?' && !inQuote) {
+          if (argIdx >= args.length)
+            throw new GraftQueryException(sqlText,
+              s"EXECUTE $name: statement has more parameters than USING values (${args.length})")
+          out ++= s"(${args(argIdx)})"
+          argIdx += 1
+        } else out += c
+        i += 1
+      }
+      if (argIdx < args.length)
+        throw new GraftQueryException(sqlText,
+          s"EXECUTE $name: ${args.length} USING values but only $argIdx parameters")
+      Some(out.toString)
+    case _ => None
+  }
 
   private def tryDdl(sqlText: String): Option[Long] =
     (try graft.catalog.DdlParser.parse(sqlText)
@@ -388,6 +457,8 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
     """(?is)^\s*(?:DESCRIBE|DESC|SHOW\s+COLUMNS\s+(?:FROM|IN))\s+(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*;?\s*$""".r
   private val showCreateRe =
     """(?is)^\s*SHOW\s+CREATE\s+(TABLE|VIEW)\s+(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*;?\s*$""".r
+  private val showStatsRe =
+    """(?is)^\s*SHOW\s+STATS\s+FOR\s+(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*;?\s*$""".r
 
   /** SHOW SCHEMAS / SHOW TABLES / DESCRIBE against the snapshot catalog
     * (Trino's introspection statements). SHOW TABLES lists views too —
@@ -426,8 +497,70 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
         val text = catalog.viewSql(sch, v).getOrElse(
           throw new GraftQueryException(sql, s"View $sch.$v does not exist"))
         Some(Seq(s"CREATE VIEW $sch.$v AS $text").toDF("create_view"))
+      case showStatsRe(sch, tbl) =>
+        if (!catalog.tableExists(sch, tbl))
+          throw new GraftQueryException(sql, s"Table $sch.$tbl does not exist")
+        Some(showStats(sch, tbl))
       case _ => None
     }
+  }
+
+  /** SHOW STATS FOR t (Trino's stats surface): one row per column with
+    * approximate NDV, null fraction, and low/high values, plus the
+    * summary row carrying row_count and data_size — computed in a SINGLE
+    * aggregation pass over the current snapshot (every per-column
+    * statistic is one agg expression in one job), with byte size and the
+    * exact row count from the parquet footers ($files metadata, no
+    * second scan). Columns of non-atomic type (arrays/structs/binary)
+    * report only their null fraction, like engines that skip unsupported
+    * stats.
+    */
+  private def showStats(sch: String, tbl: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = catalog.readLatest(sch, tbl)
+    val atomic = df.schema.fields.map { f =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.MapType |
+             _: org.apache.spark.sql.types.StructType |
+             org.apache.spark.sql.types.BinaryType => f.name -> false
+        case _ => f.name -> true
+      }
+    }.toMap
+    val aggExprs = df.schema.fields.flatMap { f =>
+      val c = col(f.name)
+      val nulls = sum(when(c.isNull, 1L).otherwise(0L)).as(s"__n_${f.name}")
+      if (atomic(f.name))
+        Seq(nulls,
+          approx_count_distinct(c).as(s"__d_${f.name}"),
+          min(c).cast("string").as(s"__lo_${f.name}"),
+          max(c).cast("string").as(s"__hi_${f.name}"))
+      else Seq(nulls)
+    } :+ count(lit(1)).as("__rows")
+    val r = df.agg(aggExprs.head, aggExprs.tail.toIndexedSeq: _*).collect()(0)
+    val rows = r.getAs[Long]("__rows")
+    val dataSize = catalog.filesMeta(sch, tbl)
+      .agg(sum(col("file_size_in_bytes"))).collect()(0) match {
+        case row if row.isNullAt(0) => 0L
+        case row => row.getLong(0)
+      }
+    val colRows = df.schema.fields.map { f =>
+      val nulls = r.getAs[Long](s"__n_${f.name}")
+      val frac = if (rows == 0) 0.0 else nulls.toDouble / rows
+      if (atomic(f.name))
+        (f.name, Option.empty[Double],
+          Option(r.getAs[Long](s"__d_${f.name}")).map(_.toDouble),
+          Some(frac), Option.empty[Double],
+          Option(r.getAs[String](s"__lo_${f.name}")),
+          Option(r.getAs[String](s"__hi_${f.name}")))
+      else (f.name, Option.empty[Double], Option.empty[Double], Some(frac),
+        Option.empty[Double], Option.empty[String], Option.empty[String])
+    } :+ ((null: String, Some(dataSize.toDouble), Option.empty[Double],
+      Option.empty[Double], Some(rows.toDouble),
+      Option.empty[String], Option.empty[String]))
+    colRows.toSeq.toDF("column_name", "data_size", "distinct_values_count",
+      "nulls_fraction", "row_count", "low_value", "high_value")
   }
 
   /** Spark type → Trino type spelling (the inverse of DdlParser.sparkType;

@@ -391,6 +391,11 @@ object DdlParser {
     (s.trim, None)
   }
 
+  /** Public quote/paren-aware top-level comma split — EXECUTE…USING
+    * argument lists and other callers outside this parser.
+    */
+  def splitArgs(s: String): Seq[String] = splitQuotedTopLevel(s)
+
   /** [[splitTopLevel]] that also respects single-quoted literals (a comma
     * inside `'a,b'` does not split).
     */

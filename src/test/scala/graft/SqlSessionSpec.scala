@@ -1,0 +1,87 @@
+package graft
+
+import graft.params.SqlStatement
+
+/** Session statements: PREPARE / EXECUTE…USING / DEALLOCATE PREPARE
+  * (Trino's server-side prepared statements), SHOW STATS, and EXPLAIN
+  * passing through the catalog rewrites.
+  */
+class SqlSessionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshEngine(name: String): GraftEngine = {
+    val e = new GraftEngine(spark, tmpDir(name))
+    e.executeNonQuery(SqlStatement("CREATE TABLE demo.t (id bigint, v varchar)"))
+    e.executeNonQuery(SqlStatement(
+      "INSERT INTO demo.t VALUES (1, 'a'), (2, 'b'), (3, NULL), (3, 'c')"))
+    e
+  }
+
+  test("PREPARE / EXECUTE USING substitutes positional parameters outside literals") {
+    val e = freshEngine("sess-prepare")
+    e.executeNonQuery(SqlStatement(
+      "PREPARE q1 FROM SELECT id, v FROM demo.t WHERE id >= ? AND v <> '?' ORDER BY id, v"))
+    // the ? inside the string literal is NOT a parameter
+    val rows = e.query(SqlStatement("EXECUTE q1 USING 2"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((2L, "b"), (3L, "c")))
+    // re-execute with a different binding — same prepared text
+    assert(e.query(SqlStatement("EXECUTE q1 USING 3")).count() == 1L)
+    // expressions as arguments (Trino EXECUTE…USING takes expressions)
+    assert(e.query(SqlStatement("EXECUTE q1 USING 1 + 1")).count() == 2L)
+  }
+
+  test("EXECUTE errors: unknown name, arity mismatch; DEALLOCATE removes") {
+    val e = freshEngine("sess-errors")
+    intercept[GraftQueryException] {
+      e.query(SqlStatement("EXECUTE nope USING 1"))
+    }
+    e.executeNonQuery(SqlStatement("PREPARE q FROM SELECT * FROM demo.t WHERE id = ?"))
+    intercept[GraftQueryException] { // too few args
+      e.query(SqlStatement("EXECUTE q"))
+    }
+    intercept[GraftQueryException] { // too many args
+      e.query(SqlStatement("EXECUTE q USING 1, 2"))
+    }
+    e.executeNonQuery(SqlStatement("DEALLOCATE PREPARE q"))
+    intercept[GraftQueryException] {
+      e.query(SqlStatement("EXECUTE q USING 1"))
+    }
+    intercept[GraftQueryException] { // double dealloc
+      e.executeNonQuery(SqlStatement("DEALLOCATE PREPARE q"))
+    }
+  }
+
+  test("prepared DML executes through executeNonQuery with affected counts") {
+    val e = freshEngine("sess-dml")
+    e.executeNonQuery(SqlStatement(
+      "PREPARE del FROM DELETE FROM demo.t WHERE id = ?"))
+    assert(e.executeNonQuery(SqlStatement("EXECUTE del USING 3")) == 2L)
+    assert(e.query(SqlStatement("SELECT count(*) AS n FROM demo.t")).as[Long].head() == 2L)
+  }
+
+  test("SHOW STATS FOR t: per-column NDV/nulls/low/high plus the summary row") {
+    val e = freshEngine("sess-stats")
+    val stats = e.query(SqlStatement("SHOW STATS FOR demo.t")).collect()
+    val byCol = stats.filter(!_.isNullAt(0)).map(r => r.getString(0) -> r).toMap
+    assert(byCol.keySet == Set("id", "v"))
+    val id = byCol("id")
+    assert(id.getDouble(2) == 3.0) // NDV(id) = {1,2,3}
+    assert(id.getDouble(3) == 0.0) // no NULL ids
+    assert(id.getString(5) == "1" && id.getString(6) == "3") // low/high
+    val v = byCol("v")
+    assert(v.getDouble(3) == 0.25) // 1 of 4 values NULL
+    assert(v.getString(5) == "a" && v.getString(6) == "c")
+    val summary = stats.filter(_.isNullAt(0))
+    assert(summary.length == 1)
+    assert(summary.head.getDouble(4) == 4.0) // row_count
+    assert(summary.head.getDouble(1) > 0.0)  // data_size from footers
+  }
+
+  test("EXPLAIN passes through the catalog rewrites and returns a plan") {
+    val e = freshEngine("sess-explain")
+    val plan = e.query(SqlStatement("EXPLAIN SELECT id FROM demo.t WHERE id = 2"))
+      .as[String].head()
+    assert(plan.contains("Physical Plan"))
+  }
+}
