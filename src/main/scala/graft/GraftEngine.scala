@@ -196,6 +196,11 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
           if (ifExists) 0L
           else throw new GraftQueryException(sqlText, s"Table $schema.$table does not exist")
         } else { catalog.dropTable(schema, table); 0L }
+      case graft.catalog.CommentStmt(schema, table, column, comment) =>
+        requireCatalogTable(sqlText, schema, table)
+        try { catalog.setComment(schema, table, column, comment); 0L }
+        catch { case e: IllegalArgumentException =>
+          throw new GraftQueryException(sqlText, e.getMessage, e) }
       case graft.catalog.DropSchemaStmt(schema, ifExists, cascade) =>
         if (!catalog.schemaExists(schema)) {
           if (ifExists) 0L
@@ -479,8 +484,12 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
           else if (catalog.viewExists(sch, tbl))
             query(SqlStatement(catalog.viewSql(sch, tbl).get)).schema.fields.toSeq
           else throw new GraftQueryException(sql, s"Table or view $sch.$tbl does not exist")
-        Some(fields.map(f => (f.name, f.dataType.sql.toLowerCase, f.nullable))
-          .toDF("column_name", "data_type", "nullable"))
+        val colComments =
+          if (catalog.tableExists(sch, tbl)) catalog.comments(sch, tbl)._2
+          else Map.empty[String, String]
+        Some(fields.map(f => (f.name, f.dataType.sql.toLowerCase, f.nullable,
+            colComments.get(f.name.toLowerCase).orNull))
+          .toDF("column_name", "data_type", "nullable", "comment"))
       case showCreateRe(kind, sch, tbl) if kind.equalsIgnoreCase("TABLE") =>
         val columns = catalog.declaredSchema(sch, tbl).getOrElse(
           throw new GraftQueryException(sql, s"Table $sch.$tbl does not exist"))

@@ -35,6 +35,12 @@ final case class AlterExecuteStmt(schema: String, table: String,
 
 final case class DropSchemaStmt(schema: String, ifExists: Boolean,
                                 cascade: Boolean) extends DdlStatement
+/** `COMMENT ON TABLE sch.t IS '…'|NULL` / `COMMENT ON COLUMN sch.t.c IS …`
+  * (Trino comment surface); `comment` None = clear (IS NULL).
+  */
+final case class CommentStmt(schema: String, table: String,
+                             column: Option[String],
+                             comment: Option[String]) extends DdlStatement
 final case class TruncateStmt(schema: String, table: String) extends DdlStatement
 final case class CreateViewStmt(schema: String, view: String,
                                 select: String, orReplace: Boolean) extends DdlStatement
@@ -82,6 +88,8 @@ object DdlParser {
     """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+(.+?)\s*;?\s*$""".r
   private val dropTableRe =
     """(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$""".r
+  private val commentRe =
+    """(?is)^\s*COMMENT\s+ON\s+(TABLE|COLUMN)\s+([\w.]+)\s+IS\s+('(?:[^']|'')*'|NULL)\s*;?\s*$""".r
   private val dropSchemaRe =
     """(?is)^\s*DROP\s+SCHEMA\s+(IF\s+EXISTS\s+)?([\w.]+?)\s*(CASCADE|RESTRICT)?\s*;?\s*$""".r
   private val truncateRe =
@@ -124,6 +132,20 @@ object DdlParser {
     case dropTableRe(ie, name) =>
       val (sch, tbl) = tableOf(name)
       Some(DropTableStmt(sch, tbl, ie != null))
+    case commentRe(kind, name, value) =>
+      val comment =
+        if (value.equalsIgnoreCase("NULL")) None
+        else Some(value.stripPrefix("'").stripSuffix("'").replace("''", "'"))
+      if (kind.equalsIgnoreCase("TABLE")) {
+        val (sch, tbl) = tableOf(name)
+        Some(CommentStmt(sch, tbl, None, comment))
+      } else {
+        val parts = name.split('.')
+        require(parts.length >= 3,
+          s"COMMENT ON COLUMN expects [catalog.]schema.table.column, got: $name")
+        Some(CommentStmt(parts(parts.length - 3), parts(parts.length - 2),
+          Some(parts.last), comment))
+      }
     case dropSchemaRe(ie, name, mode) =>
       Some(DropSchemaStmt(schemaOf(name), ie != null,
         mode != null && mode.equalsIgnoreCase("CASCADE")))

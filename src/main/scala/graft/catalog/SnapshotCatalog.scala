@@ -509,6 +509,46 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       .filter(t => tableExists(schema, t)).sorted.toSeq
   }
 
+  // ---- comments (Trino COMMENT ON TABLE/COLUMN; `_comments.json`) ----
+
+  private def commentsPath(schema: String, table: String) =
+    new Path(tableDir(schema, table), "_comments.json")
+
+  /** Set or clear (None) the table comment or a column's comment. */
+  def setComment(schema: String, table: String, column: Option[String],
+                 comment: Option[String]): Unit = synchronized {
+    require(tableExists(schema, table), s"Table $schema.$table does not exist")
+    column.foreach(c => require(
+      declaredSchema(schema, table).exists(_.fieldNames.exists(_.equalsIgnoreCase(c))),
+      s"Column $c does not exist in $schema.$table"))
+    val (tblC, colC) = comments(schema, table)
+    val (newTbl, newCols) = column match {
+      case None => (comment, colC)
+      case Some(c) =>
+        (tblC, comment match {
+          case Some(v) => colC + (c.toLowerCase -> v)
+          case None => colC - c.toLowerCase
+        })
+    }
+    val o = mapper.createObjectNode()
+    newTbl.foreach(o.put("table", _))
+    val cn = o.putObject("columns")
+    newCols.foreach { case (k, v) => cn.put(k, v) }
+    writeString(commentsPath(schema, table), mapper.writeValueAsString(o))
+  }
+
+  /** (table comment, column comments keyed by lowercase name). */
+  def comments(schema: String, table: String): (Option[String], Map[String, String]) = {
+    val p = commentsPath(schema, table)
+    if (!fs(p).exists(p)) return (None, Map.empty)
+    val root = mapper.readTree(readString(p))
+    val tbl = Option(root.get("table")).filterNot(_.isNull).map(_.asText)
+    val cols = Option(root.get("columns")).map { cn =>
+      cn.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+    }.getOrElse(Map.empty[String, String])
+    (tbl, cols)
+  }
+
   // ---- views (logical, SQL-text persisted — Trino CREATE VIEW) ----
 
   private def viewPath(schema: String, view: String) =
@@ -755,7 +795,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val dir = tableDir(schema, table)
     val f = fs(dir)
     val referenced = readCommits(schema, table).flatMap(_.dirs).toSet
-    val keep = referenced ++ Set("commits.json", "_table_schema.json", "_partition_spec.json")
+    val keep = referenced ++
+      Set("commits.json", "_table_schema.json", "_partition_spec.json", "_comments.json")
     val orphans = f.listStatus(dir)
       .map(_.getPath)
       .filterNot(p => keep.contains(p.getName))

@@ -78,6 +78,26 @@ class SqlSessionSpec extends SparkSpec {
     assert(summary.head.getDouble(1) > 0.0)  // data_size from footers
   }
 
+  test("COMMENT ON TABLE/COLUMN persists; DESCRIBE surfaces column comments") {
+    val e = freshEngine("sess-comments")
+    e.executeNonQuery(SqlStatement("COMMENT ON TABLE demo.t IS 'fact table'"))
+    e.executeNonQuery(SqlStatement("COMMENT ON COLUMN demo.t.id IS 'pk, it''s unique'"))
+    assert(e.catalog.comments("demo", "t") ==
+      ((Some("fact table"), Map("id" -> "pk, it's unique"))))
+    val desc = e.query(SqlStatement("DESCRIBE demo.t"))
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(desc("id") == "pk, it's unique" && desc("v") == null)
+    // IS NULL clears; unknown column is the typed error
+    e.executeNonQuery(SqlStatement("COMMENT ON COLUMN demo.t.id IS NULL"))
+    assert(e.catalog.comments("demo", "t")._2.isEmpty)
+    intercept[GraftQueryException] {
+      e.executeNonQuery(SqlStatement("COMMENT ON COLUMN demo.t.nope IS 'x'"))
+    }
+    // comments survive the orphan-file sweep
+    e.executeNonQuery(SqlStatement("ALTER TABLE demo.t EXECUTE remove_orphan_files"))
+    assert(e.catalog.comments("demo", "t")._1.contains("fact table"))
+  }
+
   test("EXPLAIN passes through the catalog rewrites and returns a plan") {
     val e = freshEngine("sess-explain")
     val plan = e.query(SqlStatement("EXPLAIN SELECT id FROM demo.t WHERE id = 2"))
