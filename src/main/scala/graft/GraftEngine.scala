@@ -455,9 +455,20 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
 
   // ---- catalog introspection SQL (Trino SHOW / DESCRIBE client surface) ----
 
-  private val showSchemasRe = """(?is)^\s*SHOW\s+SCHEMAS\s*;?\s*$""".r
+  private val showSchemasRe =
+    """(?is)^\s*SHOW\s+SCHEMAS\s*(?:LIKE\s+'([^']*)')?\s*;?\s*$""".r
   private val showTablesRe =
-    """(?is)^\s*SHOW\s+TABLES\s+(?:FROM|IN)\s+(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\s*;?\s*$""".r
+    """(?is)^\s*SHOW\s+TABLES\s+(?:FROM|IN)\s+(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\s*(?:LIKE\s+'([^']*)')?\s*;?\s*$""".r
+
+  /** SQL LIKE pattern (%/_ wildcards) → anchored regex, literal-safe. */
+  private def likeMatches(pattern: String, s: String): Boolean = {
+    val rx = pattern.map {
+      case '%' => ".*"
+      case '_' => "."
+      case c => java.util.regex.Pattern.quote(c.toString)
+    }.mkString
+    s.matches(rx)
+  }
   private val describeRe =
     """(?is)^\s*(?:DESCRIBE|DESC|SHOW\s+COLUMNS\s+(?:FROM|IN))\s+(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*;?\s*$""".r
   private val showCreateRe =
@@ -473,10 +484,14 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
   private def introspectionQuery(sql: String): Option[DataFrame] = {
     import spark.implicits._
     sql match {
-      case showSchemasRe() =>
-        Some(catalog.listSchemas().toDF("schema_name"))
-      case showTablesRe(sch) =>
-        Some((catalog.listTables(sch) ++ catalog.listViews(sch)).sorted.toDF("table_name"))
+      case showSchemasRe(like) =>
+        val all = catalog.listSchemas()
+        Some(Option(like).map(p => all.filter(likeMatches(p, _)))
+          .getOrElse(all).toDF("schema_name"))
+      case showTablesRe(sch, like) =>
+        val all = (catalog.listTables(sch) ++ catalog.listViews(sch)).sorted
+        Some(Option(like).map(p => all.filter(likeMatches(p, _)))
+          .getOrElse(all).toDF("table_name"))
       case describeRe(sch, tbl) =>
         val fields =
           if (catalog.tableExists(sch, tbl))

@@ -98,6 +98,17 @@ class SqlSessionSpec extends SparkSpec {
     assert(e.catalog.comments("demo", "t")._1.contains("fact table"))
   }
 
+  test("SHOW SCHEMAS/TABLES LIKE filters with SQL wildcards, literally-quoted rest") {
+    val e = freshEngine("sess-like")
+    e.executeNonQuery(SqlStatement("CREATE TABLE demo.t_aux (x bigint)"))
+    e.executeNonQuery(SqlStatement("CREATE SCHEMA other"))
+    assert(e.query(SqlStatement("SHOW SCHEMAS LIKE 'de%'"))
+      .as[String].collect().toSeq == Seq("demo"))
+    assert(e.query(SqlStatement("SHOW TABLES FROM demo LIKE 't_au_'"))
+      .as[String].collect().toSeq == Seq("t_aux"))
+    assert(e.query(SqlStatement("SHOW TABLES FROM demo LIKE 'zzz%'")).count() == 0L)
+  }
+
   test("EXPLAIN passes through the catalog rewrites and returns a plan") {
     val e = freshEngine("sess-explain")
     val plan = e.query(SqlStatement("EXPLAIN SELECT id FROM demo.t WHERE id = 2"))
