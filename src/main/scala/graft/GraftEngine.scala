@@ -32,6 +32,17 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
   val catalog = new SnapshotCatalog(spark, warehouse)
   val storage = new StorageOps(spark.sparkContext.hadoopConfiguration)
   private val unloader = new Unloader(spark)
+
+  /** Session default schema (the reference session carries
+    * ClientSessionProperties { Catalog, Schema } so unqualified names
+    * resolve — AthenaClient.cs:37-45). Set via `USE [catalog.]<schema>`;
+    * every unqualified table name in queries, DML, and DDL resolves
+    * against it. Starts at `default`, Trino's usual fallback.
+    */
+  @volatile private var sessionSchema: String = "default"
+
+  /** The schema unqualified names currently resolve against. */
+  def currentSchema: String = sessionSchema
   // structured-logging surface ("What's missing" r3 #2): level-guarded,
   // so the disabled default costs one boolean per statement
   private val log = graft.logging.Log(classOf[GraftEngine])
@@ -45,7 +56,8 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
         case Some(expanded) => query(SqlStatement(expanded))
         case None =>
           introspectionQuery(stmt.text).getOrElse(
-            spark.sql(rewriteCatalogRefs(rewriteTimeTravel(rewriteMetadataRefs(stmt.text)))))
+            spark.sql(rewriteBareRefs(rewriteCatalogRefs(
+              rewriteTimeTravel(rewriteMetadataRefs(stmt.text))))))
       }
     } catch {
       // parse + analysis failures (ParseException extends AnalysisException)
@@ -113,12 +125,22 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
     """(?is)^\s*DEALLOCATE\s+PREPARE\s+([A-Za-z_]\w*)\s*;?\s*$""".r
   private val executeStmtRe =
     """(?is)^\s*EXECUTE\s+([A-Za-z_]\w*)\s*(?:USING\s+(.+?))?\s*;?\s*$""".r
+  private val useRe =
+    """(?is)^\s*USE\s+(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\s*;?\s*$""".r
 
   /** PREPARE name FROM <stmt> / DEALLOCATE PREPARE name; an EXECUTE that
     * reaches the non-query surface expands and recurses (prepared DML —
     * Trino allows preparing any statement).
     */
   private def trySession(sqlText: String): Option[Long] = sqlText match {
+    case useRe(schema) =>
+      // USE [catalog.]<schema> — Trino's session-schema statement; a
+      // leading catalog qualifier is accepted and dropped like everywhere
+      // else in this engine. The schema must exist (Trino errors too).
+      if (!catalog.schemaExists(schema))
+        throw new GraftQueryException(sqlText, s"Schema $schema does not exist")
+      sessionSchema = schema
+      Some(0L)
     case prepareRe(name, body) =>
       preparedStatements.put(name, body); Some(0L)
     case deallocateRe(name) =>
@@ -166,7 +188,7 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
   }
 
   private def tryDdl(sqlText: String): Option[Long] =
-    (try graft.catalog.DdlParser.parse(sqlText)
+    (try graft.catalog.DdlParser.parse(sqlText, sessionSchema)
      catch { case e: IllegalArgumentException =>
        throw new GraftQueryException(sqlText, s"Malformed DDL: ${e.getMessage}", e) })
     .map {
@@ -358,9 +380,9 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
   }
 
   private val insertRe =
-    """(?is)^\s*INSERT\s+INTO\s+(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s+VALUES\s+(.+)$""".r
+    """(?is)^\s*INSERT\s+INTO\s+(?:(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\.)?([A-Za-z_]\w*)\s+VALUES\s+(.+)$""".r
   private val insertSelectRe =
-    """(?is)^\s*INSERT\s+INTO\s+(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s+((?:SELECT|WITH)\s+.+)$""".r
+    """(?is)^\s*INSERT\s+INTO\s+(?:(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\.)?([A-Za-z_]\w*)\s+((?:SELECT|WITH)\s+.+)$""".r
 
   /** `INSERT INTO [catalog.]<schema>.<table> VALUES (…),(…)` → snapshot
     * commit (a leading catalog qualifier, the reference's `iceberg.`, is
@@ -371,13 +393,20 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
     * (AthenaClientTests.cs:351-364).
     */
   private def tryInsert(sqlText: String): Option[Long] = sqlText match {
-    case insertRe(schemaName, tableName, values) if catalog.tableExists(schemaName, tableName) =>
-      Some(commitInsert(schemaName, tableName,
-        spark.sql(s"SELECT * FROM VALUES ${values.stripSuffix(";")}")))
-    case insertSelectRe(schemaName, tableName, select) if catalog.tableExists(schemaName, tableName) =>
+    case insertRe(schemaName0, tableName, values) =>
+      // an unqualified name resolves against the session schema
+      val schemaName = Option(schemaName0).getOrElse(sessionSchema)
+      if (catalog.tableExists(schemaName, tableName))
+        Some(commitInsert(schemaName, tableName,
+          spark.sql(s"SELECT * FROM VALUES ${values.stripSuffix(";")}")))
+      else None
+    case insertSelectRe(schemaName0, tableName, select) =>
+      val schemaName = Option(schemaName0).getOrElse(sessionSchema)
       // INSERT INTO … SELECT: the source query goes through the full query
       // surface (catalog refs + time travel resolve inside it too)
-      Some(commitInsert(schemaName, tableName, query(SqlStatement(select.stripSuffix(";")))))
+      if (catalog.tableExists(schemaName, tableName))
+        Some(commitInsert(schemaName, tableName, query(SqlStatement(select.stripSuffix(";")))))
+      else None
     case _ => None
   }
 
@@ -458,7 +487,7 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
   private val showSchemasRe =
     """(?is)^\s*SHOW\s+SCHEMAS\s*(?:LIKE\s+'([^']*)')?\s*;?\s*$""".r
   private val showTablesRe =
-    """(?is)^\s*SHOW\s+TABLES\s+(?:FROM|IN)\s+(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\s*(?:LIKE\s+'([^']*)')?\s*;?\s*$""".r
+    """(?is)^\s*SHOW\s+TABLES\s*(?:(?:FROM|IN)\s+(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*))?\s*(?:LIKE\s+'([^']*)')?\s*;?\s*$""".r
 
   /** SQL LIKE pattern (%/_ wildcards) → anchored regex, literal-safe. */
   private def likeMatches(pattern: String, s: String): Boolean = {
@@ -470,11 +499,11 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
     s.matches(rx)
   }
   private val describeRe =
-    """(?is)^\s*(?:DESCRIBE|DESC|SHOW\s+COLUMNS\s+(?:FROM|IN))\s+(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*;?\s*$""".r
+    """(?is)^\s*(?:DESCRIBE|DESC|SHOW\s+COLUMNS\s+(?:FROM|IN))\s+(?:(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\.)?([A-Za-z_]\w*)\s*;?\s*$""".r
   private val showCreateRe =
-    """(?is)^\s*SHOW\s+CREATE\s+(TABLE|VIEW)\s+(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*;?\s*$""".r
+    """(?is)^\s*SHOW\s+CREATE\s+(TABLE|VIEW)\s+(?:(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\.)?([A-Za-z_]\w*)\s*;?\s*$""".r
   private val showStatsRe =
-    """(?is)^\s*SHOW\s+STATS\s+FOR\s+(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*;?\s*$""".r
+    """(?is)^\s*SHOW\s+STATS\s+FOR\s+(?:(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\.)?([A-Za-z_]\w*)\s*;?\s*$""".r
 
   /** SHOW SCHEMAS / SHOW TABLES / DESCRIBE against the snapshot catalog
     * (Trino's introspection statements). SHOW TABLES lists views too —
@@ -488,11 +517,18 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
         val all = catalog.listSchemas()
         Some(Option(like).map(p => all.filter(likeMatches(p, _)))
           .getOrElse(all).toDF("schema_name"))
-      case showTablesRe(sch, like) =>
+      case showTablesRe(sch0, like) =>
+        val sch = Option(sch0).getOrElse(sessionSchema)
         val all = (catalog.listTables(sch) ++ catalog.listViews(sch)).sorted
         Some(Option(like).map(p => all.filter(likeMatches(p, _)))
           .getOrElse(all).toDF("table_name"))
-      case describeRe(sch, tbl) =>
+      case describeRe(sch0, tbl)
+          // a bare name the catalog doesn't own falls through to Spark
+          // (DESCRIBE of a Spark temp view keeps working under USE)
+          if sch0 != null ||
+            catalog.tableExists(sessionSchema, tbl) ||
+            catalog.viewExists(sessionSchema, tbl) =>
+        val sch = Option(sch0).getOrElse(sessionSchema)
         val fields =
           if (catalog.tableExists(sch, tbl))
             catalog.declaredSchema(sch, tbl).map(_.fields.toSeq).getOrElse(Seq.empty)
@@ -505,7 +541,8 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
         Some(fields.map(f => (f.name, f.dataType.sql.toLowerCase, f.nullable,
             colComments.get(f.name.toLowerCase).orNull))
           .toDF("column_name", "data_type", "nullable", "comment"))
-      case showCreateRe(kind, sch, tbl) if kind.equalsIgnoreCase("TABLE") =>
+      case showCreateRe(kind, sch0, tbl) if kind.equalsIgnoreCase("TABLE") =>
+        val sch = Option(sch0).getOrElse(sessionSchema)
         val columns = catalog.declaredSchema(sch, tbl).getOrElse(
           throw new GraftQueryException(sql, s"Table $sch.$tbl does not exist"))
         val cols = columns.fields.map(f => s"   ${f.name} ${trinoType(f.dataType)}")
@@ -517,11 +554,13 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
           else Nil)
         val ddl = s"CREATE TABLE $sch.$tbl (\n$cols\n)\nWITH (\n${props.mkString(",\n")}\n)"
         Some(Seq(ddl).toDF("create_table"))
-      case showCreateRe(_, sch, v) => // VIEW
+      case showCreateRe(_, sch0, v) => // VIEW
+        val sch = Option(sch0).getOrElse(sessionSchema)
         val text = catalog.viewSql(sch, v).getOrElse(
           throw new GraftQueryException(sql, s"View $sch.$v does not exist"))
         Some(Seq(s"CREATE VIEW $sch.$v AS $text").toDF("create_view"))
-      case showStatsRe(sch, tbl) =>
+      case showStatsRe(sch0, tbl) =>
+        val sch = Option(sch0).getOrElse(sessionSchema)
         if (!catalog.tableExists(sch, tbl))
           throw new GraftQueryException(sql, s"Table $sch.$tbl does not exist")
         Some(showStats(sch, tbl))
@@ -685,6 +724,27 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
     */
   private val viewDepth = ThreadLocal.withInitial[Integer](() => 0)
 
+  /** Resolve `sch.tbl` against the snapshot catalog: a data table becomes
+    * a temp view over its latest snapshot; a catalog view expands its
+    * defining SQL (depth-guarded). None when the catalog doesn't own the
+    * name. Shared by the qualified- and bare-name rewrites.
+    */
+  private def resolveCatalogName(sql: String, sch: String, tbl: String): Option[String] =
+    if (catalog.tableExists(sch, tbl)) {
+      val view = s"_cat_${sch}_${tbl}_${nameTag(sch, tbl)}"
+      catalog.readLatest(sch, tbl).createOrReplaceTempView(view)
+      Some(view)
+    } else if (catalog.viewExists(sch, tbl)) {
+      if (viewDepth.get() >= 16)
+        throw new GraftQueryException(sql,
+          s"View expansion exceeded depth 16 at $sch.$tbl — definition cycle?")
+      val view = s"_catv_${sch}_${tbl}_${nameTag(sch, tbl)}"
+      viewDepth.set(viewDepth.get() + 1)
+      try query(SqlStatement(catalog.viewSql(sch, tbl).get)).createOrReplaceTempView(view)
+      finally viewDepth.set(viewDepth.get() - 1)
+      Some(view)
+    } else None
+
   private[graft] def rewriteCatalogRefs(sql: String): String = {
     val spans = literalSpans(sql)
     catalogRefRe.replaceAllIn(sql, m => {
@@ -692,20 +752,33 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
       val keyword = m.matched.substring(0, m.matched.length - m.group(1).length)
       if (overlapsLiteral(spans, m.start, m.end))
         java.util.regex.Matcher.quoteReplacement(m.matched)
-      else if (catalog.tableExists(sch, tbl)) {
-        val view = s"_cat_${sch}_${tbl}_${nameTag(sch, tbl)}"
-        catalog.readLatest(sch, tbl).createOrReplaceTempView(view)
-        java.util.regex.Matcher.quoteReplacement(keyword + view)
-      } else if (catalog.viewExists(sch, tbl)) {
-        if (viewDepth.get() >= 16)
-          throw new GraftQueryException(sql,
-            s"View expansion exceeded depth 16 at $sch.$tbl — definition cycle?")
-        val view = s"_catv_${sch}_${tbl}_${nameTag(sch, tbl)}"
-        viewDepth.set(viewDepth.get() + 1)
-        try query(SqlStatement(catalog.viewSql(sch, tbl).get)).createOrReplaceTempView(view)
-        finally viewDepth.set(viewDepth.get() - 1)
-        java.util.regex.Matcher.quoteReplacement(keyword + view)
-      } else java.util.regex.Matcher.quoteReplacement(m.matched)
+      else resolveCatalogName(sql, sch, tbl) match {
+        case Some(view) => java.util.regex.Matcher.quoteReplacement(keyword + view)
+        case None => java.util.regex.Matcher.quoteReplacement(m.matched)
+      }
+    })
+  }
+
+  /** `FROM/JOIN <bare-name>` under the session schema (Trino resolves
+    * unqualified names against ClientSessionProperties.Schema — reference
+    * AthenaClient.cs:37-45). Runs AFTER [[rewriteCatalogRefs]] consumed
+    * the qualified spellings. A bare name the catalog doesn't own in the
+    * session schema (Spark temp views, VALUES, table functions `f(…)`,
+    * metadata refs `t$kind`) passes through untouched.
+    */
+  private val bareRefRe =
+    """(?i)\b(FROM|JOIN)\s+([A-Za-z_]\w*)\b(?!\s*[.($])""".r
+
+  private[graft] def rewriteBareRefs(sql: String): String = {
+    val spans = literalSpans(sql)
+    bareRefRe.replaceAllIn(sql, m => {
+      val (kw, tbl) = (m.group(1), m.group(2))
+      if (overlapsLiteral(spans, m.start, m.end))
+        java.util.regex.Matcher.quoteReplacement(m.matched)
+      else resolveCatalogName(sql, sessionSchema, tbl) match {
+        case Some(view) => java.util.regex.Matcher.quoteReplacement(s"$kw $view")
+        case None => java.util.regex.Matcher.quoteReplacement(m.matched)
+      }
     })
   }
 
@@ -754,7 +827,7 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
         val parts = m.group(1).split("\\.")
         val (sch, tbl) =
           if (parts.length >= 2) (parts(parts.length - 2), parts.last)
-          else ("default", parts(0))
+          else (sessionSchema, parts(0))
         val id = m.group(2).toLong
         val view = s"_tv_${sch}_${tbl}_${nameTag(sch, tbl)}_$id"
         try catalog.readVersion(sch, tbl, id).createOrReplaceTempView(view)
@@ -769,7 +842,7 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
       val parts = m.group(1).split("\\.")
       val (sch, tbl) =
         if (parts.length >= 2) (parts(parts.length - 2), parts.last)
-        else ("default", parts(0))
+        else (sessionSchema, parts(0))
       val ts = java.time.LocalDateTime.parse(m.group(2).trim.replace(" ", "T"))
         .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
       val view = s"_tt_${sch}_${tbl}_${nameTag(sch, tbl)}_$ts"

@@ -90,8 +90,11 @@ object DdlParser {
     """(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$""".r
   private val commentRe =
     """(?is)^\s*COMMENT\s+ON\s+(TABLE|COLUMN)\s+([\w.]+)\s+IS\s+('(?:[^']|'')*'|NULL)\s*;?\s*$""".r
+  // the mode keyword REQUIRES a preceding whitespace separator: a lazy
+  // name + \s* would parse `DROP SCHEMA foo_cascade` as dropping `foo_`
+  // WITH CASCADE — a destructive statement aimed at the wrong schema
   private val dropSchemaRe =
-    """(?is)^\s*DROP\s+SCHEMA\s+(IF\s+EXISTS\s+)?([\w.]+?)\s*(CASCADE|RESTRICT)?\s*;?\s*$""".r
+    """(?is)^\s*DROP\s+SCHEMA\s+(IF\s+EXISTS\s+)?([\w.]+?)(?:\s+(CASCADE|RESTRICT))?\s*;?\s*$""".r
   private val truncateRe =
     """(?is)^\s*TRUNCATE\s+TABLE\s+([\w.]+)\s*;?\s*$""".r
   private val createViewRe =
@@ -113,13 +116,21 @@ object DdlParser {
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+EXECUTE\s+(\w+)\s*(?:\(\s*(.*?)\s*\))?\s*;?\s*$""".r
 
   /** Parse one statement; None when the text is not DDL this layer owns
-    * (the caller then falls through to Catalyst).
+    * (the caller then falls through to Catalyst). Unqualified table names
+    * resolve against `defaultSchema` — the engine threads its session
+    * default here (Trino's session schema, reference
+    * AthenaClient.cs:37-45 ClientSessionProperties).
     */
-  def parse(sqlText: String): Option[DdlStatement] =
-    if ("""(?is)^\s*MERGE\s+INTO\s.*""".r.matches(sqlText)) Some(parseMerge(sqlText))
-    else parseNonMerge(sqlText)
+  def parse(sqlText: String, defaultSchema: String = "default"): Option[DdlStatement] =
+    if ("""(?is)^\s*MERGE\s+INTO\s.*""".r.matches(sqlText))
+      Some(parseMerge(sqlText, defaultSchema))
+    else parseNonMerge(sqlText, defaultSchema)
 
-  private def parseNonMerge(sqlText: String): Option[DdlStatement] = sqlText match {
+  private def parseNonMerge(sqlText: String,
+                            defaultSchema: String): Option[DdlStatement] = {
+    def tableOf(name: String): (String, String) =
+      DdlParser.tableOf(name, defaultSchema)
+    sqlText match {
     case createSchemaRe(ine, name, loc) =>
       Some(CreateSchemaStmt(schemaOf(name), ine != null, Option(loc)))
     case createTableRe(ine, name, cols, props) =>
@@ -141,10 +152,13 @@ object DdlParser {
         Some(CommentStmt(sch, tbl, None, comment))
       } else {
         val parts = name.split('.')
-        require(parts.length >= 3,
-          s"COMMENT ON COLUMN expects [catalog.]schema.table.column, got: $name")
-        Some(CommentStmt(parts(parts.length - 3), parts(parts.length - 2),
-          Some(parts.last), comment))
+        require(parts.length >= 2,
+          s"COMMENT ON COLUMN expects [[catalog.]schema.]table.column, got: $name")
+        if (parts.length >= 3)
+          Some(CommentStmt(parts(parts.length - 3), parts(parts.length - 2),
+            Some(parts.last), comment))
+        else // table.column — the session default schema owns the table
+          Some(CommentStmt(defaultSchema, parts(0), Some(parts(1)), comment))
       }
     case dropSchemaRe(ie, name, mode) =>
       Some(DropSchemaStmt(schemaOf(name), ie != null,
@@ -216,7 +230,7 @@ object DdlParser {
         }.toMap).getOrElse(Map.empty)
       Some(AlterExecuteStmt(sch, tbl, proc.toLowerCase, argMap))
     case _ => None
-  }
+  }}
 
   // ---- MERGE INTO (Trino Iceberg's third DML verb) ----
 
@@ -250,14 +264,14 @@ object DdlParser {
     * freely; a bare (unparenthesized) CASE expression inside a clause's
     * AND-condition is the one unsupported spelling — parenthesize it.
     */
-  private def parseMerge(sqlText: String): MergeStmt = {
+  private def parseMerge(sqlText: String, defaultSchema: String): MergeStmt = {
     val text = sqlText.trim.stripSuffix(";")
     val headRe = """(?is)^\s*MERGE\s+INTO\s+([\w.]+)\s+(.*)$""".r
     val (name, afterTarget) = text match {
       case headRe(n, rest) => (n, rest.trim)
       case _ => throw new IllegalArgumentException(s"Malformed MERGE INTO: $text")
     }
-    val (sch, tbl) = tableOf(name)
+    val (sch, tbl) = tableOf(name, defaultSchema)
     // optional target alias before USING
     val usingIdx = topLevelKeywordIndex(afterTarget, "USING")
     require(usingIdx >= 0, "MERGE requires a USING clause")
@@ -494,13 +508,13 @@ object DdlParser {
   /** `[catalog.]schema` → schema. */
   private def schemaOf(name: String): String = name.split('.').last
 
-  /** `[catalog.]schema.table` → (schema, table); a bare name lands in
-    * `default`.
+  /** `[catalog.]schema.table` → (schema, table); a bare name lands in the
+    * session default schema.
     */
-  private def tableOf(name: String): (String, String) = {
+  private def tableOf(name: String, defaultSchema: String): (String, String) = {
     val parts = name.split('.')
     if (parts.length >= 2) (parts(parts.length - 2), parts.last)
-    else ("default", parts.head)
+    else (defaultSchema, parts.head)
   }
 
   /** Split a column-definition list on top-level commas (nesting-aware, so
