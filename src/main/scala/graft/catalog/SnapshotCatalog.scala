@@ -14,7 +14,21 @@ import scala.jdk.CollectionConverters._
   * logs → falls back to the current declared schema).
   */
 final case class Snapshot(snapshotId: Long, committedAtMillis: Long, dirs: Seq[String],
-                          schemaJson: Option[String] = None)
+                          schemaJson: Option[String] = None,
+                          operation: Option[String] = None)
+
+/** A commit lost the optimistic-concurrency race: another writer advanced
+  * the table's commit-log generation between this writer's read and its
+  * commit attempt. The table state is untouched by the loser — retry from
+  * a fresh read. This is the Nessie/Iceberg optimistic-commit contract the
+  * reference stack provides (reference
+  * tests/IntegrationTests/TrinoConfigurationProvider.cs:45-47).
+  */
+final class CommitConflictException(val schema: String, val table: String,
+                                    val expectedGen: Long)
+  extends RuntimeException(
+    s"Concurrent commit detected on $schema.$table: generation ${expectedGen + 1} " +
+      "already exists (another writer committed first); retry from a fresh read")
 
 /** Resolved MERGE clause actions ([[SnapshotCatalog.mergeInto]]): the
   * engine parses the SQL-text conditions/expressions into Columns, the
@@ -120,7 +134,10 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     if (partitionedBy.nonEmpty)
       writeString(new Path(dir, "_partition_spec.json"),
         partitionedBy.mkString("\n"))
+    // commits.json stays as the cheap existence marker (tableExists probes
+    // it); the versioned generation files carry the actual log
     writeString(new Path(dir, "commits.json"), "[]")
+    writeCommits(schema, table, Nil, -1L)
   }
 
   /** Declared partition columns (empty for unpartitioned tables). */
@@ -180,7 +197,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
   def insert(schema: String, table: String, df: DataFrame): Snapshot = synchronized {
     val dir = tableDir(schema, table)
     require(tableExists(schema, table), s"Table $schema.$table does not exist")
-    val commits = readCommits(schema, table)
+    val (commits, gen) = readCommitsWithGen(schema, table)
     val id = commits.lastOption.map(_.snapshotId).getOrElse(0L) + 1
     val at = math.max(System.currentTimeMillis(),
       commits.lastOption.map(_.committedAtMillis + 1).getOrElse(0L))
@@ -188,8 +205,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     partitionedWriter(schema, table, df)
       .mode("errorifexists").parquet(new Path(dir, snapDir).toString)
     val snap = Snapshot(id, at, commits.lastOption.map(_.dirs).getOrElse(Nil) :+ snapDir,
-      declaredSchema(schema, table).map(_.json))
-    writeCommits(dir, commits :+ snap)
+      declaredSchema(schema, table).map(_.json), Some("append"))
+    writeCommits(schema, table, commits :+ snap, gen)
     snap
   }
 
@@ -455,15 +472,16 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
                      (f: DataFrame => DataFrame): Snapshot = synchronized {
     val dir = tableDir(schema, table)
     require(tableExists(schema, table), s"Table $schema.$table does not exist")
-    val commits = readCommits(schema, table)
+    val (commits, gen) = readCommitsWithGen(schema, table)
     val id = commits.lastOption.map(_.snapshotId).getOrElse(0L) + 1
     val at = math.max(System.currentTimeMillis(),
       commits.lastOption.map(_.committedAtMillis + 1).getOrElse(0L))
     val snapDir = f"snap-$id%05d-rewrite"
     partitionedWriter(schema, table, f(readLatest(schema, table)))
       .mode("errorifexists").parquet(new Path(dir, snapDir).toString)
-    val snap = Snapshot(id, at, Seq(snapDir), declaredSchema(schema, table).map(_.json))
-    writeCommits(dir, commits :+ snap)
+    val snap = Snapshot(id, at, Seq(snapDir),
+      declaredSchema(schema, table).map(_.json), Some("overwrite"))
+    writeCommits(schema, table, commits :+ snap, gen)
     snap
   }
 
@@ -611,10 +629,14 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val commits = readCommits(schema, table)
     val rows = commits.zip(None +: commits.map(c => Some(c.snapshotId))).map {
       case (c, parent) =>
-        val op =
+        // operation is stamped at commit time (round-5 advice); the dir-
+        // suffix inference remains ONLY as the legacy fallback for commit
+        // logs written before the field existed
+        val op = c.operation.getOrElse {
           if (c.dirs.lastOption.exists(_.endsWith("-compacted"))) "replace"
           else if (c.dirs.lastOption.exists(_.endsWith("-rewrite"))) "overwrite"
           else "append"
+        }
         (new java.sql.Timestamp(c.committedAtMillis), c.snapshotId,
           parent.map(java.lang.Long.valueOf).orNull, op)
     }
@@ -723,18 +745,21 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * history entry rather than erasing commits.
     */
   def rollbackToSnapshot(schema: String, table: String, snapshotId: Long): Snapshot = synchronized {
-    val commits = readCommits(schema, table)
+    val (commits, gen) = readCommitsWithGen(schema, table)
     val target = commits.find(_.snapshotId == snapshotId).getOrElse(
       throw new IllegalArgumentException(
         s"Snapshot $snapshotId does not exist in $schema.$table"))
     val id = commits.last.snapshotId + 1
     val at = math.max(System.currentTimeMillis(), commits.last.committedAtMillis + 1)
-    val snap = Snapshot(id, at, target.dirs, target.schemaJson)
+    // operation recorded AT COMMIT TIME — inferring it from reused dir
+    // names would report the target snapshot's kind instead (round-5
+    // advice: a rollback reusing append dirs read back as 'append')
+    val snap = Snapshot(id, at, target.dirs, target.schemaJson, Some("rollback"))
     // the rollback also restores the declared schema of the target era so
     // current reads match what the rolled-back-to snapshot exposed
     target.schemaJson.foreach(j =>
       writeString(new Path(tableDir(schema, table), "_table_schema.json"), j))
-    writeCommits(tableDir(schema, table), commits :+ snap)
+    writeCommits(schema, table, commits :+ snap, gen)
     snap
   }
 
@@ -750,7 +775,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     */
   def compact(schema: String, table: String, numFiles: Int = 1): Snapshot = synchronized {
     val dir = tableDir(schema, table)
-    val commits = readCommits(schema, table)
+    val (commits, gen) = readCommitsWithGen(schema, table)
     require(commits.nonEmpty, s"Nothing to compact in $schema.$table")
     val id = commits.last.snapshotId + 1
     val at = math.max(System.currentTimeMillis(), commits.last.committedAtMillis + 1)
@@ -758,8 +783,9 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     partitionedWriter(schema, table, readLatest(schema, table).coalesce(numFiles))
       .mode("errorifexists").parquet(new Path(dir, snapDir).toString)
     // rewrite: references only itself
-    val snap = Snapshot(id, at, Seq(snapDir), declaredSchema(schema, table).map(_.json))
-    writeCommits(dir, commits :+ snap)
+    val snap = Snapshot(id, at, Seq(snapDir),
+      declaredSchema(schema, table).map(_.json), Some("replace"))
+    writeCommits(schema, table, commits :+ snap, gen)
     snap
   }
 
@@ -773,7 +799,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     */
   def expireSnapshots(schema: String, table: String, olderThanMillis: Long): Seq[Long] = synchronized {
     val dir = tableDir(schema, table)
-    val commits = readCommits(schema, table)
+    val (commits, gen) = readCommitsWithGen(schema, table)
     if (commits.isEmpty) return Nil
     val (expired, kept0) = commits.partition(_.committedAtMillis < olderThanMillis)
     val kept = if (kept0.isEmpty) Seq(commits.last) else kept0
@@ -783,7 +809,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val orphanDirs = reallyExpired.flatMap(_.dirs).toSet -- referenced
     val f = fs(dir)
     orphanDirs.foreach(dn => f.delete(new Path(dir, dn), true))
-    writeCommits(dir, kept)
+    writeCommits(schema, table, kept, gen)
     reallyExpired.map(_.snapshotId)
   }
 
@@ -799,27 +825,74 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       Set("commits.json", "_table_schema.json", "_partition_spec.json", "_comments.json")
     val orphans = f.listStatus(dir)
       .map(_.getPath)
-      .filterNot(p => keep.contains(p.getName))
+      .filterNot(p => keep.contains(p.getName) ||
+        commitGenRe.pattern.matcher(p.getName).matches())
     orphans.foreach(p => f.delete(p, true))
     orphans.map(_.getName).toSeq
   }
 
   // ---- commit log I/O (driver-side metadata only) ----
+  //
+  // The commit log is GENERATION-VERSIONED (Iceberg's v<N>.metadata.json
+  // model): each commit writes the full snapshot list to a NEW
+  // `commits-<gen>.json` via temp-file + EXCLUSIVE rename (no overwrite).
+  // Two writers racing from the same observed generation both target the
+  // same next-generation file — the loser's rename fails and surfaces as
+  // a typed [[CommitConflictException]], never a clobbered log: the
+  // optimistic-concurrency contract the reference gets from Trino+Nessie
+  // (TrinoConfigurationProvider.cs:45-47). Readers resolve the max
+  // generation present; a legacy single `commits.json` (pre-versioning
+  // layout) reads as generation 0.
 
-  private def readCommits(schema: String, table: String): Seq[Snapshot] = {
-    val p = new Path(tableDir(schema, table), "commits.json")
-    if (!fs(p).exists(p)) return Nil
-    val root = mapper.readTree(readString(p))
+  private val commitGenRe = """commits-(\d+)\.json""".r
+  private def genPath(dir: Path, gen: Long) = new Path(dir, f"commits-$gen%06d.json")
+
+  /** (snapshot list, commit-log generation it was read at). (Nil, -1) for
+    * a table directory with no commit log at all.
+    */
+  private[catalog] def readCommitsWithGen(schema: String, table: String): (Seq[Snapshot], Long) = {
+    val dir = tableDir(schema, table)
+    val f = fs(dir)
+    if (!f.exists(dir)) return (Nil, -1L)
+    val gens = f.listStatus(dir).iterator.flatMap(_.getPath.getName match {
+      case commitGenRe(g) => Iterator.single(g.toLong)
+      case _              => Iterator.empty
+    }).toSeq
+    if (gens.nonEmpty) {
+      val g = gens.max
+      (parseCommits(readString(genPath(dir, g))), g)
+    } else {
+      val legacy = new Path(dir, "commits.json")
+      if (!f.exists(legacy)) (Nil, -1L)
+      else (parseCommits(readString(legacy)), 0L)
+    }
+  }
+
+  private def readCommits(schema: String, table: String): Seq[Snapshot] =
+    readCommitsWithGen(schema, table)._1
+
+  private def parseCommits(json: String): Seq[Snapshot] = {
+    val root = mapper.readTree(json)
     root.elements.asScala.map { n =>
       Snapshot(
         n.get("snapshotId").asLong,
         n.get("committedAtMillis").asLong,
         n.get("dirs").elements.asScala.map(_.asText).toSeq,
-        Option(n.get("schemaJson")).filterNot(_.isNull).map(_.asText))
+        Option(n.get("schemaJson")).filterNot(_.isNull).map(_.asText),
+        Option(n.get("operation")).filterNot(_.isNull).map(_.asText))
     }.toSeq
   }
 
-  private def writeCommits(dir: Path, commits: Seq[Snapshot]): Unit = {
+  /** Commit the snapshot list as generation `expectedGen + 1`. Exclusive
+    * rename arbitrates concurrent writers (see the section comment);
+    * throws [[CommitConflictException]] when the next generation already
+    * exists. After a successful commit, generations more than 8 behind are
+    * garbage-collected best-effort (the slack keeps a reader that listed
+    * an older generation readable mid-flight).
+    */
+  private[catalog] def writeCommits(schema: String, table: String,
+                           commits: Seq[Snapshot], expectedGen: Long): Unit = {
+    val dir = tableDir(schema, table)
     val arr = mapper.createArrayNode()
     commits.foreach { s =>
       val o = arr.addObject()
@@ -828,8 +901,31 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       val d = o.putArray("dirs")
       s.dirs.foreach(d.add)
       s.schemaJson.foreach(o.put("schemaJson", _))
+      s.operation.foreach(o.put("operation", _))
     }
-    writeString(new Path(dir, "commits.json"), mapper.writeValueAsString(arr))
+    val next = expectedGen + 1
+    val target = genPath(dir, next)
+    val f = fs(target)
+    if (f.exists(target)) throw new CommitConflictException(schema, table, expectedGen)
+    val tmp = new Path(dir, "." + target.getName + ".tmp")
+    val out = f.create(tmp, true)
+    try out.write(mapper.writeValueAsString(arr).getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      target.toUri, spark.sparkContext.hadoopConfiguration)
+    try fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.NONE)
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.nio.file.FileAlreadyExistsException =>
+        f.delete(tmp, false)
+        throw new CommitConflictException(schema, table, expectedGen)
+    }
+    // best-effort generation GC — failures never fail the commit
+    try {
+      f.listStatus(dir).foreach(s => s.getPath.getName match {
+        case commitGenRe(g) if g.toLong < next - 8 => f.delete(s.getPath, false)
+        case _ => ()
+      })
+    } catch { case _: Exception => () }
   }
 
   /** Write-temp-then-rename: a reader (including one in another process)

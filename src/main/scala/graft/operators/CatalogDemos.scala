@@ -262,13 +262,18 @@ object CatalogDemos {
       "CREATE VIEW demo.low_key AS SELECT n_nationkey, n_name, n_regionkey FROM demo.nation_v WHERE n_nationkey < 12"))
     engine.executeNonQuery(graft.params.SqlStatement(
       "CREATE VIEW demo.low_key_r1 AS SELECT n_nationkey, n_name FROM demo.low_key WHERE n_regionkey = 1"))
+    // session default schema (USE) — the final query runs with every name
+    // UNQUALIFIED, resolving against the session schema exactly as the
+    // reference's ClientSessionProperties make unqualified names resolve
+    // (AthenaClient.cs:37-45)
+    engine.executeNonQuery(graft.params.SqlStatement("USE demo"))
     val nTables = engine.query(graft.params.SqlStatement(
-      "SHOW TABLES FROM demo")).count()
+      "SHOW TABLES")).count()
     val nCols = engine.query(graft.params.SqlStatement(
-      "DESCRIBE demo.low_key_r1")).count()
+      "DESCRIBE low_key_r1")).count()
     engine.query(graft.params.SqlStatement(
       """SELECT v.n_nationkey, v.n_name, b.n_regionkey
-        |FROM demo.low_key_r1 v JOIN demo.nation_v b ON v.n_nationkey = b.n_nationkey""".stripMargin))
+        |FROM low_key_r1 v JOIN nation_v b ON v.n_nationkey = b.n_nationkey""".stripMargin))
       .withColumn("n_tables", lit(nTables))
       .withColumn("n_cols", lit(nCols))
       .orderBy(col("n_nationkey"))
@@ -289,7 +294,8 @@ object CatalogDemos {
       |ORDER BY v.n_nationkey""".stripMargin
 
   /** DuckDB oracle for [[metaTablesDemo]]: the commit kinds are the
-    * scripted history (append, append, overwrite, replace, append-rollback);
+    * scripted history (append, append, overwrite, replace, rollback — the
+    * last stamped at commit time, not inferred from its reused dirs);
     * the files rollup after rollback-to-snapshot-2 is the full nation row
     * count spread over the two appended files (one unpartitioned rollup
     * row); current rows AND the VERSION-AS-OF-2 read both equal nation.
@@ -298,7 +304,7 @@ object CatalogDemos {
     """WITH ops(snapshot_id, operation) AS (VALUES
       |  (CAST(1 AS BIGINT), 'append'), (CAST(2 AS BIGINT), 'append'),
       |  (CAST(3 AS BIGINT), 'overwrite'), (CAST(4 AS BIGINT), 'replace'),
-      |  (CAST(5 AS BIGINT), 'append'))
+      |  (CAST(5 AS BIGINT), 'rollback'))
       |SELECT o.snapshot_id, o.operation,
       |       CAST(2 AS BIGINT) AS n_files,
       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM nation) AS n_records,
