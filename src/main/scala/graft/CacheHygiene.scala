@@ -17,7 +17,11 @@ object CacheHygiene {
     * localCheckpoint()) and clear the Catalyst plan cache.
     */
   def sweep(spark: SparkSession): Unit = {
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    // blocking: the sweep runs OUTSIDE any timed window, and async block
+    // removal would otherwise overlap the NEXT query's timed window with
+    // BlockManager churn (round-5 driver sweeps logged double-remove
+    // warnings exactly there)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     spark.sharedState.cacheManager.clearCache()
   }
 }

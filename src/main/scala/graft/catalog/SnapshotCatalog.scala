@@ -125,6 +125,12 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       columns.fieldNames.exists(_.equalsIgnoreCase(p)))
     require(missing.isEmpty,
       s"Partition column(s) ${missing.mkString(", ")} not in declared schema")
+    // `_snap` is the reserved snapshot-dir partition key of the storage
+    // layout (see snapDirName) — a user column with that name would
+    // collide with the discovery column the reader drops
+    require(partitionedBy.isEmpty ||
+      !columns.fieldNames.exists(_.equalsIgnoreCase("_snap")),
+      "Column name _snap is reserved in partitioned tables")
     if (f.exists(dir)) {
       if (ifNotExists) return
       throw new IllegalStateException(s"Table $schema.$table already exists")
@@ -201,7 +207,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val id = commits.lastOption.map(_.snapshotId).getOrElse(0L) + 1
     val at = math.max(System.currentTimeMillis(),
       commits.lastOption.map(_.committedAtMillis + 1).getOrElse(0L))
-    val snapDir = f"snap-$id%05d"
+    val snapDir = snapDirName(schema, table, f"$id%05d")
     partitionedWriter(schema, table, df)
       .mode("errorifexists").parquet(new Path(dir, snapDir).toString)
     val snap = Snapshot(id, at, commits.lastOption.map(_.dirs).getOrElse(Nil) :+ snapDir,
@@ -217,6 +223,16 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val spec = partitionSpec(schema, table)
     if (spec.isEmpty) df.write else df.write.partitionBy(spec: _*)
   }
+
+  /** Snapshot directory name. PARTITIONED tables use the hive-parseable
+    * `_snap=<tag>` spelling so every snap dir participates in ONE
+    * partition-discovering read rooted at the table dir ([[readSnapshot]]:
+    * `_snap` scans as an extra partition column and is dropped) — the plan
+    * stays O(1) in commit count. Unpartitioned tables keep the plain
+    * `snap-<tag>` name (their multi-path read needs no discovery).
+    */
+  private def snapDirName(schema: String, table: String, tag: String): String =
+    if (partitionSpec(schema, table).nonEmpty) s"_snap=$tag" else s"snap-$tag"
 
   // ---- Reads (S1, T1) ----
 
@@ -263,13 +279,30 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       case Some(s) if s.dirs.nonEmpty =>
         val paths = s.dirs.map(d => new Path(dir, d).toString)
         def reader = declared.map(spark.read.schema(_)).getOrElse(spark.read)
-        if (partitionSpec(schema, table).isEmpty) reader.parquet(paths: _*)
-        else
-          // partitioned: each snap dir is its own discovery root (hive
-          // `col=value` layout below it), so a filter on a partition column
-          // becomes a PartitionFilter — directories that don't match are
-          // pruned before a single file is opened. Snap dirs are unioned by
-          // name; pruning applies per branch.
+        if (partitionSpec(schema, table).isEmpty)
+          // unpartitioned: one multi-path read; the snap dirs carry no
+          // partition structure, so no discovery is involved and the plan
+          // is a single scan whatever the commit count
+          reader.parquet(paths: _*)
+        else if (s.dirs.forall(_.startsWith("_snap="))) {
+          // partitioned: snap dirs are hive-parseable (`_snap=<tag>`), so
+          // ONE read rooted at the table dir covers every commit —
+          // partition discovery scans `_snap` plus the real partition
+          // columns, a filter on a partition column becomes a
+          // PartitionFilter pruning directories before any file is opened,
+          // and the plan stays O(1) in commit count (the scan's FILE LIST
+          // grows with commits, the PLAN must not — a per-dir unionByName
+          // would analyze a 200-branch union on a 200-commit table).
+          val withSnap = declared.map(_.add("_snap",
+            org.apache.spark.sql.types.StringType, nullable = true))
+          withSnap.map(spark.read.schema(_)).getOrElse(spark.read)
+            .option("basePath", dir.toString)
+            .parquet(paths: _*)
+            .drop("_snap")
+        } else
+          // legacy partitioned layout (pre-`_snap=` dirs, or a log mixing
+          // both): per-dir discovery roots unioned by name — correct, just
+          // not plan-bounded; new commits migrate the table forward
           paths.map(p => reader.parquet(p)).reduce(_.unionByName(_))
       case _ =>
         val sch = declared.getOrElse(
@@ -476,7 +509,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val id = commits.lastOption.map(_.snapshotId).getOrElse(0L) + 1
     val at = math.max(System.currentTimeMillis(),
       commits.lastOption.map(_.committedAtMillis + 1).getOrElse(0L))
-    val snapDir = f"snap-$id%05d-rewrite"
+    val snapDir = snapDirName(schema, table, f"$id%05d-rewrite")
     partitionedWriter(schema, table, f(readLatest(schema, table)))
       .mode("errorifexists").parquet(new Path(dir, snapDir).toString)
     val snap = Snapshot(id, at, Seq(snapDir),
@@ -779,7 +812,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     require(commits.nonEmpty, s"Nothing to compact in $schema.$table")
     val id = commits.last.snapshotId + 1
     val at = math.max(System.currentTimeMillis(), commits.last.committedAtMillis + 1)
-    val snapDir = f"snap-$id%05d-compacted"
+    val snapDir = snapDirName(schema, table, f"$id%05d-compacted")
     partitionedWriter(schema, table, readLatest(schema, table).coalesce(numFiles))
       .mode("errorifexists").parquet(new Path(dir, snapDir).toString)
     // rewrite: references only itself

@@ -86,11 +86,13 @@ object CatalogDemos {
   }
 
   /** DuckDB oracle for [[partitionPruneDemo]] — aimed at the single
-    * partition directory the filtered read should touch.
+    * partition directory the filtered read should touch (partitioned
+    * tables name snap dirs hive-style `_snap=<tag>` so snapshot reads
+    * stay one scan — SnapshotCatalog.snapDirName).
     */
   val partitionPruneDemoSql: String =
     s"SELECT count(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total " +
-      s"FROM read_parquet('$pruneDemoWarehouse/demo/orders_part/snap-00001/o_orderstatus=F/*.parquet')"
+      s"FROM read_parquet('$pruneDemoWarehouse/demo/orders_part/_snap=00001/o_orderstatus=F/*.parquet')"
 
   /** S7/C4: unload a query to flat parquet; returns the response contract
     * plus layout assertions (no subdirectories, only *.parquet at the

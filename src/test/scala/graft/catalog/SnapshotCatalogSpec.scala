@@ -238,7 +238,7 @@ class SnapshotCatalogSpec extends SparkSpec {
       Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "category"))
     c.insert("common_test_data", "pt", Seq((4L, "c")).toDF("id", "category"))
     // data lands in hive-layout category=… dirs inside each snap dir
-    val snap1 = new java.io.File(c.schemaLocation("common_test_data").toUri.getPath, "pt/snap-00001")
+    val snap1 = new java.io.File(c.schemaLocation("common_test_data").toUri.getPath, "pt/_snap=00001")
     assert(snap1.listFiles().exists(_.getName == "category=a"), snap1.listFiles().mkString(","))
     val q = c.readLatest("common_test_data", "pt").filter(col("category") === "a")
     assert(q.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
@@ -262,6 +262,38 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(c.readAsOf("common_test_data", "pt", s1.committedAtMillis)
       .filter(col("category") === "a")
       .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("snapshot-read plan size is O(1) in commit count (partitioned table)") {
+    import org.apache.spark.sql.functions.col
+    val c = freshCatalog()
+    c.createTable("common_test_data", "many_commits", StructType(Seq(
+      StructField("id", LongType), StructField("category", StringType))),
+      partitionedBy = Seq("category"))
+    def planNodes(n: Int): Int = {
+      (c.snapshots("common_test_data", "many_commits").size until n).foreach { i =>
+        c.insert("common_test_data", "many_commits",
+          Seq((i.toLong, if (i % 2 == 0) "a" else "b")).toDF("id", "category"))
+      }
+      val df = c.readLatest("common_test_data", "many_commits")
+      assert(df.count() == n.toLong)
+      df.queryExecution.optimizedPlan.collect { case p => p }.size
+    }
+    val small = planNodes(2)
+    val large = planNodes(50) // 50 commits → 50 snap dirs in ONE scan node
+    assert(large == small,
+      s"plan grew with commit count: $small nodes at 2 commits, $large at 50")
+    // partition pruning still applies across all 50 roots
+    val q = c.readLatest("common_test_data", "many_commits")
+      .filter(col("category") === "a")
+    assert(q.count() == 25L)
+    val plan = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters") && plan.contains("category"))
+    // time travel still resolves mid-history
+    val s3 = c.snapshots("common_test_data", "many_commits")(2)
+    assert(c.readAsOf("common_test_data", "many_commits", s3.committedAtMillis)
+      .count() == 3L)
   }
 
   test("partition column must exist in the declared schema") {
