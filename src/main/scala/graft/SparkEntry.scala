@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, AsOf, CatalogDemos, Dedup, Expressions, Joins, Multimodal, Relational, Similarity, TextAnalysis, Windows}
+import graft.operators.{Analytics, AsOf, CatalogDemos, Dedup, Expressions, Joins, Multimodal, Relational, Similarity, TextAnalysis, TpchRemainder, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -54,6 +54,17 @@ object SparkEntry {
     "q10_returned_items" -> (Joins.q10ReturnedItems _),
     "q14_promo_share"    -> (Joins.q14PromoShare _),
     "q19_banded_revenue" -> (Joins.q19BandedRevenue _),
+    "q2_min_cost_supplier"  -> (TpchRemainder.q2MinCostSupplier _),
+    "q8_market_share"       -> (TpchRemainder.q8MarketShare _),
+    "q9_product_profit"     -> (TpchRemainder.q9ProductProfit _),
+    "q11_important_stock"   -> (TpchRemainder.q11ImportantStock _),
+    "q12_shipmode_priority" -> (TpchRemainder.q12ShipmodePriority _),
+    "q13_cust_distribution" -> (TpchRemainder.q13CustDistribution _),
+    "q15_top_supplier"      -> (TpchRemainder.q15TopSupplier _),
+    "q16_supplier_cnt"      -> (TpchRemainder.q16SupplierCnt _),
+    "q17_small_qty_revenue" -> (TpchRemainder.q17SmallQtyRevenue _),
+    "q20_potential_promo"   -> (TpchRemainder.q20PotentialPromo _),
+    "q22_global_sales"      -> (TpchRemainder.q22GlobalSales _),
     "salted_join_demo"   -> (Joins.saltedJoinDemo _),
     "in_subquery"      -> (Joins.inSubquery _),
     "scalar_subquery"  -> (Joins.scalarSubquery _),
@@ -296,6 +307,17 @@ object SparkEntry {
       ("SELECT c_mktsegment AS seg, count(*) AS n FROM orders " +
         "JOIN customer ON o_custkey = c_custkey GROUP BY seg ORDER BY seg"),
     "partition_prune_demo" -> operators.CatalogDemos.partitionPruneDemoSql,
+    "q2_min_cost_supplier"  -> TpchRemainder.Sql.q2MinCostSupplier,
+    "q8_market_share"       -> TpchRemainder.Sql.q8MarketShare,
+    "q9_product_profit"     -> TpchRemainder.Sql.q9ProductProfit,
+    "q11_important_stock"   -> TpchRemainder.Sql.q11ImportantStock,
+    "q12_shipmode_priority" -> TpchRemainder.Sql.q12ShipmodePriority,
+    "q13_cust_distribution" -> TpchRemainder.Sql.q13CustDistribution,
+    "q15_top_supplier"      -> TpchRemainder.Sql.q15TopSupplier,
+    "q16_supplier_cnt"      -> TpchRemainder.Sql.q16SupplierCnt,
+    "q17_small_qty_revenue" -> TpchRemainder.Sql.q17SmallQtyRevenue,
+    "q20_potential_promo"   -> TpchRemainder.Sql.q20PotentialPromo,
+    "q22_global_sales"      -> TpchRemainder.Sql.q22GlobalSales,
     "in_subquery" ->
       ("SELECT count(*) AS n_items, CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS qty " +
         "FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 50)"),
