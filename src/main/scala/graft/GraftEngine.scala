@@ -142,6 +142,13 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
       sessionSchema = schema
       Some(0L)
     case prepareRe(name, body) =>
+      // a PREPARE body that is itself PREPARE/EXECUTE/DEALLOCATE would
+      // re-enter the expansion path unboundedly (PREPARE a FROM EXECUTE a
+      // recursed to StackOverflowError) — reject it like Trino rejects
+      // preparing session-control statements
+      if (body.matches("""(?is)^\s*(PREPARE|EXECUTE|DEALLOCATE)\b.*"""))
+        throw new GraftQueryException(sqlText,
+          "Cannot PREPARE a session-control statement (PREPARE/EXECUTE/DEALLOCATE)")
       preparedStatements.put(name, body); Some(0L)
     case deallocateRe(name) =>
       if (preparedStatements.remove(name) == null)
@@ -201,11 +208,20 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
           // orphan every table already under the old location
         } else catalog.createSchema(schema, location)
         0L
-      case graft.catalog.CreateTableStmt(schema, table, columns, ifNotExists, partitionedBy) =>
+      case graft.catalog.CreateTableStmt(schema, table, columns, ifNotExists,
+          partitionedBy, tableComment, columnComments) =>
         if (!catalog.schemaExists(schema)) catalog.createSchema(schema)
+        val preExisting = catalog.tableExists(schema, table)
         try catalog.createTable(schema, table, columns, ifNotExists, partitionedBy)
         catch { case e: IllegalStateException =>
           throw new GraftQueryException(sqlText, e.getMessage, e) }
+        // declared COMMENT clauses persist like COMMENT ON (never onto a
+        // pre-existing IF NOT EXISTS table)
+        if (!preExisting) {
+          tableComment.foreach(c => catalog.setComment(schema, table, None, Some(c)))
+          columnComments.foreach { case (cn, cv) =>
+            catalog.setComment(schema, table, Some(cn), Some(cv)) }
+        }
         0L
       case graft.catalog.CreateTableAsStmt(schema, table, select, ifNotExists) =>
         if (ifNotExists && catalog.tableExists(schema, table)) 0L
@@ -235,11 +251,10 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
       case graft.catalog.TruncateStmt(schema, table) =>
         requireCatalogTable(sqlText, schema, table)
         // TRUNCATE = unconditional copy-on-write delete; like DELETE it
-        // reports the removed-row count, and the pre-truncate snapshot
-        // stays time-travel-visible
-        val n = catalog.readLatest(schema, table).count()
-        catalog.delete(schema, table, org.apache.spark.sql.functions.lit(true))
-        n
+        // reports the removed-row count (counted atomically with the
+        // rewrite), and the pre-truncate snapshot stays time-travel-visible
+        catalog.deleteCounted(schema, table,
+          org.apache.spark.sql.functions.lit(true))._2
       case graft.catalog.CreateViewStmt(schema, view, select, orReplace) =>
         if (!catalog.schemaExists(schema)) catalog.createSchema(schema)
         // Trino validates a view's defining query at CREATE time — analyze
@@ -259,26 +274,18 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
         requireCatalogTable(sqlText, schema, table)
         val cond = where.map(parseCond(sqlText, _))
           .getOrElse(org.apache.spark.sql.functions.lit(true))
-        // affected-rows contract (Trino returns the deleted count): count
-        // the TRUE-predicate rows against the same snapshot the rewrite
-        // reads — the catalog is synchronized, so no commit can interleave
-        val n = catalog.readLatest(schema, table)
-          .filter(org.apache.spark.sql.functions.coalesce(
-            cond, org.apache.spark.sql.functions.lit(false))).count()
-        catalog.delete(schema, table, cond)
-        n
+        // affected-rows contract (Trino returns the deleted count): the
+        // count happens inside the catalog's synchronized rewrite, so no
+        // commit can interleave between the count and the delete
+        catalog.deleteCounted(schema, table, cond)._2
       case graft.catalog.UpdateStmt(schema, table, sets, where) =>
         requireCatalogTable(sqlText, schema, table)
         val cond = where.map(parseCond(sqlText, _))
           .getOrElse(org.apache.spark.sql.functions.lit(true))
         val setCols = sets.map { case (c, e) => (c, parseCond(sqlText, e)) }
-        val n = catalog.readLatest(schema, table)
-          .filter(org.apache.spark.sql.functions.coalesce(
-            cond, org.apache.spark.sql.functions.lit(false))).count()
-        try catalog.update(schema, table, setCols, cond)
+        try catalog.updateCounted(schema, table, setCols, cond)._2
         catch { case e: IllegalArgumentException =>
           throw new GraftQueryException(sqlText, e.getMessage, e) }
-        n
       case m: graft.catalog.MergeStmt =>
         requireCatalogTable(sqlText, m.schema, m.table)
         // source: subquery text straight through the query surface; a table
@@ -545,14 +552,23 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
         val sch = Option(sch0).getOrElse(sessionSchema)
         val columns = catalog.declaredSchema(sch, tbl).getOrElse(
           throw new GraftQueryException(sql, s"Table $sch.$tbl does not exist"))
-        val cols = columns.fields.map(f => s"   ${f.name} ${trinoType(f.dataType)}")
-          .mkString(",\n")
+        // COMMENT clauses round-trip the catalog state (Trino includes
+        // table and column comments in SHOW CREATE TABLE output)
+        val (tblComment, colComments) = catalog.comments(sch, tbl)
+        def q(v: String) = s"'${v.replace("'", "''")}'"
+        val cols = columns.fields.map { f =>
+          val c = colComments.get(f.name.toLowerCase)
+            .map(v => s" COMMENT ${q(v)}").getOrElse("")
+          s"   ${f.name} ${trinoType(f.dataType)}$c"
+        }.mkString(",\n")
         val parts = catalog.partitionSpec(sch, tbl)
         val props = Seq("   format = 'PARQUET'") ++
           (if (parts.nonEmpty)
             Seq(s"   partitioning = ARRAY[${parts.map(p => s"'$p'").mkString(", ")}]")
           else Nil)
-        val ddl = s"CREATE TABLE $sch.$tbl (\n$cols\n)\nWITH (\n${props.mkString(",\n")}\n)"
+        val commentClause = tblComment.map(v => s"\nCOMMENT ${q(v)}").getOrElse("")
+        val ddl = s"CREATE TABLE $sch.$tbl (\n$cols\n)$commentClause" +
+          s"\nWITH (\n${props.mkString(",\n")}\n)"
         Some(Seq(ddl).toDF("create_table"))
       case showCreateRe(_, sch0, v) => // VIEW
         val sch = Option(sch0).getOrElse(sessionSchema)

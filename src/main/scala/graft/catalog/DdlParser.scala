@@ -19,7 +19,10 @@ final case class CreateSchemaStmt(schema: String, ifNotExists: Boolean,
                                   location: Option[String]) extends DdlStatement
 final case class CreateTableStmt(schema: String, table: String,
                                  columns: StructType, ifNotExists: Boolean,
-                                 partitionedBy: Seq[String]) extends DdlStatement
+                                 partitionedBy: Seq[String],
+                                 tableComment: Option[String] = None,
+                                 columnComments: Map[String, String] = Map.empty)
+  extends DdlStatement
 final case class CreateTableAsStmt(schema: String, table: String,
                                    select: String, ifNotExists: Boolean) extends DdlStatement
 final case class DropTableStmt(schema: String, table: String,
@@ -83,7 +86,7 @@ object DdlParser {
   // swallowing any OTHER property (`WITH (format = 'PARQUET')`) and parse
   // garbage column types.
   private val createTableRe =
-    """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.*?)\)\s*(?:WITH\s*\((.*)\))?\s*;?\s*$""".r
+    """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.*?)\)\s*(?:COMMENT\s+'((?:[^']|'')*)'\s*)?(?:WITH\s*\((.*)\))?\s*;?\s*$""".r
   private val ctasRe =
     """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+(.+?)\s*;?\s*$""".r
   private val dropTableRe =
@@ -133,10 +136,12 @@ object DdlParser {
     sqlText match {
     case createSchemaRe(ine, name, loc) =>
       Some(CreateSchemaStmt(schemaOf(name), ine != null, Option(loc)))
-    case createTableRe(ine, name, cols, props) =>
+    case createTableRe(ine, name, cols, tblComment, props) =>
       val (sch, tbl) = tableOf(name)
-      Some(CreateTableStmt(sch, tbl, parseColumns(cols), ine != null,
-        partitioningOf(props)))
+      val (schema0, colComments) = parseColumns(cols)
+      Some(CreateTableStmt(sch, tbl, schema0, ine != null,
+        partitioningOf(props),
+        Option(tblComment).map(_.replace("''", "'")), colComments))
     case ctasRe(ine, name, select) =>
       val (sch, tbl) = tableOf(name)
       Some(CreateTableAsStmt(sch, tbl, select, ine != null))
@@ -534,14 +539,26 @@ object DdlParser {
     out.map(_.trim).filter(_.nonEmpty).toSeq
   }
 
-  private def parseColumns(colList: String): StructType =
-    StructType(splitTopLevel(colList).map { colDef =>
-      val trimmed = colDef.trim
-      val sp = trimmed.indexWhere(_.isWhitespace)
-      require(sp > 0, s"Malformed column definition: '$trimmed'")
-      StructField(trimmed.substring(0, sp), sparkType(trimmed.substring(sp).trim),
-        nullable = true)
-    })
+  /** (declared schema, per-column comments keyed by lowercase name) — a
+    * column definition may end in `COMMENT '…'` (Trino spelling, also what
+    * SHOW CREATE TABLE emits).
+    */
+  private def parseColumns(colList: String): (StructType, Map[String, String]) = {
+    val colCommentRe = """(?is)^(.*?)\s+COMMENT\s+'((?:[^']|'')*)'\s*$""".r
+    val comments = scala.collection.mutable.Map.empty[String, String]
+    val fields = splitQuotedTopLevel(colList).map { colDef =>
+      val (core, comment) = colDef.trim match {
+        case colCommentRe(c, v) => (c.trim, Some(v.replace("''", "'")))
+        case other => (other, None)
+      }
+      val sp = core.indexWhere(_.isWhitespace)
+      require(sp > 0, s"Malformed column definition: '$core'")
+      val name = core.substring(0, sp)
+      comment.foreach(comments(name.toLowerCase) = _)
+      StructField(name, sparkType(core.substring(sp).trim), nullable = true)
+    }
+    (StructType(fields), comments.toMap)
+  }
 
   /** Trino column type → Spark DataType. Parameterized string/time types
     * lose their precision (Spark strings are unbounded; timestamps are

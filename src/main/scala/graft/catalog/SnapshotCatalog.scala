@@ -470,6 +470,19 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       !org.apache.spark.sql.functions.coalesce(
         cond, org.apache.spark.sql.functions.lit(false))))
 
+  /** [[delete]] that also reports the removed-row count, counted INSIDE
+    * the same synchronized section as the rewrite so a concurrent commit
+    * cannot slip between the count and the delete (the count+delete pair
+    * in the engine's DELETE/TRUNCATE was not atomic — round-5 advice).
+    */
+  def deleteCounted(schema: String, table: String,
+                    cond: org.apache.spark.sql.Column): (Snapshot, Long) = synchronized {
+    val n = readLatest(schema, table)
+      .filter(org.apache.spark.sql.functions.coalesce(
+        cond, org.apache.spark.sql.functions.lit(false))).count()
+    (delete(schema, table, cond), n)
+  }
+
   /** UPDATE … SET … WHERE cond: rows where cond is TRUE get the assigned
     * values (computed from the PRE-update row — simultaneous-assignment
     * SQL semantics, so `SET a = b, b = a` swaps); all other rows —
@@ -478,6 +491,18 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * table schema is stable under any UPDATE. Copy-on-write commit like
     * [[delete]].
     */
+  /** [[update]] reporting the hit-row count from the same synchronized
+    * section (see [[deleteCounted]]).
+    */
+  def updateCounted(schema: String, table: String,
+                    sets: Seq[(String, org.apache.spark.sql.Column)],
+                    cond: org.apache.spark.sql.Column): (Snapshot, Long) = synchronized {
+    val n = readLatest(schema, table)
+      .filter(org.apache.spark.sql.functions.coalesce(
+        cond, org.apache.spark.sql.functions.lit(false))).count()
+    (update(schema, table, sets, cond), n)
+  }
+
   def update(schema: String, table: String,
              sets: Seq[(String, org.apache.spark.sql.Column)],
              cond: org.apache.spark.sql.Column): Snapshot = {

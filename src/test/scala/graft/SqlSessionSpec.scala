@@ -78,6 +78,55 @@ class SqlSessionSpec extends SparkSpec {
     assert(summary.head.getDouble(1) > 0.0)  // data_size from footers
   }
 
+  test("SHOW STATS NDV error contract: approximate distinct within 5% rsd bounds") {
+    // showStats computes NDV with approx_count_distinct (HLL++ at the
+    // default 5% relative standard deviation). Pin the error envelope on a
+    // fixture with a KNOWN exact NDV so a Spark upgrade can't silently
+    // degrade the stats surface: 3 sigma = 15% is the hard bound.
+    val e = new GraftEngine(spark, tmpDir("sess-stats-ndv"))
+    e.executeNonQuery(SqlStatement("CREATE TABLE demo.big (k bigint, dup bigint)"))
+    import spark.implicits._
+    e.catalog.insert("demo", "big",
+      (1L to 5000L).map(i => (i, i % 10)).toDF("k", "dup"))
+    val stats = e.query(SqlStatement("SHOW STATS FOR demo.big")).collect()
+    val byCol = stats.filter(!_.isNullAt(0)).map(r => r.getString(0) -> r).toMap
+    val kNdv = byCol("k").getDouble(2)
+    assert(math.abs(kNdv - 5000.0) / 5000.0 <= 0.15,
+      s"NDV(k)=$kNdv drifted more than 15% from exact 5000")
+    // low-cardinality columns are exact in HLL++'s dense range
+    assert(byCol("dup").getDouble(2) == 10.0)
+    // exact fields stay exact: row count, null fractions, low/high
+    val summary = stats.filter(_.isNullAt(0)).head
+    assert(summary.getDouble(4) == 5000.0)
+    assert(byCol("k").getString(5) == "1" && byCol("k").getString(6) == "5000")
+  }
+
+  test("PREPARE of a session-control statement is rejected (no EXECUTE recursion)") {
+    val e = freshEngine("sess-recursion")
+    intercept[GraftQueryException] {
+      e.executeNonQuery(SqlStatement("PREPARE a FROM EXECUTE a"))
+    }
+    intercept[GraftQueryException] {
+      e.executeNonQuery(SqlStatement("PREPARE b FROM PREPARE c FROM SELECT 1"))
+    }
+    // plain statements still prepare fine
+    assert(e.executeNonQuery(SqlStatement("PREPARE ok FROM SELECT * FROM demo.t")) == 0L)
+  }
+
+  test("SHOW CREATE TABLE round-trips COMMENT ON table/column state") {
+    val e = freshEngine("sess-showcreate-comments")
+    e.executeNonQuery(SqlStatement("COMMENT ON TABLE demo.t IS 'fact table'"))
+    e.executeNonQuery(SqlStatement("COMMENT ON COLUMN demo.t.id IS 'pk, it''s unique'"))
+    val ddl = e.query(SqlStatement("SHOW CREATE TABLE demo.t"))
+      .collect()(0).getString(0)
+    assert(ddl.contains("id bigint COMMENT 'pk, it''s unique'"), ddl)
+    assert(ddl.contains("COMMENT 'fact table'"), ddl)
+    // the emitted DDL parses straight back through the engine
+    val e2 = new GraftEngine(spark, tmpDir("sess-showcreate-roundtrip"))
+    e2.executeNonQuery(SqlStatement(ddl.replace("demo.t", "demo.t2")))
+    assert(e2.catalog.tableExists("demo", "t2"))
+  }
+
   test("COMMENT ON TABLE/COLUMN persists; DESCRIBE surfaces column comments") {
     val e = freshEngine("sess-comments")
     e.executeNonQuery(SqlStatement("COMMENT ON TABLE demo.t IS 'fact table'"))
