@@ -1,0 +1,158 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+
+/** Fuzz dialect 4 — time travel + views COMPOSED (round-5 verdict #6):
+  * randomized sequences of INSERT commits, stacked CREATE VIEWs (some
+  * defined OVER a time-travel read), USE-scoped unqualified names, and a
+  * final query that stacks every SQL-path rewrite (catalog refs, bare
+  * refs, metadata refs, time travel, view expansion) up to four deep.
+  * The DuckDB oracle replays each commit as the cumulative UNION ALL of
+  * its insert slices over the same nation parquet, views as nested
+  * subqueries, AS OF k as state_k.
+  *
+  * Usage: DevFuzzTravel <sfDir> <outDir> [n] [seed] — selfcheck.py
+  * compares like every other dialect.
+  */
+object DevFuzzTravel {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0); val outDir = args(1)
+    val n = args.lift(2).map(_.toInt).getOrElse(20)
+    val seed = args.lift(3).map(_.toLong).getOrElse(7L)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+
+    val rnd = new scala.util.Random(seed)
+
+    // deterministic predicate atoms over nation (no mutation in this
+    // dialect, so no 3VL injection needed — inserts only select)
+    def atom(): String = rnd.nextInt(4) match {
+      case 0 => s"n_regionkey = ${rnd.nextInt(5)}"
+      case 1 => s"n_nationkey % ${rnd.nextInt(4) + 2} = ${rnd.nextInt(2)}"
+      case 2 => s"n_nationkey < ${rnd.nextInt(20) + 5}"
+      case 3 => s"n_nationkey >= ${rnd.nextInt(15)}"
+    }
+    def pred(): String = rnd.nextInt(3) match {
+      case 0 => atom()
+      case 1 => s"(${atom()} AND ${atom()})"
+      case 2 => s"(${atom()} OR ${atom()})"
+    }
+
+    val cols = "n_nationkey, n_name, n_regionkey"
+
+    val results = (0 until n).map { i =>
+      val name = f"tv_$i%03d"
+      val wh = s"$outDir/wh_$i"
+      val engine = new GraftEngine(spark, wh)
+      engine.executeNonQuery(params.SqlStatement("CREATE SCHEMA fz"))
+      engine.executeNonQuery(params.SqlStatement(
+        "CREATE TABLE fz.t (n_nationkey bigint, n_name varchar, n_regionkey bigint)"))
+      Tables.nation(spark, sfDir)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .createOrReplaceTempView("nation")
+
+      // 2-4 INSERT commits, each a deterministic slice of nation (through
+      // the SQL INSERT…SELECT path — each is one snapshot)
+      val slices = (0 until rnd.nextInt(3) + 2).map(_ => pred())
+      slices.foreach { p =>
+        engine.executeNonQuery(params.SqlStatement(
+          s"INSERT INTO fz.t SELECT $cols FROM nation WHERE $p"))
+      }
+      val m = slices.length
+      val snaps = engine.catalog.snapshots("fz", "t")
+      require(snaps.length == m, s"expected $m commits, got ${snaps.length}")
+
+      // view 1 over the CURRENT table; view 2 stacked — half the time
+      // over a TIME-TRAVEL read (view expansion + AS OF composed)
+      val v1Pred = pred()
+      engine.executeNonQuery(params.SqlStatement(
+        s"CREATE VIEW fz.v1 AS SELECT $cols FROM fz.t WHERE $v1Pred"))
+      val v2OverTravel = rnd.nextBoolean() && m >= 2
+      val v2K = rnd.nextInt(m) + 1
+      val v2Pred = pred()
+      engine.executeNonQuery(params.SqlStatement(
+        if (v2OverTravel)
+          s"CREATE VIEW fz.v2 AS SELECT $cols FROM fz.t FOR VERSION AS OF $v2K WHERE $v2Pred"
+        else
+          s"CREATE VIEW fz.v2 AS SELECT n_nationkey, n_name FROM fz.v1 WHERE $v2Pred"))
+
+      // the final query: random composition shape
+      val asOfK = rnd.nextInt(m) + 1
+      // TIMESTAMP AS OF at the exact commit instant of snapshot asOfK
+      val ts = java.time.LocalDateTime.ofInstant(
+        java.time.Instant.ofEpochMilli(snaps(asOfK - 1).committedAtMillis),
+        java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+      val travelRef = if (rnd.nextBoolean())
+        s"fz.t FOR VERSION AS OF $asOfK"
+      else
+        s"fz.t FOR TIMESTAMP AS OF TIMESTAMP '$ts'"
+      val useUnqualified = rnd.nextBoolean()
+      if (useUnqualified) engine.executeNonQuery(params.SqlStatement("USE fz"))
+
+      val finalSql = rnd.nextInt(3) match {
+        case 0 => // view ⋈ time travel
+          val vRef = if (useUnqualified) "v2" else "fz.v2"
+          s"SELECT v.n_nationkey, v.n_name, count(*) AS n_old " +
+            s"FROM $vRef v JOIN $travelRef h ON v.n_nationkey = h.n_nationkey " +
+            "GROUP BY v.n_nationkey, v.n_name ORDER BY v.n_nationkey, v.n_name"
+        case 1 => // aggregate over stacked views vs the as-of state
+          val vRef = if (useUnqualified) "v1" else "fz.v1"
+          s"SELECT (SELECT count(*) FROM $vRef) AS n_view, count(*) AS n_asof " +
+            s"FROM $travelRef"
+        case 2 => // metadata table composed with a travel read
+          s"SELECT s.snapshot_id, s.operation, " +
+            s"(SELECT count(*) FROM $travelRef) AS n_asof " +
+            "FROM fz.\"t$snapshots\" s ORDER BY s.snapshot_id"
+      }
+      engine.query(params.SqlStatement(finalSql))
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+
+      // ---- DuckDB replay ----
+      // cast the keys to BIGINT exactly like the declared table schema
+      // does on the engine side (nation parquet carries int32 keys)
+      val sliceCtes = slices.zipWithIndex.map { case (p, j) =>
+        s"ins$j AS (SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, " +
+          s"CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation WHERE $p)"
+      }
+      def state(k: Int): String =
+        (0 until k).map(j => s"SELECT * FROM ins$j").mkString(" UNION ALL ")
+      val stateCtes = (1 to m).map(k => s"st$k AS (${state(k)})")
+      val v1Cte = s"v1 AS (SELECT $cols FROM st$m WHERE $v1Pred)"
+      val v2Cte =
+        if (v2OverTravel) s"v2 AS (SELECT $cols FROM st$v2K WHERE $v2Pred)"
+        else s"v2 AS (SELECT n_nationkey, n_name FROM v1 WHERE $v2Pred)"
+      val travelCte = s"tprev AS (SELECT * FROM st$asOfK)"
+      val finalOracle = finalSql match {
+        case q if q.startsWith("SELECT v.n_nationkey") =>
+          "SELECT v.n_nationkey, v.n_name, count(*) AS n_old " +
+            "FROM v2 v JOIN tprev h ON v.n_nationkey = h.n_nationkey " +
+            "GROUP BY v.n_nationkey, v.n_name ORDER BY v.n_nationkey, v.n_name"
+        case q if q.startsWith("SELECT (SELECT") =>
+          "SELECT (SELECT count(*) FROM v1) AS n_view, count(*) AS n_asof FROM tprev"
+        case _ =>
+          val ops = (1 to m).map(k => s"(CAST($k AS BIGINT), 'append')")
+          s"SELECT s.snapshot_id, s.operation, " +
+            "(SELECT count(*) FROM tprev) AS n_asof " +
+            s"FROM (VALUES ${ops.mkString(", ")}) AS s(snapshot_id, operation) " +
+            "ORDER BY s.snapshot_id"
+      }
+      val oracleSql = (sliceCtes ++ stateCtes ++ Seq(v1Cte, v2Cte, travelCte))
+        .mkString("WITH ", ", ", " ") + finalOracle
+      name -> oracleSql
+    }
+    def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+      results.map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
+        .mkString("{", ",", "}"))
+    println(s"[fuzztravel] $n travel/view scenarios dumped to $outDir (seed=$seed)")
+    spark.stop()
+  }
+}
