@@ -65,10 +65,14 @@ object Bench {
       // squeezes execution memory for everything downstream
       t
     }
+    // 0.35 s repeat threshold: a query's FIRST run carries its one-off
+    // codegen/analysis compile (~0.1-0.3 s) that a warm rerun sheds; only
+    // the true noise-floor entries (<0.35 s, pure job overhead) keep
+    // their single sample
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val pass1 = ordered.map { case (name, fn) => (name, fn, once(fn)) }
     val pass2 = pass1.map { case (name, fn, t1) =>
-      if (t1 >= 0.5) (name, fn, t1, Some(once(fn))) else (name, fn, t1, None)
+      if (t1 >= 0.35) (name, fn, t1, Some(once(fn))) else (name, fn, t1, None)
     }
     val results = pass2.map { case (name, fn, t1, t2o) =>
       var best = math.min(t1, t2o.getOrElse(t1))
