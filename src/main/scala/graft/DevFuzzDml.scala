@@ -205,7 +205,14 @@ object DevFuzzDml {
         .select(org.apache.spark.sql.functions.col("n_nationkey"),
           org.apache.spark.sql.functions.col("n_name"),
           org.apache.spark.sql.functions.col("n_regionkey"))
-      engine.catalog.createTable("fz", "t", nation.schema)
+      // half the scenarios run on a PARTITIONED table: the hive-named
+      // `_snap=` snapshot layout + single-scan partitioned read under
+      // randomized copy-on-write rewrites — including NULL partition
+      // values injected by nullif (hive default-partition dirs) and
+      // UPDATEs that MOVE rows across partition values
+      val partitioned = rnd.nextBoolean()
+      engine.catalog.createTable("fz", "t", nation.schema,
+        partitionedBy = if (partitioned) Seq("n_regionkey") else Nil)
       engine.catalog.insert("fz", "t", nation)
       val ops = genOps()
       ops.foreach(op => engine.executeNonQuery(params.SqlStatement(stmtOf(op))))

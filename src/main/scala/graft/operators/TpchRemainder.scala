@@ -21,10 +21,14 @@ object TpchRemainder {
     (lit(1.0) - col("l_discount")).cast("decimal(14,4)")).as("disc_price")
 
   /** Q2 (min-cost supplier): for each size-15 part, the EUROPE supplier
-    * with the lowest observed price; the correlated MIN becomes one
-    * aggregation joined back on (part, cost) — no correlated re-scan.
+    * with the lowest observed price. The correlated MIN is a window-min
+    * over the (already part-filtered, tiny) candidate set — ONE pass over
+    * the lineitem aggregation instead of recomputing it on both sides of
+    * a min-join (a self-join here duplicated the 600k-row aggregation
+    * subtree; Spark specializes shared subtrees per consumer).
     */
   def q2MinCostSupplier(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ps = Tables.lineitem(s, d)
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(min(col("l_extendedprice")).as("cost"))
@@ -37,10 +41,9 @@ object TpchRemainder {
       .join(broadcast(Tables.part(s, d).filter(col("p_size") === 15)
         .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
       .join(broadcast(es), col("l_suppkey") === col("s_suppkey"))
-    val mn = cand.groupBy(col("p_partkey").as("mk"))
-      .agg(min(col("cost")).as("min_cost"))
-    cand.join(broadcast(mn),
-        col("p_partkey") === col("mk") && col("cost") === col("min_cost"))
+    cand
+      .withColumn("min_cost", min(col("cost")).over(Window.partitionBy(col("p_partkey"))))
+      .filter(col("cost") === col("min_cost"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
         col("cost"))
       .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
