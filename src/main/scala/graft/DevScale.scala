@@ -74,7 +74,8 @@ object DevScale {
       // round-5: the composed normalize→filter→dedup→pack plan — the
       // end-to-end pipeline must scale like its worst stage (the
       // (source,hash) groupBy), i.e. ~linearly
-      "corpus_pipeline"   -> (operators.TextAnalysis.corpusPipeline _))
+      "corpus_pipeline"   -> (operators.TextAnalysis.corpusPipeline _),
+      "semantic_dedup"    -> ((s, d) => operators.Similarity.semanticDedup(s, d)))
     // warmup on the base dir itself so JIT/codegen/first-shuffle costs
     // never land on the 1× timing (a hardcoded small dir would silently
     // no-op on other layouts and skew the very ratio being measured)

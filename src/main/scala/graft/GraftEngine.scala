@@ -327,6 +327,16 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
           case e: IllegalStateException =>
             throw new GraftQueryException(sqlText, e.getMessage, e)
         }
+      case graft.catalog.AddColumnStmt(schema, table, column, dataType, ifNotExists) =>
+        requireCatalogTable(sqlText, schema, table)
+        val exists = catalog.declaredSchema(schema, table)
+          .exists(_.fieldNames.exists(_.equalsIgnoreCase(column)))
+        if (exists) {
+          if (!ifNotExists)
+            throw new GraftQueryException(sqlText,
+              s"Column $column already exists in $schema.$table")
+        } else catalog.addColumn(schema, table, column, dataType)
+        0L
       case graft.catalog.AlterExecuteStmt(schema, table, proc, args) =>
         requireCatalogTable(sqlText, schema, table)
         proc match {

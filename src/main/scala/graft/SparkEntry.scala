@@ -117,6 +117,7 @@ object SparkEntry {
     "ann_ivf"            -> ((s, d) => Similarity.annIvf(s, d)),
     "embedding_near_dup" -> (Similarity.embeddingNearDup _),
     "embedding_near_dup_exact" -> (Similarity.embeddingNearDupExact _),
+    "semantic_dedup"     -> ((s, d) => Similarity.semanticDedup(s, d)),
     "embedding_quantize" -> (Similarity.embeddingQuantize _),
     "label_centroids"    -> (Similarity.labelCentroids _),
     "token_budget_mix"   -> ((s, d) => TextAnalysis.tokenBudgetMix(s, d)),
@@ -484,6 +485,7 @@ object SparkEntry {
         "ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, e.vec_id) AS rn " +
         "FROM q, e WHERE e.vec_id <> q_id) t WHERE rn <= 10 ORDER BY q_id, rn"),
     "embedding_near_dup" -> operators.Similarity.embeddingNearDupOracleSql,
+    "semantic_dedup"     -> operators.Similarity.semanticDedupOracleSql(),
     "embedding_near_dup_exact" ->
       ("WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) " +
         "SELECT a.vec_id AS va, b.vec_id AS vb, " +

@@ -35,6 +35,14 @@ final case class UpdateStmt(schema: String, table: String,
 final case class AlterExecuteStmt(schema: String, table: String,
                                   procedure: String,
                                   args: Map[String, String]) extends DdlStatement
+/** `ALTER TABLE sch.t ADD COLUMN [IF NOT EXISTS] c type` (Trino's
+  * additive schema-evolution spelling — the only evolution this catalog
+  * offers; see SnapshotCatalog.addColumn).
+  */
+final case class AddColumnStmt(schema: String, table: String,
+                               column: String,
+                               dataType: org.apache.spark.sql.types.DataType,
+                               ifNotExists: Boolean) extends DdlStatement
 
 final case class DropSchemaStmt(schema: String, ifExists: Boolean,
                                 cascade: Boolean) extends DdlStatement
@@ -117,6 +125,8 @@ object DdlParser {
   // expire_snapshots(retention_threshold => '7d') / remove_orphan_files(…)
   private val alterExecRe =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+EXECUTE\s+(\w+)\s*(?:\(\s*(.*?)\s*\))?\s*;?\s*$""".r
+  private val addColumnRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMN\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s+([\w()\s,]+?)\s*;?\s*$""".r
 
   /** Parse one statement; None when the text is not DDL this layer owns
     * (the caller then falls through to Catalyst). Unqualified table names
@@ -223,6 +233,9 @@ object DdlParser {
       }
       require(sets.nonEmpty, "UPDATE requires at least one SET assignment")
       Some(UpdateStmt(sch, tbl, sets, where))
+    case addColumnRe(name, ine, colName, typeText) =>
+      val (sch, tbl) = tableOf(name)
+      Some(AddColumnStmt(sch, tbl, colName, sparkType(typeText), ine != null))
     case alterExecRe(name, proc, args) =>
       val (sch, tbl) = tableOf(name)
       val argRe = """(?is)^\s*(\w+)\s*=>\s*(.+?)\s*$""".r

@@ -643,4 +643,90 @@ object Similarity {
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"), col("cosine"))
       .orderBy(col("va"), col("vb"))
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540 — "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication"): every embedding is assigned to its
+    * nearest coarse-quantizer cell (the SAME fit-once IVF quantizer the
+    * ANN path uses), pairwise cosine runs ONLY within cells, and a vector
+    * is dropped when a smaller-id in-cell neighbor sits above the
+    * threshold — the deterministic greedy keep (first write wins).
+    *
+    * Scale shape: the quadratic term is bounded by the largest CELL, never
+    * the corpus — at 100 TB you raise nlist so cells stay
+    * shuffle-partition-sized, and the join shuffles on the small cell id
+    * exactly like the IVF query path. This is the published scale recipe
+    * for semantic (embedding-space) dedup, complementing the sign-LSH
+    * bucketing of [[embeddingNearDup]].
+    */
+  def semanticDedup(s: SparkSession, d: String, nlist: Int = 16,
+                    threshold: Double = NearDupThreshold): DataFrame = {
+    val centroids = fitQuantizer(s, d, nlist)
+    def cellScores(v: Column): IndexedSeq[Column] =
+      centroids.map { c =>
+        val c2 = c.map(x => x * x).sum
+        lit(c2) - lit(2.0) * dot(v, typedlit(c))
+      }
+    def argmin(scores: IndexedSeq[Column]): Column =
+      array_min(array(scores.zipWithIndex.map { case (sc, i) =>
+        struct(sc.as("s"), lit(i).as("i"))
+      }: _*)).getField("i")
+    val assigned = emb(s, d)
+      .withColumn("cell", argmin(cellScores(col("embedding"))))
+      .select(col("cell"), col("vec_id"), col("embedding"), col("nrm"))
+    val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
+      col("embedding").as("av"), col("nrm").as("an"))
+    val b = assigned.select(col("cell"), col("vec_id").as("b_id"),
+      col("embedding").as("bv"), col("nrm").as("bn"))
+    val close = a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(cosine(col("av"), col("bv"), col("an"), col("bn")) >= threshold)
+      .groupBy(col("b_id")).agg(count(lit(1)).as("n_close"))
+    assigned.join(close, col("vec_id") === col("b_id"), "left")
+      .select(col("vec_id"), col("cell").cast("int").as("cell"),
+        coalesce(col("n_close"), lit(0L)).as("n_close"),
+        (coalesce(col("n_close"), lit(0L)) === 0L).as("is_kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB twin of [[semanticDedup]]: the quantizer replayed in SQL
+    * (same prelude as the IVF oracle), then within-cell smaller-id
+    * domination with the identical cosine spelling.
+    */
+  def semanticDedupOracleSql(nlist: Int = 16,
+                             threshold: Double = NearDupThreshold): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |sd AS (SELECT cell, v FROM (
+       |        SELECT ROW_NUMBER() OVER (ORDER BY (vec_id % 1000000007) * 2654435761 % 4294967296, vec_id) - 1 AS cell, v
+       |        FROM e) t WHERE cell < $nlist),
+       |a0 AS (SELECT vec_id, cell FROM (
+       |        SELECT e.vec_id, s.cell,
+       |               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |                 ORDER BY list_dot_product(s.v, s.v) - 2.0 * list_dot_product(e.v, s.v), s.cell) AS rn
+       |        FROM e CROSS JOIN sd s) t WHERE rn = 1),
+       |xs AS (SELECT a0.cell, d.i - 1 AS dim, ee.v[d.i] AS x
+       |       FROM a0 JOIN e ee ON ee.vec_id = a0.vec_id
+       |       CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) d),
+       |mn AS (SELECT cell, dim, CAST(SUM(CAST(x AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS m
+       |       FROM xs GROUP BY cell, dim),
+       |grid AS (SELECT s.cell, d.i - 1 AS dim, s.v[d.i] AS seed_x
+       |         FROM sd s CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) d),
+       |ct AS (SELECT g.cell, list(COALESCE(mn.m, g.seed_x) ORDER BY g.dim) AS c
+       |       FROM grid g LEFT JOIN mn ON mn.cell = g.cell AND mn.dim = g.dim
+       |       GROUP BY g.cell),
+       |asg AS (SELECT vec_id, cell FROM (
+       |         SELECT n.vec_id, ct.cell,
+       |                ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |                  ORDER BY list_dot_product(ct.c, ct.c) - 2.0 * list_dot_product(n.v, ct.c), ct.cell) AS rn
+       |         FROM n CROSS JOIN ct) t WHERE rn = 1),
+       |pr AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+       |       FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |       JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id
+       |       WHERE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) >= $threshold),
+       |cl AS (SELECT b_id, COUNT(*) AS n_close FROM pr GROUP BY b_id)
+       |SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
+       |       COALESCE(cl.n_close, 0) AS n_close,
+       |       COALESCE(cl.n_close, 0) = 0 AS is_kept
+       |FROM asg a LEFT JOIN cl ON cl.b_id = a.vec_id ORDER BY a.vec_id""".stripMargin
 }

@@ -130,6 +130,27 @@ class SqlDmlSpec extends SparkSpec {
     assert(ex2.getMessage.toLowerCase.contains("malformed"))
   }
 
+  test("ALTER TABLE ADD COLUMN: SQL spelling of additive schema evolution") {
+    val e = freshEngine("dml-addcol")
+    e.executeNonQuery(SqlStatement(
+      "ALTER TABLE demo.t ADD COLUMN score decimal(10,2)"))
+    val desc = e.query(SqlStatement("DESCRIBE demo.t"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc("score") == "decimal(10,2)")
+    // existing rows read NULL for the new column; inserts can fill it
+    assert(e.query(SqlStatement(
+      "SELECT count(*) AS n FROM demo.t WHERE score IS NULL")).as[Long].head() == 4L)
+    e.executeNonQuery(SqlStatement("INSERT INTO demo.t VALUES (5, 'e', 50, 9.25)"))
+    assert(e.query(SqlStatement(
+      "SELECT count(*) AS n FROM demo.t WHERE score IS NOT NULL")).as[Long].head() == 1L)
+    // duplicate: IF NOT EXISTS no-ops, plain spelling is the typed error
+    e.executeNonQuery(SqlStatement(
+      "ALTER TABLE demo.t ADD COLUMN IF NOT EXISTS score decimal(10,2)"))
+    intercept[GraftQueryException] {
+      e.executeNonQuery(SqlStatement("ALTER TABLE demo.t ADD COLUMN score bigint"))
+    }
+  }
+
   test("DML on a missing table raises the typed error") {
     val e = new GraftEngine(spark, tmpDir("dml-missing"))
     intercept[GraftQueryException] {

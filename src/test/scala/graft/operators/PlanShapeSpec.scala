@@ -122,6 +122,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(demoEx == 2, s"expected only agg+sort exchanges, got $demoEx:\n$demo")
   }
 
+  test("TPC-H remainder: dims broadcast, no cartesian/BNLJ products, one fact pass") {
+    // the round-6 additions at their intended plan shapes: every
+    // dimension side broadcast, never a cartesian or nested-loop product
+    // (q11/q15/q17/q22 DO carry one legitimate single-row broadcast
+    // cross: the scalar-subquery threshold), and q2's correlated MIN as
+    // a window over ONE lineitem aggregation pass (not a self-join that
+    // duplicates the aggregation subtree per consumer)
+    val shapes = Seq(
+      "q2" -> TpchRemainder.q2MinCostSupplier(spark, sf001),
+      "q8" -> TpchRemainder.q8MarketShare(spark, sf001),
+      "q9" -> TpchRemainder.q9ProductProfit(spark, sf001),
+      "q16" -> TpchRemainder.q16SupplierCnt(spark, sf001),
+      "q20" -> TpchRemainder.q20PotentialPromo(spark, sf001))
+    for ((name, q) <- shapes) {
+      val plan = executed(q)
+      assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")
+      assert(plan.contains("BroadcastHashJoin"), s"$name lost its broadcast joins")
+    }
+    val q2Plan = executed(TpchRemainder.q2MinCostSupplier(spark, sf001))
+    val lineitemAggs = q2Plan.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(lineitemAggs <= 1, s"q2 scans lineitem $lineitemAggs times (want 1)")
+  }
+
   test("corpus_pipeline: per-row stages fuse into the scan; few, keyed shuffles") {
     val plan = executed(TextAnalysis.corpusPipeline(spark, sf001))
     // the composed normalize→filter→hash pipeline must be ONE codegen'd
