@@ -52,8 +52,12 @@ object DevFuzzTravel {
       val wh = s"$outDir/wh_$i"
       val engine = new GraftEngine(spark, wh)
       engine.executeNonQuery(params.SqlStatement("CREATE SCHEMA fz"))
+      // half the scenarios on a PARTITIONED table: time travel must
+      // resolve through the hive-named `_snap=` single-scan layout too
+      val partitioned = rnd.nextBoolean()
       engine.executeNonQuery(params.SqlStatement(
-        "CREATE TABLE fz.t (n_nationkey bigint, n_name varchar, n_regionkey bigint)"))
+        "CREATE TABLE fz.t (n_nationkey bigint, n_name varchar, n_regionkey bigint)" +
+          (if (partitioned) " WITH (partitioning = ARRAY['n_regionkey'])" else "")))
       Tables.nation(spark, sfDir)
         .select("n_nationkey", "n_name", "n_regionkey")
         .createOrReplaceTempView("nation")

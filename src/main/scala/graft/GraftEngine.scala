@@ -682,12 +682,15 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
     * otherwise be swallowed by the data-table rewrite.
     */
   private val metadataRefRe =
-    """(?i)\b(FROM|JOIN)\s+(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\.("?)([A-Za-z_]\w*)\$(\w+)\3""".r
+    """(?i)\b(FROM|JOIN)\s+(?:(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\.)?("?)([A-Za-z_]\w*)\$(\w+)\3""".r
 
   private[graft] def rewriteMetadataRefs(sql: String): String = {
     val spans = literalSpans(sql)
     metadataRefRe.replaceAllIn(sql, m => {
-      val (kw, sch, tbl, kind) = (m.group(1), m.group(2), m.group(4), m.group(5))
+      val (kw, sch, tbl, kind) = (m.group(1),
+        // unqualified `t$kind` resolves against the session schema, like
+        // every other bare name under USE
+        Option(m.group(2)).getOrElse(sessionSchema), m.group(4), m.group(5))
       if (!overlapsLiteral(spans, m.start, m.end) && catalog.tableExists(sch, tbl)) {
         val view = s"_meta_${sch}_${tbl}_${kind.toLowerCase}_${nameTag(sch, tbl)}"
         try catalog.metadataTable(sch, tbl, kind).createOrReplaceTempView(view)

@@ -98,6 +98,33 @@ class SqlUseSchemaSpec extends SparkSpec {
       "SELECT count(*) AS n FROM orders_t")).collect()(0).getLong(0) == 4L)
   }
 
+  test("bare rewrite edge cases: literals untouched, VALUES/table functions pass through") {
+    val e = freshEngine("use-edges")
+    e.executeNonQuery(SqlStatement("USE sales"))
+    // a bare table name INSIDE a string literal is not rewritten
+    val lit = e.query(SqlStatement(
+      "SELECT 'FROM orders_t' AS s FROM orders_t WHERE id = 1")).collect()
+    assert(lit.map(_.getString(0)).toSeq == Seq("FROM orders_t"))
+    // FROM VALUES and table functions don't trip the bare-name rewrite
+    assert(e.query(SqlStatement(
+      "SELECT * FROM VALUES (1), (2) AS t(x)")).count() == 2L)
+    assert(e.query(SqlStatement(
+      "SELECT * FROM range(3)")).count() == 3L)
+  }
+
+  test("unqualified metadata table resolves against the session schema") {
+    val e = freshEngine("use-meta")
+    e.executeNonQuery(SqlStatement("USE sales"))
+    e.executeNonQuery(SqlStatement("INSERT INTO orders_t VALUES (9, 'z')"))
+    val ops = e.query(SqlStatement(
+      "SELECT snapshot_id, operation FROM \"orders_t$snapshots\" ORDER BY snapshot_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(ops == Seq((1L, "append"), (2L, "append")))
+    // the unquoted bare spelling works too
+    assert(e.query(SqlStatement(
+      "SELECT count(*) AS n FROM orders_t$history")).collect()(0).getLong(0) == 2L)
+  }
+
   test("DROP SCHEMA: a name ending in 'cascade' is not parsed as CASCADE mode") {
     val e = freshEngine("use-dropschema")
     e.executeNonQuery(SqlStatement("CREATE SCHEMA foo_cascade"))
