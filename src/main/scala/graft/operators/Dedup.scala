@@ -200,8 +200,12 @@ object Dedup {
     // under persist, stay flat under localCheckpoint).
     val edges = pairs.union(pairs.select(col("db").as("da"), col("da").as("db")))
       .toDF("src", "dst").localCheckpoint()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint()
+    // seed labels at min(self, direct neighbors): the label set needs a
+    // groupBy on src anyway (was a distinct), and folding the first
+    // min-propagation into it saves one full loop iteration
+    var labels = edges.groupBy(col("src").as("doc_id"))
+      .agg(least(min(col("dst")), first(col("src"))).as("lbl"))
+      .localCheckpoint()
     // convergence via the label-sum invariant: labels only ever decrease
     // (min-propagation), so the sum strictly decreases until fixpoint —
     // one aggregation over checkpointed data per iteration, no join
@@ -243,7 +247,9 @@ object Dedup {
     // partially-merged clusters
     require(!changed, s"dedupClusters failed to converge in $iters iterations")
     val connected = labels.select(col("doc_id"), col("lbl").as("cluster"))
-    val singletons = docs.join(edges.select(col("src").as("doc_id")).distinct(),
+    // labels carries exactly one row per edge endpoint (checkpointed) —
+    // no need to re-aggregate the edge list for the singleton anti-join
+    val singletons = docs.join(labels.select(col("doc_id")),
         Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("cluster"))
     val sizes = Window.partitionBy(col("cluster"))
