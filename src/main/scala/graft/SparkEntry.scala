@@ -121,6 +121,7 @@ object SparkEntry {
     "embedding_quantize" -> (Similarity.embeddingQuantize _),
     "label_centroids"    -> (Similarity.labelCentroids _),
     "token_budget_mix"   -> ((s, d) => TextAnalysis.tokenBudgetMix(s, d)),
+    "temperature_mix"    -> ((s, d) => TextAnalysis.temperatureMix(s, d)),
     "pii_redact"         -> ((s, d) => TextAnalysis.piiRedact(s, d)),
     "sequence_pack"      -> ((s, d) => TextAnalysis.sequencePack(s, d)),
     "vocab_coverage"     -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
@@ -421,6 +422,7 @@ object SparkEntry {
     "decontaminate"    -> operators.TextAnalysis.decontaminateSql,
     "label_centroids"  -> operators.Similarity.labelCentroidsSql,
     "token_budget_mix" -> operators.TextAnalysis.tokenBudgetMixSql(),
+    "temperature_mix"  -> operators.TextAnalysis.temperatureMixSql(),
     "pii_redact"       -> operators.TextAnalysis.piiRedactSql(),
     "sequence_pack"    -> operators.TextAnalysis.sequencePackSql(),
     "vocab_coverage"   -> operators.TextAnalysis.vocabCoverageSql(),

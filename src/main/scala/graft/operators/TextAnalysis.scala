@@ -342,6 +342,52 @@ object TextAnalysis {
        |SELECT source, doc_id, n_tokens, cum_tokens FROM c
        |WHERE cum_tokens <= $budget ORDER BY source, cum_tokens""".stripMargin
 
+  /** Temperature-based source mixing (the multilingual/Pile sampling
+    * recipe, e.g. XLM-R's α-smoothed sampling, arXiv:1911.02116 §3.1):
+    * per-source token budgets proportional to (source share)^α with
+    * α = 0.5, which up-weights small sources relative to proportional
+    * sampling; documents fill each budget in the deterministic mixture
+    * order. All arbitration is INTEGER arithmetic both engines reproduce
+    * bit-exactly: the only float op is IEEE sqrt, immediately scaled by a
+    * power of two (exact) and floored into a BIGINT weight, so budget =
+    * B·w_s/Σw never sits on an engine-dependent rounding boundary.
+    *
+    * Scale: one pass for per-source totals (a handful of rows), broadcast
+    * back, one windowed cumulative pass — the same two-shuffle shape as
+    * [[tokenBudgetMix]], 100 TB-safe.
+    */
+  def temperatureMix(s: SparkSession, d: String, budget: Long = 4000): DataFrame = {
+    val cum = cumTokensBySource(s, d)
+    val weights = cum.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("tot_tokens"))
+      .withColumn("w",
+        floor(sqrt(col("tot_tokens").cast("double")) * lit(1048576.0)).cast("long"))
+    val wsum = weights.agg(sum(col("w")).as("wsum"))
+    val budgets = weights.crossJoin(broadcast(wsum))
+      .select(col("source"), col("tot_tokens"),
+        // explicit floor: a bare long cast truncates toward zero in Spark
+        // but a double→BIGINT cast ROUNDS in DuckDB
+        floor(lit(budget) * col("w") / col("wsum")).cast("long").as("src_budget"))
+    cum.join(broadcast(budgets), Seq("source"))
+      .filter(col("cum_tokens") <= col("src_budget"))
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("cum_tokens"),
+        col("src_budget"))
+      .orderBy(col("source"), col("cum_tokens"))
+  }
+
+  /** DuckDB twin of [[temperatureMix]] — same integer-weight spelling. */
+  def temperatureMixSql(budget: Long = 4000): String =
+    s"""WITH $cumTokensCtes,
+       |wt AS (SELECT source, SUM(n_tokens) AS tot_tokens,
+       |         CAST(floor(sqrt(CAST(SUM(n_tokens) AS DOUBLE)) * 1048576.0) AS BIGINT) AS w
+       |       FROM c GROUP BY source),
+       |b AS (SELECT source, CAST(floor($budget * w / (SELECT SUM(w) FROM wt)) AS BIGINT) AS src_budget
+       |      FROM wt)
+       |SELECT c.source, c.doc_id, c.n_tokens, c.cum_tokens, b.src_budget
+       |FROM c JOIN b ON c.source = b.source
+       |WHERE c.cum_tokens <= b.src_budget
+       |ORDER BY c.source, c.cum_tokens""".stripMargin
+
   /** PII + blocklist scrubbing: redact emails, IPv4 addresses, and phone
     * numbers, then a configurable blocklist of canary/contamination terms
     * (the reference-benchmark-marker scrub every training pipeline runs).
