@@ -337,6 +337,11 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
               s"Column $column already exists in $schema.$table")
         } else catalog.addColumn(schema, table, column, dataType)
         0L
+      case graft.catalog.RenameTableStmt(schema, table, newSchema, newTable) =>
+        requireCatalogTable(sqlText, schema, table)
+        try { catalog.renameTable(schema, table, newSchema.getOrElse(schema), newTable); 0L }
+        catch { case e: IllegalArgumentException =>
+          throw new GraftQueryException(sqlText, e.getMessage, e) }
       case graft.catalog.AlterExecuteStmt(schema, table, proc, args) =>
         requireCatalogTable(sqlText, schema, table)
         proc match {
@@ -503,6 +508,8 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
 
   private val showSchemasRe =
     """(?is)^\s*SHOW\s+SCHEMAS\s*(?:LIKE\s+'([^']*)')?\s*;?\s*$""".r
+  private val showCatalogsRe =
+    """(?is)^\s*SHOW\s+CATALOGS\s*(?:LIKE\s+'([^']*)')?\s*;?\s*$""".r
   private val showTablesRe =
     """(?is)^\s*SHOW\s+TABLES\s*(?:(?:FROM|IN)\s+(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*))?\s*(?:LIKE\s+'([^']*)')?\s*;?\s*$""".r
 
@@ -530,6 +537,12 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
   private def introspectionQuery(sql: String): Option[DataFrame] = {
     import spark.implicits._
     sql match {
+      case showCatalogsRe(like) =>
+        // exactly one catalog backs this engine — presented under the
+        // reference's name (its SQL says iceberg.schema.table throughout)
+        val all = Seq("iceberg")
+        Some(Option(like).map(p => all.filter(likeMatches(p, _)))
+          .getOrElse(all).toDF("catalog"))
       case showSchemasRe(like) =>
         val all = catalog.listSchemas()
         Some(Option(like).map(p => all.filter(likeMatches(p, _)))

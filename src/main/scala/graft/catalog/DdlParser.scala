@@ -43,6 +43,12 @@ final case class AddColumnStmt(schema: String, table: String,
                                column: String,
                                dataType: org.apache.spark.sql.types.DataType,
                                ifNotExists: Boolean) extends DdlStatement
+/** `ALTER TABLE sch.t RENAME TO [sch2.]t2` (Trino rename — metadata move,
+  * data files untouched).
+  */
+final case class RenameTableStmt(schema: String, table: String,
+                                 newSchema: Option[String],
+                                 newTable: String) extends DdlStatement
 
 final case class DropSchemaStmt(schema: String, ifExists: Boolean,
                                 cascade: Boolean) extends DdlStatement
@@ -127,6 +133,8 @@ object DdlParser {
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+EXECUTE\s+(\w+)\s*(?:\(\s*(.*?)\s*\))?\s*;?\s*$""".r
   private val addColumnRe =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMN\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s+([\w()\s,]+?)\s*;?\s*$""".r
+  private val renameTableRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+TO\s+([\w.]+)\s*;?\s*$""".r
 
   /** Parse one statement; None when the text is not DDL this layer owns
     * (the caller then falls through to Catalyst). Unqualified table names
@@ -236,6 +244,15 @@ object DdlParser {
     case addColumnRe(name, ine, colName, typeText) =>
       val (sch, tbl) = tableOf(name)
       Some(AddColumnStmt(sch, tbl, colName, sparkType(typeText), ine != null))
+    case renameTableRe(name, newName) =>
+      val (sch, tbl) = tableOf(name)
+      val parts = newName.split('.')
+      // a bare new name stays in the SOURCE schema (Trino RENAME TO
+      // semantics), not the session default
+      val (newSch, newTbl) =
+        if (parts.length >= 2) (Some(parts(parts.length - 2)), parts.last)
+        else (None, parts.head)
+      Some(RenameTableStmt(sch, tbl, newSch, newTbl))
     case alterExecRe(name, proc, args) =>
       val (sch, tbl) = tableOf(name)
       val argRe = """(?is)^\s*(\w+)\s*=>\s*(.+?)\s*$""".r

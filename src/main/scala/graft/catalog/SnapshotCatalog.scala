@@ -184,6 +184,24 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     fs(dir).delete(dir, true)
   }
 
+  /** ALTER TABLE RENAME TO (Trino rename): one directory move — the
+    * commit log, schema, comments, and every snapshot travel with it;
+    * data files are untouched. Commit `dirs` are relative to the table
+    * dir, so they remain valid at the new location. Cross-schema renames
+    * are allowed like Trino's; the target must not exist.
+    */
+  def renameTable(schema: String, table: String,
+                  newSchema: String, newTable: String): Unit = synchronized {
+    require(tableExists(schema, table), s"Table $schema.$table does not exist")
+    require(schemaExists(newSchema), s"Schema $newSchema does not exist")
+    require(!tableExists(newSchema, newTable) && !viewExists(newSchema, newTable),
+      s"Table or view $newSchema.$newTable already exists")
+    val src = tableDir(schema, table)
+    val dst = tableDir(newSchema, newTable)
+    val f = fs(src)
+    require(f.rename(src, dst), s"Filesystem rename $src -> $dst failed")
+  }
+
   /** CTAS (S4): create + single snapshot from a query result; returns the
     * row count, like the reference's CTAS row-count contract
     * (AthenaClient.cs:152-160).

@@ -151,6 +151,33 @@ class SqlDmlSpec extends SparkSpec {
     }
   }
 
+  test("ALTER TABLE RENAME TO moves the table with history; SHOW CATALOGS lists") {
+    val e = freshEngine("dml-rename")
+    e.executeNonQuery(SqlStatement("UPDATE demo.t SET qty = 99 WHERE id = 1"))
+    e.executeNonQuery(SqlStatement("ALTER TABLE demo.t RENAME TO t_renamed"))
+    assert(!e.catalog.tableExists("demo", "t"))
+    assert(e.catalog.tableExists("demo", "t_renamed"))
+    // data, snapshots, and time travel all travel with the rename
+    assert(e.query(SqlStatement(
+      "SELECT count(*) AS n FROM demo.t_renamed")).as[Long].head() == 4L)
+    assert(e.query(SqlStatement(
+      "SELECT count(*) AS n FROM demo.t_renamed FOR VERSION AS OF 1")).as[Long].head() == 4L)
+    assert(e.catalog.snapshots("demo", "t_renamed").map(_.operation.get) ==
+      Seq("append", "overwrite"))
+    // cross-schema rename
+    e.executeNonQuery(SqlStatement("CREATE SCHEMA demo2"))
+    e.executeNonQuery(SqlStatement("ALTER TABLE demo.t_renamed RENAME TO demo2.t2"))
+    assert(e.query(SqlStatement(
+      "SELECT count(*) AS n FROM demo2.t2")).as[Long].head() == 4L)
+    // target collision is a typed error
+    e.executeNonQuery(SqlStatement("CREATE TABLE demo.other (id bigint)"))
+    intercept[GraftQueryException] {
+      e.executeNonQuery(SqlStatement("ALTER TABLE demo2.t2 RENAME TO demo.other"))
+    }
+    val cats = e.query(SqlStatement("SHOW CATALOGS")).collect().map(_.getString(0))
+    assert(cats.toSeq == Seq("iceberg"))
+  }
+
   test("DML on a missing table raises the typed error") {
     val e = new GraftEngine(spark, tmpDir("dml-missing"))
     intercept[GraftQueryException] {
