@@ -77,6 +77,33 @@ class CommitConflictSpec extends SparkSpec {
     assert(meta == Seq((1L, "append"), (2L, "overwrite"), (3L, "replace"), (4L, "rollback")))
   }
 
+  test("parallel inserts through many threads: all land, ids and generations monotonic") {
+    val wh = tmpDir("graft-conflict-par")
+    val c = new SnapshotCatalog(spark, wh)
+    c.createSchema("s")
+    c.createTable("s", "t", schema)
+    // 8 threads × 3 inserts each through ONE catalog (the engine's
+    // executeBatch shape): synchronized commit section must serialize
+    // them into 24 clean snapshots with no lost updates
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fs = (1 to 8).map { th =>
+      Future {
+        (1 to 3).foreach { k =>
+          c.insert("s", "t", Seq((th * 10L + k, s"v$th-$k")).toDF("id", "v"))
+        }
+      }
+    }
+    Await.result(Future.sequence(fs), Duration.Inf)
+    val snaps = c.snapshots("s", "t")
+    assert(snaps.map(_.snapshotId) == (1L to 24L))
+    assert(snaps.map(_.committedAtMillis) == snaps.map(_.committedAtMillis).sorted)
+    assert(c.readLatest("s", "t").count() == 24L)
+    val (_, gen) = c.readCommitsWithGen("s", "t")
+    assert(gen == 24L) // gen 0 at create + one per insert
+  }
+
   test("legacy single commits.json (pre-versioning layout) still reads; next write versions it") {
     val wh = tmpDir("graft-conflict-wh4")
     val c = new SnapshotCatalog(spark, wh)
