@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, AsOf, CatalogDemos, Dedup, Expressions, Joins, Multimodal, Relational, Similarity, TextAnalysis, TpchRemainder, Windows}
+import graft.operators.{Analytics, AsOf, CatalogDemos, Dedup, Expressions, Joins, Multimodal, Relational, Search, Similarity, TextAnalysis, TpchRemainder, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -100,6 +100,9 @@ object SparkEntry {
     "repetition_stats" -> (TextAnalysis.repetitionStats _),
     "decontaminate"    -> (TextAnalysis.decontaminate _),
     // deduplication
+    // retrieval + LM scoring
+    "bm25_topk"       -> ((s, d) => Search.bm25TopK(s, d)),
+    "unigram_rarity"  -> (Search.unigramRarity _),
     "dedup_exact"        -> (Dedup.dedupExact _),
     "dedup_fingerprint"  -> (Dedup.dedupByFingerprint _),
     "incremental_dedup"  -> (Dedup.incrementalDedup _),
@@ -229,7 +232,7 @@ object SparkEntry {
       ("SELECT l_returnflag, l_linestatus, " +
         "CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty, " +
         "CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base, " +
-        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(14,4))) AS DOUBLE) AS sum_disc_price, " +
+        "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(14,4))) AS VARCHAR) AS DOUBLE) AS sum_disc_price, " +
         "CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) / count(*) AS avg_qty, " +
         "count(*) AS n " +
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00' " +
@@ -249,8 +252,8 @@ object SparkEntry {
         "WHERE l_returnflag = 'R' GROUP BY c_custkey, c_name, n_name " +
         "ORDER BY revenue DESC, c_custkey LIMIT 20"),
     "q14_promo_share" ->
-      ("SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN dp ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) " +
-        "/ CAST(SUM(dp) AS DOUBLE) AS promo_share " +
+      ("SELECT 100.0 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN dp ELSE CAST(0 AS DECIMAL(18,6)) END) AS VARCHAR) AS DOUBLE) " +
+        "/ CAST(CAST(SUM(dp) AS VARCHAR) AS DOUBLE) AS promo_share " +
         "FROM (SELECT p_type, CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0 - l_discount AS DECIMAL(14,4)) AS dp " +
         "FROM lineitem JOIN part ON l_partkey = p_partkey " +
         "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00') t"),
@@ -416,6 +419,8 @@ object SparkEntry {
     // ---- training-data pipeline ops (rows-only only where truly
     //      non-replicable: ann_lsh/ann_ivf; the hash-based ops use the
     //      portable md5-60 hash and are fully oracle-checked) ----
+    "bm25_topk"      -> operators.Search.bm25TopKSql(),
+    "unigram_rarity" -> operators.Search.unigramRaritySql,
     "fingerprint" -> operators.TextAnalysis.fingerprintSql,
     "tfidf_top_terms" -> operators.TextAnalysis.tfidfTopTermsSql,
     "repetition_stats" -> operators.TextAnalysis.repetitionStatsSql,

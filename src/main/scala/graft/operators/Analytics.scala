@@ -43,17 +43,26 @@ object Analytics {
         col("mean_qty"), col("var_qty"), col("sd_qty"))
       .orderBy(col("rf"))
 
-  /** Exact Pearson correlation from decimal cross/power sums. */
+  /** Exact Pearson correlation from decimal cross/power sums.
+    *
+    * The exact decimal sums cross into double through a STRING bridge:
+    * price-squared cross-sums carry unscaled values past 2^53, where
+    * DuckDB's native decimal→double cast (int128→double, THEN divide by
+    * 10^scale — two roundings) can land one ulp away from Spark's
+    * correctly-rounded BigDecimal.doubleValue(). decimal→string is exact
+    * and string→double is correctly rounded (strtod) in both engines, so
+    * the bridged doubles are bit-identical.
+    */
   def corrQtyPrice(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),
-        sum(dec2("l_quantity")).cast("double").as("sx"),
-        sum(dec2("l_extendedprice")).cast("double").as("sy"),
-        sum(dec2("l_quantity") * dec2("l_quantity")).cast("double").as("sxx"),
-        sum(dec2("l_extendedprice") * dec2("l_extendedprice")).cast("double").as("syy"),
-        sum(dec2("l_quantity") * dec2("l_extendedprice")).cast("double").as("sxy"))
+        sum(dec2("l_quantity")).cast("string").cast("double").as("sx"),
+        sum(dec2("l_extendedprice")).cast("string").cast("double").as("sy"),
+        sum(dec2("l_quantity") * dec2("l_quantity")).cast("string").cast("double").as("sxx"),
+        sum(dec2("l_extendedprice") * dec2("l_extendedprice")).cast("string").cast("double").as("syy"),
+        sum(dec2("l_quantity") * dec2("l_extendedprice")).cast("string").cast("double").as("sxy"))
       // radicands clamped at 0: a constant column's power-sum identity can
       // round to a tiny negative, where Spark returns NaN but DuckDB errors
       .withColumn("corr_qp",
@@ -327,15 +336,18 @@ object Analytics {
         |          CAST(SUM(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sxx
         |        FROM lineitem GROUP BY 1) t) u ORDER BY rf""".stripMargin
 
+    // decimal sums bridge to double via VARCHAR (exact → correctly-rounded
+    // strtod): DuckDB's direct decimal→double cast double-rounds past 2^53
+    // unscaled and can sit one ulp off Spark's BigDecimal.doubleValue()
     val corrQtyPrice: String =
       """SELECT rf, n,
         |  (n * sxy - sx * sy) / (sqrt(greatest(n * sxx - sx * sx, 0.0)) * sqrt(greatest(n * syy - sy * sy, 0.0))) AS corr_qp
         |FROM (SELECT l_returnflag AS rf, count(*) AS n,
-        |        CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sx,
-        |        CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sy,
-        |        CAST(SUM(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sxx,
-        |        CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS syy,
-        |        CAST(SUM(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sxy
+        |        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sx,
+        |        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sy,
+        |        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_quantity AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+        |        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS syy,
+        |        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sxy
         |      FROM lineitem GROUP BY 1) t ORDER BY rf""".stripMargin
 
     val medianRank: String =

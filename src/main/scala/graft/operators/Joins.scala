@@ -110,9 +110,14 @@ object Joins {
       .agg(
         sum(col("l_quantity").cast("decimal(14,2)")).cast("double").as("sum_qty"),
         sum(col("l_extendedprice").cast("decimal(14,2)")).cast("double").as("sum_base"),
+        // string-bridged: the scale-6 sum's unscaled value passes 2^53 at
+        // sf0.1, where DuckDB's direct decimal→double cast double-rounds
+        // (int128→double, then ÷10^6) and can sit one ulp off Spark's
+        // BigDecimal.doubleValue(); decimal→string→double is exact then
+        // correctly rounded in both engines
         sum(col("l_extendedprice").cast("decimal(14,2)") *
           (lit(1.0) - col("l_discount")).cast("decimal(14,4)"))
-          .cast("double").as("sum_disc_price"),
+          .cast("string").cast("double").as("sum_disc_price"),
         // exact-sum / count division in double: reduction-order independent
         (sum(col("l_quantity").cast("decimal(14,2)")).cast("double") /
           count(lit(1))).as("avg_qty"),
@@ -316,10 +321,12 @@ object Joins {
         (col("l_extendedprice").cast("decimal(14,2)") *
           (lit(1.0) - col("l_discount")).cast("decimal(14,4)")).as("disc_price"))
       .agg(
+        // string-bridged decimal→double (see q1Pricing): these year-wide
+        // scale-6 sums ride the 2^53 unscaled boundary at sf0.1
         (lit(100.0) *
           sum(when(col("p_type") === "PROMO", col("disc_price"))
-            .otherwise(lit(0).cast("decimal(18,6)"))).cast("double") /
-          sum(col("disc_price")).cast("double")).as("promo_share"))
+            .otherwise(lit(0).cast("decimal(18,6)"))).cast("string").cast("double") /
+          sum(col("disc_price")).cast("string").cast("double")).as("promo_share"))
   }
 
   /** TPC-H Q19-style disjunctive predicate revenue: three brand/size/

@@ -79,9 +79,11 @@ object TpchRemainder {
       .select(year(col("o_orderdate")).cast("int").as("yr"),
         col("supp_nation"), discPrice)
       .groupBy(col("yr"))
+      // string-bridged decimal→double (see Joins.q1Pricing): per-year
+      // scale-6 volume sums ride the 2^53 unscaled boundary at sf0.1
       .agg((sum(when(col("supp_nation") === "NATION_3", col("disc_price"))
-          .otherwise(lit(0).cast("decimal(18,6)"))).cast("double") /
-        sum(col("disc_price")).cast("double")).as("mkt_share"))
+          .otherwise(lit(0).cast("decimal(18,6)"))).cast("string").cast("double") /
+        sum(col("disc_price")).cast("string").cast("double")).as("mkt_share"))
       .orderBy(col("yr"))
   }
 
