@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, AsOf, CatalogDemos, Dedup, Expressions, Joins, Multimodal, Relational, Search, Similarity, TextAnalysis, TpchRemainder, Windows}
+import graft.operators.{Analytics, AsOf, CatalogDemos, Dedup, Expressions, Joins, Multimodal, Relational, Search, Similarity, TextAnalysis, Tokenizer, TpchRemainder, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -103,6 +103,9 @@ object SparkEntry {
     // retrieval + LM scoring
     "bm25_topk"       -> ((s, d) => Search.bm25TopK(s, d)),
     "unigram_rarity"  -> (Search.unigramRarity _),
+    // tokenizer training + corpus subsampling
+    "bpe_pair_counts" -> ((s, d) => Tokenizer.bpePairCounts(s, d)),
+    "weighted_sample" -> (Tokenizer.weightedSample _),
     "dedup_exact"        -> (Dedup.dedupExact _),
     "dedup_fingerprint"  -> (Dedup.dedupByFingerprint _),
     "incremental_dedup"  -> (Dedup.incrementalDedup _),
@@ -421,6 +424,8 @@ object SparkEntry {
     //      portable md5-60 hash and are fully oracle-checked) ----
     "bm25_topk"      -> operators.Search.bm25TopKSql(),
     "unigram_rarity" -> operators.Search.unigramRaritySql,
+    "bpe_pair_counts" -> operators.Tokenizer.bpePairCountsSql(),
+    "weighted_sample" -> operators.Tokenizer.weightedSampleSql,
     "fingerprint" -> operators.TextAnalysis.fingerprintSql,
     "tfidf_top_terms" -> operators.TextAnalysis.tfidfTopTermsSql,
     "repetition_stats" -> operators.TextAnalysis.repetitionStatsSql,

@@ -90,7 +90,9 @@ object Search {
     */
   def bm25TopKSql(terms: Seq[String] = QueryTerms, k: Int = 25): String = {
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
-      s"SUM(CASE WHEN w = '$t' THEN 1 ELSE 0 END) AS tf$i"
+      // '' -escape the term so a quote in a query term yields valid SQL with
+      // the same semantics as the Spark side's col("w") === t
+      s"SUM(CASE WHEN w = '${t.replace("'", "''")}' THEN 1 ELSE 0 END) AS tf$i"
     }.mkString(", ")
     val dfCols = terms.indices.map { i =>
       s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i"

@@ -79,9 +79,11 @@ object Tokenizer {
     * u30·5·W < w_i·n·2^30 with u30 = md5-60(doc_id) mod 2^30.
     *
     * Shape: one tiny global aggregate (n, W — 1 row, broadcast back) and
-    * a stateless per-row filter; the corpus never shuffles. The int64
-    * products hold to ~10^8-row corpora at this document size; past that
-    * the test widens to decimal(38,0) — same plan, wider arithmetic.
+    * a stateless per-row filter; the corpus never shuffles. The inclusion
+    * test runs in 128-bit integer arithmetic (decimal(38,0) on Spark,
+    * HUGEINT on DuckDB): with u30 < 2^30 the products stay below 10^38
+    * for any corpus whose char total and row count each fit in int64, so
+    * the test is overflow-free at any realistic scale.
     *
     * `ht_weight` = 1/p_i, the Horvitz-Thompson estimator weight that makes
     * downstream corpus statistics unbiased after sampling.
@@ -94,7 +96,8 @@ object Tokenizer {
     docs.crossJoin(broadcast(totals))
       .withColumn("u30",
         expr(s"${Dedup.Portable.spark60("concat('ws|', doc_id)")} % 1073741824L"))
-      .filter(expr("u30 * 5 * total_w < n_chars * n_docs * 1073741824"))
+      .filter(expr("cast(u30 as decimal(38,0)) * 5 * total_w < " +
+        "cast(n_chars as decimal(38,0)) * n_docs * 1073741824"))
       .select(
         col("doc_id"), col("source"), col("n_chars"),
         expr("least(cast(1 as double), " +
@@ -119,7 +122,8 @@ object Tokenizer {
        |                (cast(5 as double) * cast(total_w as double)) /
        |                (cast(n_chars as double) * cast(n_docs as double))) AS ht_weight
        |FROM documents CROSS JOIN totals
-       |WHERE ($u30) * 5 * total_w < n_chars * n_docs * 1073741824
+       |WHERE CAST(($u30) AS HUGEINT) * 5 * total_w
+       |      < CAST(n_chars AS HUGEINT) * n_docs * 1073741824
        |ORDER BY doc_id""".stripMargin
   }
 }

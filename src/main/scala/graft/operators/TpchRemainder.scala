@@ -314,9 +314,9 @@ object TpchRemainder {
          |        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
          |        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
          |SELECT yr,
-         |  CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN disc_price
-         |                ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
-         |    / CAST(SUM(disc_price) AS DOUBLE) AS mkt_share
+         |  CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN disc_price
+         |                     ELSE CAST(0 AS DECIMAL(18,6)) END) AS VARCHAR) AS DOUBLE)
+         |    / CAST(CAST(SUM(disc_price) AS VARCHAR) AS DOUBLE) AS mkt_share
          |FROM v GROUP BY yr ORDER BY yr""".stripMargin
 
     val q9ProductProfit: String =
