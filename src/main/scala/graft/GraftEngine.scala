@@ -250,11 +250,11 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
         }
       case graft.catalog.TruncateStmt(schema, table) =>
         requireCatalogTable(sqlText, schema, table)
-        // TRUNCATE = unconditional copy-on-write delete; like DELETE it
-        // reports the removed-row count (counted atomically with the
-        // rewrite), and the pre-truncate snapshot stays time-travel-visible
-        catalog.deleteCounted(schema, table,
-          org.apache.spark.sql.functions.lit(true))._2
+        // TRUNCATE is METADATA-ONLY: the commit references no data files
+        // and the removed-row count is the parquet-footer record-count sum
+        // — no table scan, no rewrite, any table size. The pre-truncate
+        // snapshot stays time-travel-visible like any CoW DML commit.
+        catalog.truncateCounted(schema, table)._2
       case graft.catalog.CreateViewStmt(schema, view, select, orReplace) =>
         if (!catalog.schemaExists(schema)) catalog.createSchema(schema)
         // Trino validates a view's defining query at CREATE time — analyze

@@ -356,9 +356,16 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       .limit(1).collect()
     require(dups.isEmpty,
       s"MERGE updates contain duplicate key '${key}'=${dups.headOption.map(_.get(0)).orNull}")
-    rewrite(schema, table) { current =>
+    // touched files = files holding a current row whose key an update row
+    // replaces (left-semi probe); untouched files carry by path, and the
+    // rewrite reads only touched files (their unmatched rows pass through)
+    // plus appends every update row. emitWhenUntouched: an all-new-keys
+    // MERGE still inserts.
+    rewritePruned(schema, table,
+      _.join(updates.select(key), Seq(key), "left_semi"),
+      emitWhenUntouched = true) { current =>
       current.join(updates.select(key), Seq(key), "left_anti").unionByName(updates)
-    }
+    }._1
   }
 
   /** General ANSI/Trino MERGE INTO: full WHEN-clause semantics over an
@@ -384,15 +391,27 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
                 whenMatched: Seq[MergeAction],
                 whenNotMatched: Seq[MergeInsertAction]): (Snapshot, Long) = synchronized {
     import org.apache.spark.sql.functions.{coalesce, col, lit, monotonically_increasing_id, when}
+    val dir = tableDir(schema, table)
     require(tableExists(schema, table), s"Table $schema.$table does not exist")
     whenMatched.foreach {
       case _: MergeInsertAction =>
         throw new IllegalArgumentException("WHEN MATCHED cannot INSERT")
       case _ =>
     }
-    val t0 = readLatest(schema, table)
-    val fields = t0.schema.fields.toIndexedSeq
-    val reserved = Seq("__graft_t_id", "__graft_t_mark", "__graft_s_mark", "__graft_aidx")
+    // observe the commit-log generation BEFORE reading the target so the
+    // optimistic-concurrency check covers the whole read-compute-commit span
+    val (commits, gen) = readCommitsWithGen(schema, table)
+    val currentSnap = commits.lastOption
+    // target with per-row file provenance (file-pruned CoW, like
+    // delete/update); provenance-free states merge as full rewrites
+    val (t0, hasProv) = withProvenance(schema, table, currentSnap) match {
+      case Some(p) => (p.withColumnRenamed("__graft_file", "__graft_t_file"), true)
+      case None => (readSnapshot(schema, table, currentSnap)
+        .withColumn("__graft_t_file", lit(null).cast("string")), false)
+    }
+    val fields = t0.schema.fields.toIndexedSeq.filterNot(_.name == "__graft_t_file")
+    val reserved = Seq("__graft_t_id", "__graft_t_mark", "__graft_s_mark",
+      "__graft_aidx", "__graft_t_file", "__graft_file")
     (fields.map(_.name) ++ source.columns).foreach(c =>
       require(!reserved.exists(_.equalsIgnoreCase(c)),
         s"MERGE reserves the column name $c; rename it first"))
@@ -434,7 +453,19 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         val keptMatched =
           if (deleteIdxs.isEmpty) matchedRows
           else matchedRows.filter(!col("__graft_aidx").isin(deleteIdxs: _*))
-        val matchedOut = keptMatched.select(fields.map { f =>
+        // files whose rows a clause actually modifies: only THOSE files get
+        // rewritten; rows in every other file are carried by path below
+        val touchedAbs: Seq[String] =
+          if (!hasProv) Nil
+          else matchedRows.filter(col("__graft_aidx") =!= -1)
+            .select(col("__graft_t_file")).distinct()
+            .collect().map(_.getString(0)).toSeq
+        val inTouched =
+          if (!hasProv) lit(true)
+          else if (touchedAbs.isEmpty) lit(false)
+          else col("__graft_t_file").isin(touchedAbs: _*)
+
+        val matchedOut = keptMatched.filter(inTouched).select(fields.map { f =>
           val base = col(s"$targetAlias.${f.name}")
           whenMatched.zipWithIndex.foldLeft(base) {
             case (acc, (MergeUpdateAction(_, sets), i)) =>
@@ -449,6 +480,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
 
         val targetOnly = joined.filter(col("__graft_s_mark").isNull &&
             col("__graft_t_mark").isNotNull)
+          .filter(inTouched)
           .select(fields.map(f => col(s"$targetAlias.${f.name}").as(f.name)): _*)
 
         val srcOnly = joined.filter(col("__graft_t_mark").isNull)
@@ -472,7 +504,34 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         val affected =
           matchedRows.filter(col("__graft_aidx") =!= -1).count() + srcOnly.count()
         val merged = insertOut.foldLeft(matchedOut.unionByName(targetOnly))(_.unionByName(_))
-        val snap = rewrite(schema, table)(_ => merged)
+
+        val id = commits.lastOption.map(_.snapshotId).getOrElse(0L) + 1
+        val at = math.max(System.currentTimeMillis(),
+          commits.lastOption.map(_.committedAtMillis + 1).getOrElse(0L))
+        val schemaJson = declaredSchema(schema, table).map(_.json)
+        val entries = currentSnap.map(_.dirs).getOrElse(Nil)
+        val snap =
+          if (hasProv && affected == 0L) {
+            // no clause fired, nothing inserted: metadata-only no-op commit
+            val s0 = Snapshot(id, at, entries, schemaJson, Some("overwrite"))
+            writeCommits(schema, table, commits :+ s0, gen)
+            s0
+          } else {
+            val (carried, touchedRel) =
+              if (hasProv) splitByTouched(dir, entries,
+                touchedAbs.map(p => new Path(p).toUri.getPath).toSet)
+              else (Nil, Nil)
+            if (hasProv) require(touchedRel.size == touchedAbs.size,
+              s"file-pruning provenance mismatch on $schema.$table: " +
+                s"${touchedAbs.size} touched files, ${touchedRel.size} matched " +
+                "under current snapshot entries")
+            val snapDir = snapDirName(schema, table, f"$id%05d-rewrite")
+            partitionedWriter(schema, table, merged)
+              .mode("errorifexists").parquet(new Path(dir, snapDir).toString)
+            val s0 = Snapshot(id, at, carried.toSeq :+ snapDir, schemaJson, Some("overwrite"))
+            writeCommits(schema, table, commits :+ s0, gen)
+            s0
+          }
         (snap, affected)
       } finally joined.unpersist()
     } finally tgt.unpersist()
@@ -482,23 +541,43 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * three-valued logic: only rows where cond is TRUE are deleted — a
     * NULL-valued predicate keeps the row (plain `filter(!cond)` would
     * drop it, since !NULL is NULL and filter discards NULLs).
+    * File-pruned copy-on-write: see [[rewritePruned]].
     */
   def delete(schema: String, table: String, cond: org.apache.spark.sql.Column): Snapshot =
-    rewrite(schema, table)(_.filter(
-      !org.apache.spark.sql.functions.coalesce(
-        cond, org.apache.spark.sql.functions.lit(false))))
+    deleteCounted(schema, table, cond)._1
 
   /** [[delete]] that also reports the removed-row count, counted INSIDE
     * the same synchronized section as the rewrite so a concurrent commit
     * cannot slip between the count and the delete (the count+delete pair
     * in the engine's DELETE/TRUNCATE was not atomic — round-5 advice).
+    * The count rides the same probe scan that finds the touched files —
+    * one predicate-column pass, no second job.
     */
   def deleteCounted(schema: String, table: String,
-                    cond: org.apache.spark.sql.Column): (Snapshot, Long) = synchronized {
-    val n = readLatest(schema, table)
-      .filter(org.apache.spark.sql.functions.coalesce(
-        cond, org.apache.spark.sql.functions.lit(false))).count()
-    (delete(schema, table, cond), n)
+                    cond: org.apache.spark.sql.Column): (Snapshot, Long) = {
+    val hit = org.apache.spark.sql.functions.coalesce(
+      cond, org.apache.spark.sql.functions.lit(false))
+    rewritePruned(schema, table, _.filter(hit))(_.filter(!hit))
+  }
+
+  /** TRUNCATE TABLE: a METADATA-ONLY commit. The new snapshot references
+    * no data files (an empty `dirs` list reads as the empty table at the
+    * declared schema), and the removed-row count is the parquet-footer
+    * record-count sum over the current snapshot's files — no data is read
+    * or written, whatever the table size. The pre-truncate snapshot stays
+    * time-travel-visible exactly like any copy-on-write DML commit.
+    */
+  def truncateCounted(schema: String, table: String): (Snapshot, Long) = synchronized {
+    require(tableExists(schema, table), s"Table $schema.$table does not exist")
+    val n = currentFiles(schema, table).map(_._3).sum
+    val (commits, gen) = readCommitsWithGen(schema, table)
+    val id = commits.lastOption.map(_.snapshotId).getOrElse(0L) + 1
+    val at = math.max(System.currentTimeMillis(),
+      commits.lastOption.map(_.committedAtMillis + 1).getOrElse(0L))
+    val snap = Snapshot(id, at, Nil,
+      declaredSchema(schema, table).map(_.json), Some("overwrite"))
+    writeCommits(schema, table, commits :+ snap, gen)
+    (snap, n)
   }
 
   /** UPDATE … SET … WHERE cond: rows where cond is TRUE get the assigned
@@ -514,23 +593,14 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     */
   def updateCounted(schema: String, table: String,
                     sets: Seq[(String, org.apache.spark.sql.Column)],
-                    cond: org.apache.spark.sql.Column): (Snapshot, Long) = synchronized {
-    val n = readLatest(schema, table)
-      .filter(org.apache.spark.sql.functions.coalesce(
-        cond, org.apache.spark.sql.functions.lit(false))).count()
-    (update(schema, table, sets, cond), n)
-  }
-
-  def update(schema: String, table: String,
-             sets: Seq[(String, org.apache.spark.sql.Column)],
-             cond: org.apache.spark.sql.Column): Snapshot = {
+                    cond: org.apache.spark.sql.Column): (Snapshot, Long) = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, when}
-    rewrite(schema, table) { current =>
+    val hit = coalesce(cond, lit(false))
+    rewritePruned(schema, table, _.filter(hit)) { current =>
       sets.foreach { case (c, _) =>
         require(current.columns.exists(_.equalsIgnoreCase(c)),
           s"UPDATE target column '$c' does not exist in $schema.$table")
       }
-      val hit = coalesce(cond, lit(false))
       current.select(current.schema.fields.map { f =>
         sets.find(_._1.equalsIgnoreCase(f.name)) match {
           case Some((_, e)) =>
@@ -541,24 +611,135 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     }
   }
 
-  /** Commit a full-table rewrite: new snapshot referencing only its own
-    * files (same commit shape as `compact`).
+  def update(schema: String, table: String,
+             sets: Seq[(String, org.apache.spark.sql.Column)],
+             cond: org.apache.spark.sql.Column): Snapshot =
+    updateCounted(schema, table, sets, cond)._1
+
+  // ---- file-pruned copy-on-write core ----
+
+  /** Current state of `snap` with a `__graft_file` provenance column — the
+    * absolute data-file path each row came from, via Spark's
+    * `_metadata.file_path` column (resolvable through the projection the
+    * snapshot read applies). None when the state exposes no per-file
+    * provenance: an empty table (no file-source relation) or the legacy
+    * mixed-layout union read — those fall back to whole-table rewrites.
     */
-  private def rewrite(schema: String, table: String)
-                     (f: DataFrame => DataFrame): Snapshot = synchronized {
+  private def withProvenance(schema: String, table: String,
+                             snap: Option[Snapshot]): Option[DataFrame] =
+    try Some(readSnapshot(schema, table, snap).select(
+      org.apache.spark.sql.functions.col("*"),
+      org.apache.spark.sql.functions.col("_metadata.file_path").as("__graft_file")))
+    catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  /** Non-empty `.parquet` data files under a dirs entry (the entry itself
+    * when the entry names a carried file). Driver-side metadata listing,
+    * proportional to file count.
+    */
+  private def dataFilesUnder(p: Path): Seq[Path] = {
+    val f = fs(p)
+    if (!f.exists(p)) Nil
+    else {
+      val it = f.listFiles(p, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && s.getPath.getName.endsWith(".parquet") && s.getLen > 0)
+          buf += s.getPath
+      }
+      buf.toSeq
+    }
+  }
+
+  /** Split the current snapshot's dirs entries around a touched-file set
+    * (scheme-less URI paths): returns (carried entries — entries with no
+    * touched file kept whole, partially-touched entries decomposed into
+    * their untouched files as table-relative paths — , touched files as
+    * table-relative paths).
+    */
+  private def splitByTouched(dir: Path, entries: Seq[String],
+                             touchedKeys: Set[String]): (Seq[String], Seq[String]) = {
+    val tableKey = fs(dir).makeQualified(dir).toUri.getPath
+    def rel(p: Path): String =
+      p.toUri.getPath.stripPrefix(tableKey).stripPrefix("/")
+    entries.foldLeft((Vector.empty[String], Vector.empty[String])) {
+      case ((carried, touched), e) =>
+        val files = dataFilesUnder(new Path(dir, e))
+        val (hit, keep) = files.partition(p => touchedKeys(p.toUri.getPath))
+        if (hit.isEmpty) (carried :+ e, touched)
+        else (carried ++ keep.map(rel), touched ++ hit.map(rel))
+    }
+  }
+
+  /** File-pruned copy-on-write commit — Trino Iceberg CoW semantics
+    * (trino.io/docs/current/connector/iceberg.html): `touchedRows` narrows
+    * the current state (carrying its `__graft_file` provenance column) to
+    * the rows the DML modifies; only the files those rows live in are
+    * re-read and rewritten through `f`, while every other data file of the
+    * current snapshot is carried into the new snapshot BY PATH — a
+    * metadata-only move. A 1-row DELETE on a 100 TB table rewrites one
+    * file, not 100 TB: the probe scan reads only the predicate's columns
+    * (column pruning) with parquet footer stats skipping non-matching row
+    * groups, and the rewrite reads only the touched files.
+    *
+    * Returns (snapshot, touched-row count — the probe's matched rows,
+    * counted in the same pass that finds the files, atomically inside the
+    * commit's synchronized section). `emitWhenUntouched` forces the
+    * rewritten-data write even when no current row is touched — required
+    * by MERGE, whose `f` can introduce rows (inserts) with zero matches;
+    * DELETE/UPDATE leave it false and commit metadata-only no-ops.
+    * Falls back to the whole-table rewrite when no per-file provenance is
+    * available (empty table, legacy layout).
+    */
+  private def rewritePruned(schema: String, table: String,
+                            touchedRows: DataFrame => DataFrame,
+                            emitWhenUntouched: Boolean = false)
+                           (f: DataFrame => DataFrame): (Snapshot, Long) = synchronized {
+    import org.apache.spark.sql.functions.{col, lit, count => countAgg}
     val dir = tableDir(schema, table)
     require(tableExists(schema, table), s"Table $schema.$table does not exist")
     val (commits, gen) = readCommitsWithGen(schema, table)
     val id = commits.lastOption.map(_.snapshotId).getOrElse(0L) + 1
     val at = math.max(System.currentTimeMillis(),
       commits.lastOption.map(_.committedAtMillis + 1).getOrElse(0L))
-    val snapDir = snapDirName(schema, table, f"$id%05d-rewrite")
-    partitionedWriter(schema, table, f(readLatest(schema, table)))
-      .mode("errorifexists").parquet(new Path(dir, snapDir).toString)
-    val snap = Snapshot(id, at, Seq(snapDir),
-      declaredSchema(schema, table).map(_.json), Some("overwrite"))
-    writeCommits(schema, table, commits :+ snap, gen)
-    snap
+    val schemaJson = declaredSchema(schema, table).map(_.json)
+    def commitSnap(dirs: Seq[String]): Snapshot = {
+      val snap = Snapshot(id, at, dirs, schemaJson, Some("overwrite"))
+      writeCommits(schema, table, commits :+ snap, gen)
+      snap
+    }
+    def writeSnapDir(df: DataFrame): String = {
+      val snapDir = snapDirName(schema, table, f"$id%05d-rewrite")
+      partitionedWriter(schema, table, df)
+        .mode("errorifexists").parquet(new Path(dir, snapDir).toString)
+      snapDir
+    }
+    val current = commits.lastOption
+    withProvenance(schema, table, current) match {
+      case None =>
+        val base = readSnapshot(schema, table, current)
+        val n = touchedRows(
+          base.withColumn("__graft_file", lit(null).cast("string"))).count()
+        (commitSnap(Seq(writeSnapDir(f(base)))), n)
+      case Some(prov) =>
+        // ONE probe pass: touched files AND matched-row counts together
+        val perFile = touchedRows(prov)
+          .groupBy(col("__graft_file")).agg(countAgg(lit(1)).as("n")).collect()
+        val nTouched = perFile.map(_.getLong(1)).sum
+        val touchedKeys = perFile.map(r => new Path(r.getString(0)).toUri.getPath).toSet
+        val entries = current.map(_.dirs).getOrElse(Nil)
+        if (touchedKeys.isEmpty && !emitWhenUntouched) (commitSnap(entries), 0L)
+        else {
+          val (carried, touchedRel) = splitByTouched(dir, entries, touchedKeys)
+          require(touchedRel.size == touchedKeys.size,
+            s"file-pruning provenance mismatch on $schema.$table: " +
+              s"${touchedKeys.size} touched files, ${touchedRel.size} matched " +
+              "under current snapshot entries")
+          val sub = readSnapshot(schema, table,
+            current.map(_.copy(dirs = touchedRel)))
+          (commitSnap(carried :+ writeSnapDir(f(sub))), nTouched)
+        }
+    }
   }
 
   // ---- catalog introspection (Trino SHOW SCHEMAS / SHOW TABLES /
@@ -777,6 +958,11 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       .flatMap(_.dirs)
       .flatMap { d =>
         val snapRoot = new Path(dir, d)
+        // a dirs entry is either a snap dir or (after a file-pruned CoW
+        // commit) a single carried file nested inside one — the hive
+        // partition subpath is always relative to the SNAP dir, i.e. the
+        // entry's first path segment
+        val snapBase = new Path(dir, d.split('/').head)
         val f = fs(snapRoot)
         // partitioned tables nest col=value dirs below the snap dir
         val it = f.listFiles(snapRoot, true)
@@ -787,7 +973,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
             // compare scheme-less URI paths: the listed status carries a
             // `file:`/`hdfs:` scheme the constructed root may not
             val rel = s.getPath.getParent.toUri.getPath
-              .stripPrefix(snapRoot.toUri.getPath).stripPrefix("/")
+              .stripPrefix(snapBase.toUri.getPath).stripPrefix("/")
             // NO_FILTER: row-group metadata carries the record counts
             // (SKIP_ROW_GROUPS reads a leaner footer but zeroes out
             // exactly the numbers we need)
@@ -882,9 +1068,22 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val reallyExpired = commits.filterNot(c => kept.exists(_.snapshotId == c.snapshotId))
     if (reallyExpired.isEmpty) return Nil
     val referenced = kept.flatMap(_.dirs).toSet
-    val orphanDirs = reallyExpired.flatMap(_.dirs).toSet -- referenced
+    val orphanEntries = reallyExpired.flatMap(_.dirs).toSet -- referenced
     val f = fs(dir)
-    orphanDirs.foreach(dn => f.delete(new Path(dir, dn), true))
+    // file-granular CoW entries can nest inside an expired snapshot's DIR
+    // entry (a kept snapshot carrying `snapA/part-x.parquet` while snapA's
+    // own commit expires), so reclamation is file-accurate: an expired
+    // entry is deleted wholesale only when no kept snapshot references any
+    // file under it; otherwise only its unreferenced files go
+    val keptFiles: Set[String] =
+      referenced.flatMap(e => dataFilesUnder(new Path(dir, e)).map(_.toUri.getPath))
+    orphanEntries.foreach { dn =>
+      val p = new Path(dir, dn)
+      val mine = dataFilesUnder(p)
+      if (mine.forall(m => !keptFiles(m.toUri.getPath))) f.delete(p, true)
+      else mine.filterNot(m => keptFiles(m.toUri.getPath))
+        .foreach(m => f.delete(m, false))
+    }
     writeCommits(schema, table, kept, gen)
     reallyExpired.map(_.snapshotId)
   }
@@ -896,7 +1095,10 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
   def removeOrphanFiles(schema: String, table: String): Seq[String] = synchronized {
     val dir = tableDir(schema, table)
     val f = fs(dir)
-    val referenced = readCommits(schema, table).flatMap(_.dirs).toSet
+    // compare TOP-LEVEL names: a file-granular CoW entry
+    // (`snapA/part-x.parquet`) references its enclosing snap dir
+    val referenced = readCommits(schema, table).flatMap(_.dirs)
+      .map(_.split('/').head).toSet
     val keep = referenced ++
       Set("commits.json", "_table_schema.json", "_partition_spec.json", "_comments.json")
     val orphans = f.listStatus(dir)

@@ -115,7 +115,11 @@ class SnapshotCatalogSpec extends SparkSpec {
       Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
     val snap = c.delete("common_test_data", "del_t",
       org.apache.spark.sql.functions.col("id") === 2)
-    assert(snap.dirs.forall(_.endsWith("-rewrite")))
+    // file-pruned CoW: the commit holds a rewrite dir for the touched
+    // file(s); untouched files may carry by path (PrunedRewriteSpec pins
+    // the exact pruning contract)
+    assert(snap.dirs.exists(_.contains("-rewrite")))
+    assert(snap.operation.contains("overwrite"))
     assert(c.readLatest("common_test_data", "del_t")
       .orderBy($"id").as[(Int, String)].collect().toSeq == Seq((1, "a"), (3, "c")))
     // rewrite + expiry reclaims the pre-delete files
