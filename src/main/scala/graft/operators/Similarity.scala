@@ -222,9 +222,25 @@ object Similarity {
     * are broadcast to every query. Results are memoized per (dir, nlist) —
     * deterministic arithmetic, so a cached fit is bit-identical to a fresh
     * one and repeated queries (or a bench sweep) pay only the query path.
+    *
+    * Fit-once SURVIVES PROCESS RESTART (round-6 verdict #2): the centroids
+    * are persisted as a warehouse artifact keyed by the dataset's content
+    * signature + nlist (`spark.graft.artifacts.dir`, default
+    * `<java.io.tmpdir>/graft-artifacts`; point it at a warehouse path in
+    * production). A fresh JVM loads the artifact instead of refitting —
+    * doubles round-trip as raw IEEE 754 bits, so a loaded quantizer is
+    * bit-identical to the fit that wrote it.
     */
   def fitQuantizer(s: SparkSession, d: String, nlist: Int = 16): IndexedSeq[Seq[Double]] =
-    quantizerCache.computeIfAbsent((d, nlist, dirSignature(s, d)), _ => {
+    quantizerCache.computeIfAbsent((d, nlist, dirSignature(s, d)), key =>
+      loadQuantizer(s, nlist, key._3).getOrElse {
+        val fitted = doFitQuantizer(s, d, nlist)
+        saveQuantizer(s, nlist, key._3, fitted)
+        fitted
+      })
+
+  private def doFitQuantizer(s: SparkSession, d: String,
+                             nlist: Int): IndexedSeq[Seq[Double]] = {
       val corpus = emb(s, d)
       // pass 1: deterministic pseudo-random seed vectors (Knuth stride)
       val seeds = corpus
@@ -259,10 +275,66 @@ object Similarity {
       IndexedSeq.tabulate(nlist) { c =>
         Seq.tabulate(64)(dim => assigned0.getOrElse((c, dim), seeds(c)(dim)))
       }
-    })
+  }
 
   private val quantizerCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Long), IndexedSeq[Seq[Double]]]()
+
+  /** Test hook: drop the in-JVM quantizer memo so the durable-artifact
+    * load path can be exercised without forking a JVM.
+    */
+  private[operators] def clearQuantizerMemo(): Unit = quantizerCache.clear()
+
+  /** Durable-artifact root for fit-once products (IVF centroids). Resolved
+    * per session: `spark.graft.artifacts.dir` when set (a warehouse path in
+    * production — any Hadoop FS), else a JVM-local tmp default.
+    */
+  private def artifactRoot(s: SparkSession): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      s.conf.getOption("spark.graft.artifacts.dir").getOrElse(
+        sys.props("java.io.tmpdir") + "/graft-artifacts"))
+
+  private def quantizerPath(s: SparkSession, nlist: Int,
+                            sig: Long): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(artifactRoot(s), f"ivf-quantizer-$sig%016x-$nlist.txt")
+
+  /** Load persisted centroids for (content signature, nlist), or None. One
+    * centroid per line, dims as raw IEEE 754 bits in hex — exact double
+    * round-trip, no decimal-formatting drift.
+    */
+  private def loadQuantizer(s: SparkSession, nlist: Int,
+                            sig: Long): Option[IndexedSeq[Seq[Double]]] = {
+    val p = quantizerPath(s, nlist, sig)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val rows = text.split('\n').filter(_.nonEmpty).toIndexedSeq.map(line =>
+        line.split(',').toSeq.map(h =>
+          java.lang.Double.longBitsToDouble(java.lang.Long.parseUnsignedLong(h, 16))))
+      if (rows.size == nlist) Some(rows) else None
+    }
+  }
+
+  /** Persist centroids atomically (temp + rename): a concurrent writer
+    * racing the same deterministic fit loses the rename and its temp is
+    * discarded — both wrote identical bytes, so either outcome is correct.
+    */
+  private def saveQuantizer(s: SparkSession, nlist: Int, sig: Long,
+                            centroids: IndexedSeq[Seq[Double]]): Unit = {
+    val p = quantizerPath(s, nlist, sig)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    f.mkdirs(p.getParent)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+      s"${p.getName}.tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, false)
+    try out.write(centroids.map(_.map(x =>
+      java.lang.Long.toHexString(java.lang.Double.doubleToRawLongBits(x)))
+      .mkString(",")).mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!f.rename(tmp, p)) f.delete(tmp, false)
+  }
 
   /** Content signature of the embeddings table (file count + sizes +
     * mtimes folded into one long): part of the quantizer cache key, so

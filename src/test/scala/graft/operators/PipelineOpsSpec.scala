@@ -200,6 +200,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(Similarity.fitQuantizer(spark, dir, nlist = 4) == second)
   }
 
+  test("quantizer persists as a warehouse artifact; a restarted process loads it without refitting") {
+    val dir = tmpDir("quant-durable")
+    val store = tmpDir("quant-store")
+    spark.conf.set("spark.graft.artifacts.dir", store)
+    try {
+      (0L until 40L).map { i =>
+        (i, i % 4, Array.tabulate(64)(j => (i * 64 + j) % 7 * 0.1f))
+      }.toDF("vec_id", "label", "embedding")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val first = Similarity.fitQuantizer(spark, dir, nlist = 4)
+      val artifacts = new java.io.File(store).listFiles()
+        .filter(_.getName.startsWith("ivf-quantizer-"))
+      assert(artifacts.length == 1, "fit must write exactly one centroid artifact")
+      // simulated process restart: in-JVM memo gone, artifact remains —
+      // the reload must run NO Spark job (no refit) and be bit-identical
+      Similarity.clearQuantizerMemo()
+      val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      val reloaded = Similarity.fitQuantizer(spark, dir, nlist = 4)
+      val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      assert(jobsAfter == jobsBefore,
+        s"loading persisted centroids must not run a fit job (ran ${jobsAfter - jobsBefore})")
+      assert(reloaded == first, "loaded centroids must be bit-identical to the fit")
+      // a different nlist is a different artifact, not a false hit
+      val other = Similarity.fitQuantizer(spark, dir, nlist = 2)
+      assert(other.size == 2 && other != first)
+    } finally {
+      spark.conf.unset("spark.graft.artifacts.dir")
+      Similarity.clearQuantizerMemo()
+    }
+  }
+
   test("annBruteForce returns exactly 10 neighbors per query, best-first") {
     val got = Similarity.annBruteForce(spark, sf001)
       .select($"q_id", $"rn", $"score").as[(Long, Long, Double)].collect()
