@@ -73,6 +73,67 @@ object DevFuzzTravel {
       val snaps = engine.catalog.snapshots("fz", "t")
       require(snaps.length == m, s"expected $m commits, got ${snaps.length}")
 
+      // slice + cumulative-state CTEs shared by every oracle shape
+      val sliceCtes = slices.zipWithIndex.map { case (p, j) =>
+        s"ins$j AS (SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, " +
+          s"CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation WHERE $p)"
+      }
+      def state(k: Int): String =
+        (0 until k).map(j => s"SELECT * FROM ins$j").mkString(" UNION ALL ")
+      val stateCtes = (1 to m).map(k => s"st$k AS (${state(k)})")
+
+      // a third of the scenarios fuzz COLUMN EVOLUTION composed with time
+      // travel instead of views: rename/drop n_name mid-history, one more
+      // insert on the evolved schema, then a final query probing both the
+      // evolved current state (NULL-fill / narrowed schema) and a
+      // pre-evolution snapshot (pinned schema presents n_name with values)
+      val evolve = rnd.nextInt(3) == 0
+      if (evolve) {
+        val name2 = name
+        val doRename = rnd.nextBoolean()
+        val extraPred = pred()
+        val asOfK = rnd.nextInt(m) + 1
+        if (doRename) {
+          engine.executeNonQuery(params.SqlStatement(
+            "ALTER TABLE fz.t RENAME COLUMN n_name TO nm"))
+          engine.executeNonQuery(params.SqlStatement(
+            s"INSERT INTO fz.t SELECT n_nationkey, n_name AS nm, n_regionkey " +
+              s"FROM nation WHERE $extraPred"))
+        } else {
+          engine.executeNonQuery(params.SqlStatement(
+            "ALTER TABLE fz.t DROP COLUMN n_name"))
+          engine.executeNonQuery(params.SqlStatement(
+            s"INSERT INTO fz.t SELECT n_nationkey, n_regionkey " +
+              s"FROM nation WHERE $extraPred"))
+        }
+        val probe = if (doRename) "nm" else "n_regionkey"
+        val finalSql =
+          s"SELECT count(*) AS n_cur, CAST(sum(n_nationkey) AS BIGINT) AS s_key, " +
+            s"count($probe) AS n_filled, " +
+            s"(SELECT count(*) FROM fz.t FOR VERSION AS OF $asOfK " +
+            s"WHERE n_name IS NOT NULL) AS n_old " +
+            "FROM fz.t"
+        engine.query(params.SqlStatement(finalSql))
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name2")
+        val extraCte = "insx AS (SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, " +
+          s"n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation WHERE $extraPred)"
+        val curCte =
+          if (doRename)
+            s"cur AS (SELECT n_nationkey, CAST(NULL AS VARCHAR) AS nm, n_regionkey FROM st$m " +
+              "UNION ALL SELECT n_nationkey, n_name AS nm, n_regionkey FROM insx)"
+          else
+            s"cur AS (SELECT n_nationkey, n_regionkey FROM st$m " +
+              "UNION ALL SELECT n_nationkey, n_regionkey FROM insx)"
+        val finalOracle =
+          s"SELECT count(*) AS n_cur, CAST(sum(n_nationkey) AS BIGINT) AS s_key, " +
+            s"count($probe) AS n_filled, " +
+            s"(SELECT count(*) FROM st$asOfK WHERE n_name IS NOT NULL) AS n_old " +
+            "FROM cur"
+        val oracleSql = (sliceCtes ++ stateCtes ++ Seq(extraCte, curCte))
+          .mkString("WITH ", ", ", " ") + finalOracle
+        name2 -> oracleSql
+      } else {
+
       // view 1 over the CURRENT table; view 2 stacked — half the time
       // over a TIME-TRAVEL read (view expansion + AS OF composed)
       val v1Pred = pred()
@@ -119,16 +180,9 @@ object DevFuzzTravel {
       engine.query(params.SqlStatement(finalSql))
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
 
-      // ---- DuckDB replay ----
-      // cast the keys to BIGINT exactly like the declared table schema
-      // does on the engine side (nation parquet carries int32 keys)
-      val sliceCtes = slices.zipWithIndex.map { case (p, j) =>
-        s"ins$j AS (SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, " +
-          s"CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation WHERE $p)"
-      }
-      def state(k: Int): String =
-        (0 until k).map(j => s"SELECT * FROM ins$j").mkString(" UNION ALL ")
-      val stateCtes = (1 to m).map(k => s"st$k AS (${state(k)})")
+      // ---- DuckDB replay ---- (slice/state CTEs shared above; keys cast
+      // to BIGINT exactly like the declared table schema does on the
+      // engine side — nation parquet carries int32 keys)
       val v1Cte = s"v1 AS (SELECT $cols FROM st$m WHERE $v1Pred)"
       val v2Cte =
         if (v2OverTravel) s"v2 AS (SELECT $cols FROM st$v2K WHERE $v2Pred)"
@@ -151,6 +205,7 @@ object DevFuzzTravel {
       val oracleSql = (sliceCtes ++ stateCtes ++ Seq(v1Cte, v2Cte, travelCte))
         .mkString("WITH ", ", ", " ") + finalOracle
       name -> oracleSql
+      }
     }
     def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),

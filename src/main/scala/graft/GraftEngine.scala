@@ -337,6 +337,34 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
               s"Column $column already exists in $schema.$table")
         } else catalog.addColumn(schema, table, column, dataType)
         0L
+      case graft.catalog.DropColumnStmt(schema, table, column, ifExists) =>
+        requireCatalogTable(sqlText, schema, table)
+        val exists = catalog.declaredSchema(schema, table)
+          .exists(_.fieldNames.exists(_.equalsIgnoreCase(column)))
+        if (!exists) {
+          if (!ifExists)
+            throw new GraftQueryException(sqlText,
+              s"Column $column does not exist in $schema.$table")
+        } else {
+          try catalog.dropColumn(schema, table, column)
+          catch { case e: IllegalArgumentException =>
+            throw new GraftQueryException(sqlText, e.getMessage, e) }
+        }
+        0L
+      case graft.catalog.RenameColumnStmt(schema, table, from, to, ifExists) =>
+        requireCatalogTable(sqlText, schema, table)
+        val exists = catalog.declaredSchema(schema, table)
+          .exists(_.fieldNames.exists(_.equalsIgnoreCase(from)))
+        if (!exists) {
+          if (!ifExists)
+            throw new GraftQueryException(sqlText,
+              s"Column $from does not exist in $schema.$table")
+        } else {
+          try catalog.renameColumn(schema, table, from, to)
+          catch { case e: IllegalArgumentException =>
+            throw new GraftQueryException(sqlText, e.getMessage, e) }
+        }
+        0L
       case graft.catalog.RenameTableStmt(schema, table, newSchema, newTable) =>
         requireCatalogTable(sqlText, schema, table)
         try { catalog.renameTable(schema, table, newSchema.getOrElse(schema), newTable); 0L }

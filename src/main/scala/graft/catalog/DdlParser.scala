@@ -43,6 +43,20 @@ final case class AddColumnStmt(schema: String, table: String,
                                column: String,
                                dataType: org.apache.spark.sql.types.DataType,
                                ifNotExists: Boolean) extends DdlStatement
+/** `ALTER TABLE sch.t DROP COLUMN [IF EXISTS] c` (Trino Iceberg column
+  * evolution — metadata-only; see SnapshotCatalog.dropColumn for the
+  * snapshot-pinned time-travel semantics).
+  */
+final case class DropColumnStmt(schema: String, table: String,
+                                column: String,
+                                ifExists: Boolean) extends DdlStatement
+/** `ALTER TABLE sch.t RENAME COLUMN [IF EXISTS] c TO c2` (Trino Iceberg
+  * column evolution — metadata-only; pre-rename files NULL-fill under the
+  * new name, see SnapshotCatalog.renameColumn).
+  */
+final case class RenameColumnStmt(schema: String, table: String,
+                                  from: String, to: String,
+                                  ifExists: Boolean) extends DdlStatement
 /** `ALTER TABLE sch.t RENAME TO [sch2.]t2` (Trino rename — metadata move,
   * data files untouched).
   */
@@ -133,6 +147,10 @@ object DdlParser {
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+EXECUTE\s+(\w+)\s*(?:\(\s*(.*?)\s*\))?\s*;?\s*$""".r
   private val addColumnRe =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMN\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s+([\w()\s,]+?)\s*;?\s*$""".r
+  private val dropColumnRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+COLUMN\s+(IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s*;?\s*$""".r
+  private val renameColumnRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+COLUMN\s+(IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s+TO\s+([A-Za-z_]\w*)\s*;?\s*$""".r
   private val renameTableRe =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+TO\s+([\w.]+)\s*;?\s*$""".r
 
@@ -244,6 +262,12 @@ object DdlParser {
     case addColumnRe(name, ine, colName, typeText) =>
       val (sch, tbl) = tableOf(name)
       Some(AddColumnStmt(sch, tbl, colName, sparkType(typeText), ine != null))
+    case dropColumnRe(name, ie, colName) =>
+      val (sch, tbl) = tableOf(name)
+      Some(DropColumnStmt(sch, tbl, colName, ie != null))
+    case renameColumnRe(name, ie, from, to) =>
+      val (sch, tbl) = tableOf(name)
+      Some(RenameColumnStmt(sch, tbl, from, to, ie != null))
     case renameTableRe(name, newName) =>
       val (sch, tbl) = tableOf(name)
       val parts = newName.split('.')

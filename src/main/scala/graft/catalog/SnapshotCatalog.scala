@@ -178,6 +178,51 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       current.add(name, dataType, nullable = true).json)
   }
 
+  /** `ALTER TABLE … DROP COLUMN` (Trino Iceberg column evolution,
+    * trino.io/docs/current/connector/iceberg.html): metadata-only — the
+    * declared schema loses the field, data files are untouched. Current
+    * reads stop presenting the column (schema-on-read projects it away);
+    * snapshots committed BEFORE the drop pinned the pre-drop schema, so
+    * time travel to them still presents the column WITH its values.
+    */
+  def dropColumn(schema: String, table: String, name: String): Unit = synchronized {
+    require(tableExists(schema, table), s"Table $schema.$table does not exist")
+    val current = declaredSchema(schema, table).getOrElse(
+      throw new IllegalStateException(s"Table $schema.$table has no declared schema"))
+    require(current.fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"Column $name does not exist in $schema.$table")
+    require(!partitionSpec(schema, table).exists(_.equalsIgnoreCase(name)),
+      s"Cannot drop partition column $name of $schema.$table")
+    require(current.fields.length > 1,
+      s"Cannot drop the only column of $schema.$table")
+    writeString(new Path(tableDir(schema, table), "_table_schema.json"),
+      StructType(current.fields.filterNot(_.name.equalsIgnoreCase(name))).json)
+  }
+
+  /** `ALTER TABLE … RENAME COLUMN old TO new`: metadata-only rename in the
+    * declared schema. Schema-on-read is NAME-based (plain parquet carries
+    * no Iceberg field ids), so pre-rename files NULL-fill under the new
+    * name in current reads — the documented schema-on-read rule — while
+    * time travel to pre-rename snapshots presents the old name with its
+    * values via the pinned snapshot schema.
+    */
+  def renameColumn(schema: String, table: String,
+                   from: String, to: String): Unit = synchronized {
+    require(tableExists(schema, table), s"Table $schema.$table does not exist")
+    val current = declaredSchema(schema, table).getOrElse(
+      throw new IllegalStateException(s"Table $schema.$table has no declared schema"))
+    require(current.fieldNames.exists(_.equalsIgnoreCase(from)),
+      s"Column $from does not exist in $schema.$table")
+    require(!current.fieldNames.exists(_.equalsIgnoreCase(to)),
+      s"Column $to already exists in $schema.$table")
+    require(!partitionSpec(schema, table).exists(_.equalsIgnoreCase(from)),
+      s"Cannot rename partition column $from of $schema.$table")
+    require(to.matches("""[A-Za-z_]\w*"""), s"Malformed column name: '$to'")
+    writeString(new Path(tableDir(schema, table), "_table_schema.json"),
+      StructType(current.fields.map(f =>
+        if (f.name.equalsIgnoreCase(from)) f.copy(name = to) else f)).json)
+  }
+
   /** DROP TABLE (S6). */
   def dropTable(schema: String, table: String): Unit = {
     val dir = tableDir(schema, table)

@@ -1,0 +1,134 @@
+package graft
+
+import graft.params.SqlStatement
+import org.apache.spark.sql.functions._
+
+/** Column-evolution SQL surface — `ALTER TABLE … DROP COLUMN` and
+  * `RENAME COLUMN` (Trino Iceberg column verbs,
+  * trino.io/docs/current/connector/iceberg.html) — composed with the
+  * snapshot-pinned-schema time-travel rule: evolution is metadata-only,
+  * a pre-evolution snapshot presents the schema AS OF that snapshot.
+  */
+class SqlEvolutionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshEngine(name: String): GraftEngine = {
+    val e = new GraftEngine(spark, tmpDir(name))
+    e.executeNonQuery(SqlStatement(
+      "CREATE TABLE demo.t (id bigint, name varchar, qty bigint)"))
+    e.executeNonQuery(SqlStatement(
+      "INSERT INTO demo.t VALUES (1, 'a', 10), (2, 'b', 20), (3, 'c', 30)"))
+    e
+  }
+
+  test("DROP COLUMN removes it from current reads; pre-drop snapshots still present it") {
+    val e = freshEngine("evo-drop")
+    e.executeNonQuery(SqlStatement("ALTER TABLE demo.t DROP COLUMN qty"))
+    assert(e.query(SqlStatement("SELECT * FROM demo.t"))
+      .schema.fieldNames.toSeq == Seq("id", "name"))
+    // metadata-only: no new snapshot, no data rewritten
+    assert(e.catalog.snapshots("demo", "t").map(_.snapshotId) == Seq(1L))
+    // the pre-drop snapshot pinned the 3-column schema WITH values
+    val old = e.query(SqlStatement("SELECT * FROM demo.t FOR VERSION AS OF 1"))
+    assert(old.schema.fieldNames.toSeq == Seq("id", "name", "qty"))
+    assert(old.filter($"id" === 2).select($"qty").as[Long].head() == 20L)
+    // inserts after the drop use the narrowed schema
+    e.executeNonQuery(SqlStatement("INSERT INTO demo.t VALUES (4, 'd')"))
+    assert(e.query(SqlStatement("SELECT count(*) AS n FROM demo.t")).as[Long].head() == 4L)
+    // DESCRIBE follows the declared schema
+    val desc = e.query(SqlStatement("DESCRIBE demo.t"))
+      .collect().map(_.getString(0)).toSeq
+    assert(!desc.contains("qty"))
+  }
+
+  test("DROP COLUMN guards: IF EXISTS no-op, missing is error, partition and last column refuse") {
+    val e = freshEngine("evo-drop-guards")
+    e.executeNonQuery(SqlStatement(
+      "ALTER TABLE demo.t DROP COLUMN IF EXISTS nope")) // no-op
+    intercept[GraftQueryException] {
+      e.executeNonQuery(SqlStatement("ALTER TABLE demo.t DROP COLUMN nope"))
+    }
+    e.executeNonQuery(SqlStatement(
+      "CREATE TABLE demo.p (id bigint, part varchar) WITH (partitioning = ARRAY['part'])"))
+    val ex = intercept[GraftQueryException] {
+      e.executeNonQuery(SqlStatement("ALTER TABLE demo.p DROP COLUMN part"))
+    }
+    assert(ex.getMessage.toLowerCase.contains("partition"))
+    e.executeNonQuery(SqlStatement("CREATE TABLE demo.one (only_col bigint)"))
+    val ex2 = intercept[GraftQueryException] {
+      e.executeNonQuery(SqlStatement("ALTER TABLE demo.one DROP COLUMN only_col"))
+    }
+    assert(ex2.getMessage.toLowerCase.contains("only column"))
+  }
+
+  test("RENAME COLUMN: new name in current reads, old files NULL-fill, history keeps old name") {
+    val e = freshEngine("evo-rename")
+    e.executeNonQuery(SqlStatement("ALTER TABLE demo.t RENAME COLUMN qty TO amount"))
+    assert(e.query(SqlStatement("SELECT * FROM demo.t"))
+      .schema.fieldNames.toSeq == Seq("id", "name", "amount"))
+    // name-based schema-on-read: pre-rename files NULL-fill the new name
+    assert(e.query(SqlStatement(
+      "SELECT count(*) AS n FROM demo.t WHERE amount IS NULL")).as[Long].head() == 3L)
+    // new inserts carry values under the new name
+    e.executeNonQuery(SqlStatement("INSERT INTO demo.t VALUES (4, 'd', 40)"))
+    assert(e.query(SqlStatement(
+      "SELECT amount FROM demo.t WHERE id = 4")).as[Long].head() == 40L)
+    // time travel to the pre-rename snapshot: old name, old values
+    val old = e.query(SqlStatement("SELECT * FROM demo.t FOR VERSION AS OF 1"))
+    assert(old.schema.fieldNames.toSeq == Seq("id", "name", "qty"))
+    assert(old.filter($"id" === 1).select($"qty").as[Long].head() == 10L)
+  }
+
+  test("RENAME COLUMN guards: IF EXISTS, missing source, existing target, partition column") {
+    val e = freshEngine("evo-rename-guards")
+    e.executeNonQuery(SqlStatement(
+      "ALTER TABLE demo.t RENAME COLUMN IF EXISTS nope TO whatever")) // no-op
+    intercept[GraftQueryException] {
+      e.executeNonQuery(SqlStatement("ALTER TABLE demo.t RENAME COLUMN nope TO x"))
+    }
+    val ex = intercept[GraftQueryException] {
+      e.executeNonQuery(SqlStatement("ALTER TABLE demo.t RENAME COLUMN qty TO name"))
+    }
+    assert(ex.getMessage.contains("already exists"))
+    e.executeNonQuery(SqlStatement(
+      "CREATE TABLE demo.p (id bigint, part varchar) WITH (partitioning = ARRAY['part'])"))
+    intercept[GraftQueryException] {
+      e.executeNonQuery(SqlStatement("ALTER TABLE demo.p RENAME COLUMN part TO region"))
+    }
+  }
+
+  test("evolution composes: add → insert → rename → drop → time travel each era") {
+    val e = freshEngine("evo-compose")
+    e.executeNonQuery(SqlStatement("ALTER TABLE demo.t ADD COLUMN score bigint"))
+    e.executeNonQuery(SqlStatement("INSERT INTO demo.t VALUES (4, 'd', 40, 7)")) // snap 2
+    e.executeNonQuery(SqlStatement("ALTER TABLE demo.t RENAME COLUMN score TO rating"))
+    e.executeNonQuery(SqlStatement("INSERT INTO demo.t VALUES (5, 'e', 50, 9)")) // snap 3
+    e.executeNonQuery(SqlStatement("ALTER TABLE demo.t DROP COLUMN name"))
+    // current: id, qty, rating; rating carries only post-rename values
+    val cur = e.query(SqlStatement("SELECT * FROM demo.t"))
+    assert(cur.schema.fieldNames.toSeq == Seq("id", "qty", "rating"))
+    assert(e.query(SqlStatement(
+      "SELECT count(*) AS n FROM demo.t WHERE rating IS NOT NULL")).as[Long].head() == 1L)
+    // era 2 pinned (id, name, qty, score): score=7 visible for id=4
+    val v2 = e.query(SqlStatement("SELECT * FROM demo.t FOR VERSION AS OF 2"))
+    assert(v2.schema.fieldNames.toSeq == Seq("id", "name", "qty", "score"))
+    assert(v2.filter($"id" === 4).select($"score").as[Long].head() == 7L)
+    // era 3 pinned (id, name, qty, rating)
+    val v3 = e.query(SqlStatement("SELECT * FROM demo.t FOR VERSION AS OF 3"))
+    assert(v3.schema.fieldNames.toSeq == Seq("id", "name", "qty", "rating"))
+    assert(v3.filter($"id" === 5).select($"rating").as[Long].head() == 9L)
+    // SHOW CREATE TABLE reflects the final declared schema
+    val ddl = e.query(SqlStatement("SHOW CREATE TABLE demo.t")).as[String].head()
+    assert(ddl.contains("rating") && !ddl.contains("name") && !ddl.contains("score"))
+  }
+
+  test("DML after evolution: DELETE/UPDATE work on the narrowed schema") {
+    val e = freshEngine("evo-dml")
+    e.executeNonQuery(SqlStatement("ALTER TABLE demo.t DROP COLUMN name"))
+    assert(e.executeNonQuery(SqlStatement("DELETE FROM demo.t WHERE qty = 20")) == 1L)
+    e.executeNonQuery(SqlStatement("UPDATE demo.t SET qty = qty + 1 WHERE id = 1"))
+    val got = e.query(SqlStatement("SELECT id, qty FROM demo.t ORDER BY id"))
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 11L), (3L, 30L)))
+  }
+}
