@@ -8,12 +8,13 @@ import org.apache.spark.sql.functions._
   * with a copy token so copies are near- but not exact duplicates), and
   * prints the runtime ratio. A bucketed/prefix-filtered design should grow
   * near-linearly in corpus size; a quadratic one shows up immediately.
-  * Usage: runMain graft.DevScale [baseSfDir] [copies]
+  * Usage: runMain graft.DevScale [baseSfDir] [copies] [op,op,…]
   */
 object DevScale {
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val copies = args.lift(1).map(_.toInt).getOrElse(4)
+    val only = args.lift(2).map(_.split(',').toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -58,7 +59,7 @@ object DevScale {
       CacheHygiene.sweep(spark)
       t
     }
-    val ops: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+    val allOps: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
       "fingerprint"       -> (operators.TextAnalysis.fingerprint _),
       "pii_redact"        -> ((s, d) => operators.TextAnalysis.piiRedact(s, d)),
       "vocab_coverage"    -> ((s, d) => operators.TextAnalysis.vocabCoverage(s, d)),
@@ -76,6 +77,7 @@ object DevScale {
       // (source,hash) groupBy), i.e. ~linearly
       "corpus_pipeline"   -> (operators.TextAnalysis.corpusPipeline _),
       "semantic_dedup"    -> ((s, d) => operators.Similarity.semanticDedup(s, d)))
+    val ops = only.map(o => allOps.filter(kv => o(kv._1))).getOrElse(allOps)
     // warmup on the base dir itself so JIT/codegen/first-shuffle costs
     // never land on the 1× timing (a hardcoded small dir would silently
     // no-op on other layouts and skew the very ratio being measured)

@@ -102,6 +102,7 @@ object SparkEntry {
     // deduplication
     // retrieval + LM scoring
     "bm25_topk"       -> ((s, d) => Search.bm25TopK(s, d)),
+    "bm25_join"       -> ((s, d) => Search.bm25Join(s, d)),
     "unigram_rarity"  -> (Search.unigramRarity _),
     // tokenizer training + corpus subsampling
     "bpe_pair_counts" -> ((s, d) => Tokenizer.bpePairCounts(s, d)),
@@ -423,6 +424,7 @@ object SparkEntry {
     //      non-replicable: ann_lsh/ann_ivf; the hash-based ops use the
     //      portable md5-60 hash and are fully oracle-checked) ----
     "bm25_topk"      -> operators.Search.bm25TopKSql(),
+    "bm25_join"      -> operators.Search.bm25JoinSql(),
     "unigram_rarity" -> operators.Search.unigramRaritySql,
     "bpe_pair_counts" -> operators.Tokenizer.bpePairCountsSql(),
     "weighted_sample" -> operators.Tokenizer.weightedSampleSql,

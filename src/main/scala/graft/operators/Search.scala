@@ -119,6 +119,108 @@ object Search {
        |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  /** Default multi-query batch for [[bm25Join]] (documents-table vocab). */
+  val QueryBatch: Seq[(Int, Seq[String])] = Seq(
+    0 -> Seq("vector", "merge"),
+    1 -> Seq("hash", "stream"),
+    2 -> Seq("vector", "hash", "stream"),
+    3 -> Seq("merge"))
+
+  /** JOIN-shaped BM25 over an arbitrary QUERY BATCH — the retrieval shape
+    * a pipeline actually runs (round-6 verdict #5): query terms are a
+    * RELATION (query_id, w) joined to the token stream, scored per
+    * (doc, query), top-k per query. No per-term compiled columns, so the
+    * batch size is unbounded ([[bm25TopK]] stays as the ≤16-term compiled
+    * fast path for a single query).
+    *
+    * Shape (the 100 TB story): the corpus is tokenized once; shuffle 1 is
+    * the per-doc length aggregation (8-byte key, map-side partial);
+    * shuffle 2 aggregates tf over the token stream FILTERED by the
+    * broadcast query relation — its volume is the matched tokens only.
+    * Document-frequency and corpus stats are vocabulary/1-row sized and
+    * broadcast back. Ranking is one window per query_id over the scored
+    * (doc × query) table — already ≪ corpus.
+    *
+    * Scoring is BM25 (k1=1.2, b=0.75) with the log-free idf-odds of
+    * [[bm25TopK]], quantized to EXACT SCALED INTEGERS: with N docs, L
+    * total tokens, per-term
+    *   score_micro = (2N−2df+1)·22·tf·L·10⁶ div (2df+1)·(10·tf·L+3·L+9·dl·N)
+    * — the rational BM25 term times 10⁶, floored. Integer sums are
+    * reduction-order independent (the 1000-executor determinism property)
+    * and the arithmetic rides decimal(38,0)/HUGEINT, overflow-free for
+    * any corpus whose token count fits in int64.
+    */
+  def bm25Join(s: SparkSession, d: String,
+               queries: Seq[(Int, Seq[String])] = QueryBatch,
+               k: Int = 10): DataFrame = {
+    import s.implicits._
+    val qdf = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "w")
+    val toks = Tables.documents(s, d).select(col("doc_id"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+    val perDoc = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = perDoc.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+    val tdf = toks.join(broadcast(qdf.select("w").distinct()), Seq("w"))
+      .groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
+    val tf = toks.join(broadcast(qdf), Seq("w"))
+      .groupBy(col("query_id"), col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val scored = tf
+      .join(broadcast(tdf), Seq("w"))
+      .join(perDoc, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("t_micro", expr(
+        "(cast(2*n_docs - 2*df + 1 as decimal(38,0)) * 22 * tf * total_len * 1000000) div " +
+          "(cast(2*df + 1 as decimal(38,0)) * " +
+          "(cast(10 as decimal(38,0))*tf*total_len + cast(3 as decimal(38,0))*total_len + " +
+          "cast(9 as decimal(38,0))*dl*n_docs))"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), sum(col("t_micro")).as("score_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    scored
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("doc_id"), col("n_hits"), col("score_micro"), col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** DuckDB twin of [[bm25Join]] — the query batch as a VALUES relation,
+    * HUGEINT for the 128-bit products, `//` floor division (all operands
+    * positive, so it matches Spark's truncating `div`).
+    */
+  def bm25JoinSql(queries: Seq[(Int, Seq[String])] = QueryBatch,
+                  k: Int = 10): String = {
+    val qRows = queries.flatMap { case (q, ts) =>
+      ts.map(t => s"($q, '${t.replace("'", "''")}')")
+    }.mkString(", ")
+    s"""WITH toks AS (SELECT doc_id,
+       |                unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+       |              FROM documents),
+       |q(query_id, w) AS (VALUES $qRows),
+       |perdoc AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+       |stats AS (SELECT count(*) AS n_docs, SUM(dl) AS total_len FROM perdoc),
+       |tdf AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks
+       |        WHERE w IN (SELECT DISTINCT w FROM q) GROUP BY w),
+       |tf AS (SELECT query_id, doc_id, w, count(*) AS tf
+       |       FROM toks JOIN q USING (w) GROUP BY 1, 2, 3),
+       |scored AS (SELECT query_id, doc_id, count(*) AS n_hits,
+       |    CAST(SUM(CAST(
+       |      (CAST(2*n_docs - 2*df + 1 AS HUGEINT) * 22 * tf * total_len * 1000000)
+       |      // (CAST(2*df + 1 AS HUGEINT) *
+       |          (CAST(10 AS HUGEINT)*tf*total_len + CAST(3 AS HUGEINT)*total_len +
+       |           CAST(9 AS HUGEINT)*dl*n_docs)) AS BIGINT)) AS BIGINT) AS score_micro
+       |  FROM tf JOIN tdf USING (w) JOIN perdoc USING (doc_id) CROSS JOIN stats
+       |  GROUP BY 1, 2)
+       |SELECT query_id, doc_id, n_hits, score_micro, rn FROM (
+       |  SELECT query_id, doc_id, n_hits, score_micro,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY score_micro DESC, doc_id) AS rn
+       |  FROM scored) t
+       |WHERE rn <= $k ORDER BY query_id, rn""".stripMargin
+  }
+
   /** Per-document unigram "rarity" — a corpus-trained statistical LM
     * quality signal (the CCNet/Wenzek-et-al perplexity-filter family,
     * arXiv:1911.00359, with the LM reduced to unigrams and the log

@@ -143,33 +143,49 @@ object Similarity {
     * based quality scoring), not just a query set: candidates are the
     * pairs sharing any of the 4×8-bit sign-LSH buckets (same tables as
     * [[annLsh]]), reranked by exact cosine. The all-pairs term never
-    * appears: the self-join shuffles on (table, signature) keys with
-    * ~N/256 rows per bucket per table, so candidate volume is ~N·tables·
-    * bucketload, linear-ish in N — the only KNN-join shape that survives
-    * 100 TB. Recall follows the sign-LSH collision curve (see [[annLsh]]'s
-    * caveat on this synthetic corpus).
+    * appears: the self-join shuffles on (table, signature) keys, so
+    * candidate volume is ~N·tables·bucketload — and bucketload itself is
+    * BOUNDED by a second hash tier (round-6 verdict #3): buckets whose
+    * occupancy exceeds `crowdCap` split further by 6 extra sign bits, so
+    * per-bucket fanout stays ~crowdCap/64-ish as N grows instead of N/256.
+    * Near-identical vectors (small angle) agree on the extra bits with
+    * probability (1−θ/π)⁶ ≈ 1, so the tier separates only non-neighbors
+    * that happened to share a coarse bucket — exactly the crowding term.
+    * The bucket-size table is ≤ tables·256 rows, broadcast. Recall follows
+    * the sign-LSH collision curve (see [[annLsh]]'s caveat on this
+    * synthetic corpus).
     */
-  def annKnnAll(s: SparkSession, d: String, k: Int = 3): DataFrame = {
-    val ps = planes(4, 8, 64)
+  def annKnnAll(s: SparkSession, d: String, k: Int = 3,
+                crowdCap: Int = 24): DataFrame = {
+    val ps = planes(5, 8, 64)
+    val tier1 = ps.take(4)          // identical to annLsh's 4 tables
+    val tier2 = ps(4).take(6)       // 6-bit refinement for crowded buckets
     // persist: the norm pass feeds the signature build AND both vector
-    // fetch-backs; the signature table (32 dot products per row to build)
+    // fetch-backs; the signature table (38 dot products per row to build)
     // is both sides of the bucket self-join. Without the persists each
     // runs twice-or-thrice. Narrow columns; the harness unpersists
     // between queries.
     val e = emb(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val signed = e.withColumn("sigs",
-      array(ps.map(tp => signature(col("embedding"), tp)): _*))
-    val buckets = signed.select(col("vec_id"),
+    val signed = e
+      .withColumn("sigs", array(tier1.map(tp => signature(col("embedding"), tp)): _*))
+      .withColumn("sig2", signature(col("embedding"), tier2))
+    val buckets = signed.select(col("vec_id"), col("sig2"),
       posexplode(col("sigs")).as(Seq("tbl", "sig")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nbrs = buckets.select(
-      col("vec_id").as("nb_id"), col("tbl").as("t2"), col("sig").as("s2"))
+    val sizes = buckets.groupBy(col("tbl"), col("sig"))
+      .agg(count(lit(1)).as("bsz"))
+    val keyed = buckets.join(broadcast(sizes), Seq("tbl", "sig"))
+      .withColumn("k2",
+        when(col("bsz") > crowdCap, col("sig2")).otherwise(lit(-1L)))
+      .select(col("vec_id"), col("tbl"), col("sig"), col("k2"))
+    val nbrs = keyed.select(col("vec_id").as("nb_id"),
+      col("tbl").as("t2"), col("sig").as("s2"), col("k2").as("n2"))
     // candidate ids only (narrow keys) through the bucket join + distinct;
     // vectors are fetched back afterwards, once per side
-    val cand = buckets.join(nbrs,
+    val cand = keyed.join(nbrs,
         col("tbl") === col("t2") && col("sig") === col("s2") &&
-          col("vec_id") =!= col("nb_id"))
+          col("k2") === col("n2") && col("vec_id") =!= col("nb_id"))
       .select(col("vec_id"), col("nb_id")).distinct()
     val w = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("nb_id"))
     cand
@@ -185,26 +201,42 @@ object Similarity {
   }
 
   /** DuckDB oracle for [[annKnnAll]] — [[annLshOracleSql]] without the
-    * query-set filter: the signature build replays plane-by-plane, the
-    * bucket self-join yields the same candidate pairs, and the rerank is
-    * the same sequential-fold cosine.
+    * query-set filter: the signature build replays plane-by-plane
+    * (including the 6-bit second tier), the bucket-size CTE reproduces the
+    * crowding split, the self-join yields the same candidate pairs, and
+    * the rerank is the same sequential-fold cosine.
     */
-  def annKnnAllOracleSql(k: Int = 3): String = {
-    val ps = planes(4, 8, 64)
+  def annKnnAllOracleSql(k: Int = 3, crowdCap: Int = 24): String = {
+    val ps = planes(5, 8, 64)
     val planeRows = (for {
-      (tp, t) <- ps.zipWithIndex
+      (tp, t) <- ps.take(4).zipWithIndex
       (p, b) <- tp.zipWithIndex
     } yield s"($t, $b, [${p.map(x => if (x > 0) "1.0" else "-1.0").mkString(",")}])")
       .mkString(", ")
+    val plane2Rows = ps(4).take(6).zipWithIndex.map { case (p, b) =>
+      s"($b, [${p.map(x => if (x > 0) "1.0" else "-1.0").mkString(",")}])"
+    }.mkString(", ")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
        |pl AS (SELECT * FROM (VALUES $planeRows) p(tbl, b, pv)),
+       |pl2 AS (SELECT * FROM (VALUES $plane2Rows) p(b, pv)),
        |sg AS (SELECT vec_id, tbl,
        |         CAST(SUM(CASE WHEN list_dot_product(v, pv) >= 0.0
        |                       THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sig
        |       FROM n CROSS JOIN pl GROUP BY vec_id, tbl),
-       |cand AS (SELECT DISTINCT s.vec_id, s2.vec_id AS nb_id FROM sg s
-       |         JOIN sg s2 ON s.tbl = s2.tbl AND s.sig = s2.sig AND s.vec_id <> s2.vec_id),
+       |sg2 AS (SELECT vec_id,
+       |         CAST(SUM(CASE WHEN list_dot_product(v, pv) >= 0.0
+       |                       THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sig2
+       |       FROM n CROSS JOIN pl2 GROUP BY vec_id),
+       |bs AS (SELECT tbl, sig, count(*) AS bsz FROM sg GROUP BY tbl, sig),
+       |sgk AS (SELECT s.vec_id, s.tbl, s.sig,
+       |          CASE WHEN b.bsz > $crowdCap THEN g2.sig2
+       |               ELSE CAST(-1 AS BIGINT) END AS k2
+       |        FROM sg s JOIN bs b USING (tbl, sig)
+       |        JOIN sg2 g2 ON g2.vec_id = s.vec_id),
+       |cand AS (SELECT DISTINCT s.vec_id, s2.vec_id AS nb_id FROM sgk s
+       |         JOIN sgk s2 ON s.tbl = s2.tbl AND s.sig = s2.sig
+       |           AND s.k2 = s2.k2 AND s.vec_id <> s2.vec_id),
        |scored AS (SELECT c.vec_id, c.nb_id,
        |             list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS score
        |           FROM cand c JOIN n a ON a.vec_id = c.vec_id JOIN n b ON b.vec_id = c.nb_id)

@@ -69,4 +69,33 @@ class SearchSpec extends SparkSpec {
     assert(math.abs(m1 - (1666666.0 * 2 + 5000000.0) / 3e6) < 1e-12)
     assert(b1 == "common" || b1 == "mixed" || b1 == "rare")
   }
+
+  test("bm25Join scores a query batch with exact scaled-integer values") {
+    // docs: 1="x x y" (dl=3), 2="x z" (dl=2); N=2, L=5; df: x=2, y=1, z=1.
+    // Hand-computed score_micro = (2N−2df+1)·22·tf·L·10⁶ div (2df+1)·(10tfL+3L+9dlN):
+    //   (q0, doc1, x, tf=2): 1·22·2·5·10⁶ div 5·(100+15+54) = 220e6 div 845 = 260355
+    //   (q0, doc2, x, tf=1): 1·22·1·5·10⁶ div 5·(50+15+36)  = 110e6 div 505 = 217821
+    //   (q1, doc1, y):       3·22·1·5·10⁶ div 3·(50+15+54)  = 330e6 div 357 = 924369
+    //   (q1, doc2, z):       3·22·1·5·10⁶ div 3·(50+15+36)  = 330e6 div 303 = 1089108
+    val dir = plant(Seq((1L, "x x y"), (2L, "x z")))
+    val got = Search.bm25Join(spark, dir,
+      queries = Seq(0 -> Seq("x"), 1 -> Seq("y", "z")), k = 10)
+      .select($"query_id", $"doc_id", $"n_hits", $"score_micro", $"rn")
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0, 1L, 1L, 260355L, 1L),   // higher tf wins query 0
+      (0, 2L, 1L, 217821L, 2L),
+      (1, 2L, 1L, 1089108L, 1L),  // shorter doc wins query 1 (length norm)
+      (1, 1L, 1L, 924369L, 2L)), s"got $got")
+  }
+
+  test("bm25Join: unseen terms contribute nothing; multi-term queries sum per-term scores") {
+    val dir = plant(Seq((1L, "x x y"), (2L, "x z")))
+    val got = Search.bm25Join(spark, dir,
+      queries = Seq(7 -> Seq("x", "y", "never_in_corpus")), k = 10)
+      .select($"doc_id", $"n_hits", $"score_micro").as[(Long, Long, Long)]
+      .collect().toSeq
+    // doc1 matches x (260355) + y (924369); doc2 matches x only
+    assert(got == Seq((1L, 2L, 260355L + 924369L), (2L, 1L, 217821L)), s"got $got")
+  }
 }
