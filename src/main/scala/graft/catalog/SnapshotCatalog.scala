@@ -270,7 +270,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val id = commits.lastOption.map(_.snapshotId).getOrElse(0L) + 1
     val at = math.max(System.currentTimeMillis(),
       commits.lastOption.map(_.committedAtMillis + 1).getOrElse(0L))
-    val snapDir = snapDirName(schema, table, f"$id%05d")
+    val snapDir = snapDirName(schema, table, attemptTag(id))
     partitionedWriter(schema, table, df)
       .mode("errorifexists").parquet(new Path(dir, snapDir).toString)
     val snap = Snapshot(id, at, commits.lastOption.map(_.dirs).getOrElse(Nil) :+ snapDir,
@@ -296,6 +296,16 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     */
   private def snapDirName(schema: String, table: String, tag: String): String =
     if (partitionSpec(schema, table).nonEmpty) s"_snap=$tag" else s"snap-$tag"
+
+  /** Per-attempt uniquifier baked into staged dir tags: two writers racing
+    * the same prospective snapshot id both STAGE data before the
+    * commit-log rename decides the winner, so id-only names would collide
+    * at the FS layer mid-write (Iceberg writes UUID-suffixed files for the
+    * same reason). The loser's staged dir is never referenced by any
+    * commit and `removeOrphanFiles` reclaims it.
+    */
+  private def attemptTag(id: Long): String =
+    f"$id%05d-${java.util.UUID.randomUUID().toString.take(8)}"
 
   // ---- Reads (S1, T1) ----
 
@@ -570,7 +580,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
               s"file-pruning provenance mismatch on $schema.$table: " +
                 s"${touchedAbs.size} touched files, ${touchedRel.size} matched " +
                 "under current snapshot entries")
-            val snapDir = snapDirName(schema, table, f"$id%05d-rewrite")
+            val snapDir = snapDirName(schema, table, s"${attemptTag(id)}-rewrite")
             partitionedWriter(schema, table, merged)
               .mode("errorifexists").parquet(new Path(dir, snapDir).toString)
             val s0 = Snapshot(id, at, carried.toSeq :+ snapDir, schemaJson, Some("overwrite"))
@@ -754,7 +764,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       snap
     }
     def writeSnapDir(df: DataFrame): String = {
-      val snapDir = snapDirName(schema, table, f"$id%05d-rewrite")
+      val snapDir = snapDirName(schema, table, s"${attemptTag(id)}-rewrite")
       partitionedWriter(schema, table, df)
         .mode("errorifexists").parquet(new Path(dir, snapDir).toString)
       snapDir
@@ -1086,7 +1096,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     require(commits.nonEmpty, s"Nothing to compact in $schema.$table")
     val id = commits.last.snapshotId + 1
     val at = math.max(System.currentTimeMillis(), commits.last.committedAtMillis + 1)
-    val snapDir = snapDirName(schema, table, f"$id%05d-compacted")
+    val snapDir = snapDirName(schema, table, s"${attemptTag(id)}-compacted")
     partitionedWriter(schema, table, readLatest(schema, table).coalesce(numFiles))
       .mode("errorifexists").parquet(new Path(dir, snapDir).toString)
     // rewrite: references only itself
@@ -1230,8 +1240,23 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val target = genPath(dir, next)
     val f = fs(target)
     if (f.exists(target)) throw new CommitConflictException(schema, table, expectedGen)
-    val tmp = new Path(dir, "." + target.getName + ".tmp")
-    val out = f.create(tmp, true)
+    // attempt-unique temp name: two writers racing the same generation
+    // both stage a temp BEFORE the exclusive rename decides the winner —
+    // a fixed temp name would let one clobber the other's staged bytes
+    // mid-race (caught by the DevFuzzDmlRace soak)
+    val tmp = new Path(dir, "." + target.getName + "." +
+      java.util.UUID.randomUUID().toString.take(8) + ".tmp")
+    // stage through the RAW filesystem (no .crc sibling): on the local
+    // ChecksumFileSystem the crc file's rename is NOT exclusive with the
+    // data file's, so a losing writer could pair its crc with the winner's
+    // data — a corrupted-looking commit log (also caught by the soak).
+    // Object stores / HDFS checksum server-side; the JSON itself is the
+    // integrity check here (parse failure = corruption).
+    val rawF = f match {
+      case cfs: org.apache.hadoop.fs.ChecksumFileSystem => cfs.getRawFileSystem
+      case other => other
+    }
+    val out = rawF.create(tmp, true)
     try out.write(mapper.writeValueAsString(arr).getBytes("UTF-8")) finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       target.toUri, spark.sparkContext.hadoopConfiguration)

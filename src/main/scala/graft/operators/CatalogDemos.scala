@@ -49,7 +49,7 @@ object CatalogDemos {
     * reference's mid-commit semantics, AthenaClientTests.cs:348-391.)
     */
   val timeTravelDemoSql: String =
-    s"SELECT r_regionkey, r_name FROM read_parquet('$ttDemoWarehouse/demo/region_tt/snap-00001/*.parquet') " +
+    s"SELECT r_regionkey, r_name FROM read_parquet('$ttDemoWarehouse/demo/region_tt/snap-00001*/*.parquet') " +
       "WHERE r_regionkey >= 0 ORDER BY r_regionkey"
 
   /** Fixed warehouse for the partition-pruning demo (wiped per run, like
@@ -92,7 +92,7 @@ object CatalogDemos {
     */
   val partitionPruneDemoSql: String =
     s"SELECT count(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total " +
-      s"FROM read_parquet('$pruneDemoWarehouse/demo/orders_part/_snap=00001/o_orderstatus=F/*.parquet')"
+      s"FROM read_parquet('$pruneDemoWarehouse/demo/orders_part/_snap=00001*/o_orderstatus=F/*.parquet')"
 
   /** S7/C4: unload a query to flat parquet; returns the response contract
     * plus layout assertions (no subdirectories, only *.parquet at the

@@ -132,4 +132,62 @@ class CommitConflictSpec extends SparkSpec {
     val (_, gen) = c2.readCommitsWithGen("s", "t")
     assert(gen == 1L) // legacy read was gen 0; the write versioned it
   }
+
+  test("cross-PROCESS race: loser JVM gets CommitConflictException; log stays at one generation") {
+    val wh = tmpDir("graft-conflict-xproc")
+    val sync = tmpDir("graft-conflict-sync")
+    val c1 = new SnapshotCatalog(spark, wh)
+    c1.createSchema("s")
+    c1.createTable("s", "t", schema)
+    c1.insert("s", "t", Seq((1L, "a")).toDF("id", "v"))
+    val (_, gen0) = c1.readCommitsWithGen("s", "t")
+
+    // second JVM: reads the current generation, signals, then waits for
+    // `go` before committing — the parent wins the generation in between,
+    // so the child's rename races a REAL separate process on the FS
+    val jvmArgs = {
+      val in = java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = in.iterator()
+      while (it.hasNext) {
+        val a = it.next()
+        if (a == "--add-opens" && it.hasNext) { buf += a; buf += it.next() }
+        else if (a.startsWith("--add-opens=")) buf += a
+      }
+      buf.toSeq
+    }
+    val cmd = Seq(sys.props("java.home") + "/bin/java") ++ jvmArgs ++
+      Seq("-Xmx2g", "-cp", sys.props("java.class.path"),
+        "graft.catalog.DevCommitRace", wh, sync)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = new StringBuilder
+    val drainer = new Thread(() => {
+      val src = scala.io.Source.fromInputStream(proc.getInputStream)
+      try src.getLines().foreach(l => out.synchronized { out.append(l).append('\n') })
+      finally src.close()
+    })
+    drainer.setDaemon(true)
+    drainer.start()
+    try {
+      val readDone = new java.io.File(sync, "read.done")
+      val deadline = System.currentTimeMillis() + 120000
+      while (!readDone.exists() && proc.isAlive && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(readDone.exists(), s"child never completed its read:\n$out")
+      // parent commits → the generation the child observed is now stale
+      c1.insert("s", "t", Seq((2L, "parent-win")).toDF("id", "v"))
+      new java.io.File(sync, "go").createNewFile()
+      assert(proc.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
+        s"child JVM did not exit:\n$out")
+      assert(proc.exitValue == 42,
+        s"child must LOSE with the typed conflict (exit=${proc.exitValue}):\n$out")
+    } finally if (proc.isAlive) proc.destroyForcibly()
+    // the log is at exactly one consistent winning generation
+    val (after, afterGen) = c1.readCommitsWithGen("s", "t")
+    assert(afterGen == gen0 + 1)
+    assert(after.map(_.snapshotId) == Seq(1L, 2L))
+    assert(c1.readLatest("s", "t").count() == 2L)
+  }
 }

@@ -242,7 +242,8 @@ class SnapshotCatalogSpec extends SparkSpec {
       Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "category"))
     c.insert("common_test_data", "pt", Seq((4L, "c")).toDF("id", "category"))
     // data lands in hive-layout category=… dirs inside each snap dir
-    val snap1 = new java.io.File(c.schemaLocation("common_test_data").toUri.getPath, "pt/_snap=00001")
+    val snap1 = new java.io.File(c.schemaLocation("common_test_data").toUri.getPath, "pt")
+      .listFiles().find(_.getName.startsWith("_snap=00001")).get
     assert(snap1.listFiles().exists(_.getName == "category=a"), snap1.listFiles().mkString(","))
     val q = c.readLatest("common_test_data", "pt").filter(col("category") === "a")
     assert(q.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
