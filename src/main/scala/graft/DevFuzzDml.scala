@@ -211,8 +211,14 @@ object DevFuzzDml {
       // values injected by nullif (hive default-partition dirs) and
       // UPDATEs that MOVE rows across partition values
       val partitioned = rnd.nextBoolean()
+      // ... and half run format_version = 2 (merge-on-read): UPDATE/DELETE
+      // commit positional-delete files, MERGE takes the CoW path over the
+      // merged state — randomized interleavings of the two commit kinds
+      // against the same relational oracle
+      val mor = rnd.nextBoolean()
       engine.catalog.createTable("fz", "t", nation.schema,
-        partitionedBy = if (partitioned) Seq("n_regionkey") else Nil)
+        partitionedBy = if (partitioned) Seq("n_regionkey") else Nil,
+        formatVersion = if (mor) 2 else 1)
       engine.catalog.insert("fz", "t", nation)
       val ops = genOps()
       ops.foreach(op => engine.executeNonQuery(params.SqlStatement(stmtOf(op))))

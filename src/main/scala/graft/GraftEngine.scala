@@ -209,10 +209,11 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
         } else catalog.createSchema(schema, location)
         0L
       case graft.catalog.CreateTableStmt(schema, table, columns, ifNotExists,
-          partitionedBy, tableComment, columnComments) =>
+          partitionedBy, tableComment, columnComments, formatVersion) =>
         if (!catalog.schemaExists(schema)) catalog.createSchema(schema)
         val preExisting = catalog.tableExists(schema, table)
-        try catalog.createTable(schema, table, columns, ifNotExists, partitionedBy)
+        try catalog.createTable(schema, table, columns, ifNotExists, partitionedBy,
+          formatVersion)
         catch { case e: IllegalStateException =>
           throw new GraftQueryException(sqlText, e.getMessage, e) }
         // declared COMMENT clauses persist like COMMENT ON (never onto a
@@ -614,6 +615,9 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
         }.mkString(",\n")
         val parts = catalog.partitionSpec(sch, tbl)
         val props = Seq("   format = 'PARQUET'") ++
+          (if (catalog.formatVersion(sch, tbl) == 2)
+            Seq("   format_version = 2")
+          else Nil) ++
           (if (parts.nonEmpty)
             Seq(s"   partitioning = ARRAY[${parts.map(p => s"'$p'").mkString(", ")}]")
           else Nil)

@@ -153,6 +153,7 @@ object SparkEntry {
     "partition_prune_demo" -> (CatalogDemos.partitionPruneDemo _),
     "unload_demo"      -> (CatalogDemos.unloadDemo _),
     "dml_demo"         -> (CatalogDemos.dmlDemo _),
+    "mor_demo"         -> (CatalogDemos.morDemo _),
     "merge_demo"       -> (CatalogDemos.mergeDemo _),
     "meta_tables_demo" -> (CatalogDemos.metaTablesDemo _),
     "views_demo"       -> (CatalogDemos.viewsDemo _),
@@ -558,6 +559,7 @@ object SparkEntry {
     // boolean oracles (round-4; verdict Next-round #4/#5)
     "unload_demo"     -> operators.CatalogDemos.unloadDemoSql,
     "dml_demo"        -> operators.CatalogDemos.dmlDemoSql,
+    "mor_demo"        -> operators.CatalogDemos.morDemoSql,
     "merge_demo"      -> operators.CatalogDemos.mergeDemoSql,
     "meta_tables_demo" -> operators.CatalogDemos.metaTablesDemoSql,
     "views_demo"      -> operators.CatalogDemos.viewsDemoSql,

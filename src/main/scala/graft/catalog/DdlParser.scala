@@ -21,7 +21,8 @@ final case class CreateTableStmt(schema: String, table: String,
                                  columns: StructType, ifNotExists: Boolean,
                                  partitionedBy: Seq[String],
                                  tableComment: Option[String] = None,
-                                 columnComments: Map[String, String] = Map.empty)
+                                 columnComments: Map[String, String] = Map.empty,
+                                 formatVersion: Int = 1)
   extends DdlStatement
 final case class CreateTableAsStmt(schema: String, table: String,
                                    select: String, ifNotExists: Boolean) extends DdlStatement
@@ -175,9 +176,11 @@ object DdlParser {
     case createTableRe(ine, name, cols, tblComment, props) =>
       val (sch, tbl) = tableOf(name)
       val (schema0, colComments) = parseColumns(cols)
+      val (partitioning, formatVersion) = tablePropsOf(props)
       Some(CreateTableStmt(sch, tbl, schema0, ine != null,
-        partitioningOf(props),
-        Option(tblComment).map(_.replace("''", "'")), colComments))
+        partitioning,
+        Option(tblComment).map(_.replace("''", "'")), colComments,
+        formatVersion))
     case ctasRe(ine, name, select) =>
       val (sch, tbl) = tableOf(name)
       Some(CreateTableAsStmt(sch, tbl, select, ine != null))
@@ -530,15 +533,17 @@ object DdlParser {
   }
 
   /** Parse the CREATE TABLE `WITH (…)` property list: `partitioning =
-    * ARRAY['a', …]` yields the partition columns; `format = 'PARQUET'` is
-    * accepted as a no-op (Parquet is this engine's only format, matching
-    * the reference's `iceberg.file-format=PARQUET`); anything else —
-    * including a non-Parquet format — is rejected loudly rather than
-    * silently dropped. Properties split on TOP-LEVEL commas only (the
-    * partitioning ARRAY carries commas of its own).
+    * ARRAY['a', …]` yields the partition columns; `format_version = 2`
+    * (quoted or bare, Trino's Iceberg property) selects merge-on-read
+    * row-level DML; `format = 'PARQUET'` is accepted as a no-op (Parquet
+    * is this engine's only format, matching the reference's
+    * `iceberg.file-format=PARQUET`); anything else — including a
+    * non-Parquet format — is rejected loudly rather than silently
+    * dropped. Properties split on TOP-LEVEL commas only (the partitioning
+    * ARRAY carries commas of its own).
     */
-  private def partitioningOf(props: String): Seq[String] = {
-    if (props == null || props.trim.isEmpty) return Seq.empty
+  private def tablePropsOf(props: String): (Seq[String], Int) = {
+    if (props == null || props.trim.isEmpty) return (Seq.empty, 1)
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var depth = 0
@@ -553,15 +558,23 @@ object DdlParser {
     parts += cur.toString
     val partitioningRe = """(?is)^\s*partitioning\s*=\s*ARRAY\[([^\]]*)\]\s*$""".r
     val formatRe = """(?is)^\s*format\s*=\s*'([^']*)'\s*$""".r
-    parts.map(_.trim).filter(_.nonEmpty).flatMap {
+    val formatVersionRe = """(?is)^\s*format_version\s*=\s*'?(\d+)'?\s*$""".r
+    var formatVersion = 1
+    val partitioning = parts.map(_.trim).filter(_.nonEmpty).flatMap {
       case partitioningRe(cols) =>
         cols.split(",").map(_.trim.stripPrefix("'").stripSuffix("'")).filter(_.nonEmpty).toSeq
       case formatRe(fmt) =>
         require(fmt.equalsIgnoreCase("PARQUET"), s"unsupported format '$fmt' (only PARQUET)")
         Seq.empty
+      case formatVersionRe(v) =>
+        formatVersion = v.toInt
+        require(formatVersion == 1 || formatVersion == 2,
+          s"format_version must be 1 or 2, got $formatVersion")
+        Seq.empty
       case other =>
         throw new IllegalArgumentException(s"unsupported table property: $other")
     }.toSeq
+    (partitioning, formatVersion)
   }
 
   /** `[catalog.]schema` → schema. */

@@ -11,11 +11,15 @@ import scala.jdk.CollectionConverters._
   * manifest list). `schemaJson` is the declared schema AT COMMIT TIME —
   * Iceberg pins a schema id per snapshot, so time travel presents the
   * schema as of the snapshot, not today's (None on pre-versioning commit
-  * logs → falls back to the current declared schema).
+  * logs → falls back to the current declared schema). `deletes` lists the
+  * POSITIONAL-DELETE file dirs of the snapshot (Iceberg v2 merge-on-read:
+  * each delete file holds (file_path, pos) rows that reads subtract from
+  * the data files; empty on copy-on-write tables).
   */
 final case class Snapshot(snapshotId: Long, committedAtMillis: Long, dirs: Seq[String],
                           schemaJson: Option[String] = None,
-                          operation: Option[String] = None)
+                          operation: Option[String] = None,
+                          deletes: Seq[String] = Nil)
 
 /** A commit lost the optimistic-concurrency race: another writer advanced
   * the table's commit-log generation between this writer's read and its
@@ -118,7 +122,10 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     */
   def createTable(schema: String, table: String, columns: StructType,
                   ifNotExists: Boolean = false,
-                  partitionedBy: Seq[String] = Nil): Unit = {
+                  partitionedBy: Seq[String] = Nil,
+                  formatVersion: Int = 1): Unit = {
+    require(formatVersion == 1 || formatVersion == 2,
+      s"format_version must be 1 (copy-on-write) or 2 (merge-on-read), got $formatVersion")
     val dir = tableDir(schema, table)
     val f = fs(dir)
     val missing = partitionedBy.filterNot(p =>
@@ -140,10 +147,22 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     if (partitionedBy.nonEmpty)
       writeString(new Path(dir, "_partition_spec.json"),
         partitionedBy.mkString("\n"))
+    if (formatVersion == 2)
+      writeString(new Path(dir, "_format_version"), formatVersion.toString)
     // commits.json stays as the cheap existence marker (tableExists probes
     // it); the versioned generation files carry the actual log
     writeString(new Path(dir, "commits.json"), "[]")
     writeCommits(schema, table, Nil, -1L)
+  }
+
+  /** Iceberg table format version: 1 = copy-on-write row-level DML
+    * (default), 2 = merge-on-read — DELETE/UPDATE write positional delete
+    * files instead of rewriting data files (Trino's `format_version`
+    * table property, trino.io/docs/current/connector/iceberg.html).
+    */
+  def formatVersion(schema: String, table: String): Int = {
+    val p = new Path(tableDir(schema, table), "_format_version")
+    if (fs(p).exists(p)) readString(p).trim.toInt else 1
   }
 
   /** Declared partition columns (empty for unpartitioned tables). */
@@ -273,8 +292,11 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val snapDir = snapDirName(schema, table, attemptTag(id))
     partitionedWriter(schema, table, df)
       .mode("errorifexists").parquet(new Path(dir, snapDir).toString)
+    // deletes carry forward: they address (file, pos) coordinates in the
+    // PRIOR files, which the append leaves in place
     val snap = Snapshot(id, at, commits.lastOption.map(_.dirs).getOrElse(Nil) :+ snapDir,
-      declaredSchema(schema, table).map(_.json), Some("append"))
+      declaredSchema(schema, table).map(_.json), Some("append"),
+      commits.lastOption.map(_.deletes).getOrElse(Nil))
     writeCommits(schema, table, commits :+ snap, gen)
     snap
   }
@@ -340,7 +362,57 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
   }
 
   private def readSnapshot(schema: String, table: String, snap: Option[Snapshot],
-                           useSnapshotSchema: Boolean = false): DataFrame = {
+                           useSnapshotSchema: Boolean = false): DataFrame =
+    readSnapshotMeta(schema, table, snap, useSnapshotSchema,
+      keepFile = false, keepPos = false)
+
+  /** [[readSnapshot]] plus per-row file provenance: `keepFile` retains the
+    * source data file path as `__graft_file` (`_metadata.file_path`),
+    * `keepPos` the row's position within that file as `__graft_pos`
+    * (`_metadata.row_index`) — the (path, pos) coordinate Iceberg v2
+    * positional deletes address rows by. When the snapshot carries delete
+    * files, they are subtracted here via a left-anti join on that
+    * coordinate BEFORE any caller-visible projection, so every read path —
+    * current, time travel, DML probe — sees the merged state. The delete
+    * side is a small parquet scan (delete files are bounded by DML
+    * selectivity, and `compact`/rewrites fold them away), so Spark's
+    * size-based planning broadcasts it: the merge costs no extra shuffle
+    * of the data side.
+    */
+  private def readSnapshotMeta(schema: String, table: String, snap: Option[Snapshot],
+                               useSnapshotSchema: Boolean = false,
+                               keepFile: Boolean = false,
+                               keepPos: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val dir = tableDir(schema, table)
+    val base = readSnapshotData(schema, table, snap, useSnapshotSchema)
+    val deletes = snap.map(_.deletes).getOrElse(Nil)
+    if (deletes.isEmpty && !keepFile && !keepPos) base
+    else {
+      // resolving _metadata throws AnalysisException on states with no
+      // file-source relation (empty table, legacy union layout) — callers
+      // requesting provenance catch it; delete-carrying snapshots always
+      // have file-backed dirs
+      val withMeta = base.select(col("*"),
+        col("_metadata.file_path").as("__graft_file"),
+        col("_metadata.row_index").as("__graft_pos"))
+      val merged =
+        if (deletes.isEmpty) withMeta
+        else {
+          val del = spark.read.parquet(deletes.map(d => new Path(dir, d).toString): _*)
+          withMeta.join(del,
+            withMeta("__graft_file") === del("file_path") &&
+              withMeta("__graft_pos") === del("pos"),
+            "left_anti")
+        }
+      val dropFile = if (keepFile) Nil else Seq("__graft_file")
+      val dropPos = if (keepPos) Nil else Seq("__graft_pos")
+      merged.drop(dropFile ++ dropPos: _*)
+    }
+  }
+
+  private def readSnapshotData(schema: String, table: String, snap: Option[Snapshot],
+                               useSnapshotSchema: Boolean = false): DataFrame = {
     val dir = tableDir(schema, table)
     val pinned =
       if (useSnapshotSchema)
@@ -565,10 +637,12 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           commits.lastOption.map(_.committedAtMillis + 1).getOrElse(0L))
         val schemaJson = declaredSchema(schema, table).map(_.json)
         val entries = currentSnap.map(_.dirs).getOrElse(Nil)
+        val prevDeletes = currentSnap.map(_.deletes).getOrElse(Nil)
         val snap =
           if (hasProv && affected == 0L) {
             // no clause fired, nothing inserted: metadata-only no-op commit
-            val s0 = Snapshot(id, at, entries, schemaJson, Some("overwrite"))
+            val s0 = Snapshot(id, at, entries, schemaJson, Some("overwrite"),
+              prevDeletes)
             writeCommits(schema, table, commits :+ s0, gen)
             s0
           } else {
@@ -583,7 +657,14 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
             val snapDir = snapDirName(schema, table, s"${attemptTag(id)}-rewrite")
             partitionedWriter(schema, table, merged)
               .mode("errorifexists").parquet(new Path(dir, snapDir).toString)
-            val s0 = Snapshot(id, at, carried.toSeq :+ snapDir, schemaJson, Some("overwrite"))
+            // no provenance = whole-table rewrite: pending deletes are
+            // materialized; otherwise drop deletes on rewritten files only
+            val newDeletes =
+              if (!hasProv) Nil
+              else carryDeletes(dir, prevDeletes, touchedAbs,
+                s"${attemptTag(id)}-carry")
+            val s0 = Snapshot(id, at, carried.toSeq :+ snapDir, schemaJson,
+              Some("overwrite"), newDeletes)
             writeCommits(schema, table, commits :+ s0, gen)
             s0
           }
@@ -612,7 +693,10 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
                     cond: org.apache.spark.sql.Column): (Snapshot, Long) = {
     val hit = org.apache.spark.sql.functions.coalesce(
       cond, org.apache.spark.sql.functions.lit(false))
-    rewritePruned(schema, table, _.filter(hit))(_.filter(!hit))
+    val mor =
+      if (formatVersion(schema, table) == 2) morRowLevel(schema, table, hit, None)
+      else None
+    mor.getOrElse(rewritePruned(schema, table, _.filter(hit))(_.filter(!hit)))
   }
 
   /** TRUNCATE TABLE: a METADATA-ONLY commit. The new snapshot references
@@ -624,7 +708,13 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     */
   def truncateCounted(schema: String, table: String): (Snapshot, Long) = synchronized {
     require(tableExists(schema, table), s"Table $schema.$table does not exist")
-    val n = currentFiles(schema, table).map(_._3).sum
+    val dir = tableDir(schema, table)
+    // merge-on-read: live rows = data footer rows minus positional-delete
+    // rows (exact because every delete row references a live file and no
+    // (file, pos) repeats — the carryDeletes/morRowLevel invariant)
+    val delRows = readCommits(schema, table).lastOption
+      .map(_.deletes.map(d => parquetFooterRows(new Path(dir, d))).sum).getOrElse(0L)
+    val n = currentFiles(schema, table).map(_._3).sum - delRows
     val (commits, gen) = readCommitsWithGen(schema, table)
     val id = commits.lastOption.map(_.snapshotId).getOrElse(0L) + 1
     val at = math.max(System.currentTimeMillis(),
@@ -651,6 +741,10 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
                     cond: org.apache.spark.sql.Column): (Snapshot, Long) = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, when}
     val hit = coalesce(cond, lit(false))
+    val mor =
+      if (formatVersion(schema, table) == 2) morRowLevel(schema, table, hit, Some(sets))
+      else None
+    if (mor.isDefined) return mor.get
     rewritePruned(schema, table, _.filter(hit)) { current =>
       sets.foreach { case (c, _) =>
         require(current.columns.exists(_.equalsIgnoreCase(c)),
@@ -671,6 +765,133 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
              cond: org.apache.spark.sql.Column): Snapshot =
     updateCounted(schema, table, sets, cond)._1
 
+  // ---- merge-on-read DML (format_version = 2): positional deletes ----
+
+  /** Merge-on-read row-level DML (Iceberg v2 semantics — Trino's
+    * `format_version = 2` default delete mode): instead of rewriting the
+    * data files that contain matching rows, commit a small POSITIONAL
+    * DELETE file of (file_path, pos) coordinates; for UPDATE additionally
+    * append the new row versions as a regular data dir (delete-old +
+    * append-new, Iceberg's MoR update shape). A 1-row DELETE on a 100 TB
+    * table writes a 1-row parquet file and touches no data file; reads
+    * subtract the delete set via a broadcast anti-join
+    * ([[readSnapshotMeta]]). The write amplification trade vs
+    * copy-on-write: O(matched rows) written per commit instead of
+    * O(touched files), at the price of a (broadcast) merge per read until
+    * `compact` folds the deletes away.
+    *
+    * `setsOpt` = None → DELETE, Some(sets) → UPDATE. Returns None when the
+    * current state exposes no per-row provenance (empty table, legacy
+    * layout) — the caller falls back to copy-on-write, which handles those
+    * trivially. The touched-row count comes from the delete file's own
+    * parquet footers — no second scan of the data.
+    */
+  private def morRowLevel(schema: String, table: String,
+                          hit: org.apache.spark.sql.Column,
+                          setsOpt: Option[Seq[(String, org.apache.spark.sql.Column)]])
+    : Option[(Snapshot, Long)] = synchronized {
+    import org.apache.spark.sql.functions.col
+    val dir = tableDir(schema, table)
+    require(tableExists(schema, table), s"Table $schema.$table does not exist")
+    val (commits, gen) = readCommitsWithGen(schema, table)
+    val current = commits.lastOption
+    val prov = withProvenance(schema, table, current, withPos = true) match {
+      case None    => return None
+      case Some(p) => p
+    }
+    val id = commits.lastOption.map(_.snapshotId).getOrElse(0L) + 1
+    val at = math.max(System.currentTimeMillis(),
+      commits.lastOption.map(_.committedAtMillis + 1).getOrElse(0L))
+    val schemaJson = declaredSchema(schema, table).map(_.json)
+    val entries = current.map(_.dirs).getOrElse(Nil)
+    val prevDeletes = current.map(_.deletes).getOrElse(Nil)
+    val matched = prov.filter(hit)
+    // UPDATE reads `matched` twice (delete coordinates + new versions) —
+    // persist freezes one probe scan for both
+    if (setsOpt.isDefined)
+      matched.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val delDir = s"delete-${attemptTag(id)}"
+      // range-repartition by coordinate: AQE folds a small delete set into
+      // one output file; a huge one splits sorted by file, keeping
+      // per-commit file counts bounded at any selectivity
+      matched.select(col("__graft_file").as("file_path"), col("__graft_pos").as("pos"))
+        .repartitionByRange(col("file_path"), col("pos"))
+        .write.mode("errorifexists").parquet(new Path(dir, delDir).toString)
+      val n = parquetFooterRows(new Path(dir, delDir))
+      if (n == 0L) {
+        // nothing matched: metadata-only no-op commit, delete dir reclaimed
+        fs(dir).delete(new Path(dir, delDir), true)
+        val snap = Snapshot(id, at, entries, schemaJson, Some("overwrite"), prevDeletes)
+        writeCommits(schema, table, commits :+ snap, gen)
+        Some((snap, 0L))
+      } else {
+        val (dirsNew, op) = setsOpt match {
+          case None => (entries, "delete")
+          case Some(sets) =>
+            val dataFields = matched.schema.fields.toIndexedSeq
+              .filterNot(f => f.name == "__graft_file" || f.name == "__graft_pos")
+            sets.foreach { case (c, _) =>
+              require(dataFields.exists(_.name.equalsIgnoreCase(c)),
+                s"UPDATE target column '$c' does not exist in $schema.$table")
+            }
+            // every row here matched the predicate — assignments apply
+            // unconditionally, from PRE-update values (simultaneous-
+            // assignment SQL semantics, same as the CoW path)
+            val updated = matched.select(dataFields.map { f =>
+              sets.find(_._1.equalsIgnoreCase(f.name)) match {
+                case Some((_, e)) => e.cast(f.dataType).as(f.name)
+                case None         => col(f.name)
+              }
+            }: _*)
+            val snapDir = snapDirName(schema, table, s"${attemptTag(id)}-rewrite")
+            partitionedWriter(schema, table, updated)
+              .mode("errorifexists").parquet(new Path(dir, snapDir).toString)
+            (entries :+ snapDir, "overwrite")
+        }
+        val snap = Snapshot(id, at, dirsNew, schemaJson, Some(op),
+          prevDeletes :+ delDir)
+        writeCommits(schema, table, commits :+ snap, gen)
+        Some((snap, n))
+      }
+    } finally if (setsOpt.isDefined) matched.unpersist()
+  }
+
+  /** Sum of parquet footer record counts under `p` — driver-side metadata
+    * read proportional to file count, no data scan.
+    */
+  private def parquetFooterRows(p: Path): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    dataFilesUnder(p).map { f =>
+      org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+        conf, f, org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+        .getBlocks.asScala.map(_.getRowCount).sum
+    }.sum
+  }
+
+  /** Deletes list for a snapshot that rewrites the `touchedRaw` data files
+    * (raw `_metadata.file_path` strings) and carries the rest: delete rows
+    * addressing a rewritten file are obsolete (the rewrite already
+    * materialized their effect), so survivors are compacted into one fresh
+    * delete dir. Maintains the invariant that every delete row references
+    * a file in the snapshot's `dirs` and every (file, pos) appears at most
+    * once — what makes footer arithmetic ([[truncateCounted]]) exact.
+    */
+  private def carryDeletes(dir: Path, prevDeletes: Seq[String],
+                           touchedRaw: Seq[String], tag: String): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    if (prevDeletes.isEmpty) return Nil
+    if (touchedRaw.isEmpty) return prevDeletes
+    val del = spark.read.parquet(prevDeletes.map(d => new Path(dir, d).toString): _*)
+    val kept = del.filter(!col("file_path").isin(touchedRaw: _*))
+    val keptDir = s"delete-$tag"
+    kept.repartitionByRange(col("file_path"), col("pos"))
+      .write.mode("errorifexists").parquet(new Path(dir, keptDir).toString)
+    if (parquetFooterRows(new Path(dir, keptDir)) == 0L) {
+      fs(dir).delete(new Path(dir, keptDir), true); Nil
+    } else Seq(keptDir)
+  }
+
   // ---- file-pruned copy-on-write core ----
 
   /** Current state of `snap` with a `__graft_file` provenance column — the
@@ -681,10 +902,10 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * mixed-layout union read — those fall back to whole-table rewrites.
     */
   private def withProvenance(schema: String, table: String,
-                             snap: Option[Snapshot]): Option[DataFrame] =
-    try Some(readSnapshot(schema, table, snap).select(
-      org.apache.spark.sql.functions.col("*"),
-      org.apache.spark.sql.functions.col("_metadata.file_path").as("__graft_file")))
+                             snap: Option[Snapshot],
+                             withPos: Boolean = false): Option[DataFrame] =
+    try Some(readSnapshotMeta(schema, table, snap,
+      keepFile = true, keepPos = withPos))
     catch { case _: org.apache.spark.sql.AnalysisException => None }
 
   /** Non-empty `.parquet` data files under a dirs entry (the entry itself
@@ -758,8 +979,10 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val at = math.max(System.currentTimeMillis(),
       commits.lastOption.map(_.committedAtMillis + 1).getOrElse(0L))
     val schemaJson = declaredSchema(schema, table).map(_.json)
-    def commitSnap(dirs: Seq[String]): Snapshot = {
-      val snap = Snapshot(id, at, dirs, schemaJson, Some("overwrite"))
+    val current = commits.lastOption
+    val prevDeletes = current.map(_.deletes).getOrElse(Nil)
+    def commitSnap(dirs: Seq[String], deletes: Seq[String]): Snapshot = {
+      val snap = Snapshot(id, at, dirs, schemaJson, Some("overwrite"), deletes)
       writeCommits(schema, table, commits :+ snap, gen)
       snap
     }
@@ -769,30 +992,37 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         .mode("errorifexists").parquet(new Path(dir, snapDir).toString)
       snapDir
     }
-    val current = commits.lastOption
     withProvenance(schema, table, current) match {
       case None =>
         val base = readSnapshot(schema, table, current)
         val n = touchedRows(
           base.withColumn("__graft_file", lit(null).cast("string"))).count()
-        (commitSnap(Seq(writeSnapDir(f(base)))), n)
+        // whole-table rewrite: pending deletes (if any) are materialized
+        (commitSnap(Seq(writeSnapDir(f(base))), Nil), n)
       case Some(prov) =>
         // ONE probe pass: touched files AND matched-row counts together
         val perFile = touchedRows(prov)
           .groupBy(col("__graft_file")).agg(countAgg(lit(1)).as("n")).collect()
         val nTouched = perFile.map(_.getLong(1)).sum
-        val touchedKeys = perFile.map(r => new Path(r.getString(0)).toUri.getPath).toSet
+        val touchedRaw = perFile.map(_.getString(0)).toSeq
+        val touchedKeys = touchedRaw.map(p => new Path(p).toUri.getPath).toSet
         val entries = current.map(_.dirs).getOrElse(Nil)
-        if (touchedKeys.isEmpty && !emitWhenUntouched) (commitSnap(entries), 0L)
+        if (touchedKeys.isEmpty && !emitWhenUntouched)
+          (commitSnap(entries, prevDeletes), 0L)
         else {
           val (carried, touchedRel) = splitByTouched(dir, entries, touchedKeys)
           require(touchedRel.size == touchedKeys.size,
             s"file-pruning provenance mismatch on $schema.$table: " +
               s"${touchedKeys.size} touched files, ${touchedRel.size} matched " +
               "under current snapshot entries")
+          // the sub-read keeps the snapshot's delete files (the copy
+          // retains `deletes`), so touched rows are the LIVE rows; deletes
+          // addressing rewritten files become obsolete and are dropped
           val sub = readSnapshot(schema, table,
             current.map(_.copy(dirs = touchedRel)))
-          (commitSnap(carried :+ writeSnapDir(f(sub))), nTouched)
+          val newDeletes = carryDeletes(dir, prevDeletes, touchedRaw,
+            s"${attemptTag(id)}-carry")
+          (commitSnap(carried :+ writeSnapDir(f(sub)), newDeletes), nTouched)
         }
     }
   }
@@ -979,9 +1209,22 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     */
   def filesMeta(schema: String, table: String): DataFrame = {
     import spark.implicits._
-    currentFiles(schema, table).map { case (path, _, recordCount, size) =>
+    val dir = tableDir(schema, table)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val data = currentFiles(schema, table).map { case (path, _, recordCount, size) =>
       (0, path, "PARQUET", recordCount, size)
-    }.toDF("content", "file_path", "file_format", "record_count", "file_size_in_bytes")
+    }
+    // positional-delete files surface with content = 1, Iceberg's
+    // POSITION_DELETES content id in the $files table
+    val dels = readCommits(schema, table).lastOption.toSeq
+      .flatMap(_.deletes)
+      .flatMap(d => dataFilesUnder(new Path(dir, d)))
+      .map { p =>
+        val st = fs(p).getFileStatus(p)
+        (1, p.toString, "PARQUET", parquetFooterRows(p), st.getLen)
+      }
+    (data ++ dels)
+      .toDF("content", "file_path", "file_format", "record_count", "file_size_in_bytes")
   }
 
   /** `"t$partitions"`: per-partition rollup of the current snapshot —
@@ -1071,7 +1314,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     // operation recorded AT COMMIT TIME — inferring it from reused dir
     // names would report the target snapshot's kind instead (round-5
     // advice: a rollback reusing append dirs read back as 'append')
-    val snap = Snapshot(id, at, target.dirs, target.schemaJson, Some("rollback"))
+    val snap = Snapshot(id, at, target.dirs, target.schemaJson, Some("rollback"),
+      target.deletes)
     // the rollback also restores the declared schema of the target era so
     // current reads match what the rolled-back-to snapshot exposed
     target.schemaJson.foreach(j =>
@@ -1122,8 +1366,10 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val kept = if (kept0.isEmpty) Seq(commits.last) else kept0
     val reallyExpired = commits.filterNot(c => kept.exists(_.snapshotId == c.snapshotId))
     if (reallyExpired.isEmpty) return Nil
-    val referenced = kept.flatMap(_.dirs).toSet
-    val orphanEntries = reallyExpired.flatMap(_.dirs).toSet -- referenced
+    // delete-file dirs participate like data dirs: referenced by a kept
+    // snapshot → stay; referenced only by expired snapshots → reclaimed
+    val referenced = kept.flatMap(c => c.dirs ++ c.deletes).toSet
+    val orphanEntries = reallyExpired.flatMap(c => c.dirs ++ c.deletes).toSet -- referenced
     val f = fs(dir)
     // file-granular CoW entries can nest inside an expired snapshot's DIR
     // entry (a kept snapshot carrying `snapA/part-x.parquet` while snapA's
@@ -1152,10 +1398,11 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val f = fs(dir)
     // compare TOP-LEVEL names: a file-granular CoW entry
     // (`snapA/part-x.parquet`) references its enclosing snap dir
-    val referenced = readCommits(schema, table).flatMap(_.dirs)
+    val referenced = readCommits(schema, table).flatMap(c => c.dirs ++ c.deletes)
       .map(_.split('/').head).toSet
     val keep = referenced ++
-      Set("commits.json", "_table_schema.json", "_partition_spec.json", "_comments.json")
+      Set("commits.json", "_table_schema.json", "_partition_spec.json",
+        "_comments.json", "_format_version")
     val orphans = f.listStatus(dir)
       .map(_.getPath)
       .filterNot(p => keep.contains(p.getName) ||
@@ -1212,7 +1459,9 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         n.get("committedAtMillis").asLong,
         n.get("dirs").elements.asScala.map(_.asText).toSeq,
         Option(n.get("schemaJson")).filterNot(_.isNull).map(_.asText),
-        Option(n.get("operation")).filterNot(_.isNull).map(_.asText))
+        Option(n.get("operation")).filterNot(_.isNull).map(_.asText),
+        Option(n.get("deletes")).map(_.elements.asScala.map(_.asText).toSeq)
+          .getOrElse(Nil))
     }.toSeq
   }
 
@@ -1235,6 +1484,10 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       s.dirs.foreach(d.add)
       s.schemaJson.foreach(o.put("schemaJson", _))
       s.operation.foreach(o.put("operation", _))
+      if (s.deletes.nonEmpty) {
+        val dd = o.putArray("deletes")
+        s.deletes.foreach(dd.add)
+      }
     }
     val next = expectedGen + 1
     val target = genPath(dir, next)

@@ -199,6 +199,76 @@ object CatalogDemos {
 
   private[graft] val mergeDemoWarehouse = "/tmp/graft-merge-demo-warehouse"
 
+  /** Merge-on-read DML end-to-end (Iceberg v2 / Trino `format_version =
+    * 2`): the same UPDATE+DELETE sequence as [[dmlDemo]] but on a v2
+    * table, where DELETE commits a positional-delete file instead of
+    * rewriting data, and UPDATE deletes-old + appends-new. The riding
+    * columns make the MoR mechanics oracle-checkable: the DELETE must
+    * leave every data file untouched (`data_files_untouched`, OBSERVED on
+    * the real file lists), exactly two positional-delete files must exist
+    * afterward (`pos_delete_files`), and time travel must still see the
+    * pre-DML state.
+    */
+  def morDemo(s: SparkSession, d: String): DataFrame = {
+    val wh = new org.apache.hadoop.fs.Path(morDemoWarehouse)
+    val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) fs.delete(wh, true)
+    val engine = new GraftEngine(s, morDemoWarehouse)
+    engine.catalog.createSchema("demo")
+    val nation = graft.Tables.nation(s, d)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    engine.catalog.createTable("demo", "nation_mor", nation.schema,
+      formatVersion = 2)
+    engine.catalog.insert("demo", "nation_mor", nation)
+    def dataFiles(): Set[String] = engine.catalog.filesMeta("demo", "nation_mor")
+      .filter(col("content") === 0).select("file_path")
+      .collect().map(_.getString(0)).toSet
+    val before = dataFiles()
+    val deleted = engine.executeNonQuery(graft.params.SqlStatement(
+      "DELETE FROM demo.nation_mor WHERE n_regionkey = 1 OR n_nationkey >= 20"))
+    // the MoR contract: a DELETE rewrites NO data file
+    val untouched = dataFiles() == before
+    val updated = engine.executeNonQuery(graft.params.SqlStatement(
+      "UPDATE demo.nation_mor SET n_name = concat(n_name, '_EU') WHERE n_regionkey = 3"))
+    val posDeleteFiles = engine.catalog
+      .snapshots("demo", "nation_mor").last.deletes.size
+    val preDmlRows = engine.catalog.readAsOf("demo", "nation_mor",
+      engine.catalog.snapshots("demo", "nation_mor").head.committedAtMillis).count()
+    engine.query(graft.params.SqlStatement(
+      "SELECT n_nationkey, n_name, n_regionkey FROM demo.nation_mor"))
+      .withColumn("n_updated", lit(updated))
+      .withColumn("n_deleted", lit(deleted))
+      .withColumn("data_files_untouched", lit(untouched))
+      .withColumn("pos_delete_files", lit(posDeleteFiles))
+      .withColumn("pre_dml_rows", lit(preDmlRows))
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** DuckDB twin of [[morDemo]]: the delete is a 3VL filter, the update a
+    * CASE projection over the post-delete state; the MoR mechanics
+    * columns are literals the Spark side must have observed true on the
+    * real warehouse (data files untouched by DELETE, exactly 2 positional
+    * delete files: one per row-level DML commit).
+    */
+  val morDemoSql: String =
+    """WITH s0 AS (SELECT n_nationkey, n_name, n_regionkey FROM nation),
+      |s1 AS (SELECT * FROM s0
+      |       WHERE NOT coalesce(n_regionkey = 1 OR n_nationkey >= 20, FALSE)),
+      |s2 AS (SELECT n_nationkey,
+      |              CASE WHEN n_regionkey = 3 THEN concat(n_name, '_EU')
+      |                   ELSE n_name END AS n_name,
+      |              n_regionkey FROM s1)
+      |SELECT n_nationkey, n_name, n_regionkey,
+      |       (SELECT COUNT(*) FROM s1 WHERE n_regionkey = 3) AS n_updated,
+      |       (SELECT COUNT(*) FROM s0
+      |        WHERE n_regionkey = 1 OR n_nationkey >= 20) AS n_deleted,
+      |       TRUE AS data_files_untouched,
+      |       CAST(2 AS INT) AS pos_delete_files,
+      |       (SELECT COUNT(*) FROM s0) AS pre_dml_rows
+      |FROM s2 ORDER BY n_nationkey""".stripMargin
+
+  private[graft] val morDemoWarehouse = "/tmp/graft-mor-demo-warehouse"
+
   /** Metadata tables + rollback end-to-end: a commit history (two appends,
     * an overwrite DELETE, a compaction, a rollback) inspected through
     * `"t$snapshots"` and `"t$files"`, joined in one plain-SQL result. The
