@@ -209,11 +209,11 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
         } else catalog.createSchema(schema, location)
         0L
       case graft.catalog.CreateTableStmt(schema, table, columns, ifNotExists,
-          partitionedBy, tableComment, columnComments, formatVersion) =>
+          partitionedBy, tableComment, columnComments, formatVersion, sortedBy) =>
         if (!catalog.schemaExists(schema)) catalog.createSchema(schema)
         val preExisting = catalog.tableExists(schema, table)
         try catalog.createTable(schema, table, columns, ifNotExists, partitionedBy,
-          formatVersion)
+          formatVersion, sortedBy)
         catch { case e: IllegalStateException =>
           throw new GraftQueryException(sqlText, e.getMessage, e) }
         // declared COMMENT clauses persist like COMMENT ON (never onto a
@@ -614,12 +614,16 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
           s"   ${f.name} ${trinoType(f.dataType)}$c"
         }.mkString(",\n")
         val parts = catalog.partitionSpec(sch, tbl)
+        val sorted = catalog.sortSpec(sch, tbl)
         val props = Seq("   format = 'PARQUET'") ++
           (if (catalog.formatVersion(sch, tbl) == 2)
             Seq("   format_version = 2")
           else Nil) ++
           (if (parts.nonEmpty)
             Seq(s"   partitioning = ARRAY[${parts.map(p => s"'$p'").mkString(", ")}]")
+          else Nil) ++
+          (if (sorted.nonEmpty)
+            Seq(s"   sorted_by = ARRAY[${sorted.map(p => s"'$p'").mkString(", ")}]")
           else Nil)
         val commentClause = tblComment.map(v => s"\nCOMMENT ${q(v)}").getOrElse("")
         val ddl = s"CREATE TABLE $sch.$tbl (\n$cols\n)$commentClause" +

@@ -154,6 +154,7 @@ object SparkEntry {
     "unload_demo"      -> (CatalogDemos.unloadDemo _),
     "dml_demo"         -> (CatalogDemos.dmlDemo _),
     "mor_demo"         -> (CatalogDemos.morDemo _),
+    "sorted_demo"      -> (CatalogDemos.sortedDemo _),
     "merge_demo"       -> (CatalogDemos.mergeDemo _),
     "meta_tables_demo" -> (CatalogDemos.metaTablesDemo _),
     "views_demo"       -> (CatalogDemos.viewsDemo _),
@@ -560,6 +561,7 @@ object SparkEntry {
     "unload_demo"     -> operators.CatalogDemos.unloadDemoSql,
     "dml_demo"        -> operators.CatalogDemos.dmlDemoSql,
     "mor_demo"        -> operators.CatalogDemos.morDemoSql,
+    "sorted_demo"     -> operators.CatalogDemos.sortedDemoSql,
     "merge_demo"      -> operators.CatalogDemos.mergeDemoSql,
     "meta_tables_demo" -> operators.CatalogDemos.metaTablesDemoSql,
     "views_demo"      -> operators.CatalogDemos.viewsDemoSql,

@@ -22,7 +22,8 @@ final case class CreateTableStmt(schema: String, table: String,
                                  partitionedBy: Seq[String],
                                  tableComment: Option[String] = None,
                                  columnComments: Map[String, String] = Map.empty,
-                                 formatVersion: Int = 1)
+                                 formatVersion: Int = 1,
+                                 sortedBy: Seq[String] = Nil)
   extends DdlStatement
 final case class CreateTableAsStmt(schema: String, table: String,
                                    select: String, ifNotExists: Boolean) extends DdlStatement
@@ -176,11 +177,11 @@ object DdlParser {
     case createTableRe(ine, name, cols, tblComment, props) =>
       val (sch, tbl) = tableOf(name)
       val (schema0, colComments) = parseColumns(cols)
-      val (partitioning, formatVersion) = tablePropsOf(props)
+      val (partitioning, formatVersion, sortedBy) = tablePropsOf(props)
       Some(CreateTableStmt(sch, tbl, schema0, ine != null,
         partitioning,
         Option(tblComment).map(_.replace("''", "'")), colComments,
-        formatVersion))
+        formatVersion, sortedBy))
     case ctasRe(ine, name, select) =>
       val (sch, tbl) = tableOf(name)
       Some(CreateTableAsStmt(sch, tbl, select, ine != null))
@@ -533,17 +534,18 @@ object DdlParser {
   }
 
   /** Parse the CREATE TABLE `WITH (…)` property list: `partitioning =
-    * ARRAY['a', …]` yields the partition columns; `format_version = 2`
-    * (quoted or bare, Trino's Iceberg property) selects merge-on-read
-    * row-level DML; `format = 'PARQUET'` is accepted as a no-op (Parquet
-    * is this engine's only format, matching the reference's
-    * `iceberg.file-format=PARQUET`); anything else — including a
-    * non-Parquet format — is rejected loudly rather than silently
-    * dropped. Properties split on TOP-LEVEL commas only (the partitioning
-    * ARRAY carries commas of its own).
+    * ARRAY['a', …]` yields the partition columns; `sorted_by =
+    * ARRAY['a', 'b DESC']` the write-clustering sort columns;
+    * `format_version = 2` (quoted or bare, Trino's Iceberg property)
+    * selects merge-on-read row-level DML; `format = 'PARQUET'` is
+    * accepted as a no-op (Parquet is this engine's only format, matching
+    * the reference's `iceberg.file-format=PARQUET`); anything else —
+    * including a non-Parquet format — is rejected loudly rather than
+    * silently dropped. Properties split on TOP-LEVEL commas only (the
+    * ARRAY properties carry commas of their own).
     */
-  private def tablePropsOf(props: String): (Seq[String], Int) = {
-    if (props == null || props.trim.isEmpty) return (Seq.empty, 1)
+  private def tablePropsOf(props: String): (Seq[String], Int, Seq[String]) = {
+    if (props == null || props.trim.isEmpty) return (Seq.empty, 1, Seq.empty)
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var depth = 0
@@ -557,12 +559,18 @@ object DdlParser {
     }
     parts += cur.toString
     val partitioningRe = """(?is)^\s*partitioning\s*=\s*ARRAY\[([^\]]*)\]\s*$""".r
+    val sortedByRe = """(?is)^\s*sorted_by\s*=\s*ARRAY\[([^\]]*)\]\s*$""".r
     val formatRe = """(?is)^\s*format\s*=\s*'([^']*)'\s*$""".r
     val formatVersionRe = """(?is)^\s*format_version\s*=\s*'?(\d+)'?\s*$""".r
     var formatVersion = 1
+    var sortedBy = Seq.empty[String]
     val partitioning = parts.map(_.trim).filter(_.nonEmpty).flatMap {
       case partitioningRe(cols) =>
         cols.split(",").map(_.trim.stripPrefix("'").stripSuffix("'")).filter(_.nonEmpty).toSeq
+      case sortedByRe(cols) =>
+        sortedBy = cols.split(",").map(_.trim.stripPrefix("'").stripSuffix("'"))
+          .filter(_.nonEmpty).toSeq
+        Seq.empty
       case formatRe(fmt) =>
         require(fmt.equalsIgnoreCase("PARQUET"), s"unsupported format '$fmt' (only PARQUET)")
         Seq.empty
@@ -574,7 +582,7 @@ object DdlParser {
       case other =>
         throw new IllegalArgumentException(s"unsupported table property: $other")
     }.toSeq
-    (partitioning, formatVersion)
+    (partitioning, formatVersion, sortedBy)
   }
 
   /** `[catalog.]schema` → schema. */

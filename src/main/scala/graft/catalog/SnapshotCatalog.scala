@@ -123,7 +123,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
   def createTable(schema: String, table: String, columns: StructType,
                   ifNotExists: Boolean = false,
                   partitionedBy: Seq[String] = Nil,
-                  formatVersion: Int = 1): Unit = {
+                  formatVersion: Int = 1,
+                  sortedBy: Seq[String] = Nil): Unit = {
     require(formatVersion == 1 || formatVersion == 2,
       s"format_version must be 1 (copy-on-write) or 2 (merge-on-read), got $formatVersion")
     val dir = tableDir(schema, table)
@@ -132,6 +133,10 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       columns.fieldNames.exists(_.equalsIgnoreCase(p)))
     require(missing.isEmpty,
       s"Partition column(s) ${missing.mkString(", ")} not in declared schema")
+    val missingSort = sortedBy.map(sortColName)
+      .filterNot(c => columns.fieldNames.exists(_.equalsIgnoreCase(c)))
+    require(missingSort.isEmpty,
+      s"Sort column(s) ${missingSort.mkString(", ")} not in declared schema")
     // `_snap` is the reserved snapshot-dir partition key of the storage
     // layout (see snapDirName) — a user column with that name would
     // collide with the discovery column the reader drops
@@ -149,6 +154,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         partitionedBy.mkString("\n"))
     if (formatVersion == 2)
       writeString(new Path(dir, "_format_version"), formatVersion.toString)
+    if (sortedBy.nonEmpty)
+      writeString(new Path(dir, "_sorted_by.json"), sortedBy.mkString("\n"))
     // commits.json stays as the cheap existence marker (tableExists probes
     // it); the versioned generation files carry the actual log
     writeString(new Path(dir, "commits.json"), "[]")
@@ -170,6 +177,26 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val p = new Path(tableDir(schema, table), "_partition_spec.json")
     if (fs(p).exists(p)) readString(p).split("\n").map(_.trim).filter(_.nonEmpty).toSeq
     else Nil
+  }
+
+  /** Declared sort columns (Trino Iceberg `sorted_by`; empty when the
+    * table is unsorted). Entries are `col` or `col DESC`.
+    */
+  def sortSpec(schema: String, table: String): Seq[String] = {
+    val p = new Path(tableDir(schema, table), "_sorted_by.json")
+    if (fs(p).exists(p)) readString(p).split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    else Nil
+  }
+
+  /** `col` / `col ASC` / `col DESC` → bare column name. */
+  private def sortColName(s: String): String =
+    s.trim.split("\\s+").head
+
+  private def sortCol(s: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.col
+    val parts = s.trim.split("\\s+")
+    if (parts.length > 1 && parts(1).equalsIgnoreCase("DESC")) col(parts.head).desc
+    else col(parts.head).asc
   }
 
   def tableExists(schema: String, table: String): Boolean = {
@@ -303,10 +330,26 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
 
   /** Data writer honoring the table's partition spec: partitioned tables
     * get hive-layout `col=value` subdirectories inside every snap dir.
+    * A `sorted_by` table gets its data CLUSTERED on the way in: range-
+    * repartitioned on (partition cols ++ sort cols) then sorted within
+    * tasks, so each written file covers a disjoint sort-key range and its
+    * parquet footer min/max stats become selective — point/range
+    * predicates skip whole row groups at read time and the file-pruned
+    * DML probe touches one file instead of all of them. AQE sizes the
+    * range shuffle, so small inserts collapse to one file while large
+    * ones split sorted.
     */
   private def partitionedWriter(schema: String, table: String, df: DataFrame) = {
     val spec = partitionSpec(schema, table)
-    if (spec.isEmpty) df.write else df.write.partitionBy(spec: _*)
+    val sorted = sortSpec(schema, table)
+    val clustered =
+      if (sorted.isEmpty) df
+      else {
+        val keys = spec.map(c => org.apache.spark.sql.functions.col(c).asc) ++
+          sorted.map(sortCol)
+        df.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
+      }
+    if (spec.isEmpty) clustered.write else clustered.write.partitionBy(spec: _*)
   }
 
   /** Snapshot directory name. PARTITIONED tables use the hive-parseable
@@ -1341,8 +1384,23 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val id = commits.last.snapshotId + 1
     val at = math.max(System.currentTimeMillis(), commits.last.committedAtMillis + 1)
     val snapDir = snapDirName(schema, table, s"${attemptTag(id)}-compacted")
-    partitionedWriter(schema, table, readLatest(schema, table).coalesce(numFiles))
-      .mode("errorifexists").parquet(new Path(dir, snapDir).toString)
+    val sorted = sortSpec(schema, table)
+    val spec = partitionSpec(schema, table)
+    val compacted =
+      if (sorted.isEmpty) readLatest(schema, table).coalesce(numFiles)
+      else {
+        // sorted table: hit the target file count WITH the sort order —
+        // an explicit numFiles-way range shuffle + in-task sort instead
+        // of coalesce (which would interleave sorted inputs)
+        val keys = spec.map(c => org.apache.spark.sql.functions.col(c).asc) ++
+          sorted.map(sortCol)
+        readLatest(schema, table)
+          .repartitionByRange(numFiles, keys: _*).sortWithinPartitions(keys: _*)
+      }
+    // write directly (not partitionedWriter — its AQE-sized clustering
+    // shuffle would override the explicit numFiles layout)
+    val w = if (spec.isEmpty) compacted.write else compacted.write.partitionBy(spec: _*)
+    w.mode("errorifexists").parquet(new Path(dir, snapDir).toString)
     // rewrite: references only itself
     val snap = Snapshot(id, at, Seq(snapDir),
       declaredSchema(schema, table).map(_.json), Some("replace"))
@@ -1402,7 +1460,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       .map(_.split('/').head).toSet
     val keep = referenced ++
       Set("commits.json", "_table_schema.json", "_partition_spec.json",
-        "_comments.json", "_format_version")
+        "_comments.json", "_format_version", "_sorted_by.json")
     val orphans = f.listStatus(dir)
       .map(_.getPath)
       .filterNot(p => keep.contains(p.getName) ||

@@ -269,6 +269,77 @@ object CatalogDemos {
 
   private[graft] val morDemoWarehouse = "/tmp/graft-mor-demo-warehouse"
 
+  /** Sorted-table end-to-end (Trino Iceberg `sorted_by`,
+    * trino.io/docs/current/connector/iceberg.html#sorted-tables): orders
+    * loaded into a table sorted by o_orderkey — the writer range-
+    * repartitions + sorts, so data files cover disjoint key ranges — then
+    * a narrow range DELETE, whose CoW probe must rewrite exactly ONE file
+    * (footer min/max exclude every other file's range). The layout facts
+    * ride as booleans OBSERVED on the real warehouse: multiple files
+    * written, ranges pairwise disjoint, a single file rewritten. AQE
+    * advisory sizes are pinned tiny inside the demo (and restored) so the
+    * multi-file layout materializes at any test SF.
+    */
+  def sortedDemo(s: SparkSession, d: String): DataFrame = {
+    val wh = new org.apache.hadoop.fs.Path(sortedDemoWarehouse)
+    val whFs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (whFs.exists(wh)) whFs.delete(wh, true)
+    val keys = Seq(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+    val prev = keys.map(k => k -> s.conf.getOption(k))
+    keys.foreach(s.conf.set(_, "4KB"))
+    try {
+      val engine = new GraftEngine(s, sortedDemoWarehouse)
+      engine.catalog.createSchema("demo")
+      val orders = graft.Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      engine.catalog.createTable("demo", "orders_sorted", orders.schema,
+        sortedBy = Seq("o_orderkey"))
+      engine.catalog.insert("demo", "orders_sorted", orders)
+      def files(): Seq[String] = engine.catalog.filesMeta("demo", "orders_sorted")
+        .filter(col("content") === 0).select("file_path")
+        .collect().map(_.getString(0)).toSeq
+      val before = files()
+      val ranges = before.map { p =>
+        val r = s.read.parquet(p)
+          .agg(org.apache.spark.sql.functions.min("o_orderkey"),
+            org.apache.spark.sql.functions.max("o_orderkey")).head()
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
+      val disjoint = ranges.sliding(2).forall {
+        case Seq((_, hi1), (lo2, _)) => hi1 < lo2
+        case _                       => true
+      }
+      val deleted = engine.executeNonQuery(graft.params.SqlStatement(
+        "DELETE FROM demo.orders_sorted WHERE o_orderkey <= 32"))
+      val rewritten = before.toSet.diff(files().toSet).size
+      import s.implicits._
+      engine.query(graft.params.SqlStatement(
+        "SELECT COUNT(*) AS remaining_rows FROM demo.orders_sorted"))
+        .withColumn("n_deleted", lit(deleted))
+        .withColumn("multi_file", lit(before.size >= 2))
+        .withColumn("ranges_disjoint", lit(disjoint))
+        .withColumn("rewrote_single_file", lit(rewritten == 1))
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  /** DuckDB twin of [[sortedDemo]]: row arithmetic from orders; the three
+    * layout booleans are literals the Spark side must have observed true
+    * on the physical file set (multi-file sorted layout, disjoint footer
+    * ranges, single-file rewrite for the narrow range DELETE).
+    */
+  val sortedDemoSql: String =
+    """SELECT (SELECT COUNT(*) FROM orders WHERE o_orderkey > 32) AS remaining_rows,
+      |       (SELECT COUNT(*) FROM orders WHERE o_orderkey <= 32) AS n_deleted,
+      |       TRUE AS multi_file, TRUE AS ranges_disjoint,
+      |       TRUE AS rewrote_single_file""".stripMargin
+
+  private[graft] val sortedDemoWarehouse = "/tmp/graft-sorted-demo-warehouse"
+
   /** Metadata tables + rollback end-to-end: a commit history (two appends,
     * an overwrite DELETE, a compaction, a rollback) inspected through
     * `"t$snapshots"` and `"t$files"`, joined in one plain-SQL result. The

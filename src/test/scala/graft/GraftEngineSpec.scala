@@ -346,7 +346,7 @@ class GraftEngineSpec extends SparkSpec {
     assert(err.getMessage.contains("unsupported format"))
     val err2 = intercept[GraftQueryException] {
       e2.executeNonQuery(graft.params.SqlStatement(
-        "CREATE TABLE wp.v (id int) WITH (sorted_by = ARRAY['id'])"))
+        "CREATE TABLE wp.v (id int) WITH (bucket_count = 16)"))
     }
     assert(err2.getMessage.contains("unsupported table property"))
   }
