@@ -137,6 +137,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       .filterNot(c => columns.fieldNames.exists(_.equalsIgnoreCase(c)))
     require(missingSort.isEmpty,
       s"Sort column(s) ${missingSort.mkString(", ")} not in declared schema")
+    columns.fieldNames.foreach(validateColumnName(_, formatVersion))
     // `_snap` is the reserved snapshot-dir partition key of the storage
     // layout (see snapDirName) — a user column with that name would
     // collide with the discovery column the reader drops
@@ -192,6 +193,25 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
   private def sortColName(s: String): String =
     s.trim.split("\\s+").head
 
+  /** Reserved-name gate for every column-introducing DDL path
+    * (createTable / addColumn / renameColumn): the `__graft_` prefix is
+    * the engine's internal provenance namespace (`__graft_file`,
+    * `__graft_pos`, the MERGE bookkeeping columns) — a user column there
+    * would alias the DML machinery's own columns; on `format_version = 2`
+    * tables, `file_path`/`pos` are additionally reserved because the
+    * positional-delete anti-join ([[readSnapshotMeta]]) references the
+    * delete-file schema by those names and a duplicate would make the
+    * join condition ambiguous on every read.
+    */
+  private def validateColumnName(name: String, formatVersion: Int): Unit = {
+    require(!name.toLowerCase.startsWith("__graft_"),
+      s"Column name $name is reserved (the __graft_ prefix is internal)")
+    if (formatVersion == 2)
+      require(!name.equalsIgnoreCase("file_path") && !name.equalsIgnoreCase("pos"),
+        s"Column name $name is reserved in format_version = 2 tables " +
+          "(it collides with the positional-delete file schema)")
+  }
+
   private def sortCol(s: String): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.col
     val parts = s.trim.split("\\s+")
@@ -220,6 +240,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       throw new IllegalStateException(s"Table $schema.$table has no declared schema"))
     require(!current.fieldNames.map(_.toLowerCase).contains(name.toLowerCase),
       s"Column $name already exists in $schema.$table")
+    validateColumnName(name, formatVersion(schema, table))
     writeString(new Path(tableDir(schema, table), "_table_schema.json"),
       current.add(name, dataType, nullable = true).json)
   }
@@ -239,6 +260,13 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       s"Column $name does not exist in $schema.$table")
     require(!partitionSpec(schema, table).exists(_.equalsIgnoreCase(name)),
       s"Cannot drop partition column $name of $schema.$table")
+    // a dropped sort column would leave _sorted_by.json referencing a
+    // nonexistent column and every later write failing to resolve it —
+    // the same permanent-unwritability hazard as dropping a partition
+    // column, so the same guard (round-7 advice)
+    require(!sortSpec(schema, table).map(sortColName).exists(_.equalsIgnoreCase(name)),
+      s"Cannot drop sort column $name of $schema.$table " +
+        "(the table's sorted_by clustering references it)")
     require(current.fields.length > 1,
       s"Cannot drop the only column of $schema.$table")
     writeString(new Path(tableDir(schema, table), "_table_schema.json"),
@@ -264,9 +292,22 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     require(!partitionSpec(schema, table).exists(_.equalsIgnoreCase(from)),
       s"Cannot rename partition column $from of $schema.$table")
     require(to.matches("""[A-Za-z_]\w*"""), s"Malformed column name: '$to'")
+    validateColumnName(to, formatVersion(schema, table))
     writeString(new Path(tableDir(schema, table), "_table_schema.json"),
       StructType(current.fields.map(f =>
         if (f.name.equalsIgnoreCase(from)) f.copy(name = to) else f)).json)
+    // a renamed sort column follows into _sorted_by.json (keeping its
+    // ASC/DESC direction) so writes keep clustering on it — leaving the
+    // old name would make the table permanently unwritable (round-7
+    // advice)
+    val sorted = sortSpec(schema, table)
+    if (sorted.exists(s => sortColName(s).equalsIgnoreCase(from)))
+      writeString(new Path(tableDir(schema, table), "_sorted_by.json"),
+        sorted.map { s =>
+          if (sortColName(s).equalsIgnoreCase(from))
+            (to +: s.trim.split("\\s+").tail).mkString(" ")
+          else s
+        }.mkString("\n"))
   }
 
   /** DROP TABLE (S6). */
@@ -568,6 +609,18 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         throw new IllegalArgumentException("WHEN MATCHED cannot INSERT")
       case _ =>
     }
+    // UPDATE SET targets validated up front (same contract as
+    // [[updateCounted]]): a bogus column fails analysis even when no row
+    // ends up matching the clause
+    declaredSchema(schema, table).foreach { declared =>
+      whenMatched.foreach {
+        case MergeUpdateAction(_, sets) => sets.foreach { case (c, _) =>
+          require(declared.fieldNames.exists(_.equalsIgnoreCase(c)),
+            s"MERGE UPDATE target column '$c' does not exist in $schema.$table")
+        }
+        case _ =>
+      }
+    }
     // observe the commit-log generation BEFORE reading the target so the
     // optimistic-concurrency check covers the whole read-compute-commit span
     val (commits, gen) = readCommitsWithGen(schema, table)
@@ -752,13 +805,20 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
   def truncateCounted(schema: String, table: String): (Snapshot, Long) = synchronized {
     require(tableExists(schema, table), s"Table $schema.$table does not exist")
     val dir = tableDir(schema, table)
+    // ONE (commits, gen) read up front: the removed-row count and the
+    // truncated snapshot derive from the SAME observed state, so a commit
+    // landing from another process mid-truncate either loses the
+    // generation race (CommitConflictException) or happened entirely
+    // before — never a count from one snapshot and a truncate of another
+    // (round-7 advice)
+    val (commits, gen) = readCommitsWithGen(schema, table)
+    val last = commits.lastOption
     // merge-on-read: live rows = data footer rows minus positional-delete
     // rows (exact because every delete row references a live file and no
     // (file, pos) repeats — the carryDeletes/morRowLevel invariant)
-    val delRows = readCommits(schema, table).lastOption
+    val delRows = last
       .map(_.deletes.map(d => parquetFooterRows(new Path(dir, d))).sum).getOrElse(0L)
-    val n = currentFiles(schema, table).map(_._3).sum - delRows
-    val (commits, gen) = readCommitsWithGen(schema, table)
+    val n = filesOfSnapshot(schema, table, last).map(_._3).sum - delRows
     val id = commits.lastOption.map(_.snapshotId).getOrElse(0L) + 1
     val at = math.max(System.currentTimeMillis(),
       commits.lastOption.map(_.committedAtMillis + 1).getOrElse(0L))
@@ -783,6 +843,17 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
                     sets: Seq[(String, org.apache.spark.sql.Column)],
                     cond: org.apache.spark.sql.Column): (Snapshot, Long) = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    // SET-target validation happens BEFORE any zero-match short-circuit:
+    // `UPDATE t SET bogus = 1 WHERE false` must fail analysis (as Trino
+    // does), not silently commit a no-op (round-7 advice) — the rewrite
+    // paths only reach their own checks when rows match
+    require(tableExists(schema, table), s"Table $schema.$table does not exist")
+    declaredSchema(schema, table).foreach { declared =>
+      sets.foreach { case (c, _) =>
+        require(declared.fieldNames.exists(_.equalsIgnoreCase(c)),
+          s"UPDATE target column '$c' does not exist in $schema.$table")
+      }
+    }
     val hit = coalesce(cond, lit(false))
     val mor =
       if (formatVersion(schema, table) == 2) morRowLevel(schema, table, hit, Some(sets))
@@ -1293,9 +1364,19 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     */
   private def currentFiles(schema: String, table: String): Seq[(String, String, Long, Long)] = {
     require(tableExists(schema, table), s"Table $schema.$table does not exist")
+    filesOfSnapshot(schema, table, readCommits(schema, table).lastOption)
+  }
+
+  /** [[currentFiles]] against an explicit snapshot — callers that already
+    * hold a (commits, gen) read derive file metadata from THAT state
+    * instead of re-reading the log (keeps count+commit atomic under
+    * cross-process writers).
+    */
+  private def filesOfSnapshot(schema: String, table: String,
+                              snap: Option[Snapshot]): Seq[(String, String, Long, Long)] = {
     val dir = tableDir(schema, table)
     val conf = spark.sparkContext.hadoopConfiguration
-    readCommits(schema, table).lastOption.toSeq
+    snap.toSeq
       .flatMap(_.dirs)
       .flatMap { d =>
         val snapRoot = new Path(dir, d)
