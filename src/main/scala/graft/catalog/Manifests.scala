@@ -1,0 +1,461 @@
+package graft.catalog
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import com.fasterxml.jackson.databind.ObjectMapper
+import scala.jdk.CollectionConverters._
+
+/** Per-column min/max bounds + null count of one data file, footer- or
+  * partition-derived. `kind` fixes the comparison space — a literal
+  * participates ONLY when it maps into the same space, so a date column
+  * never gets compared against a timestamp literal's micros:
+  *  - "long"   — plain integral parquet stats (INT32/INT64)
+  *  - "date"   — DATE-annotated INT32: epoch days
+  *  - "ts"     — TIMESTAMP-annotated INT64, normalized to MICROS
+  *  - "double" — FLOAT/DOUBLE stats: compare numerically
+  *  - "string" — UTF8 BINARY stats: compare as UTF-8 byte strings (the
+  *    unsigned byte order parquet min/max uses)
+  * `nulls` = -1 when the writer recorded no null count. Bounds are an
+  * over-approximation contract: a file may be skipped ONLY when its
+  * bounds PROVE no row can satisfy a predicate — absent or unparseable
+  * bounds always keep the file.
+  */
+final case class ColBounds(kind: String, min: String, max: String, nulls: Long)
+
+/** One data file tracked by a manifest: table-relative path (first
+  * segment = the snap dir, hive `col=value` segments follow for
+  * partitioned tables), footer record count, byte size, per-column
+  * bounds. The Iceberg manifest-entry shape (spec:
+  * iceberg.apache.org/spec/#manifests) over JSON instead of Avro.
+  *
+  * `dirTotal` = number of data files the entry's snap dir held when it
+  * was scanned at commit time (-1 unknown). Snap dirs are append-frozen
+  * (writers always create NEW dirs), so a snapshot whose entries under a
+  * dir number exactly `dirTotal` provably references the WHOLE dir — the
+  * read path then passes the directory (one path, discovery-listed)
+  * instead of every file, keeping query planning free of per-file
+  * existence checks; only pruned survivor subsets enumerate files.
+  */
+final case class DataFileEntry(path: String, rows: Long, bytes: Long,
+                               bounds: Map[String, ColBounds],
+                               dirTotal: Long = -1L)
+
+/** Manifest-file machinery: immutable JSON manifest files grouping data
+  * files with per-column bounds, the footer-statistics extraction that
+  * populates them at commit time, and the conservative bounds evaluator
+  * the DML probe uses for file skipping. All driver-side metadata work,
+  * proportional to file count — never data volume.
+  */
+object Manifests {
+  private val mapper = new ObjectMapper
+
+  // ---- JSON encode/decode (compact keys: manifests are the metadata
+  //      hot path, stored once per file per rewrite) ----
+
+  def toJson(entries: Seq[DataFileEntry]): String = {
+    val root = mapper.createObjectNode()
+    val arr = root.putArray("entries")
+    entries.foreach { e =>
+      val o = arr.addObject()
+      o.put("p", e.path)
+      o.put("r", e.rows)
+      o.put("b", e.bytes)
+      if (e.dirTotal >= 0) o.put("d", e.dirTotal)
+      if (e.bounds.nonEmpty) {
+        val c = o.putObject("c")
+        e.bounds.foreach { case (name, cb) =>
+          val b = c.putObject(name)
+          b.put("k", cb.kind)
+          if (cb.min != null) b.put("mn", cb.min)
+          if (cb.max != null) b.put("mx", cb.max)
+          if (cb.nulls >= 0) b.put("n", cb.nulls)
+        }
+      }
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  def fromJson(json: String): Seq[DataFileEntry] = {
+    val root = mapper.readTree(json)
+    root.get("entries").elements.asScala.map { o =>
+      val bounds = Option(o.get("c")).map { c =>
+        c.properties().asScala.map { e =>
+          val b = e.getValue
+          e.getKey -> ColBounds(
+            b.get("k").asText,
+            Option(b.get("mn")).map(_.asText).orNull,
+            Option(b.get("mx")).map(_.asText).orNull,
+            Option(b.get("n")).map(_.asLong).getOrElse(-1L))
+        }.toMap
+      }.getOrElse(Map.empty[String, ColBounds])
+      DataFileEntry(o.get("p").asText, o.get("r").asLong, o.get("b").asLong, bounds,
+        Option(o.get("d")).map(_.asLong).getOrElse(-1L))
+    }.toSeq
+  }
+
+  // ---- footer-statistics extraction (commit-time, driver-side) ----
+
+  /** Max stored length for string bounds: longer values drop the bound
+    * (a TRUNCATED max would under-approximate the range — Iceberg
+    * increments the last byte instead; dropping is simpler and still
+    * correct, just less selective on very long keys).
+    */
+  private val MaxStringBound = 64
+
+  /** Build the manifest entry for one data file from its parquet footer:
+    * record count, per-top-level-column min/max/null-count for the
+    * statistics-friendly types (integral, floating, UTF8 string — the
+    * types the probe's predicates compare against literals). Hive
+    * `col=value` segments in `relPath` contribute partition-value bounds
+    * (min = max = value): partition columns never appear in footers, and
+    * without them a partition-scoped DELETE could not skip files by
+    * bounds at all.
+    */
+  def footerEntry(conf: Configuration, file: Path, relPath: String,
+                  fileLen: Long): DataFileEntry = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+      conf, file, org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+    val blocks = footer.getBlocks.asScala.toSeq
+    val rows = blocks.map(_.getRowCount).sum
+    // (kind, min, max, nulls, boundsValid) per column, accumulated over blocks
+    final case class Acc(kind: String, var min: Any, var max: Any,
+                         var nulls: Long, var valid: Boolean)
+    val acc = scala.collection.mutable.LinkedHashMap.empty[String, Acc]
+    for (b <- blocks; c <- b.getColumns.asScala) {
+      val parts = c.getPath.toArray
+      if (parts.length == 1) {
+        val name = parts(0)
+        val pt = c.getPrimitiveType
+        val logical = pt.getLogicalTypeAnnotation
+        val kind: Option[String] = pt.getPrimitiveTypeName match {
+          case INT32 | INT64 => logical match {
+            case null => Some("long")
+            case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation if i.isSigned => Some("long")
+            case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => Some("date")
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+              // values normalized to micros below; NANOS would overflow a
+              // multiply and MILLIS is what legacy writers emit
+              => Some("ts")
+            case _ => None // decimal, unsigned, time-of-day: skip bounds
+          }
+          case FLOAT | DOUBLE => Some("double")
+          case BINARY => logical match {
+            case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation => Some("string")
+            case _ => None
+          }
+          case _ => None
+        }
+        // micros normalization factor for "ts" (None = unit unsupported)
+        val tsScale: Option[Long => Long] = logical match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MICROS => Some(identity[Long])
+              case LogicalTypeAnnotation.TimeUnit.MILLIS => Some((v: Long) => v * 1000L)
+              case LogicalTypeAnnotation.TimeUnit.NANOS  => Some((v: Long) => v / 1000L)
+              case _ => None
+            }
+          case _ => Some(identity[Long])
+        }
+        kind.filter(k => k != "ts" || tsScale.isDefined).foreach { k =>
+          val a = acc.getOrElseUpdate(name, Acc(k, null, null, 0L, valid = true))
+          val stats = c.getStatistics
+          if (stats == null) { a.valid = false; a.nulls = -1L }
+          else {
+            if (a.nulls >= 0 && !stats.isNumNullsSet) a.nulls = -1L
+            else if (a.nulls >= 0) a.nulls += stats.getNumNulls
+            if (stats.hasNonNullValue) {
+              def scaled(v: Any): Any = v match {
+                case l: Long if k == "ts" => tsScale.get(l)
+                case other => other
+              }
+              val (mn, mx) = (scaled(boundValue(k, stats.genericGetMin.asInstanceOf[AnyRef])),
+                scaled(boundValue(k, stats.genericGetMax.asInstanceOf[AnyRef])))
+              if (mn == null || mx == null) a.valid = false
+              else {
+                if (a.min == null || compareBound(k, mn, a.min) < 0) a.min = mn
+                if (a.max == null || compareBound(k, mx, a.max) > 0) a.max = mx
+              }
+            }
+          }
+        }
+      }
+    }
+    val footerBounds = acc.flatMap { case (name, a) =>
+      if (!a.valid && a.nulls < 0) None
+      else Some(name -> ColBounds(a.kind,
+        if (a.valid && a.min != null) a.min.toString else null,
+        if (a.valid && a.max != null) a.max.toString else null,
+        a.nulls))
+    }.toMap
+    DataFileEntry(relPath, rows, fileLen, footerBounds ++ partitionBounds(relPath, rows))
+  }
+
+  /** Raw parquet statistic → comparable bound value, or null to drop the
+    * bound (NaN floats — parquet NaN stats are unreliable; over-long
+    * strings — see [[MaxStringBound]]).
+    */
+  private def boundValue(kind: String, v: AnyRef): Any = kind match {
+    case "long" | "date" | "ts" => v match {
+      case i: java.lang.Integer => i.longValue
+      case l: java.lang.Long    => l.longValue
+      case _ => null
+    }
+    case "double" => v match {
+      case f: java.lang.Float if !f.isNaN  => f.doubleValue
+      case d: java.lang.Double if !d.isNaN => d.doubleValue
+      case _ => null
+    }
+    case "string" => v match {
+      case b: org.apache.parquet.io.api.Binary =>
+        val s = b.toStringUsingUTF8
+        if (s.length <= MaxStringBound) s else null
+      case _ => null
+    }
+  }
+
+  private def compareBound(kind: String, a: Any, b: Any): Int = kind match {
+    case "long" | "date" | "ts" =>
+      java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case "double" => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case "string" => utf8Compare(a.toString, b.toString)
+  }
+
+  /** Unsigned UTF-8 byte comparison — the order parquet's min/max for
+    * strings are computed in (Java String.compareTo orders UTF-16 code
+    * units, which disagrees on supplementary characters).
+    */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** Hive `col=value` segments of a table-relative file path → exact
+    * partition bounds (min = max = value). The leading `_snap=` segment
+    * is the storage layout's own key, not a user column; the hive null
+    * marker contributes a nulls-only bound.
+    */
+  private def partitionBounds(relPath: String, rows: Long): Map[String, ColBounds] = {
+    val segs = relPath.split('/').dropRight(1) // last segment = file name
+    segs.iterator.flatMap { seg =>
+      val eq = seg.indexOf('=')
+      if (eq <= 0) None
+      else {
+        val name = seg.substring(0, eq)
+        if (name == "_snap") None
+        else {
+          val raw = seg.substring(eq + 1)
+          val value = unescapePathName(raw)
+          if (value == "__HIVE_DEFAULT_PARTITION__")
+            Some(name -> ColBounds("string", null, null, rows))
+          else {
+            val kind =
+              if (value.matches("-?\\d{1,18}")) "long"
+              else if (value.matches("-?\\d+\\.\\d+([eE][+-]?\\d+)?")) "double"
+              else "string"
+            Some(name -> ColBounds(kind, value, value, 0L))
+          }
+        }
+      }
+    }.toMap
+  }
+
+  /** Reverse hive partition-path escaping (%xx sequences). */
+  private def unescapePathName(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  // ---- conservative bounds evaluator (DML probe file skipping) ----
+
+  /** TRUE unless `entry`'s bounds PROVE no row of the file can satisfy
+    * `predicate`. Handles conjunction/disjunction and comparisons of a
+    * bare column against a literal — anything else (casts, functions,
+    * subqueries, unknown nodes) conservatively keeps the file. This is
+    * Iceberg's inclusive-projection metrics evaluator in miniature
+    * (iceberg spec §Scan Planning): the probe scan that follows remains
+    * the correctness authority; bounds only shrink its file list.
+    */
+  def mayMatch(predicate: org.apache.spark.sql.catalyst.expressions.Expression,
+               entry: DataFileEntry): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    predicate match {
+      case And(l, r) => mayMatch(l, entry) && mayMatch(r, entry)
+      case Or(l, r)  => mayMatch(l, entry) || mayMatch(r, entry)
+      case Literal(v: Boolean, org.apache.spark.sql.types.BooleanType) => v
+      case Coalesce(children) if children.length == 2 &&
+        children(1) == Literal.FalseLiteral => mayMatch(children(0), entry)
+      case EqualTo(a, Literal(v, dt)) => colBounds(a, entry).forall(rangeContains(_, v, dt, entry))
+      case EqualTo(Literal(v, dt), a) => colBounds(a, entry).forall(rangeContains(_, v, dt, entry))
+      case EqualNullSafe(a, Literal(v, dt)) if v != null =>
+        colBounds(a, entry).forall(rangeContains(_, v, dt, entry))
+      case GreaterThan(a, Literal(v, dt)) => colBounds(a, entry).forall(maxAbove(_, v, dt, strict = true))
+      case GreaterThanOrEqual(a, Literal(v, dt)) => colBounds(a, entry).forall(maxAbove(_, v, dt, strict = false))
+      case LessThan(a, Literal(v, dt)) => colBounds(a, entry).forall(minBelow(_, v, dt, strict = true))
+      case LessThanOrEqual(a, Literal(v, dt)) => colBounds(a, entry).forall(minBelow(_, v, dt, strict = false))
+      case GreaterThan(Literal(v, dt), a) => colBounds(a, entry).forall(minBelow(_, v, dt, strict = true))
+      case GreaterThanOrEqual(Literal(v, dt), a) => colBounds(a, entry).forall(minBelow(_, v, dt, strict = false))
+      case LessThan(Literal(v, dt), a) => colBounds(a, entry).forall(maxAbove(_, v, dt, strict = true))
+      case LessThanOrEqual(Literal(v, dt), a) => colBounds(a, entry).forall(maxAbove(_, v, dt, strict = false))
+      case In(a, values) if values.forall(_.isInstanceOf[Literal]) =>
+        colBounds(a, entry).forall(cb => values.exists {
+          case Literal(v, dt) => rangeContains(cb, v, dt, entry)
+        })
+      case IsNull(a) => colBounds(a, entry).forall(cb => cb.nulls != 0L)
+      case IsNotNull(a) => colBounds(a, entry).forall(cb =>
+        cb.nulls < 0 || cb.nulls < entry.rows || cb.min != null)
+      case _ => true
+    }
+  }
+
+  /** Bounds of the column `e` references, or None when `e` is not a bare
+    * column or the file has no bounds for it (→ keep the file).
+    */
+  private def colBounds(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                        entry: DataFileEntry): Option[ColBounds] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    val name = e match {
+      case u: UnresolvedAttribute => Some(u.nameParts.last)
+      case a: AttributeReference  => Some(a.name)
+      case _ => None
+    }
+    name.flatMap(n => entry.bounds.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(n) => v
+    })
+  }
+
+  /** Catalyst literal (internal representation) → value in the bound's
+    * comparison space, or None when the spaces don't line up (→ keep).
+    */
+  private def literalIn(cb: ColBounds, v: Any,
+                        dt: org.apache.spark.sql.types.DataType): Option[Any] = {
+    import org.apache.spark.sql.types._
+    if (v == null) return None
+    (cb.kind, dt) match {
+      case ("long", ByteType | ShortType | IntegerType | LongType) =>
+        Some(v.asInstanceOf[Number].longValue)
+      case ("date", DateType) =>
+        Some(v.asInstanceOf[Number].longValue) // catalyst days
+      case ("ts", TimestampType | TimestampNTZType) =>
+        Some(v.asInstanceOf[Number].longValue) // catalyst micros
+      case ("double", FloatType | DoubleType) =>
+        val d = v.asInstanceOf[Number].doubleValue
+        if (d.isNaN) None else Some(d)
+      case ("double", ByteType | ShortType | IntegerType | LongType) =>
+        Some(v.asInstanceOf[Number].doubleValue)
+      case ("string", StringType) => Some(v.toString)
+      case _ => None
+    }
+  }
+
+  private def cmp(cb: ColBounds, bound: String, v: Any): Int = cb.kind match {
+    case "long" | "date" | "ts" =>
+      java.lang.Long.compare(bound.toLong, v.asInstanceOf[Long])
+    case "double" => java.lang.Double.compare(bound.toDouble, v.asInstanceOf[Double])
+    case "string" => utf8Compare(bound, v.toString)
+  }
+
+  /** May `col = v` hold in the file? min <= v <= max; a provably all-null
+    * column (no value bounds, nulls == file rows) can never equal a
+    * non-null literal.
+    */
+  private def rangeContains(cb: ColBounds, v: Any,
+                            dt: org.apache.spark.sql.types.DataType,
+                            entry: DataFileEntry): Boolean =
+    (literalIn(cb, v, dt), Option(cb.min), Option(cb.max)) match {
+      case (Some(lv), Some(mn), Some(mx)) => cmp(cb, mn, lv) <= 0 && cmp(cb, mx, lv) >= 0
+      case (Some(_), None, None) => !(cb.nulls >= 0 && cb.nulls == entry.rows)
+      case _ => true
+    }
+
+  // ---- value-space helpers shared with GraftBoundsBridge (the
+  //      ColumnNode walker — it must live in the org.apache.spark.sql
+  //      package because the Spark 4 Column API's node classes are
+  //      private[sql]) ----
+
+  /** Bounds of `name` in this entry (case-insensitive), if tracked. */
+  def boundsFor(entry: DataFileEntry, name: String): Option[ColBounds] =
+    entry.bounds.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+
+  /** User-space literal value (what `lit(...)` captured) → the bound's
+    * comparison space; None when the spaces don't line up (→ keep).
+    */
+  def nodeLiteralIn(cb: ColBounds, v: Any): Option[Any] = (cb.kind, v) match {
+    case ("long", x: Byte)  => Some(x.toLong)
+    case ("long", x: Short) => Some(x.toLong)
+    case ("long", x: Int)   => Some(x.toLong)
+    case ("long", x: Long)  => Some(x)
+    case ("date", d: java.time.LocalDate) => Some(d.toEpochDay)
+    case ("date", d: java.sql.Date)       => Some(d.toLocalDate.toEpochDay)
+    case ("ts", t: java.time.Instant) =>
+      Some(t.getEpochSecond * 1000000L + t.getNano / 1000L)
+    case ("ts", t: java.sql.Timestamp) =>
+      Some(math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L)
+    case ("double", x: Float)  => if (x.isNaN) None else Some(x.toDouble)
+    case ("double", x: Double) => if (x.isNaN) None else Some(x)
+    case ("double", x: Byte)   => Some(x.toDouble)
+    case ("double", x: Short)  => Some(x.toDouble)
+    case ("double", x: Int)    => Some(x.toDouble)
+    case ("double", x: Long)   => Some(x.toDouble)
+    case ("string", s: String) => Some(s)
+    case _ => None
+  }
+
+  /** `col = v` feasible: min <= v <= max (all-null column → infeasible). */
+  def eqContains(cb: ColBounds, v: Any, entry: DataFileEntry): Boolean =
+    (Option(cb.min), Option(cb.max)) match {
+      case (Some(mn), Some(mx)) => cmp(cb, mn, v) <= 0 && cmp(cb, mx, v) >= 0
+      case (None, None) => !(cb.nulls >= 0 && cb.nulls == entry.rows)
+      case _ => true
+    }
+
+  /** `col > v` / `col >= v` feasible: max above v. */
+  def boundAbove(cb: ColBounds, v: Any, strict: Boolean): Boolean =
+    Option(cb.max) match {
+      case Some(mx) => if (strict) cmp(cb, mx, v) > 0 else cmp(cb, mx, v) >= 0
+      case None => true
+    }
+
+  /** `col < v` / `col <= v` feasible: min below v. */
+  def boundBelow(cb: ColBounds, v: Any, strict: Boolean): Boolean =
+    Option(cb.min) match {
+      case Some(mn) => if (strict) cmp(cb, mn, v) < 0 else cmp(cb, mn, v) <= 0
+      case None => true
+    }
+
+  /** May `col > v` (strict) / `col >= v` hold? max must exceed v. */
+  private def maxAbove(cb: ColBounds, v: Any,
+                       dt: org.apache.spark.sql.types.DataType, strict: Boolean): Boolean =
+    (literalIn(cb, v, dt), Option(cb.max)) match {
+      case (Some(lv), Some(mx)) => if (strict) cmp(cb, mx, lv) > 0 else cmp(cb, mx, lv) >= 0
+      case _ => true
+    }
+
+  /** May `col < v` (strict) / `col <= v` hold? min must undercut v. */
+  private def minBelow(cb: ColBounds, v: Any,
+                       dt: org.apache.spark.sql.types.DataType, strict: Boolean): Boolean =
+    (literalIn(cb, v, dt), Option(cb.min)) match {
+      case (Some(lv), Some(mn)) => if (strict) cmp(cb, mn, lv) < 0 else cmp(cb, mn, lv) <= 0
+      case _ => true
+    }
+}

@@ -6,20 +6,31 @@ import org.apache.spark.sql.types.StructType
 import com.fasterxml.jackson.databind.ObjectMapper
 import scala.jdk.CollectionConverters._
 
-/** One committed snapshot: the data directories visible as of this commit.
-  * Append-only semantics — `dirs` is cumulative (like an Iceberg fast-append
-  * manifest list). `schemaJson` is the declared schema AT COMMIT TIME —
-  * Iceberg pins a schema id per snapshot, so time travel presents the
-  * schema as of the snapshot, not today's (None on pre-versioning commit
-  * logs → falls back to the current declared schema). `deletes` lists the
-  * POSITIONAL-DELETE file dirs of the snapshot (Iceberg v2 merge-on-read:
-  * each delete file holds (file_path, pos) rows that reads subtract from
-  * the data files; empty on copy-on-write tables).
+/** One committed snapshot. `schemaJson` is the declared schema AT COMMIT
+  * TIME — Iceberg pins a schema id per snapshot, so time travel presents
+  * the schema as of the snapshot, not today's (None on pre-versioning
+  * commit logs → falls back to the current declared schema). `deletes`
+  * lists the POSITIONAL-DELETE file dirs of the snapshot (Iceberg v2
+  * merge-on-read: each delete file holds (file_path, pos) rows that reads
+  * subtract from the data files; empty on copy-on-write tables).
+  *
+  * Data files are tracked MANIFEST-TIER (Iceberg's metadata shape,
+  * iceberg.apache.org/spec/#manifests): `manifestList` names an immutable
+  * `_manifests/ml-*.json` file listing immutable `m-*.json` manifest
+  * files, each grouping [[DataFileEntry]]s with per-column bounds. A
+  * commit writes only the NEW manifest(s) and one manifest-list file —
+  * unchanged manifests carry BY NAME — so the commit-log entry is O(1)
+  * per commit whatever the file count (the round-7 log grew
+  * O(files × snapshots) by inlining per-file path lists in `dirs`).
+  * `dirs` remains the legacy entry list (snap-dir or carried-file paths)
+  * of pre-manifest commits; snapshots written by this version always
+  * have `dirs == Nil` and a `manifestList`.
   */
 final case class Snapshot(snapshotId: Long, committedAtMillis: Long, dirs: Seq[String],
                           schemaJson: Option[String] = None,
                           operation: Option[String] = None,
-                          deletes: Seq[String] = Nil)
+                          deletes: Seq[String] = Nil,
+                          manifestList: Option[String] = None)
 
 /** A commit lost the optimistic-concurrency race: another writer advanced
   * the table's commit-log generation between this writer's read and its
@@ -360,11 +371,18 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val snapDir = snapDirName(schema, table, attemptTag(id))
     partitionedWriter(schema, table, df)
       .mode("errorifexists").parquet(new Path(dir, snapDir).toString)
-    // deletes carry forward: they address (file, pos) coordinates in the
-    // PRIOR files, which the append leaves in place
-    val snap = Snapshot(id, at, commits.lastOption.map(_.dirs).getOrElse(Nil) :+ snapDir,
+    // prior files carry by manifest NAME (legacy dirs migrate into a
+    // manifest once); only the new dir is footer-scanned. deletes carry
+    // forward: they address (file, pos) coordinates in the PRIOR files,
+    // which the append leaves in place
+    val (carried, _) = carryManifests(schema, table, commits.lastOption, Set.empty)
+    val newEntries = scanEntries(dir, snapDir)
+    val names = carried ++
+      (if (newEntries.nonEmpty) Seq(writeManifest(dir, newEntries)) else Nil)
+    val ml = writeManifestList(dir, compactManifestSet(dir, names))
+    val snap = Snapshot(id, at, Nil,
       declaredSchema(schema, table).map(_.json), Some("append"),
-      commits.lastOption.map(_.deletes).getOrElse(Nil))
+      commits.lastOption.map(_.deletes).getOrElse(Nil), Some(ml))
     writeCommits(schema, table, commits :+ snap, gen)
     snap
   }
@@ -412,6 +430,154 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     */
   private def attemptTag(id: Long): String =
     f"$id%05d-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  // ---- manifest tier (Iceberg-shaped metadata: immutable manifest
+  //      files grouping data-file entries with per-column bounds;
+  //      snapshots reference ONE manifest-list file; commits write only
+  //      the new manifest(s) — see the Snapshot scaladoc) ----
+
+  private def manifestDirPath(dir: Path) = new Path(dir, "_manifests")
+
+  // manifest and manifest-list files are IMMUTABLE once written (UUID
+  // names, never rewritten) — cache them forever, keyed by absolute path
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[DataFileEntry]]()
+  private val manifestListCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  private def writeManifest(dir: Path, entries: Seq[DataFileEntry]): String = {
+    val name = s"m-${java.util.UUID.randomUUID().toString.take(16)}.json"
+    val p = new Path(manifestDirPath(dir), name)
+    writeString(p, Manifests.toJson(entries))
+    manifestCache.put(p.toString, entries)
+    name
+  }
+
+  private def readManifest(dir: Path, name: String): Seq[DataFileEntry] = {
+    val p = new Path(manifestDirPath(dir), name)
+    manifestCache.computeIfAbsent(p.toString, _ => Manifests.fromJson(readString(p)))
+  }
+
+  private def writeManifestList(dir: Path, names: Seq[String]): String = {
+    val name = s"ml-${java.util.UUID.randomUUID().toString.take(16)}.json"
+    val p = new Path(manifestDirPath(dir), name)
+    val arr = mapper.createArrayNode()
+    names.foreach(arr.add)
+    writeString(p, mapper.writeValueAsString(arr))
+    manifestListCache.put(p.toString, names)
+    name
+  }
+
+  private def readManifestList(dir: Path, name: String): Seq[String] = {
+    val p = new Path(manifestDirPath(dir), name)
+    manifestListCache.computeIfAbsent(p.toString, _ =>
+      mapper.readTree(readString(p)).elements.asScala.map(_.asText).toSeq)
+  }
+
+  /** All manifest entries a snapshot references (empty for legacy
+    * snapshots — their `dirs` are resolved by listing instead).
+    */
+  private def manifestEntriesOf(dir: Path, snap: Snapshot): Seq[DataFileEntry] =
+    snap.manifestList.toSeq.flatMap(readManifestList(dir, _))
+      .flatMap(readManifest(dir, _))
+
+  /** Manifest entries for the data files under a just-written dirs entry:
+    * one footer read per NEW file (driver-side, proportional to the
+    * commit's own output only), capturing record count + column bounds so
+    * later metadata queries and DML probes never reopen these footers.
+    */
+  private def scanEntries(dir: Path, entryRel: String): Seq[DataFileEntry] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tableKey = fs(dir).makeQualified(dir).toUri.getPath
+    val files = dataFileStatusesUnder(new Path(dir, entryRel)).map { case (p, len) =>
+      val rel = p.toUri.getPath.stripPrefix(tableKey).stripPrefix("/")
+      Manifests.footerEntry(conf, p, rel, len)
+    }
+    // a dirs entry naming a single FILE (legacy carried-file entry) says
+    // nothing about its dir's total → dirTotal stays -1 (file-granular
+    // reads); a scanned DIR entry captures the whole-dir count
+    if (files.size == 1 && files.head.path == entryRel) files
+    else files.map(_.copy(dirTotal = files.size.toLong))
+  }
+
+  /** Carry `prior`'s data files minus `touchedKeys` (scheme-less absolute
+    * URI paths) into manifest form. Returns (manifest names referencing
+    * every untouched file, table-relative paths of the touched files).
+    * Manifests with NO touched file carry by NAME — zero bytes rewritten;
+    * manifests with touched files have their survivors compacted into one
+    * new carry manifest; legacy `dirs` entries migrate into a manifest
+    * (one listing+footer pass — the last time that table pays it).
+    */
+  private def carryManifests(schema: String, table: String, prior: Option[Snapshot],
+                             touchedKeys: Set[String]): (Seq[String], Seq[String]) = {
+    val dir = tableDir(schema, table)
+    prior match {
+      case None => (Nil, Nil)
+      case Some(s) =>
+        val mlNames = s.manifestList.toSeq.flatMap(readManifestList(dir, _))
+        if (touchedKeys.isEmpty && s.dirs.isEmpty)
+          return (compactManifestSet(dir, mlNames), Nil)
+        val groups: Seq[(Option[String], Seq[DataFileEntry])] =
+          mlNames.map(n => (Some(n): Option[String], readManifest(dir, n))) ++
+            (if (s.dirs.nonEmpty)
+              Seq((None: Option[String], s.dirs.flatMap(e => scanEntries(dir, e))))
+            else Nil)
+        val tableKey = fs(dir).makeQualified(dir).toUri.getPath
+        def key(e: DataFileEntry) = s"$tableKey/${e.path}"
+        val carried = Vector.newBuilder[String]
+        val survivors = Vector.newBuilder[DataFileEntry]
+        val touched = Vector.newBuilder[String]
+        groups.foreach { case (nameOpt, entries) =>
+          val (hit, keep) = entries.partition(e => touchedKeys(key(e)))
+          if (hit.isEmpty && nameOpt.isDefined) carried += nameOpt.get
+          else {
+            touched ++= hit.map(_.path)
+            survivors ++= keep
+          }
+        }
+        val surv = survivors.result()
+        val names = carried.result() ++
+          (if (surv.nonEmpty) Seq(writeManifest(dir, surv)) else Nil)
+        (compactManifestSet(dir, names), touched.result())
+    }
+  }
+
+  /** Bound the manifest count a snapshot references: past 32, merge the
+    * small manifests (< 512 entries) into one. Big manifests keep
+    * carrying by reference — the steady state is O(files / 512) + a few
+    * recent small ones, so neither the manifest list nor commit-time
+    * metadata work grows with commit count (Iceberg's
+    * merge-manifests-on-commit behavior).
+    */
+  private def compactManifestSet(dir: Path, names: Seq[String]): Seq[String] = {
+    if (names.size <= 32) return names
+    val sized = names.map(n => n -> readManifest(dir, n))
+    val (small, big) = sized.partition(_._2.size < 512)
+    if (small.size <= 1) names
+    else big.map(_._1) :+ writeManifest(dir, small.flatMap(_._2))
+  }
+
+  /** Current snapshot restricted to data files whose manifest bounds MAY
+    * satisfy `cond` — manifest-powered file skipping for the DML probe:
+    * a file is dropped only when its per-column min/max PROVE no row can
+    * match ([[Manifests.mayMatch]]), so dropped files are exactly the
+    * provably-untouched ones. Returns None when bounds prove NO file can
+    * match (caller commits a metadata-only no-op without any scan);
+    * passes the snapshot through unchanged when it predates manifests.
+    */
+  private def restrictByBounds(dir: Path, snap: Option[Snapshot],
+                               cond: Option[org.apache.spark.sql.Column])
+    : Either[Unit, Option[Snapshot]] =
+    (snap, cond) match {
+      case (Some(s), Some(c)) if s.manifestList.isDefined && s.dirs.isEmpty =>
+        val entries = manifestEntriesOf(dir, s)
+        val candidates = entries.filter(e =>
+          org.apache.spark.sql.GraftBoundsBridge.mayMatchColumn(c, e))
+        if (candidates.isEmpty && entries.nonEmpty) Left(())
+        else if (candidates.size == entries.size) Right(snap)
+        else Right(Some(s.copy(dirs = candidates.map(_.path), manifestList = None)))
+      case _ => Right(snap)
+    }
 
   // ---- Reads (S1, T1) ----
 
@@ -504,16 +670,28 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType])
       else None
     val declared = pinned.orElse(declaredSchema(schema, table))
+    // manifest entries resolve dir-granular where the snapshot provably
+    // references a WHOLE snap dir (entry count == the dir's commit-time
+    // file count — see DataFileEntry.dirTotal): one path per dir, no
+    // per-file existence checks at plan time; pruned survivor subsets
+    // enumerate their files explicitly
+    val mPaths = snap.toSeq.flatMap { s =>
+      manifestEntriesOf(dir, s).groupBy(_.path.split('/').head).toSeq
+        .sortBy(_._1).flatMap { case (top, es) =>
+          if (es.forall(_.dirTotal == es.size.toLong)) Seq(top) else es.map(_.path)
+        }
+    }
+    val relPaths = snap.toSeq.flatMap(_.dirs) ++ mPaths
     snap match {
-      case Some(s) if s.dirs.nonEmpty =>
-        val paths = s.dirs.map(d => new Path(dir, d).toString)
+      case Some(s) if relPaths.nonEmpty =>
+        val paths = relPaths.map(d => new Path(dir, d).toString)
         def reader = declared.map(spark.read.schema(_)).getOrElse(spark.read)
         if (partitionSpec(schema, table).isEmpty)
           // unpartitioned: one multi-path read; the snap dirs carry no
           // partition structure, so no discovery is involved and the plan
           // is a single scan whatever the commit count
           reader.parquet(paths: _*)
-        else if (s.dirs.forall(_.startsWith("_snap="))) {
+        else if (relPaths.forall(_.startsWith("_snap="))) {
           // partitioned: snap dirs are hive-parseable (`_snap=<tag>`), so
           // ONE read rooted at the table dir covers every commit —
           // partition discovery scans `_snap` plus the real partition
@@ -548,6 +726,27 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
   }
 
   def snapshots(schema: String, table: String): Seq[Snapshot] = readCommits(schema, table)
+
+  /** Table-relative paths of every data file `snap` references — manifest
+    * entries resolved by name (no listing), legacy `dirs` entries by
+    * listing. The stable metadata view: DML contracts like "this commit
+    * rewrote no data file" are asserted against this set, not against the
+    * storage-layout internals of `Snapshot`.
+    */
+  def dataFilePaths(schema: String, table: String, snap: Snapshot): Seq[String] = {
+    val dir = tableDir(schema, table)
+    val tableKey = fs(dir).makeQualified(dir).toUri.getPath
+    manifestEntriesOf(dir, snap).map(_.path) ++
+      snap.dirs.flatMap(e => dataFilesUnder(new Path(dir, e))
+        .map(_.toUri.getPath.stripPrefix(tableKey).stripPrefix("/")))
+  }
+
+  /** Manifest names `snap` references (empty for legacy snapshots) —
+    * exposes the carry-by-reference contract: an untouched manifest's
+    * NAME reappears verbatim in the next snapshot's list.
+    */
+  def manifestNames(schema: String, table: String, snap: Snapshot): Seq[String] =
+    snap.manifestList.toSeq.flatMap(readManifestList(tableDir(schema, table), _))
 
   // ---- rewrite DML: upsert / delete (Iceberg MERGE INTO / DELETE FROM
   //      equivalents — copy-on-write rewrite commits) ----
@@ -683,12 +882,13 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           else matchedRows.filter(col("__graft_aidx") =!= -1)
             .select(col("__graft_t_file")).distinct()
             .collect().map(_.getString(0)).toSeq
-        val inTouched =
-          if (!hasProv) lit(true)
-          else if (touchedAbs.isEmpty) lit(false)
-          else col("__graft_t_file").isin(touchedAbs: _*)
+        // restriction to touched files: broadcast semi-join past a small
+        // threshold — never an O(files) literal In list in the plan
+        val restrictTouched: DataFrame => DataFrame =
+          if (!hasProv) identity
+          else df => fileSetFilter(df, "__graft_t_file", touchedAbs, anti = false)
 
-        val matchedOut = keptMatched.filter(inTouched).select(fields.map { f =>
+        val matchedOut = restrictTouched(keptMatched).select(fields.map { f =>
           val base = col(s"$targetAlias.${f.name}")
           whenMatched.zipWithIndex.foldLeft(base) {
             case (acc, (MergeUpdateAction(_, sets), i)) =>
@@ -701,9 +901,9 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           }.as(f.name)
         }: _*)
 
-        val targetOnly = joined.filter(col("__graft_s_mark").isNull &&
-            col("__graft_t_mark").isNotNull)
-          .filter(inTouched)
+        val targetOnly = restrictTouched(
+          joined.filter(col("__graft_s_mark").isNull &&
+            col("__graft_t_mark").isNotNull))
           .select(fields.map(f => col(s"$targetAlias.${f.name}").as(f.name)): _*)
 
         val srcOnly = joined.filter(col("__graft_t_mark").isNull)
@@ -738,12 +938,12 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           if (hasProv && affected == 0L) {
             // no clause fired, nothing inserted: metadata-only no-op commit
             val s0 = Snapshot(id, at, entries, schemaJson, Some("overwrite"),
-              prevDeletes)
+              prevDeletes, currentSnap.flatMap(_.manifestList))
             writeCommits(schema, table, commits :+ s0, gen)
             s0
           } else {
             val (carried, touchedRel) =
-              if (hasProv) splitByTouched(dir, entries,
+              if (hasProv) carryManifests(schema, table, currentSnap,
                 touchedAbs.map(p => new Path(p).toUri.getPath).toSet)
               else (Nil, Nil)
             if (hasProv) require(touchedRel.size == touchedAbs.size,
@@ -759,8 +959,12 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
               if (!hasProv) Nil
               else carryDeletes(dir, prevDeletes, touchedAbs,
                 s"${attemptTag(id)}-carry")
-            val s0 = Snapshot(id, at, carried.toSeq :+ snapDir, schemaJson,
-              Some("overwrite"), newDeletes)
+            val newEntries = scanEntries(dir, snapDir)
+            val names = carried ++
+              (if (newEntries.nonEmpty) Seq(writeManifest(dir, newEntries)) else Nil)
+            val s0 = Snapshot(id, at, Nil, schemaJson,
+              Some("overwrite"), newDeletes,
+              Some(writeManifestList(dir, compactManifestSet(dir, names))))
             writeCommits(schema, table, commits :+ s0, gen)
             s0
           }
@@ -792,7 +996,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val mor =
       if (formatVersion(schema, table) == 2) morRowLevel(schema, table, hit, None)
       else None
-    mor.getOrElse(rewritePruned(schema, table, _.filter(hit))(_.filter(!hit)))
+    mor.getOrElse(rewritePruned(schema, table, _.filter(hit),
+      probeCond = Some(hit))(_.filter(!hit)))
   }
 
   /** TRUNCATE TABLE: a METADATA-ONLY commit. The new snapshot references
@@ -859,7 +1064,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       if (formatVersion(schema, table) == 2) morRowLevel(schema, table, hit, Some(sets))
       else None
     if (mor.isDefined) return mor.get
-    rewritePruned(schema, table, _.filter(hit)) { current =>
+    rewritePruned(schema, table, _.filter(hit), probeCond = Some(hit)) { current =>
       sets.foreach { case (c, _) =>
         require(current.columns.exists(_.equalsIgnoreCase(c)),
           s"UPDATE target column '$c' does not exist in $schema.$table")
@@ -909,16 +1114,27 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     require(tableExists(schema, table), s"Table $schema.$table does not exist")
     val (commits, gen) = readCommitsWithGen(schema, table)
     val current = commits.lastOption
-    val prov = withProvenance(schema, table, current, withPos = true) match {
-      case None    => return None
-      case Some(p) => p
-    }
     val id = commits.lastOption.map(_.snapshotId).getOrElse(0L) + 1
     val at = math.max(System.currentTimeMillis(),
       commits.lastOption.map(_.committedAtMillis + 1).getOrElse(0L))
     val schemaJson = declaredSchema(schema, table).map(_.json)
     val entries = current.map(_.dirs).getOrElse(Nil)
     val prevDeletes = current.map(_.deletes).getOrElse(Nil)
+    // manifest-bounds file skipping: the probe scans only files whose
+    // bounds MAY match; when bounds prove no file can, commit the no-op
+    // without launching any job
+    val probeSnap = restrictByBounds(dir, current, Some(hit)) match {
+      case Left(()) =>
+        val snap = Snapshot(id, at, entries, schemaJson, Some("overwrite"),
+          prevDeletes, current.flatMap(_.manifestList))
+        writeCommits(schema, table, commits :+ snap, gen)
+        return Some((snap, 0L))
+      case Right(s) => s
+    }
+    val prov = withProvenance(schema, table, probeSnap, withPos = true) match {
+      case None    => return None
+      case Some(p) => p
+    }
     val matched = prov.filter(hit)
     // UPDATE reads `matched` twice (delete coordinates + new versions) —
     // persist freezes one probe scan for both
@@ -936,12 +1152,16 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       if (n == 0L) {
         // nothing matched: metadata-only no-op commit, delete dir reclaimed
         fs(dir).delete(new Path(dir, delDir), true)
-        val snap = Snapshot(id, at, entries, schemaJson, Some("overwrite"), prevDeletes)
+        val snap = Snapshot(id, at, entries, schemaJson, Some("overwrite"),
+          prevDeletes, current.flatMap(_.manifestList))
         writeCommits(schema, table, commits :+ snap, gen)
         Some((snap, 0L))
       } else {
-        val (dirsNew, op) = setsOpt match {
-          case None => (entries, "delete")
+        val (dirsNew, mlNew, op) = setsOpt match {
+          case None =>
+            // pure delete: data files untouched — dirs AND manifest list
+            // carry verbatim (the commit adds only the delete file)
+            (entries, current.flatMap(_.manifestList), "delete")
           case Some(sets) =>
             val dataFields = matched.schema.fields.toIndexedSeq
               .filterNot(f => f.name == "__graft_file" || f.name == "__graft_pos")
@@ -961,10 +1181,14 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
             val snapDir = snapDirName(schema, table, s"${attemptTag(id)}-rewrite")
             partitionedWriter(schema, table, updated)
               .mode("errorifexists").parquet(new Path(dir, snapDir).toString)
-            (entries :+ snapDir, "overwrite")
+            val (carried, _) = carryManifests(schema, table, current, Set.empty)
+            val newEntries = scanEntries(dir, snapDir)
+            val names = carried ++
+              (if (newEntries.nonEmpty) Seq(writeManifest(dir, newEntries)) else Nil)
+            (Nil, Some(writeManifestList(dir, compactManifestSet(dir, names))), "overwrite")
         }
         val snap = Snapshot(id, at, dirsNew, schemaJson, Some(op),
-          prevDeletes :+ delDir)
+          prevDeletes :+ delDir, mlNew)
         writeCommits(schema, table, commits :+ snap, gen)
         Some((snap, n))
       }
@@ -997,13 +1221,37 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     if (prevDeletes.isEmpty) return Nil
     if (touchedRaw.isEmpty) return prevDeletes
     val del = spark.read.parquet(prevDeletes.map(d => new Path(dir, d).toString): _*)
-    val kept = del.filter(!col("file_path").isin(touchedRaw: _*))
+    val kept = fileSetFilter(del, "file_path", touchedRaw, anti = true)
     val keptDir = s"delete-$tag"
     kept.repartitionByRange(col("file_path"), col("pos"))
       .write.mode("errorifexists").parquet(new Path(dir, keptDir).toString)
     if (parquetFooterRows(new Path(dir, keptDir)) == 0L) {
       fs(dir).delete(new Path(dir, keptDir), true); Nil
     } else Seq(keptDir)
+  }
+
+  /** Restrict `df` by membership of `fileCol` in `files`: tiny sets
+    * inline as an IN list; larger ones become a BROADCAST hash semi/anti
+    * join, so the plan never carries an O(files) literal list (a broad
+    * MERGE touching 10⁴-10⁵ files would otherwise build an In expression
+    * with that many children — driver memory + analysis time, round-7
+    * advice). `files.isEmpty` with `anti` keeps everything; without,
+    * keeps nothing.
+    */
+  private def fileSetFilter(df: DataFrame, fileCol: String,
+                            files: Seq[String], anti: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    if (files.isEmpty) return if (anti) df else df.filter(lit(false))
+    if (files.size <= 16) {
+      val in = col(fileCol).isin(files: _*)
+      df.filter(if (anti) !in else in)
+    } else {
+      val setCol = "__graft_file_set"
+      val fdf = spark.createDataset(files)(org.apache.spark.sql.Encoders.STRING)
+        .toDF(setCol)
+      df.join(broadcast(fdf), col(fileCol) === col(setCol),
+        if (anti) "left_anti" else "left_semi")
+    }
   }
 
   // ---- file-pruned copy-on-write core ----
@@ -1026,38 +1274,22 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * when the entry names a carried file). Driver-side metadata listing,
     * proportional to file count.
     */
-  private def dataFilesUnder(p: Path): Seq[Path] = {
+  private def dataFilesUnder(p: Path): Seq[Path] =
+    dataFileStatusesUnder(p).map(_._1)
+
+  /** Non-empty `.parquet` files under `p` with their byte sizes. */
+  private def dataFileStatusesUnder(p: Path): Seq[(Path, Long)] = {
     val f = fs(p)
     if (!f.exists(p)) Nil
     else {
       val it = f.listFiles(p, true)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Path, Long)]
       while (it.hasNext) {
         val s = it.next()
         if (s.isFile && s.getPath.getName.endsWith(".parquet") && s.getLen > 0)
-          buf += s.getPath
+          buf += ((s.getPath, s.getLen))
       }
       buf.toSeq
-    }
-  }
-
-  /** Split the current snapshot's dirs entries around a touched-file set
-    * (scheme-less URI paths): returns (carried entries — entries with no
-    * touched file kept whole, partially-touched entries decomposed into
-    * their untouched files as table-relative paths — , touched files as
-    * table-relative paths).
-    */
-  private def splitByTouched(dir: Path, entries: Seq[String],
-                             touchedKeys: Set[String]): (Seq[String], Seq[String]) = {
-    val tableKey = fs(dir).makeQualified(dir).toUri.getPath
-    def rel(p: Path): String =
-      p.toUri.getPath.stripPrefix(tableKey).stripPrefix("/")
-    entries.foldLeft((Vector.empty[String], Vector.empty[String])) {
-      case ((carried, touched), e) =>
-        val files = dataFilesUnder(new Path(dir, e))
-        val (hit, keep) = files.partition(p => touchedKeys(p.toUri.getPath))
-        if (hit.isEmpty) (carried :+ e, touched)
-        else (carried ++ keep.map(rel), touched ++ hit.map(rel))
     }
   }
 
@@ -1083,7 +1315,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     */
   private def rewritePruned(schema: String, table: String,
                             touchedRows: DataFrame => DataFrame,
-                            emitWhenUntouched: Boolean = false)
+                            emitWhenUntouched: Boolean = false,
+                            probeCond: Option[org.apache.spark.sql.Column] = None)
                            (f: DataFrame => DataFrame): (Snapshot, Long) = synchronized {
     import org.apache.spark.sql.functions.{col, lit, count => countAgg}
     val dir = tableDir(schema, table)
@@ -1095,24 +1328,47 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val schemaJson = declaredSchema(schema, table).map(_.json)
     val current = commits.lastOption
     val prevDeletes = current.map(_.deletes).getOrElse(Nil)
-    def commitSnap(dirs: Seq[String], deletes: Seq[String]): Snapshot = {
-      val snap = Snapshot(id, at, dirs, schemaJson, Some("overwrite"), deletes)
+    def commitSnap(dirs: Seq[String], deletes: Seq[String],
+                   ml: Option[String]): Snapshot = {
+      val snap = Snapshot(id, at, dirs, schemaJson, Some("overwrite"), deletes, ml)
       writeCommits(schema, table, commits :+ snap, gen)
       snap
     }
+    def noOp(): (Snapshot, Long) =
+      (commitSnap(current.map(_.dirs).getOrElse(Nil), prevDeletes,
+        current.flatMap(_.manifestList)), 0L)
     def writeSnapDir(df: DataFrame): String = {
       val snapDir = snapDirName(schema, table, s"${attemptTag(id)}-rewrite")
       partitionedWriter(schema, table, df)
         .mode("errorifexists").parquet(new Path(dir, snapDir).toString)
       snapDir
     }
-    withProvenance(schema, table, current) match {
+    /* commit `newDirRel` (a just-written rewrite dir) + carried manifests
+     * as the new snapshot's complete file set */
+    def commitWithNewDir(newDirRel: String, carriedNames: Seq[String],
+                         deletes: Seq[String]): Snapshot = {
+      val newEntries = scanEntries(dir, newDirRel)
+      val names = carriedNames ++
+        (if (newEntries.nonEmpty) Seq(writeManifest(dir, newEntries)) else Nil)
+      commitSnap(Nil, deletes,
+        Some(writeManifestList(dir, compactManifestSet(dir, names))))
+    }
+    // manifest-bounds file skipping: restrict the probe's file list to
+    // files whose bounds MAY match the predicate (provably-unmatched
+    // files skip the probe scan AND carry by manifest reference); bounds
+    // proving NO file can match commit the no-op without any Spark job
+    val probeSnap = restrictByBounds(dir, current, probeCond) match {
+      case Left(()) if !emitWhenUntouched => return noOp()
+      case Left(())                       => current
+      case Right(s)                       => s
+    }
+    withProvenance(schema, table, probeSnap) match {
       case None =>
         val base = readSnapshot(schema, table, current)
         val n = touchedRows(
           base.withColumn("__graft_file", lit(null).cast("string"))).count()
         // whole-table rewrite: pending deletes (if any) are materialized
-        (commitSnap(Seq(writeSnapDir(f(base))), Nil), n)
+        (commitWithNewDir(writeSnapDir(f(base)), Nil, Nil), n)
       case Some(prov) =>
         // ONE probe pass: touched files AND matched-row counts together
         val perFile = touchedRows(prov)
@@ -1120,11 +1376,9 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         val nTouched = perFile.map(_.getLong(1)).sum
         val touchedRaw = perFile.map(_.getString(0)).toSeq
         val touchedKeys = touchedRaw.map(p => new Path(p).toUri.getPath).toSet
-        val entries = current.map(_.dirs).getOrElse(Nil)
-        if (touchedKeys.isEmpty && !emitWhenUntouched)
-          (commitSnap(entries, prevDeletes), 0L)
+        if (touchedKeys.isEmpty && !emitWhenUntouched) noOp()
         else {
-          val (carried, touchedRel) = splitByTouched(dir, entries, touchedKeys)
+          val (carried, touchedRel) = carryManifests(schema, table, current, touchedKeys)
           require(touchedRel.size == touchedKeys.size,
             s"file-pruning provenance mismatch on $schema.$table: " +
               s"${touchedKeys.size} touched files, ${touchedRel.size} matched " +
@@ -1133,10 +1387,10 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           // retains `deletes`), so touched rows are the LIVE rows; deletes
           // addressing rewritten files become obsolete and are dropped
           val sub = readSnapshot(schema, table,
-            current.map(_.copy(dirs = touchedRel)))
+            current.map(_.copy(dirs = touchedRel, manifestList = None)))
           val newDeletes = carryDeletes(dir, prevDeletes, touchedRaw,
             s"${attemptTag(id)}-carry")
-          (commitSnap(carried :+ writeSnapDir(f(sub)), newDeletes), nTouched)
+          (commitWithNewDir(writeSnapDir(f(sub)), carried, newDeletes), nTouched)
         }
     }
   }
@@ -1370,13 +1624,23 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
   /** [[currentFiles]] against an explicit snapshot — callers that already
     * hold a (commits, gen) read derive file metadata from THAT state
     * instead of re-reading the log (keeps count+commit atomic under
-    * cross-process writers).
+    * cross-process writers). Manifest-tracked files are served straight
+    * from manifest entries — record counts and sizes were captured at
+    * commit time, so NO parquet footer is opened; only legacy (pre-
+    * manifest) `dirs` entries pay a listing + footer pass.
     */
   private def filesOfSnapshot(schema: String, table: String,
                               snap: Option[Snapshot]): Seq[(String, String, Long, Long)] = {
     val dir = tableDir(schema, table)
     val conf = spark.sparkContext.hadoopConfiguration
-    snap.toSeq
+    val fromManifests = snap.toSeq.flatMap(manifestEntriesOf(dir, _)).map { e =>
+      val segs = e.path.split('/')
+      // fully-qualified path (scheme included), matching what a listing-
+      // based FileStatus or `_metadata.file_path` reports
+      (fs(dir).makeQualified(new Path(dir, e.path)).toString,
+        segs.drop(1).dropRight(1).mkString("/"), e.rows, e.bytes)
+    }
+    fromManifests ++ snap.toSeq
       .flatMap(_.dirs)
       .flatMap { d =>
         val snapRoot = new Path(dir, d)
@@ -1439,7 +1703,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     // names would report the target snapshot's kind instead (round-5
     // advice: a rollback reusing append dirs read back as 'append')
     val snap = Snapshot(id, at, target.dirs, target.schemaJson, Some("rollback"),
-      target.deletes)
+      target.deletes, target.manifestList)
     // the rollback also restores the declared schema of the target era so
     // current reads match what the rolled-back-to snapshot exposed
     target.schemaJson.foreach(j =>
@@ -1482,9 +1746,12 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     // shuffle would override the explicit numFiles layout)
     val w = if (spec.isEmpty) compacted.write else compacted.write.partitionBy(spec: _*)
     w.mode("errorifexists").parquet(new Path(dir, snapDir).toString)
-    // rewrite: references only itself
-    val snap = Snapshot(id, at, Seq(snapDir),
-      declaredSchema(schema, table).map(_.json), Some("replace"))
+    // rewrite: references only its own (freshly-manifested) files; the
+    // compaction read applied pending deletes, so none carry forward
+    val ml = writeManifestList(dir, Seq(writeManifest(dir, scanEntries(dir, snapDir))))
+    val snap = Snapshot(id, at, Nil,
+      declaredSchema(schema, table).map(_.json), Some("replace"),
+      Nil, Some(ml))
     writeCommits(schema, table, commits :+ snap, gen)
     snap
   }
@@ -1510,19 +1777,48 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val referenced = kept.flatMap(c => c.dirs ++ c.deletes).toSet
     val orphanEntries = reallyExpired.flatMap(c => c.dirs ++ c.deletes).toSet -- referenced
     val f = fs(dir)
+    val tableKey = f.makeQualified(dir).toUri.getPath
     // file-granular CoW entries can nest inside an expired snapshot's DIR
     // entry (a kept snapshot carrying `snapA/part-x.parquet` while snapA's
     // own commit expires), so reclamation is file-accurate: an expired
     // entry is deleted wholesale only when no kept snapshot references any
-    // file under it; otherwise only its unreferenced files go
+    // file under it; otherwise only its unreferenced files go. Kept
+    // MANIFESTS protect their files the same way (no listing — the
+    // manifest names them).
     val keptFiles: Set[String] =
-      referenced.flatMap(e => dataFilesUnder(new Path(dir, e)).map(_.toUri.getPath))
+      referenced.flatMap(e => dataFilesUnder(new Path(dir, e)).map(_.toUri.getPath)) ++
+        kept.flatMap(c => manifestEntriesOf(dir, c)).map(e => s"$tableKey/${e.path}")
     orphanEntries.foreach { dn =>
       val p = new Path(dir, dn)
       val mine = dataFilesUnder(p)
       if (mine.forall(m => !keptFiles(m.toUri.getPath))) f.delete(p, true)
       else mine.filterNot(m => keptFiles(m.toUri.getPath))
         .foreach(m => f.delete(m, false))
+    }
+    // manifest-tier reclamation: manifests (and manifest lists) referenced
+    // only by expired snapshots go away, along with their data files no
+    // kept snapshot references — file-accurate, then now-empty snap dirs
+    // are swept
+    def mNames(c: Snapshot): Seq[String] =
+      c.manifestList.toSeq.flatMap(readManifestList(dir, _))
+    val keptM = kept.flatMap(mNames).toSet
+    val keptMl = kept.flatMap(_.manifestList).toSet
+    val expiredM = reallyExpired.flatMap(mNames).toSet -- keptM
+    val expiredMl = reallyExpired.flatMap(_.manifestList).toSet -- keptMl
+    val touchedTop = scala.collection.mutable.Set.empty[String]
+    expiredM.foreach { m =>
+      readManifest(dir, m).foreach { e =>
+        if (!keptFiles(s"$tableKey/${e.path}")) {
+          f.delete(new Path(dir, e.path), false)
+          touchedTop += e.path.split('/').head
+        }
+      }
+      f.delete(new Path(manifestDirPath(dir), m), false)
+    }
+    expiredMl.foreach(ml => f.delete(new Path(manifestDirPath(dir), ml), false))
+    touchedTop.foreach { top =>
+      val p = new Path(dir, top)
+      if (dataFilesUnder(p).isEmpty) f.delete(p, true)
     }
     writeCommits(schema, table, kept, gen)
     reallyExpired.map(_.snapshotId)
@@ -1535,19 +1831,36 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
   def removeOrphanFiles(schema: String, table: String): Seq[String] = synchronized {
     val dir = tableDir(schema, table)
     val f = fs(dir)
+    val commits = readCommits(schema, table)
     // compare TOP-LEVEL names: a file-granular CoW entry
-    // (`snapA/part-x.parquet`) references its enclosing snap dir
-    val referenced = readCommits(schema, table).flatMap(c => c.dirs ++ c.deletes)
+    // (`snapA/part-x.parquet`) references its enclosing snap dir, and a
+    // manifest entry references the snap dir its path starts with —
+    // manifest-era snapshots have empty `dirs`, so WITHOUT resolving
+    // manifests every live snap dir would read as an orphan
+    val referenced = commits.flatMap(c =>
+      c.dirs ++ c.deletes ++ manifestEntriesOf(dir, c).map(_.path))
       .map(_.split('/').head).toSet
     val keep = referenced ++
       Set("commits.json", "_table_schema.json", "_partition_spec.json",
-        "_comments.json", "_format_version", "_sorted_by.json")
+        "_comments.json", "_format_version", "_sorted_by.json", "_manifests")
     val orphans = f.listStatus(dir)
       .map(_.getPath)
       .filterNot(p => keep.contains(p.getName) ||
         commitGenRe.pattern.matcher(p.getName).matches())
     orphans.foreach(p => f.delete(p, true))
-    orphans.map(_.getName).toSeq
+    // inside _manifests: manifest/manifest-list files no commit references
+    // (losers of commit races stage manifests BEFORE the rename decides —
+    // same debris class as orphaned snap dirs)
+    val mlRef = commits.flatMap(_.manifestList).toSet
+    val mRef = commits.flatMap(c =>
+      c.manifestList.toSeq.flatMap(readManifestList(dir, _))).toSet
+    val mdir = manifestDirPath(dir)
+    val mOrphans =
+      if (!f.exists(mdir)) Array.empty[Path]
+      else f.listStatus(mdir).map(_.getPath)
+        .filterNot(p => mlRef(p.getName) || mRef(p.getName))
+    mOrphans.foreach(p => f.delete(p, false))
+    (orphans.map(_.getName) ++ mOrphans.map(p => s"_manifests/${p.getName}")).toSeq
   }
 
   // ---- commit log I/O (driver-side metadata only) ----
@@ -1600,7 +1913,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         Option(n.get("schemaJson")).filterNot(_.isNull).map(_.asText),
         Option(n.get("operation")).filterNot(_.isNull).map(_.asText),
         Option(n.get("deletes")).map(_.elements.asScala.map(_.asText).toSeq)
-          .getOrElse(Nil))
+          .getOrElse(Nil),
+        Option(n.get("manifestList")).filterNot(_.isNull).map(_.asText))
     }.toSeq
   }
 
@@ -1627,6 +1941,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         val dd = o.putArray("deletes")
         s.deletes.foreach(dd.add)
       }
+      s.manifestList.foreach(o.put("manifestList", _))
     }
     val next = expectedGen + 1
     val target = genPath(dir, next)

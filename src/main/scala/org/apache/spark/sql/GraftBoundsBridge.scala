@@ -1,0 +1,90 @@
+package org.apache.spark.sql
+
+import graft.catalog.{ColBounds, DataFileEntry, Manifests}
+import org.apache.spark.sql.internal.{ColumnNode, UnresolvedFunction, UnresolvedAttribute, Literal => NodeLit}
+
+/** Conservative bounds evaluator over the Spark 4 unified Column API's
+  * node tree: `col("a") === 1` builds `UnresolvedFunction("=", attr,
+  * literal)` — NOT a catalyst `EqualTo` — and the node classes are
+  * `private[sql]`, so the walker lives in this package (the same
+  * extension-point pattern as [[GraftSqlBridge]]). SQL-text conditions
+  * (`functions.expr(...)`) arrive as an ExpressionColumnNode wrapping a
+  * parsed catalyst tree and route to [[Manifests.mayMatch]].
+  *
+  * Contract mirrors [[Manifests.mayMatch]]: TRUE unless the entry's
+  * bounds PROVE no row of the file can satisfy the predicate; any
+  * unrecognized shape keeps the file.
+  */
+object GraftBoundsBridge {
+
+  def mayMatchColumn(c: Column, entry: DataFileEntry): Boolean =
+    mayMatchNode(c.node, entry)
+
+  private def mayMatchNode(node: ColumnNode, entry: DataFileEntry): Boolean =
+    node match {
+      case e: classic.ExpressionColumnNode =>
+        Manifests.mayMatch(e.expression, entry)
+      case l: NodeLit => l.value match {
+        case b: Boolean => b
+        case _ => true
+      }
+      case f: UnresolvedFunction =>
+        val args = f.arguments
+        def bin(cmp: (ColBounds, Any) => Boolean): Boolean = args match {
+          case Seq(a, l: NodeLit) =>
+            nodeColBounds(a, entry).forall(cb =>
+              Manifests.nodeLiteralIn(cb, l.value).forall(v => cmp(cb, v)))
+          case _ => true
+        }
+        def binRev(cmp: (ColBounds, Any) => Boolean): Boolean = args match {
+          case Seq(l: NodeLit, a) =>
+            nodeColBounds(a, entry).forall(cb =>
+              Manifests.nodeLiteralIn(cb, l.value).forall(v => cmp(cb, v)))
+          case _ => true
+        }
+        f.functionName match {
+          case "and" => args.forall(mayMatchNode(_, entry))
+          case "or"  => args.exists(mayMatchNode(_, entry))
+          case "coalesce" if args.length == 2 => args(1) match {
+            case l: NodeLit if l.value == false => mayMatchNode(args(0), entry)
+            case _ => true
+          }
+          case "=" | "==" | "<=>" =>
+            bin(Manifests.eqContains(_, _, entry)) &&
+              binRev(Manifests.eqContains(_, _, entry))
+          case ">"  => bin(Manifests.boundAbove(_, _, strict = true)) &&
+            binRev(Manifests.boundBelow(_, _, strict = true))
+          case ">=" => bin(Manifests.boundAbove(_, _, strict = false)) &&
+            binRev(Manifests.boundBelow(_, _, strict = false))
+          case "<"  => bin(Manifests.boundBelow(_, _, strict = true)) &&
+            binRev(Manifests.boundAbove(_, _, strict = true))
+          case "<=" => bin(Manifests.boundBelow(_, _, strict = false)) &&
+            binRev(Manifests.boundAbove(_, _, strict = false))
+          case "in" if args.length >= 2 && args.tail.forall(_.isInstanceOf[NodeLit]) =>
+            nodeColBounds(args.head, entry).forall(cb =>
+              args.tail.exists {
+                case l: NodeLit =>
+                  Manifests.nodeLiteralIn(cb, l.value)
+                    .forall(v => Manifests.eqContains(cb, v, entry))
+                case _ => true
+              })
+          case "isNull" | "isnull" => args match {
+            case Seq(a) => nodeColBounds(a, entry).forall(_.nulls != 0L)
+            case _ => true
+          }
+          case "isNotNull" | "isnotnull" => args match {
+            case Seq(a) => nodeColBounds(a, entry).forall(cb =>
+              cb.nulls < 0 || cb.nulls < entry.rows || cb.min != null)
+            case _ => true
+          }
+          case _ => true
+        }
+      case _ => true
+    }
+
+  private def nodeColBounds(n: ColumnNode, entry: DataFileEntry): Option[ColBounds] =
+    n match {
+      case a: UnresolvedAttribute => Manifests.boundsFor(entry, a.nameParts.last)
+      case _ => None
+    }
+}

@@ -1,0 +1,172 @@
+package graft.catalog
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Manifest-tier metadata (round-8 headline): snapshots reference
+  * immutable manifest files instead of inlining per-file path lists in
+  * the commit log, so
+  *  - the commit log grows O(1) per DML commit whatever the file count
+  *    (round-7 grew O(files × snapshots) after pruned CoW decomposition),
+  *  - `$files` / TRUNCATE counts are served from manifest entries — no
+  *    parquet footer is reopened after commit time,
+  *  - the DML probe skips files whose manifest min/max bounds PROVE no
+  *    row can match, committing metadata-only no-ops with ZERO Spark
+  *    jobs when bounds rule out every file.
+  */
+class ManifestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshCatalog(): SnapshotCatalog = {
+    val c = new SnapshotCatalog(spark, tmpDir("graft-manifest-wh"))
+    c.createSchema("s")
+    c
+  }
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("grp", StringType),
+    StructField("v", LongType)))
+
+  private def genLogSizes(c: SnapshotCatalog, table: String): Seq[Long] = {
+    val dir = new java.io.File(c.schemaLocation("s").toUri.getPath, table)
+    dir.listFiles().filter(_.getName.matches("commits-\\d+\\.json"))
+      .map(_.length).toSeq
+  }
+
+  private def sparkJobs(): Int =
+    spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+
+  test("commit-log growth is O(1) per DML commit on a many-file table") {
+    val c = freshCatalog()
+    c.createTable("s", "t", schema)
+    // one insert → ~60 files
+    c.insert("s", "t", (1L to 240L).map(k => (k, s"g${k % 4}", k))
+      .toDF("id", "grp", "v").repartition(60))
+    val nFiles = c.dataFilePaths("s", "t", c.snapshots("s", "t").last).size
+    assert(nFiles >= 40, s"need a many-file table, got $nFiles files")
+    val size0 = genLogSizes(c, "t").max
+    // five single-row deletes, each touching one file
+    val sizes = (1 to 5).map { i =>
+      c.delete("s", "t", col("id") === i.toLong * 7L)
+      genLogSizes(c, "t").max
+    }
+    // per-commit growth must be bounded by a constant (snapshot entry =
+    // id + timestamp + schema + ONE manifest-list name), not O(files):
+    // the round-7 shape added ~60 paths × ~60 bytes ≈ 4 KB per commit
+    val deltas = (size0 +: sizes).sliding(2).map(w => w(1) - w(0)).toSeq
+    assert(deltas.forall(_ < 2000),
+      s"commit-log per-commit growth must be O(1), got deltas=$deltas from $size0")
+    // and the data survived all five pruned rewrites
+    assert(c.readLatest("s", "t").count() === 235)
+  }
+
+  test("$files and TRUNCATE are served from manifests — no footer re-reads") {
+    val c = freshCatalog()
+    c.createTable("s", "meta_t", schema)
+    c.insert("s", "meta_t", (1L to 100L).map(k => (k, "a", k))
+      .toDF("id", "grp", "v").repartition(4))
+    val files = c.filesMeta("s", "meta_t").filter($"content" === 0)
+    assert(files.agg(sum("record_count")).as[Long].head() === 100L)
+    // structural proof: physically remove one data file — the metadata
+    // view still serves its record count from the manifest (a footer-
+    // reading implementation would throw)
+    val victim = c.dataFilePaths("s", "meta_t", c.snapshots("s", "meta_t").last).head
+    val tableDir = new java.io.File(c.schemaLocation("s").toUri.getPath, "meta_t")
+    assert(new java.io.File(tableDir, victim).delete(), s"could not remove $victim")
+    assert(c.filesMeta("s", "meta_t").filter($"content" === 0)
+      .agg(sum("record_count")).as[Long].head() === 100L,
+      "record counts must come from manifest entries, not footers")
+  }
+
+  test("bounds-proven no-match DELETE commits metadata-only with ZERO Spark jobs") {
+    val c = freshCatalog()
+    c.createTable("s", "b_t", schema, sortedBy = Seq("id"))
+    c.insert("s", "b_t", (1L to 100L).map(k => (k, "a", k)).toDF("id", "grp", "v"))
+    val before = c.snapshots("s", "b_t").last
+    val jobs0 = sparkJobs()
+    val (snap, n) = c.deleteCounted("s", "b_t", col("id") === 10000L)
+    assert(n === 0L)
+    assert(sparkJobs() === jobs0,
+      "bounds prove no file can hold id=10000 → no probe scan at all")
+    assert(snap.manifestList === before.manifestList,
+      "metadata-only no-op carries the same manifest list")
+    assert(c.readLatest("s", "b_t").count() === 100)
+  }
+
+  test("bounds skip files the predicate cannot touch (sorted table, range delete)") {
+    val c = freshCatalog()
+    c.createTable("s", "r_t", schema, sortedBy = Seq("id"))
+    // force multiple sorted files with disjoint id ranges
+    val keys = Seq(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(spark.conf.set(_, "4KB"))
+    try c.insert("s", "r_t", (1L to 4000L).map(k => (k, s"g${k % 7}", k * 3))
+      .toDF("id", "grp", "v"))
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+    val before = c.snapshots("s", "r_t").last
+    val beforePaths = c.dataFilePaths("s", "r_t", before)
+    assert(beforePaths.size >= 3, s"need several sorted files, got $beforePaths")
+    // delete a narrow id range: bounds confine the touched set to 1-2
+    // files; every other file's manifest carries by name into the commit
+    c.delete("s", "r_t", col("id") >= 10L && col("id") <= 20L)
+    val after = c.snapshots("s", "r_t").last
+    val afterPaths = c.dataFilePaths("s", "r_t", after).toSet
+    val rewritten = beforePaths.filterNot(afterPaths)
+    assert(rewritten.size <= 2,
+      s"bounds must confine the rewrite to the overlapping file(s): $rewritten")
+    assert(c.readLatest("s", "r_t").count() === 3989)
+    assert(c.readLatest("s", "r_t").filter($"id" === 15L).count() === 0)
+  }
+
+  test("manifest compaction bounds the per-snapshot manifest count") {
+    val c = freshCatalog()
+    c.createTable("s", "many", StructType(Seq(StructField("id", LongType))))
+    (1 to 40).foreach(i => c.insert("s", "many", Seq(i.toLong).toDF("id")))
+    val names = c.manifestNames("s", "many", c.snapshots("s", "many").last)
+    assert(names.size <= 33, s"40 inserts must compact manifests, got ${names.size}")
+    assert(c.readLatest("s", "many").count() === 40)
+    assert(c.readLatest("s", "many").agg(sum("id")).as[Long].head() === 820L)
+  }
+
+  test("removeOrphanFiles reclaims unreferenced manifests but keeps live ones") {
+    val c = freshCatalog()
+    c.createTable("s", "orph", schema)
+    c.insert("s", "orph", Seq((1L, "a", 1L)).toDF("id", "grp", "v"))
+    c.delete("s", "orph", col("id") === 99L) // no-op commit, same ml carried
+    val mdir = new java.io.File(
+      new java.io.File(c.schemaLocation("s").toUri.getPath, "orph"), "_manifests")
+    // plant debris: an unreferenced manifest (a commit-race loser's leavings)
+    val debris = new java.io.File(mdir, "m-deadbeefdeadbeef.json")
+    java.nio.file.Files.writeString(debris.toPath, """{"entries":[]}""")
+    val removed = c.removeOrphanFiles("s", "orph")
+    assert(removed.contains("_manifests/m-deadbeefdeadbeef.json"), removed.toString)
+    assert(!debris.exists())
+    assert(c.readLatest("s", "orph").count() === 1, "live manifests must survive")
+  }
+
+  test("expire after pruned DML reclaims untracked files and dead manifests; reads stay intact") {
+    val c = freshCatalog()
+    c.createTable("s", "exp", schema)
+    (0 to 2).foreach(i => c.insert("s", "exp",
+      (1L to 4L).map(k => (i * 10L + k, s"g$i", k)).toDF("id", "grp", "v").repartition(2)))
+    c.delete("s", "exp", col("id") === 1L)
+    val cutoff = c.snapshots("s", "exp").last.committedAtMillis
+    c.expireSnapshots("s", "exp", cutoff)
+    assert(c.readLatest("s", "exp").count() === 11)
+    // every referenced file physically survives
+    val tdir = new java.io.File(c.schemaLocation("s").toUri.getPath, "exp")
+    val paths = c.dataFilePaths("s", "exp", c.snapshots("s", "exp").last)
+    assert(paths.forall(p => new java.io.File(tdir, p).exists()))
+    // and DML keeps composing after expiry
+    c.updateCounted("s", "exp", Seq("v" -> lit(0L)), col("id") === 2L)
+    assert(c.readLatest("s", "exp").filter($"id" === 2L)
+      .select("v").as[Long].head() === 0L)
+  }
+}

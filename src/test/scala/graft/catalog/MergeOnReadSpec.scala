@@ -78,9 +78,11 @@ class MergeOnReadSpec extends SparkSpec {
       Seq("v" -> (col("v") + 100L)), col("grp") === "b")
     assert(n == 4L)
     assert(snap.operation.contains("overwrite"))
-    // old data dirs all carried; ONE appended dir of new row versions
-    assert(before.dirs.toSet.subsetOf(snap.dirs.toSet))
-    assert(snap.dirs.size == before.dirs.size + 1)
+    // old data files all carried; new row versions appended alongside
+    val beforePaths = c.dataFilePaths("s", "t_upd", before).toSet
+    val afterPaths = c.dataFilePaths("s", "t_upd", snap).toSet
+    assert(beforePaths.subsetOf(afterPaths), "MoR UPDATE must not rewrite data files")
+    assert(afterPaths.size > beforePaths.size, "new row versions must be appended")
     assert(snap.deletes.size == 1)
     val got = c.readLatest("s", "t_upd").filter($"grp" === "b")
       .select($"v").as[Long].collect().toSeq.sorted
@@ -127,7 +129,8 @@ class MergeOnReadSpec extends SparkSpec {
     assert(c.snapshots("s", "t_opt").last.deletes.size == 2)
     val snap = c.compact("s", "t_opt")
     assert(snap.deletes.isEmpty, "optimize must fold positional deletes away")
-    assert(snap.dirs.size == 1)
+    assert(c.dataFilePaths("s", "t_opt", snap).map(_.split('/').head).distinct.size == 1,
+      "compaction references exactly one data dir")
     val got = c.readLatest("s", "t_opt")
     assert(got.count() == 11)
     assert(got.filter($"id" === 23L).select($"v").as[Long].head() == 0L)
@@ -158,8 +161,9 @@ class MergeOnReadSpec extends SparkSpec {
     assert(got.count() == 3)
     // appended UPDATE rows land hive-partitioned like any data dir
     c.updateCounted("s", "t_part", Seq("v" -> lit(50L)), col("grp") === "a")
-    val snapDirs = c.snapshots("s", "t_part").last.dirs
-    assert(snapDirs.last.startsWith("_snap="))
+    val paths = c.dataFilePaths("s", "t_part", c.snapshots("s", "t_part").last)
+    assert(paths.forall(_.startsWith("_snap=")),
+      s"appended MoR rows must land hive-partitioned: $paths")
     assert(c.readLatest("s", "t_part").filter($"v" === 50L).count() == 4)
   }
 

@@ -64,9 +64,15 @@ class PrunedRewriteSpec extends SparkSpec {
     assert(beforeFiles.diff(afterFiles) == hitFile,
       s"only the file holding the matched row may be rewritten:\n" +
         s" rewritten=${beforeFiles.diff(afterFiles)}\n want=$hitFile")
-    // dirs entries: carried FILE paths + the rewrite dir, not a full rewrite
-    assert(after.dirs.exists(_.contains("-rewrite")))
-    assert(after.dirs.size > 1, s"expected carried entries, got ${after.dirs}")
+    // the commit references the rewrite dir plus carried files — and
+    // carries untouched MANIFESTS by name (zero metadata bytes rewritten
+    // for them)
+    val afterPaths = c.dataFilePaths("s", "t_part", after)
+    assert(afterPaths.exists(_.contains("-rewrite")))
+    assert(afterPaths.size > 1, s"expected carried entries, got $afterPaths")
+    assert(c.manifestNames("s", "t_part", before)
+      .intersect(c.manifestNames("s", "t_part", after)).nonEmpty,
+      "untouched manifests must carry by NAME into the new snapshot")
 
     // correctness: exactly the matching row went away
     val got = c.readLatest("s", "t_part")
@@ -89,7 +95,7 @@ class PrunedRewriteSpec extends SparkSpec {
     assert(carried.nonEmpty, "files without id=21 must be carried by path")
     assert(beforeFiles.diff(afterFiles).size <= 2,
       s"only the file(s) holding id=21 may be rewritten; lost ${beforeFiles.diff(afterFiles)}")
-    assert(after.dirs.exists(_.contains("-rewrite")))
+    assert(c.dataFilePaths("s", "t_flat", after).exists(_.contains("-rewrite")))
     assert(c.readLatest("s", "t_flat").count() == 11)
   }
 
@@ -99,8 +105,10 @@ class PrunedRewriteSpec extends SparkSpec {
     val before = c.snapshots("s", "t_noop").last
     val (snap, n) = c.deleteCounted("s", "t_noop", col("id") === 999L)
     assert(n == 0L)
-    assert(snap.dirs == before.dirs, "untouched table: dirs carried verbatim")
-    assert(!snap.dirs.exists(_.contains(f"${snap.snapshotId}%05d-rewrite")))
+    assert(snap.dirs == before.dirs && snap.manifestList == before.manifestList,
+      "untouched table: the SAME manifest list carries verbatim (no new metadata)")
+    assert(!c.dataFilePaths("s", "t_noop", snap)
+      .exists(_.contains(f"${snap.snapshotId}%05d-rewrite")))
     assert(c.readLatest("s", "t_noop").count() == 12)
   }
 
@@ -115,7 +123,7 @@ class PrunedRewriteSpec extends SparkSpec {
     val afterFiles = c.filesMeta("s", "t_upd")
       .select("file_path").as[String].collect().toSet
     assert(beforeFiles.filterNot(_.contains("grp=c")).subsetOf(afterFiles))
-    assert(snap.dirs.size > 1)
+    assert(c.dataFilePaths("s", "t_upd", snap).size > 1)
     val vs = c.readLatest("s", "t_upd").filter($"grp" === "c")
       .select($"v").as[Long].collect().toSeq
     assert(vs == Seq.fill(4)(100L))
@@ -147,8 +155,12 @@ class PrunedRewriteSpec extends SparkSpec {
     c.merge("s", "t_mrg_new",
       Seq((100L, "q", 5L)).toDF("id", "grp", "v"), "id")
     val after = c.snapshots("s", "t_mrg_new").last
-    assert(before.dirs.toSet.subsetOf(after.dirs.toSet),
-      "all existing entries carry whole")
+    assert(c.dataFilePaths("s", "t_mrg_new", before).toSet
+      .subsetOf(c.dataFilePaths("s", "t_mrg_new", after).toSet),
+      "all existing files carry whole")
+    assert(c.manifestNames("s", "t_mrg_new", before).toSet
+      .subsetOf(c.manifestNames("s", "t_mrg_new", after).toSet),
+      "no touched files → every prior manifest carries by name")
     assert(c.readLatest("s", "t_mrg_new").count() == 13)
   }
 
@@ -169,7 +181,7 @@ class PrunedRewriteSpec extends SparkSpec {
     // id=11 lives in grp=b files; grp=a and grp=c files carry by path
     assert(beforeFiles.filterNot(_.contains("grp=b")).subsetOf(afterFiles),
       "files without matched rows must carry by path")
-    assert(snap.dirs.size > 1)
+    assert(c.dataFilePaths("s", "t_mi", snap).size > 1)
     val got = c.readLatest("s", "t_mi")
     assert(got.count() == 13)
     assert(got.filter($"id" === 11L).select($"v").as[Long].head() == 999L)

@@ -116,9 +116,10 @@ class SnapshotCatalogSpec extends SparkSpec {
     val snap = c.delete("common_test_data", "del_t",
       org.apache.spark.sql.functions.col("id") === 2)
     // file-pruned CoW: the commit holds a rewrite dir for the touched
-    // file(s); untouched files may carry by path (PrunedRewriteSpec pins
-    // the exact pruning contract)
-    assert(snap.dirs.exists(_.contains("-rewrite")))
+    // file(s); untouched files may carry by manifest reference
+    // (PrunedRewriteSpec pins the exact pruning contract)
+    assert(c.dataFilePaths("common_test_data", "del_t", snap)
+      .exists(_.contains("-rewrite")))
     assert(snap.operation.contains("overwrite"))
     assert(c.readLatest("common_test_data", "del_t")
       .orderBy($"id").as[(Int, String)].collect().toSeq == Seq((1, "a"), (3, "c")))

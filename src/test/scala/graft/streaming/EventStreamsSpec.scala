@@ -210,14 +210,17 @@ class EventStreamsSpec extends SparkSpec {
 
     // compact → one snapshot referencing a single dir; data intact
     val compacted = catalog.compact("stream", "events_ingest")
-    assert(compacted.dirs.size == 1)
+    val compactedTops = catalog.dataFilePaths("stream", "events_ingest", compacted)
+      .map(_.split('/').head).distinct
+    assert(compactedTops.size == 1)
     assert(catalog.readLatest("stream", "events_ingest").count() == total)
 
     // expire pre-compaction history → old snap dirs physically reclaimed
+    // (the _manifests metadata dir stays — it is the catalog's, not data)
     catalog.expireSnapshots("stream", "events_ingest", compacted.committedAtMillis)
     val left = new java.io.File(s"$dir/wh/stream/events_ingest").listFiles()
       .filter(_.isDirectory).map(_.getName).toSet
-    assert(left == Set(compacted.dirs.head), s"leftover dirs: $left")
+    assert(left == Set(compactedTops.head, "_manifests"), s"leftover dirs: $left")
     assert(catalog.readLatest("stream", "events_ingest").count() == total)
   }
 
