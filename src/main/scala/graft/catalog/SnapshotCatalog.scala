@@ -825,15 +825,21 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val (commits, gen) = readCommitsWithGen(schema, table)
     val currentSnap = commits.lastOption
     // target with per-row file provenance (file-pruned CoW, like
-    // delete/update); provenance-free states merge as full rewrites
-    val (t0, hasProv) = withProvenance(schema, table, currentSnap) match {
-      case Some(p) => (p.withColumnRenamed("__graft_file", "__graft_t_file"), true)
+    // delete/update); provenance-free states merge as full rewrites.
+    // format_version = 2 additionally needs per-row POSITIONS — its MERGE
+    // path commits positional deletes instead of rewriting files
+    val isV2 = formatVersion(schema, table) == 2
+    val (t0, hasProv) = withProvenance(schema, table, currentSnap, withPos = isV2) match {
+      case Some(p) =>
+        val r = p.withColumnRenamed("__graft_file", "__graft_t_file")
+        (if (isV2) r.withColumnRenamed("__graft_pos", "__graft_t_pos") else r, true)
       case None => (readSnapshot(schema, table, currentSnap)
         .withColumn("__graft_t_file", lit(null).cast("string")), false)
     }
-    val fields = t0.schema.fields.toIndexedSeq.filterNot(_.name == "__graft_t_file")
+    val fields = t0.schema.fields.toIndexedSeq.filterNot(f =>
+      f.name == "__graft_t_file" || f.name == "__graft_t_pos")
     val reserved = Seq("__graft_t_id", "__graft_t_mark", "__graft_s_mark",
-      "__graft_aidx", "__graft_t_file", "__graft_file")
+      "__graft_aidx", "__graft_t_file", "__graft_file", "__graft_t_pos", "__graft_pos")
     (fields.map(_.name) ++ source.columns).foreach(c =>
       require(!reserved.exists(_.equalsIgnoreCase(c)),
         s"MERGE reserves the column name $c; rename it first"))
@@ -876,19 +882,22 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           if (deleteIdxs.isEmpty) matchedRows
           else matchedRows.filter(!col("__graft_aidx").isin(deleteIdxs: _*))
         // files whose rows a clause actually modifies: only THOSE files get
-        // rewritten; rows in every other file are carried by path below
-        val touchedAbs: Seq[String] =
+        // rewritten; rows in every other file are carried by path below.
+        // lazy — the MoR path never collects the touched-file list
+        lazy val touchedAbs: Seq[String] =
           if (!hasProv) Nil
           else matchedRows.filter(col("__graft_aidx") =!= -1)
             .select(col("__graft_t_file")).distinct()
             .collect().map(_.getString(0)).toSeq
         // restriction to touched files: broadcast semi-join past a small
         // threshold — never an O(files) literal In list in the plan
-        val restrictTouched: DataFrame => DataFrame =
-          if (!hasProv) identity
-          else df => fileSetFilter(df, "__graft_t_file", touchedAbs, anti = false)
+        def restrictTouched(df: DataFrame): DataFrame =
+          if (!hasProv) df
+          else fileSetFilter(df, "__graft_t_file", touchedAbs, anti = false)
 
-        val matchedOut = restrictTouched(keptMatched).select(fields.map { f =>
+        /* per-clause UPDATE assignments applied to matched rows (rows
+         * whose first-match clause is not an update keep the base value) */
+        def applyUpdates(df: DataFrame): DataFrame = df.select(fields.map { f =>
           val base = col(s"$targetAlias.${f.name}")
           whenMatched.zipWithIndex.foldLeft(base) {
             case (acc, (MergeUpdateAction(_, sets), i)) =>
@@ -901,7 +910,9 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           }.as(f.name)
         }: _*)
 
-        val targetOnly = restrictTouched(
+        lazy val matchedOut = applyUpdates(restrictTouched(keptMatched))
+
+        lazy val targetOnly = restrictTouched(
           joined.filter(col("__graft_s_mark").isNull &&
             col("__graft_t_mark").isNotNull))
           .select(fields.map(f => col(s"$targetAlias.${f.name}").as(f.name)): _*)
@@ -926,7 +937,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
 
         val affected =
           matchedRows.filter(col("__graft_aidx") =!= -1).count() + srcOnly.count()
-        val merged = insertOut.foldLeft(matchedOut.unionByName(targetOnly))(_.unionByName(_))
+        lazy val merged = insertOut.foldLeft(matchedOut.unionByName(targetOnly))(_.unionByName(_))
 
         val id = commits.lastOption.map(_.snapshotId).getOrElse(0L) + 1
         val at = math.max(System.currentTimeMillis(),
@@ -939,6 +950,46 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
             // no clause fired, nothing inserted: metadata-only no-op commit
             val s0 = Snapshot(id, at, entries, schemaJson, Some("overwrite"),
               prevDeletes, currentSnap.flatMap(_.manifestList))
+            writeCommits(schema, table, commits :+ s0, gen)
+            s0
+          } else if (isV2 && hasProv) {
+            // merge-on-read MERGE (Iceberg v2 row-level semantics): every
+            // matched row a clause modifies becomes a positional-delete
+            // coordinate; updated versions + inserted rows APPEND as a new
+            // data dir. NO existing data file is rewritten — the
+            // write-amplification contract users choose format_version = 2
+            // for, matching what morRowLevel gives DELETE/UPDATE.
+            val delDir = s"delete-${attemptTag(id)}"
+            matchedRows.filter(col("__graft_aidx") =!= -1)
+              .select(col("__graft_t_file").as("file_path"),
+                col("__graft_t_pos").as("pos"))
+              .repartitionByRange(col("file_path"), col("pos"))
+              .write.mode("errorifexists").parquet(new Path(dir, delDir).toString)
+            val newDeletes =
+              if (parquetFooterRows(new Path(dir, delDir)) == 0L) {
+                fs(dir).delete(new Path(dir, delDir), true); prevDeletes
+              } else prevDeletes :+ delDir
+            val updateIdxs = whenMatched.zipWithIndex.collect {
+              case (_: MergeUpdateAction, i) => i
+            }
+            val updatedOut =
+              if (updateIdxs.isEmpty) None
+              else Some(applyUpdates(
+                matchedRows.filter(col("__graft_aidx").isin(updateIdxs: _*))))
+            val appendDf = (updatedOut.toSeq ++ insertOut.toSeq)
+              .reduceOption(_.unionByName(_))
+            val (carried, _) = carryManifests(schema, table, currentSnap, Set.empty)
+            val names = appendDf match {
+              case Some(adf) =>
+                val snapDir = snapDirName(schema, table, s"${attemptTag(id)}-rewrite")
+                partitionedWriter(schema, table, adf)
+                  .mode("errorifexists").parquet(new Path(dir, snapDir).toString)
+                val es = scanEntries(dir, snapDir)
+                carried ++ (if (es.nonEmpty) Seq(writeManifest(dir, es)) else Nil)
+              case None => carried
+            }
+            val s0 = Snapshot(id, at, Nil, schemaJson, Some("overwrite"),
+              newDeletes, Some(writeManifestList(dir, compactManifestSet(dir, names))))
             writeCommits(schema, table, commits :+ s0, gen)
             s0
           } else {
@@ -1238,8 +1289,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * advice). `files.isEmpty` with `anti` keeps everything; without,
     * keeps nothing.
     */
-  private def fileSetFilter(df: DataFrame, fileCol: String,
-                            files: Seq[String], anti: Boolean): DataFrame = {
+  private[catalog] def fileSetFilter(df: DataFrame, fileCol: String,
+                                     files: Seq[String], anti: Boolean): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, lit}
     if (files.isEmpty) return if (anti) df else df.filter(lit(false))
     if (files.size <= 16) {

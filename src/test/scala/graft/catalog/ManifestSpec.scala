@@ -125,6 +125,29 @@ class ManifestSpec extends SparkSpec {
     assert(c.readLatest("s", "r_t").filter($"id" === 15L).count() === 0)
   }
 
+  test("file-set filters join broadcast past the inline threshold — no O(files) In list") {
+    val c = freshCatalog()
+    val df = (1L to 100L).map(k => (s"file_$k", k)).toDF("f", "v")
+    // large set: plan must carry a broadcast join, not a literal In
+    val many = (1 to 500).map(i => s"file_$i")
+    val semiPlan = c.fileSetFilter(df, "f", many, anti = false)
+      .queryExecution.executedPlan.toString
+    assert(semiPlan.contains("BroadcastHashJoin"), semiPlan.take(400))
+    assert(!semiPlan.contains("file_250"),
+      "no literal file list may appear in the plan")
+    assert(c.fileSetFilter(df, "f", many, anti = false).count() === 100)
+    assert(c.fileSetFilter(df, "f", many, anti = true).count() === 0)
+    // small set: stays a simple In filter (cheaper than a join)
+    val few = Seq("file_1", "file_2")
+    val fewPlan = c.fileSetFilter(df, "f", few, anti = false)
+      .queryExecution.executedPlan.toString
+    assert(!fewPlan.contains("BroadcastHashJoin"))
+    assert(c.fileSetFilter(df, "f", few, anti = false).count() === 2)
+    assert(c.fileSetFilter(df, "f", few, anti = true).count() === 98)
+    assert(c.fileSetFilter(df, "f", Nil, anti = true).count() === 100)
+    assert(c.fileSetFilter(df, "f", Nil, anti = false).count() === 0)
+  }
+
   test("manifest compaction bounds the per-snapshot manifest count") {
     val c = freshCatalog()
     c.createTable("s", "many", StructType(Seq(StructField("id", LongType))))

@@ -96,6 +96,65 @@ class MergeOnReadSpec extends SparkSpec {
     assert(swapped == Set((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)))
   }
 
+  test("MoR MERGE INTO: positional deletes + appends, NO data file rewritten") {
+    val c = freshCatalog()
+    seed(c, "t_mrg")
+    val before = c.snapshots("s", "t_mrg").last
+    val beforePaths = c.dataFilePaths("s", "t_mrg", before).toSet
+    // one UPDATE hit (id=11), one DELETE hit (id=22), one INSERT (id=500)
+    val src = Seq((11L, 999L), (22L, -1L), (500L, 7L)).toDF("sid", "sv")
+    val (snap, n) = c.mergeInto("s", "t_mrg", src, "t", "u",
+      col("t.id") === col("u.sid"),
+      whenMatched = Seq(
+        MergeDeleteAction(Some(col("u.sv") < 0L)),
+        MergeUpdateAction(None, Seq("v" -> col("u.sv")))),
+      whenNotMatched = Seq(MergeInsertAction(None, Some(Seq("id", "grp", "v")),
+        Seq(col("u.sid"), lit("new"), col("u.sv")))))
+    assert(n === 3L)
+    val afterPaths = c.dataFilePaths("s", "t_mrg", snap).toSet
+    assert(beforePaths.subsetOf(afterPaths),
+      s"MoR MERGE must rewrite no data file; lost ${beforePaths.diff(afterPaths)}")
+    assert(afterPaths.size > beforePaths.size, "updated+inserted rows must append")
+    assert(snap.deletes.size === 1, "matched modified rows become ONE delete file")
+    assert(c.manifestNames("s", "t_mrg", before).toSet
+      .subsetOf(c.manifestNames("s", "t_mrg", snap).toSet),
+      "every prior manifest carries by name (no data rewrite → no manifest rewrite)")
+    val got = c.readLatest("s", "t_mrg")
+    assert(got.count() === 12) // 12 - 1 deleted + 1 inserted
+    assert(got.filter($"id" === 11L).select($"v").as[Long].head() === 999L)
+    assert(got.filter($"id" === 22L).count() === 0)
+    assert(got.filter($"id" === 500L).select($"grp").as[String].head() === "new")
+    // time travel pre-merge unaffected
+    assert(c.readVersion("s", "t_mrg", before.snapshotId).count() === 12)
+    // pass-through matched rows (no clause fired) stay put: merge again
+    // with a condition that matches nothing
+    val (snap2, n2) = c.mergeInto("s", "t_mrg",
+      Seq((11L, 1L)).toDF("sid", "sv"), "t", "u",
+      col("t.id") === col("u.sid"),
+      whenMatched = Seq(MergeUpdateAction(Some(lit(false)), Seq("v" -> lit(0L)))),
+      whenNotMatched = Nil)
+    assert(n2 === 0L)
+    assert(snap2.manifestList === snap.manifestList, "no-op MERGE carries the same manifest list")
+  }
+
+  test("MoR MERGE on a partitioned table keeps hive layout and pruning") {
+    val c = freshCatalog()
+    seed(c, "t_mrgp", partitioned = true)
+    val before = c.snapshots("s", "t_mrgp").last
+    val src = Seq((1L, 999L)).toDF("sid", "sv")
+    val (snap, n) = c.mergeInto("s", "t_mrgp", src, "t", "u",
+      col("t.id") === col("u.sid"),
+      whenMatched = Seq(MergeUpdateAction(None, Seq("v" -> col("u.sv")))),
+      whenNotMatched = Nil)
+    assert(n === 1L)
+    assert(c.dataFilePaths("s", "t_mrgp", snap).forall(_.startsWith("_snap=")))
+    assert(c.dataFilePaths("s", "t_mrgp", before).toSet
+      .subsetOf(c.dataFilePaths("s", "t_mrgp", snap).toSet))
+    assert(c.readLatest("s", "t_mrgp").filter($"id" === 1L)
+      .select($"v").as[Long].head() === 999L)
+    assert(c.readLatest("s", "t_mrgp").count() === 12)
+  }
+
   test("deletes stack across commits and survive INSERT") {
     val c = freshCatalog()
     seed(c, "t_stack")
