@@ -212,12 +212,24 @@ object DevFuzzDml {
       // UPDATEs that MOVE rows across partition values
       val partitioned = rnd.nextBoolean()
       // ... and half run format_version = 2 (merge-on-read): UPDATE/DELETE
-      // commit positional-delete files, MERGE takes the CoW path over the
-      // merged state — randomized interleavings of the two commit kinds
-      // against the same relational oracle
+      // and MERGE commit positional-delete files — randomized
+      // interleavings of the two commit kinds against the same
+      // relational oracle
       val mor = rnd.nextBoolean()
+      // partitioned scenarios randomize the spec SHAPE too: identity,
+      // hash-bucket, or string-truncate transform (hidden partitioning) —
+      // the oracle is layout-independent, so any divergence in derived-dir
+      // writing, transform projection, or hidden-column dropping surfaces
+      // as a hash mismatch
+      val partSpec =
+        if (!partitioned) Nil
+        else rnd.nextInt(3) match {
+          case 0 => Seq("n_regionkey")
+          case 1 => Seq("bucket(4, n_nationkey)")
+          case 2 => Seq("truncate(1, n_name)")
+        }
       engine.catalog.createTable("fz", "t", nation.schema,
-        partitionedBy = if (partitioned) Seq("n_regionkey") else Nil,
+        partitionedBy = partSpec,
         formatVersion = if (mor) 2 else 1)
       engine.catalog.insert("fz", "t", nation)
       val ops = genOps()

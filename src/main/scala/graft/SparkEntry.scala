@@ -151,6 +151,7 @@ object SparkEntry {
     // catalog-layer demos (rows-only: T1 time travel, S7 unload)
     "time_travel_demo" -> (CatalogDemos.timeTravelDemo _),
     "partition_prune_demo" -> (CatalogDemos.partitionPruneDemo _),
+    "transform_partition_demo" -> (CatalogDemos.transformPartitionDemo _),
     "unload_demo"      -> (CatalogDemos.unloadDemo _),
     "dml_demo"         -> (CatalogDemos.dmlDemo _),
     "mor_demo"         -> (CatalogDemos.morDemo _),
@@ -318,6 +319,7 @@ object SparkEntry {
       ("SELECT c_mktsegment AS seg, count(*) AS n FROM orders " +
         "JOIN customer ON o_custkey = c_custkey GROUP BY seg ORDER BY seg"),
     "partition_prune_demo" -> operators.CatalogDemos.partitionPruneDemoSql,
+    "transform_partition_demo" -> operators.CatalogDemos.transformPartitionDemoSql,
     "q2_min_cost_supplier"  -> TpchRemainder.Sql.q2MinCostSupplier,
     "q8_market_share"       -> TpchRemainder.Sql.q8MarketShare,
     "q9_product_profit"     -> TpchRemainder.Sql.q9ProductProfit,

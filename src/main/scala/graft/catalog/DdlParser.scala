@@ -564,12 +564,19 @@ object DdlParser {
     val formatVersionRe = """(?is)^\s*format_version\s*=\s*'?(\d+)'?\s*$""".r
     var formatVersion = 1
     var sortedBy = Seq.empty[String]
+    // ARRAY elements are quoted strings — extract them as such, so a
+    // comma INSIDE a quoted transform (`'bucket(4, id)'`) never splits
+    val arrayElemRe = """'((?:[^']|'')*)'""".r
+    def arrayElems(cols: String): Seq[String] = {
+      val quoted = arrayElemRe.findAllMatchIn(cols).map(_.group(1).replace("''", "'")).toSeq
+      if (quoted.nonEmpty) quoted
+      else cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq // unquoted spelling
+    }
     val partitioning = parts.map(_.trim).filter(_.nonEmpty).flatMap {
       case partitioningRe(cols) =>
-        cols.split(",").map(_.trim.stripPrefix("'").stripSuffix("'")).filter(_.nonEmpty).toSeq
+        arrayElems(cols)
       case sortedByRe(cols) =>
-        sortedBy = cols.split(",").map(_.trim.stripPrefix("'").stripSuffix("'"))
-          .filter(_.nonEmpty).toSeq
+        sortedBy = arrayElems(cols)
         Seq.empty
       case formatRe(fmt) =>
         require(fmt.equalsIgnoreCase("PARQUET"), s"unsupported format '$fmt' (only PARQUET)")

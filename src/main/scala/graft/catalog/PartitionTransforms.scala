@@ -1,0 +1,144 @@
+package graft.catalog
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One field of a table's partition spec: an identity column or an
+  * Iceberg partition transform (Trino Iceberg's `partitioning =
+  * ARRAY['bucket(16, id)', 'month(ts)', …]`,
+  * trino.io/docs/current/connector/iceberg.html#partitioned-tables —
+  * "hidden partitioning": the table partitions on a DERIVED value while
+  * queries keep addressing the source column). The engine materializes
+  * the derived value as a hive `derivedName=value` directory level;
+  * source columns stay stored in the data files (unlike identity
+  * partitioning), so footer min/max bounds on the source keep powering
+  * the DML probe's file skipping, and equality predicates additionally
+  * project through the transform ([[deriveValue]]) to prune on the
+  * derived directory value itself.
+  */
+sealed trait PartitionField {
+  def source: String
+  /** Hive directory key this field materializes as. */
+  def derivedName: String
+  /** Canonical spec text (what SHOW CREATE TABLE round-trips). */
+  def specText: String
+  def isIdentity: Boolean = false
+  /** Write-side derivation (`dt` = the source column's declared type). */
+  def derive(c: Column, dt: DataType): Column
+  /** Driver-side transform of an equality literal into the derived
+    * value space — the inclusive projection that lets `id = 5` prune on
+    * `id_bucket=…` directories. None = not projectable for this value.
+    */
+  def deriveValue(v: Any, dt: DataType): Option[Any] = None
+}
+
+final case class IdentityField(source: String) extends PartitionField {
+  override def derivedName: String = source
+  override def specText: String = source
+  override def isIdentity: Boolean = true
+  override def derive(c: Column, dt: DataType): Column = c
+}
+
+/** `bucket(n, col)` — hash-bucket the source into n buckets. Uses
+  * Spark's xxhash64 (seed 42) on both the write side (codegen'd column
+  * function) and the literal-projection side (the same
+  * XxHash64Function), so the two can never drift.
+  */
+final case class BucketField(source: String, n: Int) extends PartitionField {
+  override def derivedName: String = s"${source}_bucket"
+  override def specText: String = s"bucket($n, $source)"
+  override def derive(c: Column, dt: DataType): Column =
+    pmod(xxhash64(c), lit(n.toLong)).cast(IntegerType)
+  override def deriveValue(v: Any, dt: DataType): Option[Any] = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    val internal: Option[(Any, DataType)] = (dt, v) match {
+      case (IntegerType, x: Number) => Some((x.intValue, IntegerType))
+      case (LongType, x: Number)    => Some((x.longValue, LongType))
+      case (StringType, s: String)  =>
+        Some((org.apache.spark.unsafe.types.UTF8String.fromString(s), StringType))
+      case _ => None
+    }
+    internal.map { case (cv, cdt) =>
+      java.lang.Math.floorMod(XxHash64Function.hash(cv, cdt, 42L), n.toLong).toInt
+    }
+  }
+}
+
+/** `truncate(w, col)` — width-truncate: strings to their first w chars,
+  * integers to w-sized aligned ranges (Iceberg's truncate transform).
+  */
+final case class TruncateField(source: String, w: Int) extends PartitionField {
+  override def derivedName: String = s"${source}_trunc"
+  override def specText: String = s"truncate($w, $source)"
+  override def derive(c: Column, dt: DataType): Column = dt match {
+    case StringType => substring(c, 1, w)
+    case ByteType | ShortType | IntegerType | LongType =>
+      (c - pmod(c, lit(w.toLong))).cast(dt)
+    case other => throw new IllegalArgumentException(
+      s"truncate($w, $source): unsupported source type $other (string or integral)")
+  }
+  override def deriveValue(v: Any, dt: DataType): Option[Any] = (dt, v) match {
+    case (StringType, s: String) => Some(s.take(w))
+    case (ByteType | ShortType | IntegerType | LongType, x: Number) =>
+      Some(x.longValue - java.lang.Math.floorMod(x.longValue, w.toLong))
+    case _ => None
+  }
+}
+
+/** `year/month/day/hour(col)` — calendar-bucket a timestamp or date
+  * source (UTC, the engine's session zone). Derived values are ordered
+  * integers (2023, 202303, 20230315, 2023031509), so directory values
+  * range-compare in the same order as time.
+  */
+final case class TimeField(source: String, unit: String) extends PartitionField {
+  override def derivedName: String = s"${source}_$unit"
+  override def specText: String = s"$unit($source)"
+  override def derive(c: Column, dt: DataType): Column = {
+    val y = year(c) * 10000 + month(c) * 100 + dayofmonth(c) // yyyymmdd
+    (unit match {
+      case "year"  => year(c)
+      case "month" => year(c) * 100 + month(c)
+      case "day"   => y
+      case "hour"  => y * 100 + hour(c)
+    }).cast(IntegerType)
+  }
+  override def deriveValue(v: Any, dt: DataType): Option[Any] = {
+    val zdt: Option[java.time.ZonedDateTime] = v match {
+      case t: java.time.Instant   => Some(t.atZone(java.time.ZoneOffset.UTC))
+      case t: java.sql.Timestamp  => Some(t.toInstant.atZone(java.time.ZoneOffset.UTC))
+      case d: java.time.LocalDate => Some(d.atStartOfDay(java.time.ZoneOffset.UTC))
+      case d: java.sql.Date       => Some(d.toLocalDate.atStartOfDay(java.time.ZoneOffset.UTC))
+      case _ => None
+    }
+    zdt.map { t =>
+      val ymd = t.getYear * 10000 + t.getMonthValue * 100 + t.getDayOfMonth
+      unit match {
+        case "year"  => t.getYear
+        case "month" => t.getYear * 100 + t.getMonthValue
+        case "day"   => ymd
+        case "hour"  => ymd * 100 + t.getHour
+      }
+    }
+  }
+}
+
+object PartitionTransforms {
+  private val bucketRe   = """(?i)^bucket\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)$""".r
+  private val truncateRe = """(?i)^truncate\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)$""".r
+  private val timeRe     = """(?i)^(year|month|day|hour)\s*\(\s*(\w+)\s*\)$""".r
+  private val identRe    = """^[A-Za-z_]\w*$""".r
+
+  /** One `partitioning = ARRAY[...]` element → field. Bare names are
+    * identity partitioning (the pre-transform spelling, unchanged).
+    */
+  def parse(spec: String): PartitionField = spec.trim match {
+    case bucketRe(n, col)   => BucketField(col, n.toInt)
+    case truncateRe(w, col) => TruncateField(col, w.toInt)
+    case timeRe(unit, col)  => TimeField(col, unit.toLowerCase)
+    case s if identRe.matches(s) => IdentityField(s)
+    case other => throw new IllegalArgumentException(
+      s"Unsupported partitioning element '$other' (supported: column, " +
+        "bucket(n, col), truncate(w, col), year/month/day/hour(col))")
+  }
+}

@@ -140,10 +140,28 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       s"format_version must be 1 (copy-on-write) or 2 (merge-on-read), got $formatVersion")
     val dir = tableDir(schema, table)
     val f = fs(dir)
-    val missing = partitionedBy.filterNot(p =>
+    val pFields = partitionedBy.map(PartitionTransforms.parse)
+    val missing = pFields.map(_.source).filterNot(p =>
       columns.fieldNames.exists(_.equalsIgnoreCase(p)))
     require(missing.isEmpty,
       s"Partition column(s) ${missing.mkString(", ")} not in declared schema")
+    pFields.filterNot(_.isIdentity).foreach { f =>
+      require(!columns.fieldNames.exists(_.equalsIgnoreCase(f.derivedName)),
+        s"Partition transform ${f.specText} derives directory key " +
+          s"'${f.derivedName}', which collides with a declared column")
+      val dt = columns.fields.find(_.name.equalsIgnoreCase(f.source)).get.dataType
+      // fail CREATE, not the first INSERT, on a type the transform
+      // cannot apply to
+      f.derive(org.apache.spark.sql.functions.col(f.source), dt)
+      f match {
+        case _: TimeField => require(
+          dt == org.apache.spark.sql.types.TimestampType ||
+            dt == org.apache.spark.sql.types.TimestampNTZType ||
+            dt == org.apache.spark.sql.types.DateType,
+          s"${f.specText}: source must be a timestamp or date, got $dt")
+        case _ => ()
+      }
+    }
     val missingSort = sortedBy.map(sortColName)
       .filterNot(c => columns.fieldNames.exists(_.equalsIgnoreCase(c)))
     require(missingSort.isEmpty,
@@ -184,11 +202,35 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     if (fs(p).exists(p)) readString(p).trim.toInt else 1
   }
 
-  /** Declared partition columns (empty for unpartitioned tables). */
+  /** Declared partition spec elements — identity column names and/or
+    * transform texts like `bucket(16, id)` (empty for unpartitioned
+    * tables). [[partitionFields]] gives the parsed form.
+    */
   def partitionSpec(schema: String, table: String): Seq[String] = {
     val p = new Path(tableDir(schema, table), "_partition_spec.json")
     if (fs(p).exists(p)) readString(p).split("\n").map(_.trim).filter(_.nonEmpty).toSeq
     else Nil
+  }
+
+  def partitionFields(schema: String, table: String): Seq[PartitionField] =
+    partitionSpec(schema, table).map(PartitionTransforms.parse)
+
+  /** Add the derived (non-identity) partition columns a write needs —
+    * recomputed from sources, so any DataFrame with the declared columns
+    * can be written regardless of where it came from.
+    */
+  private def withDerivedPartitionCols(schema: String, table: String,
+                                       df: DataFrame): DataFrame = {
+    val declared = declaredSchema(schema, table)
+    partitionFields(schema, table).filterNot(_.isIdentity).foldLeft(df) { (d, f) =>
+      val dt = declared.flatMap(_.fields.find(_.name.equalsIgnoreCase(f.source)))
+        .map(_.dataType).getOrElse(d.schema.fields
+          .find(_.name.equalsIgnoreCase(f.source))
+          .map(_.dataType)
+          .getOrElse(throw new IllegalStateException(
+            s"Partition source ${f.source} missing from write to $schema.$table")))
+      d.withColumn(f.derivedName, f.derive(org.apache.spark.sql.functions.col(f.source), dt))
+    }
   }
 
   /** Declared sort columns (Trino Iceberg `sorted_by`; empty when the
@@ -269,8 +311,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       throw new IllegalStateException(s"Table $schema.$table has no declared schema"))
     require(current.fieldNames.exists(_.equalsIgnoreCase(name)),
       s"Column $name does not exist in $schema.$table")
-    require(!partitionSpec(schema, table).exists(_.equalsIgnoreCase(name)),
-      s"Cannot drop partition column $name of $schema.$table")
+    require(!partitionFields(schema, table).exists(_.source.equalsIgnoreCase(name)),
+      s"Cannot drop partition (source) column $name of $schema.$table")
     // a dropped sort column would leave _sorted_by.json referencing a
     // nonexistent column and every later write failing to resolve it —
     // the same permanent-unwritability hazard as dropping a partition
@@ -300,8 +342,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       s"Column $from does not exist in $schema.$table")
     require(!current.fieldNames.exists(_.equalsIgnoreCase(to)),
       s"Column $to already exists in $schema.$table")
-    require(!partitionSpec(schema, table).exists(_.equalsIgnoreCase(from)),
-      s"Cannot rename partition column $from of $schema.$table")
+    require(!partitionFields(schema, table).exists(_.source.equalsIgnoreCase(from)),
+      s"Cannot rename partition (source) column $from of $schema.$table")
     require(to.matches("""[A-Za-z_]\w*"""), s"Malformed column name: '$to'")
     validateColumnName(to, formatVersion(schema, table))
     writeString(new Path(tableDir(schema, table), "_table_schema.json"),
@@ -399,16 +441,18 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * ones split sorted.
     */
   private def partitionedWriter(schema: String, table: String, df: DataFrame) = {
-    val spec = partitionSpec(schema, table)
+    val fieldsP = partitionFields(schema, table)
     val sorted = sortSpec(schema, table)
+    val withD = withDerivedPartitionCols(schema, table, df)
     val clustered =
-      if (sorted.isEmpty) df
+      if (sorted.isEmpty) withD
       else {
-        val keys = spec.map(c => org.apache.spark.sql.functions.col(c).asc) ++
-          sorted.map(sortCol)
-        df.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
+        val keys = fieldsP.map(f =>
+          org.apache.spark.sql.functions.col(f.derivedName).asc) ++ sorted.map(sortCol)
+        withD.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
       }
-    if (spec.isEmpty) clustered.write else clustered.write.partitionBy(spec: _*)
+    if (fieldsP.isEmpty) clustered.write
+    else clustered.write.partitionBy(fieldsP.map(_.derivedName): _*)
   }
 
   /** Snapshot directory name. PARTITIONED tables use the hive-parseable
@@ -565,14 +609,38 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * match (caller commits a metadata-only no-op without any scan);
     * passes the snapshot through unchanged when it predates manifests.
     */
-  private def restrictByBounds(dir: Path, snap: Option[Snapshot],
+  private def restrictByBounds(schema: String, table: String, snap: Option[Snapshot],
                                cond: Option[org.apache.spark.sql.Column])
     : Either[Unit, Option[Snapshot]] =
     (snap, cond) match {
       case (Some(s), Some(c)) if s.manifestList.isDefined && s.dirs.isEmpty =>
+        val dir = tableDir(schema, table)
         val entries = manifestEntriesOf(dir, s)
+        // partition-transform projection (hidden partitioning): a
+        // top-level conjunct equality on a transform SOURCE implies an
+        // exact derived directory value — `id = 5` on a
+        // `bucket(16, id)` table prunes every file outside bucket(5)'s
+        // directories, which source min/max bounds alone cannot do (a
+        // hash scatters the source range across every bucket)
+        val transforms = partitionFields(schema, table).filterNot(_.isIdentity)
+        val derivedChecks: Seq[DataFileEntry => Boolean] =
+          if (transforms.isEmpty) Nil
+          else {
+            val declared = declaredSchema(schema, table)
+            for {
+              (name, v) <- org.apache.spark.sql.GraftBoundsBridge.conjunctEqualities(c)
+              f <- transforms if f.source.equalsIgnoreCase(name)
+              dt <- declared.flatMap(_.fields.find(_.name.equalsIgnoreCase(f.source)))
+                .map(_.dataType).toSeq
+              dv <- f.deriveValue(v, dt).toSeq
+            } yield (e: DataFileEntry) =>
+              Manifests.boundsFor(e, f.derivedName).forall(cb =>
+                Manifests.nodeLiteralIn(cb, dv).forall(x =>
+                  Manifests.eqContains(cb, x, e)))
+          }
         val candidates = entries.filter(e =>
-          org.apache.spark.sql.GraftBoundsBridge.mayMatchColumn(c, e))
+          org.apache.spark.sql.GraftBoundsBridge.mayMatchColumn(c, e) &&
+            derivedChecks.forall(_(e)))
         if (candidates.isEmpty && entries.nonEmpty) Left(())
         else if (candidates.size == entries.size) Right(snap)
         else Right(Some(s.copy(dirs = candidates.map(_.path), manifestList = None)))
@@ -692,6 +760,12 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           // is a single scan whatever the commit count
           reader.parquet(paths: _*)
         else if (relPaths.forall(_.startsWith("_snap="))) {
+          // derived transform-partition dirs (`ts_month=…`) scan as extra
+          // string partition columns exactly like `_snap` and are dropped
+          // — hidden partitioning: the user-visible schema shows only the
+          // SOURCE columns (which data files store)
+          val derivedNames = partitionFields(schema, table)
+            .filterNot(_.isIdentity).map(_.derivedName)
           // partitioned: snap dirs are hive-parseable (`_snap=<tag>`), so
           // ONE read rooted at the table dir covers every commit —
           // partition discovery scans `_snap` plus the real partition
@@ -700,12 +774,13 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           // and the plan stays O(1) in commit count (the scan's FILE LIST
           // grows with commits, the PLAN must not — a per-dir unionByName
           // would analyze a 200-branch union on a 200-commit table).
-          val withSnap = declared.map(_.add("_snap",
-            org.apache.spark.sql.types.StringType, nullable = true))
+          val withSnap = declared.map(s0 =>
+            ("_snap" +: derivedNames).foldLeft(s0)(
+              _.add(_, org.apache.spark.sql.types.StringType, nullable = true)))
           withSnap.map(spark.read.schema(_)).getOrElse(spark.read)
             .option("basePath", dir.toString)
             .parquet(paths: _*)
-            .drop("_snap")
+            .drop("_snap" +: derivedNames: _*)
         } else
           // legacy partitioned layout (pre-`_snap=` dirs, or a log mixing
           // both): per-dir discovery roots unioned by name — correct, just
@@ -747,6 +822,13 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     */
   def manifestNames(schema: String, table: String, snap: Snapshot): Seq[String] =
     snap.manifestList.toSeq.flatMap(readManifestList(tableDir(schema, table), _))
+
+  /** Manifest entries of a snapshot — the public metadata view (per-file
+    * record counts, sizes, column min/max bounds) served without opening
+    * any data file.
+    */
+  def manifestEntries(schema: String, table: String, snap: Snapshot): Seq[DataFileEntry] =
+    manifestEntriesOf(tableDir(schema, table), snap)
 
   // ---- rewrite DML: upsert / delete (Iceberg MERGE INTO / DELETE FROM
   //      equivalents — copy-on-write rewrite commits) ----
@@ -1174,7 +1256,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     // manifest-bounds file skipping: the probe scans only files whose
     // bounds MAY match; when bounds prove no file can, commit the no-op
     // without launching any job
-    val probeSnap = restrictByBounds(dir, current, Some(hit)) match {
+    val probeSnap = restrictByBounds(schema, table, current, Some(hit)) match {
       case Left(()) =>
         val snap = Snapshot(id, at, entries, schemaJson, Some("overwrite"),
           prevDeletes, current.flatMap(_.manifestList))
@@ -1408,7 +1490,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     // files whose bounds MAY match the predicate (provably-unmatched
     // files skip the probe scan AND carry by manifest reference); bounds
     // proving NO file can match commit the no-op without any Spark job
-    val probeSnap = restrictByBounds(dir, current, probeCond) match {
+    val probeSnap = restrictByBounds(schema, table, current, probeCond) match {
       case Left(()) if !emitWhenUntouched => return noOp()
       case Left(())                       => current
       case Right(s)                       => s
@@ -1781,21 +1863,24 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val at = math.max(System.currentTimeMillis(), commits.last.committedAtMillis + 1)
     val snapDir = snapDirName(schema, table, s"${attemptTag(id)}-compacted")
     val sorted = sortSpec(schema, table)
-    val spec = partitionSpec(schema, table)
+    val fieldsP = partitionFields(schema, table)
+    // derived transform-partition columns were dropped on read — re-derive
+    val base = withDerivedPartitionCols(schema, table, readLatest(schema, table))
     val compacted =
-      if (sorted.isEmpty) readLatest(schema, table).coalesce(numFiles)
+      if (sorted.isEmpty) base.coalesce(numFiles)
       else {
         // sorted table: hit the target file count WITH the sort order —
         // an explicit numFiles-way range shuffle + in-task sort instead
         // of coalesce (which would interleave sorted inputs)
-        val keys = spec.map(c => org.apache.spark.sql.functions.col(c).asc) ++
-          sorted.map(sortCol)
-        readLatest(schema, table)
-          .repartitionByRange(numFiles, keys: _*).sortWithinPartitions(keys: _*)
+        val keys = fieldsP.map(f =>
+          org.apache.spark.sql.functions.col(f.derivedName).asc) ++ sorted.map(sortCol)
+        base.repartitionByRange(numFiles, keys: _*).sortWithinPartitions(keys: _*)
       }
     // write directly (not partitionedWriter — its AQE-sized clustering
     // shuffle would override the explicit numFiles layout)
-    val w = if (spec.isEmpty) compacted.write else compacted.write.partitionBy(spec: _*)
+    val w =
+      if (fieldsP.isEmpty) compacted.write
+      else compacted.write.partitionBy(fieldsP.map(_.derivedName): _*)
     w.mode("errorifexists").parquet(new Path(dir, snapDir).toString)
     // rewrite: references only its own (freshly-manifested) files; the
     // compaction read applied pending deletes, so none carry forward

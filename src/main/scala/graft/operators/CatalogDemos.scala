@@ -301,12 +301,18 @@ object CatalogDemos {
         .filter(col("content") === 0).select("file_path")
         .collect().map(_.getString(0)).toSeq
       val before = files()
-      val ranges = before.map { p =>
-        val r = s.read.parquet(p)
-          .agg(org.apache.spark.sql.functions.min("o_orderkey"),
-            org.apache.spark.sql.functions.max("o_orderkey")).head()
-        (r.getLong(0), r.getLong(1))
-      }.sortBy(_._1)
+      // per-file sort-key ranges come from MANIFEST BOUNDS — the metadata
+      // the sorted write recorded at commit time. Zero Spark jobs, zero
+      // footer reads (the previous per-file `read.parquet(p).agg(min,max)`
+      // loop launched one job per file — round-7's slowest bench entry)
+      val ranges = engine.catalog
+        .manifestEntries("demo", "orders_sorted",
+          engine.catalog.snapshots("demo", "orders_sorted").last)
+        .flatMap(_.bounds.collectFirst {
+          case (k, cb) if k.equalsIgnoreCase("o_orderkey") &&
+            cb.min != null && cb.max != null => (cb.min.toLong, cb.max.toLong)
+        })
+        .sortBy(_._1)
       val disjoint = ranges.sliding(2).forall {
         case Seq((_, hi1), (lo2, _)) => hi1 < lo2
         case _                       => true
@@ -339,6 +345,69 @@ object CatalogDemos {
       |       TRUE AS rewrote_single_file""".stripMargin
 
   private[graft] val sortedDemoWarehouse = "/tmp/graft-sorted-demo-warehouse"
+
+  private[graft] val transformDemoWarehouse = "/tmp/graft-transform-demo-warehouse"
+
+  /** Partition transforms end-to-end (Trino Iceberg hidden partitioning):
+    * a `month(o_orderdate)` + `bucket(4, o_orderkey)` table built via
+    * SQL-text DDL, a point DELETE on (key, date), and the proof it pruned
+    * BOTH ways — the rewrite touched files in exactly one month directory
+    * and exactly one bucket directory (everything else carried by
+    * manifest reference). The pruning booleans are literals the Spark
+    * side must have OBSERVED true on the physical file sets; the row
+    * arithmetic is relational and the oracle recomputes it from orders.
+    */
+  def transformPartitionDemo(s: SparkSession, d: String): DataFrame = {
+    val wh = new org.apache.hadoop.fs.Path(transformDemoWarehouse)
+    val whFs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (whFs.exists(wh)) whFs.delete(wh, true)
+    val engine = new GraftEngine(s, transformDemoWarehouse)
+    engine.executeNonQuery(graft.params.SqlStatement(
+      """CREATE TABLE demo.orders_tp (
+        |  o_orderkey bigint, o_orderdate date, o_totalprice double
+        |) WITH (partitioning = ARRAY['month(o_orderdate)', 'bucket(4, o_orderkey)'])""".stripMargin))
+    // the source stores o_orderdate as timestamp; the demo table declares
+    // DATE (the natural type for month partitioning)
+    val orders = graft.Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"),
+        col("o_totalprice"))
+    engine.catalog.insert("demo", "orders_tp", orders)
+    val c = engine.catalog
+    // the victim: the minimum order key (deterministic for the oracle)
+    val victim = orders.agg(org.apache.spark.sql.functions.min("o_orderkey"))
+      .head().getLong(0)
+    val victimDate = orders.filter(col("o_orderkey") === victim)
+      .select("o_orderdate").head().getDate(0)
+    val before = c.dataFilePaths("demo", "orders_tp",
+      c.snapshots("demo", "orders_tp").last).toSet
+    engine.executeNonQuery(graft.params.SqlStatement(
+      s"DELETE FROM demo.orders_tp WHERE o_orderkey = $victim AND " +
+        s"o_orderdate = DATE '$victimDate'"))
+    val after = c.dataFilePaths("demo", "orders_tp",
+      c.snapshots("demo", "orders_tp").last).toSet
+    val rewritten = before.diff(after)
+    def dirVals(prefix: String) =
+      rewritten.flatMap(_.split('/').find(_.startsWith(prefix)))
+    val oneMonth = rewritten.nonEmpty && dirVals("o_orderdate_month=").size == 1
+    val oneBucket = rewritten.nonEmpty && dirVals("o_orderkey_bucket=").size == 1
+    engine.query(graft.params.SqlStatement(
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+        |FROM demo.orders_tp""".stripMargin))
+      .withColumn("pruned_one_month", lit(oneMonth))
+      .withColumn("pruned_one_bucket", lit(oneBucket))
+  }
+
+  /** DuckDB twin of [[transformPartitionDemo]]: row arithmetic over
+    * orders minus the minimum-key row; the two pruning booleans are
+    * literals the Spark side must have observed on the real rewrite set.
+    */
+  val transformPartitionDemoSql: String =
+    """SELECT (SELECT COUNT(*) - 1 FROM orders) AS n_rows,
+      |       (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+      |        FROM orders
+      |        WHERE o_orderkey <> (SELECT MIN(o_orderkey) FROM orders)) AS total,
+      |       TRUE AS pruned_one_month, TRUE AS pruned_one_bucket""".stripMargin
 
   /** Metadata tables + rollback end-to-end: a commit history (two appends,
     * an overwrite DELETE, a compaction, a rollback) inspected through

@@ -87,4 +87,64 @@ object GraftBoundsBridge {
       case a: UnresolvedAttribute => Manifests.boundsFor(entry, a.nameParts.last)
       case _ => None
     }
+
+  /** TOP-LEVEL conjunct equality comparisons `(column, user-space value)`
+    * of a predicate — what partition-transform projection may strengthen
+    * (an equality under an OR is NOT returned: augmenting from it would
+    * over-prune). Values normalize to user space (UTF8String → String,
+    * date days → LocalDate, timestamp micros → Instant) so transform
+    * `deriveValue` implementations see one representation.
+    */
+  def conjunctEqualities(c: Column): Seq[(String, Any)] = nodeConj(c.node)
+
+  private def nodeConj(n: ColumnNode): Seq[(String, Any)] = n match {
+    case f: UnresolvedFunction => f.functionName match {
+      case "and" => f.arguments.flatMap(nodeConj)
+      case "coalesce" if f.arguments.length == 2 => f.arguments(1) match {
+        case l: NodeLit if l.value == false => nodeConj(f.arguments(0))
+        case _ => Nil
+      }
+      case "=" | "==" => f.arguments match {
+        case Seq(a: UnresolvedAttribute, l: NodeLit) if l.value != null =>
+          Seq((a.nameParts.last, l.value))
+        case Seq(l: NodeLit, a: UnresolvedAttribute) if l.value != null =>
+          Seq((a.nameParts.last, l.value))
+        case _ => Nil
+      }
+      case _ => Nil
+    }
+    case e: classic.ExpressionColumnNode => catalystConj(e.expression)
+    case _ => Nil
+  }
+
+  private def catalystConj(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[(String, Any)] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute => CatAttr}
+    def name(x: Expression): Option[String] = x match {
+      case a: CatAttr             => Some(a.nameParts.last)
+      case a: AttributeReference  => Some(a.name)
+      case _ => None
+    }
+    def user(v: Any, dt: org.apache.spark.sql.types.DataType): Any = (v, dt) match {
+      case (s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+      case (days: Int, org.apache.spark.sql.types.DateType) =>
+        java.time.LocalDate.ofEpochDay(days.toLong)
+      case (micros: Long, org.apache.spark.sql.types.TimestampType |
+                          org.apache.spark.sql.types.TimestampNTZType) =>
+        java.time.Instant.ofEpochSecond(
+          java.lang.Math.floorDiv(micros, 1000000L),
+          java.lang.Math.floorMod(micros, 1000000L) * 1000L)
+      case (other, _) => other
+    }
+    e match {
+      case And(l, r) => catalystConj(l) ++ catalystConj(r)
+      case Coalesce(Seq(x, Literal.FalseLiteral)) => catalystConj(x)
+      case EqualTo(a, Literal(v, dt)) if v != null =>
+        name(a).map(n => (n, user(v, dt))).toSeq
+      case EqualTo(Literal(v, dt), a) if v != null =>
+        name(a).map(n => (n, user(v, dt))).toSeq
+      case _ => Nil
+    }
+  }
 }
