@@ -155,10 +155,34 @@ object DevFuzzTravel {
         java.time.Instant.ofEpochMilli(snaps(asOfK - 1).committedAtMillis),
         java.time.ZoneOffset.UTC)
         .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
-      val travelRef = if (rnd.nextBoolean())
-        s"fz.t FOR VERSION AS OF $asOfK"
-      else
-        s"fz.t FOR TIMESTAMP AS OF TIMESTAMP '$ts'"
+      // a third of the travel reads go through a NAMED REF instead of an
+      // id/timestamp: a tag pinned at snapshot asOfK, or a branch created
+      // there and advanced by one branch-only insert (main must not see
+      // it; the oracle models the branch state explicitly)
+      val refKind = rnd.nextInt(3)
+      var branchCte: Option[String] = None
+      val travelRef = refKind match {
+        case 0 => s"fz.t FOR VERSION AS OF $asOfK"
+        case 1 => s"fz.t FOR TIMESTAMP AS OF TIMESTAMP '$ts'"
+        case _ =>
+          if (rnd.nextBoolean()) {
+            engine.executeNonQuery(params.SqlStatement(
+              s"CALL system.create_tag('fz', 't', 'tagk', $asOfK)"))
+            "fz.t FOR VERSION AS OF 'tagk'"
+          } else {
+            val bPred = pred()
+            engine.executeNonQuery(params.SqlStatement(
+              s"CALL system.create_branch('fz', 't', 'br', $asOfK)"))
+            engine.catalog.branch("br").insert("fz", "t", spark.sql(
+              "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, " +
+                s"CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation WHERE $bPred"))
+            branchCte = Some(
+              s"brslice AS (SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, " +
+                s"n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey " +
+                s"FROM nation WHERE $bPred)")
+            "fz.t FOR VERSION AS OF 'br'"
+          }
+      }
       val useUnqualified = rnd.nextBoolean()
       if (useUnqualified) engine.executeNonQuery(params.SqlStatement("USE fz"))
 
@@ -187,7 +211,11 @@ object DevFuzzTravel {
       val v2Cte =
         if (v2OverTravel) s"v2 AS (SELECT $cols FROM st$v2K WHERE $v2Pred)"
         else s"v2 AS (SELECT n_nationkey, n_name FROM v1 WHERE $v2Pred)"
-      val travelCte = s"tprev AS (SELECT * FROM st$asOfK)"
+      val travelCte = branchCte match {
+        case Some(_) =>
+          s"tprev AS (SELECT * FROM st$asOfK UNION ALL SELECT * FROM brslice)"
+        case None => s"tprev AS (SELECT * FROM st$asOfK)"
+      }
       val finalOracle = finalSql match {
         case q if q.startsWith("SELECT v.n_nationkey") =>
           "SELECT v.n_nationkey, v.n_name, count(*) AS n_old " +
@@ -202,8 +230,9 @@ object DevFuzzTravel {
             s"FROM (VALUES ${ops.mkString(", ")}) AS s(snapshot_id, operation) " +
             "ORDER BY s.snapshot_id"
       }
-      val oracleSql = (sliceCtes ++ stateCtes ++ Seq(v1Cte, v2Cte, travelCte))
-        .mkString("WITH ", ", ", " ") + finalOracle
+      val oracleSql =
+        (sliceCtes ++ stateCtes ++ branchCte.toSeq ++ Seq(v1Cte, v2Cte, travelCte))
+          .mkString("WITH ", ", ", " ") + finalOracle
       name -> oracleSql
       }
     }

@@ -394,11 +394,28 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
             try { catalog.rollbackToSnapshot(schema, table, id); 0L }
             catch { case e: IllegalArgumentException =>
               throw new GraftQueryException(sqlText, e.getMessage, e) }
+          case "create_branch" | "drop_branch" | "create_tag" | "drop_tag" |
+               "fast_forward" =>
+            val name = args.getOrElse("name",
+              throw new GraftQueryException(sqlText, s"$proc requires a ref name"))
+            val snapId = args.get("snapshot_id").map(_.toLong)
+            try {
+              proc match {
+                case "create_branch" => catalog.createBranch(schema, table, name, snapId)
+                case "drop_branch"   => catalog.dropBranch(schema, table, name)
+                case "create_tag"    => catalog.createTag(schema, table, name, snapId)
+                case "drop_tag"      => catalog.dropTag(schema, table, name)
+                case "fast_forward"  => catalog.fastForward(schema, table, name)
+              }
+              0L
+            } catch { case e: IllegalArgumentException =>
+              throw new GraftQueryException(sqlText, e.getMessage, e) }
           case other =>
             throw new GraftQueryException(sqlText,
               s"Unsupported ALTER TABLE EXECUTE procedure: $other " +
                 "(supported: optimize, expire_snapshots, remove_orphan_files, " +
-                "rollback_to_snapshot)")
+                "rollback_to_snapshot, create_branch, drop_branch, create_tag, " +
+                "drop_tag, fast_forward)")
         }
     }
 
@@ -878,7 +895,7 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
     """(?is)\b((?:[A-Za-z_]\w*\.){0,2}[A-Za-z_]\w*)\s+FOR\s+TIMESTAMP\s+AS\s+OF\s+TIMESTAMP\s+'([^']+)'""".r
 
   private val versionTravelRe =
-    """(?is)\b((?:[A-Za-z_]\w*\.){0,2}[A-Za-z_]\w*)\s+FOR\s+VERSION\s+AS\s+OF\s+(\d+)""".r
+    """(?is)\b((?:[A-Za-z_]\w*\.){0,2}[A-Za-z_]\w*)\s+FOR\s+VERSION\s+AS\s+OF\s+(\d+|'[A-Za-z][A-Za-z0-9_]*')""".r
 
   /** Rewrite `FROM [catalog.]<schema>.<table> FOR TIMESTAMP AS OF
     * TIMESTAMP '<ts>'` (the reference's only time-travel form,
@@ -899,18 +916,31 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
     })
     val spans2 = literalSpans(tsDone)
     versionTravelRe.replaceAllIn(tsDone, m => {
-      if (overlapsLiteral(spans2, m.start, m.end))
+      // a quoted-ref match CONTAINS a literal (the ref name), so only the
+      // match start decides whether we're inside a string
+      if (overlapsLiteral(spans2, m.start, m.start + 1))
         java.util.regex.Matcher.quoteReplacement(m.matched)
       else {
         val parts = m.group(1).split("\\.")
         val (sch, tbl) =
           if (parts.length >= 2) (parts(parts.length - 2), parts.last)
           else (sessionSchema, parts(0))
-        val id = m.group(2).toLong
-        val view = s"_tv_${sch}_${tbl}_${nameTag(sch, tbl)}_$id"
-        try catalog.readVersion(sch, tbl, id).createOrReplaceTempView(view)
-        catch { case e: IllegalArgumentException =>
-          throw new GraftQueryException(sql, e.getMessage, e) }
+        val arg = m.group(2)
+        val (df, tag) =
+          if (arg.startsWith("'")) {
+            // Trino Iceberg's branch/tag read: FOR VERSION AS OF '<ref>'
+            val ref = arg.stripPrefix("'").stripSuffix("'")
+            (try catalog.readRef(sch, tbl, ref)
+            catch { case e: IllegalArgumentException =>
+              throw new GraftQueryException(sql, e.getMessage, e) }, ref)
+          } else {
+            val id = arg.toLong
+            (try catalog.readVersion(sch, tbl, id)
+            catch { case e: IllegalArgumentException =>
+              throw new GraftQueryException(sql, e.getMessage, e) }, id.toString)
+          }
+        val view = s"_tv_${sch}_${tbl}_${nameTag(sch, tbl)}_$tag"
+        df.createOrReplaceTempView(view)
         java.util.regex.Matcher.quoteReplacement(view)
       }
     })

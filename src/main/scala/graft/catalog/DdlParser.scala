@@ -139,6 +139,11 @@ object DdlParser {
   //   snapshot_id => id); normalized onto the ALTER…EXECUTE statement
   private val callRollbackRe =
     """(?is)^\s*CALL\s+(?:[\w.]*\bsystem\.)?rollback_to_snapshot\s*\(\s*(.*?)\s*\)\s*;?\s*$""".r
+  // named-ref procedures (Nessie-style branches/tags over the snapshot
+  // log): CALL system.create_branch('sch','tbl','name'[, snapshot_id])
+  // etc., positional or name => value
+  private val callRefRe =
+    """(?is)^\s*CALL\s+(?:[\w.]*\bsystem\.)?(create_branch|drop_branch|create_tag|drop_tag|fast_forward)\s*\(\s*(.*?)\s*\)\s*;?\s*$""".r
   private val deleteRe =
     """(?is)^\s*DELETE\s+FROM\s+([\w.]+)\s*(.*?)\s*;?\s*$""".r
   private val updateRe =
@@ -239,6 +244,29 @@ object DdlParser {
       val id = kv.getOrElse("snapshot_id",
         throw new IllegalArgumentException("CALL rollback_to_snapshot: missing snapshot_id"))
       Some(AlterExecuteStmt(sch, tbl, "rollback_to_snapshot", Map("snapshot_id" -> id)))
+    case callRefRe(proc, argText) =>
+      val parts = splitQuotedTopLevel(argText)
+      def strip(s: String) = s.trim.stripPrefix("'").stripSuffix("'")
+      val named = parts.forall(_.contains("=>"))
+      val kv: Map[String, String] =
+        if (named) parts.map { p =>
+          val Array(k, v) = p.split("=>", 2)
+          k.trim.toLowerCase -> strip(v)
+        }.toMap
+        else {
+          require(parts.length >= 3,
+            s"CALL $proc expects (schema, table, name[, snapshot_id]), got: $argText")
+          Map("schema_name" -> strip(parts(0)), "table_name" -> strip(parts(1)),
+            "name" -> strip(parts(2))) ++
+            parts.lift(3).map(p => "snapshot_id" -> strip(p))
+        }
+      val sch = kv.get("schema_name").orElse(kv.get("schema")).getOrElse(
+        throw new IllegalArgumentException(s"CALL $proc: missing schema"))
+      val tbl = kv.get("table_name").orElse(kv.get("table")).getOrElse(
+        throw new IllegalArgumentException(s"CALL $proc: missing table"))
+      require(kv.contains("name"), s"CALL $proc: missing ref name")
+      Some(AlterExecuteStmt(sch, tbl, proc.toLowerCase,
+        kv -- Seq("schema_name", "schema", "table_name", "table")))
     case deleteRe(name, rest) =>
       val (sch, tbl) = tableOf(name)
       val where = rest.trim match {

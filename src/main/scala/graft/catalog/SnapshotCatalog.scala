@@ -1909,8 +1909,12 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val reallyExpired = commits.filterNot(c => kept.exists(_.snapshotId == c.snapshotId))
     if (reallyExpired.isEmpty) return Nil
     // delete-file dirs participate like data dirs: referenced by a kept
-    // snapshot → stay; referenced only by expired snapshots → reclaimed
-    val referenced = kept.flatMap(c => c.dirs ++ c.deletes).toSet
+    // snapshot → stay; referenced only by expired snapshots → reclaimed.
+    // branch heads and pinned tags protect their snapshots' files exactly
+    // like kept main-log snapshots (a branch outliving main-log expiry
+    // must keep reading)
+    val protectedSnaps = kept ++ refSnapshots(schema, table)
+    val referenced = protectedSnaps.flatMap(c => c.dirs ++ c.deletes).toSet
     val orphanEntries = reallyExpired.flatMap(c => c.dirs ++ c.deletes).toSet -- referenced
     val f = fs(dir)
     val tableKey = f.makeQualified(dir).toUri.getPath
@@ -1923,7 +1927,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     // manifest names them).
     val keptFiles: Set[String] =
       referenced.flatMap(e => dataFilesUnder(new Path(dir, e)).map(_.toUri.getPath)) ++
-        kept.flatMap(c => manifestEntriesOf(dir, c)).map(e => s"$tableKey/${e.path}")
+        protectedSnaps.flatMap(c => manifestEntriesOf(dir, c)).map(e => s"$tableKey/${e.path}")
     orphanEntries.foreach { dn =>
       val p = new Path(dir, dn)
       val mine = dataFilesUnder(p)
@@ -1937,8 +1941,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     // are swept
     def mNames(c: Snapshot): Seq[String] =
       c.manifestList.toSeq.flatMap(readManifestList(dir, _))
-    val keptM = kept.flatMap(mNames).toSet
-    val keptMl = kept.flatMap(_.manifestList).toSet
+    val keptM = protectedSnaps.flatMap(mNames).toSet
+    val keptMl = protectedSnaps.flatMap(_.manifestList).toSet
     val expiredM = reallyExpired.flatMap(mNames).toSet -- keptM
     val expiredMl = reallyExpired.flatMap(_.manifestList).toSet -- keptMl
     val touchedTop = scala.collection.mutable.Set.empty[String]
@@ -1967,7 +1971,9 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
   def removeOrphanFiles(schema: String, table: String): Seq[String] = synchronized {
     val dir = tableDir(schema, table)
     val f = fs(dir)
-    val commits = readCommits(schema, table)
+    // all refs' snapshots count as referencing: main log, branch logs,
+    // pinned tags — a branch-only snap dir is NOT debris
+    val commits = readCommits(schema, table) ++ refSnapshots(schema, table)
     // compare TOP-LEVEL names: a file-granular CoW entry
     // (`snapA/part-x.parquet`) references its enclosing snap dir, and a
     // manifest entry references the snap dir its path starts with —
@@ -1978,13 +1984,15 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       .map(_.split('/').head).toSet
     val keep = referenced ++
       Set("commits.json", "_table_schema.json", "_partition_spec.json",
-        "_comments.json", "_format_version", "_sorted_by.json", "_manifests")
+        "_comments.json", "_format_version", "_sorted_by.json", "_manifests",
+        "_tags.json")
     val orphans = f.listStatus(dir)
       .map(_.getPath)
       .filterNot(p => keep.contains(p.getName) ||
-        commitGenRe.pattern.matcher(p.getName).matches())
+        commitGenRe.pattern.matcher(p.getName).matches() ||
+        branchLogRe.pattern.matcher(p.getName).matches())
     orphans.foreach(p => f.delete(p, true))
-    // inside _manifests: manifest/manifest-list files no commit references
+    // inside _manifests: manifest/manifest-list files no ref references
     // (losers of commit races stage manifests BEFORE the rename decides —
     // same debris class as orphaned snap dirs)
     val mlRef = commits.flatMap(_.manifestList).toSet
@@ -1999,6 +2007,166 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     (orphans.map(_.getName) ++ mOrphans.map(p => s"_manifests/${p.getName}")).toSeq
   }
 
+  // ---- branches and tags (Nessie-style named refs — the reference's
+  //      catalog IS Nessie, docker-compose.yml:36 /
+  //      TrinoConfigurationProvider.cs:45-47; Iceberg refs give the same
+  //      queryable surface: write-to-branch, FOR VERSION AS OF 'ref',
+  //      fast-forward) ----
+
+  private def refNameOk(name: String): Boolean =
+    name.matches("[A-Za-z][A-Za-z0-9_]*") && name != "main"
+
+  /** A catalog VIEW of the same warehouse addressed through branch
+    * `name`: every read, time travel, and DML commits against that
+    * branch's own generation-versioned log (`branch-<name>-<gen>.json`),
+    * with per-ref optimistic concurrency from the same exclusive-rename
+    * protocol — while data files, manifests, and the declared schema stay
+    * shared with the table. Writes through the view advance ONLY the
+    * branch; `main` never sees them until [[fastForward]].
+    */
+  def branch(name: String): SnapshotCatalog = {
+    require(refNameOk(name), s"Malformed branch name: '$name'")
+    new SnapshotCatalog(spark, warehouse) {
+      override protected def logPrefix: String = s"branch-$name"
+    }
+  }
+
+  def branchExists(schema: String, table: String, name: String): Boolean =
+    listBranches(schema, table).contains(name)
+
+  private val branchLogRe = """branch-([A-Za-z][A-Za-z0-9_]*)-\d+\.json""".r
+
+  def listBranches(schema: String, table: String): Seq[String] = {
+    val dir = tableDir(schema, table)
+    val f = fs(dir)
+    if (!f.exists(dir)) return Nil
+    f.listStatus(dir).iterator.map(_.getPath.getName).collect {
+      case branchLogRe(n) => n
+    }.toSeq.distinct.sorted
+  }
+
+  /** CALL system.create_branch: the branch starts at `fromSnapshotId`
+    * (default: the current main head) by COPYING the snapshot list up to
+    * it — cheap, since snapshots carry manifests by name. Exclusive
+    * generation-0 create arbitrates concurrent creators.
+    */
+  def createBranch(schema: String, table: String, name: String,
+                   fromSnapshotId: Option[Long] = None): Unit = synchronized {
+    require(tableExists(schema, table), s"Table $schema.$table does not exist")
+    require(refNameOk(name), s"Malformed branch name: '$name'")
+    require(!branchExists(schema, table, name),
+      s"Branch $name already exists on $schema.$table")
+    val commits = readCommits(schema, table)
+    val base = fromSnapshotId match {
+      case None => commits
+      case Some(id) =>
+        val i = commits.indexWhere(_.snapshotId == id)
+        require(i >= 0, s"Snapshot $id does not exist in $schema.$table")
+        commits.take(i + 1)
+    }
+    branch(name).writeCommits(schema, table, base, -1L)
+  }
+
+  /** DROP BRANCH: the ref's log files go away; data files it alone
+    * referenced become unreferenced debris for removeOrphanFiles.
+    */
+  def dropBranch(schema: String, table: String, name: String): Unit = synchronized {
+    require(branchExists(schema, table, name),
+      s"Branch $name does not exist on $schema.$table")
+    val dir = tableDir(schema, table)
+    val f = fs(dir)
+    f.listStatus(dir).map(_.getPath).foreach { p =>
+      p.getName match {
+        case branchLogRe(n) if n == name => f.delete(p, false)
+        case _ => ()
+      }
+    }
+  }
+
+  /** Fast-forward MAIN to branch `name` — allowed only when main has not
+    * advanced since the branch last contained it (the branch's snapshot
+    * list literally starts with main's list); otherwise the refs have
+    * diverged and a fast-forward would drop main's commits.
+    */
+  def fastForward(schema: String, table: String, name: String): Unit = synchronized {
+    require(branchExists(schema, table, name),
+      s"Branch $name does not exist on $schema.$table")
+    val (mainCommits, mainGen) = readCommitsWithGen(schema, table)
+    val (branchCommits, _) = branch(name).readCommitsWithGen(schema, table)
+    require(branchCommits.size >= mainCommits.size &&
+      branchCommits.take(mainCommits.size) == mainCommits,
+      s"main has diverged from branch $name on $schema.$table " +
+        "(not fast-forwardable)")
+    if (branchCommits.size > mainCommits.size)
+      writeCommits(schema, table, branchCommits, mainGen)
+  }
+
+  // tags: immutable named pointers; the full snapshot entry is PINNED in
+  // _tags.json, so a tag read survives main-log expiry of the snapshot
+  // (data reclamation respects tag references — see expireSnapshots)
+  private def tagsPath(schema: String, table: String) =
+    new Path(tableDir(schema, table), "_tags.json")
+
+  def listTags(schema: String, table: String): Map[String, Snapshot] = {
+    val p = tagsPath(schema, table)
+    if (!fs(p).exists(p)) return Map.empty
+    mapper.readTree(readString(p)).properties().asScala
+      .map(e => e.getKey -> snapshotFromNode(e.getValue)).toMap
+  }
+
+  def createTag(schema: String, table: String, name: String,
+                snapshotId: Option[Long] = None): Unit = synchronized {
+    require(tableExists(schema, table), s"Table $schema.$table does not exist")
+    require(refNameOk(name), s"Malformed tag name: '$name'")
+    val tags = listTags(schema, table)
+    require(!tags.contains(name), s"Tag $name already exists on $schema.$table")
+    val commits = readCommits(schema, table)
+    require(commits.nonEmpty, s"Cannot tag an empty history on $schema.$table")
+    val snap = snapshotId match {
+      case None => commits.last
+      case Some(id) => commits.find(_.snapshotId == id).getOrElse(
+        throw new IllegalArgumentException(
+          s"Snapshot $id does not exist in $schema.$table"))
+    }
+    writeTags(schema, table, tags + (name -> snap))
+  }
+
+  def dropTag(schema: String, table: String, name: String): Unit = synchronized {
+    val tags = listTags(schema, table)
+    require(tags.contains(name), s"Tag $name does not exist on $schema.$table")
+    writeTags(schema, table, tags - name)
+  }
+
+  private def writeTags(schema: String, table: String,
+                        tags: Map[String, Snapshot]): Unit = {
+    val o = mapper.createObjectNode()
+    tags.toSeq.sortBy(_._1).foreach { case (n, s) =>
+      snapshotIntoNode(s, o.putObject(n))
+    }
+    writeString(tagsPath(schema, table), mapper.writeValueAsString(o))
+  }
+
+  /** Read a named ref: a branch's head, a pinned tag (snapshot-schema
+    * faithful, like any time travel), or 'main'. The string form behind
+    * SQL `FOR VERSION AS OF '<ref>'` (Trino Iceberg branch/tag reads).
+    */
+  def readRef(schema: String, table: String, ref: String): DataFrame =
+    if (ref == "main") readLatest(schema, table)
+    else if (branchExists(schema, table, ref)) branch(ref).readLatest(schema, table)
+    else listTags(schema, table).get(ref) match {
+      case Some(snap) => readSnapshot(schema, table, Some(snap), useSnapshotSchema = true)
+      case None => throw new IllegalArgumentException(
+        s"Ref '$ref' is neither a branch nor a tag of $schema.$table")
+    }
+
+  /** Snapshots referenced by OTHER refs (branches + tags) — what data
+    * reclamation must protect beyond the main log.
+    */
+  private def refSnapshots(schema: String, table: String): Seq[Snapshot] =
+    listBranches(schema, table)
+      .flatMap(b => branch(b).readCommitsWithGen(schema, table)._1) ++
+      listTags(schema, table).values
+
   // ---- commit log I/O (driver-side metadata only) ----
   //
   // The commit log is GENERATION-VERSIONED (Iceberg's v<N>.metadata.json
@@ -2012,8 +2180,18 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
   // generation present; a legacy single `commits.json` (pre-versioning
   // layout) reads as generation 0.
 
-  private val commitGenRe = """commits-(\d+)\.json""".r
-  private def genPath(dir: Path, gen: Long) = new Path(dir, f"commits-$gen%06d.json")
+  /** Commit-log file prefix — "commits" for the main ref; a branch view
+    * ([[branch]]) overrides it to `branch-<name>`, which makes EVERY
+    * catalog operation (reads, time travel, the whole DML machinery)
+    * address that branch's own generation-versioned log while sharing the
+    * table's data/manifest storage — the Nessie model of named refs over
+    * shared immutable snapshots.
+    */
+  protected def logPrefix: String = "commits"
+  private lazy val commitGenRe =
+    (java.util.regex.Pattern.quote(logPrefix) + """-(\d+)\.json""").r
+  private def genPath(dir: Path, gen: Long) =
+    new Path(dir, f"$logPrefix-$gen%06d.json")
 
   /** (snapshot list, commit-log generation it was read at). (Nil, -1) for
     * a table directory with no commit log at all.
@@ -2029,29 +2207,43 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     if (gens.nonEmpty) {
       val g = gens.max
       (parseCommits(readString(genPath(dir, g))), g)
-    } else {
+    } else if (logPrefix == "commits") {
       val legacy = new Path(dir, "commits.json")
       if (!f.exists(legacy)) (Nil, -1L)
       else (parseCommits(readString(legacy)), 0L)
-    }
+    } else (Nil, -1L) // a ref with no log yet
   }
 
   private def readCommits(schema: String, table: String): Seq[Snapshot] =
     readCommitsWithGen(schema, table)._1
 
-  private def parseCommits(json: String): Seq[Snapshot] = {
-    val root = mapper.readTree(json)
-    root.elements.asScala.map { n =>
-      Snapshot(
-        n.get("snapshotId").asLong,
-        n.get("committedAtMillis").asLong,
-        n.get("dirs").elements.asScala.map(_.asText).toSeq,
-        Option(n.get("schemaJson")).filterNot(_.isNull).map(_.asText),
-        Option(n.get("operation")).filterNot(_.isNull).map(_.asText),
-        Option(n.get("deletes")).map(_.elements.asScala.map(_.asText).toSeq)
-          .getOrElse(Nil),
-        Option(n.get("manifestList")).filterNot(_.isNull).map(_.asText))
-    }.toSeq
+  private def parseCommits(json: String): Seq[Snapshot] =
+    mapper.readTree(json).elements.asScala.map(snapshotFromNode).toSeq
+
+  private def snapshotFromNode(n: com.fasterxml.jackson.databind.JsonNode): Snapshot =
+    Snapshot(
+      n.get("snapshotId").asLong,
+      n.get("committedAtMillis").asLong,
+      n.get("dirs").elements.asScala.map(_.asText).toSeq,
+      Option(n.get("schemaJson")).filterNot(_.isNull).map(_.asText),
+      Option(n.get("operation")).filterNot(_.isNull).map(_.asText),
+      Option(n.get("deletes")).map(_.elements.asScala.map(_.asText).toSeq)
+        .getOrElse(Nil),
+      Option(n.get("manifestList")).filterNot(_.isNull).map(_.asText))
+
+  private def snapshotIntoNode(s: Snapshot,
+                               o: com.fasterxml.jackson.databind.node.ObjectNode): Unit = {
+    o.put("snapshotId", s.snapshotId)
+    o.put("committedAtMillis", s.committedAtMillis)
+    val d = o.putArray("dirs")
+    s.dirs.foreach(d.add)
+    s.schemaJson.foreach(o.put("schemaJson", _))
+    s.operation.foreach(o.put("operation", _))
+    if (s.deletes.nonEmpty) {
+      val dd = o.putArray("deletes")
+      s.deletes.foreach(dd.add)
+    }
+    s.manifestList.foreach(o.put("manifestList", _))
   }
 
   /** Commit the snapshot list as generation `expectedGen + 1`. Exclusive
@@ -2065,20 +2257,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
                            commits: Seq[Snapshot], expectedGen: Long): Unit = {
     val dir = tableDir(schema, table)
     val arr = mapper.createArrayNode()
-    commits.foreach { s =>
-      val o = arr.addObject()
-      o.put("snapshotId", s.snapshotId)
-      o.put("committedAtMillis", s.committedAtMillis)
-      val d = o.putArray("dirs")
-      s.dirs.foreach(d.add)
-      s.schemaJson.foreach(o.put("schemaJson", _))
-      s.operation.foreach(o.put("operation", _))
-      if (s.deletes.nonEmpty) {
-        val dd = o.putArray("deletes")
-        s.deletes.foreach(dd.add)
-      }
-      s.manifestList.foreach(o.put("manifestList", _))
-    }
+    commits.foreach(s => snapshotIntoNode(s, arr.addObject()))
     val next = expectedGen + 1
     val target = genPath(dir, next)
     val f = fs(target)

@@ -1,0 +1,161 @@
+package graft.catalog
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Branches and tags — Nessie-style named refs over the snapshot log
+  * (the reference's catalog IS Nessie: docker-compose.yml:36). A branch
+  * is a catalog VIEW with its own generation-versioned commit log; data
+  * files, manifests, and the declared schema stay shared. Writes through
+  * the view advance only that ref (per-ref optimistic concurrency);
+  * `main` catches up via fast-forward; tags pin a snapshot entry
+  * immutably; expiry and orphan cleanup respect every ref's references.
+  */
+class BranchTagSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshCatalog(): SnapshotCatalog = {
+    val c = new SnapshotCatalog(spark, tmpDir("graft-ref-wh"))
+    c.createSchema("s")
+    c
+  }
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  private def seed(c: SnapshotCatalog, table: String): Unit = {
+    c.createTable("s", table, schema)
+    c.insert("s", table, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    c.insert("s", table, Seq((3L, "c")).toDF("id", "v"))
+  }
+
+  test("branch-isolated writes: branch advances, main does not; crossing reads") {
+    val c = freshCatalog()
+    seed(c, "t")
+    c.createBranch("s", "t", "dev")
+    val dev = c.branch("dev")
+    // write THROUGH the branch: insert + delete
+    dev.insert("s", "t", Seq((4L, "d")).toDF("id", "v"))
+    dev.delete("s", "t", col("id") === 1L)
+    // branch sees its own state
+    assert(dev.readLatest("s", "t").select("id").as[Long].collect().toSet ===
+      Set(2L, 3L, 4L))
+    // main is untouched
+    assert(c.readLatest("s", "t").select("id").as[Long].collect().toSet ===
+      Set(1L, 2L, 3L))
+    // ref read resolves the branch head
+    assert(c.readRef("s", "t", "dev").count() === 3)
+    assert(c.readRef("s", "t", "main").count() === 3)
+    assert(c.listBranches("s", "t") === Seq("dev"))
+  }
+
+  test("fast-forward main to a branch; diverged main refuses") {
+    val c = freshCatalog()
+    seed(c, "t")
+    c.createBranch("s", "t", "dev")
+    c.branch("dev").insert("s", "t", Seq((9L, "z")).toDF("id", "v"))
+    c.fastForward("s", "t", "dev")
+    assert(c.readLatest("s", "t").count() === 4)
+    // main advances independently → next fast-forward must refuse
+    c.createBranch("s", "t", "dev2")
+    c.branch("dev2").insert("s", "t", Seq((10L, "y")).toDF("id", "v"))
+    c.insert("s", "t", Seq((11L, "x")).toDF("id", "v")) // main diverges
+    val e = intercept[IllegalArgumentException](c.fastForward("s", "t", "dev2"))
+    assert(e.getMessage.contains("diverged"))
+    assert(c.readLatest("s", "t").count() === 5)
+  }
+
+  test("branch from a historical snapshot; per-ref optimistic concurrency") {
+    val c = freshCatalog()
+    seed(c, "t")
+    val first = c.snapshots("s", "t").head.snapshotId
+    c.createBranch("s", "t", "old", Some(first))
+    assert(c.branch("old").readLatest("s", "t").count() === 2)
+    // two writers on the SAME branch race: one wins, one gets the typed
+    // conflict (same contract as main)
+    val b1 = c.branch("old")
+    val b2 = c.branch("old")
+    val (commits1, gen1) = b1.readCommitsWithGen("s", "t")
+    b1.insert("s", "t", Seq((7L, "g")).toDF("id", "v"))
+    intercept[CommitConflictException] {
+      b2.writeCommits("s", "t", commits1 :+ Snapshot(99L, Long.MaxValue - 1,
+        Nil, None, Some("append")), gen1)
+    }
+    // a branch commit never conflicts with a main commit (separate refs)
+    c.insert("s", "t", Seq((8L, "h")).toDF("id", "v"))
+    assert(c.branch("old").readLatest("s", "t").count() === 3)
+    assert(c.readLatest("s", "t").count() === 4)
+  }
+
+  test("tags pin a snapshot immutably; reads survive main DML and expiry") {
+    val c = freshCatalog()
+    seed(c, "t")
+    val s1 = c.snapshots("s", "t").head.snapshotId
+    c.createTag("s", "t", "v1", Some(s1))
+    c.createTag("s", "t", "latest")
+    assert(c.listTags("s", "t").keySet === Set("v1", "latest"))
+    c.delete("s", "t", col("id") === 1L)
+    assert(c.readRef("s", "t", "v1").count() === 2)
+    assert(c.readRef("s", "t", "latest").count() === 3)
+    // expiry keeps tag-referenced files even when their main-log
+    // snapshots expire
+    c.expireSnapshots("s", "t", c.snapshots("s", "t").last.committedAtMillis)
+    assert(c.readRef("s", "t", "v1").select("id").as[Long].collect().toSet ===
+      Set(1L, 2L))
+    c.dropTag("s", "t", "v1")
+    intercept[IllegalArgumentException](c.readRef("s", "t", "v1"))
+  }
+
+  test("expiry and orphan cleanup respect branch references") {
+    val c = freshCatalog()
+    seed(c, "t")
+    c.createBranch("s", "t", "keepme")
+    c.branch("keepme").insert("s", "t", Seq((50L, "k")).toDF("id", "v"))
+    // main compacts + expires everything pre-compaction
+    c.compact("s", "t")
+    c.expireSnapshots("s", "t", c.snapshots("s", "t").last.committedAtMillis)
+    c.removeOrphanFiles("s", "t")
+    // the branch still reads every row, including its own append
+    assert(c.branch("keepme").readLatest("s", "t")
+      .select("id").as[Long].collect().toSet === Set(1L, 2L, 3L, 50L))
+    assert(c.readLatest("s", "t").count() === 3)
+    // dropping the branch turns its exclusive files into reclaimable
+    // debris
+    c.dropBranch("s", "t", "keepme")
+    assert(c.listBranches("s", "t").isEmpty)
+    c.removeOrphanFiles("s", "t")
+    assert(c.readLatest("s", "t").count() === 3)
+  }
+
+  test("SQL surface: CALL create_branch/create_tag/fast_forward + FOR VERSION AS OF 'ref'") {
+    val c = freshCatalog()
+    val e = new graft.GraftEngine(spark, c.warehouse)
+    e.executeNonQuery(graft.params.SqlStatement(
+      "CREATE TABLE s.r (id bigint, v varchar)"))
+    e.executeNonQuery(graft.params.SqlStatement(
+      "INSERT INTO s.r VALUES (1, 'a'), (2, 'b')"))
+    e.executeNonQuery(graft.params.SqlStatement(
+      "CALL system.create_tag('s', 'r', 'v1')"))
+    e.executeNonQuery(graft.params.SqlStatement(
+      "CALL system.create_branch('s', 'r', 'dev')"))
+    c.branch("dev").insert("s", "r", Seq((3L, "c")).toDF("id", "v"))
+    // ref reads through SQL
+    val branchRows = e.query(graft.params.SqlStatement(
+      "SELECT count(*) AS n FROM s.r FOR VERSION AS OF 'dev'"))
+      .as[Long].head()
+    assert(branchRows === 3L)
+    e.executeNonQuery(graft.params.SqlStatement(
+      "INSERT INTO s.r VALUES (9, 'z')"))
+    val tagRows = e.query(graft.params.SqlStatement(
+      "SELECT count(*) AS n FROM s.r FOR VERSION AS OF 'v1'")).as[Long].head()
+    assert(tagRows === 2L)
+    // diverged → fast_forward surfaces the typed failure
+    val ex = intercept[graft.GraftQueryException](e.executeNonQuery(
+      graft.params.SqlStatement("CALL system.fast_forward('s', 'r', 'dev')")))
+    assert(ex.getMessage.contains("diverged"))
+    // unknown ref is an error, not an empty table
+    intercept[graft.GraftQueryException](e.query(graft.params.SqlStatement(
+      "SELECT * FROM s.r FOR VERSION AS OF 'nope'")).collect())
+  }
+}
