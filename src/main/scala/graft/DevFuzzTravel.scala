@@ -55,8 +55,14 @@ object DevFuzzTravel {
       // half the scenarios on a PARTITIONED table: time travel must
       // resolve through the hive-named `_snap=` single-scan layout too
       val partitioned = rnd.nextBoolean()
+      // a third of the scenarios fuzz SCHEMA EVOLUTION composed with time
+      // travel; kind 2 = type promotion, which needs the table CREATED
+      // with the narrow type (n_regionkey integer → bigint mid-history)
+      val evolve = rnd.nextInt(3) == 0
+      val evolKind = if (evolve) rnd.nextInt(3) else -1 // 0 rename, 1 drop, 2 promote
       engine.executeNonQuery(params.SqlStatement(
-        "CREATE TABLE fz.t (n_nationkey bigint, n_name varchar, n_regionkey bigint)" +
+        "CREATE TABLE fz.t (n_nationkey bigint, n_name varchar, n_regionkey " +
+          (if (evolKind == 2) "integer" else "bigint") + ")" +
           (if (partitioned) " WITH (partitioning = ARRAY['n_regionkey'])" else "")))
       Tables.nation(spark, sfDir)
         .select("n_nationkey", "n_name", "n_regionkey")
@@ -82,15 +88,34 @@ object DevFuzzTravel {
         (0 until k).map(j => s"SELECT * FROM ins$j").mkString(" UNION ALL ")
       val stateCtes = (1 to m).map(k => s"st$k AS (${state(k)})")
 
-      // a third of the scenarios fuzz COLUMN EVOLUTION composed with time
-      // travel instead of views: rename/drop n_name mid-history, one more
-      // insert on the evolved schema, then a final query probing both the
-      // evolved current state (NULL-fill / narrowed schema) and a
-      // pre-evolution snapshot (pinned schema presents n_name with values)
-      val evolve = rnd.nextInt(3) == 0
-      if (evolve) {
+      // evolution scenarios: rename/drop n_name mid-history (NULL-fill /
+      // narrowed schema vs the pinned pre-evolution snapshot), or PROMOTE
+      // n_regionkey integer → bigint (old files widen on read; the pinned
+      // snapshot keeps the narrow type; sums agree either way)
+      if (evolve && evolKind == 2) {
+        val extraPred = pred()
+        val asOfK = rnd.nextInt(m) + 1
+        engine.executeNonQuery(params.SqlStatement(
+          "ALTER TABLE fz.t ALTER COLUMN n_regionkey SET DATA TYPE bigint"))
+        engine.executeNonQuery(params.SqlStatement(
+          s"INSERT INTO fz.t SELECT $cols FROM nation WHERE $extraPred"))
+        val finalSql =
+          "SELECT count(*) AS n_cur, CAST(sum(n_regionkey) AS BIGINT) AS s_rk, " +
+            s"(SELECT CAST(sum(n_regionkey) AS BIGINT) FROM fz.t FOR VERSION AS OF $asOfK) AS s_old " +
+            "FROM fz.t"
+        engine.query(params.SqlStatement(finalSql))
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        val extraCte = "insx AS (SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, " +
+          s"n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation WHERE $extraPred)"
+        val finalOracle =
+          "SELECT count(*) AS n_cur, CAST(sum(n_regionkey) AS BIGINT) AS s_rk, " +
+            s"(SELECT CAST(sum(n_regionkey) AS BIGINT) FROM st$asOfK) AS s_old " +
+            s"FROM (SELECT * FROM st$m UNION ALL SELECT * FROM insx) cur"
+        name -> ((sliceCtes ++ stateCtes :+ extraCte)
+          .mkString("WITH ", ", ", " ") + finalOracle)
+      } else if (evolve) {
         val name2 = name
-        val doRename = rnd.nextBoolean()
+        val doRename = evolKind == 0
         val extraPred = pred()
         val asOfK = rnd.nextInt(m) + 1
         if (doRename) {

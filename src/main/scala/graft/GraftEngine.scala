@@ -366,6 +366,11 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
             throw new GraftQueryException(sqlText, e.getMessage, e) }
         }
         0L
+      case graft.catalog.SetColumnTypeStmt(schema, table, column, dataType) =>
+        requireCatalogTable(sqlText, schema, table)
+        try { catalog.setColumnType(schema, table, column, dataType); 0L }
+        catch { case e: IllegalArgumentException =>
+          throw new GraftQueryException(sqlText, e.getMessage, e) }
       case graft.catalog.RenameTableStmt(schema, table, newSchema, newTable) =>
         requireCatalogTable(sqlText, schema, table)
         try { catalog.renameTable(schema, table, newSchema.getOrElse(schema), newTable); 0L }

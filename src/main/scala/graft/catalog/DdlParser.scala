@@ -59,6 +59,14 @@ final case class DropColumnStmt(schema: String, table: String,
 final case class RenameColumnStmt(schema: String, table: String,
                                   from: String, to: String,
                                   ifExists: Boolean) extends DdlStatement
+/** `ALTER TABLE sch.t ALTER COLUMN c SET DATA TYPE t` (Trino Iceberg
+  * type evolution — safe promotions only; see
+  * SnapshotCatalog.setColumnType).
+  */
+final case class SetColumnTypeStmt(schema: String, table: String,
+                                   column: String,
+                                   dataType: org.apache.spark.sql.types.DataType)
+  extends DdlStatement
 /** `ALTER TABLE sch.t RENAME TO [sch2.]t2` (Trino rename — metadata move,
   * data files untouched).
   */
@@ -160,6 +168,8 @@ object DdlParser {
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+COLUMN\s+(IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s+TO\s+([A-Za-z_]\w*)\s*;?\s*$""".r
   private val renameTableRe =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+TO\s+([\w.]+)\s*;?\s*$""".r
+  private val setColumnTypeRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+ALTER\s+COLUMN\s+([A-Za-z_]\w*)\s+SET\s+DATA\s+TYPE\s+([\w()\s,]+?)\s*;?\s*$""".r
 
   /** Parse one statement; None when the text is not DDL this layer owns
     * (the caller then falls through to Catalyst). Unqualified table names
@@ -297,6 +307,9 @@ object DdlParser {
     case dropColumnRe(name, ie, colName) =>
       val (sch, tbl) = tableOf(name)
       Some(DropColumnStmt(sch, tbl, colName, ie != null))
+    case setColumnTypeRe(name, colName, typeText) =>
+      val (sch, tbl) = tableOf(name)
+      Some(SetColumnTypeStmt(sch, tbl, colName, sparkType(typeText)))
     case renameColumnRe(name, ie, from, to) =>
       val (sch, tbl) = tableOf(name)
       Some(RenameColumnStmt(sch, tbl, from, to, ie != null))

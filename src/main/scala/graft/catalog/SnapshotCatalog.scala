@@ -363,6 +363,52 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         }.mkString("\n"))
   }
 
+  /** `ALTER TABLE … ALTER COLUMN c SET DATA TYPE t` — Iceberg's SAFE type
+    * promotions only (iceberg.apache.org/spec/#schema-evolution, Trino's
+    * set_column_type): integral widening up to bigint, real → double,
+    * decimal precision widening at the same scale. Metadata-only:
+    * existing files keep their physical type and the parquet reader
+    * widens values on scan; snapshots committed BEFORE the promotion
+    * pinned the narrower schema, so time travel presents the old type.
+    */
+  def setColumnType(schema: String, table: String, name: String,
+                    newType: org.apache.spark.sql.types.DataType): Unit = synchronized {
+    require(tableExists(schema, table), s"Table $schema.$table does not exist")
+    val current = declaredSchema(schema, table).getOrElse(
+      throw new IllegalStateException(s"Table $schema.$table has no declared schema"))
+    val field = current.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+      throw new IllegalArgumentException(
+        s"Column $name does not exist in $schema.$table"))
+    require(promotionOk(field.dataType, newType),
+      s"Unsafe type change for $schema.$table.$name: ${field.dataType.sql} -> " +
+        s"${newType.sql} (safe promotions: tinyint/smallint/int -> bigint, " +
+        "real -> double, decimal(p,s) -> decimal(p',s) with p' > p)")
+    // bucket/truncate transforms derive directory values from the
+    // PHYSICAL representation — a promotion would re-derive differently
+    // for identical logical values (xxhash64 of int 5 != of long 5),
+    // silently breaking transform projection on every pre-promotion file
+    require(!partitionFields(schema, table).exists(f =>
+      !f.isIdentity && f.source.equalsIgnoreCase(name)),
+      s"Cannot change the type of $name: it is a partition-transform source " +
+        s"of $schema.$table")
+    writeString(new Path(tableDir(schema, table), "_table_schema.json"),
+      StructType(current.fields.map(f =>
+        if (f.name.equalsIgnoreCase(name)) f.copy(dataType = newType) else f)).json)
+  }
+
+  private def promotionOk(from: org.apache.spark.sql.types.DataType,
+                          to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType)            => true
+      case (IntegerType, LongType)                        => true
+      case (FloatType, DoubleType)                        => true
+      case (a: DecimalType, b: DecimalType) => b.scale == a.scale && b.precision > a.precision
+      case _ => false
+    }
+  }
+
   /** DROP TABLE (S6). */
   def dropTable(schema: String, table: String): Unit = {
     val dir = tableDir(schema, table)

@@ -122,6 +122,52 @@ class SqlEvolutionSpec extends SparkSpec {
     assert(ddl.contains("rating") && !ddl.contains("name") && !ddl.contains("score"))
   }
 
+  test("SET DATA TYPE widens int->bigint; old files read widened; time travel pins the old type") {
+    val e = new GraftEngine(spark, tmpDir("evo-widen"))
+    e.executeNonQuery(SqlStatement(
+      "CREATE TABLE demo.w (id integer, price real, amt decimal(10,2))"))
+    e.executeNonQuery(SqlStatement(
+      "INSERT INTO demo.w VALUES (1, 1.5, 12.34), (2, 2.5, 56.78)"))
+    e.executeNonQuery(SqlStatement(
+      "ALTER TABLE demo.w ALTER COLUMN id SET DATA TYPE bigint"))
+    e.executeNonQuery(SqlStatement(
+      "ALTER TABLE demo.w ALTER COLUMN price SET DATA TYPE double"))
+    e.executeNonQuery(SqlStatement(
+      "ALTER TABLE demo.w ALTER COLUMN amt SET DATA TYPE decimal(20,2)"))
+    // metadata-only: still one snapshot
+    assert(e.catalog.snapshots("demo", "w").map(_.snapshotId) == Seq(1L))
+    // current reads present the widened types over the ORIGINAL files
+    val cur = e.query(SqlStatement("SELECT * FROM demo.w ORDER BY id"))
+    assert(cur.schema("id").dataType == org.apache.spark.sql.types.LongType)
+    assert(cur.schema("price").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(cur.schema("amt").dataType == org.apache.spark.sql.types.DecimalType(20, 2))
+    assert(cur.select($"id").as[Long].collect().toSeq == Seq(1L, 2L))
+    // a post-promotion insert exercises values only a bigint holds
+    e.executeNonQuery(SqlStatement(
+      s"INSERT INTO demo.w VALUES (${Long.MaxValue}, 9.5, 1.00)"))
+    assert(e.query(SqlStatement("SELECT max(id) AS m FROM demo.w"))
+      .as[Long].head() == Long.MaxValue)
+    // the pre-promotion snapshot pinned the narrow schema
+    val v1 = e.query(SqlStatement("SELECT * FROM demo.w FOR VERSION AS OF 1"))
+    assert(v1.schema("id").dataType == org.apache.spark.sql.types.IntegerType)
+    // and DML composes with the widened schema
+    assert(e.executeNonQuery(SqlStatement("DELETE FROM demo.w WHERE id = 1")) == 1L)
+    assert(e.query(SqlStatement("SELECT count(*) AS n FROM demo.w")).as[Long].head() == 2L)
+  }
+
+  test("SET DATA TYPE rejects unsafe changes and transform sources") {
+    val e = new GraftEngine(spark, tmpDir("evo-widen-guard"))
+    e.executeNonQuery(SqlStatement(
+      "CREATE TABLE demo.g (id integer, v varchar) WITH (partitioning = ARRAY['bucket(4, id)'])"))
+    // narrowing / cross-class changes are rejected
+    intercept[GraftQueryException](e.executeNonQuery(SqlStatement(
+      "ALTER TABLE demo.g ALTER COLUMN v SET DATA TYPE bigint")))
+    // a bucket-transform source would re-hash differently after promotion
+    val ex = intercept[GraftQueryException](e.executeNonQuery(SqlStatement(
+      "ALTER TABLE demo.g ALTER COLUMN id SET DATA TYPE bigint")))
+    assert(ex.getMessage.contains("transform"))
+  }
+
   test("DML after evolution: DELETE/UPDATE work on the narrowed schema") {
     val e = freshEngine("evo-dml")
     e.executeNonQuery(SqlStatement("ALTER TABLE demo.t DROP COLUMN name"))
