@@ -266,6 +266,38 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
           case e: IllegalStateException => throw new GraftQueryException(sqlText, e.getMessage, e)
           case e: IllegalArgumentException => throw new GraftQueryException(sqlText, e.getMessage, e)
         }
+      case graft.catalog.CreateMaterializedViewStmt(schema, view, select, ifNotExists) =>
+        if (!catalog.schemaExists(schema)) catalog.createSchema(schema)
+        if (catalog.isMaterializedView(schema, view)) {
+          if (ifNotExists) 0L
+          else throw new GraftQueryException(sqlText,
+            s"Materialized view $schema.$view already exists")
+        } else {
+          val result = query(SqlStatement(select))
+          try {
+            catalog.createMaterializedView(schema, view, select, result,
+              referencedSources(select))
+            0L
+          } catch {
+            case e: IllegalStateException =>
+              throw new GraftQueryException(sqlText, e.getMessage, e)
+            case e: IllegalArgumentException =>
+              throw new GraftQueryException(sqlText, e.getMessage, e)
+          }
+        }
+      case graft.catalog.RefreshMaterializedViewStmt(schema, view) =>
+        val meta = catalog.materializedViewMeta(schema, view).getOrElse(
+          throw new GraftQueryException(sqlText,
+            s"Materialized view $schema.$view does not exist"))
+        catalog.refreshMaterializedView(schema, view,
+          query(SqlStatement(meta._1)), referencedSources(meta._1))
+        catalog.readLatest(schema, view).count()
+      case graft.catalog.DropMaterializedViewStmt(schema, view, ifExists) =>
+        if (!catalog.isMaterializedView(schema, view)) {
+          if (ifExists) 0L
+          else throw new GraftQueryException(sqlText,
+            s"Materialized view $schema.$view does not exist")
+        } else { catalog.dropTable(schema, view); 0L }
       case graft.catalog.DropViewStmt(schema, view, ifExists) =>
         if (!catalog.viewExists(schema, view)) {
           if (ifExists) 0L
@@ -619,8 +651,18 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
         val colComments =
           if (catalog.tableExists(sch, tbl)) catalog.comments(sch, tbl)._2
           else Map.empty[String, String]
-        Some(fields.map(f => (f.name, f.dataType.sql.toLowerCase, f.nullable,
-            colComments.get(f.name.toLowerCase).orNull))
+        // a materialized view surfaces its freshness as a trailing
+        // metadata row: stale sources (if any) are named in the comment
+        val mvRow =
+          if (!catalog.isMaterializedView(sch, tbl)) Nil
+          else {
+            val stale = catalog.staleSources(sch, tbl)
+            Seq(("# materialized_view",
+              if (stale.isEmpty) "fresh" else "stale", false,
+              if (stale.isEmpty) null else s"stale sources: ${stale.mkString(", ")}"))
+          }
+        Some((fields.map(f => (f.name, f.dataType.sql.toLowerCase, f.nullable,
+            colComments.get(f.name.toLowerCase).orNull)) ++ mvRow)
           .toDF("column_name", "data_type", "nullable", "comment"))
       case showCreateRe(kind, sch0, tbl) if kind.equalsIgnoreCase("TABLE") =>
         val sch = Option(sch0).getOrElse(sessionSchema)
@@ -844,6 +886,27 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
       finally viewDepth.set(viewDepth.get() - 1)
       Some(view)
     } else None
+
+  /** Catalog tables a query's text references with their CURRENT head
+    * snapshot ids — what a materialized view records at (re)fresh time
+    * so staleness is decidable later. Same reference detection as the
+    * rewrite passes (qualified + session-schema bare names, string
+    * literals excluded).
+    */
+  private def referencedSources(sql: String): Map[String, Long] = {
+    val spans = literalSpans(sql)
+    val qualified = catalogRefRe.findAllMatchIn(sql).collect {
+      case m if !overlapsLiteral(spans, m.start, m.end) => (m.group(2), m.group(3))
+    }
+    val bare = bareRefRe.findAllMatchIn(sql).collect {
+      case m if !overlapsLiteral(spans, m.start, m.end) => (sessionSchema, m.group(2))
+    }
+    (qualified ++ bare).toSeq.distinct.collect {
+      case (sch, tbl) if catalog.tableExists(sch, tbl) =>
+        s"$sch.$tbl" -> catalog.snapshots(sch, tbl).lastOption
+          .map(_.snapshotId).getOrElse(0L)
+    }.toMap
+  }
 
   private[graft] def rewriteCatalogRefs(sql: String): String = {
     val spans = literalSpans(sql)

@@ -87,6 +87,17 @@ final case class CreateViewStmt(schema: String, view: String,
                                 select: String, orReplace: Boolean) extends DdlStatement
 final case class DropViewStmt(schema: String, view: String,
                               ifExists: Boolean) extends DdlStatement
+/** `CREATE MATERIALIZED VIEW [IF NOT EXISTS] sch.mv AS select` /
+  * `REFRESH MATERIALIZED VIEW sch.mv` / `DROP MATERIALIZED VIEW
+  * [IF EXISTS] sch.mv` (Trino Iceberg materialized views).
+  */
+final case class CreateMaterializedViewStmt(schema: String, view: String,
+                                            select: String,
+                                            ifNotExists: Boolean) extends DdlStatement
+final case class RefreshMaterializedViewStmt(schema: String,
+                                             view: String) extends DdlStatement
+final case class DropMaterializedViewStmt(schema: String, view: String,
+                                          ifExists: Boolean) extends DdlStatement
 
 /** One `WHEN [NOT] MATCHED [AND cond] THEN action` clause of a MERGE.
   * Clause order is semantic: the FIRST clause whose condition holds for a
@@ -142,6 +153,12 @@ object DdlParser {
     """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([\w.]+)\s+AS\s+(.+?)\s*;?\s*$""".r
   private val dropViewRe =
     """(?is)^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$""".r
+  private val createMatViewRe =
+    """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+(.+?)\s*;?\s*$""".r
+  private val refreshMatViewRe =
+    """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*;?\s*$""".r
+  private val dropMatViewRe =
+    """(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$""".r
   // Trino procedure-call spelling: CALL [cat.]system.rollback_to_snapshot(
   //   'sch', 't', id) or named (schema_name => 'sch', table_name => 't',
   //   snapshot_id => id); normalized onto the ALTER…EXECUTE statement
@@ -226,6 +243,15 @@ object DdlParser {
     case truncateRe(name) =>
       val (sch, tbl) = tableOf(name)
       Some(TruncateStmt(sch, tbl))
+    case createMatViewRe(ine, name, select) =>
+      val (sch, v) = tableOf(name)
+      Some(CreateMaterializedViewStmt(sch, v, select.trim, ine != null))
+    case refreshMatViewRe(name) =>
+      val (sch, v) = tableOf(name)
+      Some(RefreshMaterializedViewStmt(sch, v))
+    case dropMatViewRe(ie, name) =>
+      val (sch, v) = tableOf(name)
+      Some(DropMaterializedViewStmt(sch, v, ie != null))
     case createViewRe(orReplace, name, select) =>
       val (sch, v) = tableOf(name)
       Some(CreateViewStmt(sch, v, select.trim, orReplace != null))

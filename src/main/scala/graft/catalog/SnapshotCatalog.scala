@@ -1703,6 +1703,100 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       .sorted.toSeq
   }
 
+  // ---- materialized views (Trino Iceberg CREATE MATERIALIZED VIEW +
+  //      REFRESH: the result persists as a snapshot table, the defining
+  //      SQL and the SOURCE tables' snapshot ids at refresh time persist
+  //      in _mv.json; reads serve the materialized state even when
+  //      stale, REFRESH re-runs the definition as a replace commit,
+  //      staleness = any source advanced past its recorded snapshot) ----
+
+  private def mvMetaPath(schema: String, name: String) =
+    new Path(tableDir(schema, name), "_mv.json")
+
+  def isMaterializedView(schema: String, name: String): Boolean = {
+    val p = mvMetaPath(schema, name)
+    fs(p).exists(p)
+  }
+
+  /** (defining SQL, source → snapshot id at last refresh). */
+  def materializedViewMeta(schema: String, name: String): Option[(String, Map[String, Long])] = {
+    val p = mvMetaPath(schema, name)
+    if (!fs(p).exists(p)) return None
+    val root = mapper.readTree(readString(p))
+    Some((root.get("sql").asText,
+      root.get("sources").properties().asScala
+        .map(e => e.getKey -> e.getValue.asLong).toMap))
+  }
+
+  private def writeMvMeta(schema: String, name: String, sql: String,
+                          sources: Map[String, Long]): Unit = {
+    val o = mapper.createObjectNode()
+    o.put("sql", sql)
+    val s = o.putObject("sources")
+    sources.toSeq.sortBy(_._1).foreach { case (k, v) => s.put(k, v) }
+    writeString(mvMetaPath(schema, name), mapper.writeValueAsString(o))
+  }
+
+  def createMaterializedView(schema: String, name: String, selectSql: String,
+                             result: DataFrame,
+                             sources: Map[String, Long]): Unit = synchronized {
+    require(!viewExists(schema, name),
+      s"Cannot create materialized view $schema.$name: a view with that name exists")
+    createTable(schema, name, result.schema)
+    writeMvMeta(schema, name, selectSql, sources)
+    insert(schema, name, result)
+  }
+
+  /** REFRESH: the re-computed result replaces the materialized state as a
+    * `replace` commit (prior states stay time-travel-visible like any
+    * snapshot history); the recorded source snapshots move forward.
+    */
+  def refreshMaterializedView(schema: String, name: String, result: DataFrame,
+                              sources: Map[String, Long]): Snapshot = {
+    val meta = materializedViewMeta(schema, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"$schema.$name is not a materialized view"))
+    val snap = overwriteAll(schema, name, result)
+    writeMvMeta(schema, name, meta._1, sources)
+    snap
+  }
+
+  /** Sources whose current head moved past the snapshot recorded at the
+    * materialized view's last refresh (empty = fresh).
+    */
+  def staleSources(schema: String, name: String): Seq[String] =
+    materializedViewMeta(schema, name).toSeq.flatMap(_._2.toSeq).filter {
+      case (src, recorded) =>
+        src.split('.') match {
+          case Array(s, t) =>
+            !tableExists(s, t) ||
+              readCommits(s, t).lastOption.forall(_.snapshotId != recorded)
+          case _ => true
+        }
+    }.map(_._1).sorted
+
+  /** Replace the table's whole content with `df` as ONE `replace` commit
+    * (the REFRESH primitive — also the INSERT OVERWRITE shape).
+    */
+  private def overwriteAll(schema: String, table: String, df: DataFrame): Snapshot = synchronized {
+    require(tableExists(schema, table), s"Table $schema.$table does not exist")
+    val dir = tableDir(schema, table)
+    val (commits, gen) = readCommitsWithGen(schema, table)
+    val id = commits.lastOption.map(_.snapshotId).getOrElse(0L) + 1
+    val at = math.max(System.currentTimeMillis(),
+      commits.lastOption.map(_.committedAtMillis + 1).getOrElse(0L))
+    val snapDir = snapDirName(schema, table, s"${attemptTag(id)}-rewrite")
+    partitionedWriter(schema, table, df)
+      .mode("errorifexists").parquet(new Path(dir, snapDir).toString)
+    val newEntries = scanEntries(dir, snapDir)
+    val names = if (newEntries.nonEmpty) Seq(writeManifest(dir, newEntries)) else Nil
+    val snap = Snapshot(id, at, Nil,
+      declaredSchema(schema, table).map(_.json), Some("replace"),
+      Nil, Some(writeManifestList(dir, names)))
+    writeCommits(schema, table, commits :+ snap, gen)
+    snap
+  }
+
   // ---- metadata tables (Trino Iceberg's `"t$snapshots"` family:
   //      https://trino.io/docs/current/connector/iceberg.html#metadata-tables) ----
 
