@@ -491,12 +491,21 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val sorted = sortSpec(schema, table)
     val withD = withDerivedPartitionCols(schema, table, df)
     val clustered =
-      if (sorted.isEmpty) withD
-      else {
+      if (sorted.nonEmpty) {
         val keys = fieldsP.map(f =>
           org.apache.spark.sql.functions.col(f.derivedName).asc) ++ sorted.map(sortCol)
         withD.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
-      }
+      } else if (fieldsP.exists(!_.isIdentity)) {
+        // transform-partitioned writes cluster on the derived values:
+        // without this every task writes into every partition dir —
+        // tasks × partitions tiny files (a month+bucket table at scale
+        // would produce thousands per insert). The AQE-sized range
+        // shuffle keeps small inserts at one file per dir and lets big
+        // ones split.
+        val keys = fieldsP.map(f =>
+          org.apache.spark.sql.functions.col(f.derivedName).asc)
+        withD.repartitionByRange(keys: _*)
+      } else withD
     if (fieldsP.isEmpty) clustered.write
     else clustered.write.partitionBy(fieldsP.map(_.derivedName): _*)
   }

@@ -349,9 +349,9 @@ object CatalogDemos {
   private[graft] val transformDemoWarehouse = "/tmp/graft-transform-demo-warehouse"
 
   /** Partition transforms end-to-end (Trino Iceberg hidden partitioning):
-    * a `month(o_orderdate)` + `bucket(4, o_orderkey)` table built via
+    * a `year(o_orderdate)` + `bucket(4, o_orderkey)` table built via
     * SQL-text DDL, a point DELETE on (key, date), and the proof it pruned
-    * BOTH ways — the rewrite touched files in exactly one month directory
+    * BOTH ways — the rewrite touched files in exactly one year directory
     * and exactly one bucket directory (everything else carried by
     * manifest reference). The pruning booleans are literals the Spark
     * side must have OBSERVED true on the physical file sets; the row
@@ -365,7 +365,7 @@ object CatalogDemos {
     engine.executeNonQuery(graft.params.SqlStatement(
       """CREATE TABLE demo.orders_tp (
         |  o_orderkey bigint, o_orderdate date, o_totalprice double
-        |) WITH (partitioning = ARRAY['month(o_orderdate)', 'bucket(4, o_orderkey)'])""".stripMargin))
+        |) WITH (partitioning = ARRAY['year(o_orderdate)', 'bucket(4, o_orderkey)'])""".stripMargin))
     // the source stores o_orderdate as timestamp; the demo table declares
     // DATE (the natural type for month partitioning)
     val orders = graft.Tables.orders(s, d)
@@ -388,13 +388,13 @@ object CatalogDemos {
     val rewritten = before.diff(after)
     def dirVals(prefix: String) =
       rewritten.flatMap(_.split('/').find(_.startsWith(prefix)))
-    val oneMonth = rewritten.nonEmpty && dirVals("o_orderdate_month=").size == 1
+    val oneYear = rewritten.nonEmpty && dirVals("o_orderdate_year=").size == 1
     val oneBucket = rewritten.nonEmpty && dirVals("o_orderkey_bucket=").size == 1
     engine.query(graft.params.SqlStatement(
       """SELECT COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
         |FROM demo.orders_tp""".stripMargin))
-      .withColumn("pruned_one_month", lit(oneMonth))
+      .withColumn("pruned_one_year", lit(oneYear))
       .withColumn("pruned_one_bucket", lit(oneBucket))
   }
 
@@ -407,7 +407,7 @@ object CatalogDemos {
       |       (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
       |        FROM orders
       |        WHERE o_orderkey <> (SELECT MIN(o_orderkey) FROM orders)) AS total,
-      |       TRUE AS pruned_one_month, TRUE AS pruned_one_bucket""".stripMargin
+      |       TRUE AS pruned_one_year, TRUE AS pruned_one_bucket""".stripMargin
 
   /** Metadata tables + rollback end-to-end: a commit history (two appends,
     * an overwrite DELETE, a compaction, a rollback) inspected through
