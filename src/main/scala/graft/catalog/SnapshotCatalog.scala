@@ -1956,6 +1956,45 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       }
   }
 
+  /** `"t$refs"`: named refs (Trino Iceberg's $refs table) — main, every
+    * branch (head snapshot id), every tag (pinned snapshot id).
+    */
+  def refsMeta(schema: String, table: String): DataFrame = {
+    import spark.implicits._
+    require(tableExists(schema, table), s"Table $schema.$table does not exist")
+    val main = readCommits(schema, table).lastOption
+      .map(s => ("main", "BRANCH", s.snapshotId))
+    val branches = listBranches(schema, table).map { b =>
+      (b, "BRANCH",
+        branch(b).readCommitsWithGen(schema, table)._1.lastOption
+          .map(_.snapshotId).getOrElse(0L))
+    }
+    val tags = listTags(schema, table).toSeq.map { case (n, s) =>
+      (n, "TAG", s.snapshotId)
+    }
+    (main.toSeq ++ branches ++ tags).sortBy(_._1)
+      .toDF("name", "type", "snapshot_id")
+  }
+
+  /** `"t$manifests"`: the current snapshot's manifest files with entry
+    * counts and byte sizes — the metadata ABOUT the metadata (Trino
+    * Iceberg's $manifests). Legacy dirs-only snapshots list no rows.
+    */
+  def manifestsMeta(schema: String, table: String): DataFrame = {
+    import spark.implicits._
+    require(tableExists(schema, table), s"Table $schema.$table does not exist")
+    val dir = tableDir(schema, table)
+    readCommits(schema, table).lastOption.toSeq
+      .flatMap(s => s.manifestList.toSeq.flatMap(readManifestList(dir, _)))
+      .map { name =>
+        val p = new Path(manifestDirPath(dir), name)
+        val entries = readManifest(dir, name)
+        (s"_manifests/$name", fs(p).getFileStatus(p).getLen,
+          entries.size.toLong, entries.map(_.rows).sum)
+      }
+      .toDF("path", "length", "added_data_files_count", "added_rows_count")
+  }
+
   /** Metadata-table dispatch for the SQL surface (`sch."t$<kind>"`). */
   def metadataTable(schema: String, table: String, kind: String): DataFrame =
     kind.toLowerCase match {
@@ -1963,8 +2002,11 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       case "history"    => historyMeta(schema, table)
       case "files"      => filesMeta(schema, table)
       case "partitions" => partitionsMeta(schema, table)
+      case "refs"       => refsMeta(schema, table)
+      case "manifests"  => manifestsMeta(schema, table)
       case other => throw new IllegalArgumentException(
-        s"Unknown metadata table $$$other (supported: snapshots, history, files, partitions)")
+        s"Unknown metadata table $$$other (supported: snapshots, history, " +
+          "files, partitions, refs, manifests)")
     }
 
   /** Roll the table back to `snapshotId` (Trino
@@ -2366,27 +2408,57 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
   private def readCommits(schema: String, table: String): Seq[Snapshot] =
     readCommitsWithGen(schema, table)._1
 
-  private def parseCommits(json: String): Seq[Snapshot] =
-    mapper.readTree(json).elements.asScala.map(snapshotFromNode).toSeq
+  /** Two log shapes parse: the legacy ARRAY of snapshots (each carrying
+    * its full schemaJson inline) and the current OBJECT form
+    * `{"schemas": {id: json}, "snapshots": [...]}` where each snapshot
+    * carries a `schemaId` — Iceberg's schema-id model: a table with 10⁴
+    * commits and one schema stores that schema ONCE, not 10⁴ times (the
+    * schema was the dominant per-snapshot byte term).
+    */
+  private def parseCommits(json: String): Seq[Snapshot] = {
+    val root = mapper.readTree(json)
+    if (root.isArray)
+      root.elements.asScala.map(snapshotFromNode(_, Map.empty)).toSeq
+    else {
+      val schemas: Map[Int, String] = Option(root.get("schemas")).map(
+        _.properties().asScala.map(e => e.getKey.toInt -> e.getValue.asText).toMap)
+        .getOrElse(Map.empty)
+      root.get("snapshots").elements.asScala
+        .map(snapshotFromNode(_, schemas)).toSeq
+    }
+  }
 
-  private def snapshotFromNode(n: com.fasterxml.jackson.databind.JsonNode): Snapshot =
+  private def snapshotFromNode(n: com.fasterxml.jackson.databind.JsonNode,
+                               schemas: Map[Int, String] = Map.empty): Snapshot =
     Snapshot(
       n.get("snapshotId").asLong,
       n.get("committedAtMillis").asLong,
       n.get("dirs").elements.asScala.map(_.asText).toSeq,
-      Option(n.get("schemaJson")).filterNot(_.isNull).map(_.asText),
+      Option(n.get("schemaJson")).filterNot(_.isNull).map(_.asText)
+        .orElse(Option(n.get("schemaId")).filterNot(_.isNull)
+          .flatMap(id => schemas.get(id.asInt))),
       Option(n.get("operation")).filterNot(_.isNull).map(_.asText),
       Option(n.get("deletes")).map(_.elements.asScala.map(_.asText).toSeq)
         .getOrElse(Nil),
       Option(n.get("manifestList")).filterNot(_.isNull).map(_.asText))
 
+  /** `schemaIds` maps a schema's JSON to its id in the log's shared
+    * schema table; empty (tag pinning, which stores ONE snapshot) inlines
+    * the schema instead.
+    */
   private def snapshotIntoNode(s: Snapshot,
-                               o: com.fasterxml.jackson.databind.node.ObjectNode): Unit = {
+                               o: com.fasterxml.jackson.databind.node.ObjectNode,
+                               schemaIds: Map[String, Int] = Map.empty): Unit = {
     o.put("snapshotId", s.snapshotId)
     o.put("committedAtMillis", s.committedAtMillis)
     val d = o.putArray("dirs")
     s.dirs.foreach(d.add)
-    s.schemaJson.foreach(o.put("schemaJson", _))
+    s.schemaJson.foreach { j =>
+      schemaIds.get(j) match {
+        case Some(id) => o.put("schemaId", id)
+        case None     => o.put("schemaJson", j)
+      }
+    }
     s.operation.foreach(o.put("operation", _))
     if (s.deletes.nonEmpty) {
       val dd = o.putArray("deletes")
@@ -2405,8 +2477,18 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
   private[catalog] def writeCommits(schema: String, table: String,
                            commits: Seq[Snapshot], expectedGen: Long): Unit = {
     val dir = tableDir(schema, table)
-    val arr = mapper.createArrayNode()
-    commits.foreach(s => snapshotIntoNode(s, arr.addObject()))
+    // dedupe pinned schemas across the snapshot list (Iceberg schema
+    // ids): first-seen order assigns ids
+    val schemaIds = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    commits.flatMap(_.schemaJson).foreach(j =>
+      schemaIds.getOrElseUpdate(j, schemaIds.size))
+    val root = mapper.createObjectNode()
+    if (schemaIds.nonEmpty) {
+      val sn = root.putObject("schemas")
+      schemaIds.foreach { case (j, id) => sn.put(id.toString, j) }
+    }
+    val arr = root.putArray("snapshots")
+    commits.foreach(s => snapshotIntoNode(s, arr.addObject(), schemaIds.toMap))
     val next = expectedGen + 1
     val target = genPath(dir, next)
     val f = fs(target)
@@ -2428,7 +2510,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       case other => other
     }
     val out = rawF.create(tmp, true)
-    try out.write(mapper.writeValueAsString(arr).getBytes("UTF-8")) finally out.close()
+    try out.write(mapper.writeValueAsString(root).getBytes("UTF-8")) finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       target.toUri, spark.sparkContext.hadoopConfiguration)
     try fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.NONE)

@@ -128,6 +128,28 @@ class BranchTagSpec extends SparkSpec {
     assert(c.readLatest("s", "t").count() === 3)
   }
 
+  test("$refs and $manifests metadata tables surface the ref and manifest state") {
+    val c = freshCatalog()
+    seed(c, "t")
+    c.createBranch("s", "t", "dev")
+    c.branch("dev").insert("s", "t", Seq((4L, "d")).toDF("id", "v"))
+    c.createTag("s", "t", "v1", Some(c.snapshots("s", "t").head.snapshotId))
+    val refs = c.refsMeta("s", "t").as[(String, String, Long)].collect().toSeq
+    assert(refs === Seq(("dev", "BRANCH", 3L), ("main", "BRANCH", 2L),
+      ("v1", "TAG", 1L)))
+    val manifests = c.manifestsMeta("s", "t")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(manifests.size === 2, manifests.toString) // one per insert
+    assert(manifests.forall(_._1.startsWith("_manifests/m-")))
+    assert(manifests.map(_._4).sum === 3L, "entry row counts sum to table rows")
+    // SQL dispatch
+    val e = new graft.GraftEngine(spark, c.warehouse)
+    assert(e.query(graft.params.SqlStatement(
+      "SELECT count(*) AS n FROM s.\"t$refs\"")).as[Long].head() === 3L)
+    assert(e.query(graft.params.SqlStatement(
+      "SELECT count(*) AS n FROM s.\"t$manifests\"")).as[Long].head() === 2L)
+  }
+
   test("SQL surface: CALL create_branch/create_tag/fast_forward + FOR VERSION AS OF 'ref'") {
     val c = freshCatalog()
     val e = new graft.GraftEngine(spark, c.warehouse)

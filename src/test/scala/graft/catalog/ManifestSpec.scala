@@ -62,6 +62,32 @@ class ManifestSpec extends SparkSpec {
     assert(c.readLatest("s", "t").count() === 235)
   }
 
+  test("commit log stores each distinct pinned schema ONCE (schema ids)") {
+    val c = freshCatalog()
+    c.createTable("s", "sch_t", schema)
+    (1 to 12).foreach(i => c.insert("s", "sch_t", Seq((i.toLong, "x", i.toLong))
+      .toDF("id", "grp", "v")))
+    val dir = new java.io.File(c.schemaLocation("s").toUri.getPath, "sch_t")
+    def latestLog(): String = {
+      val f = dir.listFiles().filter(_.getName.matches("commits-\\d+\\.json"))
+        .maxBy(_.getName)
+      java.nio.file.Files.readString(f.toPath)
+    }
+    // one distinct schema over 12 snapshots → the schema JSON (its
+    // escaped "fields" marker) appears exactly once in the log
+    assert("fields".r.findAllIn(latestLog()).size === 1, latestLog().take(300))
+    // evolution introduces a SECOND distinct schema, not 13 copies
+    c.addColumn("s", "sch_t", "extra", LongType)
+    c.insert("s", "sch_t", Seq((99L, "y", 9L, 1L)).toDF("id", "grp", "v", "extra"))
+    assert("fields".r.findAllIn(latestLog()).size === 2)
+    // round-trips: snapshot-pinned schemas still resolve per era
+    assert(c.readVersion("s", "sch_t", 1L).schema.fieldNames.toSeq ===
+      Seq("id", "grp", "v"))
+    assert(c.readLatest("s", "sch_t").schema.fieldNames.toSeq ===
+      Seq("id", "grp", "v", "extra"))
+    assert(c.readLatest("s", "sch_t").count() === 13)
+  }
+
   test("$files and TRUNCATE are served from manifests — no footer re-reads") {
     val c = freshCatalog()
     c.createTable("s", "meta_t", schema)
