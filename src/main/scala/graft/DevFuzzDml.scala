@@ -234,6 +234,33 @@ object DevFuzzDml {
       engine.catalog.insert("fz", "t", nation)
       val ops = genOps()
       ops.foreach(op => engine.executeNonQuery(params.SqlStatement(stmtOf(op))))
+      // half the scenarios fork a BRANCH at the post-sequence head and
+      // apply 1-2 more UPDATE/DELETE ops THROUGH the branch view — the
+      // main dump below happens AFTER the branch mutations, so a branch
+      // write leaking into main would hash-mismatch the main oracle,
+      // and the branch dump gets its own oracle = the main chain
+      // extended by the branch ops
+      val branchOps: Seq[Op] =
+        if (rnd.nextBoolean()) Nil
+        else (0 until rnd.nextInt(2) + 1).map { _ =>
+          if (rnd.nextBoolean()) Del(pred())
+          else Upd(rnd.nextInt(3) match {
+            case 0 => Seq("n_name" -> nameExpr())
+            case 1 => Seq("n_regionkey" -> rkExpr())
+            case 2 => Seq("n_name" -> nameExpr(), "n_regionkey" -> rkExpr())
+          }, pred())
+        }
+      if (branchOps.nonEmpty) {
+        engine.catalog.createBranch("fz", "t", "dev")
+        val bc = engine.catalog.branch("dev")
+        import org.apache.spark.sql.functions.expr
+        branchOps.foreach {
+          case Del(w) => bc.deleteCounted("fz", "t", expr(w))
+          case Upd(sets, w) => bc.updateCounted("fz", "t",
+            sets.map { case (c, e) => c -> expr(e) }, expr(w))
+          case _ => ()
+        }
+      }
       // MERGE makes n_nationkey non-unique across inserts of mapped ids
       // colliding with later states only by construction of the affine
       // map — sort on ALL columns so row order is deterministic even if
@@ -245,12 +272,30 @@ object DevFuzzDml {
       val ctes = ops.zipWithIndex.flatMap { case (op, k) =>
         replayCtes(op, s"s$k", k)
       }
+      val m = ops.length
       val oracleSql =
         (s"WITH s0 AS (SELECT n_nationkey, n_name, n_regionkey FROM nation)" +:
           ctes).mkString(", ") +
-          s" SELECT * FROM s${ops.length} ORDER BY n_nationkey, n_name, n_regionkey"
-      name -> oracleSql
-    }
+          s" SELECT * FROM s$m ORDER BY n_nationkey, n_name, n_regionkey"
+      val branchResult =
+        if (branchOps.isEmpty) Nil
+        else {
+          engine.catalog.branch("dev").readLatest("fz", "t")
+            .selectExpr("n_nationkey", "n_name", "n_regionkey")
+            .orderBy("n_nationkey", "n_name", "n_regionkey")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/${name}_br")
+          val bCtes = branchOps.zipWithIndex.flatMap { case (op, k) =>
+            replayCtes(op, s"s${m + k}", m + k)
+          }
+          val bOracle =
+            (s"WITH s0 AS (SELECT n_nationkey, n_name, n_regionkey FROM nation)" +:
+              (ctes ++ bCtes)).mkString(", ") +
+              s" SELECT * FROM s${m + branchOps.length} " +
+              "ORDER BY n_nationkey, n_name, n_regionkey"
+          Seq(s"${name}_br" -> bOracle)
+        }
+      Seq(name -> oracleSql) ++ branchResult
+    }.flatten
     def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
       results.map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }

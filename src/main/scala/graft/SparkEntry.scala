@@ -152,6 +152,7 @@ object SparkEntry {
     "time_travel_demo" -> (CatalogDemos.timeTravelDemo _),
     "partition_prune_demo" -> (CatalogDemos.partitionPruneDemo _),
     "transform_partition_demo" -> (CatalogDemos.transformPartitionDemo _),
+    "refs_demo" -> (CatalogDemos.refsDemo _),
     "unload_demo"      -> (CatalogDemos.unloadDemo _),
     "dml_demo"         -> (CatalogDemos.dmlDemo _),
     "mor_demo"         -> (CatalogDemos.morDemo _),
@@ -320,6 +321,7 @@ object SparkEntry {
         "JOIN customer ON o_custkey = c_custkey GROUP BY seg ORDER BY seg"),
     "partition_prune_demo" -> operators.CatalogDemos.partitionPruneDemoSql,
     "transform_partition_demo" -> operators.CatalogDemos.transformPartitionDemoSql,
+    "refs_demo" -> operators.CatalogDemos.refsDemoSql,
     "q2_min_cost_supplier"  -> TpchRemainder.Sql.q2MinCostSupplier,
     "q8_market_share"       -> TpchRemainder.Sql.q8MarketShare,
     "q9_product_profit"     -> TpchRemainder.Sql.q9ProductProfit,

@@ -348,6 +348,60 @@ object CatalogDemos {
 
   private[graft] val transformDemoWarehouse = "/tmp/graft-transform-demo-warehouse"
 
+  private[graft] val refsDemoWarehouse = "/tmp/graft-refs-demo-warehouse"
+
+  /** Branches and tags end-to-end (Nessie-parity named refs): tag the
+    * initial state, branch from it, write THROUGH the branch (an extra
+    * region-3 slice), DML main independently (delete region 0), then
+    * read every ref — branch sees its own append but not main's delete,
+    * the tag pins the original state, `$refs` lists all three, and the
+    * diverged fast-forward refuses. All row arithmetic is relational
+    * over nation, so the oracle recomputes every value; the
+    * refusal/isolation booleans are literals the Spark side must have
+    * observed.
+    */
+  def refsDemo(s: SparkSession, d: String): DataFrame = {
+    val wh = new org.apache.hadoop.fs.Path(refsDemoWarehouse)
+    val whFs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (whFs.exists(wh)) whFs.delete(wh, true)
+    val engine = new GraftEngine(s, refsDemoWarehouse)
+    engine.catalog.createSchema("demo")
+    val nation = graft.Tables.nation(s, d)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    engine.catalog.createTable("demo", "nation_r", nation.schema)
+    engine.catalog.insert("demo", "nation_r", nation)
+    engine.executeNonQuery(graft.params.SqlStatement(
+      "CALL system.create_tag('demo', 'nation_r', 'v1')"))
+    engine.executeNonQuery(graft.params.SqlStatement(
+      "CALL system.create_branch('demo', 'nation_r', 'dev')"))
+    engine.catalog.branch("dev").insert("demo", "nation_r",
+      nation.filter(col("n_regionkey") === 3))
+    engine.executeNonQuery(graft.params.SqlStatement(
+      "DELETE FROM demo.nation_r WHERE n_regionkey = 0"))
+    val ffBlocked =
+      try { engine.catalog.fastForward("demo", "nation_r", "dev"); false }
+      catch { case _: IllegalArgumentException => true }
+    engine.query(graft.params.SqlStatement(
+      """SELECT
+        |  (SELECT count(*) FROM demo.nation_r) AS main_n,
+        |  (SELECT count(*) FROM demo.nation_r FOR VERSION AS OF 'dev') AS dev_n,
+        |  (SELECT count(*) FROM demo.nation_r FOR VERSION AS OF 'v1') AS tag_n,
+        |  (SELECT count(*) FROM demo."nation_r$refs") AS refs_n""".stripMargin))
+      .withColumn("ff_blocked", lit(ffBlocked))
+  }
+
+  /** DuckDB twin of [[refsDemo]] — pure nation arithmetic plus the
+    * observed-isolation literals.
+    */
+  val refsDemoSql: String =
+    """SELECT
+      |  (SELECT count(*) FROM nation WHERE n_regionkey <> 0) AS main_n,
+      |  (SELECT count(*) + (SELECT count(*) FROM nation WHERE n_regionkey = 3)
+      |   FROM nation) AS dev_n,
+      |  (SELECT count(*) FROM nation) AS tag_n,
+      |  CAST(3 AS BIGINT) AS refs_n,
+      |  TRUE AS ff_blocked""".stripMargin
+
   /** Partition transforms end-to-end (Trino Iceberg hidden partitioning):
     * a `year(o_orderdate)` + `bucket(4, o_orderkey)` table built via
     * SQL-text DDL, a point DELETE on (key, date), and the proof it pruned
