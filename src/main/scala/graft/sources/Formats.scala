@@ -21,11 +21,16 @@ object Formats {
       .option("header", header.toString)
       .option("delimiter", delimiter)
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      // TIMESTAMP_NTZ columns (what parquet timestamps without UTC
+      // adjustment infer to) format via a SEPARATE option; its default
+      // keeps only milliseconds, silently truncating microsecond data
+      .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
       .csv(path)
 
   def readJsonLines(s: SparkSession, path: String, schema: StructType): DataFrame =
     s.read.schema(schema)
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+      .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
       .json(path)
 
   def readOrc(s: SparkSession, path: String): DataFrame =
@@ -35,11 +40,13 @@ object Formats {
     df.write.mode(SaveMode.Overwrite)
       .option("header", header.toString)
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
       .csv(path)
 
   def writeJsonLines(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite)
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+      .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
       .json(path)
 
   def writeOrc(df: DataFrame, path: String): Unit =
