@@ -157,6 +157,7 @@ object SparkEntry {
     "dml_demo"         -> (CatalogDemos.dmlDemo _),
     "mor_demo"         -> (CatalogDemos.morDemo _),
     "sorted_demo"      -> (CatalogDemos.sortedDemo _),
+    "scan_prune_demo"  -> (CatalogDemos.scanPruneDemo _),
     "merge_demo"       -> (CatalogDemos.mergeDemo _),
     "meta_tables_demo" -> (CatalogDemos.metaTablesDemo _),
     "views_demo"       -> (CatalogDemos.viewsDemo _),
@@ -566,6 +567,7 @@ object SparkEntry {
     "dml_demo"        -> operators.CatalogDemos.dmlDemoSql,
     "mor_demo"        -> operators.CatalogDemos.morDemoSql,
     "sorted_demo"     -> operators.CatalogDemos.sortedDemoSql,
+    "scan_prune_demo" -> operators.CatalogDemos.scanPruneDemoSql,
     "merge_demo"      -> operators.CatalogDemos.mergeDemoSql,
     "meta_tables_demo" -> operators.CatalogDemos.metaTablesDemoSql,
     "views_demo"      -> operators.CatalogDemos.viewsDemoSql,

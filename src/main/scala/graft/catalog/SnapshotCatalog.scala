@@ -793,6 +793,64 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType])
       else None
     val declared = pinned.orElse(declaredSchema(schema, table))
+    // manifest-only snapshot + declared schema → manifest-driven scan
+    // planning ([[GraftScanBridge.manifestScan]]): the file list (names,
+    // sizes, bounds) comes entirely from manifest JSON — zero storage
+    // LIST calls — and pushed-down predicates prune files at plan time
+    // against manifest column bounds, Iceberg's scan-planning shape.
+    // `graft.manifestRead=false` session conf falls back to the listing
+    // path (A/B hatch).
+    val manifestRead = snap match {
+      case Some(s) if s.dirs.isEmpty && s.manifestList.isDefined &&
+          declared.isDefined &&
+          spark.conf.get("graft.manifestRead", "true") != "false" =>
+        val entries = manifestEntriesOf(dir, s)
+        val fieldsP = partitionFields(schema, table)
+        val decl = declared.get
+        if (entries.isEmpty) None
+        else if (fieldsP.isEmpty && entries.forall(e => !e.path.contains('=')))
+          Some(org.apache.spark.sql.GraftScanBridge.manifestScan(
+            spark, dir, entries, decl, Nil))
+        else if (fieldsP.nonEmpty && entries.forall(_.path.startsWith("_snap="))) {
+          val identLower = fieldsP.filter(_.isIdentity)
+            .map(_.source.toLowerCase(java.util.Locale.ROOT)).toSet
+          val dataSchema = StructType(decl.fields.filterNot(f =>
+            identLower.contains(f.name.toLowerCase(java.util.Locale.ROOT))))
+          val partCols: Seq[(String, org.apache.spark.sql.types.DataType)] =
+            ("_snap", org.apache.spark.sql.types.StringType) +: fieldsP.map { f =>
+              if (f.isIdentity)
+                f.source -> decl.fields.find(_.name.equalsIgnoreCase(f.source))
+                  .map(_.dataType)
+                  .getOrElse(org.apache.spark.sql.types.StringType: org.apache.spark.sql.types.DataType)
+              else
+                f.derivedName -> (org.apache.spark.sql.types.StringType: org.apache.spark.sql.types.DataType)
+            }
+          val transforms = fieldsP.filterNot(_.isIdentity)
+          val projection: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+              DataFileEntry => Boolean =
+            if (transforms.isEmpty) _ => _ => true
+            else filters => {
+              val checks = for {
+                f0 <- filters
+                (name, v) <- org.apache.spark.sql.GraftBoundsBridge
+                  .conjunctEqualitiesExpr(f0)
+                f <- transforms if f.source.equalsIgnoreCase(name)
+                dt <- decl.fields.find(_.name.equalsIgnoreCase(f.source))
+                  .map(_.dataType).toSeq
+                dv <- f.deriveValue(v, dt).toSeq
+              } yield (e: DataFileEntry) =>
+                Manifests.boundsFor(e, f.derivedName).forall(cb =>
+                  Manifests.nodeLiteralIn(cb, dv).forall(x =>
+                    Manifests.eqContains(cb, x, e)))
+              e => checks.forall(_(e))
+            }
+          Some(org.apache.spark.sql.GraftScanBridge.manifestScan(
+              spark, dir, entries, dataSchema, partCols, projection)
+            .select(decl.fieldNames.toSeq.map(org.apache.spark.sql.functions.col): _*))
+        } else None
+      case _ => None
+    }
+    manifestRead.foreach(df => return df)
     // manifest entries resolve dir-granular where the snapshot provably
     // references a WHOLE snap dir (entry count == the dir's commit-time
     // file count — see DataFileEntry.dirTotal): one path per dir, no

@@ -346,6 +346,80 @@ object CatalogDemos {
 
   private[graft] val sortedDemoWarehouse = "/tmp/graft-sorted-demo-warehouse"
 
+  private[graft] val scanPruneDemoWarehouse = "/tmp/graft-scanprune-demo-warehouse"
+
+  /** Manifest scan planning end-to-end (GraftScanBridge): orders sorted
+    * into multiple files with disjoint o_orderkey ranges, then a range
+    * query planned through the manifest file index. The scale facts ride
+    * as booleans OBSERVED on the real plan: the scan's file list came
+    * from manifests (the GraftManifestFileIndex relation), and the
+    * executed scan read STRICTLY FEWER files than the table holds —
+    * plan-time file skipping from manifest column bounds, zero storage
+    * listing, zero footers opened for pruned files (Iceberg scan
+    * planning; the reference gets this from Trino's Iceberg connector).
+    */
+  def scanPruneDemo(s: SparkSession, d: String): DataFrame = {
+    val wh = new org.apache.hadoop.fs.Path(scanPruneDemoWarehouse)
+    val whFs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (whFs.exists(wh)) whFs.delete(wh, true)
+    val keys = Seq(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+    val prev = keys.map(k => k -> s.conf.getOption(k))
+    keys.foreach(s.conf.set(_, "4KB"))
+    try {
+      val engine = new GraftEngine(s, scanPruneDemoWarehouse)
+      engine.catalog.createSchema("demo")
+      val orders = graft.Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      engine.catalog.createTable("demo", "orders_scan", orders.schema,
+        sortedBy = Seq("o_orderkey"))
+      engine.catalog.insert("demo", "orders_scan", orders)
+      val totalFiles = engine.catalog.filesMeta("demo", "orders_scan")
+        .filter(col("content") === 0).count()
+      val q = engine.catalog.readLatest("demo", "orders_scan")
+        .filter(col("o_orderkey").between(1L, 128L))
+        .agg(count(lit(1)).as("n_rows"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+      val result = q.collect().head
+      // descend through AQE wrappers: collect() over an
+      // AdaptiveSparkPlanExec does not enter the adaptive subtree
+      def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allScans(a.executedPlan)
+        case st: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allScans(st.plan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(allScans)
+      }
+      val scans = allScans(q.queryExecution.executedPlan)
+      val manifestPlanned = scans.nonEmpty && scans.forall(
+        _.relation.location.isInstanceOf[org.apache.spark.sql.GraftManifestFileIndex])
+      val filesRead = scans.map(_.metrics("numFiles").value).sum
+      import s.implicits._
+      Seq((result.getLong(0), result.getLong(1), result.getLong(2)))
+        .toDF("n_rows", "min_key", "max_key")
+        .withColumn("planned_by_manifest", lit(manifestPlanned))
+        .withColumn("pruned_files",
+          lit(totalFiles >= 2 && filesRead > 0 && filesRead < totalFiles))
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  /** DuckDB twin of [[scanPruneDemo]]: the range aggregate from orders;
+    * the two plan facts are literals the Spark side must have observed
+    * true on the real executed plan (manifest-driven file index, fewer
+    * files read than the table holds).
+    */
+  val scanPruneDemoSql: String =
+    """SELECT COUNT(*) AS n_rows,
+      |       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+      |       TRUE AS planned_by_manifest, TRUE AS pruned_files
+      |FROM orders WHERE o_orderkey BETWEEN 1 AND 128""".stripMargin
+
   private[graft] val transformDemoWarehouse = "/tmp/graft-transform-demo-warehouse"
 
   private[graft] val refsDemoWarehouse = "/tmp/graft-refs-demo-warehouse"

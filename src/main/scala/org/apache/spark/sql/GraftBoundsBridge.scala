@@ -97,6 +97,13 @@ object GraftBoundsBridge {
     */
   def conjunctEqualities(c: Column): Seq[(String, Any)] = nodeConj(c.node)
 
+  /** [[conjunctEqualities]] over an already-resolved catalyst predicate —
+    * what a FileIndex receives as pushed-down data filters.
+    */
+  def conjunctEqualitiesExpr(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[(String, Any)] =
+    catalystConj(e)
+
   private def nodeConj(n: ColumnNode): Seq[(String, Any)] = n match {
     case f: UnresolvedFunction => f.functionName match {
       case "and" => f.arguments.flatMap(nodeConj)

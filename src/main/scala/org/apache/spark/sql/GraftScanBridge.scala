@@ -1,0 +1,195 @@
+package org.apache.spark.sql
+
+import graft.catalog.{DataFileEntry, Manifests}
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, BoundReference, Cast, Expression, GenericInternalRow, Literal, Predicate}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.datasources.{FileIndex, FileStatusWithMetadata, HadoopFsRelation, LogicalRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Manifest-driven scan planning: a [[FileIndex]] whose file list comes
+  * from the snapshot's manifest entries instead of a storage listing, and
+  * whose `listFiles` prunes that list with the pushed-down predicates —
+  * partition filters against the hive `col=value` path segments, data
+  * filters against each entry's per-column min/max bounds
+  * ([[Manifests.mayMatch]], Iceberg's inclusive-projection scan planning:
+  * iceberg.apache.org/spec/#scan-planning).
+  *
+  * This is what turns the manifest tier into a 100 TB read path: planning
+  * a filtered SELECT costs zero object-store LIST calls (file names,
+  * sizes and bounds all come from manifest JSON) and opens zero parquet
+  * footers for provably-unmatched files. Row-group pruning inside the
+  * surviving files still happens in the parquet reader as usual — bounds
+  * only shrink the file list, never decide rows, so a conservative miss
+  * costs IO, not correctness.
+  *
+  * Lives in `org.apache.spark.sql` because constructing a
+  * [[HadoopFsRelation]]/[[LogicalRelation]] directly (the V1 file-source
+  * relation `spark.read.parquet` itself builds) needs the classic-session
+  * internals — the same extension-point pattern as [[GraftSqlBridge]].
+  */
+object GraftScanBridge {
+
+  /** Data files of one manifest snapshot as a relation. `dataSchema` =
+    * columns physically present in the parquet files; `partitionCols` =
+    * (name, type) of hive path columns in path-segment order (identity
+    * partition columns with their declared types; `_snap` and derived
+    * transform columns as strings). Output column order is
+    * `dataSchema ++ partitionCols`, like any file-source relation —
+    * callers reorder/drop to the declared surface.
+    */
+  def manifestScan(spark: SparkSession, tableRoot: Path,
+                   entries: Seq[DataFileEntry],
+                   dataSchema: StructType,
+                   partitionCols: Seq[(String, DataType)],
+                   transformProjection: Seq[Expression] => DataFileEntry => Boolean =
+                     _ => _ => true): DataFrame = {
+    val classicSpark = spark.asInstanceOf[classic.SparkSession]
+    val partitionSchema = StructType(partitionCols.map {
+      case (n, dt) => StructField(n, dt, nullable = true)
+    })
+    val index = new GraftManifestFileIndex(
+      classicSpark.sessionState.newHadoopConf(), tableRoot, entries, partitionSchema,
+      transformProjection)
+    val relation = HadoopFsRelation(
+      location = index,
+      partitionSchema = partitionSchema,
+      dataSchema = dataSchema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = Map.empty)(spark)
+    classic.Dataset.ofRows(classicSpark, LogicalRelation(relation, isStreaming = false))
+  }
+}
+
+/** File index over manifest entries. Thread-safe and immutable: the
+  * entry list is fixed at construction (a snapshot is immutable), so
+  * `refresh` is a no-op and repeated `listFiles` calls are pure.
+  */
+final class GraftManifestFileIndex(
+    hadoopConf: org.apache.hadoop.conf.Configuration,
+    tableRoot: Path,
+    entries: Seq[DataFileEntry],
+    override val partitionSchema: StructType,
+    transformProjection: Seq[Expression] => DataFileEntry => Boolean =
+      _ => _ => true) extends FileIndex {
+
+  private val qualifiedRoot: Path = {
+    val fs = tableRoot.getFileSystem(hadoopConf)
+    fs.makeQualified(tableRoot)
+  }
+
+  // per-entry (partition values internal row, file status); partition
+  // values parse once at construction from the hive path segments the
+  // manifest recorded — no storage round-trip anywhere in this class
+  private val files: Seq[(InternalRow, FileStatusWithMetadata, DataFileEntry)] =
+    entries.map { e =>
+      val status = new FileStatus(e.bytes, false, 1, 128L * 1024 * 1024, 0L,
+        new Path(qualifiedRoot, e.path))
+      (partitionValues(e.path), FileStatusWithMetadata(status, Map.empty), e)
+    }
+
+  override def rootPaths: Seq[Path] = Seq(qualifiedRoot)
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val partPruned =
+      if (partitionFilters.isEmpty || partitionSchema.isEmpty) files
+      else {
+        val predicate = Predicate.createInterpreted(bindByName(partitionFilters))
+        files.filter { case (values, _, _) => predicate.eval(values) }
+      }
+    val survivors =
+      if (dataFilters.isEmpty) partPruned
+      else {
+        // hidden-partitioning projection: a conjunct equality on a
+        // transform SOURCE column implies an exact derived directory
+        // value (`id = 5` on a `bucket(16, id)` table keeps only
+        // bucket(5)'s files) — source min/max bounds alone cannot see
+        // this, a hash scatters the source range across every bucket
+        val derived = transformProjection(dataFilters)
+        partPruned.filter { case (_, _, e) =>
+          dataFilters.forall(Manifests.mayMatch(_, e)) && derived(e)
+        }
+      }
+    survivors.groupBy(_._1).toSeq.map { case (values, group) =>
+      PartitionDirectory(values, group.map(_._2))
+    }
+  }
+
+  override def inputFiles: Array[String] =
+    files.map(_._2.getPath.toString).toArray
+
+  override def refresh(): Unit = ()
+
+  override def sizeInBytes: Long = entries.map(_.bytes).sum
+
+  /** Resolve filter attributes to partition-schema ordinals by
+    * (case-insensitive) name: the filters reference the relation's
+    * output attributes, whose exprIds this index never sees.
+    */
+  private def bindByName(filters: Seq[Expression]): Expression = {
+    val idx = partitionSchema.fields.zipWithIndex.map {
+      case (f, i) => f.name.toLowerCase(java.util.Locale.ROOT) -> i
+    }.toMap
+    filters.reduce(org.apache.spark.sql.catalyst.expressions.And).transform {
+      case a: AttributeReference =>
+        idx.get(a.name.toLowerCase(java.util.Locale.ROOT)) match {
+          case Some(i) =>
+            val f = partitionSchema.fields(i)
+            BoundReference(i, f.dataType, nullable = true)
+          case None =>
+            // partition filters only reference partition columns; an
+            // unknown name means a contract break upstream — fail loud
+            throw new IllegalStateException(
+              s"Partition filter references non-partition column ${a.name}")
+        }
+    }
+  }
+
+  /** Hive `col=value` path segments → InternalRow in partition-schema
+    * order, casting the (unescaped) strings to the declared types the
+    * same way partition discovery would.
+    */
+  private def partitionValues(relPath: String): InternalRow = {
+    if (partitionSchema.isEmpty) return InternalRow.empty
+    val segs = relPath.split('/').dropRight(1).iterator.flatMap { seg =>
+      val eq = seg.indexOf('=')
+      if (eq <= 0) None
+      else Some(seg.substring(0, eq).toLowerCase(java.util.Locale.ROOT) ->
+        unescapePathName(seg.substring(eq + 1)))
+    }.toMap
+    val values: Array[Any] = partitionSchema.fields.map { f =>
+      segs.get(f.name.toLowerCase(java.util.Locale.ROOT)) match {
+        case None => null
+        case Some("__HIVE_DEFAULT_PARTITION__") => null
+        case Some(raw) =>
+          if (f.dataType == StringType) UTF8String.fromString(raw)
+          else Cast(Literal(UTF8String.fromString(raw), StringType), f.dataType,
+            Some(SQLConf.get.sessionLocalTimeZone)).eval(null)
+      }
+    }
+    new GenericInternalRow(values)
+  }
+
+  private def unescapePathName(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+}
