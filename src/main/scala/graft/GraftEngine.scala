@@ -432,27 +432,31 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
             catch { case e: IllegalArgumentException =>
               throw new GraftQueryException(sqlText, e.getMessage, e) }
           case "create_branch" | "drop_branch" | "create_tag" | "drop_tag" |
-               "fast_forward" =>
+               "fast_forward" | "merge_branch" =>
             val name = args.getOrElse("name",
               throw new GraftQueryException(sqlText, s"$proc requires a ref name"))
             val snapId = args.get("snapshot_id").map(_.toLong)
             try {
               proc match {
-                case "create_branch" => catalog.createBranch(schema, table, name, snapId)
-                case "drop_branch"   => catalog.dropBranch(schema, table, name)
-                case "create_tag"    => catalog.createTag(schema, table, name, snapId)
-                case "drop_tag"      => catalog.dropTag(schema, table, name)
-                case "fast_forward"  => catalog.fastForward(schema, table, name)
+                case "create_branch" => catalog.createBranch(schema, table, name, snapId); 0L
+                case "drop_branch"   => catalog.dropBranch(schema, table, name); 0L
+                case "create_tag"    => catalog.createTag(schema, table, name, snapId); 0L
+                case "drop_tag"      => catalog.dropTag(schema, table, name); 0L
+                case "fast_forward"  => catalog.fastForward(schema, table, name); 0L
+                case "merge_branch"  => catalog.mergeBranch(schema, table, name)
               }
-              0L
-            } catch { case e: IllegalArgumentException =>
-              throw new GraftQueryException(sqlText, e.getMessage, e) }
+            } catch {
+              case e: IllegalArgumentException =>
+                throw new GraftQueryException(sqlText, e.getMessage, e)
+              case e: graft.catalog.MergeConflictException =>
+                throw new GraftQueryException(sqlText, e.getMessage, e)
+            }
           case other =>
             throw new GraftQueryException(sqlText,
               s"Unsupported ALTER TABLE EXECUTE procedure: $other " +
                 "(supported: optimize, expire_snapshots, remove_orphan_files, " +
                 "rollback_to_snapshot, create_branch, drop_branch, create_tag, " +
-                "drop_tag, fast_forward)")
+                "drop_tag, fast_forward, merge_branch)")
         }
     }
 

@@ -168,7 +168,7 @@ object DdlParser {
   // log): CALL system.create_branch('sch','tbl','name'[, snapshot_id])
   // etc., positional or name => value
   private val callRefRe =
-    """(?is)^\s*CALL\s+(?:[\w.]*\bsystem\.)?(create_branch|drop_branch|create_tag|drop_tag|fast_forward)\s*\(\s*(.*?)\s*\)\s*;?\s*$""".r
+    """(?is)^\s*CALL\s+(?:[\w.]*\bsystem\.)?(create_branch|drop_branch|create_tag|drop_tag|fast_forward|merge_branch)\s*\(\s*(.*?)\s*\)\s*;?\s*$""".r
   private val deleteRe =
     """(?is)^\s*DELETE\s+FROM\s+([\w.]+)\s*(.*?)\s*;?\s*$""".r
   private val updateRe =

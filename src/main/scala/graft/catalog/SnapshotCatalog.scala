@@ -45,6 +45,14 @@ final class CommitConflictException(val schema: String, val table: String,
     s"Concurrent commit detected on $schema.$table: generation ${expectedGen + 1} " +
       "already exists (another writer committed first); retry from a fresh read")
 
+/** Both refs advanced past the merge base with branch-side DML — the
+  * table-granular content conflict Nessie reports for a non-replayable
+  * merge ([[SnapshotCatalog.mergeBranch]]).
+  */
+final class MergeConflictException(val schema: String, val table: String,
+                                   val branch: String, msg: String)
+  extends RuntimeException(msg)
+
 /** Resolved MERGE clause actions ([[SnapshotCatalog.mergeInto]]): the
   * engine parses the SQL-text conditions/expressions into Columns, the
   * catalog executes them. Clause order = first-match-wins priority.
@@ -2348,6 +2356,65 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         "(not fast-forwardable)")
     if (branchCommits.size > mainCommits.size)
       writeCommits(schema, table, branchCommits, mainGen)
+  }
+
+  /** Merge branch `name` into main (Nessie's merge,
+    * projectnessie.org/features/ — the reference's catalog is Nessie,
+    * docker-compose.yml:36). Three-way over the snapshot logs:
+    *
+    *  - branch not past the merge base → no-op (0 commits merged);
+    *  - main not past the base → fast-forward main to the branch head;
+    *  - both diverged AND every branch commit past the base is an
+    *    append → replay: ONE new main snapshot carrying main's current
+    *    files plus the data files the branch added since the base
+    *    (manifest entries are reused verbatim — no footer re-reads, no
+    *    data movement; metadata-only like every commit here);
+    *  - both diverged with branch-side DML/rewrite → typed
+    *    [[MergeConflictException]], Nessie's content-conflict answer —
+    *    a rewrite's row-level outcome can depend on main-side rows the
+    *    branch never saw, so replaying it silently would be wrong.
+    *
+    * After a successful merge the branch log is REBASED onto the merged
+    * main head, so an immediate re-merge is a no-op instead of
+    * double-applying the same appends. Returns merged commit count.
+    */
+  def mergeBranch(schema: String, table: String, name: String): Long = synchronized {
+    require(branchExists(schema, table, name),
+      s"Branch $name does not exist on $schema.$table")
+    val dir = tableDir(schema, table)
+    val (mainC, mainGen) = readCommitsWithGen(schema, table)
+    val (branchC, branchGen) = branch(name).readCommitsWithGen(schema, table)
+    val common = mainC.zip(branchC).takeWhile { case (a, b) => a == b }.length
+    val branchNew = branchC.drop(common)
+    if (branchNew.isEmpty) return 0L
+    if (common == mainC.length) { // main unmoved since base: fast-forward
+      writeCommits(schema, table, branchC, mainGen)
+      return branchNew.length.toLong
+    }
+    if (!branchNew.forall(_.operation.contains("append")))
+      throw new MergeConflictException(schema, table, name,
+        s"Cannot merge branch $name into main on $schema.$table: both refs " +
+          "advanced since the merge base and the branch side contains " +
+          "non-append commits (DML/rewrite) — resolve on the branch " +
+          "(recreate it from main and re-apply) or merge before diverging")
+    val basePaths =
+      if (common == 0) Set.empty[String]
+      else manifestEntriesOf(dir, branchC(common - 1)).map(_.path).toSet
+    val added = manifestEntriesOf(dir, branchC.last)
+      .filterNot(e => basePaths.contains(e.path))
+    val mainHead = mainC.last
+    val carried = mainHead.manifestList.toSeq.flatMap(readManifestList(dir, _))
+    val names = carried ++
+      (if (added.nonEmpty) Seq(writeManifest(dir, added)) else Nil)
+    val ml = writeManifestList(dir, compactManifestSet(dir, names))
+    val id = mainHead.snapshotId + 1
+    val at = math.max(System.currentTimeMillis(), mainHead.committedAtMillis + 1)
+    val snap = Snapshot(id, at, mainHead.dirs,
+      declaredSchema(schema, table).map(_.json), Some("append"),
+      mainHead.deletes, Some(ml))
+    writeCommits(schema, table, mainC :+ snap, mainGen)
+    branch(name).writeCommits(schema, table, mainC :+ snap, branchGen)
+    branchNew.length.toLong
   }
 
   // tags: immutable named pointers; the full snapshot entry is PINNED in

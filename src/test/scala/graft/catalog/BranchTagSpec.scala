@@ -180,4 +180,62 @@ class BranchTagSpec extends SparkSpec {
     intercept[graft.GraftQueryException](e.query(graft.params.SqlStatement(
       "SELECT * FROM s.r FOR VERSION AS OF 'nope'")).collect())
   }
+
+  test("merge: diverged append-only branch replays onto main; re-merge is a no-op") {
+    val c = freshCatalog()
+    seed(c, "m")
+    c.createBranch("s", "m", "ingest")
+    // branch appends twice; main advances with its own append AND a delete
+    c.branch("ingest").insert("s", "m", Seq((10L, "x"), (11L, "y")).toDF("id", "v"))
+    c.branch("ingest").insert("s", "m", Seq((12L, "z")).toDF("id", "v"))
+    c.insert("s", "m", Seq((20L, "w")).toDF("id", "v"))
+    c.delete("s", "m", col("id") === 1L)
+    val merged = c.mergeBranch("s", "m", "ingest")
+    assert(merged === 2L)
+    // merged main = main's own state (delete applied) ∪ branch appends
+    assert(c.readLatest("s", "m").select("id").as[Long].collect().toSet ===
+      Set(2L, 3L, 10L, 11L, 12L, 20L))
+    // merge is metadata-only: ONE new snapshot, operation append
+    assert(c.snapshots("s", "m").last.operation === Some("append"))
+    // branch was rebased onto the merged head → immediate re-merge no-ops
+    assert(c.mergeBranch("s", "m", "ingest") === 0L)
+    assert(c.readLatest("s", "m").count() === 6)
+    // branch continues from the merged state
+    assert(c.branch("ingest").readLatest("s", "m").count() === 6)
+  }
+
+  test("merge: main unmoved since base fast-forwards; branch DML + diverged main conflicts") {
+    val c = freshCatalog()
+    seed(c, "m2")
+    c.createBranch("s", "m2", "dev")
+    c.branch("dev").insert("s", "m2", Seq((10L, "x")).toDF("id", "v"))
+    assert(c.mergeBranch("s", "m2", "dev") === 1L) // pure fast-forward
+    assert(c.readLatest("s", "m2").count() === 4)
+    // now diverge BOTH sides with branch-side DML → typed conflict
+    c.branch("dev").delete("s", "m2", col("id") === 2L)
+    c.insert("s", "m2", Seq((30L, "q")).toDF("id", "v"))
+    val ex = intercept[MergeConflictException](c.mergeBranch("s", "m2", "dev"))
+    assert(ex.branch === "dev")
+    // main state untouched by the failed merge
+    assert(c.readLatest("s", "m2").count() === 5)
+  }
+
+  test("merge through the SQL CALL surface returns merged commit count") {
+    val c = freshCatalog()
+    val e = new graft.GraftEngine(spark, c.warehouse)
+    e.executeNonQuery(graft.params.SqlStatement(
+      "CREATE TABLE s.msql (id BIGINT, v VARCHAR)"))
+    e.executeNonQuery(graft.params.SqlStatement(
+      "INSERT INTO s.msql VALUES (1, 'a'), (2, 'b')"))
+    e.executeNonQuery(graft.params.SqlStatement(
+      "CALL system.create_branch('s', 'msql', 'etl')"))
+    c.branch("etl").insert("s", "msql", Seq((3L, "c")).toDF("id", "v"))
+    e.executeNonQuery(graft.params.SqlStatement(
+      "INSERT INTO s.msql VALUES (4, 'd')"))
+    val n = e.executeNonQuery(graft.params.SqlStatement(
+      "CALL system.merge_branch('s', 'msql', 'etl')"))
+    assert(n === 1L)
+    assert(c.readLatest("s", "msql").select("id").as[Long].collect().toSet ===
+      Set(1L, 2L, 3L, 4L))
+  }
 }
