@@ -158,6 +158,7 @@ object SparkEntry {
     "mor_demo"         -> (CatalogDemos.morDemo _),
     "sorted_demo"      -> (CatalogDemos.sortedDemo _),
     "scan_prune_demo"  -> (CatalogDemos.scanPruneDemo _),
+    "changes_demo"     -> (CatalogDemos.changesDemo _),
     "merge_demo"       -> (CatalogDemos.mergeDemo _),
     "meta_tables_demo" -> (CatalogDemos.metaTablesDemo _),
     "views_demo"       -> (CatalogDemos.viewsDemo _),
@@ -568,6 +569,7 @@ object SparkEntry {
     "mor_demo"        -> operators.CatalogDemos.morDemoSql,
     "sorted_demo"     -> operators.CatalogDemos.sortedDemoSql,
     "scan_prune_demo" -> operators.CatalogDemos.scanPruneDemoSql,
+    "changes_demo"    -> operators.CatalogDemos.changesDemoSql,
     "merge_demo"      -> operators.CatalogDemos.mergeDemoSql,
     "meta_tables_demo" -> operators.CatalogDemos.metaTablesDemoSql,
     "views_demo"      -> operators.CatalogDemos.viewsDemoSql,

@@ -162,6 +162,54 @@ object CatalogDemos {
 
   private[graft] val dmlDemoWarehouse = "/tmp/graft-dml-demo-warehouse"
 
+  private[graft] val changesDemoWarehouse = "/tmp/graft-changes-demo-warehouse"
+
+  /** Incremental/CDC reads end-to-end ([[SnapshotCatalog.readChanges]],
+    * Iceberg incremental scan + Delta table_changes shape): orders loaded,
+    * then a range DELETE and a range UPDATE; the change stream between
+    * the load and the head is aggregated per change type. Each commit's
+    * CDC reads only its TOUCHED files — the UPDATE surfaces as its
+    * delete+insert pair, attributed to its commit.
+    */
+  def changesDemo(s: SparkSession, d: String): DataFrame = {
+    val wh = new org.apache.hadoop.fs.Path(changesDemoWarehouse)
+    val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) fs.delete(wh, true)
+    val engine = new GraftEngine(s, changesDemoWarehouse)
+    engine.catalog.createSchema("demo")
+    val orders = graft.Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"))
+    engine.catalog.createTable("demo", "orders_cdc", orders.schema)
+    engine.catalog.insert("demo", "orders_cdc", orders)
+    engine.executeNonQuery(graft.params.SqlStatement(
+      "DELETE FROM demo.orders_cdc WHERE o_orderkey <= 64"))
+    engine.executeNonQuery(graft.params.SqlStatement(
+      "UPDATE demo.orders_cdc SET o_custkey = -1 " +
+        "WHERE o_orderkey BETWEEN 65 AND 96"))
+    val head = engine.catalog.snapshots("demo", "orders_cdc").last.snapshotId
+    engine.catalog.readChanges("demo", "orders_cdc", 1L, head)
+      .groupBy(col("_change_type"))
+      .agg(count(lit(1)).as("n"),
+        sum("o_orderkey").cast("long").as("key_sum"),
+        sum(when(col("o_custkey") === -1L, 1L).otherwise(0L)).cast("long")
+          .as("n_rewritten_custkey"))
+      .orderBy(col("_change_type"))
+  }
+
+  /** DuckDB twin of [[changesDemo]]: the delete stream is every row the
+    * DELETE removed plus the old image of every UPDATEd row; the insert
+    * stream is the new image of the UPDATEd rows (custkey -1).
+    */
+  val changesDemoSql: String =
+    """SELECT 'delete' AS _change_type, COUNT(*) AS n,
+      |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+      |       CAST(0 AS BIGINT) AS n_rewritten_custkey
+      |FROM orders WHERE o_orderkey <= 96
+      |UNION ALL
+      |SELECT 'insert', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT), COUNT(*)
+      |FROM orders WHERE o_orderkey BETWEEN 65 AND 96
+      |ORDER BY _change_type""".stripMargin
+
   /** SQL MERGE INTO end-to-end (Trino Iceberg's third DML verb): nation
     * rows merged with a doubled-key projection of themselves so one
     * statement exercises all three clause kinds — a conditional DELETE, an
