@@ -249,6 +249,17 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
           catch { case e: IllegalArgumentException =>
             throw new GraftQueryException(sqlText, e.getMessage, e) }
         }
+      case graft.catalog.AnalyzeStmt(schema, table) =>
+        requireCatalogTable(sqlText, schema, table)
+        // one aggregation pass; the result persists keyed by the head
+        // snapshot so SHOW STATS is metadata-only until the next commit
+        val head = catalog.snapshots(schema, table).lastOption
+          .map(_.snapshotId).getOrElse(0L)
+        val statRows = liveStats(schema, table)
+        catalog.writeTableStats(schema, table, head, statRows)
+        statRows.collectFirst {
+          case (None, _, _, _, Some(rc), _, _) => rc.toLong
+        }.getOrElse(0L)
       case graft.catalog.TruncateStmt(schema, table) =>
         requireCatalogTable(sqlText, schema, table)
         // TRUNCATE is METADATA-ONLY: the commit references no data files
@@ -723,6 +734,25 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
     */
   private def showStats(sch: String, tbl: String): DataFrame = {
     import spark.implicits._
+    // persisted ANALYZE stats matching the current head serve WITHOUT any
+    // scan — the 100 TB contract: collect once, answer from metadata
+    // until the table changes (Trino Iceberg's ANALYZE/Puffin model)
+    val head = catalog.snapshots(sch, tbl).lastOption.map(_.snapshotId).getOrElse(0L)
+    val rows = catalog.readTableStats(sch, tbl) match {
+      case Some((snap, persisted)) if snap == head => persisted
+      case _ => liveStats(sch, tbl)
+    }
+    rows.map { case (cn, ds, ndv, nf, rc, lo, hi) =>
+      (cn.orNull, ds, ndv, nf, rc, lo, hi)
+    }.toDF("column_name", "data_size", "distinct_values_count",
+      "nulls_fraction", "row_count", "low_value", "high_value")
+  }
+
+  /** One aggregation pass over the current snapshot → SHOW STATS rows
+    * (every per-column statistic is one agg expression in one job), byte
+    * size and exact row count from the manifest/footer metadata.
+    */
+  private def liveStats(sch: String, tbl: String): Seq[catalog.StatsRow] = {
     import org.apache.spark.sql.functions._
     val df = catalog.readLatest(sch, tbl)
     val atomic = df.schema.fields.map { f =>
@@ -751,22 +781,20 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
         case row if row.isNullAt(0) => 0L
         case row => row.getLong(0)
       }
-    val colRows = df.schema.fields.map { f =>
+    df.schema.fields.map { f =>
       val nulls = r.getAs[Long](s"__n_${f.name}")
       val frac = if (rows == 0) 0.0 else nulls.toDouble / rows
       if (atomic(f.name))
-        (f.name, Option.empty[Double],
+        (Some(f.name), Option.empty[Double],
           Option(r.getAs[Long](s"__d_${f.name}")).map(_.toDouble),
           Some(frac), Option.empty[Double],
           Option(r.getAs[String](s"__lo_${f.name}")),
           Option(r.getAs[String](s"__hi_${f.name}")))
-      else (f.name, Option.empty[Double], Option.empty[Double], Some(frac),
+      else (Some(f.name), Option.empty[Double], Option.empty[Double], Some(frac),
         Option.empty[Double], Option.empty[String], Option.empty[String])
-    } :+ ((null: String, Some(dataSize.toDouble), Option.empty[Double],
+    }.toSeq :+ ((Option.empty[String], Some(dataSize.toDouble), Option.empty[Double],
       Option.empty[Double], Some(rows.toDouble),
       Option.empty[String], Option.empty[String]))
-    colRows.toSeq.toDF("column_name", "data_size", "distinct_values_count",
-      "nulls_fraction", "row_count", "low_value", "high_value")
   }
 
   /** Spark type → Trino type spelling (the inverse of DdlParser.sparkType;

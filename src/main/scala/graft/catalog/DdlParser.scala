@@ -83,6 +83,12 @@ final case class CommentStmt(schema: String, table: String,
                              column: Option[String],
                              comment: Option[String]) extends DdlStatement
 final case class TruncateStmt(schema: String, table: String) extends DdlStatement
+/** `ANALYZE [cat.]sch.t` (Trino's stats-collection verb): one aggregation
+  * pass persisting per-column NDV/nulls/low/high keyed by the analyzed
+  * snapshot, so SHOW STATS afterwards is metadata-only until the table
+  * changes (Iceberg stores these in Puffin stats files).
+  */
+final case class AnalyzeStmt(schema: String, table: String) extends DdlStatement
 final case class CreateViewStmt(schema: String, view: String,
                                 select: String, orReplace: Boolean) extends DdlStatement
 final case class DropViewStmt(schema: String, view: String,
@@ -149,6 +155,8 @@ object DdlParser {
     """(?is)^\s*DROP\s+SCHEMA\s+(IF\s+EXISTS\s+)?([\w.]+?)(?:\s+(CASCADE|RESTRICT))?\s*;?\s*$""".r
   private val truncateRe =
     """(?is)^\s*TRUNCATE\s+TABLE\s+([\w.]+)\s*;?\s*$""".r
+  private val analyzeRe =
+    """(?is)^\s*ANALYZE\s+([\w.]+)\s*;?\s*$""".r
   private val createViewRe =
     """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([\w.]+)\s+AS\s+(.+?)\s*;?\s*$""".r
   private val dropViewRe =
@@ -243,6 +251,9 @@ object DdlParser {
     case truncateRe(name) =>
       val (sch, tbl) = tableOf(name)
       Some(TruncateStmt(sch, tbl))
+    case analyzeRe(name) =>
+      val (sch, tbl) = tableOf(name)
+      Some(AnalyzeStmt(sch, tbl))
     case createMatViewRe(ine, name, select) =>
       val (sch, v) = tableOf(name)
       Some(CreateMaterializedViewStmt(sch, v, select.trim, ine != null))

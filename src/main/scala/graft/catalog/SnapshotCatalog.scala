@@ -2082,6 +2082,57 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           "files, partitions, refs, manifests, changes)")
     }
 
+  // ---- persisted table statistics (ANALYZE → metadata-only SHOW STATS;
+  //      Iceberg stores these in Puffin stats files referenced from
+  //      table metadata) ----
+
+  /** One persisted SHOW STATS row: (column_name — null for the summary
+    * row, data_size, ndv, nulls_fraction, row_count, low, high).
+    */
+  type StatsRow = (Option[String], Option[Double], Option[Double],
+    Option[Double], Option[Double], Option[String], Option[String])
+
+  private def statsPath(schema: String, table: String) =
+    new Path(tableDir(schema, table), "_table_stats.json")
+
+  /** Persist ANALYZE's result keyed by the snapshot it observed; a later
+    * SHOW STATS serves it without any scan while the head still matches.
+    */
+  def writeTableStats(schema: String, table: String, snapshotId: Long,
+                      rows: Seq[StatsRow]): Unit = {
+    val o = mapper.createObjectNode()
+    o.put("snapshotId", snapshotId)
+    val arr = o.putArray("rows")
+    rows.foreach { case (cn, ds, ndv, nf, rc, lo, hi) =>
+      val n = arr.addObject()
+      cn.foreach(n.put("column", _))
+      ds.foreach(n.put("data_size", _))
+      ndv.foreach(n.put("ndv", _))
+      nf.foreach(n.put("nulls_fraction", _))
+      rc.foreach(n.put("row_count", _))
+      lo.foreach(n.put("low", _))
+      hi.foreach(n.put("high", _))
+    }
+    writeString(statsPath(schema, table), mapper.writeValueAsString(o))
+  }
+
+  /** Persisted stats and the snapshot id they were computed at. */
+  def readTableStats(schema: String, table: String): Option[(Long, Seq[StatsRow])] = {
+    val p = statsPath(schema, table)
+    if (!fs(p).exists(p)) return None
+    val root = mapper.readTree(readString(p))
+    def optD(n: com.fasterxml.jackson.databind.JsonNode, k: String) =
+      if (n.has(k)) Some(n.get(k).asDouble) else None
+    def optS(n: com.fasterxml.jackson.databind.JsonNode, k: String) =
+      if (n.has(k)) Some(n.get(k).asText) else None
+    val rows = root.get("rows").elements().asScala.map { n =>
+      (optS(n, "column"), optD(n, "data_size"), optD(n, "ndv"),
+        optD(n, "nulls_fraction"), optD(n, "row_count"),
+        optS(n, "low"), optS(n, "high"))
+    }.toSeq
+    Some((root.get("snapshotId").asLong, rows))
+  }
+
   // ---- incremental / CDC reads (Iceberg incremental scan + the
   //      changelog shape of Delta's table_changes; the feature a
   //      training-data pipeline needs to process ONLY what a commit

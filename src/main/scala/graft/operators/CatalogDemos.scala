@@ -177,10 +177,14 @@ object CatalogDemos {
     if (fs.exists(wh)) fs.delete(wh, true)
     val engine = new GraftEngine(s, changesDemoWarehouse)
     engine.catalog.createSchema("demo")
+    // the CDC window only ever touches o_orderkey <= 96; cap the ingested
+    // slice so the demo's cost is the CDC machinery, not corpus loading
+    // (the oracle's WHERE clauses are unaffected by the cap)
     val orders = graft.Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_custkey"))
+      .filter(col("o_orderkey") <= 8192L)
     engine.catalog.createTable("demo", "orders_cdc", orders.schema)
-    engine.catalog.insert("demo", "orders_cdc", orders)
+    engine.catalog.insert("demo", "orders_cdc", orders.coalesce(2))
     engine.executeNonQuery(graft.params.SqlStatement(
       "DELETE FROM demo.orders_cdc WHERE o_orderkey <= 64"))
     engine.executeNonQuery(graft.params.SqlStatement(
@@ -544,9 +548,13 @@ object CatalogDemos {
         |) WITH (partitioning = ARRAY['year(o_orderdate)', 'bucket(4, o_orderkey)'])""".stripMargin))
     // the source stores o_orderdate as timestamp; the demo table declares
     // DATE (the natural type for month partitioning)
+    // cap the ingested slice (oracle filters identically): the demo's
+    // subject is transform-partition pruning on DML, which a 16k-row
+    // year×bucket layout exercises as well as the full corpus
     val orders = graft.Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"),
         col("o_totalprice"))
+      .filter(col("o_orderkey") <= 65536L)
     engine.catalog.insert("demo", "orders_tp", orders)
     val c = engine.catalog
     // the victim: the minimum order key (deterministic for the oracle)
@@ -579,10 +587,12 @@ object CatalogDemos {
     * literals the Spark side must have observed on the real rewrite set.
     */
   val transformPartitionDemoSql: String =
-    """SELECT (SELECT COUNT(*) - 1 FROM orders) AS n_rows,
+    """SELECT (SELECT COUNT(*) - 1 FROM orders WHERE o_orderkey <= 65536) AS n_rows,
       |       (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
       |        FROM orders
-      |        WHERE o_orderkey <> (SELECT MIN(o_orderkey) FROM orders)) AS total,
+      |        WHERE o_orderkey <= 65536
+      |          AND o_orderkey <> (SELECT MIN(o_orderkey) FROM orders
+      |                             WHERE o_orderkey <= 65536)) AS total,
       |       TRUE AS pruned_one_year, TRUE AS pruned_one_bucket""".stripMargin
 
   /** Metadata tables + rollback end-to-end: a commit history (two appends,

@@ -101,6 +101,43 @@ class SqlSessionSpec extends SparkSpec {
     assert(byCol("k").getString(5) == "1" && byCol("k").getString(6) == "5000")
   }
 
+  test("ANALYZE persists stats; SHOW STATS answers from metadata without scanning") {
+    val e = freshEngine("sess-analyze")
+    val n = e.executeNonQuery(SqlStatement("ANALYZE demo.t"))
+    assert(n == 4L) // returns the analyzed row count
+    // move every data file away: a metadata-served SHOW STATS must still
+    // answer; a scanning one would fail on the missing files
+    val wh = new org.apache.hadoop.fs.Path(e.warehouse)
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tableDir = fs.listStatus(new org.apache.hadoop.fs.Path(wh, "demo"))
+      .map(_.getPath).find(_.getName == "t").get
+    val hidden = new org.apache.hadoop.fs.Path(tmpDir("sess-analyze-hidden"), "stash")
+    fs.mkdirs(hidden.getParent)
+    val dataDirs = fs.listStatus(tableDir).map(_.getPath)
+      .filter(p => fs.getFileStatus(p).isDirectory && !p.getName.startsWith("_"))
+    dataDirs.foreach(p => fs.rename(p, new org.apache.hadoop.fs.Path(hidden, p.getName)))
+    try {
+      val stats = e.query(SqlStatement("SHOW STATS FOR demo.t")).collect()
+      val byCol = stats.filter(!_.isNullAt(0)).map(r => r.getString(0) -> r).toMap
+      assert(byCol("id").getDouble(2) == 3.0)
+      assert(byCol("v").getDouble(3) == 0.25)
+      assert(stats.filter(_.isNullAt(0)).head.getDouble(4) == 4.0)
+    } finally dataDirs.foreach(p =>
+      fs.rename(new org.apache.hadoop.fs.Path(hidden, p.getName), p))
+  }
+
+  test("a commit staleness-invalidates persisted stats: SHOW STATS recomputes live") {
+    val e = freshEngine("sess-analyze-stale")
+    e.executeNonQuery(SqlStatement("ANALYZE demo.t"))
+    e.executeNonQuery(SqlStatement("INSERT INTO demo.t VALUES (9, 'z')"))
+    val stats = e.query(SqlStatement("SHOW STATS FOR demo.t")).collect()
+    // live recompute reflects the new row — persisted stats are pinned to
+    // the analyzed snapshot and the head moved past it
+    assert(stats.filter(_.isNullAt(0)).head.getDouble(4) == 5.0)
+    val byCol = stats.filter(!_.isNullAt(0)).map(r => r.getString(0) -> r).toMap
+    assert(byCol("id").getString(6) == "9") // high value sees the insert
+  }
+
   test("PREPARE of a session-control statement is rejected (no EXECUTE recursion)") {
     val e = freshEngine("sess-recursion")
     intercept[GraftQueryException] {
