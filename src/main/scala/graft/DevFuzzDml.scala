@@ -234,6 +234,26 @@ object DevFuzzDml {
       engine.catalog.insert("fz", "t", nation)
       val ops = genOps()
       ops.foreach(op => engine.executeNonQuery(params.SqlStatement(stmtOf(op))))
+      // CDC invariant (readChanges): replaying the change stream from the
+      // empty table reconstructs the final state as a multiset — inserts
+      // except-all deletes == actual rows — across every randomized mix
+      // of CoW/MoR UPDATE/DELETE/MERGE, partition spec, and transform
+      locally {
+        import org.apache.spark.sql.functions.col
+        val cat = engine.catalog
+        val head = cat.snapshots("fz", "t").last.snapshotId
+        val ch = cat.readChanges("fz", "t", 0L, head)
+          .select((cols :+ "_change_type").map(col): _*)
+        val ins = ch.filter(col("_change_type") === "insert").drop("_change_type")
+        val del = ch.filter(col("_change_type") === "delete").drop("_change_type")
+        val reconstructed = ins.exceptAll(del)
+        val actual = cat.readLatest("fz", "t").select(cols.map(col): _*)
+        val extra = reconstructed.exceptAll(actual).count()
+        val missing = actual.exceptAll(reconstructed).count()
+        require(extra == 0 && missing == 0,
+          s"[$name] CDC replay mismatch vs final state: " +
+            s"$extra phantom rows, $missing missing rows")
+      }
       // half the scenarios fork a BRANCH at the post-sequence head and
       // apply 1-2 more UPDATE/DELETE ops THROUGH the branch view — the
       // main dump below happens AFTER the branch mutations, so a branch
