@@ -159,6 +159,7 @@ object SparkEntry {
     "sorted_demo"      -> (CatalogDemos.sortedDemo _),
     "scan_prune_demo"  -> (CatalogDemos.scanPruneDemo _),
     "changes_demo"     -> (CatalogDemos.changesDemo _),
+    "zorder_demo"      -> (CatalogDemos.zorderDemo _),
     "merge_demo"       -> (CatalogDemos.mergeDemo _),
     "meta_tables_demo" -> (CatalogDemos.metaTablesDemo _),
     "views_demo"       -> (CatalogDemos.viewsDemo _),
@@ -570,6 +571,7 @@ object SparkEntry {
     "sorted_demo"     -> operators.CatalogDemos.sortedDemoSql,
     "scan_prune_demo" -> operators.CatalogDemos.scanPruneDemoSql,
     "changes_demo"    -> operators.CatalogDemos.changesDemoSql,
+    "zorder_demo"     -> operators.CatalogDemos.zorderDemoSql,
     "merge_demo"      -> operators.CatalogDemos.mergeDemoSql,
     "meta_tables_demo" -> operators.CatalogDemos.metaTablesDemoSql,
     "views_demo"      -> operators.CatalogDemos.viewsDemoSql,

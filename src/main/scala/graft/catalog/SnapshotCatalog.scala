@@ -170,10 +170,24 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         case _ => ()
       }
     }
-    val missingSort = sortedBy.map(sortColName)
+    val missingSort = sortedBy.flatMap(sortEntryCols)
       .filterNot(c => columns.fieldNames.exists(_.equalsIgnoreCase(c)))
     require(missingSort.isEmpty,
       s"Sort column(s) ${missingSort.mkString(", ")} not in declared schema")
+    sortedBy.foreach {
+      case zorderRe(inner) =>
+        val zc = inner.split(",").map(_.trim).filter(_.nonEmpty)
+        require(zc.length >= 2, s"zorder($inner) needs at least two columns")
+        zc.foreach { c =>
+          columns.fields.find(_.name.equalsIgnoreCase(c)).foreach { f =>
+            require(zorderableType(f.dataType),
+              s"zorder column $c must be numeric, date, or timestamp " +
+                s"(got ${f.dataType.simpleString}) — string order has no " +
+                "cheap order-preserving numeric projection")
+          }
+        }
+      case _ => ()
+    }
     columns.fieldNames.foreach(validateColumnName(_, formatVersion))
     // `_snap` is the reserved snapshot-dir partition key of the storage
     // layout (see snapDirName) — a user column with that name would
@@ -254,6 +268,23 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
   private def sortColName(s: String): String =
     s.trim.split("\\s+").head
 
+  /** `zorder(c1, c2[, …])` sort-spec spelling (Iceberg's
+    * rewrite_data_files z-order sort strategy, Delta's OPTIMIZE ZORDER):
+    * multi-dimensional clustering so manifest/footer bounds stay
+    * selective on EVERY referenced column, not just a lexicographic
+    * prefix.
+    */
+  private val zorderRe = """(?i)^\s*zorder\s*\(\s*([^)]*)\)\s*$""".r
+
+  /** Bare column names one sort-spec entry references (a zorder entry
+    * expands to all its source columns) — what existence validation and
+    * the DROP/RENAME COLUMN guards must check.
+    */
+  private def sortEntryCols(s: String): Seq[String] = s.trim match {
+    case zorderRe(inner) => inner.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    case other => Seq(other.split("\\s+").head)
+  }
+
   /** Reserved-name gate for every column-introducing DDL path
     * (createTable / addColumn / renameColumn): the `__graft_` prefix is
     * the engine's internal provenance namespace (`__graft_file`,
@@ -325,7 +356,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     // nonexistent column and every later write failing to resolve it —
     // the same permanent-unwritability hazard as dropping a partition
     // column, so the same guard (round-7 advice)
-    require(!sortSpec(schema, table).map(sortColName).exists(_.equalsIgnoreCase(name)),
+    require(!sortSpec(schema, table).flatMap(sortEntryCols).exists(_.equalsIgnoreCase(name)),
       s"Cannot drop sort column $name of $schema.$table " +
         "(the table's sorted_by clustering references it)")
     require(current.fields.length > 1,
@@ -362,12 +393,17 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     // old name would make the table permanently unwritable (round-7
     // advice)
     val sorted = sortSpec(schema, table)
-    if (sorted.exists(s => sortColName(s).equalsIgnoreCase(from)))
+    if (sorted.exists(s => sortEntryCols(s).exists(_.equalsIgnoreCase(from))))
       writeString(new Path(tableDir(schema, table), "_sorted_by.json"),
         sorted.map { s =>
-          if (sortColName(s).equalsIgnoreCase(from))
-            (to +: s.trim.split("\\s+").tail).mkString(" ")
-          else s
+          s.trim match {
+            case zorderRe(inner) if sortEntryCols(s).exists(_.equalsIgnoreCase(from)) =>
+              "zorder(" + inner.split(",").map(_.trim).map(c =>
+                if (c.equalsIgnoreCase(from)) to else c).mkString(", ") + ")"
+            case _ if sortColName(s).equalsIgnoreCase(from) =>
+              (to +: s.trim.split("\\s+").tail).mkString(" ")
+            case _ => s
+          }
         }.mkString("\n"))
   }
 
@@ -494,15 +530,94 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * range shuffle, so small inserts collapse to one file while large
     * ones split sorted.
     */
+  /** Types with a cheap order-preserving numeric projection — what
+    * [[zValue]] can bucket.
+    */
+  private def zorderableType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: NumericType | DateType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+  }
+
+  /** Z-order clustering key over `zCols`: per-column quantile bucket
+    * (64 buckets, cuts from ONE approxQuantile pass over the batch being
+    * written) bit-interleaved into a single integer — pure column
+    * arithmetic, fully codegen'd, no UDF. Interleaving makes file bounds
+    * tight on EVERY z column at once, so manifest/footer pruning works
+    * for predicates on any of them — the multi-dimensional counterpart
+    * of `sorted_by` (Iceberg rewrite_data_files z-order / Delta OPTIMIZE
+    * ZORDER). NULLs land in bucket 0 and cluster together.
+    */
+  private def zValue(df: DataFrame, zCols: Seq[String]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val bits = 6 // 64 buckets/column; k columns → 6k-bit z-values
+    val proj: Seq[org.apache.spark.sql.Column] = zCols.map { c =>
+      val f = df.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(s"zorder column $c does not exist"))
+      f.dataType match {
+        case _: NumericType => col(f.name).cast("double")
+        case DateType => unix_date(col(f.name)).cast("double")
+        case TimestampType | TimestampNTZType =>
+          col(f.name).cast(TimestampType).cast("double")
+        case other => throw new IllegalArgumentException(
+          s"zorder column $c: unsupported type ${other.simpleString}")
+      }
+    }
+    val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
+    val buckets = proj.zip(zCols).map { case (p, name) =>
+      val cuts = df.select(p.as("__graft_zq")).na.drop
+        .stat.approxQuantile("__graft_zq", probs, 0.01)
+        .distinct.sorted
+      // bucket index = number of cuts at or below the value (codegen'd
+      // chain of compares; 63 adds/column on the write path only)
+      cuts.foldLeft(lit(0)) { (acc, cut) =>
+        acc + when(p >= lit(cut), 1).otherwise(0)
+      }
+    }
+    val k = buckets.length
+    (for (b <- 0 until bits; j <- 0 until k) yield
+      shiftleft(shiftright(buckets(j), b).bitwiseAND(lit(1)), b * k + j))
+      .reduce(_ + _)
+  }
+
+  /** Sort keys for a clustered write over `withD` (derived partition
+    * columns present): plain entries map to asc/desc columns, a zorder
+    * entry materializes its interleaved key as a helper column. Returns
+    * (frame possibly + helpers, sort keys, helper names to drop).
+    */
+  private def sortKeyCols(withD: DataFrame, sorted: Seq[String])
+    : (DataFrame, Seq[org.apache.spark.sql.Column], Seq[String]) = {
+    import org.apache.spark.sql.functions.col
+    var df = withD
+    val helpers = scala.collection.mutable.ArrayBuffer.empty[String]
+    val keys = sorted.zipWithIndex.map { case (s, i) =>
+      s.trim match {
+        case zorderRe(inner) =>
+          val zCols = inner.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          val name = s"__graft_z$i"
+          df = df.withColumn(name, zValue(withD, zCols))
+          helpers += name
+          col(name).asc
+        case _ => sortCol(s)
+      }
+    }
+    (df, keys, helpers.toSeq)
+  }
+
   private def partitionedWriter(schema: String, table: String, df: DataFrame) = {
     val fieldsP = partitionFields(schema, table)
     val sorted = sortSpec(schema, table)
     val withD = withDerivedPartitionCols(schema, table, df)
     val clustered =
       if (sorted.nonEmpty) {
+        val (zdf, sortKeys, helpers) = sortKeyCols(withD, sorted)
         val keys = fieldsP.map(f =>
-          org.apache.spark.sql.functions.col(f.derivedName).asc) ++ sorted.map(sortCol)
-        withD.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
+          org.apache.spark.sql.functions.col(f.derivedName).asc) ++ sortKeys
+        zdf.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
+          .drop(helpers: _*)
       } else if (fieldsP.exists(!_.isIdentity)) {
         // transform-partitioned writes cluster on the derived values:
         // without this every task writes into every partition dir —
@@ -2310,9 +2425,11 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         // sorted table: hit the target file count WITH the sort order —
         // an explicit numFiles-way range shuffle + in-task sort instead
         // of coalesce (which would interleave sorted inputs)
+        val (zdf, sortKeys, helpers) = sortKeyCols(base, sorted)
         val keys = fieldsP.map(f =>
-          org.apache.spark.sql.functions.col(f.derivedName).asc) ++ sorted.map(sortCol)
-        base.repartitionByRange(numFiles, keys: _*).sortWithinPartitions(keys: _*)
+          org.apache.spark.sql.functions.col(f.derivedName).asc) ++ sortKeys
+        zdf.repartitionByRange(numFiles, keys: _*).sortWithinPartitions(keys: _*)
+          .drop(helpers: _*)
       }
     // write directly (not partitionedWriter — its AQE-sized clustering
     // shuffle would override the explicit numFiles layout)

@@ -461,6 +461,63 @@ object CatalogDemos {
     }
   }
 
+  private[graft] val zorderDemoWarehouse = "/tmp/graft-zorder-demo-warehouse"
+
+  /** Z-order clustering end-to-end: orders written under
+    * `sorted_by = ARRAY['zorder(o_orderkey, o_custkey)']`, compacted to a
+    * fixed multi-file layout, then a SECOND-dimension predicate
+    * (o_custkey) — which lexicographic sorting cannot prune — planned
+    * through the manifest index. The observed facts: multiple files, and
+    * the custkey query read strictly fewer files than the table holds.
+    */
+  def zorderDemo(s: SparkSession, d: String): DataFrame = {
+    val wh = new org.apache.hadoop.fs.Path(zorderDemoWarehouse)
+    val whFs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (whFs.exists(wh)) whFs.delete(wh, true)
+    val engine = new GraftEngine(s, zorderDemoWarehouse)
+    engine.catalog.createSchema("demo")
+    val orders = graft.Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"))
+    engine.catalog.createTable("demo", "orders_z", orders.schema,
+      sortedBy = Seq("zorder(o_orderkey, o_custkey)"))
+    engine.catalog.insert("demo", "orders_z", orders)
+    engine.catalog.compact("demo", "orders_z", numFiles = 8)
+    val totalFiles = engine.catalog.filesMeta("demo", "orders_z")
+      .filter(col("content") === 0).count()
+    val q = engine.catalog.readLatest("demo", "orders_z")
+      .filter(col("o_custkey") <= 32L)
+      .agg(count(lit(1)).as("n_rows"),
+        min("o_custkey").as("min_cust"), max("o_custkey").as("max_cust"))
+    val result = q.collect().head
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case st: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allScans(st.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(allScans)
+    }
+    val filesRead = allScans(q.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
+    import s.implicits._
+    Seq((result.getLong(0), result.getLong(1), result.getLong(2)))
+      .toDF("n_rows", "min_cust", "max_cust")
+      .withColumn("multi_file", lit(totalFiles >= 4))
+      .withColumn("second_dim_pruned",
+        lit(filesRead > 0 && filesRead < totalFiles))
+  }
+
+  /** DuckDB twin of [[zorderDemo]]: the custkey-range aggregate; the two
+    * layout facts are literals the Spark side must have observed on the
+    * real compacted layout and executed plan.
+    */
+  val zorderDemoSql: String =
+    """SELECT COUNT(*) AS n_rows,
+      |       MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
+      |       TRUE AS multi_file, TRUE AS second_dim_pruned
+      |FROM orders WHERE o_custkey <= 32""".stripMargin
+
   /** DuckDB twin of [[scanPruneDemo]]: the range aggregate from orders;
     * the two plan facts are literals the Spark side must have observed
     * true on the real executed plan (manifest-driven file index, fewer
