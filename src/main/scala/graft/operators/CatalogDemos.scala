@@ -476,8 +476,12 @@ object CatalogDemos {
     if (whFs.exists(wh)) whFs.delete(wh, true)
     val engine = new GraftEngine(s, zorderDemoWarehouse)
     engine.catalog.createSchema("demo")
+    // cap the slice (oracle filters identically): the demo's subject is
+    // the z-order layout + second-dimension pruning, which a 16k-row
+    // 8-file layout exercises as well as the full corpus
     val orders = graft.Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_custkey"))
+      .filter(col("o_orderkey") <= 65536L)
     engine.catalog.createTable("demo", "orders_z", orders.schema,
       sortedBy = Seq("zorder(o_orderkey, o_custkey)"))
     engine.catalog.insert("demo", "orders_z", orders)
@@ -516,7 +520,7 @@ object CatalogDemos {
     """SELECT COUNT(*) AS n_rows,
       |       MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
       |       TRUE AS multi_file, TRUE AS second_dim_pruned
-      |FROM orders WHERE o_custkey <= 32""".stripMargin
+      |FROM orders WHERE o_custkey <= 32 AND o_orderkey <= 65536""".stripMargin
 
   /** DuckDB twin of [[scanPruneDemo]]: the range aggregate from orders;
     * the two plan facts are literals the Spark side must have observed
