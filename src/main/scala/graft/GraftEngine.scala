@@ -249,6 +249,21 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
           catch { case e: IllegalArgumentException =>
             throw new GraftQueryException(sqlText, e.getMessage, e) }
         }
+      case graft.catalog.SetPropertiesStmt(schema, table, properties) =>
+        requireCatalogTable(sqlText, schema, table)
+        properties.foreach { case (key, raw) =>
+          def elems = graft.catalog.DdlParser.arrayLiteralElems(raw).getOrElse(
+            throw new GraftQueryException(sqlText,
+              s"Property $key expects an ARRAY['…'] value, got: $raw"))
+          try key match {
+            case "sorted_by"    => catalog.setSortSpec(schema, table, elems)
+            case "partitioning" => catalog.setPartitionSpec(schema, table, elems)
+            case other => throw new GraftQueryException(sqlText,
+              s"Unsupported table property: $other (supported: sorted_by, partitioning)")
+          } catch { case e: IllegalArgumentException =>
+            throw new GraftQueryException(sqlText, e.getMessage, e) }
+        }
+        0L
       case graft.catalog.AnalyzeStmt(schema, table) =>
         requireCatalogTable(sqlText, schema, table)
         // one aggregation pass; the result persists keyed by the head

@@ -83,6 +83,14 @@ final case class CommentStmt(schema: String, table: String,
                              column: Option[String],
                              comment: Option[String]) extends DdlStatement
 final case class TruncateStmt(schema: String, table: String) extends DdlStatement
+/** `ALTER TABLE sch.t SET PROPERTIES k = v[, …]` (Trino's property
+  * evolution): `sorted_by` re-clusters future writes; `partitioning`
+  * evolves the transform fields of the partition spec (Iceberg spec
+  * evolution). Values carry the raw expression text (`ARRAY['…']`).
+  */
+final case class SetPropertiesStmt(schema: String, table: String,
+                                   properties: Seq[(String, String)])
+  extends DdlStatement
 /** `ANALYZE [cat.]sch.t` (Trino's stats-collection verb): one aggregation
   * pass persisting per-column NDV/nulls/low/high keyed by the analyzed
   * snapshot, so SHOW STATS afterwards is metadata-only until the table
@@ -193,6 +201,8 @@ object DdlParser {
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+COLUMN\s+(IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s+TO\s+([A-Za-z_]\w*)\s*;?\s*$""".r
   private val renameTableRe =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+TO\s+([\w.]+)\s*;?\s*$""".r
+  private val setPropertiesRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+SET\s+PROPERTIES\s+(.+?)\s*;?\s*$""".r
   private val setColumnTypeRe =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+ALTER\s+COLUMN\s+([A-Za-z_]\w*)\s+SET\s+DATA\s+TYPE\s+([\w()\s,]+?)\s*;?\s*$""".r
 
@@ -254,6 +264,15 @@ object DdlParser {
     case analyzeRe(name) =>
       val (sch, tbl) = tableOf(name)
       Some(AnalyzeStmt(sch, tbl))
+    case setPropertiesRe(name, propText) =>
+      val (sch, tbl) = tableOf(name)
+      val props = splitPropsTopLevel(propText).map { p =>
+        val eq = p.indexOf('=')
+        require(eq > 0, s"Malformed property assignment: '$p'")
+        (p.substring(0, eq).trim.toLowerCase, p.substring(eq + 1).trim)
+      }
+      require(props.nonEmpty, "SET PROPERTIES requires at least one property")
+      Some(SetPropertiesStmt(sch, tbl, props))
     case createMatViewRe(ine, name, select) =>
       val (sch, v) = tableOf(name)
       Some(CreateMaterializedViewStmt(sch, v, select.trim, ine != null))
@@ -576,6 +595,39 @@ object DdlParser {
   /** [[splitTopLevel]] that also respects single-quoted literals (a comma
     * inside `'a,b'` does not split).
     */
+  /** `ARRAY['a', 'b c']` → its string elements (None when `text` is not
+    * an ARRAY literal). Shared by WITH-properties and SET PROPERTIES.
+    */
+  def arrayLiteralElems(text: String): Option[Seq[String]] = {
+    val arrayRe = """(?is)^\s*ARRAY\s*\[([^\]]*)\]\s*$""".r
+    val elemRe = """'((?:[^']|'')*)'""".r
+    text match {
+      case arrayRe(inner) =>
+        val quoted = elemRe.findAllMatchIn(inner).map(_.group(1).replace("''", "'")).toSeq
+        Some(if (quoted.nonEmpty) quoted
+             else inner.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      case _ => None
+    }
+  }
+
+  /** Top-level comma split tracking quotes, parens AND brackets —
+    * `k = ARRAY['a', 'b']` property lists carry commas at bracket depth.
+    */
+  private def splitPropsTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0; var inQuote = false
+    s.foreach {
+      case '\'' => inQuote = !inQuote; cur += '\''
+      case c @ ('(' | '[') if !inQuote => depth += 1; cur += c
+      case c @ (')' | ']') if !inQuote => depth -= 1; cur += c
+      case ',' if !inQuote && depth == 0 => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    out += cur.toString
+    out.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
   private def splitQuotedTopLevel(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder

@@ -285,6 +285,84 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     case other => Seq(other.split("\\s+").head)
   }
 
+  /** `ALTER TABLE … SET PROPERTIES sorted_by = ARRAY[…]` — re-cluster
+    * FUTURE writes (and the next compact): the sort spec only shapes
+    * data layout, never semantics, so changing it is always safe;
+    * existing files keep their old clustering until compaction folds
+    * them forward. Empty list clears the spec.
+    */
+  def setSortSpec(schema: String, table: String, entries: Seq[String]): Unit = synchronized {
+    require(tableExists(schema, table), s"Table $schema.$table does not exist")
+    val columns = declaredSchema(schema, table).getOrElse(
+      throw new IllegalStateException(s"Table $schema.$table has no declared schema"))
+    val missing = entries.flatMap(sortEntryCols)
+      .filterNot(c => columns.fieldNames.exists(_.equalsIgnoreCase(c)))
+    require(missing.isEmpty,
+      s"Sort column(s) ${missing.mkString(", ")} not in declared schema")
+    entries.foreach {
+      case zorderRe(inner) =>
+        val zc = inner.split(",").map(_.trim).filter(_.nonEmpty)
+        require(zc.length >= 2, s"zorder($inner) needs at least two columns")
+        zc.foreach { c =>
+          columns.fields.find(_.name.equalsIgnoreCase(c)).foreach { f =>
+            require(zorderableType(f.dataType),
+              s"zorder column $c must be numeric, date, or timestamp " +
+                s"(got ${f.dataType.simpleString})")
+          }
+        }
+      case _ => ()
+    }
+    val p = new Path(tableDir(schema, table), "_sorted_by.json")
+    if (entries.isEmpty) { if (fs(p).exists(p)) fs(p).delete(p, false) }
+    else writeString(p, entries.mkString("\n"))
+  }
+
+  /** `ALTER TABLE … SET PROPERTIES partitioning = ARRAY[…]` — Iceberg
+    * partition-spec evolution, restricted to the TRANSFORM fields:
+    * identity partition columns must stay identical (they are physically
+    * ABSENT from data files, so changing them would need a rewrite),
+    * while bucket/truncate/year/month/day/hour fields may be added,
+    * removed, or retuned freely — their sources stay stored in the data
+    * files, old files keep their old derived directories (reads parse
+    * each file's own path; transform pruning on old files degrades
+    * conservatively), and only FUTURE writes lay out under the new spec.
+    * Requires every live snapshot (all refs) to be manifest-backed: the
+    * legacy discovery read needs uniform directory shapes, the manifest
+    * file index does not.
+    */
+  def setPartitionSpec(schema: String, table: String, entries: Seq[String]): Unit = synchronized {
+    require(tableExists(schema, table), s"Table $schema.$table does not exist")
+    val columns = declaredSchema(schema, table).getOrElse(
+      throw new IllegalStateException(s"Table $schema.$table has no declared schema"))
+    val oldFields = partitionFields(schema, table)
+    val newFields = entries.map(PartitionTransforms.parse)
+    val missing = newFields.map(_.source).filterNot(s =>
+      columns.fieldNames.exists(_.equalsIgnoreCase(s)))
+    require(missing.isEmpty,
+      s"Partition source column(s) ${missing.mkString(", ")} not in declared schema")
+    val allRefs = readCommits(schema, table) ++
+      listBranches(schema, table).flatMap(b =>
+        branch(b).readCommitsWithGen(schema, table)._1)
+    if (allRefs.nonEmpty) { // a written layout exists → evolution limits
+      require(oldFields.nonEmpty == newFields.nonEmpty,
+        s"Cannot evolve $schema.$table between partitioned and unpartitioned " +
+          "layouts (snapshot directory shapes differ); create a new table instead")
+      def identitySet(fs0: Seq[PartitionField]) =
+        fs0.filter(_.isIdentity).map(_.source.toLowerCase(java.util.Locale.ROOT)).toSet
+      require(identitySet(oldFields) == identitySet(newFields),
+        s"Cannot change identity partition columns of $schema.$table " +
+          "(identity-partitioned values are not stored in data files — " +
+          "evolution is transform-only)")
+      require(allRefs.forall(s => s.dirs.isEmpty),
+        s"Partition-spec evolution on $schema.$table requires every " +
+          "snapshot to be manifest-backed (legacy directory-discovery " +
+          "reads need uniform layouts); compact the table first")
+    }
+    val p = new Path(tableDir(schema, table), "_partition_spec.json")
+    if (entries.isEmpty) { if (fs(p).exists(p)) fs(p).delete(p, false) }
+    else writeString(p, entries.mkString("\n"))
+  }
+
   /** Reserved-name gate for every column-introducing DDL path
     * (createTable / addColumn / renameColumn): the `__graft_` prefix is
     * the engine's internal provenance namespace (`__graft_file`,
@@ -789,7 +867,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     */
   private def restrictByBounds(schema: String, table: String, snap: Option[Snapshot],
                                cond: Option[org.apache.spark.sql.Column])
-    : Either[Unit, Option[Snapshot]] =
+    : Either[Unit, (Option[Snapshot], Option[Seq[DataFileEntry]])] =
     (snap, cond) match {
       case (Some(s), Some(c)) if s.manifestList.isDefined && s.dirs.isEmpty =>
         val dir = tableDir(schema, table)
@@ -820,9 +898,10 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           org.apache.spark.sql.GraftBoundsBridge.mayMatchColumn(c, e) &&
             derivedChecks.forall(_(e)))
         if (candidates.isEmpty && entries.nonEmpty) Left(())
-        else if (candidates.size == entries.size) Right(snap)
-        else Right(Some(s.copy(dirs = candidates.map(_.path), manifestList = None)))
-      case _ => Right(snap)
+        else if (candidates.size == entries.size) Right((snap, None))
+        else Right((Some(s.copy(dirs = candidates.map(_.path), manifestList = None)),
+          Some(candidates))) // entries serve the subset via the manifest relation
+      case _ => Right((snap, None))
     }
 
   // ---- Reads (S1, T1) ----
@@ -858,9 +937,10 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
   }
 
   private def readSnapshot(schema: String, table: String, snap: Option[Snapshot],
-                           useSnapshotSchema: Boolean = false): DataFrame =
+                           useSnapshotSchema: Boolean = false,
+                           entriesOverride: Option[Seq[DataFileEntry]] = None): DataFrame =
     readSnapshotMeta(schema, table, snap, useSnapshotSchema,
-      keepFile = false, keepPos = false)
+      keepFile = false, keepPos = false, entriesOverride = entriesOverride)
 
   /** [[readSnapshot]] plus per-row file provenance: `keepFile` retains the
     * source data file path as `__graft_file` (`_metadata.file_path`),
@@ -878,10 +958,11 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
   private def readSnapshotMeta(schema: String, table: String, snap: Option[Snapshot],
                                useSnapshotSchema: Boolean = false,
                                keepFile: Boolean = false,
-                               keepPos: Boolean = false): DataFrame = {
+                               keepPos: Boolean = false,
+                               entriesOverride: Option[Seq[DataFileEntry]] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
     val dir = tableDir(schema, table)
-    val base = readSnapshotData(schema, table, snap, useSnapshotSchema)
+    val base = readSnapshotData(schema, table, snap, useSnapshotSchema, entriesOverride)
     val deletes = snap.map(_.deletes).getOrElse(Nil)
     if (deletes.isEmpty && !keepFile && !keepPos) base
     else {
@@ -908,7 +989,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
   }
 
   private def readSnapshotData(schema: String, table: String, snap: Option[Snapshot],
-                               useSnapshotSchema: Boolean = false): DataFrame = {
+                               useSnapshotSchema: Boolean = false,
+                               entriesOverride: Option[Seq[DataFileEntry]] = None): DataFrame = {
     val dir = tableDir(schema, table)
     val pinned =
       if (useSnapshotSchema)
@@ -923,11 +1005,15 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     // against manifest column bounds, Iceberg's scan-planning shape.
     // `graft.manifestRead=false` session conf falls back to the listing
     // path (A/B hatch).
+    // entriesOverride serves a SUBSET of a snapshot's files through the
+    // same manifest relation (DML probe/sub-reads) — it must work even
+    // with the A/B hatch off, since mixed partition-spec generations
+    // cannot be served by directory discovery at all
     val manifestRead = snap match {
-      case Some(s) if s.dirs.isEmpty && s.manifestList.isDefined &&
-          declared.isDefined &&
-          spark.conf.get("graft.manifestRead", "true") != "false" =>
-        val entries = manifestEntriesOf(dir, s)
+      case Some(s) if declared.isDefined && (entriesOverride.isDefined ||
+          (s.dirs.isEmpty && s.manifestList.isDefined &&
+            spark.conf.get("graft.manifestRead", "true") != "false")) =>
+        val entries = entriesOverride.getOrElse(manifestEntriesOf(dir, s))
         val fieldsP = partitionFields(schema, table)
         val decl = declared.get
         if (entries.isEmpty) None
@@ -1492,15 +1578,16 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     // manifest-bounds file skipping: the probe scans only files whose
     // bounds MAY match; when bounds prove no file can, commit the no-op
     // without launching any job
-    val probeSnap = restrictByBounds(schema, table, current, Some(hit)) match {
+    val (probeSnap, probeEntries) = restrictByBounds(schema, table, current, Some(hit)) match {
       case Left(()) =>
         val snap = Snapshot(id, at, entries, schemaJson, Some("overwrite"),
           prevDeletes, current.flatMap(_.manifestList))
         writeCommits(schema, table, commits :+ snap, gen)
         return Some((snap, 0L))
-      case Right(s) => s
+      case Right(se) => se
     }
-    val prov = withProvenance(schema, table, probeSnap, withPos = true) match {
+    val prov = withProvenance(schema, table, probeSnap, withPos = true,
+        entriesOverride = probeEntries) match {
       case None    => return None
       case Some(p) => p
     }
@@ -1634,9 +1721,11 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     */
   private def withProvenance(schema: String, table: String,
                              snap: Option[Snapshot],
-                             withPos: Boolean = false): Option[DataFrame] =
+                             withPos: Boolean = false,
+                             entriesOverride: Option[Seq[DataFileEntry]] = None)
+    : Option[DataFrame] =
     try Some(readSnapshotMeta(schema, table, snap,
-      keepFile = true, keepPos = withPos))
+      keepFile = true, keepPos = withPos, entriesOverride = entriesOverride))
     catch { case _: org.apache.spark.sql.AnalysisException => None }
 
   /** Non-empty `.parquet` data files under a dirs entry (the entry itself
@@ -1726,12 +1815,12 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     // files whose bounds MAY match the predicate (provably-unmatched
     // files skip the probe scan AND carry by manifest reference); bounds
     // proving NO file can match commit the no-op without any Spark job
-    val probeSnap = restrictByBounds(schema, table, current, probeCond) match {
+    val (probeSnap, probeEntries) = restrictByBounds(schema, table, current, probeCond) match {
       case Left(()) if !emitWhenUntouched => return noOp()
-      case Left(())                       => current
-      case Right(s)                       => s
+      case Left(())                       => (current, None)
+      case Right(se)                      => se
     }
-    withProvenance(schema, table, probeSnap) match {
+    withProvenance(schema, table, probeSnap, entriesOverride = probeEntries) match {
       case None =>
         val base = readSnapshot(schema, table, current)
         val n = touchedRows(
@@ -1754,9 +1843,19 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
               "under current snapshot entries")
           // the sub-read keeps the snapshot's delete files (the copy
           // retains `deletes`), so touched rows are the LIVE rows; deletes
-          // addressing rewritten files become obsolete and are dropped
+          // addressing rewritten files become obsolete and are dropped.
+          // Manifest-backed snapshots serve the touched SUBSET through
+          // the manifest relation (entriesOverride) — directory discovery
+          // cannot read mixed partition-spec generations at all
+          val touchedRelSet = touchedRel.toSet
+          val touchedEntries = current.toSeq
+            .flatMap(manifestEntriesOf(dir, _))
+            .filter(e => touchedRelSet.contains(e.path))
           val sub = readSnapshot(schema, table,
-            current.map(_.copy(dirs = touchedRel, manifestList = None)))
+            current.map(_.copy(dirs = touchedRel, manifestList = None)),
+            entriesOverride =
+              if (touchedEntries.size == touchedRel.size) Some(touchedEntries)
+              else None)
           val newDeletes = carryDeletes(dir, prevDeletes, touchedRaw,
             s"${attemptTag(id)}-carry")
           (commitWithNewDir(writeSnapDir(f(sub)), carried, newDeletes), nTouched)
