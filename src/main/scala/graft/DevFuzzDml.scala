@@ -228,10 +228,34 @@ object DevFuzzDml {
           case 1 => Seq("bucket(4, n_nationkey)")
           case 2 => Seq("truncate(1, n_name)")
         }
+      // randomize the SORT spec too: clustering is layout-only, so any
+      // divergence it causes (z-value arithmetic, clustered rewrite
+      // paths) surfaces as a hash mismatch against the same oracle
+      val sortSpec = rnd.nextInt(4) match {
+        case 0 => Nil
+        case 1 => Seq("n_nationkey")
+        case 2 => Seq("n_name DESC")
+        case 3 => Seq("zorder(n_nationkey, n_regionkey)")
+      }
       engine.catalog.createTable("fz", "t", nation.schema,
         partitionedBy = partSpec,
-        formatVersion = if (mor) 2 else 1)
+        formatVersion = if (mor) 2 else 1,
+        sortedBy = sortSpec)
       engine.catalog.insert("fz", "t", nation)
+      // a quarter of transform-partitioned scenarios EVOLVE the spec
+      // mid-sequence (Iceberg partition evolution): later DML runs over
+      // mixed directory generations served by the manifest relation
+      if (partSpec.exists(_.contains("(")) && rnd.nextInt(4) == 0) {
+        val evolved = partSpec.head match {
+          case s if s.startsWith("bucket")   => Seq("bucket(2, n_nationkey)")
+          case s if s.startsWith("truncate") => Seq("truncate(2, n_name)")
+          case other                         => Seq(other)
+        }
+        engine.catalog.setPartitionSpec("fz", "t", evolved)
+        // later DML rewrites now land under the NEW spec's directories
+        // while untouched files stay under the old one — mixed
+        // generations in one live table
+      }
       val ops = genOps()
       ops.foreach(op => engine.executeNonQuery(params.SqlStatement(stmtOf(op))))
       // CDC invariant (readChanges): replaying the change stream from the
