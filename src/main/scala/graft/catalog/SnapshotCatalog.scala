@@ -30,7 +30,8 @@ final case class Snapshot(snapshotId: Long, committedAtMillis: Long, dirs: Seq[S
                           schemaJson: Option[String] = None,
                           operation: Option[String] = None,
                           deletes: Seq[String] = Nil,
-                          manifestList: Option[String] = None)
+                          manifestList: Option[String] = None,
+                          txn: Option[(String, Long)] = None)
 
 /** A commit lost the optimistic-concurrency race: another writer advanced
   * the table's commit-log generation between this writer's read and its
@@ -570,11 +571,23 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
   /** INSERT INTO: write a new snap dir, append a commit. Commit timestamps
     * are strictly monotonic so `FOR TIMESTAMP AS OF` between two commits is
     * well-defined even for sub-millisecond commit spacing (SURVEY.md §7.3).
+    *
+    * `txn = Some((appId, version))` makes the write IDEMPOTENT: if any
+    * commit already records `appId` at a version >= `version`, the insert
+    * is skipped (no files written, no commit) and that commit's snapshot
+    * is returned — the Delta-style transactional-writer contract that
+    * gives a restarted streaming query exactly-once sink semantics even
+    * when its checkpoint is replayed or lost ([[graft.streaming.EventStreams
+    * .streamIntoCatalog]]). The check shares the optimistic-concurrency
+    * read with the commit itself, so a racing duplicate writer loses the
+    * generation CAS, retries, and then observes the recorded version.
     */
-  def insert(schema: String, table: String, df: DataFrame): Snapshot = synchronized {
+  def insert(schema: String, table: String, df: DataFrame,
+             txn: Option[(String, Long)] = None): Snapshot = synchronized {
     val dir = tableDir(schema, table)
     require(tableExists(schema, table), s"Table $schema.$table does not exist")
     val (commits, gen) = readCommitsWithGen(schema, table)
+    for ((app, v) <- txn; seen <- txnSeen(commits, app, v)) return seen
     val id = commits.lastOption.map(_.snapshotId).getOrElse(0L) + 1
     val at = math.max(System.currentTimeMillis(),
       commits.lastOption.map(_.committedAtMillis + 1).getOrElse(0L))
@@ -592,10 +605,25 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val ml = writeManifestList(dir, compactManifestSet(dir, names))
     val snap = Snapshot(id, at, Nil,
       declaredSchema(schema, table).map(_.json), Some("append"),
-      commits.lastOption.map(_.deletes).getOrElse(Nil), Some(ml))
+      commits.lastOption.map(_.deletes).getOrElse(Nil), Some(ml), txn)
     writeCommits(schema, table, commits :+ snap, gen)
     snap
   }
+
+  /** Latest committed snapshot recording writer `appId` at version >=
+    * `version` (the idempotent-write skip witness), if any.
+    */
+  private def txnSeen(commits: Seq[Snapshot], appId: String,
+                      version: Long): Option[Snapshot] =
+    commits.filter(_.txn.exists(t => t._1 == appId && t._2 >= version)).lastOption
+
+  /** Highest version writer `appId` has committed to this table, if any —
+    * the resume point for a transactional writer recovering without its
+    * own state (Delta's txn metadata surface).
+    */
+  def lastTxnVersion(schema: String, table: String, appId: String): Option[Long] =
+    readCommits(schema, table).flatMap(_.txn).filter(_._1 == appId)
+      .map(_._2).maxOption
 
   /** Data writer honoring the table's partition spec: partitioned tables
     * get hive-layout `col=value` subdirectories inside every snap dir.
@@ -1161,7 +1189,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * time-travel-consistent and `expireSnapshots` reclaims the old files.
     * One anti-join + union + write — all distributed.
     */
-  def merge(schema: String, table: String, updates: DataFrame, key: String): Snapshot = {
+  def merge(schema: String, table: String, updates: DataFrame, key: String,
+            txn: Option[(String, Long)] = None): Snapshot = {
     // like Iceberg's MERGE INTO, a source key may match at most once —
     // duplicate update keys would silently corrupt the table's key
     // uniqueness, so they are rejected upfront
@@ -1177,7 +1206,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     // MERGE still inserts.
     rewritePruned(schema, table,
       _.join(updates.select(key), Seq(key), "left_semi"),
-      emitWhenUntouched = true) { current =>
+      emitWhenUntouched = true, txn = txn) { current =>
       current.join(updates.select(key), Seq(key), "left_anti").unionByName(updates)
     }._1
   }
@@ -1774,12 +1803,15 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
   private def rewritePruned(schema: String, table: String,
                             touchedRows: DataFrame => DataFrame,
                             emitWhenUntouched: Boolean = false,
-                            probeCond: Option[org.apache.spark.sql.Column] = None)
+                            probeCond: Option[org.apache.spark.sql.Column] = None,
+                            txn: Option[(String, Long)] = None)
                            (f: DataFrame => DataFrame): (Snapshot, Long) = synchronized {
     import org.apache.spark.sql.functions.{col, lit, count => countAgg}
     val dir = tableDir(schema, table)
     require(tableExists(schema, table), s"Table $schema.$table does not exist")
     val (commits, gen) = readCommitsWithGen(schema, table)
+    // idempotent-writer skip (same contract as [[insert]]'s txn)
+    for ((app, v) <- txn; seen <- txnSeen(commits, app, v)) return (seen, 0L)
     val id = commits.lastOption.map(_.snapshotId).getOrElse(0L) + 1
     val at = math.max(System.currentTimeMillis(),
       commits.lastOption.map(_.committedAtMillis + 1).getOrElse(0L))
@@ -1788,7 +1820,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val prevDeletes = current.map(_.deletes).getOrElse(Nil)
     def commitSnap(dirs: Seq[String], deletes: Seq[String],
                    ml: Option[String]): Snapshot = {
-      val snap = Snapshot(id, at, dirs, schemaJson, Some("overwrite"), deletes, ml)
+      val snap = Snapshot(id, at, dirs, schemaJson, Some("overwrite"), deletes, ml, txn)
       writeCommits(schema, table, commits :+ snap, gen)
       snap
     }
@@ -2402,6 +2434,88 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     }
   }
 
+  /** Rows APPENDED between two snapshots — the incremental read a
+    * streaming source makes per micro-batch ([[graft.streaming
+    * .GraftTableSource]]): for each commit in `(from, to]` only its ADDED
+    * data files are read (served through the snapshot's manifest relation,
+    * so hive partition values and commit-pinned schemas resolve exactly
+    * like any other read), and rows conform to the CURRENT declared
+    * schema. A pure append therefore costs a scan of exactly the new
+    * files with no shuffle, whatever the table size.
+    *
+    * A commit that removed or rewrote data (CoW DML, MoR deletes,
+    * compaction, truncate) has no append-only row representation: with
+    * `skipChangeCommits = false` it throws (the Delta streaming-source
+    * contract — fail rather than silently emit rewritten rows as new);
+    * with `skipChangeCommits = true` the WHOLE commit is skipped, added
+    * files included. Row-level change streams use
+    * [[readChanges]] instead.
+    */
+  def appendsBetween(schema: String, table: String,
+                     fromSnapshotId: Long, toSnapshotId: Long,
+                     skipChangeCommits: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(tableExists(schema, table), s"Table $schema.$table does not exist")
+    val commits = readCommits(schema, table)
+    val toIdx = commits.indexWhere(_.snapshotId == toSnapshotId)
+    require(toIdx >= 0, s"Snapshot $toSnapshotId does not exist in $schema.$table")
+    val fromIdx =
+      if (fromSnapshotId == 0L) -1
+      else {
+        val i = commits.indexWhere(_.snapshotId == fromSnapshotId)
+        require(i >= 0, s"Snapshot $fromSnapshotId does not exist in $schema.$table")
+        i
+      }
+    require(fromIdx <= toIdx,
+      s"from snapshot $fromSnapshotId is newer than to snapshot $toSnapshotId")
+    val declared = declaredSchema(schema, table).getOrElse(StructType(Nil))
+    val dir = tableDir(schema, table)
+    val parts = (fromIdx until toIdx).flatMap { i =>
+      val prev = if (i < 0) None else Some(commits(i))
+      val cur = commits(i + 1)
+      val prevFiles = prev.map(dataFilePaths(schema, table, _).toSet).getOrElse(Set.empty[String])
+      val curFiles = dataFilePaths(schema, table, cur).toSet
+      val removed = prevFiles -- curFiles
+      val newDeletes = cur.deletes.filterNot(prev.map(_.deletes.toSet).getOrElse(Set.empty))
+      if (removed.nonEmpty || newDeletes.nonEmpty) {
+        if (skipChangeCommits) None
+        else throw new IllegalStateException(
+          s"Commit ${cur.snapshotId} of $schema.$table is not append-only " +
+            s"(operation=${cur.operation.getOrElse("unknown")}); stream with " +
+            "skipChangeCommits=true to drop change commits, or " +
+            "readChangeFeed=true for row-level changes")
+      } else {
+        val added = curFiles -- prevFiles
+        if (added.isEmpty) None
+        else {
+          val entries = manifestEntriesOf(dir, cur).filter(e => added.contains(e.path))
+          if (entries.size == added.size)
+            Some(readSnapshotMeta(schema, table, Some(cur),
+              useSnapshotSchema = true, entriesOverride = Some(entries)))
+          else {
+            // legacy dirs-based snapshot (no manifest entries for the new
+            // files): read them directly with the commit-pinned schema
+            val sch = cur.schemaJson
+              .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+                .asInstanceOf[StructType]).getOrElse(declared)
+            Some(spark.read.schema(sch).parquet(
+              added.toSeq.sorted.map(p => new Path(dir, p).toString): _*))
+          }
+        }
+      }
+    }
+    val conformed = parts.map { df =>
+      df.select(declared.fields.toIndexedSeq.map { f =>
+        if (df.columns.exists(_.equalsIgnoreCase(f.name)))
+          col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    }
+    if (conformed.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
+    else conformed.reduce(_.unionByName(_))
+  }
+
   /** Scheme-independent path form for cross-domain file comparison:
     * manifest-relative paths qualify against the table dir, while
     * `_metadata.file_path` carries a URI — both normalize to the bare
@@ -2962,7 +3076,9 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       Option(n.get("operation")).filterNot(_.isNull).map(_.asText),
       Option(n.get("deletes")).map(_.elements.asScala.map(_.asText).toSeq)
         .getOrElse(Nil),
-      Option(n.get("manifestList")).filterNot(_.isNull).map(_.asText))
+      Option(n.get("manifestList")).filterNot(_.isNull).map(_.asText),
+      Option(n.get("txnAppId")).filterNot(_.isNull).map(_.asText)
+        .map(app => app -> n.get("txnVersion").asLong))
 
   /** `schemaIds` maps a schema's JSON to its id in the log's shared
     * schema table; empty (tag pinning, which stores ONE snapshot) inlines
@@ -2987,6 +3103,10 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       s.deletes.foreach(dd.add)
     }
     s.manifestList.foreach(o.put("manifestList", _))
+    s.txn.foreach { case (app, v) =>
+      o.put("txnAppId", app)
+      o.put("txnVersion", v)
+    }
   }
 
   /** Commit the snapshot list as generation `expectedGen + 1`. Exclusive

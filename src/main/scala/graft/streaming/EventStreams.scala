@@ -85,19 +85,25 @@ object EventStreams {
     * with full lakehouse semantics (then `compact` + `expireSnapshots`
     * handle the small-files lifecycle).
     *
-    * Exactly-once across restarts requires the caller to set a
-    * `checkpointLocation` on the source/query; without one, a restarted
-    * AvailableNow run re-reads the input and appends duplicate snapshots
-    * (verified behavior).
+    * Exactly-once: pass `txnAppId` and each micro-batch commits with the
+    * transactional identity `(txnAppId, batchId)` — the catalog skips any
+    * batch id it has already recorded for that writer
+    * ([[graft.catalog.SnapshotCatalog.insert]]), so a replayed batch
+    * (failure between commit and checkpoint write, or a LOST checkpoint
+    * re-running from batch 0) appends nothing twice. Without `txnAppId`,
+    * exactly-once degrades to the checkpoint's at-least-once contract: a
+    * restarted AvailableNow run with no checkpoint re-reads the input and
+    * appends duplicate snapshots (verified behavior).
     */
   def streamIntoCatalog(events: DataFrame,
                         catalog: graft.catalog.SnapshotCatalog,
-                        schema: String, table: String): org.apache.spark.sql.streaming.StreamingQuery =
+                        schema: String, table: String,
+                        txnAppId: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          catalog.insert(schema, table, batch)
+          catalog.insert(schema, table, batch, txnAppId.map(_ -> batchId))
         }
         () // Unit for the Scala overload
       }
@@ -120,7 +126,8 @@ object EventStreams {
   def streamUpsertIntoCatalog(events: DataFrame,
                               catalog: graft.catalog.SnapshotCatalog,
                               schema: String, table: String,
-                              key: String, seqCol: String): org.apache.spark.sql.streaming.StreamingQuery =
+                              key: String, seqCol: String,
+                              txnAppId: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
@@ -129,7 +136,7 @@ object EventStreams {
             .groupBy(col(key))
             .agg(max_by(struct(batch.columns.map(col).toIndexedSeq: _*), col(seqCol)).as("r"))
             .select(col("r.*"))
-          catalog.merge(schema, table, latest, key)
+          catalog.merge(schema, table, latest, key, txnAppId.map(_ -> batchId))
         }
         ()
       }

@@ -1,0 +1,200 @@
+package graft.streaming
+
+import graft.catalog.SnapshotCatalog
+
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.{DataFrame, GraftStreamBridge, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsTriggerAvailableNow, Offset => ConnectorOffset}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.SerializedOffset
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+/** Offset of the table stream = the last PROCESSED snapshot id (commit-log
+  * position), exactly Delta's reservedVersion model: commits are the
+  * stream's atomic units, so an offset needs one number and replaying any
+  * `(start, end]` range is deterministic — snapshots are immutable.
+  */
+final case class GraftSourceOffset(snapshotId: Long) extends Offset {
+  override def json: String = s"""{"snapshotId":$snapshotId}"""
+}
+
+object GraftSourceOffset {
+  def apply(o: ConnectorOffset): GraftSourceOffset = o match {
+    case g: GraftSourceOffset => g
+    case s: SerializedOffset =>
+      // {"snapshotId":N} — parse without a mapper dependency
+      GraftSourceOffset(s.json.replaceAll("[^0-9-]", "").toLong)
+    case other =>
+      // any other rehydrated form still carries the json contract
+      GraftSourceOffset(other.json.replaceAll("[^0-9-]", "").toLong)
+  }
+}
+
+/** Streaming SOURCE over a [[SnapshotCatalog]] table: `spark.readStream
+  * .format("graft-table")` tails the table's commit log, emitting each new
+  * snapshot's appended rows as a micro-batch — the "table as a stream"
+  * half of the streaming story ([[EventStreams.streamIntoCatalog]] being
+  * the sink half), the same surface Delta/Iceberg expose for incremental
+  * pipelines: land batches in table A, stream A → transform → table B,
+  * compact/expire A behind the stream, never reprocessing old data.
+  *
+  * Options:
+  *   - `warehouse`, `schema`, `table` (required): the source table.
+  *   - `starting`: `earliest` (default — the whole table history, so the
+  *     first batch backfills current contents) or `latest` (only commits
+  *     after stream creation).
+  *   - `startingSnapshotId`: explicit EXCLUSIVE lower bound (overrides
+  *     `starting`).
+  *   - `maxSnapshotsPerTrigger`: admission control — each micro-batch
+  *     advances at most this many commits (default: all available).
+  *   - `skipChangeCommits`: `true` drops non-append commits (CoW/MoR DML,
+  *     compaction) whole; default `false` FAILS the stream on them — the
+  *     Delta source contract, never silently re-emitting rewritten rows.
+  *   - `readChangeFeed`: `true` switches to CDC rows
+  *     ([[SnapshotCatalog.readChanges]]) — the declared columns plus
+  *     `_change_type` ("insert"/"delete") and `_commit_snapshot_id` —
+  *     which represents every commit kind exactly.
+  *
+  * Scale posture: `getOffset` reads KB-scale commit-log JSON; `getBatch`
+  * plans a scan of exactly the range's added (or touched, in CDC mode)
+  * files via the manifest relation — no LIST calls, no full-table reads,
+  * no shuffle for pure appends. Offsets are snapshot ids, so checkpoint
+  * recovery replays a deterministic file set; `expireSnapshots` must keep
+  * snapshots the slowest stream still needs (same retention contract as
+  * Delta/Iceberg incremental consumers).
+  */
+final class GraftTableSource(spark: SparkSession,
+                             parameters: Map[String, String])
+    extends Source with SupportsTriggerAvailableNow with Logging {
+
+  private val warehouse = parameters.getOrElse("warehouse",
+    throw new IllegalArgumentException("graft-table source requires option 'warehouse'"))
+  private val schemaName = parameters.getOrElse("schema",
+    throw new IllegalArgumentException("graft-table source requires option 'schema'"))
+  private val tableName = parameters.getOrElse("table",
+    throw new IllegalArgumentException("graft-table source requires option 'table'"))
+  private val cdc = parameters.get("readChangeFeed").exists(_.toBoolean)
+  private val skipChangeCommits = parameters.get("skipChangeCommits").exists(_.toBoolean)
+  private val maxSnapshotsPerTrigger = parameters.get("maxSnapshotsPerTrigger").map(_.toLong)
+  require(maxSnapshotsPerTrigger.forall(_ > 0), "maxSnapshotsPerTrigger must be positive")
+
+  private val catalog = new SnapshotCatalog(spark, warehouse)
+  require(catalog.tableExists(schemaName, tableName),
+    s"Table $schemaName.$tableName does not exist under $warehouse")
+
+  /** Exclusive lower bound: snapshots at or below this id are never read. */
+  private val startingId: Long = parameters.get("startingSnapshotId").map(_.toLong)
+    .getOrElse(parameters.getOrElse("starting", "earliest") match {
+      case "earliest" => 0L
+      case "latest" =>
+        catalog.snapshots(schemaName, tableName).lastOption.map(_.snapshotId).getOrElse(0L)
+      case other => throw new IllegalArgumentException(
+        s"starting must be 'earliest' or 'latest', got '$other'")
+    })
+
+  /** Trigger.AvailableNow end target: fixed when the trigger starts so the
+    * paced run drains exactly the data that existed then, and stops.
+    */
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override val schema: StructType = GraftTableSource.schemaFor(spark, parameters)
+
+  private def latestSnapshotId: Long =
+    catalog.snapshots(schemaName, tableName).lastOption.map(_.snapshotId).getOrElse(0L)
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowTarget = Some(latestSnapshotId)
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Admission control (the engine prefers this over [[getOffset]]):
+    * advance from `start` by at most `maxSnapshotsPerTrigger` commits,
+    * never past the Trigger.AvailableNow target. Commit ids are dense
+    * (+1 per commit on a ref), so id arithmetic counts commits.
+    */
+  override def latestOffset(start: ConnectorOffset, limit: ReadLimit): ConnectorOffset = {
+    val from = Option(start).map(GraftSourceOffset(_).snapshotId).getOrElse(startingId)
+    val latest = availableNowTarget.fold(latestSnapshotId)(math.min(latestSnapshotId, _))
+    val capped = maxSnapshotsPerTrigger.fold(latest)(m => math.min(latest, from + m))
+    GraftSourceOffset(math.max(from, capped))
+  }
+
+  override def getOffset: Option[Offset] = {
+    // legacy path (engines that don't consult SupportsAdmissionControl)
+    val latest = latestSnapshotId
+    if (latest <= startingId) None else Some(GraftSourceOffset(latest))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val fromId = start.map(GraftSourceOffset(_).snapshotId).getOrElse(startingId)
+    val toId = GraftSourceOffset(end).snapshotId
+    val batch: DataFrame =
+      if (toId <= fromId)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else if (cdc) catalog.readChanges(schemaName, tableName, fromId, toId)
+      else catalog.appendsBetween(schemaName, tableName, fromId, toId, skipChangeCommits)
+    // conform to the stream's FIXED schema (pinned at query start) in
+    // declared column order, then flag the plan as a streaming batch
+    import org.apache.spark.sql.functions.{col, lit}
+    val conformed = batch.select(schema.fields.toIndexedSeq.map { f =>
+      if (batch.columns.exists(_.equalsIgnoreCase(f.name)))
+        col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    logInfo(s"graft-table batch $schemaName.$tableName ($fromId, $toId]")
+    GraftStreamBridge.asStreamingBatch(spark, conformed, schema)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String =
+    s"GraftTableSource[$warehouse $schemaName.$tableName${if (cdc) " cdc" else ""}]"
+}
+
+object GraftTableSource {
+  /** The stream's schema: the table's CURRENT declared schema, plus the
+    * two CDC columns in `readChangeFeed` mode.
+    */
+  def schemaFor(spark: SparkSession, parameters: Map[String, String]): StructType = {
+    val catalog = new SnapshotCatalog(spark,
+      parameters.getOrElse("warehouse",
+        throw new IllegalArgumentException("graft-table source requires option 'warehouse'")))
+    val schemaName = parameters.getOrElse("schema",
+      throw new IllegalArgumentException("graft-table source requires option 'schema'"))
+    val tableName = parameters.getOrElse("table",
+      throw new IllegalArgumentException("graft-table source requires option 'table'"))
+    val declared = catalog.declaredSchema(schemaName, tableName).getOrElse(
+      throw new IllegalArgumentException(
+        s"Table $schemaName.$tableName has no declared schema"))
+    if (parameters.get("readChangeFeed").exists(_.toBoolean))
+      declared.add("_change_type", StringType).add("_commit_snapshot_id", LongType)
+    else declared
+  }
+}
+
+/** `spark.readStream.format("graft-table")` provider (V1
+  * [[StreamSourceProvider]] — the DataFrame-returning source API, the same
+  * one Spark's file sources and Delta's DeltaSource implement; V2
+  * MicroBatchStream would force a hand-rolled parquet PartitionReader
+  * where V1 reuses the catalog's whole existing relation stack).
+  */
+final class GraftTableProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-table"
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) =
+    (shortName(), GraftTableSource.schemaFor(sqlContext.sparkSession, parameters))
+
+  override def createSource(sqlContext: SQLContext,
+                            metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): Source =
+    new GraftTableSource(sqlContext.sparkSession, parameters)
+}
