@@ -159,6 +159,7 @@ object SparkEntry {
     "sorted_demo"      -> (CatalogDemos.sortedDemo _),
     "scan_prune_demo"  -> (CatalogDemos.scanPruneDemo _),
     "changes_demo"     -> (CatalogDemos.changesDemo _),
+    "stream_demo"      -> (CatalogDemos.streamDemo _),
     "zorder_demo"      -> (CatalogDemos.zorderDemo _),
     "merge_demo"       -> (CatalogDemos.mergeDemo _),
     "meta_tables_demo" -> (CatalogDemos.metaTablesDemo _),
@@ -571,6 +572,7 @@ object SparkEntry {
     "sorted_demo"     -> operators.CatalogDemos.sortedDemoSql,
     "scan_prune_demo" -> operators.CatalogDemos.scanPruneDemoSql,
     "changes_demo"    -> operators.CatalogDemos.changesDemoSql,
+    "stream_demo"     -> operators.CatalogDemos.streamDemoSql,
     "zorder_demo"     -> operators.CatalogDemos.zorderDemoSql,
     "merge_demo"      -> operators.CatalogDemos.mergeDemoSql,
     "meta_tables_demo" -> operators.CatalogDemos.metaTablesDemoSql,

@@ -814,4 +814,70 @@ object CatalogDemos {
       |        WHERE n_regionkey = 1 OR n_nationkey >= 20) AS n_deleted,
       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM nation) AS pre_dml_rows
       |FROM fin f ORDER BY f.n_nationkey""".stripMargin
+
+  private[graft] val streamDemoWarehouse = "/tmp/graft-stream-demo-warehouse"
+
+  /** Table→stream→table end-to-end: three INSERT commits land in a source
+    * catalog table; a `graft-table` streaming source tails its commit log
+    * (paced one commit per micro-batch via admission control) through a
+    * filter into a sink table whose foreachBatch writer commits with the
+    * transactional identity `(appId, batchId)`. The stream then REPLAYS
+    * from scratch with no checkpoint — every batch id is already recorded,
+    * so the replay lands nothing. The oracle recomputes the sink's
+    * contents relationally; the pipeline-shape claims ride as booleans the
+    * Spark side must have OBSERVED: `paced_batches` (one sink append per
+    * source commit — the stream really was incremental, not one bulk
+    * read) and `exactly_once` (snapshot count unchanged by the replay).
+    */
+  def streamDemo(s: SparkSession, d: String): DataFrame = {
+    val wh = new org.apache.hadoop.fs.Path(streamDemoWarehouse)
+    val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) fs.delete(wh, true)
+    val engine = new GraftEngine(s, streamDemoWarehouse)
+    engine.catalog.createSchema("demo")
+    val ev = graft.Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .filter(col("event_id") <= 30000L)
+    engine.catalog.createTable("demo", "events_src", ev.schema)
+    (0 until 3).foreach { i =>
+      engine.catalog.insert("demo", "events_src",
+        ev.filter(pmod(col("event_id"), lit(3)) === i).coalesce(2))
+    }
+    engine.catalog.createTable("demo", "events_hot", ev.schema)
+    def runOnce(): Unit = {
+      val src = s.readStream.format("graft-table")
+        .option("warehouse", streamDemoWarehouse)
+        .option("schema", "demo").option("table", "events_src")
+        .option("maxSnapshotsPerTrigger", "1")
+        .load()
+      val q = graft.streaming.EventStreams.streamIntoCatalog(
+        src.filter(col("value") > 100.0), engine.catalog, "demo", "events_hot",
+        txnAppId = Some("stream-demo"))
+      q.awaitTermination(180000)
+    }
+    runOnce()
+    val appendsAfterFirst =
+      engine.catalog.snapshots("demo", "events_hot").count(_.operation.contains("append"))
+    runOnce() // checkpoint-free replay: the txn identity must absorb it
+    val appendsAfterReplay =
+      engine.catalog.snapshots("demo", "events_hot").count(_.operation.contains("append"))
+    engine.catalog.readLatest("demo", "events_hot")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+      .withColumn("paced_batches", lit(appendsAfterFirst == 3))
+      .withColumn("exactly_once", lit(appendsAfterReplay == appendsAfterFirst))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB twin of [[streamDemo]]: the sink's contents are exactly the
+    * filtered source rows — whatever batching delivered them — and the
+    * observed pipeline-shape booleans must both be TRUE.
+    */
+  val streamDemoSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+      |       TRUE AS paced_batches, TRUE AS exactly_once
+      |FROM events WHERE event_id <= 30000 AND value > 100.0
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
 }
