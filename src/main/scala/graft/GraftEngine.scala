@@ -209,11 +209,12 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
         } else catalog.createSchema(schema, location)
         0L
       case graft.catalog.CreateTableStmt(schema, table, columns, ifNotExists,
-          partitionedBy, tableComment, columnComments, formatVersion, sortedBy) =>
+          partitionedBy, tableComment, columnComments, formatVersion, sortedBy,
+          bloomCols) =>
         if (!catalog.schemaExists(schema)) catalog.createSchema(schema)
         val preExisting = catalog.tableExists(schema, table)
         try catalog.createTable(schema, table, columns, ifNotExists, partitionedBy,
-          formatVersion, sortedBy)
+          formatVersion, sortedBy, bloomCols)
         catch { case e: IllegalStateException =>
           throw new GraftQueryException(sqlText, e.getMessage, e) }
         // declared COMMENT clauses persist like COMMENT ON (never onto a

@@ -23,7 +23,8 @@ final case class CreateTableStmt(schema: String, table: String,
                                  tableComment: Option[String] = None,
                                  columnComments: Map[String, String] = Map.empty,
                                  formatVersion: Int = 1,
-                                 sortedBy: Seq[String] = Nil)
+                                 sortedBy: Seq[String] = Nil,
+                                 bloomFilterColumns: Seq[String] = Nil)
   extends DdlStatement
 final case class CreateTableAsStmt(schema: String, table: String,
                                    select: String, ifNotExists: Boolean) extends DdlStatement
@@ -227,11 +228,11 @@ object DdlParser {
     case createTableRe(ine, name, cols, tblComment, props) =>
       val (sch, tbl) = tableOf(name)
       val (schema0, colComments) = parseColumns(cols)
-      val (partitioning, formatVersion, sortedBy) = tablePropsOf(props)
+      val (partitioning, formatVersion, sortedBy, bloomCols) = tablePropsOf(props)
       Some(CreateTableStmt(sch, tbl, schema0, ine != null,
         partitioning,
         Option(tblComment).map(_.replace("''", "'")), colComments,
-        formatVersion, sortedBy))
+        formatVersion, sortedBy, bloomCols))
     case ctasRe(ine, name, select) =>
       val (sch, tbl) = tableOf(name)
       Some(CreateTableAsStmt(sch, tbl, select, ine != null))
@@ -674,8 +675,8 @@ object DdlParser {
     * silently dropped. Properties split on TOP-LEVEL commas only (the
     * ARRAY properties carry commas of their own).
     */
-  private def tablePropsOf(props: String): (Seq[String], Int, Seq[String]) = {
-    if (props == null || props.trim.isEmpty) return (Seq.empty, 1, Seq.empty)
+  private def tablePropsOf(props: String): (Seq[String], Int, Seq[String], Seq[String]) = {
+    if (props == null || props.trim.isEmpty) return (Seq.empty, 1, Seq.empty, Seq.empty)
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var depth = 0
@@ -690,10 +691,13 @@ object DdlParser {
     parts += cur.toString
     val partitioningRe = """(?is)^\s*partitioning\s*=\s*ARRAY\[([^\]]*)\]\s*$""".r
     val sortedByRe = """(?is)^\s*sorted_by\s*=\s*ARRAY\[([^\]]*)\]\s*$""".r
+    // Trino Iceberg's property name, with a short alias
+    val bloomRe = """(?is)^\s*(?:parquet_)?bloom_filter_columns\s*=\s*ARRAY\[([^\]]*)\]\s*$""".r
     val formatRe = """(?is)^\s*format\s*=\s*'([^']*)'\s*$""".r
     val formatVersionRe = """(?is)^\s*format_version\s*=\s*'?(\d+)'?\s*$""".r
     var formatVersion = 1
     var sortedBy = Seq.empty[String]
+    var bloomCols = Seq.empty[String]
     // ARRAY elements are quoted strings — extract them as such, so a
     // comma INSIDE a quoted transform (`'bucket(4, id)'`) never splits
     val arrayElemRe = """'((?:[^']|'')*)'""".r
@@ -708,6 +712,9 @@ object DdlParser {
       case sortedByRe(cols) =>
         sortedBy = arrayElems(cols)
         Seq.empty
+      case bloomRe(cols) =>
+        bloomCols = arrayElems(cols)
+        Seq.empty
       case formatRe(fmt) =>
         require(fmt.equalsIgnoreCase("PARQUET"), s"unsupported format '$fmt' (only PARQUET)")
         Seq.empty
@@ -719,7 +726,7 @@ object DdlParser {
       case other =>
         throw new IllegalArgumentException(s"unsupported table property: $other")
     }.toSeq
-    (partitioning, formatVersion, sortedBy)
+    (partitioning, formatVersion, sortedBy, bloomCols)
   }
 
   /** `[catalog.]schema` → schema. */

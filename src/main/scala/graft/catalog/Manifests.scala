@@ -38,7 +38,33 @@ final case class ColBounds(kind: String, min: String, max: String, nulls: Long)
   */
 final case class DataFileEntry(path: String, rows: Long, bytes: Long,
                                bounds: Map[String, ColBounds],
-                               dirTotal: Long = -1L)
+                               dirTotal: Long = -1L,
+                               blooms: Map[String, ColBloom] = Map.empty)
+
+/** Per-file bloom filter over one column's values ([[Manifests.BloomBits]]
+  * bits, [[Manifests.BloomHashes]] double-hashed probes — the Iceberg
+  * puffin / parquet column-bloom idea at the MANIFEST tier, so equality
+  * predicates skip whole FILES at plan time even on high-cardinality
+  * columns whose min/max bounds overlap every file, where range bounds
+  * prune nothing — a point lookup by user id on an unsorted 100 TB table).
+  *
+  * `dtype` = the Spark SQL type string of the hashed values: a probe is
+  * attempted ONLY when the predicate literal has the identical type
+  * (xxhash64 of an int and a long differ — a cross-type probe would skip
+  * files that DO match). Same over-approximation contract as bounds: a
+  * clear bit PROVES absence; a set bit says nothing.
+  */
+final case class ColBloom(dtype: String, bits: Array[Long]) {
+  def mightContain(h1: Long, h2: Long): Boolean = {
+    var i = 0
+    while (i < Manifests.BloomHashes) {
+      val pos = ((h1 + i * h2) & Long.MaxValue) % Manifests.BloomBits
+      if ((bits((pos >> 6).toInt) & (1L << (pos & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+}
 
 /** Manifest-file machinery: immutable JSON manifest files grouping data
   * files with per-column bounds, the footer-statistics extraction that
@@ -48,6 +74,16 @@ final case class DataFileEntry(path: String, rows: Long, bytes: Long,
   */
 object Manifests {
   private val mapper = new ObjectMapper
+
+  /** Bloom geometry: 8192 bits (1 KiB of longs) × 4 probes ≈ 2.4% false
+    * positives at 1k distinct values/file, 0.2% at 500 — metadata stays
+    * KB-scale per file while a point predicate prunes ~97% of
+    * non-matching files. Fixed constants: blooms are rebuilt per commit
+    * from data, never merged across geometries.
+    */
+  val BloomBits: Long = 8192L
+  val BloomHashes: Int = 4
+  val BloomWords: Int = (BloomBits / 64).toInt
 
   // ---- JSON encode/decode (compact keys: manifests are the metadata
   //      hot path, stored once per file per rewrite) ----
@@ -71,6 +107,16 @@ object Manifests {
           if (cb.nulls >= 0) b.put("n", cb.nulls)
         }
       }
+      if (e.blooms.nonEmpty) {
+        val f = o.putObject("f")
+        e.blooms.foreach { case (name, bl) =>
+          val b = f.putObject(name)
+          b.put("t", bl.dtype)
+          val bb = java.nio.ByteBuffer.allocate(bl.bits.length * 8)
+          bl.bits.foreach(bb.putLong)
+          b.put("v", java.util.Base64.getEncoder.encodeToString(bb.array()))
+        }
+      }
     }
     mapper.writeValueAsString(root)
   }
@@ -88,8 +134,17 @@ object Manifests {
             Option(b.get("n")).map(_.asLong).getOrElse(-1L))
         }.toMap
       }.getOrElse(Map.empty[String, ColBounds])
+      val blooms = Option(o.get("f")).map { f =>
+        f.properties().asScala.map { e =>
+          val b = e.getValue
+          val raw = java.util.Base64.getDecoder.decode(b.get("v").asText)
+          val bb = java.nio.ByteBuffer.wrap(raw)
+          val bits = Array.fill(raw.length / 8)(bb.getLong)
+          e.getKey -> ColBloom(b.get("t").asText, bits)
+        }.toMap
+      }.getOrElse(Map.empty[String, ColBloom])
       DataFileEntry(o.get("p").asText, o.get("r").asLong, o.get("b").asLong, bounds,
-        Option(o.get("d")).map(_.asLong).getOrElse(-1L))
+        Option(o.get("d")).map(_.asLong).getOrElse(-1L), blooms)
     }.toSeq
   }
 
@@ -304,10 +359,12 @@ object Manifests {
       case Literal(v: Boolean, org.apache.spark.sql.types.BooleanType) => v
       case Coalesce(children) if children.length == 2 &&
         children(1) == Literal.FalseLiteral => mayMatch(children(0), entry)
-      case EqualTo(a, Literal(v, dt)) => colBounds(a, entry).forall(rangeContains(_, v, dt, entry))
-      case EqualTo(Literal(v, dt), a) => colBounds(a, entry).forall(rangeContains(_, v, dt, entry))
+      case EqualTo(a, Literal(v, dt)) =>
+        colBounds(a, entry).forall(rangeContains(_, v, dt, entry)) && bloomKeeps(a, v, dt, entry)
+      case EqualTo(Literal(v, dt), a) =>
+        colBounds(a, entry).forall(rangeContains(_, v, dt, entry)) && bloomKeeps(a, v, dt, entry)
       case EqualNullSafe(a, Literal(v, dt)) if v != null =>
-        colBounds(a, entry).forall(rangeContains(_, v, dt, entry))
+        colBounds(a, entry).forall(rangeContains(_, v, dt, entry)) && bloomKeeps(a, v, dt, entry)
       case GreaterThan(a, Literal(v, dt)) => colBounds(a, entry).forall(maxAbove(_, v, dt, strict = true))
       case GreaterThanOrEqual(a, Literal(v, dt)) => colBounds(a, entry).forall(maxAbove(_, v, dt, strict = false))
       case LessThan(a, Literal(v, dt)) => colBounds(a, entry).forall(minBelow(_, v, dt, strict = true))
@@ -317,13 +374,55 @@ object Manifests {
       case LessThan(Literal(v, dt), a) => colBounds(a, entry).forall(maxAbove(_, v, dt, strict = true))
       case LessThanOrEqual(Literal(v, dt), a) => colBounds(a, entry).forall(maxAbove(_, v, dt, strict = false))
       case In(a, values) if values.forall(_.isInstanceOf[Literal]) =>
-        colBounds(a, entry).forall(cb => values.exists {
-          case Literal(v, dt) => rangeContains(cb, v, dt, entry)
-        })
+        values.exists { case Literal(v, dt) =>
+          colBounds(a, entry).forall(rangeContains(_, v, dt, entry)) &&
+            bloomKeeps(a, v, dt, entry)
+        }
       case IsNull(a) => colBounds(a, entry).forall(cb => cb.nulls != 0L)
       case IsNotNull(a) => colBounds(a, entry).forall(cb =>
         cb.nulls < 0 || cb.nulls < entry.rows || cb.min != null)
       case _ => true
+    }
+  }
+
+  /** The engine-side xxhash64 pair a bloom probe needs for literal `v` —
+    * IDENTICAL to the write-side hashing ([[graft.catalog.BloomAgg]] input:
+    * `xxhash64(col)` and `xxhash64(col, 1)`), evaluated through the same
+    * Catalyst expression so the bit patterns can never drift.
+    */
+  def bloomHashes(v: Any, dt: org.apache.spark.sql.types.DataType): (Long, Long) = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val l = Literal.create(v, dt)
+    val h1 = XxHash64(Seq(l), 42L).eval(null).asInstanceOf[Long]
+    val h2 = XxHash64(Seq(l, Literal(1)), 42L).eval(null).asInstanceOf[Long]
+    (h1, h2)
+  }
+
+  /** Bloom veto for an equality probe: false ONLY when the file has a
+    * bloom for the column, the literal's type matches the hashed type
+    * exactly, and the filter proves absence. Any doubt keeps the file.
+    */
+  private def bloomKeeps(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                         v: Any, dt: org.apache.spark.sql.types.DataType,
+                         entry: DataFileEntry): Boolean = {
+    if (v == null) return true
+    colName(e).flatMap(n => entry.blooms.collectFirst {
+      case (k, b) if k.equalsIgnoreCase(n) => b
+    }) match {
+      case Some(bl) if bl.dtype == dt.sql =>
+        try { val (h1, h2) = bloomHashes(v, dt); bl.mightContain(h1, h2) }
+        catch { case scala.util.control.NonFatal(_) => true }
+      case _ => true
+    }
+  }
+
+  private def colName(e: org.apache.spark.sql.catalyst.expressions.Expression): Option[String] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    e match {
+      case u: UnresolvedAttribute => Some(u.nameParts.last)
+      case a: AttributeReference  => Some(a.name)
+      case _ => None
     }
   }
 

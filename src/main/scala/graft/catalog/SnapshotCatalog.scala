@@ -144,7 +144,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
                   ifNotExists: Boolean = false,
                   partitionedBy: Seq[String] = Nil,
                   formatVersion: Int = 1,
-                  sortedBy: Seq[String] = Nil): Unit = {
+                  sortedBy: Seq[String] = Nil,
+                  bloomFilterColumns: Seq[String] = Nil): Unit = {
     require(formatVersion == 1 || formatVersion == 2,
       s"format_version must be 1 (copy-on-write) or 2 (merge-on-read), got $formatVersion")
     val dir = tableDir(schema, table)
@@ -175,6 +176,10 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       .filterNot(c => columns.fieldNames.exists(_.equalsIgnoreCase(c)))
     require(missingSort.isEmpty,
       s"Sort column(s) ${missingSort.mkString(", ")} not in declared schema")
+    val missingBloom = bloomFilterColumns
+      .filterNot(c => columns.fieldNames.exists(_.equalsIgnoreCase(c)))
+    require(missingBloom.isEmpty,
+      s"Bloom filter column(s) ${missingBloom.mkString(", ")} not in declared schema")
     sortedBy.foreach {
       case zorderRe(inner) =>
         val zc = inner.split(",").map(_.trim).filter(_.nonEmpty)
@@ -209,6 +214,9 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       writeString(new Path(dir, "_format_version"), formatVersion.toString)
     if (sortedBy.nonEmpty)
       writeString(new Path(dir, "_sorted_by.json"), sortedBy.mkString("\n"))
+    if (bloomFilterColumns.nonEmpty)
+      writeString(new Path(dir, "_bloom_columns.json"),
+        bloomFilterColumns.mkString("\n"))
     // commits.json stays as the cheap existence marker (tableExists probes
     // it); the versioned generation files carry the actual log
     writeString(new Path(dir, "commits.json"), "[]")
@@ -442,6 +450,13 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       s"Cannot drop the only column of $schema.$table")
     writeString(new Path(tableDir(schema, table), "_table_schema.json"),
       StructType(current.fields.filterNot(_.name.equalsIgnoreCase(name))).json)
+    // blooms are an optimization, not structure: a dropped bloom column
+    // just leaves the config (stale manifest blooms are never probed for
+    // a column the schema no longer has)
+    val blooms = bloomColumns(schema, table)
+    if (blooms.exists(_.equalsIgnoreCase(name)))
+      writeString(new Path(tableDir(schema, table), "_bloom_columns.json"),
+        blooms.filterNot(_.equalsIgnoreCase(name)).mkString("\n"))
   }
 
   /** `ALTER TABLE … RENAME COLUMN old TO new`: metadata-only rename in the
@@ -484,6 +499,13 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
             case _ => s
           }
         }.mkString("\n"))
+    // a renamed bloom column follows into _bloom_columns.json so FUTURE
+    // commits keep building its blooms; pre-rename manifests keep blooms
+    // under the old name, which new-name probes simply never consult
+    val blooms = bloomColumns(schema, table)
+    if (blooms.exists(_.equalsIgnoreCase(from)))
+      writeString(new Path(tableDir(schema, table), "_bloom_columns.json"),
+        blooms.map(c => if (c.equalsIgnoreCase(from)) to else c).mkString("\n"))
   }
 
   /** `ALTER TABLE … ALTER COLUMN c SET DATA TYPE t` — Iceberg's SAFE type
@@ -817,16 +839,46 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
   private def scanEntries(dir: Path, entryRel: String): Seq[DataFileEntry] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val tableKey = fs(dir).makeQualified(dir).toUri.getPath
-    val files = dataFileStatusesUnder(new Path(dir, entryRel)).map { case (p, len) =>
+    val statuses = dataFileStatusesUnder(new Path(dir, entryRel))
+    val files = statuses.map { case (p, len) =>
       val rel = p.toUri.getPath.stripPrefix(tableKey).stripPrefix("/")
       Manifests.footerEntry(conf, p, rel, len)
     }
     // a dirs entry naming a single FILE (legacy carried-file entry) says
     // nothing about its dir's total → dirTotal stays -1 (file-granular
     // reads); a scanned DIR entry captures the whole-dir count
-    if (files.size == 1 && files.head.path == entryRel) files
-    else files.map(_.copy(dirTotal = files.size.toLong))
+    val withTotals =
+      if (files.size == 1 && files.head.path == entryRel) files
+      else files.map(_.copy(dirTotal = files.size.toLong))
+    // bloom_filter_columns tables: one column-pruned pass over the NEW
+    // files builds per-file equality blooms into the manifest entries —
+    // the commit-time cost is bounded by the commit's own data volume,
+    // never the table's
+    val bloomCols = bloomColumnsAt(dir)
+    if (bloomCols.isEmpty || statuses.isEmpty) withTotals
+    else {
+      val byPath = Blooms.bloomsFor(spark, statuses.map(_._1.toString), bloomCols)
+        .map { case (k, v) => new Path(k).toUri.getPath -> v }
+      withTotals.map { e =>
+        e.copy(blooms = byPath.getOrElse(s"$tableKey/${e.path}", Map.empty))
+      }
+    }
   }
+
+  /** Declared `bloom_filter_columns` of the table at `dir` (empty when
+    * the property was never set).
+    */
+  private def bloomColumnsAt(dir: Path): Seq[String] = {
+    val p = new Path(dir, "_bloom_columns.json")
+    if (fs(p).exists(p)) readString(p).split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    else Nil
+  }
+
+  /** Declared bloom-filter columns (Trino Iceberg
+    * `parquet_bloom_filter_columns`; empty when unset).
+    */
+  def bloomColumns(schema: String, table: String): Seq[String] =
+    bloomColumnsAt(tableDir(schema, table))
 
   /** Carry `prior`'s data files minus `touchedKeys` (scheme-less absolute
     * URI paths) into manifest form. Returns (manifest names referencing
@@ -2753,7 +2805,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val keep = referenced ++
       Set("commits.json", "_table_schema.json", "_partition_spec.json",
         "_comments.json", "_format_version", "_sorted_by.json", "_manifests",
-        "_tags.json")
+        "_tags.json", "_bloom_columns.json")
     val orphans = f.listStatus(dir)
       .map(_.getPath)
       .filterNot(p => keep.contains(p.getName) ||
