@@ -160,6 +160,7 @@ object SparkEntry {
     "scan_prune_demo"  -> (CatalogDemos.scanPruneDemo _),
     "changes_demo"     -> (CatalogDemos.changesDemo _),
     "stream_demo"      -> (CatalogDemos.streamDemo _),
+    "bloom_prune_demo" -> (CatalogDemos.bloomPruneDemo _),
     "zorder_demo"      -> (CatalogDemos.zorderDemo _),
     "merge_demo"       -> (CatalogDemos.mergeDemo _),
     "meta_tables_demo" -> (CatalogDemos.metaTablesDemo _),
@@ -573,6 +574,7 @@ object SparkEntry {
     "scan_prune_demo" -> operators.CatalogDemos.scanPruneDemoSql,
     "changes_demo"    -> operators.CatalogDemos.changesDemoSql,
     "stream_demo"     -> operators.CatalogDemos.streamDemoSql,
+    "bloom_prune_demo" -> operators.CatalogDemos.bloomPruneDemoSql,
     "zorder_demo"     -> operators.CatalogDemos.zorderDemoSql,
     "merge_demo"      -> operators.CatalogDemos.mergeDemoSql,
     "meta_tables_demo" -> operators.CatalogDemos.metaTablesDemoSql,

@@ -30,12 +30,13 @@ object Blooms {
     * bounds question, not a bloom one).
     */
   def bloomsFor(spark: SparkSession, paths: Seq[String],
-                cols: Seq[String]): Map[String, Map[String, ColBloom]] = {
+                cols: Seq[String], maxRowsPerFile: Long): Map[String, Map[String, ColBloom]] = {
     if (paths.isEmpty) return Map.empty
     val base = spark.read.parquet(paths: _*)
     val present = cols.flatMap(c => base.schema.fields.find(_.name.equalsIgnoreCase(c)))
     if (present.isEmpty) return Map.empty
-    val agg = udaf(BloomAgg)
+    val agg = udaf(new BloomAgg(
+      (Manifests.bloomBitsFor(maxRowsPerFile) / 64).toInt))
     val df = base
       .select(col("_metadata.file_path").as("__file") +:
         present.flatMap(f => hashPair(f.name)): _*)
@@ -63,15 +64,16 @@ object Blooms {
   * a bloom). Associative merges make it map-side combined: each task
   * ships one 1 KiB buffer per (file, column), never row data.
   */
-object BloomAgg extends Aggregator[(Long, Long), Array[Long], Array[Byte]] {
-  override def zero: Array[Long] = new Array[Long](Manifests.BloomWords)
+class BloomAgg(words: Int) extends Aggregator[(Long, Long), Array[Long], Array[Byte]] {
+  override def zero: Array[Long] = new Array[Long](words)
 
   override def reduce(b: Array[Long], in: (Long, Long)): Array[Long] = {
+    val m = words.toLong * 64
     val h1 = in._1
     val h2 = in._2
     var i = 0
     while (i < Manifests.BloomHashes) {
-      val pos = ((h1 + i * h2) & Long.MaxValue) % Manifests.BloomBits
+      val pos = ((h1 + i * h2) & Long.MaxValue) % m
       b((pos >> 6).toInt) |= 1L << (pos & 63)
       i += 1
     }

@@ -56,9 +56,10 @@ final case class DataFileEntry(path: String, rows: Long, bytes: Long,
   */
 final case class ColBloom(dtype: String, bits: Array[Long]) {
   def mightContain(h1: Long, h2: Long): Boolean = {
+    val m = bits.length.toLong * 64 // geometry travels with the filter
     var i = 0
     while (i < Manifests.BloomHashes) {
-      val pos = ((h1 + i * h2) & Long.MaxValue) % Manifests.BloomBits
+      val pos = ((h1 + i * h2) & Long.MaxValue) % m
       if ((bits((pos >> 6).toInt) & (1L << (pos & 63))) == 0L) return false
       i += 1
     }
@@ -75,15 +76,25 @@ final case class ColBloom(dtype: String, bits: Array[Long]) {
 object Manifests {
   private val mapper = new ObjectMapper
 
-  /** Bloom geometry: 8192 bits (1 KiB of longs) × 4 probes ≈ 2.4% false
-    * positives at 1k distinct values/file, 0.2% at 500 — metadata stays
-    * KB-scale per file while a point predicate prunes ~97% of
-    * non-matching files. Fixed constants: blooms are rebuilt per commit
-    * from data, never merged across geometries.
+  /** Bloom geometry: ~10 bits per row × 4 probes ≈ 1.2% false positives
+    * whatever the file size, clamped to [1 KiB, 128 KiB] of bits per
+    * (file, column) — the filter's own length carries its geometry
+    * ([[ColBloom.mightContain]]), so differently-sized files coexist in
+    * one manifest. Probes per element stay fixed: blooms are rebuilt per
+    * commit from data, never merged across files.
     */
-  val BloomBits: Long = 8192L
   val BloomHashes: Int = 4
-  val BloomWords: Int = (BloomBits / 64).toInt
+  val MinBloomBits: Long = 8192L
+  val MaxBloomBits: Long = 1L << 20
+
+  /** Bits for a file of `rows` rows: smallest power of two ≥ 10×rows
+    * within the clamp (a power of two keeps the bit positions uniform
+    * under the mod).
+    */
+  def bloomBitsFor(rows: Long): Long = {
+    val target = math.min(MaxBloomBits, math.max(MinBloomBits, 10L * math.max(1L, rows)))
+    java.lang.Long.highestOneBit(target - 1) << 1
+  }
 
   // ---- JSON encode/decode (compact keys: manifests are the metadata
   //      hot path, stored once per file per rewrite) ----

@@ -857,7 +857,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val bloomCols = bloomColumnsAt(dir)
     if (bloomCols.isEmpty || statuses.isEmpty) withTotals
     else {
-      val byPath = Blooms.bloomsFor(spark, statuses.map(_._1.toString), bloomCols)
+      val byPath = Blooms.bloomsFor(spark, statuses.map(_._1.toString), bloomCols,
+          withTotals.map(_.rows).max)
         .map { case (k, v) => new Path(k).toUri.getPath -> v }
       withTotals.map { e =>
         e.copy(blooms = byPath.getOrElse(s"$tableKey/${e.path}", Map.empty))

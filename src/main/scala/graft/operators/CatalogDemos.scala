@@ -815,6 +815,81 @@ object CatalogDemos {
       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM nation) AS pre_dml_rows
       |FROM fin f ORDER BY f.n_nationkey""".stripMargin
 
+  private[graft] val bloomDemoWarehouse = "/tmp/graft-bloom-demo-warehouse"
+
+  /** Bloom file-skipping end-to-end: orders ingested as three
+    * INTERLEAVED commits (keys ≡ i mod 3, so every file's o_orderkey
+    * bounds span nearly the whole range — bounds pruning is structurally
+    * useless) into a `bloom_filter_columns = ARRAY['o_orderkey']` table.
+    * A mid-range point probe must then read exactly ONE of the three
+    * files — only the manifest blooms can prove the other two clean —
+    * and an out-of-range probe plans zero files. The probe's row rides
+    * into the result for the oracle; the observed plan facts ride as
+    * booleans.
+    */
+  def bloomPruneDemo(s: SparkSession, d: String): DataFrame = {
+    val wh = new org.apache.hadoop.fs.Path(bloomDemoWarehouse)
+    val whFs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (whFs.exists(wh)) whFs.delete(wh, true)
+    val engine = new GraftEngine(s, bloomDemoWarehouse)
+    engine.catalog.createSchema("demo")
+    val orders = graft.Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .filter(col("o_orderkey") <= 60000L)
+    engine.catalog.createTable("demo", "orders_bloom", orders.schema,
+      bloomFilterColumns = Seq("o_orderkey"))
+    (0 until 3).foreach { i =>
+      engine.catalog.insert("demo", "orders_bloom",
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === i).coalesce(1))
+    }
+    val totalFiles = engine.catalog.filesMeta("demo", "orders_bloom")
+      .filter(col("content") === 0).count()
+    val probeKey = orders.filter(col("o_orderkey") >= 1000L)
+      .agg(min("o_orderkey")).head().getLong(0)
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case st: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allScans(st.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(allScans)
+    }
+    def probe(key: Long): (Long, Double, Long, Boolean) = {
+      val q = engine.catalog.readLatest("demo", "orders_bloom")
+        .filter(col("o_orderkey") === key)
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("p"))
+      val r = q.collect().head
+      val scans = allScans(q.queryExecution.executedPlan)
+      (r.getLong(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1),
+        scans.map(_.metrics("numFiles").value).sum,
+        scans.nonEmpty && scans.forall(_.relation.location
+          .isInstanceOf[org.apache.spark.sql.GraftManifestFileIndex]))
+    }
+    val (nHit, priceHit, filesHit, manifestPlanned) = probe(probeKey)
+    val (nMiss, _, filesMiss, _) = probe(-42L)
+    import s.implicits._
+    Seq((nHit, priceHit)).toDF("n_rows", "probe_price")
+      .withColumn("planned_by_manifest", lit(manifestPlanned))
+      .withColumn("bloom_pruned", lit(totalFiles == 3 && filesHit == 1))
+      .withColumn("plan_skips_absent", lit(nMiss == 0 && filesMiss == 0))
+  }
+
+  /** DuckDB twin of [[bloomPruneDemo]]: recomputes the probe row from the
+    * same deterministic probe-key subquery; the plan-shape facts the
+    * Spark side OBSERVED must all be true.
+    */
+  val bloomPruneDemoSql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS probe_price,
+      |       TRUE AS planned_by_manifest, TRUE AS bloom_pruned,
+      |       TRUE AS plan_skips_absent
+      |FROM orders
+      |WHERE o_orderkey <= 60000 AND o_orderkey =
+      |  (SELECT MIN(o_orderkey) FROM orders
+      |   WHERE o_orderkey >= 1000 AND o_orderkey <= 60000)""".stripMargin
+
   private[graft] val streamDemoWarehouse = "/tmp/graft-stream-demo-warehouse"
 
   /** Table→stream→table end-to-end: three INSERT commits land in a source

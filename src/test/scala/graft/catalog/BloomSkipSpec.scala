@@ -66,7 +66,8 @@ class BloomSkipSpec extends SparkSpec {
       assert(e.blooms.keySet.map(_.toLowerCase) == Set("id", "tag"))
       assert(e.blooms("id").dtype == LongType.sql)
       assert(e.blooms("tag").dtype == StringType.sql)
-      assert(e.blooms("id").bits.length == Manifests.BloomWords)
+      assert(e.blooms("id").bits.length ==
+        (Manifests.bloomBitsFor(e.rows) / 64).toInt)
     }
     val replayed = Manifests.fromJson(Manifests.toJson(entries))
     assert(replayed.map(_.blooms("id").bits.toSeq) ==
