@@ -477,11 +477,14 @@ object CatalogDemos {
     val engine = new GraftEngine(s, zorderDemoWarehouse)
     engine.catalog.createSchema("demo")
     // cap the slice (oracle filters identically): the demo's subject is
-    // the z-order layout + second-dimension pruning, which a 16k-row
-    // 8-file layout exercises as well as the full corpus
+    // the z-order layout + second-dimension pruning, which a 4k-row
+    // 8-file layout exercises as well as the full corpus — the demo pays
+    // TWO clustered write passes (z-insert, then compact re-z-orders), so
+    // its cost scales directly with the slice; the heavy-grid claims live
+    // in ZOrderSpec
     val orders = graft.Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_custkey"))
-      .filter(col("o_orderkey") <= 65536L)
+      .filter(col("o_orderkey") <= 16384L)
     engine.catalog.createTable("demo", "orders_z", orders.schema,
       sortedBy = Seq("zorder(o_orderkey, o_custkey)"))
     engine.catalog.insert("demo", "orders_z", orders)
@@ -520,7 +523,7 @@ object CatalogDemos {
     """SELECT COUNT(*) AS n_rows,
       |       MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
       |       TRUE AS multi_file, TRUE AS second_dim_pruned
-      |FROM orders WHERE o_custkey <= 32 AND o_orderkey <= 65536""".stripMargin
+      |FROM orders WHERE o_custkey <= 32 AND o_orderkey <= 16384""".stripMargin
 
   /** DuckDB twin of [[scanPruneDemo]]: the range aggregate from orders;
     * the two plan facts are literals the Spark side must have observed

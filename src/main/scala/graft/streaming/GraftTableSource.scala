@@ -5,9 +5,9 @@ import graft.catalog.SnapshotCatalog
 import org.apache.spark.internal.Logging
 import org.apache.spark.sql.{DataFrame, GraftStreamBridge, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsTriggerAvailableNow, Offset => ConnectorOffset}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.SerializedOffset
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 
 /** Offset of the table stream = the last PROCESSED snapshot id (commit-log
@@ -83,8 +83,17 @@ final class GraftTableSource(spark: SparkSession,
   require(catalog.tableExists(schemaName, tableName),
     s"Table $schemaName.$tableName does not exist under $warehouse")
 
-  /** Exclusive lower bound: snapshots at or below this id are never read. */
+  /** Exclusive lower bound: snapshots at or below this id are never read.
+    * Precedence: explicit snapshot id > timestamp > earliest/latest.
+    */
   private val startingId: Long = parameters.get("startingSnapshotId").map(_.toLong)
+    .orElse(parameters.get("startingTimestamp").map { raw =>
+      // epoch millis or ISO-8601 instant; commits AT or AFTER it stream
+      val ts = if (raw.forall(c => c.isDigit || c == '-')) raw.toLong
+               else java.time.Instant.parse(raw).toEpochMilli
+      catalog.snapshots(schemaName, tableName)
+        .takeWhile(_.committedAtMillis < ts).lastOption.map(_.snapshotId).getOrElse(0L)
+    })
     .getOrElse(parameters.getOrElse("starting", "earliest") match {
       case "earliest" => 0L
       case "latest" =>
@@ -175,13 +184,64 @@ object GraftTableSource {
   }
 }
 
-/** `spark.readStream.format("graft-table")` provider (V1
-  * [[StreamSourceProvider]] — the DataFrame-returning source API, the same
-  * one Spark's file sources and Delta's DeltaSource implement; V2
-  * MicroBatchStream would force a hand-rolled parquet PartitionReader
-  * where V1 reuses the catalog's whole existing relation stack).
+/** `writeStream.format("graft-table")` sink: each micro-batch commits a
+  * snapshot (append mode) or a keyed MERGE (`mode = upsert` with `key` +
+  * `seqCol` options, collapsing each batch to its last row per key).
+  * `txnAppId` turns on the exactly-once transactional identity — batch id
+  * = txn version, so replays (lost checkpoint included) land nothing
+  * twice ([[SnapshotCatalog.insert]]).
   */
-final class GraftTableProvider extends StreamSourceProvider with DataSourceRegister {
+final class GraftTableSink(spark: SparkSession,
+                           parameters: Map[String, String]) extends Sink with Logging {
+  private val warehouse = parameters.getOrElse("warehouse",
+    throw new IllegalArgumentException("graft-table sink requires option 'warehouse'"))
+  private val schemaName = parameters.getOrElse("schema",
+    throw new IllegalArgumentException("graft-table sink requires option 'schema'"))
+  private val tableName = parameters.getOrElse("table",
+    throw new IllegalArgumentException("graft-table sink requires option 'table'"))
+  private val txnAppId = parameters.get("txnAppId")
+  private val upsert = parameters.get("mode") match {
+    case None | Some("append") => false
+    case Some("upsert")        => true
+    case Some(other) => throw new IllegalArgumentException(
+      s"graft-table sink mode must be 'append' or 'upsert', got '$other'")
+  }
+  private val catalog = new SnapshotCatalog(spark, warehouse)
+
+  override def addBatch(batchId: Long, rawData: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): Unit = {
+    // the engine hands a streaming-flagged DataFrame; batch writers
+    // refuse it — re-plan as a batch over the same RDD (what foreachBatch
+    // does for its callers)
+    val data = org.apache.spark.sql.GraftStreamBridge.asBatch(spark, rawData.toDF())
+    val txn = txnAppId.map(_ -> batchId)
+    if (upsert) {
+      val key = parameters.getOrElse("key",
+        throw new IllegalArgumentException("graft-table upsert sink requires option 'key'"))
+      val seqCol = parameters.getOrElse("seqCol",
+        throw new IllegalArgumentException("graft-table upsert sink requires option 'seqCol'"))
+      import org.apache.spark.sql.functions.{col, max_by, struct}
+      val latest = data
+        .groupBy(col(key))
+        .agg(max_by(struct(data.columns.map(col).toIndexedSeq: _*), col(seqCol)).as("r"))
+        .select(col("r.*"))
+      catalog.merge(schemaName, tableName, latest, key, txn)
+    } else if (!data.isEmpty) {
+      catalog.insert(schemaName, tableName, data, txn)
+    }
+  }
+
+  override def toString: String = s"GraftTableSink[$warehouse $schemaName.$tableName]"
+}
+
+/** `spark.readStream`/`writeStream.format("graft-table")` provider (V1
+  * [[StreamSourceProvider]]/[[StreamSinkProvider]] — the
+  * DataFrame-returning streaming API, the same one Spark's file sources
+  * and Delta's DeltaSource/DeltaSink implement; V2 MicroBatchStream would
+  * force a hand-rolled parquet PartitionReader where V1 reuses the
+  * catalog's whole existing relation stack).
+  */
+final class GraftTableProvider extends StreamSourceProvider with StreamSinkProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-table"
 
@@ -197,4 +257,14 @@ final class GraftTableProvider extends StreamSourceProvider with DataSourceRegis
                             providerName: String,
                             parameters: Map[String, String]): Source =
     new GraftTableSource(sqlContext.sparkSession, parameters)
+
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode): Sink = {
+    require(partitionColumns.isEmpty,
+      "graft-table sink takes its partitioning from the TABLE's declared spec, " +
+        "not partitionBy()")
+    new GraftTableSink(sqlContext.sparkSession, parameters)
+  }
 }

@@ -27,4 +27,17 @@ object GraftStreamBridge {
     classicSpark.internalCreateDataFrame(
       classicDf.queryExecution.toRdd, schema, isStreaming = true)
   }
+
+  /** The inverse, for a V1 [[org.apache.spark.sql.execution.streaming
+    * .Sink]]: the micro-batch DataFrame `addBatch` receives is
+    * streaming-flagged, so batch writers (`df.write`) refuse it — re-plan
+    * it as a plain batch over the same RDD, exactly what foreachBatch
+    * does for its callers.
+    */
+  def asBatch(spark: SparkSession, df: DataFrame): DataFrame = {
+    val classicSpark = spark.asInstanceOf[classic.SparkSession]
+    val classicDf = df.asInstanceOf[classic.Dataset[Row]]
+    classicSpark.internalCreateDataFrame(
+      classicDf.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

@@ -104,6 +104,21 @@ class TableStreamSpec extends SparkSpec {
     assert(c.readLatest("s", "b").count() == after1.size * 2L)
   }
 
+  test("startingTimestamp streams only commits at or after the instant") {
+    val c = freshCatalog()
+    c.createTable("s", "a", schemaT)
+    c.createTable("s", "b", schemaT)
+    c.insert("s", "a", rows(0 until 5, "old"))
+    val cut = c.insert("s", "a", rows(5 until 8, "mid")).committedAtMillis
+    c.insert("s", "a", rows(8 until 10, "new"))
+
+    runToTable(sourceOf(c, "a", "startingTimestamp" -> cut.toString), c, "b",
+      tmpDir("ckpt-ts"))
+    // the commit AT the cut instant streams; the one before it does not
+    assert(contents(c, "b").map(_._2) == Set("mid", "new"))
+    assert(contents(c, "b").size == 5)
+  }
+
   test("maxSnapshotsPerTrigger paces one commit per micro-batch") {
     val c = freshCatalog()
     c.createTable("s", "a", schemaT)
@@ -173,6 +188,52 @@ class TableStreamSpec extends SparkSpec {
     assert(got.sorted.toSeq == expect.sorted.toSeq)
     // the delete commit is represented, not skipped
     assert(got.exists(_._4 == "delete"))
+  }
+
+  test("writeStream.format(graft-table) sink: append + exactly-once + upsert modes") {
+    val c = freshCatalog()
+    c.createTable("s", "a", schemaT)
+    c.createTable("s", "b", schemaT)
+    c.insert("s", "a", rows(0 until 10, "x"))
+
+    def run(mode: Seq[(String, String)], ckpt: String): Unit = {
+      val q = sourceOf(c, "a").writeStream
+        .format("graft-table")
+        .option("warehouse", c.warehouse).option("schema", "s").option("table", "b")
+        .option("txnAppId", "sink-api")
+        .options(mode.toMap)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    run(Nil, tmpDir("ckpt-sink1"))
+    assert(contents(c, "b") == contents(c, "a"))
+    val snaps = c.snapshots("s", "b").size
+    // lost checkpoint + same txnAppId: nothing lands twice
+    run(Nil, tmpDir("ckpt-sink2"))
+    assert(contents(c, "b") == contents(c, "a"))
+    assert(c.snapshots("s", "b").size == snaps)
+
+    // upsert mode merges on key with last-per-seq collapse
+    val dimSchema = schemaT.add("seq", LongType)
+    c.createTable("s", "dim2", dimSchema)
+    c.insert("s", "dim2",
+      (0 until 4).map(i => (i.toLong, "old", 0L, 0L)).toDF("id", "grp", "v", "seq"))
+    val in = tmpDir("sink-upsert-in")
+    Seq((1L, "v1", 10L, 1L), (1L, "v2", 20L, 2L), (9L, "v2", 90L, 1L))
+      .toDF("id", "grp", "v", "seq").write.mode("overwrite").parquet(in)
+    val q2 = spark.readStream.schema(dimSchema).parquet(in).writeStream
+      .format("graft-table")
+      .option("warehouse", c.warehouse).option("schema", "s").option("table", "dim2")
+      .option("mode", "upsert").option("key", "id").option("seqCol", "seq")
+      .option("checkpointLocation", tmpDir("ckpt-sink3"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(120000)
+    val got = c.readLatest("s", "dim2").as[(Long, String, Long, Long)].collect().toSet
+    assert(got.contains((1L, "v2", 20L, 2L)) && got.contains((9L, "v2", 90L, 1L)))
+    assert(got.size == 5)
   }
 
   test("streaming upsert sink with txnAppId applies each batch's MERGE once") {
