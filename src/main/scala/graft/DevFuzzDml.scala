@@ -278,6 +278,42 @@ object DevFuzzDml {
           s"[$name] CDC replay mismatch vs final state: " +
             s"$extra phantom rows, $missing missing rows")
       }
+      // STREAMING replay invariant (every 3rd scenario): a graft-table
+      // CDC stream paced one commit per micro-batch must deliver, across
+      // all its batches, exactly the multiset readChanges computes in one
+      // shot — the streaming source's incremental batching introduces no
+      // phantom/missing change rows over any fuzzed mix of CoW/MoR DML,
+      // MERGE, partition-spec shape/evolution, and compaction
+      if (i % 3 == 0) locally {
+        import org.apache.spark.sql.functions.col
+        val chCols = cols :+ "_change_type"
+        val streamed = collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+        val q = spark.readStream.format("graft-table")
+          .option("warehouse", engine.catalog.warehouse)
+          .option("schema", "fz").option("table", "t")
+          .option("readChangeFeed", "true")
+          .option("maxSnapshotsPerTrigger", "1")
+          .load()
+          .writeStream.outputMode("append")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            streamed ++= b.select(chCols.map(col): _*).collect(); ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(180000)
+        val head = engine.catalog.snapshots("fz", "t").last.snapshotId
+        val oneShot = engine.catalog.readChanges("fz", "t", 0L, head)
+          .select(chCols.map(col): _*)
+        val sSchema = oneShot.schema
+        val sDf = spark.createDataFrame(
+          new java.util.ArrayList(scala.jdk.CollectionConverters
+            .SeqHasAsJava(streamed.toSeq).asJava), sSchema)
+        val phantom = sDf.exceptAll(oneShot).count()
+        val missing = oneShot.exceptAll(sDf).count()
+        require(phantom == 0 && missing == 0,
+          s"[$name] streamed CDC mismatch vs readChanges: " +
+            s"$phantom phantom rows, $missing missing rows")
+      }
       // half the scenarios fork a BRANCH at the post-sequence head and
       // apply 1-2 more UPDATE/DELETE ops THROUGH the branch view — the
       // main dump below happens AFTER the branch mutations, so a branch
