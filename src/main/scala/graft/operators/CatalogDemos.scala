@@ -922,21 +922,24 @@ object CatalogDemos {
         ev.filter(pmod(col("event_id"), lit(3)) === i).coalesce(2))
     }
     engine.catalog.createTable("demo", "events_hot", ev.schema)
-    def runOnce(): Unit = {
+    def runOnce(paced: Boolean): Unit = {
       val src = s.readStream.format("graft-table")
         .option("warehouse", streamDemoWarehouse)
         .option("schema", "demo").option("table", "events_src")
-        .option("maxSnapshotsPerTrigger", "1")
+        .options(if (paced) Map("maxSnapshotsPerTrigger" -> "1") else Map.empty[String, String])
         .load()
       val q = graft.streaming.EventStreams.streamIntoCatalog(
         src.filter(col("value") > 100.0), engine.catalog, "demo", "events_hot",
         txnAppId = Some("stream-demo"))
       q.awaitTermination(180000)
     }
-    runOnce()
+    runOnce(paced = true)
     val appendsAfterFirst =
       engine.catalog.snapshots("demo", "events_hot").count(_.operation.contains("append"))
-    runOnce() // checkpoint-free replay: the txn identity must absorb it
+    // checkpoint-free replay, unpaced: ONE batch covering the whole range
+    // at txn version 0 — already ≤ the recorded version 2, so it must be
+    // absorbed (version ordering, not batch alignment, is the guard)
+    runOnce(paced = false)
     val appendsAfterReplay =
       engine.catalog.snapshots("demo", "events_hot").count(_.operation.contains("append"))
     engine.catalog.readLatest("demo", "events_hot")
