@@ -440,7 +440,8 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
         proc match {
           case "optimize" =>
             catalog.compact(schema, table,
-              args.get("file_count").map(_.toInt).getOrElse(1))
+              args.get("file_count").map(_.toInt).getOrElse(1),
+              args.get("__where").map(parseCond(sqlText, _)))
             0L
           case "expire_snapshots" =>
             // retention_threshold => '<n>d'/'<n>h'/'<n>m'/'<n>s' (Trino

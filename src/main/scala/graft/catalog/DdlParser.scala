@@ -191,9 +191,11 @@ object DdlParser {
   private val updateRe =
     """(?is)^\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)\s*;?\s*$""".r
   // Trino Iceberg maintenance syntax: ALTER TABLE t EXECUTE optimize /
-  // expire_snapshots(retention_threshold => '7d') / remove_orphan_files(…)
+  // expire_snapshots(retention_threshold => '7d') / remove_orphan_files(…);
+  // optimize additionally takes Trino's scoped form
+  // `EXECUTE optimize WHERE <predicate>` (compact only matching files)
   private val alterExecRe =
-    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+EXECUTE\s+(\w+)\s*(?:\(\s*(.*?)\s*\))?\s*;?\s*$""".r
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+EXECUTE\s+(\w+)\s*(?:\(\s*(.*?)\s*\))?(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
   private val addColumnRe =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMN\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s+([\w()\s,]+?)\s*;?\s*$""".r
   private val dropColumnRe =
@@ -379,7 +381,7 @@ object DdlParser {
         if (parts.length >= 2) (Some(parts(parts.length - 2)), parts.last)
         else (None, parts.head)
       Some(RenameTableStmt(sch, tbl, newSch, newTbl))
-    case alterExecRe(name, proc, args) =>
+    case alterExecRe(name, proc, args, whereText) =>
       val (sch, tbl) = tableOf(name)
       val argRe = """(?is)^\s*(\w+)\s*=>\s*(.+?)\s*$""".r
       val argMap = Option(args).filter(_.trim.nonEmpty)
@@ -389,7 +391,11 @@ object DdlParser {
             throw new IllegalArgumentException(
               s"Malformed EXECUTE argument (expect name => value): '$other'")
         }.toMap).getOrElse(Map.empty)
-      Some(AlterExecuteStmt(sch, tbl, proc.toLowerCase, argMap))
+      // the scoped-optimize predicate travels under a reserved key no
+      // `name => value` argument can produce (names are \w+)
+      val withWhere = Option(whereText).filter(_.trim.nonEmpty)
+        .map(w => argMap + ("__where" -> w.trim)).getOrElse(argMap)
+      Some(AlterExecuteStmt(sch, tbl, proc.toLowerCase, withWhere))
     case _ => None
   }}
 

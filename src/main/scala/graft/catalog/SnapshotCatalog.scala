@@ -2674,41 +2674,93 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * pre-compaction dirs become unreferenced and are physically reclaimed
     * — the small-files lifecycle at scale: stream in, compact, expire.
     */
-  def compact(schema: String, table: String, numFiles: Int = 1): Snapshot = synchronized {
+  def compact(schema: String, table: String, numFiles: Int = 1,
+              where: Option[org.apache.spark.sql.Column] = None): Snapshot = synchronized {
     val dir = tableDir(schema, table)
     val (commits, gen) = readCommitsWithGen(schema, table)
     require(commits.nonEmpty, s"Nothing to compact in $schema.$table")
-    val id = commits.last.snapshotId + 1
-    val at = math.max(System.currentTimeMillis(), commits.last.committedAtMillis + 1)
+    val last = commits.last
+    val id = last.snapshotId + 1
+    val at = math.max(System.currentTimeMillis(), last.committedAtMillis + 1)
     val snapDir = snapDirName(schema, table, s"${attemptTag(id)}-compacted")
     val sorted = sortSpec(schema, table)
     val fieldsP = partitionFields(schema, table)
-    // derived transform-partition columns were dropped on read — re-derive
-    val base = withDerivedPartitionCols(schema, table, readLatest(schema, table))
-    val compacted =
-      if (sorted.isEmpty) base.coalesce(numFiles)
-      else {
-        // sorted table: hit the target file count WITH the sort order —
-        // an explicit numFiles-way range shuffle + in-task sort instead
-        // of coalesce (which would interleave sorted inputs)
-        val (zdf, sortKeys, helpers) = sortKeyCols(base, sorted)
-        val keys = fieldsP.map(f =>
-          org.apache.spark.sql.functions.col(f.derivedName).asc) ++ sortKeys
-        zdf.repartitionByRange(numFiles, keys: _*).sortWithinPartitions(keys: _*)
-          .drop(helpers: _*)
-      }
-    // write directly (not partitionedWriter — its AQE-sized clustering
-    // shuffle would override the explicit numFiles layout)
-    val w =
-      if (fieldsP.isEmpty) compacted.write
-      else compacted.write.partitionBy(fieldsP.map(_.derivedName): _*)
-    w.mode("errorifexists").parquet(new Path(dir, snapDir).toString)
-    // rewrite: references only its own (freshly-manifested) files; the
-    // compaction read applied pending deletes, so none carry forward
-    val ml = writeManifestList(dir, Seq(writeManifest(dir, scanEntries(dir, snapDir))))
-    val snap = Snapshot(id, at, Nil,
-      declaredSchema(schema, table).map(_.json), Some("replace"),
-      Nil, Some(ml))
+    /* cluster + write `base` as exactly `numFiles` files (not
+     * partitionedWriter — its AQE-sized clustering shuffle would override
+     * the explicit layout) */
+    def writeCompacted(base: DataFrame): Unit = {
+      val compacted =
+        if (sorted.isEmpty) base.coalesce(numFiles)
+        else {
+          // sorted table: hit the target file count WITH the sort order —
+          // an explicit numFiles-way range shuffle + in-task sort instead
+          // of coalesce (which would interleave sorted inputs)
+          val (zdf, sortKeys, helpers) = sortKeyCols(base, sorted)
+          val keys = fieldsP.map(f =>
+            org.apache.spark.sql.functions.col(f.derivedName).asc) ++ sortKeys
+          zdf.repartitionByRange(numFiles, keys: _*).sortWithinPartitions(keys: _*)
+            .drop(helpers: _*)
+        }
+      val w =
+        if (fieldsP.isEmpty) compacted.write
+        else compacted.write.partitionBy(fieldsP.map(_.derivedName): _*)
+      w.mode("errorifexists").parquet(new Path(dir, snapDir).toString)
+    }
+    // Trino's scoped optimize (`EXECUTE optimize WHERE …`, Iceberg
+    // rewrite_data_files with a filter): compact only the files whose
+    // manifest bounds MAY match the predicate — at 100 TB you compact
+    // yesterday's partition, not the table. The candidate set expands to
+    // every file addressed by a pending positional delete so ALL deletes
+    // fold in one rewrite (delete files cannot be split across a carried/
+    // rewritten boundary); untouched files carry by manifest reference.
+    val scoped: Option[Seq[DataFileEntry]] = where match {
+      case Some(c) if last.manifestList.isDefined && last.dirs.isEmpty =>
+        val all = manifestEntriesOf(dir, last)
+        val cand = restrictByBounds(schema, table, Some(last), Some(c)) match {
+          case Left(())            => Seq.empty[DataFileEntry]
+          case Right((_, entOpt))  => entOpt.getOrElse(all)
+        }
+        val tableKey = fs(dir).makeQualified(dir).toUri.getPath
+        val addressedRel: Set[String] =
+          if (last.deletes.isEmpty) Set.empty
+          else spark.read.parquet(last.deletes.map(d => new Path(dir, d).toString): _*)
+            .select("file_path").distinct().collect()
+            .map(r => uriPath(new Path(r.getString(0)))
+              .stripPrefix(tableKey).stripPrefix("/")).toSet
+        val candSet = cand.map(_.path).toSet ++ addressedRel
+        val entries = all.filter(e => candSet.contains(e.path))
+        if (entries.size == all.size) None else Some(entries)
+      case _ => None
+    }
+    val snap = scoped match {
+      case Some(entries) if entries.isEmpty =>
+        // bounds prove nothing matches: metadata-only replace, state kept
+        Snapshot(id, at, last.dirs, declaredSchema(schema, table).map(_.json),
+          Some("replace"), last.deletes, last.manifestList)
+      case Some(entries) =>
+        val rows = withDerivedPartitionCols(schema, table,
+          readSnapshotMeta(schema, table, Some(last), entriesOverride = Some(entries)))
+        writeCompacted(rows)
+        val f = fs(dir)
+        val touchedKeys = entries.map(e =>
+          uriPath(f.makeQualified(new Path(dir, e.path)))).toSet
+        val (carried, _) = carryManifests(schema, table, Some(last), touchedKeys)
+        val newEntries = scanEntries(dir, snapDir)
+        val names = carried ++
+          (if (newEntries.nonEmpty) Seq(writeManifest(dir, newEntries)) else Nil)
+        Snapshot(id, at, Nil, declaredSchema(schema, table).map(_.json),
+          Some("replace"), Nil,
+          Some(writeManifestList(dir, compactManifestSet(dir, names))))
+      case None =>
+        // whole-table compaction; derived transform-partition columns
+        // were dropped on read — re-derive
+        writeCompacted(withDerivedPartitionCols(schema, table, readLatest(schema, table)))
+        // rewrite: references only its own (freshly-manifested) files;
+        // the compaction read applied pending deletes, so none carry
+        Snapshot(id, at, Nil, declaredSchema(schema, table).map(_.json),
+          Some("replace"), Nil,
+          Some(writeManifestList(dir, Seq(writeManifest(dir, scanEntries(dir, snapDir))))))
+    }
     writeCommits(schema, table, commits :+ snap, gen)
     snap
   }

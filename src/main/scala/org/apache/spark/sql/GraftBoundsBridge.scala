@@ -20,10 +20,22 @@ object GraftBoundsBridge {
   def mayMatchColumn(c: Column, entry: DataFileEntry): Boolean =
     mayMatchNode(c.node, entry)
 
+  /** `functions.expr("…")` builds a LAZY [[internal.SqlExpression]] node
+    * (text, unparsed until plan attachment) — parse it here so SQL-text
+    * conditions prune exactly like Column-built ones. Unparseable text
+    * keeps every file (the conservative default).
+    */
+  private def parsedSql(s: internal.SqlExpression)
+    : Option[org.apache.spark.sql.catalyst.expressions.Expression] =
+    try Some(org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(s.expression))
+    catch { case scala.util.control.NonFatal(_) => None }
+
   private def mayMatchNode(node: ColumnNode, entry: DataFileEntry): Boolean =
     node match {
       case e: classic.ExpressionColumnNode =>
         Manifests.mayMatch(e.expression, entry)
+      case s: internal.SqlExpression =>
+        parsedSql(s).forall(Manifests.mayMatch(_, entry))
       case l: NodeLit => l.value match {
         case b: Boolean => b
         case _ => true
@@ -121,6 +133,7 @@ object GraftBoundsBridge {
       case _ => Nil
     }
     case e: classic.ExpressionColumnNode => catalystConj(e.expression)
+    case s: internal.SqlExpression => parsedSql(s).map(catalystConj).getOrElse(Nil)
     case _ => Nil
   }
 
