@@ -720,7 +720,13 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
           else Nil) ++
           (if (sorted.nonEmpty)
             Seq(s"   sorted_by = ARRAY[${sorted.map(p => s"'$p'").mkString(", ")}]")
-          else Nil)
+          else Nil) ++ {
+            val blooms = catalog.bloomColumns(sch, tbl)
+            if (blooms.nonEmpty)
+              Seq("   parquet_bloom_filter_columns = " +
+                s"ARRAY[${blooms.map(p => s"'$p'").mkString(", ")}]")
+            else Nil
+          }
         val commentClause = tblComment.map(v => s"\nCOMMENT ${q(v)}").getOrElse("")
         val ddl = s"CREATE TABLE $sch.$tbl (\n$cols\n)$commentClause" +
           s"\nWITH (\n${props.mkString(",\n")}\n)"

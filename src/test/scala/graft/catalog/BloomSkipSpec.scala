@@ -152,6 +152,10 @@ class BloomSkipSpec extends SparkSpec {
       """CREATE TABLE s.ddl_bloom (id BIGINT, tag VARCHAR)
         |WITH (parquet_bloom_filter_columns = ARRAY['id'])""".stripMargin))
     assert(c.bloomColumns("s", "ddl_bloom") == Seq("id"))
+    // SHOW CREATE TABLE round-trips the property
+    val ddl = engine.query(graft.params.SqlStatement(
+      "SHOW CREATE TABLE s.ddl_bloom")).collect().head.getString(0)
+    assert(ddl.contains("parquet_bloom_filter_columns = ARRAY['id']"))
     val bad = intercept[Exception] {
       engine.executeNonQuery(graft.params.SqlStatement(
         "CREATE TABLE s.ddl_bloom2 (id BIGINT) " +
