@@ -436,8 +436,27 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
         catch { case e: IllegalArgumentException =>
           throw new GraftQueryException(sqlText, e.getMessage, e) }
       case graft.catalog.AlterExecuteStmt(schema, table, proc, args) =>
-        requireCatalogTable(sqlText, schema, table)
+        // register_table is the one procedure whose target must NOT exist
+        if (proc != "register_table") requireCatalogTable(sqlText, schema, table)
         proc match {
+          case "register_table" =>
+            val loc = args.getOrElse("table_location",
+              throw new GraftQueryException(sqlText,
+                "register_table requires table_location => '<path>'"))
+            try { catalog.registerTable(schema, table, loc); 0L }
+            catch { case e: IllegalArgumentException =>
+              throw new GraftQueryException(sqlText, e.getMessage, e) }
+          case "unregister_table" =>
+            try { catalog.unregisterTable(schema, table); 0L }
+            catch { case e: IllegalArgumentException =>
+              throw new GraftQueryException(sqlText, e.getMessage, e) }
+          case "add_files" =>
+            val loc = args.getOrElse("location",
+              throw new GraftQueryException(sqlText,
+                "add_files requires location => '<path>'"))
+            try catalog.addFiles(schema, table, loc)
+            catch { case e: IllegalArgumentException =>
+              throw new GraftQueryException(sqlText, e.getMessage, e) }
           case "optimize" =>
             catalog.compact(schema, table,
               args.get("file_count").map(_.toInt).getOrElse(1),
@@ -484,7 +503,8 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
               s"Unsupported ALTER TABLE EXECUTE procedure: $other " +
                 "(supported: optimize, expire_snapshots, remove_orphan_files, " +
                 "rollback_to_snapshot, create_branch, drop_branch, create_tag, " +
-                "drop_tag, fast_forward, merge_branch)")
+                "drop_tag, fast_forward, merge_branch, add_files, " +
+                "register_table, unregister_table)")
         }
     }
 

@@ -186,6 +186,11 @@ object DdlParser {
   // etc., positional or name => value
   private val callRefRe =
     """(?is)^\s*CALL\s+(?:[\w.]*\bsystem\.)?(create_branch|drop_branch|create_tag|drop_tag|fast_forward|merge_branch)\s*\(\s*(.*?)\s*\)\s*;?\s*$""".r
+  // catalog attachment procedures (Trino Iceberg's register_table /
+  // unregister_table): CALL system.register_table('sch','tbl','/path')
+  // / unregister_table('sch','tbl'), positional or name => value
+  private val callRegisterRe =
+    """(?is)^\s*CALL\s+(?:[\w.]*\bsystem\.)?(register_table|unregister_table)\s*\(\s*(.*?)\s*\)\s*;?\s*$""".r
   private val deleteRe =
     """(?is)^\s*DELETE\s+FROM\s+([\w.]+)\s*(.*?)\s*;?\s*$""".r
   private val updateRe =
@@ -334,6 +339,31 @@ object DdlParser {
       val tbl = kv.get("table_name").orElse(kv.get("table")).getOrElse(
         throw new IllegalArgumentException(s"CALL $proc: missing table"))
       require(kv.contains("name"), s"CALL $proc: missing ref name")
+      Some(AlterExecuteStmt(sch, tbl, proc.toLowerCase,
+        kv -- Seq("schema_name", "schema", "table_name", "table")))
+    case callRegisterRe(proc, argText) =>
+      val parts = splitQuotedTopLevel(argText)
+      def strip(s: String) = s.trim.stripPrefix("'").stripSuffix("'")
+      val named = parts.forall(_.contains("=>"))
+      val kv: Map[String, String] =
+        if (named) parts.map { p =>
+          val Array(k, v) = p.split("=>", 2)
+          k.trim.toLowerCase -> strip(v)
+        }.toMap
+        else {
+          val wantLoc = proc.equalsIgnoreCase("register_table")
+          require(parts.length == (if (wantLoc) 3 else 2),
+            s"CALL $proc expects (schema, table" +
+              (if (wantLoc) ", table_location" else "") + s"), got: $argText")
+          Map("schema_name" -> strip(parts(0)), "table_name" -> strip(parts(1))) ++
+            parts.lift(2).map(p => "table_location" -> strip(p))
+        }
+      val sch = kv.get("schema_name").orElse(kv.get("schema")).getOrElse(
+        throw new IllegalArgumentException(s"CALL $proc: missing schema"))
+      val tbl = kv.get("table_name").orElse(kv.get("table")).getOrElse(
+        throw new IllegalArgumentException(s"CALL $proc: missing table"))
+      if (proc.equalsIgnoreCase("register_table"))
+        require(kv.contains("table_location"), s"CALL $proc: missing table_location")
       Some(AlterExecuteStmt(sch, tbl, proc.toLowerCase,
         kv -- Seq("schema_name", "schema", "table_name", "table")))
     case deleteRe(name, rest) =>

@@ -94,8 +94,27 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
   private def fs(p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def tableDir(schema: String, table: String) =
-    new Path(schemaLocation(schema), table)
+  /** Physical root of a table. Normally `<schemaLocation>/<table>`; a
+    * table attached with [[registerTable]] resolves through a
+    * `_table_location` pointer marker instead (one marker stat per call
+    * on the miss path — metadata-scale; positive resolutions cache
+    * forever, invalidated by register/unregister/drop/rename).
+    */
+  private def tableDir(schema: String, table: String): Path = {
+    val key = s"$schema.$table"
+    val cached = tableLocationCache.get(key)
+    if (cached != null) return cached
+    val entry = new Path(schemaLocation(schema), table)
+    val marker = new Path(entry, "_table_location")
+    if (fs(marker).exists(marker)) {
+      val p = new Path(readString(marker))
+      tableLocationCache.put(key, p)
+      p
+    } else entry
+  }
+
+  private val tableLocationCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Path]()
 
   // ---- DDL (S2, S3, S6) ----
 
@@ -400,7 +419,10 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
 
   def tableExists(schema: String, table: String): Boolean = {
     val dir = tableDir(schema, table)
-    fs(dir).exists(new Path(dir, "commits.json"))
+    val f = fs(dir)
+    // an `_unregistered` tombstone ([[unregisterTable]]) keeps the data
+    // intact but removes the table from the catalog's visible surface
+    f.exists(new Path(dir, "commits.json")) && !f.exists(new Path(dir, "_unregistered"))
   }
 
   /** ALTER TABLE ADD COLUMN (schema evolution, Iceberg-style additive
@@ -558,6 +580,136 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
   def dropTable(schema: String, table: String): Unit = {
     val dir = tableDir(schema, table)
     fs(dir).delete(dir, true)
+    // a pointer-registered table also drops its catalog pointer dir
+    val entry = new Path(schemaLocation(schema), table)
+    if (entry.toUri.getPath != dir.toUri.getPath) fs(entry).delete(entry, true)
+    tableLocationCache.remove(s"$schema.$table")
+  }
+
+  // ---- register / unregister / add_files (Trino Iceberg's
+  //      system.register_table / system.unregister_table procedures and
+  //      `ALTER TABLE … EXECUTE add_files`) ----
+
+  /** CALL system.register_table: attach an existing table layout at
+    * `location` to the catalog as `schema.table` WITHOUT moving or
+    * copying any data (Trino Iceberg's register_table procedure,
+    * trino.io/docs/current/connector/iceberg.html#register-table; the
+    * reference stack gets this from its Nessie catalog). Two shapes:
+    *  - `location` IS the table's default catalog path (re-registering a
+    *    layout detached by [[unregisterTable]]): the tombstone is removed
+    *    in place;
+    *  - any other location: the catalog entry becomes a pointer dir
+    *    holding only a `_table_location` marker, which every later
+    *    [[tableDir]] resolution follows — the data never moves, and
+    *    snapshots/refs/stats arrive with it.
+    */
+  def registerTable(schema: String, table: String, location: String): Unit = synchronized {
+    require(schemaExists(schema), s"Schema $schema does not exist")
+    require(!tableExists(schema, table) && !viewExists(schema, table),
+      s"Table or view $schema.$table already exists")
+    val loc = new Path(location)
+    require(fs(loc).exists(new Path(loc, "commits.json")),
+      s"$location does not hold a table layout (no commits.json)")
+    val entry = new Path(schemaLocation(schema), table)
+    val tomb = new Path(loc, "_unregistered")
+    if (fs(loc).makeQualified(loc).toUri.getPath ==
+        fs(entry).makeQualified(entry).toUri.getPath) {
+      fs(tomb).delete(tomb, false) // re-register in place
+    } else {
+      require(!fs(entry).exists(new Path(entry, "commits.json")),
+        s"Catalog entry $schema.$table already holds a table layout")
+      writeString(new Path(entry, "_table_location"), location)
+      fs(tomb).delete(tomb, false) // registration revives a tombstoned layout
+    }
+    tableLocationCache.remove(s"$schema.$table")
+  }
+
+  /** CALL system.unregister_table: remove `schema.table` from the catalog
+    * WITHOUT deleting its data (vs DROP TABLE, which deletes both). A
+    * pointer-registered table loses only the pointer dir; a physical
+    * table gains an `_unregistered` tombstone that hides it from
+    * [[tableExists]]/[[listTables]] while every file stays intact —
+    * [[registerTable]] against the same location brings it back whole
+    * (snapshots, branches, stats included).
+    */
+  def unregisterTable(schema: String, table: String): Unit = synchronized {
+    require(tableExists(schema, table), s"Table $schema.$table does not exist")
+    val entry = new Path(schemaLocation(schema), table)
+    val marker = new Path(entry, "_table_location")
+    if (fs(marker).exists(marker)) fs(entry).delete(entry, true) // pointer dir only
+    else writeString(new Path(entry, "_unregistered"), "")
+    tableLocationCache.remove(s"$schema.$table")
+  }
+
+  /** `ALTER TABLE t EXECUTE add_files(location => '…')`: adopt existing
+    * parquet files into the table IN PLACE (Trino Iceberg's add_files
+    * procedure) — a metadata-only commit, no data byte moves or copies;
+    * the 100 TB ingest path for data that already sits in the lake. Each
+    * file under `location` is footer-scanned once (record count + column
+    * bounds; blooms when the table declares them) and referenced from a
+    * new manifest by its ABSOLUTE scheme-less URI path — reads, DML
+    * probes and metadata tables then plan through the same manifest
+    * machinery as native files. Contract (same spirit as Trino's):
+    * unpartitioned tables only, file schema must equal the declared data
+    * columns (name + type), and a file already referenced by the current
+    * snapshot is rejected. Compaction naturally migrates adopted files
+    * into table-owned storage; remove_orphan_files never touches them
+    * (it scans only the table dir). Returns the adopted file count.
+    */
+  def addFiles(schema: String, table: String, location: String): Long = synchronized {
+    require(tableExists(schema, table), s"Table $schema.$table does not exist")
+    require(partitionSpec(schema, table).isEmpty,
+      "add_files supports unpartitioned tables only")
+    val dir = tableDir(schema, table)
+    val statuses = dataFileStatusesUnder(new Path(location))
+    require(statuses.nonEmpty, s"No parquet files under $location")
+    val declared = declaredSchema(schema, table).getOrElse(
+      throw new IllegalStateException(s"Table $schema.$table has no declared schema"))
+    val fileSchema = spark.read.parquet(statuses.head._1.toString).schema
+    declared.fields.foreach { f =>
+      val g = fileSchema.fields.find(_.name.equalsIgnoreCase(f.name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"add_files: files lack declared column ${f.name}"))
+      require(g.dataType == f.dataType,
+        s"add_files: type mismatch on ${f.name}: table ${f.dataType.simpleString} " +
+          s"vs files ${g.dataType.simpleString}")
+    }
+    require(fileSchema.fields.length == declared.fields.length,
+      s"add_files: files carry ${fileSchema.fields.length} columns, " +
+        s"table declares ${declared.fields.length}")
+    val (commits, gen) = readCommitsWithGen(schema, table)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tableRoot = fs(dir).makeQualified(dir).toUri.getPath
+    val entries0 = statuses.map { case (p, len) =>
+      val abs = fs(p).makeQualified(p).toUri.getPath
+      require(!abs.startsWith(tableRoot + "/"),
+        s"add_files location is inside the table directory: $p")
+      Manifests.footerEntry(conf, p, abs, len)
+    }
+    val existing = commits.lastOption.toSeq.flatMap(manifestEntriesOf(dir, _))
+      .map(e => entryKey(tableRoot, e)).toSet
+    val dups = entries0.filter(e => existing(e.path))
+    require(dups.isEmpty,
+      s"add_files: ${dups.size} file(s) already referenced by the current snapshot")
+    val bloomCols = bloomColumnsAt(dir)
+    val entries =
+      if (bloomCols.isEmpty) entries0
+      else {
+        val byPath = Blooms.bloomsFor(spark, statuses.map(_._1.toString), bloomCols,
+            entries0.map(_.rows).max)
+          .map { case (k, v) => new Path(k).toUri.getPath -> v }
+        entries0.map(e => e.copy(blooms = byPath.getOrElse(e.path, Map.empty)))
+      }
+    val (carried, _) = carryManifests(schema, table, commits.lastOption, Set.empty)
+    val names = carried :+ writeManifest(dir, entries)
+    val ml = writeManifestList(dir, compactManifestSet(dir, names))
+    val id = commits.lastOption.map(_.snapshotId).getOrElse(0L) + 1
+    val at = math.max(System.currentTimeMillis(),
+      commits.lastOption.map(_.committedAtMillis + 1).getOrElse(0L))
+    val snap = Snapshot(id, at, Nil, declaredSchema(schema, table).map(_.json),
+      Some("append"), commits.lastOption.map(_.deletes).getOrElse(Nil), Some(ml))
+    writeCommits(schema, table, commits :+ snap, gen)
+    statuses.size.toLong
   }
 
   /** ALTER TABLE RENAME TO (Trino rename): one directory move — the
@@ -572,10 +724,15 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     require(schemaExists(newSchema), s"Schema $newSchema does not exist")
     require(!tableExists(newSchema, newTable) && !viewExists(newSchema, newTable),
       s"Table or view $newSchema.$newTable already exists")
-    val src = tableDir(schema, table)
-    val dst = tableDir(newSchema, newTable)
+    // rename moves the CATALOG ENTRY (pointer dir for a registered
+    // table — its external data stays put), which for a physical table
+    // is the data dir itself
+    val src = new Path(schemaLocation(schema), table)
+    val dst = new Path(schemaLocation(newSchema), newTable)
     val f = fs(src)
     require(f.rename(src, dst), s"Filesystem rename $src -> $dst failed")
+    tableLocationCache.remove(s"$schema.$table")
+    tableLocationCache.remove(s"$newSchema.$newTable")
   }
 
   /** CTAS (S4): create + single snapshot from a query result; returns the
@@ -824,6 +981,22 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       mapper.readTree(readString(p)).elements.asScala.map(_.asText).toSeq)
   }
 
+  /** Absolute qualified path of a manifest entry's data file. Entries
+    * normally carry table-relative paths (first segment = the snap dir);
+    * files adopted in place by [[addFiles]] carry absolute scheme-less
+    * URI paths, which `Path(parent, child)` keeps as-is (URI-resolution
+    * semantics: an absolute child wins, taking the parent's scheme).
+    */
+  private def entryAbsPath(dir: Path, e: DataFileEntry): Path =
+    fs(dir).makeQualified(new Path(dir, e.path))
+
+  /** Scheme-less absolute URI path of an entry — the representation the
+    * DML probe's touched-file sets use (`_metadata.file_path` sans
+    * scheme). `tableKey` = the table dir's own scheme-less URI path.
+    */
+  private def entryKey(tableKey: String, e: DataFileEntry): String =
+    if (e.path.startsWith("/")) e.path else s"$tableKey/${e.path}"
+
   /** All manifest entries a snapshot references (empty for legacy
     * snapshots — their `dirs` are resolved by listing instead).
     */
@@ -904,7 +1077,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
               Seq((None: Option[String], s.dirs.flatMap(e => scanEntries(dir, e))))
             else Nil)
         val tableKey = fs(dir).makeQualified(dir).toUri.getPath
-        def key(e: DataFileEntry) = s"$tableKey/${e.path}"
+        def key(e: DataFileEntry) = entryKey(tableKey, e)
         val carried = Vector.newBuilder[String]
         val survivors = Vector.newBuilder[DataFileEntry]
         val touched = Vector.newBuilder[String]
@@ -2283,9 +2456,11 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val fromManifests = snap.toSeq.flatMap(manifestEntriesOf(dir, _)).map { e =>
       val segs = e.path.split('/')
       // fully-qualified path (scheme included), matching what a listing-
-      // based FileStatus or `_metadata.file_path` reports
-      (fs(dir).makeQualified(new Path(dir, e.path)).toString,
-        segs.drop(1).dropRight(1).mkString("/"), e.rows, e.bytes)
+      // based FileStatus or `_metadata.file_path` reports; files adopted
+      // in place (absolute entry paths) have no hive partition subpath
+      val part = if (e.path.startsWith("/")) ""
+                 else segs.drop(1).dropRight(1).mkString("/")
+      (entryAbsPath(dir, e).toString, part, e.rows, e.bytes)
     }
     fromManifests ++ snap.toSeq
       .flatMap(_.dirs)
@@ -2360,6 +2535,72 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       .toDF("path", "length", "added_data_files_count", "added_rows_count")
   }
 
+  /** `"t$properties"`: the table's WITH-clause properties as key/value
+    * rows (Trino Iceberg's $properties table) — the same property set
+    * SHOW CREATE TABLE round-trips, plus the resolved physical location.
+    */
+  def propertiesMeta(schema: String, table: String): DataFrame = {
+    import spark.implicits._
+    require(tableExists(schema, table), s"Table $schema.$table does not exist")
+    val dir = tableDir(schema, table)
+    def arr(vs: Seq[String]) = vs.map(v => s"'$v'").mkString("ARRAY[", ", ", "]")
+    val rows = Seq(
+      "format" -> "PARQUET",
+      "format_version" -> formatVersion(schema, table).toString,
+      "location" -> fs(dir).makeQualified(dir).toString) ++
+      Some(partitionSpec(schema, table)).filter(_.nonEmpty)
+        .map(p => "partitioning" -> arr(p)) ++
+      Some(sortSpec(schema, table)).filter(_.nonEmpty)
+        .map(s => "sorted_by" -> arr(s)) ++
+      Some(bloomColumns(schema, table)).filter(_.nonEmpty)
+        .map(b => "parquet_bloom_filter_columns" -> arr(b))
+    rows.toDF("key", "value")
+  }
+
+  /** `"t$entries"`: one row per manifest entry of the CURRENT snapshot
+    * (Iceberg's entries metadata table). `status` 1 = ADDED (the entry's
+    * manifest is first referenced by the head snapshot), 0 = EXISTING
+    * (carried from an earlier commit); `snapshot_id` = the commit that
+    * first referenced the manifest. Granularity is manifest-level: a
+    * metadata compaction that rewrites small manifests re-stamps their
+    * entries (Iceberg preserves per-entry ids through rewrites; this
+    * engine's manifests don't carry per-entry commit ids). Bounds and
+    * null counts render as canonical JSON objects keyed by column —
+    * the readable_metrics idea flattened. Pure metadata: manifest JSON
+    * resolves from cache, no data file is opened.
+    */
+  def entriesMeta(schema: String, table: String): DataFrame = {
+    import spark.implicits._
+    require(tableExists(schema, table), s"Table $schema.$table does not exist")
+    val dir = tableDir(schema, table)
+    val commits = readCommits(schema, table)
+    val head = commits.lastOption
+    val names = head.toSeq.flatMap(_.manifestList.toSeq).flatMap(readManifestList(dir, _))
+    def firstRef(name: String): Long =
+      commits.find(_.manifestList.exists(ml => readManifestList(dir, ml).contains(name)))
+        .map(_.snapshotId).getOrElse(head.map(_.snapshotId).getOrElse(0L))
+    def js(pairs: Seq[(String, Any)]): String = {
+      val o = mapper.createObjectNode()
+      pairs.sortBy(_._1).foreach {
+        case (k, v: Long)   => o.put(k, v)
+        case (k, v)         => o.put(k, v.toString)
+      }
+      mapper.writeValueAsString(o)
+    }
+    val rows = names.flatMap { mn =>
+      val added = firstRef(mn)
+      val status = if (head.exists(_.snapshotId == added)) 1 else 0
+      readManifest(dir, mn).map { e =>
+        (status, added, entryAbsPath(dir, e).toString, e.rows, e.bytes,
+          js(e.bounds.toSeq.map { case (c, b) => c -> b.min }),
+          js(e.bounds.toSeq.map { case (c, b) => c -> b.max }),
+          js(e.bounds.toSeq.collect { case (c, b) if b.nulls >= 0 => c -> b.nulls }))
+      }
+    }
+    rows.toDF("status", "snapshot_id", "file_path", "record_count",
+      "file_size_in_bytes", "lower_bounds", "upper_bounds", "null_value_counts")
+  }
+
   /** Metadata-table dispatch for the SQL surface (`sch."t$<kind>"`). */
   def metadataTable(schema: String, table: String, kind: String): DataFrame =
     kind.toLowerCase match {
@@ -2369,6 +2610,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       case "partitions" => partitionsMeta(schema, table)
       case "refs"       => refsMeta(schema, table)
       case "manifests"  => manifestsMeta(schema, table)
+      case "properties" => propertiesMeta(schema, table)
+      case "entries"    => entriesMeta(schema, table)
       case "changes"    =>
         // the HEAD commit's row-level changes (full-range CDC goes
         // through readChanges with explicit bounds)
@@ -2378,7 +2621,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         readChanges(schema, table, from, commits.last.snapshotId)
       case other => throw new IllegalArgumentException(
         s"Unknown metadata table $$$other (supported: snapshots, history, " +
-          "files, partitions, refs, manifests, changes)")
+          "files, partitions, refs, manifests, properties, entries, changes)")
     }
 
   // ---- persisted table statistics (ANALYZE → metadata-only SHOW STATS;

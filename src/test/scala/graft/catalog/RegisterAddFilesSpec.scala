@@ -1,0 +1,189 @@
+package graft.catalog
+
+import graft.{GraftEngine, GraftQueryException, SparkSpec}
+import graft.params.SqlStatement
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Catalog attachment surface (Trino Iceberg's system.register_table /
+  * system.unregister_table procedures and `ALTER TABLE … EXECUTE
+  * add_files`, trino.io/docs/current/connector/iceberg.html#procedures):
+  *  - unregister removes a table from the catalog WITHOUT deleting data;
+  *    register brings the intact layout back (tombstone in place, or a
+  *    `_table_location` pointer for a foreign location — zero bytes move
+  *    either way);
+  *  - add_files adopts existing parquet files IN PLACE via absolute-path
+  *    manifest entries — a metadata-only commit, the 100 TB ingest path
+  *    for data already sitting in the lake.
+  */
+class RegisterAddFilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("v", StringType)))
+
+  private def freshCatalog(name: String): SnapshotCatalog = {
+    val c = new SnapshotCatalog(spark, tmpDir(name))
+    c.createSchema("s")
+    c
+  }
+
+  test("unregister hides the table, keeps data; register in place restores it whole") {
+    val c = freshCatalog("reg-inplace")
+    c.createTable("s", "t", schema)
+    c.insert("s", "t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    c.insert("s", "t", Seq((3L, "c")).toDF("id", "v"))
+    val loc = new org.apache.hadoop.fs.Path(c.schemaLocation("s"), "t").toString
+    c.unregisterTable("s", "t")
+    assert(!c.tableExists("s", "t"))
+    assert(!c.listTables("s").contains("t"))
+    // data is untouched on disk
+    assert(new java.io.File(loc, "commits.json").exists())
+    c.registerTable("s", "t", loc)
+    assert(c.tableExists("s", "t"))
+    // history survives the round trip (both snapshots, full content)
+    assert(c.snapshots("s", "t").size == 2)
+    assert(c.readLatest("s", "t").count() == 3L)
+  }
+
+  test("register at a foreign location reads and writes through a pointer; data never moves") {
+    val c1 = freshCatalog("reg-src")
+    c1.createTable("s", "orig", schema)
+    c1.insert("s", "orig", Seq((1L, "x"), (2L, "y")).toDF("id", "v"))
+    val extLoc = new org.apache.hadoop.fs.Path(c1.schemaLocation("s"), "orig").toString
+
+    val c2 = freshCatalog("reg-dst")
+    c2.registerTable("s", "ext", extLoc)
+    assert(c2.readLatest("s", "ext").count() == 2L)
+    assert(c2.listTables("s").contains("ext"))
+    // DML through the registering catalog lands at the external location
+    c2.insert("s", "ext", Seq((3L, "z")).toDF("id", "v"))
+    assert(c2.readLatest("s", "ext").count() == 3L)
+    assert(c1.readLatest("s", "orig").count() == 3L) // same physical table
+    // the catalog entry is a pointer dir, not a copy
+    val entry = new java.io.File(c2.schemaLocation("s").toUri.getPath, "ext")
+    assert(entry.listFiles().map(_.getName).filterNot(_.startsWith("."))
+      .toSet == Set("_table_location"))
+    // rename moves only the pointer; unregister drops only the pointer
+    c2.renameTable("s", "ext", "s", "ext2")
+    assert(c2.readLatest("s", "ext2").count() == 3L)
+    c2.unregisterTable("s", "ext2")
+    assert(!c2.tableExists("s", "ext2"))
+    assert(c1.readLatest("s", "orig").count() == 3L) // data intact
+  }
+
+  test("register validation: bad location, existing name") {
+    val c = freshCatalog("reg-bad")
+    c.createTable("s", "t", schema)
+    intercept[IllegalArgumentException] {
+      c.registerTable("s", "u", tmpDir("not-a-table"))
+    }
+    intercept[IllegalArgumentException] {
+      c.registerTable("s", "t",
+        new org.apache.hadoop.fs.Path(c.schemaLocation("s"), "t").toString)
+    }
+  }
+
+  test("add_files adopts parquet in place: metadata commit, absolute entries, no copy") {
+    val c = freshCatalog("addf")
+    c.createTable("s", "t", schema)
+    c.insert("s", "t", Seq((1L, "a")).toDF("id", "v"))
+    val ext = tmpDir("addf-ext")
+    Seq((10L, "p"), (11L, "q"), (12L, "r")).toDF("id", "v")
+      .repartition(2).write.mode("overwrite").parquet(ext)
+    val extFiles = new java.io.File(ext).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+
+    val n = c.addFiles("s", "t", ext)
+    assert(n == extFiles.size.toLong)
+    assert(c.readLatest("s", "t").count() == 4L)
+    assert(c.readLatest("s", "t").agg(sum("id")).head.getLong(0) == 1L + 10 + 11 + 12)
+    // nothing copied into the table dir: its only data files are the insert's
+    val tdir = new java.io.File(c.schemaLocation("s").toUri.getPath, "t")
+    def dataFilesUnder(d: java.io.File): Seq[java.io.File] = {
+      val fs = Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
+      fs.filter(_.isFile).filter(_.getName.endsWith(".parquet")) ++
+        fs.filter(_.isDirectory).filterNot(_.getName == "_manifests")
+          .flatMap(dataFilesUnder)
+    }
+    assert(!dataFilesUnder(tdir).map(_.getName).exists(extFiles.contains))
+    // $files reports the adopted files at their external absolute paths
+    val files = c.filesMeta("s", "t").select("file_path")
+      .as[String].collect().toSeq
+    assert(files.count(_.contains(ext)) == extFiles.size)
+    // manifest bounds prune adopted files too: a probe outside their id
+    // range deletes nothing from them (metadata-only no-op path)
+    c.delete("s", "t", col("id") === 11L)
+    assert(c.readLatest("s", "t").count() == 3L)
+    assert(c.readLatest("s", "t").agg(sum("id")).head.getLong(0) == 1L + 10 + 12)
+  }
+
+  test("add_files rejects duplicates, schema mismatch, partitioned targets") {
+    val c = freshCatalog("addf-bad")
+    c.createTable("s", "t", schema)
+    val ext = tmpDir("addf-bad-ext")
+    Seq((1L, "a")).toDF("id", "v").write.mode("overwrite").parquet(ext)
+    c.addFiles("s", "t", ext)
+    intercept[IllegalArgumentException] { c.addFiles("s", "t", ext) } // dup
+    val wrong = tmpDir("addf-bad-wrong")
+    Seq((1, "a")).toDF("id", "v").write.mode("overwrite").parquet(wrong) // int id
+    intercept[IllegalArgumentException] { c.addFiles("s", "t", wrong) }
+    c.createTable("s", "p", schema, partitionedBy = Seq("v"))
+    intercept[IllegalArgumentException] { c.addFiles("s", "p", ext) }
+  }
+
+  test("$properties and $entries metadata tables") {
+    val c = freshCatalog("props")
+    c.createTable("s", "t", schema, sortedBy = Seq("id"))
+    c.insert("s", "t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    c.insert("s", "t", Seq((3L, "c")).toDF("id", "v"))
+    val props = c.propertiesMeta("s", "t").as[(String, String)].collect().toMap
+    assert(props("format") == "PARQUET")
+    assert(props("format_version") == "1")
+    assert(props("sorted_by") == "ARRAY['id']")
+    assert(props.contains("location"))
+
+    val entries = c.entriesMeta("s", "t")
+      .select("status", "snapshot_id", "record_count").as[(Int, Long, Long)]
+      .collect().toSeq
+    // both commits' files are present; the head commit's file is ADDED
+    // (status 1, stamped with the head snapshot id), the first commit's
+    // carried manifest is EXISTING (status 0, stamped with commit 1)
+    assert(entries.map(_._3).sum == 3L)
+    assert(entries.exists(e => e._1 == 1 && e._2 == 2L))
+    assert(entries.exists(e => e._1 == 0 && e._2 == 1L))
+    // bounds render as canonical JSON keyed by column
+    val lb = c.entriesMeta("s", "t").select("lower_bounds").as[String].collect()
+    assert(lb.forall(_.contains("\"id\":")))
+  }
+
+  test("SQL surface: CALL register/unregister, EXECUTE add_files") {
+    val e = new GraftEngine(spark, tmpDir("reg-sql"))
+    e.executeNonQuery(SqlStatement("CREATE TABLE demo.t (id bigint, v varchar)"))
+    e.executeNonQuery(SqlStatement("INSERT INTO demo.t VALUES (1, 'a')"))
+    val ext = tmpDir("reg-sql-ext")
+    Seq((2L, "b")).toDF("id", "v").write.mode("overwrite").parquet(ext)
+    assert(e.executeNonQuery(SqlStatement(
+      s"ALTER TABLE demo.t EXECUTE add_files(location => '$ext')")) == 1L)
+    assert(e.queryScalar[Long](SqlStatement(
+      "SELECT count(*) FROM demo.t")).contains(2L))
+
+    e.executeNonQuery(SqlStatement("CALL system.unregister_table('demo', 't')"))
+    intercept[GraftQueryException] {
+      e.query(SqlStatement("SELECT * FROM demo.t")).collect()
+    }
+    val loc = new org.apache.hadoop.fs.Path(
+      e.catalog.schemaLocation("demo"), "t").toString
+    e.executeNonQuery(SqlStatement(
+      s"CALL system.register_table(schema_name => 'demo', table_name => 't', " +
+        s"table_location => '$loc')"))
+    assert(e.queryScalar[Long](SqlStatement(
+      "SELECT count(*) FROM demo.t")).contains(2L))
+    // the metadata-table family covers the attachment state
+    assert(e.query(SqlStatement("SELECT * FROM demo.\"t$properties\""))
+      .count() >= 3L)
+    assert(e.query(SqlStatement("SELECT * FROM demo.\"t$entries\""))
+      .count() >= 2L)
+  }
+}
