@@ -540,6 +540,74 @@ object CatalogDemos {
 
   private[graft] val refsDemoWarehouse = "/tmp/graft-refs-demo-warehouse"
 
+  private[graft] val registerDemoWarehouse = "/tmp/graft-register-demo-warehouse"
+  private[graft] val registerDemoExt = "/tmp/graft-register-demo-ext"
+
+  /** Catalog attachment end-to-end (Trino Iceberg's register_table /
+    * unregister_table procedures + `ALTER TABLE EXECUTE add_files`):
+    * adopt pre-existing parquet files IN PLACE (absolute-path manifest
+    * entries — zero data bytes move), CoW-delete THROUGH an adopted
+    * file, then detach the table keeping every file and re-attach it
+    * whole. The row arithmetic is all relational over nation, so the
+    * oracle recomputes it; the adopted-file count and the
+    * detach/re-attach observations are literals the Spark side must
+    * have produced (2 coalesced external files; a query against the
+    * unregistered table must have FAILED before re-registration).
+    */
+  def registerDemo(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val conf = s.sparkContext.hadoopConfiguration
+    for (p <- Seq(registerDemoWarehouse, registerDemoExt)) {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val f = hp.getFileSystem(conf)
+      if (f.exists(hp)) f.delete(hp, true)
+    }
+    val engine = new GraftEngine(s, registerDemoWarehouse)
+    engine.catalog.createSchema("demo")
+    val nation = graft.Tables.nation(s, d)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    // external slice written OUTSIDE the catalog, exactly 2 files
+    nation.filter(col("n_regionkey").isin(0, 1)).repartition(2)
+      .write.mode("overwrite").parquet(registerDemoExt)
+    engine.catalog.createTable("demo", "nat", nation.schema)
+    engine.catalog.insert("demo", "nat",
+      nation.filter(col("n_regionkey").isin(2, 3)))
+    val adopted = engine.executeNonQuery(graft.params.SqlStatement(
+      s"ALTER TABLE demo.nat EXECUTE add_files(location => '$registerDemoExt')"))
+    // CoW DML straight through an adopted file (region 1 lives only there)
+    engine.executeNonQuery(graft.params.SqlStatement(
+      "DELETE FROM demo.nat WHERE n_regionkey = 1"))
+    engine.executeNonQuery(graft.params.SqlStatement(
+      "CALL system.unregister_table('demo', 'nat')"))
+    val hiddenWhileDetached =
+      try { engine.query(graft.params.SqlStatement(
+        "SELECT count(*) FROM demo.nat")).collect(); false }
+      catch { case _: graft.GraftQueryException => true }
+    engine.executeNonQuery(graft.params.SqlStatement(
+      s"CALL system.register_table('demo', 'nat', " +
+        s"'$registerDemoWarehouse/demo/nat')"))
+    engine.query(graft.params.SqlStatement(
+      """SELECT
+        |  (SELECT count(*) FROM demo.nat) AS total_n,
+        |  (SELECT sum(n_nationkey) FROM demo.nat) AS sum_key,
+        |  (SELECT count(*) FROM demo."nat$properties") AS props_n""".stripMargin))
+      .withColumn("adopted_files", lit(adopted))
+      .withColumn("hidden_while_detached", lit(hiddenWhileDetached))
+  }
+
+  /** DuckDB twin of [[registerDemo]] — nation arithmetic (regions 0,2,3
+    * survive: 2,3 inserted natively, 0,1 adopted, 1 deleted) plus the
+    * observed attachment literals.
+    */
+  val registerDemoSql: String =
+    """SELECT
+      |  (SELECT count(*) FROM nation WHERE n_regionkey IN (0, 2, 3)) AS total_n,
+      |  (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM nation
+      |     WHERE n_regionkey IN (0, 2, 3)) AS sum_key,
+      |  CAST(3 AS BIGINT) AS props_n,
+      |  CAST(2 AS BIGINT) AS adopted_files,
+      |  TRUE AS hidden_while_detached""".stripMargin
+
   /** Branches and tags end-to-end (Nessie-parity named refs): tag the
     * initial state, branch from it, write THROUGH the branch (an extra
     * region-3 slice), DML main independently (delete region 0), then
