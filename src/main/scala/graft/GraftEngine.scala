@@ -462,6 +462,8 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
               args.get("file_count").map(_.toInt).getOrElse(1),
               args.get("__where").map(parseCond(sqlText, _)))
             0L
+          case "optimize_manifests" | "rewrite_manifests" =>
+            catalog.rewriteManifests(schema, table)
           case "expire_snapshots" =>
             // retention_threshold => '<n>d'/'<n>h'/'<n>m'/'<n>s' (Trino
             // spelling); everything older than now - threshold expires
@@ -501,10 +503,10 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
           case other =>
             throw new GraftQueryException(sqlText,
               s"Unsupported ALTER TABLE EXECUTE procedure: $other " +
-                "(supported: optimize, expire_snapshots, remove_orphan_files, " +
-                "rollback_to_snapshot, create_branch, drop_branch, create_tag, " +
-                "drop_tag, fast_forward, merge_branch, add_files, " +
-                "register_table, unregister_table)")
+                "(supported: optimize, optimize_manifests, expire_snapshots, " +
+                "remove_orphan_files, rollback_to_snapshot, create_branch, " +
+                "drop_branch, create_tag, drop_tag, fast_forward, merge_branch, " +
+                "add_files, register_table, unregister_table)")
         }
     }
 

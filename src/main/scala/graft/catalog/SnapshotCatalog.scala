@@ -2917,6 +2917,38 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * pre-compaction dirs become unreferenced and are physically reclaimed
     * — the small-files lifecycle at scale: stream in, compact, expire.
     */
+  /** `ALTER TABLE t EXECUTE optimize_manifests` (Trino Iceberg's
+    * manifest-compaction procedure; Spark Iceberg calls it
+    * rewrite_manifests): rewrite the CURRENT snapshot's manifest set into
+    * ⌈entries/512⌉ right-sized manifests and commit a metadata-only
+    * snapshot referencing them — data files untouched, CDC reports zero
+    * row changes. The automatic [[compactManifestSet]] bounds manifest
+    * growth incrementally (merging small ones past 32); this is the
+    * explicit full pass for a table whose manifest set fragmented under
+    * sustained DML — at 100 TB the scan-planning cost is proportional to
+    * manifest count × size, so a periodic rewrite keeps plan time flat.
+    * Returns the manifest count after the rewrite. Legacy `dirs` entries
+    * migrate into manifests as part of the pass.
+    */
+  def rewriteManifests(schema: String, table: String): Long = synchronized {
+    val dir = tableDir(schema, table)
+    val (commits, gen) = readCommitsWithGen(schema, table)
+    require(commits.nonEmpty, s"Nothing to rewrite in $schema.$table")
+    val last = commits.last
+    val entries = manifestEntriesOf(dir, last) ++
+      last.dirs.flatMap(e => scanEntries(dir, e))
+    val names =
+      if (entries.isEmpty) Nil
+      else entries.grouped(512).map(g => writeManifest(dir, g.toSeq)).toSeq
+    val ml = writeManifestList(dir, names)
+    val id = last.snapshotId + 1
+    val at = math.max(System.currentTimeMillis(), last.committedAtMillis + 1)
+    val snap = Snapshot(id, at, Nil, declaredSchema(schema, table).map(_.json),
+      Some("replace"), last.deletes, Some(ml))
+    writeCommits(schema, table, commits :+ snap, gen)
+    names.size.toLong
+  }
+
   def compact(schema: String, table: String, numFiles: Int = 1,
               where: Option[org.apache.spark.sql.Column] = None): Snapshot = synchronized {
     val dir = tableDir(schema, table)

@@ -218,4 +218,23 @@ class ManifestSpec extends SparkSpec {
     assert(c.readLatest("s", "exp").filter($"id" === 2L)
       .select("v").as[Long].head() === 0L)
   }
+
+  test("optimize_manifests merges the manifest set; data and CDC unchanged") {
+    val c = freshCatalog()
+    c.createTable("s", "om", schema)
+    (1 to 6).foreach(i => c.insert("s", "om",
+      Seq((i.toLong, s"g$i", i.toLong)).toDF("id", "grp", "v")))
+    assert(c.manifestsMeta("s", "om").count() >= 6L)
+    val sumBefore = c.readLatest("s", "om").agg(sum("v")).head.getLong(0)
+    assert(c.rewriteManifests("s", "om") == 1L)
+    assert(c.manifestsMeta("s", "om").count() == 1L)
+    assert(c.readLatest("s", "om").agg(sum("v")).head.getLong(0) == sumBefore)
+    // metadata-only: zero row-level changes across the rewrite commit
+    val snaps = c.snapshots("s", "om")
+    assert(c.readChanges("s", "om", snaps(snaps.length - 2).snapshotId,
+      snaps.last.snapshotId).count() == 0L)
+    // DML composes on the rewritten metadata
+    c.delete("s", "om", col("id") === 3L)
+    assert(c.readLatest("s", "om").count() == 5L)
+  }
 }
