@@ -225,11 +225,14 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
             catalog.setComment(schema, table, Some(cn), Some(cv)) }
         }
         0L
-      case graft.catalog.CreateTableAsStmt(schema, table, select, ifNotExists) =>
+      case graft.catalog.CreateTableAsStmt(schema, table, select, ifNotExists, orReplace) =>
         if (ifNotExists && catalog.tableExists(schema, table)) 0L
         else {
           if (!catalog.schemaExists(schema)) catalog.createSchema(schema)
-          catalog.createTableAs(schema, table, query(SqlStatement(select)))
+          if (orReplace)
+            catalog.replaceTableAs(schema, table, query(SqlStatement(select)))
+          else
+            catalog.createTableAs(schema, table, query(SqlStatement(select)))
         }
       case graft.catalog.DropTableStmt(schema, table, ifExists) =>
         if (!catalog.tableExists(schema, table)) {

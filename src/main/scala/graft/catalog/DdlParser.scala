@@ -27,7 +27,8 @@ final case class CreateTableStmt(schema: String, table: String,
                                  bloomFilterColumns: Seq[String] = Nil)
   extends DdlStatement
 final case class CreateTableAsStmt(schema: String, table: String,
-                                   select: String, ifNotExists: Boolean) extends DdlStatement
+                                   select: String, ifNotExists: Boolean,
+                                   orReplace: Boolean = false) extends DdlStatement
 final case class DropTableStmt(schema: String, table: String,
                                ifExists: Boolean) extends DdlStatement
 final case class DeleteStmt(schema: String, table: String,
@@ -152,7 +153,7 @@ object DdlParser {
   private val createTableRe =
     """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.*?)\)\s*(?:COMMENT\s+'((?:[^']|'')*)'\s*)?(?:WITH\s*\((.*)\))?\s*;?\s*$""".r
   private val ctasRe =
-    """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+(.+?)\s*;?\s*$""".r
+    """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+(.+?)\s*;?\s*$""".r
   private val dropTableRe =
     """(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$""".r
   private val commentRe =
@@ -240,9 +241,11 @@ object DdlParser {
         partitioning,
         Option(tblComment).map(_.replace("''", "'")), colComments,
         formatVersion, sortedBy, bloomCols))
-    case ctasRe(ine, name, select) =>
+    case ctasRe(orReplace, ine, name, select) =>
+      require(orReplace == null || ine == null,
+        "CREATE OR REPLACE TABLE cannot carry IF NOT EXISTS")
       val (sch, tbl) = tableOf(name)
-      Some(CreateTableAsStmt(sch, tbl, select, ine != null))
+      Some(CreateTableAsStmt(sch, tbl, select, ine != null, orReplace != null))
     case dropTableRe(ie, name) =>
       val (sch, tbl) = tableOf(name)
       Some(DropTableStmt(sch, tbl, ie != null))

@@ -745,6 +745,41 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     readLatest(schema, table).count()
   }
 
+  /** `CREATE OR REPLACE TABLE t AS …` (Trino Iceberg's atomic replace):
+    * the table's content AND declared schema are replaced in ONE commit
+    * on the SAME commit log — the previous state stays reachable through
+    * `FOR TIMESTAMP/VERSION AS OF` (each commit pins its schema), unlike
+    * DROP + CREATE which destroys history. Layout properties that could
+    * reference replaced columns (partitioning, sorted_by, bloom columns)
+    * reset — the replacement declares a fresh physical contract; the
+    * format_version and comments survive. CDC across the replace reports
+    * the old rows deleted and the new rows inserted. Returns the new row
+    * count.
+    */
+  def replaceTableAs(schema: String, table: String, df: DataFrame): Long = synchronized {
+    if (!tableExists(schema, table)) return createTableAs(schema, table, df)
+    val dir = tableDir(schema, table)
+    val (commits, gen) = readCommitsWithGen(schema, table)
+    df.schema.fieldNames.foreach(validateColumnName(_, formatVersion(schema, table)))
+    for (m <- Seq("_partition_spec.json", "_sorted_by.json", "_bloom_columns.json")) {
+      val p = new Path(dir, m)
+      fs(p).delete(p, false)
+    }
+    writeString(new Path(dir, "_table_schema.json"), df.schema.json)
+    val last = commits.lastOption
+    val id = last.map(_.snapshotId).getOrElse(0L) + 1
+    val at = math.max(System.currentTimeMillis(),
+      last.map(_.committedAtMillis + 1).getOrElse(0L))
+    val snapDir = snapDirName(schema, table, attemptTag(id))
+    df.write.mode("errorifexists").parquet(new Path(dir, snapDir).toString)
+    val newEntries = scanEntries(dir, snapDir)
+    val names = if (newEntries.nonEmpty) Seq(writeManifest(dir, newEntries)) else Nil
+    val snap = Snapshot(id, at, Nil, Some(df.schema.json), Some("replace"),
+      Nil, Some(writeManifestList(dir, names)))
+    writeCommits(schema, table, commits :+ snap, gen)
+    newEntries.map(_.rows).sum
+  }
+
   // ---- DML (S5) ----
 
   /** INSERT INTO: write a new snap dir, append a commit. Commit timestamps
@@ -1330,11 +1365,19 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       case Some(s) if relPaths.nonEmpty =>
         val paths = relPaths.map(d => new Path(dir, d).toString)
         def reader = declared.map(spark.read.schema(_)).getOrElse(spark.read)
-        if (partitionSpec(schema, table).isEmpty)
+        if (partitionSpec(schema, table).isEmpty) {
           // unpartitioned: one multi-path read; the snap dirs carry no
           // partition structure, so no discovery is involved and the plan
-          // is a single scan whatever the commit count
-          reader.parquet(paths: _*)
+          // is a single scan whatever the commit count. EXCEPT when the
+          // snapshot predates a CREATE OR REPLACE that dropped the
+          // partition spec: its paths still carry hive `col=value`
+          // segments whose values live in the PATH, not the files —
+          // basePath-anchored discovery recovers them (columns the pinned
+          // schema doesn't declare are dropped by the schema projection)
+          if (relPaths.exists(_.contains("=")))
+            reader.option("basePath", dir.toString).parquet(paths: _*)
+          else reader.parquet(paths: _*)
+        }
         else if (relPaths.forall(_.startsWith("_snap="))) {
           // derived transform-partition dirs (`ts_month=…`) scan as extra
           // string partition columns exactly like `_snap` and are dropped

@@ -177,4 +177,54 @@ class SqlEvolutionSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(got == Seq((1L, 11L), (3L, 30L)))
   }
+
+  test("CREATE OR REPLACE TABLE AS replaces content and schema in one commit; history survives") {
+    val e = freshEngine("evo-replace")
+    val n = e.executeNonQuery(SqlStatement(
+      "CREATE OR REPLACE TABLE demo.t AS " +
+        "SELECT id * 10 AS key, name AS label FROM demo.t WHERE id <= 2"))
+    assert(n == 2L)
+    // current read: new schema, new content
+    val now = e.query(SqlStatement("SELECT key, label FROM demo.t ORDER BY key"))
+      .as[(Long, String)].collect().toSeq
+    assert(now == Seq((10L, "a"), (20L, "b")))
+    // ONE new commit on the same log, operation 'replace'
+    val snaps = e.catalog.snapshots("demo", "t")
+    assert(snaps.map(_.snapshotId) == Seq(1L, 2L))
+    assert(snaps.last.operation.contains("replace"))
+    // the pre-replace snapshot is fully reachable with ITS schema
+    val old = e.query(SqlStatement("SELECT * FROM demo.t FOR VERSION AS OF 1"))
+    assert(old.schema.fieldNames.toSeq == Seq("id", "name", "qty"))
+    assert(old.count() == 3L)
+    // DML composes on the replaced table
+    e.executeNonQuery(SqlStatement("DELETE FROM demo.t WHERE key = 10"))
+    assert(e.queryScalar[Long](SqlStatement(
+      "SELECT count(*) FROM demo.t")).contains(1L))
+    // replacing a nonexistent table is a plain CTAS
+    assert(e.executeNonQuery(SqlStatement(
+      "CREATE OR REPLACE TABLE demo.u AS SELECT 1 AS x")) == 1L)
+  }
+
+  test("replacing a partitioned table keeps pre-replace snapshots readable with partition values") {
+    val e = new GraftEngine(spark, tmpDir("evo-replace-part"))
+    e.executeNonQuery(SqlStatement(
+      "CREATE TABLE demo.p (id bigint, grp varchar) " +
+        "WITH (partitioning = ARRAY['grp'])"))
+    e.executeNonQuery(SqlStatement(
+      "INSERT INTO demo.p VALUES (1, 'a'), (2, 'b'), (3, 'a'), (4, 'b')"))
+    // a pruned CoW delete decomposes carried entries to file granularity
+    e.executeNonQuery(SqlStatement("DELETE FROM demo.p WHERE id = 3"))
+    e.executeNonQuery(SqlStatement(
+      "CREATE OR REPLACE TABLE demo.p AS SELECT count(*) AS n FROM demo.p"))
+    assert(e.queryScalar[Long](SqlStatement("SELECT n FROM demo.p")).contains(3L))
+    // both pre-replace snapshots: full rows WITH their partition values
+    val v1 = e.query(SqlStatement(
+      "SELECT id, grp FROM demo.p FOR VERSION AS OF 1 ORDER BY id"))
+      .as[(Long, String)].collect().toSeq
+    assert(v1 == Seq((1L, "a"), (2L, "b"), (3L, "a"), (4L, "b")))
+    val v2 = e.query(SqlStatement(
+      "SELECT id, grp FROM demo.p FOR VERSION AS OF 2 ORDER BY id"))
+      .as[(Long, String)].collect().toSeq
+    assert(v2 == Seq((1L, "a"), (2L, "b"), (4L, "b")))
+  }
 }
