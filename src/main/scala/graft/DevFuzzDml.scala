@@ -65,6 +65,15 @@ object DevFuzzDml {
     sealed trait Op
     final case class Upd(sets: Seq[(String, String)], where: String) extends Op
     final case class Del(where: String) extends Op
+    // CREATE OR REPLACE TABLE … AS SELECT <cols> FROM fz.t WHERE p —
+    // relationally a FILTER, but physically a full replace commit that
+    // resets the partition/sort specs mid-sequence (later DML runs
+    // unpartitioned over a history whose older snapshots are partitioned)
+    final case class Repl(where: String) extends Op
+    // ALTER TABLE EXECUTE add_files — adopt an external parquet dir in
+    // place; relationally a UNION ALL of a fixed shifted-id nation slice
+    // (ids offset ≥ 10^6 so no merge-mapped or base id ever collides)
+    final case class AddF(k: Int, path: String) extends Op
 
     // ---- MERGE: source derived from the CURRENT state via an injective
     //      affine id map (unique ids → the cardinality rule can't fire),
@@ -102,17 +111,27 @@ object DevFuzzDml {
         if (rnd.nextBoolean()) Some(insPred()) else None)
     }
 
-    def genOps(): Seq[Op] = (0 until rnd.nextInt(4) + 3).map { _ =>
-      rnd.nextInt(4) match {
-        case 0 => Del(pred())
-        case 1 => genMerge()
-        case _ =>
-          val sets = rnd.nextInt(3) match {
-            case 0 => Seq("n_name" -> nameExpr())
-            case 1 => Seq("n_regionkey" -> rkExpr())
-            case 2 => Seq("n_name" -> nameExpr(), "n_regionkey" -> rkExpr())
-          }
-          Upd(sets, pred())
+    def genOps(scenario: Int, startPartitioned: Boolean): Seq[Op] = {
+      // replace drops the partition spec; add_files requires an
+      // unpartitioned target — track layout state through the sequence
+      var isPart = startPartitioned
+      (0 until rnd.nextInt(4) + 3).map { k =>
+        rnd.nextInt(6) match {
+          case 0 => Del(pred())
+          case 1 => genMerge()
+          case 4 =>
+            isPart = false
+            Repl(pred())
+          case 5 if !isPart =>
+            AddF(k, s"$outDir/ext_${scenario}_$k")
+          case _ =>
+            val sets = rnd.nextInt(3) match {
+              case 0 => Seq("n_name" -> nameExpr())
+              case 1 => Seq("n_regionkey" -> rkExpr())
+              case 2 => Seq("n_name" -> nameExpr(), "n_regionkey" -> rkExpr())
+            }
+            Upd(sets, pred())
+        }
       }
     }
 
@@ -123,6 +142,11 @@ object DevFuzzDml {
       case Upd(sets, where) =>
         s"UPDATE fz.t SET ${sets.map { case (c, e) => s"$c = $e" }.mkString(", ")} WHERE $where"
       case Del(where) => s"DELETE FROM fz.t WHERE $where"
+      case Repl(where) =>
+        "CREATE OR REPLACE TABLE fz.t AS " +
+          s"SELECT n_nationkey, n_name, n_regionkey FROM fz.t WHERE $where"
+      case AddF(_, path) =>
+        s"ALTER TABLE fz.t EXECUTE add_files(location => '$path')"
       case Mrg(mul, off, matched, insertCond) =>
         val srcSql = s"SELECT n_nationkey * $mul + $off AS id, " +
           "concat(n_name, '_s') AS nm, n_regionkey AS rk FROM fz.t"
@@ -155,6 +179,13 @@ object DevFuzzDml {
         Seq(s"s${k + 1} AS (SELECT $proj FROM $prev)")
       case Del(where) =>
         Seq(s"s${k + 1} AS (SELECT * FROM $prev WHERE NOT coalesce($where, FALSE))")
+      case Repl(where) =>
+        // CREATE OR REPLACE … AS SELECT … WHERE p keeps rows p is TRUE on
+        Seq(s"s${k + 1} AS (SELECT * FROM $prev WHERE coalesce($where, FALSE))")
+      case AddF(ak, _) =>
+        Seq(s"s${k + 1} AS (SELECT * FROM $prev UNION ALL " +
+          s"SELECT n_nationkey + ${1000000L + 1000L * ak} AS n_nationkey, " +
+          "concat(n_name, '_x') AS n_name, n_regionkey FROM nation)")
       case Mrg(mul, off, matched, insertCond) =>
         val src = s"src$k"
         val m = s"m$k"
@@ -256,8 +287,21 @@ object DevFuzzDml {
         // while untouched files stay under the old one — mixed
         // generations in one live table
       }
-      val ops = genOps()
-      ops.foreach(op => engine.executeNonQuery(params.SqlStatement(stmtOf(op))))
+      val ops = genOps(i, partSpec.nonEmpty)
+      ops.foreach {
+        case a @ AddF(ak, path) =>
+          // write the external parquet the statement adopts: the shifted
+          // nation slice, 2 files, types cast to the table's declared ones
+          import org.apache.spark.sql.functions.{col, concat, lit}
+          nation.select(
+              (col("n_nationkey") + lit(1000000L + 1000L * ak))
+                .cast(nation.schema("n_nationkey").dataType).as("n_nationkey"),
+              concat(col("n_name"), lit("_x")).as("n_name"),
+              col("n_regionkey"))
+            .repartition(2).write.mode("overwrite").parquet(path)
+          engine.executeNonQuery(params.SqlStatement(stmtOf(a)))
+        case op => engine.executeNonQuery(params.SqlStatement(stmtOf(op)))
+      }
       // CDC invariant (readChanges): replaying the change stream from the
       // empty table reconstructs the final state as a multiset — inserts
       // except-all deletes == actual rows — across every randomized mix
