@@ -154,6 +154,7 @@ object SparkEntry {
     "transform_partition_demo" -> (CatalogDemos.transformPartitionDemo _),
     "refs_demo" -> (CatalogDemos.refsDemo _),
     "register_demo" -> (CatalogDemos.registerDemo _),
+    "upsert_demo" -> (CatalogDemos.upsertDemo _),
     "unload_demo"      -> (CatalogDemos.unloadDemo _),
     "dml_demo"         -> (CatalogDemos.dmlDemo _),
     "mor_demo"         -> (CatalogDemos.morDemo _),
@@ -329,6 +330,7 @@ object SparkEntry {
     "transform_partition_demo" -> operators.CatalogDemos.transformPartitionDemoSql,
     "refs_demo" -> operators.CatalogDemos.refsDemoSql,
     "register_demo" -> operators.CatalogDemos.registerDemoSql,
+    "upsert_demo" -> operators.CatalogDemos.upsertDemoSql,
     "q2_min_cost_supplier"  -> TpchRemainder.Sql.q2MinCostSupplier,
     "q8_market_share"       -> TpchRemainder.Sql.q8MarketShare,
     "q9_product_profit"     -> TpchRemainder.Sql.q9ProductProfit,

@@ -31,7 +31,19 @@ final case class Snapshot(snapshotId: Long, committedAtMillis: Long, dirs: Seq[S
                           operation: Option[String] = None,
                           deletes: Seq[String] = Nil,
                           manifestList: Option[String] = None,
-                          txn: Option[(String, Long)] = None)
+                          txn: Option[(String, Long)] = None,
+                          eqDeletes: Seq[EqDelete] = Nil)
+
+/** One equality-delete file (Iceberg v2's second delete-file kind, the
+  * shape Flink CDC / streaming upsert writers commit): `path` holds the
+  * key tuples whose rows are shadowed, `keys` names the equality columns,
+  * and `appliesTo` pins the snapshot whose data files the delete covers —
+  * rows in files added AFTER that snapshot are exempt (Iceberg's
+  * sequence-number rule), so a later plain INSERT of a deleted key
+  * survives. This is what makes keyed upsert O(batch): the writer never
+  * reads the target — it appends the new rows plus one key file.
+  */
+final case class EqDelete(path: String, keys: Seq[String], appliesTo: Long)
 
 /** A commit lost the optimistic-concurrency race: another writer advanced
   * the table's commit-log generation between this writer's read and its
@@ -707,7 +719,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val at = math.max(System.currentTimeMillis(),
       commits.lastOption.map(_.committedAtMillis + 1).getOrElse(0L))
     val snap = Snapshot(id, at, Nil, declaredSchema(schema, table).map(_.json),
-      Some("append"), commits.lastOption.map(_.deletes).getOrElse(Nil), Some(ml))
+      Some("append"), commits.lastOption.map(_.deletes).getOrElse(Nil), Some(ml),
+      None, commits.lastOption.map(_.eqDeletes).getOrElse(Nil))
     writeCommits(schema, table, commits :+ snap, gen)
     statuses.size.toLong
   }
@@ -819,7 +832,62 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val ml = writeManifestList(dir, compactManifestSet(dir, names))
     val snap = Snapshot(id, at, Nil,
       declaredSchema(schema, table).map(_.json), Some("append"),
-      commits.lastOption.map(_.deletes).getOrElse(Nil), Some(ml), txn)
+      commits.lastOption.map(_.deletes).getOrElse(Nil), Some(ml), txn,
+      commits.lastOption.map(_.eqDeletes).getOrElse(Nil))
+    writeCommits(schema, table, commits :+ snap, gen)
+    snap
+  }
+
+  /** Keyed UPSERT via equality deletes (Iceberg v2's streaming-writer
+    * shape, `format_version = 2` only): ONE commit appends the batch
+    * plus one equality-delete key file shadowing prior rows with the
+    * same keys — the writer never reads, joins, or probes the target,
+    * so a 100-row upsert against a 100 TB table costs 100 rows. MERGE
+    * (the CoW alternative) costs a bounds probe plus a rewrite of every
+    * touched file; this is the Flink-CDC / streaming-sink write shape.
+    * Last-wins across commits: a later upsert's delete covers the
+    * earlier one's appended rows (its `appliesTo` snapshot includes
+    * them). `txn` gives the same idempotent-writer contract as
+    * [[insert]]. Reads pay one broadcast key anti-join per pending
+    * delete — `EXECUTE optimize` folds them back to zero.
+    */
+  def upsert(schema: String, table: String, df: DataFrame, keys: Seq[String],
+             txn: Option[(String, Long)] = None): Snapshot = synchronized {
+    val dir = tableDir(schema, table)
+    require(tableExists(schema, table), s"Table $schema.$table does not exist")
+    require(formatVersion(schema, table) == 2,
+      "upsert (equality deletes) requires format_version = 2")
+    require(keys.nonEmpty, "upsert requires at least one key column")
+    val declared = declaredSchema(schema, table)
+    keys.foreach(k => require(
+      declared.exists(_.fieldNames.exists(_.equalsIgnoreCase(k))),
+      s"Upsert key column $k is not in the declared schema"))
+    val (commits, gen) = readCommitsWithGen(schema, table)
+    for ((app, v) <- txn; seen <- txnSeen(commits, app, v)) return seen
+    val prior = commits.lastOption
+    val id = prior.map(_.snapshotId).getOrElse(0L) + 1
+    val at = math.max(System.currentTimeMillis(),
+      prior.map(_.committedAtMillis + 1).getOrElse(0L))
+    val eq: Seq[EqDelete] = prior match {
+      case Some(p) =>
+        // the delete file: the batch's distinct key tuples — KB-scale
+        val delDir = s"eqdel-${attemptTag(id)}"
+        df.select(keys.map(org.apache.spark.sql.functions.col): _*)
+          .distinct().coalesce(1)
+          .write.mode("errorifexists").parquet(new Path(dir, delDir).toString)
+        p.eqDeletes :+ EqDelete(delDir, keys, p.snapshotId)
+      case None => Nil // empty table: nothing to shadow
+    }
+    val snapDir = snapDirName(schema, table, attemptTag(id))
+    partitionedWriter(schema, table, df)
+      .mode("errorifexists").parquet(new Path(dir, snapDir).toString)
+    val (carried, _) = carryManifests(schema, table, prior, Set.empty)
+    val newEntries = scanEntries(dir, snapDir)
+    val names = carried ++
+      (if (newEntries.nonEmpty) Seq(writeManifest(dir, newEntries)) else Nil)
+    val ml = writeManifestList(dir, compactManifestSet(dir, names))
+    val snap = Snapshot(id, at, Nil, declared.map(_.json), Some("overwrite"),
+      prior.map(_.deletes).getOrElse(Nil), Some(ml), txn, eq)
     writeCommits(schema, table, commits :+ snap, gen)
     snap
   }
@@ -1253,7 +1321,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val dir = tableDir(schema, table)
     val base = readSnapshotData(schema, table, snap, useSnapshotSchema, entriesOverride)
     val deletes = snap.map(_.deletes).getOrElse(Nil)
-    if (deletes.isEmpty && !keepFile && !keepPos) base
+    val eqDels = snap.map(_.eqDeletes).getOrElse(Nil)
+    if (deletes.isEmpty && eqDels.isEmpty && !keepFile && !keepPos) base
     else {
       // resolving _metadata throws AnalysisException on states with no
       // file-source relation (empty table, legacy union layout) — callers
@@ -1271,9 +1340,39 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
               withMeta("__graft_pos") === del("pos"),
             "left_anti")
         }
+      // equality deletes (v2 keyed upsert): a row is shadowed when its
+      // key tuple appears in an eq-delete file AND its data file belongs
+      // to the snapshot the delete applies to — files appended LATER are
+      // exempt (Iceberg's sequence-number rule), so re-inserting a
+      // deleted key sticks. Each delete is one broadcast key anti-join
+      // over the covered file subset; compaction folds pending deletes,
+      // bounding the chain length.
+      val afterEq =
+        if (eqDels.isEmpty) merged
+        else {
+          import org.apache.spark.sql.functions.{broadcast, regexp_replace}
+          val schemeRe = "^[A-Za-z][A-Za-z0-9+.-]*:/+"
+          val keyed = merged.withColumn("__graft_fkey",
+            regexp_replace(col("__graft_file"), schemeRe, "/"))
+          val commits = readCommits(schema, table)
+          val f = fs(dir)
+          eqDels.foldLeft(keyed) { (df, e) =>
+            val applies = commits.find(_.snapshotId == e.appliesTo).toSeq
+              .flatMap(s => dataFilePaths(schema, table, s))
+              .map(rel => uriPath(f.makeQualified(new Path(dir, rel))))
+            val delKeys = spark.read.parquet(new Path(dir, e.path).toString)
+              .toDF(e.keys.map("__graft_eq_" + _): _*)
+            val exempt = fileSetFilter(df, "__graft_fkey", applies, anti = true)
+            val subject = fileSetFilter(df, "__graft_fkey", applies, anti = false)
+            val cond = e.keys.map(k => col(k) <=> col("__graft_eq_" + k))
+              .reduce(_ && _)
+            subject.join(broadcast(delKeys), cond, "left_anti")
+              .unionByName(exempt)
+          }.drop("__graft_fkey")
+        }
       val dropFile = if (keepFile) Nil else Seq("__graft_file")
       val dropPos = if (keepPos) Nil else Seq("__graft_pos")
-      merged.drop(dropFile ++ dropPos: _*)
+      afterEq.drop(dropFile ++ dropPos: _*)
     }
   }
 
@@ -1647,11 +1746,12 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         val schemaJson = declaredSchema(schema, table).map(_.json)
         val entries = currentSnap.map(_.dirs).getOrElse(Nil)
         val prevDeletes = currentSnap.map(_.deletes).getOrElse(Nil)
+        val prevEq = currentSnap.map(_.eqDeletes).getOrElse(Nil)
         val snap =
           if (hasProv && affected == 0L) {
             // no clause fired, nothing inserted: metadata-only no-op commit
             val s0 = Snapshot(id, at, entries, schemaJson, Some("overwrite"),
-              prevDeletes, currentSnap.flatMap(_.manifestList))
+              prevDeletes, currentSnap.flatMap(_.manifestList), None, prevEq)
             writeCommits(schema, table, commits :+ s0, gen)
             s0
           } else if (isV2 && hasProv) {
@@ -1691,7 +1791,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
               case None => carried
             }
             val s0 = Snapshot(id, at, Nil, schemaJson, Some("overwrite"),
-              newDeletes, Some(writeManifestList(dir, compactManifestSet(dir, names))))
+              newDeletes, Some(writeManifestList(dir, compactManifestSet(dir, names))),
+              None, prevEq)
             writeCommits(schema, table, commits :+ s0, gen)
             s0
           } else {
@@ -1717,7 +1818,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
               (if (newEntries.nonEmpty) Seq(writeManifest(dir, newEntries)) else Nil)
             val s0 = Snapshot(id, at, Nil, schemaJson,
               Some("overwrite"), newDeletes,
-              Some(writeManifestList(dir, compactManifestSet(dir, names))))
+              Some(writeManifestList(dir, compactManifestSet(dir, names))),
+              None, prevEq)
             writeCommits(schema, table, commits :+ s0, gen)
             s0
           }
@@ -1776,7 +1878,13 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     // (file, pos) repeats — the carryDeletes/morRowLevel invariant)
     val delRows = last
       .map(_.deletes.map(d => parquetFooterRows(new Path(dir, d))).sum).getOrElse(0L)
-    val n = filesOfSnapshot(schema, table, last).map(_._3).sum - delRows
+    // pending EQUALITY deletes make the footer arithmetic an
+    // over-count (shadowed rows are decided by key joins, not
+    // coordinates) — pay one counting scan in that case only
+    val n =
+      if (last.exists(_.eqDeletes.nonEmpty))
+        readSnapshot(schema, table, last).count()
+      else filesOfSnapshot(schema, table, last).map(_._3).sum - delRows
     val id = commits.lastOption.map(_.snapshotId).getOrElse(0L) + 1
     val at = math.max(System.currentTimeMillis(),
       commits.lastOption.map(_.committedAtMillis + 1).getOrElse(0L))
@@ -1876,10 +1984,11 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     // manifest-bounds file skipping: the probe scans only files whose
     // bounds MAY match; when bounds prove no file can, commit the no-op
     // without launching any job
+    val prevEqMor = current.map(_.eqDeletes).getOrElse(Nil)
     val (probeSnap, probeEntries) = restrictByBounds(schema, table, current, Some(hit)) match {
       case Left(()) =>
         val snap = Snapshot(id, at, entries, schemaJson, Some("overwrite"),
-          prevDeletes, current.flatMap(_.manifestList))
+          prevDeletes, current.flatMap(_.manifestList), None, prevEqMor)
         writeCommits(schema, table, commits :+ snap, gen)
         return Some((snap, 0L))
       case Right(se) => se
@@ -1907,7 +2016,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         // nothing matched: metadata-only no-op commit, delete dir reclaimed
         fs(dir).delete(new Path(dir, delDir), true)
         val snap = Snapshot(id, at, entries, schemaJson, Some("overwrite"),
-          prevDeletes, current.flatMap(_.manifestList))
+          prevDeletes, current.flatMap(_.manifestList), None, prevEqMor)
         writeCommits(schema, table, commits :+ snap, gen)
         Some((snap, 0L))
       } else {
@@ -1942,7 +2051,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
             (Nil, Some(writeManifestList(dir, compactManifestSet(dir, names))), "overwrite")
         }
         val snap = Snapshot(id, at, dirsNew, schemaJson, Some(op),
-          prevDeletes :+ delDir, mlNew)
+          prevDeletes :+ delDir, mlNew, None, prevEqMor)
         writeCommits(schema, table, commits :+ snap, gen)
         Some((snap, n))
       }
@@ -2089,7 +2198,10 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val prevDeletes = current.map(_.deletes).getOrElse(Nil)
     def commitSnap(dirs: Seq[String], deletes: Seq[String],
                    ml: Option[String]): Snapshot = {
-      val snap = Snapshot(id, at, dirs, schemaJson, Some("overwrite"), deletes, ml, txn)
+      // CoW rewrites carry eq-deletes verbatim: rewritten files are NEW
+      // (exempt via appliesTo), untouched files stay covered
+      val snap = Snapshot(id, at, dirs, schemaJson, Some("overwrite"), deletes, ml, txn,
+        current.map(_.eqDeletes).getOrElse(Nil))
       writeCommits(schema, table, commits :+ snap, gen)
       snap
     }
@@ -2447,14 +2559,23 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     }
     // positional-delete files surface with content = 1, Iceberg's
     // POSITION_DELETES content id in the $files table
-    val dels = readCommits(schema, table).lastOption.toSeq
+    val head = readCommits(schema, table).lastOption
+    val dels = head.toSeq
       .flatMap(_.deletes)
       .flatMap(d => dataFilesUnder(new Path(dir, d)))
       .map { p =>
         val st = fs(p).getFileStatus(p)
         (1, p.toString, "PARQUET", parquetFooterRows(p), st.getLen)
       }
-    (data ++ dels)
+    // equality-delete files carry Iceberg's EQUALITY_DELETES content id
+    val eqs = head.toSeq
+      .flatMap(_.eqDeletes)
+      .flatMap(e => dataFilesUnder(new Path(dir, e.path)))
+      .map { p =>
+        val st = fs(p).getFileStatus(p)
+        (2, p.toString, "PARQUET", parquetFooterRows(p), st.getLen)
+      }
+    (data ++ dels ++ eqs)
       .toDF("content", "file_path", "file_format", "record_count", "file_size_in_bytes")
   }
 
@@ -2882,7 +3003,20 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       else spark.read.parquet(newDeletes.map(d => new Path(dir, d).toString): _*)
         .select("file_path").distinct()
         .collect().map(r => uriPath(new Path(r.getString(0)))).toSet
-    val touched = removed ++ added ++ addressed
+    // NEW equality deletes (upsert commits) shadow rows in the files of
+    // their appliesTo snapshot — those files enter the row diff so the
+    // shadowed rows surface as CDC deletes (the new-side read applies
+    // the delete; exceptAll emits the difference)
+    val newEq = cur.eqDeletes.filterNot(prev.toSeq.flatMap(_.eqDeletes).toSet)
+    val eqAddressed: Set[String] =
+      if (newEq.isEmpty) Set.empty
+      else {
+        val commits = readCommits(schema, table)
+        newEq.flatMap(e => commits.find(_.snapshotId == e.appliesTo).toSeq
+          .flatMap(s => dataFilePaths(schema, table, s))
+          .map(rel => uriPath(f.makeQualified(new Path(dir, rel))))).toSet
+      }
+    val touched = removed ++ added ++ addressed ++ eqAddressed
     if (touched.isEmpty) return None
     val schemeRe = "^[A-Za-z][A-Za-z0-9+.-]*:/+"
     def restrict(s: Option[Snapshot], fileCount: Int): Option[DataFrame] = s match {
@@ -2903,7 +3037,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           .drop("__graft_file"))
     }
     val newT = restrict(Some(cur), curAbs.size).get
-    val oldT = if (prev.isEmpty || (removed.isEmpty && addressed.isEmpty)) None
+    val oldT = if (prev.isEmpty ||
+                   (removed.isEmpty && addressed.isEmpty && eqAddressed.isEmpty)) None
                else restrict(prev, prevAbs.size)
     val withOld = oldT.map { o =>
       // conform the old side to the new side's (possibly evolved) columns
@@ -2941,7 +3076,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     // names would report the target snapshot's kind instead (round-5
     // advice: a rollback reusing append dirs read back as 'append')
     val snap = Snapshot(id, at, target.dirs, target.schemaJson, Some("rollback"),
-      target.deletes, target.manifestList)
+      target.deletes, target.manifestList, None, target.eqDeletes)
     // the rollback also restores the declared schema of the target era so
     // current reads match what the rolled-back-to snapshot exposed
     target.schemaJson.foreach(j =>
@@ -2987,7 +3122,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val id = last.snapshotId + 1
     val at = math.max(System.currentTimeMillis(), last.committedAtMillis + 1)
     val snap = Snapshot(id, at, Nil, declaredSchema(schema, table).map(_.json),
-      Some("replace"), last.deletes, Some(ml))
+      Some("replace"), last.deletes, Some(ml), None, last.eqDeletes)
     writeCommits(schema, table, commits :+ snap, gen)
     names.size.toLong
   }
@@ -3054,7 +3189,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       case Some(entries) if entries.isEmpty =>
         // bounds prove nothing matches: metadata-only replace, state kept
         Snapshot(id, at, last.dirs, declaredSchema(schema, table).map(_.json),
-          Some("replace"), last.deletes, last.manifestList)
+          Some("replace"), last.deletes, last.manifestList, None, last.eqDeletes)
       case Some(entries) =>
         val rows = withDerivedPartitionCols(schema, table,
           readSnapshotMeta(schema, table, Some(last), entriesOverride = Some(entries)))
@@ -3066,9 +3201,12 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         val newEntries = scanEntries(dir, snapDir)
         val names = carried ++
           (if (newEntries.nonEmpty) Seq(writeManifest(dir, newEntries)) else Nil)
+        // scoped compaction: the rewritten subset read its eq-shadowed
+        // rows out; carried files stay covered by the carried eq-deletes
         Snapshot(id, at, Nil, declaredSchema(schema, table).map(_.json),
           Some("replace"), Nil,
-          Some(writeManifestList(dir, compactManifestSet(dir, names))))
+          Some(writeManifestList(dir, compactManifestSet(dir, names))),
+          None, last.eqDeletes)
       case None =>
         // whole-table compaction; derived transform-partition columns
         // were dropped on read — re-derive
@@ -3105,8 +3243,10 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     // like kept main-log snapshots (a branch outliving main-log expiry
     // must keep reading)
     val protectedSnaps = kept ++ refSnapshots(schema, table)
-    val referenced = protectedSnaps.flatMap(c => c.dirs ++ c.deletes).toSet
-    val orphanEntries = reallyExpired.flatMap(c => c.dirs ++ c.deletes).toSet -- referenced
+    val referenced = protectedSnaps
+      .flatMap(c => c.dirs ++ c.deletes ++ c.eqDeletes.map(_.path)).toSet
+    val orphanEntries = reallyExpired
+      .flatMap(c => c.dirs ++ c.deletes ++ c.eqDeletes.map(_.path)).toSet -- referenced
     val f = fs(dir)
     val tableKey = f.makeQualified(dir).toUri.getPath
     // file-granular CoW entries can nest inside an expired snapshot's DIR
@@ -3171,7 +3311,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     // manifest-era snapshots have empty `dirs`, so WITHOUT resolving
     // manifests every live snap dir would read as an orphan
     val referenced = commits.flatMap(c =>
-      c.dirs ++ c.deletes ++ manifestEntriesOf(dir, c).map(_.path))
+      c.dirs ++ c.deletes ++ c.eqDeletes.map(_.path) ++
+        manifestEntriesOf(dir, c).map(_.path))
       .map(_.split('/').head).toSet
     val keep = referenced ++
       Set("commits.json", "_table_schema.json", "_partition_spec.json",
@@ -3345,7 +3486,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val at = math.max(System.currentTimeMillis(), mainHead.committedAtMillis + 1)
     val snap = Snapshot(id, at, mainHead.dirs,
       declaredSchema(schema, table).map(_.json), Some("append"),
-      mainHead.deletes, Some(ml))
+      mainHead.deletes, Some(ml), None, mainHead.eqDeletes)
     writeCommits(schema, table, mainC :+ snap, mainGen)
     branch(name).writeCommits(schema, table, mainC :+ snap, branchGen)
     branchNew.length.toLong
@@ -3501,7 +3642,11 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         .getOrElse(Nil),
       Option(n.get("manifestList")).filterNot(_.isNull).map(_.asText),
       Option(n.get("txnAppId")).filterNot(_.isNull).map(_.asText)
-        .map(app => app -> n.get("txnVersion").asLong))
+        .map(app => app -> n.get("txnVersion").asLong),
+      Option(n.get("eqDeletes")).map(_.elements.asScala.map(e =>
+        EqDelete(e.get("path").asText,
+          e.get("keys").elements.asScala.map(_.asText).toSeq,
+          e.get("appliesTo").asLong)).toSeq).getOrElse(Nil))
 
   /** `schemaIds` maps a schema's JSON to its id in the log's shared
     * schema table; empty (tag pinning, which stores ONE snapshot) inlines
@@ -3529,6 +3674,16 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     s.txn.foreach { case (app, v) =>
       o.put("txnAppId", app)
       o.put("txnVersion", v)
+    }
+    if (s.eqDeletes.nonEmpty) {
+      val ed = o.putArray("eqDeletes")
+      s.eqDeletes.foreach { e =>
+        val eo = ed.addObject()
+        eo.put("path", e.path)
+        eo.put("appliesTo", e.appliesTo)
+        val ks = eo.putArray("keys")
+        e.keys.foreach(ks.add)
+      }
     }
   }
 

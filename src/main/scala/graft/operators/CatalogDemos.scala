@@ -543,6 +543,97 @@ object CatalogDemos {
   private[graft] val registerDemoWarehouse = "/tmp/graft-register-demo-warehouse"
   private[graft] val registerDemoExt = "/tmp/graft-register-demo-ext"
 
+  private[graft] val upsertDemoWarehouse = "/tmp/graft-upsert-demo-warehouse"
+
+  /** Equality-delete upsert end-to-end (Iceberg v2's streaming-writer
+    * shape): two keyed upsert batches against a `format_version = 2`
+    * nation table — each commit appends the batch plus ONE key file,
+    * never reading or probing the target — then the proof facts: zero
+    * pre-upsert data files rewritten (set-inclusion observed on the
+    * physical file lists), two equality-delete files in `$files`
+    * (content id 2), and a compaction fold leaving the state bit-equal.
+    * The row arithmetic is pure last-wins relational algebra the oracle
+    * replays over nation with anti-join + union chains.
+    */
+  def upsertDemo(s: SparkSession, d: String): DataFrame = {
+    val wh = new org.apache.hadoop.fs.Path(upsertDemoWarehouse)
+    val whFs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (whFs.exists(wh)) whFs.delete(wh, true)
+    val engine = new GraftEngine(s, upsertDemoWarehouse)
+    engine.catalog.createSchema("demo")
+    val nation = graft.Tables.nation(s, d)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    engine.catalog.createTable("demo", "nat_up", nation.schema, formatVersion = 2)
+    engine.catalog.insert("demo", "nat_up", nation)
+    val c = engine.catalog
+    val before = c.dataFilePaths("demo", "nat_up",
+      c.snapshots("demo", "nat_up").last).toSet
+    // batch 1: rewrite region-2 names
+    c.upsert("demo", "nat_up",
+      nation.filter(col("n_regionkey") === 2)
+        .select(col("n_nationkey"), concat(col("n_name"), lit("_u1")).as("n_name"),
+          col("n_regionkey")),
+      Seq("n_nationkey"))
+    // batch 2: every 5th key gets a second rewrite (last-wins over batch
+    // 1 where they overlap) plus brand-new +100 keys
+    val b2 = nation.filter(col("n_nationkey") % 5 === 0)
+      .select(col("n_nationkey"), concat(col("n_name"), lit("_u2")).as("n_name"),
+        (col("n_regionkey") + 10).as("n_regionkey"))
+      .unionByName(nation.filter(col("n_nationkey") < 3)
+        .select((col("n_nationkey") + 100).as("n_nationkey"),
+          concat(col("n_name"), lit("_new")).as("n_name"), col("n_regionkey")))
+    c.upsert("demo", "nat_up", b2, Seq("n_nationkey"))
+    val after = c.dataFilePaths("demo", "nat_up",
+      c.snapshots("demo", "nat_up").last).toSet
+    val noRewrite = before.subsetOf(after)
+    val eqFiles = c.filesMeta("demo", "nat_up")
+      .filter(col("content") === 2).count()
+    // compaction folds the pending deletes; the state must not move
+    val preCompact = c.readLatest("demo", "nat_up")
+      .orderBy("n_nationkey", "n_name").collect().toSeq
+    c.compact("demo", "nat_up")
+    val folded = c.snapshots("demo", "nat_up").last.eqDeletes.isEmpty &&
+      c.readLatest("demo", "nat_up").orderBy("n_nationkey", "n_name")
+        .collect().toSeq == preCompact
+    engine.query(graft.params.SqlStatement(
+      """SELECT count(*) AS total_n,
+        |       sum(n_nationkey) AS sum_key,
+        |       sum(n_regionkey) AS sum_rk,
+        |       sum(CASE WHEN n_name LIKE '%_u2' THEN 1 ELSE 0 END) AS n_u2
+        |FROM demo.nat_up""".stripMargin))
+      .withColumn("no_rewrite", lit(noRewrite))
+      .withColumn("eq_files", lit(eqFiles))
+      .withColumn("folded", lit(folded))
+  }
+
+  /** DuckDB twin of [[upsertDemo]] — last-wins replay over nation via
+    * anti-join + union chains, plus the observed physical facts.
+    */
+  val upsertDemoSql: String =
+    """WITH b1 AS (
+      |  SELECT n_nationkey, n_name || '_u1' AS n_name, n_regionkey
+      |  FROM nation WHERE n_regionkey = 2),
+      |b2 AS (
+      |  SELECT n_nationkey, n_name || '_u2' AS n_name, n_regionkey + 10 AS n_regionkey
+      |  FROM nation WHERE n_nationkey % 5 = 0
+      |  UNION ALL
+      |  SELECT n_nationkey + 100, n_name || '_new', n_regionkey
+      |  FROM nation WHERE n_nationkey < 3),
+      |s1 AS (
+      |  SELECT t.* FROM nation t ANTI JOIN b1 ON t.n_nationkey = b1.n_nationkey
+      |  UNION ALL SELECT * FROM b1),
+      |s2 AS (
+      |  SELECT t.* FROM s1 t ANTI JOIN b2 ON t.n_nationkey = b2.n_nationkey
+      |  UNION ALL SELECT * FROM b2)
+      |SELECT count(*) AS total_n,
+      |       CAST(sum(n_nationkey) AS BIGINT) AS sum_key,
+      |       CAST(sum(n_regionkey) AS BIGINT) AS sum_rk,
+      |       CAST(sum(CASE WHEN n_name LIKE '%_u2' THEN 1 ELSE 0 END) AS BIGINT) AS n_u2,
+      |       TRUE AS no_rewrite,
+      |       CAST(2 AS BIGINT) AS eq_files,
+      |       TRUE AS folded
+      |FROM s2""".stripMargin
+
   /** Catalog attachment end-to-end (Trino Iceberg's register_table /
     * unregister_table procedures + `ALTER TABLE EXECUTE add_files`):
     * adopt pre-existing parquet files IN PLACE (absolute-path manifest

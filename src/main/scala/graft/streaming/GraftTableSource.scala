@@ -224,7 +224,14 @@ final class GraftTableSink(spark: SparkSession,
         .groupBy(col(key))
         .agg(max_by(struct(data.columns.map(col).toIndexedSeq: _*), col(seqCol)).as("r"))
         .select(col("r.*"))
-      catalog.merge(schemaName, tableName, latest, key, txn)
+      // format_version = 2: equality-delete upsert — ONE append-shaped
+      // commit (batch rows + a key file), the target is never read or
+      // probed, so a small batch against a 100 TB table costs the batch.
+      // v1 tables keep the CoW MERGE (probe + touched-file rewrite).
+      if (catalog.formatVersion(schemaName, tableName) == 2)
+        catalog.upsert(schemaName, tableName, latest, Seq(key), txn)
+      else
+        catalog.merge(schemaName, tableName, latest, key, txn)
     } else if (!data.isEmpty) {
       catalog.insert(schemaName, tableName, data, txn)
     }

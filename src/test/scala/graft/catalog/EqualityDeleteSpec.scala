@@ -1,0 +1,141 @@
+package graft.catalog
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Equality deletes — Iceberg v2's second delete-file kind, the
+  * streaming-upsert write shape (Flink CDC writers): `upsert` commits
+  * the batch plus one key file WITHOUT reading the target; reads shadow
+  * prior rows whose keys match, but only in files the delete's
+  * `appliesTo` snapshot covers (the sequence-number rule), so later
+  * inserts of a deleted key stick. Compaction folds pending deletes.
+  */
+class EqualityDeleteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("v", StringType)))
+
+  private def freshCatalog(name: String): SnapshotCatalog = {
+    val c = new SnapshotCatalog(spark, tmpDir(name))
+    c.createSchema("s")
+    c
+  }
+
+  private def v2Table(c: SnapshotCatalog, t: String): Unit = {
+    c.createTable("s", t, schema, formatVersion = 2)
+    c.insert("s", t, Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v"))
+  }
+
+  private def state(c: SnapshotCatalog, t: String): Seq[(Long, String)] =
+    c.readLatest("s", t).as[(Long, String)].collect().sortBy(_._1).toSeq
+
+  test("upsert is last-wins and rewrites no data file") {
+    val c = freshCatalog("eq-basic")
+    v2Table(c, "t")
+    val before = c.dataFilePaths("s", "t", c.snapshots("s", "t").last).toSet
+    c.upsert("s", "t", Seq((2L, "B2"), (5L, "e")).toDF("id", "v"), Seq("id"))
+    assert(state(c, "t") == Seq((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "d"), (5L, "e")))
+    // every pre-upsert data file is still referenced — nothing rewritten
+    val after = c.dataFilePaths("s", "t", c.snapshots("s", "t").last).toSet
+    assert(before.subsetOf(after))
+    assert(c.snapshots("s", "t").last.eqDeletes.size == 1)
+  }
+
+  test("a later plain insert of an upsert-deleted key survives (sequence rule)") {
+    val c = freshCatalog("eq-seq")
+    v2Table(c, "t")
+    c.upsert("s", "t", Seq((2L, "B2")).toDF("id", "v"), Seq("id"))
+    c.insert("s", "t", Seq((2L, "B3")).toDF("id", "v"))
+    // both the upserted row and the re-inserted one live (the eq-delete
+    // covers only files of its appliesTo snapshot)
+    assert(state(c, "t").filter(_._1 == 2L).map(_._2).sorted == Seq("B2", "B3"))
+  }
+
+  test("chained upserts: the newest value wins across commits") {
+    val c = freshCatalog("eq-chain")
+    v2Table(c, "t")
+    c.upsert("s", "t", Seq((2L, "B2")).toDF("id", "v"), Seq("id"))
+    c.upsert("s", "t", Seq((2L, "B3"), (3L, "C2")).toDF("id", "v"), Seq("id"))
+    assert(state(c, "t") == Seq((1L, "a"), (2L, "B3"), (3L, "C2"), (4L, "d")))
+  }
+
+  test("positional MoR DELETE composes over equality-shadowed state") {
+    val c = freshCatalog("eq-mor")
+    v2Table(c, "t")
+    c.upsert("s", "t", Seq((2L, "B2")).toDF("id", "v"), Seq("id"))
+    c.delete("s", "t", col("id") === 2L) // kills the upserted row positionally
+    assert(state(c, "t") == Seq((1L, "a"), (3L, "c"), (4L, "d")))
+    c.delete("s", "t", col("v") === "a")
+    assert(state(c, "t") == Seq((3L, "c"), (4L, "d")))
+  }
+
+  test("time travel to the pre-upsert snapshot is untouched") {
+    val c = freshCatalog("eq-tt")
+    v2Table(c, "t")
+    c.upsert("s", "t", Seq((2L, "B2")).toDF("id", "v"), Seq("id"))
+    val pre = c.snapshots("s", "t").head
+    assert(c.readVersion("s", "t", pre.snapshotId)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+  }
+
+  test("compaction folds pending equality deletes; state unchanged") {
+    val c = freshCatalog("eq-compact")
+    v2Table(c, "t")
+    c.upsert("s", "t", Seq((2L, "B2"), (5L, "e")).toDF("id", "v"), Seq("id"))
+    val expect = state(c, "t")
+    c.compact("s", "t")
+    assert(c.snapshots("s", "t").last.eqDeletes.isEmpty)
+    assert(state(c, "t") == expect)
+  }
+
+  test("CDC across an upsert reports the shadowed row as delete + new rows as inserts") {
+    val c = freshCatalog("eq-cdc")
+    v2Table(c, "t")
+    c.upsert("s", "t", Seq((2L, "B2"), (5L, "e")).toDF("id", "v"), Seq("id"))
+    val snaps = c.snapshots("s", "t")
+    val ch = c.readChanges("s", "t", snaps.head.snapshotId, snaps.last.snapshotId)
+      .select($"id", $"v", $"_change_type").as[(Long, String, String)]
+      .collect().sortBy(r => (r._3, r._1)).toSeq
+    assert(ch == Seq((2L, "b", "delete"), (2L, "B2", "insert"), (5L, "e", "insert")))
+    // full replay invariant from empty
+    val all = c.readChanges("s", "t", 0L, snaps.last.snapshotId)
+      .select($"id", $"v", $"_change_type")
+    val ins = all.filter($"_change_type" === "insert").drop("_change_type")
+    val del = all.filter($"_change_type" === "delete").drop("_change_type")
+    val reconstructed = ins.exceptAll(del).as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(reconstructed == state(c, "t"))
+  }
+
+  test("transactional upsert is idempotent per (appId, version)") {
+    val c = freshCatalog("eq-txn")
+    v2Table(c, "t")
+    c.upsert("s", "t", Seq((2L, "B2")).toDF("id", "v"), Seq("id"), Some(("app", 7L)))
+    val n = c.snapshots("s", "t").size
+    c.upsert("s", "t", Seq((2L, "DUP")).toDF("id", "v"), Seq("id"), Some(("app", 7L)))
+    assert(c.snapshots("s", "t").size == n) // replay skipped
+    assert(state(c, "t").filter(_._1 == 2L) == Seq((2L, "B2")))
+  }
+
+  test("guards: v1 table and unknown key rejected; commit-log round-trips eq metadata") {
+    val c = freshCatalog("eq-guards")
+    c.createTable("s", "v1t", schema) // format_version = 1
+    c.insert("s", "v1t", Seq((1L, "a")).toDF("id", "v"))
+    intercept[IllegalArgumentException] {
+      c.upsert("s", "v1t", Seq((1L, "x")).toDF("id", "v"), Seq("id"))
+    }
+    v2Table(c, "t")
+    intercept[IllegalArgumentException] {
+      c.upsert("s", "t", Seq((1L, "x")).toDF("id", "v"), Seq("bogus"))
+    }
+    c.upsert("s", "t", Seq((2L, "B2")).toDF("id", "v"), Seq("id"))
+    // a FRESH catalog instance (new caches, re-parsed log) sees the same state
+    val c2 = new SnapshotCatalog(spark, c.warehouse)
+    assert(c2.readLatest("s", "t").as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "d")))
+    assert(c2.snapshots("s", "t").last.eqDeletes.head.keys == Seq("id"))
+  }
+}
