@@ -74,6 +74,10 @@ object DevFuzzDml {
     // place; relationally a UNION ALL of a fixed shifted-id nation slice
     // (ids offset ≥ 10^6 so no merge-mapped or base id ever collides)
     final case class AddF(k: Int, path: String) extends Op
+    // equality-delete upsert (format_version = 2 scenarios only):
+    // relationally anti-join-on-key + union of the batch — the batch is
+    // a filtered base-nation slice, so the oracle replays it exactly
+    final case class Ups(where: String) extends Op
 
     // ---- MERGE: source derived from the CURRENT state via an injective
     //      affine id map (unique ids → the cardinality rule can't fire),
@@ -111,12 +115,13 @@ object DevFuzzDml {
         if (rnd.nextBoolean()) Some(insPred()) else None)
     }
 
-    def genOps(scenario: Int, startPartitioned: Boolean): Seq[Op] = {
+    def genOps(scenario: Int, startPartitioned: Boolean,
+               allowUpsert: Boolean): Seq[Op] = {
       // replace drops the partition spec; add_files requires an
       // unpartitioned target — track layout state through the sequence
       var isPart = startPartitioned
       (0 until rnd.nextInt(4) + 3).map { k =>
-        rnd.nextInt(6) match {
+        rnd.nextInt(7) match {
           case 0 => Del(pred())
           case 1 => genMerge()
           case 4 =>
@@ -124,6 +129,7 @@ object DevFuzzDml {
             Repl(pred())
           case 5 if !isPart =>
             AddF(k, s"$outDir/ext_${scenario}_$k")
+          case 6 if allowUpsert => Ups(pred())
           case _ =>
             val sets = rnd.nextInt(3) match {
               case 0 => Seq("n_name" -> nameExpr())
@@ -147,6 +153,7 @@ object DevFuzzDml {
           s"SELECT n_nationkey, n_name, n_regionkey FROM fz.t WHERE $where"
       case AddF(_, path) =>
         s"ALTER TABLE fz.t EXECUTE add_files(location => '$path')"
+      case Ups(where) => s"-- catalog.upsert batch: base nation WHERE $where"
       case Mrg(mul, off, matched, insertCond) =>
         val srcSql = s"SELECT n_nationkey * $mul + $off AS id, " +
           "concat(n_name, '_s') AS nm, n_regionkey AS rk FROM fz.t"
@@ -186,6 +193,14 @@ object DevFuzzDml {
         Seq(s"s${k + 1} AS (SELECT * FROM $prev UNION ALL " +
           s"SELECT n_nationkey + ${1000000L + 1000L * ak} AS n_nationkey, " +
           "concat(n_name, '_x') AS n_name, n_regionkey FROM nation)")
+      case Ups(where) =>
+        // upsert = delete ALL rows whose key appears in the batch (the
+        // eq-delete covers every current file), then append the batch
+        Seq(s"b$k AS (SELECT n_nationkey, concat(n_name, '_up') AS n_name, " +
+          s"n_regionkey FROM nation WHERE coalesce($where, FALSE))",
+          s"s${k + 1} AS (SELECT t.* FROM $prev t " +
+            s"ANTI JOIN b$k ON t.n_nationkey = b$k.n_nationkey " +
+            s"UNION ALL SELECT * FROM b$k)")
       case Mrg(mul, off, matched, insertCond) =>
         val src = s"src$k"
         val m = s"m$k"
@@ -287,8 +302,18 @@ object DevFuzzDml {
         // while untouched files stay under the old one — mixed
         // generations in one live table
       }
-      val ops = genOps(i, partSpec.nonEmpty)
+      val ops = genOps(i, partSpec.nonEmpty, allowUpsert = mor)
       ops.foreach {
+        case Ups(where) =>
+          import org.apache.spark.sql.functions.{col, concat, expr, lit}
+          val batch = nation.filter(org.apache.spark.sql.functions
+              .coalesce(expr(where), lit(false)))
+            .select(col("n_nationkey"),
+              concat(col("n_name"), lit("_up")).as("n_name"),
+              col("n_regionkey"))
+          // an upsert needs a non-empty batch only relationally — an
+          // empty batch is a valid no-op commit too
+          engine.catalog.upsert("fz", "t", batch, Seq("n_nationkey"))
         case a @ AddF(ak, path) =>
           // write the external parquet the statement adopts: the shifted
           // nation slice, 2 files, types cast to the table's declared ones
