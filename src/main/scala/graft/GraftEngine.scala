@@ -319,9 +319,11 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
         val meta = catalog.materializedViewMeta(schema, view).getOrElse(
           throw new GraftQueryException(sqlText,
             s"Materialized view $schema.$view does not exist"))
-        catalog.refreshMaterializedView(schema, view,
+        val refreshed = catalog.refreshMaterializedView(schema, view,
           query(SqlStatement(meta._1)), referencedSources(meta._1))
-        catalog.readLatest(schema, view).count()
+        // the refresh wrote and footer-scanned the data already — the
+        // returned count is metadata arithmetic, not a second table scan
+        catalog.snapshotRowCount(schema, view, refreshed)
       case graft.catalog.DropMaterializedViewStmt(schema, view, ifExists) =>
         if (!catalog.isMaterializedView(schema, view)) {
           if (ifExists) 0L

@@ -255,7 +255,17 @@ object Manifests {
         if (a.valid && a.max != null) a.max.toString else null,
         a.nulls))
     }.toMap
-    DataFileEntry(relPath, rows, fileLen, footerBounds ++ partitionBounds(relPath, rows))
+    // hive `col=value` path segments carry the partition value the files
+    // themselves don't store — but ONLY for table-internal layouts.
+    // Files adopted in place (absolute entry paths, [[SnapshotCatalog
+    // .addFiles]]) live under arbitrary external directories whose names
+    // may LOOK hive-partitioned (`/lake/region=eu/`) while the files
+    // store the real column — letting the segment override the footer
+    // stats would fabricate min=max bounds and mis-prune
+    val pathBounds =
+      if (relPath.startsWith("/")) Map.empty[String, ColBounds]
+      else partitionBounds(relPath, rows)
+    DataFileEntry(relPath, rows, fileLen, footerBounds ++ pathBounds)
   }
 
   /** Raw parquet statistic → comparable bound value, or null to drop the
@@ -335,7 +345,12 @@ object Manifests {
   }
 
   /** Reverse hive partition-path escaping (%xx sequences). */
-  private def unescapePathName(s: String): String = {
+  /** Shared hive-path percent-decoding — also used by the manifest
+    * file index ([[org.apache.spark.sql.GraftManifestFileIndex]]), so
+    * the bounds tier and the scan tier can never decode a directory
+    * value differently.
+    */
+  def unescapePathName(s: String): String = {
     if (!s.contains('%')) return s
     val sb = new StringBuilder
     var i = 0

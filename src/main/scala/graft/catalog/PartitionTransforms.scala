@@ -46,7 +46,12 @@ final case class IdentityField(source: String) extends PartitionField {
   * XxHash64Function), so the two can never drift.
   */
 final case class BucketField(source: String, n: Int) extends PartitionField {
-  override def derivedName: String = s"${source}_bucket"
+  // the parameter is part of the directory key: after a spec retune
+  // (bucket(8) → bucket(16)) old files keep their old `_bucket_8=`
+  // segments, so a new-spec projection finds no bound under the new
+  // name and KEEPS them (conservative) instead of comparing a mod-16
+  // value against mod-8 directories and silently mis-pruning
+  override def derivedName: String = s"${source}_bucket_$n"
   override def specText: String = s"bucket($n, $source)"
   override def derive(c: Column, dt: DataType): Column =
     pmod(xxhash64(c), lit(n.toLong)).cast(IntegerType)
@@ -69,7 +74,9 @@ final case class BucketField(source: String, n: Int) extends PartitionField {
   * integers to w-sized aligned ranges (Iceberg's truncate transform).
   */
 final case class TruncateField(source: String, w: Int) extends PartitionField {
-  override def derivedName: String = s"${source}_trunc"
+  // width in the directory key for the same reason as BucketField: a
+  // retuned width must not compare against old-width directory values
+  override def derivedName: String = s"${source}_trunc_$w"
   override def specText: String = s"truncate($w, $source)"
   override def derive(c: Column, dt: DataType): Column = dt match {
     case StringType => substring(c, 1, w)
@@ -87,9 +94,10 @@ final case class TruncateField(source: String, w: Int) extends PartitionField {
 }
 
 /** `year/month/day/hour(col)` — calendar-bucket a timestamp or date
-  * source (UTC, the engine's session zone). Derived values are ordered
-  * integers (2023, 202303, 20230315, 2023031509), so directory values
-  * range-compare in the same order as time.
+  * source in the SESSION time zone (write side and literal projection
+  * agree on it). Derived values are ordered integers (2023, 202303,
+  * 20230315, 2023031509), so directory values range-compare in the
+  * same order as time.
   */
 final case class TimeField(source: String, unit: String) extends PartitionField {
   override def derivedName: String = s"${source}_$unit"
@@ -104,9 +112,18 @@ final case class TimeField(source: String, unit: String) extends PartitionField 
     }).cast(IntegerType)
   }
   override def deriveValue(v: Any, dt: DataType): Option[Any] = {
+    // the write side (`year(c)` etc.) extracts calendar fields in the
+    // SESSION time zone — the literal projection must use the same zone
+    // or a non-UTC session writes ts_month=202402 and probes 202403,
+    // silently pruning matching files. SQLConf.get is the active
+    // session's conf (this runs driver-side at plan time).
+    val zone =
+      try java.time.ZoneId.of(
+        org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+      catch { case _: Exception => java.time.ZoneOffset.UTC }
     val zdt: Option[java.time.ZonedDateTime] = v match {
-      case t: java.time.Instant   => Some(t.atZone(java.time.ZoneOffset.UTC))
-      case t: java.sql.Timestamp  => Some(t.toInstant.atZone(java.time.ZoneOffset.UTC))
+      case t: java.time.Instant   => Some(t.atZone(zone))
+      case t: java.sql.Timestamp  => Some(t.toInstant.atZone(zone))
       case d: java.time.LocalDate => Some(d.atStartOfDay(java.time.ZoneOffset.UTC))
       case d: java.sql.Date       => Some(d.toLocalDate.atStartOfDay(java.time.ZoneOffset.UTC))
       case _ => None

@@ -677,18 +677,24 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     require(statuses.nonEmpty, s"No parquet files under $location")
     val declared = declaredSchema(schema, table).getOrElse(
       throw new IllegalStateException(s"Table $schema.$table has no declared schema"))
-    val fileSchema = spark.read.parquet(statuses.head._1.toString).schema
-    declared.fields.foreach { f =>
-      val g = fileSchema.fields.find(_.name.equalsIgnoreCase(f.name)).getOrElse(
-        throw new IllegalArgumentException(
-          s"add_files: files lack declared column ${f.name}"))
-      require(g.dataType == f.dataType,
-        s"add_files: type mismatch on ${f.name}: table ${f.dataType.simpleString} " +
-          s"vs files ${g.dataType.simpleString}")
+    // EVERY file is validated (not a sample): external directories give
+    // no uniformity guarantee, and one mismatched file would fail or
+    // null out at read time AFTER the commit. One footer-schema read per
+    // file — driver-side metadata work proportional to the adopted count
+    statuses.foreach { case (p, _) =>
+      val fileSchema = spark.read.parquet(p.toString).schema
+      declared.fields.foreach { f =>
+        val g = fileSchema.fields.find(_.name.equalsIgnoreCase(f.name)).getOrElse(
+          throw new IllegalArgumentException(
+            s"add_files: $p lacks declared column ${f.name}"))
+        require(g.dataType == f.dataType,
+          s"add_files: type mismatch on ${f.name} in $p: " +
+            s"table ${f.dataType.simpleString} vs file ${g.dataType.simpleString}")
+      }
+      require(fileSchema.fields.length == declared.fields.length,
+        s"add_files: $p carries ${fileSchema.fields.length} columns, " +
+          s"table declares ${declared.fields.length}")
     }
-    require(fileSchema.fields.length == declared.fields.length,
-      s"add_files: files carry ${fileSchema.fields.length} columns, " +
-        s"table declares ${declared.fields.length}")
     val (commits, gen) = readCommitsWithGen(schema, table)
     val conf = spark.sparkContext.hadoopConfiguration
     val tableRoot = fs(dir).makeQualified(dir).toUri.getPath
@@ -1357,8 +1363,15 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           val commits = readCommits(schema, table)
           val f = fs(dir)
           eqDels.foldLeft(keyed) { (df, e) =>
-            val applies = commits.find(_.snapshotId == e.appliesTo).toSeq
-              .flatMap(s => dataFilePaths(schema, table, s))
+            // fail loud, never resurrect: expireSnapshots protects
+            // appliesTo-referenced snapshots, so an unresolvable id means
+            // a corrupted/hand-trimmed log — silent Nil would re-expose
+            // every shadowed row
+            val appliesSnap = commits.find(_.snapshotId == e.appliesTo).getOrElse(
+              throw new IllegalStateException(
+                s"Equality delete ${e.path} references snapshot ${e.appliesTo}, " +
+                  s"which is no longer in the commit log of $schema.$table"))
+            val applies = dataFilePaths(schema, table, appliesSnap)
               .map(rel => uriPath(f.makeQualified(new Path(dir, rel))))
             val delKeys = spark.read.parquet(new Path(dir, e.path).toString)
               .toDF(e.keys.map("__graft_eq_" + _): _*)
@@ -1473,7 +1486,15 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           // segments whose values live in the PATH, not the files —
           // basePath-anchored discovery recovers them (columns the pinned
           // schema doesn't declare are dropped by the schema projection)
-          if (relPaths.exists(_.contains("=")))
+          // table-INTERNAL relative paths only: an adopted absolute path
+          // (add_files) may contain meaningless `=` segments and lives
+          // outside the table root — basePath would reject it, and it
+          // has no hive values to recover anyway. The two kinds never
+          // share a snapshot (adoption requires an unpartitioned table;
+          // hive-segmented relative entries predate the spec-dropping
+          // replace that made it one).
+          if (relPaths.exists(p => p.contains("=") && !p.startsWith("/")) &&
+              !relPaths.exists(_.startsWith("/")))
             reader.option("basePath", dir.toString).parquet(paths: _*)
           else reader.parquet(paths: _*)
         }
@@ -2463,6 +2484,17 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     snap
   }
 
+  /** Row count of a snapshot from its manifest entries / footers —
+    * metadata-only for manifest-backed snapshots (exact: entries carry
+    * commit-time record counts). Only valid for snapshots without
+    * pending delete files (replace/append commits).
+    */
+  def snapshotRowCount(schema: String, table: String, snap: Snapshot): Long = {
+    require(snap.deletes.isEmpty && snap.eqDeletes.isEmpty,
+      "snapshotRowCount is exact only for delete-free snapshots")
+    filesOfSnapshot(schema, table, Some(snap)).map(_._3).sum
+  }
+
   /** Sources whose current head moved past the snapshot recorded at the
     * materialized view's last refresh (empty = fresh).
     */
@@ -2937,7 +2969,11 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       val curFiles = dataFilePaths(schema, table, cur).toSet
       val removed = prevFiles -- curFiles
       val newDeletes = cur.deletes.filterNot(prev.map(_.deletes.toSet).getOrElse(Set.empty))
-      if (removed.nonEmpty || newDeletes.nonEmpty) {
+      // a NEW equality delete (upsert commit) retracts rows without
+      // removing a file — still not append-only
+      val newEqDeletes = cur.eqDeletes
+        .filterNot(prev.map(_.eqDeletes.toSet).getOrElse(Set.empty))
+      if (removed.nonEmpty || newDeletes.nonEmpty || newEqDeletes.nonEmpty) {
         if (skipChangeCommits) None
         else throw new IllegalStateException(
           s"Commit ${cur.snapshotId} of $schema.$table is not append-only " +
@@ -3012,9 +3048,14 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       if (newEq.isEmpty) Set.empty
       else {
         val commits = readCommits(schema, table)
-        newEq.flatMap(e => commits.find(_.snapshotId == e.appliesTo).toSeq
-          .flatMap(s => dataFilePaths(schema, table, s))
-          .map(rel => uriPath(f.makeQualified(new Path(dir, rel))))).toSet
+        newEq.flatMap { e =>
+          val s = commits.find(_.snapshotId == e.appliesTo).getOrElse(
+            throw new IllegalStateException(
+              s"Equality delete ${e.path} references snapshot ${e.appliesTo}, " +
+                s"which is no longer in the commit log of $schema.$table"))
+          dataFilePaths(schema, table, s)
+            .map(rel => uriPath(f.makeQualified(new Path(dir, rel))))
+        }.toSet
       }
     val touched = removed ++ added ++ addressed ++ eqAddressed
     if (touched.isEmpty) return None
@@ -3234,7 +3275,15 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val (commits, gen) = readCommitsWithGen(schema, table)
     if (commits.isEmpty) return Nil
     val (expired, kept0) = commits.partition(_.committedAtMillis < olderThanMillis)
-    val kept = if (kept0.isEmpty) Seq(commits.last) else kept0
+    val kept1 = if (kept0.isEmpty) Seq(commits.last) else kept0
+    // a retained snapshot's equality deletes resolve their covered file
+    // set through their appliesTo snapshot (readSnapshotMeta) — expiring
+    // that snapshot would silently resurrect the shadowed rows, so
+    // appliesTo-referenced snapshots are protected like ref heads
+    val eqRefs = (kept1 ++ refSnapshots(schema, table))
+      .flatMap(_.eqDeletes.map(_.appliesTo)).toSet
+    val kept = commits.filter(c =>
+      kept1.exists(_.snapshotId == c.snapshotId) || eqRefs(c.snapshotId))
     val reallyExpired = commits.filterNot(c => kept.exists(_.snapshotId == c.snapshotId))
     if (reallyExpired.isEmpty) return Nil
     // delete-file dirs participate like data dirs: referenced by a kept
@@ -3475,9 +3524,20 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val basePaths =
       if (common == 0) Set.empty[String]
       else manifestEntriesOf(dir, branchC(common - 1)).map(_.path).toSet
-    val added = manifestEntriesOf(dir, branchC.last)
-      .filterNot(e => basePaths.contains(e.path))
     val mainHead = mainC.last
+    // exclude entries main ALREADY references: a prior merge attempt that
+    // committed main but lost the branch-rebase CAS leaves the replay in
+    // main — a retry must not append the same files twice (entry paths
+    // are attempt-unique, so path identity is file identity)
+    val mainPaths = manifestEntriesOf(dir, mainHead).map(_.path).toSet
+    val added = manifestEntriesOf(dir, branchC.last)
+      .filterNot(e => basePaths.contains(e.path) || mainPaths.contains(e.path))
+    if (added.isEmpty) {
+      // nothing left to replay (retry after a half-completed merge):
+      // only the branch rebase remains
+      branch(name).writeCommits(schema, table, mainC, branchGen)
+      return branchNew.length.toLong
+    }
     val carried = mainHead.manifestList.toSeq.flatMap(readManifestList(dir, _))
     val names = carried ++
       (if (added.nonEmpty) Seq(writeManifest(dir, added)) else Nil)

@@ -796,7 +796,7 @@ object CatalogDemos {
     def dirVals(prefix: String) =
       rewritten.flatMap(_.split('/').find(_.startsWith(prefix)))
     val oneYear = rewritten.nonEmpty && dirVals("o_orderdate_year=").size == 1
-    val oneBucket = rewritten.nonEmpty && dirVals("o_orderkey_bucket=").size == 1
+    val oneBucket = rewritten.nonEmpty && dirVals("o_orderkey_bucket_").size == 1
     engine.query(graft.params.SqlStatement(
       """SELECT COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total

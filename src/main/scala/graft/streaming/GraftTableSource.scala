@@ -214,6 +214,9 @@ final class GraftTableSink(spark: SparkSession,
     // does for its callers)
     val data = org.apache.spark.sql.GraftStreamBridge.asBatch(spark, rawData.toDF())
     val txn = txnAppId.map(_ -> batchId)
+    // an empty micro-batch commits nothing in EITHER mode — an idle
+    // upsert stream must not grow the snapshot log / eq-delete chain
+    if (data.isEmpty) return
     if (upsert) {
       val key = parameters.getOrElse("key",
         throw new IllegalArgumentException("graft-table upsert sink requires option 'key'"))
@@ -232,7 +235,7 @@ final class GraftTableSink(spark: SparkSession,
         catalog.upsert(schemaName, tableName, latest, Seq(key), txn)
       else
         catalog.merge(schemaName, tableName, latest, key, txn)
-    } else if (!data.isEmpty) {
+    } else {
       catalog.insert(schemaName, tableName, data, txn)
     }
   }

@@ -162,7 +162,7 @@ final class GraftManifestFileIndex(
       val eq = seg.indexOf('=')
       if (eq <= 0) None
       else Some(seg.substring(0, eq).toLowerCase(java.util.Locale.ROOT) ->
-        unescapePathName(seg.substring(eq + 1)))
+        Manifests.unescapePathName(seg.substring(eq + 1)))
     }.toMap
     val values: Array[Any] = partitionSchema.fields.map { f =>
       segs.get(f.name.toLowerCase(java.util.Locale.ROOT)) match {
@@ -177,19 +177,4 @@ final class GraftManifestFileIndex(
     new GenericInternalRow(values)
   }
 
-  private def unescapePathName(s: String): String = {
-    if (!s.contains('%')) return s
-    val sb = new StringBuilder
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length) {
-        try {
-          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
-          i += 3
-        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
 }

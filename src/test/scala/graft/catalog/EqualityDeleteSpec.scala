@@ -138,4 +138,31 @@ class EqualityDeleteSpec extends SparkSpec {
       Seq((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "d")))
     assert(c2.snapshots("s", "t").last.eqDeletes.head.keys == Seq("id"))
   }
+
+  test("expire protects the appliesTo snapshot — shadowed rows never resurrect") {
+    val c = freshCatalog("eq-expire")
+    v2Table(c, "t")
+    c.upsert("s", "t", Seq((2L, "B2")).toDF("id", "v"), Seq("id"))
+    // aggressive expiry: everything older than the head. WITHOUT the
+    // appliesTo protection this trims snapshot 1 and the read would
+    // silently re-expose (2, 'b')
+    c.expireSnapshots("s", "t", c.snapshots("s", "t").last.committedAtMillis)
+    assert(c.snapshots("s", "t").exists(_.snapshotId == 1L),
+      "the eq-delete's appliesTo snapshot must survive expiry")
+    assert(state(c, "t") == Seq((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "d")))
+  }
+
+  test("the append-only streaming contract rejects upsert commits (fail loud)") {
+    val c = freshCatalog("eq-append")
+    v2Table(c, "t")
+    c.upsert("s", "t", Seq((2L, "B2")).toDF("id", "v"), Seq("id"))
+    val snaps = c.snapshots("s", "t")
+    val ex = intercept[IllegalStateException] {
+      c.appendsBetween("s", "t", snaps.head.snapshotId, snaps.last.snapshotId)
+    }
+    assert(ex.getMessage.contains("not append-only"))
+    // skipChangeCommits drops the upsert commit instead of throwing
+    assert(c.appendsBetween("s", "t", snaps.head.snapshotId,
+      snaps.last.snapshotId, skipChangeCommits = true).count() == 0L)
+  }
 }

@@ -119,6 +119,23 @@ class RegisterAddFilesSpec extends SparkSpec {
     assert(c.readLatest("s", "t").agg(sum("id")).head.getLong(0) == 1L + 10 + 12)
   }
 
+  test("hive-looking external dir names never fabricate bounds for adopted files") {
+    val c = freshCatalog("addf-hive")
+    c.createTable("s", "t", schema)
+    // external layout whose DIRECTORY looks hive-partitioned on a real
+    // column with MIXED values inside the files — a path-derived
+    // min=max='zz' bound would prune the file for any other predicate
+    val ext = tmpDir("addf-hive-ext")
+    Seq((1L, "aa"), (2L, "zz")).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$ext/v=zz")
+    c.addFiles("s", "t", ext)
+    // both rows reachable through a v-predicate (bounds must come from
+    // the FOOTER, which spans aa..zz)
+    assert(c.readLatest("s", "t").filter(col("v") === "aa").count() == 1L)
+    c.delete("s", "t", col("v") === "aa")
+    assert(c.readLatest("s", "t").count() == 1L)
+  }
+
   test("add_files rejects duplicates, schema mismatch, partitioned targets") {
     val c = freshCatalog("addf-bad")
     c.createTable("s", "t", schema)

@@ -73,12 +73,12 @@ class TransformPartitionSpec extends SparkSpec {
       (k, ts("2023-01-01 00:00:00"), k)).toDF("id", "ts", "v"))
     val snap = c.snapshots("s", "b").last
     val before = c.dataFilePaths("s", "b", snap).toSet
-    val buckets = before.flatMap(_.split('/').find(_.startsWith("id_bucket=")))
+    val buckets = before.flatMap(_.split('/').find(_.startsWith("id_bucket_")))
     assert(buckets.size >= 4, s"64 keys should spread over buckets, got $buckets")
     c.delete("s", "b", col("id") === 17L)
     val after = c.dataFilePaths("s", "b", c.snapshots("s", "b").last).toSet
     val rewritten = before.diff(after)
-    val rewrittenBuckets = rewritten.flatMap(_.split('/').find(_.startsWith("id_bucket=")))
+    val rewrittenBuckets = rewritten.flatMap(_.split('/').find(_.startsWith("id_bucket_")))
     assert(rewrittenBuckets.size === 1,
       s"id=17 lives in ONE bucket; only its files may rewrite, got $rewritten")
     assert(c.readLatest("s", "b").count() === 63)
@@ -92,12 +92,12 @@ class TransformPartitionSpec extends SparkSpec {
     c.insert("s", "tr", Seq(("alpha", 1L), ("alps", 2L), ("beta", 3L), ("bear", 4L))
       .toDF("k", "v"))
     val paths = c.dataFilePaths("s", "tr", c.snapshots("s", "tr").last)
-    assert(paths.exists(_.contains("k_trunc=al")) && paths.exists(_.contains("k_trunc=be")),
+    assert(paths.exists(_.contains("k_trunc_2=al")) && paths.exists(_.contains("k_trunc_2=be")),
       paths.toString)
     val before = paths.toSet
     c.updateCounted("s", "tr", Seq("v" -> lit(99L)), col("k") === "beta")
     val after = c.dataFilePaths("s", "tr", c.snapshots("s", "tr").last).toSet
-    assert(before.diff(after).forall(_.contains("k_trunc=be")),
+    assert(before.diff(after).forall(_.contains("k_trunc_2=be")),
       "only the be-prefix partition may rewrite")
     assert(c.readLatest("s", "tr").filter($"k" === "beta")
       .select("v").as[Long].head() === 99L)
@@ -119,7 +119,7 @@ class TransformPartitionSpec extends SparkSpec {
     assert(rewritten.nonEmpty)
     assert(rewritten.forall(_.contains("ts_month=202301")),
       s"month prune failed: $rewritten")
-    assert(rewritten.flatMap(_.split('/').find(_.startsWith("id_bucket="))).size === 1,
+    assert(rewritten.flatMap(_.split('/').find(_.startsWith("id_bucket_"))).size === 1,
       s"bucket prune failed: $rewritten")
     assert(c.readLatest("s", "mb").count() === 47)
   }
@@ -141,7 +141,7 @@ class TransformPartitionSpec extends SparkSpec {
     c.compact("s", "life")
     assert(c.readLatest("s", "life").count() === 7)
     assert(c.dataFilePaths("s", "life", c.snapshots("s", "life").last)
-      .forall(p => p.contains("ts_month=") && p.contains("id_bucket=")))
+      .forall(p => p.contains("ts_month=") && p.contains("id_bucket_")))
     c.expireSnapshots("s", "life", c.snapshots("s", "life").last.committedAtMillis)
     assert(c.readLatest("s", "life").agg(sum("v")).as[Long].head() ===
       (210L - 10L + 111L + 999L))
@@ -168,7 +168,7 @@ class TransformPartitionSpec extends SparkSpec {
       c.createTable("s", "bad1", schema, partitionedBy = Seq("month(v)")))
     intercept[IllegalArgumentException](
       c.createTable("s", "bad2", StructType(Seq(
-        StructField("id", LongType), StructField("id_bucket", LongType))),
+        StructField("id", LongType), StructField("id_bucket_4", LongType))),
         partitionedBy = Seq("bucket(4, id)")))
     intercept[IllegalArgumentException](
       c.createTable("s", "bad3", schema, partitionedBy = Seq("truncate(2, ts)")))
@@ -176,5 +176,27 @@ class TransformPartitionSpec extends SparkSpec {
     c.createTable("s", "g", schema, partitionedBy = Seq("month(ts)"))
     intercept[IllegalArgumentException](c.dropColumn("s", "g", "ts"))
     intercept[IllegalArgumentException](c.renameColumn("s", "g", "ts", "ts2"))
+  }
+
+  test("retuned bucket spec never mis-prunes pre-evolution files") {
+    import spark.implicits._
+    val c = freshCatalog()
+    c.createTable("s", "ret", StructType(Seq(
+        StructField("id", LongType), StructField("v", LongType))),
+      partitionedBy = Seq("bucket(8, id)"))
+    c.insert("s", "ret", (1L to 64L).map(k => (k, k)).toDF("id", "v"))
+    c.setPartitionSpec("s", "ret", Seq("bucket(16, id)"))
+    c.insert("s", "ret", (65L to 96L).map(k => (k, k)).toDF("id", "v"))
+    // point lookups across BOTH generations: the parameterized derived
+    // name (id_bucket_8 vs id_bucket_16) keeps old files out of the new
+    // projection's value space — a mod-16 probe against mod-8 dirs would
+    // silently drop rows
+    (1L to 96L by 7L).foreach { k =>
+      assert(c.readLatest("s", "ret").filter(col("id") === k).count() == 1L,
+        s"id=$k must be found across partition-spec generations")
+    }
+    // and a DELETE through the probe path removes exactly its row
+    c.delete("s", "ret", col("id") === 5L)
+    assert(c.readLatest("s", "ret").count() == 95L)
   }
 }
