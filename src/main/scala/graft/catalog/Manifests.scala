@@ -177,12 +177,34 @@ object Manifests {
     * without them a partition-scoped DELETE could not skip files by
     * bounds at all.
     */
-  def footerEntry(conf: Configuration, file: Path, relPath: String,
-                  fileLen: Long): DataFileEntry = {
-    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-    import org.apache.parquet.schema.LogicalTypeAnnotation
+  /** [[footerEntry]] plus the file's Spark-visible schema from the SAME
+    * footer read — what [[SnapshotCatalog.addFiles]] needs: per-file
+    * schema validation without a second footer open or a per-file
+    * DataFrameReader resolution.
+    */
+  def footerEntryWithSchema(conf: Configuration, file: Path, relPath: String,
+                            fileLen: Long)
+    : (DataFileEntry, org.apache.spark.sql.types.StructType) = {
     val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
       conf, file, org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+    val sparkSchema = new org.apache.spark.sql.execution.datasources.parquet
+      .ParquetToSparkSchemaConverter(org.apache.spark.sql.internal.SQLConf.get)
+      .convert(footer.getFileMetaData.getSchema)
+    (entryFromFooter(footer, relPath, fileLen), sparkSchema)
+  }
+
+  def footerEntry(conf: Configuration, file: Path, relPath: String,
+                  fileLen: Long): DataFileEntry =
+    entryFromFooter(
+      org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+        conf, file, org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER),
+      relPath, fileLen)
+
+  private def entryFromFooter(
+      footer: org.apache.parquet.hadoop.metadata.ParquetMetadata,
+      relPath: String, fileLen: Long): DataFileEntry = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
     val blocks = footer.getBlocks.asScala.toSeq
     val rows = blocks.map(_.getRowCount).sum
     // (kind, min, max, nulls, boundsValid) per column, accumulated over blocks

@@ -94,36 +94,53 @@ final case class TruncateField(source: String, w: Int) extends PartitionField {
 }
 
 /** `year/month/day/hour(col)` — calendar-bucket a timestamp or date
-  * source in the SESSION time zone (write side and literal projection
-  * agree on it). Derived values are ordered integers (2023, 202303,
-  * 20230315, 2023031509), so directory values range-compare in the
-  * same order as time.
+  * source in FIXED UTC (Iceberg's rule), independent of any session's
+  * time zone — zone-dependent directory values would mis-prune probes
+  * from differently-zoned sessions. Derived values are ordered integers
+  * (2023, 202303, 20230315, 2023031509), so directory values
+  * range-compare in the same order as time.
   */
 final case class TimeField(source: String, unit: String) extends PartitionField {
   override def derivedName: String = s"${source}_$unit"
   override def specText: String = s"$unit($source)"
   override def derive(c: Column, dt: DataType): Column = {
-    val y = year(c) * 10000 + month(c) * 100 + dayofmonth(c) // yyyymmdd
+    // TimestampType holds UTC micros; `year(c)` would extract calendar
+    // fields in the SESSION zone — directory values would then depend on
+    // the writing session's zone, and a probe from a differently-zoned
+    // session (or the pinned-UTC deriveValue) would silently mis-prune.
+    // Fixed rule instead (Iceberg's): transforms are UTC. The UTC date
+    // is computed zone-independently from the raw epoch: floor-div to
+    // days, then calendar arithmetic on DateType (which has no zone).
+    val base: Column = dt match {
+      case TimestampType =>
+        val us = unix_micros(c)
+        val day = lit(86400000000L)
+        // decimal division: the day-aligned numerator can exceed 2^53,
+        // where double division would round; pmod floors negatives
+        date_add(to_date(lit("1970-01-01")),
+          ((us - pmod(us, day)).cast(DecimalType(28, 0)) / day)
+            .cast(IntegerType))
+      case _ => c // DateType / TIMESTAMP_NTZ: calendar fields are zone-free
+    }
+    val utcHour: Column = dt match {
+      case TimestampType =>
+        (pmod(unix_micros(c), lit(86400000000L)) / lit(3600000000L))
+          .cast(IntegerType)
+      case _ => hour(c)
+    }
+    val y = year(base) * 10000 + month(base) * 100 + dayofmonth(base) // yyyymmdd
     (unit match {
-      case "year"  => year(c)
-      case "month" => year(c) * 100 + month(c)
+      case "year"  => year(base)
+      case "month" => year(base) * 100 + month(base)
       case "day"   => y
-      case "hour"  => y * 100 + hour(c)
+      case "hour"  => y * 100 + utcHour
     }).cast(IntegerType)
   }
   override def deriveValue(v: Any, dt: DataType): Option[Any] = {
-    // the write side (`year(c)` etc.) extracts calendar fields in the
-    // SESSION time zone — the literal projection must use the same zone
-    // or a non-UTC session writes ts_month=202402 and probes 202403,
-    // silently pruning matching files. SQLConf.get is the active
-    // session's conf (this runs driver-side at plan time).
-    val zone =
-      try java.time.ZoneId.of(
-        org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
-      catch { case _: Exception => java.time.ZoneOffset.UTC }
+    // literals project in the same fixed UTC rule the write side uses
     val zdt: Option[java.time.ZonedDateTime] = v match {
-      case t: java.time.Instant   => Some(t.atZone(zone))
-      case t: java.sql.Timestamp  => Some(t.toInstant.atZone(zone))
+      case t: java.time.Instant   => Some(t.atZone(java.time.ZoneOffset.UTC))
+      case t: java.sql.Timestamp  => Some(t.toInstant.atZone(java.time.ZoneOffset.UTC))
       case d: java.time.LocalDate => Some(d.atStartOfDay(java.time.ZoneOffset.UTC))
       case d: java.sql.Date       => Some(d.toLocalDate.atStartOfDay(java.time.ZoneOffset.UTC))
       case _ => None

@@ -480,6 +480,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     require(!sortSpec(schema, table).flatMap(sortEntryCols).exists(_.equalsIgnoreCase(name)),
       s"Cannot drop sort column $name of $schema.$table " +
         "(the table's sorted_by clustering references it)")
+    requireNoEqDeleteKey(schema, table, name, "drop")
     require(current.fields.length > 1,
       s"Cannot drop the only column of $schema.$table")
     writeString(new Path(tableDir(schema, table), "_table_schema.json"),
@@ -491,6 +492,25 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     if (blooms.exists(_.equalsIgnoreCase(name)))
       writeString(new Path(tableDir(schema, table), "_bloom_columns.json"),
         blooms.filterNot(_.equalsIgnoreCase(name)).mkString("\n"))
+  }
+
+  /** Reject column DDL on a pending equality-delete KEY: the eq
+    * anti-join rebuilds `col(key)` against CURRENT reads, so renaming or
+    * dropping the key would make every read — including the compact()
+    * that folds the delete — throw UNRESOLVED_COLUMN, bricking the
+    * table. Same hazard class as the sort-column guard; the remedy is
+    * `ALTER TABLE … EXECUTE optimize` first (folds deletes to zero).
+    * Branch heads are checked too (a branch read pays the same join).
+    */
+  private def requireNoEqDeleteKey(schema: String, table: String,
+                                   name: String, verb: String): Unit = {
+    val heads = readCommits(schema, table).lastOption.toSeq ++
+      listBranches(schema, table).flatMap(b =>
+        branch(b).readCommitsWithGen(schema, table)._1.lastOption)
+    require(!heads.exists(_.eqDeletes.exists(_.keys.exists(_.equalsIgnoreCase(name)))),
+      s"Cannot $verb column $name of $schema.$table: it is a pending " +
+        "equality-delete key — run ALTER TABLE … EXECUTE optimize to fold " +
+        "the deletes first")
   }
 
   /** `ALTER TABLE … RENAME COLUMN old TO new`: metadata-only rename in the
@@ -511,6 +531,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       s"Column $to already exists in $schema.$table")
     require(!partitionFields(schema, table).exists(_.source.equalsIgnoreCase(from)),
       s"Cannot rename partition (source) column $from of $schema.$table")
+    requireNoEqDeleteKey(schema, table, from, "rename")
     require(to.matches("""[A-Za-z_]\w*"""), s"Malformed column name: '$to'")
     validateColumnName(to, formatVersion(schema, table))
     writeString(new Path(tableDir(schema, table), "_table_schema.json"),
@@ -677,12 +698,19 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     require(statuses.nonEmpty, s"No parquet files under $location")
     val declared = declaredSchema(schema, table).getOrElse(
       throw new IllegalStateException(s"Table $schema.$table has no declared schema"))
+    val (commits, gen) = readCommitsWithGen(schema, table)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tableRoot = fs(dir).makeQualified(dir).toUri.getPath
     // EVERY file is validated (not a sample): external directories give
     // no uniformity guarantee, and one mismatched file would fail or
-    // null out at read time AFTER the commit. One footer-schema read per
-    // file — driver-side metadata work proportional to the adopted count
-    statuses.foreach { case (p, _) =>
-      val fileSchema = spark.read.parquet(p.toString).schema
+    // null out at read time AFTER the commit. The schema comes from the
+    // SAME footer read that builds the entry's bounds — one footer open
+    // per file total, driver-side metadata work
+    val entries0 = statuses.map { case (p, len) =>
+      val abs = fs(p).makeQualified(p).toUri.getPath
+      require(!abs.startsWith(tableRoot + "/"),
+        s"add_files location is inside the table directory: $p")
+      val (entry, fileSchema) = Manifests.footerEntryWithSchema(conf, p, abs, len)
       declared.fields.foreach { f =>
         val g = fileSchema.fields.find(_.name.equalsIgnoreCase(f.name)).getOrElse(
           throw new IllegalArgumentException(
@@ -694,15 +722,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       require(fileSchema.fields.length == declared.fields.length,
         s"add_files: $p carries ${fileSchema.fields.length} columns, " +
           s"table declares ${declared.fields.length}")
-    }
-    val (commits, gen) = readCommitsWithGen(schema, table)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val tableRoot = fs(dir).makeQualified(dir).toUri.getPath
-    val entries0 = statuses.map { case (p, len) =>
-      val abs = fs(p).makeQualified(p).toUri.getPath
-      require(!abs.startsWith(tableRoot + "/"),
-        s"add_files location is inside the table directory: $p")
-      Manifests.footerEntry(conf, p, abs, len)
+      entry
     }
     val existing = commits.lastOption.toSeq.flatMap(manifestEntriesOf(dir, _))
       .map(e => entryKey(tableRoot, e)).toSet
@@ -780,22 +800,32 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val dir = tableDir(schema, table)
     val (commits, gen) = readCommitsWithGen(schema, table)
     df.schema.fieldNames.foreach(validateColumnName(_, formatVersion(schema, table)))
+    val last = commits.lastOption
+    val id = last.map(_.snapshotId).getOrElse(0L) + 1
+    val at = math.max(System.currentTimeMillis(),
+      last.map(_.committedAtMillis + 1).getOrElse(0L))
+    // ORDER MATTERS: data write → commit CAS → metadata mutation. The
+    // write may fail mid-query (it can read the table being replaced)
+    // and the CAS may lose to a concurrent writer — in both cases the
+    // table must be untouched (the staged snap dir is orphan debris,
+    // reclaimed by remove_orphan_files). Mutating the declared schema
+    // or layout markers FIRST corrupted the table on any such failure.
+    val snapDir = snapDirName(schema, table, attemptTag(id))
+    df.write.mode("errorifexists").parquet(new Path(dir, snapDir).toString)
+    // no blooms: the replacement resets bloom columns, and the OLD ones
+    // may not exist in the new schema
+    val newEntries = scanEntries(dir, snapDir, bloomOverride = Some(Nil))
+    val names = if (newEntries.nonEmpty) Seq(writeManifest(dir, newEntries)) else Nil
+    val snap = Snapshot(id, at, Nil, Some(df.schema.json), Some("replace"),
+      Nil, Some(writeManifestList(dir, names)))
+    writeCommits(schema, table, commits :+ snap, gen)
+    // layout properties that could reference replaced columns reset;
+    // each write below is individually atomic (temp + rename)
     for (m <- Seq("_partition_spec.json", "_sorted_by.json", "_bloom_columns.json")) {
       val p = new Path(dir, m)
       fs(p).delete(p, false)
     }
     writeString(new Path(dir, "_table_schema.json"), df.schema.json)
-    val last = commits.lastOption
-    val id = last.map(_.snapshotId).getOrElse(0L) + 1
-    val at = math.max(System.currentTimeMillis(),
-      last.map(_.committedAtMillis + 1).getOrElse(0L))
-    val snapDir = snapDirName(schema, table, attemptTag(id))
-    df.write.mode("errorifexists").parquet(new Path(dir, snapDir).toString)
-    val newEntries = scanEntries(dir, snapDir)
-    val names = if (newEntries.nonEmpty) Seq(writeManifest(dir, newEntries)) else Nil
-    val snap = Snapshot(id, at, Nil, Some(df.schema.json), Some("replace"),
-      Nil, Some(writeManifestList(dir, names)))
-    writeCommits(schema, table, commits :+ snap, gen)
     newEntries.map(_.rows).sum
   }
 
@@ -874,28 +904,34 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val id = prior.map(_.snapshotId).getOrElse(0L) + 1
     val at = math.max(System.currentTimeMillis(),
       prior.map(_.committedAtMillis + 1).getOrElse(0L))
-    val eq: Seq[EqDelete] = prior match {
-      case Some(p) =>
-        // the delete file: the batch's distinct key tuples — KB-scale
-        val delDir = s"eqdel-${attemptTag(id)}"
-        df.select(keys.map(org.apache.spark.sql.functions.col): _*)
-          .distinct().coalesce(1)
-          .write.mode("errorifexists").parquet(new Path(dir, delDir).toString)
-        p.eqDeletes :+ EqDelete(delDir, keys, p.snapshotId)
-      case None => Nil // empty table: nothing to shadow
-    }
-    val snapDir = snapDirName(schema, table, attemptTag(id))
-    partitionedWriter(schema, table, df)
-      .mode("errorifexists").parquet(new Path(dir, snapDir).toString)
-    val (carried, _) = carryManifests(schema, table, prior, Set.empty)
-    val newEntries = scanEntries(dir, snapDir)
-    val names = carried ++
-      (if (newEntries.nonEmpty) Seq(writeManifest(dir, newEntries)) else Nil)
-    val ml = writeManifestList(dir, compactManifestSet(dir, names))
-    val snap = Snapshot(id, at, Nil, declared.map(_.json), Some("overwrite"),
-      prior.map(_.deletes).getOrElse(Nil), Some(ml), txn, eq)
-    writeCommits(schema, table, commits :+ snap, gen)
-    snap
+    // the batch evaluates ONCE: through the sink it is a per-batch
+    // aggregation (or an arbitrary caller query) — without the persist
+    // the key-file write and the data write would each recompute it
+    val batch = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val eq: Seq[EqDelete] = prior match {
+        case Some(p) =>
+          // the delete file: the batch's distinct key tuples — KB-scale
+          val delDir = s"eqdel-${attemptTag(id)}"
+          batch.select(keys.map(org.apache.spark.sql.functions.col): _*)
+            .distinct().coalesce(1)
+            .write.mode("errorifexists").parquet(new Path(dir, delDir).toString)
+          p.eqDeletes :+ EqDelete(delDir, keys, p.snapshotId)
+        case None => Nil // empty table: nothing to shadow
+      }
+      val snapDir = snapDirName(schema, table, attemptTag(id))
+      partitionedWriter(schema, table, batch)
+        .mode("errorifexists").parquet(new Path(dir, snapDir).toString)
+      val (carried, _) = carryManifests(schema, table, prior, Set.empty)
+      val newEntries = scanEntries(dir, snapDir)
+      val names = carried ++
+        (if (newEntries.nonEmpty) Seq(writeManifest(dir, newEntries)) else Nil)
+      val ml = writeManifestList(dir, compactManifestSet(dir, names))
+      val snap = Snapshot(id, at, Nil, declared.map(_.json), Some("overwrite"),
+        prior.map(_.deletes).getOrElse(Nil), Some(ml), txn, eq)
+      writeCommits(schema, table, commits :+ snap, gen)
+      snap
+    } finally batch.unpersist()
   }
 
   /** Latest committed snapshot recording writer `appId` at version >=
@@ -1118,7 +1154,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * commit's own output only), capturing record count + column bounds so
     * later metadata queries and DML probes never reopen these footers.
     */
-  private def scanEntries(dir: Path, entryRel: String): Seq[DataFileEntry] = {
+  private def scanEntries(dir: Path, entryRel: String,
+                          bloomOverride: Option[Seq[String]] = None): Seq[DataFileEntry] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val tableKey = fs(dir).makeQualified(dir).toUri.getPath
     val statuses = dataFileStatusesUnder(new Path(dir, entryRel))
@@ -1136,7 +1173,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     // files builds per-file equality blooms into the manifest entries —
     // the commit-time cost is bounded by the commit's own data volume,
     // never the table's
-    val bloomCols = bloomColumnsAt(dir)
+    val bloomCols = bloomOverride.getOrElse(bloomColumnsAt(dir))
     if (bloomCols.isEmpty || statuses.isEmpty) withTotals
     else {
       val byPath = Blooms.bloomsFor(spark, statuses.map(_._1.toString), bloomCols,
@@ -1494,9 +1531,25 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           // hive-segmented relative entries predate the spec-dropping
           // replace that made it one).
           if (relPaths.exists(p => p.contains("=") && !p.startsWith("/")) &&
-              !relPaths.exists(_.startsWith("/")))
-            reader.option("basePath", dir.toString).parquet(paths: _*)
-          else reader.parquet(paths: _*)
+              !relPaths.exists(_.startsWith("/"))) {
+            // Spark APPENDS discovered partition columns absent from a
+            // user schema (it does not drop them) — `_snap` and derived
+            // transform dirs must be declared-then-dropped or they leak
+            // into the pre-replace snapshot's output schema
+            val declNames = declared.toSeq.flatMap(_.fieldNames)
+              .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+            val extras = relPaths.flatMap(_.split('/'))
+              .filter(s => s.indexOf('=') > 0)
+              .map(s => s.substring(0, s.indexOf('=')))
+              .distinct
+              .filterNot(k => declNames(k.toLowerCase(java.util.Locale.ROOT)))
+            val withExtras = declared.map(s0 => extras.foldLeft(s0)(
+              _.add(_, org.apache.spark.sql.types.StringType, nullable = true)))
+            withExtras.map(spark.read.schema(_)).getOrElse(spark.read)
+              .option("basePath", dir.toString)
+              .parquet(paths: _*)
+              .drop(extras: _*)
+          } else reader.parquet(paths: _*)
         }
         else if (relPaths.forall(_.startsWith("_snap="))) {
           // derived transform-partition dirs (`ts_month=…`) scan as extra

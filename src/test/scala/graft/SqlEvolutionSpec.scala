@@ -226,5 +226,33 @@ class SqlEvolutionSpec extends SparkSpec {
       "SELECT id, grp FROM demo.p FOR VERSION AS OF 2 ORDER BY id"))
       .as[(Long, String)].collect().toSeq
     assert(v2 == Seq((1L, "a"), (2L, "b"), (4L, "b")))
+    // SELECT * over a pre-replace snapshot presents EXACTLY the pinned
+    // schema — no leaked _snap / discovered partition columns, pinned
+    // column order (Spark APPENDS discovered partition columns absent
+    // from a user schema; the read must declare-then-drop them)
+    assert(e.query(SqlStatement("SELECT * FROM demo.p FOR VERSION AS OF 2"))
+      .schema.fieldNames.toSeq == Seq("id", "grp"))
+  }
+
+  test("a failing CREATE OR REPLACE leaves the table fully intact") {
+    val e = new GraftEngine(spark, tmpDir("evo-replace-fail"))
+    e.executeNonQuery(SqlStatement(
+      "CREATE TABLE demo.p (id bigint, grp varchar) " +
+        "WITH (partitioning = ARRAY['grp'])"))
+    e.executeNonQuery(SqlStatement(
+      "INSERT INTO demo.p VALUES (1, 'a'), (2, 'not-a-number')"))
+    // the replacement query fails at EXECUTION (ANSI cast on row 2) —
+    // after the failure the table must read exactly as before, with its
+    // schema, partition spec, and snapshot count untouched
+    intercept[Exception] {
+      e.executeNonQuery(SqlStatement(
+        "CREATE OR REPLACE TABLE demo.p AS SELECT CAST(grp AS BIGINT) AS g FROM demo.p"))
+    }
+    assert(e.catalog.partitionSpec("demo", "p") == Seq("grp"))
+    assert(e.catalog.snapshots("demo", "p").map(_.snapshotId) == Seq(1L))
+    val rows = e.query(SqlStatement("SELECT * FROM demo.p ORDER BY id"))
+    assert(rows.schema.fieldNames.toSeq == Seq("id", "grp"))
+    assert(rows.as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "not-a-number")))
   }
 }

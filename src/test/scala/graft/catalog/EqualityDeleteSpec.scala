@@ -165,4 +165,18 @@ class EqualityDeleteSpec extends SparkSpec {
     assert(c.appendsBetween("s", "t", snaps.head.snapshotId,
       snaps.last.snapshotId, skipChangeCommits = true).count() == 0L)
   }
+
+  test("DDL on a pending equality-delete key is rejected (fold first)") {
+    val c = freshCatalog("eq-ddl")
+    v2Table(c, "t")
+    c.upsert("s", "t", Seq((2L, "B2")).toDF("id", "v"), Seq("id"))
+    // renaming or dropping the key would make every read (and the
+    // compact that folds the delete) throw UNRESOLVED_COLUMN — bricked
+    intercept[IllegalArgumentException] { c.renameColumn("s", "t", "id", "id2") }
+    intercept[IllegalArgumentException] { c.dropColumn("s", "t", "id") }
+    // folding the deletes unblocks the evolution
+    c.compact("s", "t")
+    c.renameColumn("s", "t", "id", "id2")
+    assert(c.readLatest("s", "t").schema.fieldNames.head == "id2")
+  }
 }

@@ -178,6 +178,27 @@ class TransformPartitionSpec extends SparkSpec {
     intercept[IllegalArgumentException](c.renameColumn("s", "g", "ts", "ts2"))
   }
 
+  test("time transforms are fixed-UTC: a non-UTC session derives and prunes identically") {
+    val c = freshCatalog()
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      c.createTable("s", "tz", schema, partitionedBy = Seq("month(ts)"))
+      // 2024-03-01T02:00Z is Feb 29 21:00 in New York — a session-zoned
+      // derivation would write ts_month=202402 while a UTC probe asks
+      // for 202403 and silently prunes the file
+      val boundary = java.time.Instant.parse("2024-03-01T02:00:00Z")
+      c.insert("s", "tz", Seq((1L, java.sql.Timestamp.from(boundary), 10L))
+        .toDF("id", "ts", "v"))
+      val paths = c.dataFilePaths("s", "tz", c.snapshots("s", "tz").last)
+      assert(paths.exists(_.contains("ts_month=202403")),
+        s"UTC-fixed transform must derive 202403, got $paths")
+      c.delete("s", "tz", col("ts") === lit(java.sql.Timestamp.from(boundary)))
+      assert(c.readLatest("s", "tz").count() == 0L,
+        "the probe must find the row whatever the session zone")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("retuned bucket spec never mis-prunes pre-evolution files") {
     import spark.implicits._
     val c = freshCatalog()
