@@ -152,6 +152,49 @@ object Example {
       .collect()(0).getLong(0)
     println(s"[19] employee_data$$snapshots lists $nSnaps commits")
 
+    // zero-copy adoption: parquet written OUTSIDE the catalog joins the
+    // table by reference (absolute-path manifest entries, no byte moves)
+    {
+      import spark.implicits._
+      val ext = s"$work/external-batch"
+      // the external batch must carry the table's declared columns
+      val cols = engine.catalog.declaredSchema("example", "employee_data").get
+      Seq((300, "Zoe", "Zed", "Dr")).toDF(cols.fieldNames.toIndexedSeq: _*)
+        .select(cols.fields.map(f =>
+          org.apache.spark.sql.functions.col(f.name).cast(f.dataType)).toIndexedSeq: _*)
+        .write.mode("overwrite").parquet(ext)
+      val adopted = engine.executeNonQuery(graft.params.SqlStatement(
+        s"ALTER TABLE example.employee_data EXECUTE add_files(location => '$ext')"))
+      println(s"[20] add_files adopted $adopted external file(s) in place")
+    }
+
+    // detach / re-attach: unregister keeps every file; register brings
+    // the table back whole (history included)
+    engine.executeNonQuery(graft.params.SqlStatement(
+      "CALL system.unregister_table('example', 'employee_data')"))
+    engine.executeNonQuery(graft.params.SqlStatement(
+      s"CALL system.register_table('example', 'employee_data', " +
+        s"'$work/warehouse/example/employee_data')"))
+    val back = engine.queryScalar[Long](graft.params.SqlStatement(
+      "SELECT count(*) FROM example.employee_data")).get
+    println(s"[21] unregister/register round trip: $back rows intact")
+
+    // equality-delete upsert (format_version = 2): the streaming-CDC
+    // write shape — one commit, no read of the target
+    {
+      import spark.implicits._
+      engine.executeNonQuery(graft.params.SqlStatement(
+        "CREATE TABLE example.kv (k bigint, v varchar) WITH (format_version = 2)"))
+      engine.executeNonQuery(graft.params.SqlStatement(
+        "INSERT INTO example.kv VALUES (1, 'a'), (2, 'b')"))
+      engine.catalog.upsert("example", "kv",
+        Seq((2L, "B"), (3L, "c")).toDF("k", "v"), Seq("k"))
+      val kv = engine.query(graft.params.SqlStatement(
+        "SELECT k, v FROM example.kv ORDER BY k")).collect()
+        .map(r => s"${r.getLong(0)}=${r.getString(1)}").mkString(",")
+      println(s"[22] equality-delete upsert → $kv (last-wins, zero files rewritten)")
+    }
+
     spark.stop()
     println("[done]")
   }
