@@ -548,15 +548,36 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
   private val insertSelectRe =
     """(?is)^\s*INSERT\s+INTO\s+(?:(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\.)?([A-Za-z_]\w*)\s+((?:SELECT|WITH)\s+.+)$""".r
 
+  // Trino Iceberg's branch-write spelling: INSERT INTO sch."t@branch"
+  // (write-audit-publish: write to a branch, validate, fast_forward) —
+  // VALUES or SELECT source, committed against the BRANCH ref only
+  private val insertBranchRe =
+    """(?is)^\s*INSERT\s+INTO\s+(?:(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\.)?"([A-Za-z_]\w*)@([A-Za-z_]\w*)"\s+((?:VALUES|SELECT|WITH)\s+.+)$""".r
+
   /** `INSERT INTO [catalog.]<schema>.<table> VALUES (…),(…)` → snapshot
     * commit (a leading catalog qualifier, the reference's `iceberg.`, is
     * accepted and dropped). Literal rows are parsed by Catalyst
     * (`SELECT * FROM VALUES …`), cast positionally to the declared table
     * schema, and appended as one commit — each INSERT is one
     * time-travel-visible snapshot, exactly the reference's commit model
-    * (AthenaClientTests.cs:351-364).
+    * (AthenaClientTests.cs:351-364). The quoted `"t@branch"` form
+    * commits to that BRANCH ref, leaving main untouched.
     */
   private def tryInsert(sqlText: String): Option[Long] = sqlText match {
+    case insertBranchRe(schemaName0, tableName, branchName, source) =>
+      val schemaName = Option(schemaName0).getOrElse(sessionSchema)
+      if (!catalog.tableExists(schemaName, tableName)) None
+      else {
+        if (!catalog.branchExists(schemaName, tableName, branchName))
+          throw new GraftQueryException(sqlText,
+            s"Branch $branchName does not exist on $schemaName.$tableName")
+        val src =
+          if (source.trim.toUpperCase.startsWith("VALUES"))
+            spark.sql(s"SELECT * FROM ${source.stripSuffix(";")}")
+          else query(SqlStatement(source.stripSuffix(";")))
+        Some(commitInsert(schemaName, tableName, src,
+          catalog.branch(branchName)))
+      }
     case insertRe(schemaName0, tableName, values) =>
       // an unqualified name resolves against the session schema
       val schemaName = Option(schemaName0).getOrElse(sessionSchema)
@@ -578,8 +599,9 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
     * commit it as one snapshot; returns rows affected.
     */
   private def commitInsert(schemaName: String, tableName: String,
-                           raw: DataFrame): Long = {
-    val declared = catalog.declaredSchema(schemaName, tableName).getOrElse(
+                           raw: DataFrame,
+                           cat: graft.catalog.SnapshotCatalog = catalog): Long = {
+    val declared = cat.declaredSchema(schemaName, tableName).getOrElse(
       throw new IllegalStateException(s"Table $schemaName.$tableName has no declared schema"))
     require(raw.schema.length == declared.length,
       s"INSERT arity ${raw.schema.length} != table arity ${declared.length}")
@@ -587,7 +609,7 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
       org.apache.spark.sql.functions.col(raw.columns(i)).cast(f.dataType).as(f.name)
     }.toIndexedSeq: _*)
     val n = cast.count()
-    catalog.insert(schemaName, tableName, cast)
+    cat.insert(schemaName, tableName, cast)
     n
   }
 

@@ -238,4 +238,35 @@ class BranchTagSpec extends SparkSpec {
     assert(c.readLatest("s", "msql").select("id").as[Long].collect().toSet ===
       Set(1L, 2L, 3L, 4L))
   }
+
+  test("SQL branch write: INSERT INTO \"t@branch\" commits to the branch only") {
+    val wh = tmpDir("branch-sql-insert")
+    val e = new graft.GraftEngine(spark, wh)
+    val c = e.catalog
+    e.executeNonQuery(graft.params.SqlStatement(
+      "CREATE TABLE demo.wap (id BIGINT, v VARCHAR)"))
+    e.executeNonQuery(graft.params.SqlStatement(
+      "INSERT INTO demo.wap VALUES (1, 'a')"))
+    e.executeNonQuery(graft.params.SqlStatement(
+      "CALL system.create_branch('demo', 'wap', 'audit')"))
+    // write-audit-publish: VALUES and SELECT sources land on the branch
+    assert(e.executeNonQuery(graft.params.SqlStatement(
+      """INSERT INTO demo."wap@audit" VALUES (2, 'b'), (3, 'c')""")) == 2L)
+    assert(e.executeNonQuery(graft.params.SqlStatement(
+      """INSERT INTO demo."wap@audit" SELECT id + 10, v FROM demo.wap""")) == 1L)
+    // main untouched; branch sees all four rows
+    assert(c.readLatest("demo", "wap").count() == 1L)
+    assert(e.query(graft.params.SqlStatement(
+      "SELECT count(*) FROM demo.wap FOR VERSION AS OF 'audit'"))
+      .collect().head.getLong(0) == 4L)
+    // publish: fast-forward main onto the audited branch
+    e.executeNonQuery(graft.params.SqlStatement(
+      "CALL system.fast_forward('demo', 'wap', 'audit')"))
+    assert(c.readLatest("demo", "wap").count() == 4L)
+    // unknown branch is the typed engine error
+    intercept[graft.GraftQueryException] {
+      e.executeNonQuery(graft.params.SqlStatement(
+        """INSERT INTO demo."wap@nope" VALUES (9, 'z')"""))
+    }
+  }
 }
