@@ -335,20 +335,22 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
           if (ifExists) 0L
           else throw new GraftQueryException(sqlText, s"View $schema.$view does not exist")
         } else { catalog.dropView(schema, view); 0L }
-      case graft.catalog.DeleteStmt(schema, table, where) =>
+      case graft.catalog.DeleteStmt(schema, table, where, branchName) =>
         requireCatalogTable(sqlText, schema, table)
         val cond = where.map(parseCond(sqlText, _))
           .getOrElse(org.apache.spark.sql.functions.lit(true))
         // affected-rows contract (Trino returns the deleted count): the
         // count happens inside the catalog's synchronized rewrite, so no
         // commit can interleave between the count and the delete
-        catalog.deleteCounted(schema, table, cond)._2
-      case graft.catalog.UpdateStmt(schema, table, sets, where) =>
+        branchCatalog(sqlText, schema, table, branchName)
+          .deleteCounted(schema, table, cond)._2
+      case graft.catalog.UpdateStmt(schema, table, sets, where, branchName) =>
         requireCatalogTable(sqlText, schema, table)
         val cond = where.map(parseCond(sqlText, _))
           .getOrElse(org.apache.spark.sql.functions.lit(true))
         val setCols = sets.map { case (c, e) => (c, parseCond(sqlText, e)) }
-        try catalog.updateCounted(schema, table, setCols, cond)._2
+        try branchCatalog(sqlText, schema, table, branchName)
+          .updateCounted(schema, table, setCols, cond)._2
         catch { case e: IllegalArgumentException =>
           throw new GraftQueryException(sqlText, e.getMessage, e) }
       case m: graft.catalog.MergeStmt =>
@@ -518,6 +520,20 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
   private def requireCatalogTable(sqlText: String, schema: String, table: String): Unit =
     if (!catalog.tableExists(schema, table))
       throw new GraftQueryException(sqlText, s"Table $schema.$table does not exist")
+
+  /** Catalog view a DML statement commits through: the named branch
+    * (`sch."t@branch"` operands) or main.
+    */
+  private def branchCatalog(sqlText: String, schema: String, table: String,
+                            branchName: Option[String]): graft.catalog.SnapshotCatalog =
+    branchName match {
+      case None => catalog
+      case Some(b) =>
+        if (!catalog.branchExists(schema, table, b))
+          throw new GraftQueryException(sqlText,
+            s"Branch $b does not exist on $schema.$table")
+        catalog.branch(b)
+    }
 
   /** Parse a DML scalar/predicate expression via Catalyst, converting the
     * parse error into the engine's typed failure contract.

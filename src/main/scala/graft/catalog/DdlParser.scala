@@ -32,10 +32,12 @@ final case class CreateTableAsStmt(schema: String, table: String,
 final case class DropTableStmt(schema: String, table: String,
                                ifExists: Boolean) extends DdlStatement
 final case class DeleteStmt(schema: String, table: String,
-                            where: Option[String]) extends DdlStatement
+                            where: Option[String],
+                            branch: Option[String] = None) extends DdlStatement
 final case class UpdateStmt(schema: String, table: String,
                             sets: Seq[(String, String)],
-                            where: Option[String]) extends DdlStatement
+                            where: Option[String],
+                            branch: Option[String] = None) extends DdlStatement
 final case class AlterExecuteStmt(schema: String, table: String,
                                   procedure: String,
                                   args: Map[String, String]) extends DdlStatement
@@ -192,10 +194,12 @@ object DdlParser {
   // / unregister_table('sch','tbl'), positional or name => value
   private val callRegisterRe =
     """(?is)^\s*CALL\s+(?:[\w.]*\bsystem\.)?(register_table|unregister_table)\s*\(\s*(.*?)\s*\)\s*;?\s*$""".r
+  // the table operand accepts Trino's quoted branch-write form
+  // (`sch."t@branch"`) alongside plain dotted names
   private val deleteRe =
-    """(?is)^\s*DELETE\s+FROM\s+([\w.]+)\s*(.*?)\s*;?\s*$""".r
+    """(?is)^\s*DELETE\s+FROM\s+((?:[\w.]+\.)?"\w+@\w+"|[\w.]+)\s*(.*?)\s*;?\s*$""".r
   private val updateRe =
-    """(?is)^\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)\s*;?\s*$""".r
+    """(?is)^\s*UPDATE\s+((?:[\w.]+\.)?"\w+@\w+"|[\w.]+)\s+SET\s+(.+?)\s*;?\s*$""".r
   // Trino Iceberg maintenance syntax: ALTER TABLE t EXECUTE optimize /
   // expire_snapshots(retention_threshold => '7d') / remove_orphan_files(…);
   // optimize additionally takes Trino's scoped form
@@ -370,7 +374,7 @@ object DdlParser {
       Some(AlterExecuteStmt(sch, tbl, proc.toLowerCase,
         kv -- Seq("schema_name", "schema", "table_name", "table")))
     case deleteRe(name, rest) =>
-      val (sch, tbl) = tableOf(name)
+      val (sch, tbl, br) = tableRefOf(name, defaultSchema)
       val where = rest.trim match {
         case "" => None
         case w if w.toUpperCase.startsWith("WHERE") =>
@@ -379,9 +383,9 @@ object DdlParser {
           throw new IllegalArgumentException(
             s"DELETE supports only an optional WHERE clause, got: '$other'")
       }
-      Some(DeleteStmt(sch, tbl, where))
+      Some(DeleteStmt(sch, tbl, where, br))
     case updateRe(name, setsAndWhere) =>
-      val (sch, tbl) = tableOf(name)
+      val (sch, tbl, br) = tableRefOf(name, defaultSchema)
       val (setPart, where) = splitWhere(setsAndWhere)
       val sets = splitQuotedTopLevel(setPart).map { a =>
         val eq = topLevelIndexOf(a, '=')
@@ -392,7 +396,7 @@ object DdlParser {
         (colName, a.substring(eq + 1).trim)
       }
       require(sets.nonEmpty, "UPDATE requires at least one SET assignment")
-      Some(UpdateStmt(sch, tbl, sets, where))
+      Some(UpdateStmt(sch, tbl, sets, where, br))
     case addColumnRe(name, ine, colName, typeText) =>
       val (sch, tbl) = tableOf(name)
       Some(AddColumnStmt(sch, tbl, colName, sparkType(typeText), ine != null))
@@ -779,6 +783,23 @@ object DdlParser {
     if (parts.length >= 2) (parts(parts.length - 2), parts.last)
     else (defaultSchema, parts.head)
   }
+
+  private val branchNameRe =
+    """(?is)^(?:([\w.]+)\.)?"(\w+)@(\w+)"$""".r
+
+  /** Table operand that may carry Trino's quoted branch suffix:
+    * `sch."t@branch"` → (sch, t, Some(branch)); plain names → no branch.
+    */
+  private def tableRefOf(name: String,
+                         defaultSchema: String): (String, String, Option[String]) =
+    name.trim match {
+      case branchNameRe(qual, tbl, br) =>
+        val sch = Option(qual).map(q => q.split('.').last).getOrElse(defaultSchema)
+        (sch, tbl, Some(br))
+      case plain =>
+        val (sch, tbl) = tableOf(plain, defaultSchema)
+        (sch, tbl, None)
+    }
 
   /** Split a column-definition list on top-level commas (nesting-aware, so
     * `decimal(10,2)` survives).

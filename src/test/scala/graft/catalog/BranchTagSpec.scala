@@ -269,4 +269,30 @@ class BranchTagSpec extends SparkSpec {
         """INSERT INTO demo."wap@nope" VALUES (9, 'z')"""))
     }
   }
+
+  test("SQL branch DML: UPDATE and DELETE on \"t@branch\" leave main untouched") {
+    val wh = tmpDir("branch-sql-dml")
+    val e = new graft.GraftEngine(spark, wh)
+    val c = e.catalog
+    e.executeNonQuery(graft.params.SqlStatement(
+      "CREATE TABLE demo.bd (id BIGINT, v VARCHAR)"))
+    e.executeNonQuery(graft.params.SqlStatement(
+      "INSERT INTO demo.bd VALUES (1, 'a'), (2, 'b'), (3, 'c')"))
+    e.executeNonQuery(graft.params.SqlStatement(
+      "CALL system.create_branch('demo', 'bd', 'fix')"))
+    assert(e.executeNonQuery(graft.params.SqlStatement(
+      """UPDATE demo."bd@fix" SET v = upper(v) WHERE id <= 2""")) == 2L)
+    assert(e.executeNonQuery(graft.params.SqlStatement(
+      """DELETE FROM demo."bd@fix" WHERE id = 3""")) == 1L)
+    // main: original three rows; branch: two uppercased
+    assert(c.readLatest("demo", "bd").count() == 3L)
+    val branchRows = e.query(graft.params.SqlStatement(
+      "SELECT id, v FROM demo.bd FOR VERSION AS OF 'fix' ORDER BY id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(branchRows == Seq((1L, "A"), (2L, "B")))
+    intercept[graft.GraftQueryException] {
+      e.executeNonQuery(graft.params.SqlStatement(
+        """DELETE FROM demo."bd@nope" WHERE id = 1"""))
+    }
+  }
 }
