@@ -403,10 +403,14 @@ object DevFuzzDml {
         engine.catalog.createBranch("fz", "t", "dev")
         val bc = engine.catalog.branch("dev")
         import org.apache.spark.sql.functions.expr
+        // through the SQL branch-DML surface (`fz."t@dev"` operands) so
+        // the quoted-branch parse + routing path is fuzzed too
         branchOps.foreach {
-          case Del(w) => bc.deleteCounted("fz", "t", expr(w))
-          case Upd(sets, w) => bc.updateCounted("fz", "t",
-            sets.map { case (c, e) => c -> expr(e) }, expr(w))
+          case Del(w) => engine.executeNonQuery(params.SqlStatement(
+            s"""DELETE FROM fz."t@dev" WHERE $w"""))
+          case Upd(sets, w) => engine.executeNonQuery(params.SqlStatement(
+            s"""UPDATE fz."t@dev" SET ${sets.map { case (c, e) => s"$c = $e" }
+              .mkString(", ")} WHERE $w"""))
           case _ => ()
         }
       }
