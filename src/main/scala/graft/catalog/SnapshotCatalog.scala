@@ -1387,19 +1387,28 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       // key tuple appears in an eq-delete file AND its data file belongs
       // to the snapshot the delete applies to — files appended LATER are
       // exempt (Iceberg's sequence-number rule), so re-inserting a
-      // deleted key sticks. Each delete is one broadcast key anti-join
-      // over the covered file subset; compaction folds pending deletes,
-      // bounding the chain length.
+      // deleted key sticks. ALL pending deletes fold into a LINEAR plan:
+      // one broadcast map join attaches each row's applicable delete ids
+      // (per-file, driver-computed from the appliesTo file sets), then
+      // ONE broadcast anti-join per distinct key-column set (normally 1)
+      // drops rows whose keys match a delete that covers their file. N
+      // pending deletes between compactions therefore cost O(N) driver
+      // metadata + a constant number of joins — never a per-delete
+      // split/union (which doubled the logical plan per delete).
       val afterEq =
         if (eqDels.isEmpty) merged
         else {
-          import org.apache.spark.sql.functions.{broadcast, regexp_replace}
+          import org.apache.spark.sql.functions.{array_contains, broadcast, lit, regexp_replace}
+          // BOTH sides of the file match normalize with the SAME regex
+          // ('scheme://authority/p' and 'scheme:/p' both → '/…'), so
+          // URIs with an authority (hdfs://nn, s3a://bucket) classify
+          // identically to authority-less file paths
           val schemeRe = "^[A-Za-z][A-Za-z0-9+.-]*:/+"
           val keyed = merged.withColumn("__graft_fkey",
             regexp_replace(col("__graft_file"), schemeRe, "/"))
           val commits = readCommits(schema, table)
           val f = fs(dir)
-          eqDels.foldLeft(keyed) { (df, e) =>
+          val appliesSets: Seq[Set[String]] = eqDels.map { e =>
             // fail loud, never resurrect: expireSnapshots protects
             // appliesTo-referenced snapshots, so an unresolvable id means
             // a corrupted/hand-trimmed log — silent Nil would re-expose
@@ -1408,17 +1417,34 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
               throw new IllegalStateException(
                 s"Equality delete ${e.path} references snapshot ${e.appliesTo}, " +
                   s"which is no longer in the commit log of $schema.$table"))
-            val applies = dataFilePaths(schema, table, appliesSnap)
-              .map(rel => uriPath(f.makeQualified(new Path(dir, rel))))
-            val delKeys = spark.read.parquet(new Path(dir, e.path).toString)
-              .toDF(e.keys.map("__graft_eq_" + _): _*)
-            val exempt = fileSetFilter(df, "__graft_fkey", applies, anti = true)
-            val subject = fileSetFilter(df, "__graft_fkey", applies, anti = false)
-            val cond = e.keys.map(k => col(k) <=> col("__graft_eq_" + k))
-              .reduce(_ && _)
-            subject.join(broadcast(delKeys), cond, "left_anti")
-              .unionByName(exempt)
-          }.drop("__graft_fkey")
+            dataFilePaths(schema, table, appliesSnap)
+              .map(rel => f.makeQualified(new Path(dir, rel)).toString
+                .replaceFirst(schemeRe, "/")).toSet
+          }
+          val fileDels: Seq[(String, Seq[Int])] = appliesSets.zipWithIndex
+            .flatMap { case (s, i) => s.map(_ -> i) }
+            .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }.toSeq
+          val fdDf = {
+            import spark.implicits._
+            fileDels.toDF("__graft_fkey2", "__graft_dels")
+          }
+          val attached = keyed.join(broadcast(fdDf),
+            keyed("__graft_fkey") === fdDf("__graft_fkey2"), "left")
+            .drop("__graft_fkey2")
+          eqDels.zipWithIndex.groupBy(_._1.keys).toSeq.sortBy(_._2.head._2)
+            .foldLeft(attached) { case (df, (keys, dels)) =>
+              val delKeys = dels.map { case (e, i) =>
+                spark.read.parquet(new Path(dir, e.path).toString)
+                  .toDF(keys.map("__graft_eq_" + _): _*)
+                  .withColumn("__graft_del_id", lit(i))
+              }.reduce(_ unionByName _)
+              // null __graft_dels (file covered by no delete) → null
+              // condition → row kept: exemption without a plan split
+              val cond = keys.map(k => col(k) <=> col("__graft_eq_" + k))
+                .reduce(_ && _) &&
+                array_contains(col("__graft_dels"), col("__graft_del_id"))
+              df.join(broadcast(delKeys), cond, "left_anti")
+            }.drop("__graft_fkey", "__graft_dels")
         }
       val dropFile = if (keepFile) Nil else Seq("__graft_file")
       val dropPos = if (keepPos) Nil else Seq("__graft_pos")

@@ -166,6 +166,34 @@ class EqualityDeleteSpec extends SparkSpec {
       snaps.last.snapshotId, skipChangeCommits = true).count() == 0L)
   }
 
+  test("pending-delete read plan is LINEAR: join count constant at N>=4 pending deletes") {
+    val c = freshCatalog("eq-linear")
+    v2Table(c, "t")
+    for (i <- 1 to 5)
+      c.upsert("s", "t", Seq((i.toLong, s"U$i")).toDF("id", "v"), Seq("id"))
+    assert(c.snapshots("s", "t").last.eqDeletes.size == 5)
+    val df = c.readLatest("s", "t")
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.size
+    // one applicable-delete attach join + one key anti-join per distinct
+    // key-column set (here 1) — NOT a split/union per pending delete,
+    // which built a 2^N-leaf plan on the streaming-CDC read path
+    assert(joins <= 3, s"expected a constant join count, got $joins")
+    assert(state(c, "t") ==
+      Seq((1L, "U1"), (2L, "U2"), (3L, "U3"), (4L, "U4"), (5L, "U5")))
+  }
+
+  test("mixed key sets across pending deletes still resolve (one anti-join per key set)") {
+    val c = freshCatalog("eq-keysets")
+    v2Table(c, "t")
+    c.upsert("s", "t", Seq((2L, "B2")).toDF("id", "v"), Seq("id"))
+    // second pending delete keyed on BOTH columns: shadows only exact
+    // (id, v) matches in files its appliesTo snapshot covers
+    c.upsert("s", "t", Seq((3L, "c")).toDF("id", "v"), Seq("id", "v"))
+    assert(state(c, "t") == Seq((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "d")))
+  }
+
   test("DDL on a pending equality-delete key is rejected (fold first)") {
     val c = freshCatalog("eq-ddl")
     v2Table(c, "t")
