@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only scaling check for the distributed `add_files` adoption path
+  * (Trino Iceberg's `ALTER TABLE … EXECUTE add_files`): adopt external
+  * parquet directories of growing file counts and report wall time plus
+  * the per-file cost. The footer/validation pass runs as a Spark job
+  * over the file list (executors open the footers; the driver collects
+  * only KB-scale entries), so per-file wall cost must stay flat-or-
+  * falling as the count grows — the round-8 serial driver loop grew
+  * linearly with single-threaded I/O latency, which at the 10⁵-10⁶
+  * files of a real 100 TB adoption meant hours.
+  * Usage: runMain graft.DevAddFilesBench [counts...] (default 64 256)
+  */
+object DevAddFilesBench {
+  def main(args: Array[String]): Unit = {
+    val counts = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(64, 256)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val wh = java.nio.file.Files.createTempDirectory("graft-addfbench").toString
+    val c = new graft.catalog.SnapshotCatalog(spark, wh)
+    c.createSchema("b")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+
+    val results = counts.map { n =>
+      val ext = java.nio.file.Files.createTempDirectory(s"graft-addf-$n").toString
+      (0L until n.toLong * 64).toDF("id").selectExpr("id", "id * 2 as v")
+        .repartition(n).write.mode("overwrite").parquet(ext)
+      val t = s"t$n"
+      c.createTable("b", t, schema)
+      val t0 = System.nanoTime()
+      val adopted = c.addFiles("b", t, ext)
+      val secs = (System.nanoTime() - t0) / 1e9
+      require(c.readLatest("b", t).count() == n.toLong * 64,
+        s"adopted table row count mismatch at n=$n")
+      (n, adopted, secs)
+    }
+    results.foreach { case (n, adopted, secs) =>
+      println(f"[addfilesbench] files=$n%5d adopted=$adopted%5d " +
+        f"wall=${secs}%6.2fs per-file=${secs * 1000 / n}%6.2fms")
+    }
+    val perFile = results.map { case (n, _, s) => s / n }
+    println(f"[addfilesbench] per-file ratio largest/smallest count = " +
+      f"${perFile.last / perFile.head}%.2f (flat-or-falling expected; " +
+      "a serial driver loop would hold ~1.0 with latency, never amortize)")
+  }
+}

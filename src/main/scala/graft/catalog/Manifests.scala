@@ -187,8 +187,22 @@ object Manifests {
     : (DataFileEntry, org.apache.spark.sql.types.StructType) = {
     val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
       conf, file, org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+    // conf-driven converter (not SQLConf.get): this runs inside executor
+    // tasks on the distributed add_files validation pass, where no
+    // session-propagated SQLConf exists. The Configuration constructor
+    // reads five SQL keys RAW (`conf.get(key).toBoolean`, no default) —
+    // fill any absent one with its ConfigEntry default so a bare hadoop
+    // conf works; callers overlay session values when they have them.
+    val c: Configuration = new Configuration(conf)
+    locally {
+      import org.apache.spark.sql.internal.SQLConf._
+      Seq(PARQUET_BINARY_AS_STRING, PARQUET_INT96_AS_TIMESTAMP, CASE_SENSITIVE,
+          PARQUET_INFER_TIMESTAMP_NTZ_ENABLED, LEGACY_PARQUET_NANOS_AS_LONG)
+        .foreach(e =>
+          if (c.get(e.key) == null) c.set(e.key, e.defaultValue.get.toString))
+    }
     val sparkSchema = new org.apache.spark.sql.execution.datasources.parquet
-      .ParquetToSparkSchemaConverter(org.apache.spark.sql.internal.SQLConf.get)
+      .ParquetToSparkSchemaConverter(c)
       .convert(footer.getFileMetaData.getSchema)
     (entryFromFooter(footer, relPath, fileLen), sparkSchema)
   }

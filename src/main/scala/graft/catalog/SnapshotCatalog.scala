@@ -691,39 +691,96 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     */
   def addFiles(schema: String, table: String, location: String): Long = synchronized {
     require(tableExists(schema, table), s"Table $schema.$table does not exist")
-    require(partitionSpec(schema, table).isEmpty,
-      "add_files supports unpartitioned tables only")
+    val fieldsP = partitionFields(schema, table)
+    require(fieldsP.forall(_.isIdentity),
+      "add_files supports unpartitioned or identity-partitioned (hive layout) " +
+        "tables only — transform partitioning has no external hive spelling")
     val dir = tableDir(schema, table)
     val statuses = dataFileStatusesUnder(new Path(location))
     require(statuses.nonEmpty, s"No parquet files under $location")
     val declared = declaredSchema(schema, table).getOrElse(
       throw new IllegalStateException(s"Table $schema.$table has no declared schema"))
+    // hive convention: identity partition values live in the PATH, never
+    // in the files — the declared DATA columns are the rest
+    val identLower = fieldsP.map(_.source.toLowerCase(java.util.Locale.ROOT)).toSet
+    val dataFields = declared.fields.filterNot(f =>
+      identLower.contains(f.name.toLowerCase(java.util.Locale.ROOT)))
     val (commits, gen) = readCommitsWithGen(schema, table)
-    val conf = spark.sparkContext.hadoopConfiguration
     val tableRoot = fs(dir).makeQualified(dir).toUri.getPath
+    // driver-side path checks (no I/O): inside-table guard + a hive
+    // `col=value` segment present for EVERY declared partition column
+    // (the read path parses partition values from these segments)
+    val qualified = statuses.map { case (p, len) =>
+      val q = fs(p).makeQualified(p)
+      (q.toString, q.toUri.getPath, len)
+    }
+    qualified.foreach { case (_, abs, _) =>
+      require(!abs.startsWith(tableRoot + "/"),
+        s"add_files location is inside the table directory: $abs")
+      fieldsP.foreach { f =>
+        val key = f.source.toLowerCase(java.util.Locale.ROOT) + "="
+        require(abs.split('/').dropRight(1)
+          .exists(_.toLowerCase(java.util.Locale.ROOT).startsWith(key)),
+          s"add_files: $abs lacks a hive partition segment for ${f.source}")
+      }
+    }
     // EVERY file is validated (not a sample): external directories give
     // no uniformity guarantee, and one mismatched file would fail or
-    // null out at read time AFTER the commit. The schema comes from the
-    // SAME footer read that builds the entry's bounds — one footer open
-    // per file total, driver-side metadata work
-    val entries0 = statuses.map { case (p, len) =>
-      val abs = fs(p).makeQualified(p).toUri.getPath
-      require(!abs.startsWith(tableRoot + "/"),
-        s"add_files location is inside the table directory: $p")
-      val (entry, fileSchema) = Manifests.footerEntryWithSchema(conf, p, abs, len)
-      declared.fields.foreach { f =>
-        val g = fileSchema.fields.find(_.name.equalsIgnoreCase(f.name)).getOrElse(
-          throw new IllegalArgumentException(
-            s"add_files: $p lacks declared column ${f.name}"))
-        require(g.dataType == f.dataType,
-          s"add_files: type mismatch on ${f.name} in $p: " +
-            s"table ${f.dataType.simpleString} vs file ${g.dataType.simpleString}")
-      }
-      require(fileSchema.fields.length == declared.fields.length,
-        s"add_files: $p carries ${fileSchema.fields.length} columns, " +
-          s"table declares ${declared.fields.length}")
-      entry
+    // null out at read time AFTER the commit. The footer/validation pass
+    // runs as a DISTRIBUTED Spark job — this is the 100 TB adoption
+    // path, where 10⁵-10⁶ serial driver-side footer opens (each an
+    // object-store round trip) would take hours; executors extract the
+    // entries + check schemas in parallel and only the KB-scale entries
+    // (or error strings) come back to the driver.
+    val confMap: Map[String, String] = {
+      // newHadoopConf = hadoop conf + every explicitly-set session SQL
+      // conf (e.g. nanosAsLong), so executor-side schema conversion sees
+      // the same settings a driver-side read would
+      val it = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.newHadoopConf().iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+      b.result()
     }
+    val sc = spark.sparkContext
+    val bcConf = sc.broadcast(confMap)
+    val bcDecl = sc.broadcast(StructType(dataFields.toSeq).json)
+    val slices = math.max(1, math.min(qualified.size, sc.defaultParallelism * 2))
+    val checked: Seq[Either[String, DataFileEntry]] =
+      sc.parallelize(qualified, slices).mapPartitions { it =>
+        val c = new org.apache.hadoop.conf.Configuration(false)
+        bcConf.value.foreach { case (k, v) => c.set(k, v) }
+        val decl = org.apache.spark.sql.types.DataType.fromJson(bcDecl.value)
+          .asInstanceOf[StructType]
+        it.map { case (qual, abs, len) =>
+          try {
+            val (entry, fileSchema) =
+              Manifests.footerEntryWithSchema(c, new Path(qual), abs, len)
+            val missing = decl.fields.find(f =>
+              !fileSchema.fields.exists(_.name.equalsIgnoreCase(f.name)))
+            val mismatch = decl.fields.flatMap(f =>
+              fileSchema.fields.find(_.name.equalsIgnoreCase(f.name))
+                .filter(_.dataType != f.dataType).map(f -> _)).headOption
+            if (missing.isDefined)
+              Left(s"add_files: $abs lacks declared column ${missing.get.name}")
+            else if (mismatch.isDefined) {
+              val (f, g) = mismatch.get
+              Left(s"add_files: type mismatch on ${f.name} in $abs: " +
+                s"table ${f.dataType.simpleString} vs file ${g.dataType.simpleString}")
+            } else if (fileSchema.fields.length != decl.fields.length)
+              Left(s"add_files: $abs carries ${fileSchema.fields.length} columns, " +
+                s"table declares ${decl.fields.length} data columns")
+            else Right(entry)
+          } catch {
+            case e: Exception => Left(s"add_files: $abs: ${e.getMessage}")
+          }
+        }
+      }.collect().toSeq
+    val errs = checked.collect { case Left(m) => m }
+    if (errs.nonEmpty)
+      throw new IllegalArgumentException(errs.head +
+        (if (errs.size > 1) s" (and ${errs.size - 1} more file(s))" else ""))
+    val entries0 = checked.collect { case Right(e) => e }
     val existing = commits.lastOption.toSeq.flatMap(manifestEntriesOf(dir, _))
       .map(e => entryKey(tableRoot, e)).toSet
     val dups = entries0.filter(e => existing(e.path))
@@ -1475,16 +1532,25 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     // cannot be served by directory discovery at all
     val manifestRead = snap match {
       case Some(s) if declared.isDefined && (entriesOverride.isDefined ||
-          (s.dirs.isEmpty && s.manifestList.isDefined &&
-            spark.conf.get("graft.manifestRead", "true") != "false")) =>
+          (s.dirs.isEmpty && s.manifestList.isDefined)) =>
         val entries = entriesOverride.getOrElse(manifestEntriesOf(dir, s))
         val fieldsP = partitionFields(schema, table)
         val decl = declared.get
-        if (entries.isEmpty) None
+        // the A/B hatch (graft.manifestRead=false) falls back to listing
+        // EXCEPT for a partitioned snapshot referencing adopted absolute
+        // entries — their identity partition values live in EXTERNAL hive
+        // paths that directory discovery rooted at the table dir can
+        // never serve, so the manifest relation is the only read path
+        val adoptedPartitioned =
+          fieldsP.nonEmpty && entries.exists(_.path.startsWith("/"))
+        if (entries.isEmpty ||
+            (entriesOverride.isEmpty && !adoptedPartitioned &&
+              spark.conf.get("graft.manifestRead", "true") == "false")) None
         else if (fieldsP.isEmpty && entries.forall(e => !e.path.contains('=')))
           Some(org.apache.spark.sql.GraftScanBridge.manifestScan(
             spark, dir, entries, decl, Nil))
-        else if (fieldsP.nonEmpty && entries.forall(_.path.startsWith("_snap="))) {
+        else if (fieldsP.nonEmpty && entries.forall(e =>
+            e.path.startsWith("_snap=") || e.path.startsWith("/"))) {
           val identLower = fieldsP.filter(_.isIdentity)
             .map(_.source.toLowerCase(java.util.Locale.ROOT)).toSet
           val dataSchema = StructType(decl.fields.filterNot(f =>

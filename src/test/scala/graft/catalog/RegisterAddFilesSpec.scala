@@ -136,7 +136,57 @@ class RegisterAddFilesSpec extends SparkSpec {
     assert(c.readLatest("s", "t").count() == 1L)
   }
 
-  test("add_files rejects duplicates, schema mismatch, partitioned targets") {
+  test("add_files adopts a hive-partitioned external layout in place") {
+    val c = freshCatalog("addf-part")
+    val pschema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("v", StringType),
+      StructField("region", StringType)))
+    c.createTable("s", "p", pschema, partitionedBy = Seq("region"))
+    c.insert("s", "p", Seq((1L, "a", "eu")).toDF("id", "v", "region"))
+    // hive convention: partition values live in the PATH, not the files
+    val ext = tmpDir("addf-part-ext")
+    Seq((10L, "x"), (11L, "y")).toDF("id", "v")
+      .coalesce(1).write.parquet(s"$ext/region=us")
+    Seq((20L, "z")).toDF("id", "v")
+      .coalesce(1).write.parquet(s"$ext/region=ap")
+    val n = c.addFiles("s", "p", ext)
+    assert(n == 2L)
+    val df = c.readLatest("s", "p")
+    assert(df.count() == 4L)
+    // partition values parse from the external hive segments
+    assert(df.filter(col("region") === "us")
+      .select("id").as[Long].collect().sorted.toSeq == Seq(10L, 11L))
+    // partition pruning reaches adopted files: a region filter reads
+    // only that partition's file(s)
+    val pruned = c.readLatest("s", "p").filter(col("region") === "ap")
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(scan.metrics("numFiles").value == 1L)
+    // CoW DML on an adopted partitioned file rewrites it into table
+    // storage; untouched partitions (incl. other adopted files) survive
+    c.delete("s", "p", col("id") === 11L)
+    assert(c.readLatest("s", "p").select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 10L, 20L))
+    assert(c.readLatest("s", "p").filter(col("region") === "us")
+      .select("id").as[Long].collect().toSeq == Seq(10L))
+  }
+
+  test("partitioned add_files validation: hive segment required for every partition column") {
+    val c = freshCatalog("addf-part-bad")
+    val pschema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("region", StringType)))
+    c.createTable("s", "p", pschema, partitionedBy = Seq("region"))
+    val flat = tmpDir("addf-part-flat")
+    Seq(Tuple1(1L)).toDF("id").write.mode("overwrite").parquet(flat)
+    val ex = intercept[IllegalArgumentException] { c.addFiles("s", "p", flat) }
+    assert(ex.getMessage.contains("hive partition segment"))
+  }
+
+  test("add_files rejects duplicates, schema mismatch, missing hive layout") {
     val c = freshCatalog("addf-bad")
     c.createTable("s", "t", schema)
     val ext = tmpDir("addf-bad-ext")
