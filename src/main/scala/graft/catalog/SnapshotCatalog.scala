@@ -3511,7 +3511,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val keep = referenced ++
       Set("commits.json", "_table_schema.json", "_partition_spec.json",
         "_comments.json", "_format_version", "_sorted_by.json", "_manifests",
-        "_tags.json", "_bloom_columns.json")
+        "_tags.json", "_bloom_columns.json", "_log_segments")
     val orphans = f.listStatus(dir)
       .map(_.getPath)
       .filterNot(p => keep.contains(p.getName) ||
@@ -3530,7 +3530,24 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       else f.listStatus(mdir).map(_.getPath)
         .filterNot(p => mlRef(p.getName) || mRef(p.getName))
     mOrphans.foreach(p => f.delete(p, false))
-    (orphans.map(_.getName) ++ mOrphans.map(p => s"_manifests/${p.getName}")).toSeq
+    // inside _log_segments: frozen log segments no surviving log file
+    // (any generation of any ref, or a legacy commits.json) references
+    val segRef = f.listStatus(dir).iterator.map(_.getPath).flatMap { p =>
+      val n = p.getName
+      val isLog = n == "commits.json" ||
+        commitGenRe.pattern.matcher(n).matches() ||
+        branchLogRe.pattern.matcher(n).matches()
+      if (!isLog) Iterator.empty
+      else try segmentNamesIn(mapper.readTree(readString(p))).iterator
+      catch { case _: Exception => Iterator.empty }
+    }.toSet
+    val sdir = logSegmentsDir(dir)
+    val sOrphans =
+      if (!f.exists(sdir)) Array.empty[Path]
+      else f.listStatus(sdir).map(_.getPath).filterNot(p => segRef(p.getName))
+    sOrphans.foreach(p => f.delete(p, false))
+    (orphans.map(_.getName) ++ mOrphans.map(p => s"_manifests/${p.getName}") ++
+      sOrphans.map(p => s"_log_segments/${p.getName}")).toSeq
   }
 
   // ---- branches and tags (Nessie-style named refs — the reference's
@@ -3802,7 +3819,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     }).toSeq
     if (gens.nonEmpty) {
       val g = gens.max
-      (parseCommits(readString(genPath(dir, g))), g)
+      (parseLog(dir, readString(genPath(dir, g))), g)
     } else if (logPrefix == "commits") {
       val legacy = new Path(dir, "commits.json")
       if (!f.exists(legacy)) (Nil, -1L)
@@ -3820,8 +3837,10 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * commits and one schema stores that schema ONCE, not 10⁴ times (the
     * schema was the dominant per-snapshot byte term).
     */
-  private def parseCommits(json: String): Seq[Snapshot] = {
-    val root = mapper.readTree(json)
+  private def parseCommits(json: String): Seq[Snapshot] =
+    parseCommitsNode(mapper.readTree(json))
+
+  private def parseCommitsNode(root: com.fasterxml.jackson.databind.JsonNode): Seq[Snapshot] = {
     if (root.isArray)
       root.elements.asScala.map(snapshotFromNode(_, Map.empty)).toSeq
     else {
@@ -3892,6 +3911,81 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     }
   }
 
+  // ---- commit-log segmentation: bound the per-commit rewrite ----
+  //
+  // A generation file holding the FULL cumulative snapshot list is
+  // O(total snapshots) to write and parse per commit — a streaming
+  // table at one commit per micro-batch rewrites an ever-growing JSON
+  // file on every trigger. Instead the log mirrors the manifest-list
+  // indirection: once the unfrozen tail exceeds [[LogTailMax]],
+  // [[LogSegmentSize]]-snapshot prefixes freeze into IMMUTABLE
+  // content-addressed files under `_log_segments/`, carried in later
+  // generations BY NAME. Steady-state per-commit bytes = the ≤96-entry
+  // tail + one name per segment, O(1)-amortized in commit count; parsed
+  // segments cache process-wide (immutable content ⇒ cache never
+  // invalidates). A list that no longer starts with the frozen prefix
+  // (expire, rollback, branch rebase) re-segments from scratch —
+  // content addressing dedupes any re-frozen identical chunk.
+
+  private val LogSegmentSize = 64
+  private val LogTailMax = 96
+
+  private def logSegmentsDir(dir: Path) = new Path(dir, "_log_segments")
+
+  /** Serialize a snapshot list in the shared-schema-id object form. */
+  private def commitsJson(commits: Seq[Snapshot],
+                          segments: Seq[String] = Nil): String = {
+    val schemaIds = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    commits.flatMap(_.schemaJson).foreach(j =>
+      schemaIds.getOrElseUpdate(j, schemaIds.size))
+    val root = mapper.createObjectNode()
+    if (segments.nonEmpty) {
+      val sg = root.putArray("segments")
+      segments.foreach(sg.add)
+    }
+    if (schemaIds.nonEmpty) {
+      val sn = root.putObject("schemas")
+      schemaIds.foreach { case (j, id) => sn.put(id.toString, j) }
+    }
+    val arr = root.putArray("snapshots")
+    commits.foreach(s => snapshotIntoNode(s, arr.addObject(), schemaIds.toMap))
+    mapper.writeValueAsString(root)
+  }
+
+  /** Freeze `snaps` as an immutable content-addressed segment file;
+    * returns its name. Re-freezing identical content is a no-op (same
+    * name, file already present), which makes branch-create and
+    * re-segmentation races benign.
+    */
+  private def writeLogSegment(dir: Path, snaps: Seq[Snapshot]): String = {
+    val json = commitsJson(snaps)
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(json.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val name = s"seg-$digest.json"
+    val p = new Path(logSegmentsDir(dir), name)
+    if (!fs(p).exists(p)) writeString(p, json)
+    SnapshotCatalog.logSegmentCache.put(p.toString, snaps)
+    name
+  }
+
+  private def readLogSegment(dir: Path, name: String): Seq[Snapshot] = {
+    val p = new Path(logSegmentsDir(dir), name)
+    SnapshotCatalog.logSegmentCache.computeIfAbsent(p.toString,
+      _ => parseCommits(readString(p)))
+  }
+
+  /** Segment names a log file references (empty for legacy / flat). */
+  private def segmentNamesIn(root: com.fasterxml.jackson.databind.JsonNode): Seq[String] =
+    if (!root.isObject) Nil
+    else Option(root.get("segments"))
+      .map(_.elements.asScala.map(_.asText).toSeq).getOrElse(Nil)
+
+  /** Parse a generation file: frozen segments (by name, cached) ++ tail. */
+  private def parseLog(dir: Path, json: String): Seq[Snapshot] = {
+    val root = mapper.readTree(json)
+    segmentNamesIn(root).flatMap(readLogSegment(dir, _)) ++ parseCommitsNode(root)
+  }
+
   /** Commit the snapshot list as generation `expectedGen + 1`. Exclusive
     * rename arbitrates concurrent writers (see the section comment);
     * throws [[CommitConflictException]] when the next generation already
@@ -3902,18 +3996,25 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
   private[catalog] def writeCommits(schema: String, table: String,
                            commits: Seq[Snapshot], expectedGen: Long): Unit = {
     val dir = tableDir(schema, table)
-    // dedupe pinned schemas across the snapshot list (Iceberg schema
-    // ids): first-seen order assigns ids
-    val schemaIds = scala.collection.mutable.LinkedHashMap.empty[String, Int]
-    commits.flatMap(_.schemaJson).foreach(j =>
-      schemaIds.getOrElseUpdate(j, schemaIds.size))
-    val root = mapper.createObjectNode()
-    if (schemaIds.nonEmpty) {
-      val sn = root.putObject("schemas")
-      schemaIds.foreach { case (j, id) => sn.put(id.toString, j) }
+    // reuse the prior generation's frozen prefix when the new list still
+    // starts with it (the append/DML common case — the startsWith walk
+    // is O(1) per element via case-class eq fast paths on the cached
+    // instances); freeze more of the tail past the threshold
+    val priorSegs: Seq[String] =
+      if (expectedGen < 0) Nil
+      else {
+        val p = genPath(dir, expectedGen)
+        if (!fs(p).exists(p)) Nil
+        else segmentNamesIn(mapper.readTree(readString(p)))
+      }
+    val frozen = priorSegs.flatMap(readLogSegment(dir, _))
+    var segNames =
+      if (frozen.nonEmpty && commits.startsWith(frozen)) priorSegs else Nil
+    var tail = commits.drop(segNames.flatMap(readLogSegment(dir, _)).size)
+    while (tail.size > LogTailMax) {
+      segNames = segNames :+ writeLogSegment(dir, tail.take(LogSegmentSize))
+      tail = tail.drop(LogSegmentSize)
     }
-    val arr = root.putArray("snapshots")
-    commits.foreach(s => snapshotIntoNode(s, arr.addObject(), schemaIds.toMap))
     val next = expectedGen + 1
     val target = genPath(dir, next)
     val f = fs(target)
@@ -3935,7 +4036,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       case other => other
     }
     val out = rawF.create(tmp, true)
-    try out.write(mapper.writeValueAsString(root).getBytes("UTF-8")) finally out.close()
+    try out.write(commitsJson(tail, segNames).getBytes("UTF-8")) finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       target.toUri, spark.sparkContext.hadoopConfiguration)
     try fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.NONE)
@@ -3979,4 +4080,16 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val in = fs(p).open(p)
     try new String(in.readAllBytes(), "UTF-8") finally in.close()
   }
+}
+
+object SnapshotCatalog {
+  /** Frozen commit-log segments are immutable content-addressed files —
+    * cache them process-wide (shared across catalog instances AND branch
+    * views, which are separate instances over the same table dir), keyed
+    * by absolute path. Sharing the parsed instances also makes the
+    * frozen-prefix `startsWith` walk in writeCommits O(1) per element
+    * via the case-class `eq` fast path.
+    */
+  private[catalog] val logSegmentCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Snapshot]]()
 }
