@@ -66,6 +66,26 @@ final class MergeConflictException(val schema: String, val table: String,
                                    val branch: String, msg: String)
   extends RuntimeException(msg)
 
+/** A catalog-level publish found member tables whose main ref advanced
+  * past the branch (not fast-forwardable) — the cross-table content
+  * conflict of a Nessie multi-table merge. NOTHING was published: the
+  * publish CAS happens only after every member checks clean.
+  */
+final class CatalogPublishConflictException(val ref: String,
+                                            val tables: Seq[String], msg: String)
+  extends RuntimeException(msg)
+
+/** One member table of a catalog-level ref. `headId` is set when the
+  * ref is published: the pinned branch snapshot main reads resolve.
+  */
+final case class CatalogRefMember(schema: String, table: String,
+                                  headId: Option[Long])
+
+/** State record of a catalog-level ref: `open` (branch writes
+  * accumulating) or `published` (pinned heads visible on main).
+  */
+final case class CatalogRefState(state: String, members: Seq[CatalogRefMember])
+
 /** Resolved MERGE clause actions ([[SnapshotCatalog.mergeInto]]): the
   * engine parses the SQL-text conditions/expressions into Columns, the
   * catalog executes them. Clause order = first-match-wins priority.
@@ -2452,7 +2472,9 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val root = new Path(warehouse)
     val f = fs(root)
     if (!f.exists(root)) return Nil
-    f.listStatus(root).filter(_.isDirectory).map(_.getPath.getName).sorted.toSeq
+    f.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+      .filterNot(_.startsWith("_")) // catalog-internal dirs (_catalog_refs)
+      .sorted.toSeq
   }
 
   /** DROP SCHEMA: RESTRICT (default) refuses a non-empty schema — the
@@ -3780,6 +3802,265 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       .flatMap(b => branch(b).readCommitsWithGen(schema, table)._1) ++
       listTags(schema, table).values
 
+  // ---- catalog-level refs: multi-table branches with ONE atomic
+  //      publish (Nessie's defining feature — git-like refs over the
+  //      WHOLE catalog; the reference's catalog IS Nessie,
+  //      docker-compose.yml:36 / TrinoConfigurationProvider.cs:45-47.
+  //      Per-table branches cannot publish a fact + dimension table
+  //      atomically, which is exactly the write-audit-publish scenario
+  //      the branch surface exists for). ----
+  //
+  // State lives in generation-versioned files under
+  // `<warehouse>/_catalog_refs/<name>-<gen>.json` with the same
+  // exclusive-rename CAS as the commit log. Lifecycle:
+  //   open       — members carry per-table branches (ordinary branch
+  //                logs, same namespace as table branches); writes go
+  //                through branch views; main sees nothing.
+  //   published  — ONE CAS pins every member's branch head; from that
+  //                instant main reads of every member resolve the pinned
+  //                branch state simultaneously (all-or-nothing — the
+  //                read-side overlay below). Materialization then
+  //                fast-forwards each member's physical main log (each
+  //                a no-op to readers) and retires the ref; a crash
+  //                mid-way leaves a published ref that keeps serving
+  //                consistently and heals on the next materialize call.
+
+  private def catalogRefsDir = new Path(s"$warehouse/_catalog_refs")
+  private val catalogRefGenRe = """([A-Za-z][A-Za-z0-9_]*)-(\d+)\.json""".r
+
+  /** (state, members) of every live catalog ref, keyed by name, paired
+    * with the generation it was read at. Gen files are immutable →
+    * parsed states cache process-wide by path.
+    */
+  def listCatalogBranches(): Map[String, CatalogRefState] =
+    catalogRefStates().map { case (n, (_, st)) => n -> st }
+
+  private def catalogRefStates(): Map[String, (Long, CatalogRefState)] = {
+    val d = catalogRefsDir
+    val f = fs(d)
+    if (!f.exists(d)) return Map.empty
+    f.listStatus(d).iterator.flatMap(_.getPath.getName match {
+      case catalogRefGenRe(n, g) => Iterator.single(n -> g.toLong)
+      case _                     => Iterator.empty
+    }).toSeq.groupBy(_._1).map { case (n, gs) =>
+      val g = gs.map(_._2).max
+      val p = new Path(d, f"$n-$g%06d.json")
+      val st = SnapshotCatalog.catalogRefCache.computeIfAbsent(p.toString, _ => {
+        val root = mapper.readTree(readString(p))
+        CatalogRefState(root.get("state").asText,
+          root.get("members").elements.asScala.map(m =>
+            CatalogRefMember(m.get("schema").asText, m.get("table").asText,
+              Option(m.get("headId")).filterNot(_.isNull).map(_.asLong))).toSeq)
+      })
+      n -> (g, st)
+    }
+  }
+
+  /** CAS the ref state to generation `expectedGen + 1` (exclusive
+    * rename; a concurrent updater surfaces as a typed conflict).
+    */
+  private def writeCatalogRefState(name: String, expectedGen: Long,
+                                   st: CatalogRefState): Unit = {
+    val d = catalogRefsDir
+    val f = fs(d)
+    f.mkdirs(d)
+    val root = mapper.createObjectNode()
+    root.put("state", st.state)
+    val arr = root.putArray("members")
+    st.members.foreach { m =>
+      val o = arr.addObject()
+      o.put("schema", m.schema)
+      o.put("table", m.table)
+      m.headId.foreach(o.put("headId", _))
+    }
+    val target = new Path(d, f"$name-${expectedGen + 1}%06d.json")
+    if (f.exists(target))
+      throw new CommitConflictException("_catalog_refs", name, expectedGen)
+    val tmp = new Path(d, "." + target.getName + "." +
+      java.util.UUID.randomUUID().toString.take(8) + ".tmp")
+    val rawF = f match {
+      case cfs: org.apache.hadoop.fs.ChecksumFileSystem => cfs.getRawFileSystem
+      case other => other
+    }
+    val out = rawF.create(tmp, true)
+    try out.write(mapper.writeValueAsString(root).getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      target.toUri, spark.sparkContext.hadoopConfiguration)
+    try fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.NONE)
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.nio.file.FileAlreadyExistsException =>
+        f.delete(tmp, false)
+        throw new CommitConflictException("_catalog_refs", name, expectedGen)
+    }
+    // old ref generations are superseded immediately — GC best-effort
+    try {
+      f.listStatus(d).foreach(s => s.getPath.getName match {
+        case catalogRefGenRe(n, g) if n == name && g.toLong < expectedGen + 1 =>
+          f.delete(s.getPath, false)
+        case _ => ()
+      })
+    } catch { case _: Exception => () }
+  }
+
+  /** Create catalog branch `name` over `tables`: each member gets an
+    * ordinary per-table branch of the same name (so every existing
+    * branch surface — branch views, SQL `"t@branch"` DML, merge —
+    * works unchanged), tied together by one catalog ref record.
+    */
+  def createCatalogBranch(name: String, tables: Seq[(String, String)]): Unit = synchronized {
+    require(refNameOk(name), s"Malformed catalog branch name: '$name'")
+    require(tables.nonEmpty, "A catalog branch needs at least one member table")
+    tables.foreach { case (s, t) =>
+      require(tableExists(s, t), s"Table $s.$t does not exist") }
+    require(!catalogRefStates().contains(name),
+      s"Catalog branch $name already exists")
+    tables.foreach { case (s, t) =>
+      if (!branchExists(s, t, name)) createBranch(s, t, name)
+    }
+    writeCatalogRefState(name, -1L,
+      CatalogRefState("open", tables.map { case (s, t) =>
+        CatalogRefMember(s, t, None) }))
+  }
+
+  /** Publish catalog branch `name` to main ATOMICALLY: after checking
+    * every member is fast-forwardable (main has not advanced past the
+    * branch — otherwise a typed [[CatalogPublishConflictException]]
+    * naming the diverged tables, with nothing published), ONE ref-state
+    * CAS pins every member's branch head. From that instant a main read
+    * of ANY member resolves the pinned branch state — a reader can
+    * never observe one member published without the others. The
+    * physical main logs then materialize (each a reader-invisible
+    * fast-forward) and the ref retires.
+    */
+  def publishCatalogBranch(name: String): Unit = synchronized {
+    publishCatalogBranchCas(name)
+    materializeCatalogBranch(name)
+  }
+
+  /** The CAS half of publish, separated so tests and operators can
+    * exercise the published-but-not-yet-materialized window (the crash
+    * shape): after it returns, every member's pinned branch head is
+    * main-visible, and [[materializeCatalogBranch]] (or any later
+    * writer/reader) completes the physical fast-forward.
+    */
+  def publishCatalogBranchCas(name: String): Unit = synchronized {
+    val (gen, st) = catalogRefStates().getOrElse(name,
+      throw new IllegalArgumentException(s"Catalog branch $name does not exist"))
+    if (st.state != "open") return // already published: idempotent
+    val checks = st.members.map { m =>
+      val (mainC, _) = readCommitsWithGen(m.schema, m.table)
+      val (bc, _) = branch(name).readCommitsWithGen(m.schema, m.table)
+      val ok = bc.size >= mainC.size && bc.take(mainC.size) == mainC
+      (m, bc, ok)
+    }
+    val bad = checks.collect { case (m, _, false) => s"${m.schema}.${m.table}" }
+    if (bad.nonEmpty)
+      throw new CatalogPublishConflictException(name, bad,
+        s"Cannot publish catalog branch $name: main advanced past the " +
+          s"branch on ${bad.mkString(", ")} — recreate the branch from " +
+          "current main and re-apply, or merge those tables individually")
+    val pinned = checks.map { case (m, bc, _) =>
+      m.copy(headId = bc.lastOption.map(_.snapshotId)) }
+    writeCatalogRefState(name, gen, CatalogRefState("published", pinned))
+  }
+
+  /** Fast-forward every member's physical main log to its pinned branch
+    * head and retire the ref. Reader-invisible (the overlay already
+    * serves the pinned state); idempotent and crash-resumable. A racing
+    * main writer that slipped between the publish check and the CAS
+    * surfaces as a replay: its commit wins the generation race and the
+    * pinned appends merge on top ([[mergeBranch]] semantics); a
+    * non-append branch in that rare shape throws, keeping the ref
+    * published for manual resolution.
+    */
+  def materializeCatalogBranch(name: String): Unit = synchronized {
+    val (_, st) = catalogRefStates().getOrElse(name, return)
+    if (st.state != "published") return
+    st.members.foreach { m =>
+      m.headId.foreach { hid =>
+        var attempts = 0
+        var done = false
+        while (!done && attempts < 5) {
+          attempts += 1
+          val (mainRaw, g) = readCommitsWithGenRaw(m.schema, m.table)
+          if (mainRaw.exists(_.snapshotId == hid)) done = true
+          else {
+            val (bc, _) = branch(name).readCommitsWithGen(m.schema, m.table)
+            val idx = bc.indexWhere(_.snapshotId == hid)
+            require(idx >= 0, s"Catalog ref $name pins snapshot $hid of " +
+              s"${m.schema}.${m.table}, which its branch log no longer holds")
+            val pinnedList = bc.take(idx + 1)
+            if (pinnedList.startsWith(mainRaw))
+              try { writeCommits(m.schema, m.table, pinnedList, g); done = true }
+              catch { case _: CommitConflictException => () } // re-read, retry
+            else
+              // a racing pre-publish writer won the main generation:
+              // replay the pinned branch commits on top via the
+              // three-way merge (typed conflict if not replayable)
+              { mergeBranch(m.schema, m.table, name); done = true }
+          }
+        }
+        require(done, s"Could not materialize catalog ref $name on " +
+          s"${m.schema}.${m.table} after $attempts attempts")
+      }
+    }
+    val d = catalogRefsDir
+    val f = fs(d)
+    f.listStatus(d).map(_.getPath).foreach { p =>
+      p.getName match {
+        case catalogRefGenRe(n, _) if n == name => f.delete(p, false)
+        case _ => ()
+      }
+    }
+  }
+
+  /** Drop an OPEN catalog branch: the ref record and every member's
+    * branch log go away (their branch-only data files become debris for
+    * removeOrphanFiles). A published ref must materialize instead —
+    * readers already observe it.
+    */
+  def dropCatalogBranch(name: String): Unit = synchronized {
+    val (_, st) = catalogRefStates().getOrElse(name,
+      throw new IllegalArgumentException(s"Catalog branch $name does not exist"))
+    require(st.state == "open",
+      s"Catalog branch $name is published — call materializeCatalogBranch")
+    st.members.foreach(m =>
+      if (branchExists(m.schema, m.table, name)) dropBranch(m.schema, m.table, name))
+    val d = catalogRefsDir
+    val f = fs(d)
+    f.listStatus(d).map(_.getPath).foreach { p =>
+      p.getName match {
+        case catalogRefGenRe(n, _) if n == name => f.delete(p, false)
+        case _ => ()
+      }
+    }
+  }
+
+  /** Published-ref overlay for main reads: when a published catalog ref
+    * pins this table and its pinned branch prefix extends the physical
+    * main log, serve the pinned prefix — the mechanism that makes a
+    * multi-table publish visible all-or-nothing. One `exists` probe on
+    * the (usually absent) `_catalog_refs` dir per main log read.
+    */
+  private def publishedOverlay(schema: String, table: String,
+                               base: Seq[Snapshot]): Seq[Snapshot] = {
+    var best = base
+    catalogRefStates().foreach { case (name, (_, st)) =>
+      if (st.state == "published")
+        st.members.find(m => m.schema == schema && m.table == table)
+          .flatMap(_.headId).foreach { hid =>
+            val (bc, _) = branch(name).readCommitsWithGen(schema, table)
+            val idx = bc.indexWhere(_.snapshotId == hid)
+            if (idx >= 0) {
+              val pinned = bc.take(idx + 1)
+              if (pinned.size > best.size && pinned.startsWith(best)) best = pinned
+            }
+          }
+    }
+    best
+  }
+
   // ---- commit log I/O (driver-side metadata only) ----
   //
   // The commit log is GENERATION-VERSIONED (Iceberg's v<N>.metadata.json
@@ -3807,9 +4088,22 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     new Path(dir, f"$logPrefix-$gen%06d.json")
 
   /** (snapshot list, commit-log generation it was read at). (Nil, -1) for
-    * a table directory with no commit log at all.
+    * a table directory with no commit log at all. Main-ref reads resolve
+    * through the published catalog-ref overlay ([[publishedOverlay]]):
+    * the returned generation stays the PHYSICAL main generation, so a
+    * writer committing on top of an overlaid read materializes the
+    * published prefix as a side effect (self-healing fast-forward).
     */
   private[catalog] def readCommitsWithGen(schema: String, table: String): (Seq[Snapshot], Long) = {
+    val (base, g) = readCommitsWithGenRaw(schema, table)
+    if (logPrefix != "commits" || g < 0) (base, g)
+    else (publishedOverlay(schema, table, base), g)
+  }
+
+  /** The physical log read, no catalog-ref overlay (materialization and
+    * crash-healing need the on-disk truth).
+    */
+  private def readCommitsWithGenRaw(schema: String, table: String): (Seq[Snapshot], Long) = {
     val dir = tableDir(schema, table)
     val f = fs(dir)
     if (!f.exists(dir)) return (Nil, -1L)
@@ -4092,4 +4386,10 @@ object SnapshotCatalog {
     */
   private[catalog] val logSegmentCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Snapshot]]()
+
+  /** Catalog-ref state files are generation-versioned and immutable once
+    * written — parsed states cache process-wide by path.
+    */
+  private[catalog] val catalogRefCache =
+    new java.util.concurrent.ConcurrentHashMap[String, CatalogRefState]()
 }

@@ -1,0 +1,134 @@
+package graft.catalog
+
+import graft.SparkSpec
+import org.apache.spark.sql.types._
+
+/** Catalog-level refs: git-like branches over MULTIPLE tables with one
+  * atomic publish — Nessie's defining feature (the reference's catalog
+  * is Nessie, docker-compose.yml:36). A pipeline that branch-writes a
+  * fact AND a dimension table must publish them together: a reader can
+  * never observe one without the other.
+  */
+class CatalogRefsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("v", StringType)))
+
+  private def freshCatalog(name: String): SnapshotCatalog = {
+    val c = new SnapshotCatalog(spark, tmpDir(name))
+    c.createSchema("s")
+    c
+  }
+
+  private def twoTables(c: SnapshotCatalog): Unit = {
+    c.createTable("s", "fact", schema)
+    c.createTable("s", "dim", schema)
+    c.insert("s", "fact", Seq((1L, "f1")).toDF("id", "v"))
+    c.insert("s", "dim", Seq((1L, "d1")).toDF("id", "v"))
+  }
+
+  test("branch writes to two tables publish together; main untouched before") {
+    val c = freshCatalog("cref-basic")
+    twoTables(c)
+    c.createCatalogBranch("audit", Seq(("s", "fact"), ("s", "dim")))
+    val b = c.branch("audit")
+    b.insert("s", "fact", Seq((2L, "f2")).toDF("id", "v"))
+    b.insert("s", "dim", Seq((2L, "d2")).toDF("id", "v"))
+    // main sees NEITHER while the ref is open
+    assert(c.readLatest("s", "fact").count() == 1L)
+    assert(c.readLatest("s", "dim").count() == 1L)
+    c.publishCatalogBranch("audit")
+    assert(c.readLatest("s", "fact").count() == 2L)
+    assert(c.readLatest("s", "dim").count() == 2L)
+    // ref retired after materialization; per-table branches remain
+    assert(!c.listCatalogBranches().contains("audit"))
+    assert(c.listBranches("s", "fact").contains("audit"))
+    // physical main logs hold the branch commits (not just the overlay)
+    val c2 = new SnapshotCatalog(spark, c.warehouse)
+    assert(c2.snapshots("s", "fact").size == 2)
+    assert(c2.snapshots("s", "dim").size == 2)
+  }
+
+  test("the publish CAS alone flips BOTH tables at once (crash before materialize)") {
+    val c = freshCatalog("cref-atomic")
+    twoTables(c)
+    c.createCatalogBranch("wap", Seq(("s", "fact"), ("s", "dim")))
+    val b = c.branch("wap")
+    b.insert("s", "fact", Seq((2L, "f2")).toDF("id", "v"))
+    b.insert("s", "dim", Seq((2L, "d2")).toDF("id", "v"))
+    // ONLY the CAS half — the crash window before any main log moved
+    c.publishCatalogBranchCas("wap")
+    // a FRESH catalog (cold caches, like another process) sees BOTH
+    // members' branch heads through main, though no main log advanced
+    val r = new SnapshotCatalog(spark, c.warehouse)
+    assert(r.readLatest("s", "fact").count() == 2L)
+    assert(r.readLatest("s", "dim").count() == 2L)
+    assert(r.snapshots("s", "fact").size == 2)
+    // time travel composes with the overlay
+    assert(r.readVersion("s", "fact",
+      r.snapshots("s", "fact").head.snapshotId).count() == 1L)
+    // resuming (healing) materializes and retires
+    r.materializeCatalogBranch("wap")
+    assert(!r.listCatalogBranches().contains("wap"))
+    assert(r.readLatest("s", "fact").count() == 2L)
+    assert(r.readLatest("s", "dim").count() == 2L)
+  }
+
+  test("a writer on top of the published-but-unmaterialized view self-heals the log") {
+    val c = freshCatalog("cref-selfheal")
+    twoTables(c)
+    c.createCatalogBranch("wap", Seq(("s", "fact"), ("s", "dim")))
+    c.branch("wap").insert("s", "fact", Seq((2L, "f2")).toDF("id", "v"))
+    c.publishCatalogBranchCas("wap")
+    // main write lands ON TOP of the overlaid state and materializes it
+    c.insert("s", "fact", Seq((3L, "f3")).toDF("id", "v"))
+    assert(c.readLatest("s", "fact").count() == 3L)
+    assert(c.snapshots("s", "fact").map(_.snapshotId) == Seq(1L, 2L, 3L))
+    c.materializeCatalogBranch("wap")
+    assert(c.readLatest("s", "fact").count() == 3L)
+  }
+
+  test("diverged member: typed conflict naming the tables, NOTHING published") {
+    val c = freshCatalog("cref-conflict")
+    twoTables(c)
+    c.createCatalogBranch("wap", Seq(("s", "fact"), ("s", "dim")))
+    c.branch("wap").insert("s", "fact", Seq((2L, "f2")).toDF("id", "v"))
+    c.branch("wap").insert("s", "dim", Seq((2L, "d2")).toDF("id", "v"))
+    // main advances independently on ONE member only
+    c.insert("s", "dim", Seq((9L, "dx")).toDF("id", "v"))
+    val ex = intercept[CatalogPublishConflictException] {
+      c.publishCatalogBranch("wap")
+    }
+    assert(ex.tables == Seq("s.dim"))
+    // nothing published: fact still at 1 row, ref still open
+    assert(c.readLatest("s", "fact").count() == 1L)
+    assert(c.listCatalogBranches()("wap").state == "open")
+  }
+
+  test("drop discards an open ref and its member branches") {
+    val c = freshCatalog("cref-drop")
+    twoTables(c)
+    c.createCatalogBranch("tmp", Seq(("s", "fact"), ("s", "dim")))
+    c.branch("tmp").insert("s", "fact", Seq((2L, "f2")).toDF("id", "v"))
+    c.dropCatalogBranch("tmp")
+    assert(!c.listCatalogBranches().contains("tmp"))
+    assert(!c.listBranches("s", "fact").contains("tmp"))
+    assert(c.readLatest("s", "fact").count() == 1L)
+  }
+
+  test("guards: duplicate name, unknown table, _catalog_refs never lists as a schema") {
+    val c = freshCatalog("cref-guards")
+    twoTables(c)
+    c.createCatalogBranch("a", Seq(("s", "fact")))
+    intercept[IllegalArgumentException] {
+      c.createCatalogBranch("a", Seq(("s", "dim")))
+    }
+    intercept[IllegalArgumentException] {
+      c.createCatalogBranch("b", Seq(("s", "nope")))
+    }
+    assert(c.listSchemas() == Seq("s"))
+    c.dropCatalogBranch("a")
+  }
+}
