@@ -205,7 +205,23 @@ object DevFuzzTravel {
               s"brslice AS (SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, " +
                 s"n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey " +
                 s"FROM nation WHERE $bPred)")
-            "fz.t FOR VERSION AS OF 'br'"
+            if (rnd.nextBoolean()) "fz.t FOR VERSION AS OF 'br'"
+            else {
+              // branch-SCOPED timestamp travel: `"t@br" FOR TIMESTAMP AS
+              // OF` at the first branch insert's instant — a SECOND
+              // branch-only insert lands past it and must be excluded
+              // (the oracle models exactly st_asOfK + first slice)
+              val bMid = engine.catalog.branch("br")
+                .snapshots("fz", "t").last.committedAtMillis
+              engine.catalog.branch("br").insert("fz", "t", spark.sql(
+                "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, " +
+                  s"CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation WHERE ${pred()}"))
+              val tsB = java.time.LocalDateTime.ofInstant(
+                java.time.Instant.ofEpochMilli(bMid), java.time.ZoneOffset.UTC)
+                .format(java.time.format.DateTimeFormatter
+                  .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+              s"""fz."t@br" FOR TIMESTAMP AS OF TIMESTAMP '$tsB'"""
+            }
           }
       }
       val useUnqualified = rnd.nextBoolean()

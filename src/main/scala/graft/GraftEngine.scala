@@ -1079,11 +1079,22 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
 
   // ---- time travel in SQL (T1) ----
 
+  // the travel operand: a dotted name, or Trino's quoted branch form
+  // `[sch.]"t@branch"` — branch-scoped time travel ("what did the branch
+  // look like before the fix"), resolved against the BRANCH's history
+  private val travelOperand =
+    """((?:[A-Za-z_]\w*\.){0,2}[A-Za-z_]\w*|(?:(?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*\.)?"[A-Za-z_]\w*@[A-Za-z_]\w*")"""
+
   private val timeTravelRe =
-    """(?is)\b((?:[A-Za-z_]\w*\.){0,2}[A-Za-z_]\w*)\s+FOR\s+TIMESTAMP\s+AS\s+OF\s+TIMESTAMP\s+'([^']+)'""".r
+    ("""(?is)(?<![\w."])""" + travelOperand +
+      """\s+FOR\s+TIMESTAMP\s+AS\s+OF\s+TIMESTAMP\s+'([^']+)'""").r
 
   private val versionTravelRe =
-    """(?is)\b((?:[A-Za-z_]\w*\.){0,2}[A-Za-z_]\w*)\s+FOR\s+VERSION\s+AS\s+OF\s+(\d+|'[A-Za-z][A-Za-z0-9_]*')""".r
+    ("""(?is)(?<![\w."])""" + travelOperand +
+      """\s+FOR\s+VERSION\s+AS\s+OF\s+(\d+|'[A-Za-z][A-Za-z0-9_]*')""").r
+
+  private val branchOperandRe =
+    """(?s)^(?:(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\.)?"([A-Za-z_]\w*)@([A-Za-z_]\w*)"$""".r
 
   /** Rewrite `FROM [catalog.]<schema>.<table> FOR TIMESTAMP AS OF
     * TIMESTAMP '<ts>'` (the reference's only time-travel form,
@@ -1100,7 +1111,7 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
       // match start position decides whether we're inside a string
       if (overlapsLiteral(spans, m.start, m.start + 1))
         java.util.regex.Matcher.quoteReplacement(m.matched)
-      else rewriteTimeTravelMatch(m)
+      else rewriteTimeTravelMatch(sql, m)
     })
     val spans2 = literalSpans(tsDone)
     versionTravelRe.replaceAllIn(tsDone, m => {
@@ -1109,23 +1120,26 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
       if (overlapsLiteral(spans2, m.start, m.start + 1))
         java.util.regex.Matcher.quoteReplacement(m.matched)
       else {
-        val parts = m.group(1).split("\\.")
-        val (sch, tbl) =
-          if (parts.length >= 2) (parts(parts.length - 2), parts.last)
-          else (sessionSchema, parts(0))
+        val (sch, tbl, brOpt) = travelTarget(m.group(1))
+        brOpt.foreach(b => requireBranch(sql, sch, tbl, b))
         val arg = m.group(2)
         val (df, tag) =
           if (arg.startsWith("'")) {
             // Trino Iceberg's branch/tag read: FOR VERSION AS OF '<ref>'
             val ref = arg.stripPrefix("'").stripSuffix("'")
+            if (brOpt.isDefined)
+              throw new GraftQueryException(sql,
+                s"Cannot combine a branch operand with FOR VERSION AS OF '$ref'")
             (try catalog.readRef(sch, tbl, ref)
             catch { case e: IllegalArgumentException =>
               throw new GraftQueryException(sql, e.getMessage, e) }, ref)
           } else {
             val id = arg.toLong
-            (try catalog.readVersion(sch, tbl, id)
+            val cat = brOpt.map(catalog.branch).getOrElse(catalog)
+            (try cat.readVersion(sch, tbl, id)
             catch { case e: IllegalArgumentException =>
-              throw new GraftQueryException(sql, e.getMessage, e) }, id.toString)
+              throw new GraftQueryException(sql, e.getMessage, e) },
+              brOpt.map(_ + "_").getOrElse("") + id.toString)
           }
         val view = s"_tv_${sch}_${tbl}_${nameTag(sch, tbl)}_$tag"
         df.createOrReplaceTempView(view)
@@ -1134,15 +1148,35 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
     })
   }
 
-  private def rewriteTimeTravelMatch(m: scala.util.matching.Regex.Match): String = {
-      val parts = m.group(1).split("\\.")
-      val (sch, tbl) =
-        if (parts.length >= 2) (parts(parts.length - 2), parts.last)
-        else (sessionSchema, parts(0))
+  /** (schema, table, branch?) of a travel operand — dotted name or the
+    * quoted `[sch.]"t@branch"` form.
+    */
+  private def travelTarget(op: String): (String, String, Option[String]) =
+    op match {
+      case branchOperandRe(sch0, tbl, br) =>
+        (Option(sch0).getOrElse(sessionSchema), tbl, Some(br))
+      case _ =>
+        val parts = op.split("\\.")
+        if (parts.length >= 2) (parts(parts.length - 2), parts.last, None)
+        else (sessionSchema, parts(0), None)
+    }
+
+  private def requireBranch(sql: String, sch: String, tbl: String, b: String): Unit =
+    if (!catalog.branchExists(sch, tbl, b))
+      throw new GraftQueryException(sql, s"Branch $b does not exist on $sch.$tbl")
+
+  private def rewriteTimeTravelMatch(sql: String,
+                                     m: scala.util.matching.Regex.Match): String = {
+      val (sch, tbl, brOpt) = travelTarget(m.group(1))
+      brOpt.foreach(b => requireBranch(sql, sch, tbl, b))
       val ts = java.time.LocalDateTime.parse(m.group(2).trim.replace(" ", "T"))
         .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-      val view = s"_tt_${sch}_${tbl}_${nameTag(sch, tbl)}_$ts"
-      catalog.readAsOf(sch, tbl, ts).createOrReplaceTempView(view)
+      val view = s"_tt_${sch}_${tbl}_${brOpt.map(_ + "_").getOrElse("")}" +
+        s"${nameTag(sch, tbl)}_$ts"
+      // a branch operand resolves the timestamp against the BRANCH's own
+      // history — the audit read "what did the branch hold at t"
+      brOpt.map(catalog.branch).getOrElse(catalog)
+        .readAsOf(sch, tbl, ts).createOrReplaceTempView(view)
       java.util.regex.Matcher.quoteReplacement(view)
   }
 }

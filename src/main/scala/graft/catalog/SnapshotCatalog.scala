@@ -2964,9 +2964,35 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       "file_size_in_bytes", "lower_bounds", "upper_bounds", "null_value_counts")
   }
 
+  /** `$metadata_log_entries` (Trino Iceberg's metadata-log table): one
+    * row per commit-log metadata file still on disk — the generation
+    * files ARE the metadata log (plus a legacy `commits.json` when
+    * present). Reports each file's modification time, path, and the
+    * latest snapshot id it declares. Generations GC past a slack of 8,
+    * so the log stays bounded like Iceberg's
+    * `write.metadata.previous-versions-max`.
+    */
+  def metadataLogEntriesMeta(schema: String, table: String): DataFrame = {
+    val dir = tableDir(schema, table)
+    val f = fs(dir)
+    import spark.implicits._
+    val logs =
+      if (!f.exists(dir)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else f.listStatus(dir).filter { s =>
+        val n = s.getPath.getName
+        n == "commits.json" || commitGenRe.pattern.matcher(n).matches()
+      }.sortBy(_.getPath.getName)
+    logs.map { s =>
+      val snaps = parseLog(dir, readString(s.getPath))
+      (new java.sql.Timestamp(s.getModificationTime), s.getPath.toString,
+        snaps.lastOption.map(_.snapshotId))
+    }.toSeq.toDF("timestamp", "file", "latest_snapshot_id")
+  }
+
   /** Metadata-table dispatch for the SQL surface (`sch."t$<kind>"`). */
   def metadataTable(schema: String, table: String, kind: String): DataFrame =
     kind.toLowerCase match {
+      case "metadata_log_entries" => metadataLogEntriesMeta(schema, table)
       case "snapshots"  => snapshotsMeta(schema, table)
       case "history"    => historyMeta(schema, table)
       case "files"      => filesMeta(schema, table)
@@ -2984,7 +3010,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         readChanges(schema, table, from, commits.last.snapshotId)
       case other => throw new IllegalArgumentException(
         s"Unknown metadata table $$$other (supported: snapshots, history, " +
-          "files, partitions, refs, manifests, properties, entries, changes)")
+          "files, partitions, refs, manifests, properties, entries, changes, " +
+          "metadata_log_entries)")
     }
 
   // ---- persisted table statistics (ANALYZE → metadata-only SHOW STATS;

@@ -35,6 +35,24 @@ class SqlMetadataSpec extends SparkSpec {
     assert(ts.sliding(2).forall(p => p(0) < p(1)))
   }
 
+  test("t$metadata_log_entries lists commit-log files with latest snapshot ids") {
+    val e = freshEngine("meta-log")
+    val rows = e.query(SqlStatement(
+      """SELECT file, latest_snapshot_id FROM demo."m$metadata_log_entries" ORDER BY file"""))
+      .collect().map(r =>
+        (r.getString(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(rows.nonEmpty)
+    // every entry is a real commit-log file; the newest declares the
+    // head (the empty pre-insert log reads back NULL)
+    assert(rows.forall(_._1.contains("commits")))
+    assert(rows.map(_._2).max == 2L)
+    // timestamps are real and non-null
+    val ts = e.query(SqlStatement(
+      """SELECT timestamp FROM demo."m$metadata_log_entries""""))
+      .collect().map(_.getTimestamp(0))
+    assert(ts.forall(_ != null))
+  }
+
   test("t$history mirrors the linear commit chain; unquoted spelling also resolves") {
     val e = freshEngine("meta-hist")
     val n = e.query(SqlStatement(

@@ -181,6 +181,42 @@ class BranchTagSpec extends SparkSpec {
       "SELECT * FROM s.r FOR VERSION AS OF 'nope'")).collect())
   }
 
+  test("branch-scoped timestamp travel: FOR TIMESTAMP AS OF on a \"t@branch\" operand") {
+    val c = freshCatalog()
+    val e = new graft.GraftEngine(spark, c.warehouse)
+    e.executeNonQuery(graft.params.SqlStatement(
+      "CREATE TABLE s.bt (id bigint, v varchar)"))
+    e.executeNonQuery(graft.params.SqlStatement(
+      "INSERT INTO s.bt VALUES (1, 'a')"))
+    c.createBranch("s", "bt", "fix")
+    c.branch("fix").insert("s", "bt", Seq((2L, "b")).toDF("id", "v"))
+    val mid = c.branch("fix").snapshots("s", "bt").last.committedAtMillis
+    c.branch("fix").insert("s", "bt", Seq((3L, "c")).toDF("id", "v"))
+    def tsLit(ms: Long): String =
+      java.time.LocalDateTime.ofInstant(
+        java.time.Instant.ofEpochMilli(ms), java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    // the audit read: "what did the branch hold before the last fix" —
+    // resolved against the BRANCH history (main never saw snapshot 2)
+    val n = e.query(graft.params.SqlStatement(
+      s"""SELECT count(*) AS n FROM s."bt@fix" FOR TIMESTAMP AS OF TIMESTAMP '${tsLit(mid)}'"""))
+      .as[Long].head()
+    assert(n === 2L)
+    // main-scoped travel at the same instant sees only main's history
+    val nMain = e.query(graft.params.SqlStatement(
+      s"SELECT count(*) AS n FROM s.bt FOR TIMESTAMP AS OF TIMESTAMP '${tsLit(mid)}'"))
+      .as[Long].head()
+    assert(nMain === 1L)
+    // FOR VERSION AS OF <id> composes with the branch operand too
+    assert(e.query(graft.params.SqlStatement(
+      """SELECT count(*) AS n FROM s."bt@fix" FOR VERSION AS OF 3"""))
+      .as[Long].head() === 3L)
+    // unknown branch is the typed engine error
+    intercept[graft.GraftQueryException](e.query(graft.params.SqlStatement(
+      """SELECT * FROM s."bt@nope" FOR VERSION AS OF 1""")).collect())
+  }
+
   test("merge: diverged append-only branch replays onto main; re-merge is a no-op") {
     val c = freshCatalog()
     seed(c, "m")
