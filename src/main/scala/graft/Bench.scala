@@ -90,7 +90,7 @@ object Bench {
     val total = results.map(_._2).sum
     def fmt(v: Double): String = f"$v%.3f"
     val bySlowest = results.sortBy(-_._2)
-    val budget = 1300
+    val budget = 1200 // shrunk to make room for the cost-split fields
     // strict slowest-first prefix: stop at the first entry that overflows
     // (admitting later shorter names would misrepresent the map as "the
     // slowest queries")
@@ -103,7 +103,14 @@ object Bench {
       else full = true
     }
     val qs = entries.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    // cost split (round-8 verdict #6): query-shaped entries vs the
+    // warehouse-building demos (multi-commit DDL/DML/stream/maintenance
+    // scenarios whose cost is commit I/O, not query speed) — two
+    // sub-totals so the engine s/q trend is gradable on its own
+    val (wh, q) = results.partition(r => SparkEntry.warehouseQueries(r._1))
+    val split = s""""query_sec":${fmt(q.map(_._2).sum)},"n_query":${q.size},""" +
+      s""""warehouse_sec":${fmt(wh.map(_._2).sum)},"n_warehouse":${wh.size}"""
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$split,"queries":$qs,"sf":"$sfDir"}""")
     // best-effort side artifact: never let a missing target/ (assembly
     // jar, different cwd) turn a completed sweep into a failed run
     try {
@@ -112,7 +119,7 @@ object Bench {
       val p = java.nio.file.Paths.get("target/bench_full.json")
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.writeString(p,
-        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"sf":"$sfDir"}""")
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$split,"queries":$fullQs,"sf":"$sfDir"}""")
     } catch { case e: Exception =>
       System.err.println(s"[bench] full-map dump skipped: ${e.getMessage}")
     }

@@ -198,6 +198,21 @@ object SparkEntry {
     "stratified_sample"  -> (Analytics.stratifiedSample _),
   )
 
+  /** Registry entries that BUILD warehouse state — multi-commit lakehouse
+    * demos (DDL + several snapshot commits + streaming triggers +
+    * maintenance, the CatalogDemos family plus the bucketed-table-writing
+    * join demo). Their cost is commit I/O and trigger latency, inherent
+    * to what they prove, not query-engine speed. Bench reports the
+    * query-shaped and warehouse-building sub-totals separately so the
+    * engine's s/q trend can be graded apart from demo commit I/O.
+    */
+  val warehouseQueries: Set[String] = Set(
+    "time_travel_demo", "partition_prune_demo", "transform_partition_demo",
+    "refs_demo", "register_demo", "upsert_demo", "unload_demo", "dml_demo",
+    "mor_demo", "sorted_demo", "scan_prune_demo", "changes_demo",
+    "stream_demo", "bloom_prune_demo", "zorder_demo", "merge_demo",
+    "meta_tables_demo", "views_demo", "bucketed_join_demo")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(

@@ -253,6 +253,15 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       !columns.fieldNames.exists(_.equalsIgnoreCase("_snap")),
       "Column name _snap is reserved in partitioned tables")
     if (f.exists(dir)) {
+      // an unregisterTable tombstone keeps the layout invisible to the
+      // catalog but ON DISK — without this check the name was both
+      // un-creatable ("already exists") and un-queryable, and IF NOT
+      // EXISTS silently no-op'd against a hidden table
+      if (f.exists(new Path(dir, "_unregistered")))
+        throw new IllegalStateException(
+          s"Table $schema.$table was unregistered but its layout remains at " +
+            s"$dir — CALL system.register_table to re-attach it, or delete " +
+            "the directory to create fresh")
       if (ifNotExists) return
       throw new IllegalStateException(s"Table $schema.$table already exists")
     }
@@ -663,6 +672,20 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val loc = new Path(location)
     require(fs(loc).exists(new Path(loc, "commits.json")),
       s"$location does not hold a table layout (no commits.json)")
+    // reject a location that ALIASES a live catalog table: two names
+    // over one commit log means DROP TABLE through either deletes the
+    // shared data while the other name still resolves (a tombstoned /
+    // unregistered layout is fine — registering it IS the revival path)
+    val locKey = fs(loc).makeQualified(loc).toUri.getPath
+    listSchemas().foreach { s =>
+      listTables(s).foreach { t =>
+        val d = tableDir(s, t)
+        require(fs(d).makeQualified(d).toUri.getPath != locKey,
+          s"Location $location is already the storage of catalog table " +
+            s"$s.$t — a second name over the same commit log would make " +
+            "DROP through either delete the other's data")
+      }
+    }
     val entry = new Path(schemaLocation(schema), table)
     val tomb = new Path(loc, "_unregistered")
     if (fs(loc).makeQualified(loc).toUri.getPath ==
@@ -881,12 +904,19 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val id = last.map(_.snapshotId).getOrElse(0L) + 1
     val at = math.max(System.currentTimeMillis(),
       last.map(_.committedAtMillis + 1).getOrElse(0L))
-    // ORDER MATTERS: data write → commit CAS → metadata mutation. The
-    // write may fail mid-query (it can read the table being replaced)
-    // and the CAS may lose to a concurrent writer — in both cases the
-    // table must be untouched (the staged snap dir is orphan debris,
-    // reclaimed by remove_orphan_files). Mutating the declared schema
-    // or layout markers FIRST corrupted the table on any such failure.
+    // ORDER MATTERS: data write → staged marker → commit CAS → marker
+    // promotion. The write may fail mid-query (it can read the table
+    // being replaced) and the CAS may lose to a concurrent writer — in
+    // both cases the table must be untouched (the staged snap dir is
+    // orphan debris, reclaimed by remove_orphan_files). Mutating the
+    // declared schema or layout markers FIRST corrupted the table on any
+    // such failure; mutating them AFTER the CAS without the staged
+    // marker left a crash window where a reader paired the new replace
+    // snapshot with the OLD declared schema and partition spec. The
+    // staged marker closes it: any reader that observes it next to a
+    // matching replace head finishes the promotion itself
+    // ([[promoteReplaceStaged]], triggered from the commit-log read's
+    // existing directory listing — idempotent, zero extra I/O).
     val snapDir = snapDirName(schema, table, attemptTag(id))
     df.write.mode("errorifexists").parquet(new Path(dir, snapDir).toString)
     // no blooms: the replacement resets bloom columns, and the OLD ones
@@ -895,14 +925,14 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val names = if (newEntries.nonEmpty) Seq(writeManifest(dir, newEntries)) else Nil
     val snap = Snapshot(id, at, Nil, Some(df.schema.json), Some("replace"),
       Nil, Some(writeManifestList(dir, names)))
-    writeCommits(schema, table, commits :+ snap, gen)
-    // layout properties that could reference replaced columns reset;
-    // each write below is individually atomic (temp + rename)
-    for (m <- Seq("_partition_spec.json", "_sorted_by.json", "_bloom_columns.json")) {
-      val p = new Path(dir, m)
-      fs(p).delete(p, false)
+    val stagedP = new Path(dir, s"_replace_staged-$id.json")
+    writeString(stagedP, "{}")
+    try writeCommits(schema, table, commits :+ snap, gen)
+    catch { case e: CommitConflictException =>
+      fs(stagedP).delete(stagedP, false) // loser: marker is debris
+      throw e
     }
-    writeString(new Path(dir, "_table_schema.json"), df.schema.json)
+    promoteReplaceStaged(dir, commits :+ snap, Seq(stagedP.getName))
     newEntries.map(_.rows).sum
   }
 
@@ -4134,18 +4164,61 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val dir = tableDir(schema, table)
     val f = fs(dir)
     if (!f.exists(dir)) return (Nil, -1L)
-    val gens = f.listStatus(dir).iterator.flatMap(_.getPath.getName match {
+    val statuses = f.listStatus(dir)
+    val gens = statuses.iterator.flatMap(_.getPath.getName match {
       case commitGenRe(g) => Iterator.single(g.toLong)
       case _              => Iterator.empty
     }).toSeq
-    if (gens.nonEmpty) {
-      val g = gens.max
-      (parseLog(dir, readString(genPath(dir, g))), g)
-    } else if (logPrefix == "commits") {
-      val legacy = new Path(dir, "commits.json")
-      if (!f.exists(legacy)) (Nil, -1L)
-      else (parseCommits(readString(legacy)), 0L)
-    } else (Nil, -1L) // a ref with no log yet
+    // CREATE OR REPLACE crash repair: staged markers found in the SAME
+    // listing — zero extra I/O on the common no-marker path
+    val staged =
+      if (logPrefix != "commits") Nil
+      else statuses.iterator.map(_.getPath.getName)
+        .filter(_.startsWith("_replace_staged-")).toSeq
+    val result =
+      if (gens.nonEmpty) {
+        val g = gens.max
+        (parseLog(dir, readString(genPath(dir, g))), g)
+      } else if (logPrefix == "commits") {
+        val legacy = new Path(dir, "commits.json")
+        if (!f.exists(legacy)) (Nil, -1L)
+        else (parseCommits(readString(legacy)), 0L)
+      } else (Nil, -1L) // a ref with no log yet
+    if (staged.nonEmpty) promoteReplaceStaged(dir, result._1, staged)
+    result
+  }
+
+  /** Finish (or discard) a CREATE OR REPLACE whose commit CAS succeeded
+    * but whose declared-schema/layout markers were not yet swapped — the
+    * crash window between the two. Idempotent; any reader may run it:
+    * the authoritative content comes from the HEAD snapshot's pinned
+    * schemaJson (a replace resets partition/sort/bloom layout by
+    * contract), the staged marker is only the trigger. Markers for lost
+    * or superseded attempts delete as debris; a marker AHEAD of the head
+    * (an attempt whose CAS has not happened yet) is left alone.
+    */
+  private def promoteReplaceStaged(dir: Path, commits: Seq[Snapshot],
+                                   staged: Seq[String]): Unit = {
+    val head = commits.lastOption
+    staged.foreach { name =>
+      name.stripPrefix("_replace_staged-").stripSuffix(".json").toLongOption
+        .foreach { n =>
+          head match {
+            case Some(h) if h.snapshotId == n && h.operation.contains("replace") =>
+              h.schemaJson.foreach(j =>
+                writeString(new Path(dir, "_table_schema.json"), j))
+              for (m <- Seq("_partition_spec.json", "_sorted_by.json",
+                  "_bloom_columns.json")) {
+                val p = new Path(dir, m)
+                fs(p).delete(p, false)
+              }
+              fs(dir).delete(new Path(dir, name), false)
+            case Some(h) if h.snapshotId >= n =>
+              fs(dir).delete(new Path(dir, name), false) // lost attempt
+            case _ => () // pending attempt (id ahead of head): leave
+          }
+        }
+    }
   }
 
   private def readCommits(schema: String, table: String): Seq[Snapshot] =

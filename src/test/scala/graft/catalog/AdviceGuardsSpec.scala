@@ -112,6 +112,68 @@ class AdviceGuardsSpec extends SparkSpec {
     intercept[IllegalArgumentException](c.renameColumn("s", "v2ok", "v", "file_path"))
   }
 
+  test("CREATE TABLE over an unregistered layout fails with the register_table pointer") {
+    val c = freshCatalog()
+    c.createTable("s", "t", schema)
+    c.insert("s", "t", Seq((1L, "a")).toDF("id", "v"))
+    c.unregisterTable("s", "t")
+    assert(!c.tableExists("s", "t"))
+    // the name must not be invisible-yet-uncreatable: the failure names
+    // the revival path instead of a bare "already exists"
+    val e = intercept[IllegalStateException](c.createTable("s", "t", schema))
+    assert(e.getMessage.contains("register_table"))
+    val e2 = intercept[IllegalStateException](
+      c.createTable("s", "t", schema, ifNotExists = true))
+    assert(e2.getMessage.contains("register_table"),
+      "IF NOT EXISTS must not silently no-op against a hidden layout")
+    // and the pointed-at remedy works
+    c.registerTable("s", "t",
+      new org.apache.hadoop.fs.Path(c.schemaLocation("s"), "t").toString)
+    assert(c.readLatest("s", "t").count() === 1)
+  }
+
+  test("registerTable rejects a location aliasing a live catalog table") {
+    val c = freshCatalog()
+    c.createTable("s", "t", schema)
+    c.insert("s", "t", Seq((1L, "a")).toDF("id", "v"))
+    val loc = new org.apache.hadoop.fs.Path(c.schemaLocation("s"), "t").toString
+    val e = intercept[IllegalArgumentException](
+      c.registerTable("s", "alias", loc))
+    assert(e.getMessage.contains("s.t"))
+    assert(!c.tableExists("s", "alias"))
+  }
+
+  test("a crashed CREATE OR REPLACE (commit without marker swap) repairs on read") {
+    val c = freshCatalog()
+    val oldSchema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("region", StringType)))
+    c.createTable("s", "r", oldSchema, partitionedBy = Seq("region"))
+    c.insert("s", "r", Seq((1L, "a", "eu")).toDF("id", "v", "region"))
+    val newDf = Seq((10L, 1.5)).toDF("k", "x")
+    c.replaceTableAs("s", "r", newDf)
+    val dir = new java.io.File(
+      new org.apache.hadoop.fs.Path(c.schemaLocation("s"), "r").toUri.getPath)
+    // SIMULATE the crash window: commit CAS done, marker swap not —
+    // restore the OLD markers and re-stage the replace marker
+    java.nio.file.Files.writeString(
+      dir.toPath.resolve("_table_schema.json"), oldSchema.json)
+    java.nio.file.Files.writeString(
+      dir.toPath.resolve("_partition_spec.json"), "region")
+    val headId = c.snapshots("s", "r").last.snapshotId
+    java.nio.file.Files.writeString(
+      dir.toPath.resolve(s"_replace_staged-$headId.json"), "{}")
+    // a FRESH catalog's first log read repairs: schema = the replace
+    // snapshot's pinned schema, layout reset, marker gone
+    val c2 = new SnapshotCatalog(spark, c.warehouse)
+    assert(c2.snapshots("s", "r").nonEmpty) // triggers the repair
+    assert(c2.declaredSchema("s", "r").map(_.fieldNames.toSeq)
+      .contains(Seq("k", "x")))
+    assert(c2.partitionSpec("s", "r").isEmpty)
+    assert(!new java.io.File(dir, s"_replace_staged-$headId.json").exists())
+    assert(c2.readLatest("s", "r").columns.toSeq == Seq("k", "x"))
+  }
+
   test("TRUNCATE count and commit derive from one observed snapshot") {
     val c = freshCatalog()
     c.createTable("s", "t", schema)

@@ -194,6 +194,53 @@ class EqualityDeleteSpec extends SparkSpec {
     assert(state(c, "t") == Seq((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "d")))
   }
 
+  test("partitioned upsert: partition pruning survives the eq-delete wrapper (Flink-CDC shape)") {
+    val c = freshCatalog("eq-part")
+    val pschema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("v", StringType),
+      StructField("region", StringType)))
+    c.createTable("s", "p", pschema, partitionedBy = Seq("region"),
+      formatVersion = 2)
+    c.insert("s", "p", Seq(
+      (1L, "a", "eu"), (2L, "b", "eu"),
+      (3L, "c", "us"), (4L, "d", "ap")).toDF("id", "v", "region"))
+    // keyed CDC upsert lands new versions + one key file, no target read
+    c.upsert("s", "p", Seq((2L, "B2", "eu"), (5L, "e", "us"))
+      .toDF("id", "v", "region"), Seq("id"))
+    val all = c.readLatest("s", "p")
+      .select("id", "v").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(all == Seq((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "d"), (5L, "e")))
+    // a partition-filtered read over the upserted state scans ONLY that
+    // partition's files — the filter pushes through the attach +
+    // anti-join wrapper to the manifest scan
+    val pruned = c.readLatest("s", "p").filter(col("region") === "ap")
+    pruned.collect()
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case st: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allScans(st.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(allScans)
+    }
+    // data-side scan = the one over the table's own partitioned layout
+    val dataScan = allScans(pruned.queryExecution.executedPlan)
+      .filter(_.relation.location.isInstanceOf[
+        org.apache.spark.sql.GraftManifestFileIndex]).head
+    assert(dataScan.metrics("numFiles").value == 1L,
+      s"expected the ap partition's single file, " +
+        s"got ${dataScan.metrics("numFiles").value}")
+    assert(pruned.select("id").as[Long].collect().toSeq == Seq(4L))
+    // upserting into one partition then filtering another: the shadowed
+    // row stays invisible, the untouched partition stays one-file
+    c.upsert("s", "p", Seq((3L, "C2", "us")).toDF("id", "v", "region"), Seq("id"))
+    assert(c.readLatest("s", "p").filter(col("region") === "us")
+      .select("id", "v").as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((3L, "C2"), (5L, "e")))
+  }
+
   test("DDL on a pending equality-delete key is rejected (fold first)") {
     val c = freshCatalog("eq-ddl")
     v2Table(c, "t")
