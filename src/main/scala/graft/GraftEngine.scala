@@ -442,6 +442,24 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
         try { catalog.renameTable(schema, table, newSchema.getOrElse(schema), newTable); 0L }
         catch { case e: IllegalArgumentException =>
           throw new GraftQueryException(sqlText, e.getMessage, e) }
+      case graft.catalog.CatalogRefStmt(proc, name, tables) =>
+        try {
+          proc match {
+            case "create_catalog_branch" =>
+              catalog.createCatalogBranch(name, tables); 0L
+            case "publish_catalog_branch" =>
+              catalog.publishCatalogBranch(name); 0L
+            case "materialize_catalog_branch" =>
+              catalog.materializeCatalogBranch(name); 0L
+            case "drop_catalog_branch" =>
+              catalog.dropCatalogBranch(name); 0L
+          }
+        } catch {
+          case e: graft.catalog.CatalogPublishConflictException =>
+            throw new GraftQueryException(sqlText, e.getMessage, e)
+          case e: IllegalArgumentException =>
+            throw new GraftQueryException(sqlText, e.getMessage, e)
+        }
       case graft.catalog.AlterExecuteStmt(schema, table, proc, args) =>
         // register_table is the one procedure whose target must NOT exist
         if (proc != "register_table") requireCatalogTable(sqlText, schema, table)

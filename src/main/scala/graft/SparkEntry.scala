@@ -153,6 +153,7 @@ object SparkEntry {
     "partition_prune_demo" -> (CatalogDemos.partitionPruneDemo _),
     "transform_partition_demo" -> (CatalogDemos.transformPartitionDemo _),
     "refs_demo" -> (CatalogDemos.refsDemo _),
+    "catalog_refs_demo" -> (CatalogDemos.catalogRefsDemo _),
     "register_demo" -> (CatalogDemos.registerDemo _),
     "upsert_demo" -> (CatalogDemos.upsertDemo _),
     "unload_demo"      -> (CatalogDemos.unloadDemo _),
@@ -208,7 +209,8 @@ object SparkEntry {
     */
   val warehouseQueries: Set[String] = Set(
     "time_travel_demo", "partition_prune_demo", "transform_partition_demo",
-    "refs_demo", "register_demo", "upsert_demo", "unload_demo", "dml_demo",
+    "refs_demo", "catalog_refs_demo", "register_demo", "upsert_demo",
+    "unload_demo", "dml_demo",
     "mor_demo", "sorted_demo", "scan_prune_demo", "changes_demo",
     "stream_demo", "bloom_prune_demo", "zorder_demo", "merge_demo",
     "meta_tables_demo", "views_demo", "bucketed_join_demo")
@@ -344,6 +346,7 @@ object SparkEntry {
     "partition_prune_demo" -> operators.CatalogDemos.partitionPruneDemoSql,
     "transform_partition_demo" -> operators.CatalogDemos.transformPartitionDemoSql,
     "refs_demo" -> operators.CatalogDemos.refsDemoSql,
+    "catalog_refs_demo" -> operators.CatalogDemos.catalogRefsDemoSql,
     "register_demo" -> operators.CatalogDemos.registerDemoSql,
     "upsert_demo" -> operators.CatalogDemos.upsertDemoSql,
     "q2_min_cost_supplier"  -> TpchRemainder.Sql.q2MinCostSupplier,

@@ -41,6 +41,13 @@ final case class UpdateStmt(schema: String, table: String,
 final case class AlterExecuteStmt(schema: String, table: String,
                                   procedure: String,
                                   args: Map[String, String]) extends DdlStatement
+/** `CALL system.create_catalog_branch('name', ARRAY['s.t1','s.t2'])` /
+  * publish_catalog_branch / materialize_catalog_branch /
+  * drop_catalog_branch — the multi-table (Nessie-style whole-catalog)
+  * ref procedures ([[SnapshotCatalog.createCatalogBranch]]).
+  */
+final case class CatalogRefStmt(procedure: String, name: String,
+                                tables: Seq[(String, String)]) extends DdlStatement
 /** `ALTER TABLE sch.t ADD COLUMN [IF NOT EXISTS] c type` (Trino's
   * additive schema-evolution spelling — the only evolution this catalog
   * offers; see SnapshotCatalog.addColumn).
@@ -189,6 +196,12 @@ object DdlParser {
   // etc., positional or name => value
   private val callRefRe =
     """(?is)^\s*CALL\s+(?:[\w.]*\bsystem\.)?(create_branch|drop_branch|create_tag|drop_tag|fast_forward|merge_branch)\s*\(\s*(.*?)\s*\)\s*;?\s*$""".r
+  // catalog-level (multi-table) ref procedures: CALL
+  // system.create_catalog_branch('name', ARRAY['s.t1','s.t2']) /
+  // publish_catalog_branch('name') / materialize_catalog_branch('name')
+  // / drop_catalog_branch('name'), positional or name => value
+  private val callCatalogRefRe =
+    """(?is)^\s*CALL\s+(?:[\w.]*\bsystem\.)?(create_catalog_branch|publish_catalog_branch|materialize_catalog_branch|drop_catalog_branch)\s*\(\s*(.*?)\s*\)\s*;?\s*$""".r
   // catalog attachment procedures (Trino Iceberg's register_table /
   // unregister_table): CALL system.register_table('sch','tbl','/path')
   // / unregister_table('sch','tbl'), positional or name => value
@@ -348,6 +361,24 @@ object DdlParser {
       require(kv.contains("name"), s"CALL $proc: missing ref name")
       Some(AlterExecuteStmt(sch, tbl, proc.toLowerCase,
         kv -- Seq("schema_name", "schema", "table_name", "table")))
+    case callCatalogRefRe(proc, argText) =>
+      def strip(s: String) = s.trim.stripPrefix("'").stripSuffix("'")
+      // pull the ARRAY[...] member list out first (its commas are not
+      // top-level argument separators)
+      val arrRe = """(?is)ARRAY\s*\[(.*?)\]""".r
+      val tables = arrRe.findFirstMatchIn(argText).map(_.group(1))
+        .map(_.split(",").map(strip).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+        .map(tableOf)
+      val rest = arrRe.replaceAllIn(argText, "")
+      val nameArg = splitQuotedTopLevel(rest).map(_.trim)
+        .filter(_.nonEmpty).filterNot(_.endsWith("=>"))
+        .map { p =>
+          if (p.contains("=>")) strip(p.split("=>", 2)(1)) else strip(p)
+        }.headOption.getOrElse(
+          throw new IllegalArgumentException(s"CALL $proc: missing ref name"))
+      require(proc.equalsIgnoreCase("create_catalog_branch") || tables.isEmpty,
+        s"CALL $proc takes only a ref name")
+      Some(CatalogRefStmt(proc.toLowerCase, nameArg, tables))
     case callRegisterRe(proc, argText) =>
       val parts = splitQuotedTopLevel(argText)
       def strip(s: String) = s.trim.stripPrefix("'").stripSuffix("'")

@@ -751,6 +751,76 @@ object CatalogDemos {
       |  CAST(3 AS BIGINT) AS refs_n,
       |  TRUE AS ff_blocked""".stripMargin
 
+  private[graft] val catalogRefsDemoWarehouse = "/tmp/graft-catalog-refs-demo"
+
+  /** Catalog-level refs end-to-end (Nessie's whole-catalog branches —
+    * the reference's catalog IS Nessie, docker-compose.yml:36): a fact
+    * AND a dimension table branch-write under ONE catalog ref; the
+    * publish CAS makes both visible simultaneously (verified through a
+    * cold-cache catalog BEFORE any physical main log moved — the
+    * all-or-nothing read a per-table branch cannot give); then
+    * materialization fast-forwards the main logs and retires the ref.
+    * The counts are nation/region arithmetic the oracle recomputes; the
+    * booleans are observed-atomicity literals.
+    */
+  def catalogRefsDemo(s: SparkSession, d: String): DataFrame = {
+    val wh = new org.apache.hadoop.fs.Path(catalogRefsDemoWarehouse)
+    val whFs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (whFs.exists(wh)) whFs.delete(wh, true)
+    val engine = new GraftEngine(s, catalogRefsDemoWarehouse)
+    engine.catalog.createSchema("demo")
+    val nation = graft.Tables.nation(s, d)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val region = graft.Tables.region(s, d)
+      .select(col("r_regionkey"), col("r_name"))
+    engine.catalog.createTable("demo", "fact", nation.schema)
+    engine.catalog.createTable("demo", "dim", region.schema)
+    engine.catalog.insert("demo", "fact", nation)
+    engine.catalog.insert("demo", "dim", region)
+    engine.executeNonQuery(graft.params.SqlStatement(
+      "CALL system.create_catalog_branch('wap', ARRAY['demo.fact', 'demo.dim'])"))
+    engine.catalog.branch("wap").insert("demo", "fact",
+      nation.filter(col("n_regionkey") === 1))
+    engine.catalog.branch("wap").insert("demo", "dim",
+      region.filter(col("r_regionkey") === 0))
+    // open ref: main sees NEITHER branch write
+    val preFact = engine.catalog.readLatest("demo", "fact").count()
+    val preDim = engine.catalog.readLatest("demo", "dim").count()
+    // the CAS half alone — then a COLD catalog (another process) must
+    // see BOTH members' branch heads although no main log moved yet
+    engine.catalog.publishCatalogBranchCas("wap")
+    val cold = new graft.catalog.SnapshotCatalog(s, catalogRefsDemoWarehouse)
+    val expFact = preFact + nation.filter(col("n_regionkey") === 1).count()
+    val expDim = preDim + region.filter(col("r_regionkey") === 0).count()
+    val atomicFlip = cold.readLatest("demo", "fact").count() == expFact &&
+      cold.readLatest("demo", "dim").count() == expDim
+    engine.executeNonQuery(graft.params.SqlStatement(
+      "CALL system.materialize_catalog_branch('wap')"))
+    val retired = !engine.catalog.listCatalogBranches().contains("wap")
+    engine.query(graft.params.SqlStatement(
+      """SELECT
+        |  (SELECT count(*) FROM demo.fact) AS fact_n,
+        |  (SELECT count(*) FROM demo.dim) AS dim_n""".stripMargin))
+      .withColumn("pre_fact_n", lit(preFact))
+      .withColumn("pre_dim_n", lit(preDim))
+      .withColumn("atomic_flip", lit(atomicFlip))
+      .withColumn("retired", lit(retired))
+  }
+
+  /** DuckDB twin of [[catalogRefsDemo]] — nation/region arithmetic plus
+    * the observed-atomicity literals.
+    */
+  val catalogRefsDemoSql: String =
+    """SELECT
+      |  (SELECT count(*) + (SELECT count(*) FROM nation WHERE n_regionkey = 1)
+      |   FROM nation) AS fact_n,
+      |  (SELECT count(*) + (SELECT count(*) FROM region WHERE r_regionkey = 0)
+      |   FROM region) AS dim_n,
+      |  (SELECT count(*) FROM nation) AS pre_fact_n,
+      |  (SELECT count(*) FROM region) AS pre_dim_n,
+      |  TRUE AS atomic_flip,
+      |  TRUE AS retired""".stripMargin
+
   /** Partition transforms end-to-end (Trino Iceberg hidden partitioning):
     * a `year(o_orderdate)` + `bucket(4, o_orderkey)` table built via
     * SQL-text DDL, a point DELETE on (key, date), and the proof it pruned

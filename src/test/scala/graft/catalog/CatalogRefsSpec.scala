@@ -118,6 +118,40 @@ class CatalogRefsSpec extends SparkSpec {
     assert(c.readLatest("s", "fact").count() == 1L)
   }
 
+  test("SQL surface: CALL create/publish/drop_catalog_branch + branch DML on members") {
+    val c = freshCatalog("cref-sql")
+    twoTables(c)
+    val e = new graft.GraftEngine(spark, c.warehouse)
+    e.executeNonQuery(graft.params.SqlStatement(
+      "CALL system.create_catalog_branch('wap', ARRAY['s.fact', 's.dim'])"))
+    // member branches are ordinary branches: SQL branch DML just works
+    e.executeNonQuery(graft.params.SqlStatement(
+      "INSERT INTO s.\"fact@wap\" VALUES (2, 'f2')"))
+    e.executeNonQuery(graft.params.SqlStatement(
+      "INSERT INTO s.\"dim@wap\" VALUES (2, 'd2')"))
+    assert(c.readLatest("s", "fact").count() == 1L)
+    e.executeNonQuery(graft.params.SqlStatement(
+      "CALL system.publish_catalog_branch('wap')"))
+    assert(c.readLatest("s", "fact").count() == 2L)
+    assert(c.readLatest("s", "dim").count() == 2L)
+    // second branch dropped through SQL
+    e.executeNonQuery(graft.params.SqlStatement(
+      "CALL system.create_catalog_branch(name => 'tmp', tables => ARRAY['s.fact'])"))
+    e.executeNonQuery(graft.params.SqlStatement(
+      "CALL system.drop_catalog_branch('tmp')"))
+    assert(!c.listCatalogBranches().contains("tmp"))
+    // typed conflict surfaces through the engine error contract
+    e.executeNonQuery(graft.params.SqlStatement(
+      "CALL system.create_catalog_branch('w2', ARRAY['s.fact', 's.dim'])"))
+    e.executeNonQuery(graft.params.SqlStatement(
+      "INSERT INTO s.\"fact@w2\" VALUES (3, 'f3')"))
+    e.executeNonQuery(graft.params.SqlStatement(
+      "INSERT INTO s.fact VALUES (9, 'fx')")) // main diverges on a member
+    val ex = intercept[graft.GraftQueryException](e.executeNonQuery(
+      graft.params.SqlStatement("CALL system.publish_catalog_branch('w2')")))
+    assert(ex.getMessage.contains("s.fact"))
+  }
+
   test("guards: duplicate name, unknown table, _catalog_refs never lists as a schema") {
     val c = freshCatalog("cref-guards")
     twoTables(c)

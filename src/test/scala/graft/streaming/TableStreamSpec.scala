@@ -268,4 +268,34 @@ class TableStreamSpec extends SparkSpec {
     assert(state() == after1)
     assert(c.snapshots("s", "dim").size == snaps1)
   }
+
+  test("expiring the checkpointed offset's snapshot fails the stream LOUD, never a silent gap") {
+    val c = freshCatalog()
+    c.createTable("s", "a", schemaT)
+    c.createTable("s", "b", schemaT)
+    c.insert("s", "a", rows(0 until 5, "x"))
+    val ckpt = tmpDir("graft-stream-expired-ckpt")
+    runToTable(sourceOf(c, "a"), c, "b", ckpt) // checkpoint at snapshot 1
+    // maintenance violates the operating contract: retention shorter
+    // than the stream's checkpoint lag expires the offset snapshot
+    c.insert("s", "a", rows(5 until 8, "y"))
+    c.insert("s", "a", rows(8 until 9, "z"))
+    c.expireSnapshots("s", "a",
+      c.snapshots("s", "a").last.committedAtMillis)
+    assert(!c.snapshots("s", "a").exists(_.snapshotId == 1L))
+    // the resumed stream must fail loud (Iceberg-parity: incremental
+    // reads from an expired snapshot are an error) — never re-emit or
+    // silently skip rows
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runToTable(sourceOf(c, "a"), c, "b", ckpt)
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ rootMessages(e.getCause))
+    assert(rootMessages(ex).exists(_.contains("does not exist")),
+      s"expected the expired-snapshot failure, got: ${rootMessages(ex)}")
+    // the sink holds exactly the pre-expiry drain: nothing duplicated
+    assert(contents(c, "b") == rows(0 until 5, "x")
+      .as[(Long, String, Long)].collect().toSet)
+  }
 }
