@@ -833,9 +833,15 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val entries =
       if (bloomCols.isEmpty) entries0
       else {
-        val byPath = Blooms.bloomsFor(spark, statuses.map(_._1.toString), bloomCols,
-            entries0.map(_.rows).max)
-          .map { case (k, v) => new Path(k).toUri.getPath -> v }
+        // chunked bloom jobs: a giant adoption on a bloom-configured
+        // table would otherwise collect files × cols × ≤16 KiB bitsets
+        // in ONE aggregation — per-chunk collects bound the driver's
+        // transient spike (the entries still carry every bloom; that
+        // steady-state footprint is the manifest's, not this job's)
+        val maxRows = entries0.map(_.rows).max
+        val byPath = statuses.map(_._1.toString).grouped(1024).flatMap(chunk =>
+          Blooms.bloomsFor(spark, chunk, bloomCols, maxRows))
+          .map { case (k, v) => new Path(k).toUri.getPath -> v }.toMap
         entries0.map(e => e.copy(blooms = byPath.getOrElse(e.path, Map.empty)))
       }
     val (carried, _) = carryManifests(schema, table, commits.lastOption, Set.empty)
