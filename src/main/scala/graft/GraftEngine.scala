@@ -482,6 +482,14 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
             try catalog.addFiles(schema, table, loc)
             catch { case e: IllegalArgumentException =>
               throw new GraftQueryException(sqlText, e.getMessage, e) }
+          case "add_files_from_table" =>
+            val st = args.getOrElse("table_name",
+              throw new GraftQueryException(sqlText,
+                "add_files_from_table requires table_name => '<table>'"))
+            val ss = args.getOrElse("schema_name", schema)
+            try catalog.addFilesFromTable(schema, table, ss, st)
+            catch { case e: IllegalArgumentException =>
+              throw new GraftQueryException(sqlText, e.getMessage, e) }
           case "optimize" =>
             catalog.compact(schema, table,
               args.get("file_count").map(_.toInt).getOrElse(1),
@@ -531,7 +539,7 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
                 "(supported: optimize, optimize_manifests, expire_snapshots, " +
                 "remove_orphan_files, rollback_to_snapshot, create_branch, " +
                 "drop_branch, create_tag, drop_tag, fast_forward, merge_branch, " +
-                "add_files, register_table, unregister_table)")
+                "add_files, add_files_from_table, register_table, unregister_table)")
         }
     }
 

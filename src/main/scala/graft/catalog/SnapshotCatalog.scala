@@ -857,6 +857,81 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     statuses.size.toLong
   }
 
+  /** `ALTER TABLE t EXECUTE add_files_from_table(schema_name => 's',
+    * table_name => 'src')`: adopt every data file of ANOTHER catalog
+    * table's current snapshot IN PLACE (Trino Iceberg's
+    * add_files_from_table). Pure metadata — the source's manifest
+    * entries (bounds, blooms, sizes included) are referenced by
+    * absolute path in a new target manifest: ZERO footer reads, zero
+    * data bytes moved, however large the source. Contract: identical
+    * partitioning spec and identical declared data schema (name +
+    * type); the source head must carry no pending delete files
+    * (adopting raw files would resurrect deleted rows — optimize
+    * first). Later target DML rewrites touched adopted files into
+    * target-owned storage; the source is never affected.
+    */
+  def addFilesFromTable(schema: String, table: String,
+                        srcSchema: String, srcTable: String): Long = synchronized {
+    require(tableExists(schema, table), s"Table $schema.$table does not exist")
+    require(tableExists(srcSchema, srcTable),
+      s"Table $srcSchema.$srcTable does not exist")
+    require(!(srcSchema == schema && srcTable == table),
+      "add_files_from_table: source and target are the same table")
+    val tSpec = partitionSpec(schema, table)
+      .map(_.toLowerCase(java.util.Locale.ROOT))
+    val sSpec = partitionSpec(srcSchema, srcTable)
+      .map(_.toLowerCase(java.util.Locale.ROOT))
+    require(tSpec == sSpec,
+      "add_files_from_table requires identical partitioning on source " +
+        s"and target (source: $sSpec, target: $tSpec)")
+    val declared = declaredSchema(schema, table).getOrElse(
+      throw new IllegalStateException(s"Table $schema.$table has no declared schema"))
+    val srcDecl = declaredSchema(srcSchema, srcTable).getOrElse(
+      throw new IllegalStateException(s"Table $srcSchema.$srcTable has no declared schema"))
+    def shape(s: StructType) = s.fields.toSeq
+      .map(f => (f.name.toLowerCase(java.util.Locale.ROOT), f.dataType))
+    require(shape(srcDecl) == shape(declared),
+      s"add_files_from_table: declared schemas differ (source " +
+        s"${srcDecl.simpleString}, target ${declared.simpleString})")
+    val sDir = tableDir(srcSchema, srcTable)
+    val sHead = readCommits(srcSchema, srcTable).lastOption.getOrElse(return 0L)
+    require(sHead.deletes.isEmpty && sHead.eqDeletes.isEmpty,
+      s"add_files_from_table: $srcSchema.$srcTable has pending delete " +
+        "files — EXECUTE optimize it first (adopting raw files would " +
+        "resurrect deleted rows)")
+    require(sHead.dirs.isEmpty && sHead.manifestList.isDefined,
+      s"add_files_from_table: $srcSchema.$srcTable predates manifest " +
+        "metadata — EXECUTE optimize it first")
+    val sKey = fs(sDir).makeQualified(sDir).toUri.getPath
+    val entries0 = manifestEntriesOf(sDir, sHead).map { e =>
+      e.copy(path = if (e.path.startsWith("/")) e.path else s"$sKey/${e.path}",
+        dirTotal = -1L)
+    }
+    require(entries0.nonEmpty, s"$srcSchema.$srcTable has no data files")
+    val dir = tableDir(schema, table)
+    val (commits, gen) = readCommitsWithGen(schema, table)
+    val tableRoot = fs(dir).makeQualified(dir).toUri.getPath
+    entries0.foreach(e => require(!e.path.startsWith(tableRoot + "/"),
+      s"add_files_from_table: source file is inside the target directory: ${e.path}"))
+    val existing = commits.lastOption.toSeq.flatMap(manifestEntriesOf(dir, _))
+      .map(e => entryKey(tableRoot, e)).toSet
+    val dups = entries0.filter(e => existing(e.path))
+    require(dups.isEmpty,
+      s"add_files_from_table: ${dups.size} file(s) already referenced by " +
+        "the current snapshot")
+    val (carried, _) = carryManifests(schema, table, commits.lastOption, Set.empty)
+    val names = carried :+ writeManifest(dir, entries0)
+    val ml = writeManifestList(dir, compactManifestSet(dir, names))
+    val id = commits.lastOption.map(_.snapshotId).getOrElse(0L) + 1
+    val at = math.max(System.currentTimeMillis(),
+      commits.lastOption.map(_.committedAtMillis + 1).getOrElse(0L))
+    val snap = Snapshot(id, at, Nil, Some(declared.json), Some("append"),
+      commits.lastOption.map(_.deletes).getOrElse(Nil), Some(ml),
+      None, commits.lastOption.map(_.eqDeletes).getOrElse(Nil))
+    writeCommits(schema, table, commits :+ snap, gen)
+    entries0.size.toLong
+  }
+
   /** ALTER TABLE RENAME TO (Trino rename): one directory move — the
     * commit log, schema, comments, and every snapshot travel with it;
     * data files are untouched. Commit `dirs` are relative to the table

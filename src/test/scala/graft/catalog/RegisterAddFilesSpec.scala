@@ -200,6 +200,62 @@ class RegisterAddFilesSpec extends SparkSpec {
     intercept[IllegalArgumentException] { c.addFiles("s", "p", ext) }
   }
 
+  test("add_files_from_table adopts another table's files: pure metadata, zero footer reads") {
+    val c = freshCatalog("addft")
+    c.createTable("s", "src", schema)
+    c.insert("s", "src", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    c.insert("s", "src", Seq((3L, "c")).toDF("id", "v"))
+    c.createTable("s", "dst", schema)
+    c.insert("s", "dst", Seq((10L, "z")).toDF("id", "v"))
+    val n = c.addFilesFromTable("s", "dst", "s", "src")
+    assert(n >= 2L)
+    assert(c.readLatest("s", "dst").select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 10L))
+    // adopted entries carry the SOURCE's bounds verbatim — a point
+    // delete outside an adopted file's range must not rewrite it, and
+    // DML on dst never touches src
+    c.delete("s", "dst", col("id") === 2L)
+    assert(c.readLatest("s", "dst").select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L, 10L))
+    assert(c.readLatest("s", "src").count() == 3L)
+    // duplicate adoption rejected; self-adoption rejected
+    intercept[IllegalArgumentException] { c.addFilesFromTable("s", "dst", "s", "src") }
+    intercept[IllegalArgumentException] { c.addFilesFromTable("s", "src", "s", "src") }
+    // a source with pending delete files is rejected (fold first)
+    c.createTable("s", "srcv2", schema, formatVersion = 2)
+    c.insert("s", "srcv2", Seq((7L, "x"), (8L, "y")).toDF("id", "v"))
+    c.delete("s", "srcv2", col("id") === 7L) // MoR positional delete
+    c.createTable("s", "dst2", schema)
+    val ex = intercept[IllegalArgumentException] {
+      c.addFilesFromTable("s", "dst2", "s", "srcv2")
+    }
+    assert(ex.getMessage.contains("optimize"))
+  }
+
+  test("add_files_from_table on identically-partitioned tables keeps pruning; SQL spelling") {
+    val c = freshCatalog("addft-part")
+    val pschema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("v", StringType),
+      StructField("region", StringType)))
+    c.createTable("s", "psrc", pschema, partitionedBy = Seq("region"))
+    c.insert("s", "psrc", Seq((1L, "a", "eu"), (2L, "b", "us"))
+      .toDF("id", "v", "region"))
+    c.createTable("s", "pdst", pschema, partitionedBy = Seq("region"))
+    val e = new GraftEngine(spark, c.warehouse)
+    assert(e.executeNonQuery(SqlStatement(
+      "ALTER TABLE s.pdst EXECUTE add_files_from_table(" +
+        "schema_name => 's', table_name => 'psrc')")) >= 1L)
+    val df = c.readLatest("s", "pdst")
+    assert(df.count() == 2L)
+    // partition values ride the source's hive path segments
+    assert(df.filter(col("region") === "us").select("id").as[Long]
+      .collect().toSeq == Seq(2L))
+    // mismatched partitioning rejected
+    c.createTable("s", "flat", pschema)
+    intercept[IllegalArgumentException] { c.addFilesFromTable("s", "flat", "s", "psrc") }
+  }
+
   test("$properties and $entries metadata tables") {
     val c = freshCatalog("props")
     c.createTable("s", "t", schema, sortedBy = Seq("id"))
