@@ -1674,10 +1674,28 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         // never serve, so the manifest relation is the only read path
         val adoptedPartitioned =
           fieldsP.nonEmpty && entries.exists(_.path.startsWith("/"))
+        // a path needs DIRECTORY-VALUE discovery iff some non-leaf hive
+        // segment names a DECLARED column — its values live in the path,
+        // not the files (identity-partitioned layouts). `_snap=` tags,
+        // derived-transform segments, and junk '=' dirs carry no declared
+        // values: those files hold every declared column and read flat
+        // through the manifest relation. (Treating ANY '=' as
+        // discovery-needing sent post-replace snapshots — whose carried
+        // replace output lives under a `_snap=`-named dir next to plain
+        // rewrite dirs — into basePath discovery, which threw
+        // CONFLICTING_DIRECTORY_STRUCTURES on the mixed layout.)
+        val declLowerAll = decl.fieldNames
+          .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+        def needsDiscovery(p: String): Boolean =
+          p.split('/').dropRight(1).exists { seg =>
+            val i = seg.indexOf('=')
+            i > 0 && declLowerAll.contains(
+              seg.substring(0, i).toLowerCase(java.util.Locale.ROOT))
+          }
         if (entries.isEmpty ||
             (entriesOverride.isEmpty && !adoptedPartitioned &&
               spark.conf.get("graft.manifestRead", "true") == "false")) None
-        else if (fieldsP.isEmpty && entries.forall(e => !e.path.contains('=')))
+        else if (fieldsP.isEmpty && entries.forall(e => !needsDiscovery(e.path)))
           Some(org.apache.spark.sql.GraftScanBridge.manifestScan(
             spark, dir, entries, decl, Nil))
         else if (fieldsP.nonEmpty && entries.forall(e =>
@@ -1749,12 +1767,29 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           // table-INTERNAL relative paths only: an adopted absolute path
           // (add_files) may contain meaningless `=` segments and lives
           // outside the table root — basePath would reject it, and it
-          // has no hive values to recover anyway. The two kinds never
-          // share a snapshot (adoption requires an unpartitioned table;
-          // hive-segmented relative entries predate the spec-dropping
-          // replace that made it one).
-          if (relPaths.exists(p => p.contains("=") && !p.startsWith("/")) &&
-              !relPaths.exists(_.startsWith("/"))) {
+          // has no hive values to recover anyway. Discovery fires only
+          // when a DECLARED column's value rides a path segment
+          // (identity-partitioned layouts); `_snap=`-named dirs holding
+          // full-column files (post-replace carries) read as plain
+          // multi-root parquet — basePath discovery over a mix of hive
+          // and plain dirs would throw CONFLICTING_DIRECTORY_STRUCTURES.
+          // Legacy `dirs` entries hide their deeper segments, so they
+          // keep the conservative any-'=' test; manifest entries expose
+          // full file paths and test exactly.
+          val declLowerAll = declared.toSeq.flatMap(_.fieldNames)
+            .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+          def needsDiscovery(p: String): Boolean =
+            p.split('/').dropRight(1).exists { seg =>
+              val i = seg.indexOf('=')
+              i > 0 && declLowerAll.contains(
+                seg.substring(0, i).toLowerCase(java.util.Locale.ROOT))
+            }
+          val discoveryNeeded =
+            snap.toSeq.flatMap(s => manifestEntriesOf(dir, s))
+              .exists(e => needsDiscovery(e.path)) ||
+            snap.toSeq.flatMap(_.dirs)
+              .exists(p => p.contains("=") && !p.startsWith("/"))
+          if (discoveryNeeded && !relPaths.exists(_.startsWith("/"))) {
             // Spark APPENDS discovered partition columns absent from a
             // user schema (it does not drop them) — `_snap` and derived
             // transform dirs must be declared-then-dropped or they leak

@@ -174,6 +174,43 @@ class AdviceGuardsSpec extends SparkSpec {
     assert(c2.readLatest("s", "r").columns.toSeq == Seq("k", "x"))
   }
 
+  test("post-replace DML carries _snap=-named replace output next to plain dirs (latent r8 bug)") {
+    val c = freshCatalog()
+    val pschema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("region", StringType)))
+    c.createTable("s", "pr", pschema, partitionedBy = Seq("region"))
+    c.insert("s", "pr", Seq((1L, "a", "eu"), (2L, "b", "us"), (3L, "c", "us"))
+      .toDF("id", "v", "region"))
+    // the replace drops the spec; its own output dir is `_snap=`-named
+    // (the spec was still declared when the dir name was chosen)
+    c.replaceTableAs("s", "pr",
+      c.readLatest("s", "pr").filter(col("id") =!= 3L))
+    // a pruned DML now CARRIES the `_snap=`-named replace file next to a
+    // plain rewrite dir — reading that mix threw
+    // CONFLICTING_DIRECTORY_STRUCTURES through round 8's listing path
+    c.insert("s", "pr", Seq((9L, "z", "ap")).toDF("id", "v", "region"))
+    c.updateCounted("s", "pr", Seq("v" -> lit("Z")), col("id") === 9L)
+    assert(c.readLatest("s", "pr").select("id", "v").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (9L, "Z")))
+    // the A/B listing hatch reads the same mix (plain multi-root, no
+    // basePath discovery — no declared column's value rides the paths)
+    spark.conf.set("graft.manifestRead", "false")
+    try assert(c.readLatest("s", "pr").count() === 3)
+    finally spark.conf.unset("graft.manifestRead")
+    // branch DML over the post-replace state reads back too
+    c.createBranch("s", "pr", "fix")
+    c.branch("fix").updateCounted("s", "pr", Seq("v" -> lit("Y")), col("id") === 1L)
+    assert(c.branch("fix").readLatest("s", "pr")
+      .filter(col("id") === 1L).select("v").as[String].head() == "Y")
+    // time travel to the PRE-replace partitioned snapshot still recovers
+    // identity partition values from the hive path segments
+    val pre = c.snapshots("s", "pr").head
+    assert(c.readVersion("s", "pr", pre.snapshotId)
+      .filter(col("region") === "us").count() === 2)
+  }
+
   test("TRUNCATE count and commit derive from one observed snapshot") {
     val c = freshCatalog()
     c.createTable("s", "t", schema)
