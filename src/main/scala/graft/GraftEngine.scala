@@ -262,8 +262,15 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
           try key match {
             case "sorted_by"    => catalog.setSortSpec(schema, table, elems)
             case "partitioning" => catalog.setPartitionSpec(schema, table, elems)
+            case "history.expire.min-snapshots-to-keep" =>
+              val v = raw.trim.stripPrefix("'").stripSuffix("'")
+              if (!v.toIntOption.exists(_ > 0))
+                throw new GraftQueryException(sqlText,
+                  s"$key expects a positive integer, got: $raw")
+              catalog.setTableProperty(schema, table, key, v)
             case other => throw new GraftQueryException(sqlText,
-              s"Unsupported table property: $other (supported: sorted_by, partitioning)")
+              s"Unsupported table property: $other (supported: sorted_by, " +
+                "partitioning, history.expire.min-snapshots-to-keep)")
           } catch { case e: IllegalArgumentException =>
             throw new GraftQueryException(sqlText, e.getMessage, e) }
         }

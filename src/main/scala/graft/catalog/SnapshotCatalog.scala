@@ -3062,7 +3062,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       Some(sortSpec(schema, table)).filter(_.nonEmpty)
         .map(s => "sorted_by" -> arr(s)) ++
       Some(bloomColumns(schema, table)).filter(_.nonEmpty)
-        .map(b => "parquet_bloom_filter_columns" -> arr(b))
+        .map(b => "parquet_bloom_filter_columns" -> arr(b)) ++
+      tableProperties(schema, table)
     rows.toDF("key", "value")
   }
 
@@ -3602,6 +3603,42 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     snap
   }
 
+  // ---- free-form table properties (`_properties.json`) — the store
+  //      behind policy properties like history.expire.min-snapshots-to-
+  //      keep; layout properties (partitioning/sorted_by/bloom) keep
+  //      their dedicated markers ----
+
+  private def propsPath(schema: String, table: String) =
+    new Path(tableDir(schema, table), "_properties.json")
+
+  def tableProperty(schema: String, table: String, key: String): Option[String] = {
+    val p = propsPath(schema, table)
+    if (!fs(p).exists(p)) None
+    else Option(mapper.readTree(readString(p)).get(key))
+      .filterNot(_.isNull).map(_.asText)
+  }
+
+  def setTableProperty(schema: String, table: String,
+                       key: String, value: String): Unit = synchronized {
+    require(tableExists(schema, table), s"Table $schema.$table does not exist")
+    val p = propsPath(schema, table)
+    val root =
+      if (fs(p).exists(p))
+        mapper.readTree(readString(p))
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      else mapper.createObjectNode()
+    root.put(key, value)
+    writeString(p, mapper.writeValueAsString(root))
+  }
+
+  /** Keys and values of every free-form property (empty when none set). */
+  def tableProperties(schema: String, table: String): Seq[(String, String)] = {
+    val p = propsPath(schema, table)
+    if (!fs(p).exists(p)) Nil
+    else mapper.readTree(readString(p)).properties().asScala
+      .map(e => e.getKey -> e.getValue.asText).toSeq.sortBy(_._1)
+  }
+
   /** Expire snapshots committed before `olderThanMillis`, keeping at least
     * the latest. Data dirs still referenced by a surviving snapshot are
     * kept (commits are cumulative appends, so a surviving snapshot's `dirs`
@@ -3614,7 +3651,17 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val dir = tableDir(schema, table)
     val (commits, gen) = readCommitsWithGen(schema, table)
     if (commits.isEmpty) return Nil
-    val (expired, kept0) = commits.partition(_.committedAtMillis < olderThanMillis)
+    // `history.expire.min-snapshots-to-keep` (Iceberg's
+    // min-snapshots-to-keep): a retention FLOOR in snapshot count that
+    // wins over the timestamp — the enforceable operating contract for
+    // streaming tables, whose checkpointed offsets need their snapshot
+    // retained across maintenance (an expired offset fails the stream)
+    val minKeep = tableProperty(schema, table,
+      "history.expire.min-snapshots-to-keep")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(1)
+    val floorIds = commits.takeRight(minKeep).map(_.snapshotId).toSet
+    val (expired, kept0) = commits.partition(c =>
+      c.committedAtMillis < olderThanMillis && !floorIds(c.snapshotId))
     val kept1 = if (kept0.isEmpty) Seq(commits.last) else kept0
     // a retained snapshot's equality deletes resolve their covered file
     // set through their appliesTo snapshot (readSnapshotMeta) — expiring
@@ -3706,7 +3753,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val keep = referenced ++
       Set("commits.json", "_table_schema.json", "_partition_spec.json",
         "_comments.json", "_format_version", "_sorted_by.json", "_manifests",
-        "_tags.json", "_bloom_columns.json", "_log_segments")
+        "_tags.json", "_bloom_columns.json", "_log_segments",
+        "_properties.json")
     val orphans = f.listStatus(dir)
       .map(_.getPath)
       .filterNot(p => keep.contains(p.getName) ||

@@ -269,6 +269,32 @@ class TableStreamSpec extends SparkSpec {
     assert(c.snapshots("s", "dim").size == snaps1)
   }
 
+  test("history.expire.min-snapshots-to-keep floors expiry so a lagging stream resumes") {
+    val c = freshCatalog()
+    c.createTable("s", "a", schemaT)
+    c.createTable("s", "b", schemaT)
+    c.insert("s", "a", rows(0 until 5, "x"))
+    val ckpt = tmpDir("graft-stream-floor-ckpt")
+    runToTable(sourceOf(c, "a"), c, "b", ckpt) // checkpoint at snapshot 1
+    // the ENFORCED operating contract: retention floor >= checkpoint lag
+    val e = new graft.GraftEngine(spark, c.warehouse)
+    e.executeNonQuery(graft.params.SqlStatement(
+      "ALTER TABLE s.a SET PROPERTIES " +
+        "history.expire.min-snapshots-to-keep = '8'"))
+    c.insert("s", "a", rows(5 until 8, "y"))
+    c.insert("s", "a", rows(8 until 9, "z"))
+    // the same aggressive expiry that broke the un-floored stream is a
+    // bounded trim here: the floor keeps the offset snapshot
+    c.expireSnapshots("s", "a", Long.MaxValue)
+    assert(c.snapshots("s", "a").exists(_.snapshotId == 1L))
+    runToTable(sourceOf(c, "a"), c, "b", ckpt)
+    assert(contents(c, "b") == contents(c, "a"))
+    // the property round-trips through $properties
+    assert(c.propertiesMeta("s", "a").collect()
+      .exists(r => r.getString(0) == "history.expire.min-snapshots-to-keep" &&
+        r.getString(1) == "8"))
+  }
+
   test("expiring the checkpointed offset's snapshot fails the stream LOUD, never a silent gap") {
     val c = freshCatalog()
     c.createTable("s", "a", schemaT)
