@@ -113,8 +113,22 @@ object DevFuzzCatalogRefs {
         }
         require(!r.listCatalogBranches().contains("wap"),
           s"scenario $i: ref not retired")
+        // recreate leg: a SAME-NAME ref in the SAME warehouse after
+        // materialize must base on current main, publish cleanly, and
+        // never serve the retired ref's state (gen numbers restart at 0,
+        // so path-keyed caching would alias the two lifecycles)
+        val m2 = members.take(1)
+        r.createCatalogBranch("wap", m2.map(("s", _)))
+        require(r.listCatalogBranches()("wap").members.map(_.table) == m2,
+          s"scenario $i: recreated ref served the retired member list")
+        val df2 = rows(0)
+        val ids2 = df2.select("id").as[Long].collect().toSet
+        r.branch("wap").insert("s", m2.head, df2)
+        r.publishCatalogBranch("wap")
+        require(idsOf(r, m2.head) == br(m2.head) ++ ids2,
+          s"scenario $i: recreate-publish lost or duplicated rows")
         println(s"[creffuzz] scenario_$i: ${tables.size} tables, " +
-          s"${members.size} members, ${nOps} ops, PUBLISH OK")
+          s"${members.size} members, ${nOps} ops, PUBLISH+RECREATE OK")
       }
     }
     println(s"[creffuzz] $n/$n multi-table catalog-ref scenarios OK (seed=$seed)")

@@ -157,6 +157,13 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * tableDir resolution — any process, any session — lands on it.
     */
   def createSchema(schema: String, location: Option[String] = None): Unit = {
+    // '_'-prefixed names are the catalog's own metadata namespace
+    // (_catalog_refs, _schema_location, …): listSchemas hides them, so a
+    // user schema spelled that way would be writable yet invisible — and
+    // exempt from every listSchemas-driven guard (e.g. registerTable's
+    // alias check). Reject at the door.
+    require(schema.nonEmpty && !schema.startsWith("_"),
+      s"Malformed schema name: '$schema' ('_'-prefixed names are reserved)")
     val p = new Path(s"$warehouse/$schema")
     fs(p).mkdirs(p)
     location.foreach { loc =>
@@ -868,7 +875,17 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * type); the source head must carry no pending delete files
     * (adopting raw files would resurrect deleted rows — optimize
     * first). Later target DML rewrites touched adopted files into
-    * target-owned storage; the source is never affected.
+    * target-owned storage; the source is never affected — the target's
+    * own expire/orphan maintenance never deletes outside the target
+    * directory, so adopted files are never reclaimed from here.
+    *
+    * The reverse direction is the operator's to manage (Trino Iceberg
+    * add_files_from_table has the same contract): the SOURCE does not
+    * know the target references its files, so source-side
+    * compact + expire (or DROP TABLE) can reclaim files the target
+    * still lists. Adopt from sources whose maintenance you control, or
+    * re-own the data on the target (EXECUTE optimize rewrites adopted
+    * files into target storage).
     */
   def addFilesFromTable(schema: String, table: String,
                         srcSchema: String, srcTable: String): Long = synchronized {
@@ -1314,6 +1331,22 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       mapper.readTree(readString(p)).elements.asScala.map(_.asText).toSeq)
   }
 
+  /** Does a DECLARED column's value ride this file path as a hive
+    * `col=value` segment? The single rule deciding when a read needs
+    * directory-VALUE discovery (identity-partitioned layouts keep their
+    * values in the path, not the files) vs reading flat through the
+    * manifest relation (`_snap=` tags, derived-transform segments, and
+    * junk '=' dirs carry no declared values). Shared by the
+    * manifest-relation gate and the listing fallback — one rule, two
+    * read paths.
+    */
+  private def declaredValueRidesPath(declLower: Set[String], p: String): Boolean =
+    p.split('/').dropRight(1).exists { seg =>
+      val i = seg.indexOf('=')
+      i > 0 && declLower.contains(
+        seg.substring(0, i).toLowerCase(java.util.Locale.ROOT))
+    }
+
   /** Absolute qualified path of a manifest entry's data file. Entries
     * normally carry table-relative paths (first segment = the snap dir);
     * files adopted in place by [[addFiles]] carry absolute scheme-less
@@ -1687,11 +1720,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         val declLowerAll = decl.fieldNames
           .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
         def needsDiscovery(p: String): Boolean =
-          p.split('/').dropRight(1).exists { seg =>
-            val i = seg.indexOf('=')
-            i > 0 && declLowerAll.contains(
-              seg.substring(0, i).toLowerCase(java.util.Locale.ROOT))
-          }
+          declaredValueRidesPath(declLowerAll, p)
         if (entries.isEmpty ||
             (entriesOverride.isEmpty && !adoptedPartitioned &&
               spark.conf.get("graft.manifestRead", "true") == "false")) None
@@ -1778,15 +1807,9 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           // full file paths and test exactly.
           val declLowerAll = declared.toSeq.flatMap(_.fieldNames)
             .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
-          def needsDiscovery(p: String): Boolean =
-            p.split('/').dropRight(1).exists { seg =>
-              val i = seg.indexOf('=')
-              i > 0 && declLowerAll.contains(
-                seg.substring(0, i).toLowerCase(java.util.Locale.ROOT))
-            }
           val discoveryNeeded =
             snap.toSeq.flatMap(s => manifestEntriesOf(dir, s))
-              .exists(e => needsDiscovery(e.path)) ||
+              .exists(e => declaredValueRidesPath(declLowerAll, e.path)) ||
             snap.toSeq.flatMap(_.dirs)
               .exists(p => p.contains("=") && !p.startsWith("/"))
           if (discoveryNeeded && !relPaths.exists(_.startsWith("/"))) {
@@ -3694,8 +3717,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     // manifest names them).
     val keptFiles: Set[String] =
       referenced.flatMap(e => dataFilesUnder(new Path(dir, e)).map(_.toUri.getPath)) ++
-        protectedSnaps.flatMap(c => manifestEntriesOf(dir, c)).map(e => s"$tableKey/${e.path}")
-    orphanEntries.foreach { dn =>
+        protectedSnaps.flatMap(c => manifestEntriesOf(dir, c)).map(e => entryKey(tableKey, e))
+    orphanEntries.filterNot(_.startsWith("/")).foreach { dn =>
       val p = new Path(dir, dn)
       val mine = dataFilesUnder(p)
       if (mine.forall(m => !keptFiles(m.toUri.getPath))) f.delete(p, true)
@@ -3715,9 +3738,14 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val touchedTop = scala.collection.mutable.Set.empty[String]
     expiredM.foreach { m =>
       readManifest(dir, m).foreach { e =>
-        if (!keptFiles(s"$tableKey/${e.path}")) {
+        // adopted entries (absolute paths outside the table dir) are
+        // NEVER reclaimed by this table's expire — the files belong to
+        // their source location (add_files' "the source is never
+        // affected" contract); only table-owned storage is deleted
+        val key = entryKey(tableKey, e)
+        if (!keptFiles(key) && key.startsWith(tableKey + "/")) {
           f.delete(new Path(dir, e.path), false)
-          touchedTop += e.path.split('/').head
+          touchedTop += key.stripPrefix(tableKey + "/").split('/').head
         }
       }
       f.delete(new Path(manifestDirPath(dir), m), false)
@@ -3758,6 +3786,12 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val orphans = f.listStatus(dir)
       .map(_.getPath)
       .filterNot(p => keep.contains(p.getName) ||
+        // staged replace markers are in-flight commit state, not debris:
+        // deleting one mid-CREATE-OR-REPLACE would reopen the crash
+        // window the marker exists to close (readers pairing the new
+        // head with the old declared schema). promoteReplaceStaged
+        // reclaims them the moment the swap lands.
+        p.getName.startsWith("_replace_staged-") ||
         commitGenRe.pattern.matcher(p.getName).matches() ||
         branchLogRe.pattern.matcher(p.getName).matches())
     orphans.foreach(p => f.delete(p, true))
@@ -3907,12 +3941,27 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * main head, so an immediate re-merge is a no-op instead of
     * double-applying the same appends. Returns merged commit count.
     */
-  def mergeBranch(schema: String, table: String, name: String): Long = synchronized {
+  def mergeBranch(schema: String, table: String, name: String,
+                  upTo: Option[Long] = None): Long = synchronized {
     require(branchExists(schema, table, name),
       s"Branch $name does not exist on $schema.$table")
     val dir = tableDir(schema, table)
     val (mainC, mainGen) = readCommitsWithGen(schema, table)
-    val (branchC, branchGen) = branch(name).readCommitsWithGen(schema, table)
+    val (branchFull, branchGen) = branch(name).readCommitsWithGen(schema, table)
+    // `upTo` merges only the branch prefix ending at that snapshot id —
+    // the catalog-ref materializer's contract: a publish pinned headId X,
+    // so branch commits made AFTER the pin must not ride into main with
+    // it (readers of the overlay observed exactly X). When truncating,
+    // the branch log is left un-rebased so the post-pin commits survive.
+    val branchC = upTo match {
+      case None => branchFull
+      case Some(hid) =>
+        val i = branchFull.indexWhere(_.snapshotId == hid)
+        require(i >= 0, s"Branch $name on $schema.$table no longer holds " +
+          s"snapshot $hid")
+        branchFull.take(i + 1)
+    }
+    val truncated = branchC.size < branchFull.size
     val common = mainC.zip(branchC).takeWhile { case (a, b) => a == b }.length
     val branchNew = branchC.drop(common)
     if (branchNew.isEmpty) return 0L
@@ -3940,7 +3989,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     if (added.isEmpty) {
       // nothing left to replay (retry after a half-completed merge):
       // only the branch rebase remains
-      branch(name).writeCommits(schema, table, mainC, branchGen)
+      if (!truncated) branch(name).writeCommits(schema, table, mainC, branchGen)
       return branchNew.length.toLong
     }
     val carried = mainHead.manifestList.toSeq.flatMap(readManifestList(dir, _))
@@ -3953,7 +4002,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       declaredSchema(schema, table).map(_.json), Some("append"),
       mainHead.deletes, Some(ml), None, mainHead.eqDeletes)
     writeCommits(schema, table, mainC :+ snap, mainGen)
-    branch(name).writeCommits(schema, table, mainC :+ snap, branchGen)
+    if (!truncated) branch(name).writeCommits(schema, table, mainC :+ snap, branchGen)
     branchNew.length.toLong
   }
 
@@ -4060,21 +4109,41 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val d = catalogRefsDir
     val f = fs(d)
     if (!f.exists(d)) return Map.empty
-    f.listStatus(d).iterator.flatMap(_.getPath.getName match {
-      case catalogRefGenRe(n, g) => Iterator.single(n -> g.toLong)
-      case _                     => Iterator.empty
-    }).toSeq.groupBy(_._1).map { case (n, gs) =>
-      val g = gs.map(_._2).max
-      val p = new Path(d, f"$n-$g%06d.json")
-      val st = SnapshotCatalog.catalogRefCache.computeIfAbsent(p.toString, _ => {
-        val root = mapper.readTree(readString(p))
-        CatalogRefState(root.get("state").asText,
-          root.get("members").elements.asScala.map(m =>
-            CatalogRefMember(m.get("schema").asText, m.get("table").asText,
-              Option(m.get("headId")).filterNot(_.isNull).map(_.asLong))).toSeq)
-      })
-      n -> (g, st)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try {
+        return f.listStatus(d).iterator.flatMap(s => s.getPath.getName match {
+          case catalogRefGenRe(n, g) => Iterator.single((n, g.toLong, s))
+          case _                     => Iterator.empty
+        }).toSeq.groupBy(_._1).map { case (n, gs) =>
+          val (_, g, s) = gs.maxBy(_._2)
+          val p = s.getPath
+          // generation numbers RESTART at 0 after materialize/drop delete
+          // every gen file of a ref, so the path alone is ambiguous
+          // across a drop-and-recreate of the same name — the cache key
+          // carries (mtime, length) so a recreated same-path state is
+          // never served from the retired ref's parse
+          val key = s"$p@${s.getModificationTime}:${s.getLen}"
+          val st = SnapshotCatalog.catalogRefCache.computeIfAbsent(key, _ => {
+            val root = mapper.readTree(readString(p))
+            CatalogRefState(root.get("state").asText,
+              root.get("members").elements.asScala.map(m =>
+                CatalogRefMember(m.get("schema").asText, m.get("table").asText,
+                  Option(m.get("headId")).filterNot(_.isNull).map(_.asLong))).toSeq)
+          })
+          n -> (g, st)
+        }
+      } catch {
+        // list-then-read races the immediate gen GC in
+        // writeCatalogRefState / materialize / drop: a concurrent CAS
+        // deletes the gen we listed before we parse it. The new state is
+        // already durable — re-list and read that instead of failing an
+        // unrelated table read.
+        case _: java.io.FileNotFoundException if attempt < 5 => ()
+      }
     }
+    throw new IllegalStateException("unreachable")
   }
 
   /** CAS the ref state to generation `expectedGen + 1` (exclusive
@@ -4136,9 +4205,18 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       require(tableExists(s, t), s"Table $s.$t does not exist") }
     require(!catalogRefStates().contains(name),
       s"Catalog branch $name already exists")
-    tables.foreach { case (s, t) =>
-      if (!branchExists(s, t, name)) createBranch(s, t, name)
-    }
+    // a pre-existing same-name per-table branch is NOT adopted: its log
+    // was cut from an older main (a materialized predecessor's leftover
+    // or an independent table branch), so silently reusing it would base
+    // branch writes on stale data and make publish throw a spurious
+    // divergence conflict. Materialize drops fully-consumed member
+    // branches, so the common recreate flow never hits this.
+    val taken = tables.filter { case (s, t) => branchExists(s, t, name) }
+    require(taken.isEmpty,
+      s"Catalog branch $name: per-table branch '$name' already exists on " +
+        taken.map { case (s, t) => s"$s.$t" }.mkString(", ") +
+        " — drop it (or pick another name) so members branch from current main")
+    tables.foreach { case (s, t) => createBranch(s, t, name) }
     writeCatalogRefState(name, -1L,
       CatalogRefState("open", tables.map { case (s, t) =>
         CatalogRefMember(s, t, None) }))
@@ -4218,12 +4296,30 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
             else
               // a racing pre-publish writer won the main generation:
               // replay the pinned branch commits on top via the
-              // three-way merge (typed conflict if not replayable)
-              { mergeBranch(m.schema, m.table, name); done = true }
+              // three-way merge (typed conflict if not replayable).
+              // upTo pins the replay at the PUBLISHED head — branch
+              // commits made after the publish CAS were never part of
+              // the atomic overlay readers observed and stay on the
+              // branch
+              { mergeBranch(m.schema, m.table, name, upTo = Some(hid)); done = true }
           }
         }
         require(done, s"Could not materialize catalog ref $name on " +
           s"${m.schema}.${m.table} after $attempts attempts")
+      }
+    }
+    // retire fully-consumed member branches: once every branch commit is
+    // reachable from main, the leftover branch log would only mislead a
+    // later createCatalogBranch of the same name (its base is the OLD
+    // main — create rejects such leftovers). A branch with post-publish
+    // commits stays: it still carries unpublished work.
+    st.members.foreach { m =>
+      if (branchExists(m.schema, m.table, name)) {
+        val (mainNow, _) = readCommitsWithGenRaw(m.schema, m.table)
+        val (bc, _) = branch(name).readCommitsWithGen(m.schema, m.table)
+        val mainIds = mainNow.map(_.snapshotId).toSet
+        if (bc.lastOption.forall(h => mainIds(h.snapshotId)))
+          dropBranch(m.schema, m.table, name)
       }
     }
     val d = catalogRefsDir
@@ -4649,11 +4745,30 @@ object SnapshotCatalog {
     * via the case-class `eq` fast path.
     */
   private[catalog] val logSegmentCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[Snapshot]]()
+    new BoundedCache[Seq[Snapshot]](4096)
 
   /** Catalog-ref state files are generation-versioned and immutable once
-    * written — parsed states cache process-wide by path.
+    * written — parsed states cache process-wide, keyed by
+    * path@mtime:length (gen numbers restart after materialize/drop, so
+    * the path alone is ambiguous across a same-name recreate).
     */
   private[catalog] val catalogRefCache =
-    new java.util.concurrent.ConcurrentHashMap[String, CatalogRefState]()
+    new BoundedCache[CatalogRefState](1024)
+
+  /** A flat-bounded concurrent cache for immutable parsed metadata: at
+    * `max` entries the map resets wholesale. The entries are pure parses
+    * of immutable files, so eviction only costs a re-read — the bound
+    * keeps a long-lived driver (a streaming job freezing a new log
+    * segment every 64 commits per table, forever) from accumulating
+    * every segment it ever read.
+    */
+  private[catalog] final class BoundedCache[V](max: Int) {
+    private val m = new java.util.concurrent.ConcurrentHashMap[String, V]()
+    def put(k: String, v: V): Unit = { trim(); m.put(k, v) }
+    def computeIfAbsent(k: String, f: String => V): V = {
+      trim(); m.computeIfAbsent(k, f(_))
+    }
+    def clear(): Unit = m.clear()
+    private def trim(): Unit = if (m.size > max) m.clear()
+  }
 }

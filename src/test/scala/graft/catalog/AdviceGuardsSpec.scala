@@ -220,4 +220,31 @@ class AdviceGuardsSpec extends SparkSpec {
     assert(snap.dirs.isEmpty)
     assert(c.readLatest("s", "t").count() === 0)
   }
+
+  test("remove_orphan_files keeps in-flight _replace_staged markers") {
+    val c = freshCatalog()
+    c.createTable("s", "t", schema)
+    c.insert("s", "t", Seq((1L, "a")).toDF("id", "v"))
+    // a marker AHEAD of the head = a CREATE OR REPLACE whose commit CAS
+    // has not landed yet. Deleting it as debris would reopen the crash
+    // window (readers pairing the new head with the old declared
+    // schema); only promoteReplaceStaged may reclaim markers.
+    val dir = new org.apache.hadoop.fs.Path(c.schemaLocation("s"), "t")
+    val marker = new java.io.File(dir.toUri.getPath, "_replace_staged-999.json")
+    java.nio.file.Files.writeString(marker.toPath, "{}")
+    val removed = c.removeOrphanFiles("s", "t")
+    assert(marker.exists(), "orphan clean deleted an in-flight replace marker")
+    assert(!removed.exists(_.contains("_replace_staged")))
+    assert(c.readLatest("s", "t").count() === 1)
+    marker.delete()
+  }
+
+  test("'_'-prefixed schema names are rejected (reserved metadata namespace)") {
+    val c = freshCatalog()
+    // listSchemas hides '_' names (catalog metadata like _catalog_refs
+    // lives there), so a user schema spelled that way would be writable
+    // yet invisible — and exempt from listSchemas-driven guards
+    intercept[IllegalArgumentException] { c.createSchema("_staging") }
+    assert(!new java.io.File(c.warehouse, "_staging").exists())
+  }
 }

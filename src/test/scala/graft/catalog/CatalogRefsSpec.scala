@@ -42,12 +42,21 @@ class CatalogRefsSpec extends SparkSpec {
     c.publishCatalogBranch("audit")
     assert(c.readLatest("s", "fact").count() == 2L)
     assert(c.readLatest("s", "dim").count() == 2L)
-    // ref retired after materialization; per-table branches remain
+    // ref retired after materialization; fully-consumed member branches
+    // retire WITH it — a leftover branch log (cut from the old main)
+    // would only feed a later same-name recreate a stale base
     assert(!c.listCatalogBranches().contains("audit"))
-    assert(c.listBranches("s", "fact").contains("audit"))
-    // physical main logs hold the branch commits (not just the overlay)
+    assert(!c.listBranches("s", "fact").contains("audit"))
+    // ...which is exactly what makes an immediate same-name recreate
+    // start from CURRENT main instead of silently adopting the old log
+    c.createCatalogBranch("audit", Seq(("s", "fact")))
+    c.branch("audit").insert("s", "fact", Seq((3L, "f3")).toDF("id", "v"))
+    c.publishCatalogBranch("audit")
+    assert(c.readLatest("s", "fact").count() == 3L)
+    // physical main logs hold the branch commits (not just the overlay);
+    // fact carries a third commit from the recreate-publish above
     val c2 = new SnapshotCatalog(spark, c.warehouse)
-    assert(c2.snapshots("s", "fact").size == 2)
+    assert(c2.snapshots("s", "fact").size == 3)
     assert(c2.snapshots("s", "dim").size == 2)
   }
 
@@ -150,6 +159,42 @@ class CatalogRefsSpec extends SparkSpec {
     val ex = intercept[graft.GraftQueryException](e.executeNonQuery(
       graft.params.SqlStatement("CALL system.publish_catalog_branch('w2')")))
     assert(ex.getMessage.contains("s.fact"))
+  }
+
+  test("branch commits made AFTER the publish CAS stay on the branch") {
+    val c = freshCatalog("cref-postpin")
+    twoTables(c)
+    c.createCatalogBranch("wap", Seq(("s", "fact")))
+    c.branch("wap").insert("s", "fact", Seq((2L, "f2")).toDF("id", "v"))
+    c.publishCatalogBranchCas("wap")
+    // the overlay readers observed exactly head=2 — a branch write that
+    // lands after the pin is NOT part of the atomic publish
+    c.branch("wap").insert("s", "fact", Seq((3L, "late")).toDF("id", "v"))
+    c.materializeCatalogBranch("wap")
+    assert(c.readLatest("s", "fact").count() == 2L)
+    assert(!c.readLatest("s", "fact").select("v").as[String]
+      .collect().contains("late"))
+    // the post-pin commit survives ON the branch (not dropped, not
+    // published) — the branch stays for a follow-up publish
+    assert(c.listBranches("s", "fact").contains("wap"))
+    assert(c.branch("wap").readLatest("s", "fact").count() == 3L)
+  }
+
+  test("mergeBranch upTo replays only the pinned prefix and leaves the branch log intact") {
+    val c = freshCatalog("cref-upto")
+    twoTables(c)
+    c.createBranch("s", "fact", "b")
+    c.branch("b").insert("s", "fact", Seq((2L, "b1")).toDF("id", "v"))
+    val pinnedId = c.branch("b").snapshots("s", "fact").map(_.snapshotId).max
+    c.branch("b").insert("s", "fact", Seq((3L, "b2")).toDF("id", "v"))
+    // main diverges → merge is a replay, truncated at the pinned head
+    c.insert("s", "fact", Seq((9L, "m")).toDF("id", "v"))
+    c.mergeBranch("s", "fact", "b", upTo = Some(pinnedId))
+    val mainV = c.readLatest("s", "fact").select("v").as[String].collect().toSet
+    assert(mainV == Set("f1", "b1", "m"), s"main saw $mainV")
+    // branch untouched by the truncated merge: still both branch commits
+    assert(c.branch("b").readLatest("s", "fact").select("v").as[String]
+      .collect().toSet == Set("f1", "b1", "b2"))
   }
 
   test("guards: duplicate name, unknown table, _catalog_refs never lists as a schema") {

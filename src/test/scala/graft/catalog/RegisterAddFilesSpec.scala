@@ -309,4 +309,35 @@ class RegisterAddFilesSpec extends SparkSpec {
     assert(e.query(SqlStatement("SELECT * FROM demo.\"t$entries\""))
       .count() >= 2L)
   }
+
+  test("expire on the adopting table never deletes adopted external files") {
+    val c = freshCatalog("addf-expire")
+    c.createTable("s", "t", schema)
+    val ext = tmpDir("addf-expire-ext")
+    Seq((10L, "p"), (11L, "q"), (12L, "r")).toDF("id", "v")
+      .repartition(2).write.mode("overwrite").parquet(ext)
+    val extFiles = new java.io.File(ext).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).sorted.toSeq
+    c.addFiles("s", "t", ext)
+    // CoW DML rewrites the touched adopted file into TABLE storage — the
+    // pre-DML snapshot is now the only reference to that adopted entry
+    c.delete("s", "t", col("id") === 11L)
+    assert(c.snapshots("s", "t").size == 2)
+    // expire everything but the head: the expired snapshot's adopted
+    // entries resolve OUTSIDE the table dir and must NOT be reclaimed —
+    // add_files' "the source is never affected" contract (the files
+    // belong to their source location; a fixed bug deleted them here)
+    val expired = c.expireSnapshots("s", "t", System.currentTimeMillis() + 1000L)
+    assert(expired.nonEmpty)
+    val after = new java.io.File(ext).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).sorted.toSeq
+    assert(after == extFiles, "expire reclaimed adopted external files")
+    // the adopting table still reads correctly post-expire
+    assert(c.readLatest("s", "t").select("id").as[Long].collect().sorted.toSeq ==
+      Seq(10L, 12L))
+    // and the kept snapshot's still-adopted files keep serving even
+    // after orphan cleaning (absolute entries are not table debris)
+    c.removeOrphanFiles("s", "t")
+    assert(c.readLatest("s", "t").count() == 2L)
+  }
 }
