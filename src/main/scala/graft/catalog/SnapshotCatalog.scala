@@ -1017,6 +1017,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     // existing directory listing — idempotent, zero extra I/O).
     val snapDir = snapDirName(schema, table, attemptTag(id))
     df.write.mode("errorifexists").parquet(new Path(dir, snapDir).toString)
+    faultPoint("replace.data-written") // staged dir is orphan debris from here
     // no blooms: the replacement resets bloom columns, and the OLD ones
     // may not exist in the new schema
     val newEntries = scanEntries(dir, snapDir, bloomOverride = Some(Nil))
@@ -1025,11 +1026,13 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       Nil, Some(writeManifestList(dir, names)))
     val stagedP = new Path(dir, s"_replace_staged-$id.json")
     writeString(stagedP, "{}")
+    faultPoint("replace.marker-staged") // marker on disk, CAS not yet attempted
     try writeCommits(schema, table, commits :+ snap, gen)
     catch { case e: CommitConflictException =>
       fs(stagedP).delete(stagedP, false) // loser: marker is debris
       throw e
     }
+    faultPoint("replace.committed") // new head visible, markers not yet promoted
     promoteReplaceStaged(dir, commits :+ snap, Seq(stagedP.getName))
     newEntries.map(_.rows).sum
   }
@@ -1062,6 +1065,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val snapDir = snapDirName(schema, table, attemptTag(id))
     partitionedWriter(schema, table, df)
       .mode("errorifexists").parquet(new Path(dir, snapDir).toString)
+    faultPoint("insert.staged") // data files on disk, commit not yet attempted
     // prior files carry by manifest NAME (legacy dirs migrate into a
     // manifest once); only the new dir is footer-scanned. deletes carry
     // forward: they address (file, pos) coordinates in the PRIOR files,
@@ -1134,6 +1138,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       val ml = writeManifestList(dir, compactManifestSet(dir, names))
       val snap = Snapshot(id, at, Nil, declared.map(_.json), Some("overwrite"),
         prior.map(_.deletes).getOrElse(Nil), Some(ml), txn, eq)
+      faultPoint("upsert.staged") // batch + key file on disk, commit pending
       writeCommits(schema, table, commits :+ snap, gen)
       snap
     } finally batch.unpersist()
@@ -3622,6 +3627,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           Some("replace"), Nil,
           Some(writeManifestList(dir, Seq(writeManifest(dir, scanEntries(dir, snapDir))))))
     }
+    faultPoint("compact.staged") // compacted files on disk, commit pending
     writeCommits(schema, table, commits :+ snap, gen)
     snap
   }
@@ -3718,6 +3724,19 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val keptFiles: Set[String] =
       referenced.flatMap(e => dataFilesUnder(new Path(dir, e)).map(_.toUri.getPath)) ++
         protectedSnaps.flatMap(c => manifestEntriesOf(dir, c)).map(e => entryKey(tableKey, e))
+    // METADATA FIRST (Iceberg's RemoveSnapshots order): the kept list
+    // commits via the generation CAS BEFORE any file is deleted. The
+    // previous delete-then-commit order had two failure shapes that
+    // dangling-referenced deleted files: a crash between the deletes and
+    // the commit left the full log pointing at reclaimed storage (time
+    // travel to an "expired" snapshot read a hole), and a LOST CAS race
+    // against a concurrent writer was worse — the winner's log still
+    // carried the expired snapshots whose files this loser had already
+    // deleted. Commit-first inverts both: a crash (or lost race) after
+    // the CAS leaves only unreferenced orphan files, which
+    // removeOrphanFiles reclaims.
+    writeCommits(schema, table, kept, gen)
+    faultPoint("expire.committed")
     orphanEntries.filterNot(_.startsWith("/")).foreach { dn =>
       val p = new Path(dir, dn)
       val mine = dataFilesUnder(p)
@@ -3755,7 +3774,6 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       val p = new Path(dir, top)
       if (dataFilesUnder(p).isEmpty) f.delete(p, true)
     }
-    writeCommits(schema, table, kept, gen)
     reallyExpired.map(_.snapshotId)
   }
 
@@ -4307,6 +4325,9 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         require(done, s"Could not materialize catalog ref $name on " +
           s"${m.schema}.${m.table} after $attempts attempts")
       }
+      // one member's physical log fast-forwarded, later members still
+      // overlay-served — the window where materialization is half done
+      faultPoint("catref.member-materialized")
     }
     // retire fully-consumed member branches: once every branch commit is
     // reachable from main, the leftover branch log would only mislead a
@@ -4322,6 +4343,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           dropBranch(m.schema, m.table, name)
       }
     }
+    faultPoint("catref.pre-retire") // all members physical, ref record still on disk
     val d = catalogRefsDir
     val f = fs(d)
     f.listStatus(d).map(_.getPath).foreach { p =>
@@ -4647,6 +4669,9 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * garbage-collected best-effort (the slack keeps a reader that listed
     * an older generation readable mid-flight).
     */
+  /** See [[SnapshotCatalog.faultHook]] — a named crash-window boundary. */
+  @inline private def faultPoint(id: String): Unit = SnapshotCatalog.faultHook(id)
+
   private[catalog] def writeCommits(schema: String, table: String,
                            commits: Seq[Snapshot], expectedGen: Long): Unit = {
     val dir = tableDir(schema, table)
@@ -4691,6 +4716,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     }
     val out = rawF.create(tmp, true)
     try out.write(commitsJson(tail, segNames).getBytes("UTF-8")) finally out.close()
+    faultPoint("commit.staged") // temp bytes written, rename not yet attempted
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       target.toUri, spark.sparkContext.hadoopConfiguration)
     try fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.NONE)
@@ -4737,6 +4763,19 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
 }
 
 object SnapshotCatalog {
+  /** Test-only crash-window fault injection. Every multi-step metadata
+    * operation announces its intermediate states through
+    * [[SnapshotCatalog.faultPoint]] (`insert.staged`, `replace.committed`,
+    * `expire.committed`, …); CrashInjectionSpec installs a hook that
+    * throws at a chosen point to simulate a process crash between the
+    * steps, then verifies from a FRESH catalog instance that readers see
+    * a consistent pre-or-post state, that removeOrphanFiles reclaims the
+    * debris, and that a retry converges to the no-crash result. In
+    * production this is a no-op lambda invocation on driver-side
+    * metadata paths — never in a per-row loop.
+    */
+  @volatile private[graft] var faultHook: String => Unit = _ => ()
+
   /** Frozen commit-log segments are immutable content-addressed files —
     * cache them process-wide (shared across catalog instances AND branch
     * views, which are separate instances over the same table dir), keyed

@@ -167,7 +167,6 @@ object Dedup {
         (col("i").cast("double") /
           (size(col("sa.hs")) + size(col("sb.hs")) - col("i"))).as("jaccard"))
       .filter(col("jaccard") >= t)
-      .orderBy(col("da"), col("db"))
   }
 
   /** Near-duplicate clusters: connected components over the J ≥ 0.8 pair
