@@ -188,7 +188,14 @@ object Dedup {
     // otherwise each union branch independently re-runs the whole
     // near-dup pipeline (shared subtrees are specialized per branch, so
     // nothing is reused — measured as ~40% of this operator's runtime)
-    val pairs = nearDupJaccardPairs(s, d).select(col("da"), col("db")).localCheckpoint()
+    // the sort before the checkpoint is NOT presentation waste here: its
+    // range exchange is AQE-coalesced to a near-single partition for the
+    // KB-scale pair list, so the whole label loop runs narrow. Measured
+    // A/B at sf0.1 (5 reps): checkpoint at the candidate join's full
+    // width 6.4-13.7 s, explicit repartition(4) 7.1-15.5 s (AQE cannot
+    // coalesce an explicit width), range-sorted checkpoint 4.2-5.3 s.
+    val pairs = nearDupJaccardPairs(s, d).select(col("da"), col("db"))
+      .orderBy(col("da"), col("db")).localCheckpoint()
     // undirected edge list, both directions; the loop only touches docs
     // with at least one edge — singletons are appended at the end.
     // localCheckpoint (not persist): each iteration references the prior
