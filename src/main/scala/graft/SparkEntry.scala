@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, AsOf, CatalogDemos, Dedup, Expressions, Joins, Multimodal, Relational, Search, Similarity, TextAnalysis, Tokenizer, TpchRemainder, Windows}
+import graft.operators.{Analytics, AsOf, CatalogDemos, Clustering, Dedup, Expressions, Joins, Multimodal, Relational, Search, Similarity, TextAnalysis, Tokenizer, TpchRemainder, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -137,6 +137,7 @@ object SparkEntry {
     "length_band_filter" -> (TextAnalysis.lengthBandFilter _),
     "source_data_card"   -> (TextAnalysis.sourceDataCard _),
     "embedding_outliers" -> (Similarity.embeddingOutliers _),
+    "cluster_mix"        -> (Clustering.clusterMix _),
     "bucketed_join_demo" -> (Joins.bucketedJoinDemo _),
     // multimodal plumbing
     "media_meta"   -> (Multimodal.mediaMeta _),
@@ -476,6 +477,7 @@ object SparkEntry {
     "length_band_filter" -> operators.TextAnalysis.lengthBandFilterSql,
     "source_data_card" -> operators.TextAnalysis.sourceDataCardSql,
     "embedding_outliers" -> operators.Similarity.embeddingOutliersSql,
+    "cluster_mix"        -> operators.Clustering.clusterMixSql,
     "bucketed_join_demo" -> operators.Joins.bucketedJoinDemoSql,
     "simhash" -> operators.Dedup.Oracle.simhashSql,
     "minhash_lsh_pairs" -> operators.Dedup.Oracle.minhashLshPairsSql,
