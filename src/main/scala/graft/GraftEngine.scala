@@ -520,6 +520,23 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
             try { catalog.rollbackToSnapshot(schema, table, id); 0L }
             catch { case e: IllegalArgumentException =>
               throw new GraftQueryException(sqlText, e.getMessage, e) }
+          case "rollback_to_timestamp" =>
+            // timestamp => TIMESTAMP '2026-01-01 00:00:00' (or the bare
+            // quoted literal) — resolved like FOR TIMESTAMP AS OF, UTC
+            val raw = args.getOrElse("timestamp",
+              throw new GraftQueryException(sqlText,
+                "rollback_to_timestamp requires timestamp => TIMESTAMP '<ts>'"))
+            val lit = raw.trim.replaceAll("(?i)^TIMESTAMP\\s+", "")
+              .stripPrefix("'").stripSuffix("'").trim
+            val ms =
+              try java.time.LocalDateTime.parse(lit.replace(" ", "T"))
+                .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+              catch { case e: java.time.format.DateTimeParseException =>
+                throw new GraftQueryException(sqlText,
+                  s"Malformed rollback_to_timestamp literal: '$lit'", e) }
+            try { catalog.rollbackToTimestamp(schema, table, ms); 0L }
+            catch { case e: IllegalArgumentException =>
+              throw new GraftQueryException(sqlText, e.getMessage, e) }
           case "create_branch" | "drop_branch" | "create_tag" | "drop_tag" |
                "fast_forward" | "merge_branch" =>
             val name = args.getOrElse("name",
@@ -544,7 +561,7 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
             throw new GraftQueryException(sqlText,
               s"Unsupported ALTER TABLE EXECUTE procedure: $other " +
                 "(supported: optimize, optimize_manifests, expire_snapshots, " +
-                "remove_orphan_files, rollback_to_snapshot, create_branch, " +
+                "remove_orphan_files, rollback_to_snapshot, rollback_to_timestamp, create_branch, " +
                 "drop_branch, create_tag, drop_tag, fast_forward, merge_branch, " +
                 "add_files, add_files_from_table, register_table, unregister_table)")
         }

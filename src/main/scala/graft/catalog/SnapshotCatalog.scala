@@ -3495,6 +3495,19 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     snap
   }
 
+  /** `rollback_to_timestamp` (Iceberg's sibling procedure): roll back to
+    * the latest snapshot committed at or before `millis` — the same
+    * resolution rule as `FOR TIMESTAMP AS OF`, landed as a new rollback
+    * commit (history stays intact, exactly like [[rollbackToSnapshot]]).
+    */
+  def rollbackToTimestamp(schema: String, table: String, millis: Long): Snapshot = synchronized {
+    val target = readCommits(schema, table)
+      .filter(_.committedAtMillis <= millis).lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"No snapshot of $schema.$table exists at or before timestamp $millis"))
+    rollbackToSnapshot(schema, table, target.snapshotId)
+  }
+
   // ---- maintenance (reference config surface: expire-snapshots /
   //      remove-orphan-files, TrinoConfigurationProvider.cs:62-63) ----
 

@@ -124,6 +124,27 @@ class SqlMetadataSpec extends SparkSpec {
     }
   }
 
+  test("rollback_to_timestamp resolves like FOR TIMESTAMP AS OF and lands a rollback commit") {
+    val e = freshEngine("meta-rollback-ts")
+    e.executeNonQuery(SqlStatement("DELETE FROM demo.m WHERE id >= 2"))
+    // a literal pinned to snapshot 2's commit instant restores its state
+    val at = e.catalog.snapshots("demo", "m")(1).committedAtMillis
+    val lit = java.time.Instant.ofEpochMilli(at).atZone(java.time.ZoneOffset.UTC)
+      .toLocalDateTime.format(
+        java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    e.executeNonQuery(SqlStatement(
+      s"ALTER TABLE demo.m EXECUTE rollback_to_timestamp(timestamp => TIMESTAMP '$lit')"))
+    assert(e.query(SqlStatement("SELECT id FROM demo.m")).as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 3L))
+    // the rollback is a NEW commit, not history rewrite
+    assert(e.catalog.snapshots("demo", "m").length == 4)
+    // a timestamp before every snapshot is the typed engine error
+    intercept[GraftQueryException] {
+      e.executeNonQuery(SqlStatement(
+        "ALTER TABLE demo.m EXECUTE rollback_to_timestamp(timestamp => TIMESTAMP '1970-01-02 00:00:00')"))
+    }
+  }
+
   test("t$partitions rolls up files per hive partition; '' for unpartitioned") {
     val e = freshEngine("meta-parts")
     // unpartitioned: one rollup row with the empty partition path
