@@ -468,14 +468,23 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
             throw new GraftQueryException(sqlText, e.getMessage, e)
         }
       case graft.catalog.AlterExecuteStmt(schema, table, proc, args) =>
-        // register_table is the one procedure whose target must NOT exist
-        if (proc != "register_table") requireCatalogTable(sqlText, schema, table)
+        // register_table and migrate are the procedures whose target
+        // must NOT exist yet
+        if (proc != "register_table" && proc != "migrate")
+          requireCatalogTable(sqlText, schema, table)
         proc match {
           case "register_table" =>
             val loc = args.getOrElse("table_location",
               throw new GraftQueryException(sqlText,
                 "register_table requires table_location => '<path>'"))
             try { catalog.registerTable(schema, table, loc); 0L }
+            catch { case e: IllegalArgumentException =>
+              throw new GraftQueryException(sqlText, e.getMessage, e) }
+          case "migrate" =>
+            val loc = args.getOrElse("table_location",
+              throw new GraftQueryException(sqlText,
+                "migrate requires table_location => '<path>'"))
+            try catalog.migrateTable(schema, table, loc)
             catch { case e: IllegalArgumentException =>
               throw new GraftQueryException(sqlText, e.getMessage, e) }
           case "unregister_table" =>

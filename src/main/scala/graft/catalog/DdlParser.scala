@@ -203,10 +203,11 @@ object DdlParser {
   private val callCatalogRefRe =
     """(?is)^\s*CALL\s+(?:[\w.]*\bsystem\.)?(create_catalog_branch|publish_catalog_branch|materialize_catalog_branch|drop_catalog_branch)\s*\(\s*(.*?)\s*\)\s*;?\s*$""".r
   // catalog attachment procedures (Trino Iceberg's register_table /
-  // unregister_table): CALL system.register_table('sch','tbl','/path')
-  // / unregister_table('sch','tbl'), positional or name => value
+  // unregister_table / migrate): CALL system.register_table('sch','tbl',
+  // '/path') / unregister_table('sch','tbl') / migrate('sch','tbl',
+  // '/path'), positional or name => value
   private val callRegisterRe =
-    """(?is)^\s*CALL\s+(?:[\w.]*\bsystem\.)?(register_table|unregister_table)\s*\(\s*(.*?)\s*\)\s*;?\s*$""".r
+    """(?is)^\s*CALL\s+(?:[\w.]*\bsystem\.)?(register_table|unregister_table|migrate)\s*\(\s*(.*?)\s*\)\s*;?\s*$""".r
   // the table operand accepts Trino's quoted branch-write form
   // (`sch."t@branch"`) alongside plain dotted names
   private val deleteRe =
@@ -389,7 +390,8 @@ object DdlParser {
           k.trim.toLowerCase -> strip(v)
         }.toMap
         else {
-          val wantLoc = proc.equalsIgnoreCase("register_table")
+          val wantLoc = proc.equalsIgnoreCase("register_table") ||
+            proc.equalsIgnoreCase("migrate")
           require(parts.length == (if (wantLoc) 3 else 2),
             s"CALL $proc expects (schema, table" +
               (if (wantLoc) ", table_location" else "") + s"), got: $argText")

@@ -724,6 +724,134 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     tableLocationCache.remove(s"$schema.$table")
   }
 
+  /** `CALL system.migrate('sch', 't', '/path')`: convert an existing
+    * plain parquet layout (flat or hive `col=value` partitioned) IN
+    * PLACE into a catalog table — Trino Iceberg's migrate procedure
+    * (trino.io/docs/current/connector/iceberg.html#migrate-table),
+    * re-expressed for path-addressed layouts. Zero data movement, and
+    * unlike [[addFiles]] the files become the table's OWN storage (the
+    * directory IS the table: compaction, expire and orphan cleanup
+    * manage them like any native file). Schema comes from Spark's own
+    * discovery — typed hive partition columns included; every file is
+    * footer-validated against it in one distributed job before any
+    * metadata is written. Crash-safe ordering: manifests + the
+    * generation-0 commit land first, the `commits.json` existence
+    * marker second, registration last — a crash before the marker
+    * re-migrates cleanly (stale manifests are orphan debris), a crash
+    * after it attaches with register_table (the retry error says so).
+    * Returns the migrated file count.
+    */
+  def migrateTable(schema: String, table: String, location: String): Long = synchronized {
+    require(schemaExists(schema), s"Schema $schema does not exist")
+    require(!tableExists(schema, table) && !viewExists(schema, table),
+      s"Table or view $schema.$table already exists")
+    val loc = new Path(location)
+    val f = fs(loc)
+    require(f.exists(loc), s"migrate: $location does not exist")
+    require(!f.exists(new Path(loc, "commits.json")),
+      s"migrate: $location already holds a table layout — " +
+        "CALL system.register_table to attach it")
+    // same aliasing guard as registerTable: a live table's storage must
+    // not gain a second name (DROP through either would strand the other)
+    val locKey = f.makeQualified(loc).toUri.getPath
+    listSchemas().foreach { s0 =>
+      listTables(s0).foreach { t0 =>
+        val d0 = tableDir(s0, t0)
+        require(fs(d0).makeQualified(d0).toUri.getPath != locKey,
+          s"migrate: $location is already the storage of catalog table $s0.$t0")
+      }
+    }
+    val statuses = dataFileStatusesUnder(loc)
+    require(statuses.nonEmpty, s"migrate: no parquet files under $location")
+    // Spark's discovery gives the full schema including TYPED hive
+    // partition columns; the partition spec is the `col=value` path
+    // segment sequence, which every file must share. The read anchors at
+    // basePath over the EXPLICIT data-file list (not the directory):
+    // a retry after a crashed earlier migrate would otherwise trip over
+    // its stranded metadata JSON
+    val full = spark.read.option("basePath", location)
+      .parquet(statuses.map(_._1.toString): _*).schema
+    val rels = statuses.map { case (p, len) =>
+      val q = fs(p).makeQualified(p)
+      (q.toString, q.toUri.getPath.stripPrefix(locKey).stripPrefix("/"), len)
+    }
+    def segsOf(rel: String): Seq[String] =
+      rel.split('/').dropRight(1).filter(_.contains('=')).map(_.split("=", 2)(0)).toSeq
+    val segNames = segsOf(rels.head._2)
+    rels.foreach { case (_, rel, _) =>
+      require(segsOf(rel) == segNames,
+        s"migrate: inconsistent hive layout — $rel carries partition " +
+          s"segments [${segsOf(rel).mkString(",")}], expected [${segNames.mkString(",")}]")
+    }
+    val partCols = segNames.map(n => full.fields.find(_.name.equalsIgnoreCase(n))
+      .getOrElse(throw new IllegalArgumentException(
+        s"migrate: path partition column $n missing from the discovered schema")).name)
+    val partLower = partCols.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val dataFields = full.fields.filterNot(c =>
+      partLower.contains(c.name.toLowerCase(java.util.Locale.ROOT)))
+    full.fieldNames.foreach(validateColumnName(_, 1))
+    require(partCols.isEmpty || !full.fieldNames.exists(_.equalsIgnoreCase("_snap")),
+      "Column name _snap is reserved in partitioned tables")
+    // distributed footer validation + manifest entries (relative paths —
+    // the files are table-owned from here), same job shape as addFiles
+    val confMap: Map[String, String] = {
+      val it = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.newHadoopConf().iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+      b.result()
+    }
+    val sc = spark.sparkContext
+    val bcConf = sc.broadcast(confMap)
+    val bcDecl = sc.broadcast(StructType(dataFields.toSeq).json)
+    val slices = math.max(1, math.min(rels.size, sc.defaultParallelism * 2))
+    val checked: Seq[Either[String, DataFileEntry]] =
+      sc.parallelize(rels, slices).mapPartitions { it =>
+        val c = new org.apache.hadoop.conf.Configuration(false)
+        bcConf.value.foreach { case (k, v) => c.set(k, v) }
+        val decl = org.apache.spark.sql.types.DataType.fromJson(bcDecl.value)
+          .asInstanceOf[StructType]
+        it.map { case (qual, rel, len) =>
+          try {
+            val (entry, fileSchema) =
+              Manifests.footerEntryWithSchema(c, new Path(qual), rel, len)
+            val missing = decl.fields.find(fd =>
+              !fileSchema.fields.exists(_.name.equalsIgnoreCase(fd.name)))
+            val mismatch = decl.fields.flatMap(fd =>
+              fileSchema.fields.find(_.name.equalsIgnoreCase(fd.name))
+                .filter(_.dataType != fd.dataType).map(fd -> _)).headOption
+            if (missing.isDefined)
+              Left(s"migrate: $rel lacks column ${missing.get.name}")
+            else if (mismatch.isDefined) {
+              val (fd, g) = mismatch.get
+              Left(s"migrate: type mismatch on ${fd.name} in $rel: " +
+                s"discovered ${fd.dataType.simpleString} vs file ${g.dataType.simpleString}")
+            } else Right(entry)
+          } catch {
+            case e: Exception => Left(s"migrate: $rel: ${e.getMessage}")
+          }
+        }
+      }.collect().toSeq
+    val errs = checked.collect { case Left(m) => m }
+    if (errs.nonEmpty)
+      throw new IllegalArgumentException(errs.head +
+        (if (errs.size > 1) s" (and ${errs.size - 1} more file(s))" else ""))
+    val entries = checked.collect { case Right(e) => e }
+    // metadata lands in place; the commits.json existence marker is LAST
+    // so a crash mid-migrate leaves a re-migratable plain directory
+    writeString(new Path(loc, "_table_schema.json"), full.json)
+    if (partCols.nonEmpty)
+      writeString(new Path(loc, "_partition_spec.json"), partCols.mkString("\n"))
+    val ml = writeManifestList(loc, Seq(writeManifest(loc, entries)))
+    val snap = Snapshot(1L, System.currentTimeMillis(), Nil, Some(full.json),
+      Some("append"), manifestList = Some(ml))
+    writeString(genPath(loc, 0L), commitsJson(Seq(snap), Nil))
+    faultPoint("migrate.layout-written")
+    writeString(new Path(loc, "commits.json"), "[]")
+    registerTable(schema, table, location)
+    statuses.size.toLong
+  }
+
   /** `ALTER TABLE t EXECUTE add_files(location => '…')`: adopt existing
     * parquet files into the table IN PLACE (Trino Iceberg's add_files
     * procedure) — a metadata-only commit, no data byte moves or copies;
@@ -1733,7 +1861,11 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           Some(org.apache.spark.sql.GraftScanBridge.manifestScan(
             spark, dir, entries, decl, Nil))
         else if (fieldsP.nonEmpty && entries.forall(e =>
-            e.path.startsWith("_snap=") || e.path.startsWith("/"))) {
+            e.path.startsWith("_snap=") || e.path.startsWith("/") ||
+            // a MIGRATED identity-hive layout: table-relative paths with
+            // no _snap segment whose partition values ride the path —
+            // the same parse the adopted-absolute branch does
+            declaredValueRidesPath(declLowerAll, e.path))) {
           val identLower = fieldsP.filter(_.isIdentity)
             .map(_.source.toLowerCase(java.util.Locale.ROOT)).toSet
           val dataSchema = StructType(decl.fields.filterNot(f =>

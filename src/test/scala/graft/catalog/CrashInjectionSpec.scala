@@ -213,6 +213,22 @@ class CrashInjectionSpec extends SparkSpec {
     assert(after.readLatest("s", "dim").count() == 2L)
   }
 
+  test("migrate: crash before the commits.json marker — directory re-migrates cleanly") {
+    val c = fresh(tmpDir("crash-mig"))
+    c.createSchema("s")
+    val loc = tmpDir("crash-mig-data")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("overwrite").parquet(loc)
+    crashAt("migrate.layout-written") { c.migrateTable("s", "t", loc) }
+    val r = fresh(c.warehouse)
+    assert(!r.tableExists("s", "t"),
+      "a migrate that crashed before the marker must leave no catalog table")
+    // the directory is still a migratable plain layout (the marker that
+    // gates 'already a table' was never written) — retry completes
+    assert(r.migrateTable("s", "t", loc) >= 1L)
+    assert(rows(r) == Seq((1L, "a"), (2L, "b")))
+  }
+
   test("catalog ref: crash before retiring the ref record — re-materialize is a clean no-op") {
     val c = fresh(tmpDir("crash-cref2"))
     c.createSchema("s")

@@ -340,4 +340,71 @@ class RegisterAddFilesSpec extends SparkSpec {
     c.removeOrphanFiles("s", "t")
     assert(c.readLatest("s", "t").count() == 2L)
   }
+
+  test("migrate converts a flat parquet directory in place; DML and maintenance own it") {
+    val c = freshCatalog("mig-flat")
+    val loc = tmpDir("mig-flat-data")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .repartition(3).write.mode("overwrite").parquet(loc)
+    val n = c.migrateTable("s", "t", loc)
+    assert(n == 3L)
+    assert(c.tableExists("s", "t"))
+    assert(c.readLatest("s", "t").select("id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 3L))
+    // the files are table-OWNED: DML rewrites and maintenance manage them
+    c.insert("s", "t", Seq((4L, "d")).toDF("id", "v"))
+    c.delete("s", "t", col("id") === 2L)
+    assert(c.readLatest("s", "t").select("id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 3L, 4L))
+    c.compact("s", "t")
+    c.expireSnapshots("s", "t", System.currentTimeMillis() + 1000L)
+    c.removeOrphanFiles("s", "t")
+    assert(c.readLatest("s", "t").select("id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 3L, 4L))
+  }
+
+  test("migrate adopts a hive-partitioned layout with typed partition columns") {
+    val c = freshCatalog("mig-hive")
+    val loc = tmpDir("mig-hive-data")
+    Seq((1L, 2020, "a"), (2L, 2020, "b"), (3L, 2021, "c")).toDF("id", "year", "v")
+      .write.partitionBy("year").mode("overwrite").parquet(loc)
+    assert(c.migrateTable("s", "p", loc) >= 2L)
+    // partition spec discovered from the path layout
+    assert(c.partitionSpec("s", "p") == Seq("year"))
+    val df = c.readLatest("s", "p")
+    assert(df.columns.toSet == Set("id", "year", "v"))
+    assert(df.filter(col("year") === 2021).select("id").as[Long].collect().toSeq
+      == Seq(3L))
+    assert(df.count() == 3L)
+  }
+
+  test("migrate through SQL: CALL system.migrate, then the table queries like any other") {
+    val e = new GraftEngine(spark, tmpDir("mig-sql-wh"))
+    e.executeNonQuery(SqlStatement("CREATE SCHEMA s"))
+    val loc = tmpDir("mig-sql-data")
+    Seq((10L, "x"), (20L, "y")).toDF("id", "v")
+      .write.mode("overwrite").parquet(loc)
+    e.executeNonQuery(SqlStatement(s"CALL system.migrate('s', 'm', '$loc')"))
+    import e.spark.implicits._
+    assert(e.query(SqlStatement("SELECT id FROM s.m ORDER BY id"))
+      .as[Long].collect().toSeq == Seq(10L, 20L))
+  }
+
+  test("migrate guards: existing layouts, live-table aliasing, inconsistent hive segments") {
+    val c = freshCatalog("mig-guards")
+    // a directory that already holds a table layout points at register_table
+    c.createTable("s", "t", schema)
+    c.insert("s", "t", Seq((1L, "a")).toDF("id", "v"))
+    val tdir = new org.apache.hadoop.fs.Path(c.schemaLocation("s"), "t").toString
+    val e1 = intercept[IllegalArgumentException](c.migrateTable("s", "x", tdir))
+    assert(e1.getMessage.contains("register_table"))
+    // inconsistent partition segments across files fail before any write
+    // (either the engine's own layout check or Spark's conflicting-
+    // directory discovery error — both land before metadata is written)
+    val loc = tmpDir("mig-mixed")
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$loc/year=2020")
+    Seq((2L, "b")).toDF("id", "v").write.parquet(s"$loc/flat")
+    intercept[Exception](c.migrateTable("s", "y", loc))
+    assert(!c.tableExists("s", "y"))
+  }
 }
