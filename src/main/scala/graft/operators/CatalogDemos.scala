@@ -542,6 +542,8 @@ object CatalogDemos {
 
   private[graft] val registerDemoWarehouse = "/tmp/graft-register-demo-warehouse"
   private[graft] val registerDemoExt = "/tmp/graft-register-demo-ext"
+  private[graft] val migrateDemoWarehouse = "/tmp/graft-migrate-demo-warehouse"
+  private[graft] val migrateDemoData = "/tmp/graft-migrate-demo-data"
 
   private[graft] val upsertDemoWarehouse = "/tmp/graft-upsert-demo-warehouse"
 
@@ -685,6 +687,61 @@ object CatalogDemos {
       .withColumn("adopted_files", lit(adopted))
       .withColumn("hidden_while_detached", lit(hiddenWhileDetached))
   }
+
+  /** `CALL system.migrate` end-to-end: a hive-partitioned plain parquet
+    * layout (customer split by mktsegment prefix — no catalog metadata
+    * at all) migrates IN PLACE into a table, then proves ownership —
+    * partition-pruned SQL reads, CoW DML straight through the migrated
+    * files, and compaction rewriting them into native storage. All row
+    * arithmetic is relational over customer, so the oracle recomputes
+    * every value from the raw table.
+    */
+  def migrateDemo(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val conf = s.sparkContext.hadoopConfiguration
+    for (p <- Seq(migrateDemoWarehouse, migrateDemoData)) {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val f = hp.getFileSystem(conf)
+      if (f.exists(hp)) f.delete(hp, true)
+    }
+    // the pre-existing lake layout: customer hive-partitioned by the
+    // first letter of the market segment, written by "somebody else"
+    val cust = graft.Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_mktsegment"))
+      .withColumn("seg0", substring(col("c_mktsegment"), 1, 1))
+    cust.repartition(2).write.partitionBy("seg0")
+      .mode("overwrite").parquet(migrateDemoData)
+    val engine = new GraftEngine(s, migrateDemoWarehouse)
+    engine.catalog.createSchema("demo")
+    engine.executeNonQuery(graft.params.SqlStatement(
+      s"CALL system.migrate('demo', 'cust', '$migrateDemoData')"))
+    // partition-pruned read + DML through migrated files + compaction
+    // re-owning them — the full lifecycle on day-0 adopted data
+    engine.executeNonQuery(graft.params.SqlStatement(
+      "DELETE FROM demo.cust WHERE seg0 = 'B'"))
+    engine.executeNonQuery(graft.params.SqlStatement(
+      "ALTER TABLE demo.cust EXECUTE optimize"))
+    engine.query(graft.params.SqlStatement(
+      """SELECT
+        |  (SELECT count(*) FROM demo.cust) AS total_n,
+        |  (SELECT CAST(sum(c_custkey) AS BIGINT) FROM demo.cust) AS sum_key,
+        |  (SELECT count(*) FROM demo.cust WHERE seg0 = 'M') AS m_n,
+        |  (SELECT count(*) FROM demo."cust$snapshots") AS snaps_n""".stripMargin))
+  }
+
+  /** DuckDB twin of [[migrateDemo]] — customer arithmetic (segment
+    * prefix B deleted; migrate + delete + optimize = 3 snapshots).
+    */
+  val migrateDemoSql: String =
+    """SELECT
+      |  (SELECT count(*) FROM customer
+      |     WHERE substr(c_mktsegment, 1, 1) <> 'B') AS total_n,
+      |  (SELECT CAST(sum(c_custkey) AS BIGINT) FROM customer
+      |     WHERE substr(c_mktsegment, 1, 1) <> 'B') AS sum_key,
+      |  (SELECT count(*) FROM customer
+      |     WHERE substr(c_mktsegment, 1, 1) = 'M') AS m_n,
+      |  CAST(3 AS BIGINT) AS snaps_n""".stripMargin
 
   /** DuckDB twin of [[registerDemo]] — nation arithmetic (regions 0,2,3
     * survive: 2,3 inserted natively, 0,1 adopted, 1 deleted) plus the
