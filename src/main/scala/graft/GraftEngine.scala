@@ -522,6 +522,8 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
               System.currentTimeMillis() - retainMs).length.toLong
           case "remove_orphan_files" =>
             catalog.removeOrphanFiles(schema, table).length.toLong
+          case "drop_extended_stats" =>
+            catalog.dropExtendedStats(schema, table); 0L
           case "rollback_to_snapshot" =>
             val id = args.getOrElse("snapshot_id",
               throw new GraftQueryException(sqlText,
@@ -572,7 +574,8 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
                 "(supported: optimize, optimize_manifests, expire_snapshots, " +
                 "remove_orphan_files, rollback_to_snapshot, rollback_to_timestamp, create_branch, " +
                 "drop_branch, create_tag, drop_tag, fast_forward, merge_branch, " +
-                "add_files, add_files_from_table, register_table, unregister_table)")
+                "add_files, add_files_from_table, register_table, unregister_table, " +
+                "drop_extended_stats)")
         }
     }
 

@@ -3355,6 +3355,16 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     writeString(statsPath(schema, table), mapper.writeValueAsString(o))
   }
 
+  /** `ALTER TABLE t EXECUTE drop_extended_stats` (Trino Iceberg's
+    * procedure): discard the persisted ANALYZE statistics — SHOW STATS
+    * falls back to scan-derived numbers until the next ANALYZE.
+    */
+  def dropExtendedStats(schema: String, table: String): Unit = {
+    require(tableExists(schema, table), s"Table $schema.$table does not exist")
+    val p = statsPath(schema, table)
+    fs(p).delete(p, false)
+  }
+
   /** Persisted stats and the snapshot id they were computed at. */
   def readTableStats(schema: String, table: String): Option[(Long, Seq[StatsRow])] = {
     val p = statsPath(schema, table)

@@ -126,6 +126,19 @@ class SqlSessionSpec extends SparkSpec {
       fs.rename(new org.apache.hadoop.fs.Path(hidden, p.getName), p))
   }
 
+  test("drop_extended_stats discards persisted ANALYZE stats; SHOW STATS recomputes live") {
+    val e = freshEngine("sess-dropstats")
+    e.executeNonQuery(SqlStatement("ANALYZE demo.t"))
+    assert(e.catalog.readTableStats("demo", "t").isDefined)
+    e.executeNonQuery(SqlStatement(
+      "ALTER TABLE demo.t EXECUTE drop_extended_stats"))
+    assert(e.catalog.readTableStats("demo", "t").isEmpty,
+      "persisted stats must be gone after drop_extended_stats")
+    // SHOW STATS still answers — from a live scan now
+    val stats = e.query(SqlStatement("SHOW STATS FOR demo.t")).collect()
+    assert(stats.filter(_.isNullAt(0)).head.getDouble(4) == 4.0)
+  }
+
   test("a commit staleness-invalidates persisted stats: SHOW STATS recomputes live") {
     val e = freshEngine("sess-analyze-stale")
     e.executeNonQuery(SqlStatement("ANALYZE demo.t"))
