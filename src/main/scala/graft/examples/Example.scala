@@ -195,6 +195,33 @@ object Example {
       println(s"[22] equality-delete upsert → $kv (last-wins, zero files rewritten)")
     }
 
+    // migrate: somebody else's plain hive-partitioned parquet directory
+    // becomes a catalog table IN PLACE — zero copies, files table-owned
+    {
+      import spark.implicits._
+      val lake = s"$work/legacy-lake"
+      Seq((1L, 2024, "x"), (2L, 2025, "y")).toDF("id", "year", "v")
+        .write.partitionBy("year").mode("overwrite").parquet(lake)
+      engine.executeNonQuery(graft.params.SqlStatement(
+        s"CALL system.migrate('example', 'legacy', '$lake')"))
+      val m = engine.queryScalar[Long](graft.params.SqlStatement(
+        "SELECT count(*) FROM example.legacy WHERE year = 2025")).get
+      println(s"[23] migrate converted the legacy layout in place ($m row in year=2025, partition-pruned)")
+    }
+
+    // timestamp rollback: undo to "how the table looked before the fix"
+    {
+      val snaps = engine.catalog.snapshots("example", "kv")
+      val lit = java.time.Instant.ofEpochMilli(snaps.head.committedAtMillis)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+      engine.executeNonQuery(graft.params.SqlStatement(
+        s"ALTER TABLE example.kv EXECUTE rollback_to_timestamp(timestamp => TIMESTAMP '$lit')"))
+      val n = engine.queryScalar[Long](graft.params.SqlStatement(
+        "SELECT count(*) FROM example.kv")).get
+      println(s"[24] rollback_to_timestamp restored the pre-upsert state ($n rows; history intact)")
+    }
+
     spark.stop()
     println("[done]")
   }
