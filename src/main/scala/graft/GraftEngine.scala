@@ -575,7 +575,7 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
                 "remove_orphan_files, rollback_to_snapshot, rollback_to_timestamp, create_branch, " +
                 "drop_branch, create_tag, drop_tag, fast_forward, merge_branch, " +
                 "add_files, add_files_from_table, register_table, unregister_table, " +
-                "drop_extended_stats)")
+                "migrate, drop_extended_stats)")
         }
     }
 

@@ -672,7 +672,12 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     *    [[tableDir]] resolution follows — the data never moves, and
     *    snapshots/refs/stats arrive with it.
     */
-  def registerTable(schema: String, table: String, location: String): Unit = synchronized {
+  def registerTable(schema: String, table: String, location: String): Unit =
+    registerTableImpl(schema, table, location, checkAlias = true)
+
+  private def registerTableImpl(schema: String, table: String,
+                                location: String,
+                                checkAlias: Boolean): Unit = synchronized {
     require(schemaExists(schema), s"Schema $schema does not exist")
     require(!tableExists(schema, table) && !viewExists(schema, table),
       s"Table or view $schema.$table already exists")
@@ -682,15 +687,19 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     // reject a location that ALIASES a live catalog table: two names
     // over one commit log means DROP TABLE through either deletes the
     // shared data while the other name still resolves (a tombstoned /
-    // unregistered layout is fine — registering it IS the revival path)
-    val locKey = fs(loc).makeQualified(loc).toUri.getPath
-    listSchemas().foreach { s =>
-      listTables(s).foreach { t =>
-        val d = tableDir(s, t)
-        require(fs(d).makeQualified(d).toUri.getPath != locKey,
-          s"Location $location is already the storage of catalog table " +
-            s"$s.$t — a second name over the same commit log would make " +
-            "DROP through either delete the other's data")
+    // unregistered layout is fine — registering it IS the revival path).
+    // migrateTable ran the identical scan before writing any metadata
+    // and skips the repeat (the lock is held across both halves).
+    if (checkAlias) {
+      val locKey = fs(loc).makeQualified(loc).toUri.getPath
+      listSchemas().foreach { s =>
+        listTables(s).foreach { t =>
+          val d = tableDir(s, t)
+          require(fs(d).makeQualified(d).toUri.getPath != locKey,
+            s"Location $location is already the storage of catalog table " +
+              s"$s.$t — a second name over the same commit log would make " +
+              "DROP through either delete the other's data")
+        }
       }
     }
     val entry = new Path(schemaLocation(schema), table)
@@ -722,6 +731,70 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     if (fs(marker).exists(marker)) fs(entry).delete(entry, true) // pointer dir only
     else writeString(new Path(entry, "_unregistered"), "")
     tableLocationCache.remove(s"$schema.$table")
+  }
+
+  /** Distributed footer validation over external / in-place parquet
+    * files — `(qualifiedUri, recordedPath, length)` triples: executors
+    * extract manifest entries and check each file's schema EQUALS the
+    * declared data columns (name + type + column COUNT — a file carrying
+    * extra columns would silently lose them at read time); only the
+    * KB-scale entries (or error strings) return to the driver. Shared by
+    * [[addFiles]] and [[migrateTable]] — this is the 100 TB adoption
+    * path, where a serial driver-side loop would pay one object-store
+    * round trip per file.
+    */
+  private def validateExternalFooters(files: Seq[(String, String, Long)],
+                                      declData: StructType,
+                                      opName: String): Seq[DataFileEntry] = {
+    val confMap: Map[String, String] = {
+      // newHadoopConf = hadoop conf + every explicitly-set session SQL
+      // conf (e.g. nanosAsLong), so executor-side schema conversion sees
+      // the same settings a driver-side read would
+      val it = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.newHadoopConf().iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+      b.result()
+    }
+    val sc = spark.sparkContext
+    val bcConf = sc.broadcast(confMap)
+    val bcDecl = sc.broadcast(declData.json)
+    val slices = math.max(1, math.min(files.size, sc.defaultParallelism * 2))
+    val checked: Seq[Either[String, DataFileEntry]] =
+      sc.parallelize(files, slices).mapPartitions { it =>
+        val c = new org.apache.hadoop.conf.Configuration(false)
+        bcConf.value.foreach { case (k, v) => c.set(k, v) }
+        val decl = org.apache.spark.sql.types.DataType.fromJson(bcDecl.value)
+          .asInstanceOf[StructType]
+        it.map { case (qual, rec, len) =>
+          try {
+            val (entry, fileSchema) =
+              Manifests.footerEntryWithSchema(c, new Path(qual), rec, len)
+            val missing = decl.fields.find(f =>
+              !fileSchema.fields.exists(_.name.equalsIgnoreCase(f.name)))
+            val mismatch = decl.fields.flatMap(f =>
+              fileSchema.fields.find(_.name.equalsIgnoreCase(f.name))
+                .filter(_.dataType != f.dataType).map(f -> _)).headOption
+            if (missing.isDefined)
+              Left(s"$opName: $rec lacks declared column ${missing.get.name}")
+            else if (mismatch.isDefined) {
+              val (f, g) = mismatch.get
+              Left(s"$opName: type mismatch on ${f.name} in $rec: " +
+                s"declared ${f.dataType.simpleString} vs file ${g.dataType.simpleString}")
+            } else if (fileSchema.fields.length != decl.fields.length)
+              Left(s"$opName: $rec carries ${fileSchema.fields.length} columns, " +
+                s"table declares ${decl.fields.length} data columns")
+            else Right(entry)
+          } catch {
+            case e: Exception => Left(s"$opName: $rec: ${e.getMessage}")
+          }
+        }
+      }.collect().toSeq
+    val errs = checked.collect { case Left(m) => m }
+    if (errs.nonEmpty)
+      throw new IllegalArgumentException(errs.head +
+        (if (errs.size > 1) s" (and ${errs.size - 1} more file(s))" else ""))
+    checked.collect { case Right(e) => e }
   }
 
   /** `CALL system.migrate('sch', 't', '/path')`: convert an existing
@@ -793,50 +866,12 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     require(partCols.isEmpty || !full.fieldNames.exists(_.equalsIgnoreCase("_snap")),
       "Column name _snap is reserved in partitioned tables")
     // distributed footer validation + manifest entries (relative paths —
-    // the files are table-owned from here), same job shape as addFiles
-    val confMap: Map[String, String] = {
-      val it = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-        .sessionState.newHadoopConf().iterator()
-      val b = Map.newBuilder[String, String]
-      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
-      b.result()
-    }
-    val sc = spark.sparkContext
-    val bcConf = sc.broadcast(confMap)
-    val bcDecl = sc.broadcast(StructType(dataFields.toSeq).json)
-    val slices = math.max(1, math.min(rels.size, sc.defaultParallelism * 2))
-    val checked: Seq[Either[String, DataFileEntry]] =
-      sc.parallelize(rels, slices).mapPartitions { it =>
-        val c = new org.apache.hadoop.conf.Configuration(false)
-        bcConf.value.foreach { case (k, v) => c.set(k, v) }
-        val decl = org.apache.spark.sql.types.DataType.fromJson(bcDecl.value)
-          .asInstanceOf[StructType]
-        it.map { case (qual, rel, len) =>
-          try {
-            val (entry, fileSchema) =
-              Manifests.footerEntryWithSchema(c, new Path(qual), rel, len)
-            val missing = decl.fields.find(fd =>
-              !fileSchema.fields.exists(_.name.equalsIgnoreCase(fd.name)))
-            val mismatch = decl.fields.flatMap(fd =>
-              fileSchema.fields.find(_.name.equalsIgnoreCase(fd.name))
-                .filter(_.dataType != fd.dataType).map(fd -> _)).headOption
-            if (missing.isDefined)
-              Left(s"migrate: $rel lacks column ${missing.get.name}")
-            else if (mismatch.isDefined) {
-              val (fd, g) = mismatch.get
-              Left(s"migrate: type mismatch on ${fd.name} in $rel: " +
-                s"discovered ${fd.dataType.simpleString} vs file ${g.dataType.simpleString}")
-            } else Right(entry)
-          } catch {
-            case e: Exception => Left(s"migrate: $rel: ${e.getMessage}")
-          }
-        }
-      }.collect().toSeq
-    val errs = checked.collect { case Left(m) => m }
-    if (errs.nonEmpty)
-      throw new IllegalArgumentException(errs.head +
-        (if (errs.size > 1) s" (and ${errs.size - 1} more file(s))" else ""))
-    val entries = checked.collect { case Right(e) => e }
+    // the files are table-owned from here), incl. the column-COUNT
+    // equality check: Spark's discovery reads one footer, so a stray
+    // wider file would otherwise be accepted or rejected depending on
+    // which file discovery happened to sample
+    val entries = validateExternalFooters(rels,
+      StructType(dataFields.toSeq), "migrate")
     // metadata lands in place; the commits.json existence marker is LAST
     // so a crash mid-migrate leaves a re-migratable plain directory
     writeString(new Path(loc, "_table_schema.json"), full.json)
@@ -848,7 +883,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     writeString(genPath(loc, 0L), commitsJson(Seq(snap), Nil))
     faultPoint("migrate.layout-written")
     writeString(new Path(loc, "commits.json"), "[]")
-    registerTable(schema, table, location)
+    registerTableImpl(schema, table, location, checkAlias = false)
     statuses.size.toLong
   }
 
@@ -905,60 +940,9 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     // EVERY file is validated (not a sample): external directories give
     // no uniformity guarantee, and one mismatched file would fail or
     // null out at read time AFTER the commit. The footer/validation pass
-    // runs as a DISTRIBUTED Spark job — this is the 100 TB adoption
-    // path, where 10⁵-10⁶ serial driver-side footer opens (each an
-    // object-store round trip) would take hours; executors extract the
-    // entries + check schemas in parallel and only the KB-scale entries
-    // (or error strings) come back to the driver.
-    val confMap: Map[String, String] = {
-      // newHadoopConf = hadoop conf + every explicitly-set session SQL
-      // conf (e.g. nanosAsLong), so executor-side schema conversion sees
-      // the same settings a driver-side read would
-      val it = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-        .sessionState.newHadoopConf().iterator()
-      val b = Map.newBuilder[String, String]
-      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
-      b.result()
-    }
-    val sc = spark.sparkContext
-    val bcConf = sc.broadcast(confMap)
-    val bcDecl = sc.broadcast(StructType(dataFields.toSeq).json)
-    val slices = math.max(1, math.min(qualified.size, sc.defaultParallelism * 2))
-    val checked: Seq[Either[String, DataFileEntry]] =
-      sc.parallelize(qualified, slices).mapPartitions { it =>
-        val c = new org.apache.hadoop.conf.Configuration(false)
-        bcConf.value.foreach { case (k, v) => c.set(k, v) }
-        val decl = org.apache.spark.sql.types.DataType.fromJson(bcDecl.value)
-          .asInstanceOf[StructType]
-        it.map { case (qual, abs, len) =>
-          try {
-            val (entry, fileSchema) =
-              Manifests.footerEntryWithSchema(c, new Path(qual), abs, len)
-            val missing = decl.fields.find(f =>
-              !fileSchema.fields.exists(_.name.equalsIgnoreCase(f.name)))
-            val mismatch = decl.fields.flatMap(f =>
-              fileSchema.fields.find(_.name.equalsIgnoreCase(f.name))
-                .filter(_.dataType != f.dataType).map(f -> _)).headOption
-            if (missing.isDefined)
-              Left(s"add_files: $abs lacks declared column ${missing.get.name}")
-            else if (mismatch.isDefined) {
-              val (f, g) = mismatch.get
-              Left(s"add_files: type mismatch on ${f.name} in $abs: " +
-                s"table ${f.dataType.simpleString} vs file ${g.dataType.simpleString}")
-            } else if (fileSchema.fields.length != decl.fields.length)
-              Left(s"add_files: $abs carries ${fileSchema.fields.length} columns, " +
-                s"table declares ${decl.fields.length} data columns")
-            else Right(entry)
-          } catch {
-            case e: Exception => Left(s"add_files: $abs: ${e.getMessage}")
-          }
-        }
-      }.collect().toSeq
-    val errs = checked.collect { case Left(m) => m }
-    if (errs.nonEmpty)
-      throw new IllegalArgumentException(errs.head +
-        (if (errs.size > 1) s" (and ${errs.size - 1} more file(s))" else ""))
-    val entries0 = checked.collect { case Right(e) => e }
+    // runs as a DISTRIBUTED Spark job ([[validateExternalFooters]]).
+    val entries0 = validateExternalFooters(qualified,
+      StructType(dataFields.toSeq), "add_files")
     val existing = commits.lastOption.toSeq.flatMap(manifestEntriesOf(dir, _))
       .map(e => entryKey(tableRoot, e)).toSet
     val dups = entries0.filter(e => existing(e.path))
@@ -1838,8 +1822,6 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         // entries — their identity partition values live in EXTERNAL hive
         // paths that directory discovery rooted at the table dir can
         // never serve, so the manifest relation is the only read path
-        val adoptedPartitioned =
-          fieldsP.nonEmpty && entries.exists(_.path.startsWith("/"))
         // a path needs DIRECTORY-VALUE discovery iff some non-leaf hive
         // segment names a DECLARED column — its values live in the path,
         // not the files (identity-partitioned layouts). `_snap=` tags,
@@ -1854,6 +1836,15 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
         def needsDiscovery(p: String): Boolean =
           declaredValueRidesPath(declLowerAll, p)
+        // adopted-absolute AND migrated table-relative hive entries have
+        // no directory-discovery fallback the legacy path could serve —
+        // the manifest relation is their ONLY correct read, so the
+        // graft.manifestRead=false A/B hatch must not bypass it (the
+        // legacy per-dir union would read partition columns as NULL)
+        val adoptedPartitioned =
+          fieldsP.nonEmpty && entries.exists(e =>
+            e.path.startsWith("/") ||
+              (!e.path.startsWith("_snap=") && needsDiscovery(e.path)))
         if (entries.isEmpty ||
             (entriesOverride.isEmpty && !adoptedPartitioned &&
               spark.conf.get("graft.manifestRead", "true") == "false")) None

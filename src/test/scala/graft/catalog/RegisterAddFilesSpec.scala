@@ -378,6 +378,41 @@ class RegisterAddFilesSpec extends SparkSpec {
     assert(df.count() == 3L)
   }
 
+  test("migrated hive layout reads correctly even with graft.manifestRead=false") {
+    val c = freshCatalog("mig-hatch")
+    val loc = tmpDir("mig-hatch-data")
+    Seq((1L, 2020, "a"), (2L, 2021, "b")).toDF("id", "year", "v")
+      .write.partitionBy("year").mode("overwrite").parquet(loc)
+    c.migrateTable("s", "p", loc)
+    // the A/B hatch disables the manifest relation — but a migrated hive
+    // layout has NO directory-discovery fallback (partition values live
+    // only in paths the legacy per-dir union reads schema-first), so the
+    // manifest path must stay forced, like adopted absolute entries
+    spark.conf.set("graft.manifestRead", "false")
+    try {
+      val got = c.readLatest("s", "p").select("id", "year")
+        .as[(Long, Int)].collect().toSeq.sorted
+      assert(got == Seq((1L, 2020), (2L, 2021)),
+        "the hatch must not serve NULL partition values on a migrated layout")
+    } finally spark.conf.unset("graft.manifestRead")
+  }
+
+  test("migrate rejects a directory whose files disagree on column count") {
+    val c = freshCatalog("mig-width")
+    val loc = tmpDir("mig-width-data")
+    Seq((1L, "a")).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(loc)
+    Seq((2L, "b", 1.5)).toDF("id", "v", "w").coalesce(1)
+      .write.mode("append").parquet(loc)
+    // whichever file schema discovery happened to sample, validation
+    // fails deterministically: the narrow file lacks a declared column
+    // OR the wide file carries more columns than declared — never a
+    // silent adoption that drops a column forever
+    val e = intercept[IllegalArgumentException](c.migrateTable("s", "w", loc))
+    assert(e.getMessage.contains("column"))
+    assert(!c.tableExists("s", "w"))
+  }
+
   test("migrate through SQL: CALL system.migrate, then the table queries like any other") {
     val e = new GraftEngine(spark, tmpDir("mig-sql-wh"))
     e.executeNonQuery(SqlStatement("CREATE SCHEMA s"))
