@@ -54,5 +54,26 @@ object DevAddFilesBench {
     println(f"[addfilesbench] per-file ratio largest/smallest count = " +
       f"${perFile.last / perFile.head}%.2f (flat-or-falling expected; " +
       "a serial driver loop would hold ~1.0 with latency, never amortize)")
+
+    // migrate arm: same distributed footer job plus the in-place
+    // metadata writes — per-file cost must amortize identically
+    val mResults = counts.map { n =>
+      val lake = java.nio.file.Files.createTempDirectory(s"graft-mig-$n").toString
+      (0L until n.toLong * 64).toDF("id").selectExpr("id", "id * 2 as v")
+        .repartition(n).write.mode("overwrite").parquet(lake)
+      val t0 = System.nanoTime()
+      val migrated = c.migrateTable("b", s"m$n", lake)
+      val secs = (System.nanoTime() - t0) / 1e9
+      require(c.readLatest("b", s"m$n").count() == n.toLong * 64,
+        s"migrated table row count mismatch at n=$n")
+      (n, migrated, secs)
+    }
+    mResults.foreach { case (n, migrated, secs) =>
+      println(f"[migratebench]  files=$n%5d adopted=$migrated%5d " +
+        f"wall=${secs}%6.2fs per-file=${secs * 1000 / n}%6.2fms")
+    }
+    val mPerFile = mResults.map { case (n, _, s) => s / n }
+    println(f"[migratebench]  per-file ratio largest/smallest count = " +
+      f"${mPerFile.last / mPerFile.head}%.2f")
   }
 }

@@ -76,7 +76,10 @@ object DevScale {
       // end-to-end pipeline must scale like its worst stage (the
       // (source,hash) groupBy), i.e. ~linearly
       "corpus_pipeline"   -> (operators.TextAnalysis.corpusPipeline _),
-      "semantic_dedup"    -> ((s, d) => operators.Similarity.semanticDedup(s, d)))
+      "semantic_dedup"    -> ((s, d) => operators.Similarity.semanticDedup(s, d)),
+      // round-9: k-means mix report — fit on a bounded sample, one
+      // broadcast K×dim assignment pass, so the curve must be ~linear
+      "cluster_mix"       -> (operators.Clustering.clusterMix _))
     val ops = only.map(o => allOps.filter(kv => o(kv._1))).getOrElse(allOps)
     // warmup on the base dir itself so JIT/codegen/first-shuffle costs
     // never land on the 1× timing (a hardcoded small dir would silently
