@@ -123,4 +123,22 @@ class ChangesSpec extends SparkSpec {
       .as[(Long, Option[Long], String)].collect().toSet
     assert(got === Set((1L, None, "insert"), (2L, Some(7L), "insert")))
   }
+
+  test("a migrated hive layout's adoption snapshot and later DML read as CDC") {
+    val c = freshCatalog()
+    val lake = tmpDir("cdc-mig-lake")
+    Seq((1L, 2020, "a"), (2L, 2021, "b")).toDF("id", "year", "v")
+      .write.partitionBy("year").mode("overwrite").parquet(lake)
+    c.migrateTable("s", "m", lake)
+    c.insert("s", "m", Seq((3L, 2021, "c")).toDF("id", "year", "v"))
+    val ch = c.readChanges("s", "m", 0L, 2L)
+    val got = ch.select("id", "year", "_change_type", "_commit_snapshot_id")
+      .as[(Long, Int, String, Long)].collect().toSet
+    // snapshot 1 = the migration itself (the adopted corpus appears as
+    // inserts, partition values parsed from the hive paths), snapshot 2
+    // = the post-migrate append
+    assert(got === Set(
+      (1L, 2020, "insert", 1L), (2L, 2021, "insert", 1L),
+      (3L, 2021, "insert", 2L)))
+  }
 }
