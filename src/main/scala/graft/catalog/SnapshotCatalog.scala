@@ -4166,6 +4166,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       declaredSchema(schema, table).map(_.json), Some("append"),
       mainHead.deletes, Some(ml), None, mainHead.eqDeletes)
     writeCommits(schema, table, mainC :+ snap, mainGen)
+    faultPoint("merge.main-committed") // merged into main, branch not yet rebased
     if (!truncated) branch(name).writeCommits(schema, table, mainC :+ snap, branchGen)
     branchNew.length.toLong
   }

@@ -213,6 +213,27 @@ class CrashInjectionSpec extends SparkSpec {
     assert(after.readLatest("s", "dim").count() == 2L)
   }
 
+  test("merge: crash after main committed, before the branch rebase — retry converges, no double-append") {
+    val c = seeded("crash-merge")
+    c.createBranch("s", "t", "dev")
+    c.branch("dev").insert("s", "t", Seq((10L, "x")).toDF("id", "v"))
+    c.insert("s", "t", Seq((4L, "d")).toDF("id", "v")) // main diverges
+    crashAt("merge.main-committed") { c.mergeBranch("s", "t", "dev") }
+    val r = fresh(c.warehouse)
+    // the merge IS in main; the branch still reads its own consistent
+    // pre-rebase state (its log was never touched)
+    assert(rows(r) == preRows ++ Seq((4L, "d"), (10L, "x")))
+    assert(r.branch("dev").readLatest("s", "t")
+      .select("id").as[Long].collect().toSeq.sorted == Seq(1L, 2L, 3L, 10L))
+    // retry: the already-merged files are excluded (no double-append),
+    // only the branch rebase remains
+    r.mergeBranch("s", "t", "dev")
+    val after = fresh(c.warehouse)
+    assert(rows(after) == preRows ++ Seq((4L, "d"), (10L, "x")))
+    assert(after.branch("dev").readLatest("s", "t").count() ==
+      after.readLatest("s", "t").count(), "branch must be rebased onto merged main")
+  }
+
   test("migrate: crash before the commits.json marker — directory re-migrates cleanly") {
     val c = fresh(tmpDir("crash-mig"))
     c.createSchema("s")
