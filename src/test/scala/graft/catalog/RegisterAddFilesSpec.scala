@@ -376,6 +376,12 @@ class RegisterAddFilesSpec extends SparkSpec {
     assert(df.filter(col("year") === 2021).select("id").as[Long].collect().toSeq
       == Seq(3L))
     assert(df.count() == 3L)
+    // a post-migrate append mixes native _snap= layout with the migrated
+    // hive entries — both kinds must read with correct partition values
+    c.insert("s", "p", Seq((4L, 2022, "d")).toDF("id", "year", "v"))
+    val mixed = c.readLatest("s", "p").select("id", "year")
+      .as[(Long, Int)].collect().toSeq.sorted
+    assert(mixed == Seq((1L, 2020), (2L, 2020), (3L, 2021), (4L, 2022)))
   }
 
   test("migrated hive layout reads correctly even with graft.manifestRead=false") {
