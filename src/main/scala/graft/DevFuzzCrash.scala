@@ -67,11 +67,77 @@ object DevFuzzCrash {
       org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
 
     var ok = 0
+
+    // every 4th scenario exercises the MULTI-TABLE surface instead:
+    // catalog-ref publish/materialize crashes and migrate crashes —
+    // the points the single-table model loop cannot reach
+    def multiTableScenario(i: Int, rnd: scala.util.Random): Unit = {
+      val wh = java.nio.file.Files.createTempDirectory(f"crashfuzz_mt_$i%03d").toString
+      val c = new SnapshotCatalog(spark, wh)
+      c.createSchema("fz")
+      if (rnd.nextBoolean()) {
+        // catalog-ref crash: random member count, crash at a random
+        // materialization point, verify all-or-nothing + resume
+        val nT = rnd.nextInt(2) + 2
+        val tables = (0 until nT).map(t => s"t$t")
+        tables.foreach { t =>
+          c.createTable("fz", t, schema)
+          c.insert("fz", t, Seq((1L, "base")).toDF("id", "v"))
+        }
+        c.createCatalogBranch("wap", tables.map(("fz", _)))
+        val b = c.branch("wap")
+        tables.foreach(t => b.insert("fz", t, Seq((2L, "branch")).toDF("id", "v")))
+        c.publishCatalogBranchCas("wap")
+        val point = if (rnd.nextBoolean()) "catref.member-materialized"
+                    else "catref.pre-retire"
+        SnapshotCatalog.faultHook =
+          p => if (p == point) throw new InjectedCrash(point)
+        try c.materializeCatalogBranch("wap")
+        catch { case _: InjectedCrash => () }
+        SnapshotCatalog.faultHook = _ => ()
+        val r = new SnapshotCatalog(spark, wh)
+        tables.foreach(t => require(r.readLatest("fz", t).count() == 2L,
+          s"mt scenario $i: $t lost the published head after crash@$point"))
+        r.materializeCatalogBranch("wap")
+        require(!r.listCatalogBranches().contains("wap"),
+          s"mt scenario $i: ref not retired after resumed materialization")
+        val r2 = new SnapshotCatalog(spark, wh)
+        tables.foreach(t => require(r2.readLatest("fz", t).count() == 2L,
+          s"mt scenario $i: $t inconsistent after resume"))
+        println(f"[crashfuzz] $i%03d OK ($point, $nT members)")
+      } else {
+        // migrate crash: layout written, marker not — retry must succeed
+        val lake = java.nio.file.Files.createTempDirectory(s"crashfuzz_lake_$i").toString
+        val hive = rnd.nextBoolean()
+        val df = Seq((1L, 1, "a"), (2L, 2, "b")).toDF("id", "p", "v")
+        (if (hive) df.write.partitionBy("p") else df.write)
+          .mode("overwrite").parquet(lake)
+        SnapshotCatalog.faultHook = p =>
+          if (p == "migrate.layout-written") throw new InjectedCrash(p)
+        try c.migrateTable("fz", "m", lake)
+        catch { case _: InjectedCrash => () }
+        SnapshotCatalog.faultHook = _ => ()
+        val r = new SnapshotCatalog(spark, wh)
+        require(!r.tableExists("fz", "m"),
+          s"mt scenario $i: crashed migrate left a catalog table")
+        require(r.migrateTable("fz", "m", lake) >= 1L)
+        require(r.readLatest("fz", "m").count() == 2L,
+          s"mt scenario $i: re-migrate read mismatch (hive=$hive)")
+        println(f"[crashfuzz] $i%03d OK (migrate.layout-written, hive=$hive)")
+      }
+    }
+
     for (i <- 0 until n) {
       val rnd = new scala.util.Random(seed * 1000 + i)
       // java.util.Random's first draws are correlated across sequential
       // seeds (every scenario read the same v2 otherwise) — churn first
       (0 until 7).foreach(_ => rnd.nextInt())
+      if (i % 4 == 3) {
+        try { multiTableScenario(i, rnd); ok += 1 }
+        catch { case e: Throwable =>
+          println(f"[crashfuzz] $i%03d FAIL: ${e.getMessage}") }
+        finally { SnapshotCatalog.faultHook = _ => (); CacheHygiene.sweep(spark) }
+      } else {
       val wh = java.nio.file.Files.createTempDirectory(f"crashfuzz_$i%03d").toString
       val v2 = rnd.nextBoolean()
       val c = new SnapshotCatalog(spark, wh)
@@ -173,6 +239,7 @@ object DevFuzzCrash {
       } finally {
         SnapshotCatalog.faultHook = _ => ()
         CacheHygiene.sweep(spark)
+      }
       }
     }
     println(s"$ok/$n OK")
