@@ -164,4 +164,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(textSchemas.size == 1,
       s"text column read by ${textSchemas.size} scans — stages not fused")
   }
+
+  test("cluster_mix: both assignment passes broadcast the K-row centroid side") {
+    val plan = executed(Clustering.clusterMix(spark, sf001))
+    // the K-row seed/centroid relations ride broadcast joins under the
+    // corpus×K cross joins — a shuffled join there would repartition the
+    // full embedding corpus per pass and sink the 100 TB posture. (The
+    // one join Spark may sort-merge is fit⋈a1 inside centroid
+    // accumulation: BOTH sides are the bounded fit sample, so its cost
+    // is sample-scale by construction — measured A/B showed forcing a
+    // persist+broadcast there costs MORE wall time than it saves.)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), "centroids must broadcast")
+    // the full-corpus table feeds each assignment pass by scan, not by
+    // being the build side of any broadcast: no broadcast of `e` can
+    // appear (K rows broadcast; the corpus must never)
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("BroadcastExchange") && l.contains("embedding#") &&
+        l.contains("label#")),
+      s"the corpus relation itself was broadcast:\n$plan")
+  }
 }
