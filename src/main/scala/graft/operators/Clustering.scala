@@ -38,7 +38,10 @@ object Clustering {
   /** Per-(cluster, label) corpus mix after one Lloyd refinement from K
     * deterministic seeds (the K smallest vec_ids). `fit` = the vec_id % 5
     * sample; `assign` = the whole corpus. Ties break toward the smaller
-    * cluster id so the argmax is total.
+    * cluster id so the argmax is total. The fit modulus is the sampling
+    * knob: the demo keeps %5 so the oracle replays the exact clustering
+    * at test scale; at 100 TB you raise it (%10⁴-ish) so the fit set
+    * stays ~10⁶ vectors — a fixed FRACTION would not be a bounded fit.
     */
   def clusterMix(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
