@@ -208,6 +208,17 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
           // orphan every table already under the old location
         } else catalog.createSchema(schema, location)
         0L
+      case graft.catalog.CreateTableLikeStmt(schema, table, srcSchema,
+          srcTable, includingProps, ifNotExists) =>
+        if (!catalog.schemaExists(schema)) catalog.createSchema(schema)
+        try { catalog.createTableLike(schema, table, srcSchema, srcTable,
+          includingProps, ifNotExists); 0L }
+        catch {
+          case e: IllegalArgumentException =>
+            throw new GraftQueryException(sqlText, e.getMessage, e)
+          case e: IllegalStateException =>
+            throw new GraftQueryException(sqlText, e.getMessage, e)
+        }
       case graft.catalog.CreateTableStmt(schema, table, columns, ifNotExists,
           partitionedBy, tableComment, columnComments, formatVersion, sortedBy,
           bloomCols) =>

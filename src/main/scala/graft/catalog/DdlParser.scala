@@ -29,6 +29,11 @@ final case class CreateTableStmt(schema: String, table: String,
 final case class CreateTableAsStmt(schema: String, table: String,
                                    select: String, ifNotExists: Boolean,
                                    orReplace: Boolean = false) extends DdlStatement
+/** `CREATE TABLE t (LIKE src [INCLUDING|EXCLUDING PROPERTIES])`. */
+final case class CreateTableLikeStmt(schema: String, table: String,
+                                     srcSchema: String, srcTable: String,
+                                     includingProps: Boolean,
+                                     ifNotExists: Boolean) extends DdlStatement
 final case class DropTableStmt(schema: String, table: String,
                                ifExists: Boolean) extends DdlStatement
 final case class DeleteStmt(schema: String, table: String,
@@ -159,6 +164,10 @@ object DdlParser {
   // partitioning-only pattern would backtrack the column body into
   // swallowing any OTHER property (`WITH (format = 'PARQUET')`) and parse
   // garbage column types.
+  // LIKE must match before the generic column-list form — `(LIKE src)`
+  // would otherwise parse as a column named LIKE
+  private val createLikeRe =
+    """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\(\s*LIKE\s+([\w.]+)\s*(INCLUDING\s+PROPERTIES|EXCLUDING\s+PROPERTIES)?\s*\)\s*;?\s*$""".r
   private val createTableRe =
     """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.*?)\)\s*(?:COMMENT\s+'((?:[^']|'')*)'\s*)?(?:WITH\s*\((.*)\))?\s*;?\s*$""".r
   private val ctasRe =
@@ -251,6 +260,12 @@ object DdlParser {
     sqlText match {
     case createSchemaRe(ine, name, loc) =>
       Some(CreateSchemaStmt(schemaOf(name), ine != null, Option(loc)))
+    case createLikeRe(ine, name, src, incl) =>
+      val (sch, tbl) = tableOf(name)
+      val (ssch, stbl) = tableOf(src)
+      Some(CreateTableLikeStmt(sch, tbl, ssch, stbl,
+        incl != null && incl.toUpperCase(java.util.Locale.ROOT)
+          .startsWith("INCLUDING"), ine != null))
     case createTableRe(ine, name, cols, tblComment, props) =>
       val (sch, tbl) = tableOf(name)
       val (schema0, colComments) = parseColumns(cols)

@@ -290,6 +290,39 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     writeCommits(schema, table, Nil, -1L)
   }
 
+  /** `CREATE TABLE t (LIKE src [INCLUDING PROPERTIES])` (Trino): a new
+    * EMPTY table with the source's declared schema. INCLUDING PROPERTIES
+    * also copies the physical contract — partitioning spec (transforms
+    * included), sorted_by, bloom columns, format_version, and free-form
+    * table properties; the default (EXCLUDING) copies columns only.
+    * Data, snapshots, refs, comments, and stats never copy — LIKE
+    * clones a shape, not a table.
+    */
+  def createTableLike(schema: String, table: String,
+                      srcSchema: String, srcTable: String,
+                      includingProps: Boolean,
+                      ifNotExists: Boolean = false): Unit = synchronized {
+    require(tableExists(srcSchema, srcTable),
+      s"Table $srcSchema.$srcTable does not exist")
+    val cols = declaredSchema(srcSchema, srcTable).getOrElse(
+      throw new IllegalStateException(
+        s"$srcSchema.$srcTable has no declared schema"))
+    if (!includingProps) createTable(schema, table, cols, ifNotExists)
+    else {
+      // IF NOT EXISTS may no-op against a pre-existing table — the
+      // property copy must not mutate it in that case
+      val preExisted = tableExists(schema, table)
+      createTable(schema, table, cols, ifNotExists,
+        partitionedBy = partitionSpec(srcSchema, srcTable),
+        formatVersion = formatVersion(srcSchema, srcTable),
+        sortedBy = sortSpec(srcSchema, srcTable),
+        bloomFilterColumns = bloomColumnsAt(tableDir(srcSchema, srcTable)))
+      if (!preExisted)
+        tableProperties(srcSchema, srcTable).foreach { case (k, v) =>
+          setTableProperty(schema, table, k, v) }
+    }
+  }
+
   /** Iceberg table format version: 1 = copy-on-write row-level DML
     * (default), 2 = merge-on-read — DELETE/UPDATE write positional delete
     * files instead of rewriting data files (Trino's `format_version`
