@@ -1452,6 +1452,65 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
   private val manifestListCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
 
+  /** Normalizes any `scheme://authority/p` or `scheme:/p` URI to a bare
+    * `/…` path — the single rule both sides of every file-identity match
+    * (eq-delete coverage, CDC provenance) must share, so authority-
+    * carrying URIs (hdfs://nn, s3a://bucket) classify identically to
+    * authority-less file paths.
+    */
+  private[catalog] val SchemeNormRe = "^[A-Za-z][A-Za-z0-9+.-]*:/+"
+
+  // eq-delete read-rent caches (round 10): a committed snapshot's file
+  // list and an eq-delete file's key rows are both immutable, and every
+  // name involved embeds a UUID attempt tag, so entries never alias
+  // across drop/recreate. Size-guarded clear() keeps a long-lived
+  // session bounded; entries are KB-scale.
+  private val snapFileKeysCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+  private val eqDelKeysCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (StructType, Array[org.apache.spark.sql.Row])]()
+
+  /** Qualified, scheme-normalized data-file keys of `snap` — the
+    * representation eq-delete coverage classes compare on. Cached per
+    * (table dir, snapshot id, manifest-list name).
+    */
+  private def snapshotFileKeys(schema: String, table: String, snap: Snapshot): Set[String] = {
+    val dir = tableDir(schema, table)
+    val f = fs(dir)
+    val ck = f.makeQualified(dir).toString + "#" + snap.snapshotId + "#" +
+      snap.manifestList.getOrElse("dirs:" + snap.dirs.mkString(","))
+    if (snapFileKeysCache.size > 4096) snapFileKeysCache.clear()
+    snapFileKeysCache.computeIfAbsent(ck, _ =>
+      dataFilePaths(schema, table, snap)
+        .map(rel => f.makeQualified(new Path(dir, rel)).toString
+          .replaceFirst(SchemeNormRe, "/")).toSet)
+  }
+
+  /** Key tuples of an equality-delete file served as a LocalRelation:
+    * the anti-join side is broadcast anyway (delete files are bounded by
+    * DML batch selectivity), so the driver already holds these rows —
+    * collecting them ONCE per immutable file trades a parquet footer
+    * read plus a scan job per table read for zero storage I/O.
+    */
+  private def eqDelKeyDf(dir: Path, e: EqDelete): DataFrame = {
+    val p = fs(dir).makeQualified(new Path(dir, e.path)).toString
+    val cached = eqDelKeysCache.get(p)
+    val (sch, rows) =
+      if (cached != null) cached
+      else {
+        val df = spark.read.parquet(p)
+        val r = (df.schema, df.collect())
+        // a delete file too large to sensibly hold (it would not be
+        // broadcastable either) is served but not retained
+        if (r._2.length <= (1 << 20)) {
+          if (eqDelKeysCache.size > 4096) eqDelKeysCache.clear()
+          eqDelKeysCache.put(p, r)
+        }
+        r
+      }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), sch)
+  }
+
   private def writeManifest(dir: Path, entries: Seq[DataFileEntry]): String = {
     val name = s"m-${java.util.UUID.randomUUID().toString.take(16)}.json"
     val p = new Path(manifestDirPath(dir), name)
@@ -1766,19 +1825,15 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       // pending deletes between compactions therefore cost O(N) driver
       // metadata + a constant number of joins — never a per-delete
       // split/union (which doubled the logical plan per delete).
+      // Round-10 rent trims: appliesTo file sets and delete-key rows are
+      // content-cached (both immutable per UUID-tagged name), and when
+      // every CURRENT file carries the same delete-id list the attach
+      // join collapses to a literal array — no per-row file key at all.
       val afterEq =
         if (eqDels.isEmpty) merged
         else {
-          import org.apache.spark.sql.functions.{array_contains, broadcast, lit, regexp_replace}
-          // BOTH sides of the file match normalize with the SAME regex
-          // ('scheme://authority/p' and 'scheme:/p' both → '/…'), so
-          // URIs with an authority (hdfs://nn, s3a://bucket) classify
-          // identically to authority-less file paths
-          val schemeRe = "^[A-Za-z][A-Za-z0-9+.-]*:/+"
-          val keyed = merged.withColumn("__graft_fkey",
-            regexp_replace(col("__graft_file"), schemeRe, "/"))
+          import org.apache.spark.sql.functions.{array_contains, broadcast, lit, regexp_replace, typedLit}
           val commits = readCommits(schema, table)
-          val f = fs(dir)
           val appliesSets: Seq[Set[String]] = eqDels.map { e =>
             // fail loud, never resurrect: expireSnapshots protects
             // appliesTo-referenced snapshots, so an unresolvable id means
@@ -1788,34 +1843,56 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
               throw new IllegalStateException(
                 s"Equality delete ${e.path} references snapshot ${e.appliesTo}, " +
                   s"which is no longer in the commit log of $schema.$table"))
-            dataFilePaths(schema, table, appliesSnap)
-              .map(rel => f.makeQualified(new Path(dir, rel)).toString
-                .replaceFirst(schemeRe, "/")).toSet
+            snapshotFileKeys(schema, table, appliesSnap)
           }
-          val fileDels: Seq[(String, Seq[Int])] = appliesSets.zipWithIndex
+          val fdMap: Map[String, Seq[Int]] = appliesSets.zipWithIndex
             .flatMap { case (s, i) => s.map(_ -> i) }
-            .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }.toSeq
-          val fdDf = {
-            import spark.implicits._
-            fileDels.toDF("__graft_fkey2", "__graft_dels")
+            .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+          // coverage classes over the files the read will actually scan:
+          // the appliesTo sets may name files long rewritten away, but
+          // only CURRENT files produce rows, so they alone decide plan
+          // shape (and bound the broadcast side of the attach join)
+          val curFiles: Set[String] =
+            snap.map(snapshotFileKeys(schema, table, _)).getOrElse(Set.empty)
+          val classes = curFiles.iterator.map(f => fdMap.getOrElse(f, Nil)).toSet
+          val antiJoins: DataFrame => DataFrame = df0 =>
+            eqDels.zipWithIndex.groupBy(_._1.keys).toSeq.sortBy(_._2.head._2)
+              .foldLeft(df0) { case (df, (keys, dels)) =>
+                val delKeys = dels.map { case (e, i) =>
+                  eqDelKeyDf(dir, e)
+                    .toDF(keys.map("__graft_eq_" + _): _*)
+                    .withColumn("__graft_del_id", lit(i))
+                }.reduce(_ unionByName _)
+                // null __graft_dels (file covered by no delete) → null
+                // condition → row kept: exemption without a plan split
+                val cond = keys.map(k => col(k) <=> col("__graft_eq_" + k))
+                  .reduce(_ && _) &&
+                  array_contains(col("__graft_dels"), col("__graft_del_id"))
+                df.join(broadcast(delKeys), cond, "left_anti")
+              }.drop("__graft_fkey", "__graft_dels")
+          if (classes.isEmpty || classes == Set(Seq.empty[Int]))
+            merged // no current file is covered: every row exempt
+          else if (classes.size == 1)
+            // uniform coverage (post-rewrite steady states, one delete
+            // over the whole table): the per-file attach join degenerates
+            // to a constant — skip the file-key column and the join
+            antiJoins(merged.withColumn("__graft_dels", typedLit(classes.head)))
+          else {
+            // BOTH sides of the file match normalize with the SAME regex
+            // ('scheme://authority/p' and 'scheme:/p' both → '/…'), so
+            // URIs with an authority (hdfs://nn, s3a://bucket) classify
+            // identically to authority-less file paths
+            val keyed = merged.withColumn("__graft_fkey",
+              regexp_replace(col("__graft_file"), SchemeNormRe, "/"))
+            val fdDf = {
+              import spark.implicits._
+              fdMap.toSeq.filter(kv => curFiles.contains(kv._1) && kv._2.nonEmpty)
+                .toDF("__graft_fkey2", "__graft_dels")
+            }
+            antiJoins(keyed.join(broadcast(fdDf),
+              keyed("__graft_fkey") === fdDf("__graft_fkey2"), "left")
+              .drop("__graft_fkey2"))
           }
-          val attached = keyed.join(broadcast(fdDf),
-            keyed("__graft_fkey") === fdDf("__graft_fkey2"), "left")
-            .drop("__graft_fkey2")
-          eqDels.zipWithIndex.groupBy(_._1.keys).toSeq.sortBy(_._2.head._2)
-            .foldLeft(attached) { case (df, (keys, dels)) =>
-              val delKeys = dels.map { case (e, i) =>
-                spark.read.parquet(new Path(dir, e.path).toString)
-                  .toDF(keys.map("__graft_eq_" + _): _*)
-                  .withColumn("__graft_del_id", lit(i))
-              }.reduce(_ unionByName _)
-              // null __graft_dels (file covered by no delete) → null
-              // condition → row kept: exemption without a plan split
-              val cond = keys.map(k => col(k) <=> col("__graft_eq_" + k))
-                .reduce(_ && _) &&
-                array_contains(col("__graft_dels"), col("__graft_del_id"))
-              df.join(broadcast(delKeys), cond, "left_anti")
-            }.drop("__graft_fkey", "__graft_dels")
         }
       val dropFile = if (keepFile) Nil else Seq("__graft_file")
       val dropPos = if (keepPos) Nil else Seq("__graft_pos")
