@@ -92,8 +92,20 @@ object DevFuzzCatalogRefs {
           s"scenario $i: conflict named ${ex.get.tables}, expected $diverged")
         tables.foreach(t => require(idsOf(c, t) == main(t),
           s"scenario $i: conflicted publish must change nothing ($t)"))
+        // diverged-main MERGE leg: the three-way replay must land
+        // main ∪ branch on every member atomically (all fuzz ops are
+        // appends, so merge never conflicts), leave non-members alone,
+        // and retire the ref — verified through a cold catalog
+        c.mergeCatalogBranch("wap")
+        val r = new SnapshotCatalog(spark, wh)
+        members.foreach(t => require(idsOf(r, t) == (main(t) ++ br(t)),
+          s"scenario $i: merged member $t != main ∪ branch"))
+        (tables.toSet -- members).foreach(t => require(idsOf(r, t) == main(t),
+          s"scenario $i: non-member $t changed by merge"))
+        require(!r.listCatalogBranches().contains("wap"),
+          s"scenario $i: ref not retired after merge")
         println(s"[creffuzz] scenario_$i: ${tables.size} tables, " +
-          s"${members.size} members, CONFLICT(${diverged.size}) OK")
+          s"${members.size} members, CONFLICT(${diverged.size})+MERGE OK")
       } else {
         c.publishCatalogBranchCas("wap")
         // atomicity probe: a cold-cache catalog sees ALL members' branch

@@ -469,6 +469,8 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
               catalog.publishCatalogBranch(name); 0L
             case "materialize_catalog_branch" =>
               catalog.materializeCatalogBranch(name); 0L
+            case "merge_catalog_branch" =>
+              catalog.mergeCatalogBranch(name); 0L
             case "drop_catalog_branch" =>
               catalog.dropCatalogBranch(name); 0L
           }

@@ -208,9 +208,11 @@ object DdlParser {
   // catalog-level (multi-table) ref procedures: CALL
   // system.create_catalog_branch('name', ARRAY['s.t1','s.t2']) /
   // publish_catalog_branch('name') / materialize_catalog_branch('name')
-  // / drop_catalog_branch('name'), positional or name => value
+  // / merge_catalog_branch('name') — publish that tolerates diverged
+  // members via three-way replay — / drop_catalog_branch('name'),
+  // positional or name => value
   private val callCatalogRefRe =
-    """(?is)^\s*CALL\s+(?:[\w.]*\bsystem\.)?(create_catalog_branch|publish_catalog_branch|materialize_catalog_branch|drop_catalog_branch)\s*\(\s*(.*?)\s*\)\s*;?\s*$""".r
+    """(?is)^\s*CALL\s+(?:[\w.]*\bsystem\.)?(create_catalog_branch|publish_catalog_branch|materialize_catalog_branch|merge_catalog_branch|drop_catalog_branch)\s*\(\s*(.*?)\s*\)\s*;?\s*$""".r
   // catalog attachment procedures (Trino Iceberg's register_table /
   // unregister_table / migrate): CALL system.register_table('sch','tbl',
   // '/path') / unregister_table('sch','tbl') / migrate('sch','tbl',

@@ -4539,6 +4539,110 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     writeCatalogRefState(name, gen, CatalogRefState("published", pinned))
   }
 
+  /** Three-way merge of catalog branch `name` whose members may have
+    * DIVERGED from main (both refs advanced since the base) — the path
+    * [[publishCatalogBranch]] refuses. Nessie's catalog-scope merge
+    * shape (the reference's catalog, docker-compose.yml:36), built from
+    * the pieces already here:
+    *
+    * 1. Conflict scan (nothing mutated): every diverged member's
+    *    branch-side commits must all be appends — the same replay rule
+    *    as the per-table [[mergeBranch]] — else a typed
+    *    [[CatalogPublishConflictException]] naming every conflicted
+    *    member, with nothing published.
+    * 2. Rebase each member's BRANCH log onto current main (replay the
+    *    branch-only appends on top of main's head as one synthesized
+    *    append commit). Branch-side writes only: main readers observe
+    *    nothing.
+    * 3. The standard publish CAS pins every rebased head in ONE ref
+    *    generation — the all-or-nothing instant — then materializes.
+    *
+    * A main writer racing between rebase and CAS surfaces as the
+    * publish conflict; the loop re-rebases and retries. Failure at any
+    * point leaves main untouched (rebased branch logs are the only
+    * residue, and a rebased branch is a VALID branch state: main's new
+    * data merged in, branch work preserved).
+    */
+  def mergeCatalogBranch(name: String): Unit = synchronized {
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val (_, st) = catalogRefStates().getOrElse(name,
+        throw new IllegalArgumentException(s"Catalog branch $name does not exist"))
+      if (st.state != "open") { materializeCatalogBranch(name); return }
+      val conflicts = st.members.flatMap { m =>
+        val (mainC, _) = readCommitsWithGen(m.schema, m.table)
+        val (bc, _) = branch(name).readCommitsWithGen(m.schema, m.table)
+        val common = mainC.zip(bc).takeWhile { case (a, b) => a == b }.length
+        val branchNew = bc.drop(common)
+        if (common < mainC.length && branchNew.nonEmpty &&
+            !branchNew.forall(_.operation.contains("append")))
+          Some(s"${m.schema}.${m.table}")
+        else None
+      }
+      if (conflicts.nonEmpty)
+        throw new CatalogPublishConflictException(name, conflicts,
+          s"Cannot merge catalog branch $name: ${conflicts.mkString(", ")} " +
+            "diverged from main with non-append branch commits (DML/rewrite) " +
+            "— resolve those tables on the branch and retry; nothing was " +
+            "published")
+      st.members.foreach(m => rebaseBranchOntoMain(m.schema, m.table, name))
+      try {
+        publishCatalogBranchCas(name)
+        materializeCatalogBranch(name)
+        return
+      } catch {
+        case e: CatalogPublishConflictException =>
+          // a main writer slipped in after the rebase — re-scan and
+          // re-rebase on top of the new main
+          if (attempts >= 5) throw e
+      }
+    }
+  }
+
+  /** Rebase one member's branch log onto current main: fast-forward the
+    * branch when one side is unmoved, otherwise replay the branch-only
+    * appends as ONE synthesized append on top of main's head (same
+    * dedup/carry rules as [[mergeBranch]], writing the BRANCH side).
+    * Main is never touched.
+    */
+  private def rebaseBranchOntoMain(schema: String, table: String,
+                                   name: String): Unit = {
+    val dir = tableDir(schema, table)
+    val (mainC, _) = readCommitsWithGen(schema, table)
+    val (bc, bGen) = branch(name).readCommitsWithGen(schema, table)
+    val common = mainC.zip(bc).takeWhile { case (a, b) => a == b }.length
+    val branchNew = bc.drop(common)
+    if (common == mainC.length) return // branch extends main already
+    if (branchNew.isEmpty) { // branch unmoved: fast-forward it to main
+      branch(name).writeCommits(schema, table, mainC, bGen)
+      return
+    }
+    require(branchNew.forall(_.operation.contains("append")),
+      s"rebase of $schema.$table branch $name hit non-append branch " +
+        "commits — the conflict scan should have rejected this merge")
+    val basePaths =
+      if (common == 0) Set.empty[String]
+      else manifestEntriesOf(dir, bc(common - 1)).map(_.path).toSet
+    val mainHead = mainC.last
+    val mainPaths = manifestEntriesOf(dir, mainHead).map(_.path).toSet
+    val added = manifestEntriesOf(dir, bc.last)
+      .filterNot(e => basePaths.contains(e.path) || mainPaths.contains(e.path))
+    if (added.isEmpty) { // everything already reachable from main
+      branch(name).writeCommits(schema, table, mainC, bGen)
+      return
+    }
+    val carried = mainHead.manifestList.toSeq.flatMap(readManifestList(dir, _))
+    val ml = writeManifestList(dir,
+      compactManifestSet(dir, carried :+ writeManifest(dir, added)))
+    val id = math.max(mainHead.snapshotId, bc.last.snapshotId) + 1
+    val at = math.max(System.currentTimeMillis(), mainHead.committedAtMillis + 1)
+    val snap = Snapshot(id, at, mainHead.dirs,
+      declaredSchema(schema, table).map(_.json), Some("append"),
+      mainHead.deletes, Some(ml), None, mainHead.eqDeletes)
+    branch(name).writeCommits(schema, table, mainC :+ snap, bGen)
+  }
+
   /** Fast-forward every member's physical main log to its pinned branch
     * head and retire the ref. Reader-invisible (the overlay already
     * serves the pinned state); idempotent and crash-resumable. A racing

@@ -210,4 +210,74 @@ class CatalogRefsSpec extends SparkSpec {
     assert(c.listSchemas() == Seq("s"))
     c.dropCatalogBranch("a")
   }
+
+  test("merge_catalog_branch: diverged members replay atomically onto main") {
+    val c = freshCatalog("cref-merge")
+    twoTables(c)
+    c.createCatalogBranch("wap", Seq(("s", "fact"), ("s", "dim")))
+    c.branch("wap").insert("s", "fact", Seq((2L, "f2")).toDF("id", "v"))
+    c.branch("wap").insert("s", "dim", Seq((2L, "d2")).toDF("id", "v"))
+    // main advances independently on one member — publish would throw,
+    // merge replays
+    c.insert("s", "dim", Seq((9L, "dx")).toDF("id", "v"))
+    c.mergeCatalogBranch("wap")
+    // both sides' rows present on BOTH members, ref retired
+    assert(c.readLatest("s", "fact").select("v").as[String].collect().toSet ==
+      Set("f1", "f2"))
+    assert(c.readLatest("s", "dim").select("v").as[String].collect().toSet ==
+      Set("d1", "d2", "dx"))
+    assert(!c.listCatalogBranches().contains("wap"))
+    // physical logs hold the merge (a cold catalog agrees)
+    val c2 = new SnapshotCatalog(spark, c.warehouse)
+    assert(c2.readLatest("s", "dim").count() == 3L)
+    assert(c2.readLatest("s", "fact").count() == 2L)
+  }
+
+  test("merge_catalog_branch: non-append branch DML on a diverged member aborts, nothing published") {
+    import org.apache.spark.sql.functions.col
+    val c = freshCatalog("cref-merge-conflict")
+    twoTables(c)
+    c.createCatalogBranch("wap", Seq(("s", "fact"), ("s", "dim")))
+    c.branch("wap").insert("s", "fact", Seq((2L, "f2")).toDF("id", "v"))
+    c.branch("wap").delete("s", "dim", col("id") === 1L) // non-append
+    c.insert("s", "dim", Seq((9L, "dx")).toDF("id", "v")) // main diverges
+    val ex = intercept[CatalogPublishConflictException] {
+      c.mergeCatalogBranch("wap")
+    }
+    assert(ex.tables == Seq("s.dim"))
+    // nothing published: fact unchanged on main, ref still open
+    assert(c.readLatest("s", "fact").count() == 1L)
+    assert(c.readLatest("s", "dim").select("v").as[String].collect().toSet ==
+      Set("d1", "dx"))
+    assert(c.listCatalogBranches()("wap").state == "open")
+  }
+
+  test("merge_catalog_branch: fast-forward members (main unmoved) merge like publish") {
+    val c = freshCatalog("cref-merge-ff")
+    twoTables(c)
+    c.createCatalogBranch("wap", Seq(("s", "fact"), ("s", "dim")))
+    c.branch("wap").insert("s", "fact", Seq((2L, "f2")).toDF("id", "v"))
+    // dim's branch is unmoved and main moved only on dim
+    c.insert("s", "dim", Seq((9L, "dx")).toDF("id", "v"))
+    c.mergeCatalogBranch("wap")
+    assert(c.readLatest("s", "fact").count() == 2L)
+    assert(c.readLatest("s", "dim").select("v").as[String].collect().toSet ==
+      Set("d1", "dx"))
+    assert(!c.listCatalogBranches().contains("wap"))
+  }
+
+  test("SQL surface: CALL system.merge_catalog_branch replays a diverged ref") {
+    val c = freshCatalog("cref-merge-sql")
+    twoTables(c)
+    val engine = new graft.GraftEngine(spark, c.warehouse)
+    engine.executeNonQuery(graft.params.SqlStatement(
+      "CALL system.create_catalog_branch('wap', ARRAY['s.fact','s.dim'])"))
+    c.branch("wap").insert("s", "fact", Seq((2L, "f2")).toDF("id", "v"))
+    c.insert("s", "fact", Seq((7L, "fm")).toDF("id", "v")) // diverge
+    engine.executeNonQuery(graft.params.SqlStatement(
+      "CALL system.merge_catalog_branch('wap')"))
+    assert(c.readLatest("s", "fact").select("v").as[String].collect().toSet ==
+      Set("f1", "f2", "fm"))
+    assert(!c.listCatalogBranches().contains("wap"))
+  }
 }
