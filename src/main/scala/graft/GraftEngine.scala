@@ -473,6 +473,10 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
               catalog.mergeCatalogBranch(name); 0L
             case "drop_catalog_branch" =>
               catalog.dropCatalogBranch(name); 0L
+            case "create_catalog_tag" =>
+              catalog.createCatalogTag(name, tables); 0L
+            case "drop_catalog_tag" =>
+              catalog.dropCatalogTag(name); 0L
           }
         } catch {
           case e: graft.catalog.CatalogPublishConflictException =>

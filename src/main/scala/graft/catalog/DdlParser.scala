@@ -212,7 +212,7 @@ object DdlParser {
   // members via three-way replay — / drop_catalog_branch('name'),
   // positional or name => value
   private val callCatalogRefRe =
-    """(?is)^\s*CALL\s+(?:[\w.]*\bsystem\.)?(create_catalog_branch|publish_catalog_branch|materialize_catalog_branch|merge_catalog_branch|drop_catalog_branch)\s*\(\s*(.*?)\s*\)\s*;?\s*$""".r
+    """(?is)^\s*CALL\s+(?:[\w.]*\bsystem\.)?(create_catalog_branch|publish_catalog_branch|materialize_catalog_branch|merge_catalog_branch|drop_catalog_branch|create_catalog_tag|drop_catalog_tag)\s*\(\s*(.*?)\s*\)\s*;?\s*$""".r
   // catalog attachment procedures (Trino Iceberg's register_table /
   // unregister_table / migrate): CALL system.register_table('sch','tbl',
   // '/path') / unregister_table('sch','tbl') / migrate('sch','tbl',
@@ -394,7 +394,8 @@ object DdlParser {
           if (p.contains("=>")) strip(p.split("=>", 2)(1)) else strip(p)
         }.headOption.getOrElse(
           throw new IllegalArgumentException(s"CALL $proc: missing ref name"))
-      require(proc.equalsIgnoreCase("create_catalog_branch") || tables.isEmpty,
+      require(proc.equalsIgnoreCase("create_catalog_branch") ||
+        proc.equalsIgnoreCase("create_catalog_tag") || tables.isEmpty,
         s"CALL $proc takes only a ref name")
       Some(CatalogRefStmt(proc.toLowerCase, nameArg, tables))
     case callRegisterRe(proc, argText) =>

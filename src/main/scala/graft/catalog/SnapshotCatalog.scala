@@ -4335,17 +4335,129 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     else if (branchExists(schema, table, ref)) branch(ref).readLatest(schema, table)
     else listTags(schema, table).get(ref) match {
       case Some(snap) => readSnapshot(schema, table, Some(snap), useSnapshotSchema = true)
-      case None => throw new IllegalArgumentException(
-        s"Ref '$ref' is neither a branch nor a tag of $schema.$table")
+      case None =>
+        // resolution order branch > table tag > CATALOG tag: a catalog
+        // tag pinning this table serves the same `FOR VERSION AS OF
+        // '<ref>'` spelling, so one tag name queries every member at a
+        // consistent whole-catalog state
+        catalogTagSnapshot(ref, schema, table) match {
+          case Some(snap) =>
+            readSnapshot(schema, table, Some(snap), useSnapshotSchema = true)
+          case None => throw new IllegalArgumentException(
+            s"Ref '$ref' is neither a branch nor a tag of $schema.$table")
+        }
     }
 
-  /** Snapshots referenced by OTHER refs (branches + tags) — what data
-    * reclamation must protect beyond the main log.
+  /** Snapshots referenced by OTHER refs (branches + per-table tags +
+    * catalog tags) — what data reclamation must protect beyond the main
+    * log.
     */
   private def refSnapshots(schema: String, table: String): Seq[Snapshot] =
     listBranches(schema, table)
       .flatMap(b => branch(b).readCommitsWithGen(schema, table)._1) ++
-      listTags(schema, table).values
+      listTags(schema, table).values ++
+      listCatalogTags().flatMap(n => catalogTagSnapshot(n, schema, table))
+
+  // ---- catalog-level tags: immutable named states of the WHOLE
+  //      catalog (Nessie's tag model at catalog scope — the audit /
+  //      reproducibility read: "query every table as tagged
+  //      v2026-08"). One immutable file pins the FULL snapshot entry
+  //      of every table at creation instant, so tag reads survive
+  //      main-log expiry exactly like per-table tags, and data
+  //      reclamation protects the pinned snapshots ([[refSnapshots]]).
+  //      ----
+
+  private def catalogTagsDir = new Path(s"$warehouse/_catalog_tags")
+  private def catalogTagPath(name: String) =
+    new Path(catalogTagsDir, s"$name.json")
+
+  def listCatalogTags(): Seq[String] = {
+    val d = catalogTagsDir
+    val f = fs(d)
+    if (!f.exists(d)) return Nil
+    f.listStatus(d).iterator.map(_.getPath.getName)
+      .filter(_.endsWith(".json")).map(_.stripSuffix(".json")).toSeq.sorted
+  }
+
+  /** Tag the CURRENT main state of every table in the catalog (or of
+    * `tables` when given) as immutable catalog tag `name`. Exclusive
+    * create: a second same-name tag fails; the recorded state never
+    * moves.
+    */
+  def createCatalogTag(name: String,
+                       tables: Seq[(String, String)] = Nil): Unit = synchronized {
+    require(refNameOk(name), s"Malformed catalog tag name: '$name'")
+    val members =
+      if (tables.nonEmpty) tables
+      else listSchemas().flatMap(s => listTables(s).map((s, _)))
+    require(members.nonEmpty, "Cannot tag an empty catalog")
+    members.foreach { case (s, t) =>
+      require(tableExists(s, t), s"Table $s.$t does not exist") }
+    val root = mapper.createObjectNode()
+    val arr = root.putArray("members")
+    members.foreach { case (s, t) =>
+      readCommits(s, t).lastOption.foreach { head =>
+        val o = arr.addObject()
+        o.put("schema", s)
+        o.put("table", t)
+        snapshotIntoNode(head, o.putObject("snapshot"))
+      }
+    }
+    require(arr.size > 0, s"Catalog tag $name: no member has any commit yet")
+    val d = catalogTagsDir
+    val f = fs(d)
+    f.mkdirs(d)
+    val target = catalogTagPath(name)
+    if (f.exists(target))
+      throw new IllegalArgumentException(s"Catalog tag $name already exists")
+    val tmp = new Path(d, "." + target.getName + "." +
+      java.util.UUID.randomUUID().toString.take(8) + ".tmp")
+    val rawF = f match {
+      case cfs: org.apache.hadoop.fs.ChecksumFileSystem => cfs.getRawFileSystem
+      case other => other
+    }
+    val out = rawF.create(tmp, true)
+    try out.write(mapper.writeValueAsString(root).getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      target.toUri, spark.sparkContext.hadoopConfiguration)
+    try fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.NONE)
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.nio.file.FileAlreadyExistsException =>
+        f.delete(tmp, false)
+        throw new IllegalArgumentException(s"Catalog tag $name already exists")
+    }
+  }
+
+  def dropCatalogTag(name: String): Unit = synchronized {
+    val p = catalogTagPath(name)
+    require(fs(p).exists(p), s"Catalog tag $name does not exist")
+    fs(p).delete(p, false)
+  }
+
+  /** The pinned snapshot catalog tag `name` records for `schema.table`
+    * (None when no such tag, or the tag does not pin this table). Tag
+    * files are immutable → parsed members cache process-wide by
+    * (path, mtime, length) like ref states.
+    */
+  private[catalog] def catalogTagSnapshot(name: String, schema: String,
+                                          table: String): Option[Snapshot] = {
+    if (!refNameOk(name)) return None
+    val p = catalogTagPath(name)
+    val f = fs(p)
+    val st = try {
+      if (!f.exists(p)) return None
+      f.getFileStatus(p)
+    } catch { case _: java.io.FileNotFoundException => return None }
+    val key = s"$p@${st.getModificationTime}:${st.getLen}"
+    val members = SnapshotCatalog.catalogTagCache.computeIfAbsent(key, _ => {
+      val root = mapper.readTree(readString(p))
+      root.get("members").elements.asScala.map(m =>
+        (m.get("schema").asText, m.get("table").asText,
+          snapshotFromNode(m.get("snapshot")))).toSeq
+    })
+    members.collectFirst { case (s, t, snap) if s == schema && t == table => snap }
+  }
 
   // ---- catalog-level refs: multi-table branches with ONE atomic
   //      publish (Nessie's defining feature — git-like refs over the
@@ -5154,6 +5266,13 @@ object SnapshotCatalog {
     */
   private[catalog] val catalogRefCache =
     new BoundedCache[CatalogRefState](1024)
+
+  /** Catalog-tag files are immutable (exclusive create, drop deletes) —
+    * parsed member pins cache process-wide, keyed by path@mtime:length
+    * so a drop-and-recreate of the same name is never served stale.
+    */
+  private[catalog] val catalogTagCache =
+    new BoundedCache[Seq[(String, String, Snapshot)]](1024)
 
   /** A flat-bounded concurrent cache for immutable parsed metadata: at
     * `max` entries the map resets wholesale. The entries are pure parses
