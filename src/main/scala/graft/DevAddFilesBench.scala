@@ -24,6 +24,35 @@ object DevAddFilesBench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    // driver peak-heap sampler: polls used heap during each adoption so
+    // the 10^4-file arm can show FLAT driver memory (the sharded path
+    // returns only manifest names + paths to the driver)
+    @volatile var sampling = false
+    @volatile var peakUsed = 0L
+    val sampler = new Thread(() => {
+      while (true) {
+        if (sampling) {
+          val rt = Runtime.getRuntime
+          val used = rt.totalMemory - rt.freeMemory
+          if (used > peakUsed) peakUsed = used
+        }
+        Thread.sleep(20)
+      }
+    })
+    sampler.setDaemon(true)
+    sampler.start()
+    def measured[A](f: => A): (A, Double, Long) = {
+      System.gc()
+      val rt = Runtime.getRuntime
+      val base = rt.totalMemory - rt.freeMemory
+      peakUsed = base; sampling = true
+      val t0 = System.nanoTime()
+      val r = f
+      val secs = (System.nanoTime() - t0) / 1e9
+      sampling = false
+      (r, secs, (peakUsed - base).max(0L))
+    }
+
     val wh = java.nio.file.Files.createTempDirectory("graft-addfbench").toString
     val c = new graft.catalog.SnapshotCatalog(spark, wh)
     c.createSchema("b")
@@ -39,18 +68,18 @@ object DevAddFilesBench {
         .repartition(n).write.mode("overwrite").parquet(ext)
       val t = s"t$n"
       c.createTable("b", t, schema)
-      val t0 = System.nanoTime()
-      val adopted = c.addFiles("b", t, ext)
-      val secs = (System.nanoTime() - t0) / 1e9
+      val (adopted, secs, peak) = measured(c.addFiles("b", t, ext))
       require(c.readLatest("b", t).count() == n.toLong * 64,
         s"adopted table row count mismatch at n=$n")
-      (n, adopted, secs)
+      val shards = c.manifestNames("b", t, c.snapshots("b", t).last).size
+      (n, adopted, secs, peak, shards)
     }
-    results.foreach { case (n, adopted, secs) =>
+    results.foreach { case (n, adopted, secs, peak, shards) =>
       println(f"[addfilesbench] files=$n%5d adopted=$adopted%5d " +
-        f"wall=${secs}%6.2fs per-file=${secs * 1000 / n}%6.2fms")
+        f"wall=${secs}%6.2fs per-file=${secs * 1000 / n}%6.2fms " +
+        f"driverPeak=${peak / 1048576.0}%6.1fMiB shards=$shards%3d")
     }
-    val perFile = results.map { case (n, _, s) => s / n }
+    val perFile = results.map { case (n, _, s, _, _) => s / n }
     println(f"[addfilesbench] per-file ratio largest/smallest count = " +
       f"${perFile.last / perFile.head}%.2f (flat-or-falling expected; " +
       "a serial driver loop would hold ~1.0 with latency, never amortize)")
@@ -61,18 +90,17 @@ object DevAddFilesBench {
       val lake = java.nio.file.Files.createTempDirectory(s"graft-mig-$n").toString
       (0L until n.toLong * 64).toDF("id").selectExpr("id", "id * 2 as v")
         .repartition(n).write.mode("overwrite").parquet(lake)
-      val t0 = System.nanoTime()
-      val migrated = c.migrateTable("b", s"m$n", lake)
-      val secs = (System.nanoTime() - t0) / 1e9
+      val (migrated, secs, peak) = measured(c.migrateTable("b", s"m$n", lake))
       require(c.readLatest("b", s"m$n").count() == n.toLong * 64,
         s"migrated table row count mismatch at n=$n")
-      (n, migrated, secs)
+      (n, migrated, secs, peak)
     }
-    mResults.foreach { case (n, migrated, secs) =>
+    mResults.foreach { case (n, migrated, secs, peak) =>
       println(f"[migratebench]  files=$n%5d adopted=$migrated%5d " +
-        f"wall=${secs}%6.2fs per-file=${secs * 1000 / n}%6.2fms")
+        f"wall=${secs}%6.2fs per-file=${secs * 1000 / n}%6.2fms " +
+        f"driverPeak=${peak / 1048576.0}%6.1fMiB")
     }
-    val mPerFile = mResults.map { case (n, _, s) => s / n }
+    val mPerFile = mResults.map { case (n, _, s, _) => s / n }
     println(f"[migratebench]  per-file ratio largest/smallest count = " +
       f"${mPerFile.last / mPerFile.head}%.2f")
   }

@@ -99,6 +99,22 @@ object Manifests {
   // ---- JSON encode/decode (compact keys: manifests are the metadata
   //      hot path, stored once per file per rewrite) ----
 
+  /** Write one manifest shard directly from an EXECUTOR (the adoption
+    * path's distributed footer job writes its partition's entries in
+    * place instead of collecting them to the driver). UUID name, no
+    * coordination needed: manifests are immutable and only become live
+    * when a committed manifest list references them — a failed job's
+    * shards are unreferenced debris for expire's manifest GC.
+    */
+  def writeShard(conf: Configuration, manifestDir: Path,
+                 entries: Seq[DataFileEntry]): String = {
+    val name = s"m-${java.util.UUID.randomUUID().toString.take(16)}.json"
+    val p = new Path(manifestDir, name)
+    val out = p.getFileSystem(conf).create(p, false)
+    try out.write(toJson(entries).getBytes("UTF-8")) finally out.close()
+    name
+  }
+
   def toJson(entries: Seq[DataFileEntry]): String = {
     val root = mapper.createObjectNode()
     val arr = root.putArray("entries")

@@ -830,6 +830,79 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     checked.collect { case Right(e) => e }
   }
 
+  /** [[validateExternalFooters]] for adoptions with no bloom columns:
+    * each job partition validates its files AND writes its entries as
+    * manifest shards IN PLACE (≤ [[SnapshotCatalog.manifestEntryCap]]
+    * entries each, [[Manifests.writeShard]]), so the driver never
+    * materializes the entry list — it receives only shard NAMES plus
+    * the entry paths (for the duplicate-adoption check): bytes
+    * proportional to file COUNT, not to entries × bounds. A validation
+    * or commit failure leaves written shards as unreferenced debris
+    * (manifests only go live via a committed manifest list); expire's
+    * manifest GC reclaims them.
+    */
+  private def validateAndShardExternalFooters(files: Seq[(String, String, Long)],
+                                              declData: StructType,
+                                              opName: String,
+                                              dir: Path): (Seq[String], Seq[String]) = {
+    val confMap: Map[String, String] = {
+      val it = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.newHadoopConf().iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+      b.result()
+    }
+    val sc = spark.sparkContext
+    val bcConf = sc.broadcast(confMap)
+    val bcDecl = sc.broadcast(declData.json)
+    val manifestDirStr = fs(dir).makeQualified(manifestDirPath(dir)).toString
+    val cap = SnapshotCatalog.manifestEntryCap
+    val slices = math.max(1, math.min(files.size, sc.defaultParallelism * 2))
+    val res: Seq[Either[String, (String, Seq[String])]] =
+      sc.parallelize(files, slices).mapPartitions { it =>
+        val c = new org.apache.hadoop.conf.Configuration(false)
+        bcConf.value.foreach { case (k, v) => c.set(k, v) }
+        val decl = org.apache.spark.sql.types.DataType.fromJson(bcDecl.value)
+          .asInstanceOf[StructType]
+        val checked = it.map { case (qual, rec, len) =>
+          try {
+            val (entry, fileSchema) =
+              Manifests.footerEntryWithSchema(c, new Path(qual), rec, len)
+            val missing = decl.fields.find(f =>
+              !fileSchema.fields.exists(_.name.equalsIgnoreCase(f.name)))
+            val mismatch = decl.fields.flatMap(f =>
+              fileSchema.fields.find(_.name.equalsIgnoreCase(f.name))
+                .filter(_.dataType != f.dataType).map(f -> _)).headOption
+            if (missing.isDefined)
+              Left(s"$opName: $rec lacks declared column ${missing.get.name}")
+            else if (mismatch.isDefined) {
+              val (f, g) = mismatch.get
+              Left(s"$opName: type mismatch on ${f.name} in $rec: " +
+                s"declared ${f.dataType.simpleString} vs file ${g.dataType.simpleString}")
+            } else if (fileSchema.fields.length != decl.fields.length)
+              Left(s"$opName: $rec carries ${fileSchema.fields.length} columns, " +
+                s"table declares ${decl.fields.length} data columns")
+            else Right(entry)
+          } catch {
+            case e: Exception => Left(s"$opName: $rec: ${e.getMessage}")
+          }
+        }.toVector
+        val errs = checked.collect { case Left(m) => m }
+        if (errs.nonEmpty) errs.iterator.take(8).map(Left(_))
+        else checked.iterator.collect { case Right(e) => e }.grouped(cap)
+          .map { chunk =>
+            val name = Manifests.writeShard(c, new Path(manifestDirStr), chunk.toSeq)
+            Right((name, chunk.map(_.path)))
+          }
+      }.collect().toSeq
+    val errs = res.collect { case Left(m) => m }
+    if (errs.nonEmpty)
+      throw new IllegalArgumentException(errs.head +
+        (if (errs.size > 1) s" (and ${errs.size - 1} more file(s))" else ""))
+    (res.collect { case Right((n, _)) => n },
+      res.collect { case Right((_, ps)) => ps }.flatten)
+  }
+
   /** `CALL system.migrate('sch', 't', '/path')`: convert an existing
     * plain parquet layout (flat or hive `col=value` partitioned) IN
     * PLACE into a catalog table — Trino Iceberg's migrate procedure
@@ -903,14 +976,14 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     // equality check: Spark's discovery reads one footer, so a stray
     // wider file would otherwise be accepted or rejected depending on
     // which file discovery happened to sample
-    val entries = validateExternalFooters(rels,
-      StructType(dataFields.toSeq), "migrate")
+    val (shardNames, _) = validateAndShardExternalFooters(rels,
+      StructType(dataFields.toSeq), "migrate", loc)
     // metadata lands in place; the commits.json existence marker is LAST
     // so a crash mid-migrate leaves a re-migratable plain directory
     writeString(new Path(loc, "_table_schema.json"), full.json)
     if (partCols.nonEmpty)
       writeString(new Path(loc, "_partition_spec.json"), partCols.mkString("\n"))
-    val ml = writeManifestList(loc, Seq(writeManifest(loc, entries)))
+    val ml = writeManifestList(loc, shardNames)
     val snap = Snapshot(1L, System.currentTimeMillis(), Nil, Some(full.json),
       Some("append"), manifestList = Some(ml))
     writeString(genPath(loc, 0L), commitsJson(Seq(snap), Nil))
@@ -960,6 +1033,20 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       val q = fs(p).makeQualified(p)
       (q.toString, q.toUri.getPath, len)
     }
+    // same filesystem REQUIRED: manifest entries store scheme-and-
+    // authority-less absolute paths and re-anchor on the TABLE dir's
+    // scheme+authority at read time, so a file on another bucket/
+    // cluster would silently resolve into the wrong store — fail loud
+    // instead (copy or unload the data into the table's store first)
+    val tq = fs(dir).makeQualified(dir).toUri
+    qualified.foreach { case (full, _, _) =>
+      val u = new Path(full).toUri
+      require(u.getScheme == tq.getScheme &&
+        java.util.Objects.equals(u.getAuthority, tq.getAuthority),
+        s"add_files: $full is on a different filesystem than the table " +
+          s"(${tq.getScheme}://${Option(tq.getAuthority).getOrElse("")}) — " +
+          "adopted entries resolve against the table's scheme+authority")
+    }
     qualified.foreach { case (_, abs, _) =>
       require(!abs.startsWith(tableRoot + "/"),
         s"add_files location is inside the table directory: $abs")
@@ -974,17 +1061,22 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     // no uniformity guarantee, and one mismatched file would fail or
     // null out at read time AFTER the commit. The footer/validation pass
     // runs as a DISTRIBUTED Spark job ([[validateExternalFooters]]).
-    val entries0 = validateExternalFooters(qualified,
-      StructType(dataFields.toSeq), "add_files")
     val existing = commits.lastOption.toSeq.flatMap(manifestEntriesOf(dir, _))
       .map(e => entryKey(tableRoot, e)).toSet
-    val dups = entries0.filter(e => existing(e.path))
-    require(dups.isEmpty,
-      s"add_files: ${dups.size} file(s) already referenced by the current snapshot")
     val bloomCols = bloomColumnsAt(dir)
-    val entries =
-      if (bloomCols.isEmpty) entries0
+    // no-bloom adoption (the common shape): the distributed footer job
+    // writes manifest shards in place and only shard names + entry
+    // paths return to the driver — driver memory stays flat however
+    // many files are adopted. Bloom-declared tables keep the
+    // entry-collecting path (blooms are computed in a second pass and
+    // merged into the entries before the manifest write).
+    val (newNames, newPaths) =
+      if (bloomCols.isEmpty)
+        validateAndShardExternalFooters(qualified,
+          StructType(dataFields.toSeq), "add_files", dir)
       else {
+        val entries0 = validateExternalFooters(qualified,
+          StructType(dataFields.toSeq), "add_files")
         // chunked bloom jobs: a giant adoption on a bloom-configured
         // table would otherwise collect files × cols × ≤16 KiB bitsets
         // in ONE aggregation — per-chunk collects bound the driver's
@@ -994,10 +1086,15 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         val byPath = statuses.map(_._1.toString).grouped(1024).flatMap(chunk =>
           Blooms.bloomsFor(spark, chunk, bloomCols, maxRows))
           .map { case (k, v) => new Path(k).toUri.getPath -> v }.toMap
-        entries0.map(e => e.copy(blooms = byPath.getOrElse(e.path, Map.empty)))
+        val entries = entries0.map(e =>
+          e.copy(blooms = byPath.getOrElse(e.path, Map.empty)))
+        (writeManifests(dir, entries), entries.map(_.path))
       }
+    val dups = newPaths.filter(existing)
+    require(dups.isEmpty,
+      s"add_files: ${dups.size} file(s) already referenced by the current snapshot")
     val (carried, _) = carryManifests(schema, table, commits.lastOption, Set.empty)
-    val names = carried :+ writeManifest(dir, entries)
+    val names = carried ++ newNames
     val ml = writeManifestList(dir, compactManifestSet(dir, names))
     val id = commits.lastOption.map(_.snapshotId).getOrElse(0L) + 1
     val at = math.max(System.currentTimeMillis(),
@@ -1073,6 +1170,15 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val dir = tableDir(schema, table)
     val (commits, gen) = readCommitsWithGen(schema, table)
     val tableRoot = fs(dir).makeQualified(dir).toUri.getPath
+    // same filesystem REQUIRED (see addFiles): absolute entry paths
+    // re-anchor on the target's scheme+authority at read time
+    val squ = fs(sDir).makeQualified(sDir).toUri
+    val tqu = fs(dir).makeQualified(dir).toUri
+    require(squ.getScheme == tqu.getScheme &&
+      java.util.Objects.equals(squ.getAuthority, tqu.getAuthority),
+      s"add_files_from_table: $srcSchema.$srcTable lives on a different " +
+        s"filesystem (${squ.getScheme}://${Option(squ.getAuthority).getOrElse("")}) " +
+        s"than the target (${tqu.getScheme}://${Option(tqu.getAuthority).getOrElse("")})")
     entries0.foreach(e => require(!e.path.startsWith(tableRoot + "/"),
       s"add_files_from_table: source file is inside the target directory: ${e.path}"))
     val existing = commits.lastOption.toSeq.flatMap(manifestEntriesOf(dir, _))
@@ -1082,7 +1188,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       s"add_files_from_table: ${dups.size} file(s) already referenced by " +
         "the current snapshot")
     val (carried, _) = carryManifests(schema, table, commits.lastOption, Set.empty)
-    val names = carried :+ writeManifest(dir, entries0)
+    val names = carried ++ writeManifests(dir, entries0)
     val ml = writeManifestList(dir, compactManifestSet(dir, names))
     val id = commits.lastOption.map(_.snapshotId).getOrElse(0L) + 1
     val at = math.max(System.currentTimeMillis(),
@@ -1166,7 +1272,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     // no blooms: the replacement resets bloom columns, and the OLD ones
     // may not exist in the new schema
     val newEntries = scanEntries(dir, snapDir, bloomOverride = Some(Nil))
-    val names = if (newEntries.nonEmpty) Seq(writeManifest(dir, newEntries)) else Nil
+    val names = writeManifests(dir, newEntries)
     val snap = Snapshot(id, at, Nil, Some(df.schema.json), Some("replace"),
       Nil, Some(writeManifestList(dir, names)))
     val stagedP = new Path(dir, s"_replace_staged-$id.json")
@@ -1218,7 +1324,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val (carried, _) = carryManifests(schema, table, commits.lastOption, Set.empty)
     val newEntries = scanEntries(dir, snapDir)
     val names = carried ++
-      (if (newEntries.nonEmpty) Seq(writeManifest(dir, newEntries)) else Nil)
+      writeManifests(dir, newEntries)
     val ml = writeManifestList(dir, compactManifestSet(dir, names))
     val snap = Snapshot(id, at, Nil,
       declaredSchema(schema, table).map(_.json), Some("append"),
@@ -1279,7 +1385,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       val (carried, _) = carryManifests(schema, table, prior, Set.empty)
       val newEntries = scanEntries(dir, snapDir)
       val names = carried ++
-        (if (newEntries.nonEmpty) Seq(writeManifest(dir, newEntries)) else Nil)
+        writeManifests(dir, newEntries)
       val ml = writeManifestList(dir, compactManifestSet(dir, names))
       val snap = Snapshot(id, at, Nil, declared.map(_.json), Some("overwrite"),
         prior.map(_.deletes).getOrElse(Nil), Some(ml), txn, eq)
@@ -1511,6 +1617,18 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), sch)
   }
 
+  /** Write `entries` as one or more manifests, each holding at most
+    * [[SnapshotCatalog.manifestEntryCap]] entries. A 10⁶-file adoption
+    * or a giant insert must not serialize one GB-scale JSON through a
+    * single driver buffer — Iceberg shards manifests under a manifest
+    * list for exactly this reason, and the list indirection is already
+    * here. Nil in, Nil out (callers drop the empty-manifest branch).
+    */
+  private def writeManifests(dir: Path, entries: Seq[DataFileEntry]): Seq[String] =
+    if (entries.isEmpty) Nil
+    else entries.grouped(SnapshotCatalog.manifestEntryCap)
+      .map(g => writeManifest(dir, g.toSeq)).toSeq
+
   private def writeManifest(dir: Path, entries: Seq[DataFileEntry]): String = {
     val name = s"m-${java.util.UUID.randomUUID().toString.take(16)}.json"
     val p = new Path(manifestDirPath(dir), name)
@@ -1667,7 +1785,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         }
         val surv = survivors.result()
         val names = carried.result() ++
-          (if (surv.nonEmpty) Seq(writeManifest(dir, surv)) else Nil)
+          writeManifests(dir, surv)
         (compactManifestSet(dir, names), touched.result())
     }
   }
@@ -1684,7 +1802,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val sized = names.map(n => n -> readManifest(dir, n))
     val (small, big) = sized.partition(_._2.size < 512)
     if (small.size <= 1) names
-    else big.map(_._1) :+ writeManifest(dir, small.flatMap(_._2))
+    else big.map(_._1) ++ writeManifests(dir, small.flatMap(_._2))
   }
 
   /** Current snapshot restricted to data files whose manifest bounds MAY
@@ -2134,6 +2252,23 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
   def manifestNames(schema: String, table: String, snap: Snapshot): Seq[String] =
     snap.manifestList.toSeq.flatMap(readManifestList(tableDir(schema, table), _))
 
+  /** Data bytes `snap`'s manifests ADD over `prev` — a manifest-NAME
+    * diff (carried manifests skip by name), so the cost is proportional
+    * to the commit's own new manifests and zero data I/O: the streaming
+    * source's byte-based admission control reads this per candidate
+    * commit. A commit that also merged small manifests
+    * ([[compactManifestSet]]) counts the merged entries as new —
+    * overcounting only paces admission more conservatively.
+    */
+  private[graft] def addedBytes(schema: String, table: String, snap: Snapshot,
+                                prev: Option[Snapshot]): Long = {
+    val dir = tableDir(schema, table)
+    val prevNames = prev.toSeq.flatMap(p =>
+      p.manifestList.toSeq.flatMap(readManifestList(dir, _))).toSet
+    snap.manifestList.toSeq.flatMap(readManifestList(dir, _))
+      .filterNot(prevNames).flatMap(readManifest(dir, _)).map(_.bytes).sum
+  }
+
   /** Manifest entries of a snapshot — the public metadata view (per-file
     * record counts, sizes, column min/max bounds) served without opening
     * any data file.
@@ -2380,7 +2515,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
                 partitionedWriter(schema, table, adf)
                   .mode("errorifexists").parquet(new Path(dir, snapDir).toString)
                 val es = scanEntries(dir, snapDir)
-                carried ++ (if (es.nonEmpty) Seq(writeManifest(dir, es)) else Nil)
+                carried ++ writeManifests(dir, es)
               case None => carried
             }
             val s0 = Snapshot(id, at, Nil, schemaJson, Some("overwrite"),
@@ -2408,7 +2543,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
                 s"${attemptTag(id)}-carry")
             val newEntries = scanEntries(dir, snapDir)
             val names = carried ++
-              (if (newEntries.nonEmpty) Seq(writeManifest(dir, newEntries)) else Nil)
+              writeManifests(dir, newEntries)
             val s0 = Snapshot(id, at, Nil, schemaJson,
               Some("overwrite"), newDeletes,
               Some(writeManifestList(dir, compactManifestSet(dir, names))),
@@ -2640,7 +2775,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
             val (carried, _) = carryManifests(schema, table, current, Set.empty)
             val newEntries = scanEntries(dir, snapDir)
             val names = carried ++
-              (if (newEntries.nonEmpty) Seq(writeManifest(dir, newEntries)) else Nil)
+              writeManifests(dir, newEntries)
             (Nil, Some(writeManifestList(dir, compactManifestSet(dir, names))), "overwrite")
         }
         val snap = Snapshot(id, at, dirsNew, schemaJson, Some(op),
@@ -2813,7 +2948,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
                          deletes: Seq[String]): Snapshot = {
       val newEntries = scanEntries(dir, newDirRel)
       val names = carriedNames ++
-        (if (newEntries.nonEmpty) Seq(writeManifest(dir, newEntries)) else Nil)
+        writeManifests(dir, newEntries)
       commitSnap(Nil, deletes,
         Some(writeManifestList(dir, compactManifestSet(dir, names))))
     }
@@ -3097,7 +3232,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     partitionedWriter(schema, table, df)
       .mode("errorifexists").parquet(new Path(dir, snapDir).toString)
     val newEntries = scanEntries(dir, snapDir)
-    val names = if (newEntries.nonEmpty) Seq(writeManifest(dir, newEntries)) else Nil
+    val names = writeManifests(dir, newEntries)
     val snap = Snapshot(id, at, Nil,
       declaredSchema(schema, table).map(_.json), Some("replace"),
       Nil, Some(writeManifestList(dir, names)))
@@ -3866,7 +4001,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         val (carried, _) = carryManifests(schema, table, Some(last), touchedKeys)
         val newEntries = scanEntries(dir, snapDir)
         val names = carried ++
-          (if (newEntries.nonEmpty) Seq(writeManifest(dir, newEntries)) else Nil)
+          writeManifests(dir, newEntries)
         // scoped compaction: the rewritten subset read its eq-shadowed
         // rows out; carried files stay covered by the carried eq-deletes
         Snapshot(id, at, Nil, declaredSchema(schema, table).map(_.json),
@@ -3881,7 +4016,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         // the compaction read applied pending deletes, so none carry
         Snapshot(id, at, Nil, declaredSchema(schema, table).map(_.json),
           Some("replace"), Nil,
-          Some(writeManifestList(dir, Seq(writeManifest(dir, scanEntries(dir, snapDir))))))
+          Some(writeManifestList(dir, writeManifests(dir, scanEntries(dir, snapDir)))))
     }
     faultPoint("compact.staged") // compacted files on disk, commit pending
     writeCommits(schema, table, commits :+ snap, gen)
@@ -4268,7 +4403,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     }
     val carried = mainHead.manifestList.toSeq.flatMap(readManifestList(dir, _))
     val names = carried ++
-      (if (added.nonEmpty) Seq(writeManifest(dir, added)) else Nil)
+      writeManifests(dir, added)
     val ml = writeManifestList(dir, compactManifestSet(dir, names))
     val id = mainHead.snapshotId + 1
     val at = math.max(System.currentTimeMillis(), mainHead.committedAtMillis + 1)
@@ -4746,7 +4881,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     }
     val carried = mainHead.manifestList.toSeq.flatMap(readManifestList(dir, _))
     val ml = writeManifestList(dir,
-      compactManifestSet(dir, carried :+ writeManifest(dir, added)))
+      compactManifestSet(dir, carried ++ writeManifests(dir, added)))
     val id = math.max(mainHead.snapshotId, bc.last.snapshotId) + 1
     val at = math.max(System.currentTimeMillis(), mainHead.committedAtMillis + 1)
     val snap = Snapshot(id, at, mainHead.dirs,
@@ -5248,6 +5383,11 @@ object SnapshotCatalog {
     * metadata paths — never in a per-row loop.
     */
   @volatile private[graft] var faultHook: String => Unit = _ => ()
+
+  /** Max entries per manifest file (sharding threshold) — var so specs
+    * can exercise the shard math without writing thousands of files.
+    */
+  @volatile private[graft] var manifestEntryCap: Int = 4096
 
   /** Frozen commit-log segments are immutable content-addressed files —
     * cache them process-wide (shared across catalog instances AND branch

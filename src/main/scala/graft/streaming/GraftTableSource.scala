@@ -48,6 +48,12 @@ object GraftSourceOffset {
   *     `starting`).
   *   - `maxSnapshotsPerTrigger`: admission control — each micro-batch
   *     advances at most this many commits (default: all available).
+  *   - `maxBytesPerTrigger`: admission control by DATA SIZE — a batch
+  *     admits commits until their newly-added bytes (manifest entry
+  *     sizes, zero extra I/O) would exceed this; at least one commit
+  *     always admits (soft max, Delta semantics). Commits vary by
+  *     orders of magnitude in bytes, so count pacing alone cannot
+  *     bound a batch's input.
   *   - `skipChangeCommits`: `true` drops non-append commits (CoW/MoR DML,
   *     compaction) whole; default `false` FAILS the stream on them — the
   *     Delta source contract, never silently re-emitting rewritten rows.
@@ -78,6 +84,8 @@ final class GraftTableSource(spark: SparkSession,
   private val skipChangeCommits = parameters.get("skipChangeCommits").exists(_.toBoolean)
   private val maxSnapshotsPerTrigger = parameters.get("maxSnapshotsPerTrigger").map(_.toLong)
   require(maxSnapshotsPerTrigger.forall(_ > 0), "maxSnapshotsPerTrigger must be positive")
+  private val maxBytesPerTrigger = parameters.get("maxBytesPerTrigger").map(_.toLong)
+  require(maxBytesPerTrigger.forall(_ > 0), "maxBytesPerTrigger must be positive")
 
   private val catalog = new SnapshotCatalog(spark, warehouse)
   require(catalog.tableExists(schemaName, tableName),
@@ -119,15 +127,41 @@ final class GraftTableSource(spark: SparkSession,
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   /** Admission control (the engine prefers this over [[getOffset]]):
-    * advance from `start` by at most `maxSnapshotsPerTrigger` commits,
-    * never past the Trigger.AvailableNow target. Commit ids are dense
-    * (+1 per commit on a ref), so id arithmetic counts commits.
+    * advance from `start` by at most `maxSnapshotsPerTrigger` commits
+    * AND at most `maxBytesPerTrigger` of newly-added data bytes, never
+    * past the Trigger.AvailableNow target. Commit ids are dense (+1 per
+    * commit on a ref), so id arithmetic counts commits; commit bytes
+    * come from the manifest-name diff
+    * ([[SnapshotCatalog.addedBytes]] — manifest entry sizes are already
+    * in metadata, zero extra I/O). The byte cap is soft in the Delta
+    * sense: at least one commit always admits, so an oversized single
+    * commit still makes progress instead of wedging the stream.
     */
   override def latestOffset(start: ConnectorOffset, limit: ReadLimit): ConnectorOffset = {
     val from = Option(start).map(GraftSourceOffset(_).snapshotId).getOrElse(startingId)
     val latest = availableNowTarget.fold(latestSnapshotId)(math.min(latestSnapshotId, _))
     val capped = maxSnapshotsPerTrigger.fold(latest)(m => math.min(latest, from + m))
-    GraftSourceOffset(math.max(from, capped))
+    val byteCapped = maxBytesPerTrigger match {
+      case None => capped
+      case Some(maxB) =>
+        val snaps = catalog.snapshots(schemaName, tableName)
+        var prev = snaps.find(_.snapshotId == from)
+        var admit = from
+        var acc = 0L
+        var stop = false
+        snaps.iterator
+          .filter(s => s.snapshotId > from && s.snapshotId <= capped)
+          .foreach { s =>
+            if (!stop) {
+              val b = catalog.addedBytes(schemaName, tableName, s, prev)
+              if (admit == from || acc + b <= maxB) {
+                acc += b; admit = s.snapshotId; prev = Some(s)
+              } else stop = true
+            }
+          }
+        admit
+    }
+    GraftSourceOffset(math.max(from, byteCapped))
   }
 
   override def getOffset: Option[Offset] = {

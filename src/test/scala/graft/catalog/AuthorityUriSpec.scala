@@ -101,6 +101,23 @@ class AuthorityUriSpec extends SparkSpec {
     assert(got == Seq((1, "a", "r1"), (2, "b", "r1"), (3, "c", "r2")))
   }
 
+  test("cross-bucket adoption fails LOUD: entries re-anchor on the table's authority") {
+    mountMock()
+    val wh = mockDir("b1", "graft_mockfs_xb_wh")
+    val ext = mockDir("b2", "graft_mockfs_xb_ext")
+    import spark.implicits._
+    Seq((10, "x")).toDF("k", "v").coalesce(1).write.parquet(s"$ext/batch")
+    val c = new SnapshotCatalog(spark, wh)
+    c.createSchema("s")
+    c.createTable("s", "t", Seq((1, "a")).toDF("k", "v").schema)
+    c.insert("s", "t", Seq((1, "a")).toDF("k", "v"))
+    val ex = intercept[IllegalArgumentException] {
+      c.addFiles("s", "t", s"$ext/batch")
+    }
+    assert(ex.getMessage.contains("different filesystem"), ex.getMessage)
+    assert(c.readLatest("s", "t").count() == 1L) // nothing committed
+  }
+
   test("unload exports cross-bucket: mock://b1 table to mock://b2 target, bare parquet") {
     mountMock()
     val src = mockDir("b1", "graft_mockfs_un_src")

@@ -237,4 +237,43 @@ class ManifestSpec extends SparkSpec {
     c.delete("s", "om", col("id") === 3L)
     assert(c.readLatest("s", "om").count() == 5L)
   }
+
+  test("manifest sharding: adoption and inserts spill past the entry cap into shards") {
+    val saved = SnapshotCatalog.manifestEntryCap
+    SnapshotCatalog.manifestEntryCap = 3
+    try {
+      val c = freshCatalog()
+      // adoption path: the distributed job writes the shards in place
+      val ext = tmpDir("graft-shard-ext")
+      (0L until 64L).toDF("id").selectExpr("id", "'g' as grp", "id as v")
+        .repartition(8).write.mode("overwrite").parquet(ext)
+      c.createTable("s", "adopt", schema)
+      assert(c.addFiles("s", "adopt", ext) == 8L)
+      val snap = c.snapshots("s", "adopt").last
+      val names = c.manifestNames("s", "adopt", snap)
+      assert(names.size >= 3, s"expected >=3 shards for 8 files at cap 3, got ${names.size}")
+      names.foreach(n => assert(c.manifestEntries("s", "adopt", snap)
+        .size == 8)) // all entries reachable through the list
+      val perShard = names.map(n =>
+        Manifests.fromJson(new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(c.warehouse, "s", "adopt", "_manifests", n)))).size)
+      assert(perShard.forall(_ <= 3), s"a shard exceeds the cap: $perShard")
+      assert(c.readLatest("s", "adopt").count() == 64L)
+      // native insert path: a wide write also shards
+      c.createTable("s", "ins", schema)
+      c.insert("s", "ins", (0L until 64L).toDF("id")
+        .selectExpr("id", "'g' as grp", "id as v").repartition(7))
+      val snap2 = c.snapshots("s", "ins").last
+      val names2 = c.manifestNames("s", "ins", snap2)
+      assert(names2.size >= 2, s"insert of 7 files at cap 3 should shard, got ${names2.size}")
+      assert(c.readLatest("s", "ins").count() == 64L)
+      // migrate path
+      val lake = tmpDir("graft-shard-lake")
+      (0L until 64L).toDF("id").selectExpr("id", "'g' as grp", "id as v")
+        .repartition(8).write.mode("overwrite").parquet(s"$lake/d")
+      assert(c.migrateTable("s", "mig", s"$lake/d") == 8L)
+      assert(c.manifestNames("s", "mig", c.snapshots("s", "mig").last).size >= 3)
+      assert(c.readLatest("s", "mig").count() == 64L)
+    } finally SnapshotCatalog.manifestEntryCap = saved
+  }
 }

@@ -134,6 +134,51 @@ class TableStreamSpec extends SparkSpec {
     assert(c.lastTxnVersion("s", "b", "paced").contains(2L))
   }
 
+  test("maxBytesPerTrigger paces by commit bytes; an oversized commit still admits") {
+    val c = freshCatalog()
+    c.createTable("s", "a", schemaT)
+    c.createTable("s", "b", schemaT)
+    (0 until 3).foreach(i => c.insert("s", "a", rows(i * 5 until (i + 1) * 5, s"g$i")))
+    // every commit exceeds a 1-byte cap → the soft-max progress rule
+    // admits exactly ONE commit per micro-batch (commits vary by orders
+    // of magnitude in bytes, so count-based pacing alone cannot bound a
+    // batch's input size)
+    runToTable(sourceOf(c, "a", "maxBytesPerTrigger" -> "1"), c, "b",
+      tmpDir("ckpt-bytes"), txnAppId = Some("bytepaced"))
+    assert(contents(c, "b") == contents(c, "a"))
+    assert(c.snapshots("s", "b").count(_.operation.contains("append")) == 3)
+    assert(c.lastTxnVersion("s", "b", "bytepaced").contains(2L))
+    // a cap far above total size drains everything in one batch
+    val c2 = freshCatalog()
+    c2.createTable("s", "a", schemaT)
+    c2.createTable("s", "b", schemaT)
+    (0 until 3).foreach(i => c2.insert("s", "a", rows(i * 5 until (i + 1) * 5, s"g$i")))
+    runToTable(sourceOf(c2, "a", "maxBytesPerTrigger" -> s"${1L << 30}"), c2, "b",
+      tmpDir("ckpt-bytes-big"), txnAppId = Some("bytebig"))
+    assert(contents(c2, "b") == contents(c2, "a"))
+    assert(c2.lastTxnVersion("s", "b", "bytebig").contains(0L)) // one batch
+    // a cap of ~two small commits' bytes admits two, then one
+    val sizeOf = {
+      val snaps = c.snapshots("s", "a")
+      snaps.zip(None +: snaps.map(Some(_))).map { case (s, p) =>
+        // re-derive per-commit bytes from the public metadata surface
+        val all = c.manifestEntries("s", "a", s).map(e => e.path -> e.bytes).toMap
+        val prev = p.map(pp => c.manifestEntries("s", "a", pp).map(_.path).toSet)
+          .getOrElse(Set.empty)
+        all.filterNot(kv => prev(kv._1)).values.sum
+      }
+    }
+    val twoCap = sizeOf.take(2).sum
+    val c3 = freshCatalog()
+    c3.createTable("s", "a", schemaT)
+    c3.createTable("s", "b", schemaT)
+    (0 until 3).foreach(i => c3.insert("s", "a", rows(i * 5 until (i + 1) * 5, s"g$i")))
+    runToTable(sourceOf(c3, "a", "maxBytesPerTrigger" -> twoCap.toString), c3, "b",
+      tmpDir("ckpt-bytes-two"), txnAppId = Some("bytetwo"))
+    assert(contents(c3, "b") == contents(c3, "a"))
+    assert(c3.lastTxnVersion("s", "b", "bytetwo").contains(1L)) // two batches
+  }
+
   test("non-append commits fail the stream by default and are dropped whole with skipChangeCommits") {
     val c = freshCatalog()
     c.createTable("s", "a", schemaT)
