@@ -337,11 +337,14 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
         val meta = catalog.materializedViewMeta(schema, view).getOrElse(
           throw new GraftQueryException(sqlText,
             s"Materialized view $schema.$view does not exist"))
-        val refreshed = catalog.refreshMaterializedView(schema, view,
-          query(SqlStatement(meta._1)), referencedSources(meta._1))
-        // the refresh wrote and footer-scanned the data already — the
-        // returned count is metadata arithmetic, not a second table scan
-        catalog.snapshotRowCount(schema, view, refreshed)
+        refreshIncremental(schema, view, meta).getOrElse {
+          lastMvRefreshMode = "full"
+          val refreshed = catalog.refreshMaterializedView(schema, view,
+            query(SqlStatement(meta._1)), referencedSources(meta._1))
+          // the refresh wrote and footer-scanned the data already — the
+          // returned count is metadata arithmetic, not a second table scan
+          catalog.snapshotRowCount(schema, view, refreshed)
+        }
       case graft.catalog.DropMaterializedViewStmt(schema, view, ifExists) =>
         if (!catalog.isMaterializedView(schema, view)) {
           if (ifExists) 0L
@@ -1065,13 +1068,38 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
     */
   private val viewDepth = ThreadLocal.withInitial[Integer](() => 0)
 
+  /** Per-thread source substitution for incremental MV refresh: while a
+    * definition replays over its append delta, the ONE overridden name
+    * resolves to the delta DataFrame instead of the table's latest
+    * snapshot — the definition text goes through [[query]]'s ordinary
+    * rewrite machinery unchanged, so literals, casing, and bare-name
+    * resolution behave exactly as the full-recompute path.
+    */
+  private val mvDeltaOverride =
+    ThreadLocal.withInitial[Map[(String, String), DataFrame]](() => Map.empty)
+
+  private def withMvDelta[T](key: (String, String), df: DataFrame)(f: => T): T = {
+    mvDeltaOverride.set(Map(key -> df))
+    try f finally mvDeltaOverride.remove()
+  }
+
+  /** How the last REFRESH MATERIALIZED VIEW executed: `full`,
+    * `incremental-append`, `incremental-merge`, or `noop` — observability
+    * for specs and operators (the SQL surface is strategy-transparent).
+    */
+  @volatile private[graft] var lastMvRefreshMode: String = ""
+
   /** Resolve `sch.tbl` against the snapshot catalog: a data table becomes
     * a temp view over its latest snapshot; a catalog view expands its
     * defining SQL (depth-guarded). None when the catalog doesn't own the
     * name. Shared by the qualified- and bare-name rewrites.
     */
   private def resolveCatalogName(sql: String, sch: String, tbl: String): Option[String] =
-    if (catalog.tableExists(sch, tbl)) {
+    if (mvDeltaOverride.get.contains((sch, tbl))) {
+      val view = s"_mvdelta_${sch}_${tbl}_${nameTag(sch, tbl)}"
+      mvDeltaOverride.get()((sch, tbl)).createOrReplaceTempView(view)
+      Some(view)
+    } else if (catalog.tableExists(sch, tbl)) {
       val view = s"_cat_${sch}_${tbl}_${nameTag(sch, tbl)}"
       catalog.readLatest(sch, tbl).createOrReplaceTempView(view)
       Some(view)
@@ -1105,6 +1133,101 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
         s"$sch.$tbl" -> catalog.snapshots(sch, tbl).lastOption
           .map(_.snapshotId).getOrElse(0L)
     }.toMap
+  }
+
+  /** Incremental REFRESH MATERIALIZED VIEW — attempted first, transparent
+    * fallback to full recompute (None). Eligible when the definition is
+    * incrementally maintainable ([[MvIncremental.classify]]), the ONE
+    * source's commits since the recorded snapshot are all append-only
+    * ([[SnapshotCatalog.appendsBetween]] throws otherwise), and the
+    * recorded snapshot still exists (expire may have dropped it).
+    *
+    * Cost at scale: the delta replay scans ONLY files appended since the
+    * last refresh; the merge re-aggregates `materialized ∪ partial` —
+    * O(|MV| + |delta|) for aggregates, O(|delta|) append for
+    * select-project-filter. A 100 TB source with a 10 GB day of appends
+    * refreshes for the price of the 10 GB, where the recompute path
+    * re-scans the 100 TB.
+    */
+  private def refreshIncremental(schema: String, view: String,
+                                 meta: (String, Map[String, Long])): Option[Long] = {
+    val (defSql, recorded) = meta
+    if (recorded.size != 1) return None
+    val (srcKey, fromId) = recorded.head
+    val (srcSch, srcTbl) = srcKey.split('.') match {
+      case Array(s, t) => (s, t)
+      case _ => return None
+    }
+    if (!catalog.tableExists(srcSch, srcTbl)) return None
+    val shape = MvIncremental.classify(spark, defSql, srcSch, srcTbl,
+      sessionSchema).getOrElse(return None)
+    val head = catalog.snapshots(srcSch, srcTbl)
+      .lastOption.map(_.snapshotId).getOrElse(0L)
+    def currentCount(): Long =
+      catalog.snapshots(schema, view).lastOption
+        .map(catalog.snapshotRowCount(schema, view, _)).getOrElse(0L)
+    if (head == fromId) { // already fresh: nothing to commit
+      lastMvRefreshMode = "noop"
+      return Some(currentCount())
+    }
+    val delta =
+      try catalog.appendsBetween(srcSch, srcTbl, fromId, head)
+      catch {
+        // non-append commits in range, or the recorded snapshot expired —
+        // both mean the delta is not reconstructible: recompute
+        case _: IllegalStateException => return None
+        case _: IllegalArgumentException => return None
+      }
+    val newSources = Map(srcKey -> head)
+    if (delta.isEmpty) { // sources advanced but appended no rows
+      lastMvRefreshMode = "noop"
+      catalog.advanceMaterializedViewSources(schema, view, newSources)
+      return Some(currentCount())
+    }
+    val partial = withMvDelta((srcSch, srcTbl), delta) {
+      query(SqlStatement(defSql))
+    }
+    val snap = shape match {
+      case MvIncremental.MvProjectShape =>
+        lastMvRefreshMode = "incremental-append"
+        catalog.refreshMaterializedViewAppend(schema, view, partial, newSources)
+      case MvIncremental.MvAggShape(outputs) =>
+        lastMvRefreshMode = "incremental-merge"
+        val merged = mergePartials(catalog.readLatest(schema, view),
+          partial, outputs)
+        catalog.refreshMaterializedView(schema, view, merged, newSources)
+    }
+    Some(catalog.snapshotRowCount(schema, view, snap))
+  }
+
+  /** Merge the materialized rows with the delta's partial aggregate:
+    * re-group by the key columns, count merges by SUM, sum/min/max by
+    * themselves; each measure casts back to the view's declared column
+    * type (re-summing widens decimals). An all-keys aggregate (GROUP BY
+    * with no measures) merges as DISTINCT.
+    */
+  private def mergePartials(current: DataFrame, partial: DataFrame,
+                            outputs: Seq[MvIncremental.MvOut]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, max, min, sum}
+    val fields = current.schema.fields
+    require(fields.length == outputs.length,
+      s"MV has ${fields.length} columns but the definition classified ${outputs.length}")
+    val u = current.union(partial.toDF(fields.map(_.name).toSeq: _*))
+    val keys = fields.zip(outputs).collect {
+      case (f, MvIncremental.MvKey) => col(f.name) }.toSeq
+    val aggs = fields.zip(outputs).collect {
+      case (f, MvIncremental.MvMerge(fn)) =>
+        val m = fn match {
+          case "count" | "sum" => sum(col(f.name))
+          case "min" => min(col(f.name))
+          case "max" => max(col(f.name))
+        }
+        m.cast(f.dataType).as(f.name)
+    }.toSeq
+    val grouped =
+      if (aggs.isEmpty) u.distinct()
+      else u.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    grouped.select(fields.map(f => col(f.name)).toSeq: _*)
   }
 
   private[graft] def rewriteCatalogRefs(sql: String): String = {

@@ -1,0 +1,204 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal, SubqueryExpression, UnresolvedWindowExpression, WindowExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
+
+/** Incremental-maintainability analysis for a materialized view's
+  * defining SQL (the Trino REFRESH surface stays `REFRESH MATERIALIZED
+  * VIEW` — incrementality is an execution strategy, not syntax, matching
+  * Trino's own incremental-when-append-only Iceberg MV refresh,
+  * https://trino.io/docs/current/connector/iceberg.html#materialized-views).
+  *
+  * The question answered here is purely SYNTACTIC, on Spark's PARSED
+  * (unresolved) plan: is the definition a shape whose result over
+  * `old ∪ delta` is derivable from (result over old, result over delta)
+  * when every source commit since the last refresh was append-only?
+  *
+  * Two shapes qualify:
+  *
+  *   - [[MvProjectShape]] — select-project-filter over the single source
+  *     (row-wise, deterministic, no aggregates): new source rows map to
+  *     new MV rows, so the refresh is ONE APPEND COMMIT of the projected
+  *     delta — O(|delta|) whatever the table size.
+  *   - [[MvAggShape]] — a single GROUP BY (or global) aggregate whose
+  *     measures are all decomposable (count/sum/min/max — each merges
+  *     with itself under append-only inserts): run the definition over
+  *     the delta, then re-aggregate `materialized ∪ delta-partial` by the
+  *     key columns — O(|MV| + |delta|), never a source re-scan.
+  *
+  * Everything else (joins, DISTINCT, windows, subqueries, avg/percentile,
+  * self-references, CTEs, non-deterministic functions) returns None and
+  * the caller falls back to the full-recompute refresh. The analysis is
+  * deliberately conservative: a miss costs a recompute, a false positive
+  * would corrupt the view.
+  */
+private[graft] object MvIncremental {
+
+  sealed trait Shape
+  /** Row-wise projection (optionally filtered): refresh = append delta. */
+  case object MvProjectShape extends Shape
+  /** Aggregate: positional output classification — `outputs(i)` says how
+    * the i-th MV column merges (group key, or a decomposable measure).
+    */
+  final case class MvAggShape(outputs: Seq[MvOut]) extends Shape
+
+  sealed trait MvOut
+  case object MvKey extends MvOut
+  /** fn ∈ count|sum|min|max: count merges by SUM, the rest by themselves. */
+  final case class MvMerge(fn: String) extends MvOut
+
+  /** Functions whose value depends on more than their arguments — a
+    * definition using one would materialize different rows per run, so
+    * replaying it over a delta is meaningless.
+    */
+  private val nonDeterministic = Set(
+    "rand", "randn", "random", "uuid", "shuffle",
+    "monotonically_increasing_id", "input_file_name",
+    "now", "current_timestamp", "localtimestamp", "current_date",
+    "current_timezone", "unix_timestamp", "current_user", "session_user")
+
+  private val mergeable = Set("count", "sum", "min", "max")
+
+  /** Classify `sql` for incremental refresh against the single recorded
+    * source `(srcSchema, srcTable)`. `sessionSchema` resolves bare names
+    * the way the engine's rewrite does. None = not incrementally
+    * maintainable; refresh must recompute.
+    */
+  def classify(spark: SparkSession, sql: String,
+               srcSchema: String, srcTable: String,
+               sessionSchema: String): Option[Shape] = {
+    val plan =
+      try spark.sessionState.sqlParser.parsePlan(sql)
+      catch { case _: Exception => return None }
+
+    // exactly ONE relation reference, and it is the recorded source —
+    // a self-join (sources map still size 1) must NOT run over the delta
+    val rels = plan.collect { case r: UnresolvedRelation => r }
+    if (rels.size != 1) return None
+    val named = rels.head.multipartIdentifier match {
+      case Seq(t) => (sessionSchema, t)
+      case Seq(s, t) => (s, t)
+      case _ => return None
+    }
+    if (named != ((srcSchema, srcTable))) return None
+
+    if (!expressionsSafe(spark, plan)) return None
+
+    plan match {
+      case Aggregate(grouping, aggExprs, child, _) if sourceOnly(child) =>
+        classifyAggregate(spark, grouping, aggExprs)
+      case Project(projList, child) if sourceOnly(child) =>
+        // the parser leaves a GROUP-BY-less aggregate (`SELECT count(*)
+        // FROM t`) as a Project — the Aggregate node only appears during
+        // analysis, so an agg function here means GLOBAL aggregate, and
+        // treating it as row-wise would be corrupting
+        if (projList.exists(e => containsAggFunction(spark, e)))
+          classifyAggregate(spark, Nil, projList)
+        else if (projList.exists { case _: UnresolvedStar => true; case _ => false })
+          Some(MvProjectShape) // SELECT * [WHERE …]: row-wise by definition
+        else Some(MvProjectShape)
+      case _ => None
+    }
+  }
+
+  /** child is the bare source: UnresolvedRelation, optionally aliased
+    * and/or under ONE row-wise Filter. Anything else (joins, generators,
+    * nested queries) disqualifies.
+    */
+  private def sourceOnly(plan: LogicalPlan): Boolean = plan match {
+    case _: UnresolvedRelation => true
+    case SubqueryAlias(_, child) => sourceOnly(child)
+    case Filter(_, child) => sourceOnly(child)
+    case _ => false
+  }
+
+  /** No subqueries, no window expressions, no non-deterministic or
+    * unregistered functions anywhere in ANY node's expressions
+    * (`plan.expressions` alone is per-node — a Filter's condition below
+    * the root Project would go unchecked).
+    */
+  private def expressionsSafe(spark: SparkSession, plan: LogicalPlan): Boolean =
+    plan.flatMap(_.expressions).forall(_.collectFirst {
+      case _: SubqueryExpression => ()
+      case _: WindowExpression => ()
+      case _: UnresolvedWindowExpression => ()
+      case f: UnresolvedFunction
+        if nonDeterministic.contains(fnName(f)) || fnGroup(spark, f).isEmpty => ()
+    }.isEmpty)
+
+  private def fnName(f: UnresolvedFunction): String =
+    f.nameParts.last.toLowerCase(java.util.Locale.ROOT)
+
+  /** Registry group of a parsed function call ("agg_funcs",
+    * "window_funcs", …) — the public FunctionRegistry metadata Spark's
+    * own docs generator uses; None for names the session can't resolve.
+    */
+  private def fnGroup(spark: SparkSession, f: UnresolvedFunction): Option[String] =
+    try Option(spark.sessionState.catalog
+        .lookupFunctionInfo(FunctionIdentifier(fnName(f))).getGroup)
+    catch { case _: Exception => None }
+
+  private def isAggFunction(spark: SparkSession, f: UnresolvedFunction): Boolean =
+    fnGroup(spark, f).contains("agg_funcs")
+
+  private def containsAggFunction(spark: SparkSession, e: Expression): Boolean =
+    e.collectFirst {
+      case f: UnresolvedFunction if isAggFunction(spark, f) => ()
+    }.nonEmpty
+
+  /** Aggregate eligibility: every output is a plain grouping attribute or
+    * an alias of a mergeable non-DISTINCT aggregate call, and every
+    * grouping expression is itself one of the key outputs (by attribute
+    * name or GROUP-BY ordinal) — otherwise the merge re-aggregation could
+    * not reconstruct the groups from the materialized rows.
+    */
+  private def classifyAggregate(spark: SparkSession,
+                                grouping: Seq[Expression],
+                                aggExprs: Seq[Expression]): Option[Shape] = {
+    val outs: Seq[Option[MvOut]] = aggExprs.map {
+      case _: UnresolvedAttribute => Some(MvKey)
+      case Alias(_: UnresolvedAttribute, _) => Some(MvKey)
+      case Alias(f: UnresolvedFunction, _) => classifyAgg(spark, f)
+      case UnresolvedAlias(f: UnresolvedFunction, _) => classifyAgg(spark, f)
+      case _ => None
+    }
+    if (outs.exists(_.isEmpty)) return None
+    val outputs = outs.flatten
+
+    // names the key outputs answer to: the source column AND any alias
+    val keyNames: Set[String] = aggExprs.zip(outputs).collect {
+      case (a: UnresolvedAttribute, MvKey) => Seq(attrName(a))
+      case (Alias(a: UnresolvedAttribute, name), MvKey) =>
+        Seq(attrName(a), name.toLowerCase(java.util.Locale.ROOT))
+    }.flatten.toSet
+    val groupingCovered = grouping.forall {
+      case a: UnresolvedAttribute => keyNames.contains(attrName(a))
+      case o: org.apache.spark.sql.catalyst.analysis.UnresolvedOrdinal =>
+        o.ordinal >= 1 && o.ordinal <= outputs.size && outputs(o.ordinal - 1) == MvKey
+      case Literal(i: Int, _) => // GROUP BY <ordinal>, pre-4.x parser shape
+        i >= 1 && i <= outputs.size && outputs(i - 1) == MvKey
+      case _ => false
+    }
+    if (groupingCovered) Some(MvAggShape(outputs)) else None
+  }
+
+  private def attrName(a: UnresolvedAttribute): String =
+    a.nameParts.last.toLowerCase(java.util.Locale.ROOT)
+
+  /** A measure merges iff it is count/sum/min/max, non-DISTINCT, with no
+    * FILTER clause (a filtered aggregate's delta would need the filter
+    * re-applied — the delta run does that, so FILTER is actually fine for
+    * the partial, but DISTINCT is not; keep FILTER out conservatively
+    * until a spec pins it).
+    */
+  private def classifyAgg(spark: SparkSession, f: UnresolvedFunction): Option[MvOut] = {
+    val n = fnName(f)
+    if (mergeable.contains(n) && !f.isDistinct && f.filter.isEmpty &&
+        isAggFunction(spark, f))
+      Some(MvMerge(n))
+    else None
+  }
+}

@@ -3193,6 +3193,34 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     snap
   }
 
+  /** Incremental REFRESH, append shape: a select-project-filter view's
+    * delta rows land as ONE append commit — O(|delta|) whatever the
+    * source table's size ([[graft.MvIncremental.MvProjectShape]]). The
+    * recorded source snapshots advance with the commit.
+    */
+  def refreshMaterializedViewAppend(schema: String, name: String,
+                                    delta: DataFrame,
+                                    sources: Map[String, Long]): Snapshot = {
+    val meta = materializedViewMeta(schema, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"$schema.$name is not a materialized view"))
+    val snap = insert(schema, name, delta)
+    writeMvMeta(schema, name, meta._1, sources)
+    snap
+  }
+
+  /** Advance the recorded source snapshots WITHOUT a data commit — the
+    * incremental refresh found the delta empty (sources moved but
+    * appended no rows), so the materialized state is already exact.
+    */
+  def advanceMaterializedViewSources(schema: String, name: String,
+                                     sources: Map[String, Long]): Unit = {
+    val meta = materializedViewMeta(schema, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"$schema.$name is not a materialized view"))
+    writeMvMeta(schema, name, meta._1, sources)
+  }
+
   /** Row count of a snapshot from its manifest entries / footers —
     * metadata-only for manifest-backed snapshots (exact: entries carry
     * commit-time record counts). Only valid for snapshots without

@@ -1029,6 +1029,76 @@ object CatalogDemos {
 
   private[graft] val viewsDemoWarehouse = "/tmp/graft-views-demo-warehouse"
 
+  /** Incremental MV refresh end-to-end ([[graft.MvIncremental]]): a
+    * nation-backed table gets HALF its rows, two materialized views
+    * (a GROUP BY aggregate and a filtered projection) materialize over
+    * that half, the other half lands as an append commit, and REFRESH
+    * catches both views up WITHOUT re-scanning the table — the aggregate
+    * by merging delta partials (`incremental-merge`), the projection as
+    * one append commit (`incremental-append`, pinned via the MV's own
+    * `$snapshots` operation column). The oracle recomputes the aggregate
+    * over the FULL nation — incremental must land on exactly that — and
+    * carries the refresh modes as literal columns, so a silent fall-back
+    * to full recompute turns the row red.
+    */
+  def mvIncrementalDemo(s: SparkSession, d: String): DataFrame = {
+    val wh = new org.apache.hadoop.fs.Path(mvIncDemoWarehouse)
+    val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) fs.delete(wh, true)
+    val engine = new GraftEngine(s, mvIncDemoWarehouse)
+    engine.catalog.createSchema("demo")
+    val nation = graft.Tables.nation(s, d)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    engine.catalog.createTable("demo", "nation_inc", nation.schema)
+    engine.catalog.insert("demo", "nation_inc",
+      nation.filter(col("n_nationkey") < 15))
+    engine.executeNonQuery(graft.params.SqlStatement(
+      """CREATE MATERIALIZED VIEW demo.region_stats AS
+        |SELECT n_regionkey, count(*) AS n, sum(n_nationkey) AS key_sum,
+        |       max(n_name) AS top_name
+        |FROM demo.nation_inc GROUP BY n_regionkey""".stripMargin))
+    engine.executeNonQuery(graft.params.SqlStatement(
+      """CREATE MATERIALIZED VIEW demo.low_keys AS
+        |SELECT n_nationkey, n_name FROM demo.nation_inc WHERE n_regionkey = 1""".stripMargin))
+    engine.catalog.insert("demo", "nation_inc",
+      nation.filter(col("n_nationkey") >= 15))
+    engine.executeNonQuery(graft.params.SqlStatement(
+      "REFRESH MATERIALIZED VIEW demo.region_stats"))
+    val aggMode = engine.lastMvRefreshMode
+    engine.executeNonQuery(graft.params.SqlStatement(
+      "REFRESH MATERIALIZED VIEW demo.low_keys"))
+    val spjMode = engine.lastMvRefreshMode
+    val lowOp = engine.query(graft.params.SqlStatement(
+      """SELECT operation FROM demo."low_keys$snapshots" WHERE snapshot_id = 2"""))
+      .collect()(0).getString(0)
+    val lowRows = engine.query(graft.params.SqlStatement(
+      "SELECT count(*) AS c FROM demo.low_keys")).collect()(0).getLong(0)
+    engine.query(graft.params.SqlStatement(
+      "SELECT n_regionkey, n, key_sum, top_name FROM demo.region_stats"))
+      .withColumn("agg_mode", lit(aggMode))
+      .withColumn("spj_mode", lit(spjMode))
+      .withColumn("low_op", lit(lowOp))
+      .withColumn("low_rows", lit(lowRows))
+      .orderBy(col("n_regionkey"))
+  }
+
+  private[graft] val mvIncDemoWarehouse = "/tmp/graft-mv-inc-demo-warehouse"
+
+  /** DuckDB oracle for [[mvIncrementalDemo]]: the aggregate recomputed
+    * over the WHOLE nation (what the merge must reconstruct), the two
+    * refresh strategies and the projection MV's append operation as
+    * literals, the projection row count over the full table.
+    */
+  val mvIncrementalDemoSql: String =
+    """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+      |       max(n_name) AS top_name,
+      |       'incremental-merge' AS agg_mode,
+      |       'incremental-append' AS spj_mode,
+      |       'append' AS low_op,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM nation WHERE n_regionkey = 1) AS low_rows
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
   /** DuckDB oracle for [[viewsDemo]]: the stacked-view expansion replayed
     * as nested subqueries over nation; SHOW TABLES counts the table plus
     * two views (3), DESCRIBE the view's two columns.

@@ -1,0 +1,174 @@
+package graft
+
+import graft.params.SqlStatement
+import org.apache.spark.sql.DataFrame
+
+/** Incremental REFRESH MATERIALIZED VIEW: when every source commit since
+  * the last refresh is append-only and the definition is a mergeable
+  * shape, the refresh replays the definition over ONLY the appended rows
+  * ([[SnapshotCatalog.appendsBetween]]) — a select-project-filter view
+  * lands the delta as one APPEND commit, an aggregate view re-aggregates
+  * `materialized ∪ delta-partial`; everything else falls back to the full
+  * recompute transparently (same SQL surface either way). Each case also
+  * pins the ground truth: post-refresh MV state equals the definition
+  * recomputed from scratch.
+  */
+class MvIncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshEngine(name: String): GraftEngine = {
+    val e = new GraftEngine(spark, tmpDir(name))
+    e.executeNonQuery(SqlStatement(
+      "CREATE TABLE demo.src (id bigint, grp varchar, v bigint)"))
+    e.executeNonQuery(SqlStatement(
+      "INSERT INTO demo.src VALUES (1, 'a', 10), (2, 'a', 20), (3, 'b', 30)"))
+    e
+  }
+
+  private def rows(e: GraftEngine, sql: String): Seq[Seq[Any]] =
+    e.query(SqlStatement(sql)).collect().toSeq.map(_.toSeq)
+
+  /** MV content must equal the definition recomputed over the CURRENT
+    * source — the invariant every incremental strategy must preserve.
+    */
+  private def assertMatchesRecompute(e: GraftEngine, mv: String,
+                                     defSql: String, orderCol: String): Unit = {
+    val got = rows(e, s"SELECT * FROM demo.$mv ORDER BY $orderCol")
+    val want = e.query(SqlStatement(defSql))
+      .orderBy(orderCol).collect().toSeq.map(_.toSeq)
+    assert(got === want)
+  }
+
+  test("aggregate MV merges partials: count/sum/min/max, existing + new groups") {
+    val e = freshEngine("mvi-agg")
+    val defSql = """SELECT grp, count(*) AS n, sum(v) AS total,
+                   |       min(v) AS lo, max(v) AS hi
+                   |FROM demo.src GROUP BY grp""".stripMargin
+    e.executeNonQuery(SqlStatement(s"CREATE MATERIALIZED VIEW demo.mv AS $defSql"))
+    // two append commits between refreshes: grow group a, add group c
+    e.executeNonQuery(SqlStatement("INSERT INTO demo.src VALUES (4, 'a', 5)"))
+    e.executeNonQuery(SqlStatement("INSERT INTO demo.src VALUES (5, 'c', 50), (6, 'c', 7)"))
+    e.executeNonQuery(SqlStatement("REFRESH MATERIALIZED VIEW demo.mv"))
+    assert(e.lastMvRefreshMode === "incremental-merge")
+    assert(rows(e, "SELECT grp, n, total, lo, hi FROM demo.mv ORDER BY grp") ===
+      Seq(Seq("a", 3L, 35L, 5L, 20L), Seq("b", 1L, 30L, 30L, 30L),
+          Seq("c", 2L, 57L, 7L, 50L)))
+    assertMatchesRecompute(e, "mv", defSql, "grp")
+    assert(e.catalog.staleSources("demo", "mv").isEmpty)
+  }
+
+  test("select-project-filter MV refreshes as ONE append commit of the delta") {
+    val e = freshEngine("mvi-spj")
+    val defSql = "SELECT id, grp, v * 2 AS v2 FROM demo.src WHERE v > 5"
+    e.executeNonQuery(SqlStatement(s"CREATE MATERIALIZED VIEW demo.mvp AS $defSql"))
+    e.executeNonQuery(SqlStatement(
+      "INSERT INTO demo.src VALUES (4, 'c', 40), (5, 'c', 1)")) // 5 filtered out
+    val refreshed = e.executeNonQuery(SqlStatement("REFRESH MATERIALIZED VIEW demo.mvp"))
+    assert(e.lastMvRefreshMode === "incremental-append")
+    assert(refreshed === 4L) // 3 original + 1 surviving delta row
+    assertMatchesRecompute(e, "mvp", defSql, "id")
+    // observable in history: the refresh is an append, not a replace
+    val ops = e.query(SqlStatement(
+      """SELECT operation FROM demo."mvp$snapshots" ORDER BY snapshot_id"""))
+      .as[String].collect().toSeq
+    assert(ops === Seq("append", "append"))
+  }
+
+  test("global aggregate (no GROUP BY) merges; second refresh is a noop") {
+    val e = freshEngine("mvi-global")
+    val defSql = "SELECT count(*) AS n, sum(v) AS total, max(v) AS hi FROM demo.src"
+    e.executeNonQuery(SqlStatement(s"CREATE MATERIALIZED VIEW demo.mvg AS $defSql"))
+    e.executeNonQuery(SqlStatement("INSERT INTO demo.src VALUES (4, 'b', 99)"))
+    e.executeNonQuery(SqlStatement("REFRESH MATERIALIZED VIEW demo.mvg"))
+    assert(e.lastMvRefreshMode === "incremental-merge")
+    assert(rows(e, "SELECT n, total, hi FROM demo.mvg") === Seq(Seq(4L, 159L, 99L)))
+    // fresh MV: refresh commits nothing, reports the current row count
+    val before = e.catalog.snapshots("demo", "mvg").size
+    assert(e.executeNonQuery(SqlStatement("REFRESH MATERIALIZED VIEW demo.mvg")) === 1L)
+    assert(e.lastMvRefreshMode === "noop")
+    assert(e.catalog.snapshots("demo", "mvg").size === before)
+  }
+
+  test("all-keys aggregate (GROUP BY with no measures) merges as DISTINCT") {
+    val e = freshEngine("mvi-keys")
+    e.executeNonQuery(SqlStatement(
+      "CREATE MATERIALIZED VIEW demo.mvd AS SELECT grp FROM demo.src GROUP BY grp"))
+    e.executeNonQuery(SqlStatement(
+      "INSERT INTO demo.src VALUES (4, 'a', 1), (5, 'z', 2)"))
+    e.executeNonQuery(SqlStatement("REFRESH MATERIALIZED VIEW demo.mvd"))
+    assert(e.lastMvRefreshMode === "incremental-merge")
+    assert(rows(e, "SELECT grp FROM demo.mvd ORDER BY grp") ===
+      Seq(Seq("a"), Seq("b"), Seq("z")))
+  }
+
+  test("GROUP BY ordinal classifies; delta replay honors the WHERE filter") {
+    val e = freshEngine("mvi-ordinal")
+    val defSql =
+      "SELECT grp, sum(v) AS total FROM demo.src WHERE v < 25 GROUP BY 1"
+    e.executeNonQuery(SqlStatement(s"CREATE MATERIALIZED VIEW demo.mvo AS $defSql"))
+    e.executeNonQuery(SqlStatement(
+      "INSERT INTO demo.src VALUES (4, 'a', 2), (5, 'a', 1000)")) // 1000 filtered
+    e.executeNonQuery(SqlStatement("REFRESH MATERIALIZED VIEW demo.mvo"))
+    assert(e.lastMvRefreshMode === "incremental-merge")
+    assert(rows(e, "SELECT grp, total FROM demo.mvo ORDER BY grp") ===
+      Seq(Seq("a", 32L)))
+    assertMatchesRecompute(e, "mvo", defSql, "grp")
+  }
+
+  test("non-append source commits fall back to full recompute — still exact") {
+    val e = freshEngine("mvi-fallback-dml")
+    val defSql = "SELECT grp, count(*) AS n FROM demo.src GROUP BY grp"
+    e.executeNonQuery(SqlStatement(s"CREATE MATERIALIZED VIEW demo.mvf AS $defSql"))
+    e.executeNonQuery(SqlStatement("INSERT INTO demo.src VALUES (4, 'b', 40)"))
+    e.executeNonQuery(SqlStatement("DELETE FROM demo.src WHERE id = 1")) // rewrite
+    e.executeNonQuery(SqlStatement("REFRESH MATERIALIZED VIEW demo.mvf"))
+    assert(e.lastMvRefreshMode === "full")
+    assert(rows(e, "SELECT grp, n FROM demo.mvf ORDER BY grp") ===
+      Seq(Seq("a", 1L), Seq("b", 2L)))
+  }
+
+  test("ineligible definitions recompute: join, avg, DISTINCT, self-join, window") {
+    val e = freshEngine("mvi-ineligible")
+    e.executeNonQuery(SqlStatement("CREATE TABLE demo.dim (grp varchar, label varchar)"))
+    e.executeNonQuery(SqlStatement("INSERT INTO demo.dim VALUES ('a', 'alpha'), ('b', 'beta')"))
+    val defs = Seq(
+      "j" -> """SELECT d.label, count(*) AS n FROM demo.src s
+               |JOIN demo.dim d ON s.grp = d.grp GROUP BY d.label""".stripMargin,
+      "avg" -> "SELECT grp, avg(v) AS m FROM demo.src GROUP BY grp",
+      "dist" -> "SELECT grp, count(DISTINCT v) AS n FROM demo.src GROUP BY grp",
+      "self" -> """SELECT a.grp, count(*) AS n FROM demo.src a
+                  |JOIN demo.src b ON a.id = b.id GROUP BY a.grp""".stripMargin,
+      "win" -> """SELECT id, sum(v) OVER (PARTITION BY grp ORDER BY id) AS r
+                 |FROM demo.src""".stripMargin)
+    for ((name, d) <- defs)
+      e.executeNonQuery(SqlStatement(s"CREATE MATERIALIZED VIEW demo.mv_$name AS $d"))
+    e.executeNonQuery(SqlStatement("INSERT INTO demo.src VALUES (7, 'a', 70)"))
+    for ((name, d) <- defs) {
+      e.executeNonQuery(SqlStatement(s"REFRESH MATERIALIZED VIEW demo.mv_$name"))
+      assert(e.lastMvRefreshMode === "full", s"mv_$name should recompute")
+      val got = e.query(SqlStatement(s"SELECT * FROM demo.mv_$name")).collect().toSet
+      val want = e.query(SqlStatement(d)).collect().toSet
+      assert(got === want, s"mv_$name content")
+    }
+  }
+
+  test("classify: shapes at the boundary") {
+    val e = freshEngine("mvi-classify")
+    def c(sql: String) = MvIncremental.classify(e.spark, sql, "demo", "src", "default")
+    assert(c("SELECT * FROM demo.src") === Some(MvIncremental.MvProjectShape))
+    assert(c("SELECT id, upper(grp) AS g FROM demo.src WHERE v > 0") ===
+      Some(MvIncremental.MvProjectShape))
+    assert(c("SELECT grp, count(*) AS n FROM demo.src GROUP BY grp") ===
+      Some(MvIncremental.MvAggShape(Seq(MvIncremental.MvKey, MvIncremental.MvMerge("count")))))
+    // a GROUP-BY-less aggregate parses as Project — must NOT read as row-wise
+    assert(c("SELECT count(*) AS n FROM demo.src") ===
+      Some(MvIncremental.MvAggShape(Seq(MvIncremental.MvMerge("count")))))
+    assert(c("SELECT DISTINCT grp FROM demo.src") === None) // Distinct node
+    assert(c("SELECT grp FROM demo.src WHERE rand() < 2") === None) // non-det
+    assert(c("SELECT id FROM demo.src WHERE v > (SELECT min(v) FROM demo.src)") === None)
+    assert(c("SELECT grp, count(*) AS n FROM demo.other GROUP BY grp") === None)
+    // grouping key absent from the output: groups not reconstructible
+    assert(c("SELECT count(*) AS n FROM demo.src GROUP BY grp") === None)
+    assert(c("WITH x AS (SELECT * FROM demo.src) SELECT grp FROM x") === None)
+  }
+}
