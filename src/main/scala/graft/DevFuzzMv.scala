@@ -1,0 +1,170 @@
+package graft
+
+import graft.params.SqlStatement
+import org.apache.spark.sql.SparkSession
+
+/** Fuzz dialect 8 — incremental MV refresh: randomized scenarios of one
+  * source table under a seeded op stream (appends, CoW UPDATE/DELETE,
+  * expire_snapshots, rollback_to_snapshot) with THREE materialized views
+  * over it — an aggregate shape, a select-project-filter shape, and a
+  * deliberately ineligible shape — refreshed at random points.
+  * Self-verifying against a driver-side model on every refresh:
+  *
+  *  - CONTENT (the invariant that matters): post-refresh MV state equals
+  *    the definition recomputed from scratch over the current source —
+  *    whatever strategy ran;
+  *  - STRATEGY soundness: an ineligible definition must always report
+  *    `full`; an eligible one after ONLY row-adding appends must report
+  *    its incremental mode (`incremental-merge` / `incremental-append` —
+  *    a silent fall-back to recompute is a perf regression this pins);
+  *    after any non-append history (matched UPDATE/DELETE, rollback) or
+  *    an expired recorded snapshot it must NOT claim incremental; with
+  *    no source movement it must report `noop`.
+  *
+  * Usage: runMain graft.DevFuzzMv [n] [seed]
+  */
+object DevFuzzMv {
+  def main(args: Array[String]): Unit = {
+    val n = args.lift(0).map(_.toInt).getOrElse(10)
+    val seed = args.lift(1).map(_.toLong).getOrElse(29L)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val rnd = new scala.util.Random(seed)
+    def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
+
+    val aggDefs = IndexedSeq(
+      """SELECT grp, count(*) AS n, sum(v) AS sv FROM demo.src GROUP BY grp""",
+      """SELECT grp, min(v) AS mn, max(v) AS mx, count(v) AS cv
+        |FROM demo.src GROUP BY 1""".stripMargin,
+      """SELECT grp AS g, sum(id) AS si, count(*) AS n
+        |FROM demo.src WHERE v >= 10 GROUP BY grp""".stripMargin,
+      """SELECT count(*) AS n, sum(v) AS sv, max(id) AS mi FROM demo.src""")
+    val spjDefs = IndexedSeq(
+      """SELECT id, grp, v FROM demo.src WHERE v % 2 = 0""",
+      """SELECT id, upper(grp) AS gu, v * 2 AS v2 FROM demo.src""",
+      """SELECT * FROM demo.src WHERE grp <> 'c'""")
+    val badDefs = IndexedSeq( // must never run incrementally
+      """SELECT grp, avg(v) AS a FROM demo.src GROUP BY grp""",
+      """SELECT DISTINCT grp FROM demo.src""",
+      """SELECT grp, count(DISTINCT v) AS dv FROM demo.src GROUP BY grp""",
+      """SELECT a.id AS id, b.v AS v FROM demo.src a
+        |JOIN demo.src b ON a.id = b.id""".stripMargin)
+
+    def preds(idHi: Long): IndexedSeq[String] = IndexedSeq(
+      s"grp = '${('a' + rnd.nextInt(5)).toChar}'",
+      s"v % ${2 + rnd.nextInt(4)} = 0",
+      s"id > ${rnd.nextLong(idHi max 1L)}")
+
+    (0 until n).foreach { i =>
+      val wh = java.nio.file.Files.createTempDirectory(f"graft-mvfuzz-$i%03d").toString
+      val e = new GraftEngine(spark, wh)
+      e.executeNonQuery(SqlStatement(
+        "CREATE TABLE demo.src (id bigint, grp varchar, v bigint)"))
+      var nextId = 0L
+      def insert(k: Int): Unit = {
+        val vals = (0 until k).map { _ =>
+          nextId += 1
+          s"($nextId, '${('a' + rnd.nextInt(5)).toChar}', ${rnd.nextInt(100)})"
+        }.mkString(", ")
+        e.executeNonQuery(SqlStatement(s"INSERT INTO demo.src VALUES $vals"))
+      }
+      insert(3 + rnd.nextInt(4))
+
+      // (name, defSql, expected incremental mode or "full" for ineligible)
+      val mvs = Seq(
+        ("mv_agg", pick(aggDefs), "incremental-merge"),
+        ("mv_spj", pick(spjDefs), "incremental-append"),
+        ("mv_bad", pick(badDefs), "full"))
+      mvs.foreach { case (name, defSql, _) =>
+        e.executeNonQuery(SqlStatement(
+          s"CREATE MATERIALIZED VIEW demo.$name AS $defSql"))
+      }
+
+      // model state since the last refresh
+      var inserted = 0L        // rows appended
+      var nonAppend = false    // matched UPDATE/DELETE
+      // a rollback UNDOES history — whether the surviving range since the
+      // recorded snapshot is append-only depends on what it truncated, so
+      // after one the model checks content only, not strategy
+      var sloppy = false
+
+      def countWhere(p: String): Long =
+        e.query(SqlStatement(s"SELECT count(*) AS c FROM demo.src WHERE $p"))
+          .collect()(0).getLong(0)
+
+      def refreshAll(tag: String): Unit = {
+        mvs.foreach { case (name, defSql, incMode) =>
+          val recorded = e.catalog.materializedViewMeta("demo", name).get._2
+          val recordedIntact = recorded.get("demo.src").forall { id =>
+            id == 0L || e.catalog.snapshots("demo", "src").exists(_.snapshotId == id)
+          }
+          e.executeNonQuery(SqlStatement(s"REFRESH MATERIALIZED VIEW demo.$name"))
+          val mode = e.lastMvRefreshMode
+          val expect: Set[String] =
+            if (incMode == "full") Set("full")
+            else if (sloppy) Set("full", "noop", incMode)
+            else if (nonAppend || !recordedIntact) Set("full", "noop")
+            else if (inserted > 0) Set(incMode)
+            else Set("noop")
+          require(expect.contains(mode),
+            s"scenario_$i $tag demo.$name: mode '$mode' not in $expect " +
+              s"(inserted=$inserted nonAppend=$nonAppend " +
+              s"sloppy=$sloppy intact=$recordedIntact)")
+          val got = e.query(SqlStatement(s"SELECT * FROM demo.$name"))
+            .collect().map(_.toString).sorted.toSeq
+          val want = e.query(SqlStatement(defSql))
+            .collect().map(_.toString).sorted.toSeq
+          require(got == want,
+            s"scenario_$i $tag demo.$name diverged from recompute:\n" +
+              s"  mv      = $got\n  rebuild = $want")
+        }
+        inserted = 0L; nonAppend = false; sloppy = false
+      }
+
+      val nOps = 10 + rnd.nextInt(6)
+      (0 until nOps).foreach { op =>
+        rnd.nextInt(9) match {
+          case 0 | 1 | 2 | 3 =>
+            val k = 1 + rnd.nextInt(4); insert(k); inserted += k
+          case 4 =>
+            val p = pick(preds(nextId))
+            val matched = countWhere(p)
+            e.executeNonQuery(SqlStatement(
+              s"UPDATE demo.src SET v = v + ${1 + rnd.nextInt(9)} WHERE $p"))
+            if (matched > 0) nonAppend = true
+          case 5 =>
+            val p = pick(preds(nextId))
+            val matched = countWhere(p)
+            e.executeNonQuery(SqlStatement(s"DELETE FROM demo.src WHERE $p"))
+            if (matched > 0) nonAppend = true
+          case 6 => refreshAll(s"op_$op")
+          case 7 =>
+            e.executeNonQuery(SqlStatement(
+              "ALTER TABLE demo.src EXECUTE expire_snapshots(" +
+                "retention_threshold => '0s')"))
+          case 8 =>
+            val snaps = e.catalog.snapshots("demo", "src")
+            if (snaps.size >= 2) {
+              val target = snaps(rnd.nextInt(snaps.size - 1)) // never head
+              e.executeNonQuery(SqlStatement(
+                "ALTER TABLE demo.src EXECUTE rollback_to_snapshot(" +
+                  s"snapshot_id => ${target.snapshotId})"))
+              sloppy = true
+            }
+        }
+      }
+      refreshAll("final")
+      refreshAll("idempotent") // nothing moved: every eligible MV noops
+
+      CacheHygiene.sweep(spark)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+      println(s"[mvfuzz] scenario_$i: $nOps ops OK")
+    }
+    println(s"[mvfuzz] $n/$n incremental-MV scenarios OK (seed=$seed)")
+  }
+}
