@@ -3,10 +3,11 @@ package graft
 import graft.params.SqlStatement
 import org.apache.spark.sql.SparkSession
 
-/** Fuzz dialect 8 — incremental MV refresh: randomized scenarios of one
-  * source table under a seeded op stream (appends, CoW UPDATE/DELETE,
-  * expire_snapshots, rollback_to_snapshot) with THREE materialized views
-  * over it — an aggregate shape, a select-project-filter shape, and a
+/** Fuzz dialect 8 — incremental MV refresh: randomized scenarios of a
+  * fact table plus a dimension under a seeded op stream (appends on
+  * both, CoW UPDATE/DELETE, expire_snapshots, rollback_to_snapshot)
+  * with FOUR materialized views — an aggregate shape, a
+  * select-project-filter shape, a two-source fact⋈dim join shape, and a
   * deliberately ineligible shape — refreshed at random points.
   * Self-verifying against a driver-side model on every refresh:
   *
@@ -48,6 +49,15 @@ object DevFuzzMv {
       """SELECT id, grp, v FROM demo.src WHERE v % 2 = 0""",
       """SELECT id, upper(grp) AS gu, v * 2 AS v2 FROM demo.src""",
       """SELECT * FROM demo.src WHERE grp <> 'c'""")
+    val joinDefs = IndexedSeq( // src ⋈ dim: the two-source shape
+      ("""SELECT d.g AS g, count(*) AS n, sum(s.v) AS sv
+         |FROM demo.src s JOIN demo.dim d ON s.grp = d.g
+         |GROUP BY d.g""".stripMargin, "incremental-merge"),
+      ("""SELECT s.id, s.v, d.w FROM demo.src s
+         |JOIN demo.dim d ON s.grp = d.g""".stripMargin, "incremental-append"),
+      ("""SELECT s.id, d.w FROM demo.src s
+         |JOIN demo.dim d ON s.grp = d.g
+         |WHERE s.v % 2 = 0""".stripMargin, "incremental-append"))
     val badDefs = IndexedSeq( // must never run incrementally
       """SELECT grp, avg(v) AS a FROM demo.src GROUP BY grp""",
       """SELECT DISTINCT grp FROM demo.src""",
@@ -65,6 +75,8 @@ object DevFuzzMv {
       val e = new GraftEngine(spark, wh)
       e.executeNonQuery(SqlStatement(
         "CREATE TABLE demo.src (id bigint, grp varchar, v bigint)"))
+      e.executeNonQuery(SqlStatement(
+        "CREATE TABLE demo.dim (g varchar, w bigint)"))
       var nextId = 0L
       def insert(k: Int): Unit = {
         val vals = (0 until k).map { _ =>
@@ -73,48 +85,60 @@ object DevFuzzMv {
         }.mkString(", ")
         e.executeNonQuery(SqlStatement(s"INSERT INTO demo.src VALUES $vals"))
       }
+      def insertDim(k: Int): Unit = {
+        val vals = (0 until k).map { _ =>
+          s"('${('a' + rnd.nextInt(5)).toChar}', ${rnd.nextInt(50)})"
+        }.mkString(", ")
+        e.executeNonQuery(SqlStatement(s"INSERT INTO demo.dim VALUES $vals"))
+      }
       insert(3 + rnd.nextInt(4))
+      insertDim(2 + rnd.nextInt(2))
 
-      // (name, defSql, expected incremental mode or "full" for ineligible)
+      val (jDef, jMode) = pick(joinDefs)
+      // (name, defSql, expected incremental mode or "full", source tables)
       val mvs = Seq(
-        ("mv_agg", pick(aggDefs), "incremental-merge"),
-        ("mv_spj", pick(spjDefs), "incremental-append"),
-        ("mv_bad", pick(badDefs), "full"))
-      mvs.foreach { case (name, defSql, _) =>
+        ("mv_agg", pick(aggDefs), "incremental-merge", Seq("src")),
+        ("mv_spj", pick(spjDefs), "incremental-append", Seq("src")),
+        ("mv_join", jDef, jMode, Seq("src", "dim")),
+        ("mv_bad", pick(badDefs), "full", Seq("src")))
+      mvs.foreach { case (name, defSql, _, _) =>
         e.executeNonQuery(SqlStatement(
           s"CREATE MATERIALIZED VIEW demo.$name AS $defSql"))
       }
 
-      // model state since the last refresh
-      var inserted = 0L        // rows appended
-      var nonAppend = false    // matched UPDATE/DELETE
+      // model state since the last refresh, per source table
+      val inserted = scala.collection.mutable.Map("src" -> 0L, "dim" -> 0L)
+      val nonAppend = scala.collection.mutable.Map("src" -> false, "dim" -> false)
       // a rollback UNDOES history — whether the surviving range since the
       // recorded snapshot is append-only depends on what it truncated, so
       // after one the model checks content only, not strategy
       var sloppy = false
 
-      def countWhere(p: String): Long =
-        e.query(SqlStatement(s"SELECT count(*) AS c FROM demo.src WHERE $p"))
+      def countWhere(table: String, p: String): Long =
+        e.query(SqlStatement(s"SELECT count(*) AS c FROM demo.$table WHERE $p"))
           .collect()(0).getLong(0)
 
       def refreshAll(tag: String): Unit = {
-        mvs.foreach { case (name, defSql, incMode) =>
+        mvs.foreach { case (name, defSql, incMode, tables) =>
           val recorded = e.catalog.materializedViewMeta("demo", name).get._2
-          val recordedIntact = recorded.get("demo.src").forall { id =>
-            id == 0L || e.catalog.snapshots("demo", "src").exists(_.snapshotId == id)
+          val recordedIntact = tables.forall { t =>
+            recorded.get(s"demo.$t").forall { id =>
+              id == 0L || e.catalog.snapshots("demo", t).exists(_.snapshotId == id)
+            }
           }
           e.executeNonQuery(SqlStatement(s"REFRESH MATERIALIZED VIEW demo.$name"))
           val mode = e.lastMvRefreshMode
+          val moved = tables.map(inserted(_)).sum
+          val dirty = tables.exists(nonAppend(_))
           val expect: Set[String] =
             if (incMode == "full") Set("full")
             else if (sloppy) Set("full", "noop", incMode)
-            else if (nonAppend || !recordedIntact) Set("full", "noop")
-            else if (inserted > 0) Set(incMode)
+            else if (dirty || !recordedIntact) Set("full", "noop")
+            else if (moved > 0) Set(incMode)
             else Set("noop")
           require(expect.contains(mode),
             s"scenario_$i $tag demo.$name: mode '$mode' not in $expect " +
-              s"(inserted=$inserted nonAppend=$nonAppend " +
-              s"sloppy=$sloppy intact=$recordedIntact)")
+              s"(moved=$moved dirty=$dirty sloppy=$sloppy intact=$recordedIntact)")
           val got = e.query(SqlStatement(s"SELECT * FROM demo.$name"))
             .collect().map(_.toString).sorted.toSeq
           val want = e.query(SqlStatement(defSql))
@@ -123,25 +147,27 @@ object DevFuzzMv {
             s"scenario_$i $tag demo.$name diverged from recompute:\n" +
               s"  mv      = $got\n  rebuild = $want")
         }
-        inserted = 0L; nonAppend = false; sloppy = false
+        inserted.keys.foreach(inserted(_) = 0L)
+        nonAppend.keys.foreach(nonAppend(_) = false)
+        sloppy = false
       }
 
       val nOps = 10 + rnd.nextInt(6)
       (0 until nOps).foreach { op =>
-        rnd.nextInt(9) match {
+        rnd.nextInt(11) match {
           case 0 | 1 | 2 | 3 =>
-            val k = 1 + rnd.nextInt(4); insert(k); inserted += k
+            val k = 1 + rnd.nextInt(4); insert(k); inserted("src") += k
           case 4 =>
             val p = pick(preds(nextId))
-            val matched = countWhere(p)
+            val matched = countWhere("src", p)
             e.executeNonQuery(SqlStatement(
               s"UPDATE demo.src SET v = v + ${1 + rnd.nextInt(9)} WHERE $p"))
-            if (matched > 0) nonAppend = true
+            if (matched > 0) nonAppend("src") = true
           case 5 =>
             val p = pick(preds(nextId))
-            val matched = countWhere(p)
+            val matched = countWhere("src", p)
             e.executeNonQuery(SqlStatement(s"DELETE FROM demo.src WHERE $p"))
-            if (matched > 0) nonAppend = true
+            if (matched > 0) nonAppend("src") = true
           case 6 => refreshAll(s"op_$op")
           case 7 =>
             e.executeNonQuery(SqlStatement(
@@ -156,6 +182,14 @@ object DevFuzzMv {
                   s"snapshot_id => ${target.snapshotId})"))
               sloppy = true
             }
+          case 9 =>
+            val k = 1 + rnd.nextInt(2); insertDim(k); inserted("dim") += k
+          case 10 =>
+            val g = s"'${('a' + rnd.nextInt(5)).toChar}'"
+            val matched = countWhere("dim", s"g = $g")
+            e.executeNonQuery(SqlStatement(
+              s"UPDATE demo.dim SET w = w + 1 WHERE g = $g"))
+            if (matched > 0) nonAppend("dim") = true
         }
       }
       refreshAll("final")

@@ -1,0 +1,108 @@
+package graft
+
+import graft.params.SqlStatement
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only cost probe for incremental MV refresh: materializes an
+  * aggregate MV and a fact⋈dim join MV over a lineitem-sized table,
+  * appends a ~0.1% delta, and times REFRESH on the incremental path vs
+  * the full-recompute path (forced by a 1-row DELETE on the source —
+  * same definition, same state, the only difference is the strategy).
+  * The incremental number should track the DELTA size, the full number
+  * the TABLE size; at 100 TB that ratio is the whole feature.
+  *
+  * `copies` unions N perturbed copies of lineitem into the base table —
+  * the incremental number should stay FLAT across copies while the full
+  * number grows linearly (the crossover the feature exists for; at sf0.1
+  * ×1 both are fixed-rent-bound and full can even win).
+  *
+  * Usage: runMain graft.DevMvBench <sfDir> [copies]
+  */
+object DevMvBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val copies = args.lift(1).map(_.toInt).getOrElse(1)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions.col
+
+    val wh = java.nio.file.Files.createTempDirectory("graft-mvbench").toString
+    val e = new GraftEngine(spark, wh)
+    e.catalog.createSchema("demo")
+
+    val li = graft.Tables.lineitem(spark, sfDir).select(
+      col("l_orderkey"), col("l_suppkey"), col("l_quantity").cast("double"),
+      col("l_extendedprice").cast("double"), col("l_returnflag"))
+    val one = li.filter(col("l_orderkey") % 1000 > 1)
+    val base = (1 until copies).foldLeft(one) { (acc, k) =>
+      acc.union(one.withColumn("l_orderkey", col("l_orderkey") + k * 10000000L))
+    }
+    val delta1 = li.filter(col("l_orderkey") % 1000 === 0)
+    val delta2 = li.filter(col("l_orderkey") % 1000 === 1)
+    e.catalog.createTable("demo", "li", li.schema)
+    e.catalog.insert("demo", "li", base)
+    val sup = graft.Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    e.catalog.createTable("demo", "sup", sup.schema)
+    e.catalog.insert("demo", "sup", sup)
+    val nBase = e.catalog.snapshots("demo", "li").last
+    val baseRows = e.catalog.snapshotRowCount("demo", "li", nBase)
+
+    e.executeNonQuery(SqlStatement(
+      """CREATE MATERIALIZED VIEW demo.mv_agg AS
+        |SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sq,
+        |       max(l_extendedprice) AS mp
+        |FROM demo.li GROUP BY l_returnflag""".stripMargin))
+    e.executeNonQuery(SqlStatement(
+      """CREATE MATERIALIZED VIEW demo.mv_join AS
+        |SELECT s.s_nationkey AS nk, count(*) AS n, sum(l.l_quantity) AS sq
+        |FROM demo.li l JOIN demo.sup s ON l.l_suppkey = s.s_suppkey
+        |GROUP BY s.s_nationkey""".stripMargin))
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def refresh(mv: String): (Double, String) = {
+      val t = time(e.executeNonQuery(SqlStatement(
+        s"REFRESH MATERIALIZED VIEW demo.$mv")))
+      (t, e.lastMvRefreshMode)
+    }
+
+    // round 1: cold — first catalog touch after the append pays the
+    // one-time O(table files) manifest parse (shared caches thereafter)
+    e.catalog.insert("demo", "li", delta1)
+    val deltaRows = delta1.count()
+    val cold = Seq("mv_agg", "mv_join").map { mv =>
+      val (t, m) = refresh(mv)
+      require(m.startsWith("incremental"), s"$mv expected incremental, got $m")
+      mv -> t
+    }
+    // round 2: warm steady state — what a scheduled refresh actually pays
+    e.catalog.insert("demo", "li", delta2)
+    val warm = Seq("mv_agg", "mv_join").map { mv =>
+      val (t, m) = refresh(mv)
+      require(m.startsWith("incremental"), s"$mv expected incremental, got $m")
+      mv -> t
+    }
+    // dirty the source ONCE so the SAME definitions must recompute
+    e.executeNonQuery(SqlStatement(
+      "UPDATE demo.li SET l_quantity = l_quantity + 0 WHERE l_orderkey = 2"))
+    val full = Seq("mv_agg", "mv_join").map { mv =>
+      val (t, m) = refresh(mv)
+      require(m == "full", s"$mv expected full, got $m")
+      mv -> t
+    }
+    println(f"[mvbench] base=$baseRows%d rows, delta=$deltaRows%d rows, copies=$copies%d")
+    cold.indices.foreach { k =>
+      val (mv, tCold) = cold(k)
+      println(f"[mvbench] $mv%-8s inc_cold=$tCold%.2f s  inc_warm=${warm(k)._2}%.2f s  " +
+        f"full=${full(k)._2}%.2f s")
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+  }
+}

@@ -1078,8 +1078,8 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
   private val mvDeltaOverride =
     ThreadLocal.withInitial[Map[(String, String), DataFrame]](() => Map.empty)
 
-  private def withMvDelta[T](key: (String, String), df: DataFrame)(f: => T): T = {
-    mvDeltaOverride.set(Map(key -> df))
+  private def withMvDelta[T](overrides: Map[(String, String), DataFrame])(f: => T): T = {
+    mvDeltaOverride.set(overrides)
     try f finally mvDeltaOverride.remove()
   }
 
@@ -1137,10 +1137,10 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
 
   /** Incremental REFRESH MATERIALIZED VIEW — attempted first, transparent
     * fallback to full recompute (None). Eligible when the definition is
-    * incrementally maintainable ([[MvIncremental.classify]]), the ONE
-    * source's commits since the recorded snapshot are all append-only
+    * incrementally maintainable ([[MvIncremental.classify]]), every
+    * source's commits since its recorded snapshot are all append-only
     * ([[SnapshotCatalog.appendsBetween]] throws otherwise), and the
-    * recorded snapshot still exists (expire may have dropped it).
+    * recorded snapshots still exist (expire may have dropped them).
     *
     * Cost at scale: the delta replay scans ONLY files appended since the
     * last refresh; the merge re-aggregates `materialized ∪ partial` —
@@ -1148,45 +1148,89 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
     * select-project-filter. A 100 TB source with a 10 GB day of appends
     * refreshes for the price of the 10 GB, where the recompute path
     * re-scans the 100 TB.
+    *
+    * Two-source inner-join shape: the new join rows are
+    * `ΔA ⋈ B_new  ∪  A_old ⋈ ΔB` (disjoint by whether the A-row is new),
+    * one definition replay per NON-EMPTY leg. The fact⋈dim steady state —
+    * a huge append-only fact, a dimension that rarely moves — costs one
+    * delta-scan join per refresh (ΔB empty ⇒ the A_old leg never runs);
+    * when the dimension does move, the A_old ⋈ ΔB leg re-scans the fact
+    * once, which is inherent to exact join maintenance (any new dim row
+    * may match arbitrarily old fact rows).
     */
   private def refreshIncremental(schema: String, view: String,
                                  meta: (String, Map[String, Long])): Option[Long] = {
     val (defSql, recorded) = meta
-    if (recorded.size != 1) return None
-    val (srcKey, fromId) = recorded.head
-    val (srcSch, srcTbl) = srcKey.split('.') match {
-      case Array(s, t) => (s, t)
-      case _ => return None
+    if (recorded.isEmpty || recorded.size > 2) return None
+    val srcs: Seq[((String, String), Long)] = recorded.toSeq.map {
+      case (key, fromId) => key.split('.') match {
+        case Array(s, t) => ((s, t), fromId)
+        case _ => return None
+      }
     }
-    if (!catalog.tableExists(srcSch, srcTbl)) return None
-    val shape = MvIncremental.classify(spark, defSql, srcSch, srcTbl,
-      sessionSchema).getOrElse(return None)
-    val head = catalog.snapshots(srcSch, srcTbl)
-      .lastOption.map(_.snapshotId).getOrElse(0L)
+    if (!srcs.forall { case ((s, t), _) => catalog.tableExists(s, t) }) return None
+    val shape = MvIncremental.classify(spark, defSql,
+      srcs.map(_._1).toSet, sessionSchema).getOrElse(return None)
+    val heads = srcs.map { case (st, fromId) =>
+      (st, fromId, catalog.snapshots(st._1, st._2)
+        .lastOption.map(_.snapshotId).getOrElse(0L))
+    }
     def currentCount(): Long =
       catalog.snapshots(schema, view).lastOption
         .map(catalog.snapshotRowCount(schema, view, _)).getOrElse(0L)
-    if (head == fromId) { // already fresh: nothing to commit
-      lastMvRefreshMode = "noop"
+    if (heads.forall { case (_, fromId, head) => head == fromId }) {
+      lastMvRefreshMode = "noop" // already fresh: nothing to commit
       return Some(currentCount())
     }
-    val delta =
-      try catalog.appendsBetween(srcSch, srcTbl, fromId, head)
+    val deltas =
+      try heads.map { case (st, fromId, head) =>
+        // emptiness answered from manifest metadata — zero Spark jobs on
+        // the hot "did anything land" question; a legacy commit without
+        // entries (count unknowable) falls back to a probe of the delta
+        val empty = catalog.appendedRowCountBetween(st._1, st._2, fromId, head) match {
+          case Some(n) => n == 0L
+          case None => catalog.appendsBetween(st._1, st._2, fromId, head).isEmpty
+        }
+        (st, fromId, head, empty)
+      }
       catch {
-        // non-append commits in range, or the recorded snapshot expired —
+        // non-append commits in range, or a recorded snapshot expired —
         // both mean the delta is not reconstructible: recompute
         case _: IllegalStateException => return None
         case _: IllegalArgumentException => return None
       }
-    val newSources = Map(srcKey -> head)
-    if (delta.isEmpty) { // sources advanced but appended no rows
+    val newSources = heads.map { case ((s, t), _, head) => s"$s.$t" -> head }.toMap
+    if (deltas.forall(_._4)) { // sources advanced but appended no rows
       lastMvRefreshMode = "noop"
       catalog.advanceMaterializedViewSources(schema, view, newSources)
       return Some(currentCount())
     }
-    val partial = withMvDelta((srcSch, srcTbl), delta) {
-      query(SqlStatement(defSql))
-    }
+    def deltaOf(st: (String, String), fromId: Long, head: Long): DataFrame =
+      catalog.appendsBetween(st._1, st._2, fromId, head)
+    val partial =
+      try deltas match {
+        case Seq((st, fromId, head, _)) =>
+          withMvDelta(Map(st -> deltaOf(st, fromId, head))) {
+            query(SqlStatement(defSql))
+          }
+        case Seq((stA, fromA, headA, aEmpty), (stB, fromB, headB, bEmpty)) =>
+          val legs = Seq(
+            if (aEmpty) None else Some(withMvDelta(Map(
+              stA -> deltaOf(stA, fromA, headA),
+              stB -> catalog.readVersionConformed(stB._1, stB._2, headB)))(
+              query(SqlStatement(defSql)))),
+            if (bEmpty) None else Some(withMvDelta(Map(
+              stA -> catalog.readVersionConformed(stA._1, stA._2, fromA),
+              stB -> deltaOf(stB, fromB, headB)))(query(SqlStatement(defSql))))
+          ).flatten
+          legs.reduce(_.unionByName(_))
+      }
+      catch {
+        // a replay that no longer analyzes (e.g. the definition uses a
+        // column added after the pinned old state) — recompute is always
+        // sound, so fall back rather than fail the refresh
+        case _: org.apache.spark.sql.AnalysisException => return None
+      }
     val snap = shape match {
       case MvIncremental.MvProjectShape =>
         lastMvRefreshMode = "incremental-append"

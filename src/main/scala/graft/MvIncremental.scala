@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal, SubqueryExpression, UnresolvedWindowExpression, WindowExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, SubqueryAlias}
 
 /** Incremental-maintainability analysis for a materialized view's
   * defining SQL (the Trino REFRESH surface stays `REFRESH MATERIALIZED
@@ -29,11 +30,19 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPl
   *     the delta, then re-aggregate `materialized ∪ delta-partial` by the
   *     key columns — O(|MV| + |delta|), never a source re-scan.
   *
-  * Everything else (joins, DISTINCT, windows, subqueries, avg/percentile,
-  * self-references, CTEs, non-deterministic functions) returns None and
-  * the caller falls back to the full-recompute refresh. The analysis is
-  * deliberately conservative: a miss costs a recompute, a false positive
-  * would corrupt the view.
+  * Either shape may sit over ONE INNER (or cross) join of the TWO
+  * recorded sources instead of a bare table: inner join is monotone
+  * under append-only inserts, and the new join rows decompose exactly as
+  * `ΔA ⋈ B_new  ∪  A_old ⋈ ΔB` (disjoint: first leg has a new A-row,
+  * second an old one) — the engine replays the definition once per
+  * non-empty leg. Outer joins do NOT qualify: a new B-row can retract an
+  * old unmatched-A output row, which no append can express.
+  *
+  * Everything else (outer/semi joins, 3+ tables, DISTINCT, windows,
+  * subqueries, avg/percentile, self-references, CTEs, non-deterministic
+  * functions) returns None and the caller falls back to the
+  * full-recompute refresh. The analysis is deliberately conservative: a
+  * miss costs a recompute, a false positive would corrupt the view.
   */
 private[graft] object MvIncremental {
 
@@ -62,35 +71,39 @@ private[graft] object MvIncremental {
 
   private val mergeable = Set("count", "sum", "min", "max")
 
-  /** Classify `sql` for incremental refresh against the single recorded
-    * source `(srcSchema, srcTable)`. `sessionSchema` resolves bare names
-    * the way the engine's rewrite does. None = not incrementally
-    * maintainable; refresh must recompute.
+  /** Classify `sql` for incremental refresh against the recorded source
+    * set (one table, or two for the join shape). `sessionSchema`
+    * resolves bare names the way the engine's rewrite does. None = not
+    * incrementally maintainable; refresh must recompute.
     */
   def classify(spark: SparkSession, sql: String,
-               srcSchema: String, srcTable: String,
+               sources: Set[(String, String)],
                sessionSchema: String): Option[Shape] = {
     val plan =
       try spark.sessionState.sqlParser.parsePlan(sql)
       catch { case _: Exception => return None }
 
-    // exactly ONE relation reference, and it is the recorded source —
-    // a self-join (sources map still size 1) must NOT run over the delta
+    // each recorded source referenced EXACTLY once — a self-join
+    // (sources map still size 1, two relation nodes) must NOT run over
+    // the delta, and a third table means an unclassified shape
     val rels = plan.collect { case r: UnresolvedRelation => r }
-    if (rels.size != 1) return None
-    val named = rels.head.multipartIdentifier match {
+    if (rels.size != sources.size) return None
+    val named = rels.map(_.multipartIdentifier match {
       case Seq(t) => (sessionSchema, t)
       case Seq(s, t) => (s, t)
       case _ => return None
-    }
-    if (named != ((srcSchema, srcTable))) return None
+    })
+    if (named.toSet != sources || named.distinct.size != named.size) return None
 
     if (!expressionsSafe(spark, plan)) return None
 
+    def fromOk(child: LogicalPlan): Boolean =
+      if (sources.size == 1) sourceOnly(child) else joinOfSources(child)
+
     plan match {
-      case Aggregate(grouping, aggExprs, child, _) if sourceOnly(child) =>
+      case Aggregate(grouping, aggExprs, child, _) if fromOk(child) =>
         classifyAggregate(spark, grouping, aggExprs)
-      case Project(projList, child) if sourceOnly(child) =>
+      case Project(projList, child) if fromOk(child) =>
         // the parser leaves a GROUP-BY-less aggregate (`SELECT count(*)
         // FROM t`) as a Project — the Aggregate node only appears during
         // analysis, so an agg function here means GLOBAL aggregate, and
@@ -112,6 +125,19 @@ private[graft] object MvIncremental {
     case _: UnresolvedRelation => true
     case SubqueryAlias(_, child) => sourceOnly(child)
     case Filter(_, child) => sourceOnly(child)
+    case _ => false
+  }
+
+  /** child is ONE inner (or cross — both monotone) join of two bare
+    * sources, optionally aliased and/or under row-wise Filters. USING /
+    * NATURAL joins parse to a different JoinType and stay excluded; so
+    * does every outer/semi/anti flavor (non-monotone under appends).
+    */
+  private def joinOfSources(plan: LogicalPlan): Boolean = plan match {
+    case j: Join if j.joinType == Inner || j.joinType == Cross =>
+      sourceOnly(j.left) && sourceOnly(j.right)
+    case SubqueryAlias(_, child) => joinOfSources(child)
+    case Filter(_, child) => joinOfSources(child)
     case _ => false
   }
 

@@ -1884,6 +1884,28 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     readSnapshot(schema, table, Some(snap), useSnapshotSchema = true)
   }
 
+  /** [[readVersion]] conformed to the CURRENT declared schema (missing
+    * columns null-filled, types cast) — the incremental-MV join replay
+    * needs the table's OLD state expressed in today's shape, exactly as
+    * [[appendsBetween]] conforms delta rows. snapshotId 0 names the
+    * empty pre-first-commit state (an MV can be created over an empty
+    * source).
+    */
+  def readVersionConformed(schema: String, table: String, snapshotId: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val declared = declaredSchema(schema, table).getOrElse(StructType(Nil))
+    val base =
+      if (snapshotId == 0L)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
+      else readVersion(schema, table, snapshotId)
+    base.select(declared.fields.toIndexedSeq.map { f =>
+      if (base.columns.exists(_.equalsIgnoreCase(f.name)))
+        col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
   private def readSnapshot(schema: String, table: String, snap: Option[Snapshot],
                            useSnapshotSchema: Boolean = false,
                            entriesOverride: Option[Seq[DataFileEntry]] = None): DataFrame =
@@ -3722,6 +3744,48 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
                      fromSnapshotId: Long, toSnapshotId: Long,
                      skipChangeCommits: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
+    val declared = declaredSchema(schema, table).getOrElse(StructType(Nil))
+    val dir = tableDir(schema, table)
+    val parts = appendOnlyCommits(schema, table, fromSnapshotId, toSnapshotId,
+        skipChangeCommits).flatMap { case (cur, added) =>
+      if (added.isEmpty) None
+      else {
+        val entries = manifestEntriesOf(dir, cur).filter(e => added.contains(e.path))
+        if (entries.size == added.size)
+          Some(readSnapshotMeta(schema, table, Some(cur),
+            useSnapshotSchema = true, entriesOverride = Some(entries)))
+        else {
+          // legacy dirs-based snapshot (no manifest entries for the new
+          // files): read them directly with the commit-pinned schema
+          val sch = cur.schemaJson
+            .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+              .asInstanceOf[StructType]).getOrElse(declared)
+          Some(spark.read.schema(sch).parquet(
+            added.toSeq.sorted.map(p => new Path(dir, p).toString): _*))
+        }
+      }
+    }
+    val conformed = parts.map { df =>
+      df.select(declared.fields.toIndexedSeq.map { f =>
+        if (df.columns.exists(_.equalsIgnoreCase(f.name)))
+          col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    }
+    if (conformed.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
+    else conformed.reduce(_.unionByName(_))
+  }
+
+  /** The append-only commit walk shared by [[appendsBetween]] and
+    * [[appendedRowCountBetween]]: per commit in `(from, to]`, the set of
+    * data files it ADDED, after verifying it removed no file and
+    * retracted no rows. A non-append commit throws (or is dropped when
+    * `skipChangeCommits`) — the guard both callers rely on.
+    */
+  private def appendOnlyCommits(schema: String, table: String,
+                                fromSnapshotId: Long, toSnapshotId: Long,
+                                skipChangeCommits: Boolean): Seq[(Snapshot, Set[String])] = {
     require(tableExists(schema, table), s"Table $schema.$table does not exist")
     val commits = readCommits(schema, table)
     val toIdx = commits.indexWhere(_.snapshotId == toSnapshotId)
@@ -3735,9 +3799,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       }
     require(fromIdx <= toIdx,
       s"from snapshot $fromSnapshotId is newer than to snapshot $toSnapshotId")
-    val declared = declaredSchema(schema, table).getOrElse(StructType(Nil))
-    val dir = tableDir(schema, table)
-    val parts = (fromIdx until toIdx).flatMap { i =>
+    (fromIdx until toIdx).flatMap { i =>
       val prev = if (i < 0) None else Some(commits(i))
       val cur = commits(i + 1)
       val prevFiles = prev.map(dataFilePaths(schema, table, _).toSet).getOrElse(Set.empty[String])
@@ -3755,36 +3817,30 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
             s"(operation=${cur.operation.getOrElse("unknown")}); stream with " +
             "skipChangeCommits=true to drop change commits, or " +
             "readChangeFeed=true for row-level changes")
-      } else {
-        val added = curFiles -- prevFiles
-        if (added.isEmpty) None
-        else {
-          val entries = manifestEntriesOf(dir, cur).filter(e => added.contains(e.path))
-          if (entries.size == added.size)
-            Some(readSnapshotMeta(schema, table, Some(cur),
-              useSnapshotSchema = true, entriesOverride = Some(entries)))
-          else {
-            // legacy dirs-based snapshot (no manifest entries for the new
-            // files): read them directly with the commit-pinned schema
-            val sch = cur.schemaJson
-              .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
-                .asInstanceOf[StructType]).getOrElse(declared)
-            Some(spark.read.schema(sch).parquet(
-              added.toSeq.sorted.map(p => new Path(dir, p).toString): _*))
-          }
-        }
+      } else Some((cur, curFiles -- prevFiles))
+    }
+  }
+
+  /** Metadata-only row count of what [[appendsBetween]] would return —
+    * manifest entries carry commit-time record counts, so "did anything
+    * land since snapshot X" costs zero Spark jobs (the incremental-MV
+    * refresh asks this on every trigger). None when a legacy dirs-backed
+    * commit in range has no manifest entries (count unknowable without a
+    * scan); throws exactly like [[appendsBetween]] on non-append commits.
+    */
+  def appendedRowCountBetween(schema: String, table: String,
+                              fromSnapshotId: Long, toSnapshotId: Long): Option[Long] = {
+    val dir = tableDir(schema, table)
+    val perCommit = appendOnlyCommits(schema, table, fromSnapshotId, toSnapshotId,
+        skipChangeCommits = false).map { case (cur, added) =>
+      if (added.isEmpty) Some(0L)
+      else {
+        val entries = manifestEntriesOf(dir, cur).filter(e => added.contains(e.path))
+        if (entries.size == added.size) Some(entries.iterator.map(_.rows).sum)
+        else None
       }
     }
-    val conformed = parts.map { df =>
-      df.select(declared.fields.toIndexedSeq.map { f =>
-        if (df.columns.exists(_.equalsIgnoreCase(f.name)))
-          col(f.name).cast(f.dataType).as(f.name)
-        else lit(null).cast(f.dataType).as(f.name)
-      }: _*)
-    }
-    if (conformed.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
-    else conformed.reduce(_.unionByName(_))
+    if (perCommit.exists(_.isEmpty)) None else Some(perCommit.flatten.sum)
   }
 
   /** Scheme-independent path form for cross-domain file comparison:

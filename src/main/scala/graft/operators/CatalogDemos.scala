@@ -1036,8 +1036,11 @@ object CatalogDemos {
     * catches both views up WITHOUT re-scanning the table — the aggregate
     * by merging delta partials (`incremental-merge`), the projection as
     * one append commit (`incremental-append`, pinned via the MV's own
-    * `$snapshots` operation column). The oracle recomputes the aggregate
-    * over the FULL nation — incremental must land on exactly that — and
+    * `$snapshots` operation column). A third MV joins the table to a
+    * region dimension that ALSO appends before its refresh, exercising
+    * both delta legs (`Δnation⋈region_new ∪ nation_old⋈Δregion`,
+    * `incremental-merge`). The oracle recomputes every aggregate over
+    * the FULL tables — incremental must land on exactly that — and
     * carries the refresh modes as literal columns, so a silent fall-back
     * to full recompute turns the row red.
     */
@@ -1060,8 +1063,30 @@ object CatalogDemos {
     engine.executeNonQuery(graft.params.SqlStatement(
       """CREATE MATERIALIZED VIEW demo.low_keys AS
         |SELECT n_nationkey, n_name FROM demo.nation_inc WHERE n_regionkey = 1""".stripMargin))
+    // join MV over a second (dimension) table seeded with 3 of 5 regions:
+    // both sources append before the refresh, so BOTH delta legs
+    // (Δnation⋈region_new and nation_old⋈Δregion) must land
+    val region = graft.Tables.region(s, d)
+      .select(col("r_regionkey"), col("r_name"))
+    engine.catalog.createTable("demo", "region_inc", region.schema)
+    engine.catalog.insert("demo", "region_inc",
+      region.filter(col("r_regionkey") < 3))
+    engine.executeNonQuery(graft.params.SqlStatement(
+      """CREATE MATERIALIZED VIEW demo.nation_region AS
+        |SELECT r.r_name AS r_name, count(*) AS n, sum(n.n_nationkey) AS key_sum
+        |FROM demo.nation_inc n JOIN demo.region_inc r
+        |  ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name""".stripMargin))
     engine.catalog.insert("demo", "nation_inc",
       nation.filter(col("n_nationkey") >= 15))
+    engine.catalog.insert("demo", "region_inc",
+      region.filter(col("r_regionkey") >= 3))
+    engine.executeNonQuery(graft.params.SqlStatement(
+      "REFRESH MATERIALIZED VIEW demo.nation_region"))
+    val joinMode = engine.lastMvRefreshMode
+    val jn = engine.query(graft.params.SqlStatement(
+      "SELECT count(*) AS c, sum(key_sum) AS ks FROM demo.nation_region"))
+      .collect()(0)
     engine.executeNonQuery(graft.params.SqlStatement(
       "REFRESH MATERIALIZED VIEW demo.region_stats"))
     val aggMode = engine.lastMvRefreshMode
@@ -1079,6 +1104,9 @@ object CatalogDemos {
       .withColumn("spj_mode", lit(spjMode))
       .withColumn("low_op", lit(lowOp))
       .withColumn("low_rows", lit(lowRows))
+      .withColumn("join_mode", lit(joinMode))
+      .withColumn("jn_rows", lit(jn.getLong(0)))
+      .withColumn("jn_keysum", lit(jn.getLong(1)))
       .orderBy(col("n_regionkey"))
   }
 
@@ -1096,7 +1124,13 @@ object CatalogDemos {
       |       'incremental-merge' AS agg_mode,
       |       'incremental-append' AS spj_mode,
       |       'append' AS low_op,
-      |       (SELECT CAST(count(*) AS BIGINT) FROM nation WHERE n_regionkey = 1) AS low_rows
+      |       (SELECT CAST(count(*) AS BIGINT) FROM nation WHERE n_regionkey = 1) AS low_rows,
+      |       'incremental-merge' AS join_mode,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM
+      |         (SELECT r_name FROM nation JOIN region ON n_regionkey = r_regionkey
+      |          GROUP BY r_name) t) AS jn_rows,
+      |       (SELECT CAST(sum(n_nationkey) AS BIGINT)
+      |        FROM nation JOIN region ON n_regionkey = r_regionkey) AS jn_keysum
       |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
 
   /** DuckDB oracle for [[viewsDemo]]: the stacked-view expansion replayed

@@ -127,13 +127,15 @@ class MvIncrementalSpec extends SparkSpec {
       Seq(Seq("a", 1L), Seq("b", 2L)))
   }
 
-  test("ineligible definitions recompute: join, avg, DISTINCT, self-join, window") {
+  test("ineligible definitions recompute: outer join, avg, DISTINCT, self-join, window") {
     val e = freshEngine("mvi-ineligible")
     e.executeNonQuery(SqlStatement("CREATE TABLE demo.dim (grp varchar, label varchar)"))
     e.executeNonQuery(SqlStatement("INSERT INTO demo.dim VALUES ('a', 'alpha'), ('b', 'beta')"))
     val defs = Seq(
-      "j" -> """SELECT d.label, count(*) AS n FROM demo.src s
-               |JOIN demo.dim d ON s.grp = d.grp GROUP BY d.label""".stripMargin,
+      // outer join: a later dim row would RETRACT the unmatched-NULL row —
+      // not expressible as an append, must recompute
+      "oj" -> """SELECT s.id, d.label FROM demo.src s
+                |LEFT JOIN demo.dim d ON s.grp = d.grp""".stripMargin,
       "avg" -> "SELECT grp, avg(v) AS m FROM demo.src GROUP BY grp",
       "dist" -> "SELECT grp, count(DISTINCT v) AS n FROM demo.src GROUP BY grp",
       "self" -> """SELECT a.grp, count(*) AS n FROM demo.src a
@@ -152,9 +154,78 @@ class MvIncrementalSpec extends SparkSpec {
     }
   }
 
+  test("join MV: fact appends replay as one delta⋈dim leg (incremental-merge)") {
+    val e = freshEngine("mvi-join-fact")
+    e.executeNonQuery(SqlStatement("CREATE TABLE demo.dim (grp varchar, label varchar)"))
+    e.executeNonQuery(SqlStatement(
+      "INSERT INTO demo.dim VALUES ('a', 'alpha'), ('b', 'beta'), ('c', 'gamma')"))
+    val defSql = """SELECT d.label AS label, count(*) AS n, sum(s.v) AS sv
+                   |FROM demo.src s JOIN demo.dim d ON s.grp = d.grp
+                   |GROUP BY d.label""".stripMargin
+    e.executeNonQuery(SqlStatement(s"CREATE MATERIALIZED VIEW demo.mvj AS $defSql"))
+    // only the fact moves: the dim delta is empty, so the A_old leg—the
+    // one that would re-scan the fact—must not be needed
+    e.executeNonQuery(SqlStatement(
+      "INSERT INTO demo.src VALUES (4, 'a', 40), (5, 'c', 50)"))
+    e.executeNonQuery(SqlStatement("REFRESH MATERIALIZED VIEW demo.mvj"))
+    assert(e.lastMvRefreshMode === "incremental-merge")
+    assert(rows(e, "SELECT label, n, sv FROM demo.mvj ORDER BY label") ===
+      Seq(Seq("alpha", 3L, 70L), Seq("beta", 1L, 30L), Seq("gamma", 1L, 50L)))
+    assertMatchesRecompute(e, "mvj", defSql, "label")
+  }
+
+  test("join MV: both sources move — ΔA⋈B_new ∪ A_old⋈ΔB lands exactly") {
+    val e = freshEngine("mvi-join-both")
+    e.executeNonQuery(SqlStatement("CREATE TABLE demo.dim (grp varchar, label varchar)"))
+    e.executeNonQuery(SqlStatement("INSERT INTO demo.dim VALUES ('a', 'alpha')"))
+    val defSql = """SELECT s.id, d.label, s.v FROM demo.src s
+                   |JOIN demo.dim d ON s.grp = d.grp WHERE s.v > 5""".stripMargin
+    e.executeNonQuery(SqlStatement(s"CREATE MATERIALIZED VIEW demo.mvjb AS $defSql"))
+    // fact gains an 'a' and a 'b' row; dim gains 'b' — the new dim row
+    // must pick up BOTH the old b-rows (id 3) and the new one (id 5)
+    e.executeNonQuery(SqlStatement("INSERT INTO demo.src VALUES (4, 'a', 44), (5, 'b', 55)"))
+    e.executeNonQuery(SqlStatement("INSERT INTO demo.dim VALUES ('b', 'beta')"))
+    e.executeNonQuery(SqlStatement("REFRESH MATERIALIZED VIEW demo.mvjb"))
+    assert(e.lastMvRefreshMode === "incremental-append")
+    assert(rows(e, "SELECT id, label, v FROM demo.mvjb ORDER BY id") ===
+      Seq(Seq(1L, "alpha", 10L), Seq(2L, "alpha", 20L), Seq(3L, "beta", 30L),
+          Seq(4L, "alpha", 44L), Seq(5L, "beta", 55L)))
+    assertMatchesRecompute(e, "mvjb", defSql, "id")
+    // a refresh with neither source moved noops
+    e.executeNonQuery(SqlStatement("REFRESH MATERIALIZED VIEW demo.mvjb"))
+    assert(e.lastMvRefreshMode === "noop")
+  }
+
+  test("join MV: a non-append commit on EITHER source recomputes — still exact") {
+    val e = freshEngine("mvi-join-fallback")
+    e.executeNonQuery(SqlStatement("CREATE TABLE demo.dim (grp varchar, label varchar)"))
+    e.executeNonQuery(SqlStatement("INSERT INTO demo.dim VALUES ('a', 'alpha'), ('b', 'beta')"))
+    val defSql = """SELECT d.label AS label, sum(s.v) AS sv FROM demo.src s
+                   |JOIN demo.dim d ON s.grp = d.grp GROUP BY d.label""".stripMargin
+    e.executeNonQuery(SqlStatement(s"CREATE MATERIALIZED VIEW demo.mvjf AS $defSql"))
+    e.executeNonQuery(SqlStatement("UPDATE demo.dim SET label = 'ALPHA' WHERE grp = 'a'"))
+    e.executeNonQuery(SqlStatement("REFRESH MATERIALIZED VIEW demo.mvjf"))
+    assert(e.lastMvRefreshMode === "full")
+    assert(rows(e, "SELECT label, sv FROM demo.mvjf ORDER BY label") ===
+      Seq(Seq("ALPHA", 30L), Seq("beta", 30L)))
+  }
+
   test("classify: shapes at the boundary") {
     val e = freshEngine("mvi-classify")
-    def c(sql: String) = MvIncremental.classify(e.spark, sql, "demo", "src", "default")
+    def c(sql: String) = MvIncremental.classify(e.spark, sql,
+      Set(("demo", "src")), "default")
+    def cj(sql: String) = MvIncremental.classify(e.spark, sql,
+      Set(("demo", "src"), ("demo", "dim")), "default")
+    assert(cj("""SELECT s.id, d.label FROM demo.src s
+                |JOIN demo.dim d ON s.grp = d.grp""".stripMargin) ===
+      Some(MvIncremental.MvProjectShape))
+    assert(cj("""SELECT d.label AS label, count(*) AS n FROM demo.src s
+                |JOIN demo.dim d ON s.grp = d.grp GROUP BY d.label""".stripMargin) ===
+      Some(MvIncremental.MvAggShape(Seq(MvIncremental.MvKey, MvIncremental.MvMerge("count")))))
+    assert(cj("""SELECT s.id, d.label FROM demo.src s
+                |LEFT JOIN demo.dim d ON s.grp = d.grp""".stripMargin) === None)
+    assert(cj("""SELECT s.id FROM demo.src s JOIN demo.dim d ON s.grp = d.grp
+                |JOIN demo.src s2 ON s.id = s2.id""".stripMargin) === None)
     assert(c("SELECT * FROM demo.src") === Some(MvIncremental.MvProjectShape))
     assert(c("SELECT id, upper(grp) AS g FROM demo.src WHERE v > 0") ===
       Some(MvIncremental.MvProjectShape))
