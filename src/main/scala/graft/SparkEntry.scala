@@ -171,6 +171,7 @@ object SparkEntry {
     "meta_tables_demo" -> (CatalogDemos.metaTablesDemo _),
     "views_demo"       -> (CatalogDemos.viewsDemo _),
     "mv_incremental_demo" -> (CatalogDemos.mvIncrementalDemo _),
+    "retention_demo"   -> (CatalogDemos.retentionDemo _),
     "corpus_pipeline"  -> (TextAnalysis.corpusPipeline _),
     // sampling + approximate aggregates
     "sample_per_group" -> (Expressions.samplePerGroup _),
@@ -217,7 +218,7 @@ object SparkEntry {
     "mor_demo", "sorted_demo", "scan_prune_demo", "changes_demo",
     "stream_demo", "bloom_prune_demo", "zorder_demo", "merge_demo",
     "meta_tables_demo", "views_demo", "mv_incremental_demo",
-    "bucketed_join_demo")
+    "retention_demo", "bucketed_join_demo")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -608,6 +609,7 @@ object SparkEntry {
     "meta_tables_demo" -> operators.CatalogDemos.metaTablesDemoSql,
     "views_demo"      -> operators.CatalogDemos.viewsDemoSql,
     "mv_incremental_demo" -> operators.CatalogDemos.mvIncrementalDemoSql,
+    "retention_demo"  -> operators.CatalogDemos.retentionDemoSql,
     "corpus_pipeline" -> TextAnalysis.corpusPipelineSql,
     "approx_distinct" -> operators.Expressions.approxDistinctSql,
     // ---- analytics extensions (round 2) ----

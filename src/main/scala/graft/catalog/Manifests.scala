@@ -463,6 +463,77 @@ object Manifests {
     }
   }
 
+  /** Dual of [[mayMatch]]: TRUE only when the entry's bounds PROVE every
+    * row of the file satisfies the predicate — the metadata-delete
+    * question ("can this file leave the table without being read?").
+    * Default for any unrecognized shape is FALSE: a miss costs a probe or
+    * rewrite, a false positive would drop live rows.
+    *
+    * NULL discipline: a row whose predicate evaluates to NULL does NOT
+    * satisfy it, so every comparison requires an exact zero null count
+    * (`nulls == 0`; unknown (−1) blocks the proof). Doubles are excluded
+    * entirely — parquet NaN statistics are not trustworthy enough to
+    * prove totality. String bounds are exact or absent (never truncated;
+    * [[MaxStringBound]] drops long bounds instead), so string proofs are
+    * sound.
+    */
+  def mustMatch(predicate: org.apache.spark.sql.catalyst.expressions.Expression,
+                entry: DataFileEntry): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    predicate match {
+      case And(l, r) => mustMatch(l, entry) && mustMatch(r, entry)
+      case Or(l, r)  => mustMatch(l, entry) || mustMatch(r, entry)
+      case Literal(v: Boolean, org.apache.spark.sql.types.BooleanType) => v
+      case Coalesce(children) if children.length == 2 &&
+        children(1) == Literal.FalseLiteral => mustMatch(children(0), entry)
+      case EqualTo(a, Literal(v, dt)) => allEqual(a, v, dt, entry)
+      case EqualTo(Literal(v, dt), a) => allEqual(a, v, dt, entry)
+      case GreaterThan(a, Literal(v, dt)) => allCmp(a, v, dt, entry)(
+        (cb, lv) => cmp(cb, cb.min, lv) > 0)
+      case GreaterThanOrEqual(a, Literal(v, dt)) => allCmp(a, v, dt, entry)(
+        (cb, lv) => cmp(cb, cb.min, lv) >= 0)
+      case LessThan(a, Literal(v, dt)) => allCmp(a, v, dt, entry)(
+        (cb, lv) => cmp(cb, cb.max, lv) < 0)
+      case LessThanOrEqual(a, Literal(v, dt)) => allCmp(a, v, dt, entry)(
+        (cb, lv) => cmp(cb, cb.max, lv) <= 0)
+      case GreaterThan(Literal(v, dt), a) => allCmp(a, v, dt, entry)(
+        (cb, lv) => cmp(cb, cb.max, lv) < 0)
+      case GreaterThanOrEqual(Literal(v, dt), a) => allCmp(a, v, dt, entry)(
+        (cb, lv) => cmp(cb, cb.max, lv) <= 0)
+      case LessThan(Literal(v, dt), a) => allCmp(a, v, dt, entry)(
+        (cb, lv) => cmp(cb, cb.min, lv) > 0)
+      case LessThanOrEqual(Literal(v, dt), a) => allCmp(a, v, dt, entry)(
+        (cb, lv) => cmp(cb, cb.min, lv) >= 0)
+      case In(a, values) if values.forall(_.isInstanceOf[Literal]) =>
+        // totality through IN only via a constant column equal to a member
+        values.exists { case Literal(v, dt) => allEqual(a, v, dt, entry) }
+      case IsNull(a) => colBounds(a, entry).exists(cb =>
+        cb.nulls >= 0 && cb.nulls == entry.rows)
+      case IsNotNull(a) => colBounds(a, entry).exists(_.nulls == 0L)
+      case _ => false
+    }
+  }
+
+  /** Every row's `col == v`: constant column (min == max == v), no nulls,
+    * non-double kind. */
+  private def allEqual(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                       v: Any, dt: org.apache.spark.sql.types.DataType,
+                       entry: DataFileEntry): Boolean =
+    allCmp(e, v, dt, entry)((cb, lv) =>
+      cmp(cb, cb.min, lv) == 0 && cmp(cb, cb.max, lv) == 0)
+
+  /** Shared gate for totality proofs: bounds present, kind comparable and
+    * not double, zero nulls, literal representable — then `check`. */
+  private def allCmp(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                     v: Any, dt: org.apache.spark.sql.types.DataType,
+                     entry: DataFileEntry)
+                    (check: (ColBounds, Any) => Boolean): Boolean =
+    colBounds(e, entry).exists { cb =>
+      cb.kind != "double" && cb.nulls == 0L &&
+        cb.min != null && cb.max != null &&
+        literalIn(cb, v, dt).exists(lv => check(cb, lv))
+    }
+
   /** The engine-side xxhash64 pair a bloom probe needs for literal `v` —
     * IDENTICAL to the write-side hashing ([[graft.catalog.BloomAgg]] input:
     * `xxhash64(col)` and `xxhash64(col, 1)`), evaluated through the same
@@ -605,6 +676,23 @@ object Manifests {
       case (None, None) => !(cb.nulls >= 0 && cb.nulls == entry.rows)
       case _ => true
     }
+
+  /** Gate for totality (must-match) proofs: bounds present, kind not
+    * double (parquet NaN statistics), exact zero null count — shared with
+    * [[org.apache.spark.sql.GraftBoundsBridge]]'s node walker.
+    */
+  def totalityGate(cb: ColBounds): Boolean =
+    cb.kind != "double" && cb.nulls == 0L && cb.min != null && cb.max != null
+
+  /** File min compared to `v` (caller must hold [[totalityGate]]). */
+  def minCmp(cb: ColBounds, v: Any): Int = cmp(cb, cb.min, v)
+
+  /** File max compared to `v` (caller must hold [[totalityGate]]). */
+  def maxCmp(cb: ColBounds, v: Any): Int = cmp(cb, cb.max, v)
+
+  /** Every value in `[lo, hi]`: min >= lo and max <= hi. */
+  def allWithin(cb: ColBounds, lo: Any, hi: Any): Boolean =
+    minCmp(cb, lo) >= 0 && maxCmp(cb, hi) <= 0
 
   /** `col > v` / `col >= v` feasible: max above v. */
   def boundAbove(cb: ColBounds, v: Any, strict: Boolean): Boolean =

@@ -2602,7 +2602,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       if (formatVersion(schema, table) == 2) morRowLevel(schema, table, hit, None)
       else None
     mor.getOrElse(rewritePruned(schema, table, _.filter(hit),
-      probeCond = Some(hit))(_.filter(!hit)))
+      probeCond = Some(hit), dropFullyCovered = true)(_.filter(!hit)))
   }
 
   /** TRUNCATE TABLE: a METADATA-ONLY commit. The new snapshot references
@@ -2735,7 +2735,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     // bounds MAY match; when bounds prove no file can, commit the no-op
     // without launching any job
     val prevEqMor = current.map(_.eqDeletes).getOrElse(Nil)
-    val (probeSnap, probeEntries) = restrictByBounds(schema, table, current, Some(hit)) match {
+    val (probeSnap0, probeEntries0) = restrictByBounds(schema, table, current, Some(hit)) match {
       case Left(()) =>
         val snap = Snapshot(id, at, entries, schemaJson, Some("overwrite"),
           prevDeletes, current.flatMap(_.manifestList), None, prevEqMor)
@@ -2743,9 +2743,43 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         return Some((snap, 0L))
       case Right(se) => se
     }
+    // metadata delete on the MoR path: a DELETE's bounds-proven
+    // fully-covered files leave by manifest instead of growing O(rows)
+    // positional-delete files — the v2 retention pattern. Gated to
+    // DELETE with no pending deletes of either kind (live == physical).
+    val dropGate = setsOpt.isEmpty && prevDeletes.isEmpty && prevEqMor.isEmpty
+    val tableKeyM = fs(dir).makeQualified(dir).toUri.getPath
+    val candEntries: Seq[DataFileEntry] =
+      if (!dropGate) Nil
+      else probeEntries0.getOrElse(current.toSeq.flatMap(manifestEntriesOf(dir, _)))
+    val mustEntries = candEntries.filter(e =>
+      org.apache.spark.sql.GraftBoundsBridge.mustMatchColumn(hit, e))
+    val mustKeys = mustEntries.map(e => entryKey(tableKeyM, e)).toSet
+    val mustRows = mustEntries.iterator.map(_.rows).sum
+    val (probeSnap, probeEntries) =
+      if (mustKeys.isEmpty) (probeSnap0, probeEntries0)
+      else {
+        val maybe = candEntries.filterNot(e => mustKeys.contains(entryKey(tableKeyM, e)))
+        (current.map(_.copy(dirs = maybe.map(_.path), manifestList = None)),
+          Some(maybe))
+      }
+    def droppedCarry(): Option[String] = {
+      val (carried, mustRel) = carryManifests(schema, table, current, mustKeys)
+      require(mustRel.size == mustKeys.size,
+        s"metadata-delete bounds mismatch on $schema.$table: " +
+          s"${mustKeys.size} covered files, ${mustRel.size} matched entries")
+      Some(writeManifestList(dir, carried))
+    }
+    if (mustKeys.nonEmpty && probeEntries.exists(_.isEmpty)) {
+      // every candidate provably covered: pure metadata commit, zero jobs
+      val snap = Snapshot(id, at, Nil, schemaJson, Some("delete"),
+        Nil, droppedCarry(), None, Nil)
+      writeCommits(schema, table, commits :+ snap, gen)
+      return Some((snap, mustRows))
+    }
     val prov = withProvenance(schema, table, probeSnap, withPos = true,
         entriesOverride = probeEntries) match {
-      case None    => return None
+      case None    => return None // CoW fallback re-derives the drop set
       case Some(p) => p
     }
     val matched = prov.filter(hit)
@@ -2763,18 +2797,25 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         .write.mode("errorifexists").parquet(new Path(dir, delDir).toString)
       val n = parquetFooterRows(new Path(dir, delDir))
       if (n == 0L) {
-        // nothing matched: metadata-only no-op commit, delete dir reclaimed
+        // nothing matched among probed files: reclaim the empty delete
+        // dir; commit the bounds-dropped file set if there is one
         fs(dir).delete(new Path(dir, delDir), true)
-        val snap = Snapshot(id, at, entries, schemaJson, Some("overwrite"),
-          prevDeletes, current.flatMap(_.manifestList), None, prevEqMor)
+        val snap =
+          if (mustKeys.isEmpty)
+            Snapshot(id, at, entries, schemaJson, Some("overwrite"),
+              prevDeletes, current.flatMap(_.manifestList), None, prevEqMor)
+          else Snapshot(id, at, Nil, schemaJson, Some("delete"),
+            Nil, droppedCarry(), None, Nil)
         writeCommits(schema, table, commits :+ snap, gen)
-        Some((snap, 0L))
+        Some((snap, mustRows))
       } else {
         val (dirsNew, mlNew, op) = setsOpt match {
           case None =>
-            // pure delete: data files untouched — dirs AND manifest list
-            // carry verbatim (the commit adds only the delete file)
-            (entries, current.flatMap(_.manifestList), "delete")
+            // pure delete: probed data files untouched — the commit adds
+            // only the delete file; bounds-dropped files (if any) leave
+            // via the carried manifest list
+            if (mustKeys.isEmpty) (entries, current.flatMap(_.manifestList), "delete")
+            else (Nil, droppedCarry(), "delete")
           case Some(sets) =>
             val dataFields = matched.schema.fields.toIndexedSeq
               .filterNot(f => f.name == "__graft_file" || f.name == "__graft_pos")
@@ -2803,7 +2844,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         val snap = Snapshot(id, at, dirsNew, schemaJson, Some(op),
           prevDeletes :+ delDir, mlNew, None, prevEqMor)
         writeCommits(schema, table, commits :+ snap, gen)
-        Some((snap, n))
+        Some((snap, n + mustRows))
       }
     } finally if (setsOpt.isDefined) matched.unpersist()
   }
@@ -2927,12 +2968,23 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * DELETE/UPDATE leave it false and commit metadata-only no-ops.
     * Falls back to the whole-table rewrite when no per-file provenance is
     * available (empty table, legacy layout).
+    *
+    * `dropFullyCovered` (DELETE only — `f` must REMOVE matched rows for
+    * this to be sound): a touched file whose manifest record count equals
+    * its matched-row count has NO surviving row — it is dropped from the
+    * manifests without being read or rewritten (Iceberg's metadata
+    * delete). `DELETE WHERE ts < X` on a time-ordered 100 TB table then
+    * rewrites only the boundary files; interior files leave by metadata,
+    * and a partition-aligned retention delete is a pure metadata commit.
+    * Gated off when the snapshot carries positional/equality deletes
+    * (live rows < manifest rows — coverage unprovable from metadata).
     */
   private def rewritePruned(schema: String, table: String,
                             touchedRows: DataFrame => DataFrame,
                             emitWhenUntouched: Boolean = false,
                             probeCond: Option[org.apache.spark.sql.Column] = None,
-                            txn: Option[(String, Long)] = None)
+                            txn: Option[(String, Long)] = None,
+                            dropFullyCovered: Boolean = false)
                            (f: DataFrame => DataFrame): (Snapshot, Long) = synchronized {
     import org.apache.spark.sql.functions.{col, lit, count => countAgg}
     val dir = tableDir(schema, table)
@@ -2978,13 +3030,43 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     // files whose bounds MAY match the predicate (provably-unmatched
     // files skip the probe scan AND carry by manifest reference); bounds
     // proving NO file can match commit the no-op without any Spark job
-    val (probeSnap, probeEntries) = restrictByBounds(schema, table, current, probeCond) match {
+    val (probeSnap0, probeEntries0) = restrictByBounds(schema, table, current, probeCond) match {
       case Left(()) if !emitWhenUntouched => return noOp()
       case Left(())                       => (current, None)
       case Right(se)                      => se
     }
+    // metadata delete, bounds tier: candidate files whose bounds prove
+    // EVERY row matches skip the probe entirely and leave by manifest —
+    // a retention DELETE aligned with file ranges runs ZERO Spark jobs
+    val dropGate = dropFullyCovered && probeCond.isDefined &&
+      prevDeletes.isEmpty && current.forall(_.eqDeletes.isEmpty)
+    val tableKey = fs(dir).makeQualified(dir).toUri.getPath
+    val candEntries: Seq[DataFileEntry] =
+      if (!dropGate) Nil
+      else probeEntries0.getOrElse(current.toSeq.flatMap(manifestEntriesOf(dir, _)))
+    val mustEntries = candEntries.filter(e =>
+      org.apache.spark.sql.GraftBoundsBridge.mustMatchColumn(probeCond.get, e))
+    val mustKeys = mustEntries.map(e => entryKey(tableKey, e)).toSet
+    val mustRows = mustEntries.iterator.map(_.rows).sum
+    val (probeSnap, probeEntries) =
+      if (mustKeys.isEmpty) (probeSnap0, probeEntries0)
+      else {
+        val maybe = candEntries.filterNot(e => mustKeys.contains(entryKey(tableKey, e)))
+        (current.map(_.copy(dirs = maybe.map(_.path), manifestList = None)),
+          Some(maybe))
+      }
+    if (mustKeys.nonEmpty && probeEntries.exists(_.isEmpty)) {
+      // every candidate provably fully covered: pure metadata commit
+      val (carried, mustRel) = carryManifests(schema, table, current, mustKeys)
+      require(mustRel.size == mustKeys.size,
+        s"metadata-delete bounds mismatch on $schema.$table: " +
+          s"${mustKeys.size} covered files, ${mustRel.size} matched entries")
+      return (commitSnap(Nil, Nil, Some(writeManifestList(dir, carried))), mustRows)
+    }
     withProvenance(schema, table, probeSnap, entriesOverride = probeEntries) match {
       case None =>
+        // no per-row provenance: whole-table rewrite of the FULL current
+        // state (ignore any bounds-must split — correctness first)
         val base = readSnapshot(schema, table, current)
         val n = touchedRows(
           base.withColumn("__graft_file", lit(null).cast("string"))).count()
@@ -2994,34 +3076,59 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         // ONE probe pass: touched files AND matched-row counts together
         val perFile = touchedRows(prov)
           .groupBy(col("__graft_file")).agg(countAgg(lit(1)).as("n")).collect()
-        val nTouched = perFile.map(_.getLong(1)).sum
-        val touchedRaw = perFile.map(_.getString(0)).toSeq
-        val touchedKeys = touchedRaw.map(p => new Path(p).toUri.getPath).toSet
+        val nTouched = perFile.map(_.getLong(1)).sum + mustRows
+        val probedRaw = perFile.map(_.getString(0)).toSeq
+        val probedKeys = probedRaw.map(p => new Path(p).toUri.getPath).toSet
+        val touchedKeys = probedKeys ++ mustKeys
         if (touchedKeys.isEmpty && !emitWhenUntouched) noOp()
         else {
+          // metadata delete, count tier: a probed file whose matched-row
+          // count equals its manifest record count is fully covered too
+          // (catches totality the bounds alone cannot prove) — the count
+          // rides the probe pass, so this tier costs nothing extra
+          val entriesByKey: Map[String, Long] =
+            if (!dropGate) Map.empty
+            else candEntries.map(e => entryKey(tableKey, e) -> e.rows).toMap
+          val matchedByKey: Map[String, Long] = perFile.map(r =>
+            new Path(r.getString(0)).toUri.getPath -> r.getLong(1)).toMap
+          val dropKeys = mustKeys ++ probedKeys.filter(k =>
+            entriesByKey.get(k).contains(matchedByKey(k)))
+          val rewriteKeys = touchedKeys -- dropKeys
           val (carried, touchedRel) = carryManifests(schema, table, current, touchedKeys)
           require(touchedRel.size == touchedKeys.size,
             s"file-pruning provenance mismatch on $schema.$table: " +
               s"${touchedKeys.size} touched files, ${touchedRel.size} matched " +
               "under current snapshot entries")
-          // the sub-read keeps the snapshot's delete files (the copy
-          // retains `deletes`), so touched rows are the LIVE rows; deletes
-          // addressing rewritten files become obsolete and are dropped.
-          // Manifest-backed snapshots serve the touched SUBSET through
-          // the manifest relation (entriesOverride) — directory discovery
-          // cannot read mixed partition-spec generations at all
-          val touchedRelSet = touchedRel.toSet
-          val touchedEntries = current.toSeq
-            .flatMap(manifestEntriesOf(dir, _))
-            .filter(e => touchedRelSet.contains(e.path))
-          val sub = readSnapshot(schema, table,
-            current.map(_.copy(dirs = touchedRel, manifestList = None)),
-            entriesOverride =
-              if (touchedEntries.size == touchedRel.size) Some(touchedEntries)
-              else None)
-          val newDeletes = carryDeletes(dir, prevDeletes, touchedRaw,
-            s"${attemptTag(id)}-carry")
-          (commitWithNewDir(writeSnapDir(f(sub)), carried, newDeletes), nTouched)
+          if (rewriteKeys.isEmpty && !emitWhenUntouched) {
+            // EVERY touched file fully covered: pure metadata commit —
+            // zero data bytes read or written, whatever volume left
+            (commitSnap(Nil, Nil,
+              Some(writeManifestList(dir, carried))), nTouched)
+          } else {
+            def relKey(rel: String): String =
+              if (rel.startsWith("/")) rel else s"$tableKey/$rel"
+            val rewriteRel = touchedRel.filterNot(rel => dropKeys.contains(relKey(rel)))
+            // the sub-read keeps the snapshot's delete files (the copy
+            // retains `deletes`), so touched rows are the LIVE rows; deletes
+            // addressing rewritten files become obsolete and are dropped.
+            // Manifest-backed snapshots serve the touched SUBSET through
+            // the manifest relation (entriesOverride) — directory discovery
+            // cannot read mixed partition-spec generations at all
+            val rewriteRelSet = rewriteRel.toSet
+            val touchedEntries = current.toSeq
+              .flatMap(manifestEntriesOf(dir, _))
+              .filter(e => rewriteRelSet.contains(e.path))
+            val sub = readSnapshot(schema, table,
+              current.map(_.copy(dirs = rewriteRel, manifestList = None)),
+              entriesOverride =
+                if (touchedEntries.size == rewriteRel.size) Some(touchedEntries)
+                else None)
+            // dropGate implies prevDeletes is empty, so passing only the
+            // probed raw paths to the delete-carry is complete
+            val newDeletes = carryDeletes(dir, prevDeletes, probedRaw,
+              s"${attemptTag(id)}-carry")
+            (commitWithNewDir(writeSnapDir(f(sub)), carried, newDeletes), nTouched)
+          }
         }
     }
   }

@@ -1112,6 +1112,62 @@ object CatalogDemos {
 
   private[graft] val mvIncDemoWarehouse = "/tmp/graft-mv-inc-demo-warehouse"
 
+  /** Metadata delete end-to-end: lineitem lands as three append commits
+    * with disjoint l_orderkey ranges (two files each), then a
+    * retention-shaped `DELETE WHERE l_orderkey < 5000` whose bounds
+    * prove totality for the first commit's files — the commit must DROP
+    * those files from the manifests and WRITE NOTHING (`files_written`
+    * pinned 0, `files_dropped` pinned 2 — a fall-back to the rewrite
+    * path turns the row red). The oracle recomputes the surviving
+    * aggregate and the removed count over raw lineitem.
+    */
+  def retentionDemo(s: SparkSession, d: String): DataFrame = {
+    val wh = new org.apache.hadoop.fs.Path(retentionDemoWarehouse)
+    val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) fs.delete(wh, true)
+    val engine = new GraftEngine(s, retentionDemoWarehouse)
+    engine.catalog.createSchema("demo")
+    val li = graft.Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_returnflag"))
+    engine.catalog.createTable("demo", "li_ret", li.schema)
+    Seq(
+      li.filter(col("l_orderkey") < 5000),
+      li.filter(col("l_orderkey") >= 5000 && col("l_orderkey") < 10000),
+      li.filter(col("l_orderkey") >= 10000)
+    ).foreach(slice =>
+      engine.catalog.insert("demo", "li_ret", slice.repartition(2)))
+    def files(): Set[String] = engine.query(graft.params.SqlStatement(
+      """SELECT file_path FROM demo."li_ret$files""""))
+      .collect().map(_.getString(0)).toSet
+    val before = files()
+    val removed = engine.executeNonQuery(graft.params.SqlStatement(
+      "DELETE FROM demo.li_ret WHERE l_orderkey < 5000"))
+    val after = files()
+    engine.query(graft.params.SqlStatement(
+      """SELECT l_returnflag, count(*) AS n, sum(l_orderkey) AS key_sum
+        |FROM demo.li_ret GROUP BY l_returnflag""".stripMargin))
+      .withColumn("removed", lit(removed))
+      .withColumn("files_dropped", lit((before -- after).size.toLong))
+      .withColumn("files_written", lit((after -- before).size.toLong))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private[graft] val retentionDemoWarehouse = "/tmp/graft-retention-demo-warehouse"
+
+  /** DuckDB oracle for [[retentionDemo]]: surviving-rows aggregate and
+    * removed count recomputed over raw lineitem; the file arithmetic of
+    * the metadata drop as pinned literals (2 dropped, 0 written).
+    */
+  val retentionDemoSql: String =
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+      |        WHERE l_orderkey < 5000) AS removed,
+      |       CAST(2 AS BIGINT) AS files_dropped,
+      |       CAST(0 AS BIGINT) AS files_written
+      |FROM lineitem WHERE l_orderkey >= 5000
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** DuckDB oracle for [[mvIncrementalDemo]]: the aggregate recomputed
     * over the WHOLE nation (what the merge must reconstruct), the two
     * refresh strategies and the projection MV's append operation as

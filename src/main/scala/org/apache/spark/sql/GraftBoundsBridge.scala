@@ -100,6 +100,68 @@ object GraftBoundsBridge {
       case _ => None
     }
 
+  /** Dual of [[mayMatchColumn]] (see [[Manifests.mustMatch]] for the
+    * proof rules): TRUE only when bounds PROVE every row of the file
+    * satisfies the predicate. Default FALSE for any unrecognized shape.
+    */
+  def mustMatchColumn(c: Column, entry: DataFileEntry): Boolean =
+    mustMatchNode(c.node, entry)
+
+  private def mustMatchNode(node: ColumnNode, entry: DataFileEntry): Boolean =
+    node match {
+      case e: classic.ExpressionColumnNode =>
+        Manifests.mustMatch(e.expression, entry)
+      case s: internal.SqlExpression =>
+        parsedSql(s).exists(Manifests.mustMatch(_, entry))
+      case l: NodeLit => l.value == true
+      case f: UnresolvedFunction =>
+        val args = f.arguments
+        def tot(check: (ColBounds, Any, Any) => Boolean): Boolean = args match {
+          case Seq(a, l: NodeLit) if l.value != null =>
+            nodeColBounds(a, entry).exists(cb =>
+              Manifests.totalityGate(cb) &&
+                Manifests.nodeLiteralIn(cb, l.value).exists(v => check(cb, v, entry)))
+          case _ => false
+        }
+        def totRev(check: (ColBounds, Any, Any) => Boolean): Boolean = args match {
+          case Seq(l: NodeLit, a) if l.value != null =>
+            nodeColBounds(a, entry).exists(cb =>
+              Manifests.totalityGate(cb) &&
+                Manifests.nodeLiteralIn(cb, l.value).exists(v => check(cb, v, entry)))
+          case _ => false
+        }
+        f.functionName match {
+          case "and" => args.nonEmpty && args.forall(mustMatchNode(_, entry))
+          case "or"  => args.exists(mustMatchNode(_, entry))
+          case "coalesce" if args.length == 2 => args(1) match {
+            case l: NodeLit if l.value == false => mustMatchNode(args(0), entry)
+            case _ => false
+          }
+          case "=" | "==" =>
+            tot((cb, v, _) => Manifests.allWithin(cb, v, v)) ||
+              totRev((cb, v, _) => Manifests.allWithin(cb, v, v))
+          case ">"  => tot((cb, v, _) => Manifests.minCmp(cb, v) > 0) ||
+            totRev((cb, v, _) => Manifests.maxCmp(cb, v) < 0)
+          case ">=" => tot((cb, v, _) => Manifests.minCmp(cb, v) >= 0) ||
+            totRev((cb, v, _) => Manifests.maxCmp(cb, v) <= 0)
+          case "<"  => tot((cb, v, _) => Manifests.maxCmp(cb, v) < 0) ||
+            totRev((cb, v, _) => Manifests.minCmp(cb, v) > 0)
+          case "<=" => tot((cb, v, _) => Manifests.maxCmp(cb, v) <= 0) ||
+            totRev((cb, v, _) => Manifests.minCmp(cb, v) >= 0)
+          case "isNotNull" | "isnotnull" => args match {
+            case Seq(a) => nodeColBounds(a, entry).exists(_.nulls == 0L)
+            case _ => false
+          }
+          case "isNull" | "isnull" => args match {
+            case Seq(a) => nodeColBounds(a, entry).exists(cb =>
+              cb.nulls >= 0 && cb.nulls == entry.rows)
+            case _ => false
+          }
+          case _ => false
+        }
+      case _ => false
+    }
+
   /** TOP-LEVEL conjunct equality comparisons `(column, user-space value)`
     * of a predicate — what partition-transform projection may strengthen
     * (an equality under an OR is NOT returned: augmenting from it would

@@ -214,4 +214,135 @@ class SqlDmlSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("vacuum_everything"))
   }
+
+  /** Three append commits, each coalesced to EXACTLY one multi-row data
+    * file with a disjoint id range — so the metadata delete's
+    * full-coverage proof (matched == manifest record count) has real
+    * multi-row files to reason about, and partial coverage is possible.
+    */
+  private def threeFileEngine(name: String): GraftEngine = {
+    val e = new GraftEngine(spark, tmpDir(name))
+    e.executeNonQuery(SqlStatement("CREATE TABLE demo.t (id bigint, qty bigint)"))
+    def ins(rows: (Long, Long)*): Unit =
+      e.catalog.insert("demo", "t", rows.toSeq.toDF("id", "qty").coalesce(1))
+    ins((1L, 10L), (2L, 20L), (3L, 30L))
+    ins((11L, 10L), (12L, 20L))
+    ins((21L, 10L), (22L, 20L))
+    e
+  }
+
+  private def dataFiles(e: GraftEngine): Set[String] =
+    e.query(SqlStatement("""SELECT file_path FROM demo."t$files""""))
+      .collect().map(_.getString(0)).toSet
+
+  test("metadata delete: a fully-covered DELETE drops files without writing any") {
+    val e = threeFileEngine("dml-mdel-pure")
+    val before = dataFiles(e)
+    assert(before.size == 3)
+    // every row of the first commit's file(s) matches: the retention
+    // pattern — the commit must be METADATA-ONLY (files leave the
+    // manifest; nothing is read back or rewritten)
+    val n = e.executeNonQuery(SqlStatement("DELETE FROM demo.t WHERE id <= 3"))
+    assert(n == 3L)
+    val after = dataFiles(e)
+    assert(after.subsetOf(before), s"metadata delete wrote new files: ${after -- before}")
+    assert((before -- after).nonEmpty)
+    assert(e.query(SqlStatement("SELECT id FROM demo.t")).as[Long].collect().sorted.toSeq
+      === Seq(11L, 12L, 21L, 22L))
+    // history intact: the pre-delete snapshot still reads all 7 rows
+    val snaps = e.catalog.snapshots("demo", "t")
+    assert(e.catalog.readVersion("demo", "t", snaps(snaps.size - 2).snapshotId)
+      .count() === 7L)
+  }
+
+  test("metadata delete: boundary files rewrite, interior files leave by manifest") {
+    val e = threeFileEngine("dml-mdel-mixed")
+    val before = dataFiles(e)
+    // ids 1-3 fully covered (metadata drop); 11 covered but 12 survives
+    // (that file rewrites); 21/22 untouched (bounds-pruned carry)
+    val n = e.executeNonQuery(SqlStatement("DELETE FROM demo.t WHERE id <= 11"))
+    assert(n == 4L)
+    val after = dataFiles(e)
+    assert((after -- before).size == 1,
+      s"expected exactly one rewritten file, got ${after -- before}")
+    assert(e.query(SqlStatement("SELECT id FROM demo.t")).as[Long].collect().sorted.toSeq
+      === Seq(12L, 21L, 22L))
+  }
+
+  /** Overwrite a data file's bytes with garbage: any code path that OPENS
+    * the file afterwards fails loudly on the broken parquet footer — the
+    * deterministic way to prove the bounds tier never reads what it drops.
+    */
+  private def corrupt(path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(p, true)
+    out.write("not parquet".getBytes("UTF-8")); out.close()
+  }
+
+  test("metadata delete, bounds tier: covered files are dropped WITHOUT being opened") {
+    val e = new GraftEngine(spark, tmpDir("dml-mdel-bounds"))
+    e.executeNonQuery(SqlStatement("CREATE TABLE demo.t (id bigint, qty bigint)"))
+    def ins(rows: (Long, Long)*): Set[String] = {
+      e.catalog.insert("demo", "t", rows.toSeq.toDF("id", "qty").coalesce(1))
+      dataFiles(e)
+    }
+    val f1 = ins((1L, 10L), (2L, 20L), (3L, 30L))
+    val f2 = ins((11L, 10L), (12L, 20L)) -- f1
+    ins((21L, 10L), (22L, 20L))
+    // ids 1-3: bounds (max=3 < 4, zero nulls) PROVE totality — corrupting
+    // the file first means any probe/rewrite of it would throw
+    f1.foreach(corrupt)
+    val n = e.executeNonQuery(SqlStatement("DELETE FROM demo.t WHERE id < 4"))
+    assert(n == 3L)
+    assert(e.query(SqlStatement("SELECT id FROM demo.t")).as[Long].collect().sorted.toSeq
+      === Seq(11L, 12L, 21L, 22L))
+    // mixed: ids 11 covered-but-not-totally in f2 (12 survives) — f2 is
+    // probed and rewritten, so corruption must be detected THERE
+    f2.foreach(corrupt)
+    val ex = intercept[Exception] {
+      e.executeNonQuery(SqlStatement("DELETE FROM demo.t WHERE id <= 11"))
+    }
+    assert(ex != null) // the boundary file IS read; garbage fails loudly
+  }
+
+  test("metadata delete on format_version=2: files leave by manifest, no positional deletes") {
+    val e = new GraftEngine(spark, tmpDir("dml-mdel-v2"))
+    e.executeNonQuery(SqlStatement(
+      "CREATE TABLE demo.t (id bigint, qty bigint) WITH (format_version = 2)"))
+    def ins(rows: (Long, Long)*): Unit =
+      e.catalog.insert("demo", "t", rows.toSeq.toDF("id", "qty").coalesce(1))
+    ins((1L, 10L), (2L, 20L), (3L, 30L))
+    ins((11L, 10L), (12L, 20L))
+    val before = dataFiles(e)
+    // retention shape: the first file's whole range — on the MoR path this
+    // must DROP the file rather than write O(rows) positional deletes
+    val n = e.executeNonQuery(SqlStatement("DELETE FROM demo.t WHERE id < 10"))
+    assert(n == 3L)
+    val snap = e.catalog.snapshots("demo", "t").last
+    assert(snap.deletes.isEmpty, s"v2 retention delete wrote positional deletes: ${snap.deletes}")
+    val after = dataFiles(e)
+    assert(after.subsetOf(before) && (before -- after).nonEmpty)
+    // boundary shape: 11 matches, 12 survives — positional delete appears,
+    // and its coords address ONLY the probed file
+    val n2 = e.executeNonQuery(SqlStatement("DELETE FROM demo.t WHERE id <= 11"))
+    assert(n2 == 1L)
+    assert(e.catalog.snapshots("demo", "t").last.deletes.nonEmpty)
+    assert(e.query(SqlStatement("SELECT id FROM demo.t")).as[Long].collect().sorted.toSeq
+      === Seq(12L))
+  }
+
+  test("metadata delete: DELETE without WHERE is a pure metadata truncate") {
+    val e = threeFileEngine("dml-mdel-all")
+    val before = dataFiles(e)
+    val n = e.executeNonQuery(SqlStatement("DELETE FROM demo.t"))
+    assert(n == 7L)
+    val after = dataFiles(e)
+    assert(after.isEmpty, s"whole-table DELETE left/wrote files: $after")
+    assert(before.size == 3) // and dropped them all by manifest
+    assert(e.query(SqlStatement("SELECT count(*) AS n FROM demo.t")).as[Long].head() == 0L)
+    // the table still accepts appends afterwards
+    e.executeNonQuery(SqlStatement("INSERT INTO demo.t VALUES (31, 1)"))
+    assert(e.query(SqlStatement("SELECT id FROM demo.t")).as[Long].head() == 31L)
+  }
 }

@@ -221,9 +221,11 @@ class RegisterAddFilesSpec extends SparkSpec {
     // duplicate adoption rejected; self-adoption rejected
     intercept[IllegalArgumentException] { c.addFilesFromTable("s", "dst", "s", "src") }
     intercept[IllegalArgumentException] { c.addFilesFromTable("s", "src", "s", "src") }
-    // a source with pending delete files is rejected (fold first)
+    // a source with pending delete files is rejected (fold first) — one
+    // multi-row file so the delete PARTIALLY covers it and must leave a
+    // positional delete (a fully-covered file would just drop by metadata)
     c.createTable("s", "srcv2", schema, formatVersion = 2)
-    c.insert("s", "srcv2", Seq((7L, "x"), (8L, "y")).toDF("id", "v"))
+    c.insert("s", "srcv2", Seq((7L, "x"), (8L, "y")).toDF("id", "v").coalesce(1))
     c.delete("s", "srcv2", col("id") === 7L) // MoR positional delete
     c.createTable("s", "dst2", schema)
     val ex = intercept[IllegalArgumentException] {

@@ -111,8 +111,11 @@ class SnapshotCatalogSpec extends SparkSpec {
     val c = freshCatalog()
     c.createTable("common_test_data", "del_t", StructType(Seq(
       StructField("id", IntegerType), StructField("v", StringType))))
+    // one multi-row file, so `id = 2` covers it PARTIALLY and the delete
+    // must rewrite (a fully-covered file would leave by metadata instead —
+    // SqlDmlSpec pins that contract)
     c.insert("common_test_data", "del_t",
-      Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
+      Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v").coalesce(1))
     val snap = c.delete("common_test_data", "del_t",
       org.apache.spark.sql.functions.col("id") === 2)
     // file-pruned CoW: the commit holds a rewrite dir for the touched
