@@ -332,6 +332,25 @@ class SqlDmlSpec extends SparkSpec {
       === Seq(12L))
   }
 
+  test("metadata delete: dropped files are reclaimed by expire, not leaked") {
+    val e = threeFileEngine("dml-mdel-gc")
+    val before = dataFiles(e)
+    e.executeNonQuery(SqlStatement("DELETE FROM demo.t WHERE id <= 3"))
+    val dropped = before -- dataFiles(e)
+    assert(dropped.nonEmpty)
+    val fsys = new org.apache.hadoop.fs.Path(dropped.head)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // still on disk: the pre-delete snapshot references it (time travel)
+    assert(dropped.forall(p => fsys.exists(new org.apache.hadoop.fs.Path(p))))
+    e.executeNonQuery(SqlStatement(
+      "ALTER TABLE demo.t EXECUTE expire_snapshots(retention_threshold => '0s')"))
+    e.executeNonQuery(SqlStatement("ALTER TABLE demo.t EXECUTE remove_orphan_files"))
+    assert(dropped.forall(p => !fsys.exists(new org.apache.hadoop.fs.Path(p))),
+      s"metadata-dropped files leaked after expire: $dropped")
+    assert(e.query(SqlStatement("SELECT id FROM demo.t")).as[Long].collect().sorted.toSeq
+      === Seq(11L, 12L, 21L, 22L))
+  }
+
   test("metadata delete: DELETE without WHERE is a pure metadata truncate") {
     val e = threeFileEngine("dml-mdel-all")
     val before = dataFiles(e)
