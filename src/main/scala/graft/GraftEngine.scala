@@ -831,14 +831,30 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
           if (catalog.tableExists(sch, tbl)) catalog.comments(sch, tbl)._2
           else Map.empty[String, String]
         // a materialized view surfaces its freshness as a trailing
-        // metadata row: stale sources (if any) are named in the comment
+        // metadata row: stale sources (if any) are named in the comment,
+        // and the refresh strategy the definition's SHAPE admits (what a
+        // REFRESH would do on an append-only history; non-append commits
+        // still recompute) as a second row
         val mvRow =
           if (!catalog.isMaterializedView(sch, tbl)) Nil
           else {
             val stale = catalog.staleSources(sch, tbl)
-            Seq(("# materialized_view",
-              if (stale.isEmpty) "fresh" else "stale", false,
-              if (stale.isEmpty) null else s"stale sources: ${stale.mkString(", ")}"))
+            val meta = catalog.materializedViewMeta(sch, tbl).get
+            val srcs = meta._2.keySet.flatMap(_.split('.') match {
+              case Array(s, t) => Some((s, t)); case _ => None
+            })
+            val strategy = MvIncremental.classify(spark, meta._1, srcs,
+                sessionSchema) match {
+              case Some(MvIncremental.MvProjectShape) => "incremental-append"
+              case Some(_: MvIncremental.MvAggShape)  => "incremental-merge"
+              case None                               => "full-recompute"
+            }
+            Seq(
+              ("# materialized_view",
+                if (stale.isEmpty) "fresh" else "stale", false,
+                if (stale.isEmpty) null else s"stale sources: ${stale.mkString(", ")}"),
+              ("# refresh_strategy", strategy, false,
+                "strategy for append-only source histories"))
           }
         Some((fields.map(f => (f.name, f.dataType.sql.toLowerCase, f.nullable,
             colComments.get(f.name.toLowerCase).orNull)) ++ mvRow)

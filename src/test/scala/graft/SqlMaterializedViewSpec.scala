@@ -61,6 +61,17 @@ class SqlMaterializedViewSpec extends SparkSpec {
     assert(e.query(SqlStatement(
       "SELECT n FROM demo.mv FOR VERSION AS OF 1")).as[Long].head() === 3L)
     assert(e.query(SqlStatement("SELECT n FROM demo.mv")).as[Long].head() === 2L)
+    // shape-admitted refresh strategy surfaces as a second metadata row
+    def strategy(mv: String) = e.query(SqlStatement(s"DESCRIBE demo.$mv"))
+      .filter($"column_name" === "# refresh_strategy")
+      .select("data_type").as[String].head()
+    assert(strategy("mv") === "incremental-merge") // global count(*)
+    e.executeNonQuery(SqlStatement(
+      "CREATE MATERIALIZED VIEW demo.mv_p AS SELECT id FROM demo.src WHERE id > 1"))
+    assert(strategy("mv_p") === "incremental-append")
+    e.executeNonQuery(SqlStatement(
+      "CREATE MATERIALIZED VIEW demo.mv_f AS SELECT avg(id) AS a FROM demo.src"))
+    assert(strategy("mv_f") === "full-recompute")
   }
 
   test("lifecycle guards: duplicate create, IF NOT EXISTS, drop, refresh of non-MV") {
