@@ -565,32 +565,37 @@ object Manifests {
     }
   }
 
+  /** Bare-column name an expression references, or None. Multi-part
+    * unresolved names (`t.col`, `meta.ts`) are REJECTED, not bound by
+    * their last part: a nested-struct field or misqualified reference
+    * that shares a leaf name with a top-level column would otherwise
+    * bind to the wrong column's bounds — in [[mayMatch]] that over-prunes
+    * a probe, and in [[mustMatch]] it turns into a false totality proof
+    * that drops live rows. Resolved plans are unaffected (a nested field
+    * resolves to GetStructField, never an AttributeReference, so the
+    * single-name AttributeReference case below is always a real
+    * top-level column).
+    */
   private def colName(e: org.apache.spark.sql.catalyst.expressions.Expression): Option[String] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
     e match {
-      case u: UnresolvedAttribute => Some(u.nameParts.last)
+      case u: UnresolvedAttribute if u.nameParts.length == 1 => Some(u.nameParts.head)
       case a: AttributeReference  => Some(a.name)
       case _ => None
     }
   }
 
   /** Bounds of the column `e` references, or None when `e` is not a bare
-    * column or the file has no bounds for it (→ keep the file).
+    * single-part column (see [[colName]]) or the file has no bounds for
+    * it (→ keep the file in [[mayMatch]], block the proof in
+    * [[mustMatch]]).
     */
   private def colBounds(e: org.apache.spark.sql.catalyst.expressions.Expression,
-                        entry: DataFileEntry): Option[ColBounds] = {
-    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-    import org.apache.spark.sql.catalyst.expressions.AttributeReference
-    val name = e match {
-      case u: UnresolvedAttribute => Some(u.nameParts.last)
-      case a: AttributeReference  => Some(a.name)
-      case _ => None
-    }
-    name.flatMap(n => entry.bounds.collectFirst {
+                        entry: DataFileEntry): Option[ColBounds] =
+    colName(e).flatMap(n => entry.bounds.collectFirst {
       case (k, v) if k.equalsIgnoreCase(n) => v
     })
-  }
 
   /** Catalyst literal (internal representation) → value in the bound's
     * comparison space, or None when the spaces don't line up (→ keep).

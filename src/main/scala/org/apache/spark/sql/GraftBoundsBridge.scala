@@ -94,9 +94,16 @@ object GraftBoundsBridge {
       case _ => true
     }
 
+  /** Single-part attribute names ONLY — a multi-part reference
+    * (`t.col`, nested `meta.ts`) must never bind by its last part: it
+    * could alias a different top-level column and (in the mustMatch
+    * walker) yield a false totality proof that drops live rows. See
+    * Manifests.colName for the same rule on the catalyst side.
+    */
   private def nodeColBounds(n: ColumnNode, entry: DataFileEntry): Option[ColBounds] =
     n match {
-      case a: UnresolvedAttribute => Manifests.boundsFor(entry, a.nameParts.last)
+      case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+        Manifests.boundsFor(entry, a.nameParts.head)
       case _ => None
     }
 
@@ -186,10 +193,15 @@ object GraftBoundsBridge {
         case _ => Nil
       }
       case "=" | "==" => f.arguments match {
-        case Seq(a: UnresolvedAttribute, l: NodeLit) if l.value != null =>
-          Seq((a.nameParts.last, l.value))
-        case Seq(l: NodeLit, a: UnresolvedAttribute) if l.value != null =>
-          Seq((a.nameParts.last, l.value))
+        // single-part names only: a nested/qualified reference binding by
+        // its last part could augment partition pruning from the WRONG
+        // column (same hazard as nodeColBounds)
+        case Seq(a: UnresolvedAttribute, l: NodeLit)
+            if l.value != null && a.nameParts.length == 1 =>
+          Seq((a.nameParts.head, l.value))
+        case Seq(l: NodeLit, a: UnresolvedAttribute)
+            if l.value != null && a.nameParts.length == 1 =>
+          Seq((a.nameParts.head, l.value))
         case _ => Nil
       }
       case _ => Nil
@@ -204,7 +216,7 @@ object GraftBoundsBridge {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute => CatAttr}
     def name(x: Expression): Option[String] = x match {
-      case a: CatAttr             => Some(a.nameParts.last)
+      case a: CatAttr if a.nameParts.length == 1 => Some(a.nameParts.head)
       case a: AttributeReference  => Some(a.name)
       case _ => None
     }

@@ -306,6 +306,22 @@ class SqlDmlSpec extends SparkSpec {
     assert(ex != null) // the boundary file IS read; garbage fails loudly
   }
 
+  test("metadata delete: nested-field predicate sharing a leaf name never proves totality") {
+    val e = new GraftEngine(spark, tmpDir("dml-mdel-nested"))
+    import org.apache.spark.sql.functions.{col, struct}
+    // top-level ts spans 1..3 — its bounds would falsely 'prove' any
+    // `ts < 100` total; the nested meta.ts values are NOT all < 100, so
+    // binding meta.ts by its last name part would metadata-drop a file
+    // of live rows
+    val df = Seq((1L, 50L), (2L, 150L), (3L, 150L)).toDF("ts", "mts")
+      .select(col("ts"), struct(col("mts").as("ts")).as("meta")).coalesce(1)
+    e.catalog.createTableAs("demo", "t", df)
+    val n = e.executeNonQuery(SqlStatement("DELETE FROM demo.t WHERE meta.ts < 100"))
+    assert(n == 1L)
+    assert(e.query(SqlStatement("SELECT ts FROM demo.t")).as[Long].collect().sorted.toSeq
+      === Seq(2L, 3L))
+  }
+
   test("metadata delete on format_version=2: files leave by manifest, no positional deletes") {
     val e = new GraftEngine(spark, tmpDir("dml-mdel-v2"))
     e.executeNonQuery(SqlStatement(

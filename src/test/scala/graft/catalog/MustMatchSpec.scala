@@ -52,6 +52,27 @@ class MustMatchSpec extends SparkSpec {
     assert(!must("NOT (id > 3)", id13)) // negation not analyzed
   }
 
+  test("multi-part names never bind by last part (nested/qualified refs)") {
+    // a nested struct field `meta.ts` (or a misqualified `t2.id`) sharing
+    // a leaf name with a top-level column must NOT bind to that column's
+    // bounds: in mustMatch a wrong bind is a false totality proof that
+    // drops live rows
+    val ts13 = entry(3L, "ts" -> ColBounds("long", "1", "3", 0L))
+    assert(!must("meta.ts < 100", ts13))
+    assert(!must("t.ts < 100", ts13))
+    assert(!must("a.b.ts < 100", ts13))
+    assert(must("ts < 100", ts13)) // bare single-part still proves
+    // mayMatch side: a wrong bind would over-prune the probe — the
+    // multi-part ref must KEEP the file even when ts-bounds exclude it
+    assert(Manifests.mayMatch(CatalystSqlParser.parseExpression("meta.ts = 99"), ts13))
+    assert(!Manifests.mayMatch(CatalystSqlParser.parseExpression("ts = 99"), ts13))
+    // ColumnNode twin: col("meta.ts") parses to nameParts ["meta","ts"]
+    import org.apache.spark.sql.GraftBoundsBridge.{mustMatchColumn, mayMatchColumn}
+    assert(!mustMatchColumn(col("meta.ts") < 100, ts13))
+    assert(mustMatchColumn(col("ts") < 100, ts13))
+    assert(mayMatchColumn(col("meta.ts") === 99, ts13))
+  }
+
   test("null-shape proofs: IS NULL needs all-null, IS NOT NULL needs zero") {
     val allNull = entry(4L, "id" -> ColBounds("long", null, null, 4L))
     assert(must("id IS NULL", allNull))
