@@ -334,16 +334,18 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
           }
         }
       case graft.catalog.RefreshMaterializedViewStmt(schema, view) =>
-        val meta = catalog.materializedViewMeta(schema, view).getOrElse(
-          throw new GraftQueryException(sqlText,
-            s"Materialized view $schema.$view does not exist"))
-        refreshIncremental(schema, view, meta).getOrElse {
-          lastMvRefreshMode = "full"
-          val refreshed = catalog.refreshMaterializedView(schema, view,
-            query(SqlStatement(meta._1)), referencedSources(meta._1))
-          // the refresh wrote and footer-scanned the data already — the
-          // returned count is metadata arithmetic, not a second table scan
-          catalog.snapshotRowCount(schema, view, refreshed)
+        mvRefreshLock(schema, view).synchronized {
+          val meta = catalog.materializedViewMeta(schema, view).getOrElse(
+            throw new GraftQueryException(sqlText,
+              s"Materialized view $schema.$view does not exist"))
+          refreshIncremental(schema, view, meta).getOrElse {
+            lastMvRefreshMode = "full"
+            val refreshed = catalog.refreshMaterializedView(schema, view,
+              query(SqlStatement(meta._1)), referencedSources(meta._1))
+            // the refresh wrote and footer-scanned the data already — the
+            // returned count is metadata arithmetic, not a second table scan
+            catalog.snapshotRowCount(schema, view, refreshed)
+          }
         }
       case graft.catalog.DropMaterializedViewStmt(schema, view, ifExists) =>
         if (!catalog.isMaterializedView(schema, view)) {
@@ -1094,10 +1096,40 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
   private val mvDeltaOverride =
     ThreadLocal.withInitial[Map[(String, String), DataFrame]](() => Map.empty)
 
+  /** Per-invocation suffix for the delta temp views: temp-view names are
+    * session-GLOBAL while the override map is thread-local, so two
+    * concurrent refreshes replaying over the same source would otherwise
+    * fight over one `_mvdelta_…` name (same-MV refreshes are additionally
+    * serialized by [[mvRefreshLock]], but different MVs sharing a source
+    * are not).
+    */
+  private val mvDeltaNonce = ThreadLocal.withInitial[Long](() => 0L)
+  private val mvDeltaCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def withMvDelta[T](overrides: Map[(String, String), DataFrame])(f: => T): T = {
     mvDeltaOverride.set(overrides)
-    try f finally mvDeltaOverride.remove()
+    mvDeltaNonce.set(mvDeltaCounter.incrementAndGet())
+    try f finally {
+      // the replay is done: drop this invocation's delta views rather
+      // than leaking one temp view per refresh into the session
+      overrides.keys.foreach { case (s, t) =>
+        spark.catalog.dropTempView(s"_mvdelta_${s}_${t}_${nameTag(s, t)}_${mvDeltaNonce.get}")
+      }
+      mvDeltaOverride.remove()
+      mvDeltaNonce.remove()
+    }
   }
+
+  /** One lock object per MV: REFRESH is serialized per view — the
+    * incremental path spans several independently-synchronized catalog
+    * calls (read meta → read deltas → commit → advance meta) and its
+    * append commit is not idempotent, so two racing refreshes of the
+    * same MV could double-append one delta.
+    */
+  private val mvRefreshLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def mvRefreshLock(schema: String, view: String): Object =
+    mvRefreshLocks.computeIfAbsent(s"$schema $view", _ => new Object)
 
   /** How the last REFRESH MATERIALIZED VIEW executed: `full`,
     * `incremental-append`, `incremental-merge`, or `noop` — observability
@@ -1112,7 +1144,7 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
     */
   private def resolveCatalogName(sql: String, sch: String, tbl: String): Option[String] =
     if (mvDeltaOverride.get.contains((sch, tbl))) {
-      val view = s"_mvdelta_${sch}_${tbl}_${nameTag(sch, tbl)}"
+      val view = s"_mvdelta_${sch}_${tbl}_${nameTag(sch, tbl)}_${mvDeltaNonce.get}"
       mvDeltaOverride.get()((sch, tbl)).createOrReplaceTempView(view)
       Some(view)
     } else if (catalog.tableExists(sch, tbl)) {
@@ -1185,6 +1217,15 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
       }
     }
     if (!srcs.forall { case ((s, t), _) => catalog.tableExists(s, t) }) return None
+    // incarnation check: snapshot ids restart at 1 on drop/recreate, so a
+    // recorded (source, snapshot-id) pair only names a reconstructible
+    // delta when the source is still the SAME incarnation the MV
+    // recorded. Unknown/missing identities (metas written before
+    // identities existed) also recompute — which rewrites the meta with
+    // identities, so the cost is one full refresh per legacy MV.
+    val recordedIds = catalog.materializedViewSourceIds(schema, view)
+    if (!srcs.forall { case ((s, t), _) =>
+      recordedIds.get(s"$s.$t").contains(catalog.tableIdentity(s, t)) }) return None
     val shape = MvIncremental.classify(spark, defSql,
       srcs.map(_._1).toSet, sessionSchema).getOrElse(return None)
     val heads = srcs.map { case (st, fromId) =>
@@ -1244,9 +1285,22 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
       catch {
         // a replay that no longer analyzes (e.g. the definition uses a
         // column added after the pinned old state) — recompute is always
-        // sound, so fall back rather than fail the refresh
+        // sound, so fall back rather than fail the refresh. The replay
+        // runs through query(), which re-throws AnalysisException as
+        // GraftQueryException — catch BOTH (catching only the former was
+        // dead code and failed the refresh instead of falling back).
         case _: org.apache.spark.sql.AnalysisException => return None
+        case _: GraftQueryException => return None
       }
+    // the replay's shape must still BE the MV's shape: a definition like
+    // `SELECT *` re-planned after ADD COLUMN produces extra columns the
+    // materialized table does not declare — recompute (which re-derives
+    // the stored schema) is the evolution-correct path, not a mismatched
+    // append/merge
+    val mvFields = catalog.readLatest(schema, view).schema.fields
+    if (partial.schema.fields.length != mvFields.length ||
+        !partial.schema.fields.zip(mvFields).forall {
+          case (p, m) => p.name.equalsIgnoreCase(m.name) }) return None
     val snap = shape match {
       case MvIncremental.MvProjectShape =>
         lastMvRefreshMode = "incremental-append"

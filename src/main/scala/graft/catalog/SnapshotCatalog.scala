@@ -287,6 +287,9 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     // commits.json stays as the cheap existence marker (tableExists probes
     // it); the versioned generation files carry the actual log
     writeString(new Path(dir, "commits.json"), "[]")
+    // incarnation identity (see tableIdentity): minted eagerly so every
+    // new table has one from its first commit
+    writeString(new Path(dir, "_identity"), java.util.UUID.randomUUID().toString)
     writeCommits(schema, table, Nil, -1L)
   }
 
@@ -3289,13 +3292,58 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         .map(e => e.getKey -> e.getValue.asLong).toMap))
   }
 
+  /** Source → table identity ([[tableIdentity]]) captured when the MV
+    * last (re)freshed. Empty for metas written before identities existed
+    * — the caller must treat that as "unknown incarnation" and recompute
+    * (which rewrites the meta with identities, self-healing).
+    */
+  def materializedViewSourceIds(schema: String, name: String): Map[String, String] = {
+    val p = mvMetaPath(schema, name)
+    if (!fs(p).exists(p)) return Map.empty
+    val root = mapper.readTree(readString(p))
+    Option(root.get("source_ids")).map(_.properties().asScala
+      .map(e => e.getKey -> e.getValue.asText).toMap).getOrElse(Map.empty)
+  }
+
   private def writeMvMeta(schema: String, name: String, sql: String,
                           sources: Map[String, Long]): Unit = {
     val o = mapper.createObjectNode()
     o.put("sql", sql)
     val s = o.putObject("sources")
     sources.toSeq.sortBy(_._1).foreach { case (k, v) => s.put(k, v) }
+    // per-source table identity: sequential snapshot ids restart at 1 on
+    // drop/recreate, so "source X is at snapshot N" is only meaningful
+    // together with WHICH incarnation of X it was — without this an
+    // incremental refresh after a drop/recreate could declare a false
+    // noop or replay a tail of commits over a base the MV never saw
+    val ids = o.putObject("source_ids")
+    sources.keys.toSeq.sorted.foreach { key =>
+      key.split('.') match {
+        case Array(sch, tbl) if tableExists(sch, tbl) =>
+          ids.put(key, tableIdentity(sch, tbl))
+        case _ => ()
+      }
+    }
     writeString(mvMetaPath(schema, name), mapper.writeValueAsString(o))
+  }
+
+  /** Stable identity of a table INCARNATION — a UUID minted at CREATE
+    * time (tables created before identities existed get one lazily on
+    * first ask). Snapshot ids are per-incarnation sequence numbers; any
+    * consumer recording "table T at snapshot N" for later delta
+    * reconstruction must record this identity alongside, or a
+    * drop/recreate silently aliases an unrelated history.
+    */
+  def tableIdentity(schema: String, table: String): String = synchronized {
+    require(tableExists(schema, table), s"Table $schema.$table does not exist")
+    val p = new Path(tableDir(schema, table), "_identity")
+    val f = fs(p)
+    if (f.exists(p)) readString(p).trim
+    else {
+      val id = java.util.UUID.randomUUID().toString
+      writeString(p, id)
+      id
+    }
   }
 
   def createMaterializedView(schema: String, name: String, selectSql: String,
@@ -3317,6 +3365,13 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val meta = materializedViewMeta(schema, name).getOrElse(
       throw new IllegalArgumentException(
         s"$schema.$name is not a materialized view"))
+    // a full recompute re-DERIVES the stored shape: a definition like
+    // `SELECT *` legitimately changes column set when a source evolved,
+    // and serving the new result through the stale declared schema would
+    // silently hide (or fail on) the new columns
+    if (!declaredSchema(schema, name).contains(result.schema))
+      writeString(new Path(tableDir(schema, name), "_table_schema.json"),
+        result.schema.json)
     val snap = overwriteAll(schema, name, result)
     writeMvMeta(schema, name, meta._1, sources)
     snap

@@ -210,6 +210,71 @@ class MvIncrementalSpec extends SparkSpec {
       Seq(Seq("ALPHA", 30L), Seq("beta", 30L)))
   }
 
+  test("drop/recreate of a source forces recompute — never a false noop or tail replay") {
+    val e = freshEngine("mvi-recreate")
+    val defSql = "SELECT grp, sum(v) AS total FROM demo.src GROUP BY grp"
+    e.executeNonQuery(SqlStatement(s"CREATE MATERIALIZED VIEW demo.mvr AS $defSql"))
+    e.executeNonQuery(SqlStatement("INSERT INTO demo.src VALUES (4, 'b', 40)"))
+    e.executeNonQuery(SqlStatement("REFRESH MATERIALIZED VIEW demo.mvr"))
+    assert(e.lastMvRefreshMode === "incremental-merge")
+    // recreate the source at the SAME snapshot id with different content:
+    // per-table sequential ids restart at 1, so id comparison alone would
+    // call the second state "already refreshed" (false noop)
+    e.executeNonQuery(SqlStatement("DROP TABLE demo.src"))
+    e.executeNonQuery(SqlStatement(
+      "CREATE TABLE demo.src (id bigint, grp varchar, v bigint)"))
+    e.executeNonQuery(SqlStatement("INSERT INTO demo.src VALUES (9, 'z', 900)"))
+    e.executeNonQuery(SqlStatement("INSERT INTO demo.src VALUES (10, 'z', 1)"))
+    e.executeNonQuery(SqlStatement("REFRESH MATERIALIZED VIEW demo.mvr"))
+    assert(e.lastMvRefreshMode === "full",
+      s"recreated source must recompute, got ${e.lastMvRefreshMode}")
+    assert(rows(e, "SELECT grp, total FROM demo.mvr ORDER BY grp") ===
+      Seq(Seq("z", 901L)))
+    // the recompute re-recorded the NEW incarnation: incremental works again
+    e.executeNonQuery(SqlStatement("INSERT INTO demo.src VALUES (11, 'z', 9)"))
+    e.executeNonQuery(SqlStatement("REFRESH MATERIALIZED VIEW demo.mvr"))
+    assert(e.lastMvRefreshMode === "incremental-merge")
+    assertMatchesRecompute(e, "mvr", defSql, "grp")
+  }
+
+  test("replay whose schema drifted from the MV's falls back to recompute") {
+    val e = freshEngine("mvi-drift")
+    e.executeNonQuery(SqlStatement(
+      "CREATE MATERIALIZED VIEW demo.mvs AS SELECT * FROM demo.src"))
+    // SELECT * re-planned after ADD COLUMN yields an extra column the
+    // materialized table does not declare — appending that delta would
+    // either fail or corrupt; the refresh must recompute instead
+    e.executeNonQuery(SqlStatement("ALTER TABLE demo.src ADD COLUMN w bigint"))
+    e.executeNonQuery(SqlStatement("INSERT INTO demo.src VALUES (4, 'c', 40, 400)"))
+    e.executeNonQuery(SqlStatement("REFRESH MATERIALIZED VIEW demo.mvs"))
+    assert(e.lastMvRefreshMode === "full")
+    assert(rows(e, "SELECT * FROM demo.mvs ORDER BY id").map(_.length).distinct === Seq(4))
+    assert(rows(e, "SELECT w FROM demo.mvs WHERE id = 4") === Seq(Seq(400L)))
+  }
+
+  test("concurrent refreshes: same MV serialized, shared-source MVs independent") {
+    val e = freshEngine("mvi-concurrent")
+    val defA = "SELECT grp, count(*) AS n FROM demo.src GROUP BY grp"
+    val defB = "SELECT grp, sum(v) AS total FROM demo.src GROUP BY grp"
+    e.executeNonQuery(SqlStatement(s"CREATE MATERIALIZED VIEW demo.mva AS $defA"))
+    e.executeNonQuery(SqlStatement(s"CREATE MATERIALIZED VIEW demo.mvb AS $defB"))
+    e.executeNonQuery(SqlStatement(
+      "INSERT INTO demo.src VALUES (4, 'c', 40), (5, 'c', 4)"))
+    // two threads refresh DIFFERENT MVs over the SAME source (the delta
+    // temp-view name must not collide), plus a racing same-MV refresh
+    // (serialized by the per-view lock — the delta must land exactly once)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = Seq(
+      Future(e.executeNonQuery(SqlStatement("REFRESH MATERIALIZED VIEW demo.mva"))),
+      Future(e.executeNonQuery(SqlStatement("REFRESH MATERIALIZED VIEW demo.mvb"))),
+      Future(e.executeNonQuery(SqlStatement("REFRESH MATERIALIZED VIEW demo.mva"))))
+    fs.foreach(Await.result(_, 120.seconds))
+    assertMatchesRecompute(e, "mva", defA, "grp")
+    assertMatchesRecompute(e, "mvb", defB, "grp")
+  }
+
   test("classify: shapes at the boundary") {
     val e = freshEngine("mvi-classify")
     def c(sql: String) = MvIncremental.classify(e.spark, sql,
