@@ -94,6 +94,42 @@ object DevEqReadBench {
       }
       println(f"  pending=$n%-2d  ${times.map(x => f"$x%.2f").mkString(" ")}  min=${times.min}%.2f")
     }
+
+    // -- CDC-scale arm: a ~10⁶-key delete file must take the DISTRIBUTED
+    //    read path (never a driver collect) and leave driver heap flat --
+    println("== 1e6-key eq-delete file: distributed path, flat driver heap ==")
+    def usedHeapMb(): Long = {
+      val rt = Runtime.getRuntime
+      System.gc(); Thread.sleep(200); System.gc()
+      (rt.totalMemory() - rt.freeMemory()) >> 20
+    }
+    val rows = 2_400_000L
+    val base = spark.range(rows).select(col("id"),
+      concat(lit("payload_"), col("id")).as("v"))
+    c.createTable("demo", "cdc", base.schema, formatVersion = 2)
+    t("insert 2.4M rows") { c.insert("demo", "cdc", base) }
+    val batch = spark.range(0L, rows, 2L).select(col("id"),
+      concat(lit("upd_"), col("id")).as("v")) // 1.2M keys: past the gate
+    val h0 = usedHeapMb()
+    t("upsert 1.2M-key batch") { c.upsert("demo", "cdc", batch, Seq("id")) }
+    val h1 = usedHeapMb()
+    t("read @1.2M-key pending (count)") {
+      val n = c.readLatest("demo", "cdc").count()
+      require(n == rows, s"expected $rows rows, got $n")
+    }
+    t("read again (count)") { c.readLatest("demo", "cdc").count() }
+    val h2 = usedHeapMb()
+    // steady-state check: three MORE reads must not grow the heap — any
+    // h2→h3 growth would mean per-read retention (the old collect-and-
+    // cache path grew by ~200 MB per distinct delete file)
+    (1 to 3).foreach(_ => c.readLatest("demo", "cdc").count())
+    val h3 = usedHeapMb()
+    val plan = c.readLatest("demo", "cdc").queryExecution.optimizedPlan.toString
+    val collected = plan.linesIterator.exists(l =>
+      l.contains("LocalRelation") && l.contains("__graft_eq_"))
+    println(f"  driver heap MB: before=$h0 after-upsert=$h1 after-reads=$h2 " +
+      f"steady=$h3 per-read-growth=${(h3 - h2) / 3} keysCollected=$collected")
+    require(!collected, "1.2e6-key delete file was materialized on the driver")
     spark.stop()
   }
 }

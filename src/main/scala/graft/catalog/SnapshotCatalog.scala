@@ -43,7 +43,8 @@ final case class Snapshot(snapshotId: Long, committedAtMillis: Long, dirs: Seq[S
   * survives. This is what makes keyed upsert O(batch): the writer never
   * reads the target — it appends the new rows plus one key file.
   */
-final case class EqDelete(path: String, keys: Seq[String], appliesTo: Long)
+final case class EqDelete(path: String, keys: Seq[String], appliesTo: Long,
+                          rows: Long = -1L)
 
 /** A commit lost the optimistic-concurrency race: another writer advanced
   * the table's commit-log generation between this writer's read and its
@@ -1374,12 +1375,17 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     try {
       val eq: Seq[EqDelete] = prior match {
         case Some(p) =>
-          // the delete file: the batch's distinct key tuples — KB-scale
+          // the delete file: the batch's distinct key tuples. The exact
+          // key count rides the commit (from the written footers — no
+          // extra job) so the read side can decide driver-local vs
+          // distributed WITHOUT any I/O: on-disk bytes alone undercount
+          // badly (sequential keys delta-encode ~100×)
           val delDir = s"eqdel-${attemptTag(id)}"
           batch.select(keys.map(org.apache.spark.sql.functions.col): _*)
             .distinct().coalesce(1)
             .write.mode("errorifexists").parquet(new Path(dir, delDir).toString)
-          p.eqDeletes :+ EqDelete(delDir, keys, p.snapshotId)
+          val delRows = scanEntries(dir, delDir).map(_.rows).sum
+          p.eqDeletes :+ EqDelete(delDir, keys, p.snapshotId, delRows)
         case None => Nil // empty table: nothing to shadow
       }
       val snapDir = snapDirName(schema, table, attemptTag(id))
@@ -1576,8 +1582,33 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
   // session bounded; entries are KB-scale.
   private val snapFileKeysCache =
     new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
-  private val eqDelKeysCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (StructType, Array[org.apache.spark.sql.Row])]()
+
+  /** Row-weighted LRU for collected eq-delete key files: bounded by
+    * TOTAL retained rows (not just entry count — a count bound alone
+    * would let 4096 × 1M-row arrays pin the driver heap), evicting
+    * least-recently-used files instead of clearing everything (the old
+    * `size > N → clear()` cold-restarted every cached file at once).
+    */
+  private object eqDelKeysLru {
+    private val maxRows = 4L << 20 // ~4M key rows across all cached files
+    private val maxEntries = 4096
+    private var rows = 0L
+    private val map = new java.util.LinkedHashMap[
+      String, (StructType, Array[org.apache.spark.sql.Row])](256, 0.75f, true)
+    def get(k: String): Option[(StructType, Array[org.apache.spark.sql.Row])] =
+      synchronized(Option(map.get(k)))
+    def put(k: String, v: (StructType, Array[org.apache.spark.sql.Row])): Unit =
+      synchronized {
+        val prev = map.put(k, v)
+        if (prev != null) rows -= prev._2.length
+        rows += v._2.length
+        val it = map.entrySet().iterator()
+        while ((rows > maxRows || map.size > maxEntries) && it.hasNext) {
+          val e = it.next()
+          if (e.getKey != k) { rows -= e.getValue._2.length; it.remove() }
+        }
+      }
+  }
 
   /** Qualified, scheme-normalized data-file keys of `snap` — the
     * representation eq-delete coverage classes compare on. Cached per
@@ -1595,29 +1626,40 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           .replaceFirst(SchemeNormRe, "/")).toSet)
   }
 
-  /** Key tuples of an equality-delete file served as a LocalRelation:
-    * the anti-join side is broadcast anyway (delete files are bounded by
-    * DML batch selectivity), so the driver already holds these rows —
-    * collecting them ONCE per immutable file trades a parquet footer
-    * read plus a scan job per table read for zero storage I/O.
+  /** Key tuples of an equality-delete file, plus whether the frame is
+    * driver-local (broadcastable for free). Small files — the
+    * interactive-upsert shape — collect ONCE per immutable file into a
+    * LocalRelation (zero storage I/O on later reads). Files past
+    * [[SnapshotCatalog.eqDelDriverMaxBytes]] (the streaming-CDC shape:
+    * an eq-delete file can carry 10⁷-10⁸ keys at 100 TB) are served as a
+    * DISTRIBUTED parquet scan and never touch the driver heap — the
+    * size gate runs BEFORE any read, on one FileSystem metadata call.
     */
-  private def eqDelKeyDf(dir: Path, e: EqDelete): DataFrame = {
-    val p = fs(dir).makeQualified(new Path(dir, e.path)).toString
-    val cached = eqDelKeysCache.get(p)
-    val (sch, rows) =
-      if (cached != null) cached
-      else {
-        val df = spark.read.parquet(p)
-        val r = (df.schema, df.collect())
-        // a delete file too large to sensibly hold (it would not be
-        // broadcastable either) is served but not retained
-        if (r._2.length <= (1 << 20)) {
-          if (eqDelKeysCache.size > 4096) eqDelKeysCache.clear()
-          eqDelKeysCache.put(p, r)
+  private def eqDelKeyDf(dir: Path, e: EqDelete): (DataFrame, Boolean) = {
+    val f = fs(dir)
+    val p = f.makeQualified(new Path(dir, e.path)).toString
+    eqDelKeysLru.get(p) match {
+      case Some((sch, rows)) =>
+        (spark.createDataFrame(java.util.Arrays.asList(rows: _*), sch), true)
+      case None =>
+        // gate BEFORE any read: the exact key count recorded at commit
+        // time when available, on-disk bytes for legacy commits (bytes
+        // undercount compressible keys, hence the count is primary)
+        val big =
+          if (e.rows >= 0) e.rows > SnapshotCatalog.eqDelDriverMaxRows
+          else f.getContentSummary(new Path(p)).getLength >
+            SnapshotCatalog.eqDelDriverMaxBytes
+        if (big)
+          (spark.read.parquet(p), false)
+        else {
+          val df = spark.read.parquet(p)
+          val r = (df.schema, df.collect())
+          // a tiny-on-disk file can still be row-huge (all-duplicate
+          // columns compress away): keep the row-count retention guard
+          if (r._2.length <= (1 << 20)) eqDelKeysLru.put(p, r)
+          (spark.createDataFrame(java.util.Arrays.asList(r._2: _*), r._1), true)
         }
-        r
-      }
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), sch)
+    }
   }
 
   /** Write `entries` as one or more manifests, each holding at most
@@ -2001,17 +2043,24 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           val antiJoins: DataFrame => DataFrame = df0 =>
             eqDels.zipWithIndex.groupBy(_._1.keys).toSeq.sortBy(_._2.head._2)
               .foldLeft(df0) { case (df, (keys, dels)) =>
-                val delKeys = dels.map { case (e, i) =>
-                  eqDelKeyDf(dir, e)
-                    .toDF(keys.map("__graft_eq_" + _): _*)
-                    .withColumn("__graft_del_id", lit(i))
-                }.reduce(_ unionByName _)
+                val sides = dels.map { case (e, i) =>
+                  val (kdf, local) = eqDelKeyDf(dir, e)
+                  (kdf.toDF(keys.map("__graft_eq_" + _): _*)
+                    .withColumn("__graft_del_id", lit(i)), local)
+                }
+                val delKeys = sides.map(_._1).reduce(_ unionByName _)
                 // null __graft_dels (file covered by no delete) → null
                 // condition → row kept: exemption without a plan split
                 val cond = keys.map(k => col(k) <=> col("__graft_eq_" + k))
                   .reduce(_ && _) &&
                   array_contains(col("__graft_dels"), col("__graft_del_id"))
-                df.join(broadcast(delKeys), cond, "left_anti")
+                // driver-local key sets broadcast for free; a group with
+                // any past-threshold (distributed) delete file anti-joins
+                // by shuffle instead — forcing the broadcast would pull
+                // the 10⁷-key CDC shape through the driver after all
+                val side =
+                  if (sides.forall(_._2)) broadcast(delKeys) else delKeys
+                df.join(side, cond, "left_anti")
               }.drop("__graft_fkey", "__graft_dels")
           if (classes.isEmpty || classes == Set(Seq.empty[Int]))
             merged // no current file is covered: every row exempt
@@ -5400,7 +5449,9 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       Option(n.get("eqDeletes")).map(_.elements.asScala.map(e =>
         EqDelete(e.get("path").asText,
           e.get("keys").elements.asScala.map(_.asText).toSeq,
-          e.get("appliesTo").asLong)).toSeq).getOrElse(Nil))
+          e.get("appliesTo").asLong,
+          Option(e.get("rows")).map(_.asLong).getOrElse(-1L))).toSeq)
+        .getOrElse(Nil))
 
   /** `schemaIds` maps a schema's JSON to its id in the log's shared
     * schema table; empty (tag pinning, which stores ONE snapshot) inlines
@@ -5435,6 +5486,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         val eo = ed.addObject()
         eo.put("path", e.path)
         eo.put("appliesTo", e.appliesTo)
+        if (e.rows >= 0) eo.put("rows", e.rows)
         val ks = eo.putArray("keys")
         e.keys.foreach(ks.add)
       }
@@ -5634,6 +5686,22 @@ object SnapshotCatalog {
     * can exercise the shard math without writing thousands of files.
     */
   @volatile private[graft] var manifestEntryCap: Int = 4096
+
+  /** On-disk size above which an equality-delete key file is read as a
+    * distributed scan instead of collected to a driver LocalRelation
+    * (≈1-2M bigint keys at parquet's typical key-column density; the
+    * streaming-CDC shape can carry 10⁷-10⁸ keys, which must never pass
+    * through the driver). Var so specs can force the distributed path
+    * on small fixtures.
+    */
+  @volatile private[graft] var eqDelDriverMaxBytes: Long = 8L << 20
+
+  /** Key-count twin of [[eqDelDriverMaxBytes]] — primary when the commit
+    * recorded the delete file's exact row count (bytes undercount by
+    * ~100× on sequential keys thanks to delta encoding; the hazard is
+    * driver-held ROWS, not parquet bytes).
+    */
+  @volatile private[graft] var eqDelDriverMaxRows: Long = 1L << 20
 
   /** Frozen commit-log segments are immutable content-addressed files —
     * cache them process-wide (shared across catalog instances AND branch

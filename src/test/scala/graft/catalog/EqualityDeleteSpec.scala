@@ -241,6 +241,37 @@ class EqualityDeleteSpec extends SparkSpec {
       Seq((3L, "C2"), (5L, "e")))
   }
 
+  test("past-threshold delete files read distributed: identical results, no driver collect") {
+    // force EVERY eq-delete key file past the driver-materialization
+    // gate: the read must serve the anti-join from a distributed parquet
+    // scan (no LocalRelation, no forced broadcast) with identical results
+    val saved = SnapshotCatalog.eqDelDriverMaxRows
+    try {
+      SnapshotCatalog.eqDelDriverMaxRows = 0L
+      val c = freshCatalog("eq-dist")
+      v2Table(c, "t")
+      c.upsert("s", "t", Seq((2L, "B2"), (5L, "e")).toDF("id", "v"), Seq("id"))
+      c.upsert("s", "t", Seq((2L, "B3")).toDF("id", "v"), Seq("id"))
+      assert(state(c, "t") ===
+        Seq((1L, "a"), (2L, "B3"), (3L, "c"), (4L, "d"), (5L, "e")))
+      // the key side must be a file scan, not driver rows (the KB-scale
+      // per-file delete-id map staying a LocalRelation is fine — only
+      // the __graft_eq_* key columns must never be driver-materialized)
+      val plan = c.readLatest("s", "t").queryExecution.optimizedPlan.toString
+      assert(!plan.linesIterator.exists(l =>
+        l.contains("LocalRelation") && l.contains("__graft_eq_")),
+        s"distributed path still materialized keys on the driver:\n$plan")
+      assert(plan.contains("LeftAnti"))
+    } finally SnapshotCatalog.eqDelDriverMaxRows = saved
+    // and the same history under the default gate matches exactly
+    val c2 = freshCatalog("eq-dist-ref")
+    v2Table(c2, "t")
+    c2.upsert("s", "t", Seq((2L, "B2"), (5L, "e")).toDF("id", "v"), Seq("id"))
+    c2.upsert("s", "t", Seq((2L, "B3")).toDF("id", "v"), Seq("id"))
+    assert(state(c2, "t") ===
+      Seq((1L, "a"), (2L, "B3"), (3L, "c"), (4L, "d"), (5L, "e")))
+  }
+
   test("DDL on a pending equality-delete key is rejected (fold first)") {
     val c = freshCatalog("eq-ddl")
     v2Table(c, "t")
