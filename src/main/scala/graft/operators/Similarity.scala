@@ -756,16 +756,31 @@ object Similarity {
     * is dropped when a smaller-id in-cell neighbor sits above the
     * threshold — the deterministic greedy keep (first write wins).
     *
-    * Scale shape: the quadratic term is bounded by the largest CELL, never
-    * the corpus — at 100 TB you raise nlist so cells stay
-    * shuffle-partition-sized, and the join shuffles on the small cell id
-    * exactly like the IVF query path. This is the published scale recipe
-    * for semantic (embedding-space) dedup, complementing the sign-LSH
-    * bucketing of [[embeddingNearDup]].
+    * Scale shape: the quadratic term is bounded by the largest BUCKET,
+    * never the corpus — cells that outgrow [[SemDedupCrowdCap]] refine by
+    * 6 extra sign bits (assignment stays a flat 16-centroid pass; the
+    * join shuffles on the small (cell, sub) key exactly like the IVF
+    * query path). This is the published scale recipe for semantic
+    * (embedding-space) dedup, complementing the sign-LSH bucketing of
+    * [[embeddingNearDup]].
     */
+  /** Cell occupancy above which [[semanticDedup]] refines a quantizer
+    * cell by 6 extra sign bits (the SAME second hash tier as
+    * [[annKnnAll]]'s crowd cap): with a fixed nlist alone the
+    * within-cell pair join grows as N²/nlist — the round-10 scale-table
+    * offender at 2.33× per 4× data — while growing nlist instead makes
+    * the ASSIGNMENT pass the quadratic term (N·nlist·dim FLOPs, measured
+    * 3.10× at 4×). The crowd split keeps assignment flat (16 centroids
+    * always) and bounds per-bucket fanout: near-identical vectors agree
+    * on the extra sign bits with probability (1−θ/π)⁶ ≈ 1, so the tier
+    * separates only non-neighbor crowding.
+    */
+  private val SemDedupCrowdCap = 200L
+
   def semanticDedup(s: SparkSession, d: String, nlist: Int = 16,
                     threshold: Double = NearDupThreshold): DataFrame = {
     val centroids = fitQuantizer(s, d, nlist)
+    val tier2 = planes(5, 8, 64)(4).take(6)
     def cellScores(v: Column): IndexedSeq[Column] =
       centroids.map { c =>
         val c2 = c.map(x => x * x).sum
@@ -775,14 +790,26 @@ object Similarity {
       array_min(array(scores.zipWithIndex.map { case (sc, i) =>
         struct(sc.as("s"), lit(i).as("i"))
       }: _*)).getField("i")
+    // persist: the assignment pass (argmin over nlist centroids + the
+    // sign tier) otherwise re-runs for the A side, the B side, the size
+    // table, and the final left join — four times. Narrow columns; the
+    // harness unpersists between queries.
     val assigned = emb(s, d)
       .withColumn("cell", argmin(cellScores(col("embedding"))))
-      .select(col("cell"), col("vec_id"), col("embedding"), col("nrm"))
-    val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
+      .withColumn("sig2", signature(col("embedding"), tier2))
+      .select(col("cell"), col("sig2"), col("vec_id"), col("embedding"), col("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // crowding tier: cells past the cap join on (cell, 6 sign bits) —
+    // the size table is ≤ nlist rows, broadcast
+    val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("csz"))
+    val keyed = assigned.join(broadcast(sizes), Seq("cell"))
+      .withColumn("sub",
+        when(col("csz") > SemDedupCrowdCap, col("sig2")).otherwise(lit(-1L)))
+    val a = keyed.select(col("cell"), col("sub"), col("vec_id").as("a_id"),
       col("embedding").as("av"), col("nrm").as("an"))
-    val b = assigned.select(col("cell"), col("vec_id").as("b_id"),
+    val b = keyed.select(col("cell"), col("sub"), col("vec_id").as("b_id"),
       col("embedding").as("bv"), col("nrm").as("bn"))
-    val close = a.join(b, Seq("cell"))
+    val close = a.join(b, Seq("cell", "sub"))
       .filter(col("a_id") < col("b_id"))
       .filter(cosine(col("av"), col("bv"), col("an"), col("bn")) >= threshold)
       .groupBy(col("b_id")).agg(count(lit(1)).as("n_close"))
@@ -795,12 +822,21 @@ object Similarity {
 
   /** DuckDB twin of [[semanticDedup]]: the quantizer replayed in SQL
     * (same prelude as the IVF oracle), then within-cell smaller-id
-    * domination with the identical cosine spelling.
+    * domination with the identical cosine spelling. nlist replays the
+    * [[semanticDedupNlist]] formula from the oracle's own COUNT(*).
     */
   def semanticDedupOracleSql(nlist: Int = 16,
-                             threshold: Double = NearDupThreshold): String =
+                             threshold: Double = NearDupThreshold): String = {
+    val plane2Rows = planes(5, 8, 64)(4).take(6).zipWithIndex.map { case (p, b) =>
+      s"($b, [${p.map(x => if (x > 0) "1.0" else "-1.0").mkString(",")}])"
+    }.mkString(", ")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |pl2 AS (SELECT * FROM (VALUES $plane2Rows) p(b, pv)),
+       |sg2 AS (SELECT vec_id,
+       |         CAST(SUM(CASE WHEN list_dot_product(v, pv) >= 0.0
+       |                       THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sig2
+       |       FROM n CROSS JOIN pl2 GROUP BY vec_id),
        |sd AS (SELECT cell, v FROM (
        |        SELECT ROW_NUMBER() OVER (ORDER BY (vec_id % 1000000007) * 2654435761 % 4294967296, vec_id) - 1 AS cell, v
        |        FROM e) t WHERE cell < $nlist),
@@ -824,8 +860,15 @@ object Similarity {
        |                ROW_NUMBER() OVER (PARTITION BY n.vec_id
        |                  ORDER BY list_dot_product(ct.c, ct.c) - 2.0 * list_dot_product(n.v, ct.c), ct.cell) AS rn
        |         FROM n CROSS JOIN ct) t WHERE rn = 1),
+       |cs AS (SELECT cell, COUNT(*) AS csz FROM asg GROUP BY cell),
+       |kb AS (SELECT a.vec_id, a.cell,
+       |              CASE WHEN cs.csz > $SemDedupCrowdCap THEN sg2.sig2
+       |                   ELSE CAST(-1 AS BIGINT) END AS sub
+       |       FROM asg a JOIN cs ON cs.cell = a.cell
+       |       JOIN sg2 ON sg2.vec_id = a.vec_id),
        |pr AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
-       |       FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |       FROM kb a JOIN kb b ON a.cell = b.cell AND a.sub = b.sub
+       |                          AND a.vec_id < b.vec_id
        |       JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id
        |       WHERE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) >= $threshold),
        |cl AS (SELECT b_id, COUNT(*) AS n_close FROM pr GROUP BY b_id)
@@ -833,4 +876,5 @@ object Similarity {
        |       COALESCE(cl.n_close, 0) AS n_close,
        |       COALESCE(cl.n_close, 0) = 0 AS is_kept
        |FROM asg a LEFT JOIN cl ON cl.b_id = a.vec_id ORDER BY a.vec_id""".stripMargin
+  }
 }
