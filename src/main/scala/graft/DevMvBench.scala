@@ -30,6 +30,7 @@ object DevMvBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import org.apache.spark.sql.functions.col
+    import spark.implicits._
 
     val wh = java.nio.file.Files.createTempDirectory("graft-mvbench").toString
     val e = new GraftEngine(spark, wh)
@@ -89,6 +90,18 @@ object DevMvBench {
       require(m.startsWith("incremental"), s"$mv expected incremental, got $m")
       mv -> t
     }
+    // dim-delta arm (round-10 verdict #4): a few new DIM rows — the
+    // A_old ⋈ ΔB leg must prune the fact scan to the delta's join keys
+    // (pushed IN → manifest bounds file skipping), so this number should
+    // track the DELTA, not the fact table, across copies
+    e.catalog.insert("demo", "sup",
+      Seq((99901L, 0L), (99902L, 1L), (99903L, 2L))
+        .toDF("s_suppkey", "s_nationkey")
+        .select(col("s_suppkey"), col("s_nationkey").cast(
+          sup.schema("s_nationkey").dataType)))
+    val (tDim, mDim) = refresh("mv_join")
+    require(mDim.startsWith("incremental"), s"dim delta expected incremental, got $mDim")
+
     // dirty the source ONCE so the SAME definitions must recompute
     e.executeNonQuery(SqlStatement(
       "UPDATE demo.li SET l_quantity = l_quantity + 0 WHERE l_orderkey = 2"))
@@ -103,6 +116,7 @@ object DevMvBench {
       println(f"[mvbench] $mv%-8s inc_cold=$tCold%.2f s  inc_warm=${warm(k)._2}%.2f s  " +
         f"full=${full(k)._2}%.2f s")
     }
+    println(f"[mvbench] mv_join dim-delta refresh (fact-prune leg): $tDim%.2f s")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
   }
 }

@@ -1126,6 +1126,13 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
     * append commit is not idempotent, so two racing refreshes of the
     * same MV could double-append one delta.
     */
+  /** Distinct-key cap for the join-leg full-side prune: below it the
+    * delta's keys collect to an IN list (pushable to the manifest bounds
+    * tier → file skipping); above it the plain full-scan join is the
+    * better plan and the prune is skipped.
+    */
+  private val MvJoinPruneMaxKeys = 1000
+
   private val mvRefreshLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def mvRefreshLock(schema: String, view: String): Object =
@@ -1264,6 +1271,42 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
     }
     def deltaOf(st: (String, String), fromId: Long, head: Long): DataFrame =
       catalog.appendsBetween(st._1, st._2, fromId, head)
+    /** Prune a join leg's FULL-side read to the delta's equi-join key
+      * values: any full-side row joining a delta row must share its key,
+      * so restricting to the delta's (small, collected) key set is exact
+      * for the inner join the classifier admits — and the pushed IN
+      * filter reaches the manifest-bounds tier, so a 5-row dim append
+      * skips the fact table's files wholesale instead of re-scanning
+      * them. Past [[MvJoinPruneMaxKeys]] distinct keys the full-scan
+      * join is the right plan anyway; NULL delta keys can never
+      * equi-match, so they drop from the IN list (all-null → the leg is
+      * provably empty and the full side prunes to nothing).
+      */
+    def pruneFull(full: DataFrame, fullSt: (String, String),
+                  delta: DataFrame, deltaSt: (String, String),
+                  keyPairs: Seq[(((String, String), String), ((String, String), String))])
+        : DataFrame = {
+      import org.apache.spark.sql.functions.{col, lit}
+      val pairs = keyPairs.flatMap {
+        case ((s1, c1), (s2, c2)) if s1 == fullSt && s2 == deltaSt => Some((c1, c2))
+        case ((s1, c1), (s2, c2)) if s2 == fullSt && s1 == deltaSt => Some((c2, c1))
+        case _ => None
+      }
+      pairs.foldLeft(full) { case (df, (fullCol, deltaCol)) =>
+        val vals = delta.select(col(deltaCol)).distinct()
+          .limit(MvJoinPruneMaxKeys + 1).collect().map(_.get(0))
+        if (vals.length > MvJoinPruneMaxKeys) df
+        else {
+          val nonNull = vals.filter(_ != null).toSeq
+          if (nonNull.isEmpty) df.filter(lit(false))
+          else df.filter(col(fullCol).isInCollection(nonNull))
+        }
+      }
+    }
+    val keyPairs =
+      if (deltas.size == 2)
+        MvIncremental.equiJoinKeys(spark, defSql, srcs.map(_._1).toSet, sessionSchema)
+      else Nil
     val partial =
       try deltas match {
         case Seq((st, fromId, head, _)) =>
@@ -1272,13 +1315,22 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
           }
         case Seq((stA, fromA, headA, aEmpty), (stB, fromB, headB, bEmpty)) =>
           val legs = Seq(
-            if (aEmpty) None else Some(withMvDelta(Map(
-              stA -> deltaOf(stA, fromA, headA),
-              stB -> catalog.readVersionConformed(stB._1, stB._2, headB)))(
-              query(SqlStatement(defSql)))),
-            if (bEmpty) None else Some(withMvDelta(Map(
-              stA -> catalog.readVersionConformed(stA._1, stA._2, fromA),
-              stB -> deltaOf(stB, fromB, headB)))(query(SqlStatement(defSql))))
+            if (aEmpty) None else Some {
+              val dA = deltaOf(stA, fromA, headA)
+              withMvDelta(Map(
+                stA -> dA,
+                stB -> pruneFull(
+                  catalog.readVersionConformed(stB._1, stB._2, headB),
+                  stB, dA, stA, keyPairs)))(query(SqlStatement(defSql)))
+            },
+            if (bEmpty) None else Some {
+              val dB = deltaOf(stB, fromB, headB)
+              withMvDelta(Map(
+                stA -> pruneFull(
+                  catalog.readVersionConformed(stA._1, stA._2, fromA),
+                  stA, dB, stB, keyPairs),
+                stB -> dB))(query(SqlStatement(defSql)))
+            }
           ).flatten
           legs.reduce(_.unionByName(_))
       }

@@ -117,6 +117,65 @@ private[graft] object MvIncremental {
     }
   }
 
+  /** Top-level equi-join key pairs of the two-source join shape: for
+    * each conjunct `x.c1 = y.c2` whose qualifiers unambiguously name the
+    * two sources, the ((source, column), (source, column)) pair. The
+    * refresh uses these to prune the FULL-side scan of a join-leg replay
+    * down to the delta's key values (a 5-row dim append must not re-scan
+    * a 100 TB fact in full — the pushed IN filter reaches the manifest
+    * bounds tier and skips fact files wholesale). Extraction is
+    * conservative: two-part attribute names only, each qualifier
+    * matching exactly one side's alias/table set; anything ambiguous
+    * contributes no pair (pruning is an optimization — a missed pair
+    * just keeps the full scan).
+    */
+  def equiJoinKeys(spark: SparkSession, sql: String,
+                   sources: Set[(String, String)], sessionSchema: String)
+      : Seq[(((String, String), String), ((String, String), String))] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo}
+    val plan =
+      try spark.sessionState.sqlParser.parsePlan(sql)
+      catch { case _: Exception => return Nil }
+    val joins = plan.collect { case j: Join => j }
+    if (joins.size != 1 || joins.head.joinType != Inner) return Nil
+    val j = joins.head
+    def side(p: LogicalPlan): Option[(Set[String], (String, String))] = {
+      val rels = p.collect { case r: UnresolvedRelation => r }
+      if (rels.size != 1) return None
+      val st = rels.head.multipartIdentifier match {
+        case Seq(t) => (sessionSchema, t)
+        case Seq(s, t) => (s, t)
+        case _ => return None
+      }
+      if (!sources.contains(st)) return None
+      val aliases = p.collect {
+        case a: SubqueryAlias => a.alias.toLowerCase(java.util.Locale.ROOT) }
+      Some(((aliases :+ st._2.toLowerCase(java.util.Locale.ROOT)).toSet, st))
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => conjuncts(a) ++ conjuncts(b)
+      case x => Seq(x)
+    }
+    (side(j.left), side(j.right)) match {
+      case (Some((lids, lst)), Some((rids, rst))) if lst != rst =>
+        j.condition.toSeq.flatMap(conjuncts).flatMap {
+          case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
+              if a.nameParts.length == 2 && b.nameParts.length == 2 =>
+            val (qa, ca) = (a.nameParts.head.toLowerCase(java.util.Locale.ROOT),
+              a.nameParts.last)
+            val (qb, cb) = (b.nameParts.head.toLowerCase(java.util.Locale.ROOT),
+              b.nameParts.last)
+            if (lids(qa) && rids(qb) && !rids(qa) && !lids(qb))
+              Some(((lst, ca), (rst, cb)))
+            else if (rids(qa) && lids(qb) && !lids(qa) && !rids(qb))
+              Some(((lst, cb), (rst, ca)))
+            else None
+          case _ => None
+        }
+      case _ => Nil
+    }
+  }
+
   /** child is the bare source: UnresolvedRelation, optionally aliased
     * and/or under ONE row-wise Filter. Anything else (joins, generators,
     * nested queries) disqualifies.
@@ -214,16 +273,17 @@ private[graft] object MvIncremental {
   private def attrName(a: UnresolvedAttribute): String =
     a.nameParts.last.toLowerCase(java.util.Locale.ROOT)
 
-  /** A measure merges iff it is count/sum/min/max, non-DISTINCT, with no
-    * FILTER clause (a filtered aggregate's delta would need the filter
-    * re-applied — the delta run does that, so FILTER is actually fine for
-    * the partial, but DISTINCT is not; keep FILTER out conservatively
-    * until a spec pins it).
+  /** A measure merges iff it is count/sum/min/max, non-DISTINCT. A
+    * FILTER clause is delta-safe: the definition replay applies it to
+    * the delta rows, and both union sides of the merge are already
+    * post-filter aggregates, so the merge needs no re-application (the
+    * filter expression itself passed [[expressionsSafe]] — it is part
+    * of the UnresolvedFunction's expression tree). DISTINCT is not
+    * decomposable (an element may occur on both sides).
     */
   private def classifyAgg(spark: SparkSession, f: UnresolvedFunction): Option[MvOut] = {
     val n = fnName(f)
-    if (mergeable.contains(n) && !f.isDistinct && f.filter.isEmpty &&
-        isAggFunction(spark, f))
+    if (mergeable.contains(n) && !f.isDistinct && isAggFunction(spark, f))
       Some(MvMerge(n))
     else None
   }

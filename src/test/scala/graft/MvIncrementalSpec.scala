@@ -210,6 +210,25 @@ class MvIncrementalSpec extends SparkSpec {
       Seq(Seq("ALPHA", 30L), Seq("beta", 30L)))
   }
 
+  test("FILTER-clause measures merge incrementally (the replay applies the filter)") {
+    val e = freshEngine("mvi-filter")
+    val defSql = """SELECT grp, count(*) FILTER (WHERE v >= 20) AS big_n,
+                   |       sum(v) FILTER (WHERE v < 20) AS small_sum,
+                   |       max(v) FILTER (WHERE v % 2 = 0) AS even_max
+                   |FROM demo.src GROUP BY grp""".stripMargin
+    e.executeNonQuery(SqlStatement(s"CREATE MATERIALIZED VIEW demo.mvflt AS $defSql"))
+    // deltas hitting each filter differently: rows matching none/some/all
+    e.executeNonQuery(SqlStatement(
+      "INSERT INTO demo.src VALUES (4, 'a', 3), (5, 'b', 21), (6, 'c', 8)"))
+    e.executeNonQuery(SqlStatement("REFRESH MATERIALIZED VIEW demo.mvflt"))
+    assert(e.lastMvRefreshMode === "incremental-merge")
+    assertMatchesRecompute(e, "mvflt", defSql, "grp")
+    // a DISTINCT measure stays ineligible even with the filter admitted
+    assert(MvIncremental.classify(e.spark,
+      "SELECT grp, count(DISTINCT v) AS n FROM demo.src GROUP BY grp",
+      Set(("demo", "src")), "default") === None)
+  }
+
   test("drop/recreate of a source forces recompute — never a false noop or tail replay") {
     val e = freshEngine("mvi-recreate")
     val defSql = "SELECT grp, sum(v) AS total FROM demo.src GROUP BY grp"
@@ -273,6 +292,45 @@ class MvIncrementalSpec extends SparkSpec {
     fs.foreach(Await.result(_, 120.seconds))
     assertMatchesRecompute(e, "mva", defA, "grp")
     assertMatchesRecompute(e, "mvb", defB, "grp")
+  }
+
+  test("join MV: a dim delta prunes the fact-side replay to the delta's keys") {
+    val e = new GraftEngine(spark, tmpDir("mvi-dimprune"))
+    e.executeNonQuery(SqlStatement(
+      "CREATE TABLE demo.fact (id bigint, k bigint, v bigint)"))
+    e.executeNonQuery(SqlStatement("CREATE TABLE demo.dim (k bigint, label varchar)"))
+    // three fact files with DISJOINT key ranges (one multi-row file per
+    // commit so manifest bounds are real)
+    def ins(rows: (Long, Long, Long)*): Unit =
+      e.catalog.insert("demo", "fact", rows.toSeq.toDF("id", "k", "v").coalesce(1))
+    ins((1L, 1L, 10L), (2L, 2L, 20L), (3L, 3L, 30L))
+    ins((11L, 11L, 10L), (12L, 12L, 20L))
+    ins((21L, 21L, 10L), (22L, 22L, 20L))
+    e.executeNonQuery(SqlStatement("INSERT INTO demo.dim VALUES (1, 'a'), (11, 'b')"))
+    val defSql = """SELECT f.id, d.label, f.v FROM demo.fact f
+                   |JOIN demo.dim d ON f.k = d.k""".stripMargin
+    e.executeNonQuery(SqlStatement(s"CREATE MATERIALIZED VIEW demo.mvj AS $defSql"))
+    // dim-only delta whose key lives ONLY in the third fact file; corrupt
+    // the other two — the A_old ⋈ ΔB replay must prune them via the
+    // pushed IN filter + manifest bounds and never open them
+    e.executeNonQuery(SqlStatement("INSERT INTO demo.dim VALUES (21, 'c')"))
+    val files = e.query(SqlStatement("""SELECT file_path FROM demo."fact$files""""))
+      .collect().map(_.getString(0))
+    def corrupt(path: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = f.create(p, true)
+      out.write("not parquet".getBytes("UTF-8")); out.close()
+    }
+    // identify files by insertion order: the $files listing carries all
+    // three; corrupt every file except the one holding ids 21/22
+    val keep = files.filter(_.contains("snap-00003"))
+    assert(keep.nonEmpty, s"expected the third commit's file among:\n${files.mkString("\n")}")
+    files.filterNot(keep.contains).foreach(corrupt)
+    e.executeNonQuery(SqlStatement("REFRESH MATERIALIZED VIEW demo.mvj"))
+    assert(e.lastMvRefreshMode === "incremental-append")
+    assert(rows(e, "SELECT id, label, v FROM demo.mvj ORDER BY id") ===
+      Seq(Seq(1L, "a", 10L), Seq(11L, "b", 10L), Seq(21L, "c", 10L)))
   }
 
   test("classify: shapes at the boundary") {
