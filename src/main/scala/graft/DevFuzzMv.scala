@@ -44,7 +44,15 @@ object DevFuzzMv {
         |FROM demo.src GROUP BY 1""".stripMargin,
       """SELECT grp AS g, sum(id) AS si, count(*) AS n
         |FROM demo.src WHERE v >= 10 GROUP BY grp""".stripMargin,
-      """SELECT count(*) AS n, sum(v) AS sv, max(id) AS mi FROM demo.src""")
+      """SELECT count(*) AS n, sum(v) AS sv, max(id) AS mi FROM demo.src""",
+      // round-11 widenings: avg (hidden sum/count partials) and
+      // FILTER-clause measures — all merge incrementally now
+      """SELECT grp, avg(v) AS a, count(*) AS n FROM demo.src GROUP BY grp""",
+      """SELECT grp, sum(v) FILTER (WHERE v >= 50) AS hs,
+        |       count(*) FILTER (WHERE v < 50) AS ln
+        |FROM demo.src GROUP BY grp""".stripMargin,
+      """SELECT avg(v) AS a, avg(id) FILTER (WHERE v % 2 = 0) AS ea
+        |FROM demo.src""".stripMargin)
     val spjDefs = IndexedSeq(
       """SELECT id, grp, v FROM demo.src WHERE v % 2 = 0""",
       """SELECT id, upper(grp) AS gu, v * 2 AS v2 FROM demo.src""",
@@ -59,8 +67,8 @@ object DevFuzzMv {
          |JOIN demo.dim d ON s.grp = d.g
          |WHERE s.v % 2 = 0""".stripMargin, "incremental-append"))
     val badDefs = IndexedSeq( // must never run incrementally
-      """SELECT grp, avg(v) AS a FROM demo.src GROUP BY grp""",
       """SELECT DISTINCT grp FROM demo.src""",
+      """SELECT grp, avg(DISTINCT v) AS a FROM demo.src GROUP BY grp""",
       """SELECT grp, count(DISTINCT v) AS dv FROM demo.src GROUP BY grp""",
       """SELECT a.id AS id, b.v AS v FROM demo.src a
         |JOIN demo.src b ON a.id = b.id""".stripMargin)

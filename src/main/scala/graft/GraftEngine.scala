@@ -321,7 +321,7 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
           else throw new GraftQueryException(sqlText,
             s"Materialized view $schema.$view already exists")
         } else {
-          val result = query(SqlStatement(select))
+          val result = mvMaterialization(select)
           try {
             catalog.createMaterializedView(schema, view, select, result,
               referencedSources(select))
@@ -341,7 +341,7 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
           refreshIncremental(schema, view, meta).getOrElse {
             lastMvRefreshMode = "full"
             val refreshed = catalog.refreshMaterializedView(schema, view,
-              query(SqlStatement(meta._1)), referencedSources(meta._1))
+              mvMaterialization(meta._1), referencedSources(meta._1))
             // the refresh wrote and footer-scanned the data already — the
             // returned count is metadata arithmetic, not a second table scan
             catalog.snapshotRowCount(schema, view, refreshed)
@@ -826,6 +826,7 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
         val fields =
           if (catalog.tableExists(sch, tbl))
             catalog.declaredSchema(sch, tbl).map(_.fields.toSeq).getOrElse(Seq.empty)
+              .filterNot(_.name.startsWith("__mv_"))
           else if (catalog.viewExists(sch, tbl))
             query(SqlStatement(catalog.viewSql(sch, tbl).get)).schema.fields.toSeq
           else throw new GraftQueryException(sql, s"Table or view $sch.$tbl does not exist")
@@ -1156,7 +1157,7 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
       Some(view)
     } else if (catalog.tableExists(sch, tbl)) {
       val view = s"_cat_${sch}_${tbl}_${nameTag(sch, tbl)}"
-      catalog.readLatest(sch, tbl).createOrReplaceTempView(view)
+      concealMv(catalog.readLatest(sch, tbl)).createOrReplaceTempView(view)
       Some(view)
     } else if (catalog.viewExists(sch, tbl)) {
       if (viewDepth.get() >= 16)
@@ -1235,6 +1236,28 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
       recordedIds.get(s"$s.$t").contains(catalog.tableIdentity(s, t)) }) return None
     val shape = MvIncremental.classify(spark, defSql,
       srcs.map(_._1).toSet, sessionSchema).getOrElse(return None)
+    // avg measures maintain through hidden sum/count partials: the
+    // stored table must already CARRY them (written by an avg-aware
+    // create/full-refresh) and every avg output must be double (the
+    // only type whose merge-divide reproduces Spark's Average exactly;
+    // decimal avg has its own division/rounding semantics) — anything
+    // else recomputes
+    val aggOutputs: Seq[MvIncremental.MvOut] = shape match {
+      case MvIncremental.MvAggShape(o) => o
+      case _ => Nil
+    }
+    val hasAvg = aggOutputs.contains(MvIncremental.MvAvg)
+    if (hasAvg) {
+      val mvF = catalog.declaredSchema(schema, view).map(_.fields).getOrElse(return None)
+      val nAvg = aggOutputs.count(_ == MvIncremental.MvAvg)
+      if (mvF.length != aggOutputs.length + 2 * nAvg) return None
+      val typesOk = aggOutputs.zipWithIndex.forall {
+        case (MvIncremental.MvAvg, i) =>
+          mvF(i).dataType == org.apache.spark.sql.types.DoubleType
+        case _ => true
+      }
+      if (!typesOk) return None
+    }
     val heads = srcs.map { case (st, fromId) =>
       (st, fromId, catalog.snapshots(st._1, st._2)
         .lastOption.map(_.snapshotId).getOrElse(0L))
@@ -1307,29 +1330,35 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
       if (deltas.size == 2)
         MvIncremental.equiJoinKeys(spark, defSql, srcs.map(_._1).toSet, sessionSchema)
       else Nil
+    // one replay runner for both strategies: the plain path substitutes
+    // through the temp-view machinery; the avg path runs the
+    // plan-surgery replay that appends the hidden sum/count partials
+    def runDef(m: Map[(String, String), DataFrame]): DataFrame =
+      if (!hasAvg) withMvDelta(m)(query(SqlStatement(defSql)))
+      else MvIncremental.replayAugmented(spark, defSql, m, sessionSchema, aggOutputs)
+        .getOrElse(throw new GraftQueryException(defSql,
+          "augmented avg replay failed to analyze"))
     val partial =
       try deltas match {
         case Seq((st, fromId, head, _)) =>
-          withMvDelta(Map(st -> deltaOf(st, fromId, head))) {
-            query(SqlStatement(defSql))
-          }
+          runDef(Map(st -> deltaOf(st, fromId, head)))
         case Seq((stA, fromA, headA, aEmpty), (stB, fromB, headB, bEmpty)) =>
           val legs = Seq(
             if (aEmpty) None else Some {
               val dA = deltaOf(stA, fromA, headA)
-              withMvDelta(Map(
+              runDef(Map(
                 stA -> dA,
                 stB -> pruneFull(
                   catalog.readVersionConformed(stB._1, stB._2, headB),
-                  stB, dA, stA, keyPairs)))(query(SqlStatement(defSql)))
+                  stB, dA, stA, keyPairs)))
             },
             if (bEmpty) None else Some {
               val dB = deltaOf(stB, fromB, headB)
-              withMvDelta(Map(
+              runDef(Map(
                 stA -> pruneFull(
                   catalog.readVersionConformed(stA._1, stA._2, fromA),
                   stA, dB, stB, keyPairs),
-                stB -> dB))(query(SqlStatement(defSql)))
+                stB -> dB))
             }
           ).flatten
           legs.reduce(_.unionByName(_))
@@ -1366,22 +1395,63 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
     Some(catalog.snapshotRowCount(schema, view, snap))
   }
 
+  /** The frame CREATE MATERIALIZED VIEW / full REFRESH materializes for
+    * a definition: the plain query result — or, for an incrementally-
+    * maintainable aggregate with avg measures whose visible outputs are
+    * double, the AUGMENTED frame carrying the hidden sum/count partials
+    * after the visible columns (the engine conceals `__mv_` columns on
+    * reads; [[mergePartials]] consumes them on incremental refresh).
+    */
+  private def mvMaterialization(select: String): DataFrame = {
+    val srcSet = referencedSources(select).keys.flatMap { k =>
+      k.split('.') match {
+        case Array(s, t) => Some((s, t))
+        case _ => None
+      }
+    }.toSet
+    val avgOut = MvIncremental.classify(spark, select, srcSet, sessionSchema) match {
+      case Some(MvIncremental.MvAggShape(o)) if o.contains(MvIncremental.MvAvg) =>
+        Some(o)
+      case _ => None
+    }
+    avgOut.flatMap { o =>
+      val subs = srcSet.map { case (s, t) =>
+        (s, t) -> catalog.readLatest(s, t) }.toMap
+      MvIncremental.replayAugmented(spark, select, subs, sessionSchema, o)
+        .filter { df =>
+          val fs = df.schema.fields
+          o.zipWithIndex.forall {
+            case (MvIncremental.MvAvg, i) =>
+              fs(i).dataType == org.apache.spark.sql.types.DoubleType
+            case _ => true
+          }
+        }
+    }.getOrElse(query(SqlStatement(select)))
+  }
+
   /** Merge the materialized rows with the delta's partial aggregate:
     * re-group by the key columns, count merges by SUM, sum/min/max by
     * themselves; each measure casts back to the view's declared column
     * type (re-summing widens decimals). An all-keys aggregate (GROUP BY
-    * with no measures) merges as DISTINCT.
+    * with no measures) merges as DISTINCT. avg measures merge through
+    * their hidden sum/count partials (`__mv_s_i`/`__mv_c_i`, stored
+    * after the visible columns): both partials re-SUM, then the visible
+    * value re-divides — guarded against a zero merged count (an all-NULL
+    * group), where avg is NULL.
     */
   private def mergePartials(current: DataFrame, partial: DataFrame,
                             outputs: Seq[MvIncremental.MvOut]): DataFrame = {
-    import org.apache.spark.sql.functions.{col, max, min, sum}
+    import org.apache.spark.sql.functions.{col, lit, max, min, sum, when}
     val fields = current.schema.fields
-    require(fields.length == outputs.length,
-      s"MV has ${fields.length} columns but the definition classified ${outputs.length}")
+    val nAvg = outputs.count(_ == MvIncremental.MvAvg)
+    require(fields.length == outputs.length + 2 * nAvg,
+      s"MV has ${fields.length} columns but the definition classified " +
+        s"${outputs.length} (+ ${2 * nAvg} hidden avg partials)")
     val u = current.union(partial.toDF(fields.map(_.name).toSeq: _*))
-    val keys = fields.zip(outputs).collect {
+    val visible = fields.take(outputs.length)
+    val keys = visible.zip(outputs).collect {
       case (f, MvIncremental.MvKey) => col(f.name) }.toSeq
-    val aggs = fields.zip(outputs).collect {
+    val aggs = visible.zip(outputs).collect {
       case (f, MvIncremental.MvMerge(fn)) =>
         val m = fn match {
           case "count" | "sum" => sum(col(f.name))
@@ -1389,11 +1459,22 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
           case "max" => max(col(f.name))
         }
         m.cast(f.dataType).as(f.name)
-    }.toSeq
+    }.toSeq ++ outputs.zipWithIndex.collect {
+      case (MvIncremental.MvAvg, i) => Seq(
+        sum(col(s"__mv_s_$i")).as(s"__mv_s_$i"),
+        sum(col(s"__mv_c_$i")).cast("long").as(s"__mv_c_$i"))
+    }.flatten
     val grouped =
       if (aggs.isEmpty) u.distinct()
       else u.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
-    grouped.select(fields.map(f => col(f.name)).toSeq: _*)
+    val selects = fields.zipWithIndex.map { case (f, idx) =>
+      if (idx < outputs.length && outputs(idx) == MvIncremental.MvAvg)
+        when(col(s"__mv_c_$idx") === 0L, lit(null))
+          .otherwise(col(s"__mv_s_$idx") / col(s"__mv_c_$idx"))
+          .cast(f.dataType).as(f.name)
+      else col(f.name)
+    }.toSeq
+    grouped.select(selects: _*)
   }
 
   private[graft] def rewriteCatalogRefs(sql: String): String = {
@@ -1439,6 +1520,16 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
     * return each other's rows). The hash is over the NUL-separated pair,
     * which no identifier can contain.
     */
+  /** Drop `__mv_` columns — an avg-MV's hidden sum/count partials are
+    * internal refresh state, never part of the user-visible result set
+    * (applies to latest reads AND time travel; the `"t$…"` metadata
+    * tables stay raw by design).
+    */
+  private def concealMv(df0: DataFrame): DataFrame = {
+    val hidden = df0.columns.filter(_.startsWith("__mv_"))
+    if (hidden.isEmpty) df0 else df0.drop(hidden.toIndexedSeq: _*)
+  }
+
   private def nameTag(sch: String, tbl: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     md.digest(s"$sch\u0000$tbl".getBytes("UTF-8"))
@@ -1510,7 +1601,7 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
               brOpt.map(_ + "_").getOrElse("") + id.toString)
           }
         val view = s"_tv_${sch}_${tbl}_${nameTag(sch, tbl)}_$tag"
-        df.createOrReplaceTempView(view)
+        concealMv(df).createOrReplaceTempView(view)
         java.util.regex.Matcher.quoteReplacement(view)
       }
     })
@@ -1543,8 +1634,8 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
         s"${nameTag(sch, tbl)}_$ts"
       // a branch operand resolves the timestamp against the BRANCH's own
       // history — the audit read "what did the branch hold at t"
-      brOpt.map(catalog.branch).getOrElse(catalog)
-        .readAsOf(sch, tbl, ts).createOrReplaceTempView(view)
+      concealMv(brOpt.map(catalog.branch).getOrElse(catalog)
+        .readAsOf(sch, tbl, ts)).createOrReplaceTempView(view)
       java.util.regex.Matcher.quoteReplacement(view)
   }
 }

@@ -58,6 +58,17 @@ private[graft] object MvIncremental {
   case object MvKey extends MvOut
   /** fn ∈ count|sum|min|max: count merges by SUM, the rest by themselves. */
   final case class MvMerge(fn: String) extends MvOut
+  /** avg: NOT self-mergeable — decomposed into hidden sum+count partial
+    * columns (`__mv_s_i`, `__mv_c_i`, i = output position) that the
+    * storage table carries alongside the visible value and the engine
+    * conceals on reads; the merge re-sums both partials and re-divides.
+    * The hidden sum accumulates over `CAST(arg AS DOUBLE)` — the same
+    * accumulator type Spark's own Average uses for non-decimal inputs —
+    * so merge-then-divide reproduces a recompute bit-for-bit whenever
+    * the sums are exactly representable; decimal-typed avg outputs are
+    * rejected at refresh time (different division/rounding semantics).
+    */
+  case object MvAvg extends MvOut
 
   /** Functions whose value depends on more than their arguments — a
     * definition using one would materialize different rows per run, so
@@ -115,6 +126,82 @@ private[graft] object MvIncremental {
         else Some(MvProjectShape)
       case _ => None
     }
+  }
+
+  /** Replay the definition with each source's [[UnresolvedRelation]]
+    * replaced by a substitute DataFrame's analyzed plan (wrapped in a
+    * SubqueryAlias carrying the table name, so `src.col`-qualified
+    * references keep resolving), and — when the classified outputs carry
+    * [[MvAvg]] — the hidden sum/count partials appended to the
+    * aggregate's output list:
+    * `sum(CAST(arg AS DOUBLE)) AS __mv_s_i, count(arg) AS __mv_c_i`
+    * (FILTER clause preserved on both). Plan surgery instead of SQL-text
+    * rewriting: nothing re-quotes or re-parses user expressions, and the
+    * whole tree analyzes as one ordinary Dataset. None when the SQL does
+    * not re-parse, a referenced relation has no substitute, or an avg
+    * output is not the Alias(avg(..)) shape classify admitted — callers
+    * fall back to full recompute.
+    */
+  def replayAugmented(spark: SparkSession, sql: String,
+                      subs: Map[(String, String), org.apache.spark.sql.DataFrame],
+                      sessionSchema: String,
+                      outputs: Seq[MvOut]): Option[org.apache.spark.sql.DataFrame] = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.DoubleType
+    val plan =
+      try spark.sessionState.sqlParser.parsePlan(sql)
+      catch { case _: Exception => return None }
+    var ok = true
+    val substituted = plan transform {
+      case r: UnresolvedRelation =>
+        val st = r.multipartIdentifier match {
+          case Seq(t) => Some((sessionSchema, t))
+          case Seq(s, t) => Some((s, t))
+          case _ => None
+        }
+        st.flatMap(subs.get) match {
+          case Some(df) =>
+            SubqueryAlias(st.get._2, org.apache.spark.sql.GraftPlanBridge.planOf(df))
+          case None => ok = false; r
+        }
+    }
+    if (!ok) return None
+    def hiddenFor(aggs: Seq[Expression]): Option[Seq[Expression]] = {
+      if (aggs.size != outputs.size) return None
+      val hs = aggs.zip(outputs).zipWithIndex.collect {
+        case ((a, MvAvg), i) =>
+          val fn = a match {
+            case Alias(f: UnresolvedFunction, _) => Some(f)
+            case UnresolvedAlias(f: UnresolvedFunction, _) => Some(f)
+            case _ => None
+          }
+          fn.map(f => Seq(
+            Alias(f.copy(nameParts = Seq("sum"),
+              arguments = Seq(Cast(f.arguments.head, DoubleType))), s"__mv_s_$i")(),
+            Alias(f.copy(nameParts = Seq("count")), s"__mv_c_$i")()))
+      }
+      if (hs.exists(_.isEmpty)) None else Some(hs.flatten.flatten)
+    }
+    val hasAvg = outputs.contains(MvAvg)
+    val augmented =
+      if (!hasAvg) substituted
+      else substituted match {
+        case a @ Aggregate(_, aggs, _, _) =>
+          hiddenFor(aggs) match {
+            case Some(h) => a.copy(aggregateExpressions =
+              (aggs ++ h).map(_.asInstanceOf[org.apache.spark.sql.catalyst.expressions.NamedExpression]))
+            case None => return None
+          }
+        case p @ Project(projList, _) =>
+          hiddenFor(projList) match {
+            case Some(h) => p.copy(projectList =
+              (projList ++ h).map(_.asInstanceOf[org.apache.spark.sql.catalyst.expressions.NamedExpression]))
+            case None => return None
+          }
+        case _ => return None
+      }
+    try Some(org.apache.spark.sql.GraftPlanBridge.ofRows(spark, augmented))
+    catch { case _: org.apache.spark.sql.AnalysisException => None }
   }
 
   /** Top-level equi-join key pairs of the two-source join shape: for
@@ -285,6 +372,9 @@ private[graft] object MvIncremental {
     val n = fnName(f)
     if (mergeable.contains(n) && !f.isDistinct && isAggFunction(spark, f))
       Some(MvMerge(n))
+    else if (n == "avg" && !f.isDistinct && f.arguments.size == 1 &&
+        isAggFunction(spark, f))
+      Some(MvAvg)
     else None
   }
 }

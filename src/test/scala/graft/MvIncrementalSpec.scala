@@ -127,7 +127,7 @@ class MvIncrementalSpec extends SparkSpec {
       Seq(Seq("a", 1L), Seq("b", 2L)))
   }
 
-  test("ineligible definitions recompute: outer join, avg, DISTINCT, self-join, window") {
+  test("ineligible definitions recompute: outer join, DISTINCT, self-join, window") {
     val e = freshEngine("mvi-ineligible")
     e.executeNonQuery(SqlStatement("CREATE TABLE demo.dim (grp varchar, label varchar)"))
     e.executeNonQuery(SqlStatement("INSERT INTO demo.dim VALUES ('a', 'alpha'), ('b', 'beta')"))
@@ -136,7 +136,6 @@ class MvIncrementalSpec extends SparkSpec {
       // not expressible as an append, must recompute
       "oj" -> """SELECT s.id, d.label FROM demo.src s
                 |LEFT JOIN demo.dim d ON s.grp = d.grp""".stripMargin,
-      "avg" -> "SELECT grp, avg(v) AS m FROM demo.src GROUP BY grp",
       "dist" -> "SELECT grp, count(DISTINCT v) AS n FROM demo.src GROUP BY grp",
       "self" -> """SELECT a.grp, count(*) AS n FROM demo.src a
                   |JOIN demo.src b ON a.id = b.id GROUP BY a.grp""".stripMargin,
@@ -227,6 +226,68 @@ class MvIncrementalSpec extends SparkSpec {
     assert(MvIncremental.classify(e.spark,
       "SELECT grp, count(DISTINCT v) AS n FROM demo.src GROUP BY grp",
       Set(("demo", "src")), "default") === None)
+  }
+
+  test("avg measures merge through hidden sum/count partials, concealed on reads") {
+    val e = freshEngine("mvi-avg")
+    val defSql = """SELECT grp, avg(v) AS m, count(*) AS n,
+                   |       avg(v) FILTER (WHERE v >= 20) AS big_m
+                   |FROM demo.src GROUP BY grp""".stripMargin
+    e.executeNonQuery(SqlStatement(s"CREATE MATERIALIZED VIEW demo.mvavg AS $defSql"))
+    // the stored table carries the hidden partials; the engine hides them
+    assert(e.catalog.declaredSchema("demo", "mvavg").get.fieldNames
+      .count(_.startsWith("__mv_")) === 4)
+    assert(e.query(SqlStatement("SELECT * FROM demo.mvavg")).columns.toSeq ===
+      Seq("grp", "m", "n", "big_m"))
+    // deltas: grow group a (shifting its mean), add group c, all-filtered
+    e.executeNonQuery(SqlStatement("INSERT INTO demo.src VALUES (4, 'a', 7)"))
+    e.executeNonQuery(SqlStatement(
+      "INSERT INTO demo.src VALUES (5, 'c', 50), (6, 'c', 5), (7, 'b', 1)"))
+    e.executeNonQuery(SqlStatement("REFRESH MATERIALIZED VIEW demo.mvavg"))
+    assert(e.lastMvRefreshMode === "incremental-merge")
+    assertMatchesRecompute(e, "mvavg", defSql, "grp")
+    // a second wave keeps merging (partials accumulated, not recomputed)
+    e.executeNonQuery(SqlStatement("INSERT INTO demo.src VALUES (8, 'a', 100)"))
+    e.executeNonQuery(SqlStatement("REFRESH MATERIALIZED VIEW demo.mvavg"))
+    assert(e.lastMvRefreshMode === "incremental-merge")
+    assertMatchesRecompute(e, "mvavg", defSql, "grp")
+    // DESCRIBE hides the partials and reports the merge strategy
+    val desc = e.query(SqlStatement("DESCRIBE demo.mvavg")).collect()
+    assert(!desc.exists(_.getString(0).startsWith("__mv_")))
+    assert(desc.exists(r => r.getString(0) == "# refresh_strategy" &&
+      r.getString(1) == "incremental-merge"))
+    // a non-append commit still recomputes and REBUILDS the partials,
+    // after which incremental merging resumes
+    e.executeNonQuery(SqlStatement("DELETE FROM demo.src WHERE id = 4"))
+    e.executeNonQuery(SqlStatement("REFRESH MATERIALIZED VIEW demo.mvavg"))
+    assert(e.lastMvRefreshMode === "full")
+    assertMatchesRecompute(e, "mvavg", defSql, "grp")
+    e.executeNonQuery(SqlStatement("INSERT INTO demo.src VALUES (9, 'b', 13)"))
+    e.executeNonQuery(SqlStatement("REFRESH MATERIALIZED VIEW demo.mvavg"))
+    assert(e.lastMvRefreshMode === "incremental-merge")
+    assertMatchesRecompute(e, "mvavg", defSql, "grp")
+  }
+
+  test("avg over a join MV merges incrementally; global avg too") {
+    val e = freshEngine("mvi-avg-join")
+    e.executeNonQuery(SqlStatement("CREATE TABLE demo.dim (grp varchar, label varchar)"))
+    e.executeNonQuery(SqlStatement(
+      "INSERT INTO demo.dim VALUES ('a', 'alpha'), ('b', 'beta'), ('c', 'gamma')"))
+    val defJoin = """SELECT d.label AS label, avg(s.v) AS m
+                    |FROM demo.src s JOIN demo.dim d ON s.grp = d.grp
+                    |GROUP BY d.label""".stripMargin
+    val defGlobal = "SELECT avg(v) AS m, count(*) AS n FROM demo.src"
+    e.executeNonQuery(SqlStatement(s"CREATE MATERIALIZED VIEW demo.mvaj AS $defJoin"))
+    e.executeNonQuery(SqlStatement(s"CREATE MATERIALIZED VIEW demo.mvag AS $defGlobal"))
+    e.executeNonQuery(SqlStatement(
+      "INSERT INTO demo.src VALUES (4, 'c', 41), (5, 'a', 2)"))
+    e.executeNonQuery(SqlStatement("INSERT INTO demo.dim VALUES ('z', 'zeta')"))
+    e.executeNonQuery(SqlStatement("REFRESH MATERIALIZED VIEW demo.mvaj"))
+    assert(e.lastMvRefreshMode === "incremental-merge")
+    assertMatchesRecompute(e, "mvaj", defJoin, "label")
+    e.executeNonQuery(SqlStatement("REFRESH MATERIALIZED VIEW demo.mvag"))
+    assert(e.lastMvRefreshMode === "incremental-merge")
+    assertMatchesRecompute(e, "mvag", defGlobal, "n")
   }
 
   test("drop/recreate of a source forces recompute — never a false noop or tail replay") {

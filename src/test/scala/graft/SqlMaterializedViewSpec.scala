@@ -69,8 +69,12 @@ class SqlMaterializedViewSpec extends SparkSpec {
     e.executeNonQuery(SqlStatement(
       "CREATE MATERIALIZED VIEW demo.mv_p AS SELECT id FROM demo.src WHERE id > 1"))
     assert(strategy("mv_p") === "incremental-append")
+    // avg now classifies (hidden sum/count partials, round 11)
     e.executeNonQuery(SqlStatement(
-      "CREATE MATERIALIZED VIEW demo.mv_f AS SELECT avg(id) AS a FROM demo.src"))
+      "CREATE MATERIALIZED VIEW demo.mv_a AS SELECT avg(id) AS a FROM demo.src"))
+    assert(strategy("mv_a") === "incremental-merge")
+    e.executeNonQuery(SqlStatement(
+      "CREATE MATERIALIZED VIEW demo.mv_f AS SELECT DISTINCT id FROM demo.src"))
     assert(strategy("mv_f") === "full-recompute")
   }
 
