@@ -43,7 +43,7 @@ object DevFuzz {
       case 1 => s"(${atom()} AND ${atom()})"
       case 2 => s"(${atom()} OR ${atom()})"
     }
-    def genQuery(): String = rnd.nextInt(5) match {
+    def genQuery(): String = rnd.nextInt(6) match {
       case 0 => // filtered projection + limit. ORDER BY lists EVERY
         // projected column: the synthetic lineitem does NOT honor the
         // TPC-H (l_orderkey, l_linenumber) primary key (duplicates up to
@@ -71,6 +71,19 @@ object DevFuzz {
         val g = pick(intCols.take(3))
         s"SELECT $g, COUNT(*) AS c FROM lineitem WHERE ${pred()} " +
           s"GROUP BY $g HAVING COUNT(*) >= ${rnd.nextInt(3) + 2} ORDER BY $g"
+      case 5 => // NULLABLE sort key (round-11): the engine rewrites the
+        // bare ORDER BY to Trino/DuckDB's NULLS LAST / DESC NULLS FIRST
+        // defaults — without the rewrite Spark's opposite default makes
+        // every null-carrying LIMIT boundary diverge from the oracle
+        val i1 = pick(intCols)
+        val dir = if (rnd.nextBoolean()) " DESC" else ""
+        // DOUBLE cast: a null-carrying integer column lands as float64
+        // in pandas on the Spark side but int64 from DuckDB — the usual
+        // dtype-harmonization rule for nullable numeric projections
+        s"SELECT l_orderkey, l_linenumber, " +
+          s"CAST(NULLIF($i1 % ${rnd.nextInt(5) + 3}, 0) AS DOUBLE) AS nk " +
+          s"FROM lineitem WHERE ${pred()} " +
+          s"ORDER BY nk$dir, l_orderkey, l_linenumber LIMIT ${rnd.nextInt(300) + 50}"
     }
 
     val engine = new GraftEngine(spark, outDir + "/wh")

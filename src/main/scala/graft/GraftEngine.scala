@@ -57,7 +57,8 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
         case None =>
           introspectionQuery(stmt.text).getOrElse(
             spark.sql(rewriteBareRefs(rewriteCatalogRefs(
-              rewriteTimeTravel(rewriteMetadataRefs(stmt.text))))))
+              rewriteTimeTravel(rewriteMetadataRefs(
+                rewriteNullOrdering(stmt.text)))))))
       }
     } catch {
       // parse + analysis failures (ParseException extends AnalysisException)
@@ -1066,6 +1067,75 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
 
   private def overlapsLiteral(spans: Seq[(Int, Int)], start: Int, end: Int): Boolean =
     spans.exists { case (a, b) => start < b && end > a }
+
+  /** Trino NULL-ordering parity: "The default null ordering is NULLS
+    * LAST, regardless of the ordering direction" (Trino docs, SELECT —
+    * DuckDB's default agrees); Spark defaults to NULLS FIRST on ASC and
+    * NULLS LAST on DESC, so a nullable ascending sort key through the
+    * SQL surface would silently order Trino-divergently. Every ORDER BY
+    * item WITHOUT an explicit NULLS clause gets NULLS LAST appended
+    * before the text reaches spark.sql. Token-aware textual pass: string
+    * literals mask, parens nest (a subquery's own ORDER BY is handled by
+    * its own regex match), and an item ends at a top-level comma, a
+    * clause terminator (LIMIT/OFFSET/FETCH, set ops, a window frame's
+    * ROWS/RANGE/GROUPS), a closing paren, a semicolon, or end of text.
+    */
+  private[graft] def rewriteNullOrdering(sql: String): String = {
+    val spans = literalSpans(sql)
+    val ms = "(?i)\\bORDER\\s+BY\\b".r.findAllMatchIn(sql)
+      .filterNot(m => overlapsLiteral(spans, m.start, m.end)).toList
+    if (ms.isEmpty) return sql
+    val terminators = Set("limit", "offset", "fetch", "rows", "range",
+      "groups", "union", "intersect", "except", "minus")
+    val inserts = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    for (m <- ms) {
+      var i = m.end
+      var depth = 0
+      var itemEnd = -1 // position AFTER the item's last non-ws char
+      val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+      def endItem(): Unit = {
+        if (itemEnd >= 0 && !toks.contains("nulls"))
+          inserts += ((itemEnd, " NULLS LAST"))
+        toks.clear(); itemEnd = -1
+      }
+      var done = false
+      while (i < sql.length && !done) {
+        spans.find { case (a, b) => i >= a && i < b } match {
+          case Some((_, b)) => i = b; itemEnd = i // a literal is content
+          case None =>
+            val c = sql.charAt(i)
+            if (c == '(') { depth += 1; i += 1; itemEnd = i }
+            else if (c == ')') {
+              if (depth == 0) { endItem(); done = true }
+              else { depth -= 1; i += 1; itemEnd = i }
+            }
+            else if (c == ',' && depth == 0) { endItem(); i += 1 }
+            else if (c == ';' && depth == 0) { endItem(); done = true }
+            else if (c.isWhitespace) i += 1
+            else if (c == '"' || c == '`') { // quoted identifier: opaque token
+              val close = sql.indexOf(c, i + 1)
+              i = if (close < 0) sql.length else close + 1
+              if (depth == 0) toks += " quoted"
+              itemEnd = i
+            }
+            else if (c.isLetter || c == '_') {
+              val ws = i
+              while (i < sql.length &&
+                (sql.charAt(i).isLetterOrDigit || sql.charAt(i) == '_')) i += 1
+              val w = sql.substring(ws, i).toLowerCase(java.util.Locale.ROOT)
+              if (depth == 0 && terminators.contains(w)) { endItem(); done = true }
+              else { if (depth == 0) toks += w; itemEnd = i }
+            }
+            else { i += 1; itemEnd = i }
+        }
+      }
+      if (!done) endItem()
+    }
+    if (inserts.isEmpty) return sql
+    val sb = new StringBuilder(sql)
+    inserts.sortBy(-_._1).foreach { case (at, txt) => sb.insert(at, txt) }
+    sb.toString
+  }
 
   /** Resolve `FROM/JOIN [catalog.]schema.table` references against the
     * snapshot catalog, so the reference's query SQL runs verbatim
