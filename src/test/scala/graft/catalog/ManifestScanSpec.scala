@@ -79,6 +79,23 @@ class ManifestScanSpec extends SparkSpec {
     assert(filesRead(c.readLatest("s", "t1").filter(col("id") > 100L)) == 0)
   }
 
+  test("parallel plan-time pruning (past-threshold walk) keeps the same files") {
+    // force the fork-join walk on a small fixture: survivors must be
+    // IDENTICAL to the serial walk's, results included
+    val saved = org.apache.spark.sql.GraftManifestFileIndex.distributedPruneThreshold
+    try {
+      org.apache.spark.sql.GraftManifestFileIndex.distributedPruneThreshold = 0
+      val c = freshCatalog()
+      seed(c, "tp")
+      assert(filesRead(c.readLatest("s", "tp").filter(col("id") === 12L)) == 1)
+      assert(filesRead(c.readLatest("s", "tp").filter(col("id") >= 11L)) == 2)
+      assert(filesRead(c.readLatest("s", "tp").filter(col("id") > 100L)) == 0)
+      assert(c.readLatest("s", "tp").filter(col("id") === 12L)
+        .select("grp").as[String].collect().toSeq == Seq("b"))
+    } finally
+      org.apache.spark.sql.GraftManifestFileIndex.distributedPruneThreshold = saved
+  }
+
   test("string bounds prune too") {
     val c = freshCatalog()
     seed(c, "t2")
