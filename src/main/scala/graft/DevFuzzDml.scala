@@ -34,13 +34,20 @@ object DevFuzzDml {
     def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
 
     // predicate atoms in the Spark∩DuckDB common subset; nullif-injected
-    // NULL regionkeys make 3VL live on every later predicate
-    def atom(): String = rnd.nextInt(5) match {
+    // NULL regionkeys make 3VL live on every later predicate. The two
+    // RANGE shapes (round-11) are bounds-TOTAL over whole files — the
+    // low cut over base-nation files, the 10⁶ cut over every add_files-
+    // adopted slice (their ids all sit ≥ 10⁶) — so DELETEs drawing them
+    // exercise the metadata-drop tier, including its dropGate blocking
+    // when a prior upsert left pending equality deletes
+    def atom(): String = rnd.nextInt(7) match {
       case 0 => s"n_regionkey = ${rnd.nextInt(5)}"
       case 1 => s"n_nationkey % ${rnd.nextInt(5) + 2} = ${rnd.nextInt(2)}"
       case 2 => s"n_name LIKE '${('A' + rnd.nextInt(26)).toChar}%'"
       case 3 => s"nullif(n_regionkey, ${rnd.nextInt(5)}) = ${rnd.nextInt(5)}"
       case 4 => s"n_nationkey >= ${rnd.nextInt(25)}"
+      case 5 => s"n_nationkey <= ${rnd.nextInt(30)}"
+      case 6 => "n_nationkey >= 1000000"
     }
     def pred(): String = rnd.nextInt(3) match {
       case 0 => atom()

@@ -162,7 +162,7 @@ object DevFuzzMv {
 
       val nOps = 10 + rnd.nextInt(6)
       (0 until nOps).foreach { op =>
-        rnd.nextInt(11) match {
+        rnd.nextInt(13) match {
           case 0 | 1 | 2 | 3 =>
             val k = 1 + rnd.nextInt(4); insert(k); inserted("src") += k
           case 4 =>
@@ -198,6 +198,24 @@ object DevFuzzMv {
             e.executeNonQuery(SqlStatement(
               s"UPDATE demo.dim SET w = w + 1 WHERE g = $g"))
             if (matched > 0) nonAppend("dim") = true
+          case 11 =>
+            // metadata-delete shape (round-11): an id-range retention
+            // DELETE whose bounds may prove whole files total — the
+            // pure-metadata commit is still a NON-APPEND commit, so
+            // every MV over src must recompute (or noop), never replay
+            val cut = if (nextId <= 1) 1L else 1L + rnd.nextLong(nextId)
+            val matched = countWhere("src", s"id <= $cut")
+            e.executeNonQuery(SqlStatement(s"DELETE FROM demo.src WHERE id <= $cut"))
+            if (matched > 0) nonAppend("src") = true
+          case 12 =>
+            // drop/recreate: snapshot ids restart — the incarnation
+            // identity must force recompute even when the new head id
+            // matches the recorded one (the false-noop trap)
+            e.executeNonQuery(SqlStatement("DROP TABLE demo.src"))
+            e.executeNonQuery(SqlStatement(
+              "CREATE TABLE demo.src (id bigint, grp varchar, v bigint)"))
+            insert(2 + rnd.nextInt(3))
+            nonAppend("src") = true
         }
       }
       refreshAll("final")
