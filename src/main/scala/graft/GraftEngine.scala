@@ -1115,7 +1115,7 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
             else if (c == '"' || c == '`') { // quoted identifier: opaque token
               val close = sql.indexOf(c, i + 1)
               i = if (close < 0) sql.length else close + 1
-              if (depth == 0) toks += " quoted"
+              if (depth == 0) toks += "_quoted_"
               itemEnd = i
             }
             else if (c.isLetter || c == '_') {
