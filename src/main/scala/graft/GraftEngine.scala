@@ -491,9 +491,10 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
             throw new GraftQueryException(sqlText, e.getMessage, e)
         }
       case graft.catalog.AlterExecuteStmt(schema, table, proc, args) =>
-        // register_table and migrate are the procedures whose target
-        // must NOT exist yet
-        if (proc != "register_table" && proc != "migrate")
+        // register_table / register_iceberg_table / migrate are the
+        // procedures whose target must NOT exist yet
+        if (proc != "register_table" && proc != "register_iceberg_table" &&
+            proc != "migrate")
           requireCatalogTable(sqlText, schema, table)
         proc match {
           case "register_table" =>
@@ -501,6 +502,17 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
               throw new GraftQueryException(sqlText,
                 "register_table requires table_location => '<path>'"))
             try { catalog.registerTable(schema, table, loc); 0L }
+            catch { case e: IllegalArgumentException =>
+              throw new GraftQueryException(sqlText, e.getMessage, e) }
+          case "register_iceberg_table" =>
+            val loc = args.getOrElse("table_location",
+              throw new GraftQueryException(sqlText,
+                "register_iceberg_table requires table_location => '<path>'"))
+            try {
+              catalog.registerIcebergTable(schema, table, loc,
+                args.get("metadata_file"))
+              0L
+            }
             catch { case e: IllegalArgumentException =>
               throw new GraftQueryException(sqlText, e.getMessage, e) }
           case "migrate" =>

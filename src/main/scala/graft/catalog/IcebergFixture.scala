@@ -1,0 +1,242 @@
+package graft.catalog
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord, GenericRecordBuilder}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+import scala.jdk.CollectionConverters._
+
+/** Minimal SPEC-CONFORMANT Apache Iceberg tree writer — the fixture side
+  * of [[IcebergInterop]], used by the interop spec and the registry
+  * demo. Writes genuine Avro manifest lists + manifests (the field
+  * names, k/v-array map encoding, and binary single-value bounds of
+  * iceberg.apache.org/spec/#manifests) and a handcrafted v1/v2
+  * `metadata.json`, so the READER is exercised against the real on-disk
+  * shapes rather than its own output. Deliberately independent of the
+  * reader: bounds are encoded with raw ByteBuffers here and decoded by
+  * [[IcebergInterop.decodeBound]] there.
+  */
+object IcebergFixture {
+
+  /** One data file to track: absolute path, rows, bytes, per-column
+    * (fieldId → (lowerBytes, upperBytes, nullCount)).
+    */
+  final case class FileRef(path: String, rows: Long, bytes: Long,
+                           stats: Map[Int, (Array[Byte], Array[Byte], Long)])
+
+  final case class SnapRef(id: Long, timestampMs: Long, files: Seq[FileRef])
+
+  def encodeLong(v: Long): Array[Byte] =
+    java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(v).array()
+
+  def encodeInt(v: Int): Array[Byte] =
+    java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+
+  def encodeDouble(v: Double): Array[Byte] =
+    java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putDouble(v).array()
+
+  def encodeString(v: String): Array[Byte] = v.getBytes("UTF-8")
+
+  private val kvLongSchema = new Schema.Parser().parse(
+    """{"type":"array","items":{"type":"record","name":"k117_v118","fields":[
+      |{"name":"key","type":"int","field-id":117},
+      |{"name":"value","type":"long","field-id":118}]}}""".stripMargin)
+
+  private val kvBytesSchema = new Schema.Parser().parse(
+    """{"type":"array","items":{"type":"record","name":"k126_v127","fields":[
+      |{"name":"key","type":"int","field-id":126},
+      |{"name":"value","type":"bytes","field-id":127}]}}""".stripMargin)
+
+  /** The manifest_entry Avro schema (spec §Manifests), data-file fields
+    * the reader consumes plus the required structural ones. `content`
+    * makes it the v2 shape; v1 readers ignore unknown fields by name.
+    */
+  private val manifestEntrySchema = new Schema.Parser().parse(
+    s"""{"type":"record","name":"manifest_entry","fields":[
+       |{"name":"status","type":"int","field-id":0},
+       |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+       |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+       |  {"name":"content","type":"int","field-id":134},
+       |  {"name":"file_path","type":"string","field-id":100},
+       |  {"name":"file_format","type":"string","field-id":101},
+       |  {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
+       |  {"name":"record_count","type":"long","field-id":103},
+       |  {"name":"file_size_in_bytes","type":"long","field-id":104},
+       |  {"name":"null_value_counts","type":["null",${kvLongSchema}],"default":null,"field-id":110},
+       |  {"name":"lower_bounds","type":["null",${kvBytesSchema}],"default":null,"field-id":125},
+       |  {"name":"upper_bounds","type":["null",${kvBytesSchema}],"default":null,"field-id":128}
+       |]}}]}""".stripMargin)
+
+  private val manifestListSchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string","field-id":500},
+      |{"name":"manifest_length","type":"long","field-id":501},
+      |{"name":"partition_spec_id","type":"int","field-id":502},
+      |{"name":"content","type":"int","field-id":517},
+      |{"name":"sequence_number","type":"long","field-id":515},
+      |{"name":"min_sequence_number","type":"long","field-id":516},
+      |{"name":"added_snapshot_id","type":"long","field-id":503}
+      |]}""".stripMargin)
+
+  private def writeAvro(conf: Configuration, path: Path, schema: Schema,
+                        records: Seq[GenericRecord]): Long = {
+    val fs = path.getFileSystem(conf)
+    val out = fs.create(path, true)
+    val w = new org.apache.avro.file.DataFileWriter(
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, out)
+    records.foreach(w.append)
+    w.close()
+    fs.getFileStatus(path).getLen
+  }
+
+  private def kvLong(m: Map[Int, Long]): GenericData.Array[GenericRecord] = {
+    val arr = new GenericData.Array[GenericRecord](m.size, kvLongSchema)
+    m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      arr.add(new GenericRecordBuilder(kvLongSchema.getElementType)
+        .set("key", k).set("value", v).build())
+    }
+    arr
+  }
+
+  private def kvBytes(m: Map[Int, Array[Byte]]): GenericData.Array[GenericRecord] = {
+    val arr = new GenericData.Array[GenericRecord](m.size, kvBytesSchema)
+    m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      arr.add(new GenericRecordBuilder(kvBytesSchema.getElementType)
+        .set("key", k).set("value", java.nio.ByteBuffer.wrap(v)).build())
+    }
+    arr
+  }
+
+  /** Write one manifest for `files` (all status 1 = ADDED) and return
+    * (path, length).
+    */
+  def writeManifest(conf: Configuration, metadataDir: Path, snapId: Long,
+                    files: Seq[FileRef]): (Path, Long) = {
+    val p = new Path(metadataDir, s"m-$snapId-${files.hashCode & 0x7fffffff}.avro")
+    val dfSchema = manifestEntrySchema.getField("data_file").schema
+    val recs = files.map { fr =>
+      val df = new GenericRecordBuilder(dfSchema)
+        .set("content", 0)
+        .set("file_path", fr.path)
+        .set("file_format", "PARQUET")
+        .set("partition",
+          new GenericRecordBuilder(dfSchema.getField("partition").schema).build())
+        .set("record_count", fr.rows)
+        .set("file_size_in_bytes", fr.bytes)
+        .set("null_value_counts", kvLong(fr.stats.map { case (k, s) => k -> s._3 }))
+        .set("lower_bounds", kvBytes(fr.stats.map { case (k, s) => k -> s._1 }))
+        .set("upper_bounds", kvBytes(fr.stats.map { case (k, s) => k -> s._2 }))
+        .build()
+      new GenericRecordBuilder(manifestEntrySchema)
+        .set("status", 1).set("snapshot_id", snapId).set("data_file", df)
+        .build(): GenericRecord
+    }
+    (p, writeAvro(conf, p, manifestEntrySchema, recs))
+  }
+
+  /** Write the manifest list for one snapshot; `content` 0 = data (pass
+    * 1 to fabricate the delete-manifest rejection case).
+    */
+  def writeManifestList(conf: Configuration, metadataDir: Path, snapId: Long,
+                        manifests: Seq[(Path, Long)], content: Int = 0): Path = {
+    val p = new Path(metadataDir, s"snap-$snapId.avro")
+    val recs = manifests.map { case (mp, len) =>
+      new GenericRecordBuilder(manifestListSchema)
+        .set("manifest_path", mp.toUri.toString)
+        .set("manifest_length", len)
+        .set("partition_spec_id", 0)
+        .set("content", content)
+        .set("sequence_number", 1L)
+        .set("min_sequence_number", 1L)
+        .set("added_snapshot_id", snapId)
+        .build(): GenericRecord
+    }
+    writeAvro(conf, p, manifestListSchema, recs)
+    p
+  }
+
+  /** Handcraft the metadata JSON. `fields` = (id, name, icebergType). */
+  def metadataJson(formatVersion: Int, location: String,
+                   fields: Seq[(Int, String, String)],
+                   snapshots: Seq[(SnapRef, Path)],
+                   currentSnapshotId: Long): String = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = m.createObjectNode()
+    root.put("format-version", formatVersion)
+    root.put("table-uuid", java.util.UUID.randomUUID().toString)
+    root.put("location", location)
+    if (formatVersion == 2) root.put("last-sequence-number", snapshots.size)
+    root.put("last-updated-ms",
+      snapshots.map(_._1.timestampMs).maxOption.getOrElse(0L))
+    root.put("last-column-id", fields.map(_._1).maxOption.getOrElse(0))
+    def schemaNode(n: com.fasterxml.jackson.databind.node.ObjectNode): Unit = {
+      n.put("type", "struct")
+      n.put("schema-id", 0)
+      val fs = n.putArray("fields")
+      fields.foreach { case (id, name, t) =>
+        val f = fs.addObject()
+        f.put("id", id); f.put("name", name); f.put("required", false)
+        f.put("type", t)
+      }
+    }
+    if (formatVersion == 2) {
+      root.put("current-schema-id", 0)
+      schemaNode(root.putArray("schemas").addObject())
+    } else schemaNode(root.putObject("schema"))
+    root.put("default-spec-id", 0)
+    val specs = root.putArray("partition-specs").addObject()
+    specs.put("spec-id", 0); specs.putArray("fields")
+    root.put("last-partition-id", 999)
+    root.put("default-sort-order-id", 0)
+    val so = root.putArray("sort-orders").addObject()
+    so.put("order-id", 0); so.putArray("fields")
+    root.putObject("properties")
+    root.put("current-snapshot-id", currentSnapshotId)
+    val sn = root.putArray("snapshots")
+    snapshots.foreach { case (s, mlPath) =>
+      val o = sn.addObject()
+      o.put("snapshot-id", s.id)
+      o.put("timestamp-ms", s.timestampMs)
+      if (formatVersion == 2) o.put("sequence-number", 1L)
+      o.putObject("summary").put("operation", "append")
+      o.put("manifest-list", mlPath.toUri.toString)
+      o.put("schema-id", 0)
+    }
+    val log = root.putArray("snapshot-log")
+    snapshots.foreach { case (s, _) =>
+      val o = log.addObject()
+      o.put("timestamp-ms", s.timestampMs); o.put("snapshot-id", s.id)
+    }
+    root.putArray("metadata-log")
+    m.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  /** Write a complete little Iceberg tree: per-snapshot manifest +
+    * manifest list, then `metadata/v1.metadata.json` + version-hint.
+    * Snapshots are CUMULATIVE (each lists all its files, like a real
+    * writer's manifest carry). Returns the metadata file path.
+    */
+  def writeTree(conf: Configuration, location: Path, formatVersion: Int,
+                fields: Seq[(Int, String, String)],
+                snapshots: Seq[SnapRef]): Path = {
+    val mdir = new Path(location, "metadata")
+    val withLists = snapshots.map { s =>
+      val man = writeManifest(conf, mdir, s.id, s.files)
+      (s, writeManifestList(conf, mdir, s.id, Seq(man)))
+    }
+    val json = metadataJson(formatVersion, location.toUri.toString, fields,
+      withLists, snapshots.last.id)
+    val mp = new Path(mdir, "v1.metadata.json")
+    val fs = mp.getFileSystem(conf)
+    val out = fs.create(mp, true)
+    out.write(json.getBytes("UTF-8")); out.close()
+    val hint = fs.create(new Path(mdir, "version-hint.text"), true)
+    hint.write("1".getBytes("UTF-8")); hint.close()
+    mp
+  }
+}

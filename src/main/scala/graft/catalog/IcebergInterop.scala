@@ -1,0 +1,276 @@
+package graft.catalog
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/** Read-only interop with the Apache Iceberg TABLE FORMAT: parse a
+  * genuine v1/v2 `metadata.json` + Avro manifest lists + Avro manifests
+  * (iceberg.apache.org/spec/) into the engine's own model, so a table
+  * written by the reference stack (Trino's Iceberg connector —
+  * docker-compose.yml:57, TrinoConfigurationProvider.cs:42
+  * `connector.name=iceberg`) can be queried, time-traveled, and
+  * bounds-pruned here WITHOUT copying a byte of data.
+  *
+  * Everything here derives from the public Iceberg spec: the metadata
+  * JSON shape (§Table Metadata), the manifest-list and manifest Avro
+  * shapes (§Manifests, read by field NAME through the Avro java API —
+  * the core avro jar ships with Spark), and the single-value binary
+  * serialization for bounds (§Appendix D: little-endian ints/longs/
+  * floats, UTF-8 strings, date = days int, timestamps = micros long).
+  *
+  * Deliberate read-only boundaries (each fails loud, never silently
+  * misreads): delete manifests / non-data content (v2 row-level deletes
+  * need merge-on-read machinery the registration cannot mirror),
+  * unsupported column types (uuid/fixed), and a missing metadata file.
+  * Iceberg string bounds may be TRUNCATED (lower prefix-truncated down,
+  * upper truncated-and-incremented) — conservative-but-valid inclusive
+  * bounds, which is exactly the contract [[Manifests.mayMatch]] and
+  * [[Manifests.mustMatch]] need (a widened range keeps proofs sound).
+  */
+object IcebergInterop {
+
+  final case class IceSnapshot(id: Long, timestampMs: Long,
+                               manifestList: String, operation: Option[String])
+
+  final case class IceField(id: Int, name: String, dataType: DataType)
+
+  final case class IceMeta(formatVersion: Int, location: String,
+                           schema: StructType, fields: Seq[IceField],
+                           snapshots: Seq[IceSnapshot],
+                           currentSnapshotId: Option[Long])
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** The table's CURRENT metadata file: `metadata/version-hint.text`
+    * (the HadoopCatalog convention) when present, else the
+    * lexicographically largest `*.metadata.json` (both the `vN.` and the
+    * `NNNNN-uuid.` naming schemes sort correctly within themselves).
+    */
+  def currentMetadataPath(fs: FileSystem, location: Path): Path = {
+    val mdir = new Path(location, "metadata")
+    val hint = new Path(mdir, "version-hint.text")
+    if (fs.exists(hint)) {
+      val in = fs.open(hint)
+      val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      new Path(mdir, s"v$v.metadata.json")
+    } else {
+      require(fs.exists(mdir), s"$location has no metadata directory")
+      val cands = fs.listStatus(mdir).map(_.getPath.getName)
+        .filter(_.endsWith(".metadata.json")).sorted
+      require(cands.nonEmpty, s"$mdir holds no *.metadata.json")
+      new Path(mdir, cands.last)
+    }
+  }
+
+  def parseMetadata(json: String): IceMeta = {
+    val root = mapper.readTree(json)
+    val fv = root.get("format-version").asInt
+    require(fv == 1 || fv == 2,
+      s"Unsupported Iceberg format-version $fv (v1/v2 only)")
+    val location = root.get("location").asText
+    // v2: schemas[] + current-schema-id; v1: a single `schema` (newer v1
+    // writers also emit schemas[] — prefer the explicit current one)
+    val schemaNode =
+      if (root.hasNonNull("schemas") && root.hasNonNull("current-schema-id")) {
+        val cur = root.get("current-schema-id").asInt
+        root.get("schemas").elements.asScala
+          .find(s => s.get("schema-id").asInt == cur)
+          .getOrElse(throw new IllegalArgumentException(
+            s"current-schema-id $cur not among schemas"))
+      } else {
+        require(root.hasNonNull("schema"), "metadata has no schema")
+        root.get("schema")
+      }
+    val fields = schemaNode.get("fields").elements.asScala.map { f =>
+      IceField(f.get("id").asInt, f.get("name").asText,
+        parseType(f.get("type")))
+    }.toSeq
+    val struct = StructType(fields.map(f => StructField(f.name, f.dataType)))
+    val snaps = Option(root.get("snapshots")).toSeq
+      .flatMap(_.elements.asScala).map { s =>
+        require(s.hasNonNull("manifest-list"),
+          "snapshot without manifest-list (pre-1.4 v1 inline `manifests` " +
+            "layout is not supported)")
+        IceSnapshot(
+          s.get("snapshot-id").asLong,
+          s.get("timestamp-ms").asLong,
+          s.get("manifest-list").asText,
+          Option(s.get("summary")).flatMap(n => Option(n.get("operation")))
+            .map(_.asText))
+      }
+    val current = Option(root.get("current-snapshot-id"))
+      .map(_.asLong).filter(_ != -1L)
+    IceMeta(fv, location, struct, fields, snaps, current)
+  }
+
+  /** Iceberg JSON type → Spark DataType. Primitives per spec §Schemas;
+    * struct/list/map recurse. uuid and fixed fail loud (no faithful
+    * Spark mapping through a parquet read).
+    */
+  private[catalog] def parseType(node: com.fasterxml.jackson.databind.JsonNode): DataType =
+    if (node.isTextual) {
+      val t = node.asText
+      val dec = "decimal\\((\\d+),\\s*(\\d+)\\)".r
+      t match {
+        case "boolean"     => BooleanType
+        case "int"         => IntegerType
+        case "long"        => LongType
+        case "float"       => FloatType
+        case "double"      => DoubleType
+        case "string"      => StringType
+        case "date"        => DateType
+        case "timestamp"   => TimestampNTZType
+        case "timestamptz" => TimestampType
+        case "binary"      => BinaryType
+        case dec(p, s)     => DecimalType(p.toInt, s.toInt)
+        case other => throw new IllegalArgumentException(
+          s"Unsupported Iceberg column type '$other'")
+      }
+    } else node.get("type").asText match {
+      case "struct" =>
+        StructType(node.get("fields").elements.asScala.map(f =>
+          StructField(f.get("name").asText, parseType(f.get("type")))).toSeq)
+      case "list" => ArrayType(parseType(node.get("element")))
+      case "map"  => MapType(parseType(node.get("key")), parseType(node.get("value")))
+      case other => throw new IllegalArgumentException(
+        s"Unsupported Iceberg nested type '$other'")
+    }
+
+  private def openAvro(conf: Configuration, p: Path)
+      : org.apache.avro.file.DataFileStream[org.apache.avro.generic.GenericRecord] = {
+    val in = p.getFileSystem(conf).open(p)
+    new org.apache.avro.file.DataFileStream(in,
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+  }
+
+  /** Manifest-list entries: (manifest_path, content) — content 0 = data
+    * manifests, 1 = delete manifests (v2; absent in v1 → 0).
+    */
+  def readManifestList(conf: Configuration, path: Path): Seq[(String, Int)] = {
+    val r = openAvro(conf, path)
+    try r.iterator.asScala.map { rec =>
+      (rec.get("manifest_path").toString,
+        Option(rec.get("content")).map(_.asInstanceOf[Int]).getOrElse(0))
+    }.toList
+    finally r.close()
+  }
+
+  /** One manifest's LIVE data files as engine entries: status 2
+    * (DELETED) rows drop; a v2 delete file (data_file.content != 0)
+    * fails the registration. Paths become absolute scheme-less URIs —
+    * the representation adopted-in-place files already use.
+    */
+  def readManifest(conf: Configuration, path: Path,
+                   fields: Seq[IceField]): Seq[DataFileEntry] = {
+    val byId = fields.map(f => f.id -> f).toMap
+    val r = openAvro(conf, path)
+    try r.iterator.asScala.flatMap { rec =>
+      val status = rec.get("status").asInstanceOf[Int]
+      if (status == 2) None // DELETED entry: not part of this snapshot
+      else {
+        val df = rec.get("data_file").asInstanceOf[
+          org.apache.avro.generic.GenericRecord]
+        val content = Option(df.get("content"))
+          .map(_.asInstanceOf[Int]).getOrElse(0)
+        require(content == 0,
+          s"$path holds a v2 delete file (content=$content) — read-only " +
+            "Iceberg registration supports data files only")
+        // same scheme-normalization rule as SnapshotCatalog.SchemeNormRe:
+        // absolute URIs classify identically with or without an authority
+        val filePath = df.get("file_path").toString.replaceFirst(
+          "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
+        val rows = df.get("record_count").asInstanceOf[Long]
+        val bytes = df.get("file_size_in_bytes").asInstanceOf[Long]
+        val nulls = kvMap(df.get("null_value_counts"))
+          .map { case (k, v) => k -> v.asInstanceOf[Long] }
+        val lower = kvMap(df.get("lower_bounds"))
+          .map { case (k, v) => k -> byteArray(v) }
+        val upper = kvMap(df.get("upper_bounds"))
+          .map { case (k, v) => k -> byteArray(v) }
+        val bounds = byId.flatMap { case (id, f) =>
+          val n = nulls.get(id)
+          (decodeBound(f.dataType, lower.get(id)),
+            decodeBound(f.dataType, upper.get(id))) match {
+            case (Some((kind, mn)), Some((_, mx))) =>
+              Some(f.name -> ColBounds(kind, mn, mx, n.getOrElse(-1L)))
+            case _ if n.isDefined =>
+              // null count alone still powers IS NULL / IS NOT NULL
+              boundKind(f.dataType).map(k =>
+                f.name -> ColBounds(k, null, null, n.get))
+            case _ => None
+          }
+        }
+        Some(DataFileEntry(filePath, rows, bytes, bounds))
+      }
+    }.toList
+    finally r.close()
+  }
+
+  /** Iceberg serializes int-keyed maps as Avro arrays of {key, value}
+    * records (Avro maps allow string keys only — spec §Avro).
+    */
+  private def kvMap(v: Any): Map[Int, Any] = v match {
+    case null => Map.empty
+    case c: java.util.Collection[_] =>
+      c.asScala.map { e =>
+        val rec = e.asInstanceOf[org.apache.avro.generic.GenericRecord]
+        rec.get("key").asInstanceOf[Int] -> rec.get("value")
+      }.toMap
+    case m: java.util.Map[_, _] => // defensive: a string-keyed avro map
+      m.asScala.map { case (k, vv) => k.toString.toInt -> vv }.toMap
+    case _ => Map.empty
+  }
+
+  private def byteArray(v: Any): Array[Byte] = v match {
+    case b: java.nio.ByteBuffer =>
+      val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
+    case a: Array[Byte] => a
+    case other => throw new IllegalArgumentException(
+      s"bound value is not bytes: ${other.getClass}")
+  }
+
+  /** The engine bound kind a column type maps to, or None for types the
+    * bounds tier does not reason about.
+    */
+  private def boundKind(dt: DataType): Option[String] = dt match {
+    case IntegerType | LongType            => Some("long")
+    case DateType                          => Some("date")
+    case TimestampType | TimestampNTZType  => Some("ts")
+    case FloatType | DoubleType            => Some("double")
+    case StringType                        => Some("string")
+    case _                                 => None
+  }
+
+  /** Single-value binary serialization (spec Appendix D) → the engine's
+    * stringified bound representation. Anything undecodable drops the
+    * bound (conservative: the file is kept by mayMatch, unprovable by
+    * mustMatch).
+    */
+  private[catalog] def decodeBound(dt: DataType,
+                                   bytes: Option[Array[Byte]]): Option[(String, String)] = {
+    val b = bytes.getOrElse(return None)
+    def le = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    dt match {
+      case IntegerType if b.length == 4 => Some(("long", le.getInt.toString))
+      case LongType if b.length == 8    => Some(("long", le.getLong.toString))
+      case DateType if b.length == 4    => Some(("date", le.getInt.toLong.toString))
+      case (TimestampType | TimestampNTZType) if b.length == 8 =>
+        Some(("ts", le.getLong.toString))
+      case FloatType if b.length == 4 =>
+        val f = le.getFloat
+        if (f.isNaN) None else Some(("double", f.toDouble.toString))
+      case DoubleType if b.length == 8 =>
+        val d = le.getDouble
+        if (d.isNaN) None else Some(("double", d.toString))
+      case StringType =>
+        val s = new String(b, "UTF-8")
+        if (s.length <= Manifests.MaxStringBound) Some(("string", s)) else None
+      case _ => None
+    }
+  }
+}

@@ -182,7 +182,7 @@ object Manifests {
     * increments the last byte instead; dropping is simpler and still
     * correct, just less selective on very long keys).
     */
-  private val MaxStringBound = 64
+  private[catalog] val MaxStringBound = 64
 
   /** Build the manifest entry for one data file from its parquet footer:
     * record count, per-top-level-column min/max/null-count for the

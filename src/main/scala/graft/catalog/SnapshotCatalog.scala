@@ -753,6 +753,84 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     tableLocationCache.remove(s"$schema.$table")
   }
 
+  /** CALL system.register_iceberg_table: attach a table written in the
+    * APACHE ICEBERG FORMAT (v1/v2 — the reference stack's native format,
+    * TrinoConfigurationProvider.cs:42 `connector.name=iceberg`) to this
+    * catalog READ-ONLY-IN-PLACE: the genuine `metadata.json` + Avro
+    * manifest tree parses into the engine's own snapshot model
+    * ([[IcebergInterop]]), one graft snapshot per Iceberg snapshot with
+    * the ICEBERG snapshot ids and commit timestamps preserved — `FOR
+    * VERSION AS OF <iceberg-id>` and `FOR TIMESTAMP AS OF` work
+    * unchanged — and per-file bounds decoded from the manifests' binary
+    * single-value serialization, so bounds pruning and metadata DELETE
+    * proofs see the same statistics Iceberg readers do.
+    *
+    * The Iceberg tree is NEVER written to: the graft commit log lives in
+    * the catalog's own entry directory and references the data files by
+    * absolute path (the adopted-in-place representation). Later graft
+    * commits version the registered state forward in the graft log only
+    * — the Iceberg metadata does not see them (one-way interop; the
+    * registration is a metadata snapshot, KB-scale, data untouched).
+    * Tables carrying v2 DELETE files are rejected loudly (their
+    * merge-on-read semantics cannot be mirrored read-only).
+    */
+  def registerIcebergTable(schema: String, table: String, location: String,
+                           metadataFile: Option[String] = None): Unit = synchronized {
+    require(schemaExists(schema), s"Schema $schema does not exist")
+    require(!tableExists(schema, table) && !viewExists(schema, table),
+      s"Table or view $schema.$table already exists")
+    val loc = new Path(location)
+    val f = fs(loc)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val mdPath = metadataFile.map(new Path(_)).getOrElse(
+      IcebergInterop.currentMetadataPath(f, loc))
+    require(f.exists(mdPath), s"Iceberg metadata file $mdPath does not exist")
+    val meta = IcebergInterop.parseMetadata(readString(mdPath))
+    // resolve a (possibly absolute-URI) metadata-recorded path against
+    // the REGISTERED location, not the location metadata.json recorded —
+    // the tree may have been relocated wholesale
+    def resolve(p: String): Path = {
+      val bare = p.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
+      val recRoot = meta.location.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
+        .stripSuffix("/")
+      if (bare.startsWith(recRoot + "/"))
+        new Path(loc, bare.stripPrefix(recRoot + "/"))
+      else if (bare.startsWith("/")) new Path(bare)
+      else new Path(loc, bare)
+    }
+    val ordered = meta.snapshots.sortBy(s => (s.timestampMs, s.id))
+    require(ordered.nonEmpty, s"$mdPath records no snapshots")
+    createTable(schema, table, meta.schema)
+    val dir = tableDir(schema, table)
+    try {
+      val snaps = ordered.map { s =>
+        val manifests = IcebergInterop.readManifestList(conf, resolve(s.manifestList))
+        require(manifests.forall(_._2 == 0),
+          s"Snapshot ${s.id} carries delete manifests — read-only Iceberg " +
+            "registration supports data-only tables (compact/rewrite the " +
+            "table with its own engine first)")
+        val entries = manifests.flatMap { case (mp, _) =>
+          IcebergInterop.readManifest(conf, resolve(mp), meta.fields)
+        }.map { e =>
+          // re-anchor relocated data paths the same way as the manifests
+          e.copy(path = resolve(e.path).toUri.getPath)
+        }
+        val names = writeManifests(dir, entries)
+        Snapshot(s.id, s.timestampMs, Nil, Some(meta.schema.json),
+          s.operation.orElse(Some("append")), Nil,
+          Some(writeManifestList(dir, names)))
+      }
+      val (commits, gen) = readCommitsWithGen(schema, table)
+      require(commits.isEmpty, s"fresh table $schema.$table has commits?")
+      writeCommits(schema, table, snaps, gen)
+    } catch {
+      case scala.util.control.NonFatal(ex) =>
+        // never leave a half-registered table behind
+        try dropTable(schema, table) catch { case _: Exception => () }
+        throw ex
+    }
+  }
+
   /** CALL system.unregister_table: remove `schema.table` from the catalog
     * WITHOUT deleting its data (vs DROP TABLE, which deletes both). A
     * pointer-registered table loses only the pointer dir; a physical

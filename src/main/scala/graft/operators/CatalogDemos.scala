@@ -696,6 +696,80 @@ object CatalogDemos {
     * arithmetic is relational over customer, so the oracle recomputes
     * every value from the raw table.
     */
+  private[graft] val icebergDemoWarehouse = "/tmp/graft-iceberg-demo-warehouse"
+  private[graft] val icebergDemoLake = "/tmp/graft-iceberg-demo-lake"
+
+  /** Iceberg-format read interop end-to-end (round-10 verdict #3): build
+    * a genuine two-snapshot Iceberg v2 tree over nation (real parquet
+    * data files; Avro manifests/manifest-list + metadata.json written by
+    * [[graft.catalog.IcebergFixture]] in the spec's on-disk shapes, with
+    * per-file bounds in the binary single-value serialization), attach
+    * it with `CALL system.register_iceberg_table`, and read: the current
+    * state, a FOR VERSION AS OF by the ICEBERG snapshot id, and a
+    * bounds-pruned filtered count. Every value recomputes relationally
+    * over nation in the oracle.
+    */
+  def icebergRegisterDemo(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val conf = s.sparkContext.hadoopConfiguration
+    for (p <- Seq(icebergDemoWarehouse, icebergDemoLake)) {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val f = hp.getFileSystem(conf)
+      if (f.exists(hp)) f.delete(hp, true)
+    }
+    val loc = new org.apache.hadoop.fs.Path(icebergDemoLake)
+    val nation = graft.Tables.nation(s, d)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    def writeOne(df: DataFrame, target: org.apache.hadoop.fs.Path): Long = {
+      val tmp = new org.apache.hadoop.fs.Path(icebergDemoLake + "-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = tmp.getFileSystem(conf)
+      val part = f.listStatus(tmp).map(_.getPath)
+        .find(_.getName.endsWith(".parquet")).get
+      f.mkdirs(target.getParent)
+      f.rename(part, target)
+      f.delete(tmp, true)
+      f.getFileStatus(target).getLen
+    }
+    // nation is 25 rows at EVERY scale factor: file1 = keys 0-11,
+    // file2 = keys 12-24 — disjoint bounds, so the hi-filter read can
+    // prune file1 at plan time from the decoded Iceberg statistics
+    val f1 = new org.apache.hadoop.fs.Path(loc, "data/f1.parquet")
+    val f2 = new org.apache.hadoop.fs.Path(loc, "data/f2.parquet")
+    val b1 = writeOne(nation.filter(col("n_nationkey") <= 11), f1)
+    val b2 = writeOne(nation.filter(col("n_nationkey") >= 12), f2)
+    import graft.catalog.IcebergFixture._
+    val fr1 = FileRef(f1.toUri.toString, 12L, b1,
+      Map(1 -> (encodeLong(0L), encodeLong(11L), 0L)))
+    val fr2 = FileRef(f2.toUri.toString, 13L, b2,
+      Map(1 -> (encodeLong(12L), encodeLong(24L), 0L)))
+    graft.catalog.IcebergFixture.writeTree(conf, loc, 2,
+      Seq((1, "n_nationkey", "long"), (2, "n_name", "string"),
+        (3, "n_regionkey", "long")),
+      Seq(SnapRef(101L, 1700000000000L, Seq(fr1)),
+        SnapRef(102L, 1700000100000L, Seq(fr1, fr2))))
+    val engine = new GraftEngine(s, icebergDemoWarehouse)
+    engine.catalog.createSchema("lake")
+    engine.executeNonQuery(graft.params.SqlStatement(
+      s"CALL system.register_iceberg_table('lake', 'nat', '${loc.toUri}')"))
+    engine.query(graft.params.SqlStatement(
+      """SELECT
+        |  (SELECT count(*) FROM lake.nat) AS total_n,
+        |  (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM lake.nat) AS sum_key,
+        |  (SELECT count(*) FROM lake.nat FOR VERSION AS OF 101) AS v1_n,
+        |  (SELECT count(*) FROM lake.nat WHERE n_nationkey >= 12) AS hi_n""".stripMargin))
+  }
+
+  /** DuckDB twin of [[icebergRegisterDemo]] — pure nation arithmetic
+    * (snapshot 101 = keys 0-11; nation is 25 rows at every SF).
+    */
+  val icebergRegisterDemoSql: String =
+    """SELECT
+      |  (SELECT count(*) FROM nation) AS total_n,
+      |  (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM nation) AS sum_key,
+      |  (SELECT count(*) FROM nation WHERE n_nationkey <= 11) AS v1_n,
+      |  (SELECT count(*) FROM nation WHERE n_nationkey >= 12) AS hi_n""".stripMargin
+
   def migrateDemo(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val conf = s.sparkContext.hadoopConfiguration

@@ -1,0 +1,159 @@
+package graft.catalog
+
+import graft.{GraftEngine, GraftQueryException, SparkSpec}
+import graft.params.SqlStatement
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Read-only Iceberg-format interop: `CALL system.register_iceberg_table`
+  * parses a genuine v1/v2 metadata.json + Avro manifest tree
+  * ([[IcebergInterop]]) into the engine's snapshot model. The fixture
+  * ([[IcebergFixture]]) writes the real on-disk shapes — Avro manifest
+  * lists/manifests with k/v-array maps and binary single-value bounds —
+  * independently of the reader, so these are format tests, not
+  * round-trips of the reader's own output.
+  */
+class IcebergInteropSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def conf = spark.sparkContext.hadoopConfiguration
+
+  /** Write `df` as ONE parquet file at exactly `target`; returns bytes. */
+  private def writeParquet(df: org.apache.spark.sql.DataFrame, target: Path): Long = {
+    val tmp = new Path(tmpDir("ice-pq-tmp"), "out")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val fs = tmp.getFileSystem(conf)
+    val part = fs.listStatus(tmp).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    fs.mkdirs(target.getParent)
+    fs.rename(part, target)
+    fs.getFileStatus(target).getLen
+  }
+
+  /** A two-snapshot Iceberg tree over (id long, name string):
+    * snap 9001 = file1 (ids 1-3), snap 9002 = file1 + file2 (ids 11-12).
+    * Bounds encoded per spec Appendix D by hand.
+    */
+  private def buildTree(formatVersion: Int, name: String): Path = {
+    val loc = new Path(tmpDir(name))
+    val f1 = new Path(loc, "data/f1.parquet")
+    val f2 = new Path(loc, "data/f2.parquet")
+    val b1 = writeParquet(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name"), f1)
+    val b2 = writeParquet(Seq((11L, "x"), (12L, "y")).toDF("id", "name"), f2)
+    import IcebergFixture._
+    val fr1 = FileRef(f1.toUri.toString, 3L, b1, Map(
+      1 -> (encodeLong(1L), encodeLong(3L), 0L),
+      2 -> (encodeString("a"), encodeString("c"), 0L)))
+    val fr2 = FileRef(f2.toUri.toString, 2L, b2, Map(
+      1 -> (encodeLong(11L), encodeLong(12L), 0L),
+      2 -> (encodeString("x"), encodeString("y"), 0L)))
+    IcebergFixture.writeTree(conf, loc, formatVersion,
+      Seq((1, "id", "long"), (2, "name", "string")),
+      Seq(SnapRef(9001L, 1700000000000L, Seq(fr1)),
+        SnapRef(9002L, 1700000100000L, Seq(fr1, fr2))))
+    loc
+  }
+
+  private def engine(name: String): GraftEngine =
+    new GraftEngine(spark, tmpDir(name))
+
+  test("v2 tree registers: current read, Iceberg snapshot-id + timestamp travel") {
+    val loc = buildTree(2, "ice-v2")
+    val e = engine("ice-v2-wh")
+    e.executeNonQuery(SqlStatement("CREATE SCHEMA lake"))
+    e.executeNonQuery(SqlStatement(
+      s"CALL system.register_iceberg_table('lake', 't', '${loc.toUri}')"))
+    assert(e.query(SqlStatement("SELECT id FROM lake.t")).as[Long]
+      .collect().sorted.toSeq === Seq(1L, 2L, 3L, 11L, 12L))
+    // time travel by the ICEBERG snapshot id
+    assert(e.query(SqlStatement("SELECT id FROM lake.t FOR VERSION AS OF 9001"))
+      .as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+    // ... and by the Iceberg commit timestamp
+    assert(e.catalog.readAsOf("lake", "t", 1700000050000L).count() === 3L)
+    // declared schema arrived from the Iceberg schema
+    assert(e.catalog.declaredSchema("lake", "t").get ===
+      StructType(Seq(StructField("id", LongType), StructField("name", StringType))))
+  }
+
+  test("manifest bounds prune: the out-of-range file is never opened") {
+    val loc = buildTree(2, "ice-prune")
+    val e = engine("ice-prune-wh")
+    e.executeNonQuery(SqlStatement("CREATE SCHEMA lake"))
+    e.executeNonQuery(SqlStatement(
+      s"CALL system.register_iceberg_table('lake', 't', '${loc.toUri}')"))
+    // corrupt file1 (ids 1-3): a filtered read of ids >= 11 must plan
+    // only file2 from the DECODED Iceberg bounds and never open file1
+    val f1 = new Path(loc, "data/f1.parquet")
+    val fs = f1.getFileSystem(conf)
+    val out = fs.create(f1, true)
+    out.write("not parquet".getBytes("UTF-8")); out.close()
+    assert(e.query(SqlStatement("SELECT id FROM lake.t WHERE id >= 11"))
+      .as[Long].collect().sorted.toSeq === Seq(11L, 12L))
+    intercept[Exception] { // file1 IS read without the filter: fails loud
+      e.query(SqlStatement("SELECT id FROM lake.t")).collect()
+    }
+  }
+
+  test("v1 tree registers the same way") {
+    val loc = buildTree(1, "ice-v1")
+    val e = engine("ice-v1-wh")
+    e.executeNonQuery(SqlStatement("CREATE SCHEMA lake"))
+    e.executeNonQuery(SqlStatement(
+      s"CALL system.register_iceberg_table('lake', 't1', '${loc.toUri}')"))
+    assert(e.query(SqlStatement("SELECT count(*) AS n FROM lake.t1"))
+      .as[Long].head() === 5L)
+    assert(e.query(SqlStatement("SELECT name FROM lake.t1 WHERE id = 12"))
+      .as[String].head() === "y")
+  }
+
+  test("delete manifests reject loudly and leave no half-registered table") {
+    val loc = buildTree(2, "ice-del")
+    // fabricate a delete manifest-list entry for the current snapshot
+    val mdir = new Path(loc, "metadata")
+    val man = IcebergFixture.writeManifest(conf, mdir, 9002L, Seq(
+      IcebergFixture.FileRef(new Path(loc, "data/f2.parquet").toUri.toString,
+        2L, 1024L, Map.empty)))
+    IcebergFixture.writeManifestList(conf, mdir, 9002L, Seq(man), content = 1)
+    val e = engine("ice-del-wh")
+    e.executeNonQuery(SqlStatement("CREATE SCHEMA lake"))
+    val ex = intercept[GraftQueryException] {
+      e.executeNonQuery(SqlStatement(
+        s"CALL system.register_iceberg_table('lake', 'td', '${loc.toUri}')"))
+    }
+    assert(ex.getMessage.toLowerCase.contains("delete manifests") ||
+      ex.getCause.getMessage.contains("delete manifests"))
+    assert(!e.catalog.tableExists("lake", "td"))
+  }
+
+  test("single-value bound decoding: every supported type round-trips") {
+    import IcebergFixture._
+    def dec(dt: DataType, b: Array[Byte]) =
+      IcebergInterop.decodeBound(dt, Some(b))
+    assert(dec(LongType, encodeLong(-42L)) === Some(("long", "-42")))
+    assert(dec(IntegerType, encodeInt(7)) === Some(("long", "7")))
+    assert(dec(DateType, encodeInt(19000)) === Some(("date", "19000")))
+    assert(dec(TimestampType, encodeLong(1700000000000000L)) ===
+      Some(("ts", "1700000000000000")))
+    assert(dec(TimestampNTZType, encodeLong(5L)) === Some(("ts", "5")))
+    assert(dec(DoubleType, encodeDouble(2.5)) === Some(("double", "2.5")))
+    assert(dec(StringType, encodeString("héllo")) === Some(("string", "héllo")))
+    // NaN and wrong widths drop the bound (conservative)
+    assert(dec(DoubleType, encodeDouble(Double.NaN)) === None)
+    assert(dec(LongType, encodeInt(1)) === None)
+    assert(IcebergInterop.decodeBound(BinaryType, Some(Array[Byte](1))) === None)
+  }
+
+  test("metadata parsing: schemas, snapshots, unsupported types fail loud") {
+    val json = IcebergFixture.metadataJson(2, "/x",
+      Seq((1, "id", "long"), (2, "ts", "timestamptz"), (3, "d", "decimal(10,2)")),
+      Nil, -1L)
+    val meta = IcebergInterop.parseMetadata(json)
+    assert(meta.formatVersion === 2)
+    assert(meta.schema === StructType(Seq(
+      StructField("id", LongType), StructField("ts", TimestampType),
+      StructField("d", DecimalType(10, 2)))))
+    val bad = IcebergFixture.metadataJson(2, "/x", Seq((1, "u", "uuid")), Nil, -1L)
+    intercept[IllegalArgumentException] { IcebergInterop.parseMetadata(bad) }
+  }
+}
