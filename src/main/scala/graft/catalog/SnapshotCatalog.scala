@@ -4564,7 +4564,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       Set("commits.json", "_table_schema.json", "_partition_spec.json",
         "_comments.json", "_format_version", "_sorted_by.json", "_manifests",
         "_tags.json", "_bloom_columns.json", "_log_segments",
-        "_properties.json")
+        "_properties.json", "_identity")
     val orphans = f.listStatus(dir)
       .map(_.getPath)
       .filterNot(p => keep.contains(p.getName) ||
