@@ -906,6 +906,12 @@ object DdlParser {
       case "int" | "integer" => org.apache.spark.sql.types.IntegerType
       case "real" => org.apache.spark.sql.types.FloatType
       case "varbinary" => org.apache.spark.sql.types.BinaryType
+      // `timestamp [(p)] [with time zone]` → session-zoned TimestampType:
+      // the engine session is pinned UTC (the reference stack stores UTC
+      // throughout — 02-tables.sql:40), so plain and tz-carrying
+      // timestamps share instant semantics; zone-carrying interpolator
+      // values ([[graft.params.SqlFormat.literal]]) normalize to UTC on
+      // the way in, matching Trino's storage of timestamptz as UTC
       case _ if t.startsWith("timestamp") => org.apache.spark.sql.types.TimestampType
       case _ => DataType.fromDDL(t) // bigint/smallint/tinyint/boolean/double/date/decimal(p,s)/…
     }

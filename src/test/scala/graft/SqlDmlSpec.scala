@@ -20,6 +20,23 @@ class SqlDmlSpec extends SparkSpec {
     e
   }
 
+  test("timestamp with time zone: DDL parses, zoned literals hit as instants") {
+    import graft.params.Sql._
+    val e = new GraftEngine(spark, tmpDir("dml-tstz"))
+    e.executeNonQuery(SqlStatement(
+      "CREATE TABLE demo.tz (id bigint, at timestamp(6) with time zone)"))
+    val odt = java.time.OffsetDateTime.parse("2024-03-05T12:34:56.123456+05:30")
+    e.executeNonQuery(sql"INSERT INTO demo.tz VALUES (1, $odt)")
+    // the SAME instant expressed in a different zone matches (UTC store)
+    val la = odt.atZoneSameInstant(java.time.ZoneId.of("America/Los_Angeles"))
+    assert(e.query(sql"SELECT id FROM demo.tz WHERE at = $la")
+      .as[Long].collect().toSeq === Seq(1L))
+    // a different instant with the same wall-clock text does NOT
+    val other = java.time.OffsetDateTime.parse("2024-03-05T12:34:56.123456-08:00")
+    assert(e.query(sql"SELECT count(*) AS n FROM demo.tz WHERE at = $other")
+      .as[Long].head() === 0L)
+  }
+
   test("TRUNCATE TABLE empties the table, reports the count, keeps history") {
     val e = freshEngine("dml-truncate")
     val n = e.executeNonQuery(SqlStatement("TRUNCATE TABLE demo.t"))

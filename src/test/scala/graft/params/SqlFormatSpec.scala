@@ -41,6 +41,19 @@ class SqlFormatSpec extends AnyFunSuite {
     assert(SqlFormat.literal(i) == "TIMESTAMP '2024-03-05 12:34:56.123456'")
   }
 
+  test("zone-carrying values normalize to UTC (timestamptz parity)") {
+    // +05:30 offset: the instant is 07:04:56.123456 UTC — the reference
+    // normalizes DateTimeOffset the same way (SqlParameterFormatter.cs:52-53)
+    val odt = java.time.OffsetDateTime.parse("2024-03-05T12:34:56.123456+05:30")
+    assert(SqlFormat.literal(odt) == "TIMESTAMP '2024-03-05 07:04:56.123456'")
+    val zdt = java.time.ZonedDateTime.parse(
+      "2024-03-05T12:34:56.123456-08:00[America/Los_Angeles]")
+    assert(SqlFormat.literal(zdt) == "TIMESTAMP '2024-03-05 20:34:56.123456'")
+    // equal instants in different zones render identically
+    assert(SqlFormat.literal(odt) ==
+      SqlFormat.literal(odt.toInstant))
+  }
+
   test("TIMESTAMP keyword lookback suppresses the prefix (SqlParameterFormatter.cs:47-51)") {
     val i = Instant.parse("2024-03-05T12:34:56.000000Z")
     val stmt = sql"SELECT * FROM t FOR TIMESTAMP AS OF TIMESTAMP $i"
