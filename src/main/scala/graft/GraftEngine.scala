@@ -515,6 +515,10 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
             }
             catch { case e: IllegalArgumentException =>
               throw new GraftQueryException(sqlText, e.getMessage, e) }
+          case "refresh_iceberg_table" =>
+            try catalog.refreshIcebergTable(schema, table)
+            catch { case e: IllegalArgumentException =>
+              throw new GraftQueryException(sqlText, e.getMessage, e) }
           case "migrate" =>
             val loc = args.getOrElse("table_location",
               throw new GraftQueryException(sqlText,

@@ -218,7 +218,7 @@ object DdlParser {
   // '/path') / unregister_table('sch','tbl') / migrate('sch','tbl',
   // '/path'), positional or name => value
   private val callRegisterRe =
-    """(?is)^\s*CALL\s+(?:[\w.]*\bsystem\.)?(register_table|register_iceberg_table|unregister_table|migrate)\s*\(\s*(.*?)\s*\)\s*;?\s*$""".r
+    """(?is)^\s*CALL\s+(?:[\w.]*\bsystem\.)?(register_table|register_iceberg_table|refresh_iceberg_table|unregister_table|migrate)\s*\(\s*(.*?)\s*\)\s*;?\s*$""".r
   // the table operand accepts Trino's quoted branch-write form
   // (`sch."t@branch"`) alongside plain dotted names
   private val deleteRe =

@@ -786,9 +786,36 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       IcebergInterop.currentMetadataPath(f, loc))
     require(f.exists(mdPath), s"Iceberg metadata file $mdPath does not exist")
     val meta = IcebergInterop.parseMetadata(readString(mdPath))
-    // resolve a (possibly absolute-URI) metadata-recorded path against
-    // the REGISTERED location, not the location metadata.json recorded —
-    // the tree may have been relocated wholesale
+    val ordered = meta.snapshots.sortBy(s => (s.timestampMs, s.id))
+    require(ordered.nonEmpty, s"$mdPath records no snapshots")
+    createTable(schema, table, meta.schema)
+    val dir = tableDir(schema, table)
+    try {
+      val snaps = convertIcebergSnapshots(dir, loc, meta, ordered, prevAt = 0L)
+      val (commits, gen) = readCommitsWithGen(schema, table)
+      require(commits.isEmpty, s"fresh table $schema.$table has commits?")
+      writeCommits(schema, table, snaps, gen)
+      // the one-way sync anchor: refreshIcebergTable re-reads this
+      // location's current metadata and appends the snapshots that
+      // arrived since. The IMPORTED id set travels with it — a local
+      // graft commit mints sequential ids adjacent to the imported ones,
+      // so "which snapshots came from Iceberg" cannot be recovered from
+      // the log alone
+      writeIcebergSource(dir, f.makeQualified(loc).toUri.toString,
+        ordered.map(_.id))
+    } catch {
+      case scala.util.control.NonFatal(ex) =>
+        // never leave a half-registered table behind
+        try dropTable(schema, table) catch { case _: Exception => () }
+        throw ex
+    }
+  }
+
+  private def convertIcebergSnapshots(dir: Path, loc: Path,
+                                      meta: IcebergInterop.IceMeta,
+                                      ordered: Seq[IcebergInterop.IceSnapshot],
+                                      prevAt: Long): Seq[Snapshot] = {
+    val conf = spark.sparkContext.hadoopConfiguration
     def resolve(p: String): Path = {
       val bare = p.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
       val recRoot = meta.location.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
@@ -798,37 +825,78 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       else if (bare.startsWith("/")) new Path(bare)
       else new Path(loc, bare)
     }
-    val ordered = meta.snapshots.sortBy(s => (s.timestampMs, s.id))
-    require(ordered.nonEmpty, s"$mdPath records no snapshots")
-    createTable(schema, table, meta.schema)
-    val dir = tableDir(schema, table)
-    try {
-      val snaps = ordered.map { s =>
-        val manifests = IcebergInterop.readManifestList(conf, resolve(s.manifestList))
-        require(manifests.forall(_._2 == 0),
-          s"Snapshot ${s.id} carries delete manifests — read-only Iceberg " +
-            "registration supports data-only tables (compact/rewrite the " +
-            "table with its own engine first)")
-        val entries = manifests.flatMap { case (mp, _) =>
-          IcebergInterop.readManifest(conf, resolve(mp), meta.fields)
-        }.map { e =>
-          // re-anchor relocated data paths the same way as the manifests
-          e.copy(path = resolve(e.path).toUri.getPath)
-        }
-        val names = writeManifests(dir, entries)
-        Snapshot(s.id, s.timestampMs, Nil, Some(meta.schema.json),
-          s.operation.orElse(Some("append")), Nil,
-          Some(writeManifestList(dir, names)))
+    var at = prevAt
+    ordered.map { s =>
+      val manifests = IcebergInterop.readManifestList(conf, resolve(s.manifestList))
+      require(manifests.forall(_._2 == 0),
+        s"Snapshot ${s.id} carries delete manifests — read-only Iceberg " +
+          "registration supports data-only tables (compact/rewrite the " +
+          "table with its own engine first)")
+      val entries = manifests.flatMap { case (mp, _) =>
+        IcebergInterop.readManifest(conf, resolve(mp), meta.fields)
+      }.map { e =>
+        // re-anchor relocated data paths the same way as the manifests
+        e.copy(path = resolve(e.path).toUri.getPath)
       }
-      val (commits, gen) = readCommitsWithGen(schema, table)
-      require(commits.isEmpty, s"fresh table $schema.$table has commits?")
-      writeCommits(schema, table, snaps, gen)
-    } catch {
-      case scala.util.control.NonFatal(ex) =>
-        // never leave a half-registered table behind
-        try dropTable(schema, table) catch { case _: Exception => () }
-        throw ex
+      val names = writeManifests(dir, entries)
+      at = math.max(s.timestampMs, at + 1) // graft history is monotonic
+      Snapshot(s.id, at, Nil, Some(meta.schema.json),
+        s.operation.orElse(Some("append")), Nil,
+        Some(writeManifestList(dir, names)))
     }
+  }
+
+  /** CALL system.refresh_iceberg_table: one-way sync for a table
+    * attached by [[registerIcebergTable]] — re-read the source
+    * location's CURRENT Iceberg metadata and append the snapshots that
+    * arrived since, newest state becoming the graft head. Refuses when
+    * the graft log diverged (a local commit after the last import —
+    * the two histories cannot merge) and is a no-op when no new
+    * snapshot exists. Snapshot ids stay the Iceberg ids, so time travel
+    * spans the whole imported history.
+    */
+  def refreshIcebergTable(schema: String, table: String): Long = synchronized {
+    require(tableExists(schema, table), s"Table $schema.$table does not exist")
+    val dir = tableDir(schema, table)
+    val marker = new Path(dir, "_iceberg_source")
+    require(fs(marker).exists(marker),
+      s"$schema.$table was not attached by register_iceberg_table")
+    val (locStr, imported) = readIcebergSource(dir)
+    val loc = new Path(locStr)
+    val f = fs(loc)
+    val mdPath = IcebergInterop.currentMetadataPath(f, loc)
+    val meta = IcebergInterop.parseMetadata(readString(mdPath))
+    val fresh = meta.snapshots.filterNot(s => imported.contains(s.id))
+      .sortBy(s => (s.timestampMs, s.id))
+    if (fresh.isEmpty) return 0L
+    val (commits, gen) = readCommitsWithGen(schema, table)
+    // divergence check: the graft HEAD must be an imported Iceberg
+    // snapshot, or the sync would interleave two unrelated histories
+    // (any local commit — insert, DML, rollback — moves the head to a
+    // locally-minted id)
+    commits.lastOption.foreach(c => require(imported.contains(c.snapshotId),
+      s"$schema.$table diverged from its Iceberg source (local head " +
+        s"${c.snapshotId} was not imported from it) — cannot sync"))
+    val prevAt = commits.lastOption.map(_.committedAtMillis).getOrElse(0L)
+    val snaps = convertIcebergSnapshots(dir, loc, meta, fresh, prevAt)
+    writeCommits(schema, table, commits ++ snaps, gen)
+    writeIcebergSource(dir, locStr, (imported ++ fresh.map(_.id)).toSeq.sorted)
+    fresh.size.toLong
+  }
+
+  private def writeIcebergSource(dir: Path, location: String,
+                                 imported: Seq[Long]): Unit = {
+    val o = mapper.createObjectNode()
+    o.put("location", location)
+    val arr = o.putArray("imported")
+    imported.foreach(arr.add)
+    writeString(new Path(dir, "_iceberg_source"), mapper.writeValueAsString(o))
+  }
+
+  private def readIcebergSource(dir: Path): (String, Set[Long]) = {
+    val root = mapper.readTree(readString(new Path(dir, "_iceberg_source")))
+    (root.get("location").asText,
+      root.get("imported").elements.asScala.map(_.asLong).toSet)
   }
 
   /** CALL system.unregister_table: remove `schema.table` from the catalog
@@ -4564,7 +4632,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       Set("commits.json", "_table_schema.json", "_partition_spec.json",
         "_comments.json", "_format_version", "_sorted_by.json", "_manifests",
         "_tags.json", "_bloom_columns.json", "_log_segments",
-        "_properties.json", "_identity")
+        "_properties.json", "_identity", "_iceberg_source")
     val orphans = f.listStatus(dir)
       .map(_.getPath)
       .filterNot(p => keep.contains(p.getName) ||

@@ -107,6 +107,59 @@ class IcebergInteropSpec extends SparkSpec {
       .as[String].head() === "y")
   }
 
+  test("refresh_iceberg_table: one-way sync appends new snapshots, refuses divergence") {
+    val loc = buildTree(2, "ice-sync")
+    val e = engine("ice-sync-wh")
+    e.executeNonQuery(SqlStatement("CREATE SCHEMA lake"))
+    e.executeNonQuery(SqlStatement(
+      s"CALL system.register_iceberg_table('lake', 't', '${loc.toUri}')"))
+    // nothing new yet: noop
+    assert(e.executeNonQuery(SqlStatement(
+      "CALL system.refresh_iceberg_table('lake', 't')")) === 0L)
+    // the foreign writer commits snapshot 9003 (adds file3) and rolls
+    // the metadata forward
+    val f3 = new Path(loc, "data/f3.parquet")
+    val b3 = writeParquet(Seq((21L, "p"), (22L, "q")).toDF("id", "name"), f3)
+    import IcebergFixture._
+    val fr1 = FileRef(new Path(loc, "data/f1.parquet").toUri.toString, 3L, 1024L,
+      Map(1 -> (encodeLong(1L), encodeLong(3L), 0L)))
+    val fr2 = FileRef(new Path(loc, "data/f2.parquet").toUri.toString, 2L, 1024L,
+      Map(1 -> (encodeLong(11L), encodeLong(12L), 0L)))
+    val fr3 = FileRef(f3.toUri.toString, 2L, b3,
+      Map(1 -> (encodeLong(21L), encodeLong(22L), 0L)))
+    IcebergFixture.writeTree(spark.sparkContext.hadoopConfiguration, loc, 2,
+      Seq((1, "id", "long"), (2, "name", "string")),
+      Seq(SnapRef(9001L, 1700000000000L, Seq(fr1)),
+        SnapRef(9002L, 1700000100000L, Seq(fr1, fr2)),
+        SnapRef(9003L, 1700000200000L, Seq(fr1, fr2, fr3))))
+    assert(e.executeNonQuery(SqlStatement(
+      "CALL system.refresh_iceberg_table('lake', 't')")) === 1L)
+    assert(e.query(SqlStatement("SELECT id FROM lake.t")).as[Long]
+      .collect().sorted.toSeq === Seq(1L, 2L, 3L, 11L, 12L, 21L, 22L))
+    // pre-sync history still travels by Iceberg snapshot id
+    assert(e.query(SqlStatement("SELECT count(*) AS n FROM lake.t FOR VERSION AS OF 9002"))
+      .as[Long].head() === 5L)
+    // a LOCAL commit diverges the history: sync must refuse loudly
+    e.executeNonQuery(SqlStatement("INSERT INTO lake.t VALUES (99, 'z')"))
+    IcebergFixture.writeTree(spark.sparkContext.hadoopConfiguration, loc, 2,
+      Seq((1, "id", "long"), (2, "name", "string")),
+      Seq(SnapRef(9001L, 1700000000000L, Seq(fr1)),
+        SnapRef(9002L, 1700000100000L, Seq(fr1, fr2)),
+        SnapRef(9003L, 1700000200000L, Seq(fr1, fr2, fr3)),
+        SnapRef(9004L, 1700000300000L, Seq(fr1, fr2, fr3))))
+    val ex = intercept[GraftQueryException] {
+      e.executeNonQuery(SqlStatement("CALL system.refresh_iceberg_table('lake', 't')"))
+    }
+    assert(ex.getMessage.contains("diverged") ||
+      Option(ex.getCause).exists(_.getMessage.contains("diverged")))
+    // refresh of a non-iceberg table refuses too
+    val e2 = e
+    e2.executeNonQuery(SqlStatement("CREATE TABLE lake.plain (x bigint)"))
+    intercept[GraftQueryException] {
+      e2.executeNonQuery(SqlStatement("CALL system.refresh_iceberg_table('lake', 'plain')"))
+    }
+  }
+
   test("delete manifests reject loudly and leave no half-registered table") {
     val loc = buildTree(2, "ice-del")
     // fabricate a delete manifest-list entry for the current snapshot
