@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only randomized fuzz for the Iceberg-format read interop
+  * ([[graft.catalog.IcebergInterop]]): per scenario, fabricate a random
+  * spec-conformant Iceberg tree — random column set, random cumulative
+  * snapshots of parquet files, per-file bounds that are randomly EXACT,
+  * WIDENED (Iceberg truncation is conservative), or ABSENT — register
+  * it, and verify against a driver-side model: full reads, snapshot-id
+  * time travel, and bounds-pruned range reads must all equal the model
+  * regardless of which bounds variant each file drew (bounds may only
+  * PRUNE, never change results). Then one refresh cycle: more foreign
+  * snapshots sync in and re-verify; a random local commit must make the
+  * next sync refuse. Usage: runMain graft.DevFuzzIceberg [n] [seed]
+  */
+object DevFuzzIceberg {
+  def main(args: Array[String]): Unit = {
+    val n = args.lift(0).map(_.toInt).getOrElse(8)
+    val seed = args.lift(1).map(_.toLong).getOrElse(42L)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rnd = new scala.util.Random(seed)
+
+    import graft.catalog.IcebergFixture._
+
+    (0 until n).foreach { i =>
+      val loc = new Path(
+        java.nio.file.Files.createTempDirectory(f"graft-icefuzz-$i%03d").toString)
+      val wh = java.nio.file.Files.createTempDirectory(f"graft-icefuzz-wh-$i%03d").toString
+
+      // model: rows per file; files accumulate across snapshots
+      var nextId = 0L
+      def mkRows(k: Int): Seq[(Long, String, Double)] =
+        (0 until k).map { _ =>
+          nextId += 1
+          (nextId, s"v${rnd.nextInt(100)}%02d-${('a' + rnd.nextInt(26)).toChar}",
+            rnd.nextInt(1000) / 10.0)
+        }
+
+      var fileNo = 0
+      def writeFile(rows: Seq[(Long, String, Double)]): FileRef = {
+        fileNo += 1
+        val target = new Path(loc, f"data/f$fileNo%03d.parquet")
+        val tmp = new Path(loc, "stage")
+        rows.toDF("id", "name", "score").coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val f = tmp.getFileSystem(conf)
+        val part = f.listStatus(tmp).map(_.getPath)
+          .find(_.getName.endsWith(".parquet")).get
+        f.mkdirs(target.getParent)
+        f.rename(part, target)
+        f.delete(tmp, true)
+        val len = f.getFileStatus(target).getLen
+        // bounds variant: exact / widened / absent — all must read the same
+        val idLo = rows.map(_._1).min
+        val idHi = rows.map(_._1).max
+        val stats: Map[Int, (Array[Byte], Array[Byte], Long)] =
+          rnd.nextInt(3) match {
+            case 0 => Map(1 -> (encodeLong(idLo), encodeLong(idHi), 0L),
+              2 -> (encodeString(rows.map(_._2).min),
+                encodeString(rows.map(_._2).max), 0L),
+              3 -> (encodeDouble(rows.map(_._3).min),
+                encodeDouble(rows.map(_._3).max), 0L))
+            case 1 => Map(1 -> (encodeLong(idLo - rnd.nextInt(5)),
+              encodeLong(idHi + rnd.nextInt(5)), 0L))
+            case 2 => Map.empty
+          }
+        FileRef(target.toUri.toString, rows.size.toLong, len, stats)
+      }
+
+      val fields = Seq((1, "id", "long"), (2, "name", "string"),
+        (3, "score", "double"))
+      var ts = 1700000000000L
+      var snapId = 8000L
+      val fileRows = scala.collection.mutable.Map.empty[String, Seq[(Long, String, Double)]]
+      var tree = Seq.empty[SnapRef]
+      def addSnapshot(): Unit = {
+        val rows = mkRows(1 + rnd.nextInt(5))
+        val fr = writeFile(rows)
+        fileRows(fr.path) = rows
+        ts += 1000L + rnd.nextInt(1000)
+        snapId += 1L + rnd.nextInt(3)
+        val files = tree.lastOption.map(_.files).getOrElse(Nil) :+ fr
+        tree = tree :+ SnapRef(snapId, ts, files)
+      }
+      (0 until 1 + rnd.nextInt(3)).foreach(_ => addSnapshot())
+      writeTree(conf, loc, if (rnd.nextBoolean()) 2 else 1, fields, tree)
+
+      val e = new GraftEngine(spark, wh)
+      e.catalog.createSchema("lake")
+      e.executeNonQuery(graft.params.SqlStatement(
+        s"CALL system.register_iceberg_table('lake', 't', '${loc.toUri}')"))
+
+      def expect(snap: SnapRef): Set[(Long, String, Double)] =
+        snap.files.flatMap(f => fileRows(f.path)).toSet
+      def check(tag: String): Unit = {
+        val got = e.query(graft.params.SqlStatement(
+          "SELECT id, name, score FROM lake.t"))
+          .as[(Long, String, Double)].collect().toSet
+        require(got == expect(tree.last), s"scenario_$i $tag: current read diverged")
+        tree.foreach { s =>
+          val g = e.query(graft.params.SqlStatement(
+            s"SELECT id, name, score FROM lake.t FOR VERSION AS OF ${s.id}"))
+            .as[(Long, String, Double)].collect().toSet
+          require(g == expect(s), s"scenario_$i $tag: travel to ${s.id} diverged")
+        }
+        // bounds-pruned range read vs the model (prune-only contract)
+        val cut = 1L + rnd.nextLong(math.max(1L, nextId))
+        val g2 = e.query(graft.params.SqlStatement(
+          s"SELECT id FROM lake.t WHERE id >= $cut")).as[Long].collect().toSet
+        require(g2 == expect(tree.last).map(_._1).filter(_ >= cut),
+          s"scenario_$i $tag: range read @$cut diverged")
+      }
+      check("registered")
+
+      // foreign writer commits more; sync and re-verify
+      (0 until 1 + rnd.nextInt(2)).foreach(_ => addSnapshot())
+      writeTree(conf, loc, 2, fields, tree)
+      val synced = e.executeNonQuery(graft.params.SqlStatement(
+        "CALL system.refresh_iceberg_table('lake', 't')"))
+      require(synced >= 1L, s"scenario_$i: sync appended nothing")
+      check("synced")
+
+      // a local commit diverges: the next sync must refuse
+      if (rnd.nextBoolean()) {
+        e.executeNonQuery(graft.params.SqlStatement(
+          "INSERT INTO lake.t VALUES (999999, 'local', 0.0)"))
+        addSnapshot()
+        writeTree(conf, loc, 2, fields, tree)
+        val refused =
+          try { e.executeNonQuery(graft.params.SqlStatement(
+            "CALL system.refresh_iceberg_table('lake', 't')")); false }
+          catch { case ex: GraftQueryException =>
+            ex.getMessage.contains("diverged") ||
+              Option(ex.getCause).exists(_.getMessage.contains("diverged")) }
+        require(refused, s"scenario_$i: diverged sync did not refuse")
+      }
+
+      CacheHygiene.sweep(spark)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(loc.toString))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+      println(s"[icefuzz] scenario_$i: ${tree.size} snapshots OK")
+    }
+    println(s"[icefuzz] $n/$n iceberg-interop scenarios OK (seed=$seed)")
+  }
+}
