@@ -878,6 +878,12 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       s"$schema.$table diverged from its Iceberg source (local head " +
         s"${c.snapshotId} was not imported from it) — cannot sync"))
     val prevAt = commits.lastOption.map(_.committedAtMillis).getOrElse(0L)
+    // foreign schema evolution between syncs: the source's CURRENT
+    // schema becomes the declared schema (new snapshots' files carry the
+    // new columns; old files read NULL for them through the ordinary
+    // conformance path — same as a local ADD COLUMN)
+    if (!declaredSchema(schema, table).contains(meta.schema))
+      writeString(new Path(dir, "_table_schema.json"), meta.schema.json)
     val snaps = convertIcebergSnapshots(dir, loc, meta, fresh, prevAt)
     writeCommits(schema, table, commits ++ snaps, gen)
     writeIcebergSource(dir, locStr, (imported ++ fresh.map(_.id)).toSeq.sorted)

@@ -160,6 +160,38 @@ class IcebergInteropSpec extends SparkSpec {
     }
   }
 
+  test("sync follows foreign schema evolution: new column arrives, old files read NULL") {
+    val loc = buildTree(2, "ice-evolve")
+    val e = engine("ice-evolve-wh")
+    e.executeNonQuery(SqlStatement("CREATE SCHEMA lake"))
+    e.executeNonQuery(SqlStatement(
+      s"CALL system.register_iceberg_table('lake', 't', '${loc.toUri}')"))
+    // the foreign writer ADDs a column and commits a file carrying it
+    val f3 = new Path(loc, "data/f3.parquet")
+    val b3 = writeParquet(Seq((21L, "p", 7L), (22L, "q", 8L))
+      .toDF("id", "name", "extra"), f3)
+    import IcebergFixture._
+    val fr1 = FileRef(new Path(loc, "data/f1.parquet").toUri.toString, 3L, 1024L,
+      Map(1 -> (encodeLong(1L), encodeLong(3L), 0L)))
+    val fr2 = FileRef(new Path(loc, "data/f2.parquet").toUri.toString, 2L, 1024L,
+      Map(1 -> (encodeLong(11L), encodeLong(12L), 0L)))
+    val fr3 = FileRef(f3.toUri.toString, 2L, b3,
+      Map(1 -> (encodeLong(21L), encodeLong(22L), 0L),
+        4 -> (encodeLong(7L), encodeLong(8L), 0L)))
+    IcebergFixture.writeTree(spark.sparkContext.hadoopConfiguration, loc, 2,
+      Seq((1, "id", "long"), (2, "name", "string"), (4, "extra", "long")),
+      Seq(SnapRef(9001L, 1700000000000L, Seq(fr1)),
+        SnapRef(9002L, 1700000100000L, Seq(fr1, fr2)),
+        SnapRef(9003L, 1700000200000L, Seq(fr1, fr2, fr3))))
+    assert(e.executeNonQuery(SqlStatement(
+      "CALL system.refresh_iceberg_table('lake', 't')")) === 1L)
+    val rows = e.query(SqlStatement(
+      "SELECT id, extra FROM lake.t ORDER BY id"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(rows.toSeq === Seq((1L, -1L), (2L, -1L), (3L, -1L),
+      (11L, -1L), (12L, -1L), (21L, 7L), (22L, 8L)))
+  }
+
   test("delete manifests reject loudly and leave no half-registered table") {
     val loc = buildTree(2, "ice-del")
     // fabricate a delete manifest-list entry for the current snapshot
