@@ -122,18 +122,31 @@ object DevFuzzIceberg {
       }
       check("registered")
 
-      // foreign writer commits more; sync and re-verify
+      // foreign writer commits more; sync and re-verify. Half the
+      // scenarios also EVOLVE the foreign schema (a new column the old
+      // files read NULL for)
+      val evolved = rnd.nextBoolean()
+      val fields2 =
+        if (evolved) fields :+ ((4, "tag", "long")) else fields
       (0 until 1 + rnd.nextInt(2)).foreach(_ => addSnapshot())
-      writeTree(conf, loc, 2, fields, tree)
+      writeTree(conf, loc, 2, fields2, tree)
       val synced = e.executeNonQuery(graft.params.SqlStatement(
         "CALL system.refresh_iceberg_table('lake', 't')"))
       require(synced >= 1L, s"scenario_$i: sync appended nothing")
       check("synced")
+      if (evolved) {
+        val tagNulls = e.query(graft.params.SqlStatement(
+          "SELECT count(*) AS n FROM lake.t WHERE tag IS NULL"))
+          .collect()(0).getLong(0)
+        require(tagNulls == expect(tree.last).size,
+          s"scenario_$i: evolved column must read NULL on pre-evolution files")
+      }
 
       // a local commit diverges: the next sync must refuse
       if (rnd.nextBoolean()) {
         e.executeNonQuery(graft.params.SqlStatement(
-          "INSERT INTO lake.t VALUES (999999, 'local', 0.0)"))
+          if (evolved) "INSERT INTO lake.t VALUES (999999, 'local', 0.0, 1)"
+          else "INSERT INTO lake.t VALUES (999999, 'local', 0.0)"))
         addSnapshot()
         writeTree(conf, loc, 2, fields, tree)
         val refused =
