@@ -227,8 +227,12 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
         val preExisting = catalog.tableExists(schema, table)
         try catalog.createTable(schema, table, columns, ifNotExists, partitionedBy,
           formatVersion, sortedBy, bloomCols)
-        catch { case e: IllegalStateException =>
-          throw new GraftQueryException(sqlText, e.getMessage, e) }
+        catch {
+          case e: IllegalStateException =>
+            throw new GraftQueryException(sqlText, e.getMessage, e)
+          case e: IllegalArgumentException =>
+            throw new GraftQueryException(sqlText, e.getMessage, e)
+        }
         // declared COMMENT clauses persist like COMMENT ON (never onto a
         // pre-existing IF NOT EXISTS table)
         if (!preExisting) {
@@ -353,7 +357,11 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
           if (ifExists) 0L
           else throw new GraftQueryException(sqlText,
             s"Materialized view $schema.$view does not exist")
-        } else { catalog.dropTable(schema, view); 0L }
+        } else {
+          catalog.dropTable(schema, view)
+          mvRefreshLocks.remove(schema + "\u0000" + view) // no lock leak
+          0L
+        }
       case graft.catalog.DropViewStmt(schema, view, ifExists) =>
         if (!catalog.viewExists(schema, view)) {
           if (ifExists) 0L
@@ -1222,8 +1230,10 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
 
   private val mvRefreshLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  // NUL-joined key (no identifier can contain it — same convention as
+  // nameTag), so (a, "b c") and ("a b", c) never share a lock
   private def mvRefreshLock(schema: String, view: String): Object =
-    mvRefreshLocks.computeIfAbsent(s"$schema $view", _ => new Object)
+    mvRefreshLocks.computeIfAbsent(schema + "\u0000" + view, _ => new Object)
 
   /** How the last REFRESH MATERIALIZED VIEW executed: `full`,
     * `incremental-append`, `incremental-merge`, or `noop` — observability

@@ -198,9 +198,10 @@ object IcebergFixture {
     root.putObject("properties")
     root.put("current-snapshot-id", currentSnapshotId)
     val sn = root.putArray("snapshots")
-    snapshots.foreach { case (s, mlPath) =>
+    snapshots.zipWithIndex.foreach { case ((s, mlPath), i) =>
       val o = sn.addObject()
       o.put("snapshot-id", s.id)
+      if (i > 0) o.put("parent-snapshot-id", snapshots(i - 1)._1.id)
       o.put("timestamp-ms", s.timestampMs)
       if (formatVersion == 2) o.put("sequence-number", 1L)
       o.putObject("summary").put("operation", "append")

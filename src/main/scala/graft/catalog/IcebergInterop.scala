@@ -33,7 +33,8 @@ import scala.jdk.CollectionConverters._
 object IcebergInterop {
 
   final case class IceSnapshot(id: Long, timestampMs: Long,
-                               manifestList: String, operation: Option[String])
+                               manifestList: String, operation: Option[String],
+                               parentId: Option[Long])
 
   final case class IceField(id: Int, name: String, dataType: DataType)
 
@@ -60,9 +61,15 @@ object IcebergInterop {
     } else {
       require(fs.exists(mdir), s"$location has no metadata directory")
       val cands = fs.listStatus(mdir).map(_.getPath.getName)
-        .filter(_.endsWith(".metadata.json")).sorted
+        .filter(_.endsWith(".metadata.json"))
       require(cands.nonEmpty, s"$mdir holds no *.metadata.json")
-      new Path(mdir, cands.last)
+      // numeric-aware: plain String order puts v9 past v12 — parse the
+      // leading version number of both naming schemes (`vN.` and
+      // `NNNNN-uuid.`), name as the tiebreak
+      val numRe = "^v?(\\d+)".r
+      def num(n: String): Long =
+        numRe.findFirstMatchIn(n).map(_.group(1).toLong).getOrElse(-1L)
+      new Path(mdir, cands.maxBy(n => (num(n), n)))
     }
   }
 
@@ -100,11 +107,41 @@ object IcebergInterop {
           s.get("timestamp-ms").asLong,
           s.get("manifest-list").asText,
           Option(s.get("summary")).flatMap(n => Option(n.get("operation")))
-            .map(_.asText))
+            .map(_.asText),
+          Option(s.get("parent-snapshot-id")).filterNot(_.isNull).map(_.asLong))
       }
     val current = Option(root.get("current-snapshot-id"))
       .map(_.asLong).filter(_ != -1L)
     IceMeta(fv, location, struct, fields, snaps, current)
+  }
+
+  /** The MAIN-LINE history: the parent chain walked back from the
+    * current snapshot, returned root-first. The snapshots list may hold
+    * MORE than the current state's ancestry — staged (WAP) snapshots,
+    * and post-rollback survivors whose timestamps sort PAST the current
+    * head — and importing those as if they were history would serve rows
+    * the Iceberg table does not expose. Snapshots without parent ids
+    * (old v1 writers) fall back to the (timestamp, id) order truncated
+    * at the current snapshot.
+    */
+  def mainLine(meta: IceMeta): Seq[IceSnapshot] = {
+    val byId = meta.snapshots.map(s => s.id -> s).toMap
+    val cur = meta.currentSnapshotId.flatMap(byId.get).getOrElse(
+      return meta.snapshots.sortBy(s => (s.timestampMs, s.id)))
+    if (meta.snapshots.exists(s => s.parentId.isDefined && s.id != cur.id) ||
+        cur.parentId.isDefined) {
+      val chain = scala.collection.mutable.ArrayBuffer(cur)
+      var p = cur.parentId
+      while (p.isDefined) {
+        val s = byId.getOrElse(p.get, // expired ancestor: chain starts here
+          { p = None; null })
+        if (s != null) { chain += s; p = s.parentId }
+      }
+      chain.reverse.toSeq
+    } else {
+      val ordered = meta.snapshots.sortBy(s => (s.timestampMs, s.id))
+      ordered.takeWhile(s => s.id != cur.id) :+ cur
+    }
   }
 
   /** Iceberg JSON type → Spark DataType. Primitives per spec §Schemas;

@@ -204,9 +204,19 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
                   partitionedBy: Seq[String] = Nil,
                   formatVersion: Int = 1,
                   sortedBy: Seq[String] = Nil,
-                  bloomFilterColumns: Seq[String] = Nil): Unit = {
+                  bloomFilterColumns: Seq[String] = Nil,
+                  allowInternalColumns: Boolean = false): Unit = {
     require(formatVersion == 1 || formatVersion == 2,
       s"format_version must be 1 (copy-on-write) or 2 (merge-on-read), got $formatVersion")
+    // `__mv_` is the avg-MV hidden-partial namespace: the engine CONCEALS
+    // such columns on every read, so a user table declaring one would see
+    // its column silently vanish from results — reject at CREATE instead
+    if (!allowInternalColumns)
+      columns.fieldNames.find(_.toLowerCase(java.util.Locale.ROOT)
+          .startsWith("__mv_")).foreach(n =>
+        throw new IllegalArgumentException(
+          s"Column name $n uses the reserved __mv_ prefix (internal " +
+            "materialized-view state)"))
     val dir = tableDir(schema, table)
     val f = fs(dir)
     val pFields = partitionedBy.map(PartitionTransforms.parse)
@@ -786,7 +796,9 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       IcebergInterop.currentMetadataPath(f, loc))
     require(f.exists(mdPath), s"Iceberg metadata file $mdPath does not exist")
     val meta = IcebergInterop.parseMetadata(readString(mdPath))
-    val ordered = meta.snapshots.sortBy(s => (s.timestampMs, s.id))
+    // main-line ancestry only: staged (WAP) snapshots and post-rollback
+    // survivors in the snapshots list are NOT the table's state
+    val ordered = IcebergInterop.mainLine(meta)
     require(ordered.nonEmpty, s"$mdPath records no snapshots")
     createTable(schema, table, meta.schema)
     val dir = tableDir(schema, table)
@@ -866,10 +878,19 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val f = fs(loc)
     val mdPath = IcebergInterop.currentMetadataPath(f, loc)
     val meta = IcebergInterop.parseMetadata(readString(mdPath))
-    val fresh = meta.snapshots.filterNot(s => imported.contains(s.id))
-      .sortBy(s => (s.timestampMs, s.id))
-    if (fresh.isEmpty) return 0L
+    val line = IcebergInterop.mainLine(meta)
     val (commits, gen) = readCommitsWithGen(schema, table)
+    // a foreign ROLLBACK rewrites history: its current snapshot is one
+    // we already imported but our head sits past it — following would
+    // need a history rewrite on this side too; refuse (drop + re-register
+    // is the recovery path)
+    for (cid <- meta.currentSnapshotId; head <- commits.lastOption)
+      require(!(imported.contains(cid) && head.snapshotId != cid &&
+          imported.contains(head.snapshotId)),
+        s"$schema.$table: the Iceberg source rolled back to snapshot $cid " +
+          "— cannot sync a history rewrite (drop and re-register)")
+    val fresh = line.filterNot(s => imported.contains(s.id))
+    if (fresh.isEmpty) return 0L
     // divergence check: the graft HEAD must be an imported Iceberg
     // snapshot, or the sync would interleave two unrelated histories
     // (any local commit — insert, DML, rollback — moves the head to a
@@ -878,13 +899,16 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       s"$schema.$table diverged from its Iceberg source (local head " +
         s"${c.snapshotId} was not imported from it) — cannot sync"))
     val prevAt = commits.lastOption.map(_.committedAtMillis).getOrElse(0L)
+    // conversion FIRST (a failure here — e.g. a delete manifest — must
+    // leave the table exactly as it was; orphaned manifest shards are
+    // GC-able debris), THEN the schema + commit-log writes
+    val snaps = convertIcebergSnapshots(dir, loc, meta, fresh, prevAt)
     // foreign schema evolution between syncs: the source's CURRENT
     // schema becomes the declared schema (new snapshots' files carry the
     // new columns; old files read NULL for them through the ordinary
     // conformance path — same as a local ADD COLUMN)
     if (!declaredSchema(schema, table).contains(meta.schema))
       writeString(new Path(dir, "_table_schema.json"), meta.schema.json)
-    val snaps = convertIcebergSnapshots(dir, loc, meta, fresh, prevAt)
     writeCommits(schema, table, commits ++ snaps, gen)
     writeIcebergSource(dir, locStr, (imported ++ fresh.map(_.id)).toSeq.sorted)
     fresh.size.toLong
@@ -1741,6 +1765,9 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * least-recently-used files instead of clearing everything (the old
     * `size > N → clear()` cold-restarted every cached file at once).
     */
+  private val eqDelSizeGate =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   private object eqDelKeysLru {
     private val maxRows = 4L << 20 // ~4M key rows across all cached files
     private val maxEntries = 4096
@@ -1796,11 +1823,14 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       case None =>
         // gate BEFORE any read: the exact key count recorded at commit
         // time when available, on-disk bytes for legacy commits (bytes
-        // undercount compressible keys, hence the count is primary)
+        // undercount compressible keys, hence the count is primary). The
+        // legacy byte probe memoizes per immutable path — without it
+        // every table read re-pays one FileSystem RPC per legacy file
         val big =
           if (e.rows >= 0) e.rows > SnapshotCatalog.eqDelDriverMaxRows
-          else f.getContentSummary(new Path(p)).getLength >
-            SnapshotCatalog.eqDelDriverMaxBytes
+          else eqDelSizeGate.computeIfAbsent(p, _ => Boolean.box(
+            f.getContentSummary(new Path(p)).getLength >
+              SnapshotCatalog.eqDelDriverMaxBytes)).booleanValue
         if (big)
           (spark.read.parquet(p), false)
         else {
@@ -3552,7 +3582,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
                              sources: Map[String, Long]): Unit = synchronized {
     require(!viewExists(schema, name),
       s"Cannot create materialized view $schema.$name: a view with that name exists")
-    createTable(schema, name, result.schema)
+    createTable(schema, name, result.schema, allowInternalColumns = true)
     writeMvMeta(schema, name, selectSql, sources)
     insert(schema, name, result)
   }

@@ -822,8 +822,8 @@ object Similarity {
 
   /** DuckDB twin of [[semanticDedup]]: the quantizer replayed in SQL
     * (same prelude as the IVF oracle), then within-cell smaller-id
-    * domination with the identical cosine spelling. nlist replays the
-    * [[semanticDedupNlist]] formula from the oracle's own COUNT(*).
+    * domination with the identical cosine spelling, including the
+    * crowd-cap split (cell sizes + the plane-2 signature CTE).
     */
   def semanticDedupOracleSql(nlist: Int = 16,
                              threshold: Double = NearDupThreshold): String = {

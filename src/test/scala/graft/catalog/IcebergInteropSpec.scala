@@ -229,6 +229,129 @@ class IcebergInteropSpec extends SparkSpec {
     assert(IcebergInterop.decodeBound(BinaryType, Some(Array[Byte](1))) === None)
   }
 
+  test("main-line ancestry: staged (WAP) snapshots past the current head do not import") {
+    val loc = new Path(tmpDir("ice-wap"))
+    val f1 = new Path(loc, "data/f1.parquet")
+    val f2 = new Path(loc, "data/f2.parquet")
+    val b1 = writeParquet(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), f1)
+    val b2 = writeParquet(Seq((11L, "x")).toDF("id", "name"), f2)
+    import IcebergFixture._
+    val fr1 = FileRef(f1.toUri.toString, 2L, b1, Map.empty)
+    val fr2 = FileRef(f2.toUri.toString, 1L, b2, Map.empty)
+    // the metadata's snapshot list holds a STAGED child (9002) of the
+    // current snapshot (9001): current-snapshot-id stays 9001 — the
+    // fixture writes parent ids in list order, so reuse writeTree's
+    // manifest machinery but hand-build the metadata JSON
+    val conf2 = spark.sparkContext.hadoopConfiguration
+    val mdir = new Path(loc, "metadata")
+    val ml1 = IcebergFixture.writeManifestList(conf2, mdir, 9001L,
+      Seq(IcebergFixture.writeManifest(conf2, mdir, 9001L, Seq(fr1))))
+    val ml2 = IcebergFixture.writeManifestList(conf2, mdir, 9002L,
+      Seq(IcebergFixture.writeManifest(conf2, mdir, 9002L, Seq(fr1, fr2))))
+    val json = IcebergFixture.metadataJson(2, loc.toUri.toString,
+      Seq((1, "id", "long"), (2, "name", "string")),
+      Seq((SnapRef(9001L, 1700000000000L, Seq(fr1)), ml1),
+        (SnapRef(9002L, 1700000100000L, Seq(fr1, fr2)), ml2)),
+      currentSnapshotId = 9001L)
+    val fs = mdir.getFileSystem(conf2)
+    val out = fs.create(new Path(mdir, "v1.metadata.json"), true)
+    out.write(json.getBytes("UTF-8")); out.close()
+    val hint = fs.create(new Path(mdir, "version-hint.text"), true)
+    hint.write("1".getBytes("UTF-8")); hint.close()
+    val e = engine("ice-wap-wh")
+    e.executeNonQuery(SqlStatement("CREATE SCHEMA lake"))
+    e.executeNonQuery(SqlStatement(
+      s"CALL system.register_iceberg_table('lake', 't', '${loc.toUri}')"))
+    // only the CURRENT state imported — the staged snapshot's rows absent
+    assert(e.query(SqlStatement("SELECT id FROM lake.t")).as[Long]
+      .collect().sorted.toSeq === Seq(1L, 2L))
+    assert(e.catalog.snapshots("lake", "t").map(_.snapshotId) === Seq(9001L))
+  }
+
+  test("foreign rollback refuses the sync; a failed sync leaves the schema untouched") {
+    val loc = buildTree(2, "ice-rb")
+    val e = engine("ice-rb-wh")
+    e.executeNonQuery(SqlStatement("CREATE SCHEMA lake"))
+    e.executeNonQuery(SqlStatement(
+      s"CALL system.register_iceberg_table('lake', 't', '${loc.toUri}')"))
+    import IcebergFixture._
+    val fr1 = FileRef(new Path(loc, "data/f1.parquet").toUri.toString, 3L, 1024L,
+      Map(1 -> (encodeLong(1L), encodeLong(3L), 0L)))
+    val fr2 = FileRef(new Path(loc, "data/f2.parquet").toUri.toString, 2L, 1024L,
+      Map(1 -> (encodeLong(11L), encodeLong(12L), 0L)))
+    val conf2 = spark.sparkContext.hadoopConfiguration
+    // the foreign table ROLLS BACK to 9001 (both snapshots still listed,
+    // current points at the older one): syncing a history rewrite must
+    // refuse with a clear message
+    val mdir = new Path(loc, "metadata")
+    val ml1 = IcebergFixture.writeManifestList(conf2, mdir, 9001L,
+      Seq(IcebergFixture.writeManifest(conf2, mdir, 9001L, Seq(fr1))))
+    val ml2 = IcebergFixture.writeManifestList(conf2, mdir, 9002L,
+      Seq(IcebergFixture.writeManifest(conf2, mdir, 9002L, Seq(fr1, fr2))))
+    val json = IcebergFixture.metadataJson(2, loc.toUri.toString,
+      Seq((1, "id", "long"), (2, "name", "string")),
+      Seq((SnapRef(9001L, 1700000000000L, Seq(fr1)), ml1),
+        (SnapRef(9002L, 1700000100000L, Seq(fr1, fr2)), ml2)),
+      currentSnapshotId = 9001L)
+    val fs = mdir.getFileSystem(conf2)
+    val out = fs.create(new Path(mdir, "v1.metadata.json"), true)
+    out.write(json.getBytes("UTF-8")); out.close()
+    val ex = intercept[GraftQueryException] {
+      e.executeNonQuery(SqlStatement("CALL system.refresh_iceberg_table('lake', 't')"))
+    }
+    assert(ex.getMessage.contains("rolled back") ||
+      Option(ex.getCause).exists(_.getMessage.contains("rolled back")))
+
+    // failed-sync atomicity: a NEW snapshot carrying a delete manifest
+    // alongside a schema evolution — the refresh throws and the declared
+    // schema must NOT have moved
+    val before = e.catalog.declaredSchema("lake", "t").get
+    val ml3 = IcebergFixture.writeManifestList(conf2, mdir, 9003L,
+      Seq(IcebergFixture.writeManifest(conf2, mdir, 9003L, Seq(fr1, fr2))),
+      content = 1)
+    val json2 = IcebergFixture.metadataJson(2, loc.toUri.toString,
+      Seq((1, "id", "long"), (2, "name", "string"), (4, "extra", "long")),
+      Seq((SnapRef(9001L, 1700000000000L, Seq(fr1)), ml1),
+        (SnapRef(9002L, 1700000100000L, Seq(fr1, fr2)), ml2),
+        (SnapRef(9003L, 1700000200000L, Seq(fr1, fr2)), ml3)),
+      currentSnapshotId = 9003L)
+    val out2 = fs.create(new Path(mdir, "v1.metadata.json"), true)
+    out2.write(json2.getBytes("UTF-8")); out2.close()
+    intercept[GraftQueryException] {
+      e.executeNonQuery(SqlStatement("CALL system.refresh_iceberg_table('lake', 't')"))
+    }
+    assert(e.catalog.declaredSchema("lake", "t").get === before)
+  }
+
+  test("hint-less metadata discovery sorts version numbers numerically (v9 < v12)") {
+    val loc = new Path(tmpDir("ice-vsort"))
+    val mdir = new Path(loc, "metadata")
+    val fs = mdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(mdir)
+    Seq("v1", "v9", "v12", "v2").foreach { v =>
+      val o = fs.create(new Path(mdir, s"$v.metadata.json"), true)
+      o.write("{}".getBytes("UTF-8")); o.close()
+    }
+    assert(IcebergInterop.currentMetadataPath(fs, loc).getName === "v12.metadata.json")
+    // the NNNNN-uuid scheme keeps working (13 > 12 numerically)
+    Seq("00005-abc", "00013-def").foreach { v =>
+      val o = fs.create(new Path(mdir, s"$v.metadata.json"), true)
+      o.write("{}".getBytes("UTF-8")); o.close()
+    }
+    assert(IcebergInterop.currentMetadataPath(fs, loc).getName === "00013-def.metadata.json")
+  }
+
+  test("__mv_ column names are reserved at CREATE (the engine conceals them on reads)") {
+    val e = engine("ice-reserved-wh")
+    e.executeNonQuery(SqlStatement("CREATE SCHEMA lake"))
+    val ex = intercept[GraftQueryException] {
+      e.executeNonQuery(SqlStatement(
+        "CREATE TABLE lake.bad (id bigint, __mv_note varchar)"))
+    }
+    assert(ex.getMessage.contains("__mv_") ||
+      Option(ex.getCause).exists(_.getMessage.contains("__mv_")))
+  }
+
   test("metadata parsing: schemas, snapshots, unsupported types fail loud") {
     val json = IcebergFixture.metadataJson(2, "/x",
       Seq((1, "id", "long"), (2, "ts", "timestamptz"), (3, "d", "decimal(10,2)")),
