@@ -884,8 +884,15 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
               ("# refresh_strategy", strategy, false,
                 "strategy for append-only source histories"))
           }
+        // an Iceberg-attached table surfaces its source + sync posture
+        val iceRow =
+          if (!catalog.tableExists(sch, tbl)) Nil
+          else catalog.icebergSourceOf(sch, tbl).toSeq.map { src =>
+            ("# iceberg_source", src, false,
+              "read-only attachment; CALL system.refresh_iceberg_table to sync")
+          }
         Some((fields.map(f => (f.name, f.dataType.sql.toLowerCase, f.nullable,
-            colComments.get(f.name.toLowerCase).orNull)) ++ mvRow)
+            colComments.get(f.name.toLowerCase).orNull)) ++ mvRow ++ iceRow)
           .toDF("column_name", "data_type", "nullable", "comment"))
       case showCreateRe(kind, sch0, tbl) if kind.equalsIgnoreCase("TABLE") =>
         val sch = Option(sch0).getOrElse(sessionSchema)

@@ -914,6 +914,15 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     fresh.size.toLong
   }
 
+  /** The Iceberg source location a table was attached from, or None for
+    * ordinary tables — DESCRIBE observability.
+    */
+  def icebergSourceOf(schema: String, table: String): Option[String] = {
+    val p = new Path(tableDir(schema, table), "_iceberg_source")
+    if (fs(p).exists(p)) Some(readIcebergSource(tableDir(schema, table))._1)
+    else None
+  }
+
   private def writeIcebergSource(dir: Path, location: String,
                                  imported: Seq[Long]): Unit = {
     val o = mapper.createObjectNode()

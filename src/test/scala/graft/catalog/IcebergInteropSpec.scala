@@ -74,6 +74,10 @@ class IcebergInteropSpec extends SparkSpec {
     // declared schema arrived from the Iceberg schema
     assert(e.catalog.declaredSchema("lake", "t").get ===
       StructType(Seq(StructField("id", LongType), StructField("name", StringType))))
+    // DESCRIBE surfaces the attachment
+    val ice = e.query(SqlStatement("DESCRIBE lake.t")).collect()
+      .find(_.getString(0) == "# iceberg_source")
+    assert(ice.exists(_.getString(1).contains(loc.getName)))
   }
 
   test("manifest bounds prune: the out-of-range file is never opened") {
