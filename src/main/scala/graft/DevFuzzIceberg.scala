@@ -93,7 +93,20 @@ object DevFuzzIceberg {
         tree = tree :+ SnapRef(snapId, ts, files)
       }
       (0 until 1 + rnd.nextInt(3)).foreach(_ => addSnapshot())
-      writeTree(conf, loc, if (rnd.nextBoolean()) 2 else 1, fields, tree)
+      // a third of the scenarios register against a metadata tree whose
+      // list carries a STAGED (WAP) snapshot past the current head: the
+      // registration must import the MAIN LINE only — the staged rows
+      // must be invisible and its id must not time-travel
+      val staged = rnd.nextInt(3) == 0
+      if (staged) {
+        val mainTree = tree
+        addSnapshot() // becomes the staged tip in `tree`
+        val stagedTip = tree.last
+        writeTreeWithCurrent(conf, loc, fields, tree, mainTree.last.id)
+        tree = mainTree // the model ignores the staged snapshot
+        fileRows.remove(stagedTip.files.last.path)
+      } else
+        writeTree(conf, loc, if (rnd.nextBoolean()) 2 else 1, fields, tree)
 
       val e = new GraftEngine(spark, wh)
       e.catalog.createSchema("lake")

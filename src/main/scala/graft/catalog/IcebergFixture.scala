@@ -224,14 +224,25 @@ object IcebergFixture {
     */
   def writeTree(conf: Configuration, location: Path, formatVersion: Int,
                 fields: Seq[(Int, String, String)],
-                snapshots: Seq[SnapRef]): Path = {
+                snapshots: Seq[SnapRef]): Path =
+    writeTreeWithCurrent(conf, location, fields, snapshots,
+      snapshots.last.id, formatVersion)
+
+  /** [[writeTree]] with an explicit current-snapshot-id — fabricates the
+    * staged-snapshot (WAP) / rollback shapes where the list holds
+    * snapshots PAST the current head.
+    */
+  def writeTreeWithCurrent(conf: Configuration, location: Path,
+                           fields: Seq[(Int, String, String)],
+                           snapshots: Seq[SnapRef], currentId: Long,
+                           formatVersion: Int = 2): Path = {
     val mdir = new Path(location, "metadata")
     val withLists = snapshots.map { s =>
       val man = writeManifest(conf, mdir, s.id, s.files)
       (s, writeManifestList(conf, mdir, s.id, Seq(man)))
     }
     val json = metadataJson(formatVersion, location.toUri.toString, fields,
-      withLists, snapshots.last.id)
+      withLists, currentId)
     val mp = new Path(mdir, "v1.metadata.json")
     val fs = mp.getFileSystem(conf)
     val out = fs.create(mp, true)
