@@ -46,20 +46,20 @@ object DevFuzzIceberg {
             rnd.nextInt(1000) / 10.0)
         }
 
+      // a third of the scenarios write ID-LESS data files (the
+      // migrate/add_files shape): registration must fall back to name
+      // resolution and still verify against the model
+      val idLess = rnd.nextInt(3) == 0
       var fileNo = 0
       def writeFile(rows: Seq[(Long, String, Double)]): FileRef = {
         fileNo += 1
         val target = new Path(loc, f"data/f$fileNo%03d.parquet")
-        val tmp = new Path(loc, "stage")
-        rows.toDF("id", "name", "score").coalesce(1)
-          .write.mode("overwrite").parquet(tmp.toString)
-        val f = tmp.getFileSystem(conf)
-        val part = f.listStatus(tmp).map(_.getPath)
-          .find(_.getName.endsWith(".parquet")).get
-        f.mkdirs(target.getParent)
-        f.rename(part, target)
-        f.delete(tmp, true)
-        val len = f.getFileStatus(target).getLen
+        // field ids stamped like a real writer's files (a third of the
+        // scenarios drop them to exercise the name-resolution fallback)
+        val df0 = rows.toDF("id", "name", "score")
+        val df = if (idLess) df0
+          else withFieldIds(df0, Map("id" -> 1, "name" -> 2, "score" -> 3))
+        val len = writeOneParquet(conf, df, target)
         // bounds variant: exact / widened / absent — all must read the same
         val idLo = rows.map(_._1).min
         val idHi = rows.map(_._1).max
@@ -82,6 +82,11 @@ object DevFuzzIceberg {
       var ts = 1700000000000L
       var snapId = 8000L
       val fileRows = scala.collection.mutable.Map.empty[String, Seq[(Long, String, Double)]]
+      // positional-delete model: delete file path -> the (data path,
+      // pos) coordinates it shadows; deletes carry forward cumulatively
+      // like data files
+      val delRows = scala.collection.mutable.Map.empty[String, Seq[(String, Long)]]
+      var delNo = 0
       var tree = Seq.empty[SnapRef]
       def addSnapshot(): Unit = {
         val rows = mkRows(1 + rnd.nextInt(5))
@@ -90,7 +95,28 @@ object DevFuzzIceberg {
         ts += 1000L + rnd.nextInt(1000)
         snapId += 1L + rnd.nextInt(3)
         val files = tree.lastOption.map(_.files).getOrElse(Nil) :+ fr
-        tree = tree :+ SnapRef(snapId, ts, files)
+        val carried = tree.lastOption.map(_.deletes).getOrElse(Nil)
+        // a third of the commits also DELETE 1-2 live coordinates via a
+        // new positional-delete file (spec §Position Delete Files)
+        val dels =
+          if (tree.isEmpty || rnd.nextInt(3) != 0) carried
+          else {
+            val shadowed = carried.flatMap(d => delRows(d.path)).toSet
+            val live = tree.last.files.flatMap(f =>
+              fileRows(f.path).indices.map(i => (f.path, i.toLong)))
+              .filterNot(shadowed)
+            if (live.isEmpty) carried
+            else {
+              val pick = rnd.shuffle(live).take(1 + rnd.nextInt(2))
+              delNo += 1
+              val target = new Path(loc, f"data/d$delNo%03d.parquet")
+              val len = writeOneParquet(conf,
+                pick.toDF("file_path", "pos"), target)
+              delRows(target.toUri.toString) = pick
+              carried :+ FileRef(target.toUri.toString, pick.size.toLong, len, Map.empty)
+            }
+          }
+        tree = tree :+ SnapRef(snapId, ts, files, dels)
       }
       (0 until 1 + rnd.nextInt(3)).foreach(_ => addSnapshot())
       // a third of the scenarios register against a metadata tree whose
@@ -113,18 +139,25 @@ object DevFuzzIceberg {
       e.executeNonQuery(graft.params.SqlStatement(
         s"CALL system.register_iceberg_table('lake', 't', '${loc.toUri}')"))
 
-      def expect(snap: SnapRef): Set[(Long, String, Double)] =
-        snap.files.flatMap(f => fileRows(f.path)).toSet
-      def check(tag: String): Unit = {
+      def expect(snap: SnapRef): Set[(Long, String, Double)] = {
+        val shadowed = snap.deletes.flatMap(d => delRows(d.path)).toSet
+        snap.files.flatMap(f => fileRows(f.path).zipWithIndex.collect {
+          case (r, idx) if !shadowed((f.path, idx.toLong)) => r
+        }).toSet
+      }
+      def check(tag: String, nameCol: String = "name"): Unit = {
         val got = e.query(graft.params.SqlStatement(
-          "SELECT id, name, score FROM lake.t"))
+          s"SELECT id, $nameCol, score FROM lake.t"))
           .as[(Long, String, Double)].collect().toSet
         require(got == expect(tree.last), s"scenario_$i $tag: current read diverged")
         tree.foreach { s =>
+          // pre-rename snapshots pin the OLD column name — travel reads
+          // project the rename-stable columns only
           val g = e.query(graft.params.SqlStatement(
-            s"SELECT id, name, score FROM lake.t FOR VERSION AS OF ${s.id}"))
-            .as[(Long, String, Double)].collect().toSet
-          require(g == expect(s), s"scenario_$i $tag: travel to ${s.id} diverged")
+            s"SELECT id, score FROM lake.t FOR VERSION AS OF ${s.id}"))
+            .as[(Long, Double)].collect().toSet
+          require(g == expect(s).map(r => (r._1, r._3)),
+            s"scenario_$i $tag: travel to ${s.id} diverged")
         }
         // bounds-pruned range read vs the model (prune-only contract)
         val cut = 1L + rnd.nextLong(math.max(1L, nextId))
@@ -137,16 +170,31 @@ object DevFuzzIceberg {
 
       // foreign writer commits more; sync and re-verify. Half the
       // scenarios also EVOLVE the foreign schema (a new column the old
-      // files read NULL for)
+      // files read NULL for), and half of the id-carrying ones RENAME
+      // `name` → `label` — field-id resolution must keep reading the
+      // old-name files' VALUES under the new name
       val evolved = rnd.nextBoolean()
+      val renamed = !idLess && rnd.nextBoolean()
+      val fieldsBase =
+        if (renamed) Seq((1, "id", "long"), (2, "label", "string"),
+          (3, "score", "double"))
+        else fields
       val fields2 =
-        if (evolved) fields :+ ((4, "tag", "long")) else fields
+        if (evolved) fieldsBase :+ ((4, "tag", "long")) else fieldsBase
       (0 until 1 + rnd.nextInt(2)).foreach(_ => addSnapshot())
       writeTree(conf, loc, 2, fields2, tree)
       val synced = e.executeNonQuery(graft.params.SqlStatement(
         "CALL system.refresh_iceberg_table('lake', 't')"))
       require(synced >= 1L, s"scenario_$i: sync appended nothing")
-      check("synced")
+      check("synced", if (renamed) "label" else "name")
+      if (renamed) {
+        // every pre-rename row's renamed column must carry its VALUE
+        val nulls = e.query(graft.params.SqlStatement(
+          "SELECT count(*) AS n FROM lake.t WHERE label IS NULL"))
+          .collect()(0).getLong(0)
+        require(nulls == 0L,
+          s"scenario_$i: rename leg read NULLs — field-id resolution broken")
+      }
       if (evolved) {
         val tagNulls = e.query(graft.params.SqlStatement(
           "SELECT count(*) AS n FROM lake.t WHERE tag IS NULL"))

@@ -25,7 +25,43 @@ object IcebergFixture {
   final case class FileRef(path: String, rows: Long, bytes: Long,
                            stats: Map[Int, (Array[Byte], Array[Byte], Long)])
 
-  final case class SnapRef(id: Long, timestampMs: Long, files: Seq[FileRef])
+  /** `deletes` = POSITIONAL delete files (content 1) the snapshot
+    * carries in a second, delete-content manifest.
+    */
+  final case class SnapRef(id: Long, timestampMs: Long, files: Seq[FileRef],
+                           deletes: Seq[FileRef] = Nil)
+
+  /** Stamp parquet field ids (column name → id) onto `df` so files it
+    * writes carry footer ids like every real Iceberg writer's — Spark
+    * writes them from this metadata (`spark.sql.parquet.fieldId.write
+    * .enabled`, on by default).
+    */
+  def withFieldIds(df: org.apache.spark.sql.DataFrame,
+                   ids: Map[String, Int]): org.apache.spark.sql.DataFrame =
+    df.select(df.columns.toIndexedSeq.map { c =>
+      ids.get(c) match {
+        case Some(id) => org.apache.spark.sql.functions.col(c).as(c,
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong(IcebergInterop.FieldIdKey, id.toLong).build())
+        case None => org.apache.spark.sql.functions.col(c)
+      }
+    }: _*)
+
+  /** Write `df` as ONE parquet file at exactly `target`; returns bytes. */
+  def writeOneParquet(conf: Configuration, df: org.apache.spark.sql.DataFrame,
+                      target: Path): Long = {
+    val fs = target.getFileSystem(conf)
+    val tmp = new Path(target.getParent,
+      s".stage-${java.util.UUID.randomUUID().toString.take(8)}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    fs.mkdirs(target.getParent)
+    if (fs.exists(target)) fs.delete(target, false)
+    fs.rename(part, target)
+    fs.delete(tmp, true)
+    fs.getFileStatus(target).getLen
+  }
 
   def encodeLong(v: Long): Array[Byte] =
     java.nio.ByteBuffer.allocate(8)
@@ -113,15 +149,17 @@ object IcebergFixture {
   }
 
   /** Write one manifest for `files` (all status 1 = ADDED) and return
-    * (path, length).
+    * (path, length). `content` goes on each data_file record: 0 = data,
+    * 1 = positional deletes, 2 = equality deletes.
     */
   def writeManifest(conf: Configuration, metadataDir: Path, snapId: Long,
-                    files: Seq[FileRef]): (Path, Long) = {
-    val p = new Path(metadataDir, s"m-$snapId-${files.hashCode & 0x7fffffff}.avro")
+                    files: Seq[FileRef], content: Int = 0): (Path, Long) = {
+    val p = new Path(metadataDir,
+      s"m$content-$snapId-${files.hashCode & 0x7fffffff}.avro")
     val dfSchema = manifestEntrySchema.getField("data_file").schema
     val recs = files.map { fr =>
       val df = new GenericRecordBuilder(dfSchema)
-        .set("content", 0)
+        .set("content", content)
         .set("file_path", fr.path)
         .set("file_format", "PARQUET")
         .set("partition",
@@ -140,12 +178,21 @@ object IcebergFixture {
   }
 
   /** Write the manifest list for one snapshot; `content` 0 = data (pass
-    * 1 to fabricate the delete-manifest rejection case).
+    * 1 to fabricate a delete-manifest entry).
     */
   def writeManifestList(conf: Configuration, metadataDir: Path, snapId: Long,
-                        manifests: Seq[(Path, Long)], content: Int = 0): Path = {
+                        manifests: Seq[(Path, Long)], content: Int = 0): Path =
+    writeManifestListEntries(conf, metadataDir, snapId,
+      manifests.map { case (p, len) => (p, len, content) })
+
+  /** Mixed-content manifest list: one (path, length, content) entry per
+    * manifest — content 0 = data manifests, 1 = delete manifests.
+    */
+  def writeManifestListEntries(conf: Configuration, metadataDir: Path,
+                               snapId: Long,
+                               manifests: Seq[(Path, Long, Int)]): Path = {
     val p = new Path(metadataDir, s"snap-$snapId.avro")
-    val recs = manifests.map { case (mp, len) =>
+    val recs = manifests.map { case (mp, len, content) =>
       new GenericRecordBuilder(manifestListSchema)
         .set("manifest_path", mp.toUri.toString)
         .set("manifest_length", len)
@@ -238,8 +285,12 @@ object IcebergFixture {
                            formatVersion: Int = 2): Path = {
     val mdir = new Path(location, "metadata")
     val withLists = snapshots.map { s =>
-      val man = writeManifest(conf, mdir, s.id, s.files)
-      (s, writeManifestList(conf, mdir, s.id, Seq(man)))
+      val (mp, mlen) = writeManifest(conf, mdir, s.id, s.files)
+      val mans = Seq((mp, mlen, 0)) ++ (if (s.deletes.isEmpty) Nil else {
+        val (dp, dlen) = writeManifest(conf, mdir, s.id, s.deletes, content = 1)
+        Seq((dp, dlen, 1))
+      })
+      (s, writeManifestListEntries(conf, mdir, s.id, mans))
     }
     val json = metadataJson(formatVersion, location.toUri.toString, fields,
       withLists, currentId)

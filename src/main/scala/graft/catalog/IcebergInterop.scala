@@ -22,9 +22,12 @@ import scala.jdk.CollectionConverters._
   * floats, UTF-8 strings, date = days int, timestamps = micros long).
   *
   * Deliberate read-only boundaries (each fails loud, never silently
-  * misreads): delete manifests / non-data content (v2 row-level deletes
-  * need merge-on-read machinery the registration cannot mirror),
-  * unsupported column types (uuid/fixed), and a missing metadata file.
+  * misreads): EQUALITY-delete files (their sequence-number-scoped key
+  * semantics cannot be replayed read-only; positional deletes DO import
+  * onto the engine's own merge-on-read path), unsupported column types
+  * (uuid/fixed), and a missing metadata file. Data files without
+  * parquet field ids fall back to name resolution only after a footer
+  * sample proves the names match the schema ([[parquetHasFieldIds]]).
   * Iceberg string bounds may be TRUNCATED (lower prefix-truncated down,
   * upper truncated-and-incremented) — conservative-but-valid inclusive
   * bounds, which is exactly the contract [[Manifests.mayMatch]] and
@@ -37,6 +40,63 @@ object IcebergInterop {
                                parentId: Option[Long])
 
   final case class IceField(id: Int, name: String, dataType: DataType)
+
+  /** Spark's parquet field-id metadata key (SPARK-38094): a read schema
+    * whose StructFields carry this resolves parquet columns by FIELD ID
+    * instead of name when `spark.sql.parquet.fieldId.read.enabled` is
+    * on — exactly how the Iceberg spec says data files must be read
+    * (spec §Column Projection: "Values for field ids which are not
+    * present in a data file must be resolved ... by id, not name"), so
+    * a foreign `RENAME COLUMN` keeps reading the VALUES from pre-rename
+    * files instead of silently NULLing them.
+    */
+  val FieldIdKey = "parquet.field.id"
+
+  private def fieldIdMeta(id: Int): Metadata =
+    new MetadataBuilder().putLong(FieldIdKey, id.toLong).build()
+
+  /** `schema` with every `parquet.field.id` annotation removed (top
+    * level and nested) — the name-resolution fallback for trees whose
+    * data files carry no parquet field ids (`migrate`/`add_files`-built
+    * tables), where id resolution would fail on every file.
+    */
+  def stripFieldIds(schema: StructType): StructType = {
+    def strip(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = strip(f.dataType), metadata = stripMeta(f.metadata))))
+      case a: ArrayType => a.copy(elementType = strip(a.elementType))
+      case m: MapType =>
+        m.copy(keyType = strip(m.keyType), valueType = strip(m.valueType))
+      case other => other
+    }
+    def stripMeta(m: Metadata): Metadata =
+      if (!m.contains(FieldIdKey)) m
+      else {
+        val b = new MetadataBuilder().withMetadata(m)
+        b.remove(FieldIdKey)
+        b.build()
+      }
+    strip(schema).asInstanceOf[StructType]
+  }
+
+  /** Whether a parquet file's footer schema annotates its (top-level)
+    * columns with field ids — the register-time sample that decides
+    * between id-faithful and name-based reads for an attached tree.
+    */
+  def parquetHasFieldIds(conf: Configuration, file: Path): Boolean = {
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+      conf, file,
+      org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+    footer.getFileMetaData.getSchema.getFields.asScala.forall(_.getId != null)
+  }
+
+  /** Top-level column names of a parquet file's footer schema. */
+  def parquetFooterNames(conf: Configuration, file: Path): Seq[String] = {
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+      conf, file,
+      org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+    footer.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSeq
+  }
 
   final case class IceMeta(formatVersion: Int, location: String,
                            schema: StructType, fields: Seq[IceField],
@@ -96,7 +156,11 @@ object IcebergInterop {
       IceField(f.get("id").asInt, f.get("name").asText,
         parseType(f.get("type")))
     }.toSeq
-    val struct = StructType(fields.map(f => StructField(f.name, f.dataType)))
+    // field ids ride the schema as parquet.field.id metadata, so reads
+    // resolve columns the way the spec requires (by id) when the data
+    // files carry ids — see [[FieldIdKey]]
+    val struct = StructType(fields.map(f =>
+      StructField(f.name, f.dataType, nullable = true, fieldIdMeta(f.id))))
     val snaps = Option(root.get("snapshots")).toSeq
       .flatMap(_.elements.asScala).map { s =>
         require(s.hasNonNull("manifest-list"),
@@ -169,8 +233,12 @@ object IcebergInterop {
       }
     } else node.get("type").asText match {
       case "struct" =>
-        StructType(node.get("fields").elements.asScala.map(f =>
-          StructField(f.get("name").asText, parseType(f.get("type")))).toSeq)
+        StructType(node.get("fields").elements.asScala.map { f =>
+          val m = Option(f.get("id")).filterNot(_.isNull)
+            .map(id => fieldIdMeta(id.asInt)).getOrElse(Metadata.empty)
+          StructField(f.get("name").asText, parseType(f.get("type")),
+            nullable = true, m)
+        }.toSeq)
       case "list" => ArrayType(parseType(node.get("element")))
       case "map"  => MapType(parseType(node.get("key")), parseType(node.get("value")))
       case other => throw new IllegalArgumentException(
@@ -243,6 +311,37 @@ object IcebergInterop {
           }
         }
         Some(DataFileEntry(filePath, rows, bytes, bounds))
+      }
+    }.toList
+    finally r.close()
+  }
+
+  /** One DELETE manifest's live entries (v2 row-level deletes). Only
+    * POSITIONAL delete files (content 1 — rows addressed by
+    * `(file_path, pos)`, spec §Position Delete Files) come back;
+    * equality-delete files (content 2) fail loud — their
+    * sequence-number-scoped key semantics cannot be replayed from a
+    * read-only registration. Returns (file path, record count) pairs;
+    * status-2 (DELETED) entries drop like data manifests.
+    */
+  def readDeleteManifest(conf: Configuration, path: Path): Seq[(String, Long)] = {
+    val r = openAvro(conf, path)
+    try r.iterator.asScala.flatMap { rec =>
+      val status = rec.get("status").asInstanceOf[Int]
+      if (status == 2) None
+      else {
+        val df = rec.get("data_file").asInstanceOf[
+          org.apache.avro.generic.GenericRecord]
+        val content = Option(df.get("content"))
+          .map(_.asInstanceOf[Int]).getOrElse(0)
+        require(content != 2,
+          s"$path holds an EQUALITY delete file — read-only Iceberg " +
+            "registration supports positional deletes only (compact the " +
+            "table with its own engine first)")
+        require(content == 1,
+          s"$path: delete manifest entry with content=$content (expected 1)")
+        Some((df.get("file_path").toString,
+          df.get("record_count").asInstanceOf[Long]))
       }
     }.toList
     finally r.close()

@@ -127,6 +127,15 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
   private def fs(p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // Attached-Iceberg schemas carry parquet.field.id metadata
+  // ([[IcebergInterop.FieldIdKey]]); this makes Spark's parquet reader
+  // resolve those columns by FIELD ID — the Iceberg spec's required
+  // column-projection rule, which keeps a foreign RENAME COLUMN from
+  // silently NULLing pre-rename files. A no-op for every other table:
+  // id resolution only engages when the read schema carries ids, and
+  // native graft schemas never do.
+  spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+
   /** Physical root of a table. Normally `<schemaLocation>/<table>`; a
     * table attached with [[registerTable]] resolves through a
     * `_table_location` pointer marker instead (one marker stat per call
@@ -781,8 +790,19 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * commits version the registered state forward in the graft log only
     * — the Iceberg metadata does not see them (one-way interop; the
     * registration is a metadata snapshot, KB-scale, data untouched).
-    * Tables carrying v2 DELETE files are rejected loudly (their
-    * merge-on-read semantics cannot be mirrored read-only).
+    *
+    * Column resolution follows the spec's projection rule: data files
+    * are read by FIELD ID (the parsed schema carries
+    * `parquet.field.id` metadata, [[IcebergInterop.FieldIdKey]]), so a
+    * foreign RENAME COLUMN keeps reading pre-rename files' values. A
+    * tree whose sampled data files carry no parquet field ids
+    * (migrate/add_files imports) falls back to name resolution — but
+    * only after the sampled footers' names all prove present in the
+    * schema; a mismatch (the rename-hazard shape) refuses loudly.
+    * V2 POSITIONAL deletes import onto the engine's own merge-on-read
+    * read path; EQUALITY-delete files are rejected loudly (their
+    * sequence-number-scoped key semantics cannot be replayed
+    * read-only).
     */
   def registerIcebergTable(schema: String, table: String, location: String,
                            metadataFile: Option[String] = None): Unit = synchronized {
@@ -800,10 +820,13 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     // survivors in the snapshots list are NOT the table's state
     val ordered = IcebergInterop.mainLine(meta)
     require(ordered.nonEmpty, s"$mdPath records no snapshots")
-    createTable(schema, table, meta.schema)
+    val tableSchema = icebergReadSchema(
+      new Path(schemaLocation(schema), table), loc, meta, ordered)
+    createTable(schema, table, tableSchema)
     val dir = tableDir(schema, table)
     try {
-      val snaps = convertIcebergSnapshots(dir, loc, meta, ordered, prevAt = 0L)
+      val snaps = convertIcebergSnapshots(dir, loc, meta, ordered,
+        prevAt = 0L, pinSchema = tableSchema)
       val (commits, gen) = readCommitsWithGen(schema, table)
       require(commits.isEmpty, s"fresh table $schema.$table has commits?")
       writeCommits(schema, table, snaps, gen)
@@ -823,39 +846,175 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     }
   }
 
+  /** ONE path convention for everything an attached snapshot references
+    * (round-11 advice — the old re-anchor dropped scheme+authority
+    * inconsistently): scheme-normalize, re-anchor paths under the
+    * RECORDED table location onto the registration location, qualify on
+    * the source filesystem, and require the result to live on the SAME
+    * filesystem as the catalog entry. The read path resolves stored
+    * absolute paths against the table dir's filesystem, so a
+    * cross-filesystem file would silently read from the wrong store —
+    * refuse loudly instead.
+    */
+  private def iceResolver(dir: Path, loc: Path, recLocation: String): String => Path = {
+    val fSrc = fs(loc)
+    val locQ = fSrc.makeQualified(loc)
+    val dirU = fs(dir).makeQualified(dir).toUri
+    val recRoot = recLocation.replaceFirst(SchemeNormRe, "/").stripSuffix("/")
+    (p: String) => {
+      val b = p.replaceFirst(SchemeNormRe, "/")
+      val q =
+        if (b.startsWith(recRoot + "/"))
+          fSrc.makeQualified(new Path(locQ, b.stripPrefix(recRoot + "/")))
+        else {
+          val raw = new Path(p)
+          if (raw.toUri.getScheme != null) raw
+          else fSrc.makeQualified(if (raw.isAbsolute) raw else new Path(locQ, p))
+        }
+      val u = q.toUri
+      require(Option(u.getScheme) == Option(dirU.getScheme) &&
+          Option(u.getAuthority) == Option(dirU.getAuthority),
+        s"Iceberg path $p resolves to $q, on a different filesystem than " +
+          s"the catalog entry (${dirU.getScheme}://${Option(dirU.getAuthority)
+            .getOrElse("")}) — cross-filesystem registration is not " +
+          "supported; register into a catalog schema on the same store")
+      q
+    }
+  }
+
+  /** Data-file footer sampling that picks the column-resolution mode
+    * for an attached tree: the id-carrying schema when every sampled
+    * file (first/last entries of the first/last snapshots, ≤8 footers)
+    * has parquet field ids — real Iceberg writers always write them —
+    * else the id-stripped schema for NAME resolution, but only after
+    * every sampled footer's names prove present in the schema. An
+    * id-less footer with an unknown column name means the tree evolved
+    * by rename/drop and a name read would silently misread history:
+    * refuse loudly ("fails loud, never silently misreads").
+    */
+  private def icebergReadSchema(dir: Path, loc: Path,
+                                meta: IcebergInterop.IceMeta,
+                                ordered: Seq[IcebergInterop.IceSnapshot]): StructType = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val resolve = iceResolver(dir, loc, meta.location)
+    val sampled: Seq[Path] =
+      (ordered.headOption.toSeq ++ ordered.lastOption.toSeq).distinct.flatMap { s =>
+        val mans = IcebergInterop.readManifestList(conf, resolve(s.manifestList))
+          .filter(_._2 == 0)
+        (mans.headOption.toSeq ++ mans.lastOption.toSeq).distinct.flatMap {
+          case (mp, _) =>
+            val es = IcebergInterop.readManifest(conf, resolve(mp), meta.fields)
+            (es.headOption.toSeq ++ es.lastOption.toSeq).map(e => resolve(e.path))
+        }
+      }.distinct.take(8)
+    if (sampled.isEmpty ||
+        sampled.forall(IcebergInterop.parquetHasFieldIds(conf, _)))
+      meta.schema
+    else {
+      val names = meta.schema.fieldNames
+        .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+      sampled.foreach { p =>
+        val alien = IcebergInterop.parquetFooterNames(conf, p)
+          .filterNot(n => names(n.toLowerCase(java.util.Locale.ROOT)))
+        require(alien.isEmpty,
+          s"Iceberg data file $p carries no parquet field ids and its " +
+            s"footer holds column(s) ${alien.mkString(", ")} absent from " +
+            "the table schema — the tree evolved by rename/drop, and a " +
+            "name-based read would silently misread it; refusing")
+      }
+      IcebergInterop.stripFieldIds(meta.schema)
+    }
+  }
+
   private def convertIcebergSnapshots(dir: Path, loc: Path,
                                       meta: IcebergInterop.IceMeta,
                                       ordered: Seq[IcebergInterop.IceSnapshot],
-                                      prevAt: Long): Seq[Snapshot] = {
+                                      prevAt: Long,
+                                      pinSchema: StructType): Seq[Snapshot] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    def resolve(p: String): Path = {
-      val bare = p.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
-      val recRoot = meta.location.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
-        .stripSuffix("/")
-      if (bare.startsWith(recRoot + "/"))
-        new Path(loc, bare.stripPrefix(recRoot + "/"))
-      else if (bare.startsWith("/")) new Path(bare)
-      else new Path(loc, bare)
+    val resolve = iceResolver(dir, loc, meta.location)
+    // the raw read-time form of an imported entry path — what
+    // `_metadata.file_path` yields when the manifest relation scans it
+    // (the index qualifies entries against the table dir): imported
+    // positional-delete coordinates are rewritten to this form so the
+    // engine's (file, pos) anti-join and footer arithmetic stay exact
+    val rawPrefix = {
+      val probe = new Path(fs(dir).makeQualified(dir), "/__p__").toString
+      probe.stripSuffix("/__p__")
     }
     var at = prevAt
+    // snapshots usually carry the same delete files forward — convert
+    // each distinct (delete files, live files) state once
+    val delDirCache =
+      scala.collection.mutable.Map.empty[(Seq[String], Seq[String]), Option[String]]
     ordered.map { s =>
       val manifests = IcebergInterop.readManifestList(conf, resolve(s.manifestList))
-      require(manifests.forall(_._2 == 0),
-        s"Snapshot ${s.id} carries delete manifests — read-only Iceberg " +
-          "registration supports data-only tables (compact/rewrite the " +
-          "table with its own engine first)")
-      val entries = manifests.flatMap { case (mp, _) =>
+      val (delMans, dataMans) = manifests.partition(_._2 != 0)
+      val entries = dataMans.flatMap { case (mp, _) =>
         IcebergInterop.readManifest(conf, resolve(mp), meta.fields)
       }.map { e =>
         // re-anchor relocated data paths the same way as the manifests
         e.copy(path = resolve(e.path).toUri.getPath)
       }
+      // v2 positional deletes (spec §Position Delete Files): rewrite the
+      // foreign (file_path, pos) parquet into an engine delete dir —
+      // coordinates re-anchored to the raw read-time form, deduped, and
+      // restricted to THIS snapshot's data files, so every engine
+      // invariant over Snapshot.deletes (exact footer arithmetic, the
+      // carry/compact logic) holds for imports too. Equality deletes
+      // fail loud inside readDeleteManifest.
+      val delFiles = delMans.flatMap { case (mp, _) =>
+        IcebergInterop.readDeleteManifest(conf, resolve(mp))
+      }.map(_._1).distinct.sorted
+      val delKey = (delFiles, entries.map(_.path).sorted)
+      val deletes = delDirCache.getOrElseUpdate(delKey,
+        importPositionalDeletes(dir, delFiles.map(resolve),
+          entries.map(e => rawPrefix + e.path), rawPrefix,
+          meta.location, loc)).toSeq
       val names = writeManifests(dir, entries)
       at = math.max(s.timestampMs, at + 1) // graft history is monotonic
-      Snapshot(s.id, at, Nil, Some(meta.schema.json),
-        s.operation.orElse(Some("append")), Nil,
+      Snapshot(s.id, at, Nil, Some(pinSchema.json),
+        s.operation.orElse(Some("append")), deletes,
         Some(writeManifestList(dir, names)))
     }
+  }
+
+  /** Rewrite foreign positional-delete parquet (`file_path` string,
+    * `pos` long — spec §Position Delete Files) into one engine delete
+    * dir under the graft table: file_path values scheme-normalize and
+    * re-anchor exactly like data entries (a relocated tree's deletes
+    * must follow its files), then take the raw read-time form; rows are
+    * deduped and restricted to the snapshot's live files (a foreign
+    * delete file may address files long rewritten away — carrying those
+    * rows would break the engine's exact footer arithmetic). Returns
+    * None when nothing survives. Delete files are bounded by the
+    * foreign writer's DML selectivity — KB-to-MB-scale jobs at import
+    * time, never per read.
+    */
+  private def importPositionalDeletes(dir: Path, files: Seq[Path],
+                                      liveRaw: Seq[String], rawPrefix: String,
+                                      recLocation: String, loc: Path): Option[String] = {
+    if (files.isEmpty) return None
+    import org.apache.spark.sql.functions.{col, concat, lit, regexp_replace, when}
+    val bareRec = recLocation.replaceFirst(SchemeNormRe, "/").stripSuffix("/")
+    val locPath = fs(loc).makeQualified(loc).toUri.getPath
+    val b = regexp_replace(col("file_path"), SchemeNormRe, "/")
+    val anchored =
+      if (bareRec == locPath) b // not relocated: the bare form is final
+      else when(b.startsWith(bareRec + "/"),
+        concat(lit(locPath), b.substr(lit(bareRec.length + 1), lit(Int.MaxValue))))
+        .otherwise(b)
+    val rewritten = spark.read.parquet(files.map(_.toString): _*)
+      .select(concat(lit(rawPrefix), anchored).as("file_path"),
+        col("pos").cast("long").as("pos"))
+      .distinct()
+    val kept = fileSetFilter(rewritten, "file_path", liveRaw, anti = false)
+    val dirName = s"delete-import-${java.util.UUID.randomUUID().toString.take(8)}"
+    kept.repartitionByRange(col("file_path"), col("pos"))
+      .write.mode("errorifexists").parquet(new Path(dir, dirName).toString)
+    if (parquetFooterRows(new Path(dir, dirName)) == 0L) {
+      fs(dir).delete(new Path(dir, dirName), true); None
+    } else Some(dirName)
   }
 
   /** CALL system.refresh_iceberg_table: one-way sync for a table
@@ -880,35 +1039,54 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val meta = IcebergInterop.parseMetadata(readString(mdPath))
     val line = IcebergInterop.mainLine(meta)
     val (commits, gen) = readCommitsWithGen(schema, table)
-    // a foreign ROLLBACK rewrites history: its current snapshot is one
-    // we already imported but our head sits past it — following would
-    // need a history rewrite on this side too; refuse (drop + re-register
-    // is the recovery path)
-    for (cid <- meta.currentSnapshotId; head <- commits.lastOption)
-      require(!(imported.contains(cid) && head.snapshotId != cid &&
-          imported.contains(head.snapshotId)),
-        s"$schema.$table: the Iceberg source rolled back to snapshot $cid " +
-          "— cannot sync a history rewrite (drop and re-register)")
+    val lineIds = line.map(_.id).toSet
+    // BOTH refusal checks run before the no-new-work early return — a
+    // diverged or rolled-back table must never report a silent 0
+    // (round-11 advice)
+    commits.lastOption.foreach { c =>
+      // divergence: the graft HEAD must be an imported Iceberg snapshot,
+      // or the sync would interleave two unrelated histories (any local
+      // commit — insert, DML, rollback — moves the head to a
+      // locally-minted id)
+      require(imported.contains(c.snapshotId),
+        s"$schema.$table diverged from its Iceberg source (local head " +
+          s"${c.snapshotId} was not imported from it) — cannot sync")
+      // a foreign ROLLBACK rewrites history (with or without new commits
+      // on top): our imported head is no longer on the source main line
+      // while an OLDER imported snapshot still is. Distinguished from
+      // snapshot EXPIRY — which trims oldest-first, so the head either
+      // stays on the line or every imported id leaves it together;
+      // expiry syncs fine, a rewrite refuses (drop + re-register is the
+      // recovery path).
+      require(lineIds.contains(c.snapshotId) ||
+          line.forall(s => !imported.contains(s.id)),
+        s"$schema.$table: the Iceberg source rolled back past imported " +
+          s"snapshot ${c.snapshotId} — cannot sync a history rewrite " +
+          "(drop and re-register)")
+    }
     val fresh = line.filterNot(s => imported.contains(s.id))
     if (fresh.isEmpty) return 0L
-    // divergence check: the graft HEAD must be an imported Iceberg
-    // snapshot, or the sync would interleave two unrelated histories
-    // (any local commit — insert, DML, rollback — moves the head to a
-    // locally-minted id)
-    commits.lastOption.foreach(c => require(imported.contains(c.snapshotId),
-      s"$schema.$table diverged from its Iceberg source (local head " +
-        s"${c.snapshotId} was not imported from it) — cannot sync"))
+    // the column-resolution mode from registration: the id-carrying
+    // schema if the declared one has ids; otherwise re-run the footer
+    // sampling — a name-mode tree that evolved by rename since the last
+    // sync must refuse here too, not silently NULL history (and a tree
+    // whose files gained ids upgrades to id resolution)
+    val useIds = declaredSchema(schema, table).exists(_.fields.exists(
+      _.metadata.contains(IcebergInterop.FieldIdKey)))
+    val pinSchema =
+      if (useIds) meta.schema else icebergReadSchema(dir, loc, meta, line)
     val prevAt = commits.lastOption.map(_.committedAtMillis).getOrElse(0L)
-    // conversion FIRST (a failure here — e.g. a delete manifest — must
-    // leave the table exactly as it was; orphaned manifest shards are
-    // GC-able debris), THEN the schema + commit-log writes
-    val snaps = convertIcebergSnapshots(dir, loc, meta, fresh, prevAt)
+    // conversion FIRST (a failure here — e.g. an equality-delete
+    // manifest — must leave the table exactly as it was; orphaned
+    // manifest shards are GC-able debris), THEN the schema + commit-log
+    // writes
+    val snaps = convertIcebergSnapshots(dir, loc, meta, fresh, prevAt, pinSchema)
     // foreign schema evolution between syncs: the source's CURRENT
     // schema becomes the declared schema (new snapshots' files carry the
     // new columns; old files read NULL for them through the ordinary
     // conformance path — same as a local ADD COLUMN)
-    if (!declaredSchema(schema, table).contains(meta.schema))
-      writeString(new Path(dir, "_table_schema.json"), meta.schema.json)
+    if (!declaredSchema(schema, table).contains(pinSchema))
+      writeString(new Path(dir, "_table_schema.json"), pinSchema.json)
     writeCommits(schema, table, commits ++ snaps, gen)
     writeIcebergSource(dir, locStr, (imported ++ fresh.map(_.id)).toSeq.sorted)
     fresh.size.toLong
@@ -1692,7 +1870,29 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     (df, keys, helpers.toSeq)
   }
 
-  private def partitionedWriter(schema: String, table: String, df: DataFrame) = {
+  /** When the declared schema carries parquet field ids (attached
+    * Iceberg tables), stamp them onto `df` so the written files resolve
+    * by id like the foreign ones — without this, a local INSERT would
+    * write id-less files that the table's id-resolving reads then
+    * refuse. A no-op for every native table (one metadata scan).
+    */
+  private def withDeclaredFieldIds(schema: String, table: String,
+                                   df: DataFrame): DataFrame = {
+    val decl = declaredSchema(schema, table).getOrElse(return df)
+    if (!decl.fields.exists(_.metadata.contains(IcebergInterop.FieldIdKey)))
+      return df
+    import org.apache.spark.sql.functions.col
+    df.select(df.schema.fields.toIndexedSeq.map { f =>
+      decl.fields.find(_.name.equalsIgnoreCase(f.name)) match {
+        case Some(d) if d.metadata.contains(IcebergInterop.FieldIdKey) =>
+          col(f.name).as(f.name, d.metadata)
+        case _ => col(f.name)
+      }
+    }: _*)
+  }
+
+  private def partitionedWriter(schema: String, table: String, df0: DataFrame) = {
+    val df = withDeclaredFieldIds(schema, table, df0)
     val fieldsP = partitionFields(schema, table)
     val sorted = sortSpec(schema, table)
     val withD = withDerivedPartitionCols(schema, table, df)
@@ -4428,7 +4628,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     /* cluster + write `base` as exactly `numFiles` files (not
      * partitionedWriter — its AQE-sized clustering shuffle would override
      * the explicit layout) */
-    def writeCompacted(base: DataFrame): Unit = {
+    def writeCompacted(base0: DataFrame): Unit = {
+      val base = withDeclaredFieldIds(schema, table, base0)
       val compacted =
         if (sorted.isEmpty) base.coalesce(numFiles)
         else {

@@ -718,19 +718,14 @@ object CatalogDemos {
       if (f.exists(hp)) f.delete(hp, true)
     }
     val loc = new org.apache.hadoop.fs.Path(icebergDemoLake)
-    val nation = graft.Tables.nation(s, d)
-      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
-    def writeOne(df: DataFrame, target: org.apache.hadoop.fs.Path): Long = {
-      val tmp = new org.apache.hadoop.fs.Path(icebergDemoLake + "-stage")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val f = tmp.getFileSystem(conf)
-      val part = f.listStatus(tmp).map(_.getPath)
-        .find(_.getName.endsWith(".parquet")).get
-      f.mkdirs(target.getParent)
-      f.rename(part, target)
-      f.delete(tmp, true)
-      f.getFileStatus(target).getLen
-    }
+    // field ids stamped like every real Iceberg writer's files — the
+    // register reads them back by id (spec §Column Projection)
+    val nation = graft.catalog.IcebergFixture.withFieldIds(
+      graft.Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey")),
+      Map("n_nationkey" -> 1, "n_name" -> 2, "n_regionkey" -> 3))
+    def writeOne(df: DataFrame, target: org.apache.hadoop.fs.Path): Long =
+      graft.catalog.IcebergFixture.writeOneParquet(conf, df, target)
     // nation is 25 rows at EVERY scale factor: file1 = keys 0-11,
     // file2 = keys 12-24 — disjoint bounds, so the hi-filter read can
     // prune file1 at plan time from the decoded Iceberg statistics

@@ -19,17 +19,13 @@ class IcebergInteropSpec extends SparkSpec {
 
   private def conf = spark.sparkContext.hadoopConfiguration
 
-  /** Write `df` as ONE parquet file at exactly `target`; returns bytes. */
-  private def writeParquet(df: org.apache.spark.sql.DataFrame, target: Path): Long = {
-    val tmp = new Path(tmpDir("ice-pq-tmp"), "out")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val fs = tmp.getFileSystem(conf)
-    val part = fs.listStatus(tmp).map(_.getPath)
-      .find(_.getName.endsWith(".parquet")).get
-    fs.mkdirs(target.getParent)
-    fs.rename(part, target)
-    fs.getFileStatus(target).getLen
-  }
+  /** Write `df` as ONE parquet file at exactly `target` with real
+    * Iceberg-writer field ids (id → 1, name → 2, extra → 4, the same
+    * map every tree in this spec declares); returns bytes.
+    */
+  private def writeParquet(df: org.apache.spark.sql.DataFrame, target: Path): Long =
+    IcebergFixture.writeOneParquet(conf, IcebergFixture.withFieldIds(df,
+      Map("id" -> 1, "name" -> 2, "extra" -> 4)), target)
 
   /** A two-snapshot Iceberg tree over (id long, name string):
     * snap 9001 = file1 (ids 1-3), snap 9002 = file1 + file2 (ids 11-12).
@@ -71,9 +67,13 @@ class IcebergInteropSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
     // ... and by the Iceberg commit timestamp
     assert(e.catalog.readAsOf("lake", "t", 1700000050000L).count() === 3L)
-    // declared schema arrived from the Iceberg schema
-    assert(e.catalog.declaredSchema("lake", "t").get ===
-      StructType(Seq(StructField("id", LongType), StructField("name", StringType))))
+    // declared schema arrived from the Iceberg schema, carrying the
+    // spec's field ids as parquet.field.id metadata (id resolution)
+    val decl = e.catalog.declaredSchema("lake", "t").get
+    assert(decl.fields.map(f => (f.name, f.dataType)).toSeq ===
+      Seq(("id", LongType), ("name", StringType)))
+    assert(decl.fields.map(_.metadata.getLong(IcebergInterop.FieldIdKey)).toSeq
+      === Seq(1L, 2L))
     // DESCRIBE surfaces the attachment
     val ice = e.query(SqlStatement("DESCRIBE lake.t")).collect()
       .find(_.getString(0) == "# iceberg_source")
@@ -196,23 +196,160 @@ class IcebergInteropSpec extends SparkSpec {
       (11L, -1L), (12L, -1L), (21L, 7L), (22L, 8L)))
   }
 
-  test("delete manifests reject loudly and leave no half-registered table") {
+  test("v2 positional deletes import onto the merge-on-read read path") {
+    import IcebergFixture._
+    val loc = new Path(tmpDir("ice-posdel"))
+    val f1 = new Path(loc, "data/f1.parquet")
+    val f2 = new Path(loc, "data/f2.parquet")
+    val b1 = writeParquet(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name"), f1)
+    val b2 = writeParquet(Seq((11L, "x"), (12L, "y")).toDF("id", "name"), f2)
+    // snapshot 9002 carries a positional-delete file shadowing
+    // (f1, pos 1) = id 2 and (f2, pos 0) = id 11 — spec §Position
+    // Delete Files: rows addressed by data-file URI + ordinal
+    val d1 = new Path(loc, "data/del1.parquet")
+    val db1 = writeOneParquet(conf, Seq(
+      (f1.toUri.toString, 1L), (f2.toUri.toString, 0L)).toDF("file_path", "pos"), d1)
+    val fr1 = FileRef(f1.toUri.toString, 3L, b1,
+      Map(1 -> (encodeLong(1L), encodeLong(3L), 0L)))
+    val fr2 = FileRef(f2.toUri.toString, 2L, b2,
+      Map(1 -> (encodeLong(11L), encodeLong(12L), 0L)))
+    val dr1 = FileRef(d1.toUri.toString, 2L, db1, Map.empty)
+    IcebergFixture.writeTree(conf, loc, 2,
+      Seq((1, "id", "long"), (2, "name", "string")),
+      Seq(SnapRef(9001L, 1700000000000L, Seq(fr1)),
+        SnapRef(9002L, 1700000100000L, Seq(fr1, fr2), deletes = Seq(dr1))))
+    val e = engine("ice-posdel-wh")
+    e.executeNonQuery(SqlStatement("CREATE SCHEMA lake"))
+    e.executeNonQuery(SqlStatement(
+      s"CALL system.register_iceberg_table('lake', 't', '${loc.toUri}')"))
+    // current state: deleted coordinates are gone
+    assert(e.query(SqlStatement("SELECT id FROM lake.t")).as[Long]
+      .collect().sorted.toSeq === Seq(1L, 3L, 12L))
+    // the delete-free snapshot still time-travels whole
+    assert(e.query(SqlStatement("SELECT id FROM lake.t FOR VERSION AS OF 9001"))
+      .as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+    // a bounds-pruned filtered read merges too
+    assert(e.query(SqlStatement("SELECT id FROM lake.t WHERE id >= 11"))
+      .as[Long].collect().sorted.toSeq === Seq(12L))
+    // refresh: the foreign writer deletes one more row (new delete file
+    // carried ALONGSIDE the old one) — sync picks it up
+    val d2 = new Path(loc, "data/del2.parquet")
+    val db2 = writeOneParquet(conf,
+      Seq((f2.toUri.toString, 1L)).toDF("file_path", "pos"), d2)
+    val dr2 = FileRef(d2.toUri.toString, 1L, db2, Map.empty)
+    IcebergFixture.writeTree(conf, loc, 2,
+      Seq((1, "id", "long"), (2, "name", "string")),
+      Seq(SnapRef(9001L, 1700000000000L, Seq(fr1)),
+        SnapRef(9002L, 1700000100000L, Seq(fr1, fr2), deletes = Seq(dr1)),
+        SnapRef(9003L, 1700000200000L, Seq(fr1, fr2), deletes = Seq(dr1, dr2))))
+    assert(e.executeNonQuery(SqlStatement(
+      "CALL system.refresh_iceberg_table('lake', 't')")) === 1L)
+    assert(e.query(SqlStatement("SELECT id FROM lake.t")).as[Long]
+      .collect().sorted.toSeq === Seq(1L, 3L))
+    assert(e.query(SqlStatement("SELECT id FROM lake.t FOR VERSION AS OF 9002"))
+      .as[Long].collect().sorted.toSeq === Seq(1L, 3L, 12L))
+  }
+
+  test("equality-delete files reject loudly and leave no half-registered table") {
     val loc = buildTree(2, "ice-del")
-    // fabricate a delete manifest-list entry for the current snapshot
+    // fabricate an EQUALITY-delete manifest (content=2 entries) for the
+    // current snapshot: sequence-scoped key semantics cannot be
+    // replayed read-only, so the registration must refuse whole
     val mdir = new Path(loc, "metadata")
-    val man = IcebergFixture.writeManifest(conf, mdir, 9002L, Seq(
+    val dataMan = IcebergFixture.writeManifest(conf, mdir, 9002L, Seq(
+      IcebergFixture.FileRef(new Path(loc, "data/f1.parquet").toUri.toString,
+        3L, 1024L, Map.empty),
       IcebergFixture.FileRef(new Path(loc, "data/f2.parquet").toUri.toString,
         2L, 1024L, Map.empty)))
-    IcebergFixture.writeManifestList(conf, mdir, 9002L, Seq(man), content = 1)
+    val eqMan = IcebergFixture.writeManifest(conf, mdir, 9002L, Seq(
+      IcebergFixture.FileRef(new Path(loc, "data/eqdel.parquet").toUri.toString,
+        1L, 1024L, Map.empty)), content = 2)
+    IcebergFixture.writeManifestListEntries(conf, mdir, 9002L, Seq(
+      (dataMan._1, dataMan._2, 0), (eqMan._1, eqMan._2, 1)))
     val e = engine("ice-del-wh")
     e.executeNonQuery(SqlStatement("CREATE SCHEMA lake"))
     val ex = intercept[GraftQueryException] {
       e.executeNonQuery(SqlStatement(
         s"CALL system.register_iceberg_table('lake', 'td', '${loc.toUri}')"))
     }
-    assert(ex.getMessage.toLowerCase.contains("delete manifests") ||
-      ex.getCause.getMessage.contains("delete manifests"))
+    val msg = ex.getMessage + Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("EQUALITY delete"))
     assert(!e.catalog.tableExists("lake", "td"))
+  }
+
+  test("foreign RENAME COLUMN: pre-rename files read VALUES by field id, not NULLs") {
+    import IcebergFixture._
+    val loc = new Path(tmpDir("ice-rename"))
+    val f1 = new Path(loc, "data/f1.parquet")
+    // the file carries the OLD column name `name` under field id 2
+    val b1 = writeParquet(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), f1)
+    val fr1 = FileRef(f1.toUri.toString, 2L, b1,
+      Map(1 -> (encodeLong(1L), encodeLong(2L), 0L)))
+    // ... and the CURRENT schema renamed field 2 to `label` (what the
+    // tree looks like after Trino's ALTER TABLE … RENAME COLUMN)
+    IcebergFixture.writeTree(conf, loc, 2,
+      Seq((1, "id", "long"), (2, "label", "string")),
+      Seq(SnapRef(9001L, 1700000000000L, Seq(fr1))))
+    val e = engine("ice-rename-wh")
+    e.executeNonQuery(SqlStatement("CREATE SCHEMA lake"))
+    e.executeNonQuery(SqlStatement(
+      s"CALL system.register_iceberg_table('lake', 't', '${loc.toUri}')"))
+    val rows = e.query(SqlStatement("SELECT id, label FROM lake.t ORDER BY id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // the old-name file's values come back under the new name — id
+    // resolution; a name-based read would return (1,null),(2,null)
+    assert(rows === Seq((1L, "a"), (2L, "b")))
+    // the symmetric hazard: a NEW column reusing a dropped column's
+    // NAME must not resurrect the dropped values — `name` returns as
+    // field id 3, which no file carries → NULLs
+    IcebergFixture.writeTree(conf, loc, 2,
+      Seq((1, "id", "long"), (2, "label", "string"), (3, "name", "string")),
+      Seq(SnapRef(9001L, 1700000000000L, Seq(fr1)),
+        SnapRef(9002L, 1700000100000L, Seq(fr1))))
+    assert(e.executeNonQuery(SqlStatement(
+      "CALL system.refresh_iceberg_table('lake', 't')")) === 1L)
+    val withNew = e.query(SqlStatement("SELECT id, name FROM lake.t ORDER BY id"))
+      .collect().map(r => (r.getLong(0), r.isNullAt(1))).toSeq
+    assert(withNew === Seq((1L, true), (2L, true)))
+  }
+
+  test("id-less data files fall back to name reads; a footer-name mismatch refuses") {
+    import IcebergFixture._
+    val loc = new Path(tmpDir("ice-noid"))
+    val f1 = new Path(loc, "data/f1.parquet")
+    // NO field ids in the file (the migrate/add_files shape)
+    val b1 = writeOneParquet(conf,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name"), f1)
+    val fr1 = FileRef(f1.toUri.toString, 2L, b1, Map.empty)
+    IcebergFixture.writeTree(conf, loc, 2,
+      Seq((1, "id", "long"), (2, "name", "string")),
+      Seq(SnapRef(9001L, 1700000000000L, Seq(fr1))))
+    val e = engine("ice-noid-wh")
+    e.executeNonQuery(SqlStatement("CREATE SCHEMA lake"))
+    e.executeNonQuery(SqlStatement(
+      s"CALL system.register_iceberg_table('lake', 't', '${loc.toUri}')"))
+    // name fallback: reads work, and the declared schema carries NO ids
+    assert(e.query(SqlStatement("SELECT name FROM lake.t WHERE id = 2"))
+      .as[String].head() === "b")
+    assert(e.catalog.declaredSchema("lake", "t").get.fields
+      .forall(!_.metadata.contains(IcebergInterop.FieldIdKey)))
+    // a renamed tree with id-less files CANNOT be read faithfully by
+    // either rule — the footer-name mismatch must refuse at register
+    val loc2 = new Path(tmpDir("ice-noid-ren"))
+    val g1 = new Path(loc2, "data/f1.parquet")
+    val gb1 = writeOneParquet(conf,
+      Seq((1L, "a")).toDF("id", "name"), g1)
+    val gr1 = FileRef(g1.toUri.toString, 1L, gb1, Map.empty)
+    IcebergFixture.writeTree(conf, loc2, 2,
+      Seq((1, "id", "long"), (2, "label", "string")),
+      Seq(SnapRef(9001L, 1700000000000L, Seq(gr1))))
+    val ex = intercept[GraftQueryException] {
+      e.executeNonQuery(SqlStatement(
+        s"CALL system.register_iceberg_table('lake', 'bad', '${loc2.toUri}')"))
+    }
+    val msg = ex.getMessage + Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("no parquet field ids"))
+    assert(!e.catalog.tableExists("lake", "bad"))
   }
 
   test("single-value bound decoding: every supported type round-trips") {
@@ -362,9 +499,10 @@ class IcebergInteropSpec extends SparkSpec {
       Nil, -1L)
     val meta = IcebergInterop.parseMetadata(json)
     assert(meta.formatVersion === 2)
-    assert(meta.schema === StructType(Seq(
-      StructField("id", LongType), StructField("ts", TimestampType),
-      StructField("d", DecimalType(10, 2)))))
+    assert(meta.schema.fields.map(f => (f.name, f.dataType)).toSeq === Seq(
+      ("id", LongType), ("ts", TimestampType), ("d", DecimalType(10, 2))))
+    assert(meta.schema.fields.map(_.metadata.getLong(IcebergInterop.FieldIdKey))
+      .toSeq === Seq(1L, 2L, 3L))
     val bad = IcebergFixture.metadataJson(2, "/x", Seq((1, "u", "uuid")), Nil, -1L)
     intercept[IllegalArgumentException] { IcebergInterop.parseMetadata(bad) }
   }
