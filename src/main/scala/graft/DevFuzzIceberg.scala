@@ -203,6 +203,29 @@ object DevFuzzIceberg {
           s"scenario_$i: evolved column must read NULL on pre-evolution files")
       }
 
+      // export round-trip: a delete-free attachment exports to a fresh
+      // spec-conformant tree and registers back identically, snapshot
+      // ids preserved (delete-carrying tables refuse export — fold
+      // first — so those scenarios skip the leg)
+      if (tree.forall(_.deletes.isEmpty)) {
+        val exp = new Path(java.nio.file.Files
+          .createTempDirectory(f"graft-icefuzz-exp-$i%03d").toString + "/tree")
+        e.executeNonQuery(graft.params.SqlStatement(
+          s"CALL system.export_iceberg_table('lake', 't', '${exp.toUri}')"))
+        e.executeNonQuery(graft.params.SqlStatement(
+          s"CALL system.register_iceberg_table('lake', 'rt', '${exp.toUri}')"))
+        val a = e.query(graft.params.SqlStatement(
+          "SELECT id, score FROM lake.t")).as[(Long, Double)].collect().toSet
+        val bb = e.query(graft.params.SqlStatement(
+          "SELECT id, score FROM lake.rt")).as[(Long, Double)].collect().toSet
+        require(a == bb, s"scenario_$i: export round trip diverged")
+        require(e.catalog.snapshots("lake", "rt").map(_.snapshotId) ==
+          e.catalog.snapshots("lake", "t").map(_.snapshotId),
+          s"scenario_$i: export did not preserve snapshot ids")
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(exp.getParent.toString))
+      }
+
       // a local commit diverges: the next sync must refuse
       if (rnd.nextBoolean()) {
         e.executeNonQuery(graft.params.SqlStatement(

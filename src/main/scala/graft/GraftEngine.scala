@@ -527,6 +527,13 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
             try catalog.refreshIcebergTable(schema, table)
             catch { case e: IllegalArgumentException =>
               throw new GraftQueryException(sqlText, e.getMessage, e) }
+          case "export_iceberg_table" =>
+            val loc = args.getOrElse("table_location",
+              throw new GraftQueryException(sqlText,
+                "export_iceberg_table requires table_location => '<path>'"))
+            try catalog.exportIcebergTable(schema, table, loc)
+            catch { case e: IllegalArgumentException =>
+              throw new GraftQueryException(sqlText, e.getMessage, e) }
           case "migrate" =>
             val loc = args.getOrElse("table_location",
               throw new GraftQueryException(sqlText,
@@ -884,12 +891,27 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
               ("# refresh_strategy", strategy, false,
                 "strategy for append-only source histories"))
           }
-        // an Iceberg-attached table surfaces its source + sync posture
+        // an Iceberg-attached table surfaces its source + sync posture:
+        // one KB-scale read of the foreign metadata tells the operator
+        // whether the attachment lags the source, without a refresh
         val iceRow =
           if (!catalog.tableExists(sch, tbl)) Nil
-          else catalog.icebergSourceOf(sch, tbl).toSeq.map { src =>
-            ("# iceberg_source", src, false,
+          else catalog.icebergSourceOf(sch, tbl).toSeq.flatMap { src =>
+            val srcRow = ("# iceberg_source", src, false,
               "read-only attachment; CALL system.refresh_iceberg_table to sync")
+            val syncRow =
+              try catalog.icebergSyncLag(sch, tbl).map {
+                case (head, srcHead, behind) =>
+                  ("# iceberg_sync",
+                    if (behind == 0L) "up to date"
+                    else s"behind by $behind snapshot(s)", false,
+                    s"imported head $head; source head ${srcHead.getOrElse("-")}")
+              }.toSeq
+              catch { case scala.util.control.NonFatal(e) =>
+                Seq(("# iceberg_sync", "source unreachable", false,
+                  String.valueOf(e.getMessage).take(120)))
+              }
+            srcRow +: syncRow
           }
         Some((fields.map(f => (f.name, f.dataType.sql.toLowerCase, f.nullable,
             colComments.get(f.name.toLowerCase).orNull)) ++ mvRow ++ iceRow)

@@ -218,7 +218,7 @@ object DdlParser {
   // '/path') / unregister_table('sch','tbl') / migrate('sch','tbl',
   // '/path'), positional or name => value
   private val callRegisterRe =
-    """(?is)^\s*CALL\s+(?:[\w.]*\bsystem\.)?(register_table|register_iceberg_table|refresh_iceberg_table|unregister_table|migrate)\s*\(\s*(.*?)\s*\)\s*;?\s*$""".r
+    """(?is)^\s*CALL\s+(?:[\w.]*\bsystem\.)?(register_table|register_iceberg_table|refresh_iceberg_table|export_iceberg_table|unregister_table|migrate)\s*\(\s*(.*?)\s*\)\s*;?\s*$""".r
   // the table operand accepts Trino's quoted branch-write form
   // (`sch."t@branch"`) alongside plain dotted names
   private val deleteRe =
@@ -410,6 +410,7 @@ object DdlParser {
         else {
           val wantLoc = proc.equalsIgnoreCase("register_table") ||
             proc.equalsIgnoreCase("register_iceberg_table") ||
+            proc.equalsIgnoreCase("export_iceberg_table") ||
             proc.equalsIgnoreCase("migrate")
           require(parts.length == (if (wantLoc) 3 else 2),
             s"CALL $proc expects (schema, table" +
@@ -422,7 +423,8 @@ object DdlParser {
       val tbl = kv.get("table_name").orElse(kv.get("table")).getOrElse(
         throw new IllegalArgumentException(s"CALL $proc: missing table"))
       if (proc.equalsIgnoreCase("register_table") ||
-          proc.equalsIgnoreCase("register_iceberg_table"))
+          proc.equalsIgnoreCase("register_iceberg_table") ||
+          proc.equalsIgnoreCase("export_iceberg_table"))
         require(kv.contains("table_location"), s"CALL $proc: missing table_location")
       Some(AlterExecuteStmt(sch, tbl, proc.toLowerCase,
         kv -- Seq("schema_name", "schema", "table_name", "table")))

@@ -211,7 +211,8 @@ object IcebergFixture {
   def metadataJson(formatVersion: Int, location: String,
                    fields: Seq[(Int, String, String)],
                    snapshots: Seq[(SnapRef, Path)],
-                   currentSnapshotId: Long): String = {
+                   currentSnapshotId: Long,
+                   properties: Map[String, String] = Map.empty): String = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = m.createObjectNode()
     root.put("format-version", formatVersion)
@@ -242,7 +243,8 @@ object IcebergFixture {
     root.put("default-sort-order-id", 0)
     val so = root.putArray("sort-orders").addObject()
     so.put("order-id", 0); so.putArray("fields")
-    root.putObject("properties")
+    val propsNode = root.putObject("properties")
+    properties.toSeq.sortBy(_._1).foreach { case (k, v) => propsNode.put(k, v) }
     root.put("current-snapshot-id", currentSnapshotId)
     val sn = root.putArray("snapshots")
     snapshots.zipWithIndex.foreach { case ((s, mlPath), i) =>
@@ -282,7 +284,8 @@ object IcebergFixture {
   def writeTreeWithCurrent(conf: Configuration, location: Path,
                            fields: Seq[(Int, String, String)],
                            snapshots: Seq[SnapRef], currentId: Long,
-                           formatVersion: Int = 2): Path = {
+                           formatVersion: Int = 2,
+                           properties: Map[String, String] = Map.empty): Path = {
     val mdir = new Path(location, "metadata")
     val withLists = snapshots.map { s =>
       val (mp, mlen) = writeManifest(conf, mdir, s.id, s.files)
@@ -293,7 +296,7 @@ object IcebergFixture {
       (s, writeManifestListEntries(conf, mdir, s.id, mans))
     }
     val json = metadataJson(formatVersion, location.toUri.toString, fields,
-      withLists, currentId)
+      withLists, currentId, properties)
     val mp = new Path(mdir, "v1.metadata.json")
     val fs = mp.getFileSystem(conf)
     val out = fs.create(mp, true)

@@ -1101,6 +1101,163 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     else None
   }
 
+  /** Sync posture of an attached table vs its source — (imported head
+    * id, source current head id, main-line snapshots not yet imported).
+    * ONE KB-scale metadata read of the foreign tree, no manifest or
+    * data I/O: DESCRIBE surfaces drift without a refresh. None for
+    * tables not attached by register_iceberg_table.
+    */
+  def icebergSyncLag(schema: String, table: String): Option[(Long, Option[Long], Long)] = {
+    val dir = tableDir(schema, table)
+    val marker = new Path(dir, "_iceberg_source")
+    if (!fs(marker).exists(marker)) return None
+    val (locStr, imported) = readIcebergSource(dir)
+    val loc = new Path(locStr)
+    val mdPath = IcebergInterop.currentMetadataPath(fs(loc), loc)
+    val meta = IcebergInterop.parseMetadata(readString(mdPath))
+    val behind = IcebergInterop.mainLine(meta)
+      .count(s => !imported.contains(s.id)).toLong
+    Some((readCommits(schema, table).lastOption.map(_.snapshotId).getOrElse(0L),
+      meta.currentSnapshotId, behind))
+  }
+
+  /** CALL system.export_iceberg_table: write a SPEC-CONFORMANT Apache
+    * Iceberg v2 metadata tree (`metadata.json` + Avro manifest list +
+    * manifest per snapshot, binary Appendix-D bounds re-encoded from
+    * the graft manifests) for `schema.table` at `location` — the
+    * reverse of [[registerIcebergTable]], closing the round-trip the
+    * reference stack's users live in: a graft table becomes readable by
+    * any Iceberg reader (Trino, Spark-with-Iceberg, DuckDB iceberg).
+    * The FULL commit history exports, one Iceberg snapshot per graft
+    * snapshot with ids and timestamps preserved; data files are
+    * referenced IN PLACE by absolute URI — the export writes metadata
+    * only, KB-scale whatever the table size.
+    *
+    * Graft parquet carries no footer field ids, so the metadata
+    * declares ordinal field ids AND ships the spec's
+    * `schema.name-mapping.default` property — exactly how Iceberg's own
+    * migrate/add_files procedures make id-less files readable.
+    *
+    * Refused loudly (each would misread on the Iceberg side):
+    * snapshots carrying pending row-level deletes (fold them first —
+    * `ALTER TABLE … EXECUTE optimize`), identity-partitioned layouts
+    * (their partition values live in hive PATHS, not the files — an
+    * Iceberg reader sees files missing a declared column), legacy
+    * pre-manifest snapshots, and nested/unsupported column types.
+    * Returns the number of snapshots exported.
+    */
+  def exportIcebergTable(schema: String, table: String,
+                         location: String): Long = synchronized {
+    require(tableExists(schema, table), s"Table $schema.$table does not exist")
+    val dir = tableDir(schema, table)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val commits = readCommits(schema, table)
+    require(commits.nonEmpty, s"$schema.$table has no snapshots to export")
+    require(!partitionFields(schema, table).exists(_.isIdentity),
+      s"$schema.$table is identity-partitioned: its partition values " +
+        "live in directory paths, not the data files — an Iceberg " +
+        "reader would see a missing column. Rewrite unpartitioned " +
+        "(CREATE TABLE AS) before exporting")
+    val decl = declaredSchema(schema, table).getOrElse(
+      throw new IllegalArgumentException(s"$schema.$table has no schema"))
+    // field ids: reuse the declared ones (iceberg-attached tables),
+    // ordinals otherwise
+    val ids: Seq[Int] = decl.fields.toIndexedSeq.zipWithIndex.map {
+      case (f, i) =>
+        if (f.metadata.contains(IcebergInterop.FieldIdKey))
+          f.metadata.getLong(IcebergInterop.FieldIdKey).toInt
+        else i + 1
+    }
+    val fields: Seq[(Int, String, String)] =
+      decl.fields.toIndexedSeq.zip(ids).map { case (f, id) =>
+        (id, f.name, icebergTypeName(f.dataType))
+      }
+    val qualDir = fs(dir).makeQualified(dir)
+    val snapRefs = commits.map { s =>
+      require(s.deletes.isEmpty && s.eqDeletes.isEmpty,
+        s"$schema.$table snapshot ${s.snapshotId} carries pending " +
+          "row-level deletes — fold them first (ALTER TABLE … EXECUTE " +
+          "optimize) so the export references data files only")
+      require(s.dirs.isEmpty,
+        s"$schema.$table snapshot ${s.snapshotId} predates the manifest " +
+          "tier — compact the table to migrate it before exporting")
+      val entries = manifestEntriesOf(dir, s)
+      val files = entries.map { e =>
+        val stats = decl.fields.toIndexedSeq.zip(ids).flatMap { case (f, id) =>
+          e.bounds.find(_._1.equalsIgnoreCase(f.name)).collect {
+            case (_, cb) if cb.min != null && cb.max != null && cb.nulls >= 0L =>
+              for {
+                lo <- encodeIcebergBound(f.dataType, cb.min)
+                hi <- encodeIcebergBound(f.dataType, cb.max)
+              } yield id -> (lo, hi, cb.nulls)
+          }.flatten
+        }.toMap
+        IcebergFixture.FileRef(new Path(qualDir, e.path).toUri.toString,
+          e.rows, e.bytes, stats)
+      }
+      IcebergFixture.SnapRef(s.snapshotId, s.committedAtMillis, files)
+    }
+    // the spec's name-mapping property: id-less parquet (graft's own
+    // files) resolves by name on any Iceberg reader
+    val mapping = fields.map { case (id, name, _) =>
+      s"""{"field-id": $id, "names": ["$name"]}"""
+    }.mkString("[", ", ", "]")
+    IcebergFixture.writeTreeWithCurrent(conf, new Path(location), fields,
+      snapRefs, commits.last.snapshotId, formatVersion = 2,
+      properties = Map("schema.name-mapping.default" -> mapping))
+    commits.size.toLong
+  }
+
+  /** Spark type → Iceberg schema type string (spec §Schemas). Nested
+    * and exotic types refuse loudly — the export must never declare a
+    * schema an Iceberg reader would misread.
+    */
+  private def icebergTypeName(dt: org.apache.spark.sql.types.DataType): String = dt match {
+    case org.apache.spark.sql.types.BooleanType      => "boolean"
+    case org.apache.spark.sql.types.IntegerType      => "int"
+    case org.apache.spark.sql.types.LongType         => "long"
+    case org.apache.spark.sql.types.FloatType        => "float"
+    case org.apache.spark.sql.types.DoubleType       => "double"
+    case org.apache.spark.sql.types.StringType       => "string"
+    case org.apache.spark.sql.types.DateType         => "date"
+    case org.apache.spark.sql.types.TimestampNTZType => "timestamp"
+    case org.apache.spark.sql.types.TimestampType    => "timestamptz"
+    case org.apache.spark.sql.types.BinaryType       => "binary"
+    case d: org.apache.spark.sql.types.DecimalType   =>
+      s"decimal(${d.precision},${d.scale})"
+    case other => throw new IllegalArgumentException(
+      s"Column type $other has no Iceberg export mapping")
+  }
+
+  /** Engine bound string → Appendix-D single-value bytes for the
+    * DECLARED type (the byte width is type-, not kind-, dependent: an
+    * int column's "long"-kind bounds serialize as 4 bytes). Undecodable
+    * values drop the bound — conservative, like the import side.
+    */
+  private def encodeIcebergBound(dt: org.apache.spark.sql.types.DataType,
+                                 v: String): Option[Array[Byte]] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    try dt match {
+      case org.apache.spark.sql.types.IntegerType =>
+        Some(le(4).putInt(v.toInt).array())
+      case org.apache.spark.sql.types.LongType =>
+        Some(le(8).putLong(v.toLong).array())
+      case org.apache.spark.sql.types.DateType =>
+        Some(le(4).putInt(v.toLong.toInt).array())
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        Some(le(8).putLong(v.toLong).array())
+      case org.apache.spark.sql.types.FloatType =>
+        Some(le(4).putFloat(v.toDouble.toFloat).array())
+      case org.apache.spark.sql.types.DoubleType =>
+        Some(le(8).putDouble(v.toDouble).array())
+      case org.apache.spark.sql.types.StringType =>
+        Some(v.getBytes("UTF-8"))
+      case _ => None
+    } catch { case _: NumberFormatException => None }
+  }
+
   private def writeIcebergSource(dir: Path, location: String,
                                  imported: Seq[Long]): Unit = {
     val o = mapper.createObjectNode()

@@ -765,6 +765,62 @@ object CatalogDemos {
       |  (SELECT count(*) FROM nation WHERE n_nationkey <= 11) AS v1_n,
       |  (SELECT count(*) FROM nation WHERE n_nationkey >= 12) AS hi_n""".stripMargin
 
+  private[graft] val icebergExportWarehouse = "/tmp/graft-iceberg-export-wh"
+  private[graft] val icebergExportTree = "/tmp/graft-iceberg-export-tree"
+
+  /** Write-side Iceberg interop end-to-end (round-11 verdict #3): build
+    * a two-commit graft table over nation, `CALL
+    * system.export_iceberg_table` it — a spec-conformant v2
+    * metadata.json + Avro manifest tree with Appendix-D binary bounds
+    * re-encoded from the graft manifests, referencing the data files in
+    * place — then register the export back through the READ interop and
+    * prove the round trip: current state, snapshot travel, and a
+    * bounds-pruned filtered count all match. Every value recomputes
+    * relationally over nation in the oracle.
+    */
+  def icebergExportDemo(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val conf = s.sparkContext.hadoopConfiguration
+    for (p <- Seq(icebergExportWarehouse, icebergExportTree)) {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val f = hp.getFileSystem(conf)
+      if (f.exists(hp)) f.delete(hp, true)
+    }
+    val nation = graft.Tables.nation(s, d)
+      .select(col("n_nationkey").cast("bigint").as("n_nationkey"),
+        col("n_name"), col("n_regionkey").cast("bigint").as("n_regionkey"))
+    val engine = new GraftEngine(s, icebergExportWarehouse)
+    engine.catalog.createSchema("src")
+    engine.executeNonQuery(graft.params.SqlStatement(
+      "CREATE TABLE src.nat (n_nationkey bigint, n_name varchar, n_regionkey bigint)"))
+    // two commits with disjoint key ranges → two bounds-distinct files
+    engine.catalog.insert("src", "nat",
+      nation.filter(col("n_nationkey") <= 11).coalesce(1))
+    engine.catalog.insert("src", "nat",
+      nation.filter(col("n_nationkey") >= 12).coalesce(1))
+    engine.executeNonQuery(graft.params.SqlStatement(
+      s"CALL system.export_iceberg_table('src', 'nat', '$icebergExportTree')"))
+    engine.catalog.createSchema("lake")
+    engine.executeNonQuery(graft.params.SqlStatement(
+      s"CALL system.register_iceberg_table('lake', 'back', '$icebergExportTree')"))
+    engine.query(graft.params.SqlStatement(
+      """SELECT
+        |  (SELECT count(*) FROM lake.back) AS total_n,
+        |  (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM lake.back) AS sum_key,
+        |  (SELECT count(*) FROM lake.back FOR VERSION AS OF 1) AS v1_n,
+        |  (SELECT count(*) FROM lake.back WHERE n_nationkey >= 12) AS hi_n""".stripMargin))
+  }
+
+  /** DuckDB twin of [[icebergExportDemo]] — pure nation arithmetic
+    * (graft snapshot 1 = keys 0-11; nation is 25 rows at every SF).
+    */
+  val icebergExportDemoSql: String =
+    """SELECT
+      |  (SELECT count(*) FROM nation) AS total_n,
+      |  (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM nation) AS sum_key,
+      |  (SELECT count(*) FROM nation WHERE n_nationkey <= 11) AS v1_n,
+      |  (SELECT count(*) FROM nation WHERE n_nationkey >= 12) AS hi_n""".stripMargin
+
   def migrateDemo(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val conf = s.sparkContext.hadoopConfiguration

@@ -1,0 +1,140 @@
+package graft.catalog
+
+import graft.{GraftEngine, GraftQueryException, SparkSpec}
+import graft.params.SqlStatement
+import org.apache.hadoop.fs.Path
+
+/** Write-side Iceberg interop: `CALL system.export_iceberg_table`
+  * writes a spec-conformant v2 metadata tree (metadata.json + Avro
+  * manifests with Appendix-D binary bounds re-encoded from the graft
+  * manifests) referencing the graft data files in place — the reverse
+  * of register_iceberg_table. Fidelity is proven by the round trip:
+  * registering the export back must read identically, snapshot by
+  * snapshot, and must PRUNE from the re-imported bounds.
+  */
+class IcebergExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def conf = spark.sparkContext.hadoopConfiguration
+
+  private def engine(name: String): GraftEngine =
+    new GraftEngine(spark, tmpDir(name))
+
+  test("export → register back: identical reads per snapshot, bounds survive") {
+    val wh = tmpDir("ice-exp-wh")
+    val e = new GraftEngine(spark, wh)
+    e.executeNonQuery(SqlStatement("CREATE SCHEMA src"))
+    e.executeNonQuery(SqlStatement(
+      "CREATE TABLE src.t (id bigint, name varchar, score double)"))
+    // two multi-row commits with disjoint id ranges (one file each)
+    e.catalog.insert("src", "t",
+      Seq((1L, "a", 0.5), (2L, "b", 1.5), (3L, "c", 2.5))
+        .toDF("id", "name", "score").coalesce(1))
+    e.catalog.insert("src", "t",
+      Seq((11L, "x", 3.5), (12L, "y", 4.5))
+        .toDF("id", "name", "score").coalesce(1))
+    val loc = new Path(tmpDir("ice-exp-tree"))
+    assert(e.executeNonQuery(SqlStatement(
+      s"CALL system.export_iceberg_table('src', 't', '${loc.toUri}')")) === 2L)
+    // the tree parses as genuine Iceberg metadata with the name-mapping
+    // property (id-less graft parquet resolves by name on any reader)
+    val mdPath = IcebergInterop.currentMetadataPath(
+      loc.getFileSystem(conf), loc)
+    val mdJson = {
+      val in = loc.getFileSystem(conf).open(mdPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    assert(mdJson.contains("schema.name-mapping.default"))
+    val meta = IcebergInterop.parseMetadata(mdJson)
+    assert(meta.formatVersion === 2)
+    assert(meta.snapshots.map(_.id) ===
+      e.catalog.snapshots("src", "t").map(_.snapshotId))
+    // register the export back and compare snapshot by snapshot
+    e.executeNonQuery(SqlStatement("CREATE SCHEMA lake"))
+    e.executeNonQuery(SqlStatement(
+      s"CALL system.register_iceberg_table('lake', 'back', '${loc.toUri}')"))
+    val srcSnaps = e.catalog.snapshots("src", "t").map(_.snapshotId)
+    srcSnaps.foreach { id =>
+      val a = e.query(SqlStatement(
+        s"SELECT id, name, score FROM src.t FOR VERSION AS OF $id"))
+        .as[(Long, String, Double)].collect().toSet
+      val b = e.query(SqlStatement(
+        s"SELECT id, name, score FROM lake.back FOR VERSION AS OF $id"))
+        .as[(Long, String, Double)].collect().toSet
+      assert(a === b, s"snapshot $id diverged across the round trip")
+    }
+    // bounds survived the round trip: corrupt the low-range file — a
+    // high-range filtered read must still plan only the other file
+    val lowFile = e.catalog.dataFilePaths("src", "t",
+      e.catalog.snapshots("src", "t").head).head
+    val lowPath = new Path(new Path(wh, "src/t"), lowFile)
+    val fs2 = lowPath.getFileSystem(conf)
+    val out = fs2.create(lowPath, true)
+    out.write("not parquet".getBytes("UTF-8")); out.close()
+    assert(e.query(SqlStatement("SELECT id FROM lake.back WHERE id >= 11"))
+      .as[Long].collect().sorted.toSeq === Seq(11L, 12L))
+    intercept[Exception] {
+      e.query(SqlStatement("SELECT id FROM lake.back")).collect()
+    }
+  }
+
+  test("export refuses pending deletes and identity partitioning, loudly") {
+    val e = engine("ice-exp-ref-wh")
+    e.executeNonQuery(SqlStatement("CREATE SCHEMA src"))
+    // merge-on-read table with a pending positional delete
+    e.executeNonQuery(SqlStatement(
+      "CREATE TABLE src.mor (id bigint, v varchar) WITH (format_version = 2)"))
+    e.catalog.insert("src", "mor",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+    e.executeNonQuery(SqlStatement("DELETE FROM src.mor WHERE id = 1"))
+    val ex = intercept[GraftQueryException] {
+      e.executeNonQuery(SqlStatement(
+        s"CALL system.export_iceberg_table('src', 'mor', '${tmpDir("ice-exp-mor")}')"))
+    }
+    val msg = ex.getMessage + Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("row-level deletes"))
+    // identity-partitioned: partition values ride the paths, refuse
+    e.executeNonQuery(SqlStatement(
+      "CREATE TABLE src.part (id bigint, region varchar) " +
+        "WITH (partitioning = ARRAY['region'])"))
+    e.catalog.insert("src", "part",
+      Seq((1L, "eu"), (2L, "us")).toDF("id", "region"))
+    val ex2 = intercept[GraftQueryException] {
+      e.executeNonQuery(SqlStatement(
+        s"CALL system.export_iceberg_table('src', 'part', '${tmpDir("ice-exp-part")}')"))
+    }
+    val msg2 = ex2.getMessage + Option(ex2.getCause).map(_.getMessage).getOrElse("")
+    assert(msg2.contains("identity-partitioned"))
+  }
+
+  test("DESCRIBE surfaces sync drift for attached tables without a refresh") {
+    import IcebergFixture._
+    val loc = new Path(tmpDir("ice-lag"))
+    val f1 = new Path(loc, "data/f1.parquet")
+    val b1 = writeOneParquet(conf, withFieldIds(
+      Seq((1L, "a")).toDF("id", "name"), Map("id" -> 1, "name" -> 2)), f1)
+    val fr1 = FileRef(f1.toUri.toString, 1L, b1, Map.empty)
+    IcebergFixture.writeTree(conf, loc, 2,
+      Seq((1, "id", "long"), (2, "name", "string")),
+      Seq(SnapRef(9001L, 1700000000000L, Seq(fr1))))
+    val e = engine("ice-lag-wh")
+    e.executeNonQuery(SqlStatement("CREATE SCHEMA lake"))
+    e.executeNonQuery(SqlStatement(
+      s"CALL system.register_iceberg_table('lake', 't', '${loc.toUri}')"))
+    def syncRow: String = e.query(SqlStatement("DESCRIBE lake.t")).collect()
+      .find(_.getString(0) == "# iceberg_sync").map(_.getString(1)).orNull
+    assert(syncRow === "up to date")
+    // the foreign writer commits: DESCRIBE sees the drift, no refresh
+    val f2 = new Path(loc, "data/f2.parquet")
+    val b2 = writeOneParquet(conf, withFieldIds(
+      Seq((2L, "b")).toDF("id", "name"), Map("id" -> 1, "name" -> 2)), f2)
+    val fr2 = FileRef(f2.toUri.toString, 1L, b2, Map.empty)
+    IcebergFixture.writeTree(conf, loc, 2,
+      Seq((1, "id", "long"), (2, "name", "string")),
+      Seq(SnapRef(9001L, 1700000000000L, Seq(fr1)),
+        SnapRef(9002L, 1700000100000L, Seq(fr1, fr2))))
+    assert(syncRow === "behind by 1 snapshot(s)")
+    e.executeNonQuery(SqlStatement("CALL system.refresh_iceberg_table('lake', 't')"))
+    assert(syncRow === "up to date")
+  }
+}
