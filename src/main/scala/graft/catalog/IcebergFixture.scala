@@ -20,10 +20,13 @@ import scala.jdk.CollectionConverters._
 object IcebergFixture {
 
   /** One data file to track: absolute path, rows, bytes, per-column
-    * (fieldId → (lowerBytes, upperBytes, nullCount)).
+    * (fieldId → (lowerBytes, upperBytes, nullCount)), and the
+    * manifest `partition` struct values (spec field name → Avro
+    * primitive) for partitioned trees.
     */
   final case class FileRef(path: String, rows: Long, bytes: Long,
-                           stats: Map[Int, (Array[Byte], Array[Byte], Long)])
+                           stats: Map[Int, (Array[Byte], Array[Byte], Long)],
+                           partition: Seq[(String, Any)] = Nil)
 
   /** `deletes` = POSITIONAL delete files (content 1) the snapshot
     * carries in a second, delete-content manifest.
@@ -90,22 +93,31 @@ object IcebergFixture {
   /** The manifest_entry Avro schema (spec §Manifests), data-file fields
     * the reader consumes plus the required structural ones. `content`
     * makes it the v2 shape; v1 readers ignore unknown fields by name.
+    * The `partition` struct is built per tree from the partition-spec
+    * fields (name → Avro primitive type), empty for unpartitioned.
     */
-  private val manifestEntrySchema = new Schema.Parser().parse(
-    s"""{"type":"record","name":"manifest_entry","fields":[
-       |{"name":"status","type":"int","field-id":0},
-       |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
-       |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
-       |  {"name":"content","type":"int","field-id":134},
-       |  {"name":"file_path","type":"string","field-id":100},
-       |  {"name":"file_format","type":"string","field-id":101},
-       |  {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
-       |  {"name":"record_count","type":"long","field-id":103},
-       |  {"name":"file_size_in_bytes","type":"long","field-id":104},
-       |  {"name":"null_value_counts","type":["null",${kvLongSchema}],"default":null,"field-id":110},
-       |  {"name":"lower_bounds","type":["null",${kvBytesSchema}],"default":null,"field-id":125},
-       |  {"name":"upper_bounds","type":["null",${kvBytesSchema}],"default":null,"field-id":128}
-       |]}}]}""".stripMargin)
+  private def entrySchemaFor(partFields: Seq[(String, String)]): Schema = {
+    val pf = partFields.map { case (n, t) =>
+      s"""{"name":"$n","type":["null","$t"],"default":null}"""
+    }.mkString(",")
+    new Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+         |{"name":"status","type":"int","field-id":0},
+         |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+         |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+         |  {"name":"content","type":"int","field-id":134},
+         |  {"name":"file_path","type":"string","field-id":100},
+         |  {"name":"file_format","type":"string","field-id":101},
+         |  {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$pf]}},
+         |  {"name":"record_count","type":"long","field-id":103},
+         |  {"name":"file_size_in_bytes","type":"long","field-id":104},
+         |  {"name":"null_value_counts","type":["null",${kvLongSchema}],"default":null,"field-id":110},
+         |  {"name":"lower_bounds","type":["null",${kvBytesSchema}],"default":null,"field-id":125},
+         |  {"name":"upper_bounds","type":["null",${kvBytesSchema}],"default":null,"field-id":128}
+         |]}}]}""".stripMargin)
+  }
+
+  private val manifestEntrySchema = entrySchemaFor(Nil)
 
   private val manifestListSchema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
@@ -153,28 +165,33 @@ object IcebergFixture {
     * 1 = positional deletes, 2 = equality deletes.
     */
   def writeManifest(conf: Configuration, metadataDir: Path, snapId: Long,
-                    files: Seq[FileRef], content: Int = 0): (Path, Long) = {
+                    files: Seq[FileRef], content: Int = 0,
+                    partFields: Seq[(String, String)] = Nil): (Path, Long) = {
     val p = new Path(metadataDir,
       s"m$content-$snapId-${files.hashCode & 0x7fffffff}.avro")
-    val dfSchema = manifestEntrySchema.getField("data_file").schema
+    val entrySchema =
+      if (partFields.isEmpty) manifestEntrySchema else entrySchemaFor(partFields)
+    val dfSchema = entrySchema.getField("data_file").schema
     val recs = files.map { fr =>
+      val partSchema = dfSchema.getField("partition").schema
+      val partBuilder = new GenericRecordBuilder(partSchema)
+      fr.partition.foreach { case (n, v) => partBuilder.set(n, v) }
       val df = new GenericRecordBuilder(dfSchema)
         .set("content", content)
         .set("file_path", fr.path)
         .set("file_format", "PARQUET")
-        .set("partition",
-          new GenericRecordBuilder(dfSchema.getField("partition").schema).build())
+        .set("partition", partBuilder.build())
         .set("record_count", fr.rows)
         .set("file_size_in_bytes", fr.bytes)
         .set("null_value_counts", kvLong(fr.stats.map { case (k, s) => k -> s._3 }))
         .set("lower_bounds", kvBytes(fr.stats.map { case (k, s) => k -> s._1 }))
         .set("upper_bounds", kvBytes(fr.stats.map { case (k, s) => k -> s._2 }))
         .build()
-      new GenericRecordBuilder(manifestEntrySchema)
+      new GenericRecordBuilder(entrySchema)
         .set("status", 1).set("snapshot_id", snapId).set("data_file", df)
         .build(): GenericRecord
     }
-    (p, writeAvro(conf, p, manifestEntrySchema, recs))
+    (p, writeAvro(conf, p, entrySchema, recs))
   }
 
   /** Write the manifest list for one snapshot; `content` 0 = data (pass
@@ -212,7 +229,8 @@ object IcebergFixture {
                    fields: Seq[(Int, String, String)],
                    snapshots: Seq[(SnapRef, Path)],
                    currentSnapshotId: Long,
-                   properties: Map[String, String] = Map.empty): String = {
+                   properties: Map[String, String] = Map.empty,
+                   specFields: Seq[(String, String, Int)] = Nil): String = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = m.createObjectNode()
     root.put("format-version", formatVersion)
@@ -238,7 +256,13 @@ object IcebergFixture {
     } else schemaNode(root.putObject("schema"))
     root.put("default-spec-id", 0)
     val specs = root.putArray("partition-specs").addObject()
-    specs.put("spec-id", 0); specs.putArray("fields")
+    specs.put("spec-id", 0)
+    val sfArr = specs.putArray("fields")
+    specFields.zipWithIndex.foreach { case ((n, tr, srcId), i) =>
+      val f = sfArr.addObject()
+      f.put("name", n); f.put("transform", tr)
+      f.put("source-id", srcId); f.put("field-id", 1000 + i)
+    }
     root.put("last-partition-id", 999)
     root.put("default-sort-order-id", 0)
     val so = root.putArray("sort-orders").addObject()
@@ -285,10 +309,13 @@ object IcebergFixture {
                            fields: Seq[(Int, String, String)],
                            snapshots: Seq[SnapRef], currentId: Long,
                            formatVersion: Int = 2,
-                           properties: Map[String, String] = Map.empty): Path = {
+                           properties: Map[String, String] = Map.empty,
+                           specFields: Seq[(String, String, Int)] = Nil,
+                           partAvroTypes: Seq[(String, String)] = Nil): Path = {
     val mdir = new Path(location, "metadata")
     val withLists = snapshots.map { s =>
-      val (mp, mlen) = writeManifest(conf, mdir, s.id, s.files)
+      val (mp, mlen) = writeManifest(conf, mdir, s.id, s.files,
+        partFields = partAvroTypes)
       val mans = Seq((mp, mlen, 0)) ++ (if (s.deletes.isEmpty) Nil else {
         val (dp, dlen) = writeManifest(conf, mdir, s.id, s.deletes, content = 1)
         Seq((dp, dlen, 1))
@@ -296,7 +323,7 @@ object IcebergFixture {
       (s, writeManifestListEntries(conf, mdir, s.id, mans))
     }
     val json = metadataJson(formatVersion, location.toUri.toString, fields,
-      withLists, currentId, properties)
+      withLists, currentId, properties, specFields)
     val mp = new Path(mdir, "v1.metadata.json")
     val fs = mp.getFileSystem(conf)
     val out = fs.create(mp, true)

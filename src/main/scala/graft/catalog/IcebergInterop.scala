@@ -98,10 +98,18 @@ object IcebergInterop {
     footer.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSeq
   }
 
+  /** One default-spec partition field: the spec's field name (what the
+    * manifest partition struct calls it), the transform string
+    * ("identity", "bucket[16]", "month", …), and the source column's
+    * field id.
+    */
+  final case class IceSpecField(name: String, transform: String, sourceId: Int)
+
   final case class IceMeta(formatVersion: Int, location: String,
                            schema: StructType, fields: Seq[IceField],
                            snapshots: Seq[IceSnapshot],
-                           currentSnapshotId: Option[Long])
+                           currentSnapshotId: Option[Long],
+                           specFields: Seq[IceSpecField] = Nil)
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -176,7 +184,24 @@ object IcebergInterop {
       }
     val current = Option(root.get("current-snapshot-id"))
       .map(_.asLong).filter(_ != -1L)
-    IceMeta(fv, location, struct, fields, snaps, current)
+    // the DEFAULT partition spec (spec §Partition Specs): v2 requires
+    // partition-specs[] + default-spec-id; older v1 metadata may carry
+    // only the legacy inline `partition-spec` field list
+    val specFields: Seq[IceSpecField] =
+      if (root.hasNonNull("partition-specs")) {
+        val wanted = Option(root.get("default-spec-id")).map(_.asInt).getOrElse(0)
+        root.get("partition-specs").elements.asScala
+          .find(s => s.get("spec-id").asInt == wanted)
+          .toSeq.flatMap(_.get("fields").elements.asScala).map { f =>
+            IceSpecField(f.get("name").asText, f.get("transform").asText,
+              f.get("source-id").asInt)
+          }.toSeq
+      } else Option(root.get("partition-spec")).toSeq
+        .flatMap(_.elements.asScala).map { f =>
+          IceSpecField(f.get("name").asText, f.get("transform").asText,
+            f.get("source-id").asInt)
+        }
+    IceMeta(fv, location, struct, fields, snaps, current, specFields)
   }
 
   /** The MAIN-LINE history: the parent chain walked back from the
@@ -269,10 +294,23 @@ object IcebergInterop {
     * (DELETED) rows drop; a v2 delete file (data_file.content != 0)
     * fails the registration. Paths become absolute scheme-less URIs —
     * the representation adopted-in-place files already use.
+    *
+    * `specFields` (the table's default partition spec) folds each
+    * entry's `partition` struct values into the bounds: an IDENTITY
+    * transform value is an EXACT per-file bound (min = max = value,
+    * nulls = 0 — every row in the file carries it), so partition
+    * pruning, `mustMatch` totality proofs (partition-aligned metadata
+    * DELETE), and the `$partitions` rollup work on attached tables the
+    * way they do on native ones. Non-identity transforms carry no
+    * row-value information the bounds tier could use — skipped.
     */
   def readManifest(conf: Configuration, path: Path,
-                   fields: Seq[IceField]): Seq[DataFileEntry] = {
+                   fields: Seq[IceField],
+                   specFields: Seq[IceSpecField] = Nil): Seq[DataFileEntry] = {
     val byId = fields.map(f => f.id -> f).toMap
+    val identBySpecName: Map[String, IceField] =
+      specFields.filter(_.transform == "identity")
+        .flatMap(sf => byId.get(sf.sourceId).map(f => sf.name -> f)).toMap
     val r = openAvro(conf, path)
     try r.iterator.asScala.flatMap { rec =>
       val status = rec.get("status").asInstanceOf[Int]
@@ -285,6 +323,17 @@ object IcebergInterop {
         require(content == 0,
           s"$path holds a v2 delete file (content=$content) — read-only " +
             "Iceberg registration supports data files only")
+        val partBounds: Map[String, ColBounds] =
+          if (identBySpecName.isEmpty) Map.empty
+          else Option(df.get("partition")).collect {
+            case pr: org.apache.avro.generic.GenericRecord =>
+              pr.getSchema.getFields.asScala.flatMap { fld =>
+                identBySpecName.get(fld.name()).flatMap { srcF =>
+                  decodePartitionValue(srcF.dataType, pr.get(fld.name()))
+                    .map(srcF.name -> _)
+                }
+              }.toMap
+          }.getOrElse(Map.empty)
         // same scheme-normalization rule as SnapshotCatalog.SchemeNormRe:
         // absolute URIs classify identically with or without an authority
         val filePath = df.get("file_path").toString.replaceFirst(
@@ -310,7 +359,9 @@ object IcebergInterop {
             case _ => None
           }
         }
-        Some(DataFileEntry(filePath, rows, bytes, bounds))
+        // identity partition values are EXACT — they win over (equal or
+        // wider) recorded column bounds
+        Some(DataFileEntry(filePath, rows, bytes, bounds ++ partBounds))
       }
     }.toList
     finally r.close()
@@ -360,6 +411,32 @@ object IcebergInterop {
     case m: java.util.Map[_, _] => // defensive: a string-keyed avro map
       m.asScala.map { case (k, vv) => k.toString.toInt -> vv }.toMap
     case _ => Map.empty
+  }
+
+  /** One identity-transform partition value (an Avro primitive from the
+    * manifest `partition` struct) → an EXACT engine bound for the
+    * source column: min = max = value, nulls = 0 (a non-null partition
+    * value proves no row in the file is null in that column). A null
+    * value drops the bound (the file's rows are all null — the plain
+    * null-count bound already covers IS NULL).
+    */
+  private[catalog] def decodePartitionValue(dt: DataType,
+                                            v: Any): Option[ColBounds] = {
+    if (v == null) return None
+    val kv: Option[(String, String)] = (dt, v) match {
+      case (IntegerType | LongType, n: Number) => Some(("long", n.longValue.toString))
+      case (DateType, n: Number)               => Some(("date", n.longValue.toString))
+      case (TimestampType | TimestampNTZType, n: Number) =>
+        Some(("ts", n.longValue.toString))
+      case (FloatType | DoubleType, n: Number) =>
+        val d = n.doubleValue
+        if (d.isNaN) None else Some(("double", d.toString))
+      case (StringType, s) =>
+        val str = s.toString
+        if (str.length <= Manifests.MaxStringBound) Some(("string", str)) else None
+      case _ => None
+    }
+    kv.map { case (kind, s) => ColBounds(kind, s, s, 0L) }
   }
 
   private def byteArray(v: Any): Array[Byte] = v match {

@@ -837,7 +837,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       // so "which snapshots came from Iceberg" cannot be recovered from
       // the log alone
       writeIcebergSource(dir, f.makeQualified(loc).toUri.toString,
-        ordered.map(_.id))
+        ordered.map(_.id), meta.specFields)
     } catch {
       case scala.util.control.NonFatal(ex) =>
         // never leave a half-registered table behind
@@ -951,7 +951,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       val manifests = IcebergInterop.readManifestList(conf, resolve(s.manifestList))
       val (delMans, dataMans) = manifests.partition(_._2 != 0)
       val entries = dataMans.flatMap { case (mp, _) =>
-        IcebergInterop.readManifest(conf, resolve(mp), meta.fields)
+        IcebergInterop.readManifest(conf, resolve(mp), meta.fields,
+          meta.specFields)
       }.map { e =>
         // re-anchor relocated data paths the same way as the manifests
         e.copy(path = resolve(e.path).toUri.getPath)
@@ -1088,7 +1089,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     if (!declaredSchema(schema, table).contains(pinSchema))
       writeString(new Path(dir, "_table_schema.json"), pinSchema.json)
     writeCommits(schema, table, commits ++ snaps, gen)
-    writeIcebergSource(dir, locStr, (imported ++ fresh.map(_.id)).toSeq.sorted)
+    writeIcebergSource(dir, locStr, (imported ++ fresh.map(_.id)).toSeq.sorted,
+      meta.specFields)
     fresh.size.toLong
   }
 
@@ -1259,11 +1261,20 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
   }
 
   private def writeIcebergSource(dir: Path, location: String,
-                                 imported: Seq[Long]): Unit = {
+                                 imported: Seq[Long],
+                                 spec: Seq[IcebergInterop.IceSpecField] = Nil): Unit = {
     val o = mapper.createObjectNode()
     o.put("location", location)
     val arr = o.putArray("imported")
     imported.foreach(arr.add)
+    if (spec.nonEmpty) {
+      val sp = o.putArray("spec")
+      spec.foreach { f =>
+        val n = sp.addObject()
+        n.put("name", f.name); n.put("transform", f.transform)
+        n.put("source_id", f.sourceId)
+      }
+    }
     writeString(new Path(dir, "_iceberg_source"), mapper.writeValueAsString(o))
   }
 
@@ -1271,6 +1282,21 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val root = mapper.readTree(readString(new Path(dir, "_iceberg_source")))
     (root.get("location").asText,
       root.get("imported").elements.asScala.map(_.asLong).toSet)
+  }
+
+  /** The FOREIGN partition spec recorded when an Iceberg table was
+    * attached (field name, transform, source field id) — observability
+    * plus the `$partitions` reconstruction; empty for native tables and
+    * unpartitioned attachments.
+    */
+  def icebergSpecOf(schema: String, table: String): Seq[IcebergInterop.IceSpecField] = {
+    val p = new Path(tableDir(schema, table), "_iceberg_source")
+    if (!fs(p).exists(p)) return Nil
+    val root = mapper.readTree(readString(p))
+    Option(root.get("spec")).toSeq.flatMap(_.elements.asScala).map { n =>
+      IcebergInterop.IceSpecField(n.get("name").asText,
+        n.get("transform").asText, n.get("source_id").asInt)
+    }
   }
 
   /** CALL system.unregister_table: remove `schema.table` from the catalog
@@ -4136,10 +4162,40 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     */
   def partitionsMeta(schema: String, table: String): DataFrame = {
     import spark.implicits._
-    currentFiles(schema, table)
-      .groupBy(_._2)
+    // attached-Iceberg tables: entry paths are absolute (no hive
+    // subpath to parse), but the foreign IDENTITY partition values were
+    // folded into the manifests as EXACT bounds (min = max) at import —
+    // reconstruct the `name=value` partition string from them, so the
+    // rollup matches what the table's own engine reports
+    val identCols: Seq[(String, String)] = icebergSpecOf(schema, table)
+      .filter(_.transform == "identity")
+      .flatMap { sf =>
+        declaredSchema(schema, table).toSeq.flatMap(_.fields)
+          .find(f => sf.sourceId == (if (f.metadata.contains(IcebergInterop.FieldIdKey))
+            f.metadata.getLong(IcebergInterop.FieldIdKey).toInt else -1))
+          .orElse(declaredSchema(schema, table).toSeq.flatMap(_.fields)
+            .find(_.name.equalsIgnoreCase(sf.name)))
+          .map(f => sf.name -> f.name)
+      }
+    val rows =
+      if (identCols.isEmpty)
+        currentFiles(schema, table).map(t => (t._2, t._3, t._4))
+      else {
+        val dir = tableDir(schema, table)
+        readCommits(schema, table).lastOption.toSeq
+          .flatMap(manifestEntriesOf(dir, _)).map { e =>
+            val part = identCols.flatMap { case (specName, colName) =>
+              e.bounds.find(_._1.equalsIgnoreCase(colName)).collect {
+                case (_, cb) if cb.min != null && cb.min == cb.max =>
+                  s"$specName=${cb.min}"
+              }
+            }.mkString("/")
+            (part, e.rows, e.bytes)
+          }
+      }
+    rows.groupBy(_._1)
       .map { case (part, fs) =>
-        (part, fs.size.toLong, fs.map(_._3).sum, fs.map(_._4).sum)
+        (part, fs.size.toLong, fs.map(_._2).sum, fs.map(_._3).sum)
       }
       .toSeq.sortBy(_._1)
       .toDF("partition", "file_count", "record_count", "total_size_in_bytes")

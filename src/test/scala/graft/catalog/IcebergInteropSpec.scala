@@ -352,6 +352,53 @@ class IcebergInteropSpec extends SparkSpec {
     assert(!e.catalog.tableExists("lake", "bad"))
   }
 
+  test("foreign identity partition spec: $partitions rollup, pruning, metadata DELETE") {
+    import IcebergFixture._
+    val loc = new Path(tmpDir("ice-part"))
+    val f1 = new Path(loc, "data/region=eu/f1.parquet")
+    val f2 = new Path(loc, "data/region=us/f2.parquet")
+    // Iceberg data files physically CARRY the partition column — only
+    // the manifests' partition struct is authoritative for pruning
+    val b1 = writeParquet(Seq((1L, "eu"), (2L, "eu")).toDF("id", "name"), f1)
+    val b2 = writeParquet(Seq((11L, "us"), (12L, "us"), (13L, "us"))
+      .toDF("id", "name"), f2)
+    val fr1 = FileRef(f1.toUri.toString, 2L, b1,
+      Map(1 -> (encodeLong(1L), encodeLong(2L), 0L)),
+      partition = Seq("region" -> "eu"))
+    val fr2 = FileRef(f2.toUri.toString, 3L, b2,
+      Map(1 -> (encodeLong(11L), encodeLong(13L), 0L)),
+      partition = Seq("region" -> "us"))
+    writeTreeWithCurrent(conf, loc,
+      Seq((1, "id", "long"), (2, "name", "string")),
+      Seq(SnapRef(9001L, 1700000000000L, Seq(fr1, fr2))),
+      currentId = 9001L, formatVersion = 2,
+      specFields = Seq(("region", "identity", 2)),
+      partAvroTypes = Seq(("region", "string")))
+    val e = engine("ice-part-wh")
+    e.executeNonQuery(SqlStatement("CREATE SCHEMA lake"))
+    e.executeNonQuery(SqlStatement(
+      s"CALL system.register_iceberg_table('lake', 't', '${loc.toUri}')"))
+    // the $partitions rollup reconstructs the foreign identity
+    // partitions from the imported exact bounds
+    val parts = e.query(SqlStatement(
+      """SELECT partition, file_count, record_count FROM lake."t$partitions" ORDER BY partition"""))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(parts === Seq(("region=eu", 1L, 2L), ("region=us", 1L, 3L)))
+    // partition pruning from the imported partition VALUES: corrupt the
+    // us file — an eu-filtered read must never open it
+    val fs2 = f2.getFileSystem(conf)
+    val out = fs2.create(f2, true)
+    out.write("not parquet".getBytes("UTF-8")); out.close()
+    assert(e.query(SqlStatement("SELECT id FROM lake.t WHERE name = 'eu'"))
+      .as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    // partition-aligned metadata DELETE: the us file is UNREADABLE, so
+    // only a bounds-proven whole-file drop (zero reads) can succeed
+    assert(e.executeNonQuery(SqlStatement(
+      "DELETE FROM lake.t WHERE name = 'us'")) === 3L)
+    assert(e.query(SqlStatement("SELECT id FROM lake.t")).as[Long]
+      .collect().sorted.toSeq === Seq(1L, 2L))
+  }
+
   test("single-value bound decoding: every supported type round-trips") {
     import IcebergFixture._
     def dec(dt: DataType, b: Array[Byte]) =
