@@ -113,11 +113,19 @@ object DevEqReadBench {
     val h0 = usedHeapMb()
     t("upsert 1.2M-key batch") { c.upsert("demo", "cdc", batch, Seq("id")) }
     val h1 = usedHeapMb()
-    t("read @1.2M-key pending (count)") {
+    t("read @1.2M-key pending (cold)") {
+      // first read scans the delete-key parquet AND persists it on the
+      // executors (eqDelBigLru) — the warm arm below is the payoff
       val n = c.readLatest("demo", "cdc").count()
       require(n == rows, s"expected $rows rows, got $n")
     }
-    t("read again (count)") { c.readLatest("demo", "cdc").count() }
+    val warm = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      c.readLatest("demo", "cdc").count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"  warm reads (persisted key frame)   " +
+      f"${warm.map(x => f"$x%.2f").mkString(" ")}  min=${warm.min}%.2f s")
     val h2 = usedHeapMb()
     // steady-state check: three MORE reads must not grow the heap — any
     // h2→h3 growth would mean per-read retention (the old collect-and-

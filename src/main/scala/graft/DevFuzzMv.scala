@@ -66,6 +66,18 @@ object DevFuzzMv {
       ("""SELECT s.id, d.w FROM demo.src s
          |JOIN demo.dim d ON s.grp = d.g
          |WHERE s.v % 2 = 0""".stripMargin, "incremental-append"))
+    val starDefs = IndexedSeq( // src ⋈ dim ⋈ dim2: the 3-source star
+      ("""SELECT d.g AS g, count(*) AS n, sum(s.v) AS sv
+         |FROM demo.src s JOIN demo.dim d ON s.grp = d.g
+         |JOIN demo.dim2 d2 ON s.grp = d2.g2
+         |GROUP BY d.g""".stripMargin, "incremental-merge"),
+      ("""SELECT s.id, s.v, d.w, d2.t FROM demo.src s
+         |JOIN demo.dim d ON s.grp = d.g
+         |JOIN demo.dim2 d2 ON s.grp = d2.g2""".stripMargin, "incremental-append"),
+      ("""SELECT d2.g2 AS g2, avg(s.v) AS a, max(d.w) AS mw
+         |FROM demo.src s JOIN demo.dim d ON s.grp = d.g
+         |JOIN demo.dim2 d2 ON s.grp = d2.g2
+         |GROUP BY d2.g2""".stripMargin, "incremental-merge"))
     val badDefs = IndexedSeq( // must never run incrementally
       """SELECT DISTINCT grp FROM demo.src""",
       """SELECT grp, avg(DISTINCT v) AS a FROM demo.src GROUP BY grp""",
@@ -85,6 +97,8 @@ object DevFuzzMv {
         "CREATE TABLE demo.src (id bigint, grp varchar, v bigint)"))
       e.executeNonQuery(SqlStatement(
         "CREATE TABLE demo.dim (g varchar, w bigint)"))
+      e.executeNonQuery(SqlStatement(
+        "CREATE TABLE demo.dim2 (g2 varchar, t bigint)"))
       var nextId = 0L
       def insert(k: Int): Unit = {
         val vals = (0 until k).map { _ =>
@@ -99,15 +113,24 @@ object DevFuzzMv {
         }.mkString(", ")
         e.executeNonQuery(SqlStatement(s"INSERT INTO demo.dim VALUES $vals"))
       }
+      def insertDim2(k: Int): Unit = {
+        val vals = (0 until k).map { _ =>
+          s"('${('a' + rnd.nextInt(5)).toChar}', ${rnd.nextInt(20)})"
+        }.mkString(", ")
+        e.executeNonQuery(SqlStatement(s"INSERT INTO demo.dim2 VALUES $vals"))
+      }
       insert(3 + rnd.nextInt(4))
       insertDim(2 + rnd.nextInt(2))
+      insertDim2(2 + rnd.nextInt(2))
 
       val (jDef, jMode) = pick(joinDefs)
+      val (sDef, sMode) = pick(starDefs)
       // (name, defSql, expected incremental mode or "full", source tables)
       val mvs = Seq(
         ("mv_agg", pick(aggDefs), "incremental-merge", Seq("src")),
         ("mv_spj", pick(spjDefs), "incremental-append", Seq("src")),
         ("mv_join", jDef, jMode, Seq("src", "dim")),
+        ("mv_star", sDef, sMode, Seq("src", "dim", "dim2")),
         ("mv_bad", pick(badDefs), "full", Seq("src")))
       mvs.foreach { case (name, defSql, _, _) =>
         e.executeNonQuery(SqlStatement(
@@ -115,8 +138,10 @@ object DevFuzzMv {
       }
 
       // model state since the last refresh, per source table
-      val inserted = scala.collection.mutable.Map("src" -> 0L, "dim" -> 0L)
-      val nonAppend = scala.collection.mutable.Map("src" -> false, "dim" -> false)
+      val inserted = scala.collection.mutable.Map(
+        "src" -> 0L, "dim" -> 0L, "dim2" -> 0L)
+      val nonAppend = scala.collection.mutable.Map(
+        "src" -> false, "dim" -> false, "dim2" -> false)
       // a rollback UNDOES history — whether the surviving range since the
       // recorded snapshot is append-only depends on what it truncated, so
       // after one the model checks content only, not strategy
@@ -162,7 +187,7 @@ object DevFuzzMv {
 
       val nOps = 10 + rnd.nextInt(6)
       (0 until nOps).foreach { op =>
-        rnd.nextInt(13) match {
+        rnd.nextInt(15) match {
           case 0 | 1 | 2 | 3 =>
             val k = 1 + rnd.nextInt(4); insert(k); inserted("src") += k
           case 4 =>
@@ -207,6 +232,14 @@ object DevFuzzMv {
             val matched = countWhere("src", s"id <= $cut")
             e.executeNonQuery(SqlStatement(s"DELETE FROM demo.src WHERE id <= $cut"))
             if (matched > 0) nonAppend("src") = true
+          case 13 =>
+            val k = 1 + rnd.nextInt(2); insertDim2(k); inserted("dim2") += k
+          case 14 =>
+            val g = s"'${('a' + rnd.nextInt(5)).toChar}'"
+            val matched = countWhere("dim2", s"g2 = $g")
+            e.executeNonQuery(SqlStatement(
+              s"UPDATE demo.dim2 SET t = t + 1 WHERE g2 = $g"))
+            if (matched > 0) nonAppend("dim2") = true
           case 12 =>
             // drop/recreate: snapshot ids restart — the incarnation
             // identity must force recompute even when the new head id

@@ -1135,8 +1135,28 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
     */
   private[graft] def rewriteNullOrdering(sql: String): String = {
     val spans = literalSpans(sql)
+    // quoted identifiers (`"my order by col"`) are opaque to the ORDER
+    // BY regex too — masked HERE only (the FROM/$-table rewrites resolve
+    // quoted names on purpose, so literalSpans itself must not change)
+    val idSpans = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var i = 0
+      while (i < sql.length) {
+        spans.find { case (a, b) => i >= a && i < b } match {
+          case Some((_, b)) => i = b
+          case None =>
+            val c = sql.charAt(i)
+            if (c == '"' || c == '`') {
+              val close = sql.indexOf(c, i + 1)
+              val end = if (close < 0) sql.length else close + 1
+              buf += ((i, end)); i = end
+            } else i += 1
+        }
+      }
+      buf.toSeq
+    }
     val ms = "(?i)\\bORDER\\s+BY\\b".r.findAllMatchIn(sql)
-      .filterNot(m => overlapsLiteral(spans, m.start, m.end)).toList
+      .filterNot(m => overlapsLiteral(spans ++ idSpans, m.start, m.end)).toList
     if (ms.isEmpty) return sql
     val terminators = Set("limit", "offset", "fetch", "rows", "range",
       "groups", "union", "intersect", "except", "minus")
@@ -1176,7 +1196,11 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
               while (i < sql.length &&
                 (sql.charAt(i).isLetterOrDigit || sql.charAt(i) == '_')) i += 1
               val w = sql.substring(ws, i).toLowerCase(java.util.Locale.ROOT)
-              if (depth == 0 && terminators.contains(w)) { endItem(); done = true }
+              // a terminator word ends the clause only AFTER the item
+              // has content — as the item's first token it IS the item
+              // (a column literally named `rows`/`range` still rewrites)
+              if (depth == 0 && terminators.contains(w) &&
+                  (toks.nonEmpty || itemEnd >= 0)) { endItem(); done = true }
               else { if (depth == 0) toks += w; itemEnd = i }
             }
             else { i += 1; itemEnd = i }
@@ -1257,6 +1281,14 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
     */
   private val MvJoinPruneMaxKeys = 1000
 
+  /** Most sources an incrementally-refreshed join MV may record: the
+    * telescoping decomposition is exact for any N, but each leg joins
+    * all N sources — N legs × N-way joins grows quadratic in source
+    * reads, and past the typical fact ⋈ dim1 ⋈ dim2 ⋈ dim3 star a
+    * recompute is usually the better plan anyway.
+    */
+  private val MvStarMaxSources = 4
+
   private val mvRefreshLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   // NUL-joined key (no identifier can contain it — same convention as
@@ -1330,19 +1362,23 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
     * refreshes for the price of the 10 GB, where the recompute path
     * re-scans the 100 TB.
     *
-    * Two-source inner-join shape: the new join rows are
-    * `ΔA ⋈ B_new  ∪  A_old ⋈ ΔB` (disjoint by whether the A-row is new),
-    * one definition replay per NON-EMPTY leg. The fact⋈dim steady state —
-    * a huge append-only fact, a dimension that rarely moves — costs one
-    * delta-scan join per refresh (ΔB empty ⇒ the A_old leg never runs);
-    * when the dimension does move, the A_old ⋈ ΔB leg re-scans the fact
-    * once, which is inherent to exact join maintenance (any new dim row
-    * may match arbitrarily old fact rows).
+    * Multi-source inner-join shape (fact ⋈ dim, and the fact ⋈ dim1 ⋈
+    * dim2 star up to [[MvStarMaxSources]] sources): the new join rows
+    * decompose by the telescoping identity — leg i joins
+    * `S1_old ⋈ … ⋈ S(i-1)_old ⋈ ΔSi ⋈ S(i+1)_new ⋈ … ⋈ SN_new`
+    * (legs disjoint by the FIRST source whose row is new) — one
+    * definition replay per NON-EMPTY leg. The star steady state — a
+    * huge append-only fact, dimensions that rarely move — costs one
+    * delta-scan join per refresh (empty dim deltas contribute no leg);
+    * when a dimension does move, its leg re-scans the fact once, pruned
+    * to the delta's equi-join keys where they fit an IN list — inherent
+    * to exact join maintenance (a new dim row may match arbitrarily old
+    * fact rows).
     */
   private def refreshIncremental(schema: String, view: String,
                                  meta: (String, Map[String, Long])): Option[Long] = {
     val (defSql, recorded) = meta
-    if (recorded.isEmpty || recorded.size > 2) return None
+    if (recorded.isEmpty || recorded.size > MvStarMaxSources) return None
     val srcs: Seq[((String, String), Long)] = recorded.toSeq.map {
       case (key, fromId) => key.split('.') match {
         case Array(s, t) => ((s, t), fromId)
@@ -1452,7 +1488,7 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
       }
     }
     val keyPairs =
-      if (deltas.size == 2)
+      if (deltas.size >= 2)
         MvIncremental.equiJoinKeys(spark, defSql, srcs.map(_._1).toSet, sessionSchema)
       else Nil
     // one replay runner for both strategies: the plain path substitutes
@@ -1464,29 +1500,28 @@ class GraftEngine(val spark: SparkSession, val warehouse: String) {
         .getOrElse(throw new GraftQueryException(defSql,
           "augmented avg replay failed to analyze"))
     val partial =
-      try deltas match {
-        case Seq((st, fromId, head, _)) =>
-          runDef(Map(st -> deltaOf(st, fromId, head)))
-        case Seq((stA, fromA, headA, aEmpty), (stB, fromB, headB, bEmpty)) =>
-          val legs = Seq(
-            if (aEmpty) None else Some {
-              val dA = deltaOf(stA, fromA, headA)
-              runDef(Map(
-                stA -> dA,
-                stB -> pruneFull(
-                  catalog.readVersionConformed(stB._1, stB._2, headB),
-                  stB, dA, stA, keyPairs)))
-            },
-            if (bEmpty) None else Some {
-              val dB = deltaOf(stB, fromB, headB)
-              runDef(Map(
-                stA -> pruneFull(
-                  catalog.readVersionConformed(stA._1, stA._2, fromA),
-                  stA, dB, stB, keyPairs),
-                stB -> dB))
+      try {
+        // telescoping legs: leg i replays the definition with ΔSi for
+        // source i, the OLD state (recorded snapshot) for sources before
+        // it, and the NEW head for sources after it — each full side
+        // pruned to the delta's equi-join keys. deltas.size == 1
+        // degenerates to the single replay over the delta.
+        val legs = deltas.zipWithIndex.flatMap {
+          case ((stI, fromI, headI, emptyI), i) =>
+            if (emptyI) None
+            else Some {
+              val dI = deltaOf(stI, fromI, headI)
+              runDef(deltas.zipWithIndex.map {
+                case ((stJ, fromJ, headJ, _), j) =>
+                  if (j == i) stJ -> dI
+                  else stJ -> pruneFull(
+                    catalog.readVersionConformed(stJ._1, stJ._2,
+                      if (j < i) fromJ else headJ),
+                    stJ, dI, stI, keyPairs)
+              }.toMap)
             }
-          ).flatten
-          legs.reduce(_.unionByName(_))
+        }
+        legs.reduce(_.unionByName(_))
       }
       catch {
         // a replay that no longer analyzes (e.g. the definition uses a

@@ -30,19 +30,22 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, Log
   *     the delta, then re-aggregate `materialized ∪ delta-partial` by the
   *     key columns — O(|MV| + |delta|), never a source re-scan.
   *
-  * Either shape may sit over ONE INNER (or cross) join of the TWO
-  * recorded sources instead of a bare table: inner join is monotone
-  * under append-only inserts, and the new join rows decompose exactly as
-  * `ΔA ⋈ B_new  ∪  A_old ⋈ ΔB` (disjoint: first leg has a new A-row,
-  * second an old one) — the engine replays the definition once per
-  * non-empty leg. Outer joins do NOT qualify: a new B-row can retract an
-  * old unmatched-A output row, which no append can express.
+  * Either shape may sit over a TREE of INNER (or cross) joins of the
+  * recorded sources instead of a bare table — the fact ⋈ dim1 ⋈ dim2
+  * star is the common MV shape: inner join is monotone under
+  * append-only inserts, and the new join rows decompose exactly by the
+  * telescoping identity
+  * `Δ(S1 ⋈ … ⋈ SN) = ⋃_i  S1_old ⋈ … ⋈ S(i-1)_old ⋈ ΔSi ⋈ S(i+1)_new ⋈ … ⋈ SN_new`
+  * (legs disjoint by the FIRST source whose row is new) — the engine
+  * replays the definition once per non-empty leg. Outer joins do NOT
+  * qualify: a new B-row can retract an old unmatched-A output row,
+  * which no append can express.
   *
-  * Everything else (outer/semi joins, 3+ tables, DISTINCT, windows,
-  * subqueries, avg/percentile, self-references, CTEs, non-deterministic
-  * functions) returns None and the caller falls back to the
-  * full-recompute refresh. The analysis is deliberately conservative: a
-  * miss costs a recompute, a false positive would corrupt the view.
+  * Everything else (outer/semi joins, DISTINCT, windows, subqueries,
+  * percentile, self-references, CTEs, non-deterministic functions)
+  * returns None and the caller falls back to the full-recompute
+  * refresh. The analysis is deliberately conservative: a miss costs a
+  * recompute, a false positive would corrupt the view.
   */
 private[graft] object MvIncremental {
 
@@ -109,7 +112,8 @@ private[graft] object MvIncremental {
     if (!expressionsSafe(spark, plan)) return None
 
     def fromOk(child: LogicalPlan): Boolean =
-      if (sources.size == 1) sourceOnly(child) else joinOfSources(child)
+      if (sources.size == 1) sourceOnly(child)
+      else joinTreeSources(child) == sources.size
 
     plan match {
       case Aggregate(grouping, aggExprs, child, _) if fromOk(child) =>
@@ -223,44 +227,53 @@ private[graft] object MvIncremental {
     val plan =
       try spark.sessionState.sqlParser.parsePlan(sql)
       catch { case _: Exception => return Nil }
-    val joins = plan.collect { case j: Join => j }
-    if (joins.size != 1 || joins.head.joinType != Inner) return Nil
-    val j = joins.head
-    def side(p: LogicalPlan): Option[(Set[String], (String, String))] = {
-      val rels = p.collect { case r: UnresolvedRelation => r }
-      if (rels.size != 1) return None
-      val st = rels.head.multipartIdentifier match {
-        case Seq(t) => (sessionSchema, t)
-        case Seq(s, t) => (s, t)
-        case _ => return None
+    def stOf(r: UnresolvedRelation): Option[(String, String)] =
+      r.multipartIdentifier match {
+        case Seq(t) => Some((sessionSchema, t))
+        case Seq(s, t) => Some((s, t))
+        case _ => None
       }
-      if (!sources.contains(st)) return None
-      val aliases = p.collect {
-        case a: SubqueryAlias => a.alias.toLowerCase(java.util.Locale.ROOT) }
-      Some(((aliases :+ st._2.toLowerCase(java.util.Locale.ROOT)).toSet, st))
+    // qualifier → source, from every alias sitting DIRECTLY over one
+    // bare source plus each table's own name; a name claimed by two
+    // different sources is ambiguous and resolves nothing
+    def srcUnder(p: LogicalPlan): Option[(String, String)] = p match {
+      case r: UnresolvedRelation => stOf(r).filter(sources.contains)
+      case SubqueryAlias(_, child) => srcUnder(child)
+      case Filter(_, child) => srcUnder(child)
+      case _ => None
     }
+    def aliasPairs(p: LogicalPlan): Seq[(String, (String, String))] = p match {
+      case sa: SubqueryAlias =>
+        srcUnder(sa.child).toSeq.map(st =>
+          sa.alias.toLowerCase(java.util.Locale.ROOT) -> st) ++
+          aliasPairs(sa.child)
+      case r: UnresolvedRelation =>
+        stOf(r).filter(sources.contains).toSeq.map(st =>
+          st._2.toLowerCase(java.util.Locale.ROOT) -> st)
+      case other => other.children.flatMap(aliasPairs)
+    }
+    val byName: Map[String, (String, String)] = aliasPairs(plan)
+      .groupBy(_._1).collect {
+        case (n, ps) if ps.map(_._2).distinct.size == 1 => n -> ps.head._2
+      }
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(a, b) => conjuncts(a) ++ conjuncts(b)
       case x => Seq(x)
     }
-    (side(j.left), side(j.right)) match {
-      case (Some((lids, lst)), Some((rids, rst))) if lst != rst =>
-        j.condition.toSeq.flatMap(conjuncts).flatMap {
-          case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
-              if a.nameParts.length == 2 && b.nameParts.length == 2 =>
-            val (qa, ca) = (a.nameParts.head.toLowerCase(java.util.Locale.ROOT),
-              a.nameParts.last)
-            val (qb, cb) = (b.nameParts.head.toLowerCase(java.util.Locale.ROOT),
-              b.nameParts.last)
-            if (lids(qa) && rids(qb) && !rids(qa) && !lids(qb))
-              Some(((lst, ca), (rst, cb)))
-            else if (rids(qa) && lids(qb) && !lids(qa) && !rids(qb))
-              Some(((lst, cb), (rst, ca)))
-            else None
-          case _ => None
-        }
-      case _ => Nil
-    }
+    plan.collect { case j: Join if j.joinType == Inner => j }.flatMap { j =>
+      j.condition.toSeq.flatMap(conjuncts).flatMap {
+        case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
+            if a.nameParts.length == 2 && b.nameParts.length == 2 =>
+          val qa = a.nameParts.head.toLowerCase(java.util.Locale.ROOT)
+          val qb = b.nameParts.head.toLowerCase(java.util.Locale.ROOT)
+          (byName.get(qa), byName.get(qb)) match {
+            case (Some(sa), Some(sb)) if sa != sb =>
+              Some(((sa, a.nameParts.last), (sb, b.nameParts.last)))
+            case _ => None
+          }
+        case _ => None
+      }
+    }.distinct
   }
 
   /** child is the bare source: UnresolvedRelation, optionally aliased
@@ -274,17 +287,21 @@ private[graft] object MvIncremental {
     case _ => false
   }
 
-  /** child is ONE inner (or cross — both monotone) join of two bare
-    * sources, optionally aliased and/or under row-wise Filters. USING /
-    * NATURAL joins parse to a different JoinType and stay excluded; so
-    * does every outer/semi/anti flavor (non-monotone under appends).
+  /** Number of bare sources under `plan` when it is a TREE of inner (or
+    * cross — both monotone) joins over bare sources, optionally aliased
+    * and/or under row-wise Filters; 0 when any node disqualifies. USING
+    * / NATURAL joins parse to a different JoinType and stay excluded;
+    * so does every outer/semi/anti flavor (non-monotone under appends).
     */
-  private def joinOfSources(plan: LogicalPlan): Boolean = plan match {
+  private def joinTreeSources(plan: LogicalPlan): Int = plan match {
+    case p if sourceOnly(p) => 1
     case j: Join if j.joinType == Inner || j.joinType == Cross =>
-      sourceOnly(j.left) && sourceOnly(j.right)
-    case SubqueryAlias(_, child) => joinOfSources(child)
-    case Filter(_, child) => joinOfSources(child)
-    case _ => false
+      val l = joinTreeSources(j.left)
+      val r = joinTreeSources(j.right)
+      if (l == 0 || r == 0) 0 else l + r
+    case SubqueryAlias(_, child) => joinTreeSources(child)
+    case Filter(_, child) => joinTreeSources(child)
+    case _ => 0
   }
 
   /** No subqueries, no window expressions, no non-deterministic or

@@ -543,10 +543,16 @@ object Manifests {
     // memoized per literal: a scan-planning walk probes the SAME literal
     // against every manifest entry — without the memo the two XxHash64
     // expression evaluations re-run per FILE (measured 6-10× of the
-    // whole bounds walk at 10⁵ entries). Keyed by (value, type); bounded
-    // (predicate literals per process are few — clear() on overflow is
-    // a correctness no-op, just a refill).
-    val key = (v, dt)
+    // whole bounds walk at 10⁵ entries). Keyed by (value, type) — binary
+    // literals wrap in a value-equality Seq (Array[Byte] compares by
+    // reference, which would miss every hit and bloat the map). Bounded:
+    // predicate literals per process are few; clear() on overflow is a
+    // correctness no-op, just a refill (a concurrent put dropped by the
+    // clear re-memoizes on its next probe).
+    val key = (v match {
+      case b: Array[Byte] => b.toSeq
+      case x => x
+    }, dt)
     val hit = bloomHashCache.get(key)
     if (hit != null) return hit
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}

@@ -2181,6 +2181,45 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       }
   }
 
+  /** Bounded registry of EXECUTOR-persisted key frames for
+    * past-threshold (distributed-path) eq-delete files: a hot CDC table
+    * pays the parquet key scan once and every later read joins against
+    * cached blocks — the driver holds only the frame handle, the 10⁷-key
+    * payload lives on executors (MEMORY_AND_DISK, spills instead of
+    * OOMing). Files are immutable (UUID names), so there is no
+    * staleness; eviction unpersists. A harness CacheHygiene sweep may
+    * drop the blocks between queries — storageLevel turns NONE and the
+    * next use RE-persists (cold-scan price once, never wrong). Entries
+    * for compacted-away files age out of the LRU.
+    */
+  private object eqDelBigLru {
+    private val maxEntries = 8
+    private val map = new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, true)
+    def getOrCreate(p: String): DataFrame = synchronized {
+      val df = {
+        val hit = map.get(p)
+        if (hit != null) hit
+        else {
+          val fresh = spark.read.parquet(p)
+          map.put(p, fresh)
+          val it = map.entrySet().iterator()
+          while (map.size > maxEntries && it.hasNext) {
+            val e = it.next()
+            if (e.getKey != p) {
+              try e.getValue.unpersist(blocking = false)
+              catch { case scala.util.control.NonFatal(_) => () }
+              it.remove()
+            }
+          }
+          fresh
+        }
+      }
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df
+    }
+  }
+
   /** Qualified, scheme-normalized data-file keys of `snap` — the
     * representation eq-delete coverage classes compare on. Cached per
     * (table dir, snapshot id, manifest-list name).
@@ -2224,7 +2263,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
             f.getContentSummary(new Path(p)).getLength >
               SnapshotCatalog.eqDelDriverMaxBytes)).booleanValue
         if (big)
-          (spark.read.parquet(p), false)
+          (eqDelBigLru.getOrCreate(p), false)
         else {
           val df = spark.read.parquet(p)
           val r = (df.schema, df.collect())

@@ -65,10 +65,12 @@ object SqlFormat {
     case i: Instant         => tsLiteral(i, precedingSql)
     case t: java.sql.Timestamp  => tsLiteral(t.toInstant, precedingSql)
     case t: LocalDateTime   => tsLiteral(t.toInstant(ZoneOffset.UTC), precedingSql)
-    // zone-carrying values normalize to UTC instants — the reference
-    // does the same for DateTimeOffset (SqlParameterFormatter.cs:52-53),
-    // and the engine session is pinned to UTC, so `timestamp with time
-    // zone` columns compare correctly against these literals
+    // zone-carrying values normalize to UTC instants. This EXTENDS the
+    // reference, whose formatter has a DateTime case only
+    // (SqlParameterFormatter.cs:52-53) — a DateTimeOffset there falls
+    // through to ToString(), which is not even a SQL literal. The engine
+    // session is pinned to UTC, so `timestamp with time zone` columns
+    // compare correctly against these literals
     case t: java.time.OffsetDateTime => tsLiteral(t.toInstant, precedingSql)
     case t: java.time.ZonedDateTime  => tsLiteral(t.toInstant, precedingSql)
     case d: LocalDate       => "DATE '" + d + "'"

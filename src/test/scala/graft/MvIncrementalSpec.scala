@@ -195,6 +195,75 @@ class MvIncrementalSpec extends SparkSpec {
     assert(e.lastMvRefreshMode === "noop")
   }
 
+  test("star MV (fact⋈dim1⋈dim2): every move pattern lands the telescoped legs exactly") {
+    val e = freshEngine("mvi-star")
+    e.executeNonQuery(SqlStatement("CREATE TABLE demo.dim (grp varchar, label varchar)"))
+    e.executeNonQuery(SqlStatement(
+      "INSERT INTO demo.dim VALUES ('a', 'alpha'), ('b', 'beta')"))
+    e.executeNonQuery(SqlStatement("CREATE TABLE demo.dim2 (id bigint, tag varchar)"))
+    e.executeNonQuery(SqlStatement(
+      "INSERT INTO demo.dim2 VALUES (1, 'one'), (2, 'two'), (3, 'three')"))
+    val defSql = """SELECT d.label AS label, d2.tag AS tag,
+                   |       count(*) AS n, sum(s.v) AS sv
+                   |FROM demo.src s
+                   |JOIN demo.dim d ON s.grp = d.grp
+                   |JOIN demo.dim2 d2 ON s.id = d2.id
+                   |GROUP BY d.label, d2.tag""".stripMargin
+    e.executeNonQuery(SqlStatement(s"CREATE MATERIALIZED VIEW demo.mvs AS $defSql"))
+    def matchesRecompute(): Unit = {
+      val got = rows(e, "SELECT * FROM demo.mvs").map(_.toString).sorted
+      val want = e.query(SqlStatement(defSql)).collect().toSeq
+        .map(_.toSeq.toString).sorted
+      assert(got === want)
+    }
+    // fact-only move: one Δfact ⋈ dim1_new ⋈ dim2_new leg
+    e.executeNonQuery(SqlStatement("INSERT INTO demo.src VALUES (2, 'b', 7)"))
+    e.executeNonQuery(SqlStatement("REFRESH MATERIALIZED VIEW demo.mvs"))
+    assert(e.lastMvRefreshMode === "incremental-merge")
+    matchesRecompute()
+    // ALL THREE move in one refresh window: Δs⋈d_new⋈d2_new ∪
+    // s_old⋈Δd⋈d2_new ∪ s_old⋈d_old⋈Δd2 — the new dim rows must pick up
+    // old fact rows, the new dim2 row must see old fact+dim pairs
+    e.executeNonQuery(SqlStatement("INSERT INTO demo.src VALUES (4, 'c', 40)"))
+    e.executeNonQuery(SqlStatement("INSERT INTO demo.dim VALUES ('c', 'gamma')"))
+    e.executeNonQuery(SqlStatement("INSERT INTO demo.dim2 VALUES (4, 'four')"))
+    e.executeNonQuery(SqlStatement("REFRESH MATERIALIZED VIEW demo.mvs"))
+    assert(e.lastMvRefreshMode === "incremental-merge")
+    matchesRecompute()
+    // dim-only move after the fact settled: two legs with empty fact Δ
+    e.executeNonQuery(SqlStatement("INSERT INTO demo.dim2 VALUES (99, 'none')"))
+    e.executeNonQuery(SqlStatement("REFRESH MATERIALIZED VIEW demo.mvs"))
+    assert(e.lastMvRefreshMode === "incremental-merge")
+    matchesRecompute()
+    e.executeNonQuery(SqlStatement("REFRESH MATERIALIZED VIEW demo.mvs"))
+    assert(e.lastMvRefreshMode === "noop")
+    // a non-append commit on ANY of the three recomputes — still exact
+    e.executeNonQuery(SqlStatement("DELETE FROM demo.dim2 WHERE id = 99"))
+    e.executeNonQuery(SqlStatement("INSERT INTO demo.src VALUES (3, 'a', 9)"))
+    e.executeNonQuery(SqlStatement("REFRESH MATERIALIZED VIEW demo.mvs"))
+    assert(e.lastMvRefreshMode === "full")
+    matchesRecompute()
+  }
+
+  test("star MV: select-project-filter over three sources appends the telescoped delta") {
+    val e = freshEngine("mvi-star-proj")
+    e.executeNonQuery(SqlStatement("CREATE TABLE demo.dim (grp varchar, label varchar)"))
+    e.executeNonQuery(SqlStatement("INSERT INTO demo.dim VALUES ('a', 'alpha'), ('b', 'beta')"))
+    e.executeNonQuery(SqlStatement("CREATE TABLE demo.dim2 (id bigint, tag varchar)"))
+    e.executeNonQuery(SqlStatement(
+      "INSERT INTO demo.dim2 VALUES (1, 'one'), (2, 'two'), (3, 'three'), (4, 'four')"))
+    val defSql = """SELECT s.id, d.label, d2.tag, s.v FROM demo.src s
+                   |JOIN demo.dim d ON s.grp = d.grp
+                   |JOIN demo.dim2 d2 ON s.id = d2.id
+                   |WHERE s.v > 5""".stripMargin
+    e.executeNonQuery(SqlStatement(s"CREATE MATERIALIZED VIEW demo.mvsp AS $defSql"))
+    e.executeNonQuery(SqlStatement("INSERT INTO demo.src VALUES (4, 'b', 44)"))
+    e.executeNonQuery(SqlStatement("INSERT INTO demo.dim VALUES ('c', 'gamma')"))
+    e.executeNonQuery(SqlStatement("REFRESH MATERIALIZED VIEW demo.mvsp"))
+    assert(e.lastMvRefreshMode === "incremental-append")
+    assertMatchesRecompute(e, "mvsp", defSql, "id")
+  }
+
   test("join MV: a non-append commit on EITHER source recomputes — still exact") {
     val e = freshEngine("mvi-join-fallback")
     e.executeNonQuery(SqlStatement("CREATE TABLE demo.dim (grp varchar, label varchar)"))

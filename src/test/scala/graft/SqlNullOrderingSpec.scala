@@ -88,5 +88,19 @@ class SqlNullOrderingSpec extends SparkSpec {
     assert(e.rewriteNullOrdering(
       "(SELECT id FROM demo.t ORDER BY id LIMIT 1) UNION ALL (SELECT id FROM demo.t)") ===
       "(SELECT id FROM demo.t ORDER BY id NULLS LAST LIMIT 1) UNION ALL (SELECT id FROM demo.t)")
+    // a column literally NAMED like a terminator is the item itself
+    // when it opens the clause — it still rewrites (round-11 advice)
+    assert(e.rewriteNullOrdering("SELECT id FROM t ORDER BY rows") ===
+      "SELECT id FROM t ORDER BY rows NULLS LAST")
+    assert(e.rewriteNullOrdering("SELECT id FROM t ORDER BY range DESC, x LIMIT 2") ===
+      "SELECT id FROM t ORDER BY range DESC NULLS LAST, x NULLS LAST LIMIT 2")
+    // ... but as a SECOND token it terminates as before (window frame)
+    assert(e.rewriteNullOrdering("SELECT sum(v) OVER (ORDER BY k ROWS 2 PRECEDING) FROM t") ===
+      "SELECT sum(v) OVER (ORDER BY k NULLS LAST ROWS 2 PRECEDING) FROM t")
+    // 'ORDER BY' inside a double-quoted identifier must not rewrite
+    assert(e.rewriteNullOrdering("""SELECT "order by weird" FROM t""") ===
+      """SELECT "order by weird" FROM t""")
+    assert(e.rewriteNullOrdering("SELECT `order by weird` FROM t") ===
+      "SELECT `order by weird` FROM t")
   }
 }
