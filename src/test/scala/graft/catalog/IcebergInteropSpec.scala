@@ -250,6 +250,35 @@ class IcebergInteropSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq === Seq(1L, 3L, 12L))
   }
 
+  test("a RELOCATED tree's positional deletes follow its files (re-anchored coordinates)") {
+    import IcebergFixture._
+    // build the tree at locA — metadata.json location and every
+    // file_path record locA — then MOVE the whole directory to locB and
+    // register from there: data paths AND delete coordinates must both
+    // re-anchor, or the delete would silently stop matching
+    val locA = new Path(tmpDir("ice-reloc-a"))
+    val f1 = new Path(locA, "data/f1.parquet")
+    val b1 = writeParquet(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name"), f1)
+    val d1 = new Path(locA, "data/del1.parquet")
+    val db1 = writeOneParquet(conf,
+      Seq((f1.toUri.toString, 1L)).toDF("file_path", "pos"), d1) // id 2
+    val fr1 = FileRef(f1.toUri.toString, 3L, b1, Map.empty)
+    val dr1 = FileRef(d1.toUri.toString, 1L, db1, Map.empty)
+    IcebergFixture.writeTree(conf, locA, 2,
+      Seq((1, "id", "long"), (2, "name", "string")),
+      Seq(SnapRef(9001L, 1700000000000L, Seq(fr1), deletes = Seq(dr1))))
+    val locB = new Path(tmpDir("ice-reloc-b"), "moved")
+    val fs2 = locA.getFileSystem(conf)
+    fs2.mkdirs(locB.getParent)
+    require(fs2.rename(locA, locB), "relocation rename failed")
+    val e = engine("ice-reloc-wh")
+    e.executeNonQuery(SqlStatement("CREATE SCHEMA lake"))
+    e.executeNonQuery(SqlStatement(
+      s"CALL system.register_iceberg_table('lake', 't', '${locB.toUri}')"))
+    assert(e.query(SqlStatement("SELECT id FROM lake.t")).as[Long]
+      .collect().sorted.toSeq === Seq(1L, 3L))
+  }
+
   test("equality-delete files reject loudly and leave no half-registered table") {
     val loc = buildTree(2, "ice-del")
     // fabricate an EQUALITY-delete manifest (content=2 entries) for the
