@@ -50,8 +50,14 @@ object DevFuzzIceberg {
       // migrate/add_files shape): registration must fall back to name
       // resolution and still verify against the model
       val idLess = rnd.nextInt(3) == 0
+      // ... and an independent third declare an IDENTITY partition spec
+      // on `score` (constant per file, carried in the manifest partition
+      // struct): the imported exact bounds must prune without ever
+      // changing results
+      val partitioned = rnd.nextInt(3) == 0
       var fileNo = 0
       def writeFile(rows: Seq[(Long, String, Double)]): FileRef = {
+        val partValue = (fileNo + 1).toDouble // matches the rows' score
         fileNo += 1
         val target = new Path(loc, f"data/f$fileNo%03d.parquet")
         // field ids stamped like a real writer's files (a third of the
@@ -74,7 +80,8 @@ object DevFuzzIceberg {
               encodeLong(idHi + rnd.nextInt(5)), 0L))
             case 2 => Map.empty
           }
-        FileRef(target.toUri.toString, rows.size.toLong, len, stats)
+        FileRef(target.toUri.toString, rows.size.toLong, len, stats,
+          partition = if (partitioned) Seq("p_score" -> partValue) else Nil)
       }
 
       val fields = Seq((1, "id", "long"), (2, "name", "string"),
@@ -89,7 +96,12 @@ object DevFuzzIceberg {
       var delNo = 0
       var tree = Seq.empty[SnapRef]
       def addSnapshot(): Unit = {
-        val rows = mkRows(1 + rnd.nextInt(5))
+        // identity partitioning requires ONE partition value per file —
+        // partitioned scenarios pin each file's score to its file number
+        val rows0 = mkRows(1 + rnd.nextInt(5))
+        val rows =
+          if (partitioned) rows0.map(r => r.copy(_3 = (fileNo + 1).toDouble))
+          else rows0
         val fr = writeFile(rows)
         fileRows(fr.path) = rows
         ts += 1000L + rnd.nextInt(1000)
@@ -123,16 +135,22 @@ object DevFuzzIceberg {
       // list carries a STAGED (WAP) snapshot past the current head: the
       // registration must import the MAIN LINE only — the staged rows
       // must be invisible and its id must not time-travel
+      val specFields =
+        if (partitioned) Seq(("p_score", "identity", 3)) else Nil
+      val partAvroTypes =
+        if (partitioned) Seq(("p_score", "double")) else Nil
       val staged = rnd.nextInt(3) == 0
       if (staged) {
         val mainTree = tree
         addSnapshot() // becomes the staged tip in `tree`
         val stagedTip = tree.last
-        writeTreeWithCurrent(conf, loc, fields, tree, mainTree.last.id)
+        writeTreeWithCurrent(conf, loc, fields, tree, mainTree.last.id,
+          specFields = specFields, partAvroTypes = partAvroTypes)
         tree = mainTree // the model ignores the staged snapshot
         fileRows.remove(stagedTip.files.last.path)
       } else
-        writeTree(conf, loc, if (rnd.nextBoolean()) 2 else 1, fields, tree)
+        writeTree(conf, loc, if (rnd.nextBoolean()) 2 else 1, fields, tree,
+          specFields = specFields, partAvroTypes = partAvroTypes)
 
       val e = new GraftEngine(spark, wh)
       e.catalog.createSchema("lake")
@@ -165,6 +183,15 @@ object DevFuzzIceberg {
           s"SELECT id FROM lake.t WHERE id >= $cut")).as[Long].collect().toSet
         require(g2 == expect(tree.last).map(_._1).filter(_ >= cut),
           s"scenario_$i $tag: range read @$cut diverged")
+        if (partitioned) {
+          // partition-value equality: the imported EXACT bounds prune to
+          // one file — results must still match the model
+          val sv = 1.0 + rnd.nextInt(fileNo max 1)
+          val g3 = e.query(graft.params.SqlStatement(
+            s"SELECT id FROM lake.t WHERE score = $sv")).as[Long].collect().toSet
+          require(g3 == expect(tree.last).filter(_._3 == sv).map(_._1),
+            s"scenario_$i $tag: partition-equality read @$sv diverged")
+        }
       }
       check("registered")
 
@@ -182,7 +209,8 @@ object DevFuzzIceberg {
       val fields2 =
         if (evolved) fieldsBase :+ ((4, "tag", "long")) else fieldsBase
       (0 until 1 + rnd.nextInt(2)).foreach(_ => addSnapshot())
-      writeTree(conf, loc, 2, fields2, tree)
+      writeTree(conf, loc, 2, fields2, tree,
+        specFields = specFields, partAvroTypes = partAvroTypes)
       val synced = e.executeNonQuery(graft.params.SqlStatement(
         "CALL system.refresh_iceberg_table('lake', 't')"))
       require(synced >= 1L, s"scenario_$i: sync appended nothing")
@@ -232,7 +260,8 @@ object DevFuzzIceberg {
           if (evolved) "INSERT INTO lake.t VALUES (999999, 'local', 0.0, 1)"
           else "INSERT INTO lake.t VALUES (999999, 'local', 0.0)"))
         addSnapshot()
-        writeTree(conf, loc, 2, fields, tree)
+        writeTree(conf, loc, 2, fields, tree,
+          specFields = specFields, partAvroTypes = partAvroTypes)
         val refused =
           try { e.executeNonQuery(graft.params.SqlStatement(
             "CALL system.refresh_iceberg_table('lake', 't')")); false }

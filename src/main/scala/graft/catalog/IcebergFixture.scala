@@ -297,9 +297,12 @@ object IcebergFixture {
     */
   def writeTree(conf: Configuration, location: Path, formatVersion: Int,
                 fields: Seq[(Int, String, String)],
-                snapshots: Seq[SnapRef]): Path =
+                snapshots: Seq[SnapRef],
+                specFields: Seq[(String, String, Int)] = Nil,
+                partAvroTypes: Seq[(String, String)] = Nil): Path =
     writeTreeWithCurrent(conf, location, fields, snapshots,
-      snapshots.last.id, formatVersion)
+      snapshots.last.id, formatVersion, specFields = specFields,
+      partAvroTypes = partAvroTypes)
 
   /** [[writeTree]] with an explicit current-snapshot-id — fabricates the
     * staged-snapshot (WAP) / rollback shapes where the list holds

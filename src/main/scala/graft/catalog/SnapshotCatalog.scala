@@ -950,9 +950,19 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     ordered.map { s =>
       val manifests = IcebergInterop.readManifestList(conf, resolve(s.manifestList))
       val (delMans, dataMans) = manifests.partition(_._2 != 0)
-      val entries = dataMans.flatMap { case (mp, _) =>
-        IcebergInterop.readManifest(conf, resolve(mp), meta.fields,
-          meta.specFields)
+      // manifests decode on PARALLEL driver threads: a large table shards
+      // its entries across many Avro manifests (Iceberg's own layout),
+      // each independent CPU-bound work — a 10⁶-file registration should
+      // be bounded by Avro decode throughput × cores, not a serial loop.
+      // Entry order stays deterministic (indexed result slots).
+      val entries = {
+        val arr = dataMans.toIndexedSeq
+        val out = new Array[Seq[DataFileEntry]](arr.size)
+        java.util.stream.IntStream.range(0, arr.size).parallel().forEach { i =>
+          out(i) = IcebergInterop.readManifest(conf, resolve(arr(i)._1),
+            meta.fields, meta.specFields)
+        }
+        out.toSeq.flatten
       }.map { e =>
         // re-anchor relocated data paths the same way as the manifests
         e.copy(path = resolve(e.path).toUri.getPath)
