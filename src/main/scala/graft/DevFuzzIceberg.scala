@@ -12,9 +12,13 @@ import org.apache.spark.sql.functions._
   * it, and verify against a driver-side model: full reads, snapshot-id
   * time travel, and bounds-pruned range reads must all equal the model
   * regardless of which bounds variant each file drew (bounds may only
-  * PRUNE, never change results). Then one refresh cycle: more foreign
-  * snapshots sync in and re-verify; a random local commit must make the
-  * next sync refuse. Usage: runMain graft.DevFuzzIceberg [n] [seed]
+  * PRUNE, never change results). Random commits also draw POSITIONAL
+  * deletes (coordinate-addressed) and — in v2 scenarios — EQUALITY
+  * deletes keyed on id, whose strictly-smaller sequence-number scoping
+  * (same-commit files exempt, carried entries with explicit original
+  * seqs) the model replays independently. Then one refresh cycle: more
+  * foreign snapshots sync in and re-verify; a random local commit must
+  * make the next sync refuse. Usage: runMain graft.DevFuzzIceberg [n] [seed]
   */
 object DevFuzzIceberg {
   def main(args: Array[String]): Unit = {
@@ -94,6 +98,18 @@ object DevFuzzIceberg {
       // like data files
       val delRows = scala.collection.mutable.Map.empty[String, Seq[(String, Long)]]
       var delNo = 0
+      // equality-delete model (v2 scenarios only): delete path -> (key
+      // ids it names, its data sequence number). A row in data file f
+      // is shadowed when its id is keyed by a live delete d with
+      // seq(f) < seq(d) — the spec's strictly-smaller rule. Sequence =
+      // the 1-based snapshot position (the fixture default); carried
+      // manifest entries write their ORIGINAL seq explicitly, like a
+      // real writer's EXISTING entries
+      val eqKeys = scala.collection.mutable.Map.empty[String, Set[Long]]
+      val eqSeq = scala.collection.mutable.Map.empty[String, Long]
+      val fileSeq = scala.collection.mutable.Map.empty[String, Long]
+      var eqNo = 0
+      val useV2 = rnd.nextBoolean()
       var tree = Seq.empty[SnapRef]
       def addSnapshot(): Unit = {
         // identity partitioning requires ONE partition value per file —
@@ -104,9 +120,14 @@ object DevFuzzIceberg {
           else rows0
         val fr = writeFile(rows)
         fileRows(fr.path) = rows
+        val thisSeq = tree.size + 1L // 1-based snapshot position
+        fileSeq(fr.path) = thisSeq
         ts += 1000L + rnd.nextInt(1000)
         snapId += 1L + rnd.nextInt(3)
-        val files = tree.lastOption.map(_.files).getOrElse(Nil) :+ fr
+        // carried data files ride as EXISTING entries with their
+        // original data sequence number made explicit
+        val files = tree.lastOption.map(_.files).getOrElse(Nil)
+          .map(f => f.copy(status = 0, dataSeq = Some(fileSeq(f.path)))) :+ fr
         val carried = tree.lastOption.map(_.deletes).getOrElse(Nil)
         // a third of the commits also DELETE 1-2 live coordinates via a
         // new positional-delete file (spec §Position Delete Files)
@@ -128,7 +149,29 @@ object DevFuzzIceberg {
               carried :+ FileRef(target.toUri.toString, pick.size.toLong, len, Map.empty)
             }
           }
-        tree = tree :+ SnapRef(snapId, ts, files, dels)
+        // v2 scenarios: a third of follow-on commits also EQUALITY-delete
+        // 1-2 ids (keyed on field 1, spec §Equality Delete Files) —
+        // targets drawn from any file, INCLUDING this commit's own (whose
+        // rows must stay: same-commit files are exempt by the
+        // strictly-smaller sequence rule)
+        val carriedEq = tree.lastOption.map(_.eqDeletes).getOrElse(Nil)
+          .map(d => d.copy(status = 0, dataSeq = Some(eqSeq(d.path))))
+        val eqs =
+          if (!useV2 || tree.isEmpty || rnd.nextInt(3) != 0) carriedEq
+          else {
+            val candidates = files.flatMap(f => fileRows(f.path)).map(_._1)
+            val pick = rnd.shuffle(candidates).take(1 + rnd.nextInt(2)).toSet
+            eqNo += 1
+            val target = new Path(loc, f"data/e$eqNo%03d.parquet")
+            val df0 = pick.toSeq.toDF("id")
+            val df = if (idLess) df0 else withFieldIds(df0, Map("id" -> 1))
+            val len = writeOneParquet(conf, df, target)
+            eqKeys(target.toUri.toString) = pick
+            eqSeq(target.toUri.toString) = thisSeq
+            carriedEq :+ FileRef(target.toUri.toString, pick.size.toLong, len,
+              Map.empty, eqIds = Seq(1))
+          }
+        tree = tree :+ SnapRef(snapId, ts, files, dels, eqDeletes = eqs)
       }
       (0 until 1 + rnd.nextInt(3)).foreach(_ => addSnapshot())
       // a third of the scenarios register against a metadata tree whose
@@ -149,7 +192,7 @@ object DevFuzzIceberg {
         tree = mainTree // the model ignores the staged snapshot
         fileRows.remove(stagedTip.files.last.path)
       } else
-        writeTree(conf, loc, if (rnd.nextBoolean()) 2 else 1, fields, tree,
+        writeTree(conf, loc, if (useV2) 2 else 1, fields, tree,
           specFields = specFields, partAvroTypes = partAvroTypes)
 
       val e = new GraftEngine(spark, wh)
@@ -159,9 +202,14 @@ object DevFuzzIceberg {
 
       def expect(snap: SnapRef): Set[(Long, String, Double)] = {
         val shadowed = snap.deletes.flatMap(d => delRows(d.path)).toSet
-        snap.files.flatMap(f => fileRows(f.path).zipWithIndex.collect {
-          case (r, idx) if !shadowed((f.path, idx.toLong)) => r
-        }).toSet
+        snap.files.flatMap { f =>
+          val fSeq = fileSeq(f.path)
+          fileRows(f.path).zipWithIndex.collect {
+            case (r, idx) if !shadowed((f.path, idx.toLong)) &&
+              !snap.eqDeletes.exists(d =>
+                eqKeys(d.path)(r._1) && fSeq < eqSeq(d.path)) => r
+          }
+        }.toSet
       }
       def check(tag: String, nameCol: String = "name"): Unit = {
         val got = e.query(graft.params.SqlStatement(
@@ -235,7 +283,7 @@ object DevFuzzIceberg {
       // spec-conformant tree and registers back identically, snapshot
       // ids preserved (delete-carrying tables refuse export — fold
       // first — so those scenarios skip the leg)
-      if (tree.forall(_.deletes.isEmpty)) {
+      if (tree.forall(s => s.deletes.isEmpty && s.eqDeletes.isEmpty)) {
         val exp = new Path(java.nio.file.Files
           .createTempDirectory(f"graft-icefuzz-exp-$i%03d").toString + "/tree")
         e.executeNonQuery(graft.params.SqlStatement(

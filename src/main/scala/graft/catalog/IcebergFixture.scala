@@ -22,17 +22,29 @@ object IcebergFixture {
   /** One data file to track: absolute path, rows, bytes, per-column
     * (fieldId → (lowerBytes, upperBytes, nullCount)), and the
     * manifest `partition` struct values (spec field name → Avro
-    * primitive) for partitioned trees.
+    * primitive) for partitioned trees. `eqIds` marks an EQUALITY
+    * delete file's key field ids (content 2); `dataSeq` writes an
+    * EXPLICIT `data_sequence_number` on the manifest entry (spec
+    * §Sequence Number Inheritance — a null entry with ADDED status
+    * inherits the manifest list's sequence number instead); `status`
+    * is the manifest-entry status (1 = ADDED, 0 = EXISTING).
     */
   final case class FileRef(path: String, rows: Long, bytes: Long,
                            stats: Map[Int, (Array[Byte], Array[Byte], Long)],
-                           partition: Seq[(String, Any)] = Nil)
+                           partition: Seq[(String, Any)] = Nil,
+                           eqIds: Seq[Int] = Nil,
+                           dataSeq: Option[Long] = None,
+                           status: Int = 1)
 
-  /** `deletes` = POSITIONAL delete files (content 1) the snapshot
-    * carries in a second, delete-content manifest.
+  /** `deletes` = POSITIONAL delete files (content 1) and `eqDeletes` =
+    * EQUALITY delete files (content 2) the snapshot carries in a
+    * second, delete-content manifest. `seq` = the snapshot's v2
+    * sequence number (defaults to its 1-based position in the tree).
     */
   final case class SnapRef(id: Long, timestampMs: Long, files: Seq[FileRef],
-                           deletes: Seq[FileRef] = Nil)
+                           deletes: Seq[FileRef] = Nil,
+                           eqDeletes: Seq[FileRef] = Nil,
+                           seq: Option[Long] = None)
 
   /** Stamp parquet field ids (column name → id) onto `df` so files it
     * writes carry footer ids like every real Iceberg writer's — Spark
@@ -104,6 +116,7 @@ object IcebergFixture {
       s"""{"type":"record","name":"manifest_entry","fields":[
          |{"name":"status","type":"int","field-id":0},
          |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+         |{"name":"data_sequence_number","type":["null","long"],"default":null,"field-id":3},
          |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
          |  {"name":"content","type":"int","field-id":134},
          |  {"name":"file_path","type":"string","field-id":100},
@@ -113,7 +126,8 @@ object IcebergFixture {
          |  {"name":"file_size_in_bytes","type":"long","field-id":104},
          |  {"name":"null_value_counts","type":["null",${kvLongSchema}],"default":null,"field-id":110},
          |  {"name":"lower_bounds","type":["null",${kvBytesSchema}],"default":null,"field-id":125},
-         |  {"name":"upper_bounds","type":["null",${kvBytesSchema}],"default":null,"field-id":128}
+         |  {"name":"upper_bounds","type":["null",${kvBytesSchema}],"default":null,"field-id":128},
+         |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null,"field-id":135}
          |]}}]}""".stripMargin)
   }
 
@@ -176,7 +190,7 @@ object IcebergFixture {
       val partSchema = dfSchema.getField("partition").schema
       val partBuilder = new GenericRecordBuilder(partSchema)
       fr.partition.foreach { case (n, v) => partBuilder.set(n, v) }
-      val df = new GenericRecordBuilder(dfSchema)
+      val dfb = new GenericRecordBuilder(dfSchema)
         .set("content", content)
         .set("file_path", fr.path)
         .set("file_format", "PARQUET")
@@ -186,10 +200,13 @@ object IcebergFixture {
         .set("null_value_counts", kvLong(fr.stats.map { case (k, s) => k -> s._3 }))
         .set("lower_bounds", kvBytes(fr.stats.map { case (k, s) => k -> s._1 }))
         .set("upper_bounds", kvBytes(fr.stats.map { case (k, s) => k -> s._2 }))
-        .build()
-      new GenericRecordBuilder(entrySchema)
-        .set("status", 1).set("snapshot_id", snapId).set("data_file", df)
-        .build(): GenericRecord
+      if (fr.eqIds.nonEmpty)
+        dfb.set("equality_ids", fr.eqIds.map(Int.box).asJava)
+      val eb = new GenericRecordBuilder(entrySchema)
+        .set("status", fr.status).set("snapshot_id", snapId)
+        .set("data_file", dfb.build())
+      fr.dataSeq.foreach(s => eb.set("data_sequence_number", s))
+      eb.build(): GenericRecord
     }
     (p, writeAvro(conf, p, entrySchema, recs))
   }
@@ -207,16 +224,27 @@ object IcebergFixture {
     */
   def writeManifestListEntries(conf: Configuration, metadataDir: Path,
                                snapId: Long,
-                               manifests: Seq[(Path, Long, Int)]): Path = {
+                               manifests: Seq[(Path, Long, Int)]): Path =
+    writeManifestListSeq(conf, metadataDir, snapId,
+      manifests.map { case (p, len, c) => (p, len, c, 1L) })
+
+  /** [[writeManifestListEntries]] with an explicit per-manifest
+    * sequence number — what null-seq ADDED entries inherit (spec
+    * §Sequence Number Inheritance); delete-carrying trees need real
+    * values here.
+    */
+  def writeManifestListSeq(conf: Configuration, metadataDir: Path,
+                           snapId: Long,
+                           manifests: Seq[(Path, Long, Int, Long)]): Path = {
     val p = new Path(metadataDir, s"snap-$snapId.avro")
-    val recs = manifests.map { case (mp, len, content) =>
+    val recs = manifests.map { case (mp, len, content, seq) =>
       new GenericRecordBuilder(manifestListSchema)
         .set("manifest_path", mp.toUri.toString)
         .set("manifest_length", len)
         .set("partition_spec_id", 0)
         .set("content", content)
-        .set("sequence_number", 1L)
-        .set("min_sequence_number", 1L)
+        .set("sequence_number", seq)
+        .set("min_sequence_number", seq)
         .set("added_snapshot_id", snapId)
         .build(): GenericRecord
     }
@@ -236,7 +264,9 @@ object IcebergFixture {
     root.put("format-version", formatVersion)
     root.put("table-uuid", java.util.UUID.randomUUID().toString)
     root.put("location", location)
-    if (formatVersion == 2) root.put("last-sequence-number", snapshots.size)
+    if (formatVersion == 2) root.put("last-sequence-number",
+      snapshots.zipWithIndex.map { case ((s, _), i) =>
+        s.seq.getOrElse(i + 1L) }.maxOption.getOrElse(0L))
     root.put("last-updated-ms",
       snapshots.map(_._1.timestampMs).maxOption.getOrElse(0L))
     root.put("last-column-id", fields.map(_._1).maxOption.getOrElse(0))
@@ -276,7 +306,8 @@ object IcebergFixture {
       o.put("snapshot-id", s.id)
       if (i > 0) o.put("parent-snapshot-id", snapshots(i - 1)._1.id)
       o.put("timestamp-ms", s.timestampMs)
-      if (formatVersion == 2) o.put("sequence-number", 1L)
+      if (formatVersion == 2)
+        o.put("sequence-number", s.seq.getOrElse(i + 1L))
       o.putObject("summary").put("operation", "append")
       o.put("manifest-list", mlPath.toUri.toString)
       o.put("schema-id", 0)
@@ -316,14 +347,22 @@ object IcebergFixture {
                            specFields: Seq[(String, String, Int)] = Nil,
                            partAvroTypes: Seq[(String, String)] = Nil): Path = {
     val mdir = new Path(location, "metadata")
-    val withLists = snapshots.map { s =>
+    val withLists = snapshots.zipWithIndex.map { case (s, i) =>
+      val seq = s.seq.getOrElse(i + 1L)
       val (mp, mlen) = writeManifest(conf, mdir, s.id, s.files,
         partFields = partAvroTypes)
-      val mans = Seq((mp, mlen, 0)) ++ (if (s.deletes.isEmpty) Nil else {
-        val (dp, dlen) = writeManifest(conf, mdir, s.id, s.deletes, content = 1)
-        Seq((dp, dlen, 1))
-      })
-      (s, writeManifestListEntries(conf, mdir, s.id, mans))
+      val mans = Seq((mp, mlen, 0, seq)) ++
+        (if (s.deletes.isEmpty) Nil else {
+          val (dp, dlen) = writeManifest(conf, mdir, s.id, s.deletes,
+            content = 1)
+          Seq((dp, dlen, 1, seq))
+        }) ++
+        (if (s.eqDeletes.isEmpty) Nil else {
+          val (ep, elen) = writeManifest(conf, mdir, s.id, s.eqDeletes,
+            content = 2)
+          Seq((ep, elen, 1, seq))
+        })
+      (s, writeManifestListSeq(conf, mdir, s.id, mans))
     }
     val json = metadataJson(formatVersion, location.toUri.toString, fields,
       withLists, currentId, properties, specFields)

@@ -22,10 +22,13 @@ import scala.jdk.CollectionConverters._
   * floats, UTF-8 strings, date = days int, timestamps = micros long).
   *
   * Deliberate read-only boundaries (each fails loud, never silently
-  * misreads): EQUALITY-delete files (their sequence-number-scoped key
-  * semantics cannot be replayed read-only; positional deletes DO import
-  * onto the engine's own merge-on-read path), unsupported column types
-  * (uuid/fixed), and a missing metadata file. Data files without
+  * misreads): row-level deletes import onto the engine's own
+  * merge-on-read paths — positional deletes always, EQUALITY deletes
+  * when their sequence-number scoping is exactly representable as an
+  * engine `appliesTo` snapshot (verified per snapshot at import; a
+  * compaction that carried data sequence numbers past a pending delete
+  * refuses rather than risking a misread) — plus unsupported column
+  * types (uuid/fixed), and a missing metadata file. Data files without
   * parquet field ids fall back to name resolution only after a footer
   * sample proves the names match the schema ([[parquetHasFieldIds]]).
   * Iceberg string bounds may be TRUNCATED (lower prefix-truncated down,
@@ -37,7 +40,8 @@ object IcebergInterop {
 
   final case class IceSnapshot(id: Long, timestampMs: Long,
                                manifestList: String, operation: Option[String],
-                               parentId: Option[Long])
+                               parentId: Option[Long],
+                               seq: Option[Long] = None)
 
   final case class IceField(id: Int, name: String, dataType: DataType)
 
@@ -180,7 +184,10 @@ object IcebergInterop {
           s.get("manifest-list").asText,
           Option(s.get("summary")).flatMap(n => Option(n.get("operation")))
             .map(_.asText),
-          Option(s.get("parent-snapshot-id")).filterNot(_.isNull).map(_.asLong))
+          Option(s.get("parent-snapshot-id")).filterNot(_.isNull).map(_.asLong),
+          // v2: the snapshot's sequence number (spec §Sequence Numbers) —
+          // what scopes row-level deletes to the data files they shadow
+          Option(s.get("sequence-number")).filterNot(_.isNull).map(_.asLong))
       }
     val current = Option(root.get("current-snapshot-id"))
       .map(_.asLong).filter(_ != -1L)
@@ -278,17 +285,29 @@ object IcebergInterop {
         org.apache.avro.generic.GenericRecord]())
   }
 
-  /** Manifest-list entries: (manifest_path, content) — content 0 = data
-    * manifests, 1 = delete manifests (v2; absent in v1 → 0).
+  /** One manifest-list entry: path, content (0 = data manifests, 1 =
+    * delete manifests — v2; absent in v1 → 0), and the manifest's
+    * sequence number (v2; what ADDED entries with a null
+    * data_sequence_number inherit, spec §Sequence Number Inheritance).
     */
-  def readManifestList(conf: Configuration, path: Path): Seq[(String, Int)] = {
+  final case class IceManifest(path: String, content: Int, seq: Option[Long])
+
+  def readManifestList(conf: Configuration, path: Path): Seq[IceManifest] = {
     val r = openAvro(conf, path)
     try r.iterator.asScala.map { rec =>
-      (rec.get("manifest_path").toString,
-        Option(rec.get("content")).map(_.asInstanceOf[Int]).getOrElse(0))
+      IceManifest(rec.get("manifest_path").toString,
+        Option(rec.get("content")).map(_.asInstanceOf[Int]).getOrElse(0),
+        fieldOpt(rec, "sequence_number").map(_.asInstanceOf[Long]))
     }.toList
     finally r.close()
   }
+
+  /** `rec.get(name)` that tolerates the field being ABSENT from the
+    * file's writer schema (v1 manifests have no sequence columns).
+    */
+  private def fieldOpt(rec: org.apache.avro.generic.GenericRecord,
+                       name: String): Option[Any] =
+    if (rec.getSchema.getField(name) == null) None else Option(rec.get(name))
 
   /** One manifest's LIVE data files as engine entries: status 2
     * (DELETED) rows drop; a v2 delete file (data_file.content != 0)
@@ -306,7 +325,22 @@ object IcebergInterop {
     */
   def readManifest(conf: Configuration, path: Path,
                    fields: Seq[IceField],
-                   specFields: Seq[IceSpecField] = Nil): Seq[DataFileEntry] = {
+                   specFields: Seq[IceSpecField] = Nil): Seq[DataFileEntry] =
+    readManifestWithSeq(conf, path, fields, specFields, None).map(_._1)
+
+  /** [[readManifest]] plus each entry's DATA SEQUENCE NUMBER (spec
+    * §Sequence Numbers): the explicit `data_sequence_number` field when
+    * present, else — for ADDED (status 1) entries, per the inheritance
+    * rule — the carrying manifest's own sequence number
+    * (`manifestSeq`). None when neither source knows (v1 manifests, or
+    * an EXISTING entry written without the field — a shape the spec
+    * forbids for v2). Only the equality-delete import consults it.
+    */
+  def readManifestWithSeq(conf: Configuration, path: Path,
+                          fields: Seq[IceField],
+                          specFields: Seq[IceSpecField] = Nil,
+                          manifestSeq: Option[Long] = None)
+      : Seq[(DataFileEntry, Option[Long])] = {
     val byId = fields.map(f => f.id -> f).toMap
     val identBySpecName: Map[String, IceField] =
       specFields.filter(_.transform == "identity")
@@ -361,21 +395,36 @@ object IcebergInterop {
         }
         // identity partition values are EXACT — they win over (equal or
         // wider) recorded column bounds
-        Some(DataFileEntry(filePath, rows, bytes, bounds ++ partBounds))
+        val dataSeq = fieldOpt(rec, "data_sequence_number")
+          .map(_.asInstanceOf[Long])
+          .orElse(if (status == 1) manifestSeq else None)
+        Some((DataFileEntry(filePath, rows, bytes, bounds ++ partBounds),
+          dataSeq))
       }
     }.toList
     finally r.close()
   }
 
-  /** One DELETE manifest's live entries (v2 row-level deletes). Only
-    * POSITIONAL delete files (content 1 — rows addressed by
-    * `(file_path, pos)`, spec §Position Delete Files) come back;
-    * equality-delete files (content 2) fail loud — their
-    * sequence-number-scoped key semantics cannot be replayed from a
-    * read-only registration. Returns (file path, record count) pairs;
-    * status-2 (DELETED) entries drop like data manifests.
+  /** One live delete file from a DELETE manifest (v2 row-level
+    * deletes): `content` 1 = positional (rows addressed by
+    * `(file_path, pos)`, spec §Position Delete Files) or 2 = equality
+    * (key tuples over the `equalityIds` schema fields, spec §Equality
+    * Delete Files); `dataSeq` is the delete's data sequence number —
+    * an equality delete shadows data files whose own sequence number
+    * is STRICTLY smaller (spec §Scan Planning).
     */
-  def readDeleteManifest(conf: Configuration, path: Path): Seq[(String, Long)] = {
+  final case class IceDeleteFile(path: String, content: Int, rows: Long,
+                                 equalityIds: Seq[Int], dataSeq: Option[Long])
+
+  /** One DELETE manifest's live entries (v2 row-level deletes) —
+    * positional AND equality delete files both surface (the caller
+    * maps each onto the engine's own merge-on-read kind); status-2
+    * (DELETED) entries drop like data manifests. `manifestSeq` feeds
+    * the same sequence-number inheritance rule as
+    * [[readManifestWithSeq]].
+    */
+  def readDeleteManifest(conf: Configuration, path: Path,
+                         manifestSeq: Option[Long] = None): Seq[IceDeleteFile] = {
     val r = openAvro(conf, path)
     try r.iterator.asScala.flatMap { rec =>
       val status = rec.get("status").asInstanceOf[Int]
@@ -385,14 +434,23 @@ object IcebergInterop {
           org.apache.avro.generic.GenericRecord]
         val content = Option(df.get("content"))
           .map(_.asInstanceOf[Int]).getOrElse(0)
-        require(content != 2,
-          s"$path holds an EQUALITY delete file — read-only Iceberg " +
-            "registration supports positional deletes only (compact the " +
-            "table with its own engine first)")
-        require(content == 1,
-          s"$path: delete manifest entry with content=$content (expected 1)")
-        Some((df.get("file_path").toString,
-          df.get("record_count").asInstanceOf[Long]))
+        require(content == 1 || content == 2,
+          s"$path: delete manifest entry with content=$content (expected 1 " +
+            "or 2)")
+        val eqIds: Seq[Int] =
+          if (content != 2) Nil
+          else fieldOpt(df, "equality_ids").map {
+            case c: java.util.Collection[_] =>
+              c.asScala.map(_.asInstanceOf[Int]).toSeq
+            case other => throw new IllegalArgumentException(
+              s"$path: equality_ids is not a list: ${other.getClass}")
+          }.getOrElse(throw new IllegalArgumentException(
+            s"$path holds an equality delete file without equality_ids"))
+        val dataSeq = fieldOpt(rec, "data_sequence_number")
+          .map(_.asInstanceOf[Long])
+          .orElse(if (status == 1) manifestSeq else None)
+        Some(IceDeleteFile(df.get("file_path").toString, content,
+          df.get("record_count").asInstanceOf[Long], eqIds, dataSeq))
       }
     }.toList
     finally r.close()

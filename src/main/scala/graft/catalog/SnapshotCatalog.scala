@@ -799,10 +799,12 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * (migrate/add_files imports) falls back to name resolution — but
     * only after the sampled footers' names all prove present in the
     * schema; a mismatch (the rename-hazard shape) refuses loudly.
-    * V2 POSITIONAL deletes import onto the engine's own merge-on-read
-    * read path; EQUALITY-delete files are rejected loudly (their
-    * sequence-number-scoped key semantics cannot be replayed
-    * read-only).
+    * V2 row-level deletes import onto the engine's own merge-on-read
+    * kinds: POSITIONAL delete files rewrite into engine delete dirs,
+    * and EQUALITY delete files become [[EqDelete]]s whose `appliesTo`
+    * snapshot is derived from — and VERIFIED against — the delete's
+    * data sequence number ([[importEqualityDeletes]]; an
+    * unrepresentable scoping refuses loudly).
     */
   def registerIcebergTable(schema: String, table: String, location: String,
                            metadataFile: Option[String] = None): Unit = synchronized {
@@ -900,11 +902,10 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val sampled: Seq[Path] =
       (ordered.headOption.toSeq ++ ordered.lastOption.toSeq).distinct.flatMap { s =>
         val mans = IcebergInterop.readManifestList(conf, resolve(s.manifestList))
-          .filter(_._2 == 0)
-        (mans.headOption.toSeq ++ mans.lastOption.toSeq).distinct.flatMap {
-          case (mp, _) =>
-            val es = IcebergInterop.readManifest(conf, resolve(mp), meta.fields)
-            (es.headOption.toSeq ++ es.lastOption.toSeq).map(e => resolve(e.path))
+          .filter(_.content == 0)
+        (mans.headOption.toSeq ++ mans.lastOption.toSeq).distinct.flatMap { m =>
+          val es = IcebergInterop.readManifest(conf, resolve(m.path), meta.fields)
+          (es.headOption.toSeq ++ es.lastOption.toSeq).map(e => resolve(e.path))
         }
       }.distinct.take(8)
     if (sampled.isEmpty ||
@@ -947,46 +948,191 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     // each distinct (delete files, live files) state once
     val delDirCache =
       scala.collection.mutable.Map.empty[(Seq[String], Seq[String]), Option[String]]
+    // manifests carry forward across snapshots (Iceberg's own layout) —
+    // decode each resolved manifest ONCE per call, not once per
+    // snapshot that lists it. Keyed by (path, inherited seq): a
+    // re-listed manifest keeps its original sequence number, so the key
+    // degenerates to the path in practice
+    val manMemo = new java.util.concurrent.ConcurrentHashMap[
+      (String, Option[Long]), Seq[(DataFileEntry, Option[Long])]]()
+    def decodeDataManifests(mans: Seq[IcebergInterop.IceManifest])
+        : Seq[(DataFileEntry, Option[Long])] = {
+      // PARALLEL driver threads: a 10⁶-file registration should be
+      // bounded by Avro decode throughput × cores, not a serial loop.
+      // Entry order stays deterministic (indexed result slots).
+      val arr = mans.toIndexedSeq
+      val out = new Array[Seq[(DataFileEntry, Option[Long])]](arr.size)
+      java.util.stream.IntStream.range(0, arr.size).parallel().forEach { i =>
+        val m = arr(i)
+        out(i) = manMemo.computeIfAbsent((m.path, m.seq), _ =>
+          IcebergInterop.readManifestWithSeq(conf, resolve(m.path),
+            meta.fields, meta.specFields, m.seq).map { case (e, seq) =>
+            // re-anchor relocated data paths the same way as the manifests
+            (e.copy(path = resolve(e.path).toUri.getPath), seq)
+          })
+      }
+      out.toSeq.flatten
+    }
+    // every main-line snapshot, oldest-first by sequence — the
+    // equality-delete appliesTo search runs over the FULL line (a
+    // refresh's candidate may predate the fresh slice)
+    val lineAll = IcebergInterop.mainLine(meta)
+    val eqImports = scala.collection.mutable.Map.empty[String, EqDelete]
     ordered.map { s =>
       val manifests = IcebergInterop.readManifestList(conf, resolve(s.manifestList))
-      val (delMans, dataMans) = manifests.partition(_._2 != 0)
-      // manifests decode on PARALLEL driver threads: a large table shards
-      // its entries across many Avro manifests (Iceberg's own layout),
-      // each independent CPU-bound work — a 10⁶-file registration should
-      // be bounded by Avro decode throughput × cores, not a serial loop.
-      // Entry order stays deterministic (indexed result slots).
-      val entries = {
-        val arr = dataMans.toIndexedSeq
-        val out = new Array[Seq[DataFileEntry]](arr.size)
-        java.util.stream.IntStream.range(0, arr.size).parallel().forEach { i =>
-          out(i) = IcebergInterop.readManifest(conf, resolve(arr(i)._1),
-            meta.fields, meta.specFields)
-        }
-        out.toSeq.flatten
-      }.map { e =>
-        // re-anchor relocated data paths the same way as the manifests
-        e.copy(path = resolve(e.path).toUri.getPath)
-      }
+      val (delMans, dataMans) = manifests.partition(_.content != 0)
+      val entriesWithSeq = decodeDataManifests(dataMans)
+      val entries = entriesWithSeq.map(_._1)
+      val delFiles = delMans.flatMap(m =>
+        IcebergInterop.readDeleteManifest(conf, resolve(m.path), m.seq))
+      val (eqFiles, posFiles) = delFiles.partition(_.content == 2)
       // v2 positional deletes (spec §Position Delete Files): rewrite the
       // foreign (file_path, pos) parquet into an engine delete dir —
       // coordinates re-anchored to the raw read-time form, deduped, and
       // restricted to THIS snapshot's data files, so every engine
       // invariant over Snapshot.deletes (exact footer arithmetic, the
-      // carry/compact logic) holds for imports too. Equality deletes
-      // fail loud inside readDeleteManifest.
-      val delFiles = delMans.flatMap { case (mp, _) =>
-        IcebergInterop.readDeleteManifest(conf, resolve(mp))
-      }.map(_._1).distinct.sorted
-      val delKey = (delFiles, entries.map(_.path).sorted)
+      // carry/compact logic) holds for imports too.
+      val posPaths = posFiles.map(_.path).distinct.sorted
+      val delKey = (posPaths, entries.map(_.path).sorted)
       val deletes = delDirCache.getOrElseUpdate(delKey,
-        importPositionalDeletes(dir, delFiles.map(resolve),
+        importPositionalDeletes(dir, posPaths.map(resolve),
           entries.map(e => rawPrefix + e.path), rawPrefix,
           meta.location, loc)).toSeq
+      val eqDels = importEqualityDeletes(dir, loc, meta, s, lineAll,
+        eqFiles, entriesWithSeq, decodeDataManifests, resolve, eqImports,
+        pinSchema)
       val names = writeManifests(dir, entries)
       at = math.max(s.timestampMs, at + 1) // graft history is monotonic
       Snapshot(s.id, at, Nil, Some(pinSchema.json),
         s.operation.orElse(Some("append")), deletes,
-        Some(writeManifestList(dir, names)))
+        Some(writeManifestList(dir, names)), None, eqDels)
+    }
+  }
+
+  /** Map one imported snapshot's live EQUALITY-delete files (Iceberg v2
+    * content-2 files — key tuples scoped by DATA SEQUENCE NUMBER, spec
+    * §Equality Delete Files / §Scan Planning) onto the engine's own
+    * [[EqDelete]] merge-on-read kind, whose scope is an `appliesTo`
+    * SNAPSHOT (rows of files belonging to it are shadowed; later files
+    * are exempt).
+    *
+    * The two scopes are reconciled EXACTLY, never approximately: for a
+    * delete at sequence Nd the candidate appliesTo is the latest
+    * main-line snapshot P with seq(P) < Nd, and the import VERIFIES per
+    * snapshot that `{live data file f : dataSeq(f) < Nd}` equals
+    * `files(P) ∩ live files` — the two agree whenever data files carry
+    * the sequence number of the snapshot that added them (every normal
+    * writer), and disagree only when a compaction carried OLD data
+    * sequence numbers onto files committed PAST the pending delete
+    * (Iceberg's rewrite provision). That shape cannot be expressed as
+    * an appliesTo snapshot, so it refuses loudly — never a silent
+    * misread — with compaction-by-the-source-engine as the recovery
+    * path.
+    *
+    * Key columns resolve from `equality_ids` through the CURRENT schema
+    * (ids are rename-stable); the foreign key parquet rewrites once per
+    * file into an engine delete dir under a DETERMINISTIC name, so a
+    * later refresh re-listing the same carried delete file reuses the
+    * dir and the resulting [[EqDelete]] values stay identical across
+    * syncs (CDC diffs between refreshes see no phantom deletes).
+    */
+  private def importEqualityDeletes(dir: Path, loc: Path,
+      meta: IcebergInterop.IceMeta,
+      s: IcebergInterop.IceSnapshot,
+      lineAll: Seq[IcebergInterop.IceSnapshot],
+      eqFiles: Seq[IcebergInterop.IceDeleteFile],
+      entriesWithSeq: Seq[(DataFileEntry, Option[Long])],
+      decodeDataManifests: Seq[IcebergInterop.IceManifest] => Seq[(DataFileEntry, Option[Long])],
+      resolve: String => Path,
+      eqImports: scala.collection.mutable.Map[String, EqDelete],
+      pinSchema: StructType): Seq[EqDelete] = {
+    if (eqFiles.isEmpty) return Nil
+    val conf = spark.sparkContext.hadoopConfiguration
+    val byId = meta.fields.map(f => f.id -> f).toMap
+    val seqOf: Map[Long, Long] = lineAll.flatMap(x => x.seq.map(x.id -> _)).toMap
+    require(lineAll.forall(_.seq.isDefined),
+      s"${s.manifestList}: equality deletes require every main-line " +
+        "snapshot to carry a sequence-number (v2 metadata)")
+    entriesWithSeq.find(_._2.isEmpty).foreach { case (e, _) =>
+      throw new IllegalArgumentException(
+        s"data file ${e.path}: unknown data sequence number — equality " +
+          "deletes cannot be scoped without it")
+    }
+    val distinctEq = eqFiles.groupBy(_.path).values.map(_.head).toSeq
+      .sortBy(f => (f.dataSeq.getOrElse(Long.MaxValue), f.path))
+    distinctEq.flatMap { del =>
+      val nd = del.dataSeq.getOrElse(throw new IllegalArgumentException(
+        s"equality delete ${del.path}: unknown data sequence number — " +
+          "cannot scope it to the data files it shadows"))
+      val keyNames = del.equalityIds.map(id => byId.getOrElse(id,
+        throw new IllegalArgumentException(
+          s"equality delete ${del.path} keys on field id $id, absent " +
+            "from the current schema")).name)
+      // Iceberg truth for THIS snapshot: live files strictly older than
+      // the delete
+      val shadowed = entriesWithSeq.collect {
+        case (e, Some(ds)) if ds < nd => e.path
+      }.toSet
+      val candidate = lineAll.filter(_.seq.exists(_ < nd))
+        .sortBy(_.seq.get).lastOption
+      candidate match {
+        case None =>
+          require(shadowed.isEmpty,
+            s"equality delete ${del.path} (seq $nd) shadows " +
+              s"${shadowed.size} file(s) but no main-line snapshot " +
+              "precedes it — unrepresentable scoping")
+          None // nothing to shadow at any snapshot: drop the delete
+        case Some(p) =>
+          // the engine shadows files(P) ∩ live files — verify it equals
+          // the sequence-number truth, else refuse
+          val pManifests = IcebergInterop.readManifestList(conf,
+            resolve(p.manifestList)).filter(_.content == 0)
+          val pFiles = decodeDataManifests(pManifests).map(_._1.path).toSet
+          val live = entriesWithSeq.map(_._1.path).toSet
+          val engineShadow = pFiles intersect live
+          require(engineShadow == shadowed,
+            s"equality delete ${del.path} (seq $nd): its sequence-number " +
+              s"scope does not match any snapshot boundary (a compaction " +
+              "carried old data sequence numbers past the pending delete) " +
+              "— refusing; compact the table with its own engine first")
+          val imported = eqImports.getOrElseUpdate(del.path, {
+            val resolved = resolve(del.path)
+            // deterministic name: a later refresh re-listing this
+            // carried file reuses the dir instead of re-writing it
+            val digest = java.security.MessageDigest.getInstance("SHA-1")
+              .digest(resolved.toUri.toString.getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString.take(16)
+            val delDir = s"eqdel-import-$digest"
+            val target = new Path(dir, delDir)
+            // a crashed earlier sync may have left a half-committed dir:
+            // only a _SUCCESS-marked write is reusable — anything else
+            // rewrites from scratch (an empty delete would silently
+            // resurrect every shadowed row)
+            if (fs(dir).exists(target) &&
+                !fs(dir).exists(new Path(target, "_SUCCESS")))
+              fs(dir).delete(target, true)
+            if (!fs(dir).exists(target)) {
+              // the key columns, conformed to CURRENT names: the pinned
+              // schema restricted to the key fields resolves the foreign
+              // parquet by field id (or by name in the id-less fallback
+              // mode), exactly like the data read path
+              val delSchema = StructType(keyNames.map(n =>
+                pinSchema.fields.find(_.name == n).getOrElse(
+                  throw new IllegalStateException(
+                    s"key column $n missing from pinned schema"))))
+              spark.read.schema(delSchema).parquet(resolved.toString)
+                .distinct().coalesce(1)
+                .write.mode("errorifexists").parquet(target.toString)
+            }
+            val rows = scanEntries(dir, delDir).map(_.rows).sum
+            EqDelete(delDir, keyNames, p.id, rows)
+          })
+          require(imported.appliesTo == p.id,
+            s"equality delete ${del.path}: appliesTo drifted between " +
+              s"snapshots (${imported.appliesTo} vs ${p.id}) — a carried " +
+              "delete file changed sequence number, refusing")
+          Some(imported)
+      }
     }
   }
 

@@ -279,30 +279,154 @@ class IcebergInteropSpec extends SparkSpec {
       .collect().sorted.toSeq === Seq(1L, 3L))
   }
 
-  test("equality-delete files reject loudly and leave no half-registered table") {
-    val loc = buildTree(2, "ice-del")
-    // fabricate an EQUALITY-delete manifest (content=2 entries) for the
-    // current snapshot: sequence-scoped key semantics cannot be
-    // replayed read-only, so the registration must refuse whole
-    val mdir = new Path(loc, "metadata")
-    val dataMan = IcebergFixture.writeManifest(conf, mdir, 9002L, Seq(
-      IcebergFixture.FileRef(new Path(loc, "data/f1.parquet").toUri.toString,
-        3L, 1024L, Map.empty),
-      IcebergFixture.FileRef(new Path(loc, "data/f2.parquet").toUri.toString,
-        2L, 1024L, Map.empty)))
-    val eqMan = IcebergFixture.writeManifest(conf, mdir, 9002L, Seq(
-      IcebergFixture.FileRef(new Path(loc, "data/eqdel.parquet").toUri.toString,
-        1L, 1024L, Map.empty)), content = 2)
-    IcebergFixture.writeManifestListEntries(conf, mdir, 9002L, Seq(
-      (dataMan._1, dataMan._2, 0), (eqMan._1, eqMan._2, 1)))
-    val e = engine("ice-del-wh")
+  /** A three-snapshot v2 tree with EQUALITY deletes over (id, name):
+    * snap 9001 (seq 1) = f1 {1,2,3};
+    * snap 9002 (seq 2) = f1+f2 {11,12}, eq-delete e1 keyed on id {2,11}
+    *   at seq 2 — shadows f1 (seq 1) only, so id 11 in the SAME-commit
+    *   f2 is exempt (Iceberg's strictly-smaller rule);
+    * snap 9003 (seq 3) = +f3 {21}, e1 carried (explicit seq 2) plus
+    *   e2 keyed on id {12} at seq 3 — shadows f1 AND f2.
+    */
+  private def buildEqDeleteTree(name: String): Path = {
+    import IcebergFixture._
+    val loc = new Path(tmpDir(name))
+    val f1 = new Path(loc, "data/f1.parquet")
+    val f2 = new Path(loc, "data/f2.parquet")
+    val f3 = new Path(loc, "data/f3.parquet")
+    val b1 = writeParquet(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name"), f1)
+    val b2 = writeParquet(Seq((11L, "x"), (12L, "y")).toDF("id", "name"), f2)
+    val b3 = writeParquet(Seq((21L, "z")).toDF("id", "name"), f3)
+    val e1 = new Path(loc, "data/eqdel1.parquet")
+    val eb1 = writeParquet(Seq(2L, 11L).toDF("id"), e1)
+    val e2 = new Path(loc, "data/eqdel2.parquet")
+    val eb2 = writeParquet(Seq(12L).toDF("id"), e2)
+    val fr1 = FileRef(f1.toUri.toString, 3L, b1, Map(
+      1 -> (encodeLong(1L), encodeLong(3L), 0L)))
+    val fr2 = FileRef(f2.toUri.toString, 2L, b2, Map(
+      1 -> (encodeLong(11L), encodeLong(12L), 0L)))
+    val fr3 = FileRef(f3.toUri.toString, 1L, b3, Map(
+      1 -> (encodeLong(21L), encodeLong(21L), 0L)))
+    val er1 = FileRef(e1.toUri.toString, 2L, eb1, Map.empty, eqIds = Seq(1))
+    val er2 = FileRef(e2.toUri.toString, 1L, eb2, Map.empty, eqIds = Seq(1))
+    IcebergFixture.writeTree(conf, loc, 2,
+      Seq((1, "id", "long"), (2, "name", "string")),
+      Seq(
+        SnapRef(9001L, 1700000000000L, Seq(fr1)),
+        SnapRef(9002L, 1700000100000L,
+          // the carried f1 is an EXISTING entry with its original seq
+          Seq(fr1.copy(status = 0, dataSeq = Some(1L)), fr2),
+          eqDeletes = Seq(er1)),
+        SnapRef(9003L, 1700000200000L,
+          Seq(fr1.copy(status = 0, dataSeq = Some(1L)),
+            fr2.copy(status = 0, dataSeq = Some(2L)), fr3),
+          eqDeletes = Seq(er1.copy(status = 0, dataSeq = Some(2L)), er2))))
+    loc
+  }
+
+  test("v2 equality deletes import: sequence scoping, same-commit exemption, travel") {
+    val loc = buildEqDeleteTree("ice-eqdel")
+    val e = engine("ice-eqdel-wh")
+    e.executeNonQuery(SqlStatement("CREATE SCHEMA lake"))
+    e.executeNonQuery(SqlStatement(
+      s"CALL system.register_iceberg_table('lake', 't', '${loc.toUri}')"))
+    // current (9003): e1 removes id 2 (f1, seq 1 < 2); 11 exempt (f2 at
+    // seq 2 is NOT < 2); e2 removes id 12 (f2, seq 2 < 3)
+    assert(e.query(SqlStatement("SELECT id FROM lake.t")).as[Long]
+      .collect().sorted.toSeq === Seq(1L, 3L, 11L, 21L))
+    // 9002: only e1 pending — id 2 gone, 11 and 12 both present
+    assert(e.query(SqlStatement("SELECT id FROM lake.t FOR VERSION AS OF 9002"))
+      .as[Long].collect().sorted.toSeq === Seq(1L, 3L, 11L, 12L))
+    // 9001: no deletes yet
+    assert(e.query(SqlStatement("SELECT id FROM lake.t FOR VERSION AS OF 9001"))
+      .as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+    // a filtered, bounds-pruned read still merges the deletes
+    assert(e.query(SqlStatement("SELECT id FROM lake.t WHERE id <= 3"))
+      .as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+    // $files surfaces the imported equality-delete file as content 2
+    val contents = e.query(SqlStatement(
+      "SELECT content FROM lake.\"t$files\"")).as[Int].collect().toSeq
+    assert(contents.count(_ == 2) === 2 && contents.count(_ == 0) === 3)
+  }
+
+  test("equality deletes: refresh reuses carried delete dirs; new deletes arrive") {
+    import IcebergFixture._
+    val loc = buildEqDeleteTree("ice-eqdel-sync")
+    val e = engine("ice-eqdel-sync-wh")
+    e.executeNonQuery(SqlStatement("CREATE SCHEMA lake"))
+    e.executeNonQuery(SqlStatement(
+      s"CALL system.register_iceberg_table('lake', 't', '${loc.toUri}')"))
+    val before = e.catalog.snapshots("lake", "t")
+    // the foreign writer upserts again: snap 9004 (seq 4) deletes id 21
+    val f1 = new Path(loc, "data/f1.parquet")
+    val f2 = new Path(loc, "data/f2.parquet")
+    val f3 = new Path(loc, "data/f3.parquet")
+    val e1 = new Path(loc, "data/eqdel1.parquet")
+    val e2 = new Path(loc, "data/eqdel2.parquet")
+    val e3 = new Path(loc, "data/eqdel3.parquet")
+    val eb3 = writeParquet(Seq(21L).toDF("id"), e3)
+    val fr1 = FileRef(f1.toUri.toString, 3L, 1L, Map.empty, status = 0, dataSeq = Some(1L))
+    val fr2 = FileRef(f2.toUri.toString, 2L, 1L, Map.empty, status = 0, dataSeq = Some(2L))
+    val fr3 = FileRef(f3.toUri.toString, 1L, 1L, Map.empty, status = 0, dataSeq = Some(3L))
+    val er1 = FileRef(e1.toUri.toString, 2L, 1L, Map.empty, eqIds = Seq(1),
+      status = 0, dataSeq = Some(2L))
+    val er2 = FileRef(e2.toUri.toString, 1L, 1L, Map.empty, eqIds = Seq(1),
+      status = 0, dataSeq = Some(3L))
+    val er3 = FileRef(e3.toUri.toString, 1L, eb3, Map.empty, eqIds = Seq(1))
+    // rebuild the tree with the original three snapshots plus 9004
+    val lfs = loc.getFileSystem(conf)
+    def sized(fr: FileRef, p: Path) = fr.copy(bytes = lfs.getFileStatus(p).getLen)
+    IcebergFixture.writeTree(conf, loc, 2,
+      Seq((1, "id", "long"), (2, "name", "string")),
+      Seq(
+        SnapRef(9001L, 1700000000000L, Seq(sized(fr1, f1).copy(status = 1, dataSeq = None))),
+        SnapRef(9002L, 1700000100000L, Seq(sized(fr1, f1), sized(fr2, f2).copy(status = 1, dataSeq = None)),
+          eqDeletes = Seq(sized(er1, e1).copy(status = 1, dataSeq = None))),
+        SnapRef(9003L, 1700000200000L, Seq(sized(fr1, f1), sized(fr2, f2), sized(fr3, f3).copy(status = 1, dataSeq = None)),
+          eqDeletes = Seq(sized(er1, e1), sized(er2, e2).copy(status = 1, dataSeq = None))),
+        SnapRef(9004L, 1700000300000L, Seq(sized(fr1, f1), sized(fr2, f2), sized(fr3, f3)),
+          eqDeletes = Seq(sized(er1, e1), sized(er2, e2), er3))))
+    assert(e.executeNonQuery(SqlStatement(
+      "CALL system.refresh_iceberg_table('lake', 't')")) === 1L)
+    assert(e.query(SqlStatement("SELECT id FROM lake.t")).as[Long]
+      .collect().sorted.toSeq === Seq(1L, 3L, 11L))
+    // carried deletes map to the SAME EqDelete values across the sync —
+    // no phantom delete dirs, no CDC ghosts between refreshes
+    val after = e.catalog.snapshots("lake", "t")
+    assert(after.take(3).map(_.eqDeletes) === before.map(_.eqDeletes))
+    assert(after.last.eqDeletes.toSet.size === 3)
+    assert(before.last.eqDeletes.toSet.subsetOf(after.last.eqDeletes.toSet))
+  }
+
+  test("equality deletes whose sequence scope matches no snapshot boundary refuse") {
+    import IcebergFixture._
+    val loc = new Path(tmpDir("ice-eqdel-bad"))
+    val f1 = new Path(loc, "data/f1.parquet")
+    val f3 = new Path(loc, "data/f3.parquet")
+    val b1 = writeParquet(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), f1)
+    val b3 = writeParquet(Seq((21L, "z")).toDF("id", "name"), f3)
+    val e1 = new Path(loc, "data/eqdel1.parquet")
+    val eb1 = writeParquet(Seq(2L).toDF("id"), e1)
+    val fr1 = FileRef(f1.toUri.toString, 2L, b1, Map.empty)
+    // f3 committed at snap 9002 (seq 2) but CARRYING data seq 1 — the
+    // rewrite-under-pending-delete shape: the delete at seq 2 shadows
+    // it by sequence, but no snapshot boundary contains {f1, f3} ∩ live
+    val fr3 = FileRef(f3.toUri.toString, 1L, b3, Map.empty, dataSeq = Some(1L))
+    val er1 = FileRef(e1.toUri.toString, 1L, eb1, Map.empty, eqIds = Seq(1))
+    IcebergFixture.writeTree(conf, loc, 2,
+      Seq((1, "id", "long"), (2, "name", "string")),
+      Seq(
+        SnapRef(9001L, 1700000000000L, Seq(fr1)),
+        SnapRef(9002L, 1700000100000L,
+          Seq(fr1.copy(status = 0, dataSeq = Some(1L)), fr3),
+          eqDeletes = Seq(er1))))
+    val e = engine("ice-eqdel-bad-wh")
     e.executeNonQuery(SqlStatement("CREATE SCHEMA lake"))
     val ex = intercept[GraftQueryException] {
       e.executeNonQuery(SqlStatement(
         s"CALL system.register_iceberg_table('lake', 'td', '${loc.toUri}')"))
     }
     val msg = ex.getMessage + Option(ex.getCause).map(_.getMessage).getOrElse("")
-    assert(msg.contains("EQUALITY delete"))
+    assert(msg.contains("does not match any snapshot boundary"))
     assert(!e.catalog.tableExists("lake", "td"))
   }
 
