@@ -279,11 +279,12 @@ object DevFuzzIceberg {
           s"scenario_$i: evolved column must read NULL on pre-evolution files")
       }
 
-      // export round-trip: a delete-free attachment exports to a fresh
-      // spec-conformant tree and registers back identically, snapshot
-      // ids preserved (delete-carrying tables refuse export — fold
-      // first — so those scenarios skip the leg)
-      if (tree.forall(s => s.deletes.isEmpty && s.eqDeletes.isEmpty)) {
+      // export round-trip: the attachment exports to a fresh
+      // spec-conformant tree — pending positional/equality deletes
+      // re-emit as content-1/content-2 files with explicit data
+      // sequence numbers — and registers back identically, snapshot
+      // ids preserved
+      {
         val exp = new Path(java.nio.file.Files
           .createTempDirectory(f"graft-icefuzz-exp-$i%03d").toString + "/tree")
         e.executeNonQuery(graft.params.SqlStatement(

@@ -34,7 +34,8 @@ object IcebergFixture {
                            partition: Seq[(String, Any)] = Nil,
                            eqIds: Seq[Int] = Nil,
                            dataSeq: Option[Long] = None,
-                           status: Int = 1)
+                           status: Int = 1,
+                           addedSnapId: Option[Long] = None)
 
   /** `deletes` = POSITIONAL delete files (content 1) and `eqDeletes` =
     * EQUALITY delete files (content 2) the snapshot carries in a
@@ -203,7 +204,8 @@ object IcebergFixture {
       if (fr.eqIds.nonEmpty)
         dfb.set("equality_ids", fr.eqIds.map(Int.box).asJava)
       val eb = new GenericRecordBuilder(entrySchema)
-        .set("status", fr.status).set("snapshot_id", snapId)
+        .set("status", fr.status)
+        .set("snapshot_id", fr.addedSnapId.getOrElse(snapId))
         .set("data_file", dfb.build())
       fr.dataSeq.foreach(s => eb.set("data_sequence_number", s))
       eb.build(): GenericRecord

@@ -1289,7 +1289,16 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * The FULL commit history exports, one Iceberg snapshot per graft
     * snapshot with ids and timestamps preserved; data files are
     * referenced IN PLACE by absolute URI — the export writes metadata
-    * only, KB-scale whatever the table size.
+    * only, KB-scale whatever the table size, EXCEPT pending row-level
+    * deletes, which rewrite once into `location/data/`: positional
+    * delete dirs re-emit as content-1 files with coordinates mapped to
+    * the exported data-file URIs (sorted by (file_path, pos) as the
+    * spec requires), and [[EqDelete]]s as content-2 files whose
+    * explicit data sequence number `seq(appliesTo)+1` makes Iceberg's
+    * strictly-smaller rule shadow exactly `files(appliesTo)` — the
+    * inverse of [[importEqualityDeletes]]'s mapping. Carried files ride
+    * later manifests as EXISTING entries with their original sequence
+    * number and adding snapshot, like a real writer's.
     *
     * Graft parquet carries no footer field ids, so the metadata
     * declares ordinal field ids AND ships the spec's
@@ -1297,11 +1306,14 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * migrate/add_files procedures make id-less files readable.
     *
     * Refused loudly (each would misread on the Iceberg side):
-    * snapshots carrying pending row-level deletes (fold them first —
-    * `ALTER TABLE … EXECUTE optimize`), identity-partitioned layouts
-    * (their partition values live in hive PATHS, not the files — an
-    * Iceberg reader sees files missing a declared column), legacy
-    * pre-manifest snapshots, and nested/unsupported column types.
+    * identity-partitioned layouts (their partition values live in hive
+    * PATHS, not the files — an Iceberg reader sees files missing a
+    * declared column), legacy pre-manifest snapshots, nested/
+    * unsupported column types, and positional-delete coordinates
+    * referencing files outside their snapshot. A rollback-restored
+    * snapshot carrying an eq delete across the restore point exports
+    * but refuses at RE-IMPORT (its shadow set matches no snapshot
+    * boundary) — the loud side of an unrepresentable shape.
     * Returns the number of snapshots exported.
     */
   def exportIcebergTable(schema: String, table: String,
@@ -1331,14 +1343,27 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         (id, f.name, icebergTypeName(f.dataType))
       }
     val qualDir = fs(dir).makeQualified(dir)
+    // v2 sequence numbers: snapshot i (0-based) gets sequence i+1 (the
+    // fixture default); a data file's DATA sequence number is the
+    // sequence of the snapshot that first listed it, carried explicitly
+    // on later EXISTING entries — what scopes row-level deletes on the
+    // Iceberg side exactly as the engine's appliesTo scopes them here
+    val seqOfId: Map[Long, Long] =
+      commits.zipWithIndex.map { case (s, i) => s.snapshotId -> (i + 1L) }.toMap
+    val firstSeen = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    // row-level delete files rewrite ONCE into the export location's
+    // data dir (their engine form — raw-prefixed coordinates, key dirs —
+    // is not what an Iceberg reader expects); carried states reuse the
+    // written file
+    val posDelCache = scala.collection.mutable.Map.empty[Seq[String], IcebergFixture.FileRef]
+    val eqDelCache = scala.collection.mutable.Map.empty[String, IcebergFixture.FileRef]
+    var delNo = 0
+    val exportData = new Path(new Path(location), "data")
     val snapRefs = commits.map { s =>
-      require(s.deletes.isEmpty && s.eqDeletes.isEmpty,
-        s"$schema.$table snapshot ${s.snapshotId} carries pending " +
-          "row-level deletes — fold them first (ALTER TABLE … EXECUTE " +
-          "optimize) so the export references data files only")
       require(s.dirs.isEmpty,
         s"$schema.$table snapshot ${s.snapshotId} predates the manifest " +
           "tier — compact the table to migrate it before exporting")
+      val seq = seqOfId(s.snapshotId)
       val entries = manifestEntriesOf(dir, s)
       val files = entries.map { e =>
         val stats = decl.fields.toIndexedSeq.zip(ids).flatMap { case (f, id) =>
@@ -1350,10 +1375,92 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
               } yield id -> (lo, hi, cb.nulls)
           }.flatten
         }.toMap
-        IcebergFixture.FileRef(new Path(qualDir, e.path).toUri.toString,
-          e.rows, e.bytes, stats)
+        val uri = new Path(qualDir, e.path).toUri.toString
+        val (addSeq, addId) = firstSeen.getOrElseUpdate(uri, (seq, s.snapshotId))
+        val fr = IcebergFixture.FileRef(uri, e.rows, e.bytes, stats)
+        if (addSeq == seq) fr // ADDED here: inherits the list's sequence
+        else fr.copy(status = 0, dataSeq = Some(addSeq), addedSnapId = Some(addId))
       }
-      IcebergFixture.SnapRef(s.snapshotId, s.committedAtMillis, files)
+      // POSITIONAL deletes: the engine dirs hold (raw-prefixed path,
+      // pos) — rewrite to the exported data-file URIs, sorted by
+      // (file_path, pos) as the spec requires, one file per distinct
+      // engine delete-dir set
+      val posDel: Seq[IcebergFixture.FileRef] =
+        if (s.deletes.isEmpty) Nil
+        else Seq {
+          val cached = posDelCache.get(s.deletes.sorted)
+          val base = cached.getOrElse {
+            import org.apache.spark.sql.functions.{col, regexp_replace}
+            import spark.implicits._
+            val raw = spark.read.parquet(
+              s.deletes.map(d => new Path(dir, d).toString): _*)
+            // both sides scheme-normalize: coordinates recorded with or
+            // without an authority match the exported URI form
+            val mapping = entries.map { e =>
+              (new Path(qualDir, e.path).toUri.toString
+                .replaceFirst(SchemeNormRe, "/"),
+                new Path(qualDir, e.path).toUri.toString)
+            }.toDF("__bare", "file_path")
+            val rows = raw.select(
+              regexp_replace(col("file_path"), SchemeNormRe, "/").as("__bare"),
+              col("pos").cast("long").as("pos")).distinct()
+            val total = rows.count()
+            val joined = rows.join(mapping, "__bare")
+              .select(col("file_path"), col("pos"))
+            delNo += 1
+            val target = new Path(exportData, f"posdel-$delNo%03d.parquet")
+            val written = IcebergFixture.writeOneParquet(conf,
+              joined.orderBy(col("file_path"), col("pos")), target)
+            val kept = parquetFooterRows(target)
+            require(kept == total,
+              s"$schema.$table snapshot ${s.snapshotId}: ${total - kept} " +
+                "positional-delete coordinate(s) reference files outside " +
+                "the snapshot — cannot export a dangling delete")
+            val fr = IcebergFixture.FileRef(target.toUri.toString, kept,
+              written, Map.empty, dataSeq = Some(seq))
+            posDelCache(s.deletes.sorted) = fr
+            fr
+          }
+          if (cached.isEmpty) base else base.copy(status = 0)
+        }
+      // EQUALITY deletes: the engine key dirs re-emit as content-2
+      // files; the data sequence number seq(appliesTo)+1 makes
+      // Iceberg's strictly-smaller rule shadow exactly files(appliesTo)
+      // (explicit even on first carry — a rollback commit may carry a
+      // delete whose appliesTo is not its parent)
+      val eqDel: Seq[IcebergFixture.FileRef] = s.eqDeletes.map { e =>
+        val cached = eqDelCache.get(e.path)
+        val base = cached.getOrElse {
+          val keyIds = e.keys.map(k =>
+            fields.find(_._2.equalsIgnoreCase(k)).getOrElse(
+              throw new IllegalArgumentException(
+                s"equality-delete key column ${k} is not in the declared " +
+                  s"schema of $schema.$table")
+            )._1)
+          val appliesSeq = seqOfId.getOrElse(e.appliesTo,
+            throw new IllegalStateException(
+              s"Equality delete ${e.path} references snapshot " +
+                s"${e.appliesTo}, absent from the commit log of " +
+                s"$schema.$table"))
+          delNo += 1
+          val target = new Path(exportData, f"eqdel-$delNo%03d.parquet")
+          import org.apache.spark.sql.functions.col
+          val keyDf = spark.read.parquet(new Path(dir, e.path).toString)
+            .select(e.keys.map(col): _*)
+          val written = IcebergFixture.writeOneParquet(conf, keyDf, target)
+          val fr = IcebergFixture.FileRef(target.toUri.toString,
+            parquetFooterRows(target), written, Map.empty,
+            eqIds = keyIds, dataSeq = Some(appliesSeq + 1L))
+          eqDelCache(e.path) = fr
+          fr
+        }
+        require(base.dataSeq.exists(_ <= seq),
+          s"Equality delete ${e.path}: appliesTo ${e.appliesTo} does not " +
+            s"precede the carrying snapshot ${s.snapshotId} — cannot export")
+        if (cached.isEmpty) base else base.copy(status = 0)
+      }
+      IcebergFixture.SnapRef(s.snapshotId, s.committedAtMillis, files,
+        deletes = posDel, eqDeletes = eqDel)
     }
     // the spec's name-mapping property: id-less parquet (graft's own
     // files) resolves by name on any Iceberg reader

@@ -78,21 +78,57 @@ class IcebergExportSpec extends SparkSpec {
     }
   }
 
-  test("export refuses pending deletes and identity partitioning, loudly") {
-    val e = engine("ice-exp-ref-wh")
+  test("delete-carrying snapshots export: positional + equality deletes round-trip") {
+    val e = engine("ice-exp-del-wh")
     e.executeNonQuery(SqlStatement("CREATE SCHEMA src"))
-    // merge-on-read table with a pending positional delete
     e.executeNonQuery(SqlStatement(
       "CREATE TABLE src.mor (id bigint, v varchar) WITH (format_version = 2)"))
     e.catalog.insert("src", "mor",
-      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1))
+    // a pending POSITIONAL delete (merge-on-read DELETE)...
     e.executeNonQuery(SqlStatement("DELETE FROM src.mor WHERE id = 1"))
-    val ex = intercept[GraftQueryException] {
-      e.executeNonQuery(SqlStatement(
-        s"CALL system.export_iceberg_table('src', 'mor', '${tmpDir("ice-exp-mor")}')"))
+    // ...plus a keyed UPSERT: an EQUALITY delete shadowing id 2's old
+    // row, and the re-inserted id 2 itself exempt (appliesTo scoping)
+    e.catalog.upsert("src", "mor",
+      Seq((2L, "b2"), (4L, "d")).toDF("id", "v"), Seq("id"))
+    assert(e.query(SqlStatement("SELECT id, v FROM src.mor"))
+      .as[(Long, String)].collect().toSet ===
+      Set((2L, "b2"), (3L, "c"), (4L, "d")))
+    val loc = new Path(tmpDir("ice-exp-del-tree"))
+    e.executeNonQuery(SqlStatement(
+      s"CALL system.export_iceberg_table('src', 'mor', '${loc.toUri}')"))
+    // the exported tree registers back identically, snapshot by snapshot
+    e.executeNonQuery(SqlStatement("CREATE SCHEMA lake"))
+    e.executeNonQuery(SqlStatement(
+      s"CALL system.register_iceberg_table('lake', 'back', '${loc.toUri}')"))
+    e.catalog.snapshots("src", "mor").map(_.snapshotId).foreach { id =>
+      val a = e.query(SqlStatement(
+        s"SELECT id, v FROM src.mor FOR VERSION AS OF $id"))
+        .as[(Long, String)].collect().toSet
+      val b = e.query(SqlStatement(
+        s"SELECT id, v FROM lake.back FOR VERSION AS OF $id"))
+        .as[(Long, String)].collect().toSet
+      assert(a === b, s"snapshot $id diverged across the round trip")
     }
-    val msg = ex.getMessage + Option(ex.getCause).map(_.getMessage).getOrElse("")
-    assert(msg.contains("row-level deletes"))
+    // any Iceberg reader's view of the delete files: content 1 + 2
+    // entries in the delete manifests, data sequence numbers scoping
+    val meta = IcebergInterop.parseMetadata {
+      val p = IcebergInterop.currentMetadataPath(loc.getFileSystem(conf), loc)
+      val in = loc.getFileSystem(conf).open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    val delMans = IcebergInterop.readManifestList(conf,
+      new Path(meta.snapshots.last.manifestList)).filter(_.content == 1)
+    val dels = delMans.flatMap(m => IcebergInterop.readDeleteManifest(conf,
+      new Path(m.path), m.seq))
+    assert(dels.map(_.content).sorted === Seq(1, 2))
+    assert(dels.find(_.content == 2).get.equalityIds === Seq(1))
+    assert(dels.forall(_.dataSeq.isDefined))
+  }
+
+  test("export refuses identity partitioning, loudly") {
+    val e = engine("ice-exp-ref-wh")
+    e.executeNonQuery(SqlStatement("CREATE SCHEMA src"))
     // identity-partitioned: partition values ride the paths, refuse
     e.executeNonQuery(SqlStatement(
       "CREATE TABLE src.part (id bigint, region varchar) " +
