@@ -159,6 +159,7 @@ object SparkEntry {
     "migrate_demo"  -> (CatalogDemos.migrateDemo _),
     "iceberg_register_demo" -> (CatalogDemos.icebergRegisterDemo _),
     "iceberg_export_demo" -> (CatalogDemos.icebergExportDemo _),
+    "iceberg_cdc_demo" -> (CatalogDemos.icebergCdcDemo _),
     "upsert_demo" -> (CatalogDemos.upsertDemo _),
     "unload_demo"      -> (CatalogDemos.unloadDemo _),
     "dml_demo"         -> (CatalogDemos.dmlDemo _),
@@ -216,7 +217,8 @@ object SparkEntry {
   val warehouseQueries: Set[String] = Set(
     "time_travel_demo", "partition_prune_demo", "transform_partition_demo",
     "refs_demo", "catalog_refs_demo", "register_demo", "migrate_demo",
-    "iceberg_register_demo", "iceberg_export_demo", "upsert_demo",
+    "iceberg_register_demo", "iceberg_export_demo", "iceberg_cdc_demo",
+    "upsert_demo",
     "unload_demo", "dml_demo",
     "mor_demo", "sorted_demo", "scan_prune_demo", "changes_demo",
     "stream_demo", "bloom_prune_demo", "zorder_demo", "merge_demo",
@@ -359,6 +361,7 @@ object SparkEntry {
     "migrate_demo"  -> operators.CatalogDemos.migrateDemoSql,
     "iceberg_register_demo" -> operators.CatalogDemos.icebergRegisterDemoSql,
     "iceberg_export_demo" -> operators.CatalogDemos.icebergExportDemoSql,
+    "iceberg_cdc_demo" -> operators.CatalogDemos.icebergCdcDemoSql,
     "upsert_demo" -> operators.CatalogDemos.upsertDemoSql,
     "q2_min_cost_supplier"  -> TpchRemainder.Sql.q2MinCostSupplier,
     "q8_market_share"       -> TpchRemainder.Sql.q8MarketShare,

@@ -821,6 +821,93 @@ object CatalogDemos {
       |  (SELECT count(*) FROM nation WHERE n_nationkey <= 11) AS v1_n,
       |  (SELECT count(*) FROM nation WHERE n_nationkey >= 12) AS hi_n""".stripMargin
 
+  private[graft] val icebergCdcWarehouse = "/tmp/graft-iceberg-cdc-wh"
+  private[graft] val icebergCdcLake = "/tmp/graft-iceberg-cdc-lake"
+  private[graft] val icebergCdcExport = "/tmp/graft-iceberg-cdc-export"
+
+  /** Iceberg v2 EQUALITY-delete interop end-to-end (round-12): build a
+    * genuine CDC-shaped foreign tree over nation — snapshot 201 (seq 1)
+    * = keys 0-11; snapshot 202 (seq 2) = + keys 12-24 plus a content-2
+    * equality-delete file keyed on n_nationkey {0, 1, 2, 12} — and
+    * register it. The strictly-smaller sequence rule shadows 0/1/2 (in
+    * the seq-1 file) but EXEMPTS 12 (committed at seq 2 alongside the
+    * delete): Iceberg's re-insert-sticks semantics. Then the pending
+    * delete round-trips the WRITE side: export the attachment — the
+    * delete re-emits as a content-2 file with an explicit data
+    * sequence number — and register the export back; counts must agree.
+    * Every value recomputes relationally over nation in the oracle.
+    */
+  def icebergCdcDemo(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val conf = s.sparkContext.hadoopConfiguration
+    for (p <- Seq(icebergCdcWarehouse, icebergCdcLake, icebergCdcExport)) {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val f = hp.getFileSystem(conf)
+      if (f.exists(hp)) f.delete(hp, true)
+    }
+    val loc = new org.apache.hadoop.fs.Path(icebergCdcLake)
+    val nation = graft.catalog.IcebergFixture.withFieldIds(
+      graft.Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey")),
+      Map("n_nationkey" -> 1, "n_name" -> 2, "n_regionkey" -> 3))
+    def writeOne(df: DataFrame, target: org.apache.hadoop.fs.Path): Long =
+      graft.catalog.IcebergFixture.writeOneParquet(conf, df, target)
+    val f1 = new org.apache.hadoop.fs.Path(loc, "data/f1.parquet")
+    val f2 = new org.apache.hadoop.fs.Path(loc, "data/f2.parquet")
+    val e1 = new org.apache.hadoop.fs.Path(loc, "data/eqdel1.parquet")
+    val b1 = writeOne(nation.filter(col("n_nationkey") <= 11), f1)
+    val b2 = writeOne(nation.filter(col("n_nationkey") >= 12), f2)
+    val be = writeOne(graft.catalog.IcebergFixture.withFieldIds(
+      nation.filter(col("n_nationkey").isin(0, 1, 2, 12))
+        .select(col("n_nationkey")), Map("n_nationkey" -> 1)), e1)
+    import graft.catalog.IcebergFixture._
+    val fr1 = FileRef(f1.toUri.toString, 12L, b1,
+      Map(1 -> (encodeLong(0L), encodeLong(11L), 0L)))
+    val fr2 = FileRef(f2.toUri.toString, 13L, b2,
+      Map(1 -> (encodeLong(12L), encodeLong(24L), 0L)))
+    val er1 = FileRef(e1.toUri.toString, 4L, be, Map.empty, eqIds = Seq(1))
+    graft.catalog.IcebergFixture.writeTree(conf, loc, 2,
+      Seq((1, "n_nationkey", "long"), (2, "n_name", "string"),
+        (3, "n_regionkey", "long")),
+      Seq(SnapRef(201L, 1700000000000L, Seq(fr1)),
+        SnapRef(202L, 1700000100000L,
+          Seq(fr1.copy(status = 0, dataSeq = Some(1L)), fr2),
+          eqDeletes = Seq(er1))))
+    val engine = new GraftEngine(s, icebergCdcWarehouse)
+    engine.catalog.createSchema("lake")
+    engine.executeNonQuery(graft.params.SqlStatement(
+      s"CALL system.register_iceberg_table('lake', 'cdc', '${loc.toUri}')"))
+    engine.executeNonQuery(graft.params.SqlStatement(
+      s"CALL system.export_iceberg_table('lake', 'cdc', '$icebergCdcExport')"))
+    engine.executeNonQuery(graft.params.SqlStatement(
+      s"CALL system.register_iceberg_table('lake', 'rt', '$icebergCdcExport')"))
+    engine.query(graft.params.SqlStatement(
+      """SELECT
+        |  (SELECT count(*) FROM lake.cdc) AS total_n,
+        |  (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM lake.cdc) AS sum_key,
+        |  (SELECT count(*) FROM lake.cdc FOR VERSION AS OF 201) AS v1_n,
+        |  (SELECT count(*) FROM lake.cdc WHERE n_nationkey >= 3) AS hi_n,
+        |  (SELECT count(*) FROM lake.rt) AS rt_n,
+        |  (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM lake.rt) AS rt_sum""".stripMargin))
+  }
+
+  /** DuckDB twin of [[icebergCdcDemo]] — nation arithmetic: the
+    * equality delete shadows keys {0,1,2} (their file is seq 1 < the
+    * delete's seq 2) while key 12 rides the SAME seq-2 commit as the
+    * delete and stays (strictly-smaller rule); snapshot 201 = keys
+    * 0-11; the export/re-register pair must read identically.
+    */
+  val icebergCdcDemoSql: String =
+    """SELECT
+      |  (SELECT count(*) FROM nation WHERE n_nationkey NOT IN (0, 1, 2)) AS total_n,
+      |  (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM nation
+      |     WHERE n_nationkey NOT IN (0, 1, 2)) AS sum_key,
+      |  (SELECT count(*) FROM nation WHERE n_nationkey <= 11) AS v1_n,
+      |  (SELECT count(*) FROM nation WHERE n_nationkey >= 3) AS hi_n,
+      |  (SELECT count(*) FROM nation WHERE n_nationkey NOT IN (0, 1, 2)) AS rt_n,
+      |  (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM nation
+      |     WHERE n_nationkey NOT IN (0, 1, 2)) AS rt_sum""".stripMargin
+
   def migrateDemo(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val conf = s.sparkContext.hadoopConfiguration
