@@ -133,7 +133,10 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
   // column-projection rule, which keeps a foreign RENAME COLUMN from
   // silently NULLing pre-rename files. A no-op for every other table:
   // id resolution only engages when the read schema carries ids, and
-  // native graft schemas never do.
+  // native graft schemas never do. SESSION-level by necessity (Spark
+  // exposes no per-read switch, SPARK-38094) — a host application
+  // sharing the session and relying on the flag being FALSE for its own
+  // id-annotated schemas would be overridden here; documented trade-off.
   spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
 
   /** Physical root of a table. Normally `<schemaLocation>/<table>`; a
@@ -1049,7 +1052,6 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     if (eqFiles.isEmpty) return Nil
     val conf = spark.sparkContext.hadoopConfiguration
     val byId = meta.fields.map(f => f.id -> f).toMap
-    val seqOf: Map[Long, Long] = lineAll.flatMap(x => x.seq.map(x.id -> _)).toMap
     require(lineAll.forall(_.seq.isDefined),
       s"${s.manifestList}: equality deletes require every main-line " +
         "snapshot to carry a sequence-number (v2 metadata)")
@@ -1153,9 +1155,20 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
                                       recLocation: String, loc: Path): Option[String] = {
     if (files.isEmpty) return None
     import org.apache.spark.sql.functions.{col, concat, lit, regexp_replace, when}
-    val bareRec = recLocation.replaceFirst(SchemeNormRe, "/").stripSuffix("/")
+    // authority-FREE bare forms on BOTH sides: the live set is built
+    // from toUri.getPath (authority dropped), so coordinates recorded
+    // on an authority-bearing filesystem (hdfs://nn:8020/…) must drop
+    // it too or out-of-root files would silently stop matching
+    val bareRec = new Path(recLocation).toUri.getPath.stripSuffix("/")
+    val recAuth = Option(new Path(recLocation).toUri.getAuthority)
+      .filter(_.nonEmpty)
     val locPath = fs(loc).makeQualified(loc).toUri.getPath
-    val b = regexp_replace(col("file_path"), SchemeNormRe, "/")
+    val b0 = regexp_replace(col("file_path"), SchemeNormRe, "/")
+    val b = recAuth match {
+      case Some(a) => when(b0.startsWith(s"/$a/"),
+        b0.substr(lit(a.length + 2), lit(Int.MaxValue))).otherwise(b0)
+      case None => b0
+    }
     val anchored =
       if (bareRec == locPath) b // not relocated: the bare form is final
       else when(b.startsWith(bareRec + "/"),
@@ -1166,12 +1179,34 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         col("pos").cast("long").as("pos"))
       .distinct()
     val kept = fileSetFilter(rewritten, "file_path", liveRaw, anti = false)
-    val dirName = s"delete-import-${java.util.UUID.randomUUID().toString.take(8)}"
-    kept.repartitionByRange(col("file_path"), col("pos"))
-      .write.mode("errorifexists").parquet(new Path(dir, dirName).toString)
-    if (parquetFooterRows(new Path(dir, dirName)) == 0L) {
-      fs(dir).delete(new Path(dir, dirName), true); None
-    } else Some(dirName)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // DETERMINISTIC dir name keyed by (delete files, the live files
+      // they actually address): a later snapshot that merely APPENDS a
+      // data file while carrying the same deletes reuses the SAME dir —
+      // cur.deletes stays equal to prev.deletes, so append-only commit
+      // classification (streaming reads, incremental MV, CDC) survives
+      // carried foreign deletes (same stability contract as the
+      // eq-delete import's SHA-named dirs)
+      val relevant = kept.select("file_path").distinct()
+        .collect().map(_.getString(0)).sorted
+      if (relevant.isEmpty) return None // addresses nothing live
+      val digest = java.security.MessageDigest.getInstance("SHA-1")
+        .digest((files.map(_.toString).sorted ++ relevant)
+          .mkString("\n").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+      val dirName = s"delete-import-$digest"
+      val target = new Path(dir, dirName)
+      // only a _SUCCESS-marked earlier write is reusable (a crashed
+      // sync's partial dir must rewrite, not serve an empty delete)
+      if (fs(dir).exists(target) &&
+          !fs(dir).exists(new Path(target, "_SUCCESS")))
+        fs(dir).delete(target, true)
+      if (!fs(dir).exists(target))
+        kept.repartitionByRange(col("file_path"), col("pos"))
+          .write.mode("errorifexists").parquet(target.toString)
+      Some(dirName)
+    } finally kept.unpersist()
   }
 
   /** CALL system.refresh_iceberg_table: one-way sync for a table

@@ -250,6 +250,48 @@ class IcebergInteropSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq === Seq(1L, 3L, 12L))
   }
 
+  test("carried positional deletes keep ONE delete dir across append-only foreign commits") {
+    import IcebergFixture._
+    val loc = new Path(tmpDir("ice-posdel-carry"))
+    val f1 = new Path(loc, "data/f1.parquet")
+    val f2 = new Path(loc, "data/f2.parquet")
+    val b1 = writeParquet(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name"), f1)
+    val b2 = writeParquet(Seq((11L, "x"), (12L, "y")).toDF("id", "name"), f2)
+    val d1 = new Path(loc, "data/del1.parquet")
+    val db1 = writeOneParquet(conf,
+      Seq((f1.toUri.toString, 1L)).toDF("file_path", "pos"), d1) // id 2
+    val fr1 = FileRef(f1.toUri.toString, 3L, b1, Map.empty)
+    val fr2 = FileRef(f2.toUri.toString, 2L, b2, Map.empty)
+    val dr1 = FileRef(d1.toUri.toString, 1L, db1, Map.empty)
+    def tree(snaps: Int): Unit = IcebergFixture.writeTree(conf, loc, 2,
+      Seq((1, "id", "long"), (2, "name", "string")),
+      Seq(
+        SnapRef(9001L, 1700000000000L, Seq(fr1), deletes = Seq(dr1)),
+        SnapRef(9002L, 1700000100000L, Seq(fr1, fr2), deletes = Seq(dr1)),
+        SnapRef(9003L, 1700000200000L, Seq(fr1, fr2), deletes = Seq(dr1))
+      ).take(snaps))
+    tree(2)
+    val e = engine("ice-posdel-carry-wh")
+    e.executeNonQuery(SqlStatement("CREATE SCHEMA lake"))
+    e.executeNonQuery(SqlStatement(
+      s"CALL system.register_iceberg_table('lake', 't', '${loc.toUri}')"))
+    // the append-only foreign commit carried the delete: SAME engine
+    // delete dir on both snapshots — cur.deletes == prev.deletes, so
+    // append-only classification (streaming reads, incremental MV, CDC)
+    // survives the carry instead of seeing a phantom delete
+    val cs = e.catalog.snapshots("lake", "t")
+    assert(cs.head.deletes.nonEmpty && cs.head.deletes === cs.last.deletes)
+    assert(e.query(SqlStatement("SELECT id FROM lake.t")).as[Long]
+      .collect().sorted.toSeq === Seq(1L, 3L, 11L, 12L))
+    // ...and across a REFRESH boundary too (a fresh convert call must
+    // regenerate the same deterministic name, not a new one)
+    tree(3)
+    assert(e.executeNonQuery(SqlStatement(
+      "CALL system.refresh_iceberg_table('lake', 't')")) === 1L)
+    val cs2 = e.catalog.snapshots("lake", "t")
+    assert(cs2.last.deletes === cs.head.deletes)
+  }
+
   test("a RELOCATED tree's positional deletes follow its files (re-anchored coordinates)") {
     import IcebergFixture._
     // build the tree at locA — metadata.json location and every
