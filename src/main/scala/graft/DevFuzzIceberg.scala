@@ -303,9 +303,19 @@ object DevFuzzIceberg {
           new java.io.File(exp.getParent.toString))
       }
 
-      // a local commit diverges: the next sync must refuse
+      // a local commit diverges: the next sync must refuse. Half the
+      // diverging commits are EXECUTE optimize — folding the IMPORTED
+      // row-level deletes back to plain data files must preserve content
+      // exactly (same model check as the reads above)
       if (rnd.nextBoolean()) {
-        e.executeNonQuery(graft.params.SqlStatement(
+        if (rnd.nextBoolean()) {
+          e.executeNonQuery(graft.params.SqlStatement(
+            "ALTER TABLE lake.t EXECUTE optimize"))
+          val got = e.query(graft.params.SqlStatement(
+            "SELECT id, score FROM lake.t")).as[(Long, Double)].collect().toSet
+          require(got == expect(tree.last).map(r => (r._1, r._3)),
+            s"scenario_$i: optimize changed an attached table's content")
+        } else e.executeNonQuery(graft.params.SqlStatement(
           if (evolved) "INSERT INTO lake.t VALUES (999999, 'local', 0.0, 1)"
           else "INSERT INTO lake.t VALUES (999999, 'local', 0.0)"))
         addSnapshot()

@@ -842,7 +842,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       // so "which snapshots came from Iceberg" cannot be recovered from
       // the log alone
       writeIcebergSource(dir, f.makeQualified(loc).toUri.toString,
-        ordered.map(_.id), meta.specFields)
+        ordered.map(_.id), meta.specFields,
+        seqs = ordered.flatMap(s => s.seq.map(s.id -> _)).toMap)
     } catch {
       case scala.util.control.NonFatal(ex) =>
         // never leave a half-registered table behind
@@ -934,7 +935,10 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
                                       meta: IcebergInterop.IceMeta,
                                       ordered: Seq[IcebergInterop.IceSnapshot],
                                       prevAt: Long,
-                                      pinSchema: StructType): Seq[Snapshot] = {
+                                      pinSchema: StructType,
+                                      priorCommits: Seq[Snapshot] = Nil,
+                                      storedSeqs: Map[Long, Long] = Map.empty)
+      : Seq[Snapshot] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val resolve = iceResolver(dir, loc, meta.location)
     // the raw read-time form of an imported entry path — what
@@ -1003,7 +1007,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           meta.location, loc)).toSeq
       val eqDels = importEqualityDeletes(dir, loc, meta, s, lineAll,
         eqFiles, entriesWithSeq, decodeDataManifests, resolve, eqImports,
-        pinSchema)
+        pinSchema, priorCommits, storedSeqs)
       val names = writeManifests(dir, entries)
       at = math.max(s.timestampMs, at + 1) // graft history is monotonic
       Snapshot(s.id, at, Nil, Some(pinSchema.json),
@@ -1048,7 +1052,9 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       decodeDataManifests: Seq[IcebergInterop.IceManifest] => Seq[(DataFileEntry, Option[Long])],
       resolve: String => Path,
       eqImports: scala.collection.mutable.Map[String, EqDelete],
-      pinSchema: StructType): Seq[EqDelete] = {
+      pinSchema: StructType,
+      priorCommits: Seq[Snapshot] = Nil,
+      storedSeqs: Map[Long, Long] = Map.empty): Seq[EqDelete] = {
     if (eqFiles.isEmpty) return Nil
     val conf = spark.sparkContext.hadoopConfiguration
     val byId = meta.fields.map(f => f.id -> f).toMap
@@ -1060,6 +1066,23 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         s"data file ${e.path}: unknown data sequence number — equality " +
           "deletes cannot be scoped without it")
     }
+    // appliesTo candidates: surviving main-line snapshots (file sets
+    // from the foreign manifests), PLUS previously-imported snapshots
+    // the source has since EXPIRED — their sequence numbers were
+    // recorded at import time and their file sets live on in the GRAFT
+    // manifests, so a carried delete keeps its exact boundary even
+    // after the source forgets it
+    final case class Cand(id: Long, seq: Long, files: () => Set[String])
+    val lineIds = lineAll.map(_.id).toSet
+    val cands: Seq[Cand] =
+      lineAll.flatMap(x => x.seq.map(sq => Cand(x.id, sq, () =>
+        decodeDataManifests(IcebergInterop.readManifestList(conf,
+          resolve(x.manifestList)).filter(_.content == 0))
+          .map(_._1.path).toSet))) ++
+      priorCommits.filterNot(c => lineIds.contains(c.snapshotId))
+        .flatMap(c => storedSeqs.get(c.snapshotId).map(sq =>
+          Cand(c.snapshotId, sq, () =>
+            manifestEntriesOf(dir, c).map(_.path).toSet)))
     val distinctEq = eqFiles.groupBy(_.path).values.map(_.head).toSeq
       .sortBy(f => (f.dataSeq.getOrElse(Long.MaxValue), f.path))
     distinctEq.flatMap { del =>
@@ -1075,21 +1098,18 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       val shadowed = entriesWithSeq.collect {
         case (e, Some(ds)) if ds < nd => e.path
       }.toSet
-      val candidate = lineAll.filter(_.seq.exists(_ < nd))
-        .sortBy(_.seq.get).lastOption
+      val candidate = cands.filter(_.seq < nd).sortBy(_.seq).lastOption
       candidate match {
         case None =>
           require(shadowed.isEmpty,
             s"equality delete ${del.path} (seq $nd) shadows " +
-              s"${shadowed.size} file(s) but no main-line snapshot " +
-              "precedes it — unrepresentable scoping")
+              s"${shadowed.size} file(s) but no snapshot precedes it — " +
+              "unrepresentable scoping")
           None // nothing to shadow at any snapshot: drop the delete
         case Some(p) =>
           // the engine shadows files(P) ∩ live files — verify it equals
           // the sequence-number truth, else refuse
-          val pManifests = IcebergInterop.readManifestList(conf,
-            resolve(p.manifestList)).filter(_.content == 0)
-          val pFiles = decodeDataManifests(pManifests).map(_._1.path).toSet
+          val pFiles = p.files()
           val live = entriesWithSeq.map(_._1.path).toSet
           val engineShadow = pFiles intersect live
           require(engineShadow == shadowed,
@@ -1272,7 +1292,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     // manifest — must leave the table exactly as it was; orphaned
     // manifest shards are GC-able debris), THEN the schema + commit-log
     // writes
-    val snaps = convertIcebergSnapshots(dir, loc, meta, fresh, prevAt, pinSchema)
+    val snaps = convertIcebergSnapshots(dir, loc, meta, fresh, prevAt, pinSchema,
+      priorCommits = commits, storedSeqs = readIcebergSeqs(dir))
     // foreign schema evolution between syncs: the source's CURRENT
     // schema becomes the declared schema (new snapshots' files carry the
     // new columns; old files read NULL for them through the ordinary
@@ -1281,7 +1302,9 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       writeString(new Path(dir, "_table_schema.json"), pinSchema.json)
     writeCommits(schema, table, commits ++ snaps, gen)
     writeIcebergSource(dir, locStr, (imported ++ fresh.map(_.id)).toSeq.sorted,
-      meta.specFields)
+      meta.specFields,
+      seqs = readIcebergSeqs(dir) ++
+        line.flatMap(s => s.seq.map(s.id -> _)).toMap)
     fresh.size.toLong
   }
 
@@ -1560,7 +1583,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
 
   private def writeIcebergSource(dir: Path, location: String,
                                  imported: Seq[Long],
-                                 spec: Seq[IcebergInterop.IceSpecField] = Nil): Unit = {
+                                 spec: Seq[IcebergInterop.IceSpecField] = Nil,
+                                 seqs: Map[Long, Long] = Map.empty): Unit = {
     val o = mapper.createObjectNode()
     o.put("location", location)
     val arr = o.putArray("imported")
@@ -1573,6 +1597,16 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         n.put("source_id", f.sourceId)
       }
     }
+    // imported snapshot id → Iceberg sequence number: survives foreign
+    // snapshot EXPIRY, so a later sync can still scope a carried
+    // equality delete to a boundary snapshot the source forgot but the
+    // graft log retains
+    if (seqs.nonEmpty) {
+      val sq = o.putArray("seqs")
+      seqs.toSeq.sorted.foreach { case (id, seq) =>
+        val n = sq.addObject(); n.put("id", id); n.put("seq", seq)
+      }
+    }
     writeString(new Path(dir, "_iceberg_source"), mapper.writeValueAsString(o))
   }
 
@@ -1580,6 +1614,15 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val root = mapper.readTree(readString(new Path(dir, "_iceberg_source")))
     (root.get("location").asText,
       root.get("imported").elements.asScala.map(_.asLong).toSet)
+  }
+
+  /** The recorded imported-id → sequence-number map ([[writeIcebergSource]]);
+    * empty for pre-round-12 attachments and v1 trees.
+    */
+  private def readIcebergSeqs(dir: Path): Map[Long, Long] = {
+    val root = mapper.readTree(readString(new Path(dir, "_iceberg_source")))
+    Option(root.get("seqs")).toSeq.flatMap(_.elements.asScala)
+      .map(n => n.get("id").asLong -> n.get("seq").asLong).toMap
   }
 
   /** The FOREIGN partition spec recorded when an Iceberg table was

@@ -100,6 +100,44 @@ object ResultMapper {
         case other      => incoercible(other, "Boolean")
       }
       else if (c == classOf[String]) v.toString
+      // temporal render path: `timestamp with time zone` columns collect
+      // as java.sql.Timestamp (UTC instants — the engine session is
+      // pinned to UTC); Trino renders timestamptz WITH an offset, so the
+      // client edge offers the offset-carrying java.time types too.
+      // OffsetDateTime/ZonedDateTime land at +00:00/UTC — exactly the
+      // offset the reference stack pins (TrinoConfigurationProvider.cs
+      // session zone)
+      else if (c == classOf[java.time.Instant]) v match {
+        case t: java.sql.Timestamp    => t.toInstant
+        case i: java.time.Instant     => i
+        case l: java.time.LocalDateTime => l.toInstant(java.time.ZoneOffset.UTC)
+        case s: String => java.time.Instant.parse(s)
+        case other     => incoercible(other, "Instant")
+      }
+      else if (c == classOf[java.time.OffsetDateTime]) v match {
+        case t: java.sql.Timestamp => t.toInstant.atOffset(java.time.ZoneOffset.UTC)
+        case i: java.time.Instant  => i.atOffset(java.time.ZoneOffset.UTC)
+        case o: java.time.OffsetDateTime => o
+        case s: String => java.time.OffsetDateTime.parse(s)
+        case other     => incoercible(other, "OffsetDateTime")
+      }
+      else if (c == classOf[java.time.ZonedDateTime]) v match {
+        case t: java.sql.Timestamp => t.toInstant.atZone(java.time.ZoneOffset.UTC)
+        case i: java.time.Instant  => i.atZone(java.time.ZoneOffset.UTC)
+        case z: java.time.ZonedDateTime => z
+        case other => incoercible(other, "ZonedDateTime")
+      }
+      else if (c == classOf[java.time.LocalDateTime]) v match {
+        case l: java.time.LocalDateTime => l // TimestampNTZ collects as this
+        case t: java.sql.Timestamp =>
+          t.toInstant.atOffset(java.time.ZoneOffset.UTC).toLocalDateTime
+        case other => incoercible(other, "LocalDateTime")
+      }
+      else if (c == classOf[java.time.LocalDate]) v match {
+        case d: java.sql.Date       => d.toLocalDate
+        case l: java.time.LocalDate => l
+        case other => incoercible(other, "LocalDate")
+      }
       else if (c == classOf[BigDecimal]) v match {
         case d: java.math.BigDecimal => BigDecimal(d)
         case n: Number => BigDecimal(n.toString)

@@ -439,6 +439,52 @@ class IcebergInteropSpec extends SparkSpec {
     assert(before.last.eqDeletes.toSet.subsetOf(after.last.eqDeletes.toSet))
   }
 
+  test("foreign snapshot EXPIRY keeps carried equality deletes scoped (recorded seqs)") {
+    import IcebergFixture._
+    val loc = buildEqDeleteTree("ice-eqdel-expire")
+    val e = engine("ice-eqdel-expire-wh")
+    e.executeNonQuery(SqlStatement("CREATE SCHEMA lake"))
+    e.executeNonQuery(SqlStatement(
+      s"CALL system.register_iceberg_table('lake', 't', '${loc.toUri}')"))
+    // the foreign writer EXPIRES snapshots 9001+9002 (their boundary
+    // file sets vanish from the source metadata) and commits 9004
+    // (seq 4) carrying e1 (seq 2) + e2 (seq 3) plus a NEW delete e3
+    // (keyed {21}, seq 4). The import must still scope e1/e2 to the
+    // expired boundaries — recorded at registration, file sets retained
+    // in the graft manifests
+    val f = Seq("f1", "f2", "f3").map(n => new Path(loc, s"data/$n.parquet"))
+    val eqs = Seq("eqdel1", "eqdel2").map(n => new Path(loc, s"data/$n.parquet"))
+    val e3 = new Path(loc, "data/eqdel3.parquet")
+    val eb3 = writeParquet(Seq(21L).toDF("id"), e3)
+    val lfs = loc.getFileSystem(conf)
+    def ref(p: Path, rows: Long, seq: Long, eqIds: Seq[Int] = Nil) =
+      FileRef(p.toUri.toString, rows, lfs.getFileStatus(p).getLen, Map.empty,
+        eqIds = eqIds, dataSeq = Some(seq), status = 0)
+    IcebergFixture.writeTree(conf, loc, 2,
+      Seq((1, "id", "long"), (2, "name", "string")),
+      Seq(
+        SnapRef(9003L, 1700000200000L,
+          Seq(ref(f(0), 3L, 1L), ref(f(1), 2L, 2L), ref(f(2), 1L, 3L)),
+          eqDeletes = Seq(ref(eqs(0), 2L, 2L, eqIds = Seq(1)),
+            ref(eqs(1), 1L, 3L, eqIds = Seq(1))),
+          seq = Some(3L)),
+        SnapRef(9004L, 1700000300000L,
+          Seq(ref(f(0), 3L, 1L), ref(f(1), 2L, 2L), ref(f(2), 1L, 3L)),
+          eqDeletes = Seq(ref(eqs(0), 2L, 2L, eqIds = Seq(1)),
+            ref(eqs(1), 1L, 3L, eqIds = Seq(1)),
+            FileRef(e3.toUri.toString, 1L, eb3, Map.empty, eqIds = Seq(1))),
+          seq = Some(4L))))
+    assert(e.executeNonQuery(SqlStatement(
+      "CALL system.refresh_iceberg_table('lake', 't')")) === 1L)
+    // e1 still kills 2 (f1 @ seq 1 < 2), e2 kills 12 (f2 @ 2 < 3), e3
+    // kills 21 (f3 @ 3 < 4); 11 stays exempt forever (same-commit rule)
+    assert(e.query(SqlStatement("SELECT id FROM lake.t")).as[Long]
+      .collect().sorted.toSeq === Seq(1L, 3L, 11L))
+    // pre-expiry history still travels
+    assert(e.query(SqlStatement("SELECT id FROM lake.t FOR VERSION AS OF 9002"))
+      .as[Long].collect().sorted.toSeq === Seq(1L, 3L, 11L, 12L))
+  }
+
   test("equality deletes whose sequence scope matches no snapshot boundary refuse") {
     import IcebergFixture._
     val loc = new Path(tmpDir("ice-eqdel-bad"))

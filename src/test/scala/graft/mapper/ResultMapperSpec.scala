@@ -87,6 +87,28 @@ class ResultMapperSpec extends SparkSpec {
     assert(ResultMapper.scalar[Int](df) == Some(10))
   }
 
+  test("timestamptz scalars render offset-carrying java.time values (UTC, Trino parity)") {
+    // `timestamp with time zone` collects as a UTC instant; Trino
+    // RENDERS it with an offset — the scalar edge offers the
+    // offset-carrying types, landing at +00:00 (the pinned session zone)
+    val df = spark.sql("SELECT TIMESTAMP '2024-03-01 10:30:00+00:00' AS ts")
+    val want = java.time.Instant.parse("2024-03-01T10:30:00Z")
+    assert(ResultMapper.scalar[java.time.Instant](df) === Some(want))
+    assert(ResultMapper.scalar[java.time.OffsetDateTime](df) ===
+      Some(want.atOffset(java.time.ZoneOffset.UTC)))
+    assert(ResultMapper.scalar[java.time.OffsetDateTime](df)
+      .get.getOffset === java.time.ZoneOffset.UTC)
+    assert(ResultMapper.scalar[java.time.ZonedDateTime](df) ===
+      Some(want.atZone(java.time.ZoneOffset.UTC)))
+    // timestamp (NTZ) and date land on the zone-less types
+    val ntz = spark.sql("SELECT TIMESTAMP_NTZ '2024-03-01 10:30:00' AS ts")
+    assert(ResultMapper.scalar[java.time.LocalDateTime](ntz) ===
+      Some(java.time.LocalDateTime.of(2024, 3, 1, 10, 30)))
+    val d = spark.sql("SELECT DATE '2024-03-01' AS d")
+    assert(ResultMapper.scalar[java.time.LocalDate](d) ===
+      Some(java.time.LocalDate.of(2024, 3, 1)))
+  }
+
   test("coercion failures name the value and target type, not a bare MatchError") {
     val e = intercept[IllegalArgumentException] {
       ResultMapper.scalar[Int](spark.sql("SELECT true AS v"))
