@@ -171,7 +171,11 @@ object DevFuzzIceberg {
             carriedEq :+ FileRef(target.toUri.toString, pick.size.toLong, len,
               Map.empty, eqIds = Seq(1))
           }
-        tree = tree :+ SnapRef(snapId, ts, files, dels, eqDeletes = eqs)
+        // seq EXPLICIT (equal to the fixture default while the tree is
+        // whole) so a later foreign EXPIRY — which trims the list — does
+        // not shift the surviving snapshots' sequence numbers
+        tree = tree :+ SnapRef(snapId, ts, files, dels, eqDeletes = eqs,
+          seq = Some(thisSeq))
       }
       (0 until 1 + rnd.nextInt(3)).foreach(_ => addSnapshot())
       // a third of the scenarios register against a metadata tree whose
@@ -256,8 +260,18 @@ object DevFuzzIceberg {
         else fields
       val fields2 =
         if (evolved) fieldsBase :+ ((4, "tag", "long")) else fieldsBase
+      val importedCount = tree.size
       (0 until 1 + rnd.nextInt(2)).foreach(_ => addSnapshot())
-      writeTree(conf, loc, 2, fields2, tree,
+      // a third of the scenarios also EXPIRE old snapshots foreign-side
+      // before the sync (expire_snapshots trims oldest-first, keeping
+      // the imported head): carried equality deletes must stay scoped
+      // to the now-expired boundaries via the recorded seqs, and the
+      // expired ids must still time-travel from the graft log
+      val expired =
+        if (importedCount > 1 && rnd.nextInt(3) == 0)
+          rnd.nextInt(importedCount) // drop this many oldest
+        else 0
+      writeTree(conf, loc, 2, fields2, tree.drop(expired),
         specFields = specFields, partAvroTypes = partAvroTypes)
       val synced = e.executeNonQuery(graft.params.SqlStatement(
         "CALL system.refresh_iceberg_table('lake', 't')"))
@@ -319,7 +333,7 @@ object DevFuzzIceberg {
           if (evolved) "INSERT INTO lake.t VALUES (999999, 'local', 0.0, 1)"
           else "INSERT INTO lake.t VALUES (999999, 'local', 0.0)"))
         addSnapshot()
-        writeTree(conf, loc, 2, fields, tree,
+        writeTree(conf, loc, 2, fields, tree.drop(expired),
           specFields = specFields, partAvroTypes = partAvroTypes)
         val refused =
           try { e.executeNonQuery(graft.params.SqlStatement(

@@ -1323,11 +1323,22 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     if (!declaredSchema(schema, table).contains(pinSchema))
       writeString(new Path(dir, "_table_schema.json"), pinSchema.json)
     writeCommits(schema, table, commits ++ snaps, gen)
+    // prune the reuse map to the NEW TIP's manifest set: a foreign
+    // manifest absent from the current snapshot never returns (lists
+    // are complete per snapshot; rollbacks refuse above), so dropped
+    // entries only bound the map — compaction churn on the source
+    // must not grow _iceberg_source forever
+    val tipManifests: Set[(String, Option[Long])] =
+      IcebergInterop.readManifestList(spark.sparkContext.hadoopConfiguration,
+        iceResolver(dir, loc, meta.location)(fresh.last.manifestList))
+        .map(m => (m.path, m.seq)).toSet
     writeIcebergSource(dir, locStr, (imported ++ fresh.map(_.id)).toSeq.sorted,
       meta.specFields,
       seqs = readIcebergSeqs(dir) ++
         line.flatMap(s => s.seq.map(s.id -> _)).toMap,
-      manifests = manifestReuse.toMap, manifestSchemaHash = decodeHash)
+      manifests = manifestReuse.toMap.view
+        .filterKeys(tipManifests.contains).toMap,
+      manifestSchemaHash = decodeHash)
     fresh.size.toLong
   }
 

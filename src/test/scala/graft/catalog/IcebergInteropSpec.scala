@@ -388,6 +388,15 @@ class IcebergInteropSpec extends SparkSpec {
     val contents = e.query(SqlStatement(
       "SELECT content FROM lake.\"t$files\"")).as[Int].collect().toSeq
     assert(contents.count(_ == 2) === 2 && contents.count(_ == 0) === 3)
+    // CDC over the attached table: imported equality deletes surface as
+    // row-level retractions attributed to their commit, appends as
+    // inserts — the changelog a downstream pipeline tails
+    val ch = e.catalog.readChanges("lake", "t", 9001L, 9003L)
+      .select("id", "_change_type", "_commit_snapshot_id")
+      .as[(Long, String, Long)].collect().toSet
+    assert(ch === Set(
+      (11L, "insert", 9002L), (12L, "insert", 9002L), (2L, "delete", 9002L),
+      (21L, "insert", 9003L), (12L, "delete", 9003L)))
   }
 
   test("equality deletes: refresh reuses carried delete dirs; new deletes arrive") {
