@@ -993,10 +993,9 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     // entries and a 10⁶-file × 100-snapshot registration writes 10⁸
     // entry copies (measured 0.22 → 0.095 s/snapshot even at 64×64
     // before the fix; linear in DISTINCT manifests after)
-    val graftManMemo = manifestReuse
     def writeGraftManifests(mans: Seq[IcebergInterop.IceManifest]): Seq[String] =
       mans.flatMap { m =>
-        graftManMemo.getOrElseUpdate((m.path, m.seq),
+        manifestReuse.getOrElseUpdate((m.path, m.seq),
           writeManifests(dir, decodeDataManifests(Seq(m)).map(_._1)))
       }
     // every main-line snapshot, oldest-first by sequence — the
@@ -1140,10 +1139,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
             val resolved = resolve(del.path)
             // deterministic name: a later refresh re-listing this
             // carried file reuses the dir instead of re-writing it
-            val digest = java.security.MessageDigest.getInstance("SHA-1")
-              .digest(resolved.toUri.toString.getBytes("UTF-8"))
-              .map("%02x".format(_)).mkString.take(16)
-            val delDir = s"eqdel-import-$digest"
+            val delDir = s"eqdel-import-${sha1Hex(resolved.toUri.toString).take(16)}"
             val target = new Path(dir, delDir)
             // a crashed earlier sync may have left a half-committed dir:
             // only a _SUCCESS-marked write is reusable — anything else
@@ -1230,10 +1226,11 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       val relevant = kept.select("file_path").distinct()
         .collect().map(_.getString(0)).sorted
       if (relevant.isEmpty) return None // addresses nothing live
-      val digest = java.security.MessageDigest.getInstance("SHA-1")
-        .digest((files.map(_.toString).sorted ++ relevant)
-          .mkString("\n").getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(16)
+      // NUL between the two lists: without a boundary, (files=[A],
+      // relevant=[B,C]) and (files=[A,B], relevant=[C]) would hash
+      // identically and the second state would reuse the first's dir
+      val digest = sha1Hex(files.map(_.toString).sorted.mkString("\n") +
+        "\u0000" + relevant.mkString("\n")).take(16)
       val dirName = s"delete-import-$digest"
       val target = new Path(dir, dirName)
       // only a _SUCCESS-marked earlier write is reusable (a crashed
@@ -1313,8 +1310,9 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     // writes
     val decodeHash = icebergDecodeHash(pinSchema, meta.specFields)
     val manifestReuse = readIcebergManifestReuse(dir, decodeHash)
+    val storedSeqs = readIcebergSeqs(dir)
     val snaps = convertIcebergSnapshots(dir, loc, meta, fresh, prevAt, pinSchema,
-      priorCommits = commits, storedSeqs = readIcebergSeqs(dir),
+      priorCommits = commits, storedSeqs = storedSeqs,
       manifestReuse = manifestReuse)
     // foreign schema evolution between syncs: the source's CURRENT
     // schema becomes the declared schema (new snapshots' files carry the
@@ -1322,20 +1320,27 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     // conformance path — same as a local ADD COLUMN)
     if (!declaredSchema(schema, table).contains(pinSchema))
       writeString(new Path(dir, "_table_schema.json"), pinSchema.json)
-    writeCommits(schema, table, commits ++ snaps, gen)
     // prune the reuse map to the NEW TIP's manifest set: a foreign
     // manifest absent from the current snapshot never returns (lists
     // are complete per snapshot; rollbacks refuse above), so dropped
     // entries only bound the map — compaction churn on the source
-    // must not grow _iceberg_source forever
+    // must not grow _iceberg_source forever. Read BEFORE writeCommits:
+    // a transient store failure here must leave the table exactly as
+    // it was, never half-synced (commits written, imported set not)
     val tipManifests: Set[(String, Option[Long])] =
       IcebergInterop.readManifestList(spark.sparkContext.hadoopConfiguration,
         iceResolver(dir, loc, meta.location)(fresh.last.manifestList))
         .map(m => (m.path, m.seq)).toSet
+    // ... and the seqs map prunes to ids still in the graft log or on
+    // the line — entries for snapshots expired from BOTH are garbage
+    val keepIds = (commits ++ snaps).map(_.snapshotId).toSet ++ lineIds
+    val prunedSeqs = (storedSeqs ++
+      line.flatMap(s => s.seq.map(s.id -> _)).toMap)
+      .view.filterKeys(keepIds).toMap
+    writeCommits(schema, table, commits ++ snaps, gen)
     writeIcebergSource(dir, locStr, (imported ++ fresh.map(_.id)).toSeq.sorted,
       meta.specFields,
-      seqs = readIcebergSeqs(dir) ++
-        line.flatMap(s => s.seq.map(s.id -> _)).toMap,
+      seqs = prunedSeqs,
       manifests = manifestReuse.toMap.view
         .filterKeys(tipManifests.contains).toMap,
       manifestSchemaHash = decodeHash)
@@ -1708,9 +1713,11 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     */
   private def icebergDecodeHash(pinSchema: StructType,
                                 spec: Seq[IcebergInterop.IceSpecField]): String =
+    sha1Hex(pinSchema.json + "|" + spec.mkString(","))
+
+  private def sha1Hex(s: String): String =
     java.security.MessageDigest.getInstance("SHA-1")
-      .digest((pinSchema.json + "|" + spec.mkString(",")).getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   /** The FOREIGN partition spec recorded when an Iceberg table was
     * attached (field name, transform, source field id) — observability

@@ -125,17 +125,24 @@ object ResultMapper {
         case t: java.sql.Timestamp => t.toInstant.atZone(java.time.ZoneOffset.UTC)
         case i: java.time.Instant  => i.atZone(java.time.ZoneOffset.UTC)
         case z: java.time.ZonedDateTime => z
+        case s: String => java.time.ZonedDateTime.parse(s)
         case other => incoercible(other, "ZonedDateTime")
       }
+      // a host session with spark.sql.datetime.java8API.enabled collects
+      // TimestampType as Instant instead of java.sql.Timestamp — both
+      // shapes coerce
       else if (c == classOf[java.time.LocalDateTime]) v match {
         case l: java.time.LocalDateTime => l // TimestampNTZ collects as this
         case t: java.sql.Timestamp =>
           t.toInstant.atOffset(java.time.ZoneOffset.UTC).toLocalDateTime
+        case i: java.time.Instant =>
+          i.atOffset(java.time.ZoneOffset.UTC).toLocalDateTime
         case other => incoercible(other, "LocalDateTime")
       }
       else if (c == classOf[java.time.LocalDate]) v match {
         case d: java.sql.Date       => d.toLocalDate
         case l: java.time.LocalDate => l
+        case s: String => java.time.LocalDate.parse(s)
         case other => incoercible(other, "LocalDate")
       }
       else if (c == classOf[BigDecimal]) v match {
