@@ -260,7 +260,8 @@ object IcebergFixture {
                    snapshots: Seq[(SnapRef, Path)],
                    currentSnapshotId: Long,
                    properties: Map[String, String] = Map.empty,
-                   specFields: Seq[(String, String, Int)] = Nil): String = {
+                   specFields: Seq[(String, String, Int)] = Nil,
+                   tagRefs: Map[String, Long] = Map.empty): String = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = m.createObjectNode()
     root.put("format-version", formatVersion)
@@ -302,6 +303,16 @@ object IcebergFixture {
     val propsNode = root.putObject("properties")
     properties.toSeq.sortBy(_._1).foreach { case (k, v) => propsNode.put(k, v) }
     root.put("current-snapshot-id", currentSnapshotId)
+    if (tagRefs.nonEmpty || snapshots.nonEmpty) {
+      val refs = root.putObject("refs")
+      val mainRef = refs.putObject("main")
+      mainRef.put("snapshot-id", currentSnapshotId)
+      mainRef.put("type", "branch")
+      tagRefs.toSeq.sortBy(_._1).foreach { case (name, sid) =>
+        val r = refs.putObject(name)
+        r.put("snapshot-id", sid); r.put("type", "tag")
+      }
+    }
     val sn = root.putArray("snapshots")
     snapshots.zipWithIndex.foreach { case ((s, mlPath), i) =>
       val o = sn.addObject()
@@ -332,10 +343,11 @@ object IcebergFixture {
                 fields: Seq[(Int, String, String)],
                 snapshots: Seq[SnapRef],
                 specFields: Seq[(String, String, Int)] = Nil,
-                partAvroTypes: Seq[(String, String)] = Nil): Path =
+                partAvroTypes: Seq[(String, String)] = Nil,
+                tagRefs: Map[String, Long] = Map.empty): Path =
     writeTreeWithCurrent(conf, location, fields, snapshots,
       snapshots.last.id, formatVersion, specFields = specFields,
-      partAvroTypes = partAvroTypes)
+      partAvroTypes = partAvroTypes, tagRefs = tagRefs)
 
   /** [[writeTree]] with an explicit current-snapshot-id — fabricates the
     * staged-snapshot (WAP) / rollback shapes where the list holds
@@ -347,7 +359,8 @@ object IcebergFixture {
                            formatVersion: Int = 2,
                            properties: Map[String, String] = Map.empty,
                            specFields: Seq[(String, String, Int)] = Nil,
-                           partAvroTypes: Seq[(String, String)] = Nil): Path = {
+                           partAvroTypes: Seq[(String, String)] = Nil,
+                           tagRefs: Map[String, Long] = Map.empty): Path = {
     val mdir = new Path(location, "metadata")
     val withLists = snapshots.zipWithIndex.map { case (s, i) =>
       val seq = s.seq.getOrElse(i + 1L)
@@ -367,7 +380,7 @@ object IcebergFixture {
       (s, writeManifestListSeq(conf, mdir, s.id, mans))
     }
     val json = metadataJson(formatVersion, location.toUri.toString, fields,
-      withLists, currentId, properties, specFields)
+      withLists, currentId, properties, specFields, tagRefs)
     val mp = new Path(mdir, "v1.metadata.json")
     val fs = mp.getFileSystem(conf)
     val out = fs.create(mp, true)

@@ -113,7 +113,8 @@ object IcebergInterop {
                            schema: StructType, fields: Seq[IceField],
                            snapshots: Seq[IceSnapshot],
                            currentSnapshotId: Option[Long],
-                           specFields: Seq[IceSpecField] = Nil)
+                           specFields: Seq[IceSpecField] = Nil,
+                           tags: Map[String, Long] = Map.empty)
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -208,7 +209,15 @@ object IcebergInterop {
           IceSpecField(f.get("name").asText, f.get("transform").asText,
             f.get("source-id").asInt)
         }
-    IceMeta(fv, location, struct, fields, snaps, current, specFields)
+    // named refs (spec §Table Metadata `refs`): TAGS import as graft
+    // tags when they pin a main-line snapshot; branches other than
+    // `main` reference off-line ancestry the import does not carry
+    val tags: Map[String, Long] = Option(root.get("refs")).toSeq
+      .flatMap(_.fields().asScala).collect {
+        case e if Option(e.getValue.get("type")).exists(_.asText == "tag") =>
+          e.getKey -> e.getValue.get("snapshot-id").asLong
+      }.toMap
+    IceMeta(fv, location, struct, fields, snaps, current, specFields, tags)
   }
 
   /** The MAIN-LINE history: the parent chain walked back from the

@@ -843,11 +843,14 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       // graft commit mints sequential ids adjacent to the imported ones,
       // so "which snapshots came from Iceberg" cannot be recovered from
       // the log alone
+      val mirroredTags = syncIcebergTags(schema, table, meta.tags,
+        ordered.map(_.id).toSet, Set.empty)
       writeIcebergSource(dir, f.makeQualified(loc).toUri.toString,
         ordered.map(_.id), meta.specFields,
         seqs = ordered.flatMap(s => s.seq.map(s.id -> _)).toMap,
         manifests = manifestReuse.toMap,
-        manifestSchemaHash = icebergDecodeHash(tableSchema, meta.specFields))
+        manifestSchemaHash = icebergDecodeHash(tableSchema, meta.specFields),
+        tagNames = mirroredTags.toSeq)
     } catch {
       case scala.util.control.NonFatal(ex) =>
         // never leave a half-registered table behind
@@ -1293,7 +1296,14 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           "(drop and re-register)")
     }
     val fresh = line.filterNot(s => imported.contains(s.id))
-    if (fresh.isEmpty) return 0L
+    if (fresh.isEmpty) {
+      // no new snapshots, but the source's TAGS may still have moved —
+      // mirror them (a tag-only change costs one local tag-file write)
+      val mirroredTags = syncIcebergTags(schema, table, meta.tags,
+        imported, readIcebergTagNames(dir))
+      rewriteIcebergTags(dir, mirroredTags.toSeq)
+      return 0L
+    }
     // the column-resolution mode from registration: the id-carrying
     // schema if the declared one has ids; otherwise re-run the footer
     // sampling — a name-mode tree that evolved by rename since the last
@@ -1338,12 +1348,15 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       line.flatMap(s => s.seq.map(s.id -> _)).toMap)
       .view.filterKeys(keepIds).toMap
     writeCommits(schema, table, commits ++ snaps, gen)
+    val mirroredTags = syncIcebergTags(schema, table, meta.tags,
+      (imported ++ fresh.map(_.id)).toSet, readIcebergTagNames(dir))
     writeIcebergSource(dir, locStr, (imported ++ fresh.map(_.id)).toSeq.sorted,
       meta.specFields,
       seqs = prunedSeqs,
       manifests = manifestReuse.toMap.view
         .filterKeys(tipManifests.contains).toMap,
-      manifestSchemaHash = decodeHash)
+      manifestSchemaHash = decodeHash,
+      tagNames = mirroredTags.toSeq)
     fresh.size.toLong
   }
 
@@ -1626,7 +1639,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
                                  seqs: Map[Long, Long] = Map.empty,
                                  manifests: Map[(String, Option[Long]), Seq[String]] =
                                    Map.empty,
-                                 manifestSchemaHash: String = ""): Unit = {
+                                 manifestSchemaHash: String = "",
+                                 tagNames: Seq[String] = Nil): Unit = {
     val o = mapper.createObjectNode()
     o.put("location", location)
     val arr = o.putArray("imported")
@@ -1648,6 +1662,12 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       seqs.toSeq.sorted.foreach { case (id, seq) =>
         val n = sq.addObject(); n.put("id", id); n.put("seq", seq)
       }
+    }
+    // tag names MIRRORED from the source's refs — the sync reconciles
+    // only these, never a locally-created tag
+    if (tagNames.nonEmpty) {
+      val ta = o.putArray("tags")
+      tagNames.sorted.foreach(ta.add)
     }
     // foreign manifest → graft manifest names, keyed by the schema
     // fingerprint it was decoded under: a refresh that re-lists a
@@ -1672,6 +1692,64 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val root = mapper.readTree(readString(new Path(dir, "_iceberg_source")))
     (root.get("location").asText,
       root.get("imported").elements.asScala.map(_.asLong).toSet)
+  }
+
+  /** Replace ONLY the mirrored-tags array in `_iceberg_source`,
+    * preserving every other recorded field — the tags-only sync path.
+    */
+  private def rewriteIcebergTags(dir: Path, tagNames: Seq[String]): Unit = {
+    val p = new Path(dir, "_iceberg_source")
+    val root = mapper.readTree(readString(p))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    root.remove("tags")
+    if (tagNames.nonEmpty) {
+      val ta = root.putArray("tags")
+      tagNames.sorted.foreach(ta.add)
+    }
+    writeString(p, mapper.writeValueAsString(root))
+  }
+
+  /** Tag names the attachment mirrors from the source's `refs`. */
+  private def readIcebergTagNames(dir: Path): Set[String] = {
+    val root = mapper.readTree(readString(new Path(dir, "_iceberg_source")))
+    Option(root.get("tags")).toSeq.flatMap(_.elements.asScala)
+      .map(_.asText).toSet
+  }
+
+  /** Mirror the source's TAGS onto the graft tag set: tags pinning an
+    * imported main-line snapshot are created; a moved tag follows; a
+    * tag the source dropped drops here — but ONLY over the names this
+    * attachment recorded as mirrored ([[writeIcebergSource]] `tags`),
+    * so locally-created tags are never touched. A source tag pinning a
+    * NON-imported snapshot (staged/rolled-back ancestry) is skipped —
+    * it has no graft snapshot to pin. A source tag colliding with a
+    * LOCAL tag name refuses loudly (mirroring it would silently move a
+    * user's pin). Returns the new mirrored-name set.
+    */
+  private def syncIcebergTags(schema: String, table: String,
+                              sourceTags: Map[String, Long],
+                              importedIds: Set[Long],
+                              mirrored: Set[String]): Set[String] = {
+    val portable = sourceTags.filter { case (_, sid) => importedIds(sid) }
+    val existing = listTags(schema, table)
+    portable.foreach { case (name, sid) =>
+      existing.get(name) match {
+        case None => createTag(schema, table, name, Some(sid))
+        case Some(snap) if mirrored(name) && snap.snapshotId != sid =>
+          dropTag(schema, table, name) // the source re-pointed the tag
+          createTag(schema, table, name, Some(sid))
+        case Some(snap) if !mirrored(name) =>
+          require(snap.snapshotId == sid,
+            s"Source tag '$name' collides with a local tag on " +
+              s"$schema.$table pinning a different snapshot — rename one")
+        case _ => () // already mirrored at the right snapshot
+      }
+    }
+    // tags the source dropped (or re-pointed off the imported line)
+    (mirrored -- portable.keySet).foreach { name =>
+      if (listTags(schema, table).contains(name)) dropTag(schema, table, name)
+    }
+    portable.keySet
   }
 
   /** The recorded imported-id → sequence-number map ([[writeIcebergSource]]);

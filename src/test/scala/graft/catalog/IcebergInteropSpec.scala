@@ -448,6 +448,55 @@ class IcebergInteropSpec extends SparkSpec {
     assert(before.last.eqDeletes.toSet.subsetOf(after.last.eqDeletes.toSet))
   }
 
+  test("foreign TAGS mirror onto graft tags: create, follow a re-point, drop") {
+    import IcebergFixture._
+    val loc = new Path(tmpDir("ice-tags"))
+    val f1 = new Path(loc, "data/f1.parquet")
+    val f2 = new Path(loc, "data/f2.parquet")
+    val b1 = writeParquet(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), f1)
+    val b2 = writeParquet(Seq((11L, "x")).toDF("id", "name"), f2)
+    val fr1 = FileRef(f1.toUri.toString, 2L, b1, Map.empty)
+    val fr2 = FileRef(f2.toUri.toString, 1L, b2, Map.empty)
+    val fields = Seq((1, "id", "long"), (2, "name", "string"))
+    def tree(tags: Map[String, Long], snaps: Int = 2): Unit =
+      IcebergFixture.writeTree(conf, loc, 2, fields,
+        Seq(SnapRef(9001L, 1700000000000L, Seq(fr1)),
+          SnapRef(9002L, 1700000100000L, Seq(fr1, fr2)),
+          SnapRef(9003L, 1700000200000L, Seq(fr1, fr2))).take(snaps),
+        tagRefs = tags)
+    tree(Map("v1" -> 9001L))
+    val e = engine("ice-tags-wh")
+    e.executeNonQuery(SqlStatement("CREATE SCHEMA lake"))
+    e.executeNonQuery(SqlStatement(
+      s"CALL system.register_iceberg_table('lake', 't', '${loc.toUri}')"))
+    // the foreign tag reads through the graft ref surface
+    assert(e.query(SqlStatement(
+      "SELECT count(*) AS n FROM lake.t FOR VERSION AS OF 'v1'"))
+      .as[Long].head() === 2L)
+    // a LOCAL tag the sync must never touch
+    e.catalog.createTag("lake", "t", "mine", Some(9001L))
+    // tags-only foreign change: v1 re-points, v2 arrives — synced=0
+    // snapshots but the tag set mirrors
+    tree(Map("v1" -> 9002L, "v2" -> 9001L))
+    assert(e.executeNonQuery(SqlStatement(
+      "CALL system.refresh_iceberg_table('lake', 't')")) === 0L)
+    assert(e.query(SqlStatement(
+      "SELECT count(*) AS n FROM lake.t FOR VERSION AS OF 'v1'"))
+      .as[Long].head() === 3L)
+    assert(e.query(SqlStatement(
+      "SELECT count(*) AS n FROM lake.t FOR VERSION AS OF 'v2'"))
+      .as[Long].head() === 2L)
+    // the source drops v2 and commits a snapshot; the mirror follows,
+    // the local tag survives
+    tree(Map("v1" -> 9002L), snaps = 3)
+    assert(e.executeNonQuery(SqlStatement(
+      "CALL system.refresh_iceberg_table('lake', 't')")) === 1L)
+    assert(e.catalog.listTags("lake", "t").keySet === Set("v1", "mine"))
+    assert(e.query(SqlStatement(
+      "SELECT count(*) AS n FROM lake.t FOR VERSION AS OF 'mine'"))
+      .as[Long].head() === 2L)
+  }
+
   test("foreign snapshot EXPIRY keeps carried equality deletes scoped (recorded seqs)") {
     import IcebergFixture._
     val loc = buildEqDeleteTree("ice-eqdel-expire")
