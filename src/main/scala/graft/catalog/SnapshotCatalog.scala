@@ -1579,7 +1579,11 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     }.mkString("[", ", ", "]")
     IcebergFixture.writeTreeWithCurrent(conf, new Path(location), fields,
       snapRefs, commits.last.snapshotId, formatVersion = 2,
-      properties = Map("schema.name-mapping.default" -> mapping))
+      properties = Map("schema.name-mapping.default" -> mapping),
+      // graft TAGS export as Iceberg `refs` tags — the mirror of the
+      // import side, so a round trip keeps the pinned names readable
+      tagRefs = listTags(schema, table).map { case (n, s) =>
+        n -> s.snapshotId })
     commits.size.toLong
   }
 

@@ -94,6 +94,8 @@ class IcebergExportSpec extends SparkSpec {
     assert(e.query(SqlStatement("SELECT id, v FROM src.mor"))
       .as[(Long, String)].collect().toSet ===
       Set((2L, "b2"), (3L, "c"), (4L, "d")))
+    e.catalog.createTag("src", "mor", "pinned",
+      Some(e.catalog.snapshots("src", "mor").head.snapshotId))
     val loc = new Path(tmpDir("ice-exp-del-tree"))
     e.executeNonQuery(SqlStatement(
       s"CALL system.export_iceberg_table('src', 'mor', '${loc.toUri}')"))
@@ -101,6 +103,10 @@ class IcebergExportSpec extends SparkSpec {
     e.executeNonQuery(SqlStatement("CREATE SCHEMA lake"))
     e.executeNonQuery(SqlStatement(
       s"CALL system.register_iceberg_table('lake', 'back', '${loc.toUri}')"))
+    // ...and a graft tag rode the export as an Iceberg ref
+    assert(e.catalog.listTags("lake", "back").get("pinned")
+      .map(_.snapshotId) === e.catalog.listTags("src", "mor").get("pinned")
+      .map(_.snapshotId))
     e.catalog.snapshots("src", "mor").map(_.snapshotId).foreach { id =>
       val a = e.query(SqlStatement(
         s"SELECT id, v FROM src.mor FOR VERSION AS OF $id"))
