@@ -261,7 +261,8 @@ object IcebergFixture {
                    currentSnapshotId: Long,
                    properties: Map[String, String] = Map.empty,
                    specFields: Seq[(String, String, Int)] = Nil,
-                   tagRefs: Map[String, Long] = Map.empty): String = {
+                   tagRefs: Map[String, Long] = Map.empty,
+                   branchRefs: Map[String, Long] = Map.empty): String = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = m.createObjectNode()
     root.put("format-version", formatVersion)
@@ -312,6 +313,10 @@ object IcebergFixture {
         val r = refs.putObject(name)
         r.put("snapshot-id", sid); r.put("type", "tag")
       }
+      branchRefs.toSeq.sortBy(_._1).foreach { case (name, sid) =>
+        val r = refs.putObject(name)
+        r.put("snapshot-id", sid); r.put("type", "branch")
+      }
     }
     val sn = root.putArray("snapshots")
     snapshots.zipWithIndex.foreach { case ((s, mlPath), i) =>
@@ -344,10 +349,12 @@ object IcebergFixture {
                 snapshots: Seq[SnapRef],
                 specFields: Seq[(String, String, Int)] = Nil,
                 partAvroTypes: Seq[(String, String)] = Nil,
-                tagRefs: Map[String, Long] = Map.empty): Path =
+                tagRefs: Map[String, Long] = Map.empty,
+                branchRefs: Map[String, Long] = Map.empty): Path =
     writeTreeWithCurrent(conf, location, fields, snapshots,
       snapshots.last.id, formatVersion, specFields = specFields,
-      partAvroTypes = partAvroTypes, tagRefs = tagRefs)
+      partAvroTypes = partAvroTypes, tagRefs = tagRefs,
+      branchRefs = branchRefs)
 
   /** [[writeTree]] with an explicit current-snapshot-id — fabricates the
     * staged-snapshot (WAP) / rollback shapes where the list holds
@@ -360,7 +367,8 @@ object IcebergFixture {
                            properties: Map[String, String] = Map.empty,
                            specFields: Seq[(String, String, Int)] = Nil,
                            partAvroTypes: Seq[(String, String)] = Nil,
-                           tagRefs: Map[String, Long] = Map.empty): Path = {
+                           tagRefs: Map[String, Long] = Map.empty,
+                           branchRefs: Map[String, Long] = Map.empty): Path = {
     val mdir = new Path(location, "metadata")
     val withLists = snapshots.zipWithIndex.map { case (s, i) =>
       val seq = s.seq.getOrElse(i + 1L)
@@ -380,7 +388,7 @@ object IcebergFixture {
       (s, writeManifestListSeq(conf, mdir, s.id, mans))
     }
     val json = metadataJson(formatVersion, location.toUri.toString, fields,
-      withLists, currentId, properties, specFields, tagRefs)
+      withLists, currentId, properties, specFields, tagRefs, branchRefs)
     val mp = new Path(mdir, "v1.metadata.json")
     val fs = mp.getFileSystem(conf)
     val out = fs.create(mp, true)

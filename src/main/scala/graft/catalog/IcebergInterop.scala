@@ -114,7 +114,8 @@ object IcebergInterop {
                            snapshots: Seq[IceSnapshot],
                            currentSnapshotId: Option[Long],
                            specFields: Seq[IceSpecField] = Nil,
-                           tags: Map[String, Long] = Map.empty)
+                           tags: Map[String, Long] = Map.empty,
+                           branches: Map[String, Long] = Map.empty)
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -210,14 +211,19 @@ object IcebergInterop {
             f.get("source-id").asInt)
         }
     // named refs (spec §Table Metadata `refs`): TAGS import as graft
-    // tags when they pin a main-line snapshot; branches other than
-    // `main` reference off-line ancestry the import does not carry
-    val tags: Map[String, Long] = Option(root.get("refs")).toSeq
-      .flatMap(_.fields().asScala).collect {
-        case e if Option(e.getValue.get("type")).exists(_.asText == "tag") =>
-          e.getKey -> e.getValue.get("snapshot-id").asLong
-      }.toMap
-    IceMeta(fv, location, struct, fields, snaps, current, specFields, tags)
+    // tags when they pin a main-line snapshot; BRANCHES (other than
+    // `main`, which IS the main line) mirror as graft branches — their
+    // off-main ancestry converts onto per-ref commit logs
+    val refEntries = Option(root.get("refs")).toSeq
+      .flatMap(_.fields().asScala)
+      .map(e => (e.getKey,
+        Option(e.getValue.get("type")).map(_.asText).getOrElse("branch"),
+        e.getValue.get("snapshot-id").asLong))
+    val tags = refEntries.collect { case (n, "tag", sid) => n -> sid }.toMap
+    val branches = refEntries.collect {
+      case (n, "branch", sid) if n != "main" => n -> sid }.toMap
+    IceMeta(fv, location, struct, fields, snaps, current, specFields, tags,
+      branches)
   }
 
   /** The MAIN-LINE history: the parent chain walked back from the
@@ -247,6 +253,21 @@ object IcebergInterop {
       val ordered = meta.snapshots.sortBy(s => (s.timestampMs, s.id))
       ordered.takeWhile(s => s.id != cur.id) :+ cur
     }
+  }
+
+  /** A BRANCH ref's ancestry, root-first: the parent chain walked back
+    * from `headId` until it leaves the snapshots list (expired
+    * ancestor) or ends. The caller splits it at the main-line fork.
+    */
+  def branchChain(meta: IceMeta, headId: Long): Seq[IceSnapshot] = {
+    val byId = meta.snapshots.map(s => s.id -> s).toMap
+    val chain = scala.collection.mutable.ArrayBuffer.empty[IceSnapshot]
+    var cur = byId.get(headId)
+    while (cur.isDefined) {
+      chain += cur.get
+      cur = cur.get.parentId.flatMap(byId.get)
+    }
+    chain.reverse.toSeq
   }
 
   /** Iceberg JSON type → Spark DataType. Primitives per spec §Schemas;

@@ -845,12 +845,16 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       // the log alone
       val mirroredTags = syncIcebergTags(schema, table, meta.tags,
         ordered.map(_.id).toSet, Set.empty)
+      val regSeqs = ordered.flatMap(s => s.seq.map(s.id -> _)).toMap
+      val mirroredBranches = syncIcebergBranches(schema, table, dir, loc,
+        meta, tableSchema, regSeqs, manifestReuse, Map.empty)
       writeIcebergSource(dir, f.makeQualified(loc).toUri.toString,
         ordered.map(_.id), meta.specFields,
-        seqs = ordered.flatMap(s => s.seq.map(s.id -> _)).toMap,
+        seqs = regSeqs,
         manifests = manifestReuse.toMap,
         manifestSchemaHash = icebergDecodeHash(tableSchema, meta.specFields),
-        tagNames = mirroredTags.toSeq)
+        tagNames = mirroredTags.toSeq,
+        branchHeads = mirroredBranches)
     } catch {
       case scala.util.control.NonFatal(ex) =>
         // never leave a half-registered table behind
@@ -947,7 +951,9 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
                                       storedSeqs: Map[Long, Long] = Map.empty,
                                       manifestReuse: scala.collection.mutable.Map[
                                         (String, Option[Long]), Seq[String]] =
-                                        scala.collection.mutable.Map.empty)
+                                        scala.collection.mutable.Map.empty,
+                                      lineOverride: Option[Seq[IcebergInterop.IceSnapshot]] =
+                                        None)
       : Seq[Snapshot] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val resolve = iceResolver(dir, loc, meta.location)
@@ -1003,8 +1009,9 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       }
     // every main-line snapshot, oldest-first by sequence — the
     // equality-delete appliesTo search runs over the FULL line (a
-    // refresh's candidate may predate the fresh slice)
-    val lineAll = IcebergInterop.mainLine(meta)
+    // refresh's candidate may predate the fresh slice); a BRANCH
+    // conversion overrides it with the branch's own ancestry
+    val lineAll = lineOverride.getOrElse(IcebergInterop.mainLine(meta))
     val eqImports = scala.collection.mutable.Map.empty[String, EqDelete]
     ordered.map { s =>
       val manifests = IcebergInterop.readManifestList(conf, resolve(s.manifestList))
@@ -1297,11 +1304,27 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     }
     val fresh = line.filterNot(s => imported.contains(s.id))
     if (fresh.isEmpty) {
-      // no new snapshots, but the source's TAGS may still have moved —
-      // mirror them (a tag-only change costs one local tag-file write)
+      // no new snapshots on MAIN, but the source's refs may still have
+      // moved — tags re-point, and a BRANCH can advance without main
       val mirroredTags = syncIcebergTags(schema, table, meta.tags,
         imported, readIcebergTagNames(dir))
-      rewriteIcebergTags(dir, mirroredTags.toSeq)
+      val storedBranches = readIcebergBranchHeads(dir)
+      val mirroredBranches =
+        if (meta.branches.isEmpty && storedBranches.isEmpty)
+          Map.empty[String, Long]
+        else {
+          val useIds0 = declaredSchema(schema, table).exists(_.fields.exists(
+            _.metadata.contains(IcebergInterop.FieldIdKey)))
+          val pin = if (useIds0) meta.schema
+            else icebergReadSchema(dir, loc, meta, line)
+          syncIcebergBranches(schema, table, dir, loc, meta, pin,
+            readIcebergSeqs(dir) ++
+              line.flatMap(s => s.seq.map(s.id -> _)).toMap,
+            readIcebergManifestReuse(dir,
+              icebergDecodeHash(pin, meta.specFields)),
+            storedBranches)
+        }
+      rewriteIcebergRefs(dir, mirroredTags.toSeq, mirroredBranches)
       return 0L
     }
     // the column-resolution mode from registration: the id-carrying
@@ -1350,13 +1373,20 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     writeCommits(schema, table, commits ++ snaps, gen)
     val mirroredTags = syncIcebergTags(schema, table, meta.tags,
       (imported ++ fresh.map(_.id)).toSet, readIcebergTagNames(dir))
+    // record the MAIN sync before the branch mirror (which reads the
+    // foreign store again): a failure there must leave a fully-synced
+    // main, not a table whose next refresh refuses as diverged
     writeIcebergSource(dir, locStr, (imported ++ fresh.map(_.id)).toSeq.sorted,
       meta.specFields,
       seqs = prunedSeqs,
       manifests = manifestReuse.toMap.view
         .filterKeys(tipManifests.contains).toMap,
       manifestSchemaHash = decodeHash,
-      tagNames = mirroredTags.toSeq)
+      tagNames = mirroredTags.toSeq,
+      branchHeads = readIcebergBranchHeads(dir))
+    val mirroredBranches = syncIcebergBranches(schema, table, dir, loc, meta,
+      pinSchema, prunedSeqs, manifestReuse, readIcebergBranchHeads(dir))
+    rewriteIcebergRefs(dir, mirroredTags.toSeq, mirroredBranches)
     fresh.size.toLong
   }
 
@@ -1644,7 +1674,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
                                  manifests: Map[(String, Option[Long]), Seq[String]] =
                                    Map.empty,
                                  manifestSchemaHash: String = "",
-                                 tagNames: Seq[String] = Nil): Unit = {
+                                 tagNames: Seq[String] = Nil,
+                                 branchHeads: Map[String, Long] = Map.empty): Unit = {
     val o = mapper.createObjectNode()
     o.put("location", location)
     val arr = o.putArray("imported")
@@ -1673,6 +1704,14 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       val ta = o.putArray("tags")
       tagNames.sorted.foreach(ta.add)
     }
+    // branch name → foreign head id MIRRORED from the source's refs —
+    // same local-never-clobbered contract as tags
+    if (branchHeads.nonEmpty) {
+      val ba = o.putArray("branches")
+      branchHeads.toSeq.sortBy(_._1).foreach { case (n, h) =>
+        val b = ba.addObject(); b.put("name", n); b.put("head", h)
+      }
+    }
     // foreign manifest → graft manifest names, keyed by the schema
     // fingerprint it was decoded under: a refresh that re-lists a
     // carried manifest reuses the written graft manifests instead of
@@ -1698,10 +1737,12 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       root.get("imported").elements.asScala.map(_.asLong).toSet)
   }
 
-  /** Replace ONLY the mirrored-tags array in `_iceberg_source`,
-    * preserving every other recorded field — the tags-only sync path.
+  /** Replace ONLY the mirrored-refs fields (tags, branch heads) in
+    * `_iceberg_source`, preserving every other recorded field — the
+    * refs-only sync path (no new snapshots).
     */
-  private def rewriteIcebergTags(dir: Path, tagNames: Seq[String]): Unit = {
+  private def rewriteIcebergRefs(dir: Path, tagNames: Seq[String],
+                                 branchHeads: Map[String, Long]): Unit = {
     val p = new Path(dir, "_iceberg_source")
     val root = mapper.readTree(readString(p))
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
@@ -1709,6 +1750,13 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     if (tagNames.nonEmpty) {
       val ta = root.putArray("tags")
       tagNames.sorted.foreach(ta.add)
+    }
+    root.remove("branches")
+    if (branchHeads.nonEmpty) {
+      val ba = root.putArray("branches")
+      branchHeads.toSeq.sortBy(_._1).foreach { case (n, h) =>
+        val b = ba.addObject(); b.put("name", n); b.put("head", h)
+      }
     }
     writeString(p, mapper.writeValueAsString(root))
   }
@@ -1718,6 +1766,13 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val root = mapper.readTree(readString(new Path(dir, "_iceberg_source")))
     Option(root.get("tags")).toSeq.flatMap(_.elements.asScala)
       .map(_.asText).toSet
+  }
+
+  /** Branch name → foreign head id the attachment mirrors. */
+  private def readIcebergBranchHeads(dir: Path): Map[String, Long] = {
+    val root = mapper.readTree(readString(new Path(dir, "_iceberg_source")))
+    Option(root.get("branches")).toSeq.flatMap(_.elements.asScala)
+      .map(n => n.get("name").asText -> n.get("head").asLong).toMap
   }
 
   /** Mirror the source's TAGS onto the graft tag set: tags pinning an
@@ -1754,6 +1809,100 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       if (listTags(schema, table).contains(name)) dropTag(schema, table, name)
     }
     portable.keySet
+  }
+
+  /** Mirror the source's BRANCHES (every `refs` entry of type branch
+    * except `main`, which IS the imported line) onto graft branch logs:
+    * each branch's ancestry walks back from its head, splits at the
+    * main-line fork, and the OFF-MAIN suffix converts onto a per-ref
+    * commit log seeded with the imported main prefix — so
+    * `FOR VERSION AS OF '<branch>'` and branch-scoped travel work like
+    * native branches. Reconciled only over the names this attachment
+    * recorded as mirrored: a LOCAL branch colliding with a source name
+    * refuses, local commits on a mirrored branch refuse the sync
+    * (one-way mirror, never clobber), a source-dropped branch drops
+    * here, and an advanced/rewritten source branch REBUILDS its log
+    * (conversion is manifest-reuse-memoized, so a rebuild costs the
+    * branch's own suffix, not the table). A branch whose fork point is
+    * no longer imported (expired past the fork) refuses loudly.
+    * Returns the new mirrored name → foreign-head map.
+    */
+  private def syncIcebergBranches(schema: String, table: String,
+      dir: Path, loc: Path, meta: IcebergInterop.IceMeta,
+      pinSchema: StructType, storedSeqs: Map[Long, Long],
+      manifestReuse: scala.collection.mutable.Map[(String, Option[Long]), Seq[String]],
+      mirrored: Map[String, Long]): Map[String, Long] = {
+    if (meta.branches.isEmpty && mirrored.isEmpty) return Map.empty
+    val mainCommits = readCommits(schema, table)
+    val mainIdx = mainCommits.map(_.snapshotId).zipWithIndex.toMap
+    val result = scala.collection.mutable.Map.empty[String, Long]
+    meta.branches.foreach { case (name, headId) =>
+      val localExists = branchExists(schema, table, name)
+      val recorded = mirrored.get(name)
+      val localHead =
+        if (localExists) branch(name).readCommits(schema, table)
+          .lastOption.map(_.snapshotId)
+        else None
+      if (localExists && localHead.contains(headId)) {
+        // already at the source head — including the crash window where
+        // a rebuilt branch was not yet recorded (self-heals here)
+        result(name) = headId
+      } else {
+        require(recorded.isDefined || !localExists,
+          s"Source branch '$name' collides with a local branch on " +
+            s"$schema.$table — rename one")
+        if (recorded.isDefined && localExists)
+          require(localHead == recorded,
+            s"Mirrored branch '$name' on $schema.$table has local commits " +
+              "— cannot sync over them (drop the branch to re-mirror)")
+        require(refNameOk(name),
+          s"Source branch name '$name' is not a valid ref name here — " +
+            "rename it at the source to mirror")
+        // head on the main line: a pure fast-forward shape — the branch
+        // log is the imported prefix, nothing to convert
+        val log: Seq[Snapshot] =
+          if (mainIdx.contains(headId)) mainCommits.take(mainIdx(headId) + 1)
+          else {
+            val chain = IcebergInterop.branchChain(meta, headId)
+            require(chain.nonEmpty,
+              s"Source branch '$name' heads at unknown snapshot $headId")
+            val (onMain, offMain) = chain.span(s => mainIdx.contains(s.id))
+            require(offMain.forall(s => !mainIdx.contains(s.id)),
+              s"Source branch '$name' ancestry interleaves the main " +
+                "line — cannot mirror")
+            val base = onMain.lastOption match {
+              case Some(fork) => mainCommits.take(mainIdx(fork.id) + 1)
+              case None =>
+                require(chain.head.parentId.isEmpty,
+                  s"Source branch '$name' forks below the imported " +
+                    "history (expired past the fork) — cannot mirror")
+                Nil // a root-grown branch: no shared prefix
+            }
+            val prevAt = base.lastOption.map(_.committedAtMillis).getOrElse(0L)
+            base ++ convertIcebergSnapshots(dir, loc, meta, offMain, prevAt,
+              pinSchema, priorCommits = base, storedSeqs = storedSeqs,
+              manifestReuse = manifestReuse, lineOverride = Some(chain))
+          }
+        val bGen =
+          if (localExists) branch(name).readCommitsWithGen(schema, table)._2
+          else -1L
+        branch(name).writeCommits(schema, table, log, bGen)
+        result(name) = headId
+      }
+    }
+    // branches the source dropped: drop the mirror, but never a locally
+    // advanced one
+    (mirrored.keySet -- meta.branches.keySet).foreach { name =>
+      if (branchExists(schema, table, name)) {
+        val localHead = branch(name).readCommits(schema, table)
+          .lastOption.map(_.snapshotId)
+        require(localHead == mirrored.get(name),
+          s"Mirrored branch '$name' was dropped at the source but has " +
+            s"local commits on $schema.$table — drop it manually")
+        dropBranch(schema, table, name)
+      }
+    }
+    result.toMap
   }
 
   /** The recorded imported-id → sequence-number map ([[writeIcebergSource]]);

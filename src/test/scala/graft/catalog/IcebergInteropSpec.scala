@@ -497,6 +497,97 @@ class IcebergInteropSpec extends SparkSpec {
       .as[Long].head() === 2L)
   }
 
+  test("foreign BRANCHES mirror onto graft branch logs: off-main ancestry, advance, drop") {
+    import IcebergFixture._
+    val loc = new Path(tmpDir("ice-branch"))
+    val f1 = new Path(loc, "data/f1.parquet")
+    val f2 = new Path(loc, "data/f2.parquet")
+    val fb = new Path(loc, "data/fb.parquet")
+    val fb2 = new Path(loc, "data/fb2.parquet")
+    val b1 = writeParquet(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), f1)
+    val b2 = writeParquet(Seq((11L, "x")).toDF("id", "name"), f2)
+    val bb = writeParquet(Seq((100L, "dev")).toDF("id", "name"), fb)
+    val bb2 = writeParquet(Seq((101L, "dev2")).toDF("id", "name"), fb2)
+    val fr1 = FileRef(f1.toUri.toString, 2L, b1, Map.empty)
+    val fr2 = FileRef(f2.toUri.toString, 1L, b2, Map.empty)
+    val frb = FileRef(fb.toUri.toString, 1L, bb, Map.empty)
+    val frb2 = FileRef(fb2.toUri.toString, 1L, bb2, Map.empty)
+    val fields = Seq((1, "id", "long"), (2, "name", "string"))
+    val mdir = new Path(loc, "metadata")
+    // hand-build: main = 9001 → 9002; branch 'dev' forks at 9001 with
+    // off-main snapshots 8101 (f1+fb) and later 8102 (f1+fb+fb2)
+    def writeMeta(devHead: Option[Long], withDev2: Boolean): Unit = {
+      def man(id: Long, refs: Seq[FileRef], seq: Long) = {
+        val (p, len) = IcebergFixture.writeManifest(conf, mdir, id, refs)
+        IcebergFixture.writeManifestListSeq(conf, mdir, id, Seq((p, len, 0, seq)))
+      }
+      val ml9001 = man(9001L, Seq(fr1), 1L)
+      val ml9002 = man(9002L, Seq(fr1, fr2), 2L)
+      val ml8101 = man(8101L, Seq(fr1, frb), 3L)
+      val ml8102 = man(8102L, Seq(fr1, frb, frb2), 4L)
+      val snaps =
+        Seq((SnapRef(9001L, 1700000000000L, Nil, seq = Some(1L)), ml9001),
+          (SnapRef(9002L, 1700000100000L, Nil, seq = Some(2L)), ml9002),
+          (SnapRef(8101L, 1700000200000L, Nil, seq = Some(3L)), ml8101)) ++
+        (if (withDev2)
+          Seq((SnapRef(8102L, 1700000300000L, Nil, seq = Some(4L)), ml8102))
+        else Nil)
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val json = IcebergFixture.metadataJson(2, loc.toUri.toString, fields,
+        snaps, 9002L,
+        branchRefs = devHead.map("dev" -> _).toMap)
+      // stitch parent ids: 9002←9001, 8101←9001, 8102←8101 (the fixture
+      // chains linearly, the branch shape needs explicit parents)
+      val root = m.readTree(json).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      root.get("snapshots").elements().forEachRemaining { n =>
+        val o = n.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        o.get("snapshot-id").asLong match {
+          case 9002L | 8101L => o.put("parent-snapshot-id", 9001L)
+          case 8102L => o.put("parent-snapshot-id", 8101L)
+          case _ => o.remove("parent-snapshot-id")
+        }
+      }
+      val fs2 = mdir.getFileSystem(conf)
+      val out = fs2.create(new Path(mdir, "v1.metadata.json"), true)
+      out.write(m.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+        .getBytes("UTF-8")); out.close()
+      val hint = fs2.create(new Path(mdir, "version-hint.text"), true)
+      hint.write("1".getBytes("UTF-8")); hint.close()
+    }
+    writeMeta(devHead = Some(8101L), withDev2 = false)
+    val e = engine("ice-branch-wh")
+    e.executeNonQuery(SqlStatement("CREATE SCHEMA lake"))
+    e.executeNonQuery(SqlStatement(
+      s"CALL system.register_iceberg_table('lake', 't', '${loc.toUri}')"))
+    // main excludes the branch snapshot; the branch sees fork + its own
+    assert(e.query(SqlStatement("SELECT id FROM lake.t")).as[Long]
+      .collect().sorted.toSeq === Seq(1L, 2L, 11L))
+    assert(e.query(SqlStatement(
+      "SELECT id FROM lake.t FOR VERSION AS OF 'dev'")).as[Long]
+      .collect().sorted.toSeq === Seq(1L, 2L, 100L))
+    // branch-scoped travel to the fork point
+    assert(e.query(SqlStatement(
+      "SELECT count(*) AS n FROM lake.t FOR VERSION AS OF 9001")).as[Long]
+      .head() === 2L)
+    // the branch ADVANCES without main moving: refs-only sync mirrors it
+    writeMeta(devHead = Some(8102L), withDev2 = true)
+    assert(e.executeNonQuery(SqlStatement(
+      "CALL system.refresh_iceberg_table('lake', 't')")) === 0L)
+    assert(e.query(SqlStatement(
+      "SELECT id FROM lake.t FOR VERSION AS OF 'dev'")).as[Long]
+      .collect().sorted.toSeq === Seq(1L, 2L, 100L, 101L))
+    // local commits on the mirrored branch refuse the next sync
+    e.catalog.branch("dev").insert("lake", "t",
+      Seq((999L, "local")).toDF("id", "name"))
+    writeMeta(devHead = None, withDev2 = true)
+    val ex = intercept[GraftQueryException] {
+      e.executeNonQuery(SqlStatement(
+        "CALL system.refresh_iceberg_table('lake', 't')"))
+    }
+    val msg = ex.getMessage + Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("local commits"))
+  }
+
   test("foreign snapshot EXPIRY keeps carried equality deletes scoped (recorded seqs)") {
     import IcebergFixture._
     val loc = buildEqDeleteTree("ice-eqdel-expire")
