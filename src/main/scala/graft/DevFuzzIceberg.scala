@@ -16,7 +16,9 @@ import org.apache.spark.sql.functions._
   * deletes (coordinate-addressed) and — in v2 scenarios — EQUALITY
   * deletes keyed on id, whose strictly-smaller sequence-number scoping
   * (same-commit files exempt, carried entries with explicit original
-  * seqs) the model replays independently. Then one refresh cycle: more
+  * seqs) the model replays independently, and random TAG refs arrive,
+  * re-point, and drop — the mirrored tag set must track the source
+  * exactly. Then one refresh cycle: more
   * foreign snapshots sync in and re-verify; a random local commit must
   * make the next sync refuse. Usage: runMain graft.DevFuzzIceberg [n] [seed]
   */
@@ -186,18 +188,37 @@ object DevFuzzIceberg {
         if (partitioned) Seq(("p_score", "identity", 3)) else Nil
       val partAvroTypes =
         if (partitioned) Seq(("p_score", "double")) else Nil
+      // random TAGS over the tree: each pins a random snapshot; the
+      // model tracks name -> snapshot id and the check verifies the
+      // tag ref reads that snapshot's state
+      var tagModel = Map.empty[String, Long]
+      def drawTags(): Unit = {
+        if (tree.size > 1 && rnd.nextInt(2) == 0)
+          tagModel += (s"tg${tagModel.size}" ->
+            tree(rnd.nextInt(tree.size)).id)
+        // a third of later draws also re-point or drop an existing tag
+        if (tagModel.nonEmpty && rnd.nextInt(3) == 0) {
+          val name = tagModel.keys.toSeq(rnd.nextInt(tagModel.size))
+          if (rnd.nextBoolean())
+            tagModel += (name -> tree(rnd.nextInt(tree.size)).id)
+          else tagModel -= name
+        }
+      }
+      drawTags()
       val staged = rnd.nextInt(3) == 0
       if (staged) {
         val mainTree = tree
         addSnapshot() // becomes the staged tip in `tree`
         val stagedTip = tree.last
         writeTreeWithCurrent(conf, loc, fields, tree, mainTree.last.id,
-          specFields = specFields, partAvroTypes = partAvroTypes)
+          specFields = specFields, partAvroTypes = partAvroTypes,
+          tagRefs = tagModel)
         tree = mainTree // the model ignores the staged snapshot
         fileRows.remove(stagedTip.files.last.path)
       } else
         writeTree(conf, loc, if (useV2) 2 else 1, fields, tree,
-          specFields = specFields, partAvroTypes = partAvroTypes)
+          specFields = specFields, partAvroTypes = partAvroTypes,
+          tagRefs = tagModel)
 
       val e = new GraftEngine(spark, wh)
       e.catalog.createSchema("lake")
@@ -245,7 +266,15 @@ object DevFuzzIceberg {
             s"scenario_$i $tag: partition-equality read @$sv diverged")
         }
       }
+      def tagCheck(tag: String): Unit = tagModel.foreach { case (name, sid) =>
+        val got = e.query(graft.params.SqlStatement(
+          s"SELECT id, score FROM lake.t FOR VERSION AS OF '$name'"))
+          .as[(Long, Double)].collect().toSet
+        val want = expect(tree.find(_.id == sid).get).map(r => (r._1, r._3))
+        require(got == want, s"scenario_$i $tag: tag '$name' @$sid diverged")
+      }
       check("registered")
+      tagCheck("registered")
 
       // foreign writer commits more; sync and re-verify. Half the
       // scenarios also EVOLVE the foreign schema (a new column the old
@@ -271,12 +300,18 @@ object DevFuzzIceberg {
         if (importedCount > 1 && rnd.nextInt(3) == 0)
           rnd.nextInt(importedCount) // drop this many oldest
         else 0
+      drawTags() // tags may arrive, re-point, or drop between syncs
       writeTree(conf, loc, 2, fields2, tree.drop(expired),
-        specFields = specFields, partAvroTypes = partAvroTypes)
+        specFields = specFields, partAvroTypes = partAvroTypes,
+        tagRefs = tagModel)
       val synced = e.executeNonQuery(graft.params.SqlStatement(
         "CALL system.refresh_iceberg_table('lake', 't')"))
       require(synced >= 1L, s"scenario_$i: sync appended nothing")
       check("synced", if (renamed) "label" else "name")
+      tagCheck("synced")
+      // the dropped-tag halves of the model must be GONE, not stale
+      require(e.catalog.listTags("lake", "t").keySet == tagModel.keySet,
+        s"scenario_$i: mirrored tag set diverged from the source refs")
       if (renamed) {
         // every pre-rename row's renamed column must carry its VALUE
         val nulls = e.query(graft.params.SqlStatement(

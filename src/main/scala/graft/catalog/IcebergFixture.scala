@@ -45,7 +45,8 @@ object IcebergFixture {
   final case class SnapRef(id: Long, timestampMs: Long, files: Seq[FileRef],
                            deletes: Seq[FileRef] = Nil,
                            eqDeletes: Seq[FileRef] = Nil,
-                           seq: Option[Long] = None)
+                           seq: Option[Long] = None,
+                           parentId: Option[Long] = None)
 
   /** Stamp parquet field ids (column name → id) onto `df` so files it
     * writes carry footer ids like every real Iceberg writer's — Spark
@@ -322,7 +323,13 @@ object IcebergFixture {
     snapshots.zipWithIndex.foreach { case ((s, mlPath), i) =>
       val o = sn.addObject()
       o.put("snapshot-id", s.id)
-      if (i > 0) o.put("parent-snapshot-id", snapshots(i - 1)._1.id)
+      // explicit parent wins (branch shapes); else chain linearly
+      s.parentId match {
+        case Some(p) => o.put("parent-snapshot-id", p)
+        case None if i > 0 =>
+          o.put("parent-snapshot-id", snapshots(i - 1)._1.id)
+        case None => ()
+      }
       o.put("timestamp-ms", s.timestampMs)
       if (formatVersion == 2)
         o.put("sequence-number", s.seq.getOrElse(i + 1L))
