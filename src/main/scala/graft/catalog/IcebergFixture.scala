@@ -337,8 +337,33 @@ object IcebergFixture {
       o.put("manifest-list", mlPath.toUri.toString)
       o.put("schema-id", 0)
     }
+    // snapshot-log records the MAIN history only (spec §Table Metadata:
+    // "the current snapshot's" lineage) — branch-ancestry snapshots in
+    // the list stay out of it
+    val byId = snapshots.map(s => s._1.id -> s._1).toMap
+    val mainChain = {
+      val b = scala.collection.mutable.ArrayBuffer.empty[SnapRef]
+      var cur = byId.get(currentSnapshotId)
+      var hops = 0
+      while (cur.isDefined && hops <= snapshots.size) {
+        b += cur.get
+        cur = cur.get.parentId.flatMap(byId.get)
+          .orElse {
+            // linear-default trees carry no explicit parents: fall back
+            // to the list predecessor
+            if (cur.get.parentId.isEmpty) {
+              val i = snapshots.indexWhere(_._1.id == b.last.id)
+              if (i > 0 && snapshots(i)._1.parentId.isEmpty)
+                Some(snapshots(i - 1)._1)
+              else None
+            } else None
+          }
+        hops += 1
+      }
+      b.reverse.map(_.id).toSet
+    }
     val log = root.putArray("snapshot-log")
-    snapshots.foreach { case (s, _) =>
+    snapshots.filter(s => mainChain(s._1.id)).foreach { case (s, _) =>
       val o = log.addObject()
       o.put("timestamp-ms", s.timestampMs); o.put("snapshot-id", s.id)
     }

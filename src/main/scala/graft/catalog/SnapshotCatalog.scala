@@ -1427,7 +1427,10 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * reference stack's users live in: a graft table becomes readable by
     * any Iceberg reader (Trino, Spark-with-Iceberg, DuckDB iceberg).
     * The FULL commit history exports, one Iceberg snapshot per graft
-    * snapshot with ids and timestamps preserved; data files are
+    * snapshot with ids and timestamps preserved — including BRANCH
+    * logs, whose off-main commits become branch-ancestry snapshots
+    * under `refs` (ids remapped when a per-ref graft id collides with
+    * a main id: Iceberg ids are global) — plus tags; data files are
     * referenced IN PLACE by absolute URI — the export writes metadata
     * only, KB-scale whatever the table size, EXCEPT pending row-level
     * deletes, which rewrite once into `location/data/`: positional
@@ -1483,13 +1486,61 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         (id, f.name, icebergTypeName(f.dataType))
       }
     val qualDir = fs(dir).makeQualified(dir)
-    // v2 sequence numbers: snapshot i (0-based) gets sequence i+1 (the
-    // fixture default); a data file's DATA sequence number is the
-    // sequence of the snapshot that first listed it, carried explicitly
-    // on later EXISTING entries — what scopes row-level deletes on the
-    // Iceberg side exactly as the engine's appliesTo scopes them here
+    // graft BRANCHES export too: each branch log's commits that are not
+    // on main become branch-ancestry snapshots (explicit parent = the
+    // log predecessor, so the chain forks exactly where the branch
+    // does), and the branch heads land in `refs` — the mirror of the
+    // import side's branch sync
+    val branchLogs: Seq[(String, Seq[Snapshot])] =
+      listBranches(schema, table)
+        .map(n => n -> branch(n).readCommits(schema, table))
+        .filter(_._2.nonEmpty)
+    // graft snapshot ids are unique PER REF (a branch commit may mint
+    // the same id as a later main commit); Iceberg ids are global — so
+    // branch-only commits REMAP to fresh ids when theirs is taken, and
+    // every in-log reference (parent, eq-delete appliesTo) resolves
+    // through the log's own rename map. "Shared with main" is decided
+    // by (id, manifest list) identity, not id alone.
+    val mainKey = commits.map(c => (c.snapshotId, c.manifestList)).toSet
+    val usedIds = scala.collection.mutable.Set(commits.map(_.snapshotId): _*)
+    var nextFree =
+      (commits.map(_.snapshotId) ++
+        branchLogs.flatMap(_._2.map(_.snapshotId))).max + 1L
+    // (snapshot, exported id, exported parent id, log-local id resolver)
+    val mainResolve: Map[Long, Long] =
+      commits.map(c => c.snapshotId -> c.snapshotId).toMap
+    val mainUnits: Seq[(Snapshot, Long, Option[Long], Map[Long, Long])] =
+      commits.zipWithIndex.map { case (s, i) =>
+        (s, s.snapshotId,
+          if (i > 0) Some(commits(i - 1).snapshotId) else None, mainResolve) }
+    val branchHeadExp = scala.collection.mutable.Map.empty[String, Long]
+    val branchUnits = branchLogs.flatMap { case (name, log) =>
+      var resolve = mainResolve
+      val out = log.zipWithIndex.flatMap { case (s, j) =>
+        if (mainKey((s.snapshotId, s.manifestList))) {
+          resolve += (s.snapshotId -> s.snapshotId); None
+        } else {
+          val expId =
+            if (usedIds.add(s.snapshotId)) s.snapshotId
+            else { while (!usedIds.add(nextFree)) nextFree += 1; nextFree }
+          resolve += (s.snapshotId -> expId)
+          Some((s, expId,
+            if (j > 0) resolve.get(log(j - 1).snapshotId) else None,
+            Map.empty[Long, Long])) // resolver patched below (needs final map)
+        }
+      }
+      branchHeadExp(name) = resolve(log.last.snapshotId)
+      out.map { case (s, e, p, _) => (s, e, p, resolve) }
+    }
+    val units = mainUnits ++ branchUnits
+    // v2 sequence numbers: export position + 1 (main first, then branch
+    // suffixes — parents always precede children); a data file's DATA
+    // sequence number is the sequence of the snapshot that first listed
+    // it, carried explicitly on later EXISTING entries — what scopes
+    // row-level deletes on the Iceberg side exactly as the engine's
+    // appliesTo scopes them here
     val seqOfId: Map[Long, Long] =
-      commits.zipWithIndex.map { case (s, i) => s.snapshotId -> (i + 1L) }.toMap
+      units.zipWithIndex.map { case ((_, e, _, _), i) => e -> (i + 1L) }.toMap
     val firstSeen = scala.collection.mutable.Map.empty[String, (Long, Long)]
     // row-level delete files rewrite ONCE into the export location's
     // data dir (their engine form — raw-prefixed coordinates, key dirs —
@@ -1499,11 +1550,11 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val eqDelCache = scala.collection.mutable.Map.empty[String, IcebergFixture.FileRef]
     var delNo = 0
     val exportData = new Path(new Path(location), "data")
-    val snapRefs = commits.map { s =>
+    val snapRefs = units.map { case (s, expId, parent, resolve) =>
       require(s.dirs.isEmpty,
         s"$schema.$table snapshot ${s.snapshotId} predates the manifest " +
           "tier — compact the table to migrate it before exporting")
-      val seq = seqOfId(s.snapshotId)
+      val seq = seqOfId(expId)
       val entries = manifestEntriesOf(dir, s)
       val files = entries.map { e =>
         val stats = decl.fields.toIndexedSeq.zip(ids).flatMap { case (f, id) =>
@@ -1516,7 +1567,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           }.flatten
         }.toMap
         val uri = new Path(qualDir, e.path).toUri.toString
-        val (addSeq, addId) = firstSeen.getOrElseUpdate(uri, (seq, s.snapshotId))
+        val (addSeq, addId) = firstSeen.getOrElseUpdate(uri, (seq, expId))
         val fr = IcebergFixture.FileRef(uri, e.rows, e.bytes, stats)
         if (addSeq == seq) fr // ADDED here: inherits the list's sequence
         else fr.copy(status = 0, dataSeq = Some(addSeq), addedSnapId = Some(addId))
@@ -1577,8 +1628,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
                 s"equality-delete key column ${k} is not in the declared " +
                   s"schema of $schema.$table")
             )._1)
-          val appliesSeq = seqOfId.getOrElse(e.appliesTo,
-            throw new IllegalStateException(
+          val appliesSeq = resolve.get(e.appliesTo).flatMap(seqOfId.get)
+            .getOrElse(throw new IllegalStateException(
               s"Equality delete ${e.path} references snapshot " +
                 s"${e.appliesTo}, absent from the commit log of " +
                 s"$schema.$table"))
@@ -1599,8 +1650,9 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
             s"precede the carrying snapshot ${s.snapshotId} — cannot export")
         if (cached.isEmpty) base else base.copy(status = 0)
       }
-      IcebergFixture.SnapRef(s.snapshotId, s.committedAtMillis, files,
-        deletes = posDel, eqDeletes = eqDel)
+      IcebergFixture.SnapRef(expId, s.committedAtMillis, files,
+        deletes = posDel, eqDeletes = eqDel,
+        seq = Some(seq), parentId = parent)
     }
     // the spec's name-mapping property: id-less parquet (graft's own
     // files) resolves by name on any Iceberg reader
@@ -1610,10 +1662,11 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     IcebergFixture.writeTreeWithCurrent(conf, new Path(location), fields,
       snapRefs, commits.last.snapshotId, formatVersion = 2,
       properties = Map("schema.name-mapping.default" -> mapping),
-      // graft TAGS export as Iceberg `refs` tags — the mirror of the
-      // import side, so a round trip keeps the pinned names readable
+      // graft TAGS and BRANCHES export as Iceberg `refs` — the mirror
+      // of the import side, so a round trip keeps every name readable
       tagRefs = listTags(schema, table).map { case (n, s) =>
-        n -> s.snapshotId })
+        n -> s.snapshotId },
+      branchRefs = branchHeadExp.toMap)
     commits.size.toLong
   }
 

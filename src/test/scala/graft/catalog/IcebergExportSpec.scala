@@ -132,6 +132,32 @@ class IcebergExportSpec extends SparkSpec {
     assert(dels.forall(_.dataSeq.isDefined))
   }
 
+  test("graft branches export as Iceberg refs: off-main ancestry round-trips") {
+    val e = engine("ice-exp-br-wh")
+    e.executeNonQuery(SqlStatement("CREATE SCHEMA src"))
+    e.executeNonQuery(SqlStatement("CREATE TABLE src.t (id bigint, v varchar)"))
+    e.catalog.insert("src", "t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    e.catalog.createBranch("src", "t", "dev")
+    e.catalog.branch("dev").insert("src", "t",
+      Seq((100L, "dev")).toDF("id", "v"))
+    e.catalog.insert("src", "t", Seq((3L, "c")).toDF("id", "v")) // main advances
+    val loc = new Path(tmpDir("ice-exp-br-tree"))
+    e.executeNonQuery(SqlStatement(
+      s"CALL system.export_iceberg_table('src', 't', '${loc.toUri}')"))
+    e.executeNonQuery(SqlStatement("CREATE SCHEMA lake"))
+    e.executeNonQuery(SqlStatement(
+      s"CALL system.register_iceberg_table('lake', 'back', '${loc.toUri}')"))
+    // main state and the branch's divergent state both survive
+    assert(e.query(SqlStatement("SELECT id FROM lake.back")).as[Long]
+      .collect().sorted.toSeq === Seq(1L, 2L, 3L))
+    assert(e.query(SqlStatement(
+      "SELECT id FROM lake.back FOR VERSION AS OF 'dev'")).as[Long]
+      .collect().sorted.toSeq === Seq(1L, 2L, 100L))
+    assert(e.query(SqlStatement(
+      "SELECT id FROM src.t FOR VERSION AS OF 'dev'")).as[Long]
+      .collect().sorted.toSeq === Seq(1L, 2L, 100L))
+  }
+
   test("export refuses identity partitioning, loudly") {
     val e = engine("ice-exp-ref-wh")
     e.executeNonQuery(SqlStatement("CREATE SCHEMA src"))
