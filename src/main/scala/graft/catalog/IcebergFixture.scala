@@ -320,13 +320,17 @@ object IcebergFixture {
       }
     }
     val sn = root.putArray("snapshots")
+    // linear-parent fallback applies ONLY to pure legacy trees: once
+    // ANY snapshot carries an explicit parent, a None parent means a
+    // genuine ROOT (a root-grown branch must not get spliced onto the
+    // list predecessor's ancestry)
+    val anyExplicitParent = snapshots.exists(_._1.parentId.isDefined)
     snapshots.zipWithIndex.foreach { case ((s, mlPath), i) =>
       val o = sn.addObject()
       o.put("snapshot-id", s.id)
-      // explicit parent wins (branch shapes); else chain linearly
       s.parentId match {
         case Some(p) => o.put("parent-snapshot-id", p)
-        case None if i > 0 =>
+        case None if i > 0 && !anyExplicitParent =>
           o.put("parent-snapshot-id", snapshots(i - 1)._1.id)
         case None => ()
       }
@@ -350,12 +354,12 @@ object IcebergFixture {
         cur = cur.get.parentId.flatMap(byId.get)
           .orElse {
             // linear-default trees carry no explicit parents: fall back
-            // to the list predecessor
-            if (cur.get.parentId.isEmpty) {
+            // to the list predecessor (never for mixed trees, where a
+            // None parent means a genuine root)
+            if (cur.get.parentId.isEmpty &&
+                !snapshots.exists(_._1.parentId.isDefined)) {
               val i = snapshots.indexWhere(_._1.id == b.last.id)
-              if (i > 0 && snapshots(i)._1.parentId.isEmpty)
-                Some(snapshots(i - 1)._1)
-              else None
+              if (i > 0) Some(snapshots(i - 1)._1) else None
             } else None
           }
         hops += 1

@@ -263,7 +263,11 @@ object IcebergInterop {
     val byId = meta.snapshots.map(s => s.id -> s).toMap
     val chain = scala.collection.mutable.ArrayBuffer.empty[IceSnapshot]
     var cur = byId.get(headId)
+    // bounded by the snapshot count: corrupt metadata with a parent
+    // CYCLE must fail loud, not hang the catalog
     while (cur.isDefined) {
+      require(chain.size <= meta.snapshots.size,
+        s"snapshot parent chain from $headId cycles — corrupt metadata")
       chain += cur.get
       cur = cur.get.parentId.flatMap(byId.get)
     }

@@ -1370,22 +1370,25 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val prunedSeqs = (storedSeqs ++
       line.flatMap(s => s.seq.map(s.id -> _)).toMap)
       .view.filterKeys(keepIds).toMap
+    val storedTagNames = readIcebergTagNames(dir)
+    val storedBranches = readIcebergBranchHeads(dir)
     writeCommits(schema, table, commits ++ snaps, gen)
-    val mirroredTags = syncIcebergTags(schema, table, meta.tags,
-      (imported ++ fresh.map(_.id)).toSet, readIcebergTagNames(dir))
-    // record the MAIN sync before the branch mirror (which reads the
-    // foreign store again): a failure there must leave a fully-synced
-    // main, not a table whose next refresh refuses as diverged
+    // record the MAIN sync before ANY ref mirroring (tags touch local
+    // tag files and can refuse on collisions; branches read the foreign
+    // store again): a failure in either must leave a fully-synced main,
+    // not a table whose next refresh refuses as diverged
     writeIcebergSource(dir, locStr, (imported ++ fresh.map(_.id)).toSeq.sorted,
       meta.specFields,
       seqs = prunedSeqs,
       manifests = manifestReuse.toMap.view
         .filterKeys(tipManifests.contains).toMap,
       manifestSchemaHash = decodeHash,
-      tagNames = mirroredTags.toSeq,
-      branchHeads = readIcebergBranchHeads(dir))
+      tagNames = storedTagNames.toSeq,
+      branchHeads = storedBranches)
+    val mirroredTags = syncIcebergTags(schema, table, meta.tags,
+      (imported ++ fresh.map(_.id)).toSet, storedTagNames)
     val mirroredBranches = syncIcebergBranches(schema, table, dir, loc, meta,
-      pinSchema, prunedSeqs, manifestReuse, readIcebergBranchHeads(dir))
+      pinSchema, prunedSeqs, manifestReuse, storedBranches)
     rewriteIcebergRefs(dir, mirroredTags.toSeq, mirroredBranches)
     fresh.size.toLong
   }
@@ -1663,9 +1666,14 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       snapRefs, commits.last.snapshotId, formatVersion = 2,
       properties = Map("schema.name-mapping.default" -> mapping),
       // graft TAGS and BRANCHES export as Iceberg `refs` — the mirror
-      // of the import side, so a round trip keeps every name readable
-      tagRefs = listTags(schema, table).map { case (n, s) =>
-        n -> s.snapshotId },
+      // of the import side, so a round trip keeps every name readable.
+      // A tag pinning a snapshot EXPIRED from the commit log skips: a
+      // ref to a snapshot absent from the metadata is invalid per spec
+      tagRefs = {
+        val exportedMain = commits.map(_.snapshotId).toSet
+        listTags(schema, table).collect {
+          case (n, s) if exportedMain(s.snapshotId) => n -> s.snapshotId }
+      },
       branchRefs = branchHeadExp.toMap)
     commits.size.toLong
   }
@@ -1842,8 +1850,17 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
                               sourceTags: Map[String, Long],
                               importedIds: Set[Long],
                               mirrored: Set[String]): Set[String] = {
-    val portable = sourceTags.filter { case (_, sid) => importedIds(sid) }
+    // tags pinning a non-imported snapshot (staged/rolled-back
+    // ancestry) or carrying a name this engine's ref grammar cannot
+    // hold (dots/dashes) are SKIPPED, never a refusal — an exotic tag
+    // must not block the whole attachment
+    val portable = sourceTags.filter { case (name, sid) =>
+      importedIds(sid) && refNameOk(name) }
     val existing = listTags(schema, table)
+    // a pre-existing LOCAL tag that happens to agree with the source
+    // stays LOCAL: adopting it into the mirrored set would let a later
+    // source-side drop delete the user's tag
+    val localKept = scala.collection.mutable.Set.empty[String]
     portable.foreach { case (name, sid) =>
       existing.get(name) match {
         case None => createTag(schema, table, name, Some(sid))
@@ -1854,6 +1871,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           require(snap.snapshotId == sid,
             s"Source tag '$name' collides with a local tag on " +
               s"$schema.$table pinning a different snapshot — rename one")
+          localKept += name
         case _ => () // already mirrored at the right snapshot
       }
     }
@@ -1861,7 +1879,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     (mirrored -- portable.keySet).foreach { name =>
       if (listTags(schema, table).contains(name)) dropTag(schema, table, name)
     }
-    portable.keySet
+    portable.keySet -- localKept
   }
 
   /** Mirror the source's BRANCHES (every `refs` entry of type branch
@@ -1890,27 +1908,31 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val mainIdx = mainCommits.map(_.snapshotId).zipWithIndex.toMap
     val result = scala.collection.mutable.Map.empty[String, Long]
     meta.branches.foreach { case (name, headId) =>
+      // a name this engine's ref grammar cannot hold is SKIPPED, never
+      // a refusal — an exotic branch name must not block the attachment
+      if (!refNameOk(name)) ()
+      else {
       val localExists = branchExists(schema, table, name)
       val recorded = mirrored.get(name)
       val localHead =
         if (localExists) branch(name).readCommits(schema, table)
           .lastOption.map(_.snapshotId)
         else None
-      if (localExists && localHead.contains(headId)) {
-        // already at the source head — including the crash window where
-        // a rebuilt branch was not yet recorded (self-heals here)
+      if (recorded.isDefined && localExists && localHead.contains(headId)) {
+        // a RECORDED mirror already at the source head — including the
+        // crash window where a rebuild landed before its record
         result(name) = headId
       } else {
+        // an UNRECORDED local branch never silently adopts, even at the
+        // same head — a later source-side advance/drop would clobber it
         require(recorded.isDefined || !localExists,
           s"Source branch '$name' collides with a local branch on " +
-            s"$schema.$table — rename one")
+            s"$schema.$table — rename one side (or drop the local " +
+            "branch to mirror the source's)")
         if (recorded.isDefined && localExists)
-          require(localHead == recorded,
+          require(localHead == recorded || localHead.contains(headId),
             s"Mirrored branch '$name' on $schema.$table has local commits " +
               "— cannot sync over them (drop the branch to re-mirror)")
-        require(refNameOk(name),
-          s"Source branch name '$name' is not a valid ref name here — " +
-            "rename it at the source to mirror")
         // head on the main line: a pure fast-forward shape — the branch
         // log is the imported prefix, nothing to convert
         val log: Seq[Snapshot] =
@@ -1941,6 +1963,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           else -1L
         branch(name).writeCommits(schema, table, log, bGen)
         result(name) = headId
+      }
       }
     }
     // branches the source dropped: drop the mirror, but never a locally

@@ -495,6 +495,16 @@ class IcebergInteropSpec extends SparkSpec {
     assert(e.query(SqlStatement(
       "SELECT count(*) AS n FROM lake.t FOR VERSION AS OF 'mine'"))
       .as[Long].head() === 2L)
+    // a source tag that COINCIDES with the local one (same name, same
+    // snapshot) must not adopt it: when the source later drops the
+    // name, the user's tag survives
+    tree(Map("v1" -> 9002L, "mine" -> 9001L), snaps = 3)
+    assert(e.executeNonQuery(SqlStatement(
+      "CALL system.refresh_iceberg_table('lake', 't')")) === 0L)
+    tree(Map("v1" -> 9002L), snaps = 3)
+    assert(e.executeNonQuery(SqlStatement(
+      "CALL system.refresh_iceberg_table('lake', 't')")) === 0L)
+    assert(e.catalog.listTags("lake", "t").keySet === Set("v1", "mine"))
   }
 
   test("foreign BRANCHES mirror onto graft branch logs: off-main ancestry, advance, drop") {
