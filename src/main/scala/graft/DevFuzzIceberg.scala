@@ -18,7 +18,9 @@ import org.apache.spark.sql.functions._
   * (same-commit files exempt, carried entries with explicit original
   * seqs) the model replays independently, and random TAG refs arrive,
   * re-point, and drop — the mirrored tag set must track the source
-  * exactly. Then one refresh cycle: more
+  * exactly — and half the clean v2 scenarios grow a foreign BRANCH
+  * forking at the imported head, whose mirror must read fork + branch
+  * rows through FOR VERSION AS OF 'dev'. Then one refresh cycle: more
   * foreign snapshots sync in and re-verify; a random local commit must
   * make the next sync refuse. Usage: runMain graft.DevFuzzIceberg [n] [seed]
   */
@@ -112,6 +114,7 @@ object DevFuzzIceberg {
       val fileSeq = scala.collection.mutable.Map.empty[String, Long]
       var eqNo = 0
       val useV2 = rnd.nextBoolean()
+      var seqNo = 0L
       var tree = Seq.empty[SnapRef]
       def addSnapshot(): Unit = {
         // identity partitioning requires ONE partition value per file —
@@ -122,7 +125,8 @@ object DevFuzzIceberg {
           else rows0
         val fr = writeFile(rows)
         fileRows(fr.path) = rows
-        val thisSeq = tree.size + 1L // 1-based snapshot position
+        seqNo += 1L // GLOBAL sequence: branch snapshots take seqs too
+        val thisSeq = seqNo
         fileSeq(fr.path) = thisSeq
         ts += 1000L + rnd.nextInt(1000)
         snapId += 1L + rnd.nextInt(3)
@@ -173,11 +177,12 @@ object DevFuzzIceberg {
             carriedEq :+ FileRef(target.toUri.toString, pick.size.toLong, len,
               Map.empty, eqIds = Seq(1))
           }
-        // seq EXPLICIT (equal to the fixture default while the tree is
-        // whole) so a later foreign EXPIRY — which trims the list — does
-        // not shift the surviving snapshots' sequence numbers
+        // seq AND parent EXPLICIT: expiry trims the list without
+        // shifting seqs, and mixed main+branch trees must not fall back
+        // to the fixture's linear parent chaining
         tree = tree :+ SnapRef(snapId, ts, files, dels, eqDeletes = eqs,
-          seq = Some(thisSeq))
+          seq = Some(thisSeq),
+          parentId = tree.lastOption.map(_.id))
       }
       (0 until 1 + rnd.nextInt(3)).foreach(_ => addSnapshot())
       // a third of the scenarios register against a metadata tree whose
@@ -290,6 +295,38 @@ object DevFuzzIceberg {
       val fields2 =
         if (evolved) fieldsBase :+ ((4, "tag", "long")) else fieldsBase
       val importedCount = tree.size
+      // half the clean v2 scenarios grow a foreign BRANCH 'dev' forking
+      // at the currently-imported head: 1-2 off-main snapshots adding
+      // plain data files (no deletes — the fork is gated clean). The
+      // mirror must make FOR VERSION AS OF 'dev' read fork + branch rows
+      val branchable = useV2 && rnd.nextInt(2) == 0 &&
+        tree.last.deletes.isEmpty && tree.last.eqDeletes.isEmpty
+      var branchSnaps = Seq.empty[SnapRef]
+      val forkRef = tree.last
+      var branchRowSets = Seq.empty[Seq[(Long, String, Double)]]
+      if (branchable) {
+        var parent = forkRef.id
+        var bid = 7000L
+        (0 until 1 + rnd.nextInt(2)).foreach { _ =>
+          val rows0 = mkRows(1 + rnd.nextInt(3))
+          val rows =
+            if (partitioned) rows0.map(r => r.copy(_3 = (fileNo + 1).toDouble))
+            else rows0
+          val fr = writeFile(rows)
+          fileRows(fr.path) = rows
+          branchRowSets = branchRowSets :+ rows
+          seqNo += 1L
+          fileSeq(fr.path) = seqNo
+          ts += 1000L
+          bid += 1L
+          val files = branchSnaps.lastOption.map(_.files)
+            .getOrElse(forkRef.files)
+            .map(f => f.copy(status = 0, dataSeq = Some(fileSeq(f.path)))) :+ fr
+          branchSnaps = branchSnaps :+ SnapRef(bid, ts, files,
+            seq = Some(seqNo), parentId = Some(parent))
+          parent = bid
+        }
+      }
       (0 until 1 + rnd.nextInt(2)).foreach(_ => addSnapshot())
       // a third of the scenarios also EXPIRE old snapshots foreign-side
       // before the sync (expire_snapshots trims oldest-first, keeping
@@ -301,9 +338,16 @@ object DevFuzzIceberg {
           rnd.nextInt(importedCount) // drop this many oldest
         else 0
       drawTags() // tags may arrive, re-point, or drop between syncs
-      writeTree(conf, loc, 2, fields2, tree.drop(expired),
+      // a branch fork must stay imported: cap the expiry short of it
+      val expireN =
+        if (branchable) math.min(expired, importedCount - 1) else expired
+      // current stays the MAIN head — branch snapshots ride the list
+      // with their own parent chain and a 'dev' ref
+      writeTreeWithCurrent(conf, loc, fields2,
+        tree.drop(expireN) ++ branchSnaps, tree.last.id,
         specFields = specFields, partAvroTypes = partAvroTypes,
-        tagRefs = tagModel)
+        tagRefs = tagModel,
+        branchRefs = branchSnaps.lastOption.map("dev" -> _.id).toMap)
       val synced = e.executeNonQuery(graft.params.SqlStatement(
         "CALL system.refresh_iceberg_table('lake', 't')"))
       require(synced >= 1L, s"scenario_$i: sync appended nothing")
@@ -312,6 +356,18 @@ object DevFuzzIceberg {
       // the dropped-tag halves of the model must be GONE, not stale
       require(e.catalog.listTags("lake", "t").keySet == tagModel.keySet,
         s"scenario_$i: mirrored tag set diverged from the source refs")
+      if (branchable) {
+        // the mirrored branch reads fork state + its own rows, and the
+        // fork-point travel still works inside the branch log
+        val got = e.query(graft.params.SqlStatement(
+          "SELECT id, score FROM lake.t FOR VERSION AS OF 'dev'"))
+          .as[(Long, Double)].collect().toSet
+        val want = (expect(forkRef) ++ branchRowSets.flatten)
+          .map(r => (r._1, r._3)).toSet
+        require(got == want, s"scenario_$i: branch 'dev' read diverged")
+        require(e.catalog.listBranches("lake", "t").contains("dev"),
+          s"scenario_$i: branch 'dev' did not mirror")
+      }
       if (renamed) {
         // every pre-rename row's renamed column must carry its VALUE
         val nulls = e.query(graft.params.SqlStatement(
