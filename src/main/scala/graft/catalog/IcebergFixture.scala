@@ -35,7 +35,8 @@ object IcebergFixture {
                            eqIds: Seq[Int] = Nil,
                            dataSeq: Option[Long] = None,
                            status: Int = 1,
-                           addedSnapId: Option[Long] = None)
+                           addedSnapId: Option[Long] = None,
+                           format: String = "PARQUET")
 
   /** `deletes` = POSITIONAL delete files (content 1) and `eqDeletes` =
     * EQUALITY delete files (content 2) the snapshot carries in a
@@ -195,7 +196,7 @@ object IcebergFixture {
       val dfb = new GenericRecordBuilder(dfSchema)
         .set("content", content)
         .set("file_path", fr.path)
-        .set("file_format", "PARQUET")
+        .set("file_format", fr.format)
         .set("partition", partBuilder.build())
         .set("record_count", fr.rows)
         .set("file_size_in_bytes", fr.bytes)
@@ -238,13 +239,24 @@ object IcebergFixture {
     */
   def writeManifestListSeq(conf: Configuration, metadataDir: Path,
                            snapId: Long,
-                           manifests: Seq[(Path, Long, Int, Long)]): Path = {
+                           manifests: Seq[(Path, Long, Int, Long)]): Path =
+    writeManifestListFull(conf, metadataDir, snapId,
+      manifests.map { case (p, len, c, seq) => (p, len, c, seq, 0) })
+
+  /** [[writeManifestListSeq]] with an explicit per-manifest
+    * partition-spec id — delete manifests of a partitioned tree
+    * reference the unpartitioned spec (global deletes) while data
+    * manifests reference the identity spec.
+    */
+  def writeManifestListFull(conf: Configuration, metadataDir: Path,
+                            snapId: Long,
+                            manifests: Seq[(Path, Long, Int, Long, Int)]): Path = {
     val p = new Path(metadataDir, s"snap-$snapId.avro")
-    val recs = manifests.map { case (mp, len, content, seq) =>
+    val recs = manifests.map { case (mp, len, content, seq, specId) =>
       new GenericRecordBuilder(manifestListSchema)
         .set("manifest_path", mp.toUri.toString)
         .set("manifest_length", len)
-        .set("partition_spec_id", 0)
+        .set("partition_spec_id", specId)
         .set("content", content)
         .set("sequence_number", seq)
         .set("min_sequence_number", seq)
@@ -263,26 +275,46 @@ object IcebergFixture {
                    properties: Map[String, String] = Map.empty,
                    specFields: Seq[(String, String, Int)] = Nil,
                    tagRefs: Map[String, Long] = Map.empty,
-                   branchRefs: Map[String, Long] = Map.empty): String = {
+                   branchRefs: Map[String, Long] = Map.empty,
+                   tableUuid: Option[String] = None): String = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = m.createObjectNode()
     root.put("format-version", formatVersion)
-    root.put("table-uuid", java.util.UUID.randomUUID().toString)
+    root.put("table-uuid",
+      tableUuid.getOrElse(java.util.UUID.randomUUID().toString))
     root.put("location", location)
     if (formatVersion == 2) root.put("last-sequence-number",
       snapshots.zipWithIndex.map { case ((s, _), i) =>
         s.seq.getOrElse(i + 1L) }.maxOption.getOrElse(0L))
     root.put("last-updated-ms",
       snapshots.map(_._1.timestampMs).maxOption.getOrElse(0L))
-    root.put("last-column-id", fields.map(_._1).maxOption.getOrElse(0))
+    // a field's type may be a JSON OBJECT (struct/list/map with nested
+    // field ids); last-column-id must cover the nested ids too
+    def maxId(n: com.fasterxml.jackson.databind.JsonNode): Int =
+      if (n == null) 0
+      else if (n.isObject || n.isArray) {
+        val own = Seq("id", "element-id", "key-id", "value-id")
+          .flatMap(k => Option(n.get(k)).filter(_.isInt).map(_.asInt))
+        (own ++ n.elements.asScala.map(maxId)).maxOption.getOrElse(0)
+      } else 0
+    val typeNodes = fields.map { case (_, _, t) =>
+      if (t.startsWith("{")) Some(m.readTree(t)) else None
+    }
+    root.put("last-column-id",
+      (fields.map(_._1) ++ typeNodes.flatten.map(maxId))
+        .maxOption.getOrElse(0))
     def schemaNode(n: com.fasterxml.jackson.databind.node.ObjectNode): Unit = {
       n.put("type", "struct")
       n.put("schema-id", 0)
       val fs = n.putArray("fields")
-      fields.foreach { case (id, name, t) =>
+      fields.zip(typeNodes).foreach { case ((id, name, t), tn) =>
         val f = fs.addObject()
         f.put("id", id); f.put("name", name); f.put("required", false)
-        f.put("type", t)
+        tn match {
+          case Some(node) =>
+            f.set[com.fasterxml.jackson.databind.JsonNode]("type", node)
+          case None => f.put("type", t)
+        }
       }
     }
     if (formatVersion == 2) {
@@ -290,13 +322,22 @@ object IcebergFixture {
       schemaNode(root.putArray("schemas").addObject())
     } else schemaNode(root.putObject("schema"))
     root.put("default-spec-id", 0)
-    val specs = root.putArray("partition-specs").addObject()
+    val specsArr = root.putArray("partition-specs")
+    val specs = specsArr.addObject()
     specs.put("spec-id", 0)
     val sfArr = specs.putArray("fields")
     specFields.zipWithIndex.foreach { case ((n, tr, srcId), i) =>
       val f = sfArr.addObject()
       f.put("name", n); f.put("transform", tr)
       f.put("source-id", srcId); f.put("field-id", 1000 + i)
+    }
+    // partitioned trees also declare an UNPARTITIONED spec (id 1) for
+    // delete manifests: exported row-level deletes are global, and a
+    // delete manifest claiming the identity spec with an empty
+    // partition struct would be malformed for strict readers
+    if (specFields.nonEmpty) {
+      val s1 = specsArr.addObject()
+      s1.put("spec-id", 1); s1.putArray("fields")
     }
     root.put("last-partition-id", 999)
     root.put("default-sort-order-id", 0)
@@ -404,33 +445,61 @@ object IcebergFixture {
                            specFields: Seq[(String, String, Int)] = Nil,
                            partAvroTypes: Seq[(String, String)] = Nil,
                            tagRefs: Map[String, Long] = Map.empty,
-                           branchRefs: Map[String, Long] = Map.empty): Path = {
+                           branchRefs: Map[String, Long] = Map.empty): Path =
+    writeTreeAppend(conf, location, fields, Nil, snapshots, currentId,
+      version = 1, formatVersion = formatVersion, properties = properties,
+      specFields = specFields, partAvroTypes = partAvroTypes,
+      tagRefs = tagRefs, branchRefs = branchRefs)
+
+  /** [[writeTreeWithCurrent]] that APPENDS to an existing exported
+    * tree: manifests + manifest lists are written for `newSnapshots`
+    * only; `existing` snapshots ride into the new metadata with their
+    * already-on-disk manifest-list paths untouched. Writes
+    * `v<version>.metadata.json` and bumps the version hint — the
+    * HadoopCatalog commit convention, so a foreign reader polling the
+    * tree sees the new snapshots as an ordinary metadata advance
+    * (same `table-uuid` when passed).
+    */
+  def writeTreeAppend(conf: Configuration, location: Path,
+                      fields: Seq[(Int, String, String)],
+                      existing: Seq[(SnapRef, Path)],
+                      newSnapshots: Seq[SnapRef], currentId: Long,
+                      version: Int,
+                      formatVersion: Int = 2,
+                      properties: Map[String, String] = Map.empty,
+                      specFields: Seq[(String, String, Int)] = Nil,
+                      partAvroTypes: Seq[(String, String)] = Nil,
+                      tagRefs: Map[String, Long] = Map.empty,
+                      branchRefs: Map[String, Long] = Map.empty,
+                      tableUuid: Option[String] = None): Path = {
     val mdir = new Path(location, "metadata")
-    val withLists = snapshots.zipWithIndex.map { case (s, i) =>
-      val seq = s.seq.getOrElse(i + 1L)
+    val delSpecId = if (specFields.nonEmpty) 1 else 0
+    val withLists = existing ++ newSnapshots.zipWithIndex.map { case (s, i) =>
+      val seq = s.seq.getOrElse(existing.size + i + 1L)
       val (mp, mlen) = writeManifest(conf, mdir, s.id, s.files,
         partFields = partAvroTypes)
-      val mans = Seq((mp, mlen, 0, seq)) ++
+      val mans = Seq((mp, mlen, 0, seq, 0)) ++
         (if (s.deletes.isEmpty) Nil else {
           val (dp, dlen) = writeManifest(conf, mdir, s.id, s.deletes,
             content = 1)
-          Seq((dp, dlen, 1, seq))
+          Seq((dp, dlen, 1, seq, delSpecId))
         }) ++
         (if (s.eqDeletes.isEmpty) Nil else {
           val (ep, elen) = writeManifest(conf, mdir, s.id, s.eqDeletes,
             content = 2)
-          Seq((ep, elen, 1, seq))
+          Seq((ep, elen, 1, seq, delSpecId))
         })
-      (s, writeManifestListSeq(conf, mdir, s.id, mans))
+      (s, writeManifestListFull(conf, mdir, s.id, mans))
     }
     val json = metadataJson(formatVersion, location.toUri.toString, fields,
-      withLists, currentId, properties, specFields, tagRefs, branchRefs)
-    val mp = new Path(mdir, "v1.metadata.json")
+      withLists, currentId, properties, specFields, tagRefs, branchRefs,
+      tableUuid)
+    val mp = new Path(mdir, s"v$version.metadata.json")
     val fs = mp.getFileSystem(conf)
     val out = fs.create(mp, true)
     out.write(json.getBytes("UTF-8")); out.close()
     val hint = fs.create(new Path(mdir, "version-hint.text"), true)
-    hint.write("1".getBytes("UTF-8")); hint.close()
+    hint.write(version.toString.getBytes("UTF-8")); hint.close()
     mp
   }
 }

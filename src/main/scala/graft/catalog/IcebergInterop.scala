@@ -43,7 +43,14 @@ object IcebergInterop {
                                parentId: Option[Long],
                                seq: Option[Long] = None)
 
-  final case class IceField(id: Int, name: String, dataType: DataType)
+  /** `rawType` keeps the Iceberg type STRING for primitives whose Spark
+    * mapping loses information — `uuid` maps to StringType (canonical
+    * 36-char render, matching the reference's client-side GUID
+    * handling) but its Appendix-D bounds are 16 big-endian bytes, not
+    * UTF-8, so the bound decode must know.
+    */
+  final case class IceField(id: Int, name: String, dataType: DataType,
+                            rawType: String = "")
 
   /** Spark's parquet field-id metadata key (SPARK-38094): a read schema
     * whose StructFields carry this resolves parquet columns by FIELD ID
@@ -100,6 +107,20 @@ object IcebergInterop {
       conf, file,
       org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
     footer.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSeq
+  }
+
+  /** Top-level (name, field id) pairs of a parquet footer schema — id
+    * None where the writer stamped none. Column-presence checks match
+    * by id on id-carrying files (a rename keeps the id) and by name on
+    * id-less ones.
+    */
+  def parquetFooterFields(conf: Configuration,
+                          file: Path): Seq[(String, Option[Int])] = {
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+      conf, file,
+      org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+    footer.getFileMetaData.getSchema.getFields.asScala
+      .map(f => f.getName -> Option(f.getId).map(_.intValue)).toSeq
   }
 
   /** One default-spec partition field: the spec's field name (what the
@@ -168,7 +189,8 @@ object IcebergInterop {
       }
     val fields = schemaNode.get("fields").elements.asScala.map { f =>
       IceField(f.get("id").asInt, f.get("name").asText,
-        parseType(f.get("type")))
+        parseType(f.get("type")),
+        if (f.get("type").isTextual) f.get("type").asText else "")
     }.toSeq
     // field ids ride the schema as parquet.field.id metadata, so reads
     // resolve columns the way the spec requires (by id) when the data
@@ -275,13 +297,18 @@ object IcebergInterop {
   }
 
   /** Iceberg JSON type → Spark DataType. Primitives per spec §Schemas;
-    * struct/list/map recurse. uuid and fixed fail loud (no faithful
-    * Spark mapping through a parquet read).
+    * struct/list/map recurse. `uuid` maps to StringType (the canonical
+    * 36-char render — the reference stores GUIDs as varchar and parses
+    * client-side, tests/02-tables.sql:49, AthenaClient.cs:98-101) and
+    * `fixed[N]` to BinaryType; both attach faithfully when the data
+    * files store those physical types (a real FLBA-uuid parquet file
+    * fails loud at read, the module's boundary contract).
     */
   private[catalog] def parseType(node: com.fasterxml.jackson.databind.JsonNode): DataType =
     if (node.isTextual) {
       val t = node.asText
       val dec = "decimal\\((\\d+),\\s*(\\d+)\\)".r
+      val fixed = "fixed\\[(\\d+)\\]".r
       t match {
         case "boolean"     => BooleanType
         case "int"         => IntegerType
@@ -293,6 +320,8 @@ object IcebergInterop {
         case "timestamp"   => TimestampNTZType
         case "timestamptz" => TimestampType
         case "binary"      => BinaryType
+        case "uuid"        => StringType
+        case fixed(_)      => BinaryType
         case dec(p, s)     => DecimalType(p.toInt, s.toInt)
         case other => throw new IllegalArgumentException(
           s"Unsupported Iceberg column type '$other'")
@@ -391,13 +420,24 @@ object IcebergInterop {
         require(content == 0,
           s"$path holds a v2 delete file (content=$content) — read-only " +
             "Iceberg registration supports data files only")
+        // loud at the BOUNDARY: an ORC/Avro-format tree (one config flip
+        // on an Iceberg writer) must refuse at register with a typed
+        // message, not stack-trace on parquet magic bytes mid-read
+        val fmt = Option(df.get("file_format")).map(_.toString)
+          .getOrElse("PARQUET")
+        require(fmt.equalsIgnoreCase("PARQUET"),
+          s"$path: data file ${df.get("file_path")} declares file_format " +
+            s"$fmt — only PARQUET Iceberg trees can attach (ORC/Avro data " +
+            "files have no graft read path); refusing at register")
+        val rowsForPart = df.get("record_count").asInstanceOf[Long]
         val partBounds: Map[String, ColBounds] =
           if (identBySpecName.isEmpty) Map.empty
           else Option(df.get("partition")).collect {
             case pr: org.apache.avro.generic.GenericRecord =>
               pr.getSchema.getFields.asScala.flatMap { fld =>
                 identBySpecName.get(fld.name()).flatMap { srcF =>
-                  decodePartitionValue(srcF.dataType, pr.get(fld.name()))
+                  decodePartitionValue(srcF.dataType, pr.get(fld.name()),
+                      rowsForPart)
                     .map(srcF.name -> _)
                 }
               }.toMap
@@ -416,8 +456,10 @@ object IcebergInterop {
           .map { case (k, v) => k -> byteArray(v) }
         val bounds = byId.flatMap { case (id, f) =>
           val n = nulls.get(id)
-          (decodeBound(f.dataType, lower.get(id)),
-            decodeBound(f.dataType, upper.get(id))) match {
+          def dec(b: Option[Array[Byte]]) =
+            if (f.rawType == "uuid") decodeUuidBound(b)
+            else decodeBound(f.dataType, b)
+          (dec(lower.get(id)), dec(upper.get(id))) match {
             case (Some((kind, mn)), Some((_, mx))) =>
               Some(f.name -> ColBounds(kind, mn, mx, n.getOrElse(-1L)))
             case _ if n.isDefined =>
@@ -471,6 +513,12 @@ object IcebergInterop {
         require(content == 1 || content == 2,
           s"$path: delete manifest entry with content=$content (expected 1 " +
             "or 2)")
+        val fmt = Option(df.get("file_format")).map(_.toString)
+          .getOrElse("PARQUET")
+        require(fmt.equalsIgnoreCase("PARQUET"),
+          s"$path: delete file ${df.get("file_path")} declares file_format " +
+            s"$fmt — only PARQUET Iceberg trees can attach; refusing at " +
+            "register")
         val eqIds: Seq[Int] =
           if (content != 2) Nil
           else fieldOpt(df, "equality_ids").map {
@@ -509,12 +557,18 @@ object IcebergInterop {
     * manifest `partition` struct) → an EXACT engine bound for the
     * source column: min = max = value, nulls = 0 (a non-null partition
     * value proves no row in the file is null in that column). A null
-    * value drops the bound (the file's rows are all null — the plain
-    * null-count bound already covers IS NULL).
+    * value becomes a nulls-only bound covering EVERY row — files of a
+    * null partition hold only nulls in the source column, and the
+    * column-projection fill ([[org.apache.spark.sql
+    * .GraftManifestFileIndex]]) needs that marker to distinguish "all
+    * null" from "value unknown" when the data files don't store the
+    * column at all.
     */
-  private[catalog] def decodePartitionValue(dt: DataType,
-                                            v: Any): Option[ColBounds] = {
-    if (v == null) return None
+  private[catalog] def decodePartitionValue(dt: DataType, v: Any,
+                                            rows: Long = -1L): Option[ColBounds] = {
+    if (v == null)
+      return boundKind(dt).filter(_ => rows >= 0L)
+        .map(k => ColBounds(k, null, null, rows))
     val kv: Option[(String, String)] = (dt, v) match {
       case (IntegerType | LongType, n: Number) => Some(("long", n.longValue.toString))
       case (DateType, n: Number)               => Some(("date", n.longValue.toString))
@@ -523,7 +577,10 @@ object IcebergInterop {
       case (FloatType | DoubleType, n: Number) =>
         val d = n.doubleValue
         if (d.isNaN) None else Some(("double", d.toString))
-      case (StringType, s) =>
+      case (StringType, s: CharSequence) =>
+        // CharSequence only (plain String or avro Utf8): a fixed/uuid
+        // byte value rendered via toString would fabricate a wrong
+        // exact bound — no bound is the conservative miss
         val str = s.toString
         if (str.length <= Manifests.MaxStringBound) Some(("string", str)) else None
       case _ => None
@@ -577,5 +634,19 @@ object IcebergInterop {
         if (s.length <= Manifests.MaxStringBound) Some(("string", s)) else None
       case _ => None
     }
+  }
+
+  /** Appendix-D `uuid` single-value bytes (16 big-endian) → the
+    * canonical lowercase 36-char render as a STRING bound. Canonical
+    * hex is order-preserving over the byte order ('0'-'9' < 'a'-'f' in
+    * UTF-8, dashes at fixed positions), so min/max renders are valid
+    * string bounds for the StringType-mapped column.
+    */
+  private[catalog] def decodeUuidBound(
+      bytes: Option[Array[Byte]]): Option[(String, String)] = {
+    val b = bytes.getOrElse(return None)
+    if (b.length != 16) return None
+    val bb = java.nio.ByteBuffer.wrap(b) // big-endian by default
+    Some(("string", new java.util.UUID(bb.getLong, bb.getLong).toString))
   }
 }

@@ -2,7 +2,7 @@ package graft.catalog
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import com.fasterxml.jackson.databind.ObjectMapper
 import scala.jdk.CollectionConverters._
 
@@ -820,7 +820,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val mdPath = metadataFile.map(new Path(_)).getOrElse(
       IcebergInterop.currentMetadataPath(f, loc))
     require(f.exists(mdPath), s"Iceberg metadata file $mdPath does not exist")
-    val meta = IcebergInterop.parseMetadata(readString(mdPath))
+    val mdJson = readString(mdPath)
+    val meta = IcebergInterop.parseMetadata(mdJson)
     // main-line ancestry only: staged (WAP) snapshots and post-rollback
     // survivors in the snapshots list are NOT the table's state
     val ordered = IcebergInterop.mainLine(meta)
@@ -830,10 +831,24 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     createTable(schema, table, tableSchema)
     val dir = tableDir(schema, table)
     try {
+      // Column Projection attach (spec §Column Projection): when the
+      // tree's data files do NOT store an identity-source column, its
+      // values must fill from the manifest `partition` structs — the
+      // shape graft's own export writes. Declaring the identity spec as
+      // graft partitioning routes reads through the manifest relation's
+      // per-entry fill ([[org.apache.spark.sql.GraftManifestFileIndex]]).
+      val projIdents = icebergProjectionIdentityCols(dir, loc, meta,
+        ordered, s"$schema.$table")
+      if (projIdents.nonEmpty)
+        writeString(new Path(dir, "_partition_spec.json"),
+          projIdents.mkString("\n"))
       val manifestReuse = scala.collection.mutable.Map
         .empty[(String, Option[Long]), Seq[String]]
       val snaps = convertIcebergSnapshots(dir, loc, meta, ordered,
         prevAt = 0L, pinSchema = tableSchema, manifestReuse = manifestReuse)
+      if (projIdents.nonEmpty)
+        verifyProjectionReconstructible(dir, snaps, projIdents,
+          s"$schema.$table")
       val (commits, gen) = readCommitsWithGen(schema, table)
       require(commits.isEmpty, s"fresh table $schema.$table has commits?")
       writeCommits(schema, table, snaps, gen)
@@ -855,6 +870,17 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         manifestSchemaHash = icebergDecodeHash(tableSchema, meta.specFields),
         tagNames = mirroredTags.toSeq,
         branchHeads = mirroredBranches)
+      // exported ANALYZE stats restore when they observe an imported
+      // snapshot — SHOW STATS is metadata-only from the first query
+      // (round-12 verdict #7); junk in a foreign property skips quietly
+      try Option(mapper.readTree(mdJson).get("properties"))
+        .flatMap(p => Option(p.get("graft.stats"))).map(_.asText)
+        .foreach { raw =>
+          val sid = mapper.readTree(raw).get("snapshotId").asLong
+          if (ordered.exists(_.id == sid))
+            writeString(statsPath(schema, table), raw)
+        }
+      catch { case scala.util.control.NonFatal(_) => () }
     } catch {
       case scala.util.control.NonFatal(ex) =>
         // never leave a half-registered table behind
@@ -909,20 +935,93 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * by rename/drop and a name read would silently misread history:
     * refuse loudly ("fails loud, never silently misreads").
     */
+  /** The identity-source column names an attached tree must COLUMN-
+    * PROJECT (spec §Column Projection: fill from the manifest
+    * `partition` struct) because its data files don't store them —
+    * graft's own exports, and migrate-style foreign writers. Samples
+    * the same ≤8 footers as the resolution-mode pick; a column counts
+    * as stored when the footer carries its field id (id trees) or its
+    * name. Returns ALL identity sources when ANY sampled file misses
+    * any of them — projecting a column that IS also stored is equally
+    * exact (the spec requires every row to equal the partition value),
+    * while reading a missing one would silently NULL. Empty for
+    * unpartitioned / fully-stored trees (the status quo read).
+    */
+  private def icebergProjectionIdentityCols(dir: Path, loc: Path,
+                                            meta: IcebergInterop.IceMeta,
+                                            ordered: Seq[IcebergInterop.IceSnapshot],
+                                            what: String): Seq[String] = {
+    val idents = meta.specFields.filter(_.transform == "identity")
+      .flatMap(sf => meta.fields.find(_.id == sf.sourceId))
+    if (idents.isEmpty) return Nil
+    val conf = spark.sparkContext.hadoopConfiguration
+    val sampled = sampleIcebergDataFiles(dir, loc, meta, ordered)
+    val anyMissing = sampled.exists { p =>
+      val footer = IcebergInterop.parquetFooterFields(conf, p)
+      idents.exists(f => !footer.exists { case (n, id) =>
+        id.contains(f.id) || (id.isEmpty && n.equalsIgnoreCase(f.name)) })
+    }
+    if (!anyMissing) Nil
+    else {
+      require(!meta.schema.fieldNames.exists(_.equalsIgnoreCase("_snap")),
+        s"$what: column-projection tree declares a column named _snap, " +
+          "which is reserved in partitioned graft tables — cannot attach")
+      idents.map(_.name)
+    }
+  }
+
+  /** Every data file of a column-projection attachment must have a
+    * reconstructible value per projected identity column: an exact
+    * manifest bound (min = max, zero nulls), the all-null marker
+    * (nulls = rows), or a hive `col=value` path segment. Anything else
+    * — an over-long string value, a NaN, a type the bounds tier drops —
+    * would read as NULL, so the attach refuses loudly instead.
+    */
+  private def verifyProjectionReconstructible(dir: Path, snaps: Seq[Snapshot],
+                                              cols: Seq[String],
+                                              what: String): Unit = {
+    val seen = scala.collection.mutable.Set.empty[String]
+    snaps.foreach { s =>
+      manifestEntriesOf(dir, s).foreach { e =>
+        if (seen.add(e.path)) cols.foreach { c =>
+          val cb = e.bounds.collectFirst {
+            case (n, b) if n.equalsIgnoreCase(c) => b }
+          val ok = cb.exists(b =>
+            (b.min != null && b.min == b.max && b.nulls == 0L) ||
+              (b.min == null && b.max == null && b.nulls == e.rows)) ||
+            e.path.split('/').dropRight(1).exists { seg =>
+              val i = seg.indexOf('=')
+              i > 0 && seg.substring(0, i).equalsIgnoreCase(c)
+            }
+          require(ok, s"$what: data file ${e.path} stores no identity " +
+            s"column $c and neither the manifest partition struct nor " +
+            "the path determines its value — a read would silently NULL " +
+            "it; refusing to attach")
+        }
+      }
+    }
+  }
+
+  private def sampleIcebergDataFiles(dir: Path, loc: Path,
+                                     meta: IcebergInterop.IceMeta,
+                                     ordered: Seq[IcebergInterop.IceSnapshot]): Seq[Path] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val resolve = iceResolver(dir, loc, meta.location)
+    (ordered.headOption.toSeq ++ ordered.lastOption.toSeq).distinct.flatMap { s =>
+      val mans = IcebergInterop.readManifestList(conf, resolve(s.manifestList))
+        .filter(_.content == 0)
+      (mans.headOption.toSeq ++ mans.lastOption.toSeq).distinct.flatMap { m =>
+        val es = IcebergInterop.readManifest(conf, resolve(m.path), meta.fields)
+        (es.headOption.toSeq ++ es.lastOption.toSeq).map(e => resolve(e.path))
+      }
+    }.distinct.take(8)
+  }
+
   private def icebergReadSchema(dir: Path, loc: Path,
                                 meta: IcebergInterop.IceMeta,
                                 ordered: Seq[IcebergInterop.IceSnapshot]): StructType = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val resolve = iceResolver(dir, loc, meta.location)
-    val sampled: Seq[Path] =
-      (ordered.headOption.toSeq ++ ordered.lastOption.toSeq).distinct.flatMap { s =>
-        val mans = IcebergInterop.readManifestList(conf, resolve(s.manifestList))
-          .filter(_.content == 0)
-        (mans.headOption.toSeq ++ mans.lastOption.toSeq).distinct.flatMap { m =>
-          val es = IcebergInterop.readManifest(conf, resolve(m.path), meta.fields)
-          (es.headOption.toSeq ++ es.lastOption.toSeq).map(e => resolve(e.path))
-        }
-      }.distinct.take(8)
+    val sampled: Seq[Path] = sampleIcebergDataFiles(dir, loc, meta, ordered)
     if (sampled.isEmpty ||
         sampled.forall(IcebergInterop.parquetHasFieldIds(conf, _)))
       meta.schema
@@ -1317,12 +1416,14 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
             _.metadata.contains(IcebergInterop.FieldIdKey)))
           val pin = if (useIds0) meta.schema
             else icebergReadSchema(dir, loc, meta, line)
-          syncIcebergBranches(schema, table, dir, loc, meta, pin,
+          val hash0 = icebergDecodeHash(pin, meta.specFields)
+          val reuse0 = readIcebergManifestReuse(dir, hash0)
+          val res = syncIcebergBranches(schema, table, dir, loc, meta, pin,
             readIcebergSeqs(dir) ++
               line.flatMap(s => s.seq.map(s.id -> _)).toMap,
-            readIcebergManifestReuse(dir,
-              icebergDecodeHash(pin, meta.specFields)),
-            storedBranches)
+            reuse0, storedBranches)
+          persistBranchManifestReuse(dir, loc, meta, res, reuse0, hash0)
+          res
         }
       rewriteIcebergRefs(dir, mirroredTags.toSeq, mirroredBranches)
       return 0L
@@ -1347,6 +1448,20 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val snaps = convertIcebergSnapshots(dir, loc, meta, fresh, prevAt, pinSchema,
       priorCommits = commits, storedSeqs = storedSeqs,
       manifestReuse = manifestReuse)
+    // a source writer may switch to column-projection files (identity
+    // columns no longer stored) mid-stream: upgrade the attachment the
+    // same way register does — projecting stored columns is equally
+    // exact, reading missing ones would silently NULL
+    if (partitionSpec(schema, table).isEmpty) {
+      val projIdents = icebergProjectionIdentityCols(dir, loc, meta, fresh,
+        s"$schema.$table")
+      if (projIdents.nonEmpty) {
+        verifyProjectionReconstructible(dir, commits ++ snaps, projIdents,
+          s"$schema.$table")
+        writeString(new Path(dir, "_partition_spec.json"),
+          projIdents.mkString("\n"))
+      }
+    }
     // foreign schema evolution between syncs: the source's CURRENT
     // schema becomes the declared schema (new snapshots' files carry the
     // new columns; old files read NULL for them through the ordinary
@@ -1390,6 +1505,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val mirroredBranches = syncIcebergBranches(schema, table, dir, loc, meta,
       pinSchema, prunedSeqs, manifestReuse, storedBranches)
     rewriteIcebergRefs(dir, mirroredTags.toSeq, mirroredBranches)
+    persistBranchManifestReuse(dir, loc, meta, mirroredBranches,
+      manifestReuse, decodeHash)
     fresh.size.toLong
   }
 
@@ -1451,15 +1568,23 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * `schema.name-mapping.default` property — exactly how Iceberg's own
     * migrate/add_files procedures make id-less files readable.
     *
-    * Refused loudly (each would misread on the Iceberg side):
-    * identity-partitioned layouts (their partition values live in hive
-    * PATHS, not the files — an Iceberg reader sees files missing a
-    * declared column), legacy pre-manifest snapshots, nested/
-    * unsupported column types, and positional-delete coordinates
-    * referencing files outside their snapshot. A rollback-restored
-    * snapshot carrying an eq delete across the restore point exports
-    * but refuses at RE-IMPORT (its shadow set matches no snapshot
-    * boundary) — the loud side of an unrepresentable shape.
+    * IDENTITY-partitioned layouts export a real partition spec with
+    * per-file `partition` structs (values recovered from the exact
+    * manifest bounds / hive path segments): graft's data files don't
+    * store the identity column, so readers fill it via the spec's
+    * Column Projection rule — the exact inverse of
+    * [[IcebergInterop.decodePartitionValue]]. Delete manifests
+    * reference a second, unpartitioned spec (global deletes).
+    *
+    * Refused loudly (each would misread on the Iceberg side): legacy
+    * pre-manifest snapshots, nested/unsupported column types,
+    * positional-delete coordinates referencing files outside their
+    * snapshot, a tag/branch name collision (Iceberg refs share one
+    * namespace), an unreconstructible identity partition value, and an
+    * eq delete whose sequence-scoped shadow set differs from
+    * files(appliesTo) on any carrying snapshot (a rollback/restore
+    * carried it across the restore point — third-party readers would
+    * silently read different rows than the engine).
     * Returns the number of snapshots exported.
     */
   def exportIcebergTable(schema: String, table: String,
@@ -1469,11 +1594,6 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val conf = spark.sparkContext.hadoopConfiguration
     val commits = readCommits(schema, table)
     require(commits.nonEmpty, s"$schema.$table has no snapshots to export")
-    require(!partitionFields(schema, table).exists(_.isIdentity),
-      s"$schema.$table is identity-partitioned: its partition values " +
-        "live in directory paths, not the data files — an Iceberg " +
-        "reader would see a missing column. Rewrite unpartitioned " +
-        "(CREATE TABLE AS) before exporting")
     val decl = declaredSchema(schema, table).getOrElse(
       throw new IllegalArgumentException(s"$schema.$table has no schema"))
     // field ids: reuse the declared ones (iceberg-attached tables),
@@ -1484,10 +1604,42 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           f.metadata.getLong(IcebergInterop.FieldIdKey).toInt
         else i + 1
     }
+    // nested field ids allocate past the top-level ones; the name
+    // mapping grows matching nested entries as the types serialize
+    var nestedId = ids.maxOption.getOrElse(0)
+    val allocNested = () => { nestedId += 1; nestedId }
+    val mappingArr = mapper.createArrayNode()
     val fields: Seq[(Int, String, String)] =
       decl.fields.toIndexedSeq.zip(ids).map { case (f, id) =>
-        (id, f.name, icebergTypeName(f.dataType))
+        val me = mappingArr.addObject()
+        me.put("field-id", id)
+        me.putArray("names").add(f.name)
+        val sub = mapper.createArrayNode()
+        val t = icebergTypeExport(f.dataType, allocNested, sub)
+        if (sub.size > 0)
+          me.set[com.fasterxml.jackson.databind.JsonNode]("fields", sub)
+        (id, f.name, t)
       }
+    // IDENTITY partitioning exports as a real Iceberg partition spec
+    // with per-file `partition` structs: graft stores identity values
+    // in hive PATHS, not the data files, so the export relies on the
+    // spec's Column Projection rule — a reader fills the missing
+    // source column from the manifest partition struct (the exact
+    // mechanism [[IcebergInterop.decodePartitionValue]] exploits on
+    // import). Derived transforms (bucket/month/…) need no spec: their
+    // files store every declared column and read flat.
+    val identExp: Seq[(StructField, Int)] =
+      partitionFields(schema, table).filter(_.isIdentity).map { pf =>
+        val i = decl.fields.indexWhere(_.name.equalsIgnoreCase(pf.source))
+        require(i >= 0, s"partition column ${pf.source} missing from the " +
+          s"declared schema of $schema.$table")
+        (decl.fields(i), ids(i))
+      }
+    val specFieldsExp: Seq[(String, String, Int)] =
+      identExp.map { case (f, id) => (f.name, "identity", id) }
+    val partAvro: Seq[(String, String)] =
+      identExp.map { case (f, _) => f.name -> avroPartitionType(f.dataType,
+        s"$schema.$table partition column ${f.name}") }
     val qualDir = fs(dir).makeQualified(dir)
     // graft BRANCHES export too: each branch log's commits that are not
     // on main become branch-ancestry snapshots (explicit parent = the
@@ -1553,6 +1705,11 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val eqDelCache = scala.collection.mutable.Map.empty[String, IcebergFixture.FileRef]
     var delNo = 0
     val exportData = new Path(new Path(location), "data")
+    // exported-id → that snapshot's data-file URI set, filled in unit
+    // order (parents precede children — main first, then each branch
+    // log in order): the eq-delete scope check below needs
+    // files(appliesTo)
+    val filesOfExp = scala.collection.mutable.Map.empty[Long, Set[String]]
     val snapRefs = units.map { case (s, expId, parent, resolve) =>
       require(s.dirs.isEmpty,
         s"$schema.$table snapshot ${s.snapshotId} predates the manifest " +
@@ -1571,10 +1728,15 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         }.toMap
         val uri = new Path(qualDir, e.path).toUri.toString
         val (addSeq, addId) = firstSeen.getOrElseUpdate(uri, (seq, expId))
-        val fr = IcebergFixture.FileRef(uri, e.rows, e.bytes, stats)
+        val partVals: Seq[(String, Any)] = identExp.map { case (f, _) =>
+          f.name -> identityPartitionAvroValue(f, e, s"$schema.$table")
+        }
+        val fr = IcebergFixture.FileRef(uri, e.rows, e.bytes, stats,
+          partition = partVals)
         if (addSeq == seq) fr // ADDED here: inherits the list's sequence
         else fr.copy(status = 0, dataSeq = Some(addSeq), addedSnapId = Some(addId))
       }
+      filesOfExp(expId) = files.map(_.path).toSet
       // POSITIONAL deletes: the engine dirs hold (raw-prefixed path,
       // pos) — rewrite to the exported data-file URIs, sorted by
       // (file_path, pos) as the spec requires, one file per distinct
@@ -1651,6 +1813,33 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         require(base.dataSeq.exists(_ <= seq),
           s"Equality delete ${e.path}: appliesTo ${e.appliesTo} does not " +
             s"precede the carrying snapshot ${s.snapshotId} — cannot export")
+        // export-side scope verification, the mirror of
+        // [[importEqualityDeletes]]'s per-snapshot check: an Iceberg
+        // reader shadows {live f : dataSeq(f) < nd}, the engine shadows
+        // files(appliesTo) ∩ live. A rollback-restored snapshot can
+        // carry a delete across the restore point where the two
+        // DISAGREE — refuse the export loudly here instead of writing a
+        // tree that third-party readers (who never run the graft
+        // re-import check) silently read differently.
+        val nd = base.dataSeq.get
+        val appliesExp = resolve.getOrElse(e.appliesTo,
+          throw new IllegalStateException(
+            s"Equality delete ${e.path} references snapshot " +
+              s"${e.appliesTo}, absent from the commit log of " +
+              s"$schema.$table"))
+        val live = files.map(_.path).toSet
+        val shadowIce = files.filter(f => f.dataSeq.getOrElse(seq) < nd)
+          .map(_.path).toSet
+        val shadowEng = filesOfExp.getOrElse(appliesExp, Set.empty)
+          .intersect(live)
+        require(shadowIce == shadowEng,
+          s"$schema.$table snapshot ${s.snapshotId}: equality delete " +
+            s"${e.path} (appliesTo ${e.appliesTo}) is not representable " +
+            "by Iceberg's strictly-smaller sequence rule — the " +
+            "sequence-scoped shadow set differs from files(appliesTo) " +
+            "on this snapshot (a rollback/restore carried the delete " +
+            "across the restore point); compact the table before " +
+            "exporting")
         if (cached.isEmpty) base else base.copy(status = 0)
       }
       IcebergFixture.SnapRef(expId, s.committedAtMillis, files,
@@ -1658,29 +1847,123 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         seq = Some(seq), parentId = parent)
     }
     // the spec's name-mapping property: id-less parquet (graft's own
-    // files) resolves by name on any Iceberg reader
-    val mapping = fields.map { case (id, name, _) =>
-      s"""{"field-id": $id, "names": ["$name"]}"""
-    }.mkString("[", ", ", "]")
+    // files) resolves by name — nested entries included — on any
+    // Iceberg reader
+    val mapping = mapper.writeValueAsString(mappingArr)
+    // graft TAGS and BRANCHES export as Iceberg `refs` — the mirror of
+    // the import side, so a round trip keeps every name readable. A tag
+    // pinning a snapshot EXPIRED from the commit log skips: a ref to a
+    // snapshot absent from the metadata is invalid per spec
+    val tagRefsExp: Map[String, Long] = {
+      val exportedMain = commits.map(_.snapshotId).toSet
+      listTags(schema, table).collect {
+        case (n, s) if exportedMain(s.snapshotId) => n -> s.snapshotId }
+    }
+    val branchRefsExp = branchHeadExp.toMap
+    // graft tags and branches are separate namespaces; Iceberg `refs`
+    // is ONE object — a shared name (or one colliding with the
+    // spec-reserved `main`) would silently drop a ref. Refuse loudly,
+    // the repo's refuse-on-ambiguity convention.
+    val refCollisions = tagRefsExp.keySet.intersect(branchRefsExp.keySet) ++
+      (tagRefsExp.keySet ++ branchRefsExp.keySet).filter(_ == "main")
+    require(refCollisions.isEmpty,
+      s"$schema.$table: ref name(s) ${refCollisions.mkString(", ")} exist " +
+        "as both a tag and a branch (or collide with the reserved `main` " +
+        "ref) — Iceberg refs share one namespace; rename one side before " +
+        "exporting")
+    // persisted ANALYZE stats ride the export as a table property
+    // (Iceberg carries table stats via properties/Puffin) — a register
+    // of this tree restores them, so SHOW STATS stays metadata-only
+    // across the round trip. Only stats observing an EXPORTED snapshot
+    // travel; stale ones stay home.
+    val statsProp: Map[String, String] = {
+      val sp = statsPath(schema, table)
+      if (!fs(sp).exists(sp)) Map.empty
+      else {
+        val raw = readString(sp)
+        val sid = mapper.readTree(raw).get("snapshotId").asLong
+        if (commits.exists(_.snapshotId == sid)) Map("graft.stats" -> raw)
+        else Map.empty
+      }
+    }
     IcebergFixture.writeTreeWithCurrent(conf, new Path(location), fields,
       snapRefs, commits.last.snapshotId, formatVersion = 2,
-      properties = Map("schema.name-mapping.default" -> mapping),
-      // graft TAGS and BRANCHES export as Iceberg `refs` — the mirror
-      // of the import side, so a round trip keeps every name readable.
-      // A tag pinning a snapshot EXPIRED from the commit log skips: a
-      // ref to a snapshot absent from the metadata is invalid per spec
-      tagRefs = {
-        val exportedMain = commits.map(_.snapshotId).toSet
-        listTags(schema, table).collect {
-          case (n, s) if exportedMain(s.snapshotId) => n -> s.snapshotId }
-      },
-      branchRefs = branchHeadExp.toMap)
+      properties = Map("schema.name-mapping.default" -> mapping) ++ statsProp,
+      specFields = specFieldsExp, partAvroTypes = partAvro,
+      tagRefs = tagRefsExp,
+      branchRefs = branchRefsExp)
     commits.size.toLong
   }
 
-  /** Spark type → Iceberg schema type string (spec §Schemas). Nested
-    * and exotic types refuse loudly — the export must never declare a
-    * schema an Iceberg reader would misread.
+  /** Spark type → Iceberg type for EXPORT: primitives return the
+    * spec's type string; struct/list/map return a JSON object (spec
+    * §Schemas) with fresh UNIQUE nested field ids drawn from `alloc`
+    * (element-id / key-id / value-id for collections), appending
+    * matching nested name-mapping entries (spec §Name Mapping: nested
+    * `fields`, list `element`, map `key`/`value`) to `mappingOut` so
+    * id-less graft parquet resolves nested names on any reader.
+    */
+  private def icebergTypeExport(dt: org.apache.spark.sql.types.DataType,
+      alloc: () => Int,
+      mappingOut: com.fasterxml.jackson.databind.node.ArrayNode): String = {
+    import org.apache.spark.sql.types._
+    def typed(o: com.fasterxml.jackson.databind.node.ObjectNode,
+              key: String, t: String): Unit =
+      if (t.startsWith("{")) o.set(key, mapper.readTree(t)) else o.put(key, t)
+    def mappingEntry(id: Int, name: String): (com.fasterxml.jackson.databind.node.ObjectNode,
+        com.fasterxml.jackson.databind.node.ArrayNode) = {
+      val me = mappingOut.addObject()
+      me.put("field-id", id)
+      me.putArray("names").add(name)
+      (me, mapper.createArrayNode())
+    }
+    dt match {
+      case s: StructType =>
+        val o = mapper.createObjectNode()
+        o.put("type", "struct")
+        val fs = o.putArray("fields")
+        s.fields.foreach { f =>
+          val id = alloc()
+          val fn = fs.addObject()
+          fn.put("id", id); fn.put("name", f.name); fn.put("required", false)
+          val (me, sub) = mappingEntry(id, f.name)
+          typed(fn, "type", icebergTypeExport(f.dataType, alloc, sub))
+          if (sub.size > 0) me.set[com.fasterxml.jackson.databind.JsonNode]("fields", sub)
+        }
+        mapper.writeValueAsString(o)
+      case a: ArrayType =>
+        val o = mapper.createObjectNode()
+        o.put("type", "list")
+        val id = alloc()
+        o.put("element-id", id)
+        val (me, sub) = mappingEntry(id, "element")
+        typed(o, "element", icebergTypeExport(a.elementType, alloc, sub))
+        if (sub.size > 0) me.set[com.fasterxml.jackson.databind.JsonNode]("fields", sub)
+        o.put("element-required", false)
+        mapper.writeValueAsString(o)
+      case m: MapType =>
+        val o = mapper.createObjectNode()
+        o.put("type", "map")
+        val kid = alloc()
+        o.put("key-id", kid)
+        val (kme, ksub) = mappingEntry(kid, "key")
+        typed(o, "key", icebergTypeExport(m.keyType, alloc, ksub))
+        if (ksub.size > 0) kme.set[com.fasterxml.jackson.databind.JsonNode]("fields", ksub)
+        val vid = alloc()
+        o.put("value-id", vid)
+        val (vme, vsub) = mappingEntry(vid, "value")
+        typed(o, "value", icebergTypeExport(m.valueType, alloc, vsub))
+        if (vsub.size > 0) vme.set[com.fasterxml.jackson.databind.JsonNode]("fields", vsub)
+        o.put("value-required", false)
+        mapper.writeValueAsString(o)
+      case prim => icebergTypeName(prim)
+    }
+  }
+
+  /** Spark type → Iceberg schema type string (spec §Schemas) for
+    * PRIMITIVES; nested types go through [[icebergTypeExport]]. Exotic
+    * types refuse loudly — the export must never declare a schema an
+    * Iceberg reader would misread.
     */
   private def icebergTypeName(dt: org.apache.spark.sql.types.DataType): String = dt match {
     case org.apache.spark.sql.types.BooleanType      => "boolean"
@@ -1697,6 +1980,92 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       s"decimal(${d.precision},${d.scale})"
     case other => throw new IllegalArgumentException(
       s"Column type $other has no Iceberg export mapping")
+  }
+
+  /** Avro primitive type name for an identity partition field of
+    * declared Spark type `dt` in an exported manifest `partition`
+    * struct (spec §Avro / §Partition Transforms: date → int days,
+    * timestamps → long micros). Types without a faithful primitive
+    * refuse loudly — a wrong partition value would misread on every
+    * Iceberg reader.
+    */
+  private def avroPartitionType(dt: org.apache.spark.sql.types.DataType,
+                                what: String): String = dt match {
+    case org.apache.spark.sql.types.IntegerType      => "int"
+    case org.apache.spark.sql.types.LongType         => "long"
+    case org.apache.spark.sql.types.StringType       => "string"
+    case org.apache.spark.sql.types.BooleanType      => "boolean"
+    case org.apache.spark.sql.types.FloatType        => "float"
+    case org.apache.spark.sql.types.DoubleType       => "double"
+    case org.apache.spark.sql.types.DateType         => "int"
+    case org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.TimestampNTZType => "long"
+    case other => throw new IllegalArgumentException(
+      s"$what: type $other has no Iceberg partition-struct export mapping")
+  }
+
+  /** One data file's identity partition value for export — from the
+    * entry's EXACT bound (min = max, zero nulls: native tables fold the
+    * hive path value in at commit time, attached trees the foreign
+    * partition struct), the all-null marker (nulls = rows), or the hive
+    * `col=value` path segment as a last resort. Unrecoverable values
+    * refuse the export loudly rather than writing a partition struct an
+    * Iceberg reader would trust and misread.
+    */
+  private def identityPartitionAvroValue(f: StructField, e: DataFileEntry,
+                                         tableRef: String): Any = {
+    val cb = e.bounds.collectFirst {
+      case (n, b) if n.equalsIgnoreCase(f.name) => b }
+    val raw: Option[(String, String)] = cb match {
+      case Some(b) if b.min == null && b.max == null && b.nulls == e.rows =>
+        return null // all-null partition value
+      case Some(b) if b.min != null && b.min == b.max && b.nulls == 0L =>
+        Some((b.kind, b.min))
+      case _ =>
+        e.path.split('/').dropRight(1).iterator.map { seg =>
+          (seg.indexOf('='), seg)
+        }.collectFirst {
+          case (i, seg) if i > 0 && seg.substring(0, i).equalsIgnoreCase(f.name) =>
+            Manifests.unescapePathName(seg.substring(i + 1))
+        } match {
+          case Some("__HIVE_DEFAULT_PARTITION__") => return null
+          case Some(v) => Some(("path", v))
+          case None => None
+        }
+    }
+    val (kind, v) = raw.getOrElse(throw new IllegalArgumentException(
+      s"$tableRef: cannot reconstruct identity partition value of " +
+        s"${f.name} for data file ${e.path} — neither an exact manifest " +
+        "bound nor a hive path segment carries it; cannot export"))
+    import org.apache.spark.sql.types._
+    try (f.dataType, kind) match {
+      case (IntegerType, _)            => v.toInt
+      case (LongType, _)               => v.toLong
+      case (StringType, _)             => v
+      case (BooleanType, _)            => v.toBoolean
+      case (FloatType, _)              => v.toFloat
+      case (DoubleType, _)             => v.toDouble
+      case (DateType, "date" | "long") => v.toLong.toInt
+      case (DateType, _)               => java.time.LocalDate.parse(v)
+        .toEpochDay.toInt
+      case (TimestampType | TimestampNTZType, "ts" | "long") => v.toLong
+      case (TimestampNTZType, _) =>
+        // hive path render, zone-free: parse as a local datetime
+        val fmt = java.time.format.DateTimeFormatter.ofPattern(
+          "yyyy-MM-dd HH:mm:ss[.SSSSSS][.SSS]")
+        java.time.LocalDateTime.parse(v, fmt)
+          .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          java.time.LocalDateTime.parse(v, fmt).getNano / 1000L
+      case (dt, k) => throw new IllegalArgumentException(
+        s"$tableRef: identity partition value '$v' (kind $k) of column " +
+          s"${f.name} ($dt) has no unambiguous Iceberg serialization — " +
+          "cannot export")
+    } catch {
+      case _: NumberFormatException | _: java.time.DateTimeException =>
+        throw new IllegalArgumentException(
+          s"$tableRef: identity partition value '$v' of column ${f.name} " +
+            s"does not parse as ${f.dataType.simpleString} — cannot export")
+    }
   }
 
   /** Engine bound string → Appendix-D single-value bytes for the
@@ -1822,6 +2191,90 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     writeString(p, mapper.writeValueAsString(root))
   }
 
+  /** Replace ONLY the manifest-reuse fields in `_iceberg_source`,
+    * preserving everything else — the post-branch-sync record.
+    */
+  private def rewriteIcebergManifests(dir: Path,
+      manifests: Map[(String, Option[Long]), Seq[String]],
+      schemaHash: String): Unit = {
+    val p = new Path(dir, "_iceberg_source")
+    val root = mapper.readTree(readString(p))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    root.remove("manifests"); root.remove("manifest_schema")
+    if (manifests.nonEmpty) {
+      root.put("manifest_schema", schemaHash)
+      val mArr = root.putArray("manifests")
+      manifests.toSeq.sortBy(_._1._1).foreach { case ((pth, seq), names) =>
+        val n = mArr.addObject()
+        n.put("path", pth)
+        seq.foreach(n.put("seq", _))
+        val na = n.putArray("names"); names.foreach(na.add)
+      }
+    }
+    writeString(p, mapper.writeValueAsString(root))
+  }
+
+  /** Re-record the manifest-reuse map AFTER a branch sync, keeping the
+    * MAIN tip's manifest-list entries ∪ each mirrored branch head's
+    * (round-12 advice: pruning to the main tip alone dropped the graft
+    * manifests minted for branch states, so every branch advance
+    * re-decoded and re-serialized the whole carried branch — O(branch),
+    * not O(new)).
+    */
+  private def persistBranchManifestReuse(dir: Path, loc: Path,
+      meta: IcebergInterop.IceMeta,
+      mirroredBranches: Map[String, Long],
+      manifestReuse: scala.collection.Map[(String, Option[Long]), Seq[String]],
+      decodeHash: String): Unit = {
+    if (mirroredBranches.isEmpty) return
+    val conf = spark.sparkContext.hadoopConfiguration
+    val resolve = iceResolver(dir, loc, meta.location)
+    val byId = meta.snapshots.map(s => s.id -> s).toMap
+    val tipIds = mirroredBranches.values.toSet ++ meta.currentSnapshotId.toSet
+    val keep: Set[(String, Option[Long])] = tipIds.flatMap(id =>
+      byId.get(id).toSeq.flatMap(s =>
+        IcebergInterop.readManifestList(conf, resolve(s.manifestList))
+          .map(m => (m.path, m.seq))))
+    rewriteIcebergManifests(dir,
+      manifestReuse.view.filterKeys(keep).toMap, decodeHash)
+  }
+
+  /** Mirror-intent WRITE-AHEAD (round-12 advice): record a ref name in
+    * `_iceberg_source` BEFORE the first tag/branch mutation lands, so a
+    * crash between the two leaves a recorded-but-unapplied ref the next
+    * sync reconciles — instead of an unrecorded local ref that every
+    * later sync refuses as a name collision until dropped manually.
+    * No-op before the attachment record exists (register's failure path
+    * drops the whole table, so it has no such window).
+    */
+  private def recordRefIntent(dir: Path, tagName: Option[String],
+                              branchHead: Option[(String, Long)]): Unit = {
+    val p = new Path(dir, "_iceberg_source")
+    if (!fs(p).exists(p)) return
+    val root = mapper.readTree(readString(p))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    tagName.foreach { n =>
+      val existing = Option(root.get("tags")).toSeq
+        .flatMap(_.elements.asScala).map(_.asText)
+      if (!existing.contains(n)) {
+        root.remove("tags")
+        val ta = root.putArray("tags")
+        (existing :+ n).sorted.foreach(ta.add)
+      }
+    }
+    branchHead.foreach { case (n, h) =>
+      val existing = Option(root.get("branches")).toSeq
+        .flatMap(_.elements.asScala)
+        .map(b => b.get("name").asText -> b.get("head").asLong).toMap
+      root.remove("branches")
+      val ba = root.putArray("branches")
+      (existing + (n -> h)).toSeq.sortBy(_._1).foreach { case (bn, bh) =>
+        val b = ba.addObject(); b.put("name", bn); b.put("head", bh)
+      }
+    }
+    writeString(p, mapper.writeValueAsString(root))
+  }
+
   /** Tag names the attachment mirrors from the source's `refs`. */
   private def readIcebergTagNames(dir: Path): Set[String] = {
     val root = mapper.readTree(readString(new Path(dir, "_iceberg_source")))
@@ -1863,7 +2316,12 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val localKept = scala.collection.mutable.Set.empty[String]
     portable.foreach { case (name, sid) =>
       existing.get(name) match {
-        case None => createTag(schema, table, name, Some(sid))
+        case None =>
+          // first mirror of this name: record the intent BEFORE the tag
+          // lands — a crash between the two must not leave an
+          // unrecorded local tag later syncs refuse as a collision
+          recordRefIntent(tableDir(schema, table), Some(name), None)
+          createTag(schema, table, name, Some(sid))
         case Some(snap) if mirrored(name) && snap.snapshotId != sid =>
           dropTag(schema, table, name) // the source re-pointed the tag
           createTag(schema, table, name, Some(sid))
@@ -1961,6 +2419,11 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         val bGen =
           if (localExists) branch(name).readCommitsWithGen(schema, table)._2
           else -1L
+        // first mirror of this name: record the intent BEFORE the
+        // branch log lands (mirror-intent write-ahead) — a crash
+        // between the two must not leave an unrecorded local branch
+        // every later sync refuses as a collision
+        if (recorded.isEmpty) recordRefIntent(dir, None, Some(name -> headId))
         branch(name).writeCommits(schema, table, log, bGen)
         result(name) = headId
       }

@@ -768,15 +768,19 @@ object CatalogDemos {
   private[graft] val icebergExportWarehouse = "/tmp/graft-iceberg-export-wh"
   private[graft] val icebergExportTree = "/tmp/graft-iceberg-export-tree"
 
-  /** Write-side Iceberg interop end-to-end (round-11 verdict #3): build
-    * a two-commit graft table over nation, `CALL
-    * system.export_iceberg_table` it — a spec-conformant v2
-    * metadata.json + Avro manifest tree with Appendix-D binary bounds
-    * re-encoded from the graft manifests, referencing the data files in
-    * place — then register the export back through the READ interop and
-    * prove the round trip: current state, snapshot travel, and a
-    * bounds-pruned filtered count all match. Every value recomputes
-    * relationally over nation in the oracle.
+  /** Write-side Iceberg interop end-to-end (round-11 verdict #3, round-13
+    * identity partitioning): build a two-commit IDENTITY-PARTITIONED
+    * graft table over nation, `CALL system.export_iceberg_table` it — a
+    * spec-conformant v2 metadata.json + Avro manifest tree carrying the
+    * identity partition spec and per-file `partition` structs (the
+    * spec's Column Projection rule: graft data files don't store the
+    * identity column, its value rides the manifest) with Appendix-D
+    * binary bounds re-encoded from the graft manifests, referencing the
+    * data files in place — then register the export back through the
+    * READ interop and prove the round trip: current state, snapshot
+    * travel, a bounds-pruned filtered count, and a PARTITION-pruned
+    * count all match. Every value recomputes relationally over nation
+    * in the oracle.
     */
   def icebergExportDemo(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -792,8 +796,10 @@ object CatalogDemos {
     val engine = new GraftEngine(s, icebergExportWarehouse)
     engine.catalog.createSchema("src")
     engine.executeNonQuery(graft.params.SqlStatement(
-      "CREATE TABLE src.nat (n_nationkey bigint, n_name varchar, n_regionkey bigint)"))
-    // two commits with disjoint key ranges → two bounds-distinct files
+      "CREATE TABLE src.nat (n_nationkey bigint, n_name varchar, n_regionkey bigint) " +
+        "WITH (partitioning = ARRAY['n_regionkey'])"))
+    // two commits with disjoint key ranges → two bounds-distinct file
+    // sets, hive-split across the five region partitions
     engine.catalog.insert("src", "nat",
       nation.filter(col("n_nationkey") <= 11).coalesce(1))
     engine.catalog.insert("src", "nat",
@@ -808,7 +814,9 @@ object CatalogDemos {
         |  (SELECT count(*) FROM lake.back) AS total_n,
         |  (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM lake.back) AS sum_key,
         |  (SELECT count(*) FROM lake.back FOR VERSION AS OF 1) AS v1_n,
-        |  (SELECT count(*) FROM lake.back WHERE n_nationkey >= 12) AS hi_n""".stripMargin))
+        |  (SELECT count(*) FROM lake.back WHERE n_nationkey >= 12) AS hi_n,
+        |  (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM lake.back
+        |     WHERE n_regionkey = 2) AS r2_sum""".stripMargin))
   }
 
   /** DuckDB twin of [[icebergExportDemo]] — pure nation arithmetic
@@ -819,7 +827,9 @@ object CatalogDemos {
       |  (SELECT count(*) FROM nation) AS total_n,
       |  (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM nation) AS sum_key,
       |  (SELECT count(*) FROM nation WHERE n_nationkey <= 11) AS v1_n,
-      |  (SELECT count(*) FROM nation WHERE n_nationkey >= 12) AS hi_n""".stripMargin
+      |  (SELECT count(*) FROM nation WHERE n_nationkey >= 12) AS hi_n,
+      |  (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM nation
+      |     WHERE n_regionkey = 2) AS r2_sum""".stripMargin
 
   private[graft] val icebergCdcWarehouse = "/tmp/graft-iceberg-cdc-wh"
   private[graft] val icebergCdcLake = "/tmp/graft-iceberg-cdc-lake"

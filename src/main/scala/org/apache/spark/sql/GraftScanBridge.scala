@@ -100,7 +100,7 @@ final class GraftManifestFileIndex(
     entries.map { e =>
       val status = new FileStatus(e.bytes, false, 1, 128L * 1024 * 1024, 0L,
         new Path(qualifiedRoot, e.path))
-      (partitionValues(e.path), FileStatusWithMetadata(status, Map.empty), e)
+      (partitionValues(e), FileStatusWithMetadata(status, Map.empty), e)
     }
 
   override def rootPaths: Seq[Path] = Seq(qualifiedRoot)
@@ -181,19 +181,29 @@ final class GraftManifestFileIndex(
     }
   }
 
-  /** Hive `col=value` path segments → InternalRow in partition-schema
-    * order, casting the (unescaped) strings to the declared types the
-    * same way partition discovery would.
+  /** Per-entry partition values → InternalRow in partition-schema order.
+    * An EXACT manifest bound (min = max, zero nulls) wins over the hive
+    * path segments: it is the manifest-authoritative value, and for an
+    * attached Iceberg tree whose data files don't store the identity
+    * column at all (the spec's Column Projection rule — e.g. a graft
+    * export re-registered) it is the ONLY source; a nulls-only bound
+    * covering every row marks an all-null partition. Native tables fold
+    * the path value into the bounds at commit time, so the two sources
+    * agree wherever both exist. `_snap` and derived transform columns
+    * never have bounds and always parse from the path, casting the
+    * (unescaped) strings to the declared types the same way partition
+    * discovery would.
     */
-  private def partitionValues(relPath: String): InternalRow = {
+  private def partitionValues(e: DataFileEntry): InternalRow = {
     if (partitionSchema.isEmpty) return InternalRow.empty
-    val segs = relPath.split('/').dropRight(1).iterator.flatMap { seg =>
+    val relPath = e.path
+    lazy val segs = relPath.split('/').dropRight(1).iterator.flatMap { seg =>
       val eq = seg.indexOf('=')
       if (eq <= 0) None
       else Some(seg.substring(0, eq).toLowerCase(java.util.Locale.ROOT) ->
         Manifests.unescapePathName(seg.substring(eq + 1)))
     }.toMap
-    val values: Array[Any] = partitionSchema.fields.map { f =>
+    def fromPath(f: StructField): Any =
       segs.get(f.name.toLowerCase(java.util.Locale.ROOT)) match {
         case None => null
         case Some("__HIVE_DEFAULT_PARTITION__") => null
@@ -202,8 +212,40 @@ final class GraftManifestFileIndex(
           else Cast(Literal(UTF8String.fromString(raw), StringType), f.dataType,
             Some(SQLConf.get.sessionLocalTimeZone)).eval(null)
       }
+    val values: Array[Any] = partitionSchema.fields.map { f =>
+      val cb = e.bounds.collectFirst {
+        case (n, b) if n.equalsIgnoreCase(f.name) => b }
+      cb match {
+        case Some(b) if b.min == null && b.max == null && b.nulls == e.rows =>
+          null // all-null partition (rows == 0 degenerates to null too)
+        case Some(b) if b.min != null && b.min == b.max && b.nulls == 0L =>
+          boundPartitionValue(f.dataType, b).getOrElse(fromPath(f))
+        case _ => fromPath(f)
+      }
     }
     new GenericInternalRow(values)
   }
+
+  /** Exact bound → Catalyst partition value for the declared type, or
+    * None when the bound's KIND has no unambiguous conversion (then the
+    * hive path parse decides, as before). Kind-aware because attached
+    * Iceberg bounds store date/timestamp as epoch numbers while native
+    * hive paths render them as date strings.
+    */
+  private def boundPartitionValue(dt: DataType,
+                                  b: graft.catalog.ColBounds): Option[Any] =
+    try (dt, b.kind) match {
+      case (StringType, _) => Some(UTF8String.fromString(b.min))
+      case (types.IntegerType, "long") => Some(b.min.toLong.toInt)
+      case (types.LongType, "long") => Some(b.min.toLong)
+      case (types.DateType, "date" | "long") => Some(b.min.toLong.toInt)
+      case (types.DateType, "string") =>
+        Some(java.time.LocalDate.parse(b.min).toEpochDay.toInt)
+      case (types.TimestampType | types.TimestampNTZType, "ts" | "long") =>
+        Some(b.min.toLong) // micros
+      case (types.DoubleType, "double" | "long") => Some(b.min.toDouble)
+      case (types.FloatType, "double" | "long") => Some(b.min.toFloat)
+      case _ => None
+    } catch { case _: RuntimeException => None }
 
 }

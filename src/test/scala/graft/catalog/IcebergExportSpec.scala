@@ -4,6 +4,8 @@ import graft.{GraftEngine, GraftQueryException, SparkSpec}
 import graft.params.SqlStatement
 import org.apache.hadoop.fs.Path
 
+import scala.jdk.CollectionConverters._
+
 /** Write-side Iceberg interop: `CALL system.export_iceberg_table`
   * writes a spec-conformant v2 metadata tree (metadata.json + Avro
   * manifests with Appendix-D binary bounds re-encoded from the graft
@@ -158,21 +160,188 @@ class IcebergExportSpec extends SparkSpec {
       .collect().sorted.toSeq === Seq(1L, 2L, 100L))
   }
 
-  test("export refuses identity partitioning, loudly") {
-    val e = engine("ice-exp-ref-wh")
+  test("identity-partitioned export: partition spec + per-file structs round-trip") {
+    val wh = tmpDir("ice-exp-part-wh")
+    val e = new GraftEngine(spark, wh)
     e.executeNonQuery(SqlStatement("CREATE SCHEMA src"))
-    // identity-partitioned: partition values ride the paths, refuse
     e.executeNonQuery(SqlStatement(
       "CREATE TABLE src.part (id bigint, region varchar) " +
         "WITH (partitioning = ARRAY['region'])"))
     e.catalog.insert("src", "part",
-      Seq((1L, "eu"), (2L, "us")).toDF("id", "region"))
-    val ex2 = intercept[GraftQueryException] {
-      e.executeNonQuery(SqlStatement(
-        s"CALL system.export_iceberg_table('src', 'part', '${tmpDir("ice-exp-part")}')"))
+      Seq((1L, "eu"), (2L, "eu"), (11L, "us")).toDF("id", "region"))
+    e.catalog.insert("src", "part", Seq((12L, "us")).toDF("id", "region"))
+    val loc = new Path(tmpDir("ice-exp-part-tree"))
+    e.executeNonQuery(SqlStatement(
+      s"CALL system.export_iceberg_table('src', 'part', '${loc.toUri}')"))
+    // the exported metadata declares the identity spec, and every data
+    // manifest entry carries the partition struct value
+    val meta = IcebergInterop.parseMetadata {
+      val p = IcebergInterop.currentMetadataPath(loc.getFileSystem(conf), loc)
+      val in = loc.getFileSystem(conf).open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     }
-    val msg2 = ex2.getMessage + Option(ex2.getCause).map(_.getMessage).getOrElse("")
-    assert(msg2.contains("identity-partitioned"))
+    assert(meta.specFields ===
+      Seq(IcebergInterop.IceSpecField("region", "identity", 2)))
+    // register back: the data files don't store `region` — the spec's
+    // Column Projection rule fills it from the partition structs
+    e.executeNonQuery(SqlStatement("CREATE SCHEMA lake"))
+    e.executeNonQuery(SqlStatement(
+      s"CALL system.register_iceberg_table('lake', 'back', '${loc.toUri}')"))
+    e.catalog.snapshots("src", "part").map(_.snapshotId).foreach { id =>
+      val a = e.query(SqlStatement(
+        s"SELECT id, region FROM src.part FOR VERSION AS OF $id"))
+        .as[(Long, String)].collect().toSet
+      val b = e.query(SqlStatement(
+        s"SELECT id, region FROM lake.back FOR VERSION AS OF $id"))
+        .as[(Long, String)].collect().toSet
+      assert(a === b, s"snapshot $id diverged across the round trip")
+    }
+    // $partitions parity across the round trip
+    def parts(t: String) = e.query(SqlStatement(
+      s"""SELECT partition, record_count FROM $t ORDER BY partition"""))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(parts("""lake."back$partitions"""") ===
+      parts("""src."part$partitions""""))
+    assert(parts("""lake."back$partitions"""").map(_._2).sum === 4L)
+    // partition-pruned reads: corrupt one us file — an eu-filtered read
+    // on the RE-IMPORTED table must never open it
+    val usFile = e.catalog.dataFilePaths("src", "part",
+      e.catalog.snapshots("src", "part").last)
+      .find(_.contains("region=us")).get
+    val usPath = new Path(new Path(wh, "src/part"), usFile)
+    val out = usPath.getFileSystem(conf).create(usPath, true)
+    out.write("not parquet".getBytes("UTF-8")); out.close()
+    assert(e.query(SqlStatement(
+      "SELECT id FROM lake.back WHERE region = 'eu'"))
+      .as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("identity export: date-typed and null partition values round-trip") {
+    val e = engine("ice-exp-date-wh")
+    e.executeNonQuery(SqlStatement("CREATE SCHEMA src"))
+    e.executeNonQuery(SqlStatement(
+      "CREATE TABLE src.days (id bigint, d date) " +
+        "WITH (partitioning = ARRAY['d'])"))
+    e.catalog.insert("src", "days",
+      Seq((1L, java.sql.Date.valueOf("2024-01-15")),
+        (2L, java.sql.Date.valueOf("2024-02-20"))).toDF("id", "d"))
+    e.catalog.insert("src", "days",
+      Seq((3L, null.asInstanceOf[java.sql.Date])).toDF("id", "d"))
+    val loc = new Path(tmpDir("ice-exp-date-tree"))
+    e.executeNonQuery(SqlStatement(
+      s"CALL system.export_iceberg_table('src', 'days', '${loc.toUri}')"))
+    e.executeNonQuery(SqlStatement("CREATE SCHEMA lake"))
+    e.executeNonQuery(SqlStatement(
+      s"CALL system.register_iceberg_table('lake', 'back', '${loc.toUri}')"))
+    assert(e.query(SqlStatement(
+      "SELECT id, CAST(d AS STRING) FROM lake.back"))
+      .as[(Long, String)].collect().toSet ===
+      Set((1L, "2024-01-15"), (2L, "2024-02-20"), (3L, null)))
+    assert(e.query(SqlStatement(
+      "SELECT id FROM lake.back WHERE d = DATE '2024-02-20'"))
+      .as[Long].collect().toSeq === Seq(2L))
+    assert(e.query(SqlStatement(
+      "SELECT id FROM lake.back WHERE d IS NULL"))
+      .as[Long].collect().toSeq === Seq(3L))
+  }
+
+  test("nested types export: struct/list/map columns round-trip") {
+    import org.apache.spark.sql.functions._
+    val e = engine("ice-exp-nest-wh")
+    e.executeNonQuery(SqlStatement("CREATE SCHEMA src"))
+    // the multimodal table shape: a struct column + a list + a map
+    val df = Seq(
+      (1L, (640, 480), Seq("a", "b"), Map("k1" -> 1.5)),
+      (2L, (800, 600), Seq("c"), Map("k2" -> 2.5)))
+      .toDF("id", "dims", "tags", "scores")
+      .select(col("id"),
+        col("dims").cast("struct<w:int,h:int>").as("dims"),
+        col("tags"), col("scores"))
+    e.catalog.createTable("src", "m", df.schema)
+    e.catalog.insert("src", "m", df)
+    val loc = new Path(tmpDir("ice-exp-nest-tree"))
+    e.executeNonQuery(SqlStatement(
+      s"CALL system.export_iceberg_table('src', 'm', '${loc.toUri}')"))
+    // the metadata declares the nested types with UNIQUE nested field
+    // ids and a nested name mapping
+    val mdJson = {
+      val p = IcebergInterop.currentMetadataPath(loc.getFileSystem(conf), loc)
+      val in = loc.getFileSystem(conf).open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    val meta = IcebergInterop.parseMetadata(mdJson)
+    assert(meta.schema.fieldNames.toSeq === Seq("id", "dims", "tags", "scores"))
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(mdJson)
+    def collectIds(n: com.fasterxml.jackson.databind.JsonNode): Seq[Int] =
+      if (n == null) Nil
+      else (Seq("id", "element-id", "key-id", "value-id")
+        .flatMap(k => Option(n.get(k)).filter(_.isInt).map(_.asInt))) ++
+        (n.elements().asScala.flatMap(collectIds).toSeq)
+    val allIds = collectIds(root.get("schemas"))
+    assert(allIds.distinct.size === allIds.size, "nested field ids collide")
+    assert(root.get("last-column-id").asInt === allIds.max)
+    assert(root.get("properties").get("schema.name-mapping.default")
+      .asText.contains("\"element\""))
+    // register back: nested values must round-trip
+    e.executeNonQuery(SqlStatement("CREATE SCHEMA lake"))
+    e.executeNonQuery(SqlStatement(
+      s"CALL system.register_iceberg_table('lake', 'back', '${loc.toUri}')"))
+    val got = e.query(SqlStatement(
+      "SELECT id, dims.w, dims.h, tags, scores['k1'] FROM lake.back"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getSeq[String](3).toList, Option(r.get(4)))).toSet
+    assert(got === Set(
+      (1L, 640, 480, List("a", "b"), Some(1.5)),
+      (2L, 800, 600, List("c"), None)))
+  }
+
+  test("ANALYZE stats ride the export/register round trip metadata-only") {
+    val wh = tmpDir("ice-exp-stats-wh")
+    val e = new GraftEngine(spark, wh)
+    e.executeNonQuery(SqlStatement("CREATE SCHEMA src"))
+    e.executeNonQuery(SqlStatement("CREATE TABLE src.t (id bigint, v varchar)"))
+    e.catalog.insert("src", "t",
+      Seq((1L, "a"), (2L, "b"), (3L, null.asInstanceOf[String]))
+        .toDF("id", "v"))
+    e.executeNonQuery(SqlStatement("ANALYZE src.t"))
+    val srcStats = e.query(SqlStatement("SHOW STATS FOR src.t")).collect()
+      .map(_.toSeq).toSet
+    val loc = new Path(tmpDir("ice-exp-stats-tree"))
+    e.executeNonQuery(SqlStatement(
+      s"CALL system.export_iceberg_table('src', 't', '${loc.toUri}')"))
+    e.executeNonQuery(SqlStatement("CREATE SCHEMA lake"))
+    e.executeNonQuery(SqlStatement(
+      s"CALL system.register_iceberg_table('lake', 'back', '${loc.toUri}')"))
+    // the persisted stats restored at register: SHOW STATS parity
+    // WITHOUT a scan — corrupt the data file first so any scan would
+    // throw, proving the serve is metadata-only
+    val dataFile = e.catalog.dataFilePaths("src", "t",
+      e.catalog.snapshots("src", "t").last).head
+    val p = new Path(new Path(wh, "src/t"), dataFile)
+    val out = p.getFileSystem(conf).create(p, true)
+    out.write("not parquet".getBytes("UTF-8")); out.close()
+    val backStats = e.query(SqlStatement("SHOW STATS FOR lake.back")).collect()
+      .map(_.toSeq).toSet
+    assert(backStats === srcStats)
+  }
+
+  test("export refuses a tag/branch ref-name collision, loudly") {
+    val e = engine("ice-exp-refcol-wh")
+    e.executeNonQuery(SqlStatement("CREATE SCHEMA src"))
+    e.executeNonQuery(SqlStatement("CREATE TABLE src.t (id bigint)"))
+    e.catalog.insert("src", "t", Seq(1L).toDF("id"))
+    // a tag and a branch sharing a name: Iceberg `refs` is ONE
+    // namespace — exporting would silently drop the tag
+    e.catalog.createTag("src", "t", "release", None)
+    e.catalog.createBranch("src", "t", "release")
+    val ex = intercept[GraftQueryException] {
+      e.executeNonQuery(SqlStatement(
+        s"CALL system.export_iceberg_table('src', 't', '${tmpDir("ice-exp-refcol")}')"))
+    }
+    val msg = ex.getMessage + Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("one namespace") || msg.contains("rename one side"))
+    // (a ref named `main` needs no export-side case: refNameOk already
+    // refuses it at tag/branch creation — the export guard is defensive)
   }
 
   test("DESCRIBE surfaces sync drift for attached tables without a refresh") {

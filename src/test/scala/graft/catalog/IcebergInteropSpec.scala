@@ -799,6 +799,80 @@ class IcebergInteropSpec extends SparkSpec {
       .collect().sorted.toSeq === Seq(1L, 2L))
   }
 
+  test("an ORC-declared data file refuses at register, not mid-read") {
+    val loc = new Path(tmpDir("ice-orc"))
+    val f1 = new Path(loc, "data/f1.parquet")
+    val b1 = writeParquet(Seq((1L, "a")).toDF("id", "name"), f1)
+    import IcebergFixture._
+    // the manifest DECLARES the file ORC (one config flip on a real
+    // Iceberg writer): the attach must refuse with a typed message at
+    // the boundary, never stack-trace on parquet magic at read time
+    val fr1 = FileRef(f1.toUri.toString, 1L, b1, Map.empty, format = "ORC")
+    IcebergFixture.writeTree(conf, loc, 2,
+      Seq((1, "id", "long"), (2, "name", "string")),
+      Seq(SnapRef(9001L, 1700000000000L, Seq(fr1))))
+    val e = engine("ice-orc-wh")
+    e.executeNonQuery(SqlStatement("CREATE SCHEMA lake"))
+    val ex = intercept[GraftQueryException] {
+      e.executeNonQuery(SqlStatement(
+        s"CALL system.register_iceberg_table('lake', 't', '${loc.toUri}')"))
+    }
+    val msg = ex.getMessage + Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("ORC") && msg.contains("PARQUET"))
+    assert(!e.catalog.tableExists("lake", "t"))
+  }
+
+  test("uuid and fixed columns attach: canonical render, uuid bounds prune") {
+    val loc = new Path(tmpDir("ice-uuid"))
+    import IcebergFixture._
+    def uuidBytes(s: String): Array[Byte] = {
+      val u = java.util.UUID.fromString(s)
+      java.nio.ByteBuffer.allocate(16)
+        .putLong(u.getMostSignificantBits)
+        .putLong(u.getLeastSignificantBits).array()
+    }
+    val u1 = "10000000-0000-0000-0000-000000000001"
+    val u2 = "3fffffff-0000-0000-0000-000000000002"
+    val u3 = "c0000000-0000-0000-0000-000000000003"
+    // data files store the uuid as its canonical varchar render (the
+    // reference's own GUID storage, 02-tables.sql:49) and fixed[4] as
+    // binary; the METADATA declares uuid/fixed
+    val f1 = new Path(loc, "data/f1.parquet")
+    val f2 = new Path(loc, "data/f2.parquet")
+    def wp(df: org.apache.spark.sql.DataFrame, t: Path): Long =
+      IcebergFixture.writeOneParquet(conf, IcebergFixture.withFieldIds(df,
+        Map("id" -> 1, "guid" -> 2, "blob" -> 3)), t)
+    val b1 = wp(Seq((1L, u1, Array[Byte](1, 2, 3, 4)),
+      (2L, u2, Array[Byte](5, 6, 7, 8))).toDF("id", "guid", "blob"), f1)
+    val b2 = wp(Seq((3L, u3, Array[Byte](9, 10, 11, 12)))
+      .toDF("id", "guid", "blob"), f2)
+    val fr1 = FileRef(f1.toUri.toString, 2L, b1, Map(
+      1 -> (encodeLong(1L), encodeLong(2L), 0L),
+      2 -> (uuidBytes(u1), uuidBytes(u2), 0L)))
+    val fr2 = FileRef(f2.toUri.toString, 1L, b2, Map(
+      1 -> (encodeLong(3L), encodeLong(3L), 0L),
+      2 -> (uuidBytes(u3), uuidBytes(u3), 0L)))
+    IcebergFixture.writeTree(conf, loc, 2,
+      Seq((1, "id", "long"), (2, "guid", "uuid"), (3, "blob", "fixed[4]")),
+      Seq(SnapRef(9001L, 1700000000000L, Seq(fr1, fr2))))
+    val e = engine("ice-uuid-wh")
+    e.executeNonQuery(SqlStatement("CREATE SCHEMA lake"))
+    e.executeNonQuery(SqlStatement(
+      s"CALL system.register_iceberg_table('lake', 't', '${loc.toUri}')"))
+    // values read as canonical strings / raw bytes
+    assert(e.query(SqlStatement("SELECT guid FROM lake.t WHERE id = 1"))
+      .as[String].collect().toSeq === Seq(u1))
+    assert(e.query(SqlStatement("SELECT id FROM lake.t")).as[Long]
+      .collect().sorted.toSeq === Seq(1L, 2L, 3L))
+    // uuid bounds decoded from 16-byte big-endian prune: corrupt f2 —
+    // a guid-ranged read inside f1's bounds must never open f2
+    val out = f2.getFileSystem(conf).create(f2, true)
+    out.write("not parquet".getBytes("UTF-8")); out.close()
+    assert(e.query(SqlStatement(
+      s"SELECT id FROM lake.t WHERE guid = '$u2'"))
+      .as[Long].collect().toSeq === Seq(2L))
+  }
+
   test("single-value bound decoding: every supported type round-trips") {
     import IcebergFixture._
     def dec(dt: DataType, b: Array[Byte]) =
@@ -950,7 +1024,13 @@ class IcebergInteropSpec extends SparkSpec {
       ("id", LongType), ("ts", TimestampType), ("d", DecimalType(10, 2))))
     assert(meta.schema.fields.map(_.metadata.getLong(IcebergInterop.FieldIdKey))
       .toSeq === Seq(1L, 2L, 3L))
-    val bad = IcebergFixture.metadataJson(2, "/x", Seq((1, "u", "uuid")), Nil, -1L)
+    // uuid/fixed parse since round 13 (uuid → string canonical render,
+    // fixed[n] → binary); `time` remains genuinely unsupported
+    val u = IcebergInterop.parseMetadata(IcebergFixture.metadataJson(2, "/x",
+      Seq((1, "u", "uuid"), (2, "f", "fixed[16]")), Nil, -1L))
+    assert(u.schema.fields.map(_.dataType).toSeq === Seq(StringType, BinaryType))
+    assert(u.fields.head.rawType === "uuid")
+    val bad = IcebergFixture.metadataJson(2, "/x", Seq((1, "t", "time")), Nil, -1L)
     intercept[IllegalArgumentException] { IcebergInterop.parseMetadata(bad) }
   }
 }
