@@ -139,6 +139,38 @@ object DevIcebergBench {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(loc.toString))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
     }
+    // ---- arm 3: incremental re-export (sync-out) — O(new), not O(S×F) ----
+    {
+      import org.apache.spark.sql.functions.{concat, lit, col}
+      val wh = java.nio.file.Files.createTempDirectory("graft-icebench-xwh").toString
+      val e = new GraftEngine(spark, wh)
+      e.catalog.createSchema("src")
+      e.executeNonQuery(graft.params.SqlStatement(
+        "CREATE TABLE src.t (id bigint, v varchar)"))
+      val snaps = 16
+      (0 until snaps).foreach { i =>
+        e.catalog.insert("src", "t",
+          spark.range(i * 100L, i * 100L + 100L)
+            .select(col("id"), concat(lit("v"), col("id")).as("v"))
+            .repartition(8))
+      }
+      val loc = new Path(java.nio.file.Files
+        .createTempDirectory("graft-icebench-exp").toString, "tree")
+      val (n1, tFull) = timed(e.executeNonQuery(graft.params.SqlStatement(
+        s"CALL system.export_iceberg_table('src', 't', '${loc.toUri}')")))
+      e.catalog.insert("src", "t",
+        spark.range(9000L, 9100L)
+          .select(col("id"), concat(lit("v"), col("id")).as("v"))
+          .repartition(8))
+      val (n2, tInc) = timed(e.executeNonQuery(graft.params.SqlStatement(
+        s"CALL system.export_iceberg_table('src', 't', '${loc.toUri}')")))
+      println(f"[icebench] export full=$tFull%6.2f s ($n1 snapshots), " +
+        f"incremental(+1 commit)=$tInc%6.2f s ($n2 exported)")
+      CacheHygiene.sweep(spark)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(loc.getParent.toString))
+    }
     println("[icebench] done")
   }
 }

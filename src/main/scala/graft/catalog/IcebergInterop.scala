@@ -490,7 +490,8 @@ object IcebergInterop {
     * is STRICTLY smaller (spec §Scan Planning).
     */
   final case class IceDeleteFile(path: String, content: Int, rows: Long,
-                                 equalityIds: Seq[Int], dataSeq: Option[Long])
+                                 equalityIds: Seq[Int], dataSeq: Option[Long],
+                                 bytes: Long = 0L)
 
   /** One DELETE manifest's live entries (v2 row-level deletes) —
     * positional AND equality delete files both surface (the caller
@@ -532,7 +533,8 @@ object IcebergInterop {
           .map(_.asInstanceOf[Long])
           .orElse(if (status == 1) manifestSeq else None)
         Some(IceDeleteFile(df.get("file_path").toString, content,
-          df.get("record_count").asInstanceOf[Long], eqIds, dataSeq))
+          df.get("record_count").asInstanceOf[Long], eqIds, dataSeq,
+          df.get("file_size_in_bytes").asInstanceOf[Long]))
       }
     }.toList
     finally r.close()

@@ -1596,6 +1596,45 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     require(commits.nonEmpty, s"$schema.$table has no snapshots to export")
     val decl = declaredSchema(schema, table).getOrElse(
       throw new IllegalArgumentException(s"$schema.$table has no schema"))
+    // INCREMENTAL re-export (sync-out, the inverse of
+    // refresh_iceberg_table's sync-in): exporting onto a location that
+    // already holds an export of THIS table appends only the snapshots
+    // committed since — new manifests + a v(N+1) metadata.json whose
+    // prior snapshots keep their on-disk manifest lists, preserving
+    // table-uuid and lineage, so a foreign reader polling the tree
+    // sees an ordinary metadata advance. The prior export must be a
+    // PREFIX of the current main line (expiry/rollback past it
+    // refuses); a location holding a different table's tree (no
+    // matching identity property) refuses.
+    val locPath = new Path(location)
+    val locFs = fs(locPath)
+    val identity = tableIdentity(schema, table)
+    val prior: Option[(IcebergInterop.IceMeta,
+        com.fasterxml.jackson.databind.JsonNode, Int)] =
+      if (!locFs.exists(new Path(locPath, "metadata"))) None
+      else {
+        val mdPath = IcebergInterop.currentMetadataPath(locFs, locPath)
+        require(locFs.exists(mdPath),
+          s"$location has a metadata directory but no readable metadata file")
+        val rawJson = readString(mdPath)
+        val raw = mapper.readTree(rawJson)
+        val recorded = Option(raw.get("properties"))
+          .flatMap(p => Option(p.get("graft.export.table-identity")))
+          .map(_.asText)
+        require(recorded.contains(identity),
+          s"$location already holds an Iceberg tree that is not an export " +
+            s"of $schema.$table — export to a fresh location")
+        val verRe = "^v(\\d+)\\.metadata\\.json$".r
+        val ver = mdPath.getName match {
+          case verRe(v) => v.toInt
+          case other => throw new IllegalStateException(
+            s"Exported metadata file $other does not follow the vN naming")
+        }
+        Some((IcebergInterop.parseMetadata(rawJson), raw, ver))
+      }
+    val priorSnaps: Seq[IcebergInterop.IceSnapshot] =
+      prior.map(_._1.snapshots).getOrElse(Nil)
+    val oldCount = priorSnaps.size
     // field ids: reuse the declared ones (iceberg-attached tables),
     // ordinals otherwise
     val ids: Seq[Int] = decl.fields.toIndexedSeq.zipWithIndex.map {
@@ -1603,6 +1642,25 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         if (f.metadata.contains(IcebergInterop.FieldIdKey))
           f.metadata.getLong(IcebergInterop.FieldIdKey).toInt
         else i + 1
+    }
+    prior.foreach { case (pm, _, _) =>
+      require(pm.snapshots.map(_.id) ==
+          commits.map(_.snapshotId).take(oldCount),
+        s"$schema.$table: the existing export at $location is not a prefix " +
+          "of the current main line (expiry or rollback rewrote history " +
+          "since, or it carries branch-ancestry snapshots) — export to a " +
+          "fresh location")
+      // schema may only have GROWN since the prior export: old manifests
+      // keep their recorded ids, so a drop/rename/retype would misalign
+      // the ids third-party readers resolve by
+      val shared = math.min(pm.fields.size, decl.fields.size)
+      require(pm.fields.size <= decl.fields.size &&
+        pm.fields.take(shared).zip(decl.fields.take(shared).toSeq.zip(ids))
+          .forall { case (pf, (df, id)) =>
+            pf.id == id && pf.name.equalsIgnoreCase(df.name) &&
+              pf.dataType.catalogString == df.dataType.catalogString },
+        s"$schema.$table: the declared schema changed incompatibly since " +
+          s"the export at $location — export to a fresh location")
     }
     // nested field ids allocate past the top-level ones; the name
     // mapping grows matching nested entries as the types serialize
@@ -1687,15 +1745,27 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       branchHeadExp(name) = resolve(log.last.snapshotId)
       out.map { case (s, e, p, _) => (s, e, p, resolve) }
     }
-    val units = mainUnits ++ branchUnits
-    // v2 sequence numbers: export position + 1 (main first, then branch
-    // suffixes — parents always precede children); a data file's DATA
-    // sequence number is the sequence of the snapshot that first listed
-    // it, carried explicitly on later EXISTING entries — what scopes
-    // row-level deletes on the Iceberg side exactly as the engine's
-    // appliesTo scopes them here
-    val seqOfId: Map[Long, Long] =
-      units.zipWithIndex.map { case ((_, e, _, _), i) => e -> (i + 1L) }.toMap
+    // incremental re-export cannot stably remap BRANCH-only commit ids
+    // across runs (the remap is allocation-order-local) — refuse loudly
+    require(prior.isEmpty || branchUnits.isEmpty,
+      s"$schema.$table has branch-only commits — incremental re-export " +
+        "onto an existing tree cannot stably remap their ids; export to " +
+        "a fresh location")
+    // only NEW units write manifests; the already-exported prefix is
+    // replayed below for first-listing seqs and delete-file reuse
+    val units = mainUnits.drop(oldCount) ++ branchUnits
+    // v2 sequence numbers: export position + 1 past the prior export's
+    // last (main first, then branch suffixes — parents always precede
+    // children); a data file's DATA sequence number is the sequence of
+    // the snapshot that first listed it, carried explicitly on later
+    // EXISTING entries — what scopes row-level deletes on the Iceberg
+    // side exactly as the engine's appliesTo scopes them here
+    val priorSeqOf: Map[Long, Long] =
+      priorSnaps.flatMap(s => s.seq.map(s.id -> _)).toMap
+    val baseSeq = priorSeqOf.values.maxOption.getOrElse(0L)
+    val seqOfId: Map[Long, Long] = priorSeqOf ++
+      units.zipWithIndex.map { case ((_, e, _, _), i) =>
+        e -> (baseSeq + i + 1L) }.toMap
     val firstSeen = scala.collection.mutable.Map.empty[String, (Long, Long)]
     // row-level delete files rewrite ONCE into the export location's
     // data dir (their engine form — raw-prefixed coordinates, key dirs —
@@ -1710,6 +1780,36 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     // log in order): the eq-delete scope check below needs
     // files(appliesTo)
     val filesOfExp = scala.collection.mutable.Map.empty[Long, Set[String]]
+    // replay the already-exported prefix (incremental runs): first-
+    // listing seqs and per-snapshot file sets from the graft manifests,
+    // and the delete-file caches from the prior tree's own delete
+    // manifests — carried delete states then reuse the files already on
+    // disk instead of rewriting them
+    priorSnaps.zip(commits.take(oldCount)).foreach { case (ps, s) =>
+      val seq = seqOfId(s.snapshotId)
+      val uris = manifestEntriesOf(dir, s)
+        .map(e => new Path(qualDir, e.path).toUri.toString)
+      uris.foreach(u => firstSeen.getOrElseUpdate(u, (seq, s.snapshotId)))
+      filesOfExp(s.snapshotId) = uris.toSet
+      if (s.deletes.nonEmpty || s.eqDeletes.nonEmpty) {
+        val dels = IcebergInterop.readManifestList(conf,
+            new Path(ps.manifestList))
+          .filter(_.content == 1)
+          .flatMap(m => IcebergInterop.readDeleteManifest(conf,
+            new Path(m.path), m.seq))
+        val (eqF, posF) = dels.partition(_.content == 2)
+        if (s.deletes.nonEmpty && posF.nonEmpty)
+          posDelCache.getOrElseUpdate(s.deletes.sorted,
+            IcebergFixture.FileRef(posF.head.path, posF.head.rows,
+              posF.head.bytes, Map.empty, dataSeq = posF.head.dataSeq))
+        // exported in s.eqDeletes order — zip restores the pairing
+        s.eqDeletes.zip(eqF).foreach { case (ed, pf) =>
+          eqDelCache.getOrElseUpdate(ed.path,
+            IcebergFixture.FileRef(pf.path, pf.rows, pf.bytes, Map.empty,
+              eqIds = pf.equalityIds, dataSeq = pf.dataSeq))
+        }
+      }
+    }
     val snapRefs = units.map { case (s, expId, parent, resolve) =>
       require(s.dirs.isEmpty,
         s"$schema.$table snapshot ${s.snapshotId} predates the manifest " +
@@ -1764,7 +1864,10 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
             val joined = rows.join(mapping, "__bare")
               .select(col("file_path"), col("pos"))
             delNo += 1
-            val target = new Path(exportData, f"posdel-$delNo%03d.parquet")
+            // the carrying snapshot id in the name keeps incremental
+            // runs from colliding with a prior run's delete files
+            val target = new Path(exportData,
+              f"posdel-$expId-$delNo%03d.parquet")
             val written = IcebergFixture.writeOneParquet(conf,
               joined.orderBy(col("file_path"), col("pos")), target)
             val kept = parquetFooterRows(target)
@@ -1799,7 +1902,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
                 s"${e.appliesTo}, absent from the commit log of " +
                 s"$schema.$table"))
           delNo += 1
-          val target = new Path(exportData, f"eqdel-$delNo%03d.parquet")
+          val target = new Path(exportData, f"eqdel-$expId-$delNo%03d.parquet")
           import org.apache.spark.sql.functions.col
           val keyDf = spark.read.parquet(new Path(dir, e.path).toString)
             .select(e.keys.map(col): _*)
@@ -1886,13 +1989,22 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         else Map.empty
       }
     }
-    IcebergFixture.writeTreeWithCurrent(conf, new Path(location), fields,
-      snapRefs, commits.last.snapshotId, formatVersion = 2,
-      properties = Map("schema.name-mapping.default" -> mapping) ++ statsProp,
+    val existingRefs: Seq[(IcebergFixture.SnapRef, Path)] =
+      priorSnaps.map(ps => (IcebergFixture.SnapRef(ps.id, ps.timestampMs,
+        Nil, seq = ps.seq, parentId = ps.parentId), new Path(ps.manifestList)))
+    IcebergFixture.writeTreeAppend(conf, locPath, fields,
+      existingRefs, snapRefs, commits.last.snapshotId,
+      version = prior.map(_._3 + 1).getOrElse(1), formatVersion = 2,
+      properties = Map("schema.name-mapping.default" -> mapping,
+        "graft.export.table-identity" -> identity) ++ statsProp,
       specFields = specFieldsExp, partAvroTypes = partAvro,
       tagRefs = tagRefsExp,
-      branchRefs = branchRefsExp)
-    commits.size.toLong
+      branchRefs = branchRefsExp,
+      tableUuid = prior.flatMap(p =>
+        Option(p._2.get("table-uuid")).map(_.asText)))
+    // snapshots exported THIS call (the full history on a fresh
+    // location; only the new suffix on an incremental re-export)
+    (commits.size - oldCount).toLong
   }
 
   /** Spark type → Iceberg type for EXPORT: primitives return the

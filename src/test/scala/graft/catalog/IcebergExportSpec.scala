@@ -325,6 +325,95 @@ class IcebergExportSpec extends SparkSpec {
     assert(backStats === srcStats)
   }
 
+  test("incremental re-export: new commits append as a metadata advance") {
+    val e = engine("ice-exp-inc-wh")
+    e.executeNonQuery(SqlStatement("CREATE SCHEMA src"))
+    e.executeNonQuery(SqlStatement(
+      "CREATE TABLE src.t (id bigint, v varchar) WITH (format_version = 2)"))
+    e.catalog.insert("src", "t", Seq((1L, "a")).toDF("id", "v"))
+    val loc = new Path(tmpDir("ice-exp-inc-tree"))
+    assert(e.executeNonQuery(SqlStatement(
+      s"CALL system.export_iceberg_table('src', 't', '${loc.toUri}')")) === 1L)
+    val fsys = loc.getFileSystem(conf)
+    val uuid1 = {
+      val in = fsys.open(IcebergInterop.currentMetadataPath(fsys, loc))
+      val j = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(j)
+        .get("table-uuid").asText
+    }
+    // a foreign reader attaches the v1 export and polls it
+    e.executeNonQuery(SqlStatement("CREATE SCHEMA lake"))
+    e.executeNonQuery(SqlStatement(
+      s"CALL system.register_iceberg_table('lake', 'poll', '${loc.toUri}')"))
+    // the table commits twice more — one of them a MoR delete, so a
+    // carried delete state crosses the re-export boundary
+    e.catalog.insert("src", "t", Seq((2L, "b"), (3L, "c")).toDF("id", "v"))
+    e.executeNonQuery(SqlStatement("DELETE FROM src.t WHERE id = 2"))
+    // re-export onto the SAME location: only the delta exports
+    assert(e.executeNonQuery(SqlStatement(
+      s"CALL system.export_iceberg_table('src', 't', '${loc.toUri}')")) === 2L)
+    val md2 = IcebergInterop.currentMetadataPath(fsys, loc)
+    assert(md2.getName === "v2.metadata.json")
+    val j2 = {
+      val in = fsys.open(md2)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    // lineage preserved: same table-uuid, all three snapshots listed
+    assert(new com.fasterxml.jackson.databind.ObjectMapper().readTree(j2)
+      .get("table-uuid").asText === uuid1)
+    val meta2 = IcebergInterop.parseMetadata(j2)
+    assert(meta2.snapshots.map(_.id) ===
+      e.catalog.snapshots("src", "t").map(_.snapshotId))
+    // the polling foreign reader refreshes and sees the new commits
+    assert(e.executeNonQuery(SqlStatement(
+      "CALL system.refresh_iceberg_table('lake', 'poll')")) === 2L)
+    assert(e.query(SqlStatement("SELECT id FROM lake.poll")).as[Long]
+      .collect().sorted.toSeq === Seq(1L, 3L))
+    e.catalog.snapshots("src", "t").map(_.snapshotId).foreach { id =>
+      val a = e.query(SqlStatement(
+        s"SELECT id, v FROM src.t FOR VERSION AS OF $id"))
+        .as[(Long, String)].collect().toSet
+      val b = e.query(SqlStatement(
+        s"SELECT id, v FROM lake.poll FOR VERSION AS OF $id"))
+        .as[(Long, String)].collect().toSet
+      assert(a === b, s"snapshot $id diverged after the incremental export")
+    }
+    // a THIRD export with nothing new: metadata advances, 0 exported
+    assert(e.executeNonQuery(SqlStatement(
+      s"CALL system.export_iceberg_table('src', 't', '${loc.toUri}')")) === 0L)
+    assert(IcebergInterop.currentMetadataPath(fsys, loc).getName ===
+      "v3.metadata.json")
+  }
+
+  test("incremental re-export refuses a foreign location and rewritten history") {
+    val e = engine("ice-exp-incref-wh")
+    e.executeNonQuery(SqlStatement("CREATE SCHEMA src"))
+    e.executeNonQuery(SqlStatement("CREATE TABLE src.a (id bigint)"))
+    e.executeNonQuery(SqlStatement("CREATE TABLE src.b (id bigint)"))
+    e.catalog.insert("src", "a", Seq(1L).toDF("id"))
+    e.catalog.insert("src", "b", Seq(2L).toDF("id"))
+    val loc = new Path(tmpDir("ice-exp-incref-tree"))
+    e.executeNonQuery(SqlStatement(
+      s"CALL system.export_iceberg_table('src', 'a', '${loc.toUri}')"))
+    // a DIFFERENT table cannot export onto a's tree
+    val ex = intercept[GraftQueryException] {
+      e.executeNonQuery(SqlStatement(
+        s"CALL system.export_iceberg_table('src', 'b', '${loc.toUri}')"))
+    }
+    val msg = ex.getMessage + Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("not an export of"))
+    // expiry rewrites a's history past the export: refuse, don't corrupt
+    e.catalog.insert("src", "a", Seq(3L).toDF("id"))
+    e.catalog.expireSnapshots("src", "a", System.currentTimeMillis() + 60000L)
+    val ex2 = intercept[GraftQueryException] {
+      e.executeNonQuery(SqlStatement(
+        s"CALL system.export_iceberg_table('src', 'a', '${loc.toUri}')"))
+    }
+    val msg2 = ex2.getMessage + Option(ex2.getCause).map(_.getMessage).getOrElse("")
+    assert(msg2.contains("not a prefix"))
+  }
+
   test("export refuses a tag/branch ref-name collision, loudly") {
     val e = engine("ice-exp-refcol-wh")
     e.executeNonQuery(SqlStatement("CREATE SCHEMA src"))
