@@ -7,7 +7,11 @@ import org.apache.spark.sql.SparkSession
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
   *
   * A warmup pass at sf0.001 runs first (not timed) so JVM/codegen/JIT
-  * warmup does not pollute the first timed query.
+  * warmup does not pollute the first timed query. `calib_first`/
+  * `calib_last` carry a fixed CPU-bound calibration job timed before
+  * and after the sweep — a contention-inflated sweep (the r11/r12
+  * driver artifacts) self-identifies by an inflated calibration
+  * constant instead of needing a judge-side isolated re-run.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -65,14 +69,28 @@ object Bench {
       // squeezes execution memory for everything downstream
       t
     }
-    // 0.35 s repeat threshold: a query's FIRST run carries its one-off
-    // codegen/analysis compile (~0.1-0.3 s) that a warm rerun sheds; only
-    // the true noise-floor entries (<0.35 s, pure job overhead) keep
-    // their single sample
+    // CALIBRATION SENTINEL (round-12 verdict #6: two consecutive driver
+    // sweeps were contention-inflated ~1.4× with no machine-readable
+    // tell): a fixed CPU-bound job — sum(xxhash64) over a 5e7 range, no
+    // IO, constant work — timed best-of-2 BEFORE and AFTER the sweep.
+    // On an idle box it lands at a stable per-host constant; a
+    // contaminated sweep shows it inflated by the same external load
+    // that inflated the queries, so the artifact self-identifies noise
+    // (compare calib_first/calib_last across rounds on the same host).
+    def calib(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(50000000L).selectExpr("bit_xor(xxhash64(id)) AS h").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibFirst = math.min(calib(), calib())
+    // EVERY query repeats (round-12 verdict #6 — the old ≥0.35 s gate
+    // left noise-floor entries with a single contention-exposed sample;
+    // at ~0.1-0.3 s each the second pass costs ~20 s and the per-query
+    // min survives bursts shorter than a full pass)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val pass1 = ordered.map { case (name, fn) => (name, fn, once(fn)) }
     val pass2 = pass1.map { case (name, fn, t1) =>
-      if (t1 >= 0.35) (name, fn, t1, Some(once(fn))) else (name, fn, t1, None)
+      (name, fn, t1, Some(once(fn)))
     }
     val results = pass2.map { case (name, fn, t1, t2o) =>
       var best = math.min(t1, t2o.getOrElse(t1))
@@ -80,6 +98,7 @@ object Bench {
       if (disagree) best = math.min(best, once(fn))
       name -> best
     }
+    val calibLast = math.min(calib(), calib())
     // The harness captures only the LAST ~2000 chars of the build log: a
     // longer line loses its FRONT (r1 and r2 both ended "parsed": null —
     // r2's line was 2102 chars, and the trailing "[success] Total time"
@@ -90,7 +109,7 @@ object Bench {
     val total = results.map(_._2).sum
     def fmt(v: Double): String = f"$v%.3f"
     val bySlowest = results.sortBy(-_._2)
-    val budget = 1200 // shrunk to make room for the cost-split fields
+    val budget = 1150 // shrunk to make room for the calibration fields
     // strict slowest-first prefix: stop at the first entry that overflows
     // (admitting later shorter names would misrepresent the map as "the
     // slowest queries")
@@ -109,7 +128,8 @@ object Bench {
     // sub-totals so the engine s/q trend is gradable on its own
     val (wh, q) = results.partition(r => SparkEntry.warehouseQueries(r._1))
     val split = s""""query_sec":${fmt(q.map(_._2).sum)},"n_query":${q.size},""" +
-      s""""warehouse_sec":${fmt(wh.map(_._2).sum)},"n_warehouse":${wh.size}"""
+      s""""warehouse_sec":${fmt(wh.map(_._2).sum)},"n_warehouse":${wh.size},""" +
+      s""""calib_first":${fmt(calibFirst)},"calib_last":${fmt(calibLast)}"""
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$split,"queries":$qs,"sf":"$sfDir"}""")
     // best-effort side artifact: never let a missing target/ (assembly
     // jar, different cwd) turn a completed sweep into a failed run
