@@ -159,6 +159,7 @@ object SparkEntry {
     "migrate_demo"  -> (CatalogDemos.migrateDemo _),
     "iceberg_register_demo" -> (CatalogDemos.icebergRegisterDemo _),
     "iceberg_export_demo" -> (CatalogDemos.icebergExportDemo _),
+    "iceberg_sync_out_demo" -> (CatalogDemos.icebergSyncOutDemo _),
     "iceberg_cdc_demo" -> (CatalogDemos.icebergCdcDemo _),
     "upsert_demo" -> (CatalogDemos.upsertDemo _),
     "unload_demo"      -> (CatalogDemos.unloadDemo _),
@@ -217,8 +218,8 @@ object SparkEntry {
   val warehouseQueries: Set[String] = Set(
     "time_travel_demo", "partition_prune_demo", "transform_partition_demo",
     "refs_demo", "catalog_refs_demo", "register_demo", "migrate_demo",
-    "iceberg_register_demo", "iceberg_export_demo", "iceberg_cdc_demo",
-    "upsert_demo",
+    "iceberg_register_demo", "iceberg_export_demo", "iceberg_sync_out_demo",
+    "iceberg_cdc_demo", "upsert_demo",
     "unload_demo", "dml_demo",
     "mor_demo", "sorted_demo", "scan_prune_demo", "changes_demo",
     "stream_demo", "bloom_prune_demo", "zorder_demo", "merge_demo",
@@ -361,6 +362,7 @@ object SparkEntry {
     "migrate_demo"  -> operators.CatalogDemos.migrateDemoSql,
     "iceberg_register_demo" -> operators.CatalogDemos.icebergRegisterDemoSql,
     "iceberg_export_demo" -> operators.CatalogDemos.icebergExportDemoSql,
+    "iceberg_sync_out_demo" -> operators.CatalogDemos.icebergSyncOutDemoSql,
     "iceberg_cdc_demo" -> operators.CatalogDemos.icebergCdcDemoSql,
     "upsert_demo" -> operators.CatalogDemos.upsertDemoSql,
     "q2_min_cost_supplier"  -> TpchRemainder.Sql.q2MinCostSupplier,

@@ -2433,7 +2433,9 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           // lands — a crash between the two must not leave an
           // unrecorded local tag later syncs refuse as a collision
           recordRefIntent(tableDir(schema, table), Some(name), None)
+          faultPoint("icesync.tag-intent") // intent on disk, tag absent
           createTag(schema, table, name, Some(sid))
+          faultPoint("icesync.tag-created") // tag on disk, final record pending
         case Some(snap) if mirrored(name) && snap.snapshotId != sid =>
           dropTag(schema, table, name) // the source re-pointed the tag
           createTag(schema, table, name, Some(sid))
@@ -2535,8 +2537,12 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         // branch log lands (mirror-intent write-ahead) — a crash
         // between the two must not leave an unrecorded local branch
         // every later sync refuses as a collision
-        if (recorded.isEmpty) recordRefIntent(dir, None, Some(name -> headId))
+        if (recorded.isEmpty) {
+          recordRefIntent(dir, None, Some(name -> headId))
+          faultPoint("icesync.branch-intent") // intent on disk, log absent
+        }
         branch(name).writeCommits(schema, table, log, bGen)
+        faultPoint("icesync.branch-written") // log on disk, record pending
         result(name) = headId
       }
       }

@@ -565,7 +565,8 @@ class IcebergInteropSpec extends SparkSpec {
       hint.write("1".getBytes("UTF-8")); hint.close()
     }
     writeMeta(devHead = Some(8101L), withDev2 = false)
-    val e = engine("ice-branch-wh")
+    val wh = tmpDir("ice-branch-wh")
+    val e = new GraftEngine(spark, wh)
     e.executeNonQuery(SqlStatement("CREATE SCHEMA lake"))
     e.executeNonQuery(SqlStatement(
       s"CALL system.register_iceberg_table('lake', 't', '${loc.toUri}')"))
@@ -586,6 +587,14 @@ class IcebergInteropSpec extends SparkSpec {
     assert(e.query(SqlStatement(
       "SELECT id FROM lake.t FOR VERSION AS OF 'dev'")).as[Long]
       .collect().sorted.toSeq === Seq(1L, 2L, 100L, 101L))
+    // the branch-minted manifest reuse PERSISTS after the sync (round-12
+    // advice: pruning to the main tip alone dropped it, making every
+    // branch advance re-decode the whole carried branch): the recorded
+    // map keeps the branch head's manifest alongside the main tip's
+    val srcJson = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(wh, "lake/t/_iceberg_source")), "UTF-8")
+    assert(srcJson.contains("m0-8102"), "branch-head manifest reuse lost")
+    assert(srcJson.contains("m0-9002"), "main-tip manifest reuse lost")
     // local commits on the mirrored branch refuse the next sync
     e.catalog.branch("dev").insert("lake", "t",
       Seq((999L, "local")).toDF("id", "name"))
@@ -596,6 +605,82 @@ class IcebergInteropSpec extends SparkSpec {
     }
     val msg = ex.getMessage + Option(ex.getCause).map(_.getMessage).getOrElse("")
     assert(msg.contains("local commits"))
+  }
+
+  test("first-mirror crash windows converge: intent write-ahead, no permanent collision") {
+    import IcebergFixture._
+    val loc = new Path(tmpDir("ice-crash"))
+    val f1 = new Path(loc, "data/f1.parquet")
+    val fb = new Path(loc, "data/fb.parquet")
+    val b1 = writeParquet(Seq((1L, "a")).toDF("id", "name"), f1)
+    val bb = writeParquet(Seq((100L, "dev")).toDF("id", "name"), fb)
+    val fr1 = FileRef(f1.toUri.toString, 1L, b1, Map.empty)
+    val frb = FileRef(fb.toUri.toString, 1L, bb, Map.empty)
+    val fields = Seq((1, "id", "long"), (2, "name", "string"))
+    // v1 of the tree: one main snapshot, NO refs — mirrors arrive later
+    def writeMeta(withRefs: Boolean): Unit = {
+      val mdir = new Path(loc, "metadata")
+      def man(id: Long, refs: Seq[FileRef], seq: Long) = {
+        val (p, len) = IcebergFixture.writeManifest(conf, mdir, id, refs)
+        IcebergFixture.writeManifestListSeq(conf, mdir, id, Seq((p, len, 0, seq)))
+      }
+      val ml1 = man(9001L, Seq(fr1), 1L)
+      val ml2 = man(8101L, Seq(fr1, frb), 2L)
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val json = IcebergFixture.metadataJson(2, loc.toUri.toString, fields,
+        Seq((SnapRef(9001L, 1700000000000L, Nil, seq = Some(1L)), ml1),
+          (SnapRef(8101L, 1700000100000L, Nil, seq = Some(2L),
+            parentId = Some(9001L)), ml2)),
+        9001L,
+        tagRefs = if (withRefs) Map("pin" -> 9001L) else Map.empty,
+        branchRefs = if (withRefs) Map("dev" -> 8101L) else Map.empty)
+      val root = m.readTree(json)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      // 8101 is branch ancestry, not main — give it its explicit parent
+      val fs2 = mdir.getFileSystem(conf)
+      val out = fs2.create(new Path(mdir, "v1.metadata.json"), true)
+      out.write(m.writeValueAsString(root).getBytes("UTF-8")); out.close()
+      val hint = fs2.create(new Path(mdir, "version-hint.text"), true)
+      hint.write("1".getBytes("UTF-8")); hint.close()
+    }
+    writeMeta(withRefs = false)
+    val e = engine("ice-crash-wh")
+    e.executeNonQuery(SqlStatement("CREATE SCHEMA lake"))
+    e.executeNonQuery(SqlStatement(
+      s"CALL system.register_iceberg_table('lake', 't', '${loc.toUri}')"))
+    // the source grows a tag + a branch; the FIRST mirror of each
+    // crashes at every window — the next (clean) sync must converge to
+    // the mirror, never refuse the debris as a local-ref collision
+    writeMeta(withRefs = true)
+    final class InjectedCrash(p: String) extends RuntimeException(p)
+    Seq("icesync.tag-intent", "icesync.tag-created",
+        "icesync.branch-intent", "icesync.branch-written").foreach { point =>
+      SnapshotCatalog.faultHook =
+        id => if (id == point) throw new InjectedCrash(point)
+      try intercept[Throwable] {
+        e.executeNonQuery(SqlStatement(
+          "CALL system.refresh_iceberg_table('lake', 't')"))
+      } finally SnapshotCatalog.faultHook = _ => ()
+      // clean retry converges (a new engine = a new process)
+      val e2 = new GraftEngine(spark, e.catalog.warehouse)
+      e2.executeNonQuery(SqlStatement(
+        "CALL system.refresh_iceberg_table('lake', 't')"))
+      assert(e2.catalog.listTags("lake", "t").get("pin")
+        .map(_.snapshotId) === Some(9001L), s"tag did not converge after $point")
+      assert(e2.query(SqlStatement(
+        "SELECT id FROM lake.t FOR VERSION AS OF 'dev'")).as[Long]
+        .collect().sorted.toSeq === Seq(1L, 100L),
+        s"branch did not converge after $point")
+      // reset for the next window: source drops the refs, sync follows
+      writeMeta(withRefs = false)
+      e2.executeNonQuery(SqlStatement(
+        "CALL system.refresh_iceberg_table('lake', 't')"))
+      assert(e2.catalog.listTags("lake", "t").isEmpty,
+        s"mirror debris after $point is stuck local (drop refused)")
+      assert(!e2.catalog.listBranches("lake", "t").contains("dev"),
+        s"branch debris after $point is stuck local")
+      writeMeta(withRefs = true)
+    }
   }
 
   test("foreign snapshot EXPIRY keeps carried equality deletes scoped (recorded seqs)") {
