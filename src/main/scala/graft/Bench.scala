@@ -71,8 +71,9 @@ object Bench {
     }
     // CALIBRATION SENTINEL (round-12 verdict #6: two consecutive driver
     // sweeps were contention-inflated ~1.4× with no machine-readable
-    // tell): a fixed CPU-bound job — sum(xxhash64) over a 5e7 range, no
-    // IO, constant work — timed best-of-2 BEFORE and AFTER the sweep.
+    // tell): a fixed CPU-bound job — bit_xor(xxhash64) over a 5e7
+    // range, no IO, constant work — timed best-of-2 BEFORE and AFTER
+    // the sweep.
     // On an idle box it lands at a stable per-host constant; a
     // contaminated sweep shows it inflated by the same external load
     // that inflated the queries, so the artifact self-identifies noise

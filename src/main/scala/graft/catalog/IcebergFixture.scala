@@ -339,7 +339,11 @@ object IcebergFixture {
       val s1 = specsArr.addObject()
       s1.put("spec-id", 1); s1.putArray("fields")
     }
-    root.put("last-partition-id", 999)
+    // the highest ASSIGNED partition field id (spec §Table Metadata):
+    // a writer evolving the spec mints lastAssignedPartitionId+1, so an
+    // understated value would make it reuse field-id 1000
+    root.put("last-partition-id",
+      if (specFields.isEmpty) 999 else 999 + specFields.size)
     root.put("default-sort-order-id", 0)
     val so = root.putArray("sort-orders").addObject()
     so.put("order-id", 0); so.putArray("fields")

@@ -102,12 +102,8 @@ object IcebergInterop {
   }
 
   /** Top-level column names of a parquet file's footer schema. */
-  def parquetFooterNames(conf: Configuration, file: Path): Seq[String] = {
-    val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
-      conf, file,
-      org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
-    footer.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSeq
-  }
+  def parquetFooterNames(conf: Configuration, file: Path): Seq[String] =
+    parquetFooterFields(conf, file).map(_._1)
 
   /** Top-level (name, field id) pairs of a parquet footer schema — id
     * None where the writer stamped none. Column-presence checks match

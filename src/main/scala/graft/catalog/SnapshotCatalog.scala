@@ -1002,19 +1002,33 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     }
   }
 
+  /** Footer-sample file set for an attached tree's resolution-mode and
+    * column-projection picks: the first/last entries of the first/last
+    * data manifests of UP TO 16 snapshots — first, last, and evenly
+    * spaced between (≤64 footers). Wider than first/last snapshots
+    * alone so a migrate-shaped batch landing in a MIDDLE snapshot
+    * (id-less files, or files missing an identity column) is seen;
+    * still a bounded sample, never O(files) footer reads — the
+    * per-entry reconstructibility verification is the exact backstop
+    * for projection mode.
+    */
   private def sampleIcebergDataFiles(dir: Path, loc: Path,
                                      meta: IcebergInterop.IceMeta,
                                      ordered: Seq[IcebergInterop.IceSnapshot]): Seq[Path] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val resolve = iceResolver(dir, loc, meta.location)
-    (ordered.headOption.toSeq ++ ordered.lastOption.toSeq).distinct.flatMap { s =>
+    val picked =
+      if (ordered.size <= 16) ordered
+      else (0 until 16).map(i =>
+        ordered(((ordered.size - 1).toLong * i / 15).toInt)).distinct
+    picked.flatMap { s =>
       val mans = IcebergInterop.readManifestList(conf, resolve(s.manifestList))
         .filter(_.content == 0)
       (mans.headOption.toSeq ++ mans.lastOption.toSeq).distinct.flatMap { m =>
         val es = IcebergInterop.readManifest(conf, resolve(m.path), meta.fields)
         (es.headOption.toSeq ++ es.lastOption.toSeq).map(e => resolve(e.path))
       }
-    }.distinct.take(8)
+    }.distinct.take(64)
   }
 
   private def icebergReadSchema(dir: Path, loc: Path,
@@ -1461,6 +1475,14 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         writeString(new Path(dir, "_partition_spec.json"),
           projIdents.mkString("\n"))
       }
+    } else {
+      // ALREADY projection-mode: every fresh snapshot's entries must
+      // stay reconstructible — a foreign file whose identity value the
+      // bounds tier drops (over-long string, NaN) and whose path holds
+      // no hive segment would otherwise silently read NULL from here on
+      verifyProjectionReconstructible(dir, snaps,
+        partitionFields(schema, table).filter(_.isIdentity).map(_.source),
+        s"$schema.$table")
     }
     // foreign schema evolution between syncs: the source's CURRENT
     // schema becomes the declared schema (new snapshots' files carry the
@@ -1661,6 +1683,22 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
               pf.dataType.catalogString == df.dataType.catalogString },
         s"$schema.$table: the declared schema changed incompatibly since " +
           s"the export at $location — export to a fresh location")
+      // nested field ids allocate PAST the top-level ids: a schema that
+      // GREW re-derives different nested ids than the prior export
+      // assigned (a new top-level column takes the id an old nested
+      // field held) — Iceberg field ids must never be reused, so that
+      // shape refuses rather than shipping a same-uuid metadata advance
+      // whose ids silently moved
+      val priorNested = pm.fields.exists(_.dataType match {
+        case _: StructType | _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.MapType => true
+        case _ => false
+      })
+      require(pm.fields.size == decl.fields.size || !priorNested,
+        s"$schema.$table: columns were added since the export at " +
+          s"$location and the exported schema holds nested types — " +
+          "re-deriving nested field ids would reuse ids the prior " +
+          "export assigned; export to a fresh location")
     }
     // nested field ids allocate past the top-level ones; the name
     // mapping grows matching nested entries as the types serialize

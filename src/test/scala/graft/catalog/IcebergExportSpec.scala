@@ -293,6 +293,16 @@ class IcebergExportSpec extends SparkSpec {
     assert(got === Set(
       (1L, 640, 480, List("a", "b"), Some(1.5)),
       (2L, 800, 600, List("c"), None)))
+    // incremental re-export after ADD COLUMN would re-derive the nested
+    // field ids (a new top-level id collides with an old nested one) —
+    // Iceberg ids must never be reused, so that shape refuses loudly
+    e.executeNonQuery(SqlStatement("ALTER TABLE src.m ADD COLUMN extra bigint"))
+    val ex = intercept[GraftQueryException] {
+      e.executeNonQuery(SqlStatement(
+        s"CALL system.export_iceberg_table('src', 'm', '${loc.toUri}')"))
+    }
+    val m2 = ex.getMessage + Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(m2.contains("nested"), s"expected the nested-id refusal: $m2")
   }
 
   test("ANALYZE stats ride the export/register round trip metadata-only") {
@@ -431,6 +441,86 @@ class IcebergExportSpec extends SparkSpec {
     assert(msg.contains("one namespace") || msg.contains("rename one side"))
     // (a ref named `main` needs no export-side case: refNameOk already
     // refuses it at tag/branch creation — the export guard is defensive)
+  }
+
+  test("column-projection attach: unreconstructible values refuse at register AND refresh") {
+    import IcebergFixture._
+    // a foreign identity-partitioned tree whose data files DON'T store
+    // the identity column (the Column Projection shape) and whose
+    // partition value is a >64-char string: the bounds tier drops it
+    // (MaxStringBound) and the path holds no hive segment — a read
+    // would silently NULL, so the attach must refuse loudly
+    val longVal = "x" * 80
+    def tree(name: String, snaps: Int, badLast: Boolean): Path = {
+      val loc = new Path(tmpDir(name))
+      val refs = (1 to snaps).map { i =>
+        val f = new Path(loc, f"data/f$i%02d.parquet")
+        val b = writeOneParquet(conf, withFieldIds(
+          Seq((i.toLong, 1.0)).toDF("id", "score"), Map("id" -> 1, "score" -> 3)), f)
+        val pv = if (badLast && i == snaps) longVal else s"p$i"
+        FileRef(f.toUri.toString, 1L, b,
+          Map(1 -> (encodeLong(i.toLong), encodeLong(i.toLong), 0L)),
+          partition = Seq("region" -> pv))
+      }
+      (1 to snaps).foldLeft(Seq.empty[SnapRef]) { (acc, i) =>
+        acc :+ SnapRef(9000L + i, 1700000000000L + i * 1000L,
+          refs.take(i), seq = Some(i.toLong))
+      } match {
+        case all => writeTree(conf, loc, 2,
+          Seq((1, "id", "long"), (2, "region", "string"), (3, "score", "double")),
+          all, specFields = Seq(("region", "identity", 2)),
+          partAvroTypes = Seq(("region", "string")))
+      }
+      loc
+    }
+    val e = engine("ice-proj-ref-wh")
+    e.executeNonQuery(SqlStatement("CREATE SCHEMA lake"))
+    // register-time refusal
+    val bad = tree("ice-proj-bad", 2, badLast = true)
+    val ex = intercept[GraftQueryException] {
+      e.executeNonQuery(SqlStatement(
+        s"CALL system.register_iceberg_table('lake', 'b', '${bad.toUri}')"))
+    }
+    val msg = ex.getMessage + Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("stores no identity column"))
+    assert(!e.catalog.tableExists("lake", "b"))
+    // refresh-time refusal: a GOOD projection tree attaches (and reads
+    // the projected values), then the foreign writer commits the bad file
+    val loc = tree("ice-proj-good", 1, badLast = false)
+    e.executeNonQuery(SqlStatement(
+      s"CALL system.register_iceberg_table('lake', 'g', '${loc.toUri}')"))
+    assert(e.query(SqlStatement("SELECT id, region FROM lake.g"))
+      .as[(Long, String)].collect().toSet === Set((1L, "p1")))
+    // rebuild the same location with a bad second snapshot
+    locally {
+      val f2 = new Path(loc, "data/f02.parquet")
+      val b2 = writeOneParquet(conf, withFieldIds(
+        Seq((2L, 1.0)).toDF("id", "score"), Map("id" -> 1, "score" -> 3)), f2)
+      val f1 = new Path(loc, "data/f01.parquet")
+      val fr1 = FileRef(f1.toUri.toString, 1L,
+        f1.getFileSystem(conf).getFileStatus(f1).getLen,
+        Map(1 -> (encodeLong(1L), encodeLong(1L), 0L)),
+        partition = Seq("region" -> "p1"))
+      val fr2 = FileRef(f2.toUri.toString, 1L, b2,
+        Map(1 -> (encodeLong(2L), encodeLong(2L), 0L)),
+        partition = Seq("region" -> longVal))
+      writeTree(conf, loc, 2,
+        Seq((1, "id", "long"), (2, "region", "string"), (3, "score", "double")),
+        Seq(SnapRef(9001L, 1700000001000L, Seq(fr1), seq = Some(1L)),
+          SnapRef(9002L, 1700000002000L, Seq(fr1, fr2), seq = Some(2L))),
+        specFields = Seq(("region", "identity", 2)),
+        partAvroTypes = Seq(("region", "string")))
+    }
+    val ex2 = intercept[GraftQueryException] {
+      e.executeNonQuery(SqlStatement(
+        "CALL system.refresh_iceberg_table('lake', 'g')"))
+    }
+    val msg2 = ex2.getMessage + Option(ex2.getCause).map(_.getMessage).getOrElse("")
+    assert(msg2.contains("stores no identity column"),
+      s"refresh did not refuse the unreconstructible value: $msg2")
+    // the table stays at its pre-refresh state, still readable
+    assert(e.query(SqlStatement("SELECT id FROM lake.g")).as[Long]
+      .collect().toSeq === Seq(1L))
   }
 
   test("DESCRIBE surfaces sync drift for attached tables without a refresh") {
