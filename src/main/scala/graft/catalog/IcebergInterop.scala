@@ -404,6 +404,24 @@ object IcebergInterop {
     val identBySpecName: Map[String, IceField] =
       specFields.filter(_.transform == "identity")
         .flatMap(sf => byId.get(sf.sourceId).map(f => sf.name -> f)).toMap
+    // TIME transforms (year/month/day/hour) and integral TRUNCATE fold
+    // into CONSERVATIVE source-column range bounds — a month ordinal
+    // proves every row's timestamp lies inside that month. They only
+    // fill columns the manifest carries no real bounds for (real
+    // writers' footer-derived bounds are tighter and win); bucket
+    // transforms carry no row-value information (and Iceberg's murmur3
+    // differs from any local hash) — skipped.
+    val truncRe = "truncate\\[(\\d+)\\]".r
+    val rangeBySpecName: Map[String, (IceField, String, Int)] =
+      specFields.flatMap { sf =>
+        val w = sf.transform match {
+          case "year" | "month" | "day" | "hour" => Some(0)
+          case truncRe(x) => Some(x.toInt)
+          case _ => None
+        }
+        w.flatMap(ww => byId.get(sf.sourceId).map(f =>
+          sf.name -> (f, sf.transform, ww)))
+      }.toMap
     val r = openAvro(conf, path)
     try r.iterator.asScala.flatMap { rec =>
       val status = rec.get("status").asInstanceOf[Int]
@@ -426,18 +444,30 @@ object IcebergInterop {
             s"$fmt — only PARQUET Iceberg trees can attach (ORC/Avro data " +
             "files have no graft read path); refusing at register")
         val rowsForPart = df.get("record_count").asInstanceOf[Long]
-        val partBounds: Map[String, ColBounds] =
-          if (identBySpecName.isEmpty) Map.empty
+        val partRec: Option[org.apache.avro.generic.GenericRecord] =
+          if (identBySpecName.isEmpty && rangeBySpecName.isEmpty) None
           else Option(df.get("partition")).collect {
-            case pr: org.apache.avro.generic.GenericRecord =>
-              pr.getSchema.getFields.asScala.flatMap { fld =>
-                identBySpecName.get(fld.name()).flatMap { srcF =>
-                  decodePartitionValue(srcF.dataType, pr.get(fld.name()),
-                      rowsForPart)
-                    .map(srcF.name -> _)
-                }
-              }.toMap
-          }.getOrElse(Map.empty)
+            case pr: org.apache.avro.generic.GenericRecord => pr }
+        val partBounds: Map[String, ColBounds] = partRec.map { pr =>
+          pr.getSchema.getFields.asScala.flatMap { fld =>
+            identBySpecName.get(fld.name()).flatMap { srcF =>
+              decodePartitionValue(srcF.dataType, pr.get(fld.name()),
+                  rowsForPart)
+                .map(srcF.name -> _)
+            }
+          }.toMap
+        }.getOrElse(Map.empty)
+        // conservative RANGE bounds from time/truncate values — gap-fill
+        // only (see rangeBySpecName); computed here, applied below after
+        // the real bounds
+        val rangeBounds: Map[String, ColBounds] = partRec.map { pr =>
+          pr.getSchema.getFields.asScala.flatMap { fld =>
+            rangeBySpecName.get(fld.name()).flatMap { case (srcF, tr, w) =>
+              decodeTransformRange(srcF.dataType, tr, w, pr.get(fld.name()),
+                rowsForPart).map(srcF.name -> _)
+            }
+          }.toMap
+        }.getOrElse(Map.empty)
         // same scheme-normalization rule as SnapshotCatalog.SchemeNormRe:
         // absolute URIs classify identically with or without an authority
         val filePath = df.get("file_path").toString.replaceFirst(
@@ -465,13 +495,14 @@ object IcebergInterop {
             case _ => None
           }
         }
-        // identity partition values are EXACT — they win over (equal or
-        // wider) recorded column bounds
+        // precedence: transform RANGE bounds gap-fill, real recorded
+        // bounds beat them (tighter), identity partition values are
+        // EXACT and win over everything
         val dataSeq = fieldOpt(rec, "data_sequence_number")
           .map(_.asInstanceOf[Long])
           .orElse(if (status == 1) manifestSeq else None)
-        Some((DataFileEntry(filePath, rows, bytes, bounds ++ partBounds),
-          dataSeq))
+        Some((DataFileEntry(filePath, rows, bytes,
+          rangeBounds ++ bounds ++ partBounds), dataSeq))
       }
     }.toList
     finally r.close()
@@ -584,6 +615,57 @@ object IcebergInterop {
       case _ => None
     }
     kv.map { case (kind, s) => ColBounds(kind, s, s, 0L) }
+  }
+
+  /** One TIME-transform (year/month/day/hour ordinal, spec §Partition
+    * Transforms) or integral-TRUNCATE partition value → a CONSERVATIVE
+    * range bound on the SOURCE column: every row of the file provably
+    * lies inside [lo, hi], and a non-null value proves zero nulls
+    * (null source rows land in the null partition). A null value is
+    * the all-null marker, like [[decodePartitionValue]]. String
+    * truncate is skipped — the engine's string bounds have no tight
+    * UTF-8 upper for a prefix.
+    */
+  private[catalog] def decodeTransformRange(dt: DataType, transform: String,
+                                            w: Int, v: Any,
+                                            rows: Long): Option[ColBounds] = {
+    if (v == null)
+      return boundKind(dt).filter(_ => rows >= 0L)
+        .map(k => ColBounds(k, null, null, rows))
+    val n = v match {
+      case x: Number => x.longValue
+      case _ => return None
+    }
+    import java.time.LocalDate
+    // ordinal → [first, last] day-of-epoch of the covered span
+    def dayRange: Option[(Long, Long)] = transform match {
+      case "year" =>
+        val y = 1970 + n.toInt
+        Some((LocalDate.of(y, 1, 1).toEpochDay,
+          LocalDate.of(y + 1, 1, 1).toEpochDay - 1))
+      case "month" =>
+        val y = 1970 + java.lang.Math.floorDiv(n, 12L).toInt
+        val m = java.lang.Math.floorMod(n, 12L).toInt + 1
+        val first = LocalDate.of(y, m, 1)
+        Some((first.toEpochDay, first.plusMonths(1).toEpochDay - 1))
+      case "day" => Some((n, n))
+      case _ => None
+    }
+    try (dt, transform) match {
+      case (DateType, "year" | "month" | "day") =>
+        dayRange.map { case (lo, hi) =>
+          ColBounds("date", lo.toString, hi.toString, 0L) }
+      case (TimestampType | TimestampNTZType, "year" | "month" | "day") =>
+        dayRange.map { case (lo, hi) =>
+          ColBounds("ts", (lo * 86400000000L).toString,
+            ((hi + 1) * 86400000000L - 1).toString, 0L) }
+      case (TimestampType | TimestampNTZType, "hour") =>
+        Some(ColBounds("ts", (n * 3600000000L).toString,
+          ((n + 1) * 3600000000L - 1).toString, 0L))
+      case (IntegerType | LongType, t) if t.startsWith("truncate") && w > 0 =>
+        Some(ColBounds("long", n.toString, (n + w - 1).toString, 0L))
+      case _ => None
+    } catch { case _: java.time.DateTimeException => None }
   }
 
   private def byteArray(v: Any): Array[Byte] = v match {

@@ -1731,11 +1731,62 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           s"declared schema of $schema.$table")
         (decl.fields(i), ids(i))
       }
+    // TIME (year/month/day/hour) and TRUNCATE transforms export as real
+    // Iceberg spec fields too, their per-file values CONVERTED from
+    // graft's ordered calendar ints (202403) to the spec's epoch
+    // ordinals (months-from-1970) — Iceberg readers then partition-
+    // prune time-partitioned exports like native tables. BUCKET stays
+    // unexported: graft buckets with xxhash64, Iceberg with murmur3 —
+    // a claimed bucket[n] spec would make readers prune the WRONG
+    // files. Transform sources stay stored in the data files, so the
+    // export is correct either way; the spec only adds pruning.
+    val transformExp: Seq[(PartitionField, StructField, Int)] =
+      partitionFields(schema, table).flatMap {
+        case pf @ (_: TimeField | _: TruncateField) =>
+          val i = decl.fields.indexWhere(_.name.equalsIgnoreCase(pf.source))
+          require(i >= 0, s"partition source ${pf.source} missing from the " +
+            s"declared schema of $schema.$table")
+          // string truncate exports too (identical semantics: first w
+          // chars); integral truncate matches Iceberg's floor rule
+          Some((pf, decl.fields(i), ids(i)))
+        case _ => None
+      }
+    def transformSpecName(pf: PartitionField, f: StructField): String =
+      pf match {
+        case TimeField(_, unit) => s"${f.name}_$unit"
+        case TruncateField(_, w) => s"${f.name}_trunc_$w"
+        case other => throw new IllegalStateException(
+          s"unreachable transform $other")
+      }
+    def transformSpecText(pf: PartitionField): String = pf match {
+      case TimeField(_, unit) => unit
+      case TruncateField(_, w) => s"truncate[$w]"
+      case other => throw new IllegalStateException(
+        s"unreachable transform $other")
+    }
     val specFieldsExp: Seq[(String, String, Int)] =
-      identExp.map { case (f, id) => (f.name, "identity", id) }
+      identExp.map { case (f, id) => (f.name, "identity", id) } ++
+        transformExp.map { case (pf, f, id) =>
+          (transformSpecName(pf, f), transformSpecText(pf), id) }
     val partAvro: Seq[(String, String)] =
       identExp.map { case (f, _) => f.name -> avroPartitionType(f.dataType,
-        s"$schema.$table partition column ${f.name}") }
+        s"$schema.$table partition column ${f.name}") } ++
+        transformExp.map { case (pf, f, _) =>
+          val t = pf match {
+            case _: TimeField => "int"
+            case _: TruncateField => f.dataType match {
+              case org.apache.spark.sql.types.StringType  => "string"
+              case org.apache.spark.sql.types.LongType    => "long"
+              case org.apache.spark.sql.types.IntegerType |
+                   org.apache.spark.sql.types.ShortType |
+                   org.apache.spark.sql.types.ByteType    => "int"
+              case other => throw new IllegalArgumentException(
+                s"$schema.$table: truncate over $other has no Iceberg " +
+                  "partition export mapping")
+            }
+          }
+          transformSpecName(pf, f) -> t
+        }
     val qualDir = fs(dir).makeQualified(dir)
     // graft BRANCHES export too: each branch log's commits that are not
     // on main become branch-ancestry snapshots (explicit parent = the
@@ -1782,6 +1833,15 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       }
       branchHeadExp(name) = resolve(log.last.snapshotId)
       out.map { case (s, e, p, _) => (s, e, p, resolve) }
+    }
+    // old manifests' partition structs were written under the PRIOR
+    // spec but share spec-id 0 — a changed spec would make third-party
+    // readers misinterpret them; refuse the incremental re-export
+    prior.foreach { case (pm, _, _) =>
+      require(pm.specFields == specFieldsExp.map { case (n, t, s) =>
+          IcebergInterop.IceSpecField(n, t, s) },
+        s"$schema.$table: the partition spec changed since the export at " +
+          s"$location — export to a fresh location")
     }
     // incremental re-export cannot stably remap BRANCH-only commit ids
     // across runs (the remap is allocation-order-local) — refuse loudly
@@ -1868,6 +1928,9 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         val (addSeq, addId) = firstSeen.getOrElseUpdate(uri, (seq, expId))
         val partVals: Seq[(String, Any)] = identExp.map { case (f, _) =>
           f.name -> identityPartitionAvroValue(f, e, s"$schema.$table")
+        } ++ transformExp.map { case (pf, f, _) =>
+          transformSpecName(pf, f) ->
+            transformPartitionAvroValue(pf, f, e, s"$schema.$table")
         }
         val fr = IcebergFixture.FileRef(uri, e.rows, e.bytes, stats,
           partition = partVals)
@@ -2215,6 +2278,61 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         throw new IllegalArgumentException(
           s"$tableRef: identity partition value '$v' of column ${f.name} " +
             s"does not parse as ${f.dataType.simpleString} — cannot export")
+    }
+  }
+
+  /** One data file's TIME/TRUNCATE transform partition value for
+    * export: the derived directory value (an exact bound under the
+    * derived hive key, folded at commit time) converted from graft's
+    * ordered calendar int (202403) to the spec's epoch ordinal
+    * (months-from-1970, days/hours from epoch; truncate values pass
+    * through — the floor rule matches Iceberg's). Refuses loudly when
+    * no exact derived bound exists (mixed partition-spec generations) —
+    * a wrong value would make Iceberg readers prune wrong files.
+    */
+  private def transformPartitionAvroValue(pf: PartitionField, f: StructField,
+                                          e: DataFileEntry,
+                                          tableRef: String): Any = {
+    val cb = e.bounds.collectFirst {
+      case (n, b) if n.equalsIgnoreCase(pf.derivedName) => b }
+    cb match {
+      case Some(b) if b.min == null && b.max == null && b.nulls == e.rows =>
+        null // all-null partition
+      case Some(b) if b.min != null && b.min == b.max && b.nulls == 0L =>
+        val v = b.min
+        try pf match {
+          case TimeField(_, unit) =>
+            val n = v.toLong
+            unit match {
+              case "year"  => (n - 1970L).toInt
+              case "month" => ((n / 100 - 1970) * 12 + (n % 100 - 1)).toInt
+              case "day"   =>
+                java.time.LocalDate.of((n / 10000).toInt,
+                  ((n / 100) % 100).toInt, (n % 100).toInt).toEpochDay.toInt
+              case "hour"  =>
+                val ymd = n / 100
+                (java.time.LocalDate.of((ymd / 10000).toInt,
+                  ((ymd / 100) % 100).toInt, (ymd % 100).toInt)
+                  .toEpochDay * 24 + n % 100).toInt
+            }
+          case TruncateField(_, _) => f.dataType match {
+            case org.apache.spark.sql.types.StringType => v
+            case org.apache.spark.sql.types.LongType   => v.toLong
+            case _                                     => v.toInt
+          }
+          case other => throw new IllegalStateException(
+            s"unreachable transform $other")
+        } catch {
+          case _: NumberFormatException | _: java.time.DateTimeException =>
+            throw new IllegalArgumentException(
+              s"$tableRef: derived partition value '$v' of ${pf.specText} " +
+                "does not parse — cannot export")
+        }
+      case _ => throw new IllegalArgumentException(
+        s"$tableRef: cannot reconstruct the ${pf.specText} partition " +
+          s"value for data file ${e.path} — no exact derived bound (a " +
+          "mixed partition-spec history?); compact the table before " +
+          "exporting")
     }
   }
 

@@ -245,6 +245,110 @@ class IcebergExportSpec extends SparkSpec {
       .as[Long].collect().toSeq === Seq(3L))
   }
 
+  test("transform-partitioned export: month/truncate specs with epoch-ordinal values") {
+    val e = engine("ice-exp-tr-wh")
+    e.executeNonQuery(SqlStatement("CREATE SCHEMA src"))
+    e.executeNonQuery(SqlStatement(
+      "CREATE TABLE src.ev (id bigint, ts timestamp(6) with time zone) " +
+        "WITH (partitioning = ARRAY['month(ts)'])"))
+    e.catalog.insert("src", "ev", Seq(
+      (1L, java.sql.Timestamp.from(java.time.Instant.parse("2024-03-15T10:00:00Z"))),
+      (2L, java.sql.Timestamp.from(java.time.Instant.parse("2024-04-01T00:00:00Z"))))
+      .toDF("id", "ts"))
+    val loc = new Path(tmpDir("ice-exp-tr-tree"))
+    e.executeNonQuery(SqlStatement(
+      s"CALL system.export_iceberg_table('src', 'ev', '${loc.toUri}')"))
+    val meta = IcebergInterop.parseMetadata {
+      val p = IcebergInterop.currentMetadataPath(loc.getFileSystem(conf), loc)
+      val in = loc.getFileSystem(conf).open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    assert(meta.specFields ===
+      Seq(IcebergInterop.IceSpecField("ts_month", "month", 2)))
+    // the manifest partition struct carries the SPEC's epoch ordinals:
+    // 2024-03 = (2024-1970)*12 + 2 = 650, 2024-04 = 651 — read the raw
+    // Avro, independent of the import path
+    val man = IcebergInterop.readManifestList(conf,
+      new Path(meta.snapshots.last.manifestList)).filter(_.content == 0)
+    val ordinals = man.flatMap { m =>
+      val in = new Path(m.path).getFileSystem(conf).open(new Path(m.path))
+      val r = new org.apache.avro.file.DataFileStream(in,
+        new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]())
+      try r.iterator().asScala.map { rec =>
+        rec.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+          .get("partition").asInstanceOf[org.apache.avro.generic.GenericRecord]
+          .get("ts_month").asInstanceOf[Int]
+      }.toList
+      finally r.close()
+    }
+    assert(ordinals.sorted === Seq(650, 651))
+    // round trip: the re-imported table reads identically
+    e.executeNonQuery(SqlStatement("CREATE SCHEMA lake"))
+    e.executeNonQuery(SqlStatement(
+      s"CALL system.register_iceberg_table('lake', 'back', '${loc.toUri}')"))
+    assert(e.query(SqlStatement("SELECT id FROM lake.back")).as[Long]
+      .collect().sorted.toSeq === Seq(1L, 2L))
+    // integral TRUNCATE exports with pass-through floor values
+    e.executeNonQuery(SqlStatement(
+      "CREATE TABLE src.tr (id bigint, v varchar) " +
+        "WITH (partitioning = ARRAY['truncate(10, id)'])"))
+    e.catalog.insert("src", "tr", Seq((7L, "a"), (23L, "b")).toDF("id", "v"))
+    val loc2 = new Path(tmpDir("ice-exp-tr2-tree"))
+    e.executeNonQuery(SqlStatement(
+      s"CALL system.export_iceberg_table('src', 'tr', '${loc2.toUri}')"))
+    val meta2 = IcebergInterop.parseMetadata {
+      val p = IcebergInterop.currentMetadataPath(loc2.getFileSystem(conf), loc2)
+      val in = loc2.getFileSystem(conf).open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    assert(meta2.specFields ===
+      Seq(IcebergInterop.IceSpecField("id_trunc_10", "truncate[10]", 1)))
+    e.executeNonQuery(SqlStatement(
+      s"CALL system.register_iceberg_table('lake', 'tr', '${loc2.toUri}')"))
+    assert(e.query(SqlStatement("SELECT id FROM lake.tr")).as[Long]
+      .collect().sorted.toSeq === Seq(7L, 23L))
+  }
+
+  test("foreign time-transform partition values fold into conservative source bounds") {
+    import IcebergFixture._
+    val loc = new Path(tmpDir("ice-trfold"))
+    // a month-partitioned foreign tree whose manifests carry NO column
+    // bounds — the month ordinal is the only pruning information
+    val f1 = new Path(loc, "data/f1.parquet")
+    val f2 = new Path(loc, "data/f2.parquet")
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val b1 = writeOneParquet(conf, withFieldIds(
+      Seq((1L, ts("2024-03-15T10:00:00Z"))).toDF("id", "ts"),
+      Map("id" -> 1, "ts" -> 2)), f1)
+    val b2 = writeOneParquet(conf, withFieldIds(
+      Seq((2L, ts("2024-04-02T00:00:00Z"))).toDF("id", "ts"),
+      Map("id" -> 1, "ts" -> 2)), f2)
+    val fr1 = FileRef(f1.toUri.toString, 1L, b1, Map.empty,
+      partition = Seq("ts_month" -> 650)) // 2024-03
+    val fr2 = FileRef(f2.toUri.toString, 1L, b2, Map.empty,
+      partition = Seq("ts_month" -> 651)) // 2024-04
+    writeTreeWithCurrent(conf, loc,
+      Seq((1, "id", "long"), (2, "ts", "timestamptz")),
+      Seq(SnapRef(9001L, 1700000000000L, Seq(fr1, fr2))),
+      currentId = 9001L, formatVersion = 2,
+      specFields = Seq(("ts_month", "month", 2)),
+      partAvroTypes = Seq(("ts_month", "int")))
+    val e = engine("ice-trfold-wh")
+    e.executeNonQuery(SqlStatement("CREATE SCHEMA lake"))
+    e.executeNonQuery(SqlStatement(
+      s"CALL system.register_iceberg_table('lake', 't', '${loc.toUri}')"))
+    assert(e.query(SqlStatement("SELECT id FROM lake.t")).as[Long]
+      .collect().sorted.toSeq === Seq(1L, 2L))
+    // corrupt the April file: a March-bounded read must never open it —
+    // only the folded month range can prove that (no column bounds)
+    val out = f2.getFileSystem(conf).create(f2, true)
+    out.write("not parquet".getBytes("UTF-8")); out.close()
+    assert(e.query(SqlStatement(
+      "SELECT id FROM lake.t WHERE ts < TIMESTAMP '2024-03-20 00:00:00 UTC'"))
+      .as[Long].collect().toSeq === Seq(1L))
+  }
+
   test("nested types export: struct/list/map columns round-trip") {
     import org.apache.spark.sql.functions._
     val e = engine("ice-exp-nest-wh")
