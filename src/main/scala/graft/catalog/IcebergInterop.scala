@@ -656,13 +656,20 @@ object IcebergInterop {
         dayRange.map { case (lo, hi) =>
           ColBounds("date", lo.toString, hi.toString, 0L) }
       case (TimestampType | TimestampNTZType, "year" | "month" | "day") =>
-        dayRange.map { case (lo, hi) =>
-          ColBounds("ts", (lo * 86400000000L).toString,
-            ((hi + 1) * 86400000000L - 1).toString, 0L) }
-      case (TimestampType | TimestampNTZType, "hour") =>
+        // foreign ordinals are UNTRUSTED: a huge value would overflow
+        // the micros multiplication silently and fabricate wrong
+        // bounds — out-of-range days drop the bound (conservative)
+        dayRange.filter { case (lo, hi) =>
+          math.abs(lo) < 106751990L && math.abs(hi) < 106751990L }
+          .map { case (lo, hi) =>
+            ColBounds("ts", (lo * 86400000000L).toString,
+              ((hi + 1) * 86400000000L - 1).toString, 0L) }
+      case (TimestampType | TimestampNTZType, "hour")
+          if math.abs(n) < 2562047787L =>
         Some(ColBounds("ts", (n * 3600000000L).toString,
           ((n + 1) * 3600000000L - 1).toString, 0L))
-      case (IntegerType | LongType, t) if t.startsWith("truncate") && w > 0 =>
+      case (IntegerType | LongType, t) if t.startsWith("truncate") &&
+          w > 0 && n <= Long.MaxValue - w =>
         Some(ColBounds("long", n.toString, (n + w - 1).toString, 0L))
       case _ => None
     } catch { case _: java.time.DateTimeException => None }
