@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only job profiler: runs a named registry query (warm, after one
+  * untimed warmup run) and prints one line per Spark job — duration and
+  * the short call site — plus the total. The fast way to see where a
+  * multi-commit demo's wall-clock goes (which insert/refresh/collect)
+  * without instrumenting the engine.
+  *
+  * Usage: runMain graft.DevProfile <sfDir> <name> [reps]
+  */
+object DevProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0); val name = args(1)
+    val reps = if (args.length > 2) args(2).toInt else 1
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def drain(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+    // warmup (JIT + codegen cache)
+    try drain(SparkEntry.queries(name)(spark, sfDir))
+    catch { case e: Throwable => println(s"warmup failed: ${e.getMessage}") }
+    CacheHygiene.sweep(spark)
+
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Double, String)]()
+    val listener = new SparkListener {
+      override def onJobStart(e: SparkListenerJobStart): Unit = {
+        val site = Option(e.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+        jobs.put(e.jobId, (System.nanoTime(), site))
+      }
+      override def onJobEnd(e: SparkListenerJobEnd): Unit = {
+        Option(jobs.remove(e.jobId)).foreach { case (t0, site) =>
+          done.add((e.jobId, (System.nanoTime() - t0) / 1e9, site))
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    (1 to reps).foreach { r =>
+      done.clear()
+      val t0 = System.nanoTime()
+      drain(SparkEntry.queries(name)(spark, sfDir))
+      val total = (System.nanoTime() - t0) / 1e9
+      // listener bus is async; give it a moment to drain
+      Thread.sleep(300)
+      val rows = done.toArray(Array.empty[(Int, Double, String)]).sortBy(_._1)
+      println(f"== $name rep $r: total $total%.3f s, ${rows.length} jobs ==")
+      rows.foreach { case (id, t, site) => println(f"  job $id%4d  $t%7.3f s  $site") }
+      val bySite = rows.groupBy(_._3).view
+        .mapValues(g => (g.length, g.map(_._2).sum)).toSeq.sortBy(-_._2._2)
+      println("  -- by call site --")
+      bySite.foreach { case (site, (n, t)) => println(f"  $t%7.3f s  n=$n%-3d $site") }
+      val jobSum = rows.map(_._2).sum
+      println(f"  jobs sum $jobSum%.3f s; driver/planning gap ${total - jobSum}%.3f s")
+      CacheHygiene.sweep(spark)
+    }
+    spark.stop()
+  }
+}

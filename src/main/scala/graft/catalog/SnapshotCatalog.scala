@@ -6971,9 +6971,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     }
     val out = rawF.create(tmp, true)
     try out.write(mapper.writeValueAsString(root).getBytes("UTF-8")) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      target.toUri, spark.sparkContext.hadoopConfiguration)
-    try fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.NONE)
+    try renameNoReplace(tmp, target)
     catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException |
            _: java.nio.file.FileAlreadyExistsException =>
@@ -7114,9 +7112,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     }
     val out = rawF.create(tmp, true)
     try out.write(mapper.writeValueAsString(root).getBytes("UTF-8")) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      target.toUri, spark.sparkContext.hadoopConfiguration)
-    try fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.NONE)
+    try renameNoReplace(tmp, target)
     catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException |
            _: java.nio.file.FileAlreadyExistsException =>
@@ -7746,9 +7742,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val out = rawF.create(tmp, true)
     try out.write(commitsJson(tail, segNames).getBytes("UTF-8")) finally out.close()
     faultPoint("commit.staged") // temp bytes written, rename not yet attempted
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      target.toUri, spark.sparkContext.hadoopConfiguration)
-    try fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.NONE)
+    try renameNoReplace(tmp, target)
     catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException |
            _: java.nio.file.FileAlreadyExistsException =>
@@ -7764,25 +7758,88 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     } catch { case _: Exception => () }
   }
 
+  /** True when `p` lives on the local filesystem (scheme `file` or none). */
+  private def isLocalPath(p: Path): Boolean = {
+    val s = p.toUri.getScheme
+    s == null || s == "file"
+  }
+
+  /** Delete a Hadoop checksum sidecar (`.name.crc`) left next to `target`
+    * by a writer that went through ChecksumFileSystem — after a raw-stream
+    * rewrite the stale sidecar would fail every subsequent checksummed
+    * read of the file. One unlink syscall, never fails the commit.
+    */
+  private def dropCrcSidecar(target: Path): Unit = {
+    try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+      target.getParent.toUri.getPath, "." + target.getName + ".crc"))
+    catch { case _: Exception => () }
+  }
+
+  /** Atomic rename replacing `target` if present — the metadata visibility
+    * switch. On the LOCAL filesystem this is one POSIX rename(2) via
+    * java.nio: Hadoop's FileContext.rename on RawLocalFileSystem shells
+    * out to `readlink` (a fork+exec per call, ~5-15 ms) — profiling the
+    * bench showed those forks were ~35% of mv_incremental_demo's
+    * driver-side time (guide §1: measure first). Non-local filesystems
+    * keep the FileContext path, whose rename semantics are the store's
+    * own. Identical atomicity either way: a reader sees the old bytes or
+    * the new bytes, never a missing or torn file.
+    */
+  private def renameOverwrite(tmp: Path, target: Path): Unit =
+    if (isLocalPath(target)) {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(target.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dropCrcSidecar(target)
+    } else {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        target.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+
+  /** Atomic rename FAILING if `target` exists — the optimistic-concurrency
+    * commit switch (generation files, ref generations, catalog tags). On
+    * the local filesystem: hard-link + unlink — link(2) fails with EEXIST
+    * atomically when the target exists, with no fork (see
+    * [[renameOverwrite]] for why FileContext is avoided locally). Throws
+    * java.nio.file.FileAlreadyExistsException on conflict with `tmp` left
+    * in place, matching FileContext's Rename.NONE contract (callers catch
+    * either exception type and clean up `tmp`).
+    */
+  private def renameNoReplace(tmp: Path, target: Path): Unit =
+    if (isLocalPath(target)) {
+      val t = java.nio.file.Paths.get(tmp.toUri.getPath)
+      val d = java.nio.file.Paths.get(target.toUri.getPath)
+      java.nio.file.Files.createLink(d, t)
+      try java.nio.file.Files.deleteIfExists(t) catch { case _: Exception => () }
+      dropCrcSidecar(target)
+    } else {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        target.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.NONE)
+    }
+
   /** Write-temp-then-rename: a reader (including one in another process)
     * never observes a partially-written metadata file — the visibility
-    * switch is the rename, atomic on HDFS-like filesystems. Closes the
-    * cross-process torn-read window on _table_schema.json / commits.json
-    * flagged in round 2.
+    * switch is the rename, atomic on HDFS-like filesystems (and POSIX
+    * rename(2) locally). Closes the cross-process torn-read window on
+    * _table_schema.json / commits.json flagged in round 2. The temp is
+    * created through the RAW stream (no checksum sidecar): metadata JSON
+    * is its own integrity check — parse failure = corruption — and the
+    * sidecar would double every metadata write.
     */
   private def writeString(p: Path, s: String): Unit = {
     val f = fs(p)
+    val rawF = f match {
+      case cfs: org.apache.hadoop.fs.ChecksumFileSystem => cfs.getRawFileSystem
+      case other => other
+    }
     val tmp = new Path(p.getParent, "." + p.getName + ".tmp")
-    val out = f.create(tmp, true)
+    val out = rawF.create(tmp, true)
     try out.write(s.getBytes("UTF-8")) finally out.close()
-    // rename WITH OVERWRITE via FileContext: FileSystem.rename cannot
-    // replace an existing target, and a delete-then-rename leaves a
-    // window where the metadata file does not exist at all — a crash
-    // inside it (or a concurrent reader's exists() probe) would lose the
-    // table's commit log permanently
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      p.toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    renameOverwrite(tmp, p)
   }
 
   private def readString(p: Path): String = {
