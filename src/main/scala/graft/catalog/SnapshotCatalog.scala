@@ -3456,7 +3456,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * ones split sorted.
     */
   /** Types with a cheap order-preserving numeric projection — what
-    * [[zValue]] can bucket.
+    * [[zValueParts]] can bucket.
     */
   private def zorderableType(dt: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
@@ -3475,7 +3475,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * of `sorted_by` (Iceberg rewrite_data_files z-order / Delta OPTIMIZE
     * ZORDER). NULLs land in bucket 0 and cluster together.
     */
-  private def zValue(df: DataFrame, zCols: Seq[String]): org.apache.spark.sql.Column = {
+  private def zValueParts(df: DataFrame, zCols: Seq[String], tag: Int)
+    : (Seq[(String, org.apache.spark.sql.Column)], org.apache.spark.sql.Column) = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     val bits = 6 // 64 buckets/column; k columns → 6k-bit z-values
@@ -3492,20 +3493,34 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       }
     }
     val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
-    val buckets = proj.zip(zCols).map { case (p, name) =>
-      val cuts = df.select(p.as("__graft_zq")).na.drop
-        .stat.approxQuantile("__graft_zq", probs, 0.01)
-        .distinct.sorted
-      // bucket index = number of cuts at or below the value (codegen'd
-      // chain of compares; 63 adds/column on the write path only)
-      cuts.foldLeft(lit(0)) { (acc, cut) =>
+    // ONE approxQuantile pass over ALL z columns (one Spark job, not one
+    // per column — the multi-column sketch skips null/NaN per column,
+    // same treatment as the old per-column na.drop path, so the cuts are
+    // identical)
+    val qNames = zCols.indices.map(j => s"__graft_zq$j")
+    val cutsAll = df
+      .select(proj.zip(qNames).map { case (p, n) => p.as(n) }: _*)
+      .stat.approxQuantile(qNames.toArray, probs, 0.01)
+    // bucket index = number of cuts at or below the value (codegen'd
+    // chain of compares; 63 adds/column on the write path only). Each
+    // bucket is MATERIALIZED as a helper column so the chain is planned
+    // and evaluated once — inlining it into the bit interleave below
+    // would copy the whole 63-when chain `bits` times per column, and
+    // Catalyst analysis/codegen of that 6×-duplicated tree dominated the
+    // z-write's driver time (sampled: zValue expression work ≈ 25% of
+    // zorder_demo wall-clock).
+    val helpers = proj.zip(zCols.indices).map { case (p, j) =>
+      val cuts = cutsAll(j).distinct.sorted
+      val bucket = cuts.foldLeft(lit(0)) { (acc, cut) =>
         acc + when(p >= lit(cut), 1).otherwise(0)
       }
+      (s"__graft_zb${tag}_$j", bucket)
     }
-    val k = buckets.length
-    (for (b <- 0 until bits; j <- 0 until k) yield
-      shiftleft(shiftright(buckets(j), b).bitwiseAND(lit(1)), b * k + j))
+    val k = helpers.length
+    val z = (for (b <- 0 until bits; j <- 0 until k) yield
+      shiftleft(shiftright(col(helpers(j)._1), b).bitwiseAND(lit(1)), b * k + j))
       .reduce(_ + _)
+    (helpers, z)
   }
 
   /** Sort keys for a clustered write over `withD` (derived partition
@@ -3523,7 +3538,11 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         case zorderRe(inner) =>
           val zCols = inner.split(",").map(_.trim).filter(_.nonEmpty).toSeq
           val name = s"__graft_z$i"
-          df = df.withColumn(name, zValue(withD, zCols))
+          val (bucketCols, zc) = zValueParts(withD, zCols, i)
+          bucketCols.foreach { case (hn, hc) =>
+            df = df.withColumn(hn, hc); helpers += hn
+          }
+          df = df.withColumn(name, zc)
           helpers += name
           col(name).asc
         case _ => sortCol(s)

@@ -103,6 +103,30 @@ class ZOrderSpec extends SparkSpec {
     assert(c.readLatest("s", "g").count() == 65L)
   }
 
+  test("z-write with NULLs in a z column clusters them at the low edge") {
+    // pins the one-pass multi-column quantile rewrite: the sketch must
+    // skip null/NaN PER COLUMN (like the old per-column na.drop), so a
+    // null-bearing column's cuts come from its non-null values only and
+    // null rows land in bucket 0 (cluster together in the lowest file)
+    val c = freshCatalog()
+    val withNulls = (0L until 4096L).map { i =>
+      (i % 64L, if (i % 7L == 0L) None else Some(i / 64L), i)
+    }.toDF("x", "y", "v")
+    c.createTable("s", "zn", schema, sortedBy = Seq("zorder(x, y)"))
+    c.insert("s", "zn", withNulls)
+    c.compact("s", "zn", numFiles = 8)
+    assert(c.readLatest("s", "zn").count() == 4096L)
+    assert(c.readLatest("s", "zn").filter(col("y").isNull).count() == 586L)
+    // non-null y-bounds still sub-range (quantiles unpolluted by nulls)
+    val spans = c.manifestEntries("s", "zn", c.snapshots("s", "zn").last)
+      .flatMap(_.bounds.collectFirst {
+        case (k, cb) if k.equalsIgnoreCase("y") && cb.min != null =>
+          (cb.min.toLong, cb.max.toLong)
+      })
+    assert(spans.nonEmpty && spans.forall { case (lo, hi) => hi - lo <= 40L },
+      s"null-bearing z column should still bound y sub-range, got $spans")
+  }
+
   test("zorder through the SQL DDL surface round-trips SHOW CREATE") {
     val c = freshCatalog()
     val e = new graft.GraftEngine(spark, c.warehouse)
