@@ -224,22 +224,26 @@ object Dedup {
     var changed = true
     var iters = 0
     while (changed && iters < 50) {
-      val viaNeighbors = edges
-        .join(labels, edges("dst") === labels("doc_id"))
-        .select(col("src").as("doc_id"), col("lbl"))
-      // pointer jump (label-of-label): path lengths halve every round, so
-      // convergence is O(log diameter) instead of O(diameter) — long
-      // duplicate chains would otherwise cost one full join per hop
-      // (renamed projection, not .as() aliases: a checkpointed-DF
-      // self-join with alias-qualified columns is ambiguous)
+      // ONE join per iteration: the neighbor edges and the label pointers
+      // (labels read as doc_id → lbl edges) union into a single pointer
+      // set, and min(labels[dst]) over it computes BOTH propagation terms
+      //   - neighbor labels: (src, dst) ∈ edges → labels[dst]
+      //   - pointer jump (label-of-label): (doc, lbl) → labels[lbl] —
+      //     path lengths halve every round, so convergence is
+      //     O(log diameter) instead of O(diameter)
+      // The two-join spelling shipped one extra join + exchange per
+      // iteration for the same min; the fused probe side is the same
+      // checkpointed KB-scale data. (Renamed projections, not .as()
+      // aliases: a checkpointed-DF self-join with alias-qualified
+      // columns is ambiguous.)
+      val pointers = edges
+        .union(labels.select(col("doc_id").as("src"), col("lbl").as("dst")))
       val relabeled = labels
         .select(col("doc_id").as("j_doc"), col("lbl").as("j_lbl"))
-      val jump = labels
-        .join(relabeled, col("lbl") === col("j_doc"))
-        .select(col("doc_id"), col("j_lbl").as("lbl"))
-      val next = labels.select(col("doc_id"), col("lbl"))
-        .union(viaNeighbors)
-        .union(jump)
+      val next = pointers
+        .join(relabeled, col("dst") === col("j_doc"))
+        .select(col("src").as("doc_id"), col("j_lbl").as("lbl"))
+        .union(labels.select(col("doc_id"), col("lbl")))
         .groupBy(col("doc_id")).agg(min(col("lbl")).as("lbl"))
         .localCheckpoint()
       val nextSum = labelSum(next)
