@@ -22,6 +22,11 @@ object DevPlans {
     val spark = LocalDirs.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // the generated-class cache defaults to 100 entries; a 167-query
+      // sweep evicts everything between passes, so every re-timed query
+      // recompiles all its codegen stages (~0.3-1 s of Janino per heavy
+      // query). Size it to hold the whole sweep's classes.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false"))

@@ -16,7 +16,9 @@ object Tables {
 
   /** Plain scan (S1). Column pruning + predicate pushdown reach the parquet
     * reader via Catalyst — callers should select/filter on the result and
-    * let the optimizer prune the scan.
+    * let the optimizer prune the scan. Downstream map-side partial
+    * aggregation fuses into the scan stage, so scan→small-aggregate
+    * consumers want THIS loader; per-row-kernel consumers want [[loadPar]].
     *
     * Deliberately NOT memoized: a path-keyed DataFrame cache pins the
     * file listing, so data regenerated at the same path (the
@@ -26,22 +28,28 @@ object Tables {
     * introduces a staleness class.
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    parallelizeUnsplittable(spark, spark.read.parquet(s"$sfDir/$name.parquet"),
-      s"$sfDir/$name.parquet")
+    spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** Unsplittable-input mitigation (optimization guide §2.5 "one huge
-    * unsplittable file … repartition immediately after the read"): parquet
-    * splits at ROW-GROUP boundaries, so a table written as one big row
-    * group caps every scan — and every per-row stage codegen-fused into it
-    * (tokenize/hash/regex kernels) — at ONE task no matter how many cores
-    * the session has. The corpus tables here are exactly that shape (one
-    * file, one row group). When the effective split count is far below the
-    * session's parallelism AND the table is big enough for the shuffle to
-    * pay for itself, insert one round-robin repartition after the scan so
-    * downstream map work uses the whole machine. Filters and column
-    * pruning still push THROUGH the repartition to the scan (predicates
-    * commute with row-preserving exchanges), so the shuffle carries only
-    * pruned, filtered rows.
+  /** [[load]] + unsplittable-input mitigation (optimization guide §2.5
+    * "one huge unsplittable file … repartition immediately after the
+    * read"): parquet splits at ROW-GROUP boundaries, so a table written as
+    * one big row group caps every scan — and every per-row stage
+    * codegen-fused into it (tokenize/hash/regex/dot-product kernels) — at
+    * ONE task no matter how many cores the session has. The corpus tables
+    * here are exactly that shape (one file, one row group). When the
+    * effective split count is far below the session's parallelism AND the
+    * table is big enough for the shuffle to pay for itself, insert one
+    * deterministic repartition after the scan so downstream work uses the
+    * whole machine. Filters and column pruning still push THROUGH the
+    * repartition to the scan (predicates commute with row-preserving
+    * exchanges), so the shuffle carries only pruned, filtered rows.
+    *
+    * OPT-IN, not the default: the exchange is a tax on operators whose
+    * only post-scan work is a map-side partial aggregate that would have
+    * fused into the scan (measured ≈ +0.1-0.4 s per query at sf0.1), and a
+    * pure waste for warehouse demos that re-cluster their input anyway.
+    * Operators whose downstream is kernel-heavy per-row work, a window, or
+    * a join keyed like the repartition opt in (measured −0.2-0.8 s each).
     *
     * The repartition keys on the table's natural key (deterministic hash
     * partitioning) rather than round-robin: round-robin pays a local sort
@@ -59,16 +67,17 @@ object Tables {
     * regenerated data re-decides (same staleness contract as the
     * deliberately unmemoized DataFrame load above).
     */
-  private def parallelizeUnsplittable(spark: SparkSession, df: DataFrame,
-                                      path: String): DataFrame = {
+  def loadPar(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = load(spark, sfDir, name)
+    val path = s"$sfDir/$name.parquet"
     val cores = spark.sparkContext.defaultParallelism
     if (cores < 4) return df
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val st = try fs.getFileStatus(p) catch { case _: Exception => return df }
     if (!st.isFile || st.getLen < 256 * 1024) return df
-    val key = (st.getPath.toString, st.getLen, st.getModificationTime)
-    val groups = splitUnits.computeIfAbsent(key, _ => {
+    val cacheKey = (st.getPath.toString, st.getLen, st.getModificationTime)
+    val groups = splitUnits.computeIfAbsent(cacheKey, _ => {
       try {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromStatus(st, spark.sparkContext.hadoopConfiguration)
@@ -77,9 +86,7 @@ object Tables {
       } catch { case _: Exception => Int.MaxValue }
     })
     if (groups.toLong * 2 < cores) {
-      val key = naturalKeys.get(p.getName.stripSuffix(".parquet"))
-        .filter(k => df.columns.exists(_.equalsIgnoreCase(k)))
-      key match {
+      naturalKeys.get(name).filter(k => df.columns.exists(_.equalsIgnoreCase(k))) match {
         case Some(k) =>
           df.repartition(cores, org.apache.spark.sql.functions.col(k))
         case None => df.repartition(cores)
@@ -106,6 +113,15 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  /** Parallel-scan variants (see [[loadPar]]) for operators whose
+    * post-scan work dominates: per-row kernels, windows, keyed joins.
+    */
+  def ordersPar(s: SparkSession, d: String): DataFrame = loadPar(s, d, "orders")
+  def lineitemPar(s: SparkSession, d: String): DataFrame = loadPar(s, d, "lineitem")
+  def documentsPar(s: SparkSession, d: String): DataFrame = loadPar(s, d, "documents")
+  def embeddingsPar(s: SparkSession, d: String): DataFrame = loadPar(s, d, "embeddings")
+  def eventsPar(s: SparkSession, d: String): DataFrame =
+    normalizeTs(loadPar(s, d, "events"))
   /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
     * reader rejects unless `spark.sql.legacy.parquet.nanosAsLong=true` (set
     * in Verify/Bench/test sessions). With that flag the column arrives as
@@ -113,8 +129,10 @@ object Tables {
     * division (`div`, not `/` — Divide is double and loses precision above
     * 2^53 ns).
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val df = load(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(load(s, d, "events"))
+
+  private def normalizeTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts",
@@ -122,7 +140,6 @@ object Tables {
             org.apache.spark.sql.functions.expr("ts div 1000")))
       case _ => df
     }
-  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -54,7 +54,7 @@ object Analytics {
     * the bridged doubles are bit-identical.
     */
   def corrQtyPrice(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
+    Tables.lineitemPar(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),
@@ -79,7 +79,7 @@ object Analytics {
     val w = Window.partitionBy(col("o_orderpriority"))
       .orderBy(col("o_totalprice"), col("o_orderkey"))
     val cw = Window.partitionBy(col("o_orderpriority"))
-    Tables.orders(s, d)
+    Tables.ordersPar(s, d)
       .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("cnt", count(lit(1)).over(cw))
@@ -176,7 +176,7 @@ object Analytics {
     */
   def sessionizeBatch(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    Tables.events(s, d)
+    Tables.eventsPar(s, d)
       .select(col("user_id"), col("event_id"), col("ts"))
       .withColumn("prev_ts", lag(col("ts"), 1).over(w))
       .withColumn("new_session",
@@ -257,7 +257,7 @@ object Analytics {
   def windowRangeFrame(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("epoch_s"))
       .rangeBetween(-300L, Window.currentRow)
-    Tables.events(s, d)
+    Tables.eventsPar(s, d)
       .select(col("user_id"), col("event_id"),
         unix_timestamp(col("ts")).as("epoch_s"),
         col("value").cast("decimal(14,4)").as("v"))

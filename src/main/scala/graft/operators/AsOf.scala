@@ -52,7 +52,7 @@ object AsOf {
     * ASOF JOIN, which is the differential oracle.
     */
   def asofPurchaseClick(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
+    val ev = Tables.eventsPar(s, d)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
     val clicks = ev.filter(col("event_type") === "click")

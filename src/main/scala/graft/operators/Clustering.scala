@@ -44,7 +44,7 @@ object Clustering {
     * stays ~10⁶ vectors — a fixed FRACTION would not be a bounded fit.
     */
   def clusterMix(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
+    val e = Tables.embeddingsPar(s, d)
       .select(col("vec_id"), col("label"), col("embedding"))
     val seeds = e.filter(col("vec_id") < K)
       .select(col("vec_id").as("cid"), col("embedding").as("sv"))

@@ -123,7 +123,7 @@ object Dedup {
     // unpersist between queries; a real pipeline would unpersist after
     // consuming the result. At 100 TB use MEMORY_AND_DISK (it spills,
     // never OOMs) or recompute — both beat 3× the hash pass.
-    val docs = Tables.documents(s, d)
+    val docs = Tables.documentsPar(s, d)
       .select(col("doc_id"), col("source"),
         sort_array(array_distinct(graft.functions.PortableHashFunctions.hashWords60(
           split(lower(trim(col("text"))), "\\s+"))))
@@ -317,7 +317,7 @@ object Dedup {
     */
   def minhashSignatures(s: SparkSession, d: String): DataFrame =
     sigsFrom(withShingleHashes(
-      Tables.documents(s, d).select(col("doc_id"), col("text"))).drop("text"))
+      Tables.documentsPar(s, d).select(col("doc_id"), col("text"))).drop("text"))
 
   private def sigsFrom(shingled: DataFrame): DataFrame = {
     // all K=16 permutation minima in one kernel pass over the shingle
@@ -347,7 +347,7 @@ object Dedup {
     */
   def minhashLshPairs(s: SparkSession, d: String): DataFrame = {
     val shingled = withShingleHashes(
-      Tables.documents(s, d).select(col("doc_id"), col("text"))).drop("text")
+      Tables.documentsPar(s, d).select(col("doc_id"), col("text"))).drop("text")
     val sigs = sigsFrom(shingled)
     val bands = sigs.select(col("doc_id"),
       posexplode(array((0 until Bands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band_hash")))
@@ -428,7 +428,7 @@ object Dedup {
     * (Hamming distance).
     */
   def simhash(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    Tables.documentsPar(s, d)
       .select(col("doc_id"),
         graft.functions.PortableHashFunctions.hashWords60(
           split(lower(trim(col("text"))), "\\s+")).as("hs"))
@@ -602,7 +602,7 @@ object Dedup {
     * — metadata, not data.
     */
   def sourceOverlap(s: SparkSession, d: String): DataFrame = {
-    val fp = Tables.documents(s, d)
+    val fp = Tables.documentsPar(s, d)
       .select(col("source"), explode(
         graft.functions.PortableHashFunctions.shingleHash60(
           split(lower(trim(col("text"))), "\\s+"), 5, P)).as("h"))

@@ -89,7 +89,7 @@ object Expressions {
     * differences between engines can't affect the comparison.
     */
   def rollupAgg(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
+    Tables.lineitemPar(s, d)
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"),
         sum(col("l_quantity").cast("decimal(14,2)")).cast("double").as("qty"))
@@ -158,7 +158,7 @@ object Expressions {
     * column (events.props = {"k": <int>}).
     */
   def jsonExtract(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
+    Tables.eventsPar(s, d)
       .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
       .groupBy((col("k") % 10).as("k_bucket"))
       .agg(count(lit(1)).as("n"))

@@ -63,7 +63,7 @@ object Joins {
     val ord = Tables.orders(s, d)
       .filter(col("o_orderdate") < cutoff)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
-    val li = Tables.lineitem(s, d)
+    val li = Tables.lineitemPar(s, d)
       .select(col("l_orderkey"),
         (col("l_extendedprice").cast("decimal(14,2)") *
           (lit(1.0) - col("l_discount")).cast("decimal(14,4)")).as("disc_price"))
@@ -104,7 +104,7 @@ object Joins {
   /** TPC-H Q1-style pricing summary: the canonical wide-aggregate scan. */
   def q1Pricing(s: SparkSession, d: String): DataFrame = {
     val cutoff = java.sql.Timestamp.valueOf("1998-09-01 00:00:00")
-    Tables.lineitem(s, d)
+    Tables.lineitemPar(s, d)
       .filter(col("l_shipdate") <= cutoff)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
@@ -238,7 +238,7 @@ object Joins {
     * canonical "aggregate, then enrich" shape that scales linearly.
     */
   def q18LargeOrders(s: SparkSession, d: String): DataFrame = {
-    val big = Tables.lineitem(s, d)
+    val big = Tables.lineitemPar(s, d)
       .groupBy(col("l_orderkey"))
       .agg(sum(col("l_quantity").cast("decimal(14,2)")).as("sum_qty"))
       .filter(col("sum_qty") > 150)
@@ -262,7 +262,7 @@ object Joins {
     */
   def q21WaitingSupplier(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val perSupp = Tables.lineitem(s, d)
+    val perSupp = Tables.lineitemPar(s, d)
       .groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(max(col("l_shipdate")).as("supp_max"))
     val w = Window.partitionBy(col("l_orderkey"))
@@ -286,7 +286,7 @@ object Joins {
     * customer and nation broadcast; top-k via limit (TakeOrdered).
     */
   def q10ReturnedItems(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
+    val li = Tables.lineitemPar(s, d)
       .filter(col("l_returnflag") === "R")
       .select(col("l_orderkey"),
         (col("l_extendedprice").cast("decimal(14,2)") *

@@ -156,7 +156,7 @@ object Search {
     import s.implicits._
     val qdf = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
       .toDF("query_id", "w")
-    val toks = Tables.documents(s, d).select(col("doc_id"),
+    val toks = Tables.documentsPar(s, d).select(col("doc_id"),
       explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
     val perDoc = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val stats = perDoc.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))

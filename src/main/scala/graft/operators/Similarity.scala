@@ -21,9 +21,14 @@ import graft.functions.VectorFunctions.dot
   */
 object Similarity {
 
-  /** vectors with their L2 norm precomputed — one codegen'd pass */
-  private def emb(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
+  /** vectors with their L2 norm precomputed — one codegen'd pass.
+    * `par = true` opts into [[Tables.loadPar]]'s unsplittable-input
+    * repartition for the operators whose downstream is kernel-heavy
+    * (signature builds, bucket joins); the cheap scan-shaped consumers
+    * keep the fused single-stage scan.
+    */
+  private def emb(s: SparkSession, d: String, par: Boolean = false): DataFrame = {
+    val e = if (par) Tables.embeddingsPar(s, d) else Tables.embeddings(s, d)
     e.select(col("vec_id"), col("label"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
   }
@@ -110,7 +115,7 @@ object Similarity {
     */
   def annLsh(s: SparkSession, d: String): DataFrame = {
     val ps = planes(4, 8, 64)
-    val signed = emb(s, d).withColumn("sigs",
+    val signed = emb(s, d, par = true).withColumn("sigs",
       array(ps.map(tp => signature(col("embedding"), tp)): _*))
     // persist: the signature table feeds both the (broadcast) query side
     // and the corpus side of the bucket join — one signature build, not two
@@ -165,7 +170,7 @@ object Similarity {
     // is both sides of the bucket self-join. Without the persists each
     // runs twice-or-thrice. Narrow columns; the harness unpersists
     // between queries.
-    val e = emb(s, d)
+    val e = emb(s, d, par = true)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val signed = e
       .withColumn("sigs", array(tier1.map(tp => signature(col("embedding"), tp)): _*))
@@ -398,7 +403,7 @@ object Similarity {
     */
   def annIvfQuery(s: SparkSession, d: String, centroids: IndexedSeq[Seq[Double]],
                   nprobe: Int = 4): DataFrame = {
-    val corpus = emb(s, d)
+    val corpus = emb(s, d, par = true)
     // nearest-centroid assignment as pure expressions (argmin over literal
     // centroids; distance ranking via -2·<v,c> + |c|² since |v|² is common)
     def cellScores(v: Column): IndexedSeq[Column] =
@@ -592,7 +597,7 @@ object Similarity {
     val ps = planes(NearDupTables, NearDupBits, 64)
     // persist: e feeds the signature build + two fetch-backs, buckets is
     // both self-join sides (see annKnnAll note)
-    val e = emb(s, d)
+    val e = emb(s, d, par = true)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = e
       .withColumn("sigs", array(ps.map(tp => signature(col("embedding"), tp)): _*))
@@ -656,7 +661,7 @@ object Similarity {
     * one double division. Columns: (label, dim, m, n).
     */
   private def labelDimMeans(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
+    Tables.embeddingsPar(s, d)
       .select(col("label"),
         posexplode(expr("transform(embedding, x -> cast(x as double))"))
           .as(Seq("dim", "x")))
@@ -794,7 +799,7 @@ object Similarity {
     // sign tier) otherwise re-runs for the A side, the B side, the size
     // table, and the final left join — four times. Narrow columns; the
     // harness unpersists between queries.
-    val assigned = emb(s, d)
+    val assigned = emb(s, d, par = true)
       .withColumn("cell", argmin(cellScores(col("embedding"))))
       .withColumn("sig2", signature(col("embedding"), tier2))
       .select(col("cell"), col("sig2"), col("vec_id"), col("embedding"), col("nrm"))

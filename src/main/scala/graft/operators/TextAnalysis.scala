@@ -109,7 +109,7 @@ object TextAnalysis {
 
   /** Token counting with a BPE-ish regex lexer. */
   def tokenCount(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    Tables.documentsPar(s, d)
       .select(
         col("doc_id"),
         size(expr(s"regexp_extract_all(text, '${Formulas.bpePattern}', 0)"))
@@ -121,7 +121,7 @@ object TextAnalysis {
     * composite keep/drop flag — the usual pre-training corpus filter shape.
     */
   def qualityScore(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    Tables.documentsPar(s, d)
       .withColumn("n_tokens", expr(Formulas.nTokens).cast("double"))
       .withColumn("n_uniq",
         size(array_distinct(split(lower(trim(col("text"))), "\\s+"))).cast("double"))
@@ -141,7 +141,7 @@ object TextAnalysis {
     */
   def langId(s: SparkSession, d: String): DataFrame = {
     val scored = Formulas.langStopwords.foldLeft(
-      Tables.documents(s, d).withColumn("lc", lower(col("text")))) {
+      Tables.documentsPar(s, d).withColumn("lc", lower(col("text")))) {
       case (df, (l, words)) =>
         df.withColumn(s"s_$l",
           size(expr(s"regexp_extract_all(lc, '(^|\\\\s)$words(\\\\s|$$)', 0)")).cast("int"))
@@ -180,7 +180,7 @@ object TextAnalysis {
     */
   def tfidfTopTerms(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, d)
+    val docs = Tables.documentsPar(s, d)
     val toks = docs.select(col("doc_id"),
       explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
     val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
@@ -229,7 +229,7 @@ object TextAnalysis {
     * shuffle, 100 TB maps straight through.
     */
   def repetitionStats(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    Tables.documentsPar(s, d)
       .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
       .withColumn("g2",
         graft.functions.PortableHashFunctions.shingleHash60(col("toks"), 2, Dedup.P))
@@ -274,7 +274,7 @@ object TextAnalysis {
     * filter first if the eval suite ever outgrows broadcast range.
     */
   def decontaminate(s: SparkSession, d: String): DataFrame = {
-    val ngrams = Tables.documents(s, d)
+    val ngrams = Tables.documentsPar(s, d)
       .select(col("doc_id"),
         graft.functions.PortableHashFunctions.shingleHash60(
           split(lower(trim(col("text"))), "\\s+"), 5, Dedup.P).as("ng"))
@@ -418,7 +418,7 @@ object TextAnalysis {
                 blocklist: Seq[String] = Seq("spark", "stream")): DataFrame = {
     val steps = piiSteps(blocklist)
     val redacted = steps.foldLeft(
-      Tables.documents(s, d).select(col("doc_id"), col("text").as("clean"))) {
+      Tables.documentsPar(s, d).select(col("doc_id"), col("text").as("clean"))) {
       case (df, (cnt, Some(pat), repl)) =>
         df.withColumn(cnt,
             size(regexp_extract_all(col("clean"), lit(pat), lit(0))).cast("int"))

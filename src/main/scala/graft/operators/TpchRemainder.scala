@@ -69,7 +69,7 @@ object TpchRemainder {
         .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("supp_nation"))
-    Tables.lineitem(s, d)
+    Tables.lineitemPar(s, d)
       .join(Tables.orders(s, d)
         .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
@@ -220,7 +220,7 @@ object TpchRemainder {
     * on both engines — no divide, no reduction-order noise.
     */
   def q17SmallQtyRevenue(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
+    val li = Tables.lineitemPar(s, d)
     val perPart = li.groupBy(col("l_partkey").as("pk"))
       .agg(sum(col("l_quantity").cast("decimal(14,2)")).as("sum_qty"),
         count(lit(1)).as("cnt"))

@@ -33,7 +33,7 @@ object Windows {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, d)
+    Tables.eventsPar(s, d)
       .select(col("user_id"), col("event_id"), col("value").cast("decimal(14,4)").as("v"))
       .withColumn("running_value", sum(col("v")).over(w).cast("double"))
       .select(col("user_id"), col("event_id"), col("running_value"))
@@ -55,7 +55,7 @@ object Windows {
     */
   def windowLagLead(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
-    Tables.events(s, d)
+    Tables.eventsPar(s, d)
       .select(col("user_id"), col("event_id"), col("ts"))
       .withColumn("prev_ts", lag(col("ts"), 1).over(w))
       .withColumn("gap_sec",
@@ -80,7 +80,7 @@ object Windows {
     val full = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val ord = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
-    Tables.events(s, d)
+    Tables.eventsPar(s, d)
       .select(col("user_id"), col("event_id"), col("event_type"))
       .withColumn("first_type", first(col("event_type")).over(full))
       .withColumn("last_type", last(col("event_type")).over(full))
@@ -93,7 +93,7 @@ object Windows {
     * (graft.streaming), expressed so an ANSI oracle can replicate it.
     */
   def windowTumblingEpoch(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
+    Tables.eventsPar(s, d)
       .withColumn("bucket", expr("(unix_timestamp(ts) div 300) * 300"))
       .groupBy(col("bucket"), col("event_type"))
       .agg(
