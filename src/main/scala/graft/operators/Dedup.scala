@@ -196,16 +196,13 @@ object Dedup {
     // coalesce an explicit width), range-sorted checkpoint 4.2-5.3 s.
     val pairs = nearDupJaccardPairs(s, d).select(col("da"), col("db"))
       .orderBy(col("da"), col("db")).localCheckpoint()
-    // undirected edge list, both directions; the loop only touches docs
-    // with at least one edge — singletons are appended at the end.
-    // localCheckpoint (not persist): each iteration references the prior
-    // labels three times, so the LOGICAL plan grows 3^k without lineage
-    // truncation and Catalyst analysis time explodes even though every
-    // read hits cache — checkpointing keeps the per-iteration plan
-    // constant-size (measured: iterations degrade 1.4s → 10s by iter 3
-    // under persist, stay flat under localCheckpoint).
+    // undirected edge list, both directions, derived from the CHECKPOINTED
+    // pair list — a cheap union over cached blocks, so it needs no second
+    // checkpoint of its own (one materialization job fewer; the
+    // constant-size-plan property below only needs `labels` truncated,
+    // because only labels is re-referenced across iterations).
     val edges = pairs.union(pairs.select(col("db").as("da"), col("da").as("db")))
-      .toDF("src", "dst").localCheckpoint()
+      .toDF("src", "dst")
     // seed labels at min(self, direct neighbors): the label set needs a
     // groupBy on src anyway (was a distinct), and folding the first
     // min-propagation into it saves one full loop iteration
