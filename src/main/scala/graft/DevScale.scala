@@ -66,7 +66,7 @@ object DevScale {
       "tfidf_top_terms"   -> (operators.TextAnalysis.tfidfTopTerms _),
       "minhash_lsh_pairs" -> (operators.Dedup.minhashLshPairs _),
       "near_dup_jaccard"  -> (operators.Dedup.nearDupJaccard _),
-      "dedup_clusters"    -> (operators.Dedup.dedupClusters _),
+      "dedup_clusters"    -> ((s, d) => operators.Dedup.dedupClusters(s, d)),
       // round-4 (r3 verdict #8): the three scale claims previously argued
       // but not measured
       "decontaminate"     -> (operators.TextAnalysis.decontaminate _),

@@ -113,7 +113,7 @@ object SparkEntry {
     "near_dup_jaccard"   -> (Dedup.nearDupJaccard _),
     "minhash_lsh_pairs"  -> (Dedup.minhashLshPairs _),
     "simhash"            -> (Dedup.simhash _),
-    "dedup_clusters"     -> (Dedup.dedupClusters _),
+    "dedup_clusters"     -> ((s, d) => Dedup.dedupClusters(s, d)),
     "span_dedup"         -> ((s, d) => Dedup.spanDedup(s, d)),
     "source_overlap"     -> (Dedup.sourceOverlap _),
     // similarity search

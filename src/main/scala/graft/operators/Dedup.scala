@@ -182,7 +182,8 @@ object Dedup {
     * iteration shuffles only (doc_id, label) longs. The oracle replays the
     * same components with a recursive transitive-closure CTE.
     */
-  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+  def dedupClusters(s: SparkSession, d: String,
+                    broadcastLabelRows: Long = 500000L): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"))
     // checkpoint the pair list BEFORE building both edge directions:
     // otherwise each union branch independently re-runs the whole
@@ -212,12 +213,25 @@ object Dedup {
     // convergence via the label-sum invariant: labels only ever decrease
     // (min-propagation), so the sum strictly decreases until fixpoint —
     // one aggregation over checkpointed data per iteration, no join
-    def labelSum(df: DataFrame): java.math.BigDecimal =
+    // (sum, row count) in ONE aggregation job: the sum drives convergence,
+    // the count drives the per-iteration join strategy below
+    def labelStats(df: DataFrame): (java.math.BigDecimal, Long) = {
       // coalesce: sum over an EMPTY labels set (no near-dup pairs at all)
       // is NULL — without it the convergence compare NPEs on clean corpora
-      df.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")),
-        lit(java.math.BigDecimal.ZERO))).head.getDecimal(0)
-    var prevSum = labelSum(labels)
+      val r = df.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO)), count(lit(1))).head
+      (r.getDecimal(0), r.getLong(1))
+    }
+    // Checkpointed frames carry no size statistics (LogicalRDD defaults to
+    // "huge"), so the planner sort-merge-joins every loop iteration even
+    // when the label set is KB-scale, and AQE only converts AFTER paying
+    // the exchange. The label ROW COUNT — measured for free in the
+    // convergence aggregation — is the honest runtime signal: below the
+    // same order of size autoBroadcastJoinThreshold implies (~10 MB ≈ 6e5
+    // (long,long) rows framed), hint broadcast; above it, let the planner
+    // shuffle. Scale-adaptive by construction, not a local-mode constant.
+    val BroadcastableLabelRows = broadcastLabelRows
+    var (prevSum, labelRows) = labelStats(labels)
     var changed = true
     var iters = 0
     while (changed && iters < 50) {
@@ -235,17 +249,21 @@ object Dedup {
       // columns is ambiguous.)
       val pointers = edges
         .union(labels.select(col("doc_id").as("src"), col("lbl").as("dst")))
-      val relabeled = labels
+      val relabeled0 = labels
         .select(col("doc_id").as("j_doc"), col("lbl").as("j_lbl"))
+      val relabeled =
+        if (labelRows <= BroadcastableLabelRows) broadcast(relabeled0)
+        else relabeled0
       val next = pointers
         .join(relabeled, col("dst") === col("j_doc"))
         .select(col("src").as("doc_id"), col("j_lbl").as("lbl"))
         .union(labels.select(col("doc_id"), col("lbl")))
         .groupBy(col("doc_id")).agg(min(col("lbl")).as("lbl"))
         .localCheckpoint()
-      val nextSum = labelSum(next)
+      val (nextSum, nextRows) = labelStats(next)
       changed = nextSum.compareTo(prevSum) != 0
       prevSum = nextSum
+      labelRows = nextRows
       labels = next
       iters += 1
     }
@@ -255,9 +273,13 @@ object Dedup {
     require(!changed, s"dedupClusters failed to converge in $iters iterations")
     val connected = labels.select(col("doc_id"), col("lbl").as("cluster"))
     // labels carries exactly one row per edge endpoint (checkpointed) —
-    // no need to re-aggregate the edge list for the singleton anti-join
-    val singletons = docs.join(labels.select(col("doc_id")),
-        Seq("doc_id"), "left_anti")
+    // no need to re-aggregate the edge list for the singleton anti-join;
+    // same measured-size broadcast rule as the loop join
+    val labelKeys0 = labels.select(col("doc_id"))
+    val labelKeys =
+      if (labelRows <= BroadcastableLabelRows) broadcast(labelKeys0)
+      else labelKeys0
+    val singletons = docs.join(labelKeys, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("cluster"))
     val sizes = Window.partitionBy(col("cluster"))
     connected.union(singletons)

@@ -84,6 +84,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == Set((1L, 1L, 1L, true), (2L, 2L, 1L, true), (3L, 3L, 1L, true)))
   }
 
+  test("dedupClusters: shuffled-join loop (labels above broadcast cutoff) matches the hinted one") {
+    // pins the measured-size broadcast rule: forcing the >threshold branch
+    // (broadcastLabelRows = 0 -> planner-chosen shuffle joins) must yield
+    // the exact same components as the broadcast-hinted path
+    withPlanted { dir =>
+      val hinted = Dedup.dedupClusters(spark, dir)
+        .select($"doc_id", $"cluster", $"csize", $"is_kept")
+        .as[(Long, Long, Long, Boolean)].collect().toSet
+      val shuffled = Dedup.dedupClusters(spark, dir, broadcastLabelRows = 0L)
+        .select($"doc_id", $"cluster", $"csize", $"is_kept")
+        .as[(Long, Long, Long, Boolean)].collect().toSet
+      assert(shuffled == hinted)
+    }
+  }
+
   test("simhash: identical texts get identical hashes; near-dups are close in Hamming distance") {
     withPlanted { dir =>
       val sh = Dedup.simhash(spark, dir).as[(Long, Long)].collect().toMap
