@@ -40,7 +40,11 @@ object LocalDirs {
       if (sys.env.contains("SPARK_LOCAL_DIRS")) None
       else {
         val shm = new java.io.File("/dev/shm")
-        if (shm.isDirectory && shm.canWrite) {
+        // require real headroom: on a host with a small tmpfs, running
+        // shuffles out of space mid-job would be far worse than the ext4
+        // file-create tax this avoids
+        if (shm.isDirectory && shm.canWrite &&
+            shm.getUsableSpace >= 8L * 1024 * 1024 * 1024) {
           val d = new java.io.File(shm, "graft-spark-local")
           d.mkdirs()
           if (d.isDirectory && d.canWrite) Some(d.getAbsolutePath) else None
