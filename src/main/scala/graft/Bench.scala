@@ -65,10 +65,15 @@ object Bench {
     // re-times entries whose two samples disagree by > 15%. A query hit by
     // a contention burst in one pass is visited minutes apart in the next,
     // so the per-query min survives bursts as long as a full pass.
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def once(name: String,
+             fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // guide §1.5: label the jobs so UI/event-log analysis can attribute
+      // stages to queries (set OUTSIDE the timed window)
+      spark.sparkContext.setJobDescription(s"bench: $name")
       val t0 = System.nanoTime()
       try { drain(fn(spark, sfDir)) } catch { case _: Throwable => () }
       val t = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.setJobDescription(null)
       CacheHygiene.sweep(spark) // outside the timed window: cached
       // blocks are query-scoped; leaking them across 129 queries
       // squeezes execution memory for everything downstream
@@ -94,14 +99,14 @@ object Bench {
     // at ~0.1-0.3 s each the second pass costs ~20 s and the per-query
     // min survives bursts shorter than a full pass)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    val pass1 = ordered.map { case (name, fn) => (name, fn, once(fn)) }
+    val pass1 = ordered.map { case (name, fn) => (name, fn, once(name, fn)) }
     val pass2 = pass1.map { case (name, fn, t1) =>
-      (name, fn, t1, Some(once(fn)))
+      (name, fn, t1, Some(once(name, fn)))
     }
     val results = pass2.map { case (name, fn, t1, t2o) =>
       var best = math.min(t1, t2o.getOrElse(t1))
       val disagree = t2o.exists(t2 => math.abs(t1 - t2) / best > 0.15)
-      if (disagree) best = math.min(best, once(fn))
+      if (disagree) best = math.min(best, once(name, fn))
       name -> best
     }
     val calibLast = math.min(calib(), calib())
