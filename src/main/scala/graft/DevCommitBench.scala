@@ -24,7 +24,7 @@ object DevCommitBench {
     if (sys.env.contains("GRAFT_BENCH_COMMIT_V2"))
       b = b.config(
         "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
-    val spark = b.getOrCreate()
+    val spark = LocalDirs.configure(b).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     val wh = "/tmp/graft-commit-bench-wh"

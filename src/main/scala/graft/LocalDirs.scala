@@ -52,8 +52,25 @@ object LocalDirs {
       }
     }
 
-  /** Apply to a session builder: set spark.local.dir when resolvable. */
+  /** Apply to a session builder: set spark.local.dir when resolvable,
+    * and make `file://` permission changes fork-free.
+    *
+    * Without native libhadoop, Hadoop's local filesystem shells out a
+    * `chmod` fork+exec on EVERY file create and mkdir (driver stack
+    * sampling showed those forks as the largest non-Spark cost of the
+    * write path — several per tiny INSERT: task file, committer temp
+    * dirs, _SUCCESS). [[graft.catalog.NioLocalFileSystem]] is
+    * byte-identical Hadoop `LocalFileSystem` behavior (checksums and
+    * all) with the chmod done as one java.nio syscall. The production
+    * analog is installing libhadoop (NativeIO.chmod — the same syscall
+    * path); `SPARK_GRAFT_STOCK_LOCALFS=1` restores the stock class.
+    */
   def configure(b: org.apache.spark.sql.SparkSession.Builder)
-    : org.apache.spark.sql.SparkSession.Builder =
-    resolve().map(d => b.config("spark.local.dir", d)).getOrElse(b)
+    : org.apache.spark.sql.SparkSession.Builder = {
+    val withDirs =
+      resolve().map(d => b.config("spark.local.dir", d)).getOrElse(b)
+    if (sys.env.contains("SPARK_GRAFT_STOCK_LOCALFS")) withDirs
+    else withDirs.config("spark.hadoop.fs.file.impl",
+      "graft.catalog.NioLocalFileSystem")
+  }
 }

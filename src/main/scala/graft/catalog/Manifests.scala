@@ -110,8 +110,28 @@ object Manifests {
                  entries: Seq[DataFileEntry]): String = {
     val name = s"m-${java.util.UUID.randomUUID().toString.take(16)}.json"
     val p = new Path(manifestDir, name)
-    val out = p.getFileSystem(conf).create(p, false)
-    try out.write(toJson(entries).getBytes("UTF-8")) finally out.close()
+    val scheme = p.toUri.getScheme
+    if (scheme == null || scheme == "file") {
+      // fork-free local write (Hadoop's create chmods via a shell fork
+      // when libhadoop is absent); CREATE_NEW keeps the fail-if-exists
+      // contract of create(p, overwrite = false); parent dirs created on
+      // demand like Hadoop's create()
+      val np = java.nio.file.Paths.get(p.toUri.getPath)
+      val bytes = toJson(entries).getBytes("UTF-8")
+      try java.nio.file.Files.write(np, bytes,
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+      catch {
+        case _: java.nio.file.NoSuchFileException =>
+          java.nio.file.Files.createDirectories(np.getParent)
+          java.nio.file.Files.write(np, bytes,
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+      }
+    } else {
+      val out = p.getFileSystem(conf).create(p, false)
+      try out.write(toJson(entries).getBytes("UTF-8")) finally out.close()
+    }
     name
   }
 

@@ -178,10 +178,10 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     require(schema.nonEmpty && !schema.startsWith("_"),
       s"Malformed schema name: '$schema' ('_'-prefixed names are reserved)")
     val p = new Path(s"$warehouse/$schema")
-    fs(p).mkdirs(p)
+    mkdirsFast(p)
     location.foreach { loc =>
       val lp = new Path(loc)
-      fs(lp).mkdirs(lp)
+      mkdirsFast(lp)
       writeString(new Path(p, "_schema_location"), loc)
       locationCache.put(schema, lp)
     }
@@ -295,7 +295,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       if (ifNotExists) return
       throw new IllegalStateException(s"Table $schema.$table already exists")
     }
-    f.mkdirs(dir)
+    mkdirsFast(dir)
     writeString(new Path(dir, "_table_schema.json"), columns.json)
     if (partitionedBy.nonEmpty)
       writeString(new Path(dir, "_partition_spec.json"),
@@ -6978,18 +6978,13 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     require(arr.size > 0, s"Catalog tag $name: no member has any commit yet")
     val d = catalogTagsDir
     val f = fs(d)
-    f.mkdirs(d)
+    mkdirsFast(d)
     val target = catalogTagPath(name)
     if (f.exists(target))
       throw new IllegalArgumentException(s"Catalog tag $name already exists")
     val tmp = new Path(d, "." + target.getName + "." +
       java.util.UUID.randomUUID().toString.take(8) + ".tmp")
-    val rawF = f match {
-      case cfs: org.apache.hadoop.fs.ChecksumFileSystem => cfs.getRawFileSystem
-      case other => other
-    }
-    val out = rawF.create(tmp, true)
-    try out.write(mapper.writeValueAsString(root).getBytes("UTF-8")) finally out.close()
+    stageBytes(tmp, mapper.writeValueAsString(root).getBytes("UTF-8"))
     try renameNoReplace(tmp, target)
     catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException |
@@ -7110,7 +7105,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
                                    st: CatalogRefState): Unit = {
     val d = catalogRefsDir
     val f = fs(d)
-    f.mkdirs(d)
+    mkdirsFast(d)
     val root = mapper.createObjectNode()
     root.put("state", st.state)
     val arr = root.putArray("members")
@@ -7125,12 +7120,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       throw new CommitConflictException("_catalog_refs", name, expectedGen)
     val tmp = new Path(d, "." + target.getName + "." +
       java.util.UUID.randomUUID().toString.take(8) + ".tmp")
-    val rawF = f match {
-      case cfs: org.apache.hadoop.fs.ChecksumFileSystem => cfs.getRawFileSystem
-      case other => other
-    }
-    val out = rawF.create(tmp, true)
-    try out.write(mapper.writeValueAsString(root).getBytes("UTF-8")) finally out.close()
+    stageBytes(tmp, mapper.writeValueAsString(root).getBytes("UTF-8"))
     try renameNoReplace(tmp, target)
     catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException |
@@ -7754,12 +7744,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     // data — a corrupted-looking commit log (also caught by the soak).
     // Object stores / HDFS checksum server-side; the JSON itself is the
     // integrity check here (parse failure = corruption).
-    val rawF = f match {
-      case cfs: org.apache.hadoop.fs.ChecksumFileSystem => cfs.getRawFileSystem
-      case other => other
-    }
-    val out = rawF.create(tmp, true)
-    try out.write(commitsJson(tail, segNames).getBytes("UTF-8")) finally out.close()
+    stageBytes(tmp, commitsJson(tail, segNames).getBytes("UTF-8"))
     faultPoint("commit.staged") // temp bytes written, rename not yet attempted
     try renameNoReplace(tmp, target)
     catch {
@@ -7782,6 +7767,51 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val s = p.toUri.getScheme
     s == null || s == "file"
   }
+
+  /** Stage raw bytes at `tmp` (overwriting), fork-free on the local
+    * filesystem: Hadoop's `RawLocalFileSystem.create` applies the default
+    * file permission via `setPermission`, which without native libhadoop
+    * fork+execs a `chmod` per file (~3-10 ms — profiled as the largest
+    * driver-side cost of the metadata commit path after the r13 rename
+    * fix; guide §7.3). `Files.write` is open+write+close with the same
+    * resulting permissions (process umask). Non-local filesystems keep
+    * the raw Hadoop stream (raw = no checksum sidecar; metadata JSON is
+    * its own integrity check — parse failure = corruption).
+    */
+  private def stageBytes(tmp: Path, bytes: Array[Byte]): Unit =
+    if (isLocalPath(tmp)) {
+      val p = java.nio.file.Paths.get(tmp.toUri.getPath)
+      try java.nio.file.Files.write(p, bytes)
+      catch {
+        // Hadoop's create() makes parent dirs implicitly — keep that
+        case _: java.nio.file.NoSuchFileException =>
+          java.nio.file.Files.createDirectories(p.getParent)
+          java.nio.file.Files.write(p, bytes)
+      }
+      ()
+    } else {
+      val rawF = fs(tmp) match {
+        case cfs: org.apache.hadoop.fs.ChecksumFileSystem => cfs.getRawFileSystem
+        case other => other
+      }
+      val out = rawF.create(tmp, true)
+      try out.write(bytes) finally out.close()
+    }
+
+  /** `mkdirs`, fork-free on the local filesystem (Hadoop's
+    * `mkOneDirWithMode` chmods every created directory via a shell fork
+    * when libhadoop is absent — see [[stageBytes]]). Same contract:
+    * succeeds when the directory already exists, creates parents.
+    */
+  private def mkdirsFast(p: Path): Unit =
+    if (isLocalPath(p)) {
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(p.toUri.getPath))
+      ()
+    } else {
+      fs(p).mkdirs(p)
+      ()
+    }
 
   /** Delete a Hadoop checksum sidecar (`.name.crc`) left next to `target`
     * by a writer that went through ChecksumFileSystem — after a raw-stream
@@ -7850,14 +7880,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * sidecar would double every metadata write.
     */
   private def writeString(p: Path, s: String): Unit = {
-    val f = fs(p)
-    val rawF = f match {
-      case cfs: org.apache.hadoop.fs.ChecksumFileSystem => cfs.getRawFileSystem
-      case other => other
-    }
     val tmp = new Path(p.getParent, "." + p.getName + ".tmp")
-    val out = rawF.create(tmp, true)
-    try out.write(s.getBytes("UTF-8")) finally out.close()
+    stageBytes(tmp, s.getBytes("UTF-8"))
     renameOverwrite(tmp, p)
   }
 
