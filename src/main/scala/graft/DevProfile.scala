@@ -36,6 +36,49 @@ object DevProfile {
     catch { case e: Throwable => println(s"warmup failed: ${e.getMessage}") }
     CacheHygiene.sweep(spark)
 
+    // optional in-process stack sampler (GRAFT_PROFILE_SAMPLER=1): samples
+    // the main thread every ~7 ms and prints inclusive frame counts at the
+    // end — attach-free replacement for jstack aggregation (§7.3)
+    val samplerOn = sys.env.contains("GRAFT_PROFILE_SAMPLER")
+    val mainThread = Thread.currentThread()
+    val incl = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val self = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val stacks = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    @volatile var sampleCount = 0
+    if (samplerOn) {
+      // GRAFT_PROFILE_EXEC=1 samples executor task threads instead of main
+      val execMode = sys.env.contains("GRAFT_PROFILE_EXEC")
+      val t = new Thread(() => {
+        while (true) {
+          val targets: Seq[Array[StackTraceElement]] =
+            if (!execMode) Seq(mainThread.getStackTrace)
+            else {
+              import scala.jdk.CollectionConverters._
+              Thread.getAllStackTraces.asScala.collect {
+                case (th, st) if th.getName.startsWith("Executor task launch")
+                  && st.nonEmpty => st
+              }.toSeq
+            }
+          targets.foreach { st =>
+            if (st.nonEmpty) {
+              sampleCount += 1
+              val frames = st.iterator.take(48)
+                .map(e => e.getClassName + "." + e.getMethodName).toSeq
+              frames.headOption.foreach(f => self.merge(f, 1, _ + _))
+              frames.distinct.foreach(f => incl.merge(f, 1, _ + _))
+              // full-stack counting for leaves matching GRAFT_PROFILE_MATCH
+              sys.env.get("GRAFT_PROFILE_MATCH").foreach { pat =>
+                if (frames.exists(_.contains(pat)))
+                  stacks.merge(frames.mkString(" <- "), 1, _ + _)
+              }
+            }
+          }
+          Thread.sleep(7)
+        }
+      })
+      t.setDaemon(true); t.start()
+    }
+
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Double, String)]()
     val listener = new SparkListener {
@@ -68,6 +111,25 @@ object DevProfile {
       val jobSum = rows.map(_._2).sum
       println(f"  jobs sum $jobSum%.3f s; driver/planning gap ${total - jobSum}%.3f s")
       CacheHygiene.sweep(spark)
+    }
+    if (samplerOn) {
+      import scala.jdk.CollectionConverters._
+      println(s"== sampler: $sampleCount samples ==")
+      println("-- self (top frame) --")
+      self.asScala.toSeq.sortBy(-_._2).take(20).foreach {
+        case (f, n) => println(f"  $n%5d  $f")
+      }
+      println("-- inclusive --")
+      incl.asScala.toSeq.sortBy(-_._2).take(45).foreach {
+        case (f, n) => println(f"  $n%5d  $f")
+      }
+      if (!stacks.isEmpty) {
+        println("-- matched stacks --")
+        stacks.asScala.toSeq.sortBy(-_._2).take(10).foreach {
+          case (s, n) => println(f"  n=$n%d\n    " +
+            s.split(" <- ").take(26).mkString("\n    "))
+        }
+      }
     }
     spark.stop()
   }

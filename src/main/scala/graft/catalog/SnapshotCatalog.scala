@@ -3343,8 +3343,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val at = math.max(System.currentTimeMillis(),
       commits.lastOption.map(_.committedAtMillis + 1).getOrElse(0L))
     val snapDir = snapDirName(schema, table, attemptTag(id))
-    partitionedWriter(schema, table, df)
-      .mode("errorifexists").parquet(new Path(dir, snapDir).toString)
+    writeData(schema, table, df, dir, snapDir)
     faultPoint("insert.staged") // data files on disk, commit not yet attempted
     // prior files carry by manifest NAME (legacy dirs migrate into a
     // manifest once); only the new dir is footer-scanned. deletes carry
@@ -3414,8 +3413,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         case None => Nil // empty table: nothing to shadow
       }
       val snapDir = snapDirName(schema, table, attemptTag(id))
-      partitionedWriter(schema, table, batch)
-        .mode("errorifexists").parquet(new Path(dir, snapDir).toString)
+      writeData(schema, table, batch, dir, snapDir)
       val (carried, _) = carryManifests(schema, table, prior, Set.empty)
       val newEntries = scanEntries(dir, snapDir)
       val names = carried ++
@@ -3501,20 +3499,20 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val cutsAll = df
       .select(proj.zip(qNames).map { case (p, n) => p.as(n) }: _*)
       .stat.approxQuantile(qNames.toArray, probs, 0.01)
-    // bucket index = number of cuts at or below the value (codegen'd
-    // chain of compares; 63 adds/column on the write path only). Each
-    // bucket is MATERIALIZED as a helper column so the chain is planned
-    // and evaluated once — inlining it into the bit interleave below
-    // would copy the whole 63-when chain `bits` times per column, and
-    // Catalyst analysis/codegen of that 6×-duplicated tree dominated the
-    // z-write's driver time (sampled: zValue expression work ≈ 25% of
-    // zorder_demo wall-clock).
+    // bucket index = number of cuts at or below the value, as ONE
+    // binary-search expression per column (graft.functions.
+    // QuantileBucket). The previous spelling — a fold of 63
+    // when(p >= cut, 1) adds — generated a method body past the JIT
+    // compile thresholds, so the projection ran INTERPRETED: executor
+    // stack sampling put it at ~70% of zorder_demo's executor compute
+    // (§4 per-task work). Identical bucket values (null → 0, NaN counts
+    // every cut, -0.0 == 0.0) pinned by QuantileBucketSpec's
+    // differential test against the old chain. Each bucket stays
+    // MATERIALIZED as a helper column so it is planned and evaluated
+    // once rather than once per interleave bit.
     val helpers = proj.zip(zCols.indices).map { case (p, j) =>
-      val cuts = cutsAll(j).distinct.sorted
-      val bucket = cuts.foldLeft(lit(0)) { (acc, cut) =>
-        acc + when(p >= lit(cut), 1).otherwise(0)
-      }
-      (s"__graft_zb${tag}_$j", bucket)
+      val cuts = cutsAll(j).distinct.sorted // same cut set as the old chain
+      (s"__graft_zb${tag}_$j", graft.functions.QuantileBucket.bucket(p, cuts))
     }
     val k = helpers.length
     val z = (for (b <- 0 until bits; j <- 0 until k) yield
@@ -3570,6 +3568,30 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         case _ => col(f.name)
       }
     }: _*)
+  }
+
+  /** Stage `df` under `dir/snapDir` honoring the table's partition/sort
+    * spec. A CLUSTERED write (sort spec, or non-identity partition
+    * transforms) evaluates its input 2-3 times — the z-order/sort
+    * approxQuantile cuts, the range partitioner's sampling pass, and the
+    * write itself — and each pass re-runs the full source scan (profiled
+    * on zorder_demo: three single-task decodes of the same slice, one
+    * per pass). Persist the input across those passes — the same
+    * pattern [[upsert]] uses for its two passes — and let the first
+    * pass materialize it; single-pass writes stay streaming.
+    */
+  private def writeData(schema: String, table: String, df: DataFrame,
+                        dir: Path, snapDir: String): Unit = {
+    val dest = new Path(dir, snapDir).toString
+    val multiPass = sortSpec(schema, table).nonEmpty ||
+      partitionFields(schema, table).exists(!_.isIdentity)
+    if (multiPass) {
+      val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try partitionedWriter(schema, table, cached)
+        .mode("errorifexists").parquet(dest)
+      finally cached.unpersist(false)
+    } else partitionedWriter(schema, table, df)
+      .mode("errorifexists").parquet(dest)
   }
 
   private def partitionedWriter(schema: String, table: String, df0: DataFrame) = {
@@ -4697,8 +4719,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
             val names = appendDf match {
               case Some(adf) =>
                 val snapDir = snapDirName(schema, table, s"${attemptTag(id)}-rewrite")
-                partitionedWriter(schema, table, adf)
-                  .mode("errorifexists").parquet(new Path(dir, snapDir).toString)
+                writeData(schema, table, adf, dir, snapDir)
                 val es = scanEntries(dir, snapDir)
                 carried ++ writeManifests(dir, es)
               case None => carried
@@ -4718,8 +4739,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
                 s"${touchedAbs.size} touched files, ${touchedRel.size} matched " +
                 "under current snapshot entries")
             val snapDir = snapDirName(schema, table, s"${attemptTag(id)}-rewrite")
-            partitionedWriter(schema, table, merged)
-              .mode("errorifexists").parquet(new Path(dir, snapDir).toString)
+            writeData(schema, table, merged, dir, snapDir)
             // no provenance = whole-table rewrite: pending deletes are
             // materialized; otherwise drop deletes on rewritten files only
             val newDeletes =
@@ -4996,8 +5016,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
               }
             }: _*)
             val snapDir = snapDirName(schema, table, s"${attemptTag(id)}-rewrite")
-            partitionedWriter(schema, table, updated)
-              .mode("errorifexists").parquet(new Path(dir, snapDir).toString)
+            writeData(schema, table, updated, dir, snapDir)
             val (carried, _) = carryManifests(schema, table, current, Set.empty)
             val newEntries = scanEntries(dir, snapDir)
             val names = carried ++
@@ -5096,20 +5115,32 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
   private def dataFilesUnder(p: Path): Seq[Path] =
     dataFileStatusesUnder(p).map(_._1)
 
+  /** Recursive file walk via plain `listStatus`: `listFiles(p, true)`
+    * yields LocatedFileStatus, whose CONSTRUCTOR eagerly loads the POSIX
+    * permission — on the stock local filesystem without libhadoop that
+    * is a forked `ls` PER FILE (profiled: the dominant remaining
+    * driver-side fork source in every commit's footer scan). Plain
+    * FileStatus loads permissions lazily and nothing here reads them,
+    * so the walk is pure stat calls on any filesystem.
+    */
+  private def foreachFileUnder(p: Path)(fn: org.apache.hadoop.fs.FileStatus => Unit): Unit = {
+    val f = fs(p)
+    val root = try f.getFileStatus(p)
+      catch { case _: java.io.FileNotFoundException => return }
+    def walk(st: org.apache.hadoop.fs.FileStatus): Unit =
+      if (st.isDirectory) f.listStatus(st.getPath).foreach(walk)
+      else fn(st)
+    walk(root)
+  }
+
   /** Non-empty `.parquet` files under `p` with their byte sizes. */
   private def dataFileStatusesUnder(p: Path): Seq[(Path, Long)] = {
-    val f = fs(p)
-    if (!f.exists(p)) Nil
-    else {
-      val it = f.listFiles(p, true)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[(Path, Long)]
-      while (it.hasNext) {
-        val s = it.next()
-        if (s.isFile && s.getPath.getName.endsWith(".parquet") && s.getLen > 0)
-          buf += ((s.getPath, s.getLen))
-      }
-      buf.toSeq
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Path, Long)]
+    foreachFileUnder(p) { s =>
+      if (s.getPath.getName.endsWith(".parquet") && s.getLen > 0)
+        buf += ((s.getPath, s.getLen))
     }
+    buf.toSeq
   }
 
   /** File-pruned copy-on-write commit — Trino Iceberg CoW semantics
@@ -5175,8 +5206,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         current.flatMap(_.manifestList)), 0L)
     def writeSnapDir(df: DataFrame): String = {
       val snapDir = snapDirName(schema, table, s"${attemptTag(id)}-rewrite")
-      partitionedWriter(schema, table, df)
-        .mode("errorifexists").parquet(new Path(dir, snapDir).toString)
+      writeData(schema, table, df, dir, snapDir)
       snapDir
     }
     /* commit `newDirRel` (a just-written rewrite dir) + carried manifests
@@ -5601,8 +5631,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val at = math.max(System.currentTimeMillis(),
       commits.lastOption.map(_.committedAtMillis + 1).getOrElse(0L))
     val snapDir = snapDirName(schema, table, s"${attemptTag(id)}-rewrite")
-    partitionedWriter(schema, table, df)
-      .mode("errorifexists").parquet(new Path(dir, snapDir).toString)
+    writeData(schema, table, df, dir, snapDir)
     val newEntries = scanEntries(dir, snapDir)
     val names = writeManifests(dir, newEntries)
     val snap = Snapshot(id, at, Nil,
@@ -5778,13 +5807,11 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         // partition subpath is always relative to the SNAP dir, i.e. the
         // entry's first path segment
         val snapBase = new Path(dir, d.split('/').head)
-        val f = fs(snapRoot)
-        // partitioned tables nest col=value dirs below the snap dir
-        val it = f.listFiles(snapRoot, true)
+        // partitioned tables nest col=value dirs below the snap dir;
+        // plain-listStatus walk — see foreachFileUnder (no per-file forks)
         val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Long)]
-        while (it.hasNext) {
-          val s = it.next()
-          if (s.isFile && s.getPath.getName.endsWith(".parquet") && s.getLen > 0) {
+        foreachFileUnder(snapRoot) { s =>
+          if (s.getPath.getName.endsWith(".parquet") && s.getLen > 0) {
             // compare scheme-less URI paths: the listed status carries a
             // `file:`/`hdfs:` scheme the constructed root may not
             val rel = s.getPath.getParent.toUri.getPath
@@ -6379,23 +6406,30 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
      * partitionedWriter — its AQE-sized clustering shuffle would override
      * the explicit layout) */
     def writeCompacted(base0: DataFrame): Unit = {
-      val base = withDeclaredFieldIds(schema, table, base0)
-      val compacted =
-        if (sorted.isEmpty) base.coalesce(numFiles)
-        else {
-          // sorted table: hit the target file count WITH the sort order —
-          // an explicit numFiles-way range shuffle + in-task sort instead
-          // of coalesce (which would interleave sorted inputs)
-          val (zdf, sortKeys, helpers) = sortKeyCols(base, sorted)
-          val keys = fieldsP.map(f =>
-            org.apache.spark.sql.functions.col(f.derivedName).asc) ++ sortKeys
-          zdf.repartitionByRange(numFiles, keys: _*).sortWithinPartitions(keys: _*)
-            .drop(helpers: _*)
-        }
-      val w =
-        if (fieldsP.isEmpty) compacted.write
-        else compacted.write.partitionBy(fieldsP.map(_.derivedName): _*)
-      w.mode("errorifexists").parquet(new Path(dir, snapDir).toString)
+      val base1 = withDeclaredFieldIds(schema, table, base0)
+      // sorted compaction evaluates its input 3× (quantile cuts, range
+      // sample, write) — persist across the passes like writeData does
+      val base =
+        if (sorted.isEmpty) base1
+        else base1.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val compacted =
+          if (sorted.isEmpty) base.coalesce(numFiles)
+          else {
+            // sorted table: hit the target file count WITH the sort order —
+            // an explicit numFiles-way range shuffle + in-task sort instead
+            // of coalesce (which would interleave sorted inputs)
+            val (zdf, sortKeys, helpers) = sortKeyCols(base, sorted)
+            val keys = fieldsP.map(f =>
+              org.apache.spark.sql.functions.col(f.derivedName).asc) ++ sortKeys
+            zdf.repartitionByRange(numFiles, keys: _*).sortWithinPartitions(keys: _*)
+              .drop(helpers: _*)
+          }
+        val w =
+          if (fieldsP.isEmpty) compacted.write
+          else compacted.write.partitionBy(fieldsP.map(_.derivedName): _*)
+        w.mode("errorifexists").parquet(new Path(dir, snapDir).toString)
+      } finally if (sorted.nonEmpty) base.unpersist(false)
     }
     // Trino's scoped optimize (`EXECUTE optimize WHERE …`, Iceberg
     // rewrite_data_files with a filter): compact only the files whose
