@@ -1,9 +1,9 @@
 package graft.catalog
 
 import java.nio.file.Files
-import java.nio.file.attribute.PosixFilePermission
+import java.nio.file.attribute.{PosixFileAttributes, PosixFilePermission}
 
-import org.apache.hadoop.fs.{LocalFileSystem, Path, RawLocalFileSystem}
+import org.apache.hadoop.fs.{FileStatus, LocalFileSystem, Path, RawLocalFileSystem}
 import org.apache.hadoop.fs.permission.FsPermission
 
 /** `RawLocalFileSystem` whose chmod is one java.nio syscall instead of a
@@ -46,6 +46,38 @@ class NioRawLocalFileSystem extends RawLocalFileSystem {
       Files.setPosixFilePermissions(pathToFile(p).toPath, set)
     }
   }
+
+  /** Statuses with the POSIX permission/owner/group pre-filled from one
+    * java.nio `readAttributes` call. Hadoop's raw-local statuses load
+    * permissions LAZILY via a forked `ls` — and `LocatedFileStatus`'s
+    * constructor (built by `listFiles`/`listLocatedStatus`, and by
+    * Spark's own InMemoryFileIndex listing) triggers that load eagerly,
+    * so every file of every directory listing pays a fork. Pre-filling
+    * makes the later permission read free.
+    */
+  private def withNioPerms(s: FileStatus): FileStatus =
+    try {
+      val attrs = Files.readAttributes(
+        pathToFile(s.getPath).toPath, classOf[PosixFileAttributes])
+      import PosixFilePermission._
+      val order = Array(OTHERS_EXECUTE, OTHERS_WRITE, OTHERS_READ,
+        GROUP_EXECUTE, GROUP_WRITE, GROUP_READ,
+        OWNER_EXECUTE, OWNER_WRITE, OWNER_READ)
+      var mode = 0
+      val ps = attrs.permissions()
+      var i = 0
+      while (i < 9) { if (ps.contains(order(i))) mode |= (1 << i); i += 1 }
+      new FileStatus(s.getLen, s.isDirectory, 1, s.getBlockSize,
+        s.getModificationTime, s.getAccessTime,
+        new FsPermission(mode.toShort), attrs.owner().getName,
+        attrs.group().getName, s.getPath)
+    } catch { case _: Exception => s } // symlink races etc: keep Hadoop's
+
+  override def getFileStatus(f: Path): FileStatus =
+    withNioPerms(super.getFileStatus(f))
+
+  override def listStatus(f: Path): Array[FileStatus] =
+    super.listStatus(f).map(withNioPerms)
 }
 
 /** Drop-in `fs.file.impl` replacement for Hadoop's `LocalFileSystem`:

@@ -195,6 +195,11 @@ object Dedup {
     // A/B at sf0.1 (5 reps): checkpoint at the candidate join's full
     // width 6.4-13.7 s, explicit repartition(4) 7.1-15.5 s (AQE cannot
     // coalesce an explicit width), range-sorted checkpoint 4.2-5.3 s.
+    // Re-A/B'd in round 14 after the fork-free FS + tmpfs + fused-join
+    // fixes (DevTime min-of-6): range-sorted 2.14 s, plain checkpoint
+    // 2.49 s, hash repartition(da) 2.74 s — the sorted variant still
+    // wins; at scale the cost is one range exchange of (long,long)
+    // pairs, which AQE sizes to the data.
     val pairs = nearDupJaccardPairs(s, d).select(col("da"), col("db"))
       .orderBy(col("da"), col("db")).localCheckpoint()
     // undirected edge list, both directions, derived from the CHECKPOINTED
