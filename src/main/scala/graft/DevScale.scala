@@ -46,6 +46,26 @@ object DevScale {
             expr(s"transform(embedding, x -> x + ${i}e-3f)")))
         .reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$scaledDir/embeddings.parquet")
+      // fact tables for the TPC-H / clustered-write legs: orderkey stays
+      // the lineitem↔orders join key after scaling (k*copies+i on both
+      // sides); dimension keys (suppkey/custkey/partkey) are unchanged so
+      // dimension tables copy through as-is — the scaled dir is a FULL
+      // corpus and any registry query runs at N×.
+      val li = spark.read.parquet(s"$base/lineitem.parquet")
+      (0 until copies).map(i => li
+          .withColumn("l_orderkey", col("l_orderkey") * copies + i))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$scaledDir/lineitem.parquet")
+      val ord = spark.read.parquet(s"$base/orders.parquet")
+      (0 until copies).map(i => ord
+          .withColumn("o_orderkey", col("o_orderkey") * copies + i))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$scaledDir/orders.parquet")
+      Seq("region", "nation", "customer", "supplier", "part", "events")
+        .foreach { t =>
+          spark.read.parquet(s"$base/$t.parquet")
+            .write.mode("overwrite").parquet(s"$scaledDir/$t.parquet")
+        }
       fs.create(marker).close()
     }
 
@@ -79,7 +99,30 @@ object DevScale {
       "semantic_dedup"    -> ((s, d) => operators.Similarity.semanticDedup(s, d)),
       // round-9: k-means mix report — fit on a bounded sample, one
       // broadcast K×dim assignment pass, so the curve must be ~linear
-      "cluster_mix"       -> (operators.Clustering.clusterMix _))
+      "cluster_mix"       -> (operators.Clustering.clusterMix _),
+      // round-14 (r13 verdict #1): the remaining heavies of the verdict's
+      // scale-curve list — the scaled dir is now a full corpus, so the
+      // registry entries run directly
+      "embedding_near_dup" -> ((s, d) => operators.Similarity.embeddingNearDup(s, d)),
+      "bm25_join"         -> ((s, d) => operators.Search.bm25Join(s, d)),
+      "q21_waiting_supplier" -> SparkEntry.queries("q21_waiting_supplier"),
+      "q18_large_orders"  -> SparkEntry.queries("q18_large_orders"),
+      // clustered-write leg: a fresh z-ordered table over the (scaled)
+      // orders — the write path's quantile cuts + range shuffle + write at N×
+      "zorder_write"      -> ((s, d) => {
+        val wh = "/tmp/graft-scale-zwrite"
+        val p = new org.apache.hadoop.fs.Path(wh)
+        val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (f.exists(p)) f.delete(p, true)
+        val cat = new catalog.SnapshotCatalog(s, wh)
+        cat.createSchema("zs")
+        val ords = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        cat.createTable("zs", "t", ords.schema,
+          sortedBy = Seq("zorder(o_orderkey, o_custkey)"))
+        cat.insert("zs", "t", ords)
+        cat.filesMeta("zs", "t").select(col("file_path"))
+      }))
     val ops = only.map(o => allOps.filter(kv => o(kv._1))).getOrElse(allOps)
     // warmup on the base dir itself so JIT/codegen/first-shuffle costs
     // never land on the 1× timing (a hardcoded small dir would silently

@@ -22,6 +22,11 @@ object DevTime {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
+    // dev-only A/B surface: GRAFT_EXTRA_CONF="k=v;k2=v2" applied on top
+    sys.env.get("GRAFT_EXTRA_CONF").foreach(_.split(';').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+    })
     spark.sparkContext.setLogLevel("WARN")
     def drain(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()

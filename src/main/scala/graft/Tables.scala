@@ -67,7 +67,8 @@ object Tables {
     * regenerated data re-decides (same staleness contract as the
     * deliberately unmemoized DataFrame load above).
     */
-  def loadPar(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+  def loadPar(spark: SparkSession, sfDir: String, name: String,
+              bytesPerTask: Long = 0L): DataFrame = {
     val df = load(spark, sfDir, name)
     val path = s"$sfDir/$name.parquet"
     val cores = spark.sparkContext.defaultParallelism
@@ -86,10 +87,23 @@ object Tables {
       } catch { case _: Exception => Int.MaxValue }
     })
     if (groups.toLong * 2 < cores) {
+      // width: the session's parallelism, optionally CAPPED by a
+      // caller-declared bytes-per-task floor (§2.2 "fewer, larger
+      // partitions"): operators whose per-row kernel is cheap arithmetic
+      // (e.g. the ANN signature dot products) are stage-overhead-bound at
+      // full width on small inputs — scheduling 32 tasks per stage costs
+      // more than the compute — while the width still grows with the
+      // DATA (len / bytesPerTask) up to the core count, so a production
+      // table gets full parallelism. Kernel-heavy operators (regex,
+      // tokenize) pass no cap and keep the full width.
+      val width =
+        if (bytesPerTask <= 0) cores
+        else math.min(cores.toLong,
+          math.max(2L, st.getLen / bytesPerTask)).toInt
       naturalKeys.get(name).filter(k => df.columns.exists(_.equalsIgnoreCase(k))) match {
         case Some(k) =>
-          df.repartition(cores, org.apache.spark.sql.functions.col(k))
-        case None => df.repartition(cores)
+          df.repartition(width, org.apache.spark.sql.functions.col(k))
+        case None => df.repartition(width)
       }
     } else df
   }
@@ -119,7 +133,15 @@ object Tables {
   def ordersPar(s: SparkSession, d: String): DataFrame = loadPar(s, d, "orders")
   def lineitemPar(s: SparkSession, d: String): DataFrame = loadPar(s, d, "lineitem")
   def documentsPar(s: SparkSession, d: String): DataFrame = loadPar(s, d, "documents")
-  def embeddingsPar(s: SparkSession, d: String): DataFrame = loadPar(s, d, "embeddings")
+  /** Embedding kernels (signature dot products, centroid assignment) are
+    * cheap arithmetic per row — stage-overhead-bound at full width on a
+    * small file. ~96 KB of compressed vectors per task keeps tasks
+    * meaningful while the width still scales to the core count with
+    * data size (measured A/B in round 14: ann_knn_all 32-core time
+    * dropped below its 8-core time only with the cap).
+    */
+  def embeddingsPar(s: SparkSession, d: String): DataFrame =
+    loadPar(s, d, "embeddings", bytesPerTask = 96 * 1024)
   def eventsPar(s: SparkSession, d: String): DataFrame =
     normalizeTs(loadPar(s, d, "events"))
   /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's

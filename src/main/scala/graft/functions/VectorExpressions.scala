@@ -78,6 +78,88 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Sign-LSH signature of a vector against a table of hyperplanes, as ONE
+  * codegen-capable expression: bit b of the result is set iff
+  * dot(v, planes(b)) >= 0.0 under Spark comparison semantics (NaN counts
+  * as >= 0 — Spark orders NaN greatest).
+  *
+  * Replaces the per-bit spelling `sum(when(dot(v, lit(plane_b)) >= 0,
+  * 1L << b))`: composing 38-48 DotProduct loops plus the when/add chain
+  * into one projection generated a method body past the JIT compile
+  * threshold, so the whole signature stage ran INTERPRETED (executor
+  * stack sampling of ann_knn_all at the 16× scale leg put that one
+  * generated method at the top of executor compute — guide §4). Value-
+  * identical by construction: the same strictly left-to-right double
+  * fold per plane (bit-deterministic, what the DuckDB oracle replays),
+  * null vector → signature 0 (every `when` fell through to 0).
+  */
+case class PlaneSignature(child: Expression, planes: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"plane_signature needs an array<float|double> input, got $other")
+    }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0L
+    else PlaneSignature.signatureOf(v.asInstanceOf[ArrayData], planes, isFloat)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    val planesRef = ctx.addReferenceObj("lshPlanes", planes, "double[][]")
+    ev.copy(
+      code = code"""
+        ${c.code}
+        long ${ev.value} = ${c.isNull} ? 0L
+          : graft.functions.PlaneSignature.signatureOf(
+              ${c.value}, $planesRef, $isFloat);
+      """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PlaneSignature {
+  /** Same element accesses and fold order as [[DotProduct]]; bit set when
+    * the dot is >= 0 OR NaN (Spark's `NaN >= 0.0` is true).
+    */
+  def signatureOf(v: ArrayData, planes: Array[Array[Double]],
+                  float: Boolean): Long = {
+    var sig = 0L
+    var b = 0
+    while (b < planes.length) {
+      val p = planes(b)
+      val n = math.min(v.numElements(), p.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = if (float) v.getFloat(i).toDouble else v.getDouble(i)
+        acc += xv * p(i)
+        i += 1
+      }
+      if (acc >= 0.0 || java.lang.Double.isNaN(acc)) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.GraftSqlBridge
 
@@ -85,6 +167,11 @@ object VectorFunctions {
   def dot(a: Column, b: Column): Column =
     GraftSqlBridge.column(
       DotProduct(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Column API: packed sign-LSH signature against a plane table. */
+  def planeSignature(v: Column, planes: Array[Array[Double]]): Column =
+    GraftSqlBridge.column(
+      PlaneSignature(GraftSqlBridge.expression(v), planes))
 
   /** Register `dot_product` for the SQL surface. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -92,12 +92,18 @@ object Similarity {
   }
 
   /** Per-table signature column: pack the sign bits of `bits` plane
-    * projections into a long.
+    * projections into a long — one codegen'd expression per table
+    * ([[graft.functions.PlaneSignature]]). The previous per-bit spelling
+    * (`sum(when(dot(v, lit(plane)) >= 0, 1L << b))`) inlined 38-48
+    * DotProduct loops into one generated method, past the JIT compile
+    * threshold — the signature stage ran interpreted (measured on the
+    * 16× scale leg; §4). Values identical: same left-to-right fold per
+    * plane, null vector → 0, NaN dot sets the bit (Spark's NaN >= 0),
+    * pinned by PlaneSignatureSpec's differential test.
     */
   private def signature(v: Column, tablePlanes: IndexedSeq[Seq[Double]]): Column =
-    tablePlanes.zipWithIndex.map { case (p, b) =>
-      when(dot(v, typedlit(p)) >= 0.0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    graft.functions.VectorFunctions.planeSignature(
+      v, tablePlanes.map(_.toArray).toArray)
 
   /** LSH-bucketed ANN (the scale path): candidates = corpus vectors sharing
     * any of 4 × 8-bit signature buckets with the query (the standard
