@@ -183,11 +183,21 @@ object TextAnalysis {
     val docs = Tables.documentsPar(s, d)
     val toks = docs.select(col("doc_id"),
       explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+    // persist tf: it feeds the score projection AND the df aggregation —
+    // without the persist the whole tokenize+explode+aggregate subtree
+    // runs TWICE (plan inspection: two full scan→Generate→HashAggregate
+    // legs, the duplicated half being the operator's dominant cost at the
+    // 16× scale leg). The doc_id partitioning from documentsPar satisfies
+    // the (doc_id, w) groupBy AND the top-k window, so the persisted tf is
+    // the only wide state and df is a vocab-sized re-aggregation of it.
     val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    // plain loader for the count: the fused scan-count needs no exchange
+    // (documentsPar would drag its repartition into a third table scan)
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
-    tf.join(dfreq, Seq("w"))
+    tf.join(broadcast(dfreq), Seq("w"))
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("w").as("term"), col("tf"),
         ((col("tf") * col("n_docs")).cast("double") / col("df")).as("score"))
